@@ -1,0 +1,30 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's standard configuration.
+  *
+  * Design notes (100 TB target):
+  *  - AQE on: runtime shuffle-partition coalescing + skew-join splitting
+  *    replace any hand-tuned partition counts when the same plans run on a
+  *    real cluster.
+  *  - `spark.sql.shuffle.partitions` defaults to the local core count; on a
+  *    cluster this is expected to be overridden (or left to AQE's
+  *    coalescing with a high initial value).
+  *  - Session time zone is pinned to UTC so timestamp arithmetic matches
+  *    the DuckDB oracle byte-for-byte.
+  *  - `parquet.nanosAsLong` lets us read TIMESTAMP(NANOS) parquet columns
+  *    (Spark has no nanos type); [[Tables.events]] converts to micros.
+  */
+object Sessions {
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    configure(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Exact, Tables}
+import graft.core.Exact.{moneySum, r4}
+import graft.functions.RobustBounds
+
+/** Aggregation operators (SURVEY.md §2.4, §2.5): grouped sums/means/
+  * medians/quantiles (A1–A5), deterministic first via min_by (A7),
+  * min/max (A8), string-agg of distinct values (A9), conditional agg
+  * (A10), window add-count (A11/W3), mode per group (A12), share-of-total
+  * (A13/W4), robust median+MAD bounds (A15).
+  *
+  * Scale notes: every groupBy here is a partial+final HashAggregate (one
+  * shuffle on the group keys); windows shuffle once on the partition key.
+  * No driver collects anywhere.
+  */
+object AggQueries extends QueryPack {
+
+  val all: Seq[Q] = Seq(
+    // A1 A2 A5 — pricing summary (the reference's per-trip sum/mean rollups,
+    // R/preprocessing-surveys.R:783-793, re-expressed on lineitem).
+    Q("q01_pricing_summary",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity").as("sum_qty"),
+            moneySum($"l_extendedprice").as("sum_base_price"),
+            moneySum($"l_discount").as("sum_disc"),
+            count(lit(1)).as("count_order"))
+          .withColumn("avg_qty", $"sum_qty" / $"count_order")
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  sum(CAST(round(l_extendedprice*100,0) AS BIGINT))/100.0 AS sum_base_price,
+             |  sum(CAST(round(l_discount*100,0) AS BIGINT))/100.0 AS sum_disc,
+             |  count(*) AS count_order,
+             |  sum(l_quantity)/count(*) AS avg_qty
+             |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // A6 A8 — distinct counts and min/max extremes per group.
+    Q("q02_distinct_minmax",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_linestatus")
+          .agg(
+            countDistinct($"l_orderkey").as("n_orders"),
+            countDistinct($"l_partkey").as("n_parts"),
+            min($"l_shipdate").as("min_ship"),
+            max($"l_shipdate").as("max_ship"),
+            min($"l_quantity").as("min_qty"),
+            max($"l_quantity").as("max_qty"))
+          .orderBy($"l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+             |  count(DISTINCT l_orderkey) AS n_orders,
+             |  count(DISTINCT l_partkey) AS n_parts,
+             |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+             |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A3 A4 — exact percentile (linear interpolation = R type-7), the
+    // reference's median/quantile summaries (R/export.R:570-578,
+    // R/model-taxa.R:193-212). percentile, NOT percentile_approx: the
+    // oracle compares hashes.
+    Q("q03_median_quantiles",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            r4(expr("percentile(l_quantity, 0.5)")).as("med_qty"),
+            r4(expr("percentile(l_extendedprice, 0.60D)")).as("p60_price"),
+            r4(expr("percentile(l_extendedprice, 0.75D)")).as("p75_price"),
+            r4(expr("percentile(l_extendedprice, 0.95D)")).as("p95_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+             |  round(quantile_cont(l_extendedprice, 0.60), 4) AS p60_price,
+             |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+             |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A7 A1 — per-"trip" rollup with deterministic first/last attribute
+    // grab. The reference's dplyr first() relies on row order
+    // (R/validation.R:334-346); here min_by/max_by on an explicit ordering
+    // column makes it order-independent — the shuffle-safe form.
+    Q("q04_trip_rollup_firsts",
+      (s, d) => {
+        import s.implicits._
+        // min_by/max_by keyed on the UNIQUE o_orderkey: ties would make
+        // first() engine-dependent (the §7.4 nondeterminism trap).
+        Tables.orders(s, d)
+          .groupBy($"o_custkey")
+          .agg(
+            min_by($"o_orderstatus", $"o_orderkey").as("first_status"),
+            min_by($"o_orderpriority", $"o_orderkey").as("first_prio"),
+            max_by($"o_orderstatus", $"o_orderkey").as("last_status"),
+            min($"o_orderdate").as("earliest"),
+            count(lit(1)).as("n_orders"),
+            Exact.centsSum($"o_totalprice").as("cents"))
+          .select($"o_custkey", $"first_status", $"first_prio", $"last_status",
+            $"earliest", $"n_orders",
+            ($"cents" / 100.0).as("spend"),
+            ($"cents" / $"n_orders" / 100.0).as("spend_per_order"))
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey, first_status, first_prio, last_status, earliest, n_orders,
+             |  cents/100.0 AS spend, cents/n_orders/100.0 AS spend_per_order
+             |FROM (
+             |  SELECT o_custkey,
+             |    arg_min(o_orderstatus, o_orderkey) AS first_status,
+             |    arg_min(o_orderpriority, o_orderkey) AS first_prio,
+             |    arg_max(o_orderstatus, o_orderkey) AS last_status,
+             |    min(o_orderdate) AS earliest,
+             |    count(*) AS n_orders,
+             |    CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1)
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // A9 — string-agg of sorted distinct values (reference
+    // paste(unique(...), collapse="-"), R/export.R:107).
+    Q("q05_stringagg_distinct",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupBy($"o_orderpriority")
+          .agg(
+            array_join(array_sort(collect_set($"o_orderstatus")), "-").as("statuses"),
+            count(lit(1)).as("n"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  string_agg(DISTINCT o_orderstatus, '-' ORDER BY o_orderstatus) AS statuses,
+             |  count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A10 — conditional aggregate: all-null group → null, else join of the
+    // non-null distinct values (reference R/validation.R:244-248).
+    Q("q06_conditional_stringagg",
+      (s, d) => {
+        import s.implicits._
+        val v = when($"l_quantity" > 48, $"l_linestatus")
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(collect_set(v).as("vs"), count(lit(1)).as("n_rows"))
+          .select(
+            $"l_returnflag",
+            when(size($"vs") === 0, lit(null).cast("string"))
+              .otherwise(array_join(array_sort($"vs"), ",")).as("big_statuses"),
+            $"n_rows")
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CASE WHEN count(CASE WHEN l_quantity > 48 THEN 1 END) = 0 THEN NULL
+             |       ELSE string_agg(DISTINCT CASE WHEN l_quantity > 48 THEN l_linestatus END,
+             |                       ',' ORDER BY CASE WHEN l_quantity > 48 THEN l_linestatus END)
+             |  END AS big_statuses,
+             |  count(*) AS n_rows
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A12 — mode / predominant value per group (reference's predominant
+    // gear, R/preprocessing-surveys.R:806-821), with a deterministic
+    // lexicographic tie-break.
+    Q("q07_mode_per_group",
+      (s, d) => {
+        import s.implicits._
+        val cnt = Tables.events(s, d)
+          .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy($"user_id").orderBy($"cnt".desc, $"event_type".asc)
+        cnt.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_type".as("top_event"), $"cnt".as("n"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1,2)
+             |SELECT user_id, event_type AS top_event, cnt AS n
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn FROM c)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // A13 W4 — share-of-total within a partition (species % of site catch,
+    // R/preprocessing-surveys.R:885-889). Window sums use exact integer
+    // cents so the share is bit-stable under any shuffle order.
+    Q("q08_share_of_total",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_nationkey")
+        val cents = round($"c_acctbal" * 100, 0).cast("long")
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_nationkey",
+            r4(cents / sum(cents).over(w)).as("bal_share"))
+          .filter($"c_custkey" < 300)
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT c_custkey, c_nationkey,
+             |    round(CAST(round(c_acctbal*100,0) AS BIGINT)
+             |          / sum(CAST(round(c_acctbal*100,0) AS BIGINT)) OVER (PARTITION BY c_nationkey), 4) AS bal_share
+             |  FROM customer)
+             |WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin)),
+
+    // A11 W3 — add_count: group size kept on every row
+    // (R/preprocessing-surveys.R:808-809; R/merge-trips.R:46-47).
+    Q("q09_window_addcount",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+        Tables.events(s, d)
+          .filter($"user_id" < 5)
+          .select($"event_id", $"user_id",
+            count(lit(1)).over(w).as("n_user_events"),
+            (sum(round($"value" * 100, 0).cast("long")).over(w) / 100.0).as("user_total"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  count(*) OVER (PARTITION BY user_id) AS n_user_events,
+             |  sum(CAST(round(value*100,0) AS BIGINT)) OVER (PARTITION BY user_id)/100.0 AS user_total
+             |FROM events WHERE user_id < 5 ORDER BY event_id""".stripMargin)),
+
+    // A15 — robust outlier bounds via the custom LocScaleB Aggregator
+    // (median ± k·MAD on ln(x+1), upper bound exponentiated back; see
+    // graft.functions.RobustBounds for the formula + guards).
+    Q("q10_robust_bounds",
+      (s, d) => {
+        import s.implicits._
+        val f = RobustBounds.locScaleB(3.0)
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(f($"l_quantity").as("b"))
+          .select($"l_returnflag", $"l_linestatus",
+            r4($"b.lower_log").as("lower_log"),
+            r4($"b.upper").as("upper_bound"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""WITH g AS (
+             |  SELECT l_returnflag, l_linestatus, l_quantity AS x, ln(l_quantity + 1) AS y FROM lineitem),
+             |med AS (
+             |  SELECT l_returnflag, l_linestatus, median(x) AS mex, median(y) AS mey
+             |  FROM g GROUP BY 1,2),
+             |m AS (
+             |  SELECT g.l_returnflag, g.l_linestatus, any_value(med.mey) AS mey,
+             |    1.4826*median(abs(g.x - med.mex)) AS madx,
+             |    1.4826*median(abs(g.y - med.mey)) AS mady
+             |  FROM g JOIN med USING (l_returnflag, l_linestatus) GROUP BY 1,2)
+             |SELECT l_returnflag, l_linestatus,
+             |  CASE WHEN madx <= 0 THEN NULL ELSE round(mey - 3*mady, 4) END AS lower_log,
+             |  CASE WHEN madx <= 0 THEN NULL ELSE round(exp(mey + 3*mady), 4) END AS upper_bound
+             |FROM m ORDER BY 1,2""".stripMargin)),
+
+    // W1 W2 O2 O3 P10 — rank window + top-k per group.
+    Q("q11_rank_topk",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey".asc)
+        Tables.part(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter($"rn" <= 2)
+          .select($"p_brand", $"rn", $"p_partkey", $"p_retailprice")
+          .orderBy($"p_brand", $"rn")
+      },
+      Some("""SELECT p_brand, rn, p_partkey, p_retailprice
+             |FROM (SELECT p_brand, p_partkey, p_retailprice,
+             |        row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+             |      FROM part)
+             |WHERE rn <= 2 ORDER BY p_brand, rn""".stripMargin)),
+
+    // O4 A13 — top-N + "Other" bucket rollup with shares (reference
+    // R/export.R:644-667): rank groups, relabel the tail, re-aggregate.
+    // Cents stay integral until the final division so the re-aggregation
+    // is exact.
+    Q("q12_topn_other",
+      (s, d) => {
+        import s.implicits._
+        val sums = Tables.events(s, d)
+          .groupBy($"event_type", $"user_id")
+          .agg(sum(round($"value" * 100, 0).cast("long")).as("vc"))
+        val w = Window.partitionBy($"event_type").orderBy($"vc".desc, $"user_id".asc)
+        val wt = Window.partitionBy($"event_type")
+        sums.withColumn("rn", row_number().over(w))
+          .withColumn("who", when($"rn" <= 3, $"user_id".cast("string")).otherwise(lit("Other")))
+          .groupBy($"event_type", $"who")
+          .agg(sum($"vc").as("vc2"), count(lit(1)).as("n_users"))
+          .select($"event_type", $"who",
+            ($"vc2" / 100.0).as("total_value"),
+            $"n_users",
+            r4($"vc2" / sum($"vc2").over(wt)).as("share"))
+          .orderBy($"event_type", $"who")
+      },
+      Some("""WITH s AS (
+             |  SELECT event_type, user_id, sum(CAST(round(value*100,0) AS BIGINT)) AS vc
+             |  FROM events GROUP BY 1,2),
+             |r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY vc DESC, user_id) AS rn FROM s),
+             |g AS (
+             |  SELECT event_type,
+             |    CASE WHEN rn <= 3 THEN CAST(user_id AS VARCHAR) ELSE 'Other' END AS who,
+             |    CAST(sum(vc) AS BIGINT) AS vc2, count(*) AS n_users
+             |  FROM r GROUP BY 1,2)
+             |SELECT event_type, who, vc2/100.0 AS total_value, n_users,
+             |  round(vc2 / CAST(sum(vc2) OVER (PARTITION BY event_type) AS DOUBLE), 4) AS share
+             |FROM g ORDER BY event_type, who""".stripMargin))
+  )
+}
