@@ -12,7 +12,10 @@ import graft.queries._
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     AggQueries,
-    JoinQueries)
+    JoinQueries,
+    FilterQueries,
+    ReshapeQueries,
+    ScalarQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * The §7.2 minimum slice: per-trip rollup → robust per-group medians →
