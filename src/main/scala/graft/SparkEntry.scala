@@ -15,7 +15,8 @@ object SparkEntry {
     JoinQueries,
     FilterQueries,
     ReshapeQueries,
-    ScalarQueries)
+    ScalarQueries,
+    ExtQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * The §7.2 minimum slice: per-trip rollup → robust per-group medians →

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization and token counting, stopword-profile language ID,
+  * heuristic quality scoring, and deterministic document fingerprints.
+  *
+  * All are pure Catalyst expressions (no UDFs) so they run inside
+  * whole-stage codegen and scale embarrassingly — per-row work only, no
+  * shuffle. The fingerprint fold is a higher-order `aggregate` over the
+  * token array, i.e. a per-row sequential fold, not a distributed
+  * reduction — deterministic by construction.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, or single
+    * other non-space chars.
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Exact count of tokens that belong to `words` (token-equality, so no
+    * substring/overlap ambiguity).
+    */
+  def stopwordCount(c: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(set, t))).cast("long")
+  }
+
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ein"))
+
+  /** N-gram-profile language ID heuristic: the language whose stopword
+    * profile hits the most tokens; ties and zero-hit rows resolve in
+    * profile order / to "und" (undetermined).
+    */
+  def langId(c: Column): Column = {
+    val scored = StopwordProfiles.map { case (lang, ws) => lang -> stopwordCount(c, ws) }
+    // expression fold: replace the running best only on strictly greater
+    // score, so ties keep the earlier profile → deterministic
+    val (blang, bscore) = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (l, s)) =>
+        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(bscore > 0, blang).otherwise(lit("und"))
+  }
+
+  /** Heuristic quality score in [0,1]: long-enough docs with moderate
+    * mean token length and some stopword mass score high. Weights are
+    * arbitrary but fixed; the point is the shape (ratios + clamp), the
+    * reference pattern for filtering pretraining text.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c)
+    val meanLen = (length(c) - nTok + 1).cast("double") / nTok // chars per token
+    val stop = stopwordCount(c, StopwordProfiles.flatMap(_._2))
+    val stopRatio = stop.cast("double") / nTok
+    val lenScore = least(nTok.cast("double") / 50.0, lit(1.0))
+    val lenPenalty = when(meanLen < 3.0 || meanLen > 10.0, 0.5).otherwise(1.0)
+    round(least(greatest(lenScore * lenPenalty * (lit(0.7) + stopRatio), lit(0.0)), lit(1.0)), 4)
+  }
+
+  /** Deterministic 63-bit rolling document fingerprint:
+    * fold over tokens of (acc*31 + code(token)) mod p, where
+    * code(t) = ascii(first char)*1000 + length(t). Oracle-expressible
+    * (DuckDB list_reduce) and stable across engines — unlike
+    * xxhash64-based fingerprints, which are Spark-internal.
+    */
+  def rollingFingerprint(c: Column): Column = {
+    val p = 1000000007L
+    val codes = transform(tokens(c), t => (ascii(substring(t, 1, 1)) * 1000L + length(t)).cast("long"))
+    aggregate(codes, lit(0L), (acc, x) => pmod(acc * 31L + x, lit(p)))
+  }
+
+  /** xxhash64 whole-text fingerprint (engine-internal but fast; for
+    * exact-dup detection at scale prefer this over the text itself as the
+    * shuffle key).
+    */
+  def hashFingerprint(c: Column): Column = xxhash64(c)
+}

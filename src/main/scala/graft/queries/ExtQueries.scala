@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Exact, Tables}
+import graft.core.Exact.r4
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators (north-star extensions):
+  * text quality / language-ID / token counting / fingerprinting over
+  * `documents`, exact + n-gram-Jaccard + MinHash-LSH + SimHash dedup,
+  * and brute-force + LSH-ANN similarity search over `embeddings`.
+  *
+  * Oracles exist wherever the computation is engine-deterministic
+  * (integer folds, explicit sequential double folds). xxhash64-based ops
+  * (MinHash, SimHash) are Spark-internal → rows-only checks, with exact
+  * ground-truth comparisons in the ScalaTest suite instead.
+  */
+object ExtQueries extends QueryPack {
+
+  val all: Seq[Q] = Seq(
+    // Quality scoring: token counts, BPE-ish subword count, stopword
+    // ratio → clamped score. Pure per-row codegen expressions.
+    Q("q42_text_quality",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            TextAnalysis.tokenCount($"text").as("n_tokens"),
+            TextAnalysis.bpeishTokenCount($"text").as("n_subwords"),
+            TextAnalysis.qualityScore($"text").as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, text, len(toks) AS n_tokens,
+             |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
+             |    (length(text) - len(toks) + 1) * 1.0 / len(toks) AS mean_len,
+             |    len(list_filter(toks, x -> list_contains(
+             |      ['the','and','of','to','in','el','la','de','que','los','le','et','les','des','der','die','und','das','ein'], x))) * 1.0 / len(toks) AS stop_ratio
+             |  FROM t)
+             |SELECT doc_id, n_tokens, n_subwords,
+             |  round(least(greatest(least(n_tokens/50.0, 1.0)
+             |    * (CASE WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 0.5 ELSE 1.0 END)
+             |    * (0.7 + stop_ratio), 0.0), 1.0), 4) AS quality
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Language ID vs the labeled lang → confusion matrix.
+    Q("q43_text_langid",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"lang", TextAnalysis.langId($"text").as("predicted"))
+          .groupBy($"lang", $"predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"predicted")
+      },
+      Some("""WITH sc AS (
+             |  SELECT lang,
+             |    len(list_filter(string_split_regex(trim(text),'\s+'), x -> list_contains(['the','and','of','to','in'], x))) AS s_en,
+             |    len(list_filter(string_split_regex(trim(text),'\s+'), x -> list_contains(['el','la','de','que','los'], x))) AS s_es,
+             |    len(list_filter(string_split_regex(trim(text),'\s+'), x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
+             |    len(list_filter(string_split_regex(trim(text),'\s+'), x -> list_contains(['der','die','und','das','ein'], x))) AS s_de
+             |  FROM documents)
+             |SELECT lang,
+             |  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+             |       WHEN s_de > greatest(s_en, s_es, s_fr) THEN 'de'
+             |       WHEN s_fr > greatest(s_en, s_es) THEN 'fr'
+             |       WHEN s_es > s_en THEN 'es'
+             |       ELSE 'en' END AS predicted,
+             |  count(*) AS n
+             |FROM sc GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // Rolling-hash document fingerprint (integer fold — engine-exact).
+    Q("q44_text_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            TextAnalysis.rollingFingerprint($"text").as("fp"),
+            TextAnalysis.tokenCount($"text").as("n_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split_regex(trim(text),'\s+'),
+             |        t -> CAST(ascii(substring(t,1,1))*1000 + length(t) AS BIGINT))),
+             |    (a, b) -> (a*31 + b) % 1000000007) AS fp,
+             |  len(string_split_regex(trim(text),'\s+')) AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Exact dedup on a normalization key (first two tokens): hash-groupBy,
+    // min-id canonical representative.
+    Q("q45_dedup_exact",
+      (s, d) => {
+        import s.implicits._
+        val keyed = Tables.documents(s, d)
+          .withColumn("key", concat_ws(" ", slice(TextAnalysis.tokens($"text"), 1, 2)))
+        Dedup.exactDupGroups(keyed, "doc_id", Seq("key"))
+          .orderBy($"key")
+      },
+      Some("""SELECT key, min(doc_id) AS keep_id, count(*) AS n_dups
+             |FROM (SELECT doc_id,
+             |        array_to_string(string_split_regex(trim(text),'\s+')[1:2], ' ') AS key
+             |      FROM documents)
+             |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin)),
+
+    // Exact bigram-Jaccard near-dup pairs, blocked by lang (the exact
+    // ground truth the LSH variants approximate).
+    Q("q46_dedup_jaccard",
+      (s, d) => {
+        import s.implicits._
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+            n = 2, threshold = 0.2, blockCols = Seq("lang"))
+          .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS l FROM documents),
+             |bg AS (
+             |  SELECT doc_id, lang,
+             |    unnest(list_distinct(list_filter(
+             |      list_transform(l, (x,i) -> CASE WHEN i <= len(l)-1 THEN x || ' ' || l[i+1] END),
+             |      v -> v IS NOT NULL))) AS s
+             |  FROM toks),
+             |szs AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |  FROM bg a JOIN bg b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+             |  GROUP BY 1,2)
+             |SELECT id_a, id_b, round(i * 1.0 / (x.sz + y.sz - i), 4) AS jaccard
+             |FROM inter JOIN szs x ON x.doc_id = id_a JOIN szs y ON y.doc_id = id_b
+             |WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.2
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // MinHash+LSH near-dup pairs with exact verification (rows-only:
+    // minhash bases on Spark-internal xxhash64; ground truth vs q46 is
+    // asserted in DedupSpec).
+    Q("q47_dedup_minhash_lsh",
+      (s, d) => {
+        import s.implicits._
+        Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text",
+            n = 2, threshold = 0.2, bands = 21, rowsPerBand = 3)
+          .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
+          .orderBy($"id_a", $"id_b")
+      },
+      None),
+
+    // SimHash near-dup pairs (rows-only for the same reason).
+    Q("q48_dedup_simhash",
+      (s, d) => {
+        import s.implicits._
+        Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text",
+            blockCols = Seq("lang"), maxDist = 14)
+          .orderBy($"id_a", $"id_b")
+      },
+      None),
+
+    // Brute-force cosine top-k: the exact ANN baseline. The double dot
+    // product is an explicit sequential fold → bit-equal to the oracle's
+    // identical fold.
+    Q("q49_knn_cosine",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceKnn(emb.filter($"vec_id" < 5), emb, k = 5)
+          .orderBy($"q_id", $"rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+             |j AS (
+             |  SELECT q_id, e.vec_id AS n_id,
+             |    round(
+             |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform(q_emb, (x,i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+             |        (a,b) -> a + b)
+             |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b))
+             |        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b)))
+             |    , 6) AS sim
+             |  FROM q, embeddings e WHERE e.vec_id != q_id)
+             |SELECT q_id, rank, n_id, sim FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM j)
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // LSH-bucketed ANN (rows-only; recall vs q49 asserted in
+    // SimilaritySpec).
+    Q("q50_ann_lsh",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshKnn(emb.filter($"vec_id" < 5), emb, dim = 64, k = 5,
+            nBits = 6, tables = 4)
+          .orderBy($"q_id", $"rank")
+      },
+      None),
+
+    // Embedding-cosine near-dup pairs within a label block.
+    Q("q51_embed_dup_pairs",
+      (s, d) => {
+        import s.implicits._
+        Similarity.cosineDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+            blockCols = Seq("label"), threshold = 0.25)
+          .select($"id_a", $"id_b", $"sim")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(a.embedding, (x,i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+             |      (p,v) -> p + v)
+             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p,v) -> p + v))
+             |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p,v) -> p + v)))
+             |  , 6) AS sim
+             |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(a.embedding, (x,i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+             |      (p,v) -> p + v)
+             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p,v) -> p + v))
+             |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p,v) -> p + v))) >= 0.25
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Multimodal plumbing: binary payload + metadata → partition-wise
+    // stub decode (mapPartitions seam; graft.ext.Multimodal).
+    Q("q52_multimodal_features",
+      (s, d) => {
+        import s.implicits._
+        Multimodal.featurize(s, Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+          .orderBy($"media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 'text/utf-8' AS kind,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  octet_length(encode(text)) // 256 + 1 AS n_frames,
+             |  CAST(ascii(substring(text,1,1)) AS INT) AS head_byte,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, least(length(text), 64)),
+             |        i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+             |    (a, b) -> (a*31 + b) % 1000000007) AS checksum
+             |FROM documents ORDER BY media_id""".stripMargin))
+  )
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference pipeline is batch-only
+  * (SURVEY.md §2.10 — a 2-day cron that reprocesses the full snapshot),
+  * so streaming here is the forward-looking twin: the SAME windowed
+  * aggregation as the batch query q36_window_tumbling, expressed over
+  * `readStream`, with an event-time watermark for late data.
+  *
+  * The transform is shared (one function, two callers) — the core Spark
+  * property that batch and streaming share a logical-plan vocabulary.
+  */
+object EventStream {
+
+  /** events.parquet physical schema under nanosAsLong (ts is raw nanos). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Shared transform: 6h tumbling windows per event type with exact
+    * cents totals. Works on both batch and streaming inputs.
+    */
+  def windowedTotals(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("total"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("total"))
+
+  /** Streaming read of the events file(s); `path` may be a glob. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(path)
+  }
+
+  /** Run the streaming aggregation to completion over the (finite) file
+    * source and return the result table — used by tests to assert
+    * batch/stream equivalence.
+    */
+  def runToCompletion(spark: SparkSession, path: String, queryName: String): DataFrame = {
+    val q = windowedTotals(readEvents(spark, path))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}
