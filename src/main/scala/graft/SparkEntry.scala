@@ -16,7 +16,8 @@ object SparkEntry {
     FilterQueries,
     ReshapeQueries,
     ScalarQueries,
-    ExtQueries)
+    ExtQueries,
+    IoQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * The §7.2 minimum slice: per-trip rollup → robust per-group medians →

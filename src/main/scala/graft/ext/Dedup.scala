@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingle set (distinct) per document. */
-  def shingles(textCol: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(textCol)
+  /** Word n-gram shingle set (distinct) from an ALREADY-MATERIALIZED
+    * token-array column. Ops project the token array in a separate step
+    * first: referencing a bound attribute inside the lambda instead of
+    * the `split(...)` tree avoids Catalyst inlining the split once per
+    * `get` reference (measured ~10× on the shingle stage).
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     if (n == 1) array_distinct(toks)
     else {
       val grams = transform(toks, (t, i) =>
@@ -28,6 +32,21 @@ object Dedup {
           concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*)))
       array_distinct(filter(grams, _.isNotNull))
     }
+
+  /** Word n-gram shingle set (distinct) per document. */
+  def shingles(textCol: Column, n: Int): Column =
+    shinglesFromTokens(TextAnalysis.tokens(textCol), n)
+
+  /** Widen tiny inputs to the session's parallelism before compute-heavy
+    * per-row expressions or quadratic pair generation. Local-mode files
+    * often arrive as ONE scan partition (single parquet row group), which
+    * would serialize everything downstream; the one small shuffle is
+    * noise next to the work it parallelizes. On a real cluster with
+    * splittable inputs this is a near-no-op (partitions already ≈ cores).
+    */
+  private[ext] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(target)
   }
 
   /** Exact duplicate groups on arbitrary key columns: groups with >1 row,
@@ -46,15 +65,19 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         blockCols: Seq[String]): DataFrame = {
-    val withSh = df.select(
-      (col(idCol).as("id") +: blockCols.map(col)) :+ shingles(col(textCol), n).as("sh"): _*)
+    val toks = widen(df.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        TextAnalysis.tokens(col(textCol)).as("toks"): _*))
+    val withSh = toks.select(
+      (col("id") +: blockCols.map(col)) :+ shinglesFromTokens(col("toks"), n).as("sh"): _*)
     val sizes = withSh.select(col("id"), size(col("sh")).as("sz"))
     val ex = withSh.select(
       (col("id") +: blockCols.map(col)) :+ explode(col("sh")).as("s"): _*)
-    val joinCond = (blockCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
-      (col("a.s") === col("b.s")) :+ (col("a.id") < col("b.id"))).reduce(_ && _)
-    val inter = ex.as("a").join(ex.as("b"), joinCond)
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val exA = ex.withColumnRenamed("id", "id_a")
+    val exB = ex.withColumnRenamed("id", "id_b")
+    val inter = exA.join(exB, blockCols :+ "s")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
@@ -89,16 +112,20 @@ object Dedup {
     */
   def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
                            n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = df.select(col(idCol).as("id"),
-      minHashSignature(shingles(col(textCol), n), bands * rowsPerBand).as("sig"))
+    val toks = widen(df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks")))
+    val sh = toks.select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
+    val sig = sh.select(col("id"),
+      minHashSignature(col("sh"), bands * rowsPerBand).as("sig"))
     val bandRows = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)), bI =>
         xxhash64(concat_ws(",", (0 until rowsPerBand).map(r =>
           get(col("sig"), bI * rowsPerBand + r)): _*)))).as(Seq("band", "bucket")))
-    bandRows.as("x").join(bandRows.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val x = bandRows.withColumnRenamed("id", "id_a")
+    val y = bandRows.withColumnRenamed("id", "id_b")
+    x.join(y, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
   }
 
@@ -110,7 +137,9 @@ object Dedup {
                       n: Int, threshold: Double,
                       bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
     val cands = minHashLshCandidates(df, idCol, textCol, n, bands, rowsPerBand)
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sh = widen(df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks")))
+      .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -124,8 +153,16 @@ object Dedup {
   /** 64-bit SimHash over token xxhash64s: bit i of the result is the
     * sign of the sum over tokens of (bit i set ? +1 : -1).
     */
-  def simHash(textCol: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(textCol), t => xxhash64(t))
+  def simHash(textCol: Column): Column =
+    simHashFromHashes(transform(TextAnalysis.tokens(textCol), t => xxhash64(t)))
+
+  /** SimHash over a MATERIALIZED token-hash array column. The 64 bit-sum
+    * folds each reference the array; if the argument were the
+    * `transform(tokens(...))` tree instead of a bound attribute, every
+    * fold would re-tokenize and re-hash the document (64×). Ops project
+    * the hash array first.
+    */
+  def simHashFromHashes(hashes: Column): Column = {
     val bitSums = (0 until 64).map { i =>
       aggregate(hashes, lit(0),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1))
@@ -143,13 +180,17 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], maxDist: Int): DataFrame = {
-    val h = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
-      simHash(col(textCol)).as("sh"): _*)
-    val cond = (blockCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
-      (col("a.id") < col("b.id"))).reduce(_ && _)
-    h.as("a").join(h.as("b"), cond)
-      .withColumn("dist", hamming(col("a.sh"), col("b.sh")).cast("long"))
+    val hashed = widen(df.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)).as("th"): _*))
+    val h = hashed.select(
+      (col("id") +: blockCols.map(col)) :+ simHashFromHashes(col("th")).as("sh"): _*)
+    val a = h.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
+    val b = h.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", hamming(col("sh_a"), col("sh_b")).cast("long"))
       .filter(col("dist") <= maxDist)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

@@ -8,14 +8,22 @@ import org.apache.spark.sql.functions._
   * (array<float>).
   *
   * Baseline: brute-force cosine top-k — a query×corpus join. With Q query
-  * vectors it is a broadcast join (no shuffle of the corpus) and one
-  * window top-k; exact, and the right tool when Q is small.
+  * vectors it is a broadcast (nested-loop) join — the corpus never
+  * shuffles — plus one window top-k; exact, and the right tool when Q is
+  * small.
   *
   * Scale path: random-hyperplane LSH — deterministic pseudo-random
   * planes (integer LCG, engine-independent), sign-bit bucket key,
   * candidates restricted to same-bucket rows across `tables` independent
-  * hash tables, then exact re-rank of the candidate set. Corpus passes:
-  * one narrow projection per table (linear), bucket-local joins after.
+  * hash tables (equi-join on (table, bucket)), then exact re-rank of the
+  * candidate set. Corpus passes: one narrow projection per table
+  * (linear), bucket-local joins after.
+  *
+  * Eval-cost notes: norms are projected ONCE per row before any pair
+  * join (a per-pair `cosine(a,b)` would fold each row's self-dot
+  * millions of times), and tiny inputs are widened to the session
+  * parallelism before the quadratic stages (single-row-group local
+  * files otherwise serialize the whole computation).
   */
 object Similarity {
 
@@ -31,15 +39,24 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  private def widen(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** (id, emb, norm) projection — norm computed once per row. */
+  private def withNorm(df: DataFrame, idOut: String, embOut: String,
+                       normOut: String): DataFrame =
+    widen(df.select(col("vec_id").as(idOut), col("embedding").as(embOut)))
+      .withColumn(normOut, norm(col(embOut)))
+
   /** Exact top-k neighbors by cosine for each query row (self-matches on
     * equal ids excluded). Ranking key is (rounded cosine desc, id asc) so
     * rank order is engine-stable.
     */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val j = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .join(corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
-        col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(cosine(col("q_emb"), col("n_emb")), 6))
+    val q = withNorm(queries, "q_id", "q_emb", "q_norm")
+    val c = withNorm(corpus, "n_id", "n_emb", "n_norm")
+    val j = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     j.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -65,23 +82,28 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** Per-table (t, bucket) rows for a (id, emb, norm) projection. */
+  private def bucketRows(df: DataFrame, embCol: String, dim: Int, nBits: Int,
+                         tables: Int): DataFrame =
+    df.select(col("*"), posexplode(array((0 until tables).map(t =>
+      lshBucket(col(embCol), dim, nBits, t)): _*)).as(Seq("t", "bucket")))
+
   /** LSH-bucketed ANN: same-bucket candidates in any of `tables` hash
     * tables, exact cosine re-rank, top-k per query. Approximate — recall
     * depends on (nBits, tables).
     */
   def lshKnn(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
              nBits: Int = 8, tables: Int = 4): DataFrame = {
-    val qb = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), lshBucket(col("embedding"), dim, nBits, t).as("b"))): _*)).as("tb"))
-    val cb = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), lshBucket(col("embedding"), dim, nBits, t).as("b"))): _*)).as("tb"))
-    val cands = qb.join(cb, qb("tb") === cb("tb") && col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))
-      .distinct()
+    val qb = bucketRows(withNorm(queries, "q_id", "q_emb", "q_norm"), "q_emb", dim, nBits, tables)
+    val cb = bucketRows(withNorm(corpus, "n_id", "n_emb", "n_norm"), "n_emb", dim, nBits, tables)
+    val cands = qb.join(cb, Seq("t", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+        col("n_id"), col("n_emb"), col("n_norm"))
+      .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
-    cands.withColumn("sim", round(cosine(col("q_emb"), col("n_emb")), 6))
+    cands
+      .withColumn("sim", round(dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
@@ -92,13 +114,17 @@ object Similarity {
     */
   def cosineDupPairs(df: DataFrame, idCol: String, embCol: String,
                      blockCols: Seq[String], threshold: Double): DataFrame = {
-    val base = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
-      col(embCol).as("emb"): _*)
-    val cond = (blockCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
-      (col("a.id") < col("b.id"))).reduce(_ && _)
-    base.as("a").join(base.as("b"), cond)
-      .withColumn("sim", round(cosine(col("a.emb"), col("b.emb")), 6))
+    val base = widen(df.select(
+        (col(idCol).as("id") +: blockCols.map(col)) :+ col(embCol).as("emb"): _*))
+      .withColumn("nrm", norm(col("emb")))
+    val a = Seq("id" -> "id_a", "emb" -> "emb_a", "nrm" -> "nrm_a")
+      .foldLeft(base) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+    val b = Seq("id" -> "id_b", "emb" -> "emb_b", "nrm" -> "nrm_b")
+      .foldLeft(base) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("sim") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 }

@@ -51,7 +51,7 @@ object SpeciesReshape {
         posexplode_outer(col("species_groups")).as(Seq("pos", "sg")))
       .select(
         col("submission_id"),
-        (col("pos") + 1).as("n_catch"),
+        (col("pos") + 1).cast("long").as("n_catch"),
         col("sg.species").as("selected_species"),
         col("sg.counting_method").as("count_method"),
         col("sg.n_buckets").cast("double").as("n_buckets"),

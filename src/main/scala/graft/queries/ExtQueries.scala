@@ -205,26 +205,20 @@ object ExtQueries extends QueryPack {
           .select($"id_a", $"id_b", $"sim")
           .orderBy($"id_a", $"id_b")
       },
-      Some("""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
-             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             |  round(
-             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |      list_transform(a.embedding, (x,i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
-             |      (p,v) -> p + v)
-             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |         list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p,v) -> p + v))
-             |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |         list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p,v) -> p + v)))
-             |  , 6) AS sim
-             |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-             |WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |      list_transform(a.embedding, (x,i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
-             |      (p,v) -> p + v)
-             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |         list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p,v) -> p + v))
-             |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |         list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p,v) -> p + v))) >= 0.25
-             |ORDER BY 1, 2""".stripMargin)),
+      Some("""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+             |j AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    round(
+             |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform(a.embedding, (x,i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+             |        (p,v) -> p + v)
+             |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p,v) -> p + v))
+             |        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p,v) -> p + v)))
+             |    , 6) AS sim
+             |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, sim FROM j WHERE sim >= 0.25 ORDER BY 1, 2""".stripMargin)),
 
     // Multimodal plumbing: binary payload + metadata → partition-wise
     // stub decode (mapPartitions seam; graft.ext.Multimodal).

@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Exact, Tables}
+import graft.core.Exact.{moneySum, r4}
+import graft.io.{JsonIngest, Versioned}
+import graft.ops.Reshape
+import graft.pipeline.SpeciesReshape
+
+/** Source/sink operators (SURVEY.md §2.1) plus remaining inventory rows:
+  * nested JSON ingest with outer repeat-group expansion (S1/S2), GeoJSON
+  * feature source (S11), versioned parquet staging (S3/S4), upsert diff
+  * (S9), natural join (J12), suffix-disambiguated join (J13), last-per-
+  * key (O5), median matrix (A17), pivot→drop-empty→unpivot roundtrip
+  * (R5/P9), bulk rename + relocate (P2/P7).
+  */
+object IoQueries extends QueryPack {
+
+  private val FixturesDir = "/root/repo/fixtures"
+
+  val all: Seq[Q] = Seq(
+    // S1/S2 — schema-on-read JSON ingest: uniqueness assert, coordinate
+    // separation, and the array-typed repeat groups exploded to long
+    // catch rows (posexplode_outer keeps empty submissions).
+    Q("q53_json_ingest",
+      (s, d) => {
+        import s.implicits._
+        val subs = JsonIngest.assertUniqueIds(
+          JsonIngest.readSubmissions(s, s"$FixturesDir/submissions.json"))
+        val coords = JsonIngest.splitCoordinates(subs)
+        SpeciesReshape.toLongCatches(
+            coords.withColumnRenamed("species_group", "species_groups"))
+          .join(coords.select($"submission_id", $"lat"), Seq("submission_id"), "left")
+          .select($"submission_id", $"n_catch", $"selected_species".as("species"),
+            $"lat", $"length", $"individuals")
+          .orderBy($"submission_id", $"n_catch".asc_nulls_first, $"length".asc_nulls_first)
+      },
+      Some(s"""WITH s AS (SELECT * FROM read_json_auto('$FixturesDir/submissions.json')),
+             |a AS (SELECT _id AS submission_id, location,
+             |        unnest(CASE WHEN species_group IS NULL OR len(species_group)=0
+             |               THEN [CAST(NULL AS STRUCT(pos BIGINT, species VARCHAR, length_bins STRUCT(length_class VARCHAR, n BIGINT)[]))]
+             |               ELSE list_transform(species_group, (g,i) -> {'pos': i, 'species': g.species, 'length_bins': g.length_bins}) END) AS sg
+             |      FROM s),
+             |b AS (SELECT submission_id, location, (sg).pos AS n_catch, (sg).species AS species,
+             |        unnest(CASE WHEN (sg).length_bins IS NULL OR len((sg).length_bins)=0
+             |               THEN [CAST(NULL AS STRUCT(length_class VARCHAR, n BIGINT))]
+             |               ELSE (sg).length_bins END) AS bin
+             |      FROM a)
+             |SELECT submission_id, n_catch, species,
+             |  CAST(string_split(location,' ')[1] AS DOUBLE) AS lat,
+             |  CASE WHEN (bin).length_class='5_10' THEN 7.5 WHEN (bin).length_class='10_15' THEN 12.5
+             |       WHEN (bin).length_class='15_20' THEN 17.5 WHEN (bin).length_class='20_25' THEN 22.5
+             |       WHEN (bin).length_class='25_30' THEN 27.5 WHEN (bin).length_class='30_35' THEN 32.5
+             |       WHEN (bin).length_class='35_40' THEN 37.5 WHEN (bin).length_class='40_45' THEN 42.5
+             |       WHEN (bin).length_class='45_50' THEN 47.5 WHEN (bin).length_class='50_55' THEN 52.5
+             |       WHEN (bin).length_class='55_60' THEN 57.5
+             |       ELSE CAST((bin).length_class AS DOUBLE) END AS length,
+             |  CAST((bin).n AS DOUBLE) AS individuals
+             |FROM b ORDER BY submission_id, n_catch NULLS FIRST, length NULLS FIRST""".stripMargin)),
+
+    // S11 — GeoJSON source: features flattened to properties + geometry
+    // attributes (geometry carried structurally, not parsed spatially —
+    // the reference joins on `region`, never on geometry,
+    // R/export.R:741-746).
+    Q("q54_geojson_regions",
+      (s, d) => {
+        import s.implicits._
+        s.read.option("multiLine", true).json(s"$FixturesDir/regions.geojson")
+          .select(explode($"features").as("f"))
+          .select(
+            $"f.properties.region".as("region"),
+            $"f.properties.district".as("district"),
+            $"f.properties.pop".cast("long").as("pop"),
+            $"f.geometry.type".as("geom_type"),
+            size(element_at($"f.geometry.coordinates", 1)).cast("long").as("n_ring_points"))
+          .orderBy($"district")
+      },
+      Some(s"""SELECT (f).properties.region AS region, (f).properties.district AS district,
+             |  CAST((f).properties.pop AS BIGINT) AS pop,
+             |  (f).geometry."type" AS geom_type,
+             |  CAST(len((f).geometry.coordinates[1]) AS BIGINT) AS n_ring_points
+             |FROM (SELECT unnest(features) AS f FROM read_json_auto('$FixturesDir/regions.geojson'))
+             |ORDER BY district""".stripMargin)),
+
+    // S3/S4/S5 — versioned parquet staging round-trip: two writes, the
+    // reader resolves the newest tag (lexicographic == chronological).
+    Q("q55_versioned_io",
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("versioned").toString
+        val base = Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
+        Versioned.write(base.withColumn("version_marker", lit("v1")), dir, "stage", "00000001_aaa")
+        Versioned.writeLz4(base.withColumn("version_marker", lit("v2")), dir, "stage", "00000002_bbb")
+        Versioned.readLatest(s, dir, "stage").select($"version_marker", $"n")
+      },
+      Some("SELECT 'v2' AS version_marker, count(*) AS n FROM lineitem")),
+
+    // S9 — upsert diff: creates = left_anti, updates = left_semi
+    // (device_sync, R/airtable.R:324-420).
+    Q("q56_upsert_diff",
+      (s, d) => {
+        import s.implicits._
+        val incoming = Tables.customer(s, d)
+          .filter($"c_custkey" >= 100 && $"c_custkey" < 300)
+        val existing = Tables.customer(s, d).filter($"c_custkey" < 200)
+        val (creates, updates) = graft.io.DocumentSink.upsertDiff(incoming, existing, "c_custkey")
+        creates.select($"c_custkey", lit("create").as("action"))
+          .unionByName(updates.select($"c_custkey", lit("update").as("action")))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_custkey < 200 THEN 'update' ELSE 'create' END AS action
+             |FROM customer WHERE c_custkey >= 100 AND c_custkey < 300
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // J12 — natural join: Spark DataFrames have no implicit natural join;
+    // the operator enumerates the shared columns explicitly.
+    Q("q57_natural_join",
+      (s, d) => {
+        import s.implicits._
+        val t1 = Tables.nation(s, d).select($"n_nationkey".as("nationkey"), $"n_name")
+        val t2 = Tables.customer(s, d)
+          .groupBy($"c_nationkey".as("nationkey"))
+          .agg(count(lit(1)).as("n_customers"))
+        val shared = t1.columns.intersect(t2.columns).toSeq
+        t1.join(t2, shared, "inner").orderBy($"nationkey")
+      },
+      Some("""SELECT n_nationkey AS nationkey, n_name, n_customers
+             |FROM nation JOIN (SELECT c_nationkey, count(*) AS n_customers
+             |                  FROM customer GROUP BY 1) c
+             |  ON n_nationkey = c_nationkey
+             |ORDER BY nationkey""".stripMargin)),
+
+    // J13 — suffix disambiguation: right side pre-renamed with "_first"
+    // (dplyr suffix = c("", "_kobo"), R/validation.R:1128-1133).
+    Q("q58_suffix_join",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+        val firsts = o.groupBy($"o_custkey")
+          .agg(min($"o_orderkey").as("o_orderkey"), min_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
+        val renamed = firsts.columns.foldLeft(firsts) { (df, c) =>
+          if (c == "o_custkey") df else df.withColumnRenamed(c, s"${c}_first")
+        }
+        o.join(renamed, Seq("o_custkey"), "left")
+          .filter($"o_orderkey" < 300)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+            $"o_orderkey_first", $"o_totalprice_first")
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH f AS (
+             |  SELECT o_custkey, min(o_orderkey) AS o_orderkey_first,
+             |         arg_min(o_totalprice, o_orderkey) AS o_totalprice_first
+             |  FROM orders GROUP BY 1)
+             |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+             |       f.o_orderkey_first, f.o_totalprice_first
+             |FROM orders o LEFT JOIN f USING (o_custkey)
+             |WHERE o.o_orderkey < 300 ORDER BY o.o_orderkey""".stripMargin)),
+
+    // O5 — last-per-key with an explicit order (slice_tail made
+    // deterministic, §7.4).
+    Q("q59_last_per_key",
+      (s, d) => {
+        import s.implicits._
+        Tables.supplier(s, d)
+          .groupBy($"s_nationkey")
+          .agg(max($"s_suppkey").as("last_suppkey"),
+            max_by($"s_name", $"s_suppkey").as("last_name"),
+            max_by($"s_acctbal", $"s_suppkey").as("last_acctbal"))
+          .orderBy($"s_nationkey")
+      },
+      Some("""SELECT s_nationkey, max(s_suppkey) AS last_suppkey,
+             |  arg_max(s_name, s_suppkey) AS last_name,
+             |  arg_max(s_acctbal, s_suppkey) AS last_acctbal
+             |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A17 — pivoted median matrix + within-group rank
+    // (R/export.R:795-821).
+    Q("q60_median_matrix",
+      (s, d) => {
+        import s.implicits._
+        val agg = Tables.orders(s, d)
+          .groupBy($"o_orderstatus", $"o_orderpriority")
+          .agg(r4(expr("percentile(o_totalprice, 0.5)")).as("med_price"))
+        val w = Window.partitionBy($"o_orderstatus")
+          .orderBy($"med_price".desc, $"o_orderpriority".asc)
+        agg.withColumn("rank", row_number().over(w).cast("long"))
+          .orderBy($"o_orderstatus", $"rank")
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderstatus, o_orderpriority,
+             |         round(quantile_cont(o_totalprice, 0.5), 4) AS med_price
+             |  FROM orders GROUP BY 1,2)
+             |SELECT o_orderstatus, o_orderpriority, med_price,
+             |  row_number() OVER (PARTITION BY o_orderstatus
+             |                     ORDER BY med_price DESC, o_orderpriority) AS rank
+             |FROM a ORDER BY o_orderstatus, rank""".stripMargin)),
+
+    // R5 + P9 — pivot wider → drop empty columns → unpivot back
+    // (R/export.R:373-381). '3-MEDIUM' rows are filtered before the
+    // pivot but kept in the value list, producing the all-null column
+    // the drop pass removes.
+    Q("q61_pivot_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val wide = Tables.orders(s, d)
+          .filter($"o_orderpriority" =!= "3-MEDIUM")
+          .groupBy($"o_orderstatus")
+          .pivot("o_orderpriority", prios)
+          .agg(moneySum($"o_totalprice"))
+        val counts = wide.select(wide.columns.map(c => count(col(c)).as(c)): _*).head()
+        val keep = wide.columns.zipWithIndex.collect {
+          case (c, i) if counts.getLong(i) > 0 => c
+        }
+        Reshape.unpivot(wide.select(keep.map(col): _*), Seq("o_orderstatus"),
+            keep.filter(_ != "o_orderstatus"), "prio", "spend")
+          .orderBy($"o_orderstatus", $"prio")
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderstatus,
+             |    sum(CASE WHEN o_orderpriority='1-URGENT' THEN CAST(round(o_totalprice*100,0) AS BIGINT) END)/100.0 AS u,
+             |    sum(CASE WHEN o_orderpriority='2-HIGH' THEN CAST(round(o_totalprice*100,0) AS BIGINT) END)/100.0 AS h,
+             |    sum(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN CAST(round(o_totalprice*100,0) AS BIGINT) END)/100.0 AS ns,
+             |    sum(CASE WHEN o_orderpriority='5-LOW' THEN CAST(round(o_totalprice*100,0) AS BIGINT) END)/100.0 AS lo
+             |  FROM orders WHERE o_orderpriority != '3-MEDIUM' GROUP BY 1)
+             |SELECT o_orderstatus, '1-URGENT' AS prio, u AS spend FROM a
+             |UNION ALL SELECT o_orderstatus, '2-HIGH', h FROM a
+             |UNION ALL SELECT o_orderstatus, '4-NOT SPECIFIED', ns FROM a
+             |UNION ALL SELECT o_orderstatus, '5-LOW', lo FROM a
+             |ORDER BY o_orderstatus, prio""".stripMargin)),
+
+    // P2/P7 — bulk rename by regex (strip the group prefix) + relocate
+    // (R/preprocessing-surveys.R:78,103).
+    Q("q62_bulk_rename_relocate",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).filter($"l_orderkey" < 50)
+        val stripped = li.columns.foldLeft(li) { (df, c) =>
+          df.withColumnRenamed(c, c.replaceAll("^l_", ""))
+        }
+        val keys = Seq("orderkey", "linenumber")
+        val rest = stripped.columns.filterNot(keys.contains).sorted.toSeq
+        stripped.select((keys ++ rest).map(col): _*)
+          .orderBy(stripped.columns.map(col).toIndexedSeq: _*)
+      },
+      Some("""SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+             |  l_discount AS discount, l_extendedprice AS extendedprice,
+             |  l_linestatus AS linestatus, l_partkey AS partkey,
+             |  l_quantity AS quantity, l_returnflag AS returnflag,
+             |  l_shipdate AS shipdate, l_suppkey AS suppkey, l_tax AS tax
+             |FROM lineitem WHERE l_orderkey < 50
+             |ORDER BY 1,2,3,4,5,6,7,8,9,10,11""".stripMargin))
+  )
+}
