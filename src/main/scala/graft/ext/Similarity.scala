@@ -37,26 +37,32 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** HOF formulation — kept as the readable reference; the operators use
+    * the native codegen expression below, which matches it bit-for-bit.
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native fused kernel (graft.functions.CosineSim): one primitive loop
+    * per pair inside whole-stage codegen.
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosineSim(a, b)
 
   private def widen(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** (id, emb, norm) projection — norm computed once per row. */
-  private def withNorm(df: DataFrame, idOut: String, embOut: String,
-                       normOut: String): DataFrame =
+  private def prep(df: DataFrame, idOut: String, embOut: String): DataFrame =
     widen(df.select(col("vec_id").as(idOut), col("embedding").as(embOut)))
-      .withColumn(normOut, norm(col(embOut)))
 
   /** Exact top-k neighbors by cosine for each query row (self-matches on
     * equal ids excluded). Ranking key is (rounded cosine desc, id asc) so
     * rank order is engine-stable.
     */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = withNorm(queries, "q_id", "q_emb", "q_norm")
-    val c = withNorm(corpus, "n_id", "n_emb", "n_norm")
+    val q = prep(queries, "q_id", "q_emb")
+    val c = prep(corpus, "n_id", "n_emb")
     val j = broadcast(q).join(c, col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")), 6))
+      .withColumn("sim", round(cosineNative(col("q_emb"), col("n_emb")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     j.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -94,16 +100,15 @@ object Similarity {
     */
   def lshKnn(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
              nBits: Int = 8, tables: Int = 4): DataFrame = {
-    val qb = bucketRows(withNorm(queries, "q_id", "q_emb", "q_norm"), "q_emb", dim, nBits, tables)
-    val cb = bucketRows(withNorm(corpus, "n_id", "n_emb", "n_norm"), "n_emb", dim, nBits, tables)
+    val qb = bucketRows(prep(queries, "q_id", "q_emb"), "q_emb", dim, nBits, tables)
+    val cb = bucketRows(prep(corpus, "n_id", "n_emb"), "n_emb", dim, nBits, tables)
     val cands = qb.join(cb, Seq("t", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_emb"), col("q_norm"),
-        col("n_id"), col("n_emb"), col("n_norm"))
+      .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))
       .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     cands
-      .withColumn("sim", round(dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")), 6))
+      .withColumn("sim", round(cosineNative(col("q_emb"), col("n_emb")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
@@ -115,15 +120,14 @@ object Similarity {
   def cosineDupPairs(df: DataFrame, idCol: String, embCol: String,
                      blockCols: Seq[String], threshold: Double): DataFrame = {
     val base = widen(df.select(
-        (col(idCol).as("id") +: blockCols.map(col)) :+ col(embCol).as("emb"): _*))
-      .withColumn("nrm", norm(col("emb")))
-    val a = Seq("id" -> "id_a", "emb" -> "emb_a", "nrm" -> "nrm_a")
+      (col(idCol).as("id") +: blockCols.map(col)) :+ col(embCol).as("emb"): _*))
+    val a = Seq("id" -> "id_a", "emb" -> "emb_a")
       .foldLeft(base) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
-    val b = Seq("id" -> "id_b", "emb" -> "emb_b", "nrm" -> "nrm_b")
+    val b = Seq("id" -> "id_b", "emb" -> "emb_b")
       .foldLeft(base) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      .withColumn("sim", round(cosineNative(col("emb_a"), col("emb_b")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

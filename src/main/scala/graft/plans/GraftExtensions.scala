@@ -1,0 +1,30 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.CosineSim
+
+/** SparkSessionExtensions wiring: registers the engine's native
+  * expressions for SQL use, so
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`) exposes
+  * `cosine_sim(a, b)` inside `spark.sql(...)` text as a first-class,
+  * codegen'd function.
+  *
+  * No planner/optimizer rules are injected: per SURVEY.md §4.2, every
+  * reference operator lowers onto stock Catalyst plans, so the extension
+  * surface is function registration only.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim expects exactly 2 arguments")
+        CosineSim(args.head, args(1))
+      }))
+  }
+}
