@@ -59,6 +59,7 @@ object Similarity {
     * rank order is engine-stable.
     */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
     val q = prep(queries, "q_id", "q_emb")
     val c = prep(corpus, "n_id", "n_emb")
     val j = broadcast(q).join(c, col("q_id") =!= col("n_id"))
@@ -100,6 +101,7 @@ object Similarity {
     */
   def lshKnn(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
              nBits: Int = 8, tables: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
     val qb = bucketRows(prep(queries, "q_id", "q_emb"), "q_emb", dim, nBits, tables)
     val cb = bucketRows(prep(corpus, "n_id", "n_emb"), "n_emb", dim, nBits, tables)
     val cands = qb.join(cb, Seq("t", "bucket"))
@@ -119,6 +121,7 @@ object Similarity {
     */
   def cosineDupPairs(df: DataFrame, idCol: String, embCol: String,
                      blockCols: Seq[String], threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val base = widen(df.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+ col(embCol).as("emb"): _*))
     val a = Seq("id" -> "id_a", "emb" -> "emb_a")

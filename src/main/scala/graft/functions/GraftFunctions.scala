@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** Runtime registration of the engine's native expressions into an
+  * EXISTING session — the complement of
+  * [[graft.plans.GraftExtensions]], which only applies to sessions built
+  * with `withExtensions`. Query entry points call this so they work
+  * under any caller-provided session (the driver contract hands us the
+  * session; we cannot assume how it was built).
+  */
+object GraftFunctions {
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier("cosine_sim")
+    if (!reg.functionExists(id)) {
+      reg.createOrReplaceTempFunction("cosine_sim",
+        exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    }
+  }
+}

@@ -220,6 +220,31 @@ object ExtQueries extends QueryPack {
              |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
              |SELECT id_a, id_b, sim FROM j WHERE sim >= 0.25 ORDER BY 1, 2""".stripMargin)),
 
+    // Native gap-based sessionization (session_window) — batch twin of
+    // graft.streaming.Sessionize; window end = last event + gap.
+    Q("q63_sessionize",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(session_window($"ts", "2 hours").as("w"), $"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            (sum(round($"value" * 100, 0).cast("long")) / 100.0).as("total_value"))
+          .select($"user_id",
+            unix_micros($"w.start").as("session_start"),
+            unix_micros($"w.end").as("session_end"),
+            $"n_events", $"total_value")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsm, value FROM events),
+             |l AS (SELECT *, lag(tsm) OVER (PARTITION BY user_id ORDER BY tsm) AS prev FROM e),
+             |m AS (SELECT *, CASE WHEN prev IS NULL OR tsm - prev > 7200000000 THEN 1 ELSE 0 END AS new_s FROM l),
+             |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tsm ROWS UNBOUNDED PRECEDING) AS sn FROM m)
+             |SELECT user_id, min(tsm) AS session_start,
+             |  max(tsm) + 7200000000 AS session_end,
+             |  count(*) AS n_events,
+             |  sum(CAST(round(value*100,0) AS BIGINT))/100.0 AS total_value
+             |FROM s GROUP BY user_id, sn ORDER BY user_id, session_start""".stripMargin)),
+
     // Multimodal plumbing: binary payload + metadata → partition-wise
     // stub decode (mapPartitions seam; graft.ext.Multimodal).
     Q("q52_multimodal_features",
