@@ -20,12 +20,37 @@ object SparkEntry {
     IoQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
-    * The §7.2 minimum slice: per-trip rollup → robust per-group medians →
-    * deterministic ordering (monthly median CPUE by district, re-expressed
-    * on the synthetic star schema).
+    *
+    * The SURVEY.md §7.2 minimum slice — "monthly median CPUE by
+    * district" — composed from the pipeline modules over the synthetic
+    * star schema: per-trip rollup with deterministic firsts (A1/A7) →
+    * cpue/rpue/price ratios → monthly median per district (A3) →
+    * month-grid complete (R9) → unpivot long (R4). Touches scan,
+    * broadcast join, two shuffles (rollup + monthly agg), a scaffold
+    * cross join, and a Generate — the engine's whole vertical in one
+    * plan.
     */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val o = graft.core.Tables.orders(spark, d)
+    val li = graft.core.Tables.lineitem(spark, d)
+    // trips ≙ orders; catch rows ≙ lineitems; district ≙ orderpriority
+    val trips = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(o("o_orderkey").as("submission_id"))
+      .agg(
+        min_by(struct(o("o_orderdate"), o("o_orderpriority")), li("l_linenumber")).as("f"),
+        sum(li("l_quantity")).as("catch_kg"),
+        count(lit(1)).as("n_items"))
+      .select(col("submission_id"),
+        to_date(col("f.o_orderdate")).as("landing_date"),
+        col("f.o_orderpriority").as("district"),
+        (col("catch_kg") / col("n_items")).as("cpue"),
+        col("catch_kg").as("rpue"),
+        (col("catch_kg") * 2).as("price_kg"),
+        col("n_items").cast("double").as("n_fishers"))
+    graft.pipeline.Export.monthlyMetrics(trips)
+  }
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-
+  * quantizer scale path alongside the hyperplane-LSH variant:
+  *
+  *  1. centroids: k seed vectors (lowest ids — deterministic) refined by
+  *     ONE Lloyd step whose per-dimension means are exact integer
+  *     micro-sums (order-independent, so the index is bit-reproducible
+  *     at any parallelism);
+  *  2. assignment: every corpus vector to its max-cosine centroid — a
+  *     corpus × centroids join (k is small) + min_by argmax;
+  *  3. search: a query probes its nProbe closest centroids and re-ranks
+  *     only those inverted lists exactly.
+  *
+  * Corpus passes are linear; the quadratic work drops by ~k/nProbe. All
+  * stages are DataFrame ops — the centroid table is O(k·dim) and always
+  * broadcast.
+  */
+object IvfIndex {
+
+  private def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.CosineSim.cosineSim(a, b)
+
+  /** Assign each (id, emb) row to its best centroid by cosine. */
+  def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("aff", cos(col("emb"), col("cemb")))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("aff"), -col("cid"))).as("cid"))
+
+  /** k seeds (lowest vec_ids) + one exact-integer-mean Lloyd step. */
+  def buildCentroids(spark: SparkSession, corpus: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val vecs = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val seeds = vecs.filter(col("id") < k)
+      .select(col("id").as("cid"), col("emb").as("cemb"))
+    val assigned = assign(vecs, seeds)
+      .join(vecs, "id")
+    // exact per-dimension means: micro-int sums are order-independent
+    val dims = assigned.select(col("cid"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(round(col("x") * 1000000, 0).cast("long")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", (col("s") / col("n") / 1000000.0).cast("float"))
+    dims.groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cemb"))
+  }
+
+  /** IVF top-k: probe the nProbe best centroids per query, exact rerank
+    * within the probed inverted lists.
+    */
+  def ivfKnn(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+             k: Int, kCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val centroids = buildCentroids(spark, corpus, kCentroids).cache()
+    val lists = assign(
+      corpus.select(col("vec_id").as("id"), col("embedding").as("emb")), centroids)
+      .join(corpus.select(col("vec_id").as("id"), col("embedding").as("n_emb")), "id")
+      .select(col("cid"), col("id").as("n_id"), col("n_emb"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("aff").desc, col("cid").asc)
+    val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("aff", cos(col("q_emb"), col("cemb")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cid"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    probes.join(lists, "cid")
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("sim", round(cos(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+  }
+}

@@ -220,6 +220,18 @@ object ExtQueries extends QueryPack {
              |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
              |SELECT id_a, id_b, sim FROM j WHERE sim >= 0.25 ORDER BY 1, 2""".stripMargin)),
 
+    // IVF coarse-quantizer ANN (rows-only: index assignment depends on
+    // the native cosine kernel; recall vs q49 asserted in IvfSpec).
+    Q("q64_ivf_knn",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        graft.ext.IvfIndex.ivfKnn(s, emb.filter($"vec_id" < 5), emb,
+            k = 5, kCentroids = 16, nProbe = 4)
+          .orderBy($"q_id", $"rank")
+      },
+      None),
+
     // Native gap-based sessionization (session_window) — batch twin of
     // graft.streaming.Sessionize; window end = last event + gap.
     Q("q63_sessionize",

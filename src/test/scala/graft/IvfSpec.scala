@@ -1,0 +1,33 @@
+package graft
+
+import graft.core.Tables
+import graft.ext.{IvfIndex, Similarity}
+
+/** IVF-ANN: deterministic index, sane recall vs brute force, and the
+  * typed Dataset model round-trip.
+  */
+class IvfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val embs = Tables.embeddings(spark, sfDir).cache()
+
+  test("centroid build is deterministic and covers the corpus") {
+    val c1 = IvfIndex.buildCentroids(spark, embs, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val c2 = IvfIndex.buildCentroids(spark, embs, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(c1 === c2)
+    assert(c1.size === 8 && c1.values.forall(_.length === 64))
+  }
+
+  test("ivf recall vs brute-force top-5 is reasonable") {
+    val q = embs.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceKnn(q, embs, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = IvfIndex.ivfKnn(spark, q, embs, k = 5, kCentroids = 8, nProbe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(ivf.size === 15) // k filled for each query
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+  }
+}
