@@ -22,12 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object ScaleJoins {
 
+  /** The in-memory catalog forgets tables across JVMs while their
+    * warehouse directories persist — a fresh session's CREATE then hits
+    * LOCATION_ALREADY_EXISTS. Reset both halves.
+    */
+  private def resetTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val dir = new java.io.File(
+      if (wh.getScheme == null) wh.toString else wh.getPath, name.toLowerCase)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    if (dir.exists()) rm(dir)
+  }
+
   /** Write both sides bucketed+sorted on `key` into the session catalog
     * and return the co-located join (no Exchange in the plan).
     */
   def bucketedJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
                    key: String, buckets: Int,
                    leftName: String, rightName: String): DataFrame = {
+    resetTable(spark, leftName)
+    resetTable(spark, rightName)
     left.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
       .saveAsTable(leftName)
     right.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)

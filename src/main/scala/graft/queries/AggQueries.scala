@@ -254,6 +254,26 @@ object AggQueries extends QueryPack {
              |  CASE WHEN madx <= 0 THEN NULL ELSE round(exp(mey + 3*mady), 4) END AS upper_bound
              |FROM m ORDER BY 1,2""".stripMargin)),
 
+    // Multi-granularity summary as ONE rollup pass — the Spark-first
+    // form of the reference's separate-groupBys-then-union pattern
+    // (R/preprocessing-surveys.R:908-916; SURVEY.md §2.4 note): district
+    // ≙ priority, gear ≙ status; grouping_id distinguishes levels.
+    Q("q65_rollup_summary",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .rollup($"o_orderpriority", $"o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            moneySum($"o_totalprice").as("spend"),
+            grouping_id().as("level"))
+          .orderBy($"level", $"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+             |  sum(CAST(round(o_totalprice*100,0) AS BIGINT))/100.0 AS spend,
+             |  CAST(GROUPING(o_orderpriority)*2 + GROUPING(o_orderstatus) AS BIGINT) AS level
+             |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+             |ORDER BY level, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
+
     // W1 W2 O2 O3 P10 — rank window + top-k per group.
     Q("q11_rank_topk",
       (s, d) => {
