@@ -110,11 +110,21 @@ object Dedup {
     * and emit distinct id pairs sharing any bucket. Probabilistic recall:
     * P(candidate | jaccard=j) = 1-(1-j^r)^b.
     */
-  def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
-                           n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+  /** (id, sh) shingle-set projection shared by the signature and verify
+    * stages.
+    */
+  private def shingleDf(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = widen(df.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("toks")))
-    val sh = toks.select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
+    toks.select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
+  }
+
+  def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    candidatesFromShingles(shingleDf(df, idCol, textCol, n), bands, rowsPerBand)
+
+  private def candidatesFromShingles(sh: DataFrame, bands: Int,
+                                     rowsPerBand: Int): DataFrame = {
     val sig = sh.select(col("id"),
       minHashSignature(col("sh"), bands * rowsPerBand).as("sig"))
     val bandRows = sig.select(col("id"), posexplode(
@@ -136,10 +146,11 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
                       bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
-    val cands = minHashLshCandidates(df, idCol, textCol, n, bands, rowsPerBand)
-    val sh = widen(df.select(col(idCol).as("id"),
-        TextAnalysis.tokens(col(textCol)).as("toks")))
-      .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
+    // ONE shingle plan feeds the candidate stage and both verify-join
+    // sides (identical subtrees → Spark reuses the shuffle; no cache, so
+    // nothing pins executor storage across calls)
+    val sh = shingleDf(df, idCol, textCol, n)
+    val cands = candidatesFromShingles(sh, bands, rowsPerBand)
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -51,4 +51,25 @@ object Reshape {
   def separateRows(df: DataFrame, colName: String, sepRegex: String,
                    outName: String): DataFrame =
     df.withColumn(outName, explode(split(col(colName), sepRegex)))
+
+  /** janitor::clean_names (reference R/merge-trips.R:40): lower
+    * snake_case column names (camelCase boundaries split, collisions
+    * uniquified with _2-style suffixes) — one metadata-only Project via
+    * toDF, no per-column rename passes.
+    */
+  def cleanNames(df: DataFrame): DataFrame = {
+    val cleaned = df.columns.map { c =>
+      c.trim
+        .replaceAll("([a-z0-9])([A-Z])", "$1_$2")
+        .replaceAll("[^A-Za-z0-9]+", "_")
+        .replaceAll("_+", "_").stripPrefix("_").stripSuffix("_").toLowerCase
+    }
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val unique = cleaned.map { n =>
+      val k = seen.getOrElse(n, 0) + 1
+      seen(n) = k
+      if (k == 1) n else s"${n}_$k"
+    }
+    df.toDF(unique.toIndexedSeq: _*)
+  }
 }

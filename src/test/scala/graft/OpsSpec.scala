@@ -60,6 +60,13 @@ class OpsSpec extends SparkTestBase {
       === Seq(("a", 1.0, 2.0), ("b", 3.0, 4.0)))
   }
 
+  test("cleanNames: snake_case, camelCase split, collisions uniquified") {
+    val df = Seq((1, 2, 3, 4, 5)).toDF(
+      "NOME DO AMOSTRADOR", "group_trip/PDS_IMEI", "landingSite", "ID", "id")
+    assert(Reshape.cleanNames(df).columns.toSeq ===
+      Seq("nome_do_amostrador", "group_trip_pds_imei", "landing_site", "id", "id_2"))
+  }
+
   test("separatePiece returns null past the end (align_start)") {
     val df = Seq("1-URGENT", "plain").toDF("s")
     val got = df.select(
