@@ -31,9 +31,12 @@ object Exact {
   /** Round to 4 decimals — used on interpolated (percentile) and
     * transcendental (ln/exp/cosine) results where the last ulp may differ
     * between engines; 4 decimals leaves ~11 orders of magnitude of head
-    * room over the expected error.
+    * room over the expected error. The `+ 0.0` collapses IEEE negative
+    * zero (round of a tiny negative) to +0.0 — engines disagree on the
+    * sign of that zero, and a value hasher that looks at bits or string
+    * form would see a difference where numeric equality sees none.
     */
-  def r4(c: Column): Column = round(c, 4)
+  def r4(c: Column): Column = round(c, 4) + 0.0
 
-  def r6(c: Column): Column = round(c, 6)
+  def r6(c: Column): Column = round(c, 6) + 0.0
 }

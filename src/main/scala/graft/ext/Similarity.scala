@@ -63,7 +63,7 @@ object Similarity {
     val q = prep(queries, "q_id", "q_emb")
     val c = prep(corpus, "n_id", "n_emb")
     val j = broadcast(q).join(c, col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(cosineNative(col("q_emb"), col("n_emb")), 6))
+      .withColumn("sim", graft.core.Exact.r6(cosineNative(col("q_emb"), col("n_emb"))))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     j.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -110,7 +110,7 @@ object Similarity {
       .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     cands
-      .withColumn("sim", round(cosineNative(col("q_emb"), col("n_emb")), 6))
+      .withColumn("sim", graft.core.Exact.r6(cosineNative(col("q_emb"), col("n_emb"))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
@@ -130,7 +130,7 @@ object Similarity {
       .foldLeft(base) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosineNative(col("emb_a"), col("emb_b")), 6))
+      .withColumn("sim", graft.core.Exact.r6(cosineNative(col("emb_a"), col("emb_b"))))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

@@ -202,7 +202,7 @@ object AggQueries extends QueryPack {
       Some("""SELECT * FROM (
              |  SELECT c_custkey, c_nationkey,
              |    round(CAST(round(c_acctbal*100,0) AS BIGINT)
-             |          / sum(CAST(round(c_acctbal*100,0) AS BIGINT)) OVER (PARTITION BY c_nationkey), 4) AS bal_share
+             |          / sum(CAST(round(c_acctbal*100,0) AS BIGINT)) OVER (PARTITION BY c_nationkey), 4) + 0.0 AS bal_share
              |  FROM customer)
              |WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin)),
 
@@ -250,7 +250,7 @@ object AggQueries extends QueryPack {
              |    1.4826*median(abs(g.y - med.mey)) AS mady
              |  FROM g JOIN med USING (l_returnflag, l_linestatus) GROUP BY 1,2)
              |SELECT l_returnflag, l_linestatus,
-             |  CASE WHEN madx <= 0 THEN NULL ELSE round(mey - 3*mady, 4) END AS lower_log,
+             |  CASE WHEN madx <= 0 THEN NULL ELSE round(mey - 3*mady, 4) + 0.0 END AS lower_log,
              |  CASE WHEN madx <= 0 THEN NULL ELSE round(exp(mey + 3*mady), 4) END AS upper_bound
              |FROM m ORDER BY 1,2""".stripMargin)),
 

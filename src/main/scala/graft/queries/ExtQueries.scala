@@ -178,7 +178,7 @@ object ExtQueries extends QueryPack {
              |           list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b))
              |        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              |           list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b)))
-             |    , 6) AS sim
+             |    , 6) + 0.0 AS sim
              |  FROM q, embeddings e WHERE e.vec_id != q_id)
              |SELECT q_id, rank, n_id, sim FROM (
              |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM j)
@@ -216,7 +216,7 @@ object ExtQueries extends QueryPack {
              |           list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p,v) -> p + v))
              |        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              |           list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p,v) -> p + v)))
-             |    , 6) AS sim
+             |    , 6) + 0.0 AS sim
              |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
              |SELECT id_a, id_b, sim FROM j WHERE sim >= 0.25 ORDER BY 1, 2""".stripMargin)),
 

@@ -23,6 +23,8 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            return 0.0  # collapse -0.0 (engines disagree on zero sign)
         return v
     return v
 
