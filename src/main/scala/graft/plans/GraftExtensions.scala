@@ -13,12 +13,14 @@ import graft.functions.CosineSim
   * `cosine_sim(a, b)` inside `spark.sql(...)` text as a first-class,
   * codegen'd function.
   *
-  * No planner/optimizer rules are injected: per SURVEY.md §4.2, every
-  * reference operator lowers onto stock Catalyst plans, so the extension
-  * surface is function registration only.
+  * Also injects [[LevenshteinPruning]] — per SURVEY.md §4.2 no rule is
+  * REQUIRED (every reference operator lowers onto stock Catalyst
+  * plans), but the length-band strengthening of levenshtein predicates
+  * is a free win for the J14 self-similarity join.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => LevenshteinPruning)
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
