@@ -36,7 +36,10 @@ object IvfIndex {
   def buildCentroids(spark: SparkSession, corpus: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val vecs = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))
-    val seeds = vecs.filter(col("id") < k)
+    // the k lowest ids regardless of id density (`id < k` would yield a
+    // short — possibly empty — seed set on non-contiguous ids); a global
+    // sort of k rows after a per-partition top-k, not a full-data sort
+    val seeds = vecs.orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("emb").as("cemb"))
     val assigned = assign(vecs, seeds)
       .join(vecs, "id")
@@ -56,7 +59,14 @@ object IvfIndex {
   def ivfKnn(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
              k: Int, kCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val centroids = buildCentroids(spark, corpus, kCentroids).cache()
+    // The centroid table is O(k·dim) by construction, so materialize it
+    // once into a local relation: both consumers (list assignment and
+    // query probing) then broadcast the same in-memory rows, the Lloyd
+    // step runs exactly once, and nothing is pinned in executor storage
+    // across calls (a cache() here would leak until session end).
+    val built = buildCentroids(spark, corpus, kCentroids)
+    val centroids = spark.createDataFrame(
+      java.util.Arrays.asList(built.collect(): _*), built.schema)
     val lists = assign(
       corpus.select(col("vec_id").as("id"), col("embedding").as("emb")), centroids)
       .join(corpus.select(col("vec_id").as("id"), col("embedding").as("n_emb")), "id")

@@ -55,11 +55,18 @@ object ScaleJoins {
   /** Salted equi-join of a skewed big side against a small side.
     * The big side gets a pseudo-random salt in [0, salts); the small
     * side is replicated once per salt value; the join key becomes
-    * (key, salt). Result is identical to the unsalted join — the salt
-    * only redistributes work.
+    * (key, salt). For inner and left joins the result is identical to
+    * the unsalted join — the salt only redistributes work.
+    *
+    * Right/full outer joins are rejected: an unmatched small-side row
+    * is replicated across all `salts` subkeys, so each replica would
+    * surface as its own null-padded output row (`salts` duplicates).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "leftouter", "left_outer")(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only (got '$joinType'): " +
+        "outer small-side rows would be duplicated once per salt")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
     val replicatedSmall = small.withColumn("__salt",

@@ -117,7 +117,7 @@ object ExtQueries extends QueryPack {
           .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
           .orderBy($"id_a", $"id_b")
       },
-      Some("""WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS l FROM documents),
+      Some("""WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text),'\s+') AS l FROM documents),
              |bg AS (
              |  SELECT doc_id, lang,
              |    unnest(list_distinct(list_filter(
@@ -249,7 +249,7 @@ object ExtQueries extends QueryPack {
       },
       Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsm, value FROM events),
              |l AS (SELECT *, lag(tsm) OVER (PARTITION BY user_id ORDER BY tsm) AS prev FROM e),
-             |m AS (SELECT *, CASE WHEN prev IS NULL OR tsm - prev > 7200000000 THEN 1 ELSE 0 END AS new_s FROM l),
+             |m AS (SELECT *, CASE WHEN prev IS NULL OR tsm - prev >= 7200000000 THEN 1 ELSE 0 END AS new_s FROM l),
              |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tsm ROWS UNBOUNDED PRECEDING) AS sn FROM m)
              |SELECT user_id, min(tsm) AS session_start,
              |  max(tsm) + 7200000000 AS session_end,
