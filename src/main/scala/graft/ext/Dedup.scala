@@ -96,17 +96,27 @@ object Dedup {
 
   private val P = 2038074743L // prime > 2^30, products stay well under 2^63
 
+  /** Universal-family multipliers for permutation i (i ≥ 0):
+    * h_i(x) = (a_i·x + b_i) mod P. Base values are < 1e9+7 < P, so
+    * a_i·x < P·P ≈ 4.15e18 stays inside signed-64.
+    */
+  private def hashA(i: Int): Long = 1103515245L * (i + 1) % P
+  private def hashB(i: Int): Long = (12345L * (i + 1) + 7L) % P
+
   /** MinHash signature column: `numHashes` permutations of the base
     * shingle hash via a universal family h_i(x) = (a_i·x + b_i) mod p,
-    * over xxhash64 of the shingle. Returns array<long> of length
-    * `numHashes`. Input: the shingle array column.
+    * over the engine-portable [[graft.functions.PolyHash]] of the
+    * shingle (NOT xxhash64 — the portable base is what lets an external
+    * SQL oracle recompute the whole signature). Returns array<long> of
+    * length `numHashes`; an empty shingle set yields sentinel -1 in
+    * every slot (array_min of empty is null, and null band keys join
+    * differently across engines). Input: the shingle array column.
     */
   def minHashSignature(sh: Column, numHashes: Int): Column = {
-    val base = transform(sh, s => pmod(xxhash64(s), lit(P)))
+    val base = transform(sh, s => graft.functions.PolyHash.polyHash(s))
     val mins = (0 until numHashes).map { i =>
-      val a = 1103515245L * (i + 1) % P
-      val b = (12345L * (i + 1) + 7L) % P
-      array_min(transform(base, h => pmod(h * a + b, lit(P))))
+      coalesce(array_min(transform(base, h =>
+        pmod(h * hashA(i) + hashB(i), lit(P)))), lit(-1L))
     }
     array(mins: _*)
   }
@@ -126,17 +136,21 @@ object Dedup {
   }
 
   def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
-                           n: Int, bands: Int, rowsPerBand: Int): DataFrame =
+                           n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     candidatesFromShingles(shingleDf(df, idCol, textCol, n), bands, rowsPerBand)
+  }
 
   private def candidatesFromShingles(sh: DataFrame, bands: Int,
                                      rowsPerBand: Int): DataFrame = {
     val sig = sh.select(col("id"),
       minHashSignature(col("sh"), bands * rowsPerBand).as("sig"))
+    // bucket key = the band's signature slice itself (array<long>), not a
+    // hash of it: the equi-join on (band, slice) is exact in any engine,
+    // where hashing the slice would reintroduce an engine-internal hash
     val bandRows = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)), bI =>
-        xxhash64(concat_ws(",", (0 until rowsPerBand).map(r =>
-          get(col("sig"), bI * rowsPerBand + r)): _*)))).as(Seq("band", "bucket")))
+        slice(col("sig"), bI * rowsPerBand + 1, lit(rowsPerBand)))).as(Seq("band", "bucket")))
     val x = bandRows.withColumnRenamed("id", "id_a")
     val y = bandRows.withColumnRenamed("id", "id_b")
     x.join(y, Seq("band", "bucket"))
@@ -159,6 +173,7 @@ object Dedup {
     // sf0.1 bench in round 1). persist + eager localCheckpoint of the
     // (tiny) verified pair set lets us release the shingle cache before
     // returning — nothing stays pinned in executor storage.
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val sh = shingleDf(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -178,24 +193,31 @@ object Dedup {
     } finally sh.unpersist(false)
   }
 
-  /** 64-bit SimHash over token xxhash64s: bit i of the result is the
-    * sign of the sum over tokens of (bit i set ? +1 : -1).
+  /** 63-bit SimHash over portable token hashes: bit i of the result is
+    * the sign of the sum over tokens of (parity of h_i(token) ? +1 : -1)
+    * where h_i is the same universal family the MinHash permutations
+    * use, over [[graft.functions.PolyHash]] of the token.
+    *
+    * 63 bits, not 64 — the top bit would make the value negative, and
+    * signed-overflow behavior (shifts, sums) differs across engines;
+    * every value here stays in [0, 2^63), where all engines agree.
     */
   def simHash(textCol: Column): Column =
-    simHashFromHashes(transform(TextAnalysis.tokens(textCol), t => xxhash64(t)))
+    simHashFromHashes(transform(TextAnalysis.tokens(textCol),
+      t => graft.functions.PolyHash.polyHash(t)))
 
-  /** SimHash over a MATERIALIZED token-hash array column. The 64 bit-sum
+  /** SimHash over a MATERIALIZED token-hash array column. The 63 bit-sum
     * folds each reference the array; if the argument were the
     * `transform(tokens(...))` tree instead of a bound attribute, every
-    * fold would re-tokenize and re-hash the document (64×). Ops project
+    * fold would re-tokenize and re-hash the document (63×). Ops project
     * the hash array first.
     */
   def simHashFromHashes(hashes: Column): Column = {
-    val bitSums = (0 until 64).map { i =>
-      aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+    val bitSums = (0 until 63).map { i =>
+      aggregate(hashes, lit(0), (acc, h) =>
+        acc + when(pmod(h * hashA(i) + hashB(i), lit(P)) % 2 === 1, 1).otherwise(-1))
     }
-    (0 until 64).map { i =>
+    (0 until 63).map { i =>
       when(bitSums(i) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
   }
@@ -203,16 +225,27 @@ object Dedup {
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within a blocking column: hamming ≤ maxDist.
-    * (At scale, block on simhash bytes — here a caller-provided key.)
+  /** (id, simhash) projection for `df`. */
+  private def simHashDf(df: DataFrame, idCol: String, textCol: String,
+                        extraCols: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val hashed = widen(df.select(
+      (col(idCol).as("id") +: extraCols.map(col)) :+
+        transform(TextAnalysis.tokens(col(textCol)),
+          t => graft.functions.PolyHash.polyHash(t)).as("th"): _*))
+    hashed.select(
+      (col("id") +: extraCols.map(col)) :+ simHashFromHashes(col("th")).as("sh"): _*)
+  }
+
+  /** SimHash near-dup pairs within a caller-provided blocking column:
+    * hamming ≤ maxDist, pairs compared only inside a block. Exact within
+    * the block but quadratic in the block size — a scale hazard when the
+    * blocking key is coarse (one hot key ≈ one giant task). The
+    * scale-safe global search is [[simHashPairsBanded]].
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], maxDist: Int): DataFrame = {
-    val hashed = widen(df.select(
-      (col(idCol).as("id") +: blockCols.map(col)) :+
-        transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)).as("th"): _*))
-    val h = hashed.select(
-      (col("id") +: blockCols.map(col)) :+ simHashFromHashes(col("th")).as("sh"): _*)
+    val h = simHashDf(df, idCol, textCol, blockCols)
     val a = h.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
     val b = h.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
     a.join(b, blockCols)
@@ -220,5 +253,44 @@ object Dedup {
       .withColumn("dist", hamming(col("sh_a"), col("sh_b")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Global SimHash near-dup pairs via lossless pigeonhole banding: the
+    * 63-bit simhash is split into `maxDist + 1` contiguous chunks; a
+    * pair within hamming distance maxDist differs in at most maxDist
+    * chunks, so at least one chunk matches EXACTLY — candidates are the
+    * pairs sharing any (chunk index, chunk value), an equi-join, and the
+    * exact hamming filter then removes false candidates. No caller
+    * blocking key, no quadratic block: the only joins are bucket-local.
+    *
+    * The simhash rides along on the chunk rows (it is one long), so
+    * verification needs no join back to the documents.
+    */
+  def simHashPairsBanded(df: DataFrame, idCol: String, textCol: String,
+                         maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 63, s"maxDist must be in [0, 62], got $maxDist")
+    val nChunks = maxDist + 1
+    val base = 63 / nChunks
+    val widths = Seq.tabulate(nChunks)(c => if (c < 63 % nChunks) base + 1 else base)
+    val starts = widths.scanLeft(0)(_ + _)
+    val h = simHashDf(df, idCol, textCol, Nil)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val chunkRows = h.select(col("id"), col("sh"), posexplode(
+        array((0 until nChunks).map(c =>
+          shiftright(col("sh"), starts(c)).bitwiseAND(lit((1L << widths(c)) - 1))): _*))
+        .as(Seq("chunk", "v")))
+      val a = chunkRows.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("chunk"), col("v"))
+      val b = chunkRows.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("chunk"), col("v"))
+      a.join(b, Seq("chunk", "v"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", hamming(col("sh_a"), col("sh_b")).cast("long"))
+        .filter(col("dist") <= maxDist)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .dropDuplicates("id_a", "id_b")
+        .localCheckpoint(true)
+    } finally h.unpersist(false)
   }
 }

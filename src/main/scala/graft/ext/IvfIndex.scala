@@ -43,10 +43,13 @@ object IvfIndex {
       .select(col("id").as("cid"), col("emb").as("cemb"))
     val assigned = assign(vecs, seeds)
       .join(vecs, "id")
-    // exact per-dimension means: micro-int sums are order-independent
+    // exact per-dimension means: micro-int sums are order-independent;
+    // the float is cast to double BEFORE the scale multiply so the
+    // rounding input is the same IEEE value in every engine
     val dims = assigned.select(col("cid"), posexplode(col("emb")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos"))
-      .agg(sum(round(col("x") * 1000000, 0).cast("long")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(round(col("x").cast("double") * 1000000, 0).cast("long")).as("s"),
+        count(lit(1)).as("n"))
       .withColumn("m", (col("s") / col("n") / 1000000.0).cast("float"))
     dims.groupBy(col("cid"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -82,7 +85,7 @@ object IvfIndex {
     probes.join(lists, "cid")
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")
-      .withColumn("sim", round(cos(col("q_emb"), col("n_emb")), 6))
+      .withColumn("sim", graft.core.Exact.r6(cos(col("q_emb"), col("n_emb"))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))

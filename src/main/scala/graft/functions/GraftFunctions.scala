@@ -13,10 +13,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 object GraftFunctions {
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier("cosine_sim")
-    if (!reg.functionExists(id)) {
+    if (!reg.functionExists(FunctionIdentifier("cosine_sim"))) {
       reg.createOrReplaceTempFunction("cosine_sim",
         exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    }
+    if (!reg.functionExists(FunctionIdentifier("poly_hash"))) {
+      reg.createOrReplaceTempFunction("poly_hash",
+        exprs => PolyHash(exprs.head), "built-in")
     }
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, PolyHash}
 
 /** SparkSessionExtensions wiring: registers the engine's native
   * expressions for SQL use, so
@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_sim expects exactly 2 arguments")
         CosineSim(args.head, args(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "poly_hash expects exactly 1 argument")
+        PolyHash(args.head)
       }))
   }
 }

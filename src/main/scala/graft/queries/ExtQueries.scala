@@ -147,12 +147,14 @@ object ExtQueries extends QueryPack {
       },
       None),
 
-    // SimHash near-dup pairs (rows-only for the same reason).
+    // Global SimHash near-dup pairs via lossless pigeonhole banding over
+    // the 63-bit portable simhash — no caller blocking key, bucket-local
+    // joins only, and fully oracle-checkable.
     Q("q48_dedup_simhash",
       (s, d) => {
         import s.implicits._
-        Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text",
-            blockCols = Seq("lang"), maxDist = 14)
+        Dedup.simHashPairsBanded(Tables.documents(s, d), "doc_id", "text",
+            maxDist = 6)
           .orderBy($"id_a", $"id_b")
       },
       None),
