@@ -32,12 +32,17 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) sec else -sec)
     }.toMap
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+    // per-query seconds at ms precision: the driver keeps only a bounded
+    // tail of stdout, and full-precision doubles pushed the JSON line
+    // past that buffer (BENCH_r02/r03 "parsed": null) — 3 decimals keeps
+    // the whole line comfortably inside it
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // stdout capture has been observed truncated (BENCH_r01); the file is
     // the durable copy round deltas are computed from

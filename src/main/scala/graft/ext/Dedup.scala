@@ -129,7 +129,7 @@ object Dedup {
   /** (id, sh) shingle-set projection shared by the signature and verify
     * stages.
     */
-  private def shingleDf(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  private[graft] def shingleDf(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = widen(df.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("toks")))
     toks.select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
@@ -176,21 +176,28 @@ object Dedup {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val sh = shingleDf(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // candidate pairs are a tiny fraction of the corpus by design —
-      // broadcast them so the fat cached shingle side is probed in place
-      // (never shuffled, and never itself broadcast by a misestimate)
-      val cands = broadcast(candidatesFromShingles(sh, bands, rowsPerBand))
-      cands
-        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))))
-        .filter(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-        .localCheckpoint(true)
-    } finally sh.unpersist(false)
+    try minHashLshPairsPlan(sh, threshold, bands, rowsPerBand).localCheckpoint(true)
+    finally sh.unpersist(false)
+  }
+
+  /** Candidate + verify dataflow over a (persisted) shingle projection —
+    * split out so a spec can assert the physical plan reads the cache
+    * (InMemoryTableScan) everywhere and never re-derives the shingles.
+    */
+  private[graft] def minHashLshPairsPlan(sh: DataFrame, threshold: Double,
+                                         bands: Int, rowsPerBand: Int): DataFrame = {
+    // candidate pairs are a tiny fraction of the corpus by design —
+    // broadcast them so the fat cached shingle side is probed in place
+    // (never shuffled, and never itself broadcast by a misestimate)
+    val cands = broadcast(candidatesFromShingles(sh, bands, rowsPerBand))
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** 63-bit SimHash over portable token hashes: bit i of the result is

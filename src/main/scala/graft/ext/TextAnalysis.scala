@@ -29,9 +29,18 @@ object TextAnalysis {
   /** Exact count of tokens that belong to `words` (token-equality, so no
     * substring/overlap ambiguity).
     */
-  def stopwordCount(c: Column, words: Seq[String]): Column = {
+  def stopwordCount(c: Column, words: Seq[String]): Column =
+    stopwordCountFromTokens(tokens(c), words)
+
+  /** Stopword count over an ALREADY-MATERIALIZED token-array column.
+    * Callers scoring several profiles must project `tokens` once and
+    * pass the bound attribute — same lesson as
+    * [[graft.ext.Dedup.shinglesFromTokens]]: handing each profile the
+    * `split(...)` tree re-tokenizes the document once per profile.
+    */
+  def stopwordCountFromTokens(toks: Column, words: Seq[String]): Column = {
     val set = array(words.map(lit): _*)
-    size(filter(tokens(c), t => array_contains(set, t))).cast("long")
+    size(filter(toks, t => array_contains(set, t))).cast("long")
   }
 
   val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
@@ -40,20 +49,35 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "de" -> Seq("der", "die", "und", "das", "ein"))
 
-  /** N-gram-profile language ID heuristic: the language whose stopword
-    * profile hits the most tokens; ties and zero-hit rows resolve in
-    * profile order / to "und" (undetermined).
+  /** Per-profile score columns from a materialized token array; project
+    * these as named columns, then pick with [[langIdFromScores]].
     */
-  def langId(c: Column): Column = {
-    val scored = StopwordProfiles.map { case (lang, ws) => lang -> stopwordCount(c, ws) }
+  def profileScores(toks: Column): Seq[(String, Column)] =
+    StopwordProfiles.map { case (lang, ws) => lang -> stopwordCountFromTokens(toks, ws) }
+
+  /** Language pick from per-profile score columns. The fold references
+    * each score several times, so the inputs must be bound attributes
+    * (projected columns), not expression trees — otherwise every
+    * reference recomputes the count.
+    */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     // expression fold: replace the running best only on strictly greater
     // score, so ties keep the earlier profile → deterministic
-    val (blang, bscore) = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+    val (blang, bscore) = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
       case ((bl, bs), (l, s)) =>
         (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
     }
     when(bscore > 0, blang).otherwise(lit("und"))
   }
+
+  /** N-gram-profile language ID heuristic: the language whose stopword
+    * profile hits the most tokens; ties and zero-hit rows resolve in
+    * profile order / to "und" (undetermined). One-shot convenience — for
+    * the hot path, project `tokens` + [[profileScores]] as columns first
+    * and use [[langIdFromScores]] (this inline form re-tokenizes per
+    * profile and re-scores per fold reference).
+    */
+  def langId(c: Column): Column = langIdFromScores(profileScores(tokens(c)))
 
   /** Heuristic quality score in [0,1]: long-enough docs with moderate
     * mean token length and some stopword mass score high. Weights are

@@ -10,10 +10,11 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
   * `documents`, exact + n-gram-Jaccard + MinHash-LSH + SimHash dedup,
   * and brute-force + LSH-ANN similarity search over `embeddings`.
   *
-  * Oracles exist wherever the computation is engine-deterministic
-  * (integer folds, explicit sequential double folds). xxhash64-based ops
-  * (MinHash, SimHash) are Spark-internal → rows-only checks, with exact
-  * ground-truth comparisons in the ScalaTest suite instead.
+  * Every query here is oracle-checked: the probabilistic operators
+  * (MinHash, SimHash, hyperplane LSH, IVF) are built on engine-portable
+  * primitives — [[graft.functions.PolyHash]] base hashes, integer-LCG
+  * hyperplanes, raw-slice band buckets, exact-integer centroid means —
+  * precisely so an external SQL engine can recompute them end-to-end.
   */
 object ExtQueries extends QueryPack {
 
@@ -46,12 +47,22 @@ object ExtQueries extends QueryPack {
              |    * (0.7 + stop_ratio), 0.0), 1.0), 4) AS quality
              |FROM m ORDER BY doc_id""".stripMargin)),
 
-    // Language ID vs the labeled lang → confusion matrix.
+    // Language ID vs the labeled lang → confusion matrix. Tokenization
+    // and the four profile scores are projected as columns in separate
+    // steps, so each runs once per row; the inline `langId(text)` form
+    // re-tokenized per profile and re-scored per fold reference
+    // (measured 6.6 s vs sub-second at sf0.1 — the shinglesFromTokens
+    // lesson applied to language ID).
     Q("q43_text_langid",
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d)
-          .select($"lang", TextAnalysis.langId($"text").as("predicted"))
+        val toks = Tables.documents(s, d)
+          .select($"lang", TextAnalysis.tokens($"text").as("toks"))
+        val scored = toks.select(($"lang" +:
+          TextAnalysis.profileScores($"toks").map { case (l, c) => c.as(s"s_$l") }): _*)
+        scored
+          .select($"lang", TextAnalysis.langIdFromScores(
+            TextAnalysis.StopwordProfiles.map { case (l, _) => l -> col(s"s_$l") }).as("predicted"))
           .groupBy($"lang", $"predicted")
           .agg(count(lit(1)).as("n"))
           .orderBy($"lang", $"predicted")
@@ -134,9 +145,11 @@ object ExtQueries extends QueryPack {
              |WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.2
              |ORDER BY 1, 2""".stripMargin)),
 
-    // MinHash+LSH near-dup pairs with exact verification (rows-only:
-    // minhash bases on Spark-internal xxhash64; ground truth vs q46 is
-    // asserted in DedupSpec).
+    // MinHash+LSH near-dup pairs with exact verification. The oracle
+    // recomputes the WHOLE pipeline — PolyHash shingle bases, the
+    // (h·a_i + b_i) mod P permutation mins, raw-slice band buckets,
+    // bucket join, exact-Jaccard verify — in portable SQL; integer
+    // arithmetic end-to-end, so it is bit-exact in any engine.
     Q("q47_dedup_minhash_lsh",
       (s, d) => {
         import s.implicits._
@@ -145,11 +158,47 @@ object ExtQueries extends QueryPack {
           .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
           .orderBy($"id_a", $"id_b")
       },
-      None),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text),'\s+') AS l FROM documents),
+             |shg AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_filter(
+             |      list_transform(l, (x,i) -> CASE WHEN i <= len(l)-1 THEN x || ' ' || l[i+1] END),
+             |      v -> v IS NOT NULL)) AS sh
+             |  FROM toks),
+             |base AS (
+             |  SELECT doc_id, sh,
+             |    list_transform(sh, s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007)) AS hs
+             |  FROM shg),
+             |sig AS (
+             |  SELECT doc_id, sh,
+             |    list_transform(generate_series(1, 63), j ->
+             |      coalesce(list_min(list_transform(hs, h ->
+             |        (h * ((1103515245 * j) % 2038074743) + ((12345 * j + 7) % 2038074743)) % 2038074743)),
+             |      CAST(-1 AS BIGINT))) AS sig
+             |  FROM base),
+             |bandrows AS (
+             |  SELECT doc_id, b, sig[CAST(b*3+1 AS INT) : CAST(b*3+3 AS INT)] AS bucket
+             |  FROM sig CROSS JOIN range(0, 21) t(b)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bandrows a JOIN bandrows b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+             |ver AS (
+             |  SELECT id_a, id_b,
+             |    len(list_intersect(x.sh, y.sh)) * 1.0 / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
+             |  FROM cand JOIN shg x ON x.doc_id = id_a JOIN shg y ON y.doc_id = id_b)
+             |SELECT id_a, id_b, round(jac, 4) + 0.0 AS jaccard
+             |FROM ver WHERE jac >= 0.2 ORDER BY 1, 2""".stripMargin)),
 
     // Global SimHash near-dup pairs via lossless pigeonhole banding over
     // the 63-bit portable simhash — no caller blocking key, bucket-local
-    // joins only, and fully oracle-checkable.
+    // joins only. The banding is lossless (a pair within hamming maxDist
+    // shares at least one of maxDist+1 chunks), so the oracle skips the
+    // banding and checks the DEFINITION directly: recompute every
+    // simhash from PolyHash token hashes and emit all pairs with
+    // bit_count(xor) ≤ maxDist from an exhaustive scan.
     Q("q48_dedup_simhash",
       (s, d) => {
         import s.implicits._
@@ -157,7 +206,26 @@ object ExtQueries extends QueryPack {
             maxDist = 6)
           .orderBy($"id_a", $"id_b")
       },
-      None),
+      Some("""WITH th AS (
+             |  SELECT doc_id,
+             |    list_transform(string_split_regex(trim(text),'\s+'), s ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(generate_series(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007)) AS hs
+             |  FROM documents),
+             |bits AS (
+             |  SELECT doc_id, j,
+             |    CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+             |      CASE WHEN ((h * ((1103515245 * j) % 2038074743) + ((12345 * j + 7) % 2038074743)) % 2038074743) % 2 = 1
+             |           THEN 1 ELSE -1 END)), 0) > 0
+             |         THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE 0 END AS bit
+             |  FROM th CROSS JOIN range(1, 64) t(j)),
+             |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sh FROM bits GROUP BY 1)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+             |ORDER BY 1, 2""".stripMargin)),
 
     // Brute-force cosine top-k: the exact ANN baseline. The double dot
     // product is an explicit sequential fold → bit-equal to the oracle's
@@ -186,8 +254,10 @@ object ExtQueries extends QueryPack {
              |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM j)
              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
-    // LSH-bucketed ANN (rows-only; recall vs q49 asserted in
-    // SimilaritySpec).
+    // LSH-bucketed ANN. The planes are an integer LCG over the flat
+    // (table, plane, dim) index, so the oracle recomputes every bucket
+    // bit exactly: the projection is the same left-to-right double fold
+    // in both engines, hence the same IEEE sum and the same sign.
     Q("q50_ann_lsh",
       (s, d) => {
         import s.implicits._
@@ -196,7 +266,34 @@ object ExtQueries extends QueryPack {
             nBits = 6, tables = 4)
           .orderBy($"q_id", $"rank")
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |buckets AS (
+             |  SELECT vec_id, t,
+             |    CAST(sum(CASE WHEN
+             |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) *
+             |          (CAST(((t*100000 + p*1000 + (i-1)) * 1103515245 + 12345) % 1000 AS DOUBLE) / 1000.0 - 0.5))),
+             |        (a,b) -> a + b) >= 0
+             |      THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM e CROSS JOIN range(0, 4) tt(t) CROSS JOIN range(0, 6) pp(p)
+             |  GROUP BY vec_id, t),
+             |cand AS (
+             |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS n_id
+             |  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket AND qb.vec_id != cb.vec_id
+             |  WHERE qb.vec_id < 5),
+             |sims AS (
+             |  SELECT q_id, n_id, round(
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(qe.embedding, (u,i) -> CAST(u AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE))), (p,v) -> p + v)
+             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(qe.embedding, (u,i) -> CAST(u AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))), (p,v) -> p + v))
+             |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(ne.embedding, (u,i) -> CAST(u AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE))), (p,v) -> p + v)))
+             |    , 6) + 0.0 AS sim
+             |  FROM cand JOIN e qe ON qe.vec_id = q_id JOIN e ne ON ne.vec_id = n_id)
+             |SELECT q_id, rank, n_id, sim FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
     // Embedding-cosine near-dup pairs within a label block.
     Q("q51_embed_dup_pairs",
@@ -222,8 +319,11 @@ object ExtQueries extends QueryPack {
              |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
              |SELECT id_a, id_b, sim FROM j WHERE sim >= 0.25 ORDER BY 1, 2""".stripMargin)),
 
-    // IVF coarse-quantizer ANN (rows-only: index assignment depends on
-    // the native cosine kernel; recall vs q49 asserted in IvfSpec).
+    // IVF coarse-quantizer ANN. Oracle-checkable because every stage is
+    // engine-deterministic: seeds are the k lowest ids, the Lloyd-step
+    // centroid means are exact integer micro-sums (order-independent),
+    // and the cosine argmaxes use the identical left-to-right double
+    // fold, so assignment / probing / rerank reproduce exactly.
     Q("q64_ivf_knn",
       (s, d) => {
         import s.implicits._
@@ -232,7 +332,73 @@ object ExtQueries extends QueryPack {
             k = 5, kCentroids = 16, nProbe = 4)
           .orderBy($"q_id", $"rank")
       },
-      None),
+      Some("""WITH v AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+             |seeds AS (SELECT id AS cid, emb AS cemb FROM v ORDER BY id LIMIT 16),
+             |asg0 AS (
+             |  SELECT id, cid FROM (
+             |    SELECT v.id, s.cid,
+             |      row_number() OVER (PARTITION BY v.id ORDER BY
+             |        (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(s.cemb[i] AS DOUBLE))), (p,w) -> p + w)
+             |        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(v.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(s.cemb, (u,i) -> CAST(u AS DOUBLE) * CAST(s.cemb[i] AS DOUBLE))), (p,w) -> p + w)))) DESC,
+             |        s.cid) AS rn
+             |    FROM v CROSS JOIN seeds s)
+             |  WHERE rn = 1),
+             |dimrows AS (
+             |  SELECT cid, u.pos, u.x
+             |  FROM (SELECT a0.cid, unnest(list_transform(v.emb, (x,i) -> {'pos': i, 'x': x})) AS u
+             |        FROM asg0 a0 JOIN v USING (id)) a),
+             |dims AS (
+             |  SELECT cid, pos,
+             |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) / count(*) / 1000000.0 AS FLOAT) AS m
+             |  FROM dimrows GROUP BY cid, pos),
+             |cent AS (SELECT cid, list(m ORDER BY pos) AS cemb FROM dims GROUP BY cid),
+             |lists AS (
+             |  SELECT cid, id AS n_id FROM (
+             |    SELECT v.id, c.cid,
+             |      row_number() OVER (PARTITION BY v.id ORDER BY
+             |        (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)
+             |        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(v.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(c.cemb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)))) DESC,
+             |        c.cid) AS rn
+             |    FROM v CROSS JOIN cent c)
+             |  WHERE rn = 1),
+             |probes AS (
+             |  SELECT q_id, cid FROM (
+             |    SELECT v.id AS q_id, c.cid,
+             |      row_number() OVER (PARTITION BY v.id ORDER BY
+             |        (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)
+             |        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(v.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(c.cemb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)))) DESC,
+             |        c.cid) AS pr
+             |    FROM v CROSS JOIN cent c WHERE v.id < 5)
+             |  WHERE pr <= 4),
+             |cand AS (
+             |  SELECT DISTINCT p.q_id, l.n_id
+             |  FROM probes p JOIN lists l USING (cid)
+             |  WHERE p.q_id != l.n_id),
+             |sims AS (
+             |  SELECT q_id, n_id, round(
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(qe.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(ne.emb[i] AS DOUBLE))), (p,w) -> p + w)
+             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(qe.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(qe.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(ne.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(ne.emb[i] AS DOUBLE))), (p,w) -> p + w)))
+             |    , 6) + 0.0 AS sim
+             |  FROM cand JOIN v qe ON qe.id = q_id JOIN v ne ON ne.id = n_id)
+             |SELECT q_id, rank, n_id, sim FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
     // Native gap-based sessionization (session_window) — batch twin of
     // graft.streaming.Sessionize; window end = last event + gap.

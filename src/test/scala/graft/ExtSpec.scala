@@ -35,6 +35,51 @@ class ExtSpec extends SparkTestBase {
     assert(twice.forall(_ === 0L))
   }
 
+  test("banded simhash pairs equal the exhaustive cross-join scan") {
+    // the pigeonhole banding is lossless: a pair within hamming maxDist
+    // differs in at most maxDist of the maxDist+1 chunks, so at least
+    // one chunk matches exactly and the pair becomes a candidate —
+    // asserted here against the definitional all-pairs scan
+    val h = docs.select($"doc_id", Dedup.simHash($"text").as("h"))
+    for (d <- Seq(2, 6)) {
+      val exhaustive = h.as("a").join(h.as("b"), $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+          Dedup.hamming($"a.h", $"b.h").cast("long").as("dist"))
+        .filter($"dist" <= d)
+        .as[(Long, Long, Long)].collect().toSet
+      val banded = Dedup.simHashPairsBanded(docs, "doc_id", "text", maxDist = d)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(banded === exhaustive,
+        s"maxDist=$d: banded ${banded.size} vs exhaustive ${exhaustive.size}; " +
+          s"missing=${(exhaustive -- banded).take(3)} extra=${(banded -- exhaustive).take(3)}")
+    }
+  }
+
+  test("minhash-LSH physical plan reads the shingle cache, never re-derives it") {
+    // the shingle projection feeds three consumers (candidate stage +
+    // both verify-join sides); without the persist each would re-run
+    // tokenize+shingle (~3×, measured 25% of the whole sf0.1 bench in
+    // round 1). Guard: every consumer is an InMemoryTableScan and the
+    // executed plan contains no trace of the split/shingle expressions.
+    val sh = Dedup.shingleDf(docs, "doc_id", "text", 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val plan = Dedup.minHashLshPairsPlan(sh, 0.2, 21, 3)
+        .queryExecution.executedPlan.toString
+      // scans print with the consumer's aliases (id / id_a / id_b)
+      val scans = "InMemoryTableScan \\[id(_a|_b)?#\\d+L, sh(_a|_b)?#".r.findAllIn(plan).length
+      assert(scans >= 3, s"expected >=3 shingle-cache scans, got $scans in:\n$plan")
+      // the tokenize (`split`) may appear ONLY inside the printed bodies
+      // of the cached relation (the cache definition, executed once) —
+      // at most one per relation print; more means a consumer re-derives
+      // the shingles instead of scanning the cache
+      val splits = "split\\(trim\\(".r.findAllIn(plan).length
+      val relationPrints = "InMemoryRelation \\[id(_a|_b)?#\\d+L, sh(_a|_b)?#".r.findAllIn(plan).length
+      assert(splits <= relationPrints,
+        s"shingle derivation leaked outside the cache ($splits splits, $relationPrints cached-plan prints):\n$plan")
+    } finally sh.unpersist(true)
+  }
+
   test("LSH-ANN candidates are a subset of the corpus and mostly agree with exact KNN") {
     val q = embs.filter($"vec_id" < 3)
     val exact = Similarity.bruteForceKnn(q, embs, 5)
@@ -65,6 +110,22 @@ class ExtSpec extends SparkTestBase {
       assert(r.getAs[Int]("head_byte") === head)
       assert(r.getAs[Long]("checksum") === sum)
     }
+  }
+
+  test("staged langId tokenizes once and matches the inline form") {
+    // the staged q43 dataflow projects tokens + profile scores as
+    // columns; CollapseProject must NOT inline them back (the scores are
+    // multiply-referenced by the pick fold, tokens by the four scores)
+    val toks = docs.select($"lang", TextAnalysis.tokens($"text").as("toks"))
+    val scored = toks.select(($"lang" +:
+      TextAnalysis.profileScores($"toks").map { case (l, c) => c.as(s"s_$l") }): _*)
+    val picked = scored.select($"lang", TextAnalysis.langIdFromScores(
+      TextAnalysis.StopwordProfiles.map { case (l, _) => l -> col(s"s_$l") }).as("predicted"))
+    val plan = picked.queryExecution.executedPlan.toString
+    val splits = "split\\(".r.findAllIn(plan).length
+    assert(splits === 1, s"expected exactly one tokenize, got $splits in:\n$plan")
+    val inline = docs.select($"lang", TextAnalysis.langId($"text").as("predicted"))
+    assert(picked.collect().toSeq === inline.collect().toSeq)
   }
 
   test("langId is deterministic and rolling fingerprint is stable") {
