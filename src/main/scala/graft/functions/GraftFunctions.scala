@@ -21,5 +21,15 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("poly_hash",
         exprs => PolyHash(exprs.head), "built-in")
     }
+    if (!reg.functionExists(FunctionIdentifier("loc_scale_b_sketch"))) {
+      // k must be a foldable literal (evaluated at resolution time)
+      reg.createOrReplaceTempFunction("loc_scale_b_sketch",
+        exprs => LocScaleBSketch(exprs.head,
+          exprs(1).eval() match {
+            case d: Double => d
+            case n: Number => n.doubleValue()
+            case x => throw new IllegalArgumentException(s"k must be a numeric literal, got $x")
+          }), "built-in")
+    }
   }
 }

@@ -23,12 +23,12 @@ import scala.collection.mutable.ArrayBuffer
   * all inputs NA-or-zero, or raw-scale MAD <= 0 → null bounds.
   *
   * Scale note: this is an exact buffering aggregator because the
-  * reference's groups (gear × taxon) are tiny. Partial aggregation still
-  * applies (buffers merge associatively), so the shuffle carries one
-  * buffer per group per map partition. For high-cardinality or giant
-  * groups the upgrade path is a `TypedImperativeAggregate` over a
-  * QuantileSummaries sketch (approximate median/MAD), traded off against
-  * oracle exactness.
+  * reference's groups (gear × taxon) are tiny, and exactness is what the
+  * DuckDB oracle checks. Partial aggregation still applies (buffers
+  * merge associatively), so the shuffle carries one buffer per group per
+  * map partition. For high-cardinality or giant groups use
+  * [[locScaleBSketch]] — a [[LocScaleBSketch TypedImperativeAggregate]]
+  * over a bounded quantile sketch with the same output shape.
   */
 object RobustBounds {
   case class Bounds(lower_log: Option[Double], upper: Option[Double])
@@ -73,4 +73,13 @@ object RobustBounds {
     val f = udaf(new LocScaleBAgg(k), Encoders.DOUBLE)
     c => f(c)
   }
+
+  /** Bounded-memory variant — same `(lower_log, upper)` struct from a
+    * quantile sketch ([[LocScaleBSketch]]); approximate, executor-safe
+    * on groups of any size. Requires a graft session (or
+    * [[GraftFunctions.ensureRegistered]]).
+    */
+  def locScaleBSketch(k: Double): Column => Column =
+    c => org.apache.spark.sql.functions.call_function(
+      "loc_scale_b_sketch", c.cast("double"), org.apache.spark.sql.functions.lit(k))
 }

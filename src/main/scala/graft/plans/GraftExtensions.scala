@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, PolyHash}
+import graft.functions.{CosineSim, LocScaleBSketch, PolyHash}
 
 /** SparkSessionExtensions wiring: registers the engine's native
   * expressions for SQL use, so
@@ -34,6 +34,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "poly_hash expects exactly 1 argument")
         PolyHash(args.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("loc_scale_b_sketch"),
+      new ExpressionInfo(classOf[LocScaleBSketch].getName, "loc_scale_b_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "loc_scale_b_sketch expects (col, k)")
+        LocScaleBSketch(args.head, args(1).eval() match {
+          case d: Double => d
+          case n: Number => n.doubleValue()
+          case x => throw new IllegalArgumentException(s"k must be a numeric literal, got $x")
+        })
       }))
   }
 }

@@ -251,6 +251,60 @@ object IoQueries extends QueryPack {
              |  l_quantity AS quantity, l_returnflag AS returnflag,
              |  l_shipdate AS shipdate, l_suppkey AS suppkey, l_tax AS tax
              |FROM lineitem WHERE l_orderkey < 50
-             |ORDER BY 1,2,3,4,5,6,7,8,9,10,11""".stripMargin))
+             |ORDER BY 1,2,3,4,5,6,7,8,9,10,11""".stripMargin)),
+
+    // R1/R6 on the reference's RAW wide shape: repeat groups encoded in
+    // column NAMES (`species_group.K.species_group/field`) → long rows
+    // with n_catch = K + 1, empty positions dropped
+    // (R/survey-reshaping.R:25-86). One posexplode over plan-time
+    // structs — no union of per-position scans, no shuffle.
+    Q("q66_wide_reshape",
+      (s, d) => {
+        import s.implicits._
+        val wide = s.read.json(s"$FixturesDir/wide_submissions.json")
+        graft.ops.WideReshape.reshapeSpeciesGroups(wide)
+          .select($"submission_id", $"n_catch",
+            $"selected_species", $"collection_type",
+            $"n_buckets", $"weight_bucket", $"catch_estimate",
+            col("no_fish_by_length_group/no_individuals_5_10").as("ni_5_10"),
+            col("no_fish_by_length_group/no_individuals_10_15").as("ni_10_15"))
+          .orderBy($"submission_id", $"n_catch")
+      },
+      Some(s"""WITH w AS (SELECT * FROM read_json_auto('$FixturesDir/wide_submissions.json')),
+             |u AS (
+             |  SELECT submission_id, CAST(1 AS BIGINT) AS n_catch,
+             |    "species_group.0.species_group/selected_species" AS selected_species,
+             |    "species_group.0.species_group/collection_type" AS collection_type,
+             |    "species_group.0.species_group/n_buckets" AS n_buckets,
+             |    "species_group.0.species_group/weight_bucket" AS weight_bucket,
+             |    "species_group.0.species_group/catch_estimate" AS catch_estimate,
+             |    "species_group.0.species_group/no_fish_by_length_group/no_individuals_5_10" AS ni_5_10,
+             |    "species_group.0.species_group/no_fish_by_length_group/no_individuals_10_15" AS ni_10_15
+             |  FROM w
+             |  UNION ALL
+             |  SELECT submission_id, CAST(2 AS BIGINT),
+             |    "species_group.1.species_group/selected_species",
+             |    "species_group.1.species_group/collection_type",
+             |    "species_group.1.species_group/n_buckets",
+             |    "species_group.1.species_group/weight_bucket",
+             |    "species_group.1.species_group/catch_estimate",
+             |    "species_group.1.species_group/no_fish_by_length_group/no_individuals_5_10",
+             |    "species_group.1.species_group/no_fish_by_length_group/no_individuals_10_15"
+             |  FROM w
+             |  UNION ALL
+             |  SELECT submission_id, CAST(3 AS BIGINT),
+             |    "species_group.2.species_group/selected_species",
+             |    "species_group.2.species_group/collection_type",
+             |    "species_group.2.species_group/n_buckets",
+             |    "species_group.2.species_group/weight_bucket",
+             |    "species_group.2.species_group/catch_estimate",
+             |    "species_group.2.species_group/no_fish_by_length_group/no_individuals_5_10",
+             |    "species_group.2.species_group/no_fish_by_length_group/no_individuals_10_15"
+             |  FROM w)
+             |SELECT * FROM u
+             |WHERE selected_species IS NOT NULL OR collection_type IS NOT NULL
+             |   OR n_buckets IS NOT NULL OR weight_bucket IS NOT NULL
+             |   OR catch_estimate IS NOT NULL OR ni_5_10 IS NOT NULL OR ni_10_15 IS NOT NULL
+             |ORDER BY submission_id, n_catch""".stripMargin))
   )
 }

@@ -136,6 +136,48 @@ object ScalarQueries extends QueryPack {
              |  CAST(min(ts) AS TIMESTAMP) AS t_start,
              |  CAST(max(ts) AS TIMESTAMP) AS t_end,
              |  round((epoch_us(CAST(max(ts) AS TIMESTAMP)) - epoch_us(CAST(min(ts) AS TIMESTAMP)))/3600000000.0, 4) AS hours
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Taxa rank inference + database routing (R/model-taxa.R:363-380):
+    // scientific-name-shaped strings synthesized deterministically from
+    // part names, then the " spp$"/"idae$"/"formes$"/binomial recodes.
+    Q("q67_taxa_rank",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.part(s, d)
+          .select($"p_partkey", split($"p_name", " ").as("t"),
+            ($"p_partkey" % 60).cast("int").as("taxon_group"))
+        val named = toks.select($"p_partkey", $"taxon_group",
+          when($"p_partkey" % 5 === 0, concat(element_at($"t", 1), lit(" spp")))
+            .when($"p_partkey" % 5 === 1, concat(element_at($"t", 1), lit("idae")))
+            .when($"p_partkey" % 5 === 2, concat(element_at($"t", 1), lit("formes")))
+            .when($"p_partkey" % 5 === 3,
+              concat(element_at($"t", 1), lit(" "), element_at($"t", 2)))
+            .otherwise(concat(element_at($"t", 1), lit(" nei")))
+            .as("scientific_name"))
+        graft.pipeline.Taxa.processSpeciesList(named, "scientific_name", "taxon_group")
+          .select($"p_partkey", $"scientific_name", $"database", $"rank")
+          .orderBy($"p_partkey")
+      },
+      Some("""WITH named AS (
+             |  SELECT p_partkey, CAST(p_partkey % 60 AS INT) AS taxon_group,
+             |    CASE p_partkey % 5
+             |      WHEN 0 THEN string_split(p_name, ' ')[1] || ' spp'
+             |      WHEN 1 THEN string_split(p_name, ' ')[1] || 'idae'
+             |      WHEN 2 THEN string_split(p_name, ' ')[1] || 'formes'
+             |      WHEN 3 THEN string_split(p_name, ' ')[1] || ' ' || string_split(p_name, ' ')[2]
+             |      ELSE string_split(p_name, ' ')[1] || ' nei' END AS scientific_name
+             |  FROM part)
+             |SELECT p_partkey,
+             |  regexp_replace(scientific_name, ' spp$', '') AS scientific_name,
+             |  CASE WHEN taxon_group IN (57, 45, 43, 42, 56) THEN 'sealifebase'
+             |       ELSE 'fishbase' END AS database,
+             |  CASE WHEN regexp_matches(scientific_name, ' spp$') THEN 'Genus'
+             |       WHEN regexp_matches(scientific_name, 'idae$') THEN 'Family'
+             |       WHEN regexp_matches(scientific_name, 'formes$') THEN 'Order'
+             |       WHEN regexp_matches(scientific_name, ' ')
+             |            AND NOT regexp_matches(scientific_name, ' spp$|nei$') THEN 'Species'
+             |       END AS rank
+             |FROM named ORDER BY p_partkey""".stripMargin))
   )
 }
