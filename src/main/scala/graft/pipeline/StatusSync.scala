@@ -73,6 +73,11 @@ object StatusSync {
     * transport (HTTP PATCH in production, stub in tests); each partition
     * sleeps `rateLimitMs` between calls, mirroring the reference's
     * 0.1–0.2 s/call budget.
+    *
+    * The result is EAGERLY materialized (localCheckpoint): the map is
+    * side-effecting, and a lazy return would re-fire every PATCH on each
+    * downstream action — e.g. a mere `orderBy` adds a range-sampling
+    * pass that would double-send every update.
     */
   def pushStatuses(spark: SparkSession, ids: DataFrame, status: String,
                    rateLimitMs: Long)(update: String => Boolean): DataFrame = {
@@ -86,5 +91,6 @@ object StatusSync {
           Row(id, status, ok)
         }
       }(enc)
+      .localCheckpoint(true)
   }
 }
