@@ -59,39 +59,62 @@ object Dedup {
 
   /** All pairs (a < b) within the same `blockCols` whose n-gram Jaccard
     * similarity ≥ threshold. Exact — the oracle-checkable ground truth
-    * for the approximate variants. One exploded shingle join, shuffled on
-    * (block, shingle).
+    * for the approximate variants.
+    *
+    * PPJoin-style prefix filtering (lossless): under any total order on
+    * shingles, J(A,B) ≥ τ forces |A∩B| ≥ ceil(τ·max(|A|,|B|)), and two
+    * sets overlapping that much MUST share an element inside their
+    * (|S| - ceil(τ·|S|) + 1)-prefixes — so the pair join runs over
+    * prefixes only. Ordering rare-first (ascending document frequency)
+    * puts the hot shingles in the pruned suffixes, which is where the
+    * quadratic (block, shingle) pair blowup lives: Σ freq² over joined
+    * shingles collapses. Candidates then verify EXACTLY against the
+    * full shingle sets (broadcast candidate pairs probe the cached
+    * projection in place — the minHashLshPairs shape), so the output is
+    * identical to the naive all-shingles join.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         blockCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bc = blockCols.map(col)
     val toks = widen(df.select(
-      (col(idCol).as("id") +: blockCols.map(col)) :+
+      (col(idCol).as("id") +: bc) :+
         TextAnalysis.tokens(col(textCol)).as("toks"): _*))
     val withSh = toks.select(
-      (col("id") +: blockCols.map(col)) :+ shinglesFromTokens(col("toks"), n).as("sh"): _*)
-    // shingle-set size rides along on every exploded row: it feeds the
-    // size-ratio prune below AND the final jaccard, removing the two
-    // post-aggregation size joins the first version carried
-    val ex = withSh.select(
-      (col("id") +: blockCols.map(col)) :+
-        size(col("sh")).as("sz") :+ explode(col("sh")).as("s"): _*)
-    val exA = ex.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")
-    val exB = ex.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")
-    exA.join(exB, blockCols :+ "s")
-      .filter(col("id_a") < col("id_b") &&
-        // lossless size-ratio prune: J ≥ τ forces min(sz) ≥ τ·max(sz)
-        // (J ≤ min/max since |A∩B| ≤ min and |A∪B| ≥ max) — drops
-        // hopeless pairs BEFORE the intersection-count aggregate
-        lit(threshold) * greatest(col("sz_a"), col("sz_b")) <=
-          least(col("sz_a"), col("sz_b")))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"),
-        min(col("sz_a")).as("sz_a"), min(col("sz_b")).as("sz_b"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      (col("id") +: bc) :+ shinglesFromTokens(col("toks"), n).as("sh"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ex = withSh.select(
+        (col("id") +: bc) :+ size(col("sh")).as("sz") :+ explode(col("sh")).as("s"): _*)
+      // rare-first total order: document frequency of the shingle within
+      // its block, then the shingle itself as the tiebreak
+      val wFreq = Window.partitionBy(bc :+ col("s"): _*)
+      val wDoc = Window.partitionBy(bc :+ col("id"): _*).orderBy(col("freq"), col("s"))
+      val prefix = ex
+        .withColumn("freq", count(lit(1)).over(wFreq))
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+        .select((col("id") +: bc) :+ col("sz") :+ col("s"): _*)
+      val pa = prefix.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")
+      val pb = prefix.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")
+      val cands = broadcast(
+        pa.join(pb, blockCols :+ "s")
+          .filter(col("id_a") < col("id_b") &&
+            // lossless size-ratio prune: J ≥ τ forces min(sz) ≥ τ·max(sz)
+            lit(threshold) * greatest(col("sz_a"), col("sz_b")) <=
+              least(col("sz_a"), col("sz_b")))
+          .select(col("id_a"), col("id_b")).distinct())
+      cands
+        .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .localCheckpoint(true)
+    } finally withSh.unpersist(false)
   }
 
   private val P = 2038074743L // prime > 2^30, products stay well under 2^63
