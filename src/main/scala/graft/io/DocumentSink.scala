@@ -3,20 +3,32 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Document-store sink/source (S6/S7) in offline-parity form: the
-  * reference pushes tibbles to MongoDB collections
-  * (R/export.R:401-413, R/validation.R:1298-1318) and pulls the
-  * manual-validation flags back. With no connector in this environment,
-  * collections are JSON-lines directories — the same document model,
-  * swap `format("json")` for `format("mongodb")` on a real deployment.
+/** Document-store sink/source (S6/S7): the reference pushes tibbles to
+  * MongoDB collections (R/export.R:401-413, R/validation.R:1298-1318)
+  * and pulls the manual-validation flags back. The seam is the FORMAT
+  * STRING: `pushTo`/`pullFrom` take any DataSource name + options, so a
+  * deployment passes `"mongodb"` with connection options while this
+  * zero-egress environment exercises the identical code path through
+  * [[MemDocStore]] (a real V2 connector) and JSON-lines directories —
+  * the swap is asserted in MemDocStoreSpec, not just claimed.
   */
 object DocumentSink {
 
+  /** Overwrite `collection` through an arbitrary connector. */
+  def pushTo(df: DataFrame, format: String, options: Map[String, String]): Unit =
+    df.write.format(format).options(options).mode("overwrite").save()
+
+  def pullFrom(spark: SparkSession, format: String, options: Map[String, String]): DataFrame =
+    spark.read.format(format).options(options).load()
+
+  /** JSON-lines convenience (offline parity with a directory-per-
+    * collection document model).
+    */
   def push(df: DataFrame, baseDir: String, collection: String): Unit =
-    df.write.mode("overwrite").json(s"$baseDir/$collection")
+    pushTo(df, "json", Map("path" -> s"$baseDir/$collection"))
 
   def pull(spark: SparkSession, baseDir: String, collection: String): DataFrame =
-    spark.read.json(s"$baseDir/$collection")
+    pullFrom(spark, "json", Map("path" -> s"$baseDir/$collection"))
 
   /** S9 — upsert diff: split incoming rows into creates (left_anti on the
     * key vs existing) and updates (left_semi), the reference's
