@@ -223,6 +223,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components of the near-duplicate pair graph — the step
+    * that turns pairwise matches (from any of the pair operators) into
+    * dedup GROUPS with a canonical representative (minimum id), the way
+    * a training-data pipeline actually applies them: keep one document
+    * per component, drop the rest.
+    *
+    * Iterative min-label propagation as pure DataFrame ops: each round,
+    * every node takes the min of its own label and its neighbors'
+    * labels; converged when no label changes. Rounds = component
+    * diameter — small for near-dup clusters, which are dense (a clique
+    * converges in one round). Every round is one equi-join + one
+    * groupBy (both shuffle on id), with an eager localCheckpoint to
+    * truncate lineage — no driver-side graph state at any size. For
+    * graphs with long chains the upgrade is the large-star/small-star
+    * path-doubling variant (O(log n) rounds); same seam.
+    *
+    * Returns (id, label) for EVERY id in `ids` — singletons keep their
+    * own id as the label.
+    */
+  def duplicateComponents(pairs: DataFrame, ids: DataFrame, idCol: String,
+                          maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("src"), col("label").as("nl")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("nl")).as("nmin"))
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("ch"))
+        .localCheckpoint(true)
+      changed = stepped.filter(col("ch")).count()
+      labels = stepped.select(col("id"), col("label"))
+      it += 1
+    }
+    require(changed == 0, s"duplicateComponents did not converge in $maxIters rounds")
+    labels
+  }
+
+  /** One row per member of each multi-document component: (id,
+    * canonical id, component size). The dedup decision table — filter
+    * `id != canonical_id` against the corpus to drop duplicates.
+    */
+  def duplicateGroups(pairs: DataFrame, ids: DataFrame, idCol: String): DataFrame = {
+    val comp = duplicateComponents(pairs, ids, idCol)
+    val sized = comp.groupBy(col("label")).agg(count(lit(1)).as("n_group"))
+    comp.join(sized, "label")
+      .filter(col("n_group") > 1)
+      .select(col("id"), col("label").as("canonical_id"), col("n_group"))
+  }
+
   /** 63-bit SimHash over portable token hashes: bit i of the result is
     * the sign of the sum over tokens of (parity of h_i(token) ? +1 : -1)
     * where h_i is the same universal family the MinHash permutations

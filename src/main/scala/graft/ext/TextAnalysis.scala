@@ -111,4 +111,18 @@ object TextAnalysis {
     * shuffle key).
     */
   def hashFingerprint(c: Column): Column = xxhash64(c)
+
+  /** PII scrubbing — the redaction pass of a training-data pipeline.
+    * Regexes are deliberately RE2-compatible (plain char classes, no
+    * backrefs/lookarounds), so an external engine computes identical
+    * matches; URLs scrub BEFORE emails so a UserInfo-style address
+    * inside a URL is counted once, as a URL.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+
+  def emailCount(c: Column): Column = regexp_count(c, lit(EmailRe)).cast("long")
+  def urlCount(c: Column): Column = regexp_count(c, lit(UrlRe)).cast("long")
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, UrlRe, "<URL>"), EmailRe, "<EMAIL>")
 }

@@ -102,6 +102,41 @@ object ExtQueries extends QueryPack {
              |  len(string_split_regex(trim(text),'\s+')) AS n_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // PII scrub: email/URL detection + redaction over documents with
+    // deterministically injected contact strings; clean_fp is the
+    // portable PolyHash of the scrubbed text, so the oracle verifies
+    // the REDACTED CONTENT byte-for-byte, not just the counts.
+    Q("q69_pii_scrub",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val aug = Tables.documents(s, d).select($"doc_id",
+          concat($"text", lit(" contact "), $"lang",
+            lit("_user@example.com via https://example.org/d/"), $"doc_id").as("t"))
+        aug.select($"doc_id",
+            TextAnalysis.emailCount($"t").as("n_emails"),
+            TextAnalysis.urlCount($"t").as("n_urls"),
+            graft.functions.PolyHash.polyHash(TextAnalysis.scrubPii($"t")).as("clean_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id,
+             |    text || ' contact ' || lang || '_user@example.com via https://example.org/d/' || doc_id AS t
+             |  FROM documents),
+             |scrubbed AS (
+             |  SELECT doc_id, t,
+             |    regexp_replace(
+             |      regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g'),
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean
+             |  FROM aug)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(generate_series(1, length(clean)), i -> CAST(ascii(substring(clean, i, 1)) AS BIGINT))),
+             |    (a,b) -> (a*31 + b) % 1000000007) AS clean_fp
+             |FROM scrubbed ORDER BY doc_id""".stripMargin)),
+
     // Exact dedup on a normalization key (first two tokens): hash-groupBy,
     // min-id canonical representative.
     Q("q45_dedup_exact",
@@ -226,6 +261,52 @@ object ExtQueries extends QueryPack {
              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.sh, b.sh)) <= 6
              |ORDER BY 1, 2""".stripMargin)),
+
+    // Near-dup pairs → dedup GROUPS: connected components of the
+    // banded-simhash pair graph, canonical member = min id. The oracle
+    // recomputes the pairs (q48 pipeline) and closes them with a
+    // recursive CTE — min reachable id ≡ component minimum.
+    Q("q68_dedup_groups",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.simHashPairsBanded(docs, "doc_id", "text", maxDist = 6)
+        Dedup.duplicateGroups(pairs, docs.select($"doc_id"), "doc_id")
+          .select($"id".as("doc_id"), $"canonical_id", $"n_group")
+          .orderBy($"canonical_id", $"doc_id")
+      },
+      Some("""WITH RECURSIVE th AS (
+             |  SELECT doc_id,
+             |    list_transform(string_split_regex(trim(text),'\s+'), s ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(generate_series(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007)) AS hs
+             |  FROM documents),
+             |bits AS (
+             |  SELECT doc_id, j,
+             |    CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+             |      CASE WHEN ((h * ((1103515245 * j) % 2038074743) + ((12345 * j + 7) % 2038074743)) % 2038074743) % 2 = 1
+             |           THEN 1 ELSE -1 END)), 0) > 0
+             |         THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE 0 END AS bit
+             |  FROM th CROSS JOIN range(1, 64) t(j)),
+             |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sh FROM bits GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+             |  UNION
+             |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+             |comp AS (SELECT id, min(lbl) AS canonical_id FROM reach GROUP BY id),
+             |sized AS (SELECT canonical_id, count(*) AS n_group FROM comp GROUP BY 1)
+             |SELECT c.id AS doc_id, c.canonical_id, s.n_group
+             |FROM comp c JOIN sized s USING (canonical_id)
+             |WHERE s.n_group > 1
+             |ORDER BY canonical_id, doc_id""".stripMargin)),
 
     // Brute-force cosine top-k: the exact ANN baseline. The double dot
     // product is an explicit sequential fold → bit-equal to the oracle's

@@ -128,6 +128,25 @@ class ExtSpec extends SparkTestBase {
     assert(picked.collect().toSeq === inline.collect().toSeq)
   }
 
+  test("duplicate components: min-label propagation on chain, clique, singleton") {
+    // graph: chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,
+    // pair 20-21, singleton 30
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val ids = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L)).toDF("id")
+    val comp = Dedup.duplicateComponents(pairs, ids, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
+    val groups = Dedup.duplicateGroups(pairs, ids, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // singleton 30 excluded; sizes ride along
+    assert(groups === Set(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L),
+      (20L, 20L, 2L), (21L, 20L, 2L)))
+  }
+
   test("langId is deterministic and rolling fingerprint is stable") {
     val a = docs.select(TextAnalysis.langId($"text").as("l"),
       TextAnalysis.rollingFingerprint($"text").as("f")).collect()
