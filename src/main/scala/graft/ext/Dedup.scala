@@ -18,19 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingle set (distinct) from an ALREADY-MATERIALIZED
-    * token-array column. Ops project the token array in a separate step
-    * first: referencing a bound attribute inside the lambda instead of
-    * the `split(...)` tree avoids Catalyst inlining the split once per
-    * `get` reference (measured ~10× on the shingle stage).
+  /** Word n-gram shingle set (distinct, SORTED ascending) from an
+    * ALREADY-MATERIALIZED token-array column. Ops project the token
+    * array in a separate step first: referencing a bound attribute
+    * inside the lambda instead of the `split(...)` tree avoids Catalyst
+    * inlining the split once per `get` reference (measured ~10× on the
+    * shingle stage). The one-time sort is what lets the verify stages
+    * intersect with the allocation-free two-pointer kernel
+    * ([[graft.functions.SortedIntersectSize]]) instead of a per-pair
+    * hash set; MinHash signatures and band buckets are order-
+    * independent, so every other consumer is unaffected.
     */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    if (n == 1) array_distinct(toks)
+    if (n == 1) array_sort(array_distinct(toks))
     else {
       val grams = transform(toks, (t, i) =>
         when(i <= size(toks) - n,
           concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*)))
-      array_distinct(filter(grams, _.isNotNull))
+      array_sort(array_distinct(filter(grams, _.isNotNull)))
     }
 
   /** Word n-gram shingle set (distinct) per document. */
@@ -59,62 +64,51 @@ object Dedup {
 
   /** All pairs (a < b) within the same `blockCols` whose n-gram Jaccard
     * similarity ≥ threshold. Exact — the oracle-checkable ground truth
-    * for the approximate variants.
+    * for the approximate variants, quadratic per block BY DESIGN (the
+    * unblocked scale path is [[minHashLshPairs]]).
     *
-    * PPJoin-style prefix filtering (lossless): under any total order on
-    * shingles, J(A,B) ≥ τ forces |A∩B| ≥ ceil(τ·max(|A|,|B|)), and two
-    * sets overlapping that much MUST share an element inside their
-    * (|S| - ceil(τ·|S|) + 1)-prefixes — so the pair join runs over
-    * prefixes only. Ordering rare-first (ascending document frequency)
-    * puts the hot shingles in the pruned suffixes, which is where the
-    * quadratic (block, shingle) pair blowup lives: Σ freq² over joined
-    * shingles collapses. Candidates then verify EXACTLY against the
-    * full shingle sets (broadcast candidate pairs probe the cached
-    * projection in place — the minHashLshPairs shape), so the output is
-    * identical to the naive all-shingles join.
+    * Shape: SALTED block self-join + the allocation-free two-pointer
+    * intersection kernel. A plain self-join on the block key alone has
+    * as many join partitions as blocks — five lang blocks serialize a
+    * 32-core machine to five tasks (measured) and one hot block would
+    * do the same to a 1000-executor cluster. Salting the left side by
+    * `id mod salts` and replicating the right side per salt value
+    * spreads every block over `salts` tasks while generating each pair
+    * exactly once. The size-ratio prune (J ≥ τ forces min(sz) ≥
+    * τ·max(sz)) drops hopeless pairs before the kernel runs.
+    *
+    * A PPJoin-style rare-first prefix filter was tried here and REMOVED:
+    * on high-vocabulary-overlap corpora (like this one — median shingle
+    * doc-freq ~15 %) the prefix join still emits nearly all block pairs,
+    * so its two extra window shuffles, candidate distinct, and verify
+    * joins cost more than they prune. Revisit only for corpora where
+    * candidates ≪ block pairs.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        blockCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                        blockCols: Seq[String], salts: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val bc = blockCols.map(col)
     val toks = widen(df.select(
       (col(idCol).as("id") +: bc) :+
         TextAnalysis.tokens(col(textCol)).as("toks"): _*))
     val withSh = toks.select(
       (col("id") +: bc) :+ shinglesFromTokens(col("toks"), n).as("sh"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val ex = withSh.select(
-        (col("id") +: bc) :+ size(col("sh")).as("sz") :+ explode(col("sh")).as("s"): _*)
-      // rare-first total order: document frequency of the shingle within
-      // its block, then the shingle itself as the tiebreak
-      val wFreq = Window.partitionBy(bc :+ col("s"): _*)
-      val wDoc = Window.partitionBy(bc :+ col("id"): _*).orderBy(col("freq"), col("s"))
-      val prefix = ex
-        .withColumn("freq", count(lit(1)).over(wFreq))
-        .withColumn("rn", row_number().over(wDoc))
-        .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
-        .select((col("id") +: bc) :+ col("sz") :+ col("s"): _*)
-      val pa = prefix.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")
-      val pb = prefix.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")
-      val cands = broadcast(
-        pa.join(pb, blockCols :+ "s")
-          .filter(col("id_a") < col("id_b") &&
-            // lossless size-ratio prune: J ≥ τ forces min(sz) ≥ τ·max(sz)
-            lit(threshold) * greatest(col("sz_a"), col("sz_b")) <=
-              least(col("sz_a"), col("sz_b")))
-          .select(col("id_a"), col("id_b")).distinct())
-      cands
-        .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))))
-        .filter(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-        .localCheckpoint(true)
-    } finally withSh.unpersist(false)
+    val a = withSh.select((bc :+ col("id").as("id_a") :+ col("sh").as("sh_a")): _*)
+      .withColumn("salt", pmod(col("id_a"), lit(salts.toLong)))
+    val b = withSh.select((bc :+ col("id").as("id_b") :+ col("sh").as("sh_b")): _*)
+      .withColumn("salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    a.join(b, blockCols :+ "salt")
+      .filter(col("id_a") < col("id_b") &&
+        lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))) <=
+          least(size(col("sh_a")), size(col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize.sortedIntersectSize(col("sh_a"), col("sh_b")))
+      // |A ∪ B| = |A| + |B| - |A ∩ B| — no union array materialized
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   private val P = 2038074743L // prime > 2^30, products stay well under 2^63
@@ -135,10 +129,21 @@ object Dedup {
     * every slot (array_min of empty is null, and null band keys join
     * differently across engines). Input: the shingle array column.
     */
-  def minHashSignature(sh: Column, numHashes: Int): Column = {
-    val base = transform(sh, s => graft.functions.PolyHash.polyHash(s))
+  def minHashSignature(sh: Column, numHashes: Int): Column =
+    minHashSignatureFromHashes(
+      transform(sh, s => graft.functions.PolyHash.polyHash(s)), numHashes)
+
+  /** Signature from a MATERIALIZED base-hash array column. One-shot
+    * `minHashSignature(sh, n)` hands every permutation the
+    * `transform(sh, poly_hash)` TREE, which Catalyst duplicates into
+    * each of the n mins — re-hashing every shingle once per permutation
+    * and bloating the codegen unit n-fold (the shinglesFromTokens
+    * lesson, third appearance). The signature stage projects the hash
+    * array as a column and calls this instead.
+    */
+  def minHashSignatureFromHashes(hs: Column, numHashes: Int): Column = {
     val mins = (0 until numHashes).map { i =>
-      coalesce(array_min(transform(base, h =>
+      coalesce(array_min(transform(hs, h =>
         pmod(h * hashA(i) + hashB(i), lit(P)))), lit(-1L))
     }
     array(mins: _*)
@@ -166,8 +171,12 @@ object Dedup {
 
   private def candidatesFromShingles(sh: DataFrame, bands: Int,
                                      rowsPerBand: Int): DataFrame = {
-    val sig = sh.select(col("id"),
-      minHashSignature(col("sh"), bands * rowsPerBand).as("sig"))
+    // hash array materialized as a column so the bands·rows permutation
+    // mins share ONE PolyHash pass (and one codegen'd hashing loop)
+    val hs = sh.select(col("id"),
+      transform(col("sh"), s => graft.functions.PolyHash.polyHash(s)).as("hs"))
+    val sig = hs.select(col("id"),
+      minHashSignatureFromHashes(col("hs"), bands * rowsPerBand).as("sig"))
     // bucket key = the band's signature slice itself (array<long>), not a
     // hash of it: the equi-join on (band, slice) is exact in any engine,
     // where hashing the slice would reintroduce an engine-internal hash
@@ -216,9 +225,10 @@ object Dedup {
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize.sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

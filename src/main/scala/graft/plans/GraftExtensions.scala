@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, LocScaleBSketch, PolyHash}
+import graft.functions.{CosineSim, LocScaleBSketch, PolyHash, SortedIntersectSize}
 
 /** SparkSessionExtensions wiring: registers the engine's native
   * expressions for SQL use, so
@@ -34,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "poly_hash expects exactly 1 argument")
         PolyHash(args.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sorted_intersect_size expects exactly 2 arguments")
+        SortedIntersectSize(args.head, args(1))
       }))
     e.injectFunction((
       FunctionIdentifier("loc_scale_b_sketch"),
