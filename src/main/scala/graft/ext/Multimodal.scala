@@ -61,6 +61,22 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       struct(lit("text/utf-8").as("kind"), col("n_chars").as("declared_bytes")).as("meta"))
 
+  /** Evenly-spaced frame sampling over decoded media: for each item,
+    * emit `k` frame-index rows spanning [0, n_frames) — the video
+    * training-data pattern (sample k frames per clip, decode only
+    * those). Pure `sequence` + `explode` (a Generate, per-row expansion
+    * inside codegen, no shuffle); sampled index i of k is
+    * floor(i·n_frames/k), so the schedule is integer-exact and
+    * engine-reproducible. Items with fewer frames than k yield each
+    * frame at most once (distinct indices).
+    */
+  def sampleFrames(features: DataFrame, k: Int): DataFrame =
+    features.select(col("media_id"), col("n_frames"),
+      explode(array_distinct(transform(sequence(lit(0), lit(k - 1)),
+        i => floor(i.cast("long") * col("n_frames") / k)))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("n_frames"))
+
   /** Partition-wise decode/featurize: one iterator pass per partition,
     * batch-shaped like an Arrow/pandas UDF would be. The decoder is
     * initialized once per partition (here trivially; in production this

@@ -116,6 +116,39 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
   }
 
+  /** Symmetric int8 embedding quantization — the 4× storage/bandwidth
+    * cut a 100 TB embedding corpus takes before indexing. Per-vector
+    * scale = max|x|; q_i = clamp(round(x_i · 127 / scale), ±127); the
+    * arithmetic is plain double ops + HALF_UP rounding, so an external
+    * engine reproduces every code exactly. Zero vectors quantize to all
+    * zeros. Callers project `maxAbs` as a column first (bound
+    * attribute), then feed it to the per-element steps.
+    */
+  def maxAbs(emb: Column): Column =
+    array_max(transform(emb, x => abs(x.cast("double"))))
+
+  def int8Quantize(emb: Column, maxabs: Column): Column =
+    transform(emb, x =>
+      when(maxabs === 0.0, lit(0))
+        .otherwise(greatest(lit(-127.0),
+          least(lit(127.0), round(x.cast("double") * 127.0 / maxabs, 0))))
+        .cast("int"))
+
+  /** Portable integer fold over the quantized codes (shifted to [0,254]
+    * so the fold stays non-negative in any engine).
+    */
+  def int8Checksum(q: Column): Column =
+    aggregate(q, lit(0L), (acc, v) =>
+      pmod(acc * 31L + (v + 127).cast("long"), lit(1000000007L)))
+
+  /** Mean absolute dequantization error — the quality metric that
+    * decides whether int8 is acceptable for a given corpus.
+    */
+  def dequantMae(emb: Column, q: Column, maxabs: Column): Column =
+    aggregate(zip_with(emb, q, (x, qq) =>
+      abs(x.cast("double") - qq.cast("double") * maxabs / 127.0)),
+      lit(0.0), (acc, v) => acc + v) / size(q)
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking
     * column (exact within block).
     */

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.{Exact, Tables}
-import graft.core.Exact.r4
+import graft.core.Exact.{r4, r6}
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (north-star extensions):
@@ -505,6 +505,77 @@ object ExtQueries extends QueryPack {
              |  count(*) AS n_events,
              |  sum(CAST(round(value*100,0) AS BIGINT))/100.0 AS total_value
              |FROM s GROUP BY user_id, sn ORDER BY user_id, session_start""".stripMargin)),
+
+    // Frame sampling over decoded media: k evenly-spaced frame indices
+    // per item (floor(i·n_frames/k), distinct) — video-clip sampling
+    // plumbing; one Generate, no shuffle. The oracle reruns the stub
+    // decode's frame count (bytes/256 + 1) and the same integer
+    // schedule.
+    Q("q70_frame_sampling",
+      (s, d) => {
+        import s.implicits._
+        val feats = Multimodal.featurize(s,
+          Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        Multimodal.sampleFrames(feats, k = 8)
+          .orderBy($"media_id", $"frame_idx")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id AS media_id,
+             |    octet_length(encode(text)) // 256 + 1 AS n_frames
+             |  FROM documents),
+             |s AS (
+             |  SELECT media_id, n_frames,
+             |    unnest(list_distinct(list_transform(generate_series(0, 7),
+             |      i -> CAST(floor(i * n_frames / 8.0) AS BIGINT)))) AS frame_idx
+             |  FROM f)
+             |SELECT media_id, frame_idx, CAST(n_frames AS BIGINT) AS n_frames
+             |FROM s ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // Int8 embedding quantization: per-vector max-abs scale, clamped
+    // HALF_UP codes, portable checksum of the codes, and the mean
+    // dequantization error. Every step is plain double arithmetic +
+    // integer folds — the oracle reproduces the codes exactly.
+    Q("q71_embed_quantize",
+      (s, d) => {
+        import s.implicits._
+        val m = Tables.embeddings(s, d)
+          .select($"vec_id", $"embedding",
+            Similarity.maxAbs($"embedding").as("maxabs"))
+        val q = m.select($"vec_id", $"embedding", $"maxabs",
+          Similarity.int8Quantize($"embedding", $"maxabs").as("qv"))
+        // integer micro-units, not round(x, 6): Spark rounds decimals
+        // exactly (BigDecimal) while DuckDB rounds via a lossy ×10^6
+        // multiply — values near a 6th-decimal midpoint flip between
+        // engines. round(x·10^6, 0) shares the lossy multiply, so both
+        // engines round the identical double.
+        q.select($"vec_id",
+            round($"maxabs" * 1000000, 0).cast("long").as("maxabs_micro"),
+            Similarity.int8Checksum($"qv").as("q_checksum"),
+            round(Similarity.dequantMae($"embedding", $"qv", $"maxabs") * 1000000, 0)
+              .cast("long").as("mae_micro"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT vec_id, embedding,
+             |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+             |  FROM embeddings),
+             |q AS (
+             |  SELECT vec_id, embedding, maxabs,
+             |    list_transform(embedding, x ->
+             |      CAST(CASE WHEN maxabs = 0 THEN 0
+             |           ELSE greatest(CAST(-127 AS DOUBLE), least(CAST(127 AS DOUBLE),
+             |                round(CAST(x AS DOUBLE) * 127.0 / maxabs, 0))) END AS INT)) AS qv
+             |  FROM m)
+             |SELECT vec_id,
+             |  CAST(round(maxabs * 1000000) AS BIGINT) AS maxabs_micro,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(qv, v -> CAST(v + 127 AS BIGINT))),
+             |    (a,b) -> (a*31 + b) % 1000000007) AS q_checksum,
+             |  CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |    list_transform(qv, (v,i) ->
+             |      abs(CAST(embedding[i] AS DOUBLE) - CAST(v AS DOUBLE) * maxabs / 127.0))),
+             |    (a,b) -> a + b) / len(qv) * 1000000) AS BIGINT) AS mae_micro
+             |FROM q ORDER BY vec_id""".stripMargin)),
 
     // Multimodal plumbing: binary payload + metadata → partition-wise
     // stub decode (mapPartitions seam; graft.ext.Multimodal).
