@@ -94,8 +94,12 @@ object Dedup {
         TextAnalysis.tokens(col(textCol)).as("toks"): _*))
     val withSh = toks.select(
       (col("id") +: bc) :+ shinglesFromTokens(col("toks"), n).as("sh"): _*)
+    // salt from a hash of the id, not the id itself: pmod on a
+    // string/UUID id column would cast to NULL and silently join to
+    // nothing. The hash is engine-internal but never oracle-visible —
+    // it only routes rows; every pair is still emitted exactly once.
     val a = withSh.select((bc :+ col("id").as("id_a") :+ col("sh").as("sh_a")): _*)
-      .withColumn("salt", pmod(col("id_a"), lit(salts.toLong)))
+      .withColumn("salt", pmod(xxhash64(col("id_a")), lit(salts.toLong)))
     val b = withSh.select((bc :+ col("id").as("id_b") :+ col("sh").as("sh_b")): _*)
       .withColumn("salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
     a.join(b, blockCols :+ "salt")

@@ -71,9 +71,14 @@ object Multimodal {
     * frame at most once (distinct indices).
     */
   def sampleFrames(features: DataFrame, k: Int): DataFrame =
-    features.select(col("media_id"), col("n_frames"),
-      explode(array_distinct(transform(sequence(lit(0), lit(k - 1)),
-        i => floor(i.cast("long") * col("n_frames") / k)))).as("frame_idx"))
+    features
+      // frameless or undecoded items have nothing to sample — without
+      // this guard, n_frames = 0 emitted a phantom frame 0 and null
+      // emitted a null index, both outside the [0, n_frames) contract
+      .filter(col("n_frames").isNotNull && col("n_frames") > 0)
+      .select(col("media_id"), col("n_frames"),
+        explode(array_distinct(transform(sequence(lit(0), lit(k - 1)),
+          i => floor(i.cast("long") * col("n_frames") / k)))).as("frame_idx"))
       .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("n_frames"))
 

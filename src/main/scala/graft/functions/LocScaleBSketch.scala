@@ -38,7 +38,7 @@ final class LocScaleBBuffer(var qs: QuantileSummaries, var nNonZero: Long) {
   * quantiles map straight through to log-scale quantiles. The MAD (a
   * median over the DERIVED |y - Me| values, which a single-pass sketch
   * cannot index) is recovered from a fixed-resolution reconstruction of
-  * the quantile function: 501 evenly-spaced quantiles approximate the
+  * the quantile function: `GridPoints` (2001) evenly-spaced quantiles approximate the
   * sorted sample to within the sketch's rank error, and median/MAD over
   * that grid converge to the exact statistics as eps shrinks.
   * Approximate by design — the exact aggregator remains the

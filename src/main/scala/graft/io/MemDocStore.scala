@@ -110,7 +110,13 @@ private class MemDocWriteBuilder(collection: String, schema: StructType,
         // the messages; nothing lands in the registry until here
         val rows = messages.iterator.flatMap(_.asInstanceOf[MemDocCommit].rows).to(ArrayBuffer)
         MemDocStore.registry.updateWith(collection) {
-          case Some((s, existing)) if !truncate => Some((s, existing ++ rows))
+          case Some((s, existing)) if !truncate =>
+            // ACCEPT_ANY_SCHEMA bypasses Spark's write-compatibility
+            // check, so guard here: appending rows encoded under a
+            // different schema would make later reads decode garbage
+            require(s == schema,
+              s"append to '$collection' with schema $schema != stored $s")
+            Some((s, existing ++ rows))
           case _ => Some((schema, rows))
         }
       }

@@ -40,7 +40,8 @@ final case class HttpResponse(status: Int, body: String)
   */
 object RestSource {
 
-  private def mapper = new ObjectMapper()
+  // thread-safe after construction; shared across all driver-side parses
+  private val mapper = new ObjectMapper()
 
   /** Follow Airtable's offset pagination, returning raw page bodies.
     * Capped defensively — a server echoing the same offset forever must
@@ -84,7 +85,12 @@ object RestSource {
       .select(col("r.id").as("airtable_id"), col("r.fields.*"))
     records.schema.fields.foldLeft(records) {
       case (df, StructField(name, _: ArrayType, _, _)) => listHandler match {
-        case "collapse" => df.withColumn(name, array_join(col(s"`$name`"), ", "))
+        // elements cast to string individually: attachment/linked-record
+        // fields infer as array<struct>, which array_join alone rejects
+        // (no implicit struct -> string cast) — failing the whole load
+        // for one column
+        case "collapse" => df.withColumn(name,
+          array_join(transform(col(s"`$name`"), _.cast("string")), ", "))
         case "count" => df.withColumn(name, size(col(s"`$name`")).cast("long"))
         case other => throw new IllegalArgumentException(s"unknown list_handler: $other")
       }

@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "loc_scale_b_sketch expects (col, k)")
         LocScaleBSketch(args.head, args(1).eval() match {
           case d: Double => d
+          // SQL `3.0` parses as a DECIMAL literal — Spark's Decimal is
+          // not a java.lang.Number
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
           case n: Number => n.doubleValue()
           case x => throw new IllegalArgumentException(s"k must be a numeric literal, got $x")
         })

@@ -147,6 +147,26 @@ class ExtSpec extends SparkTestBase {
       (20L, 20L, 2L), (21L, 20L, 2L)))
   }
 
+  test("sampleFrames skips frameless/undecoded items; string ids survive the salted Jaccard join") {
+    val feats = Seq((1L, 10L), (2L, 0L), (3L, 3L)).toDF("media_id", "n_frames")
+      .unionByName(Seq(4L).toDF("media_id")
+        .withColumn("n_frames", lit(null).cast("long")))
+    val sampled = Multimodal.sampleFrames(feats, k = 4)
+      .select($"media_id", $"frame_idx").as[(Long, Long)].collect().toSet
+    // item 2 (zero frames) and item 4 (null) emit nothing; item 3 emits
+    // each of its 3 frames once
+    assert(sampled === Set((1L, 0L), (1L, 2L), (1L, 5L), (1L, 7L),
+      (3L, 0L), (3L, 1L), (3L, 2L)))
+
+    // non-numeric ids: the salt is a hash, not pmod of the id itself —
+    // a raw pmod would cast the string to NULL and silently join nothing
+    val sdocs = Seq(("a", "x", "the cat sat on the mat"),
+      ("b", "x", "the cat sat on the mat today")).toDF("doc_id", "lang", "text")
+    val pairs = Dedup.ngramJaccardPairs(sdocs, "doc_id", "text", 2, 0.2, Seq("lang"))
+      .select($"id_a", $"id_b").as[(String, String)].collect().toSeq
+    assert(pairs === Seq(("a", "b")))
+  }
+
   test("langId is deterministic and rolling fingerprint is stable") {
     val a = docs.select(TextAnalysis.langId($"text").as("l"),
       TextAnalysis.rollingFingerprint($"text").as("f")).collect()

@@ -52,6 +52,23 @@ class MemDocStoreSpec extends SparkTestBase {
       viaMem.orderBy($"submission_id").collect().toSeq)
   }
 
+  test("append with a different schema is rejected; matching append accumulates") {
+    MemDocStore.drop("app")
+    DocumentSink.pushTo(flags, MemDocStore.Format, Map("collection" -> "app"))
+    flags.limit(1).write.format(MemDocStore.Format)
+      .option("collection", "app").mode("append").save()
+    assert(DocumentSink.pullFrom(spark, MemDocStore.Format,
+      Map("collection" -> "app")).count() === 4)
+    // ACCEPT_ANY_SCHEMA bypasses Spark's own check — the commit guard
+    // must refuse rows encoded under a different schema
+    val e = intercept[Exception] {
+      Seq(("x", 1L)).toDF("other", "n").write.format(MemDocStore.Format)
+        .option("collection", "app").mode("append").save()
+    }
+    assert(e.getMessage.contains("append to 'app'") ||
+      Option(e.getCause).exists(_.getMessage.contains("append to 'app'")))
+  }
+
   test("a filtered pull plans a V2 scan (the connector is a real source)") {
     MemDocStore.drop("scan")
     DocumentSink.pushTo(flags, MemDocStore.Format, Map("collection" -> "scan"))

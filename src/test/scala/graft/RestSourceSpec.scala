@@ -61,6 +61,30 @@ class RestSourceSpec extends SparkTestBase {
     assert(got === Seq(2L, 1L, 1L))
   }
 
+  test("collapse handles array-of-object fields (attachments) by stringifying elements") {
+    val mock = new HttpTransport {
+      override def request(url: String, method: String,
+                           headers: Map[String, String],
+                           body: Option[String]): HttpResponse =
+        HttpResponse(200,
+          """{"records": [{"id": "r1", "fields": {
+            |  "boat": "Nina",
+            |  "photos": [{"pid": "p1", "url": "u1"}, {"pid": "p2", "url": "u2"}]}}]}""".stripMargin)
+    }
+    val df = RestSource.airtableToDf(spark, mock, "appB", "t", "tok")
+    val row = df.select($"boat", $"photos").head()
+    assert(row.getString(0) === "Nina")
+    assert(row.getString(1) === "{p1, u1}, {p2, u2}")
+  }
+
+  test("sketch aggregate accepts a SQL decimal literal for k") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("x").createOrReplaceTempView("sk_t")
+    val r = spark.sql(
+      "SELECT b.lower_log, b.upper FROM (SELECT loc_scale_b_sketch(x, 3.0) AS b FROM sk_t)").head()
+    assert(!r.isNullAt(0) && !r.isNullAt(1))
+  }
+
   test("kobo status fan-out mirrors the reference's response handling") {
     val ids = Seq("s1", "s2", "s3", "s4").toDF("submission_id")
     val got = RestSource.koboValidationStatuses(ids, KoboMock, "aFORM", "ktok",
