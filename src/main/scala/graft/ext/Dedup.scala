@@ -237,6 +237,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: for each corpus document, the number of
+    * distinct n-gram shingles it shares with ANY document of an eval/
+    * benchmark set — the pretraining-hygiene check that a training
+    * corpus does not contain the benchmark. One exploded shingle
+    * semi-ish join: benchmark shingles are deduplicated to a distinct
+    * set (its size is the small side — benchmarks are tiny next to the
+    * corpus — so Catalyst broadcasts it), each corpus document then
+    * counts its hits. Linear in corpus shingles; no pair blowup of any
+    * kind.
+    */
+  def contaminationCounts(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, n: Int): DataFrame = {
+    // materialize the shingle arrays BEFORE exploding: Generate
+    // re-evaluates a derived-array child per EMITTED row, so exploding
+    // the raw tokenize→shingle→sort expression re-runs it once per
+    // shingle (~7× measured at sf0.1 — 11 s vs 0.3 s from a
+    // materialized table). Same lesson as the q47 persist, explode
+    // flavor.
+    val cSh = shingleDf(corpus, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bSh = shingleDf(benchmark, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try contaminationCountsPlan(cSh, bSh).localCheckpoint(true)
+    finally { cSh.unpersist(false); bSh.unpersist(false) }
+  }
+
+  /** Semi-join dataflow over (persisted) shingle projections — split out
+    * so a spec can assert the physical shape (broadcast semi-join)
+    * underneath the eager checkpoint.
+    */
+  private[graft] def contaminationCountsPlan(cSh: DataFrame, bSh: DataFrame): DataFrame = {
+    val c = cSh.select(col("id"), size(col("sh")).as("n_shingles"),
+      explode(col("sh")).as("s"))
+    val b = bSh.select(explode(col("sh")).as("s")).distinct()
+    c.join(b, Seq("s"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_contaminated"), min(col("n_shingles")).as("n_shingles"))
+  }
+
   /** Connected components of the near-duplicate pair graph — the step
     * that turns pairwise matches (from any of the pair operators) into
     * dedup GROUPS with a canonical representative (minimum id), the way

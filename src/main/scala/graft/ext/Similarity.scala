@@ -89,31 +89,45 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** Per-table (t, bucket) rows for a (id, emb, norm) projection. */
-  private def bucketRows(df: DataFrame, embCol: String, dim: Int, nBits: Int,
-                         tables: Int): DataFrame =
-    df.select(col("*"), posexplode(array((0 until tables).map(t =>
-      lshBucket(col(embCol), dim, nBits, t)): _*)).as(Seq("t", "bucket")))
+  /** (id, emb, bkts) projection with all `tables` bucket keys as ONE
+    * array column — materialized by the caller before exploding:
+    * Generate re-evaluates a derived-array child per EMITTED row, so
+    * posexploding the raw bucket expression recomputes every table's
+    * nBits·dim projection folds `tables` times over.
+    */
+  private def withBuckets(df: DataFrame, embCol: String, dim: Int, nBits: Int,
+                          tables: Int): DataFrame =
+    df.withColumn("bkts", array((0 until tables).map(t =>
+      lshBucket(col(embCol), dim, nBits, t)): _*))
+
+  private def explodeBuckets(df: DataFrame): DataFrame =
+    df.select(col("*"), posexplode(col("bkts")).as(Seq("t", "bucket"))).drop("bkts")
 
   /** LSH-bucketed ANN: same-bucket candidates in any of `tables` hash
     * tables, exact cosine re-rank, top-k per query. Approximate — recall
-    * depends on (nBits, tables).
+    * depends on (nBits, tables). Eager result (the bucket projections
+    * are cached during the run and released before returning).
     */
   def lshKnn(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
              nBits: Int = 8, tables: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
-    val qb = bucketRows(prep(queries, "q_id", "q_emb"), "q_emb", dim, nBits, tables)
-    val cb = bucketRows(prep(corpus, "n_id", "n_emb"), "n_emb", dim, nBits, tables)
-    val cands = qb.join(cb, Seq("t", "bucket"))
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))
-      .dropDuplicates("q_id", "n_id")
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
-    cands
-      .withColumn("sim", graft.core.Exact.r6(cosineNative(col("q_emb"), col("n_emb"))))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+    val qb0 = withBuckets(prep(queries, "q_id", "q_emb"), "q_emb", dim, nBits, tables)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb0 = withBuckets(prep(corpus, "n_id", "n_emb"), "n_emb", dim, nBits, tables)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cands = explodeBuckets(qb0).join(explodeBuckets(cb0), Seq("t", "bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))
+        .dropDuplicates("q_id", "n_id")
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+      cands
+        .withColumn("sim", graft.core.Exact.r6(cosineNative(col("q_emb"), col("n_emb"))))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+        .localCheckpoint(true)
+    } finally { qb0.unpersist(false); cb0.unpersist(false) }
   }
 
   /** Symmetric int8 embedding quantization — the 4× storage/bandwidth

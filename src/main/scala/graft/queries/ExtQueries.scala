@@ -262,6 +262,39 @@ object ExtQueries extends QueryPack {
              |WHERE bit_count(xor(a.sh, b.sh)) <= 6
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Benchmark decontamination: per corpus doc, distinct trigram
+    // shingles shared with the "benchmark" slice (src0/src1 stand in
+    // for an eval set). Linear semi-join — no pair blowup.
+    Q("q72_contamination",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter($"source".isin("src0", "src1"))
+        val corpus = docs.filter(!$"source".isin("src0", "src1"))
+        Dedup.contaminationCounts(corpus, bench, "doc_id", "text", n = 3)
+          .withColumn("share", round($"n_contaminated" * 1000000.0 / $"n_shingles", 0).cast("long"))
+          .select($"id".as("doc_id"), $"n_contaminated", $"n_shingles", $"share")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, string_split_regex(trim(text),'\s+') AS l FROM documents),
+             |shg AS (
+             |  SELECT doc_id, source,
+             |    list_distinct(list_filter(
+             |      list_transform(l, (x,i) -> CASE WHEN i <= len(l)-2 THEN x || ' ' || l[i+1] || ' ' || l[i+2] END),
+             |      v -> v IS NOT NULL)) AS sh
+             |  FROM toks),
+             |bench AS (
+             |  SELECT DISTINCT unnest(sh) AS s FROM shg WHERE source IN ('src0','src1')),
+             |corpus AS (
+             |  SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s FROM shg
+             |  WHERE source NOT IN ('src0','src1'))
+             |SELECT c.doc_id, count(*) AS n_contaminated,
+             |  CAST(min(c.n_shingles) AS BIGINT) AS n_shingles,
+             |  CAST(round(count(*) * 1000000.0 / min(c.n_shingles)) AS BIGINT) AS share
+             |FROM corpus c WHERE c.s IN (SELECT s FROM bench)
+             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
+
     // Near-dup pairs → dedup GROUPS: connected components of the
     // banded-simhash pair graph, canonical member = min id. The oracle
     // recomputes the pairs (q48 pipeline) and closes them with a

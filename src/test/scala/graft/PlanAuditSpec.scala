@@ -47,6 +47,22 @@ class PlanAuditSpec extends SparkTestBase {
       s"scan reads wrong column set: $readCols")
   }
 
+  test("q72 contamination semi-join broadcasts the benchmark shingle set") {
+    // the public operator checkpoints eagerly (its explode inputs are
+    // cached), so assert on the pre-checkpoint dataflow seam
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val cSh = graft.ext.Dedup.shingleDf(
+      docs.filter(!col("source").isin("src0", "src1")), "doc_id", "text", 3)
+    val bSh = graft.ext.Dedup.shingleDf(
+      docs.filter(col("source").isin("src0", "src1")), "doc_id", "text", 3)
+    val df = graft.ext.Dedup.contaminationCountsPlan(cSh, bSh)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark side not broadcast in semi-join:\n$plan")
+  }
+
   test("q45 exact dedup aggregates with map-side partial aggregation") {
     val plan = finalPlan("q45_dedup_exact")
     // two HashAggregates around one exchange = partial + final
