@@ -167,6 +167,22 @@ class ExtSpec extends SparkTestBase {
     assert(pairs === Seq(("a", "b")))
   }
 
+  test("contamination counts: shared distinct shingles vs a benchmark set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),     // shares "the quick brown", "quick brown fox" with b1
+      (2L, "totally different words here"),  // no overlap
+      (3L, "the quick brown fox jumps the quick brown fox jumps")) // distinct shingles overlap same 2 + wrap grams
+      .toDF("doc_id", "text")
+    val bench = Seq((10L, "the quick brown fox")).toDF("doc_id", "text")
+    val got = Dedup.contaminationCounts(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc 1: trigrams {the quick brown, quick brown fox, brown fox jumps}
+    //        -> 2 hits; doc 2 absent (no hits); doc 3: distinct trigrams
+    //        include the same 2 benchmark grams -> 2 hits
+    assert(got === Seq((1L, 2L), (3L, 2L)))
+  }
+
   test("langId is deterministic and rolling fingerprint is stable") {
     val a = docs.select(TextAnalysis.langId($"text").as("l"),
       TextAnalysis.rollingFingerprint($"text").as("f")).collect()
