@@ -112,6 +112,25 @@ object TextAnalysis {
     */
   def hashFingerprint(c: Column): Column = xxhash64(c)
 
+  /** Intra-document n-gram repetition ratio — the Gopher/RefinedWeb-
+    * style quality signal (heavily repeated phrasing marks boilerplate
+    * and spam): fraction of n-gram OCCURRENCES that are repeats of an
+    * earlier n-gram, i.e. (total - distinct) / total; 0 for documents
+    * shorter than n tokens. Input is a MATERIALIZED token-array column
+    * (the shinglesFromTokens lesson). Pure per-row expressions — no
+    * shuffle, linear at any scale.
+    */
+  def repetitionRatio(toks: Column, n: Int): Column = {
+    val grams =
+      if (n == 1) toks
+      else filter(transform(toks, (t, i) =>
+        when(i <= size(toks) - n,
+          concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*))), _.isNotNull)
+    val total = size(grams)
+    when(total <= 0, 0.0)
+      .otherwise((total - size(array_distinct(grams))).cast("double") / total)
+  }
+
   /** PII scrubbing — the redaction pass of a training-data pipeline.
     * Regexes are deliberately RE2-compatible (plain char classes, no
     * backrefs/lookarounds), so an external engine computes identical

@@ -83,6 +83,36 @@ object ExtQueries extends QueryPack {
              |  count(*) AS n
              |FROM sc GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 
+    // Intra-document n-gram repetition ratios (n = 2, 3) — the
+    // boilerplate/spam quality signal. Token array projected once;
+    // ratios compared in integer micro-units (the q71 lesson).
+    Q("q73_repetition",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+          .select($"doc_id",
+            size($"toks").cast("long").as("n_tokens"),
+            round(TextAnalysis.repetitionRatio($"toks", 2) * 1000000, 0)
+              .cast("long").as("rep2_micro"),
+            round(TextAnalysis.repetitionRatio($"toks", 3) * 1000000, 0)
+              .cast("long").as("rep3_micro"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text),'\s+') AS l FROM documents),
+             |g AS (
+             |  SELECT doc_id, len(l) AS n_tokens,
+             |    list_filter(list_transform(l, (x,i) -> CASE WHEN i <= len(l)-1 THEN x || ' ' || l[i+1] END), v -> v IS NOT NULL) AS g2,
+             |    list_filter(list_transform(l, (x,i) -> CASE WHEN i <= len(l)-2 THEN x || ' ' || l[i+1] || ' ' || l[i+2] END), v -> v IS NOT NULL) AS g3
+             |  FROM t)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(round(CASE WHEN len(g2) <= 0 THEN 0.0
+             |    ELSE CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) END * 1000000) AS BIGINT) AS rep2_micro,
+             |  CAST(round(CASE WHEN len(g3) <= 0 THEN 0.0
+             |    ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) END * 1000000) AS BIGINT) AS rep3_micro
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
     // Rolling-hash document fingerprint (integer fold — engine-exact).
     Q("q44_text_fingerprint",
       (s, d) => {
