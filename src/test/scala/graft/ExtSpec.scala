@@ -55,6 +55,23 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("banding-parameter relations: finer bands widen the candidate set") {
+    // with the same 63-slot signature, a (b, r>1) band match means every
+    // slot in the band matches, so any (21,3) candidate is a (63,1)
+    // candidate — a deterministic containment that pins the banding
+    // arithmetic across parameterizations (ROADMAP banding-params debt)
+    val c21x3 = Dedup.minHashLshCandidates(docs, "doc_id", "text", 2, 21, 3)
+      .as[(Long, Long)].collect().toSet
+    val c63x1 = Dedup.minHashLshCandidates(docs, "doc_id", "text", 2, 63, 1)
+      .as[(Long, Long)].collect().toSet
+    assert(c21x3.subsetOf(c63x1),
+      s"(21,3) candidates not contained in (63,1): ${(c21x3 -- c63x1).take(3)}")
+    // and on this corpus the single-slot tables catch every exact pair
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.2, Seq("lang"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(c63x1))
+  }
+
   test("minhash-LSH physical plan reads the shingle cache, never re-derives it") {
     // the shingle projection feeds three consumers (candidate stage +
     // both verify-join sides); without the persist each would re-run

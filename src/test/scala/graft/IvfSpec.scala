@@ -30,4 +30,19 @@ class IvfSpec extends SparkTestBase {
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.4, s"IVF recall $recall too low")
   }
+
+  test("ivf with nProbe = kCentroids degenerates to exact brute-force KNN") {
+    // probing every inverted list searches the whole corpus, so the
+    // approximate operator must EQUAL the exact baseline row-for-row
+    // (same rounded sims, same tie-breaks) — the boundary that pins the
+    // rerank stage's exactness independent of the quantizer
+    val q = embs.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceKnn(q, embs, 5)
+      .select("q_id", "rank", "n_id", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val full = IvfIndex.ivfKnn(spark, q, embs, k = 5, kCentroids = 8, nProbe = 8)
+      .select("q_id", "rank", "n_id", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(full === exact)
+  }
 }
