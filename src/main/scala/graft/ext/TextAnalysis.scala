@@ -112,6 +112,18 @@ object TextAnalysis {
     */
   def hashFingerprint(c: Column): Column = xxhash64(c)
 
+  /** Dedup-normalization of text: strip every non-alphanumeric to a
+    * space, collapse whitespace runs, trim, lowercase — the canonical
+    * form exact dedup hashes so that punctuation/casing/spacing
+    * variants collapse to one key. Non-ASCII characters are REPLACED by
+    * the character-class step before `lower` runs, so the lowercase is
+    * ASCII-only — the one form whose semantics every engine agrees on
+    * (Unicode case folding differs across engines; ASCII does not).
+    */
+  def normalizeText(c: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(c, "[^A-Za-z0-9\\s]", " "), "\\s+", " ")))
+
   /** Intra-document n-gram repetition ratio — the Gopher/RefinedWeb-
     * style quality signal (heavily repeated phrasing marks boilerplate
     * and spam): fraction of n-gram OCCURRENCES that are repeats of an

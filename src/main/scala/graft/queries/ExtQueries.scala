@@ -183,6 +183,39 @@ object ExtQueries extends QueryPack {
              |      FROM documents)
              |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin)),
 
+    // Normalized exact dedup: canonicalize (strip punct, collapse
+    // whitespace, ASCII lowercase) then group on the portable PolyHash
+    // of the normalized form — the casing/punctuation-invariant dedup
+    // key a pipeline actually shuffles on (never the text itself).
+    Q("q74_normalized_dedup",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val keyed = Tables.documents(s, d)
+          .withColumn("norm", TextAnalysis.normalizeText($"text"))
+          // key = hash of the first-6-token normalized prefix: document
+          // HEADS are where boilerplate repeats (whole-text normalized
+          // dups are empty on this corpus — a 0-row query checks nothing)
+          .withColumn("key", graft.functions.PolyHash.polyHash(
+            concat_ws(" ", slice(split($"norm", " "), 1, 6))))
+        Dedup.exactDupGroups(keyed, "doc_id", Seq("key"))
+          .orderBy($"key")
+      },
+      Some("""WITH n AS (
+             |  SELECT doc_id,
+             |    lower(trim(regexp_replace(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, array_to_string(string_split(norm, ' ')[1:6], ' ') AS pfx FROM n),
+             |k AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(pfx)), i -> CAST(ascii(substring(pfx, i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007) AS key
+             |  FROM p)
+             |SELECT key, min(doc_id) AS keep_id, count(*) AS n_dups
+             |FROM k GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin)),
+
     // Exact bigram-Jaccard near-dup pairs, blocked by lang (the exact
     // ground truth the LSH variants approximate).
     Q("q46_dedup_jaccard",
