@@ -30,13 +30,7 @@ object Dedup {
     * independent, so every other consumer is unaffected.
     */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    if (n == 1) array_sort(array_distinct(toks))
-    else {
-      val grams = transform(toks, (t, i) =>
-        when(i <= size(toks) - n,
-          concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*)))
-      array_sort(array_distinct(filter(grams, _.isNotNull)))
-    }
+    array_sort(array_distinct(TextAnalysis.gramsFromTokens(toks, n)))
 
   /** Word n-gram shingle set (distinct) per document. */
   def shingles(textCol: Column, n: Int): Column =

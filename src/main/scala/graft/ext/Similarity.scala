@@ -105,8 +105,12 @@ object Similarity {
 
   /** LSH-bucketed ANN: same-bucket candidates in any of `tables` hash
     * tables, exact cosine re-rank, top-k per query. Approximate — recall
-    * depends on (nBits, tables). Eager result (the bucket projections
-    * are cached during the run and released before returning).
+    * depends on (nBits, tables). EAGER: the whole search executes inside
+    * this call (the bucket projections are cached during the run and
+    * released before returning); the returned table is a materialized
+    * local-checkpoint scan — callers composing further filters trim the
+    * result, not the search, and the checkpoint blocks live until the
+    * RDD is GC'd (same contract as minHashLshPairs).
     */
   def lshKnn(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
              nBits: Int = 8, tables: Int = 4): DataFrame = {

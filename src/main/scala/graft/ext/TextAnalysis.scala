@@ -124,24 +124,38 @@ object TextAnalysis {
     lower(trim(regexp_replace(
       regexp_replace(c, "[^A-Za-z0-9\\s]", " "), "\\s+", " ")))
 
+  /** All word n-grams (WITH duplicates, in order) from a MATERIALIZED
+    * token-array column — the single owner of the gram-window
+    * arithmetic; [[graft.ext.Dedup.shinglesFromTokens]] derives the
+    * sorted-distinct shingle set from it.
+    */
+  def gramsFromTokens(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else filter(transform(toks, (t, i) =>
+      when(i <= size(toks) - n,
+        concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*))), _.isNotNull)
+
   /** Intra-document n-gram repetition ratio — the Gopher/RefinedWeb-
     * style quality signal (heavily repeated phrasing marks boilerplate
     * and spam): fraction of n-gram OCCURRENCES that are repeats of an
     * earlier n-gram, i.e. (total - distinct) / total; 0 for documents
-    * shorter than n tokens. Input is a MATERIALIZED token-array column
-    * (the shinglesFromTokens lesson). Pure per-row expressions — no
+    * shorter than n tokens. Input is a MATERIALIZED gram-array column
+    * (project [[gramsFromTokens]] first — this fold references the
+    * array four times, and lambda-bearing trees are excluded from
+    * codegen subexpression elimination). Pure per-row expressions — no
     * shuffle, linear at any scale.
     */
-  def repetitionRatio(toks: Column, n: Int): Column = {
-    val grams =
-      if (n == 1) toks
-      else filter(transform(toks, (t, i) =>
-        when(i <= size(toks) - n,
-          concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*))), _.isNotNull)
+  def repetitionRatioFromGrams(grams: Column): Column = {
     val total = size(grams)
     when(total <= 0, 0.0)
       .otherwise((total - size(array_distinct(grams))).cast("double") / total)
   }
+
+  /** One-shot convenience; the hot path projects [[gramsFromTokens]] as
+    * a column and uses [[repetitionRatioFromGrams]].
+    */
+  def repetitionRatio(toks: Column, n: Int): Column =
+    repetitionRatioFromGrams(gramsFromTokens(toks, n))
 
   /** PII scrubbing — the redaction pass of a training-data pipeline.
     * Regexes are deliberately RE2-compatible (plain char classes, no

@@ -91,11 +91,13 @@ object ExtQueries extends QueryPack {
         import s.implicits._
         Tables.documents(s, d)
           .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
-          .select($"doc_id",
-            size($"toks").cast("long").as("n_tokens"),
-            round(TextAnalysis.repetitionRatio($"toks", 2) * 1000000, 0)
+          .select($"doc_id", size($"toks").cast("long").as("n_tokens"),
+            TextAnalysis.gramsFromTokens($"toks", 2).as("g2"),
+            TextAnalysis.gramsFromTokens($"toks", 3).as("g3"))
+          .select($"doc_id", $"n_tokens",
+            round(TextAnalysis.repetitionRatioFromGrams($"g2") * 1000000, 0)
               .cast("long").as("rep2_micro"),
-            round(TextAnalysis.repetitionRatio($"toks", 3) * 1000000, 0)
+            round(TextAnalysis.repetitionRatioFromGrams($"g3") * 1000000, 0)
               .cast("long").as("rep3_micro"))
           .orderBy($"doc_id")
       },
