@@ -32,20 +32,36 @@ object IvfIndex {
       .groupBy(col("id"))
       .agg(max_by(col("cid"), struct(col("aff"), -col("cid"))).as("cid"))
 
-  /** k seeds (lowest vec_ids) + one exact-integer-mean Lloyd step. */
-  def buildCentroids(spark: SparkSession, corpus: DataFrame, k: Int): DataFrame = {
+  /** k seeds (lowest vec_ids) refined by `iters` exact-integer-mean
+    * Lloyd steps (default 1 — the oracle-checked configuration; more
+    * steps converge the quantizer further and stay bit-reproducible,
+    * they just need a longer oracle CTE chain). A cell that attracts no
+    * vectors drops out (as in the single-step original) — with seeds
+    * drawn from the corpus itself every seed attracts at least itself
+    * on the first step, so this only matters after later reshuffles.
+    */
+  def buildCentroids(spark: SparkSession, corpus: DataFrame, k: Int,
+                     iters: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val vecs = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))
     // the k lowest ids regardless of id density (`id < k` would yield a
     // short — possibly empty — seed set on non-contiguous ids); a global
     // sort of k rows after a per-partition top-k, not a full-data sort
-    val seeds = vecs.orderBy(col("id")).limit(k)
+    var centroids = vecs.orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("emb").as("cemb"))
-    val assigned = assign(vecs, seeds)
-      .join(vecs, "id")
-    // exact per-dimension means: micro-int sums are order-independent;
-    // the float is cast to double BEFORE the scale multiply so the
-    // rounding input is the same IEEE value in every engine
+    for (_ <- 1 to iters) centroids = lloydStep(vecs, centroids)
+    centroids
+  }
+
+  /** One Lloyd step: assign every vector to its best centroid, replace
+    * each non-empty cell's centroid with the exact per-dimension mean.
+    * Micro-int sums are order-independent; the float is cast to double
+    * BEFORE the scale multiply so the rounding input is the same IEEE
+    * value in every engine — the step is bit-reproducible at any
+    * parallelism.
+    */
+  private def lloydStep(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val assigned = assign(vecs, centroids).join(vecs, "id")
     val dims = assigned.select(col("cid"), posexplode(col("emb")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos"))
       .agg(sum(round(col("x").cast("double") * 1000000, 0).cast("long")).as("s"),

@@ -31,6 +31,30 @@ class IvfSpec extends SparkTestBase {
     assert(recall >= 0.4, s"IVF recall $recall too low")
   }
 
+  test("multi-iteration Lloyd is deterministic and tightens the quantizer") {
+    val c2a = IvfIndex.buildCentroids(spark, embs, 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val c2b = IvfIndex.buildCentroids(spark, embs, 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(c2a === c2b)
+    // quantization distortion (mean best-centroid cosine affinity) must
+    // not get WORSE with a second step
+    import org.apache.spark.sql.functions._
+    def meanBestAff(cent: Map[Long, Seq[Float]]): Double = {
+      val cdf = cent.toSeq.toDF("cid", "cemb")
+        .select(col("cid"), col("cemb").cast("array<float>").as("cemb"))
+      embs.select(col("vec_id").as("id"), col("embedding").as("emb"))
+        .crossJoin(broadcast(cdf))
+        .withColumn("aff", graft.functions.CosineSim.cosineSim(col("emb"), col("cemb")))
+        .groupBy(col("id")).agg(max(col("aff")).as("best"))
+        .agg(avg(col("best"))).head().getDouble(0)
+    }
+    val one = IvfIndex.buildCentroids(spark, embs, 8, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(meanBestAff(c2a) >= meanBestAff(one) - 1e-6,
+      "second Lloyd step degraded mean best-centroid affinity")
+  }
+
   test("ivf with nProbe = kCentroids degenerates to exact brute-force KNN") {
     // probing every inverted list searches the whole corpus, so the
     // approximate operator must EQUAL the exact baseline row-for-row
