@@ -257,6 +257,29 @@ object Dedup {
     finally { cSh.unpersist(false); bSh.unpersist(false) }
   }
 
+  /** [[contaminationCounts]] for the common case where corpus and
+    * benchmark are SLICES OF ONE TABLE (a source/split flag): tokenizes
+    * and shingles the table once behind a single persist instead of
+    * running the shingle pipeline — scan, tokenize, gram, distinct,
+    * sort, cache fill — separately per side. Same result as calling
+    * [[contaminationCounts]] with the two filtered slices; one pass
+    * over the data instead of two (and at bench scale, one codegen
+    * shape + cache fill instead of two — measured ~3 s of the q72
+    * wall time at sf0.1).
+    */
+  def contaminationCountsSplit(docs: DataFrame, isBench: Column,
+                               idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = widen(docs.select(col(idCol).as("id"), isBench.as("is_bench"),
+      TextAnalysis.tokens(col(textCol)).as("toks")))
+    val sh = toks
+      .select(col("id"), col("is_bench"), shinglesFromTokens(col("toks"), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try contaminationCountsPlan(sh.filter(!col("is_bench")).select(col("id"), col("sh")),
+                                sh.filter(col("is_bench")).select(col("id"), col("sh")))
+      .localCheckpoint(true)
+    finally sh.unpersist(false)
+  }
+
   /** Semi-join dataflow over (persisted) shingle projections — split out
     * so a spec can assert the physical shape (broadcast semi-join)
     * underneath the eager checkpoint.

@@ -334,9 +334,8 @@ object ExtQueries extends QueryPack {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-        val bench = docs.filter($"source".isin("src0", "src1"))
-        val corpus = docs.filter(!$"source".isin("src0", "src1"))
-        Dedup.contaminationCounts(corpus, bench, "doc_id", "text", n = 3)
+        Dedup.contaminationCountsSplit(docs, $"source".isin("src0", "src1"),
+            "doc_id", "text", n = 3)
           .withColumn("share", round($"n_contaminated" * 1000000.0 / $"n_shingles", 0).cast("long"))
           .select($"id".as("doc_id"), $"n_contaminated", $"n_shingles", $"share")
           .orderBy($"doc_id")

@@ -198,6 +198,15 @@ class ExtSpec extends SparkTestBase {
     //        -> 2 hits; doc 2 absent (no hits); doc 3: distinct trigrams
     //        include the same 2 benchmark grams -> 2 hits
     assert(got === Seq((1L, 2L), (3L, 2L)))
+
+    // the single-table split variant (one shingle pass + persist) must
+    // agree exactly with the two-slice form it replaces in q72
+    val union = corpus.withColumn("grp", lit("c"))
+      .unionByName(bench.withColumn("grp", lit("b")))
+    val split = Dedup.contaminationCountsSplit(union, $"grp" === "b", "doc_id", "text", n = 3)
+      .orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(split === got)
   }
 
   test("langId is deterministic and rolling fingerprint is stable") {
