@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, PolyHash}
+
+/** Corpus-preparation operators a training-data pipeline runs after
+  * cleaning/dedup: deterministic train/val/test splitting, global
+  * sequence packing (concat-and-chunk token budgeting), and
+  * deterministic stratified sampling.
+  *
+  * All three are built on engine-portable arithmetic ([[PolyHash]] of
+  * the id, integer folds, rank-by-hash) rather than `rand()` — the
+  * assignment of a document is a pure function of its id, so it is
+  * reproducible across runs, engines (DuckDB oracle-checkable), and
+  * cluster sizes, and a re-run after appending new documents leaves
+  * every existing document's split/sample membership unchanged.
+  */
+object CorpusOps {
+
+  /** Deterministic hash split: bucket = polyHash(id as string) mod 100,
+    * assigned to named ranges, e.g. `Seq("train" -> 90, "val" -> 5,
+    * "test" -> 5)` → buckets [0,90) train, [90,95) val, [95,100) test.
+    * Pure per-row projection — no shuffle, no state, trivially parallel
+    * at any scale.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.map(_._2).sum == 100, "split percentages must sum to 100")
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val bucket = pmod(PolyHash.polyHash(col(idCol).cast("string")), lit(100))
+    val cumulative = splits.scanLeft(0)(_ + _._2).tail
+    val assignment = splits.zip(cumulative).foldRight(lit(null).cast("string")) {
+      case (((name, _), upper), els) => when(bucket < upper, lit(name)).otherwise(els)
+    }
+    df.withColumn("bucket", bucket).withColumn("split", assignment)
+  }
+
+  /** Global sequence packing (GPT-style concat-and-chunk): documents are
+    * laid end to end in `idCol` order and cut into fixed `budget`-token
+    * chunks; each document gets its global start offset and the range of
+    * chunks it lands in (a document may straddle a boundary).
+    *
+    * The global prefix sum is TWO-PHASE, not a single global-order
+    * window (`Window.orderBy(id)` with no partition key collapses the
+    * whole table into one task — the canonical non-scalable plan):
+    * range-partition by id, cumsum WITHIN each range partition, then
+    * offset each partition by the running total of the partitions before
+    * it — a tiny (#partitions rows) single-partition window joined back
+    * by broadcast. Wall-clock is two linear passes + one O(#partitions)
+    * step at any data size.
+    *
+    * The result does not depend on where the range boundaries fall, so
+    * the sampling-based range partitioner costs determinism nothing.
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokens: Column,
+                    budget: Int): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.select(col(idCol).as("id"), nTokens.cast("long").as("n_tokens"))
+      .repartitionByRange(p, col("id"))
+      // spark_partition_id is evaluated on the range-partitioned rows;
+      // nondeterministic flag keeps Catalyst from hoisting it above the
+      // exchange
+      .select(col("id"), col("n_tokens"), spark_partition_id().as("part"))
+    val totals = base.groupBy(col("part")).agg(sum(col("n_tokens")).as("ptotal"))
+    // one row per partition — the single-partition window is O(#parts)
+    val offsets = totals.select(col("part"),
+      (sum(col("ptotal")).over(Window.orderBy(col("part"))) - col("ptotal")).as("poffset"))
+    val local = Window.partitionBy(col("part")).orderBy(col("id"))
+    base.join(broadcast(offsets), "part")
+      .withColumn("start_tok",
+        col("poffset") + sum(col("n_tokens")).over(local) - col("n_tokens"))
+      .withColumn("chunk_start", expr(s"start_tok div $budget"))
+      .withColumn("chunk_end", expr(s"(start_tok + n_tokens - 1) div $budget"))
+      .select(col("id"), col("n_tokens"), col("start_tok"),
+        col("chunk_start"), col("chunk_end"))
+  }
+
+  /** Deterministic stratified sample: the k documents with the smallest
+    * (polyHash(id), id) rank within each stratum — uniform-without-
+    * replacement per stratum (the hash is the random draw), reproducible
+    * and engine-portable. The window is PARTITIONED by stratum, so the
+    * rank computation parallelizes across strata; a skewed stratum costs
+    * one fat sort partition, bounded by the stratum, not the table.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("h"), col(idCol))
+    df.withColumn("h", PolyHash.polyHash(col(idCol).cast("string")))
+      .withColumn("draw_rank", row_number().over(w).cast("long"))
+      .filter(col("draw_rank") <= k)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.{Exact, Tables}
 import graft.core.Exact.{r4, r6}
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{CorpusOps, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (north-star extensions):
   * text quality / language-ID / token counting / fingerprinting over
@@ -691,6 +691,83 @@ object ExtQueries extends QueryPack {
              |      list_transform(generate_series(1, least(length(text), 64)),
              |        i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
              |    (a, b) -> (a*31 + b) % 1000000007) AS checksum
-             |FROM documents ORDER BY media_id""".stripMargin))
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // Deterministic train/val/test split: bucket = PolyHash(id) mod 100
+    // → named ranges. A pure per-row projection (no rand(), no shuffle):
+    // membership is a function of the id alone, so appending documents
+    // never reassigns existing ones.
+    Q("q75_hash_split",
+      (s, d) => {
+        import s.implicits._
+        CorpusOps.hashSplit(Tables.documents(s, d), "doc_id",
+            Seq("train" -> 90, "val" -> 5, "test" -> 5))
+          .select($"doc_id", $"bucket".cast("long").as("bucket"), $"split")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+             |        i -> CAST(ascii(substring(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007) % 100 AS bucket
+             |  FROM documents)
+             |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+             |  CASE WHEN bucket < 90 THEN 'train'
+             |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // Global sequence packing (concat-and-chunk at a 512-token budget)
+    // via the two-phase prefix sum — per-range-partition cumsum plus an
+    // O(#partitions) offset pass, never a global-order window. The
+    // oracle's single global cumsum is the semantics; the operator's
+    // plan is the scalable evaluation of it.
+    Q("q76_pack_sequences",
+      (s, d) => {
+        import s.implicits._
+        CorpusOps.packSequences(Tables.documents(s, d), "doc_id",
+            TextAnalysis.tokenCount($"text"), budget = 512)
+          .select($"id".as("doc_id"), $"n_tokens", $"start_tok",
+            $"chunk_start", $"chunk_end")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_tok
+             |  FROM t)
+             |SELECT doc_id, n_tokens, start_tok,
+             |  start_tok // 512 AS chunk_start,
+             |  (start_tok + n_tokens - 1) // 512 AS chunk_end
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic stratified sample: the 50 smallest (PolyHash(id),
+    // id) draws per source stratum — uniform-without-replacement with
+    // the hash as the random draw; the rank window parallelizes across
+    // strata.
+    Q("q77_stratified_sample",
+      (s, d) => {
+        import s.implicits._
+        CorpusOps.stratifiedSample(Tables.documents(s, d), "source", "doc_id", k = 50)
+          .select($"source", $"doc_id", $"h", $"draw_rank")
+          .orderBy($"source", $"doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT source, doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+             |        i -> CAST(ascii(substring(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007) AS h
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, doc_id, h,
+             |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+             |  FROM h)
+             |SELECT source, doc_id, h, CAST(rk AS BIGINT) AS draw_rank
+             |FROM r WHERE rk <= 50 ORDER BY source, doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.CorpusOps
+
+/** Corpus-preparation operators: hash split stability, two-phase
+  * sequence packing vs a naive driver-side cumsum, stratified-sample
+  * invariants. All deterministic (hash-based, no rand()).
+  */
+class CorpusOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  test("hashSplit covers every row, respects percentages, and is append-stable") {
+    val split = CorpusOps.hashSplit(docs, "doc_id",
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    val n = docs.count()
+    assert(split.count() === n)
+    assert(split.filter($"split".isNull).count() === 0)
+    val byName = split.groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(byName.keySet.subsetOf(Set("train", "val", "test")))
+    // the dominant range actually dominates
+    assert(byName("train") > byName.getOrElse("val", 0L) &&
+      byName("train") > byName.getOrElse("test", 0L))
+    // append stability: assignment on a half-corpus equals the full-corpus
+    // assignment restricted to it (membership is a function of the id)
+    val half = CorpusOps.hashSplit(docs.filter($"doc_id" % 2 === 0), "doc_id",
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select($"doc_id", $"split")
+    val full = split.select($"doc_id", $"split".as("split_full"))
+    assert(half.join(full, "doc_id").filter($"split" =!= $"split_full").count() === 0)
+  }
+
+  test("packSequences equals the naive global cumsum and respects chunk bounds") {
+    val budget = 64
+    val packed = CorpusOps.packSequences(docs, "doc_id",
+        graft.ext.TextAnalysis.tokenCount($"text"), budget)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // naive ground truth: driver-side running total in id order
+    val counts = docs.select($"doc_id",
+        graft.ext.TextAnalysis.tokenCount($"text").as("n"))
+      .orderBy($"doc_id").as[(Long, Long)].collect()
+    var running = 0L
+    counts.foreach { case (id, nTok) =>
+      val (n, start, cs, ce) = packed(id)
+      assert(n === nTok)
+      assert(start === running, s"doc $id start $start != $running")
+      assert(cs === start / budget)
+      assert(ce === (start + n - 1) / budget)
+      assert(cs <= ce)
+      running += nTok
+    }
+    assert(packed.size === counts.length)
+  }
+
+  test("stratifiedSample takes exactly min(k, |stratum|) per stratum, deterministically") {
+    val k = 7
+    val sampled = CorpusOps.stratifiedSample(docs, "source", "doc_id", k)
+    val perStratum = sampled.groupBy($"source").count().as[(String, Long)].collect().toMap
+    val sizes = docs.groupBy($"source").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (src, sz) =>
+      assert(perStratum.getOrElse(src, 0L) === math.min(k.toLong, sz))
+    }
+    // rerun yields the identical id set
+    val a = sampled.select($"doc_id").as[Long].collect().toSet
+    val b = CorpusOps.stratifiedSample(docs, "source", "doc_id", k)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a === b)
+    // ranks within a stratum are 1..taken
+    val ranks = sampled.filter($"source" === sizes.keys.head)
+      .select($"draw_rank").as[Long].collect().sorted
+    assert(ranks === (1L to ranks.length).toArray)
+  }
+}
