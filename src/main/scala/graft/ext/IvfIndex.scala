@@ -76,14 +76,15 @@ object IvfIndex {
     * within the probed inverted lists.
     */
   def ivfKnn(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
-             k: Int, kCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+             k: Int, kCentroids: Int = 16, nProbe: Int = 4,
+             iters: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     // The centroid table is O(k·dim) by construction, so materialize it
     // once into a local relation: both consumers (list assignment and
     // query probing) then broadcast the same in-memory rows, the Lloyd
-    // step runs exactly once, and nothing is pinned in executor storage
+    // steps run exactly once, and nothing is pinned in executor storage
     // across calls (a cache() here would leak until session end).
-    val built = buildCentroids(spark, corpus, kCentroids)
+    val built = buildCentroids(spark, corpus, kCentroids, iters)
     val centroids = spark.createDataFrame(
       java.util.Arrays.asList(built.collect(): _*), built.schema)
     val lists = assign(

@@ -578,6 +578,108 @@ object ExtQueries extends QueryPack {
              |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // IVF with a SECOND Lloyd refinement step (iters = 2): the oracle
+    // chains one more exact-integer assign+mean round (asg1/dims1) onto
+    // the q64 CTE — multi-step refinement stays bit-reproducible, so
+    // the quantizer can be converged further without losing the oracle.
+    Q("q78_ivf_knn_refined",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        graft.ext.IvfIndex.ivfKnn(s, emb.filter($"vec_id" < 5), emb,
+            k = 5, kCentroids = 16, nProbe = 4, iters = 2)
+          .orderBy($"q_id", $"rank")
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+             |seeds AS (SELECT id AS cid, emb AS cemb FROM v ORDER BY id LIMIT 16),
+             |asg0 AS (
+             |  SELECT id, cid FROM (
+             |    SELECT v.id, s.cid,
+             |      row_number() OVER (PARTITION BY v.id ORDER BY
+             |        (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(s.cemb[i] AS DOUBLE))), (p,w) -> p + w)
+             |        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(v.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(s.cemb, (u,i) -> CAST(u AS DOUBLE) * CAST(s.cemb[i] AS DOUBLE))), (p,w) -> p + w)))) DESC,
+             |        s.cid) AS rn
+             |    FROM v CROSS JOIN seeds s)
+             |  WHERE rn = 1),
+             |dimrows0 AS (
+             |  SELECT cid, u.pos, u.x
+             |  FROM (SELECT a0.cid, unnest(list_transform(v.emb, (x,i) -> {'pos': i, 'x': x})) AS u
+             |        FROM asg0 a0 JOIN v USING (id)) a),
+             |dims0 AS (
+             |  SELECT cid, pos,
+             |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) / count(*) / 1000000.0 AS FLOAT) AS m
+             |  FROM dimrows0 GROUP BY cid, pos),
+             |cent0 AS (SELECT cid, list(m ORDER BY pos) AS cemb FROM dims0 GROUP BY cid),
+             |asg1 AS (
+             |  SELECT id, cid FROM (
+             |    SELECT v.id, c.cid,
+             |      row_number() OVER (PARTITION BY v.id ORDER BY
+             |        (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)
+             |        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(v.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(c.cemb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)))) DESC,
+             |        c.cid) AS rn
+             |    FROM v CROSS JOIN cent0 c)
+             |  WHERE rn = 1),
+             |dimrows1 AS (
+             |  SELECT cid, u.pos, u.x
+             |  FROM (SELECT a1.cid, unnest(list_transform(v.emb, (x,i) -> {'pos': i, 'x': x})) AS u
+             |        FROM asg1 a1 JOIN v USING (id)) a),
+             |dims1 AS (
+             |  SELECT cid, pos,
+             |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) / count(*) / 1000000.0 AS FLOAT) AS m
+             |  FROM dimrows1 GROUP BY cid, pos),
+             |cent AS (SELECT cid, list(m ORDER BY pos) AS cemb FROM dims1 GROUP BY cid),
+             |lists AS (
+             |  SELECT cid, id AS n_id FROM (
+             |    SELECT v.id, c.cid,
+             |      row_number() OVER (PARTITION BY v.id ORDER BY
+             |        (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)
+             |        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(v.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(c.cemb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)))) DESC,
+             |        c.cid) AS rn
+             |    FROM v CROSS JOIN cent c)
+             |  WHERE rn = 1),
+             |probes AS (
+             |  SELECT q_id, cid FROM (
+             |    SELECT v.id AS q_id, c.cid,
+             |      row_number() OVER (PARTITION BY v.id ORDER BY
+             |        (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)
+             |        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(v.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(c.cemb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)))) DESC,
+             |        c.cid) AS pr
+             |    FROM v CROSS JOIN cent c WHERE v.id < 5)
+             |  WHERE pr <= 4),
+             |cand AS (
+             |  SELECT DISTINCT p.q_id, l.n_id
+             |  FROM probes p JOIN lists l USING (cid)
+             |  WHERE p.q_id != l.n_id),
+             |sims AS (
+             |  SELECT q_id, n_id, round(
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(qe.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(ne.emb[i] AS DOUBLE))), (p,w) -> p + w)
+             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(qe.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(qe.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(ne.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(ne.emb[i] AS DOUBLE))), (p,w) -> p + w)))
+             |    , 6) + 0.0 AS sim
+             |  FROM cand JOIN v qe ON qe.id = q_id JOIN v ne ON ne.id = n_id)
+             |SELECT q_id, rank, n_id, sim FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
     // Native gap-based sessionization (session_window) — batch twin of
     // graft.streaming.Sessionize; window end = last event + gap.
     Q("q63_sessionize",
