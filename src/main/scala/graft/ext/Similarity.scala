@@ -170,6 +170,46 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking
     * column (exact within block).
     */
+  /** SemDeDup-style semantic near-duplicate pairs at corpus scale:
+    * [[IvfIndex]] k-means cells as the blocking key — build the
+    * deterministic coarse quantizer, assign every vector to its best
+    * cell, emit cosine ≥ threshold pairs WITHIN each cell. Linear
+    * assignment passes + per-cell quadratic verify; cross-cell
+    * near-dups are missed by construction (the documented approximation
+    * — exactly the trade the SemDeDup recipe makes, with recall set by
+    * kCells). The cell self-join is SALTED like the exact-Jaccard block
+    * join: a join keyed on the cell alone has as many tasks as cells,
+    * so one fat cell would serialize the cluster; salting spreads each
+    * cell over `salts` tasks while emitting every pair exactly once.
+    *
+    * EAGER, same contract as [[lshKnn]]: the assignment is persisted
+    * for the two join branches and released before returning; the
+    * result is a materialized local-checkpoint scan.
+    */
+  def semanticDupPairs(spark: org.apache.spark.sql.SparkSession,
+                       corpus: DataFrame, threshold: Double,
+                       kCells: Int = 16, salts: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val built = IvfIndex.buildCentroids(spark, corpus, kCells)
+    val centroids = spark.createDataFrame(
+      java.util.Arrays.asList(built.collect(): _*), built.schema)
+    val vecs = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val cells = IvfIndex.assign(vecs, centroids).join(vecs, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val a = cells.select(col("cid"), col("id").as("id_a"), col("emb").as("emb_a"))
+        .withColumn("salt", pmod(xxhash64(col("id_a")), lit(salts.toLong)))
+      val b = cells.select(col("cid"), col("id").as("id_b"), col("emb").as("emb_b"))
+        .withColumn("salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+      a.join(b, Seq("cid", "salt"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", graft.core.Exact.r6(cosineNative(col("emb_a"), col("emb_b"))))
+        .filter(col("sim") >= threshold)
+        .select(col("id_a"), col("id_b"), col("sim"))
+        .localCheckpoint(true)
+    } finally cells.unpersist(false)
+  }
+
   def cosineDupPairs(df: DataFrame, idCol: String, embCol: String,
                      blockCols: Seq[String], threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)

@@ -578,6 +578,67 @@ object ExtQueries extends QueryPack {
              |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // SemDeDup-style semantic dedup: IVF cells as the blocking key,
+    // exact cosine pairs within each cell (salted cell self-join). The
+    // oracle reuses the q64 quantizer CTE (seed → exact-integer Lloyd →
+    // assignment) and pair-joins the inverted lists.
+    Q("q79_semantic_dedup",
+      (s, d) => {
+        import s.implicits._
+        Similarity.semanticDupPairs(s, Tables.embeddings(s, d),
+            threshold = 0.25, kCells = 16)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+             |seeds AS (SELECT id AS cid, emb AS cemb FROM v ORDER BY id LIMIT 16),
+             |asg0 AS (
+             |  SELECT id, cid FROM (
+             |    SELECT v.id, s.cid,
+             |      row_number() OVER (PARTITION BY v.id ORDER BY
+             |        (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(s.cemb[i] AS DOUBLE))), (p,w) -> p + w)
+             |        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(v.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(s.cemb, (u,i) -> CAST(u AS DOUBLE) * CAST(s.cemb[i] AS DOUBLE))), (p,w) -> p + w)))) DESC,
+             |        s.cid) AS rn
+             |    FROM v CROSS JOIN seeds s)
+             |  WHERE rn = 1),
+             |dimrows AS (
+             |  SELECT cid, u.pos, u.x
+             |  FROM (SELECT a0.cid, unnest(list_transform(v.emb, (x,i) -> {'pos': i, 'x': x})) AS u
+             |        FROM asg0 a0 JOIN v USING (id)) a),
+             |dims AS (
+             |  SELECT cid, pos,
+             |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) / count(*) / 1000000.0 AS FLOAT) AS m
+             |  FROM dimrows GROUP BY cid, pos),
+             |cent AS (SELECT cid, list(m ORDER BY pos) AS cemb FROM dims GROUP BY cid),
+             |lists AS (
+             |  SELECT cid, id AS n_id FROM (
+             |    SELECT v.id, c.cid,
+             |      row_number() OVER (PARTITION BY v.id ORDER BY
+             |        (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)
+             |        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(v.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(c.cemb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)))) DESC,
+             |        c.cid) AS rn
+             |    FROM v CROSS JOIN cent c)
+             |  WHERE rn = 1),
+             |sims AS (
+             |  SELECT a.n_id AS id_a, b.n_id AS id_b, round(
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(va.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(vb.emb[i] AS DOUBLE))), (p,w) -> p + w)
+             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(va.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(va.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(vb.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(vb.emb[i] AS DOUBLE))), (p,w) -> p + w)))
+             |    , 6) + 0.0 AS sim
+             |  FROM lists a JOIN lists b ON a.cid = b.cid AND a.n_id < b.n_id
+             |  JOIN v va ON va.id = a.n_id JOIN v vb ON vb.id = b.n_id)
+             |SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.25 ORDER BY 1, 2""".stripMargin)),
+
     // IVF with a SECOND Lloyd refinement step (iters = 2): the oracle
     // chains one more exact-integer assign+mean round (asg1/dims1) onto
     // the q64 CTE — multi-step refinement stays bit-reproducible, so

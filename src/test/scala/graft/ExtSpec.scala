@@ -55,6 +55,34 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("semantic dedup equals exhaustive same-cell cosine pairs") {
+    // the IVF-cell blocking is the ONLY approximation: within a cell
+    // the operator is exact, so its output must equal the definitional
+    // scan restricted to same-cell pairs — and be a subset of the
+    // unrestricted exhaustive pair set
+    val tau = 0.25
+    val built = graft.ext.IvfIndex.buildCentroids(spark, embs, 16)
+    val centroids = spark.createDataFrame(
+      java.util.Arrays.asList(built.collect(): _*), built.schema)
+    val cells = graft.ext.IvfIndex.assign(
+        embs.select($"vec_id".as("id"), $"embedding".as("emb")), centroids)
+      .as[(Long, Long)].collect().toMap
+    val exhaustive = embs.select($"vec_id".as("id_a"), $"embedding".as("emb_a"))
+      .crossJoin(embs.select($"vec_id".as("id_b"), $"embedding".as("emb_b")))
+      .filter($"id_a" < $"id_b")
+      .withColumn("sim", graft.core.Exact.r6(
+        graft.functions.CosineSim.cosineSim($"emb_a", $"emb_b")))
+      .filter($"sim" >= tau)
+      .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect().toSet
+    val expected = exhaustive.filter { case (a, b, _) => cells(a) == cells(b) }
+    val got = Similarity.semanticDupPairs(spark, embs, tau, kCells = 16)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === expected,
+      s"got ${got.size} vs expected ${expected.size}; " +
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.subsetOf(exhaustive))
+  }
+
   test("banding-parameter relations: finer bands widen the candidate set") {
     // with the same 63-slot signature, a (b, r>1) band match means every
     // slot in the band matches, so any (21,3) candidate is a (63,1)

@@ -63,6 +63,24 @@ class PlanAuditSpec extends SparkTestBase {
       s"benchmark side not broadcast in semi-join:\n$plan")
   }
 
+  test("q76 packing windows are partitioned; only the O(#partitions) offset pass is global") {
+    val plan = finalPlan("q76_pack_sequences")
+    // the per-row cumsum must be partitioned by the range-partition id —
+    // a partition-less window over the document table is the
+    // single-task plan that cannot scale
+    val windows = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(windows.nonEmpty, s"no window in plan:\n$plan")
+    val partitioned = windows.filter(_.contains("part#"))
+    val global = windows.filterNot(_.contains("part#"))
+    assert(partitioned.nonEmpty, s"row cumsum window lost its partition key:\n$plan")
+    // the only global-order window is the per-partition offset pass,
+    // which runs over #partitions rows, not documents — it must sit
+    // under the broadcast side of the offsets join
+    assert(global.size <= 1, s"unexpected global windows: $global")
+    assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
+  }
+
   test("q45 exact dedup aggregates with map-side partial aggregation") {
     val plan = finalPlan("q45_dedup_exact")
     // two HashAggregates around one exchange = partial + final
