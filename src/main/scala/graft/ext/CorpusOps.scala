@@ -79,6 +79,43 @@ object CorpusOps {
         col("chunk_start"), col("chunk_end"))
   }
 
+  /** Deterministic per-epoch training shuffle: position = rank of
+    * (h_e(id), id) where h_e(x) = (a_e·polyHash(x) + b_e) mod P — a
+    * reproducible pseudo-random permutation of the corpus that changes
+    * every epoch without any `rand()` or stored state. The epoch seeds
+    * an AFFINE MIX over the base hash, not a string prefix: polyHash of
+    * a short id never wraps the modulus, so a prefixed/suffixed epoch
+    * tag is a monotone transform within each id-length class and epochs
+    * would yield the SAME order (caught by the permutation spec); the
+    * modular multiply wraps constantly and genuinely re-permutes. Same
+    * universal family as the MinHash permutations — engine-portable.
+    *
+    * Two-phase global-rank shape as [[packSequences]]: range-partition
+    * by the hash, rank WITHIN each partition, offset by the preceding
+    * partitions' row counts (O(#partitions), broadcast back). Never a
+    * global-order window over the corpus.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val P = 1000000007L
+    val a = 1103515245L * (epoch + 1) % P
+    val b = (12345L * epoch + 7L) % P
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.select(col(idCol).as("id"))
+      // base hash < P and a < P keep the product inside signed-64
+      .withColumn("h",
+        (PolyHash.polyHash(col("id").cast("string")) * lit(a) + lit(b)) % lit(P))
+      .repartitionByRange(p, col("h"), col("id"))
+      .select(col("id"), col("h"), spark_partition_id().as("part"))
+    val counts = base.groupBy(col("part")).agg(count(lit(1)).as("n"))
+    val offsets = counts.select(col("part"),
+      (sum(col("n")).over(Window.orderBy(col("part"))) - col("n")).as("poffset"))
+    val local = Window.partitionBy(col("part")).orderBy(col("h"), col("id"))
+    base.join(broadcast(offsets), "part")
+      .withColumn("pos", col("poffset") + row_number().over(local) - 1)
+      .select(col("id"), col("h"), col("pos"))
+  }
+
   /** Deterministic stratified sample: the k documents with the smallest
     * (polyHash(id), id) rank within each stratum — uniform-without-
     * replacement per stratum (the hash is the random draw), reproducible

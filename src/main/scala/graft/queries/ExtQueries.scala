@@ -908,6 +908,32 @@ object ExtQueries extends QueryPack {
              |  (start_tok + n_tokens - 1) // 512 AS chunk_end
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic per-epoch training shuffle: position = rank of
+    // ((a_e·PolyHash(id) + b_e) mod P, id) — the epoch seeds an affine
+    // mix over the base hash (a string-tagged hash of a short id never
+    // wraps the modulus, so it would NOT re-permute across epochs).
+    // Two-phase global rank (range-partition by hash + per-partition
+    // offsets), never a global-order window. Epoch 1 → a = 2207030490
+    // mod P = 207030483, b = 12352.
+    Q("q80_epoch_shuffle",
+      (s, d) => {
+        import s.implicits._
+        CorpusOps.epochShuffle(Tables.documents(s, d), "doc_id", epoch = 1)
+          .select($"id".as("doc_id"), $"h", $"pos")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+             |        i -> CAST(ascii(substring(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007)
+             |     * ((CAST(1103515245 AS BIGINT) * 2) % 1000000007) + 12352) % 1000000007 AS h
+             |  FROM documents)
+             |SELECT doc_id, h,
+             |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
     // Deterministic stratified sample: the 50 smallest (PolyHash(id),
     // id) draws per source stratum — uniform-without-replacement with
     // the hash as the random draw; the rank window parallelizes across

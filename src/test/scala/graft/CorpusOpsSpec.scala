@@ -56,6 +56,26 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(packed.size === counts.length)
   }
 
+  test("epochShuffle is a permutation matching the naive global rank; epochs differ") {
+    val n = docs.count()
+    val e1 = CorpusOps.epochShuffle(docs, "doc_id", epoch = 1)
+    // a permutation: positions are exactly 0..n-1
+    assert(e1.select($"pos").distinct().count() === n)
+    assert(e1.agg(min($"pos"), max($"pos")).as[(Long, Long)].head() === ((0L, n - 1)))
+    // equals the definitional single-window rank
+    val naive = e1.select($"id", $"h")
+      .withColumn("expected",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"h", $"id")).cast("long") - 1)
+    assert(e1.join(naive, Seq("id")).filter($"pos" =!= $"expected").count() === 0)
+    // a different epoch yields a different permutation
+    val e2 = CorpusOps.epochShuffle(docs, "doc_id", epoch = 2)
+    val moved = e1.select($"id", $"pos")
+      .join(e2.select($"id", $"pos".as("pos2")), "id")
+      .filter($"pos" =!= $"pos2").count()
+    assert(moved > 0, "epoch 2 produced the identical permutation")
+  }
+
   test("stratifiedSample takes exactly min(k, |stratum|) per stratum, deterministically") {
     val k = 7
     val sampled = CorpusOps.stratifiedSample(docs, "source", "doc_id", k)
