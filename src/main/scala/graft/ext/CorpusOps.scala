@@ -52,24 +52,58 @@ object CorpusOps {
     * by broadcast. Wall-clock is two linear passes + one O(#partitions)
     * step at any data size.
     *
-    * The result does not depend on where the range boundaries fall, so
-    * the sampling-based range partitioner costs determinism nothing.
+    * The result does not depend on where the range boundaries fall
+    * (`idCol` must be unique — duplicate ids have no defined global
+    * order to pack in), but BOTH consumers of the partitioned rows (the
+    * per-partition totals and the rank join) must see the SAME
+    * boundaries: the range partitioner samples with an rdd-id-dependent
+    * seed, so two independently planned exchanges could split rows
+    * differently and silently misalign `part` between the branches.
+    * The base is therefore persisted — not left to the optimizer's
+    * optional exchange reuse — and released after the result
+    * materializes (EAGER, local-checkpoint contract like
+    * [[Dedup.minHashLshPairs]]).
     */
   def packSequences(df: DataFrame, idCol: String, nTokens: Column,
                     budget: Int): DataFrame = {
     require(budget > 0, "token budget must be positive")
+    val base = partitionedBy(df.select(col(idCol).as("id"),
+        nTokens.cast("long").as("n_tokens")), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try packSequencesPlan(base, budget).localCheckpoint(true)
+    finally base.unpersist(false)
+  }
+
+  /** Range-partition by `key` and stamp the partition id — the shared
+    * first phase of the two-phase global rank/cumsum operators. Callers
+    * MUST persist the result before branching on it (see
+    * [[packSequences]] scaladoc for why).
+    */
+  private def partitionedBy(df: DataFrame, key: Column*): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val base = df.select(col(idCol).as("id"), nTokens.cast("long").as("n_tokens"))
-      .repartitionByRange(p, col("id"))
-      // spark_partition_id is evaluated on the range-partitioned rows;
-      // nondeterministic flag keeps Catalyst from hoisting it above the
-      // exchange
-      .select(col("id"), col("n_tokens"), spark_partition_id().as("part"))
+    // spark_partition_id is evaluated on the range-partitioned rows;
+    // nondeterministic flag keeps Catalyst from hoisting it above the
+    // exchange
+    df.repartitionByRange(p, key: _*)
+      .withColumn("part", spark_partition_id())
+  }
+
+  /** Packing dataflow over a (persisted) partitioned base — split out so
+    * a plan spec can assert the two-phase shape (partitioned big-side
+    * window, single O(#partitions) global pass) under the checkpoint.
+    */
+  private[graft] def packSequencesPlan(base: DataFrame, budget: Int): DataFrame = {
     val totals = base.groupBy(col("part")).agg(sum(col("n_tokens")).as("ptotal"))
-    // one row per partition — the single-partition window is O(#parts)
+    // one row per partition — the single-partition window is O(#parts).
+    // ROWS frames everywhere: the default RANGE frame sums all ORDER-BY
+    // peers, which double-counts under duplicate keys instead of
+    // surfacing them
+    val runTot = Window.orderBy(col("part"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = totals.select(col("part"),
-      (sum(col("ptotal")).over(Window.orderBy(col("part"))) - col("ptotal")).as("poffset"))
+      (sum(col("ptotal")).over(runTot) - col("ptotal")).as("poffset"))
     val local = Window.partitionBy(col("part")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base.join(broadcast(offsets), "part")
       .withColumn("start_tok",
         col("poffset") + sum(col("n_tokens")).over(local) - col("n_tokens"))
@@ -90,26 +124,34 @@ object CorpusOps {
     * modular multiply wraps constantly and genuinely re-permutes. Same
     * universal family as the MinHash permutations — engine-portable.
     *
-    * Two-phase global-rank shape as [[packSequences]]: range-partition
-    * by the hash, rank WITHIN each partition, offset by the preceding
-    * partitions' row counts (O(#partitions), broadcast back). Never a
-    * global-order window over the corpus.
+    * Two-phase global-rank shape as [[packSequences]] (same persisted-
+    * base/eager contract — the branch-consistency argument there applies
+    * verbatim): range-partition by the hash, rank WITHIN each partition,
+    * offset by the preceding partitions' row counts (O(#partitions),
+    * broadcast back). Never a global-order window over the corpus.
     */
   def epochShuffle(df: DataFrame, idCol: String, epoch: Int): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
     val P = 1000000007L
     val a = 1103515245L * (epoch + 1) % P
     val b = (12345L * epoch + 7L) % P
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val base = df.select(col(idCol).as("id"))
-      // base hash < P and a < P keep the product inside signed-64
-      .withColumn("h",
-        (PolyHash.polyHash(col("id").cast("string")) * lit(a) + lit(b)) % lit(P))
-      .repartitionByRange(p, col("h"), col("id"))
-      .select(col("id"), col("h"), spark_partition_id().as("part"))
+    val base = partitionedBy(
+      df.select(col(idCol).as("id"))
+        // base hash < P and a < P keep the product inside signed-64
+        .withColumn("h",
+          (PolyHash.polyHash(col("id").cast("string")) * lit(a) + lit(b)) % lit(P)),
+      col("h"), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try epochShufflePlan(base).localCheckpoint(true)
+    finally base.unpersist(false)
+  }
+
+  private[graft] def epochShufflePlan(base: DataFrame): DataFrame = {
     val counts = base.groupBy(col("part")).agg(count(lit(1)).as("n"))
+    val runTot = Window.orderBy(col("part"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = counts.select(col("part"),
-      (sum(col("n")).over(Window.orderBy(col("part"))) - col("n")).as("poffset"))
+      (sum(col("n")).over(runTot) - col("n")).as("poffset"))
     val local = Window.partitionBy(col("part")).orderBy(col("h"), col("id"))
     base.join(broadcast(offsets), "part")
       .withColumn("pos", col("poffset") + row_number().over(local) - 1)

@@ -36,9 +36,11 @@ object IvfIndex {
     * Lloyd steps (default 1 — the oracle-checked configuration; more
     * steps converge the quantizer further and stay bit-reproducible,
     * they just need a longer oracle CTE chain). A cell that attracts no
-    * vectors drops out (as in the single-step original) — with seeds
-    * drawn from the corpus itself every seed attracts at least itself
-    * on the first step, so this only matters after later reshuffles.
+    * vectors drops out: usually only after later reshuffles, but also on
+    * the FIRST step when two seeds tie (identical/cosine-tied
+    * embeddings — the deterministic argmax sends both to the lower cid),
+    * so consumers must treat the configured k as an upper bound on the
+    * cell count, not a guarantee.
     */
   def buildCentroids(spark: SparkSession, corpus: DataFrame, k: Int,
                      iters: Int = 1): DataFrame = {
@@ -72,6 +74,16 @@ object IvfIndex {
         e => e.getField("m")).as("cemb"))
   }
 
+  /** Collect a tiny (O(k·dim) by construction) DataFrame into a LOCAL
+    * relation: every consumer then broadcasts the same in-memory rows,
+    * the producing plan runs exactly once, and nothing stays pinned in
+    * executor storage across calls (a cache() would leak until session
+    * end). For centroid tables only — never point this at corpus-sized
+    * data.
+    */
+  def materializeLocal(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   /** IVF top-k: probe the nProbe best centroids per query, exact rerank
     * within the probed inverted lists.
     */
@@ -79,14 +91,8 @@ object IvfIndex {
              k: Int, kCentroids: Int = 16, nProbe: Int = 4,
              iters: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    // The centroid table is O(k·dim) by construction, so materialize it
-    // once into a local relation: both consumers (list assignment and
-    // query probing) then broadcast the same in-memory rows, the Lloyd
-    // steps run exactly once, and nothing is pinned in executor storage
-    // across calls (a cache() here would leak until session end).
-    val built = buildCentroids(spark, corpus, kCentroids, iters)
-    val centroids = spark.createDataFrame(
-      java.util.Arrays.asList(built.collect(): _*), built.schema)
+    val centroids = materializeLocal(spark,
+      buildCentroids(spark, corpus, kCentroids, iters))
     val lists = assign(
       corpus.select(col("vec_id").as("id"), col("embedding").as("emb")), centroids)
       .join(corpus.select(col("vec_id").as("id"), col("embedding").as("n_emb")), "id")

@@ -167,9 +167,6 @@ object Similarity {
       abs(x.cast("double") - qq.cast("double") * maxabs / 127.0)),
       lit(0.0), (acc, v) => acc + v) / size(q)
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking
-    * column (exact within block).
-    */
   /** SemDeDup-style semantic near-duplicate pairs at corpus scale:
     * [[IvfIndex]] k-means cells as the blocking key — build the
     * deterministic coarse quantizer, assign every vector to its best
@@ -189,10 +186,12 @@ object Similarity {
   def semanticDupPairs(spark: org.apache.spark.sql.SparkSession,
                        corpus: DataFrame, threshold: Double,
                        kCells: Int = 16, salts: Int = 8): DataFrame = {
+    // salts = 0 would not error: the a-side pmod yields NULL, the b-side
+    // sequence(0, -1) never matches it, and every pair silently vanishes
+    require(salts >= 1, "salts must be >= 1")
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val built = IvfIndex.buildCentroids(spark, corpus, kCells)
-    val centroids = spark.createDataFrame(
-      java.util.Arrays.asList(built.collect(): _*), built.schema)
+    val centroids = IvfIndex.materializeLocal(spark,
+      IvfIndex.buildCentroids(spark, corpus, kCells))
     val vecs = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))
     val cells = IvfIndex.assign(vecs, centroids).join(vecs, "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -210,6 +209,9 @@ object Similarity {
     } finally cells.unpersist(false)
   }
 
+  /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking
+    * column (exact within block).
+    */
   def cosineDupPairs(df: DataFrame, idCol: String, embCol: String,
                      blockCols: Seq[String], threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)

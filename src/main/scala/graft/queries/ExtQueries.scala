@@ -914,7 +914,7 @@ object ExtQueries extends QueryPack {
     // wraps the modulus, so it would NOT re-permute across epochs).
     // Two-phase global rank (range-partition by hash + per-partition
     // offsets), never a global-order window. Epoch 1 → a = 2207030490
-    // mod P = 207030483, b = 12352.
+    // mod P = 207030476, b = 12352.
     Q("q80_epoch_shuffle",
       (s, d) => {
         import s.implicits._

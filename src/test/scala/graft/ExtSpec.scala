@@ -61,9 +61,8 @@ class ExtSpec extends SparkTestBase {
     // scan restricted to same-cell pairs — and be a subset of the
     // unrestricted exhaustive pair set
     val tau = 0.25
-    val built = graft.ext.IvfIndex.buildCentroids(spark, embs, 16)
-    val centroids = spark.createDataFrame(
-      java.util.Arrays.asList(built.collect(): _*), built.schema)
+    val centroids = graft.ext.IvfIndex.materializeLocal(spark,
+      graft.ext.IvfIndex.buildCentroids(spark, embs, 16))
     val cells = graft.ext.IvfIndex.assign(
         embs.select($"vec_id".as("id"), $"embedding".as("emb")), centroids)
       .as[(Long, Long)].collect().toMap

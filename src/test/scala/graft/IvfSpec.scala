@@ -38,7 +38,11 @@ class IvfSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(c2a === c2b)
     // quantization distortion (mean best-centroid cosine affinity) must
-    // not get WORSE with a second step
+    // not get WORSE with a second step ON THIS FIXTURE — a pinned
+    // regression check, not a theorem: Lloyd monotonicity is proven for
+    // squared-Euclidean with raw means, and this operator pairs raw
+    // means with COSINE assignment (plus micro-int rounding), for which
+    // adversarial norm-skewed corpora can regress a step
     import org.apache.spark.sql.functions._
     def meanBestAff(cent: Map[Long, Seq[Float]]): Double = {
       val cdf = cent.toSeq.toDF("cid", "cemb")

@@ -63,22 +63,48 @@ class PlanAuditSpec extends SparkTestBase {
       s"benchmark side not broadcast in semi-join:\n$plan")
   }
 
-  test("q76 packing windows are partitioned; only the O(#partitions) offset pass is global") {
-    val plan = finalPlan("q76_pack_sequences")
-    // the per-row cumsum must be partitioned by the range-partition id —
-    // a partition-less window over the document table is the
-    // single-task plan that cannot scale
-    val windows = "windowspecdefinition\\(([^)]*)\\)".r
-      .findAllMatchIn(plan).map(_.group(1)).toList
-    assert(windows.nonEmpty, s"no window in plan:\n$plan")
-    val partitioned = windows.filter(_.contains("part#"))
-    val global = windows.filterNot(_.contains("part#"))
-    assert(partitioned.nonEmpty, s"row cumsum window lost its partition key:\n$plan")
-    // the only global-order window is the per-partition offset pass,
-    // which runs over #partitions rows, not documents — it must sit
-    // under the broadcast side of the offsets join
-    assert(global.size <= 1, s"unexpected global windows: $global")
-    assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
+  test("q76 packing plan: big-side window partitioned, one single-partition offset pass") {
+    // the public operator checkpoints eagerly (persisted partitioned
+    // base — see packSequences scaladoc), so audit the dataflow seam.
+    // Exchange nodes are the ground truth the text-matching of window
+    // specs couldn't give: a partition-less window over the documents
+    // table would ADD an `Exchange SinglePartition`, so exactly one
+    // (the O(#partitions) offsets pass) is the scalable shape.
+    import org.apache.spark.sql.functions._
+    val base = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .repartitionByRange(8, col("id"))
+      .withColumn("part", spark_partition_id())
+      .persist()
+    try {
+      val df = graft.ext.CorpusOps.packSequencesPlan(base, 512)
+      df.collect()
+      // walk the FINAL adaptive plan tree — toString renders Initial AND
+      // Final sections, so any text count double-counts every exchange
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: QueryStageExec => s +: walk(s.plan)
+        case _ => p +: p.children.flatMap(walk)
+      }
+      val nodes = walk(df.queryExecution.executedPlan)
+      val shuffles = nodes.collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+      val singles = shuffles.count(_ == SinglePartition)
+      assert(singles === 1,
+        s"expected exactly 1 single-partition exchange, got $singles ($shuffles)")
+      // the big-side cumsum window keeps its partition key: its exchange
+      // hash-partitions on `part`
+      assert(shuffles.exists {
+        case h: HashPartitioning => h.expressions.exists(_.toString.contains("part#"))
+        case _ => false
+      }, s"row cumsum window lost its partition key: $shuffles")
+      assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+        s"offsets not broadcast: ${nodes.map(_.nodeName).distinct}")
+    } finally base.unpersist()
   }
 
   test("q45 exact dedup aggregates with map-side partial aggregation") {
