@@ -293,6 +293,46 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated"), min(col("n_shingles")).as("n_shingles"))
   }
 
+  /** Within-corpus repeated-span detection (the substring-level dedup
+    * signal of "Deduplicating Training Data Makes Language Models
+    * Better"): hash every n-token window of every document and report,
+    * per document, how many of its distinct windows also occur in at
+    * least one OTHER document (or again in itself under a different
+    * window — any hash held by ≥2 (doc, window) entries). Two linear
+    * passes + one aggregation — no pair join of any kind, so corpus
+    * size only ever enters linearly. Window hashes are
+    * [[graft.functions.PolyHash]] of the window text — engine-portable,
+    * and hash collisions (astronomically rare) reproduce identically in
+    * the oracle because it recomputes the same fold.
+    *
+    * EAGER (persist + local-checkpoint contract): the distinct-window
+    * arrays feed an explode AND the per-doc window counts, so they are
+    * materialized once and released.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val toks = widen(df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks")))
+    val grams = toks
+      .select(col("id"), array_distinct(TextAnalysis.gramsFromTokens(col("toks"), n)).as("gs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = grams.select(col("id"), explode(col("gs")).as("g"))
+        .withColumn("h", graft.functions.PolyHash.polyHash(col("g")))
+        .select(col("id"), col("h"))
+      // (id, h) rows are distinct per doc (array_distinct upstream), so
+      // a plain count per hash IS the number of holding documents
+      val byH = pairs.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      val shared = pairs.join(byH.filter(col("n_docs") >= 2), Seq("h"))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+      grams.select(col("id"), size(col("gs")).cast("long").as("n_windows"))
+        .join(shared, Seq("id"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .localCheckpoint(true)
+    } finally grams.unpersist(false)
+  }
+
   /** Connected components of the near-duplicate pair graph — the step
     * that turns pairwise matches (from any of the pair operators) into
     * dedup GROUPS with a canonical representative (minimum id), the way

@@ -94,6 +94,20 @@ object TextAnalysis {
     round(least(greatest(lenScore * lenPenalty * (lit(0.7) + stopRatio), lit(0.0)), lit(1.0)), 4)
   }
 
+  /** Tokens containing at least one ASCII letter — the Gopher-style
+    * "fraction of alphabetic words" signal (low ⇒ tables/code/noise).
+    * Operates on a MATERIALIZED token array (same staging rule as
+    * [[stopwordCountFromTokens]]).
+    */
+  def alphaTokenCount(toks: Column): Column =
+    size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+
+  /** Occurrences of hash marks and ellipses ('#', '...', '…') — the
+    * Gopher symbol-ratio numerator (boilerplate/link-farm marker).
+    */
+  def symbolCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("#|\\.\\.\\.|…"), lit(0))).cast("long")
+
   /** Deterministic 63-bit rolling document fingerprint:
     * fold over tokens of (acc*31 + code(token)) mod p, where
     * code(t) = ascii(first char)*1000 + length(t). Oracle-expressible

@@ -856,6 +856,91 @@ object ExtQueries extends QueryPack {
              |    (a, b) -> (a*31 + b) % 1000000007) AS checksum
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // Within-corpus repeated-span detection: per doc, distinct 8-token
+    // windows whose PolyHash occurs in >= 2 (doc, window) entries
+    // corpus-wide. Linear passes + one agg — no pair join.
+    Q("q81_repeated_spans",
+      (s, d) => {
+        import s.implicits._
+        Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text", n = 8)
+          .select($"id".as("doc_id"), $"n_windows", $"n_shared")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text),'\s+') AS l FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_filter(
+             |      list_transform(l, (x,i) -> CASE WHEN i <= len(l)-7
+             |        THEN x || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+             |             l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7] END),
+             |      v -> v IS NOT NULL)) AS gs
+             |  FROM t),
+             |p AS (SELECT doc_id, unnest(gs) AS gr FROM g),
+             |hh AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(gr)),
+             |        i -> CAST(ascii(substring(gr, i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007) AS h
+             |  FROM p),
+             |byh AS (SELECT h, count(*) AS n_docs FROM hh GROUP BY h),
+             |sh AS (
+             |  SELECT doc_id, count(*) AS n_shared
+             |  FROM hh JOIN byh USING (h) WHERE n_docs >= 2 GROUP BY doc_id)
+             |SELECT g.doc_id, CAST(len(gs) AS BIGINT) AS n_windows,
+             |  CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared
+             |FROM g LEFT JOIN sh ON g.doc_id = sh.doc_id
+             |ORDER BY g.doc_id""".stripMargin)),
+
+    // Gopher/RefinedWeb-style heuristic rule bundle: per-document
+    // boolean flags (length window, mean word length, alphabetic-word
+    // ratio, stopword floor, symbol ratio) + the conjunctive keep
+    // decision — the explicit filter table a pretraining pipeline
+    // materializes. Token array staged once (the q43 lesson).
+    Q("q82_gopher_rules",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d)
+          .select($"doc_id", $"text", TextAnalysis.tokens($"text").as("toks"))
+        val m = base.select($"doc_id",
+          size($"toks").cast("long").as("n_tokens"),
+          TextAnalysis.alphaTokenCount($"toks").as("n_alpha"),
+          TextAnalysis.stopwordCountFromTokens($"toks",
+            TextAnalysis.StopwordProfiles.flatMap(_._2)).as("n_stop"),
+          TextAnalysis.symbolCount($"text").as("n_symbol"),
+          ((length($"text") - size($"toks") + 1).cast("double") / size($"toks")).as("mean_len"))
+        m.select($"doc_id", $"n_tokens",
+            ($"n_tokens" >= 50 && $"n_tokens" <= 100000).as("flag_len"),
+            ($"mean_len" >= 3.0 && $"mean_len" <= 10.0).as("flag_word_len"),
+            ($"n_alpha" * 1.0 / $"n_tokens" >= 0.8).as("flag_alpha"),
+            ($"n_stop" >= 2).as("flag_stop"),
+            ($"n_symbol" * 1.0 / $"n_tokens" <= 0.1).as("flag_symbol"))
+          .withColumn("keep", $"flag_len" && $"flag_word_len" && $"flag_alpha" &&
+            $"flag_stop" && $"flag_symbol")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text, string_split_regex(trim(text),'\s+') AS toks FROM documents),
+             |m AS (
+             |  SELECT doc_id, len(toks) AS n_tokens,
+             |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             |    len(list_filter(toks, x -> list_contains(
+             |      ['the','and','of','to','in','el','la','de','que','los','le','et','les','des','der','die','und','das','ein'], x))) AS n_stop,
+             |    len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_symbol,
+             |    (length(text) - len(toks) + 1) * 1.0 / len(toks) AS mean_len
+             |  FROM t)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  n_tokens >= 50 AND n_tokens <= 100000 AS flag_len,
+             |  mean_len >= 3.0 AND mean_len <= 10.0 AS flag_word_len,
+             |  n_alpha * 1.0 / n_tokens >= 0.8 AS flag_alpha,
+             |  n_stop >= 2 AS flag_stop,
+             |  n_symbol * 1.0 / n_tokens <= 0.1 AS flag_symbol,
+             |  (n_tokens >= 50 AND n_tokens <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+             |    AND (n_alpha * 1.0 / n_tokens >= 0.8) AND (n_stop >= 2)
+             |    AND (n_symbol * 1.0 / n_tokens <= 0.1) AS keep
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     // Deterministic train/val/test split: bucket = PolyHash(id) mod 100
     // → named ranges. A pure per-row projection (no rand(), no shuffle):
     // membership is a function of the id alone, so appending documents

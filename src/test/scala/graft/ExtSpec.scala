@@ -236,6 +236,18 @@ class ExtSpec extends SparkTestBase {
     assert(split === got)
   }
 
+  test("repeated spans: cross-document window sharing, unique docs at zero") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),  // 8-token windows: a..h, b..i, c..j
+      (2L, "a b c d e f g h x y"),  // shares exactly the a..h window with doc 1
+      (3L, "p q r s t u v w"))      // one window, held by nobody else
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(d, "doc_id", "text", n = 8)
+      .orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 1L, 0L)))
+  }
+
   test("langId is deterministic and rolling fingerprint is stable") {
     val a = docs.select(TextAnalysis.langId($"text").as("l"),
       TextAnalysis.rollingFingerprint($"text").as("f")).collect()
