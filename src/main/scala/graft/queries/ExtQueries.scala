@@ -941,6 +941,62 @@ object ExtQueries extends QueryPack {
              |    AND (n_symbol * 1.0 / n_tokens <= 0.1) AS keep
              |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // End-to-end curation pipeline: Gopher rule filter → exact dedup
+    // (min-id canonical per identical text) → deterministic hash split.
+    // The composition story — every stage is an operator verified on
+    // its own above, and the chained oracle re-derives the whole
+    // surviving corpus.
+    Q("q83_curation_pipeline",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d)
+          .select($"doc_id", $"text", TextAnalysis.tokens($"text").as("toks"))
+        val m = base.select($"doc_id", $"text",
+          size($"toks").cast("long").as("n_tokens"),
+          TextAnalysis.alphaTokenCount($"toks").as("n_alpha"),
+          TextAnalysis.stopwordCountFromTokens($"toks",
+            TextAnalysis.StopwordProfiles.flatMap(_._2)).as("n_stop"),
+          TextAnalysis.symbolCount($"text").as("n_symbol"),
+          ((length($"text") - size($"toks") + 1).cast("double") / size($"toks")).as("mean_len"))
+        val kept = m.filter($"n_tokens" >= 50 && $"n_tokens" <= 100000 &&
+          $"mean_len" >= 3.0 && $"mean_len" <= 10.0 &&
+          $"n_alpha" * 1.0 / $"n_tokens" >= 0.8 && $"n_stop" >= 2 &&
+          $"n_symbol" * 1.0 / $"n_tokens" <= 0.1)
+        val canon = kept.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id")
+        CorpusOps.hashSplit(canon, "doc_id", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+          .select($"doc_id", $"bucket".cast("long").as("bucket"), $"split")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text, string_split_regex(trim(text),'\s+') AS toks FROM documents),
+             |m AS (
+             |  SELECT doc_id, text, len(toks) AS n_tokens,
+             |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             |    len(list_filter(toks, x -> list_contains(
+             |      ['the','and','of','to','in','el','la','de','que','los','le','et','les','des','der','die','und','das','ein'], x))) AS n_stop,
+             |    len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_symbol,
+             |    (length(text) - len(toks) + 1) * 1.0 / len(toks) AS mean_len
+             |  FROM t),
+             |kept AS (
+             |  SELECT doc_id, text FROM m
+             |  WHERE n_tokens >= 50 AND n_tokens <= 100000
+             |    AND mean_len >= 3.0 AND mean_len <= 10.0
+             |    AND n_alpha * 1.0 / n_tokens >= 0.8 AND n_stop >= 2
+             |    AND n_symbol * 1.0 / n_tokens <= 0.1),
+             |canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+             |h AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+             |        i -> CAST(ascii(substring(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007) % 100 AS bucket
+             |  FROM canon)
+             |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+             |  CASE WHEN bucket < 90 THEN 'train'
+             |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
     // Deterministic train/val/test split: bucket = PolyHash(id) mod 100
     // → named ranges. A pure per-row projection (no rand(), no shuffle):
     // membership is a function of the id alone, so appending documents
