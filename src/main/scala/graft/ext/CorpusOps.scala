@@ -113,6 +113,33 @@ object CorpusOps {
         col("chunk_start"), col("chunk_end"))
   }
 
+  /** Sliding token-window chunking (RAG/context-length prep): each
+    * document is cut into `winSize`-token windows advancing by `step`
+    * tokens (overlap = winSize - step); the last window is clipped to
+    * the document end, and a document of at most `winSize` tokens
+    * yields exactly one chunk. Emits one row per chunk with its token
+    * range `[tok_start, tok_end)`.
+    *
+    * A pure per-row projection + Generate — no shuffle, no state,
+    * embarrassingly parallel at any corpus size. The exploded
+    * `sequence` child is cheap integer arithmetic (the Generate
+    * re-evaluation hazard applies to EXPENSIVE derived arrays — see
+    * [[Dedup.minHashLshPairs]]'s materialize-before-explode rule).
+    */
+  def chunkWindows(df: DataFrame, idCol: String, nTokens: Column,
+                   winSize: Int, step: Int): DataFrame = {
+    require(winSize > 0, "window size must be positive")
+    require(step > 0 && step <= winSize, "step must be in (0, winSize]")
+    df.select(col(idCol).as("id"), nTokens.cast("long").as("n_tokens"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= winSize, lit(1L))
+          .otherwise(expr(s"(n_tokens - $winSize + $step - 1) div $step + 1")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("id"), col("n_tokens"), col("chunk_idx"),
+        (col("chunk_idx") * step).as("tok_start"),
+        least(col("chunk_idx") * step + winSize, col("n_tokens")).as("tok_end"))
+  }
+
   /** Deterministic per-epoch training shuffle: position = rank of
     * (h_e(id), id) where h_e(x) = (a_e·polyHash(x) + b_e) mod P — a
     * reproducible pseudo-random permutation of the corpus that changes

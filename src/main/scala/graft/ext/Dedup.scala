@@ -403,6 +403,30 @@ object Dedup {
       .select(col("id"), col("label").as("canonical_id"), col("n_group"))
   }
 
+  /** Quality-aware canonical selection: per near-duplicate component,
+    * keep the HIGHEST-scoring member (ties → smallest id) instead of
+    * the smallest-id member — the SemDeDup/FineWeb curation rule
+    * ("keep best", not "keep first"). `scored` must hold one row per
+    * document: (idCol, scoreCol). Returns one row per multi-member
+    * component: (canonical_id, keep_id, n_group, best_score).
+    *
+    * One shuffle join (id → score) + one groupBy(label); `max_by` over
+    * a (score, -id) struct gives the deterministic argmax with partial
+    * (map-side) aggregation, so a skewed giant component costs one fat
+    * reduce key, not a whole-group buffer.
+    */
+  def keepBestByScore(pairs: DataFrame, scored: DataFrame, idCol: String,
+                      scoreCol: String): DataFrame = {
+    val comp = duplicateComponents(pairs, scored.select(col(idCol)), idCol)
+    comp.join(scored.select(col(idCol).as("id"), col(scoreCol).as("score")), "id")
+      .groupBy(col("label").as("canonical_id"))
+      .agg(count(lit(1)).as("n_group"),
+        max_by(col("id"), struct(col("score"), negate(col("id")))).as("keep_id"),
+        max(col("score")).as("best_score"))
+      .filter(col("n_group") > 1)
+      .select(col("canonical_id"), col("keep_id"), col("n_group"), col("best_score"))
+  }
+
   /** 63-bit SimHash over portable token hashes: bit i of the result is
     * the sign of the sum over tokens of (parity of h_i(token) ? +1 : -1)
     * where h_i is the same universal family the MinHash permutations
@@ -479,17 +503,10 @@ object Dedup {
   def simHashPairsBanded(df: DataFrame, idCol: String, textCol: String,
                          maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 63, s"maxDist must be in [0, 62], got $maxDist")
-    val nChunks = maxDist + 1
-    val base = 63 / nChunks
-    val widths = Seq.tabulate(nChunks)(c => if (c < 63 % nChunks) base + 1 else base)
-    val starts = widths.scanLeft(0)(_ + _)
     val h = simHashDf(df, idCol, textCol, Nil)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val chunkRows = h.select(col("id"), col("sh"), posexplode(
-        array((0 until nChunks).map(c =>
-          shiftright(col("sh"), starts(c)).bitwiseAND(lit((1L << widths(c)) - 1))): _*))
-        .as(Seq("chunk", "v")))
+      val chunkRows = bandChunkRows(h, maxDist)
       val a = chunkRows.select(col("id").as("id_a"), col("sh").as("sh_a"),
         col("chunk"), col("v"))
       val b = chunkRows.select(col("id").as("id_b"), col("sh").as("sh_b"),
@@ -502,5 +519,56 @@ object Dedup {
         .dropDuplicates("id_a", "id_b")
         .localCheckpoint(true)
     } finally h.unpersist(false)
+  }
+
+  /** One row per (doc, pigeonhole chunk): the banded bucket key shared
+    * by [[simHashPairsBanded]] (self-join) and [[simHashPairsAgainst]]
+    * (batch-vs-corpus). Chunk widths partition the 63 bits into
+    * maxDist+1 slices, so two docs within maxDist bits agree exactly on
+    * at least one slice. Input must be a PERSISTED simHashDf frame —
+    * the explode children are cheap shifts over `sh`, but `sh` itself
+    * is the expensive column.
+    */
+  private def bandChunkRows(h: DataFrame, maxDist: Int): DataFrame = {
+    val nChunks = maxDist + 1
+    val base = 63 / nChunks
+    val widths = Seq.tabulate(nChunks)(c => if (c < 63 % nChunks) base + 1 else base)
+    val starts = widths.scanLeft(0)(_ + _)
+    h.select(col("id"), col("sh"), posexplode(
+      array((0 until nChunks).map(c =>
+        shiftright(col("sh"), starts(c)).bitwiseAND(lit((1L << widths(c)) - 1))): _*))
+      .as(Seq("chunk", "v")))
+  }
+
+  /** Incremental near-dup screen: batch documents within `maxDist` sign
+    * bits of ANY corpus document — the ingestion-time filter that dedups
+    * a new crawl against an existing corpus WITHOUT re-pairing the
+    * corpus with itself. The corpus side never self-joins: cost is one
+    * linear SimHash pass per side plus bucket-local batch×corpus
+    * equi-joins, so re-running on each new batch is O(batch) work
+    * against stable corpus buckets (at 100 TB the corpus chunk rows
+    * would be written once and reused per batch; here both sides derive
+    * from their persisted hash frames). Returns (batch_id, corpus_id,
+    * dist) — anti-join the batch against `batch_id` to admit only
+    * novel documents.
+    */
+  def simHashPairsAgainst(corpus: DataFrame, batch: DataFrame, idCol: String,
+                          textCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 63, s"maxDist must be in [0, 62], got $maxDist")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val hc = simHashDf(corpus, idCol, textCol, Nil).persist(lvl)
+    val hb = simHashDf(batch, idCol, textCol, Nil).persist(lvl)
+    try {
+      val c = bandChunkRows(hc, maxDist).select(col("id").as("corpus_id"),
+        col("sh").as("sh_c"), col("chunk"), col("v"))
+      val b = bandChunkRows(hb, maxDist).select(col("id").as("batch_id"),
+        col("sh").as("sh_b"), col("chunk"), col("v"))
+      b.join(c, Seq("chunk", "v"))
+        .withColumn("dist", hamming(col("sh_b"), col("sh_c")).cast("long"))
+        .filter(col("dist") <= maxDist)
+        .select(col("batch_id"), col("corpus_id"), col("dist"))
+        .dropDuplicates("batch_id", "corpus_id")
+        .localCheckpoint(true)
+    } finally { hc.unpersist(false); hb.unpersist(false) }
   }
 }

@@ -997,6 +997,142 @@ object ExtQueries extends QueryPack {
              |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
              |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // Sliding token-window chunking (RAG/context prep): 64-token
+    // windows, 48-token step (16 overlap), last window clipped. Pure
+    // projection + Generate — zero shuffles at any corpus size.
+    Q("q84_chunk_windows",
+      (s, d) => {
+        import s.implicits._
+        CorpusOps.chunkWindows(
+            Tables.documents(s, d).select($"doc_id", $"text"),
+            "doc_id", TextAnalysis.tokenCount($"text"), winSize = 64, step = 48)
+          .select($"id".as("doc_id"), $"n_tokens", $"chunk_idx",
+            $"tok_start", $"tok_end")
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, len(string_split_regex(trim(text),'\s+')) AS n_tokens
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, n_tokens,
+             |    CASE WHEN n_tokens <= 64 THEN 1
+             |         ELSE (n_tokens - 64 + 47) // 48 + 1 END AS n_chunks
+             |  FROM t),
+             |c AS (
+             |  SELECT doc_id, n_tokens,
+             |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+             |  FROM m)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             |  CAST(chunk_idx * 48 AS BIGINT) AS tok_start,
+             |  CAST(least(chunk_idx * 48 + 64, n_tokens) AS BIGINT) AS tok_end
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Quality-aware canonical selection: near-dup components (banded
+    // SimHash, d<=6) keep their HIGHEST-quality member, not the
+    // smallest id — the SemDeDup/FineWeb "keep best" curation rule.
+    // Composes three independently-verified operators: simhash pairs
+    // (q48), component labels (q68), quality score (q42).
+    Q("q85_keep_best_quality",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.simHashPairsBanded(docs, "doc_id", "text", maxDist = 6)
+        val scored = docs.select($"doc_id",
+          TextAnalysis.qualityScore($"text").as("quality"))
+        Dedup.keepBestByScore(pairs, scored, "doc_id", "quality")
+          .select($"canonical_id", $"keep_id", $"n_group",
+            $"best_score".as("best_quality"))
+          .orderBy($"canonical_id")
+      },
+      Some("""WITH RECURSIVE th AS (
+             |  SELECT doc_id,
+             |    list_transform(string_split_regex(trim(text),'\s+'), s ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(generate_series(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007)) AS hs
+             |  FROM documents),
+             |bits AS (
+             |  SELECT doc_id, j,
+             |    CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+             |      CASE WHEN ((h * ((1103515245 * j) % 2038074743) + ((12345 * j + 7) % 2038074743)) % 2038074743) % 2 = 1
+             |           THEN 1 ELSE -1 END)), 0) > 0
+             |         THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE 0 END AS bit
+             |  FROM th CROSS JOIN range(1, 64) t(j)),
+             |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sh FROM bits GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+             |  UNION
+             |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+             |comp AS (SELECT id, min(lbl) AS canonical_id FROM reach GROUP BY id),
+             |tq AS (
+             |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |mq AS (
+             |  SELECT doc_id, len(toks) AS n_tokens,
+             |    (length(text) - len(toks) + 1) * 1.0 / len(toks) AS mean_len,
+             |    len(list_filter(toks, x -> list_contains(
+             |      ['the','and','of','to','in','el','la','de','que','los','le','et','les','des','der','die','und','das','ein'], x))) * 1.0 / len(toks) AS stop_ratio
+             |  FROM tq),
+             |qual AS (
+             |  SELECT doc_id,
+             |    round(least(greatest(least(n_tokens/50.0, 1.0)
+             |      * (CASE WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 0.5 ELSE 1.0 END)
+             |      * (0.7 + stop_ratio), 0.0), 1.0), 4) AS quality
+             |  FROM mq),
+             |r AS (
+             |  SELECT c.canonical_id, c.id, q.quality,
+             |    row_number() OVER (PARTITION BY c.canonical_id
+             |                       ORDER BY q.quality DESC, c.id ASC) AS rn,
+             |    count(*) OVER (PARTITION BY c.canonical_id) AS n_group
+             |  FROM comp c JOIN qual q ON c.id = q.doc_id)
+             |SELECT canonical_id, id AS keep_id, CAST(n_group AS BIGINT) AS n_group,
+             |  quality AS best_quality
+             |FROM r WHERE rn = 1 AND n_group > 1
+             |ORDER BY canonical_id""".stripMargin)),
+
+    // Incremental ingestion near-dup screen: a "new batch" (every 5th
+    // doc) checked against the standing corpus with the asymmetric
+    // banded SimHash join — the corpus never self-pairs, so per-batch
+    // cost is O(batch) against stable corpus buckets.
+    Q("q86_incremental_dedup",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val batch = docs.filter($"doc_id" % 5 === 0)
+        val corpus = docs.filter($"doc_id" % 5 =!= 0)
+        Dedup.simHashPairsAgainst(corpus, batch, "doc_id", "text", maxDist = 6)
+          .orderBy($"batch_id", $"corpus_id")
+      },
+      Some("""WITH th AS (
+             |  SELECT doc_id,
+             |    list_transform(string_split_regex(trim(text),'\s+'), s ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(generate_series(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007)) AS hs
+             |  FROM documents),
+             |bits AS (
+             |  SELECT doc_id, j,
+             |    CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+             |      CASE WHEN ((h * ((1103515245 * j) % 2038074743) + ((12345 * j + 7) % 2038074743)) % 2038074743) % 2 = 1
+             |           THEN 1 ELSE -1 END)), 0) > 0
+             |         THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE 0 END AS bit
+             |  FROM th CROSS JOIN range(1, 64) t(j)),
+             |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sh FROM bits GROUP BY 1),
+             |b AS (SELECT doc_id, sh FROM sh WHERE doc_id % 5 = 0),
+             |c AS (SELECT doc_id, sh FROM sh WHERE doc_id % 5 <> 0)
+             |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+             |  CAST(bit_count(xor(b.sh, c.sh)) AS BIGINT) AS dist
+             |FROM b JOIN c ON bit_count(xor(b.sh, c.sh)) <= 6
+             |ORDER BY batch_id, corpus_id""".stripMargin)),
+
     // Deterministic train/val/test split: bucket = PolyHash(id) mod 100
     // → named ranges. A pure per-row projection (no rand(), no shuffle):
     // membership is a function of the id alone, so appending documents

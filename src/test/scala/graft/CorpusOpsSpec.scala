@@ -76,6 +76,37 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(moved > 0, "epoch 2 produced the identical permutation")
   }
 
+  test("chunkWindows covers every token, respects overlap, clips the tail") {
+    val (win, step) = (64, 48)
+    val chunks = CorpusOps.chunkWindows(docs, "doc_id",
+        graft.ext.TextAnalysis.tokenCount($"text"), win, step)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, cs) => (id, cs.sortBy(_._3)) }
+    val counts = docs.select($"doc_id",
+        graft.ext.TextAnalysis.tokenCount($"text").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(chunks.keySet === counts.keySet)
+    chunks.foreach { case (id, cs) =>
+      val n = counts(id)
+      // indices are 0..k-1; starts advance by step; windows clip at n
+      assert(cs.map(_._3) === cs.indices.map(_.toLong).toArray)
+      cs.foreach { case (_, nt, idx, start, end) =>
+        assert(nt === n)
+        assert(start === idx * step)
+        assert(end === math.min(start + win, n))
+      }
+      // full coverage, no gap: consecutive windows overlap by win-step
+      assert(cs.head._4 === 0L)
+      assert(cs.last._5 === n)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 < a._5, s"gap in doc $id")
+        case _ =>
+      }
+      // minimality: dropping the last chunk must lose coverage
+      if (cs.length > 1) assert(cs(cs.length - 2)._5 < n)
+    }
+  }
+
   test("stratifiedSample takes exactly min(k, |stratum|) per stratum, deterministically") {
     val k = 7
     val sampled = CorpusOps.stratifiedSample(docs, "source", "doc_id", k)

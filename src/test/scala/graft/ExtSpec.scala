@@ -55,6 +55,25 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("asymmetric banded simhash equals the exhaustive batch-vs-corpus scan") {
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val hb = batch.select($"doc_id", Dedup.simHash($"text").as("h"))
+    val hc = corpus.select($"doc_id", Dedup.simHash($"text").as("h"))
+    val d = 6
+    val exhaustive = hb.as("b").join(hc.as("c"))
+      .select($"b.doc_id".as("batch_id"), $"c.doc_id".as("corpus_id"),
+        Dedup.hamming($"b.h", $"c.h").cast("long").as("dist"))
+      .filter($"dist" <= d)
+      .as[(Long, Long, Long)].collect().toSet
+    val banded = Dedup.simHashPairsAgainst(corpus, batch, "doc_id", "text", d)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded === exhaustive,
+      s"banded ${banded.size} vs exhaustive ${exhaustive.size}; " +
+        s"missing=${(exhaustive -- banded).take(3)} extra=${(banded -- exhaustive).take(3)}")
+    assert(exhaustive.nonEmpty, "fixture yields zero cross pairs — checks nothing")
+  }
+
   test("semantic dedup equals exhaustive same-cell cosine pairs") {
     // the IVF-cell blocking is the ONLY approximation: within a cell
     // the operator is exact, so its output must equal the definitional
@@ -189,6 +208,24 @@ class ExtSpec extends SparkTestBase {
       (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
       (10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L),
       (20L, 20L, 2L), (21L, 20L, 2L)))
+  }
+
+  test("keepBestByScore picks the highest-scoring member per component, min id on ties") {
+    // same graph as above; scores make a non-minimal member win in each
+    // component, and 11/12 tie so the smaller id must win
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val scored = Seq(1L -> 0.1, 2L -> 0.9, 3L -> 0.5, 4L -> 0.2,
+      10L -> 0.3, 11L -> 0.8, 12L -> 0.8, 20L -> 0.4, 21L -> 0.6,
+      30L -> 1.0).toDF("id", "score")
+    val best = Dedup.keepBestByScore(pairs, scored, "id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // singleton 30 excluded even with the top score
+    assert(best === Set(
+      (1L, 2L, 4L, 0.9),
+      (10L, 11L, 3L, 0.8),
+      (20L, 21L, 2L, 0.6)))
   }
 
   test("sampleFrames skips frameless/undecoded items; string ids survive the salted Jaccard join") {

@@ -107,6 +107,28 @@ class PlanAuditSpec extends SparkTestBase {
     } finally base.unpersist()
   }
 
+  test("q84 chunking plan has zero shuffles up to the presentation sort") {
+    // the operator itself is a pure projection + Generate; the only
+    // exchange the QUERY may contain is the final ORDER BY's range
+    // repartition. A groupBy/join sneaking into the chunker would show
+    // up as a hash-partitioned exchange here.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val df = SparkEntry.queries("q84_chunk_windows")(spark, sfDir)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => s +: walk(s.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val shuffles = walk(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+    assert(shuffles.forall(_.isInstanceOf[RangePartitioning]),
+      s"non-sort shuffle in the chunking plan: $shuffles")
+  }
+
   test("q45 exact dedup aggregates with map-side partial aggregation") {
     val plan = finalPlan("q45_dedup_exact")
     // two HashAggregates around one exchange = partial + final
