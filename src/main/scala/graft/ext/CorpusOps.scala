@@ -185,6 +185,47 @@ object CorpusOps {
       .select(col("id"), col("h"), col("pos"))
   }
 
+  /** Quality-ordered selection under a token budget: documents are
+    * ranked best-first by (`scoreCol` desc, id asc — deterministic
+    * ties) and admitted while the running token total stays within
+    * `budget`; the first document that crosses the budget line and
+    * everything after it are cut. The data-mixing primitive: "take the
+    * best N tokens", not "the best N documents".
+    *
+    * The running total is the same two-phase global prefix sum as
+    * [[packSequences]] (range-partition on the ORDER key, cumsum within
+    * partitions, O(#partitions) offset pass broadcast back) — the
+    * ordering key is (-score, id) instead of id, nothing else changes,
+    * and the same persisted-base contract applies (two branches must
+    * see identical range boundaries).
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, nTokens: Column,
+                        scoreCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val base = partitionedBy(
+      df.select(col(idCol).as("id"), nTokens.cast("long").as("n_tokens"),
+        col(scoreCol).cast("double").as("score"))
+        .withColumn("ord", negate(col("score"))),
+      col("ord"), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try tokenBudgetSelectPlan(base, budget).localCheckpoint(true)
+    finally base.unpersist(false)
+  }
+
+  private[graft] def tokenBudgetSelectPlan(base: DataFrame, budget: Long): DataFrame = {
+    val totals = base.groupBy(col("part")).agg(sum(col("n_tokens")).as("ptotal"))
+    val runTot = Window.orderBy(col("part"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = totals.select(col("part"),
+      (sum(col("ptotal")).over(runTot) - col("ptotal")).as("poffset"))
+    val local = Window.partitionBy(col("part")).orderBy(col("ord"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), "part")
+      .withColumn("cum_tokens", col("poffset") + sum(col("n_tokens")).over(local))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("id"), col("score"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Deterministic stratified sample: the k documents with the smallest
     * (polyHash(id), id) rank within each stratum — uniform-without-
     * replacement per stratum (the hash is the random draw), reproducible

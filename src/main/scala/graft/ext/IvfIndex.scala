@@ -74,6 +74,23 @@ object IvfIndex {
         e => e.getField("m")).as("cemb"))
   }
 
+  /** Per-vector prototypicality: each vector's cosine affinity to its
+    * assigned (best) centroid, deterministic ties to the lower cid.
+    * Low affinity = isolated vector, far from every prototype — the
+    * embedding-side outlier filter (SemDeDup's complement: q79 drops
+    * the too-similar, this flags the too-isolated). One broadcast
+    * cross join + a partial-aggregated argmax — linear in the corpus,
+    * no shuffle of the embedding column beyond the final groupBy.
+    */
+  def assignAffinity(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("aff", cos(col("emb"), col("cemb")))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cid"), col("aff")),
+        struct(col("aff"), -col("cid"))).as("best"))
+      .select(col("id"), col("best.cid").as("cid"),
+        graft.core.Exact.r6(col("best.aff")).as("aff"))
+
   /** Collect a tiny (O(k·dim) by construction) DataFrame into a LOCAL
     * relation: every consumer then broadcasts the same in-memory rows,
     * the producing plan runs exactly once, and nothing stays pinned in

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.{Exact, Tables}
 import graft.core.Exact.{r4, r6}
-import graft.ext.{CorpusOps, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{CorpusOps, Dedup, IvfIndex, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (north-star extensions):
   * text quality / language-ID / token counting / fingerprinting over
@@ -1132,6 +1132,111 @@ object ExtQueries extends QueryPack {
              |  CAST(bit_count(xor(b.sh, c.sh)) AS BIGINT) AS dist
              |FROM b JOIN c ON bit_count(xor(b.sh, c.sh)) <= 6
              |ORDER BY batch_id, corpus_id""".stripMargin)),
+
+    // Token-budget curation: admit documents best-quality-first until
+    // 20k tokens are spent — "the best N tokens", not "the best N
+    // docs". The oracle's single global window IS the semantics; the
+    // operator evaluates it with the two-phase prefix sum.
+    Q("q87_token_budget_select",
+      (s, d) => {
+        import s.implicits._
+        val scored = Tables.documents(s, d).select($"doc_id",
+          TextAnalysis.tokenCount($"text").as("n_toks"),
+          TextAnalysis.qualityScore($"text").as("quality"))
+        CorpusOps.tokenBudgetSelect(scored, "doc_id", $"n_toks",
+            "quality", budget = 20000L)
+          .select($"id".as("doc_id"), $"score".as("quality"),
+            $"n_tokens", $"cum_tokens")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tq AS (
+             |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |mq AS (
+             |  SELECT doc_id, len(toks) AS n_tokens,
+             |    (length(text) - len(toks) + 1) * 1.0 / len(toks) AS mean_len,
+             |    len(list_filter(toks, x -> list_contains(
+             |      ['the','and','of','to','in','el','la','de','que','los','le','et','les','des','der','die','und','das','ein'], x))) * 1.0 / len(toks) AS stop_ratio
+             |  FROM tq),
+             |s AS (
+             |  SELECT doc_id, n_tokens,
+             |    round(least(greatest(least(n_tokens/50.0, 1.0)
+             |      * (CASE WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 0.5 ELSE 1.0 END)
+             |      * (0.7 + stop_ratio), 0.0), 1.0), 4) AS quality
+             |  FROM mq),
+             |c AS (
+             |  SELECT doc_id, quality, n_tokens,
+             |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             |  FROM s)
+             |SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+             |FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin)),
+
+    // Embedding prototypicality/outlier filter: cosine of each vector
+    // to its assigned IVF centroid (k=16, 1 Lloyd step — the q64/q79
+    // quantizer). Low affinity = isolated vector; the keep flag gates
+    // at 0.15. Rounds out the embedding-curation set: q79 drops the
+    // too-similar, this flags the too-isolated.
+    Q("q88_embedding_outliers",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val embs = Tables.embeddings(s, d)
+        val centroids = IvfIndex.materializeLocal(s,
+          IvfIndex.buildCentroids(s, embs, 16))
+        IvfIndex.assignAffinity(
+            embs.select($"vec_id".as("id"), $"embedding".as("emb")), centroids)
+          .select($"id".as("vec_id"), $"cid", $"aff",
+            ($"aff" >= 0.15).as("keep"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+             |seeds AS (SELECT id AS cid, emb AS cemb FROM v ORDER BY id LIMIT 16),
+             |asg0 AS (
+             |  SELECT id, cid FROM (
+             |    SELECT v.id, s.cid,
+             |      row_number() OVER (PARTITION BY v.id ORDER BY
+             |        (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(s.cemb[i] AS DOUBLE))), (p,w) -> p + w)
+             |        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(v.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(s.cemb, (u,i) -> CAST(u AS DOUBLE) * CAST(s.cemb[i] AS DOUBLE))), (p,w) -> p + w)))) DESC,
+             |        s.cid) AS rn
+             |    FROM v CROSS JOIN seeds s)
+             |  WHERE rn = 1),
+             |dimrows AS (
+             |  SELECT cid, u.pos, u.x
+             |  FROM (SELECT a0.cid, unnest(list_transform(v.emb, (x,i) -> {'pos': i, 'x': x})) AS u
+             |        FROM asg0 a0 JOIN v USING (id)) a),
+             |dims AS (
+             |  SELECT cid, pos,
+             |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) / count(*) / 1000000.0 AS FLOAT) AS m
+             |  FROM dimrows GROUP BY cid, pos),
+             |cent AS (SELECT cid, list(m ORDER BY pos) AS cemb FROM dims GROUP BY cid),
+             |aff AS (
+             |  SELECT id, cid, sim FROM (
+             |    SELECT v.id, c.cid,
+             |      (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)
+             |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(v.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(c.cemb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)))) AS sim,
+             |      row_number() OVER (PARTITION BY v.id ORDER BY
+             |        (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)
+             |        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(v.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(c.cemb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)))) DESC,
+             |        c.cid) AS rn
+             |    FROM v CROSS JOIN cent c)
+             |  WHERE rn = 1)
+             |SELECT id AS vec_id, cid, round(sim, 6) + 0.0 AS aff,
+             |  round(sim, 6) + 0.0 >= 0.15 AS keep
+             |FROM aff ORDER BY vec_id""".stripMargin)),
 
     // Deterministic train/val/test split: bucket = PolyHash(id) mod 100
     // → named ranges. A pure per-row projection (no rand(), no shuffle):

@@ -107,6 +107,28 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("tokenBudgetSelect equals the naive best-first prefix under the budget") {
+    val budget = 20000L
+    val scored = docs.select($"doc_id",
+      graft.ext.TextAnalysis.tokenCount($"text").as("n_toks"),
+      graft.ext.TextAnalysis.qualityScore($"text").as("quality"))
+    val got = CorpusOps.tokenBudgetSelect(scored, "doc_id", $"n_toks",
+        "quality", budget)
+      .select($"id", $"cum_tokens").as[(Long, Long)].collect().toMap
+    // naive ground truth: sort best-first on the driver, walk the prefix
+    val all = scored.as[(Long, Long, Double)].collect()
+      .sortBy { case (id, _, q) => (-q, id) }
+    var running = 0L
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+    all.foreach { case (id, n, _) =>
+      running += n
+      if (running <= budget) expected(id) = running
+    }
+    assert(got === expected.toMap)
+    assert(got.nonEmpty && got.size < all.length,
+      "budget admits everything or nothing — fixture checks no boundary")
+  }
+
   test("stratifiedSample takes exactly min(k, |stratum|) per stratum, deterministically") {
     val k = 7
     val sampled = CorpusOps.stratifiedSample(docs, "source", "doc_id", k)

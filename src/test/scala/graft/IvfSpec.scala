@@ -20,6 +20,29 @@ class IvfSpec extends SparkTestBase {
     assert(c1.size === 8 && c1.values.forall(_.length === 64))
   }
 
+  test("assignAffinity reports the max centroid cosine per vector, every vector once") {
+    import org.apache.spark.sql.functions._
+    val centroids = IvfIndex.materializeLocal(spark,
+      IvfIndex.buildCentroids(spark, embs, 8))
+    val vecs = embs.select($"vec_id".as("id"), $"embedding".as("emb"))
+    val got = IvfIndex.assignAffinity(vecs, centroids)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.size === embs.count())
+    // definitional check: per vector, aff is the MAX cosine over all
+    // centroids and cid attains it (round to the operator's r6 grain)
+    val best = vecs.crossJoin(broadcast(centroids))
+      .withColumn("aff", graft.core.Exact.r6(
+        graft.functions.CosineSim.cosineSim($"emb", $"cemb")))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4)))
+      .groupBy(_._1)
+    got.foreach { case (id, (cid, aff)) =>
+      val affs = best(id)
+      assert(math.abs(affs.map(_._3).max - aff) < 1e-9, s"vec $id: $aff not max")
+      assert(affs.filter(t => math.abs(t._3 - aff) < 1e-9).map(_._2).min === cid)
+      assert(aff >= -1.0 - 1e-9 && aff <= 1.0 + 1e-9)
+    }
+  }
+
   test("ivf recall vs brute-force top-5 is reasonable") {
     val q = embs.filter($"vec_id" < 3)
     val exact = Similarity.bruteForceKnn(q, embs, 5)
