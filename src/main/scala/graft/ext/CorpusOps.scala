@@ -241,4 +241,31 @@ object CorpusOps {
       .withColumn("draw_rank", row_number().over(w).cast("long"))
       .filter(col("draw_rank") <= k)
   }
+
+  /** Deterministic source-mix rebalancing: stratum s contributes
+    * floor(weight_s · total) documents, drawn as the quota smallest
+    * (polyHash(id), id) ranks within the stratum — the same
+    * reproducible draw as [[stratifiedSample]] with a PER-STRATUM quota
+    * instead of one k. The data-mixing primitive: reweight sources
+    * toward a training recipe without rand(), append-stable and
+    * engine-portable. Quotas ride in as a tiny broadcast table; a
+    * stratum absent from `weights` contributes nothing, a quota larger
+    * than the stratum takes the whole stratum (floors are independent,
+    * not normalized — the caller owns the recipe summing to 1).
+    */
+  def rebalanceToMix(df: DataFrame, stratumCol: String, idCol: String,
+                     weights: Seq[(String, Double)], total: Long): DataFrame = {
+    require(total > 0, "total must be positive")
+    require(weights.forall(_._2 >= 0), "weights must be non-negative")
+    val spark = df.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val quotas = weights.map { case (s, w) => (s, math.floor(w * total).toLong) }
+      .toDF(stratumCol, "quota")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("h"), col(idCol))
+    df.withColumn("h", PolyHash.polyHash(col(idCol).cast("string")))
+      .join(broadcast(quotas), stratumCol)
+      .withColumn("draw_rank", row_number().over(w).cast("long"))
+      .filter(col("draw_rank") <= col("quota"))
+  }
 }

@@ -1238,6 +1238,36 @@ object ExtQueries extends QueryPack {
              |  round(sim, 6) + 0.0 >= 0.15 AS keep
              |FROM aff ORDER BY vec_id""".stripMargin)),
 
+    // Source-mix rebalancing to a training recipe: even-numbered
+    // sources get 7% of a 200-doc budget (quota 14), odd get 3%
+    // (quota 6) — per-stratum deterministic hash draws, no rand().
+    Q("q89_rebalance_mix",
+      (s, d) => {
+        import s.implicits._
+        val weights = Seq.tabulate(20)(i =>
+          s"src$i" -> (if (i % 2 == 0) 0.07 else 0.03))
+        CorpusOps.rebalanceToMix(Tables.documents(s, d), "source", "doc_id",
+            weights, total = 200L)
+          .select($"source", $"doc_id", $"quota", $"draw_rank")
+          .orderBy($"source", $"doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT source, doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+             |        i -> CAST(ascii(substring(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007) AS h
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, doc_id, h,
+             |    CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+             |         THEN 14 ELSE 6 END AS quota,
+             |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+             |  FROM h)
+             |SELECT source, doc_id, CAST(quota AS BIGINT) AS quota,
+             |  CAST(rk AS BIGINT) AS draw_rank
+             |FROM r WHERE rk <= quota ORDER BY source, doc_id""".stripMargin)),
+
     // Deterministic train/val/test split: bucket = PolyHash(id) mod 100
     // → named ranges. A pure per-row projection (no rand(), no shuffle):
     // membership is a function of the id alone, so appending documents

@@ -129,6 +129,32 @@ class CorpusOpsSpec extends SparkTestBase {
       "budget admits everything or nothing — fixture checks no boundary")
   }
 
+  test("rebalanceToMix fills each quota with the stratum's smallest hash draws") {
+    val weights = Seq.tabulate(20)(i =>
+      s"src$i" -> (if (i % 2 == 0) 0.08 else 0.02))
+    val total = 100L
+    val got = CorpusOps.rebalanceToMix(docs, "source", "doc_id", weights, total)
+    val perSource = got.groupBy($"source").count().as[(String, Long)].collect().toMap
+    weights.foreach { case (src, w) =>
+      assert(perSource.getOrElse(src, 0L) === math.floor(w * total).toLong,
+        s"$src quota mismatch")
+    }
+    // the chosen ids ARE the quota-many smallest (hash, id) draws:
+    // a quota <= stratifiedSample's k must select a prefix of its ranks
+    val viaK = CorpusOps.stratifiedSample(docs, "source", "doc_id", 8)
+      .select($"source", $"doc_id", $"draw_rank").as[(String, Long, Long)]
+      .collect().groupBy(_._1)
+    got.select($"source", $"doc_id", $"draw_rank").as[(String, Long, Long)]
+      .collect().groupBy(_._1).foreach { case (src, rows) =>
+        val expect = viaK(src).sortBy(_._3).take(rows.length).map(_._2).toSet
+        assert(rows.map(_._2).toSet === expect, s"$src not a rank prefix")
+      }
+    // absent stratum contributes nothing
+    val partial = CorpusOps.rebalanceToMix(docs, "source", "doc_id",
+      Seq("src0" -> 0.05), total)
+    assert(partial.select($"source").distinct().as[String].collect() === Array("src0"))
+  }
+
   test("stratifiedSample takes exactly min(k, |stratum|) per stratum, deterministically") {
     val k = 7
     val sampled = CorpusOps.stratifiedSample(docs, "source", "doc_id", k)
