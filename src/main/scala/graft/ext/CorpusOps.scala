@@ -88,13 +88,14 @@ object CorpusOps {
       .withColumn("part", spark_partition_id())
   }
 
-  /** Packing dataflow over a (persisted) partitioned base — split out so
-    * a plan spec can assert the two-phase shape (partitioned big-side
-    * window, single O(#partitions) global pass) under the checkpoint.
+  /** Phase two of the two-phase global rank/cumsum: per-partition totals
+    * of `perPartTotal` → exclusive running offsets (single-partition
+    * window over one row PER PARTITION, ROWS frame), broadcast-joined
+    * back as `poffset`. Shared by every prefix-sum operator here so a
+    * frame or offset fix lands once, not per copy.
     */
-  private[graft] def packSequencesPlan(base: DataFrame, budget: Int): DataFrame = {
-    val totals = base.groupBy(col("part")).agg(sum(col("n_tokens")).as("ptotal"))
-    // one row per partition — the single-partition window is O(#parts).
+  private def joinPartOffsets(base: DataFrame, perPartTotal: Column): DataFrame = {
+    val totals = base.groupBy(col("part")).agg(perPartTotal.as("ptotal"))
     // ROWS frames everywhere: the default RANGE frame sums all ORDER-BY
     // peers, which double-counts under duplicate keys instead of
     // surfacing them
@@ -102,9 +103,17 @@ object CorpusOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = totals.select(col("part"),
       (sum(col("ptotal")).over(runTot) - col("ptotal")).as("poffset"))
+    base.join(broadcast(offsets), "part")
+  }
+
+  /** Packing dataflow over a (persisted) partitioned base — split out so
+    * a plan spec can assert the two-phase shape (partitioned big-side
+    * window, single O(#partitions) global pass) under the checkpoint.
+    */
+  private[graft] def packSequencesPlan(base: DataFrame, budget: Int): DataFrame = {
     val local = Window.partitionBy(col("part")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(broadcast(offsets), "part")
+    joinPartOffsets(base, sum(col("n_tokens")))
       .withColumn("start_tok",
         col("poffset") + sum(col("n_tokens")).over(local) - col("n_tokens"))
       .withColumn("chunk_start", expr(s"start_tok div $budget"))
@@ -131,6 +140,9 @@ object CorpusOps {
     require(winSize > 0, "window size must be positive")
     require(step > 0 && step <= winSize, "step must be in (0, winSize]")
     df.select(col(idCol).as("id"), nTokens.cast("long").as("n_tokens"))
+      // an empty (or sentinel-negative) document yields NO chunks —
+      // without the guard it would emit one bogus [0, n) range
+      .filter(col("n_tokens") > 0)
       .withColumn("n_chunks",
         when(col("n_tokens") <= winSize, lit(1L))
           .otherwise(expr(s"(n_tokens - $winSize + $step - 1) div $step + 1")))
@@ -174,13 +186,8 @@ object CorpusOps {
   }
 
   private[graft] def epochShufflePlan(base: DataFrame): DataFrame = {
-    val counts = base.groupBy(col("part")).agg(count(lit(1)).as("n"))
-    val runTot = Window.orderBy(col("part"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = counts.select(col("part"),
-      (sum(col("n")).over(runTot) - col("n")).as("poffset"))
     val local = Window.partitionBy(col("part")).orderBy(col("h"), col("id"))
-    base.join(broadcast(offsets), "part")
+    joinPartOffsets(base, count(lit(1)))
       .withColumn("pos", col("poffset") + row_number().over(local) - 1)
       .select(col("id"), col("h"), col("pos"))
   }
@@ -205,7 +212,11 @@ object CorpusOps {
     val base = partitionedBy(
       df.select(col(idCol).as("id"), nTokens.cast("long").as("n_tokens"),
         col(scoreCol).cast("double").as("score"))
-        .withColumn("ord", negate(col("score"))),
+        // a NULL score must rank WORST (score desc, nulls last — the
+        // DuckDB/ANSI DESC default); a bare negate(score) is NULL and
+        // ascending sorts put nulls FIRST, handing junk rows the budget
+        .withColumn("ord",
+          coalesce(negate(col("score")), lit(Double.PositiveInfinity))),
       col("ord"), col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try tokenBudgetSelectPlan(base, budget).localCheckpoint(true)
@@ -213,14 +224,9 @@ object CorpusOps {
   }
 
   private[graft] def tokenBudgetSelectPlan(base: DataFrame, budget: Long): DataFrame = {
-    val totals = base.groupBy(col("part")).agg(sum(col("n_tokens")).as("ptotal"))
-    val runTot = Window.orderBy(col("part"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = totals.select(col("part"),
-      (sum(col("ptotal")).over(runTot) - col("ptotal")).as("poffset"))
     val local = Window.partitionBy(col("part")).orderBy(col("ord"), col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(broadcast(offsets), "part")
+    joinPartOffsets(base, sum(col("n_tokens")))
       .withColumn("cum_tokens", col("poffset") + sum(col("n_tokens")).over(local))
       .filter(col("cum_tokens") <= budget)
       .select(col("id"), col("score"), col("n_tokens"), col("cum_tokens"))
@@ -257,11 +263,17 @@ object CorpusOps {
                      weights: Seq[(String, Double)], total: Long): DataFrame = {
     require(total > 0, "total must be positive")
     require(weights.forall(_._2 >= 0), "weights must be non-negative")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate stratum in weights (would double-join every row of it)")
     val spark = df.sparkSession
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
-    val quotas = weights.map { case (s, w) => (s, math.floor(w * total).toLong) }
-      .toDF(stratumCol, "quota")
+    // decimal floor, not double floor: 0.57*100 is 56.999… in IEEE
+    // doubles and a naive floor under-allocates the recipe by one
+    val quotas = weights.map { case (s, w) =>
+      (s, (BigDecimal(w.toString) * total)
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+    }.toDF(stratumCol, "quota")
     val w = Window.partitionBy(col(stratumCol)).orderBy(col("h"), col(idCol))
     df.withColumn("h", PolyHash.polyHash(col(idCol).cast("string")))
       .join(broadcast(quotas), stratumCol)

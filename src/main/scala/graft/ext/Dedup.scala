@@ -410,10 +410,13 @@ object Dedup {
     * document: (idCol, scoreCol). Returns one row per multi-member
     * component: (canonical_id, keep_id, n_group, best_score).
     *
-    * One shuffle join (id → score) + one groupBy(label); `max_by` over
-    * a (score, -id) struct gives the deterministic argmax with partial
+    * One shuffle join (id → score) + one groupBy(label); `min_by` over
+    * a (-score, id) struct gives the deterministic argmax with partial
     * (map-side) aggregation, so a skewed giant component costs one fat
-    * reduce key, not a whole-group buffer.
+    * reduce key, not a whole-group buffer. The id rides in the ordering
+    * struct UN-NEGATED so the tie rule holds for any orderable id type
+    * (negating a string id would cast it to NULL double and leave ties
+    * nondeterministic).
     */
   def keepBestByScore(pairs: DataFrame, scored: DataFrame, idCol: String,
                       scoreCol: String): DataFrame = {
@@ -421,7 +424,7 @@ object Dedup {
     comp.join(scored.select(col(idCol).as("id"), col(scoreCol).as("score")), "id")
       .groupBy(col("label").as("canonical_id"))
       .agg(count(lit(1)).as("n_group"),
-        max_by(col("id"), struct(col("score"), negate(col("id")))).as("keep_id"),
+        min_by(col("id"), struct(negate(col("score")), col("id"))).as("keep_id"),
         max(col("score")).as("best_score"))
       .filter(col("n_group") > 1)
       .select(col("canonical_id"), col("keep_id"), col("n_group"), col("best_score"))
