@@ -269,7 +269,10 @@ object Dedup {
     */
   def contaminationCountsSplit(docs: DataFrame, isBench: Column,
                                idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = widen(docs.select(col(idCol).as("id"), isBench.as("is_bench"),
+    // NULL flags count as corpus side — `!NULL` is NULL, which would
+    // silently drop the row from BOTH sides of the split
+    val toks = widen(docs.select(col(idCol).as("id"),
+      coalesce(isBench, lit(false)).as("is_bench"),
       TextAnalysis.tokens(col(textCol)).as("toks")))
     val sh = toks
       .select(col("id"), col("is_bench"), shinglesFromTokens(col("toks"), n).as("sh"))
@@ -424,7 +427,12 @@ object Dedup {
     comp.join(scored.select(col(idCol).as("id"), col(scoreCol).as("score")), "id")
       .groupBy(col("label").as("canonical_id"))
       .agg(count(lit(1)).as("n_group"),
-        min_by(col("id"), struct(negate(col("score")), col("id"))).as("keep_id"),
+        // NULL scores sort LAST (+inf sentinel), matching max(score)'s
+        // null-skipping — otherwise negate(NULL) sorts first and the
+        // keep decision contradicts best_score
+        min_by(col("id"), struct(
+          coalesce(negate(col("score")).cast("double"), lit(Double.PositiveInfinity)),
+          col("id"))).as("keep_id"),
         max(col("score")).as("best_score"))
       .filter(col("n_group") > 1)
       .select(col("canonical_id"), col("keep_id"), col("n_group"), col("best_score"))

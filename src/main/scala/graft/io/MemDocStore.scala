@@ -68,7 +68,17 @@ private class MemDocTable(collection: String, tableSchema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
-      override def build(): Scan = this
+      override def build(): Scan = {
+        // ACCEPT_ANY_SCHEMA bypasses Spark's read-schema check and the
+        // stored InternalRows were encoded under the committed schema —
+        // reading them under a different explicit schema would
+        // reinterpret the row layout as garbage
+        MemDocStore.registry.get(collection).foreach { case (stored, _) =>
+          require(stored == tableSchema,
+            s"read of '$collection' with schema $tableSchema != stored $stored")
+        }
+        this
+      }
       override def readSchema(): StructType = tableSchema
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =

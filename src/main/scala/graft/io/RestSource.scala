@@ -64,6 +64,8 @@ object RestSource {
       done = offset.isEmpty
       n += 1
     }
+    // a truncated load must fail loudly, not look complete downstream
+    require(done, s"airtable pagination did not terminate within $maxPages pages")
     pages.result()
   }
 
@@ -158,9 +160,16 @@ object RestSource {
   def koboPatchUpdate(transport: HttpTransport, assetId: String,
                       token: String, status: String): String => Boolean = {
     val auth = koboAuth(token)
+    // serialize via the mapper — a status containing a quote/backslash
+    // must not produce a malformed request body
+    val payload = {
+      val node = mapper.createObjectNode()
+      node.put("validation_status.uid", status)
+      mapper.writeValueAsString(node)
+    }
     id => transport.request(
       koboStatusUrl(assetId, id), method = "PATCH",
       headers = Map("Authorization" -> auth, "Content-Type" -> "application/json"),
-      body = Some(s"""{"validation_status.uid": "$status"}""")).status == 200
+      body = Some(payload)).status == 200
   }
 }

@@ -116,8 +116,11 @@ class RestSourceSpec extends SparkTestBase {
       "https://eu.kobotoolbox.org/api/v2/assets/aFORM/data/a1/validation_status/",
       "https://eu.kobotoolbox.org/api/v2/assets/aFORM/data/a2/validation_status/"))
     assert(calls.forall(_._2 == "PATCH"))
-    assert(calls.forall(_._3.exists(_.contains(
-      s""""validation_status.uid": "${StatusSync.NotApproved}""""))))
+    // parse the body rather than substring-matching: the field value is
+    // what the reference's PATCH shape requires, not the whitespace
+    val bodyMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(calls.forall(_._3.exists(b =>
+      bodyMapper.readTree(b).get("validation_status.uid").asText() == StatusSync.NotApproved)))
   }
 }
 
