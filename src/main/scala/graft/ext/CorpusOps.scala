@@ -280,4 +280,46 @@ object CorpusOps {
       .withColumn("draw_rank", row_number().over(w).cast("long"))
       .filter(col("draw_rank") <= col("quota"))
   }
+
+  /** Fixed-width histogram of a numeric column: one row per occupied
+    * bin — (bin_lo, n, pct_micro). Pure groupBy on `floor(x / width)`
+    * (single shuffle of one partial count per bin per task); the share
+    * denominator is a global-window sum over the BIN table, which is
+    * #bins-sized — never the data.
+    */
+  def histogram(df: DataFrame, valueCol: String, width: Long): DataFrame = {
+    require(width > 0, "bin width must be positive")
+    val bins = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy((floor(col(valueCol) / width).cast("long") * width).as("bin_lo"))
+      .agg(count(lit(1)).as("n"))
+    bins
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("bin_lo"), col("n"),
+        round(col("n").cast("double") / col("total") * 1000000, 0)
+          .cast("long").as("pct_micro"))
+  }
+
+  /** Column-level dataset profile: for each named column, (col_name,
+    * n_rows, n_nulls, n_distinct) — the pre-flight audit before a
+    * corpus lands in training (null-rate spikes and cardinality
+    * collapses are the two classic silent-ingest failures). One agg
+    * pass; the multi-column exact `count(DISTINCT)` plans as a single
+    * Expand (one replicated pass per column), then the tiny per-column
+    * result unpivots driver-free via stack.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs =
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
+      cols.map(c => countDistinct(col(c)).as(s"__dist_$c"))
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackExpr = cols
+      .map(c => s"'$c', `__nulls_$c`, `__dist_$c`")
+      .mkString(s"stack(${cols.size}, ", ", ", ")")
+    one.select(col("__n"),
+        expr(s"$stackExpr AS (col_name, n_nulls, n_distinct)"))
+      .select(col("col_name"), col("__n").as("n_rows"),
+        col("n_nulls"), col("n_distinct"))
+  }
 }

@@ -74,4 +74,46 @@ object ScaleJoins {
     saltedBig.join(replicatedSmall, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
+
+  /** Range (interval-proximity) join with NO equi key, as an equi-join:
+    * count for each anchor row the point rows whose time falls in
+    * `[t - before, t + after)` — epoch seconds, half-open on the right.
+    *
+    * The naive plan for a pure range predicate is a broadcast
+    * nested-loop (O(|A|·|P|) comparisons — dead at scale). Instead the
+    * time axis is discretized into `binSec` bins: each point lands in
+    * exactly one bin (`t div binSec`), each anchor explodes into the
+    * few bins its window overlaps, and the join becomes a plain
+    * shuffled EQUI-join on the bin id followed by the exact range
+    * filter — lossless (a qualifying pair always shares a covered bin;
+    * a point is in one bin so no dedup is needed) and linear in
+    * |A|·(window/binSec) + |P|. Partial aggregation runs map-side, so
+    * pair rows never hit the shuffle — only per-anchor partial counts.
+    *
+    * Pick `binSec` ≈ the window width: smaller bins replicate anchors,
+    * larger bins inflate the per-bin candidate set. A pathologically
+    * hot bin (a time spike) can additionally be salted — counts are
+    * algebraic, so salting composes (sum of partials).
+    *
+    * Anchors with zero neighbors are NOT emitted (inner join); callers
+    * needing zeros left-join the result back.
+    *
+    * @param anchors (idCol, tCol) — tCol in epoch seconds (long)
+    * @param points  (tCol) — epoch seconds; any other columns ignored
+    */
+  def rangeCountByBins(anchors: DataFrame, points: DataFrame,
+                       idCol: String, tCol: String,
+                       before: Long, after: Long, binSec: Long): DataFrame = {
+    require(binSec > 0 && before >= 0 && after > 0, "window must be non-empty")
+    val a = anchors.select(col(idCol), col(tCol).as("__at"),
+      explode(sequence(
+        floor((col(tCol) - before) / binSec).cast("long"),
+        floor((col(tCol) + after - 1) / binSec).cast("long"))).as("__bin"))
+    val p = points.select(col(tCol).as("__pt"),
+      floor(col(tCol) / binSec).cast("long").as("__bin"))
+    a.join(p, "__bin")
+      .filter(col("__pt") >= col("__at") - before && col("__pt") < col("__at") + after)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_nearby"))
+  }
 }

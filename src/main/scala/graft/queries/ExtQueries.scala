@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.{Exact, Tables}
 import graft.core.Exact.{r4, r6}
-import graft.ext.{CorpusOps, Dedup, IvfIndex, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{CorpusOps, Dedup, IvfIndex, LangModel, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (north-star extensions):
   * text quality / language-ID / token counting / fingerprinting over
@@ -1369,6 +1369,89 @@ object ExtQueries extends QueryPack {
              |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
              |  FROM h)
              |SELECT source, doc_id, h, CAST(rk AS BIGINT) AS draw_rank
-             |FROM r WHERE rk <= 50 ORDER BY source, doc_id""".stripMargin))
+             |FROM r WHERE rk <= 50 ORDER BY source, doc_id""".stripMargin)),
+
+    // Corpus-trained unigram LM scoring: per-doc negative log-likelihood
+    // in integer micro-nats (ln of exact integer count ratios, rounded
+    // once per token TYPE; per-doc totals are integer sums — order-
+    // independent). The vocab-sized model broadcasts.
+    Q("q92_unigram_nll",
+      (s, d) => {
+        import s.implicits._
+        LangModel.docNll(Tables.documents(s, d), "doc_id", "text")
+          .select($"id".as("doc_id"), $"n_tokens", $"sum_nll_micro", $"avg_nll_micro")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS tok
+             |  FROM documents),
+             |c AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+             |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+             |lp AS (
+             |  SELECT tok,
+             |    CAST(round((ln(CAST(n.n AS DOUBLE)) - ln(CAST(c.c AS DOUBLE))) * 1000000) AS BIGINT) AS nll_micro
+             |  FROM c, n)
+             |SELECT u.doc_id, count(*) AS n_tokens,
+             |  CAST(sum(lp.nll_micro) AS BIGINT) AS sum_nll_micro,
+             |  CAST(round(CAST(sum(lp.nll_micro) AS DOUBLE) / count(*)) AS BIGINT) AS avg_nll_micro
+             |FROM u JOIN lp USING (tok)
+             |GROUP BY u.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF top-3 salient terms per document: integer tf × micro-nat
+    // idf from exact counts; ties (score desc, token asc).
+    Q("q93_tfidf_topk",
+      (s, d) => {
+        import s.implicits._
+        LangModel.tfidfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)
+          .select($"id".as("doc_id"), $"rnk", $"tok", $"score_micro")
+          .orderBy($"doc_id", $"rnk")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS tok
+             |  FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM u GROUP BY 1, 2),
+             |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+             |idf AS (
+             |  SELECT tok,
+             |    CAST(round((ln(CAST(nd.n AS DOUBLE)) - ln(CAST(count(DISTINCT doc_id) AS DOUBLE))) * 1000000) AS BIGINT) AS idf_micro
+             |  FROM u, nd GROUP BY tok, nd.n),
+             |r AS (
+             |  SELECT doc_id, tok, CAST(tf * idf_micro AS BIGINT) AS score_micro,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY tf * idf_micro DESC, tok) AS rnk
+             |  FROM tf JOIN idf USING (tok))
+             |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, score_micro
+             |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // Column-level dataset profile (pre-training audit): null counts +
+    // exact distinct cardinality per column in one agg pass (Expand),
+    // unpivoted via stack — no driver loop, no per-column jobs.
+    Q("q94_column_profile",
+      (s, d) => {
+        import s.implicits._
+        CorpusOps.columnProfile(Tables.documents(s, d),
+            Seq("doc_id", "text", "lang", "source", "n_chars"))
+          .orderBy($"col_name")
+      },
+      Some(Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct FROM documents""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
+
+    // Fixed-width histogram of document length: occupied 50-char bins
+    // with integer-ppm shares; the share denominator is a window over
+    // the bin table (#bins rows), never the data.
+    Q("q95_histogram",
+      (s, d) => {
+        import s.implicits._
+        CorpusOps.histogram(Tables.documents(s, d), "n_chars", width = 50L)
+          .orderBy($"bin_lo")
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(n_chars / 50) AS BIGINT) * 50 AS bin_lo, count(*) AS n
+             |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1)
+             |SELECT bin_lo, n,
+             |  CAST(round(CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS DOUBLE) FROM b) * 1000000) AS BIGINT) AS pct_micro
+             |FROM b ORDER BY bin_lo""".stripMargin))
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Exact, Tables}
 import graft.core.Exact.moneySum
-import graft.ops.{GatedMerge, NameStandardizer}
+import graft.ops.{AsOfJoin, GatedMerge, NameStandardizer, ScaleJoins}
 
 /** Join operators (SURVEY.md §2.3): broadcast lookup joins (J1–J5), the
   * n-way full-outer reduce (J6–J9), two-key joins (J5/J7), semi/anti set
@@ -247,6 +247,74 @@ object JoinQueries extends QueryPack {
              |SELECT f.l_orderkey, f.l_linenumber,
              |  mx + row_number() OVER (PARTITION BY f.l_orderkey ORDER BY f.l_linenumber) AS new_n
              |FROM f JOIN m USING (l_orderkey)
-             |WHERE f.l_orderkey < 500 ORDER BY 1, 2""".stripMargin))
+             |WHERE f.l_orderkey < 500 ORDER BY 1, 2""".stripMargin)),
+
+    // As-of (point-in-time) join: each event picks up its user's most
+    // recent order at-or-before the event second — union-merge plan
+    // (one shuffle + one window), not a per-row probe. Ties at equal
+    // order time resolve to the max o_orderkey on both engines.
+    Q("q90_asof_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id".as("k"), $"ts".cast("long").as("t"), $"event_id")
+        // o_orderdate is TIMESTAMP_NTZ; session tz is UTC so the
+        // NTZ→LTZ cast is instant-preserving and →long gives UTC epoch
+        val osec = $"o_orderdate".cast("timestamp_ltz").cast("long")
+        val ord = Tables.orders(s, d)
+          .select($"o_custkey".as("k"), osec.as("t"), $"o_orderkey", osec.as("ot"))
+        AsOfJoin.lastPrior(ev, ord, "k", "t", "o_orderkey", Seq("ot"))
+          .select($"event_id", $"k".as("user_id"),
+            $"o_orderkey".as("last_order_key"),
+            expr("(t - ot) div 3600").as("gap_hours"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id AS k,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t, event_id
+             |  FROM events),
+             |ord AS (
+             |  SELECT o_custkey AS k, epoch_us(o_orderdate) // 1000000 AS t, o_orderkey
+             |  FROM orders),
+             |u AS (
+             |  SELECT k, t, 0 AS side, o_orderkey, NULL::BIGINT AS event_id FROM ord
+             |  UNION ALL
+             |  SELECT k, t, 1, NULL, event_id FROM ev),
+             |w AS (
+             |  SELECT k, t, side, event_id,
+             |    last_value(o_orderkey IGNORE NULLS) OVER
+             |      (PARTITION BY k ORDER BY t, side, coalesce(o_orderkey, 9223372036854775807)
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_order_key,
+             |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER
+             |      (PARTITION BY k ORDER BY t, side, coalesce(o_orderkey, 9223372036854775807)
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ot
+             |  FROM u)
+             |SELECT event_id, k AS user_id, last_order_key,
+             |  CAST((t - ot) // 3600 AS BIGINT) AS gap_hours
+             |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin)),
+
+    // Range join with no equi key (event time proximity): for every
+    // purchase event, how many events of ANY user landed within ±1 h.
+    // Binned-equi-join plan — the time axis discretized to 1 h bins so
+    // the range predicate rides an equi shuffle, never a nested loop.
+    Q("q91_range_join_bins",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"event_id", $"ts".cast("long").as("t"), $"event_type")
+        val anchors = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"t")
+        ScaleJoins.rangeCountByBins(anchors, ev.select($"t"), "event_id", "t",
+            before = 3600L, after = 3600L, binSec = 3600L)
+          .orderBy($"event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t,
+             |    event_type
+             |  FROM events)
+             |SELECT a.event_id, count(*) AS n_nearby
+             |FROM ev a JOIN ev p ON p.t >= a.t - 3600 AND p.t < a.t + 3600
+             |WHERE a.event_type = 'purchase'
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

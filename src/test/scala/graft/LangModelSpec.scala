@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{CorpusOps, LangModel}
+
+/** Golden-value checks for the corpus-trained scoring ops and the
+  * profiling ops — hand-computed micro-nat values on a 2-doc corpus.
+  */
+class LangModelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a a b"),
+    (2L, "a b c")
+  ).toDF("doc_id", "text")
+
+  test("docNll matches hand-computed micro-nats") {
+    // counts: a=3 b=2 c=1, N=6 → nll_micro a=693147 b=1098612 c=1791759
+    val got = LangModel.docNll(docs, "doc_id", "text")
+      .select($"id", $"n_tokens", $"sum_nll_micro", $"avg_nll_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 3L, 2L * 693147L + 1098612L, 828302L),
+      (2L, 3L, 693147L + 1098612L + 1791759L, 1194506L)))
+  }
+
+  test("tfidfTopK ranks rare terms first, ties by token asc") {
+    // n_docs=2: df(a)=df(b)=2 → idf 0; df(c)=1 → idf ln2 = 693147
+    val got = LangModel.tfidfTopK(docs, "doc_id", "text", k = 3)
+      .select($"id", $"rnk", $"tok", $"score_micro")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, "a", 0L), (1L, 2L, "b", 0L),        // all-zero: token asc
+      (2L, 1L, "c", 693147L), (2L, 2L, "a", 0L), (2L, 3L, "b", 0L)))
+  }
+
+  test("columnProfile counts nulls and distincts per column") {
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(1L), None), (Some(2L), Some("y")), (None, Some("y"))
+    ).toDF("id", "s")
+    val got = CorpusOps.columnProfile(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(("id", 4L, 1L, 2L), ("s", 4L, 1L, 2L)))
+  }
+
+  test("histogram bins, counts, and ppm shares") {
+    val df = Seq(0L, 49L, 50L, 149L).toDF("v")
+    val got = CorpusOps.histogram(df, "v", width = 50L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 2L, 500000L), (50L, 1L, 250000L), (100L, 1L, 250000L)))
+  }
+}
