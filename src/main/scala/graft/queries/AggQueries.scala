@@ -325,6 +325,62 @@ object AggQueries extends QueryPack {
              |  FROM r GROUP BY 1,2)
              |SELECT event_type, who, vc2/100.0 AS total_value, n_users,
              |  round(vc2 / CAST(sum(vc2) OVER (PARTITION BY event_type) AS DOUBLE), 4) AS share
-             |FROM g ORDER BY event_type, who""".stripMargin))
+             |FROM g ORDER BY event_type, who""".stripMargin)),
+
+    // W — RANGE-frame rolling window over a calendar key: daily actives
+    // and a 7-day trailing window on the integer day index. The range
+    // frame runs on the DAY table (#days rows after the daily rollup),
+    // so the single-partition ordered window is bin-sized, not
+    // data-sized; all outputs are integer sums (order-independent).
+    Q("q96_rolling_dau",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select(expr("cast(ts as long) div 86400").as("day"), $"user_id")
+        val daily = ev.groupBy($"day")
+          .agg(countDistinct($"user_id").as("dau"), count(lit(1)).as("n_events"))
+        val w = Window.orderBy($"day").rangeBetween(-6, Window.currentRow)
+        daily
+          .select($"day", $"dau", $"n_events",
+            sum($"n_events").over(w).as("events_7d"),
+            sum($"dau").over(w).as("dau_sum_7d"))
+          .orderBy($"day")
+      },
+      Some("""WITH e AS (
+             |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day, user_id
+             |  FROM events),
+             |d AS (
+             |  SELECT day, count(DISTINCT user_id) AS dau, count(*) AS n_events
+             |  FROM e GROUP BY 1)
+             |SELECT day, dau, n_events,
+             |  CAST(sum(n_events) OVER
+             |    (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS events_7d,
+             |  CAST(sum(dau) OVER
+             |    (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS dau_sum_7d
+             |FROM d ORDER BY day""".stripMargin)),
+
+    // Key-skew diagnostic — the pre-join audit for the 100 TB posture:
+    // per-key counts (one partial+final agg), then a one-row summary of
+    // the count distribution (exact type-7 percentiles + max/avg skew
+    // ratio). What you run BEFORE picking salting/broadcast strategies.
+    Q("q97_key_skew",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_partkey").agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_keys"), sum($"n").as("n_rows"),
+            max($"n").as("max_n"),
+            r4(expr("percentile(n, 0.5)")).as("p50_n"),
+            r4(expr("percentile(n, 0.99)")).as("p99_n"),
+            round(max($"n") / (sum($"n") / count(lit(1))) * 1000000, 0)
+              .cast("long").as("skew_micro"))
+      },
+      Some("""WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1)
+             |SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+             |  max(n) AS max_n,
+             |  round(quantile_cont(n, 0.5), 4) AS p50_n,
+             |  round(quantile_cont(n, 0.99), 4) AS p99_n,
+             |  CAST(round(max(n) / (CAST(sum(n) AS DOUBLE) / count(*)) * 1000000) AS BIGINT) AS skew_micro
+             |FROM c""".stripMargin))
   )
 }
