@@ -135,4 +135,46 @@ class PlanAuditSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
       s"no partial aggregation:\n$plan")
   }
+
+  test("q90 as-of join is the union-merge window plan: one hash shuffle, no join node") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = SparkEntry.queries("q90_asof_join")(spark, sfDir)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => s +: walk(s.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    // the whole point of the union-merge formulation: NO join operator
+    assert(!nodes.exists(_.nodeName.contains("Join")),
+      s"as-of degenerated into a join: ${nodes.map(_.nodeName).distinct}")
+    // exactly one hash-partitioned exchange (the window's shuffle on k);
+    // anything more means a side shuffled twice
+    val hashShuffles = nodes.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashShuffles.length === 1,
+      s"expected 1 hash shuffle, got ${hashShuffles.length}")
+    assert(nodes.exists(_.nodeName.contains("Window")), "no window operator")
+  }
+
+  test("q91 range join stays an equi-join with map-side partial aggregation") {
+    val plan = finalPlan("q91_range_join_bins")
+    // the bin trick must never fall back to a nested-loop/cartesian plan
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range predicate planned as nested loop:\n$plan")
+    // pair rows are aggregated map-side: partial + final HashAggregate
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"no partial aggregation over the pair stream:\n$plan")
+  }
+
+  test("q92 unigram model joins as a broadcast of the vocab-sized side") {
+    val plan = finalPlan("q92_unigram_nll")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"token-NLL model not broadcast:\n$plan")
+  }
 }
