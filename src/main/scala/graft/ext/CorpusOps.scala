@@ -281,6 +281,36 @@ object CorpusOps {
       .filter(col("draw_rank") <= col("quota"))
   }
 
+  /** Equal-frequency quantile bucketing (feature binning): every row is
+    * assigned to one of `k` rank buckets by `orderCol` (ties broken by
+    * id — fully deterministic, unlike SQL `ntile` over a non-unique
+    * key). `bucket = ((rank-1)·k) div n`, so bucket sizes differ by at
+    * most one and the mapping is a pure function of the sorted position.
+    *
+    * Global rank via the same two-phase shape as [[epochShuffle]]
+    * (range-partition on the order key, rank within partitions,
+    * O(#partitions) offset pass) — never a global-order window.
+    */
+  def quantileBuckets(df: DataFrame, idCol: String, orderCol: Column,
+                      k: Int): DataFrame = {
+    require(k > 1, "need at least 2 buckets")
+    val base = partitionedBy(
+      df.select(col(idCol).as("id"), orderCol.as("v")), col("v"), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count() // materializes the persist; branch-consistent
+      quantileBucketsPlan(base, n, k).localCheckpoint(true)
+    } finally base.unpersist(false)
+  }
+
+  private[graft] def quantileBucketsPlan(base: DataFrame, n: Long, k: Int): DataFrame = {
+    val local = Window.partitionBy(col("part")).orderBy(col("v"), col("id"))
+    joinPartOffsets(base, count(lit(1)))
+      .withColumn("rn", col("poffset") + row_number().over(local))
+      .withColumn("bucket", expr(s"((rn - 1) * $k) div ${n}"))
+      .select(col("id"), col("v"), col("rn"), col("bucket"))
+  }
+
   /** Fixed-width histogram of a numeric column: one row per occupied
     * bin — (bin_lo, n, pct_micro). Pure groupBy on `floor(x / width)`
     * (single shuffle of one partial count per bin per task); the share

@@ -381,6 +381,52 @@ object AggQueries extends QueryPack {
              |  round(quantile_cont(n, 0.5), 4) AS p50_n,
              |  round(quantile_cont(n, 0.99), 4) AS p99_n,
              |  CAST(round(max(n) / (CAST(sum(n) AS DOUBLE) / count(*)) * 1000000) AS BIGINT) AS skew_micro
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // Group-wise z-score outlier gate on EXACT integer moments: cents
+    // sums and sums-of-squares ride decimal(38)/HUGEINT (exact, order-
+    // independent — a distributed double variance is not reproducible),
+    // the double mean/std/z derive from those exact integers through
+    // the identical expression shape on both engines. Two passes: tiny
+    // per-group stats broadcast back over the fact table.
+    Q("q98_zscore_outliers",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select($"o_orderpriority".as("grp"),
+          round($"o_totalprice" * 100, 0).cast("long").as("c"))
+        val stats = o.groupBy($"grp")
+          .agg(count(lit(1)).as("n"),
+            sum($"c".cast("decimal(38,0)")).as("s"),
+            sum(($"c" * $"c").cast("decimal(38,0)")).as("sq"))
+          .select($"grp", $"n",
+            ($"s".cast("double") / $"n").as("mean_c"),
+            sqrt(($"sq".cast("double") - $"s".cast("double") * $"s".cast("double") / $"n")
+              / ($"n" - lit(1))).as("std_c"))
+        o.join(broadcast(stats), "grp")
+          .groupBy($"grp", $"n", $"mean_c", $"std_c")
+          .agg(
+            sum(when(($"c" - $"mean_c") / $"std_c" > 2, 1L).otherwise(0L)).as("n_hi"),
+            sum(when(($"c" - $"mean_c") / $"std_c" < -2, 1L).otherwise(0L)).as("n_lo"))
+          .select($"grp", $"n", r4($"mean_c" / 100.0).as("mean_price"),
+            r4($"std_c" / 100.0).as("std_price"), $"n_hi", $"n_lo")
+          .orderBy($"grp")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderpriority AS grp,
+             |    CAST(round(o_totalprice*100, 0) AS BIGINT) AS c
+             |  FROM orders),
+             |st AS (SELECT grp, count(*) AS n, sum(c) AS s, sum(c*c) AS sq
+             |       FROM o GROUP BY 1),
+             |m AS (
+             |  SELECT grp, n, CAST(s AS DOUBLE)/n AS mean_c,
+             |    sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)/(n-1)) AS std_c
+             |  FROM st)
+             |SELECT m.grp, CAST(m.n AS BIGINT) AS n,
+             |  round(mean_c/100.0, 4)+0.0 AS mean_price,
+             |  round(std_c/100.0, 4)+0.0 AS std_price,
+             |  CAST(sum(CASE WHEN (o.c - mean_c)/std_c > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+             |  CAST(sum(CASE WHEN (o.c - mean_c)/std_c < -2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo
+             |FROM o JOIN m USING (grp)
+             |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin))
   )
 }

@@ -1452,6 +1452,45 @@ object ExtQueries extends QueryPack {
              |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1)
              |SELECT bin_lo, n,
              |  CAST(round(CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS DOUBLE) FROM b) * 1000000) AS BIGINT) AS pct_micro
-             |FROM b ORDER BY bin_lo""".stripMargin))
+             |FROM b ORDER BY bin_lo""".stripMargin)),
+
+    // Equal-frequency quality deciles (feature binning): deterministic
+    // two-phase global rank on (quality micro, doc_id) — never ntile
+    // over a non-unique key, never a global-order window over the data.
+    Q("q99_quantile_buckets",
+      (s, d) => {
+        import s.implicits._
+        val q = round(TextAnalysis.qualityScore($"text") * 1000000, 0).cast("long")
+        val docs = Tables.documents(s, d).select($"doc_id", q.as("q_micro"))
+        CorpusOps.quantileBuckets(docs, "doc_id", $"q_micro", k = 10)
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"v").as("min_q_micro"), max($"v").as("max_q_micro"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    len(toks) AS n_tokens,
+             |    (length(text) - len(toks) + 1) * 1.0 / len(toks) AS mean_len,
+             |    len(list_filter(toks, x -> list_contains(
+             |      ['the','and','of','to','in','el','la','de','que','los','le','et','les','des','der','die','und','das','ein'], x))) * 1.0 / len(toks) AS stop_ratio
+             |  FROM t),
+             |s AS (
+             |  SELECT doc_id,
+             |    CAST(round(round(least(greatest(least(n_tokens/50.0, 1.0)
+             |      * (CASE WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 0.5 ELSE 1.0 END)
+             |      * (0.7 + stop_ratio), 0.0), 1.0), 4) * 1000000) AS BIGINT) AS q
+             |  FROM m),
+             |r AS (
+             |  SELECT doc_id, q,
+             |    row_number() OVER (ORDER BY q, doc_id) AS rn,
+             |    count(*) OVER () AS n
+             |  FROM s)
+             |SELECT ((rn - 1) * 10) // n AS bucket, count(*) AS n_docs,
+             |  min(q) AS min_q_micro, max(q) AS max_q_micro
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -173,4 +173,25 @@ class CorpusOpsSpec extends SparkTestBase {
       .select($"draw_rank").as[Long].collect().sorted
     assert(ranks === (1L to ranks.length).toArray)
   }
+
+  test("quantileBuckets matches the naive sorted-rank formula; sizes differ by ≤1") {
+    val withV = docs.select($"doc_id", ($"doc_id" * 37 % 101).as("v"))
+    val k = 7
+    val got = CorpusOps.quantileBuckets(withV, "doc_id", $"v", k)
+      .select($"id", $"rn", $"bucket")
+      .as[(Long, Long, Long)].collect()
+    val n = got.length.toLong
+    // naive: sort by (v, id) on the driver, same bucket formula
+    val naive = withV.as[(Long, Long)].collect()
+      .sortBy { case (id, v) => (v, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> ((i.toLong * k) / n, i.toLong + 1) }
+      .toMap
+    got.foreach { case (id, rn, b) =>
+      assert((b, rn) === ((naive(id)._1, naive(id)._2)), s"id $id")
+    }
+    // equal-frequency: bucket sizes differ by at most one
+    val sizes = got.groupBy(_._3).map(_._2.length)
+    assert(sizes.max - sizes.min <= 1)
+    assert(got.map(_._3).distinct.sorted.toSeq === (0L until k).toSeq)
+  }
 }
