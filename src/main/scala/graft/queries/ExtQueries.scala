@@ -1491,6 +1491,81 @@ object ExtQueries extends QueryPack {
              |  FROM s)
              |SELECT ((rn - 1) * 10) // n AS bucket, count(*) AS n_docs,
              |  min(q) AS min_q_micro, max(q) AS max_q_micro
-             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Split-document continuation detection: doc A's last-3-token tail
+    // equals doc B's first-3-token head → (A, B) is a candidate
+    // rejoin (a crawler/extractor split one document into two). Pure
+    // equi-join on the boundary trigram — linear, shuffle on a short
+    // string key.
+    Q("q100_split_continuations",
+      (s, d) => {
+        import s.implicits._
+        val t = Tables.documents(s, d)
+          .select($"doc_id", TextAnalysis.tokens($"text").as("l"))
+          .filter(size($"l") >= 3)
+        val a = t.select($"doc_id".as("id_a"),
+          concat_ws(" ", slice($"l", -3, 3)).as("overlap"))
+        val b = t.select($"doc_id".as("id_b"),
+          concat_ws(" ", slice($"l", 1, 3)).as("head3"))
+        a.join(b, $"overlap" === $"head3" && $"id_a" =!= $"id_b")
+          .select($"id_a", $"id_b", $"overlap")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text),'\s+') AS l
+             |  FROM documents),
+             |hk AS (
+             |  SELECT doc_id,
+             |    array_to_string(l[1:3], ' ') AS head3,
+             |    array_to_string(l[-3:], ' ') AS tail3
+             |  FROM t WHERE len(l) >= 3)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.tail3 AS overlap
+             |FROM hk a JOIN hk b ON a.tail3 = b.head3 AND a.doc_id <> b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Token co-occurrence PMI (collocation mining): document-level
+    // co-occurrence counts from per-doc distinct tokens (array_distinct
+    // — no extra shuffle), PMI = ln(n_both·N / (df_a·df_b)) in
+    // micro-nats from exact integer counts; top-20 with support ≥ 5
+    // under a total (pmi desc, pair) order.
+    Q("q101_token_pmi",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val u = docs.select($"doc_id",
+          explode(array_distinct(TextAnalysis.tokens($"text"))).as("tok"))
+        val nDocs = docs.count()
+        val dfT = broadcast(u.groupBy($"tok").agg(count(lit(1)).as("df")))
+        u.as("a").join(u.as("b"), "doc_id")
+          .filter($"a.tok" < $"b.tok")
+          .groupBy($"a.tok".as("tok_a"), $"b.tok".as("tok_b"))
+          .agg(count(lit(1)).as("n_both"))
+          .filter($"n_both" >= 5)
+          .join(dfT.select($"tok".as("tok_a"), $"df".as("df_a")), "tok_a")
+          .join(dfT.select($"tok".as("tok_b"), $"df".as("df_b")), "tok_b")
+          .select($"tok_a", $"tok_b", $"n_both",
+            round(log(($"n_both" * nDocs).cast("double") / ($"df_a" * $"df_b").cast("double")) * 1000000, 0)
+              .cast("long").as("pmi_micro"))
+          .orderBy($"pmi_micro".desc, $"tok_a", $"tok_b")
+          .limit(20)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text),'\s+') AS l
+             |  FROM documents),
+             |u AS (SELECT DISTINCT doc_id, unnest(l) AS tok FROM t),
+             |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+             |dft AS (SELECT tok, count(*) AS df FROM u GROUP BY 1),
+             |p AS (
+             |  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_both
+             |  FROM u a JOIN u b USING (doc_id) WHERE a.tok < b.tok
+             |  GROUP BY 1, 2 HAVING count(*) >= 5)
+             |SELECT tok_a, tok_b, n_both,
+             |  CAST(round(ln(CAST(n_both * nd.n AS DOUBLE) / CAST(da.df * db.df AS DOUBLE)) * 1000000) AS BIGINT) AS pmi_micro
+             |FROM p
+             |JOIN dft da ON da.tok = p.tok_a
+             |JOIN dft db ON db.tok = p.tok_b
+             |CROSS JOIN nd
+             |ORDER BY pmi_micro DESC, tok_a, tok_b LIMIT 20""".stripMargin))
   )
 }
