@@ -21,6 +21,7 @@ import graft.functions.{CosineSim, LocScaleBSketch, PolyHash, SortedIntersectSiz
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => LevenshteinPruning)
+    e.injectOptimizerRule(_ => RangeJoinBinning)
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
