@@ -60,6 +60,21 @@ object AsOfJoin {
         payloadCols.map(c => col(s"__match.$c").as(c)): _*)
   }
 
+  /** Forward as-of: attach the payload of the FIRST right row at or
+    * after the left row's time (numeric `time` required — epoch
+    * seconds/micros). Implemented by time negation over [[lastPrior]]
+    * (`rt >= lt ⟺ -rt <= -lt`), so the two directions share one plan
+    * shape and one set of invariants. Ties at equal (key, time) resolve
+    * to the LARGEST `rightUnique`, same as the backward direction.
+    */
+  def firstAfter(left: DataFrame, right: DataFrame, key: String, time: String,
+                 rightUnique: String, rightPayload: Seq[String]): DataFrame = {
+    val nl = left.withColumn(time, negate(col(time)))
+    val nr = right.withColumn(time, negate(col(time)))
+    lastPrior(nl, nr, key, time, rightUnique, rightPayload)
+      .withColumn(time, negate(col(time)))
+  }
+
   /** [[lastPrior]] restricted to right rows strictly within `maxAgeSec`
     * of the left time (both times in epoch seconds): matches older than
     * the horizon are nulled out — the "stale state is no state" variant.

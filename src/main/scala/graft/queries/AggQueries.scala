@@ -427,6 +427,47 @@ object AggQueries extends QueryPack {
              |  CAST(sum(CASE WHEN (o.c - mean_c)/std_c > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
              |  CAST(sum(CASE WHEN (o.c - mean_c)/std_c < -2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo
              |FROM o JOIN m USING (grp)
-             |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin))
+             |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin)),
+
+    // Winsorized (clipped) robust mean per group: p05/p95 clip bounds
+    // from exact percentiles, ROUNDED TO INTEGER CENTS before clipping
+    // so the winsorized sum is an exact integer — a clipped double sum
+    // would be order-dependent under distributed aggregation. Two
+    // passes: tiny per-group bounds broadcast back.
+    Q("q102_winsorized_mean",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_returnflag".as("grp"),
+          round($"l_extendedprice" * 100, 0).cast("long").as("c"))
+        val st = li.groupBy($"grp").agg(
+          round(expr("percentile(c, 0.05)"), 0).cast("long").as("lo"),
+          round(expr("percentile(c, 0.95)"), 0).cast("long").as("hi"))
+        li.join(broadcast(st), "grp")
+          .groupBy($"grp")
+          .agg(count(lit(1)).as("n"),
+            (sum(least(greatest($"c", $"lo"), $"hi")) / count(lit(1)) / 100.0).as("m"),
+            sum(when($"c" < $"lo", 1L).otherwise(0L)).as("n_clip_lo"),
+            sum(when($"c" > $"hi", 1L).otherwise(0L)).as("n_clip_hi"),
+            (min($"lo") / 100.0).as("lo_price"), (min($"hi") / 100.0).as("hi_price"))
+          .select($"grp", $"n", r4($"m").as("mean_winsorized"),
+            $"n_clip_lo", $"n_clip_hi", $"lo_price", $"hi_price")
+          .orderBy($"grp")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_returnflag AS grp,
+             |    CAST(round(l_extendedprice*100, 0) AS BIGINT) AS c
+             |  FROM lineitem),
+             |st AS (
+             |  SELECT grp,
+             |    CAST(round(quantile_cont(c, 0.05), 0) AS BIGINT) AS lo,
+             |    CAST(round(quantile_cont(c, 0.95), 0) AS BIGINT) AS hi
+             |  FROM li GROUP BY 1)
+             |SELECT li.grp, count(*) AS n,
+             |  round(CAST(sum(least(greatest(c, lo), hi)) AS BIGINT) / count(*) / 100.0, 4)+0.0 AS mean_winsorized,
+             |  CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+             |  CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+             |  min(lo) / 100.0 AS lo_price, min(hi) / 100.0 AS hi_price
+             |FROM li JOIN st USING (grp)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

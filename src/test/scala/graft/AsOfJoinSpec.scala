@@ -59,6 +59,18 @@ class AsOfJoinSpec extends SparkTestBase {
     (got.keySet -- naive.keySet).foreach(e => assert(got(e).isEmpty))
   }
 
+  test("firstAfter mirrors lastPrior forward: at-time tie → max unique") {
+    val got = AsOfJoin.firstAfter(left, right, "k", "t", "rid", Seq("v"))
+      .select($"event_id", $"rid", $"v")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map { case (e, r, v) => e -> ((r, v)) }.toMap
+    assert(got(12L) === ((Some(2L), Some("b"))))  // t=50: first ≥ is t=100, tie → rid 2
+    assert(got(10L) === ((Some(2L), Some("b"))))  // exactly at t=100 matches
+    assert(got(11L) === ((None, None)))           // t=200: nothing after
+    assert(got(30L) === ((Some(4L), Some("d"))))  // t=99 → right at 100
+    assert(got(20L) === ((None, None)))
+  }
+
   test("lastPriorWithin nulls out matches older than the horizon") {
     val got = AsOfJoin.lastPriorWithin(left, right, "k", "t", "rid", Seq("v"),
         maxAgeSec = 60L)
