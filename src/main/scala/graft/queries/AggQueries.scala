@@ -468,6 +468,39 @@ object AggQueries extends QueryPack {
              |  CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
              |  min(lo) / 100.0 AS lo_price, min(hi) / 100.0 AS hi_price
              |FROM li JOIN st USING (grp)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Z-order (Morton) layout audit: interleave (user, day) into one
+    // sort key and report per 256-key block how tight the min/max
+    // bounds are in BOTH dimensions — the file-statistics locality a
+    // Z-ordered writer buys for two-dimensional scan pruning. The key
+    // is div/mod arithmetic (engine-portable); the oracle's expression
+    // is GENERATED from the same term list (Layout.zKeySql) so the two
+    // sides cannot drift.
+    Q("q103_zorder_layout",
+      (s, d) => {
+        import s.implicits._
+        import graft.ops.Layout
+        val ev = Tables.events(s, d).select($"event_id", $"user_id",
+          expr("cast(ts as long) div 86400 - 19723").as("day"))
+        ev.withColumn("z", Layout.zKey($"user_id", $"day", 8))
+          .groupBy(expr("z div 256").as("block"))
+          .agg(count(lit(1)).as("n"),
+            min($"user_id").as("min_user"), max($"user_id").as("max_user"),
+            min($"day").as("min_day"), max($"day").as("max_day"))
+          .orderBy($"block")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT event_id, user_id,
+              |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 - 19723 AS day
+              |  FROM events),
+              |z AS (
+              |  SELECT user_id, day,
+              |    ${graft.ops.Layout.zKeySql("user_id", "day", 8)} AS z
+              |  FROM e)
+              |SELECT z // 256 AS block, count(*) AS n,
+              |  min(user_id) AS min_user, max(user_id) AS max_user,
+              |  CAST(min(day) AS BIGINT) AS min_day, CAST(max(day) AS BIGINT) AS max_day
+              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
