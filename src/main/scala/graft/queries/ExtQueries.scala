@@ -1566,6 +1566,42 @@ object ExtQueries extends QueryPack {
              |JOIN dft da ON da.tok = p.tok_a
              |JOIN dft db ON db.tok = p.tok_b
              |CROSS JOIN nd
-             |ORDER BY pmi_micro DESC, tok_a, tok_b LIMIT 20""".stripMargin))
+             |ORDER BY pmi_micro DESC, tok_a, tok_b LIMIT 20""".stripMargin)),
+
+    // Session funnel conversion: gap sessions (native session_window,
+    // the q63 twin), then per-session view→purchase ordering flags
+    // rolled up per user. Conditional min/max inside the session agg
+    // keeps it one pass over the sessionized stream.
+    Q("q104_session_funnel",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(session_window($"ts", "2 hours").as("w"), $"user_id")
+          .agg(
+            min(when($"event_type".isin("view", "click"), unix_micros($"ts"))).as("first_view"),
+            max(when($"event_type" === "purchase", unix_micros($"ts"))).as("last_purchase"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when($"last_purchase".isNotNull, 1L).otherwise(0L)).as("n_purchase_sessions"),
+            sum(when($"first_view".isNotNull && $"last_purchase".isNotNull &&
+              $"first_view" < $"last_purchase", 1L).otherwise(0L)).as("n_converted"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tsm
+             |  FROM events),
+             |l AS (SELECT *, lag(tsm) OVER (PARTITION BY user_id ORDER BY tsm) AS prev FROM e),
+             |m AS (SELECT *, CASE WHEN prev IS NULL OR tsm - prev >= 7200000000 THEN 1 ELSE 0 END AS new_s FROM l),
+             |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tsm ROWS UNBOUNDED PRECEDING) AS sn FROM m),
+             |g AS (
+             |  SELECT user_id, sn,
+             |    min(CASE WHEN event_type IN ('view', 'click') THEN tsm END) AS first_view,
+             |    max(CASE WHEN event_type = 'purchase' THEN tsm END) AS last_purchase
+             |  FROM s GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_sessions,
+             |  CAST(sum(CASE WHEN last_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_sessions,
+             |  CAST(sum(CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
+             |                 AND first_view < last_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
