@@ -363,7 +363,13 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+    // iterate ONLY over pair-touched nodes: an isolated node keeps
+    // label = id forever, so hauling the whole corpus through every
+    // round's joins and checkpoints buys nothing — touched nodes are
+    // typically a small fraction of `ids` (the dup graph is sparse).
+    // Isolated nodes are attached back after convergence.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
       .localCheckpoint(true)
     var changed = 1L
     var it = 0
@@ -391,7 +397,9 @@ object Dedup {
       it += 1
     }
     require(changed == 0, s"duplicateComponents did not converge in $maxIters rounds")
-    labels
+    ids.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   /** One row per member of each multi-document component: (id,
