@@ -501,6 +501,32 @@ object AggQueries extends QueryPack {
               |SELECT z // 256 AS block, count(*) AS n,
               |  min(user_id) AS min_user, max(user_id) AS max_user,
               |  CAST(min(day) AS BIGINT) AS min_day, CAST(max(day) AS BIGINT) AS max_day
-              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // GROUPING SETS with a non-hierarchical set list — ((rf,ls), (ls),
+    // ()): q65's rollup covers the hierarchy case; this pins arbitrary
+    // sets + an explicit engine-portable grouping id (grouping()·2 +
+    // grouping() — never the engine's own gid bit order).
+    Q("q105_grouping_sets",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupingSets(
+            Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_linestatus"), Seq()),
+            $"l_returnflag", $"l_linestatus")
+          .agg(moneySum($"l_extendedprice").as("revenue"),
+            count(lit(1)).as("n"),
+            (grouping($"l_returnflag") * 2 + grouping($"l_linestatus"))
+              .cast("long").as("gid"))
+          .orderBy($"gid", coalesce($"l_returnflag", lit("~")),
+            coalesce($"l_linestatus", lit("~")))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(CAST(round(l_extendedprice*100,0) AS BIGINT))/100.0 AS revenue,
+             |  count(*) AS n,
+             |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+             |ORDER BY gid, coalesce(l_returnflag, '~'), coalesce(l_linestatus, '~')""".stripMargin))
   )
 }
