@@ -70,6 +70,40 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
   }
 
+  /** Two-stage ANN with int8 candidate scoring: stage 1 ranks every
+    * corpus vector by the INTEGER dot product of per-vector-scaled int8
+    * codes (exact 64-bit arithmetic — engine-reproducible, no float
+    * accumulation order to worry about) and keeps `cands` candidates
+    * per query; stage 2 reranks only those by exact cosine. The scale
+    * story: the codes table is ~4× smaller than float32 (memory
+    * bandwidth is the brute-force bottleneck) and the expensive exact
+    * kernel touches `cands` rows per query instead of the corpus.
+    * Ranking keys (idot desc, id) and (sim desc, id) are total orders.
+    */
+  def int8RerankKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+                    cands: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
+    def coded(df: DataFrame, id: String, emb: String, code: String) = {
+      val p = prep(df, id, emb)
+      p.withColumn(code, int8Quantize(col(emb), maxAbs(col(emb))))
+    }
+    val q = coded(queries, "q_id", "q_emb", "q_code")
+    val c = coded(corpus, "n_id", "n_emb", "n_code")
+    val idot = aggregate(
+      zip_with(col("q_code"), col("n_code"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val w1 = Window.partitionBy(col("q_id")).orderBy(col("idot").desc, col("n_id").asc)
+    val w2 = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("idot", idot)
+      .withColumn("crank", row_number().over(w1))
+      .filter(col("crank") <= cands)
+      .withColumn("sim", graft.core.Exact.r6(cosineNative(col("q_emb"), col("n_emb"))))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("idot"), col("sim"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * LCG over the flat index, mapped to [-0.5, 0.5). Pure integer
     * arithmetic — reproducible in any engine.

@@ -1602,6 +1602,55 @@ object ExtQueries extends QueryPack {
              |  CAST(sum(CASE WHEN last_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_sessions,
              |  CAST(sum(CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
              |                 AND first_view < last_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
-             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Two-stage int8-rerank ANN: integer-dot candidate scoring on
+    // per-vector int8 codes (EXACT 64-bit arithmetic — the oracle
+    // recomputes every code and dot product bit-for-bit), exact cosine
+    // only on the candidate set. The memory-bandwidth scale path
+    // between brute force (q49) and the bucketed indexes (q50/q64).
+    Q("q106_int8_rerank_knn",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        Similarity.int8RerankKnn(emb.filter($"vec_id" < 5), emb, k = 5, cands = 50)
+          .orderBy($"q_id", $"rank")
+      },
+      Some("""WITH m AS (
+             |  SELECT vec_id, embedding,
+             |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+             |  FROM embeddings),
+             |cd AS (
+             |  SELECT vec_id, embedding,
+             |    list_transform(embedding, x ->
+             |      CAST(CASE WHEN maxabs = 0 THEN 0
+             |           ELSE greatest(CAST(-127 AS DOUBLE), least(CAST(127 AS DOUBLE),
+             |                round(CAST(x AS DOUBLE) * 127.0 / maxabs, 0))) END AS BIGINT)) AS code
+             |  FROM m),
+             |q AS (SELECT vec_id AS q_id, embedding AS q_emb, code AS q_code
+             |      FROM cd WHERE vec_id < 5),
+             |j AS (
+             |  SELECT q_id, c.vec_id AS n_id, q_emb, c.embedding AS n_emb,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(q_code, (a, i) -> a * c.code[i])), (x, y) -> x + y) AS idot
+             |  FROM q, cd c WHERE c.vec_id != q_id),
+             |cand AS (
+             |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY idot DESC, n_id) AS crank
+             |  FROM j),
+             |r AS (
+             |  SELECT q_id, n_id, idot,
+             |    round(
+             |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform(q_emb, (x,i) -> CAST(x AS DOUBLE) * CAST(n_emb[i] AS DOUBLE))),
+             |        (a,b) -> a + b)
+             |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b))
+             |        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(n_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b)))
+             |    , 6) + 0.0 AS sim
+             |  FROM cand WHERE crank <= 50)
+             |SELECT q_id, rank, n_id, idot, sim FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM r)
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
   )
 }

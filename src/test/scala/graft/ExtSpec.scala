@@ -15,6 +15,26 @@ class ExtSpec extends SparkTestBase {
   lazy val docs = Tables.documents(spark, sfDir).cache()
   lazy val embs = Tables.embeddings(spark, sfDir).cache()
 
+  test("int8-rerank KNN recovers the exact top-5 at cands=50") {
+    val queries = embs.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceKnn(queries, embs, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val rerank = Similarity.int8RerankKnn(queries, embs, k = 5, cands = 50)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & rerank).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 rerank recall $recall < 0.9")
+    // the exact-rerank stage reports true cosines: the surviving pairs'
+    // sims must MATCH brute force exactly, not approximately
+    val exactSims = Similarity.bruteForceKnn(queries, embs, k = 5)
+      .select($"q_id", $"n_id", $"sim").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    Similarity.int8RerankKnn(queries, embs, k = 5, cands = 50)
+      .select($"q_id", $"n_id", $"sim").as[(Long, Long, Double)].collect()
+      .foreach { case (q, n, s) =>
+        exactSims.get((q, n)).foreach(es => assert(es === s, s"sim drift for ($q,$n)"))
+      }
+  }
+
   test("minhash-LSH finds every exact bigram-Jaccard pair >= 0.2 (blocked)") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.2, Seq("lang"))
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
