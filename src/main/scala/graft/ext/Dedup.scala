@@ -590,4 +590,57 @@ object Dedup {
         .localCheckpoint(true)
     } finally { hc.unpersist(false); hb.unpersist(false) }
   }
+
+  /** Cross-document boilerplate removal (the CCNet/RefinedWeb paragraph
+    * dedup): cut each document into consecutive `segTokens`-token
+    * segments, count how many DISTINCT documents contain each segment,
+    * and strip every segment that appears in `maxDocs`-or-more documents
+    * — headers, footers, navigation chrome, license blurbs. Returns one
+    * row per document: `(id, n_segs, n_removed, clean_text)` where
+    * `clean_text` is the surviving segments rejoined in original order
+    * (whitespace normalized to single spaces — segmentation tokenizes).
+    *
+    * Scale shape: one linear segmentation pass (persisted before the
+    * positional explode — the Generate re-evaluation lesson; deriving
+    * the segment array in the exploding stage re-slices the whole array
+    * once per emitted row), one hash-keyed count (map-side partial agg
+    * after the per-doc distinct), and a BROADCAST join of the common-
+    * segment set — above any useful threshold that set is tiny (it's
+    * the boilerplate, not the corpus). Reassembly is a single groupBy
+    * per document collecting its own bounded segment list; no global
+    * state, no driver collection.
+    */
+  def stripCommonSegments(df: DataFrame, idCol: String, textCol: String,
+                          segTokens: Int, maxDocs: Long): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    require(maxDocs >= 2, "maxDocs below 2 would strip every segment")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val toks = widen(df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks")))
+    // consecutive fixed-width slices; the trailing segment may be short
+    val nSegs = expr(s"(size(toks) + $segTokens - 1) div $segTokens")
+    val segRows = toks
+      .select(col("id"), transform(sequence(lit(0), nSegs - 1), i =>
+        array_join(slice(col("toks"), i * segTokens + 1, lit(segTokens)), " ")).as("segs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seg = segRows.select(col("id"),
+          posexplode(col("segs")).as(Seq("seg_idx", "seg_text")))
+        .withColumn("h", graft.functions.PolyHash.polyHash(col("seg_text")))
+      // a segment repeated WITHIN one doc counts that doc once
+      val common = seg.select(col("h"), col("id")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= maxDocs)
+      val flagged = seg.join(broadcast(common), Seq("h"), "left")
+        .withColumn("removed", col("n_docs").isNotNull)
+      flagged.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+          array_join(transform(
+            array_sort(collect_list(when(!col("removed"),
+              struct(col("seg_idx"), col("seg_text"))))),
+            s => s.getField("seg_text")), " ").as("clean_text"))
+        .localCheckpoint(true)
+    } finally segRows.unpersist(false)
+  }
 }

@@ -1651,6 +1651,51 @@ object ExtQueries extends QueryPack {
              |  FROM cand WHERE crank <= 50)
              |SELECT q_id, rank, n_id, idot, sim FROM (
              |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM r)
-             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // Cross-document boilerplate removal (CCNet/RefinedWeb paragraph
+    // dedup): fixed-width token segments, strip those appearing in >= 3
+    // distinct documents, rejoin the survivors in order. The oracle
+    // recomputes the PolyHash segment keys and the distinct-doc counts
+    // end-to-end.
+    Q("q107_strip_boilerplate",
+      (s, d) => {
+        import s.implicits._
+        Dedup.stripCommonSegments(Tables.documents(s, d),
+            "doc_id", "text", segTokens = 8, maxDocs = 3)
+          .select($"id".as("doc_id"), $"n_segs", $"n_removed", $"clean_text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |ix AS (
+             |  SELECT doc_id, toks,
+             |    unnest(generate_series(0, CAST((len(toks) + 7) // 8 AS BIGINT) - 1)) AS i
+             |  FROM t),
+             |s AS (
+             |  SELECT doc_id, i AS seg_idx,
+             |    array_to_string(toks[(i*8+1):((i+1)*8)], ' ') AS seg_text
+             |  FROM ix),
+             |hs AS (
+             |  SELECT doc_id, seg_idx, seg_text,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(seg_text)),
+             |        j -> CAST(ascii(substring(seg_text, j, 1)) AS BIGINT))),
+             |      (a, b) -> (a*31 + b) % 1000000007) AS h
+             |  FROM s),
+             |byh AS (
+             |  SELECT h, count(DISTINCT doc_id) AS n_docs FROM hs
+             |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+             |fl AS (
+             |  SELECT hs.doc_id, hs.seg_idx, hs.seg_text,
+             |    byh.h IS NOT NULL AS removed
+             |  FROM hs LEFT JOIN byh USING (h))
+             |SELECT doc_id, count(*) AS n_segs,
+             |  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |  coalesce(array_to_string(list_transform(
+             |    list_sort(list({'seg_idx': seg_idx, 'seg_text': seg_text})
+             |      FILTER (WHERE NOT removed)),
+             |    x -> x.seg_text), ' '), '') AS clean_text
+             |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -315,6 +315,45 @@ object JoinQueries extends QueryPack {
              |SELECT a.event_id, count(*) AS n_nearby
              |FROM ev a JOIN ev p ON p.t >= a.t - 3600 AND p.t < a.t + 3600
              |WHERE a.event_type = 'purchase'
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // SCD Type-2 dimension history: each customer's order-priority
+    // change log collapsed into versioned validity intervals — runs of
+    // identical values merge, each version closed at the next one's
+    // start. Two windows over ONE partitionBy(custkey) exchange
+    // (Scd2Spec pins the single-shuffle plan).
+    Q("q108_scd2_history",
+      (s, d) => {
+        import s.implicits._
+        val log = Tables.orders(s, d).select($"o_custkey",
+          $"o_orderdate".cast("timestamp_ltz").cast("long").as("eff_sec"),
+          $"o_orderkey", $"o_orderpriority")
+        graft.ops.Scd2.fromChangeLog(log, Seq("o_custkey"),
+            Seq("o_orderpriority"), "eff_sec", Seq("o_orderkey"))
+          .select($"o_custkey", $"version",
+            $"o_orderpriority".as("priority"),
+            $"effective_from", $"effective_to", $"is_current")
+          .orderBy($"o_custkey", $"version")
+      },
+      Some("""WITH log AS (
+             |  SELECT o_custkey, epoch_us(o_orderdate) // 1000000 AS eff_sec,
+             |    o_orderkey, o_orderpriority
+             |  FROM orders),
+             |chg AS (
+             |  SELECT *,
+             |    o_orderpriority IS DISTINCT FROM
+             |      lag(o_orderpriority) OVER
+             |        (PARTITION BY o_custkey ORDER BY eff_sec, o_orderkey) AS changed
+             |  FROM log),
+             |kept AS (SELECT * FROM chg WHERE changed)
+             |SELECT o_custkey,
+             |  CAST(row_number() OVER w AS BIGINT) AS version,
+             |  o_orderpriority AS priority,
+             |  eff_sec AS effective_from,
+             |  lead(eff_sec) OVER w AS effective_to,
+             |  lead(eff_sec) OVER w IS NULL AS is_current
+             |FROM kept
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY eff_sec, o_orderkey)
+             |ORDER BY o_custkey, version""".stripMargin))
   )
 }

@@ -312,4 +312,31 @@ class ExtSpec extends SparkTestBase {
       TextAnalysis.rollingFingerprint($"text").as("f")).collect()
     assert(a.sameElements(b))
   }
+
+  test("stripCommonSegments removes segments shared by >= maxDocs docs, keeps order") {
+    val d = Seq(
+      (1L, "foo bar a b"),          // shared seg + unique tail
+      (2L, "foo bar c d"),
+      (3L, "foo bar e f"),
+      (4L, "x y"),                  // untouched
+      (5L, "foo bar foo bar"))      // in-doc repeat counts its doc ONCE
+      .toDF("doc_id", "text")
+    val got = Dedup.stripCommonSegments(d, "doc_id", "text", segTokens = 2, maxDocs = 3)
+      .select($"id", $"n_segs", $"n_removed", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1L, "a b"),
+      (2L, 2L, 1L, "c d"),
+      (3L, 2L, 1L, "e f"),
+      (4L, 1L, 0L, "x y"),
+      (5L, 2L, 2L, "")))            // fully-boilerplate doc -> empty, not null
+  }
+
+  test("stripCommonSegments below threshold is whitespace-normalizing identity") {
+    val d = Seq((1L, "a b  c"), (2L, "d e")).toDF("doc_id", "text")
+    val got = Dedup.stripCommonSegments(d, "doc_id", "text", segTokens = 2, maxDocs = 2)
+      .select($"id", $"n_removed", $"clean_text")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 0L, "a b c"), (2L, 0L, "d e")))
+  }
 }
