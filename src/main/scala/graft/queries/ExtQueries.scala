@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.{Exact, Tables}
 import graft.core.Exact.{r4, r6}
-import graft.ext.{CorpusOps, Dedup, IvfIndex, LangModel, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{CorpusOps, Dedup, IvfIndex, LangModel, Multimodal, Similarity, Sketches, TextAnalysis}
 
 /** LLM-training-data pipeline operators (north-star extensions):
   * text quality / language-ID / token counting / fingerprinting over
@@ -1696,6 +1696,136 @@ object ExtQueries extends QueryPack {
              |    list_sort(list({'seg_idx': seg_idx, 'seg_text': seg_text})
              |      FILTER (WHERE NOT removed)),
              |    x -> x.seg_text), ' '), '') AS clean_text
-             |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Bloom-filter ingestion screen: "has this key been seen in the
+    // corpus?" — k affine-permuted PolyHash bits in an m-bit filter,
+    // broadcast to the probe side. The oracle recomputes every bit
+    // position, the filter's set-bit table, and the all-bits-set
+    // verdict; `actual` (exact membership) rides along so false
+    // positives are visible in the output.
+    Q("q109_bloom_screen",
+      (s, d) => {
+        import s.implicits._
+        val keyed = Tables.documents(s, d).withColumn("key",
+          concat_ws(" ", slice(TextAnalysis.tokens($"text"), 1, 3)))
+        val corpus = keyed.filter($"source" =!= "src0")
+        val probe = keyed.filter($"source" === "src0")
+        val screen = Sketches.bloomScreen(corpus, probe, "key", m = 4096, k = 3)
+        val actual = corpus.select($"key").distinct().withColumn("actual", lit(true))
+        screen.join(actual, Seq("key"), "left")
+          .select($"key", $"might_contain",
+            coalesce($"actual", lit(false)).as("actual"))
+          .orderBy($"key")
+      },
+      Some("""WITH keyed AS (
+             |  SELECT source,
+             |    array_to_string(string_split_regex(trim(text),'\s+')[1:3], ' ') AS key
+             |  FROM documents),
+             |ch AS (
+             |  SELECT key,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(key)),
+             |        j -> CAST(ascii(substring(key, j, 1)) AS BIGINT))),
+             |      (a, b) -> (a*31 + b) % 1000000007) AS h
+             |  FROM (SELECT DISTINCT key FROM keyed WHERE source <> 'src0')),
+             |ph AS (
+             |  SELECT key,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(key)),
+             |        j -> CAST(ascii(substring(key, j, 1)) AS BIGINT))),
+             |      (a, b) -> (a*31 + b) % 1000000007) AS h
+             |  FROM (SELECT DISTINCT key FROM keyed WHERE source = 'src0')),
+             |ii AS (SELECT unnest(generate_series(0, 2)) AS i),
+             |cbits AS (
+             |  SELECT DISTINCT
+             |    ((h * ((1103515245 * (i+1)) % 1000000007)
+             |      + ((12345 * (i+1) + 7) % 1000000007)) % 1000000007) % 4096 AS bit
+             |  FROM ch, ii),
+             |pbits AS (
+             |  SELECT DISTINCT key,
+             |    ((h * ((1103515245 * (i+1)) % 1000000007)
+             |      + ((12345 * (i+1) + 7) % 1000000007)) % 1000000007) % 4096 AS bit
+             |  FROM ph, ii),
+             |agg AS (
+             |  SELECT p.key, count(*) AS n, count(c.bit) AS hits
+             |  FROM pbits p LEFT JOIN cbits c ON p.bit = c.bit GROUP BY 1),
+             |act AS (SELECT DISTINCT key FROM keyed WHERE source <> 'src0')
+             |SELECT a.key, hits = n AS might_contain,
+             |  act.key IS NOT NULL AS actual
+             |FROM agg a LEFT JOIN act ON a.key = act.key
+             |ORDER BY a.key""".stripMargin)),
+
+    // Count-Min heavy hitters: exact top-20 tokens vs the d×w sketch
+    // estimate (min over d affine-hashed counter cells). Every counter
+    // cell is an exact integer count the oracle rebuilds; the estimate
+    // >= exact invariant is additionally spec-pinned.
+    Q("q110_countmin_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens($"text")).as("tok"))
+        val counters = Sketches.countMinCounters(toks, "tok", d = 3, w = 512)
+        val top = toks.groupBy($"tok").agg(count(lit(1)).as("exact_n"))
+          .orderBy($"exact_n".desc, $"tok").limit(20)
+        Sketches.countMinLookup(counters, top, "tok", d = 3, w = 512)
+          .select($"tok", $"exact_n", $"cm_estimate")
+          .orderBy($"tok")
+      },
+      Some("""WITH tk AS (
+             |  SELECT unnest(string_split_regex(trim(text),'\s+')) AS tok FROM documents),
+             |ex AS (SELECT tok, count(*) AS exact_n FROM tk GROUP BY 1),
+             |top AS (SELECT tok, exact_n FROM ex ORDER BY exact_n DESC, tok LIMIT 20),
+             |th AS (
+             |  SELECT tok,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(tok)),
+             |        j -> CAST(ascii(substring(tok, j, 1)) AS BIGINT))),
+             |      (a, b) -> (a*31 + b) % 1000000007) AS h
+             |  FROM (SELECT DISTINCT tok FROM tk)),
+             |ii AS (SELECT unnest(generate_series(0, 2)) AS i),
+             |cells AS (
+             |  SELECT tok, i AS row,
+             |    ((h * ((1103515245 * (i+1)) % 1000000007)
+             |      + ((12345 * (i+1) + 7) % 1000000007)) % 1000000007) % 512 AS pos
+             |  FROM th, ii),
+             |counters AS (
+             |  SELECT cl.row, cl.pos, count(*) AS cnt
+             |  FROM tk JOIN cells cl ON tk.tok = cl.tok GROUP BY 1, 2)
+             |SELECT t.tok, t.exact_n, min(cn.cnt) AS cm_estimate
+             |FROM top t JOIN cells cl ON cl.tok = t.tok
+             |  JOIN counters cn ON cn.row = cl.row AND cn.pos = cl.pos
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // HyperLogLog registers over the token vocabulary: bucket = g mod
+    // 2^p, register = max leading-zero rank of the remaining bits,
+    // where g = polyHash^2 mod P (square-mod mix — see hllRegisters
+    // scaladoc for why raw poly31 clusters). `length(bin(x))` is the
+    // engine-portable bit-length (identical minimal binary strings on
+    // both engines); the estimator itself is spec-checked against
+    // exact countDistinct.
+    Q("q111_hll_registers",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens($"text")).as("tok"))
+        Sketches.hllRegisters(toks, "tok", p = 6)
+          .orderBy($"bucket")
+      },
+      Some("""WITH tk AS (
+             |  SELECT DISTINCT unnest(string_split_regex(trim(text),'\s+')) AS tok
+             |  FROM documents),
+             |th AS (
+             |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(tok)),
+             |        j -> CAST(ascii(substring(tok, j, 1)) AS BIGINT))),
+             |      (a, b) -> (a*31 + b) % 1000000007) AS h0
+             |  FROM tk),
+             |mx AS (SELECT (h0 * h0) % 1000000007 AS h FROM th),
+             |r AS (SELECT h % 64 AS bucket, h // 64 AS rest FROM mx)
+             |SELECT bucket,
+             |  max(CASE WHEN rest = 0 THEN CAST(25 AS BIGINT)
+             |       ELSE 25 - length(bin(rest)) END) AS register
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
