@@ -311,6 +311,30 @@ object CorpusOps {
       .select(col("id"), col("v"), col("rn"), col("bucket"))
   }
 
+  /** Per-stratum percentile normalization: each row's rank within its
+    * stratum mapped to [0, 1e6] micro-units — the cross-source quality
+    * calibration step of a mixing recipe (a raw quality of 0.7 means
+    * different things from different scrapers; its within-source
+    * percentile is comparable). Integer arithmetic end-to-end:
+    * `pct_micro = (rank-1)·1e6 div (n-1)`, ties broken by id, and a
+    * single-row stratum maps to 0.
+    *
+    * Both windows (rank, count) share one partitionBy(stratum)
+    * exchange. Partitioned by stratum — fine while no single stratum
+    * overwhelms an executor; a mega-stratum would call for the
+    * [[packSequences]]-style two-phase rank within that stratum.
+    */
+  def percentileNormalize(df: DataFrame, stratumCol: String, idCol: String,
+                          orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol)).orderBy(orderCol.asc, col(idCol).asc)
+    val wc = Window.partitionBy(col(stratumCol))
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n_stratum", count(lit(1)).over(wc))
+      .withColumn("pct_micro",
+        when(col("n_stratum") === 1, lit(0L))
+          .otherwise(expr("((rank - 1) * 1000000) div (n_stratum - 1)")))
+  }
+
   /** Fixed-width histogram of a numeric column: one row per occupied
     * bin — (bin_lo, n, pct_micro). Pure groupBy on `floor(x / width)`
     * (single shuffle of one partial count per bin per task); the share

@@ -1826,6 +1826,124 @@ object ExtQueries extends QueryPack {
              |SELECT bucket,
              |  max(CASE WHEN rest = 0 THEN CAST(25 AS BIGINT)
              |       ELSE 25 - length(bin(rest)) END) AS register
-             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Cross-source quality calibration: each document's quality mapped
+    // to its within-source percentile (integer micro-units, exact rank
+    // arithmetic) — raw scores from different scrapers are not
+    // comparable; their percentiles are.
+    Q("q112_percentile_normalize",
+      (s, d) => {
+        import s.implicits._
+        val scored = Tables.documents(s, d)
+          .select($"doc_id", $"source",
+            TextAnalysis.qualityScore($"text").as("quality"))
+        CorpusOps.percentileNormalize(scored, "source", "doc_id", $"quality")
+          .select($"doc_id", $"source", $"rank", $"n_stratum", $"pct_micro")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, text,
+             |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |m AS (
+             |  SELECT doc_id, source, len(toks) AS n_tokens,
+             |    (length(text) - len(toks) + 1) * 1.0 / len(toks) AS mean_len,
+             |    len(list_filter(toks, x -> list_contains(
+             |      ['the','and','of','to','in','el','la','de','que','los','le','et','les','des','der','die','und','das','ein'], x))) * 1.0 / len(toks) AS stop_ratio
+             |  FROM t),
+             |q AS (
+             |  SELECT doc_id, source,
+             |    round(least(greatest(least(n_tokens/50.0, 1.0)
+             |      * (CASE WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 0.5 ELSE 1.0 END)
+             |      * (0.7 + stop_ratio), 0.0), 1.0), 4) AS quality
+             |  FROM m),
+             |r AS (
+             |  SELECT doc_id, source,
+             |    CAST(row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS BIGINT) AS rank,
+             |    count(*) OVER (PARTITION BY source) AS n_stratum
+             |  FROM q)
+             |SELECT doc_id, source, rank, n_stratum,
+             |  CASE WHEN n_stratum = 1 THEN 0
+             |       ELSE ((rank - 1) * 1000000) // (n_stratum - 1) END AS pct_micro
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Semantic dedup GROUPS end-to-end: the q79 IVF-cell cosine pairs
+    // fed through connected components — SemDeDup's final clustering
+    // step, composed from two independently-oracled operators. The
+    // oracle chains the q79 pair CTEs into q68's recursive min-label
+    // CTE.
+    Q("q113_semantic_dedup_groups",
+      (s, d) => {
+        import s.implicits._
+        val embs = Tables.embeddings(s, d)
+        val pairs = Similarity.semanticDupPairs(s, embs,
+            threshold = 0.25, kCells = 16)
+          .select($"id_a", $"id_b")
+        Dedup.duplicateGroups(pairs, embs.select($"vec_id"), "vec_id")
+          .select($"id".as("vec_id"), $"canonical_id", $"n_group")
+          .orderBy($"canonical_id", $"vec_id")
+      },
+      Some("""WITH RECURSIVE v AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+             |seeds AS (SELECT id AS cid, emb AS cemb FROM v ORDER BY id LIMIT 16),
+             |asg0 AS (
+             |  SELECT id, cid FROM (
+             |    SELECT v.id, s.cid,
+             |      row_number() OVER (PARTITION BY v.id ORDER BY
+             |        (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(s.cemb[i] AS DOUBLE))), (p,w) -> p + w)
+             |        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(v.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(s.cemb, (u,i) -> CAST(u AS DOUBLE) * CAST(s.cemb[i] AS DOUBLE))), (p,w) -> p + w)))) DESC,
+             |        s.cid) AS rn
+             |    FROM v CROSS JOIN seeds s)
+             |  WHERE rn = 1),
+             |dimrows AS (
+             |  SELECT cid, u.pos, u.x
+             |  FROM (SELECT a0.cid, unnest(list_transform(v.emb, (x,i) -> {'pos': i, 'x': x})) AS u
+             |        FROM asg0 a0 JOIN v USING (id)) a),
+             |dims AS (
+             |  SELECT cid, pos,
+             |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) / count(*) / 1000000.0 AS FLOAT) AS m
+             |  FROM dimrows GROUP BY cid, pos),
+             |cent AS (SELECT cid, list(m ORDER BY pos) AS cemb FROM dims GROUP BY cid),
+             |lists AS (
+             |  SELECT cid, id AS n_id FROM (
+             |    SELECT v.id, c.cid,
+             |      row_number() OVER (PARTITION BY v.id ORDER BY
+             |        (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)
+             |        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(v.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(c.cemb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)))) DESC,
+             |        c.cid) AS rn
+             |    FROM v CROSS JOIN cent c)
+             |  WHERE rn = 1),
+             |sims AS (
+             |  SELECT a.n_id AS id_a, b.n_id AS id_b, round(
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(va.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(vb.emb[i] AS DOUBLE))), (p,w) -> p + w)
+             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(va.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(va.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(vb.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(vb.emb[i] AS DOUBLE))), (p,w) -> p + w)))
+             |    , 6) + 0.0 AS sim
+             |  FROM lists a JOIN lists b ON a.cid = b.cid AND a.n_id < b.n_id
+             |  JOIN v va ON va.id = a.n_id JOIN v vb ON vb.id = b.n_id),
+             |pairs AS (SELECT id_a, id_b FROM sims WHERE sim >= 0.25),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+             |  UNION
+             |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+             |comp AS (SELECT id, min(lbl) AS canonical_id FROM reach GROUP BY id),
+             |sized AS (SELECT canonical_id, count(*) AS n_group FROM comp GROUP BY 1)
+             |SELECT c.id AS vec_id, c.canonical_id, s.n_group
+             |FROM comp c JOIN sized s USING (canonical_id)
+             |WHERE s.n_group > 1
+             |ORDER BY canonical_id, vec_id""".stripMargin))
   )
 }

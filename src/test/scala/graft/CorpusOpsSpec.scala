@@ -194,4 +194,21 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(sizes.max - sizes.min <= 1)
     assert(got.map(_._3).distinct.sorted.toSeq === (0L until k).toSeq)
   }
+
+  test("percentileNormalize: extremes at 0/1e6, ties by id, singleton stratum at 0") {
+    val d = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0),
+      ("a", 4L, 30.0),                   // tie with id 2 -> later rank
+      ("b", 5L, 99.0))                   // singleton stratum
+      .toDF("src", "id", "score")
+    val got = CorpusOps.percentileNormalize(d, "src", "id", col("score"))
+      .select($"id", $"rank", $"n_stratum", $"pct_micro")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 1L, 4L, 0L),         // min -> 0
+      (2L, 3L, 4L, 666666L),    // tied 30.0, smaller id first
+      (3L, 2L, 4L, 333333L),
+      (4L, 4L, 4L, 1000000L),   // max -> exactly 1e6
+      (5L, 1L, 1L, 0L)))        // singleton defined as 0, not div-by-zero
+  }
 }
