@@ -527,6 +527,32 @@ object AggQueries extends QueryPack {
              |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
-             |ORDER BY gid, coalesce(l_returnflag, '~'), coalesce(l_linestatus, '~')""".stripMargin))
+             |ORDER BY gid, coalesce(l_returnflag, '~'), coalesce(l_linestatus, '~')""".stripMargin)),
+
+    // Incremental aggregate maintenance: fold the post-cutoff delta into
+    // the pre-cutoff rollup STATE instead of re-scanning history. The
+    // oracle recomputes from the FULL table directly — equality IS the
+    // algebraic-merge correctness proof (counts and exact integer-cent
+    // sums form a commutative monoid; raw double sums would not).
+    Q("q114_incremental_rollup",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_type", $"value", $"ts".cast("long").as("t"))
+        val cutoff = 1704672000L // 2024-01-08 00:00 UTC
+        val keys = Seq("user_id", "event_type")
+        val history = graft.ops.IncrementalAgg.rollupState(
+          ev.filter($"t" < cutoff), keys, $"value")
+        val delta = graft.ops.IncrementalAgg.rollupState(
+          ev.filter($"t" >= cutoff), keys, $"value")
+        graft.ops.IncrementalAgg.withAvg(
+            graft.ops.IncrementalAgg.mergeStates(keys, history, delta))
+          .select($"user_id", $"event_type", $"n", $"sum_cents", $"avg_value")
+          .orderBy($"user_id", $"event_type")
+      },
+      Some("""SELECT user_id, event_type, count(*) AS n,
+             |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) / count(*) / 100.0 AS avg_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

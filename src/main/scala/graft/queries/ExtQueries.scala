@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.{Exact, Tables}
 import graft.core.Exact.{r4, r6}
-import graft.ext.{CorpusOps, Dedup, IvfIndex, LangModel, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.ext.{CorpusOps, Dedup, IvfIndex, LangModel, LinkGraph, Multimodal, Similarity, Sketches, TextAnalysis}
 
 /** LLM-training-data pipeline operators (north-star extensions):
   * text quality / language-ID / token counting / fingerprinting over
@@ -1944,6 +1944,57 @@ object ExtQueries extends QueryPack {
              |SELECT c.id AS vec_id, c.canonical_id, s.n_group
              |FROM comp c JOIN sized s USING (canonical_id)
              |WHERE s.n_group > 1
-             |ORDER BY canonical_id, vec_id""".stripMargin))
+             |ORDER BY canonical_id, vec_id""".stripMargin)),
+
+    // Integer fixed-point PageRank on the customer<->supplier trade
+    // graph (3 power-iteration steps): every step is floor arithmetic
+    // over 1e-12 mass units, so the distributed result is bit-identical
+    // to the oracle's chained single-threaded CTEs — the reproducible
+    // form of link-based source-quality weighting.
+    Q("q115_pagerank",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+          .select($"o_custkey".as("c"), $"l_suppkey".as("p")).distinct()
+        val edges = pairs.select($"c".as("src"), ($"p" + 1000000L).as("dst"))
+          .union(pairs.select(($"p" + 1000000L).as("src"), $"c".as("dst")))
+        LinkGraph.pageRankMicro(edges, iters = 3)
+          .orderBy($"node_id")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |edges AS (
+             |  SELECT c AS src, p + 1000000 AS dst FROM pairs
+             |  UNION ALL SELECT p + 1000000, c FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS id FROM edges
+             |          UNION SELECT DISTINCT dst FROM edges),
+             |nn AS (SELECT count(*) AS n FROM nodes),
+             |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+             |r0 AS (SELECT id, 1000000000000 // (SELECT n FROM nn) AS rank FROM nodes),
+             |s1 AS (SELECT e.dst AS id, sum(r.rank // d.deg) AS s
+             |       FROM edges e JOIN r0 r ON r.id = e.src JOIN deg d ON d.src = e.src
+             |       GROUP BY 1),
+             |r1 AS (SELECT n.id,
+             |         (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+             |           + (85 * coalesce(s1.s, 0)) // 100 AS rank
+             |       FROM nodes n LEFT JOIN s1 ON s1.id = n.id),
+             |s2 AS (SELECT e.dst AS id, sum(r.rank // d.deg) AS s
+             |       FROM edges e JOIN r1 r ON r.id = e.src JOIN deg d ON d.src = e.src
+             |       GROUP BY 1),
+             |r2 AS (SELECT n.id,
+             |         (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+             |           + (85 * coalesce(s2.s, 0)) // 100 AS rank
+             |       FROM nodes n LEFT JOIN s2 ON s2.id = n.id),
+             |s3 AS (SELECT e.dst AS id, sum(r.rank // d.deg) AS s
+             |       FROM edges e JOIN r2 r ON r.id = e.src JOIN deg d ON d.src = e.src
+             |       GROUP BY 1),
+             |r3 AS (SELECT n.id,
+             |         (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+             |           + (85 * coalesce(s3.s, 0)) // 100 AS rank
+             |       FROM nodes n LEFT JOIN s3 ON s3.id = n.id)
+             |SELECT id AS node_id, CAST(rank AS BIGINT) AS rank_micro
+             |FROM r3 ORDER BY id""".stripMargin))
   )
 }

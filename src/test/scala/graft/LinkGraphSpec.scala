@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.IncrementalAgg
+import graft.ext.LinkGraph
+
+/** Integer PageRank invariants + incremental-rollup algebra (the exact
+  * cross-engine equality lives in the q114/q115 oracles; these pin the
+  * structural properties).
+  */
+class LinkGraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pagerank: symmetric ring -> identical ranks; repeat run bit-identical") {
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r = LinkGraph.pageRankMicro(ring, iters = 4)
+      .select($"node_id", $"rank_micro").as[(Long, Long)].collect().toMap
+    assert(r.values.toSet.size === 1, s"ring ranks must be equal: $r")
+    val r2 = LinkGraph.pageRankMicro(ring, iters = 4)
+      .select($"node_id", $"rank_micro").as[(Long, Long)].collect().toMap
+    assert(r === r2)
+  }
+
+  test("pagerank: star center outranks leaves; floor arithmetic never exceeds total mass") {
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L),
+      (9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)).toDF("src", "dst")
+    val r = LinkGraph.pageRankMicro(star, iters = 3)
+      .select($"node_id", $"rank_micro").as[(Long, Long)].collect().toMap
+    assert((1L to 4L).forall(l => r(9L) > r(l)), s"center must dominate: $r")
+    // floors only ever LOSE mass relative to the 1e12 total
+    assert(r.values.sum <= 1000000000000L)
+    assert(r.values.sum > 900000000000L) // but not pathologically much
+  }
+
+  test("incremental rollup merge == full recompute, any split, any merge order") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"value")
+    val keys = Seq("user_id", "event_type")
+    val full = IncrementalAgg.rollupState(ev, keys, $"value")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // three-way split on a hash, merged pairwise in two different orders
+    val parts = (0 until 3).map(i =>
+      IncrementalAgg.rollupState(ev.filter(pmod($"user_id", lit(3)) === i), keys, $"value"))
+    val mergedA = IncrementalAgg.mergeStates(keys, parts: _*)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val mergedB = IncrementalAgg.mergeStates(keys,
+        IncrementalAgg.mergeStates(keys, parts(2), parts(0)), parts(1))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(mergedA === full)
+    assert(mergedB === full)
+  }
+}
