@@ -354,6 +354,29 @@ object JoinQueries extends QueryPack {
              |  lead(eff_sec) OVER w IS NULL AS is_current
              |FROM kept
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY eff_sec, o_orderkey)
-             |ORDER BY o_custkey, version""".stripMargin))
+             |ORDER BY o_custkey, version""".stripMargin)),
+
+    // Skew-mitigated salted equi-join (the FIX paired with q97's skew
+    // diagnostic): the fact side salted into 8 subkeys, the dimension
+    // replicated per salt — result provably identical to the plain
+    // join (the oracle IS the plain join), work spread across 8x the
+    // tasks for any hot key.
+    Q("q116_salted_join",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_suppkey", $"l_extendedprice")
+        val sup = Tables.supplier(s, d)
+          .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+        graft.ops.ScaleJoins.saltedJoin(li, sup, "l_suppkey", salts = 8)
+          .groupBy($"s_nationkey")
+          .agg(graft.core.Exact.moneySum($"l_extendedprice").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"s_nationkey")
+      },
+      Some("""SELECT s_nationkey,
+             |  sum(CAST(round(l_extendedprice*100,0) AS BIGINT))/100.0 AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ext.Sketches
+import graft.io.{DocumentSink, MemDocStore}
+
+/** Continuous Count-Min maintenance: each micro-batch's counter delta
+  * is ADDED into the stored sketch — the streaming form of frequency
+  * tracking over an unbounded token/key stream (heavy-hitter
+  * monitoring while a crawl ingests).
+  *
+  * Count-Min is the rare sketch whose streaming merge is trivially
+  * exact: counters are a commutative monoid (cell-wise addition), so
+  * `merge(sketch(b1), sketch(b2)) == sketch(b1 ++ b2)` with NO
+  * approximation added by batching — the spec pins that equality and
+  * [[graft.ops.IncrementalAgg]] documents the same algebra for exact
+  * rollups. The stream itself keeps no state (no watermark, no
+  * aggregation buffers): the d×w counter table in the store IS the
+  * state, and its size is independent of stream length — the whole
+  * point of sketching an unbounded stream.
+  */
+object StreamSketch {
+
+  /** Add one batch's counters into `collection` (cell-wise sum). */
+  private[streaming] def mergeBatch(spark: SparkSession, batch: DataFrame,
+                                    collection: String, keyCol: String,
+                                    d: Int, w: Int): Unit = {
+    val delta = Sketches.countMinCounters(batch, keyCol, d, w)
+    val existing =
+      if (MemDocStore.collections.contains(collection))
+        DocumentSink.pullFrom(spark, MemDocStore.Format,
+          Map("collection" -> collection))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.schema)
+    val merged = existing.unionByName(delta)
+      .groupBy(col("row"), col("pos")).agg(sum(col("cnt")).as("cnt"))
+    DocumentSink.pushTo(merged, MemDocStore.Format,
+      Map("collection" -> collection))
+  }
+
+  /** Start continuous sketch maintenance over `stream`'s `keyCol`. */
+  def run(stream: DataFrame, collection: String, keyCol: String,
+          d: Int, w: Int): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch.sparkSession, batch, collection, keyCol, d, w)
+      }
+      .start()
+
+  /** Read the maintained counter table back as a batch DataFrame. */
+  def counters(spark: SparkSession, collection: String): DataFrame =
+    DocumentSink.pullFrom(spark, MemDocStore.Format,
+      Map("collection" -> collection))
+}

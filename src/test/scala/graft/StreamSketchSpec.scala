@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ext.Sketches
+import graft.io.MemDocStore
+import graft.streaming.StreamSketch
+
+/** Streaming Count-Min: batched maintenance must equal the one-shot
+  * sketch over the full stream (counter cells are a commutative
+  * monoid — batching adds NO approximation), and lookups through the
+  * maintained sketch keep the one-sided error.
+  */
+class StreamSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("batched sketch == one-shot sketch over the concatenated stream") {
+    implicit val sc = spark.sqlContext
+    val coll = "cm_spec"
+    MemDocStore.drop(coll)
+    val in = MemoryStream[String]
+    val q = StreamSketch.run(in.toDF().toDF("tok"), coll, "tok", d = 3, w = 32)
+    val b1 = Seq("a", "b", "a", "c")
+    val b2 = Seq("a", "d", "d")
+    val b3 = Seq("e")
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    in.addData(b3); q.processAllAvailable()
+    q.stop()
+
+    val got = StreamSketch.counters(spark, coll)
+      .as[(Int, Long, Long)].collect().toSet
+    val oneShot = Sketches.countMinCounters(
+        (b1 ++ b2 ++ b3).toDF("tok"), "tok", d = 3, w = 32)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got === oneShot)
+
+    // lookups through the maintained sketch: estimate >= exact, and
+    // for skew-free tiny input the top key is exact
+    val exact = (b1 ++ b2 ++ b3).groupBy(identity).map { case (k, v) => k -> v.size }
+    val est = Sketches.countMinLookup(StreamSketch.counters(spark, coll),
+        exact.keys.toSeq.toDF("tok"), "tok", d = 3, w = 32)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) => assert(est(k) >= n, s"under-count for $k") }
+    MemDocStore.drop(coll)
+  }
+}
