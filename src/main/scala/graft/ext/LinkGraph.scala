@@ -32,18 +32,20 @@ object LinkGraph {
   def pageRankMicro(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "at least one iteration")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col("src"), col("dst")).persist(lvl)
+    // out-degree is loop-invariant: join it into the edge list ONCE so
+    // each iteration is a single ranks-to-edges join, not two
+    val e = edges.select(col("src"), col("dst"))
+    val eDeg = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .persist(lvl)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().persist(lvl)
     try {
       val n = nodes.count()
       val init = 1000000000000L / n
       val base = (15L * init) / 100L
-      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       var ranks = nodes.withColumn("rank", lit(init)).localCheckpoint(true)
       for (_ <- 1 to iters) {
-        val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
-          .join(outdeg, "src")
+        val contrib = eDeg.join(ranks.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), expr("rank div deg").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("s"))
         ranks = nodes.join(contrib, Seq("id"), "left")
@@ -52,6 +54,6 @@ object LinkGraph {
           .localCheckpoint(true)
       }
       ranks.select(col("id").as("node_id"), col("rank").as("rank_micro"))
-    } finally { e.unpersist(false); nodes.unpersist(false) }
+    } finally { eDeg.unpersist(false); nodes.unpersist(false) }
   }
 }
