@@ -553,6 +553,76 @@ object AggQueries extends QueryPack {
       Some("""SELECT user_id, event_type, count(*) AS n,
              |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents,
              |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) / count(*) / 100.0 AS avg_value
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Recency-weighted engagement: per-day halving decay as EXACT
+    // integer weight units (2^(30-age) for age < 30, else 0) — the
+    // reproducible form of exponential decay scoring. A float
+    // e^(-lambda*age) sum is order-dependent; power-of-two units sum in
+    // 64-bit exactly at any parallelism.
+    Q("q117_decayed_engagement",
+      (s, d) => {
+        import s.implicits._
+        val asOf = 1706745600L // 2024-02-01 00:00 UTC, just past the data
+        Tables.events(s, d)
+          .select($"user_id", $"ts".cast("long").as("t"))
+          .withColumn("age_days", expr(s"($asOf - t) div 86400"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when($"age_days".between(0, 29),
+                expr("shiftleft(cast(1 as bigint), cast(30 - age_days as int))"))
+              .otherwise(0L)).as("score_units"),
+            min($"age_days").as("days_since_last"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id,
+             |    (1706745600 - epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 86400 AS age_days
+             |  FROM events)
+             |SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(CASE WHEN age_days BETWEEN 0 AND 29
+             |        THEN (CAST(1 AS BIGINT) << CAST(30 - age_days AS INT))
+             |        ELSE 0 END) AS BIGINT) AS score_units,
+             |  min(age_days) AS days_since_last
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Declarative data-quality audit: five validity rules (ranges,
+    // non-null, set membership, FK into supplier) scored in ONE
+    // aggregation pass; NULL predicate = violation (tri-state folded
+    // via coalesce). The per-rule unpivot stacks the one-row aggregate,
+    // never the data.
+    Q("q118_expectations_audit",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val sup = Tables.supplier(s, d).select($"s_suppkey")
+        val joined = li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"), "left")
+        graft.ops.Expectations.audit(joined, Seq(
+          "quantity_in_range" -> $"l_quantity".between(1, 50),
+          "price_positive" -> ($"l_extendedprice" > 0),
+          "discount_unit_interval" -> $"l_discount".between(0.0, 1.0),
+          "returnflag_known" -> $"l_returnflag".isin("A", "N", "R"),
+          "fk_supplier_exists" -> $"s_suppkey".isNotNull))
+          .orderBy($"rule")
+      },
+      Some("""WITH j AS (
+             |  SELECT l.*, s.s_suppkey AS fk
+             |  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+             |one AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 1 ELSE 0 END) AS BIGINT) AS v_quantity,
+             |    CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false) THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+             |    CAST(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0.0 AND 1.0, false) THEN 1 ELSE 0 END) AS BIGINT) AS v_discount,
+             |    CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), false) THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
+             |    CAST(sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_fk,
+             |    count(*) AS n_checked
+             |  FROM j)
+             |SELECT rule, n_violations, n_checked FROM (
+             |  SELECT 'quantity_in_range' AS rule, v_quantity AS n_violations, n_checked FROM one
+             |  UNION ALL SELECT 'price_positive', v_price, n_checked FROM one
+             |  UNION ALL SELECT 'discount_unit_interval', v_discount, n_checked FROM one
+             |  UNION ALL SELECT 'returnflag_known', v_flag, n_checked FROM one
+             |  UNION ALL SELECT 'fk_supplier_exists', v_fk, n_checked FROM one)
+             |ORDER BY rule""".stripMargin))
   )
 }

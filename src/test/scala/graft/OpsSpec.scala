@@ -75,4 +75,18 @@ class OpsSpec extends SparkTestBase {
     assert(got(0) === Row("1", "URGENT"))
     assert(got(1) === Row("plain", null))
   }
+
+  test("expectations audit: NULL predicate counts as violation, one row per rule") {
+    val df = Seq[(java.lang.Integer, String)]((5, "A"), (60, "N"), (null, "R"), (7, "X"))
+      .toDF("qty", "flag")
+    val rows = graft.ops.Expectations.audit(df, Seq(
+        "qty_in_range" -> col("qty").between(1, 50),   // 60 fails, NULL fails
+        "flag_known" -> col("flag").isin("A", "N", "R")))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("qty_in_range") === ((2L, 4L))) // 60 out of range + NULL tri-state
+    assert(rows("flag_known") === ((1L, 4L)))   // "X"
+    intercept[IllegalArgumentException] {
+      graft.ops.Expectations.audit(df, Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+  }
 }
