@@ -591,6 +591,56 @@ object Dedup {
     } finally { hc.unpersist(false); hb.unpersist(false) }
   }
 
+  /** MinHash estimator calibration over the LSH candidate pairs: for
+    * each candidate, the signature-agreement estimate of Jaccard
+    * (`n_match / numHashes` — P(h_a = h_b) = J per permutation) next to
+    * the exact shingle Jaccard, both in integer micro-units. The
+    * monitoring view that tells you whether the (bands, rows) recall
+    * curve still matches reality on YOUR corpus — estimator drift here
+    * is how silent dedup-quality regressions get caught.
+    *
+    * Same persisted-shingle + persisted-signature dataflow as
+    * [[minHashLshPairs]]; candidates broadcast, both probe joins hit
+    * the cached frames.
+    */
+  def minHashCalibration(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val numHashes = bands * rowsPerBand
+    val sh = shingleDf(df, idCol, textCol, n).persist(lvl)
+    try {
+      val sig = sh
+        .select(col("id"), transform(col("sh"), s =>
+          graft.functions.PolyHash.polyHash(s)).as("hs"))
+        .select(col("id"), minHashSignatureFromHashes(col("hs"), numHashes).as("sig"))
+        .persist(lvl)
+      try {
+        val bandRows = sig.select(col("id"), posexplode(
+          transform(sequence(lit(0), lit(bands - 1)), bI =>
+            slice(col("sig"), bI * rowsPerBand + 1, lit(rowsPerBand)))).as(Seq("band", "bucket")))
+        val x = bandRows.withColumnRenamed("id", "id_a")
+        val y = bandRows.withColumnRenamed("id", "id_b")
+        val cands = broadcast(x.join(y, Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct())
+        cands
+          .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+          .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+          .withColumn("n_match",
+            expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("long"))
+          .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .withColumn("inter",
+            graft.functions.SortedIntersectSize.sortedIntersectSize(col("sh_a"), col("sh_b")))
+          .select(col("id_a"), col("id_b"), col("n_match"),
+            expr(s"n_match * 1000000 div $numHashes").as("est_micro"),
+            expr("inter * 1000000 div (size(sh_a) + size(sh_b) - inter)").as("exact_micro"))
+          .localCheckpoint(true)
+      } finally sig.unpersist(false)
+    } finally sh.unpersist(false)
+  }
+
   /** Cross-document boilerplate removal (the CCNet/RefinedWeb paragraph
     * dedup): cut each document into consecutive `segTokens`-token
     * segments, count how many DISTINCT documents contain each segment,

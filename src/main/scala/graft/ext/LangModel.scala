@@ -79,4 +79,34 @@ object LangModel {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Per-document token-distribution Shannon entropy in micro-nats:
+    * `H = Σ_types (c/n)·ln(n/c)`, evaluated as
+    * `round(Σ_types c · round((ln n − ln c)·1e6) / n)` — the shared
+    * micro-nat shape (one transcendental per (c, n) pair, exact integer
+    * weighting and sums between). Low entropy = repetitive/templated
+    * text, a standard quality signal next to [[docNll]] (which scores
+    * against the CORPUS distribution; entropy scores the document's
+    * own).
+    *
+    * One groupBy(id, tok) then one window-sum per doc — both
+    * partitioned by id, single exchange after the type count.
+    */
+  def docEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val byType = docs
+      .select(col(idCol).as("id"), explode(toks(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+    val wDoc = Window.partitionBy(col("id"))
+    byType
+      .withColumn("n", sum(col("c")).over(wDoc))
+      .withColumn("nll_micro",
+        round((log(col("n").cast("double")) - log(col("c").cast("double"))) * 1000000, 0)
+          .cast("long"))
+      .groupBy(col("id"))
+      .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("nll_micro")).as("wsum"))
+      .select(col("id"), col("n_tokens"), col("n_types"),
+        round(col("wsum").cast("double") / col("n_tokens"), 0)
+          .cast("long").as("entropy_micro"))
+  }
 }

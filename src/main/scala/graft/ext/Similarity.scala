@@ -261,4 +261,24 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** Mean-pool chunk embeddings into one vector per group (RAG-style
+    * doc embedding from chunk embeddings, or class centroids): per
+    * dimension, the EXACT integer-micro-unit mean — `sum(round(x·1e6))
+    * / count / 1e6` — the same bit-reproducible mean the IVF centroids
+    * use ([[IvfIndex]]), so any engine recomputes it. Output is LONG
+    * rows `(group, pos, pooled)` rather than a repacked array — scalar
+    * columns keep the cross-engine compare exact and feed the next
+    * matrix op directly.
+    *
+    * One posexplode + one groupBy(group, pos): dims multiply the row
+    * count by a constant (64 here), partial aggregation combines
+    * map-side — linear at any corpus size.
+    */
+  def meanPoolMicro(df: DataFrame, groupCol: String, embCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        posexplode(col(embCol)).as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos").cast("long").as("pos"))
+      .agg((sum(round(col("x").cast("double") * 1000000, 0).cast("long"))
+        / count(lit(1)) / 1000000.0).cast("float").as("pooled"))
 }

@@ -1995,6 +1995,101 @@ object ExtQueries extends QueryPack {
              |           + (85 * coalesce(s3.s, 0)) // 100 AS rank
              |       FROM nodes n LEFT JOIN s3 ON s3.id = n.id)
              |SELECT id AS node_id, CAST(rank AS BIGINT) AS rank_micro
-             |FROM r3 ORDER BY id""".stripMargin))
+             |FROM r3 ORDER BY id""".stripMargin)),
+
+    // Per-document token-distribution entropy in micro-nats — the
+    // repetitiveness/templatedness quality signal (low entropy = spam,
+    // boilerplate, keyword stuffing). Micro-nat shape shared with
+    // q92/q101: one transcendental per (c, n) pair, integer weighting.
+    Q("q119_token_entropy",
+      (s, d) => {
+        import s.implicits._
+        LangModel.docEntropy(Tables.documents(s, d), "doc_id", "text")
+          .select($"id".as("doc_id"), $"n_tokens", $"n_types", $"entropy_micro")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS tok
+             |  FROM documents),
+             |ct AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),
+             |wn AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM ct),
+             |nl AS (
+             |  SELECT doc_id, c, n,
+             |    CAST(round((ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE))) * 1000000) AS BIGINT) AS nll
+             |  FROM wn)
+             |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
+             |  CAST(round(CAST(sum(c * nll) AS DOUBLE) / max(n)) AS BIGINT) AS entropy_micro
+             |FROM nl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Mean-pool chunk embeddings into group vectors (RAG doc embedding
+    // from chunk embeddings) — per dimension the exact integer-micro
+    // mean the IVF centroids use, emitted as (grp, pos, pooled) scalar
+    // rows.
+    Q("q120_meanpool_embeddings",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).withColumn("grp", expr("vec_id div 10"))
+        Similarity.meanPoolMicro(emb, "grp", "embedding")
+          .orderBy($"grp", $"pos")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id // 10 AS grp,
+             |    unnest(list_transform(embedding, (x, i) -> {'pos': i, 'x': x})) AS u
+             |  FROM embeddings)
+             |SELECT grp, CAST(u.pos - 1 AS BIGINT) AS pos,
+             |  CAST(sum(CAST(round(CAST(u.x AS DOUBLE) * 1000000, 0) AS BIGINT))
+             |    / count(*) / 1000000.0 AS FLOAT) AS pooled
+             |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // MinHash estimator calibration: signature-agreement Jaccard
+    // estimate vs the exact shingle Jaccard for every LSH candidate
+    // pair, both in integer micro-units — the drift monitor for the
+    // (bands, rows) recall curve.
+    Q("q121_minhash_calibration",
+      (s, d) => {
+        import s.implicits._
+        Dedup.minHashCalibration(Tables.documents(s, d), "doc_id", "text",
+            n = 2, bands = 21, rowsPerBand = 3)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text),'\s+') AS l FROM documents),
+             |shg AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_filter(
+             |      list_transform(l, (x,i) -> CASE WHEN i <= len(l)-1 THEN x || ' ' || l[i+1] END),
+             |      v -> v IS NOT NULL)) AS sh
+             |  FROM toks),
+             |base AS (
+             |  SELECT doc_id, sh,
+             |    list_transform(sh, s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007)) AS hs
+             |  FROM shg),
+             |sig AS (
+             |  SELECT doc_id, sh,
+             |    list_transform(generate_series(1, 63), j ->
+             |      coalesce(list_min(list_transform(hs, h ->
+             |        (h * ((1103515245 * j) % 2038074743) + ((12345 * j + 7) % 2038074743)) % 2038074743)),
+             |      CAST(-1 AS BIGINT))) AS sig
+             |  FROM base),
+             |bandrows AS (
+             |  SELECT doc_id, b, sig[CAST(b*3+1 AS INT) : CAST(b*3+3 AS INT)] AS bucket
+             |  FROM sig CROSS JOIN range(0, 21) t(b)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bandrows a JOIN bandrows b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+             |sel AS (
+             |  SELECT c.id_a, c.id_b,
+             |    CAST(list_sum(list_transform(generate_series(1, 63), i ->
+             |      CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)] THEN 1 ELSE 0 END)) AS BIGINT) AS n_match,
+             |    len(list_intersect(sa.sh, sb.sh)) AS inter,
+             |    len(list_distinct(list_concat(sa.sh, sb.sh))) AS un
+             |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+             |    JOIN sig sb ON sb.doc_id = c.id_b)
+             |SELECT id_a, id_b, n_match,
+             |  (n_match * 1000000) // 63 AS est_micro,
+             |  (inter * 1000000) // un AS exact_micro
+             |FROM sel ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -339,4 +339,25 @@ class ExtSpec extends SparkTestBase {
       .as[(Long, Long, String)].collect().sortBy(_._1)
     assert(got.toSeq === Seq((1L, 0L, "a b c"), (2L, 0L, "d e")))
   }
+
+  test("minhash calibration: identical docs at exactly 1e6 both ways; estimate sane on corpus") {
+    val twins = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val cal = Dedup.minHashCalibration(twins, "doc_id", "text",
+      n = 2, bands = 21, rowsPerBand = 3)
+    val pair = cal.filter($"id_a" === 1L && $"id_b" === 2L)
+      .select($"n_match", $"est_micro", $"exact_micro")
+      .as[(Long, Long, Long)].collect()
+    assert(pair.toSeq === Seq((63L, 1000000L, 1000000L)))
+    // corpus-wide: estimates bounded and centered — mean |est - exact|
+    // within the ~sqrt(J(1-J)/63) band (loose 3x cushion)
+    val errs = Dedup.minHashCalibration(docs, "doc_id", "text",
+        n = 2, bands = 21, rowsPerBand = 3)
+      .select((abs($"est_micro" - $"exact_micro")).as("e"), $"n_match")
+      .as[(Long, Long)].collect()
+    assert(errs.nonEmpty)
+    assert(errs.forall { case (_, m) => m >= 0L && m <= 63L })
+    val mae = errs.map(_._1).sum.toDouble / errs.length
+    assert(mae < 200000.0, s"calibration MAE $mae micro too large")
+  }
 }

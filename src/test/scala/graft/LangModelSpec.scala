@@ -49,4 +49,32 @@ class LangModelSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((0L, 2L, 500000L), (50L, 1L, 250000L), (100L, 1L, 250000L)))
   }
+
+  test("docEntropy: uniform -> ln(n_types) micro-nats, constant doc -> 0") {
+    val d = Seq(
+      (1L, "a b a b"),     // uniform over 2 types: ln 2 = 0.693147
+      (2L, "x x x x"),     // single type: entropy 0
+      (3L, "a a a b"))     // 3/4 ln(4/3) + 1/4 ln 4
+      .toDF("doc_id", "text")
+    val got = LangModel.docEntropy(d, "doc_id", "text")
+      .select($"id", $"n_tokens", $"n_types", $"entropy_micro")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 4L, 2L, 693147L)))
+    assert(got(1) === ((2L, 4L, 1L, 0L)))
+    // 0.75*287682 + 0.25*1386294 = 562335 (micro-nat rounding applied per type)
+    val h3 = (3L * 287682L + 1L * 1386294L).toDouble / 4
+    assert(got(2)._4 === math.round(h3))
+  }
+
+  test("meanPoolMicro: exact per-dimension integer-micro means") {
+    val d = Seq(
+      (1L, Array(1.0f, -2.0f)), (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.5f, 0.25f)))
+      .toDF("grp", "emb")
+    val got = graft.ext.Similarity.meanPoolMicro(d, "grp", "emb")
+      .as[(Long, Long, Float)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 2.0f), (1L, 1L, 1.0f),
+      (2L, 0L, 0.5f), (2L, 1L, 0.25f)))
+  }
 }
