@@ -136,6 +136,36 @@ class PlanAuditSpec extends SparkTestBase {
       s"no partial aggregation:\n$plan")
   }
 
+  test("q109 bloom screen broadcasts the bit set, never shuffles it") {
+    val plan = finalPlan("q109_bloom_screen")
+    assert(plan.contains("BroadcastHashJoin"), s"filter bits not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"bit-set join degenerated to sort-merge:\n$plan")
+  }
+
+  test("q118 expectations audit is ONE aggregation pass over the data") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val df = SparkEntry.queries("q118_expectations_audit")(spark, sfDir)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => s +: walk(s.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    // n rules must NOT mean n scans: the FK lookup broadcasts and the
+    // only data shuffle is the single-partition final-agg gather
+    val shuffles = nodes.collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+    assert(shuffles.count(_ == SinglePartition) === 1 &&
+      shuffles.size <= 2, // AQE may stage the tiny final sort too
+      s"expected one gather, got $shuffles")
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      s"supplier FK lookup not broadcast: ${nodes.map(_.nodeName).distinct}")
+  }
+
   test("q90 as-of join is the union-merge window plan: one hash shuffle, no join node") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
