@@ -20,6 +20,12 @@ object Bench {
       .groupBy("k").count().count()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // drop blocks left by the PREVIOUS query before timing this one:
+      // eagerly-checkpointed result frames (localCheckpoint) stay in the
+      // block manager until their RDD is GC'd, and ~40 such frames from
+      // the q1xx queries (string-sorted BEFORE q46) squeezed execution
+      // memory enough to triple q46's time via spill churn
+      spark.sparkContext.getPersistentRDDs.foreach(_._2.unpersist(false))
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
