@@ -12,6 +12,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop the previous query's leftover checkpoint blocks (same
+      // block-manager leak Bench.scala documents)
+      spark.sparkContext.getPersistentRDDs.foreach(_._2.unpersist(false))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
