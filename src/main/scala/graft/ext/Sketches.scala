@@ -112,33 +112,49 @@ object Sketches {
     * < 2^30 range). `length(bin(x))` is the engine-portable bit-length —
     * Spark and DuckDB render identical minimal binary strings.
     *
-    * g is the SQUARE-MOD MIX `polyHash(key)^2 mod P`, not the raw
-    * PolyHash: poly31 is linear in the trailing characters, so
+    * g is the MIXED hash `((polyHash(key)^2 mod P)·a + b) mod P`, not
+    * the raw PolyHash: poly31 is linear in the trailing characters, so
     * sequential keys ("id-1234", "id-1235") land 1 apart and cluster —
     * the max-rho statistic then sees a few dense regions instead of n
     * uniform draws and HLL underestimates ~3× (caught by SketchesSpec's
     * accuracy test on 5000 sequential ids). The modular square is the
-    * cheapest engine-portable nonlinear mixer: adjacent h spread by
-    * 2h+1 mod P. Bloom/Count-Min keep the raw affine family — their
-    * correctness contracts (no false negatives, one-sided error) hold
-    * for ANY hash; only HLL's ESTIMATE depends on high-bit uniformity.
+    * nonlinear step (adjacent h spread by 2h+1 mod P); the affine round
+    * after it redistributes the SMALL-h corner — short numeric keys
+    * square to values far below P, and without the multiply their
+    * buckets stay clustered (caught by the grouped per-type accuracy
+    * test: 15 tiny user-id strings occupied 4 of 16 buckets).
+    * Bloom/Count-Min keep the raw affine family — their correctness
+    * contracts (no false negatives, one-sided error) hold for ANY hash;
+    * only HLL's ESTIMATE depends on high-bit uniformity.
     *
     * Returns one row per NON-EMPTY bucket `(bucket, register)`; the
     * estimator ([[hllEstimate]]) treats absent buckets as register 0.
     */
-  def hllRegisters(df: DataFrame, keyCol: String, p: Int): DataFrame = {
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int): DataFrame =
+    hllRegistersBy(df, Nil, keyCol, p)
+
+  /** Grouped HLL: one register table per group — "approx distinct keys
+    * per group" at a fixed 2^p-row budget per group regardless of
+    * cardinality (the workhorse form: distinct users per type/day/
+    * source). Registers are exact integers (oracle-checkable); estimate
+    * per group via [[hllEstimate]] on the slice, accuracy spec-pinned.
+    */
+  def hllRegistersBy(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                     p: Int): DataFrame = {
     require(p >= 2 && p <= 16, s"p must be in [2,16], got $p")
     GraftFunctions.ensureRegistered(df.sparkSession)
     val m = 1 << p
     val width = 30 - p
-    val h = df.select(PolyHash.polyHash(col(keyCol).cast("string")).as("h"))
-      .select(pmod(col("h") * col("h"), lit(P)).as("h"))
-    h.select(pmod(col("h"), lit(m)).cast("long").as("bucket"),
-        (col("h") / lit(m)).cast("long").as("rest"))
+    val h = df.select(groupCols.map(col) :+
+        PolyHash.polyHash(col(keyCol).cast("string")).as("h"): _*)
+      .withColumn("h", pmod(pmod(col("h") * col("h"), lit(P)) * 1103515245L + 12345L, lit(P)))
+    h.select(groupCols.map(col) :+
+        pmod(col("h"), lit(m)).cast("long").as("bucket") :+
+        (col("h") / lit(m)).cast("long").as("rest"): _*)
       .withColumn("rho",
         when(col("rest") === 0, lit(width + 1).cast("long"))
           .otherwise(lit(width + 1) - length(bin(col("rest")))))
-      .groupBy(col("bucket")).agg(max(col("rho")).as("register"))
+      .groupBy((groupCols :+ "bucket").map(col): _*).agg(max(col("rho")).as("register"))
   }
 
   /** Standard HLL estimate from a register table (driver-side scalar —

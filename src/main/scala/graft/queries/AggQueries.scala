@@ -623,6 +623,53 @@ object AggQueries extends QueryPack {
              |  UNION ALL SELECT 'discount_unit_interval', v_discount, n_checked FROM one
              |  UNION ALL SELECT 'returnflag_known', v_flag, n_checked FROM one
              |  UNION ALL SELECT 'fk_supplier_exists', v_fk, n_checked FROM one)
-             |ORDER BY rule""".stripMargin))
+             |ORDER BY rule""".stripMargin)),
+
+    // Grouped Pearson correlation on EXACT integer moments (the q98
+    // discipline extended to the cross-moment): Σx, Σy, Σxy, Σx², Σy²
+    // ride decimal(38)/HUGEINT, the double correlation derives from
+    // those exact integers through the identical expression on both
+    // engines. Spark's built-in corr() is a streaming double pass —
+    // order-dependent and unreproducible distributed.
+    Q("q123_grouped_correlation",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_returnflag".as("grp"),
+          $"l_quantity".cast("long").as("x"),
+          round($"l_extendedprice" * 100, 0).cast("long").as("y"))
+        li.groupBy($"grp")
+          .agg(count(lit(1)).as("n"),
+            sum($"x".cast("decimal(38,0)")).as("sx"),
+            sum($"y".cast("decimal(38,0)")).as("sy"),
+            sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"),
+            sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
+            sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"))
+          .select($"grp", $"n",
+            r4(($"n".cast("double") * $"sxy".cast("double")
+                - $"sx".cast("double") * $"sy".cast("double"))
+              / (sqrt($"n".cast("double") * $"sxx".cast("double")
+                  - $"sx".cast("double") * $"sx".cast("double"))
+                * sqrt($"n".cast("double") * $"syy".cast("double")
+                  - $"sy".cast("double") * $"sy".cast("double"))))
+              .as("corr_qty_price"))
+          .orderBy($"grp")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x,
+             |    CAST(round(l_extendedprice*100, 0) AS BIGINT) AS y
+             |  FROM lineitem),
+             |m AS (
+             |  SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+             |  FROM li GROUP BY 1)
+             |SELECT grp, CAST(n AS BIGINT) AS n,
+             |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) + 0.0
+             |    AS corr_qty_price
+             |FROM m ORDER BY 1""".stripMargin))
   )
 }

@@ -1799,8 +1799,9 @@ object ExtQueries extends QueryPack {
 
     // HyperLogLog registers over the token vocabulary: bucket = g mod
     // 2^p, register = max leading-zero rank of the remaining bits,
-    // where g = polyHash^2 mod P (square-mod mix — see hllRegisters
-    // scaladoc for why raw poly31 clusters). `length(bin(x))` is the
+    // where g = ((polyHash^2 mod P)·a + b) mod P (square + affine mix —
+    // see hllRegisters scaladoc for why raw poly31 clusters and why the
+    // square alone leaves short keys clustered). `length(bin(x))` is the
     // engine-portable bit-length (identical minimal binary strings on
     // both engines); the estimator itself is spec-checked against
     // exact countDistinct.
@@ -1821,7 +1822,7 @@ object ExtQueries extends QueryPack {
              |        j -> CAST(ascii(substring(tok, j, 1)) AS BIGINT))),
              |      (a, b) -> (a*31 + b) % 1000000007) AS h0
              |  FROM tk),
-             |mx AS (SELECT (h0 * h0) % 1000000007 AS h FROM th),
+             |mx AS (SELECT (((h0 * h0) % 1000000007) * 1103515245 + 12345) % 1000000007 AS h FROM th),
              |r AS (SELECT h % 64 AS bucket, h // 64 AS rest FROM mx)
              |SELECT bucket,
              |  max(CASE WHEN rest = 0 THEN CAST(25 AS BIGINT)
@@ -2090,6 +2091,34 @@ object ExtQueries extends QueryPack {
              |SELECT id_a, id_b, n_match,
              |  (n_match * 1000000) // 63 AS est_micro,
              |  (inter * 1000000) // un AS exact_micro
-             |FROM sel ORDER BY 1, 2""".stripMargin))
+             |FROM sel ORDER BY 1, 2""".stripMargin)),
+
+    // Grouped HLL: distinct-user registers per event type — the
+    // approx-count-distinct-by-group workhorse at a fixed 2^p-row
+    // budget per group. Register arithmetic identical to q111.
+    Q("q122_hll_by_group",
+      (s, d) => {
+        import s.implicits._
+        Sketches.hllRegistersBy(Tables.events(s, d),
+            Seq("event_type"), "user_id", p = 4)
+          .orderBy($"event_type", $"bucket")
+      },
+      Some("""WITH k AS (
+             |  SELECT DISTINCT event_type, user_id FROM events),
+             |th AS (
+             |  SELECT event_type,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(CAST(user_id AS VARCHAR))),
+             |        j -> CAST(ascii(substring(CAST(user_id AS VARCHAR), j, 1)) AS BIGINT))),
+             |      (a, b) -> (a*31 + b) % 1000000007) AS h0
+             |  FROM k),
+             |mx AS (SELECT event_type,
+             |         (((h0 * h0) % 1000000007) * 1103515245 + 12345) % 1000000007 AS h
+             |       FROM th),
+             |r AS (SELECT event_type, h % 16 AS bucket, h // 16 AS rest FROM mx)
+             |SELECT event_type, bucket,
+             |  max(CASE WHEN rest = 0 THEN CAST(27 AS BIGINT)
+             |       ELSE 27 - length(bin(rest)) END) AS register
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

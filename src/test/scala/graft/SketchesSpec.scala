@@ -55,4 +55,24 @@ class SketchesSpec extends SparkTestBase {
     assert(math.abs(estIds - 5000.0) / 5000.0 < 0.2,
       s"hll id estimate $estIds vs exact 5000")
   }
+
+  test("grouped hll slices == ungrouped hll of each slice") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val grouped = Sketches.hllRegistersBy(ev, Seq("event_type"), "user_id", p = 4)
+    val types = ev.select($"event_type").distinct().as[String].collect()
+    types.foreach { t =>
+      val slice = Sketches.hllRegisters(ev.filter($"event_type" === t), "user_id", p = 4)
+        .as[(Long, Long)].collect().toSet
+      val grp = grouped.filter($"event_type" === t)
+        .select($"bucket", $"register").as[(Long, Long)].collect().toSet
+      assert(grp === slice, s"registers differ for $t")
+      // per-group estimate within the usual band of exact distinct
+      val exact = ev.filter($"event_type" === t)
+        .select($"user_id").distinct().count().toDouble
+      val est = Sketches.hllEstimate(
+        grouped.filter($"event_type" === t).select($"bucket", $"register"), p = 4)
+      assert(math.abs(est - exact) / exact < 0.45, // p=4 is coarse: 1.04/sqrt(16)=26% stderr
+        s"group $t estimate $est vs exact $exact")
+    }
+  }
 }
