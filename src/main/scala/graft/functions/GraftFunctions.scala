@@ -21,6 +21,10 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("poly_hash",
         exprs => PolyHash(exprs.head), "built-in")
     }
+    if (!reg.functionExists(FunctionIdentifier("jaro_winkler"))) {
+      reg.createOrReplaceTempFunction("jaro_winkler",
+        exprs => JaroWinkler(exprs.head, exprs(1)), "built-in")
+    }
     if (!reg.functionExists(FunctionIdentifier("sorted_intersect_size"))) {
       reg.createOrReplaceTempFunction("sorted_intersect_size",
         exprs => SortedIntersectSize(exprs.head, exprs(1)), "built-in")

@@ -377,6 +377,34 @@ object JoinQueries extends QueryPack {
              |  sum(CAST(round(l_extendedprice*100,0) AS BIGINT))/100.0 AS revenue,
              |  count(*) AS n_items
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Jaro-Winkler fuzzy name matching via the native codegen
+    // expression (graft.functions.JaroWinkler), semantics pinned to
+    // DuckDB's jaro_winkler_similarity so the oracle calls it DIRECTLY
+    // — the strongest form of cross-engine agreement for a custom
+    // Expression.
+    Q("q124_jaro_winkler_pairs",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val names = Tables.part(s, d).select($"p_name").distinct()
+        val a = names.select($"p_name".as("a"))
+        val b = names.select($"p_name".as("b"))
+        a.crossJoin(b)
+          .filter($"a" < $"b")
+          .withColumn("jw", graft.core.Exact.r6(
+            graft.functions.JaroWinkler.jaroWinkler($"a", $"b")))
+          .filter($"jw" >= 0.8)
+          .select($"a", $"b", $"jw")
+          .orderBy($"a", $"b")
+      },
+      Some("""WITH n AS (SELECT DISTINCT p_name FROM part)
+             |SELECT a.p_name AS a, b.p_name AS b,
+             |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) + 0.0 AS jw
+             |FROM n a, n b
+             |WHERE a.p_name < b.p_name
+             |  AND round(jaro_winkler_similarity(a.p_name, b.p_name), 6) + 0.0 >= 0.8
+             |ORDER BY 1, 2""".stripMargin))
   )
 }
