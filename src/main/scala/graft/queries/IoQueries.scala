@@ -305,6 +305,38 @@ object IoQueries extends QueryPack {
              |WHERE selected_species IS NOT NULL OR collection_type IS NOT NULL
              |   OR n_buckets IS NOT NULL OR weight_bucket IS NOT NULL
              |   OR catch_estimate IS NOT NULL OR ni_5_10 IS NOT NULL OR ni_10_15 IS NOT NULL
-             |ORDER BY submission_id, n_catch""".stripMargin))
+             |ORDER BY submission_id, n_catch""".stripMargin)),
+
+    // Schema evolution across ingestion batches: an old producer wrote
+    // (key, price); an evolved one added `priority`. mergeSchema reads
+    // the union layout, the missing column back-fills NULL, and the
+    // batch= directory name becomes a partition column (the lakehouse
+    // drift pattern; the read would partition-prune on it). The oracle
+    // recomputes from the source table with the same even/odd split.
+    Q("q125_schema_evolution",
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+        val o = Tables.orders(s, d)
+        o.filter($"o_orderkey" % 2 === 0)
+          .select($"o_orderkey",
+            round($"o_totalprice" * 100, 0).cast("long").as("price_cents"))
+          .write.mode("overwrite").parquet(s"$dir/batch=1")
+        o.filter($"o_orderkey" % 2 === 1)
+          .select($"o_orderkey",
+            round($"o_totalprice" * 100, 0).cast("long").as("price_cents"),
+            $"o_orderpriority".as("priority"))
+          .write.mode("overwrite").parquet(s"$dir/batch=2")
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .groupBy(coalesce($"priority", lit("unknown")).as("priority"))
+          .agg(count(lit(1)).as("n"), sum($"price_cents").as("sum_cents"))
+          .orderBy($"priority")
+      },
+      Some("""SELECT
+             |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+             |       ELSE 'unknown' END AS priority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
