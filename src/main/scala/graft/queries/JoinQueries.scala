@@ -405,6 +405,56 @@ object JoinQueries extends QueryPack {
              |FROM n a, n b
              |WHERE a.p_name < b.p_name
              |  AND round(jaro_winkler_similarity(a.p_name, b.p_name), 6) + 0.0 >= 0.8
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Bucketed co-located fact-to-fact join: both sides written
+    // bucketed+sorted on the key, the join plans with NO exchange
+    // (ScaleJoinsSpec asserts it) — the layout investment that turns
+    // every subsequent key join into a local merge at 100 TB. The
+    // oracle is the plain join.
+    Q("q126_bucketed_join",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_quantity")
+        val o = Tables.orders(s, d)
+          .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+        graft.ops.ScaleJoins.bucketedJoin(s, li, o, "l_orderkey", 8,
+            "q126_li", "q126_o")
+          .groupBy($"o_orderpriority")
+          .agg(sum($"l_quantity").cast("long").as("total_qty"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Partitioned-write + partition-pruned read: events written
+    // day-partitioned, the month-filtered read touches only matching
+    // partitions (PartitionPruningSpec pins the pruned file count on
+    // this layout pattern). Oracle recomputes from the unpartitioned
+    // source.
+    Q("q127_partitioned_write_prune",
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("evprt").toString
+        Tables.events(s, d)
+          .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+          .write.mode("overwrite").partitionBy("day").parquet(dir)
+        s.read.parquet(dir)
+          .filter($"day" >= "2024-01-08" && $"day" < "2024-01-15")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            graft.core.Exact.centsSum($"value").as("value_cents"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events
+             |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') >= '2024-01-08'
+             |  AND strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') < '2024-01-15'
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
