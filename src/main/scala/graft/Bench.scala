@@ -18,8 +18,16 @@ object Bench {
     // timed query reflects its own cost, not the engine's
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").count().count()
+    // optional subset for local A/B timing: comma-separated name
+    // substrings (e.g. SPARK_GRAFT_ONLY=q115,q46); full run when unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.exists(name.contains))
+    }
+    val results = selected.map { case (name, fn) =>
       // drop blocks left by the PREVIOUS query before timing this one:
       // eagerly-checkpointed result frames (localCheckpoint) stay in the
       // block manager until their RDD is GC'd, and ~40 such frames from
