@@ -17,6 +17,7 @@ object SparkEntry {
     ReshapeQueries,
     ScalarQueries,
     ExtQueries,
+    MiningQueries,
     IoQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.

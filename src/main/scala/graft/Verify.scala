@@ -11,7 +11,14 @@ object Verify {
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional subset for local iteration (same contract as Bench):
+    // comma-separated name substrings; oracle_sql.json still covers all
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .foreach { case (name, fn) =>
       // drop the previous query's leftover checkpoint blocks (same
       // block-manager leak Bench.scala documents)
       spark.sparkContext.getPersistentRDDs.foreach(_._2.unpersist(false))

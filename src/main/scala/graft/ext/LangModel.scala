@@ -80,6 +80,122 @@ object LangModel {
       .filter(col("rnk") <= k)
   }
 
+  /** fastText-style hashed linear classifier INFERENCE — the quality/
+    * domain classifier pass every curation pipeline runs with a small
+    * trained model: tokens hash into `nBuckets` feature buckets
+    * ([[graft.functions.PolyHash]] — engine-portable), the model is a
+    * (bucket, w_micro) weight table joined in (broadcast: the model is
+    * O(nBuckets), corpus-independent), and the document score is the
+    * exact integer mean feature weight
+    * `score_micro = round(Σ cnt·w_micro / Σ cnt)` — exact integer sums,
+    * one shared-shape double division (never integer `div`: Spark
+    * truncates toward zero, DuckDB `//` floors, and scores go negative)
+    * — squashed to a probability
+    * `prob_micro = round(1e6 / (1 + exp(−score_micro/1e6)))` — the one
+    * transcendental, computed from an exact integer, so any engine
+    * reproduces it.
+    *
+    * Linear: one explode + one partial-agg groupBy(id, bucket) + one
+    * groupBy(id); the weight join never shuffles the corpus side twice.
+    *
+    * @param weights (bucket: LONG in [0, nBuckets), w_micro: LONG)
+    */
+  def hashedLinearScoreMicro(docs: DataFrame, weights: DataFrame,
+                             idCol: String, textCol: String,
+                             nBuckets: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val feats = docs
+      .select(col(idCol).as("id"), explode(toks(col(textCol))).as("tok"))
+      .select(col("id"),
+        pmod(graft.functions.PolyHash.polyHash(col("tok")), lit(nBuckets.toLong))
+          .as("bucket"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    feats.join(broadcast(weights), "bucket")
+      .groupBy(col("id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("w_micro")).as("wsum"))
+      .select(col("id"), col("n_tokens"),
+        round(col("wsum").cast("double") / col("n_tokens"), 0)
+          .cast("long").as("score_micro"))
+      .withColumn("prob_micro",
+        round(lit(1000000.0) / (lit(1.0) +
+          exp(-(col("score_micro").cast("double") / lit(1000000.0)))), 0)
+          .cast("long"))
+  }
+
+  /** Deterministic stand-in weight table for [[hashedLinearScoreMicro]]
+    * specs/conformance: `w_micro = ((1103515245·b + 12345) mod
+    * 1000000007) mod 2000001 − 1000000` ∈ [−1e6, 1e6] — pure positive
+    * integer arithmetic, so any engine regenerates the identical model.
+    * A real deployment replaces this with trained weights read from a
+    * table; the operator only sees (bucket, w_micro) either way.
+    */
+  def syntheticWeights(spark: org.apache.spark.sql.SparkSession,
+                       nBuckets: Int): DataFrame =
+    spark.range(nBuckets).select(col("id").as("bucket"),
+      (((lit(1103515245L) * col("id") + 12345L) % 1000000007L) % 2000001L
+        - 1000000L).as("w_micro"))
+
+  /** Bigram language model with stupid backoff, trained on `train` and
+    * scoring `docs` — the cross-corpus perplexity filter (score web text
+    * against a trusted reference corpus; unseen bigrams back off to the
+    * discounted unigram). Per adjacent token pair:
+    *
+    *  - seen bigram:   `nll = ln(c(w1)) − ln(c(w1 w2))`
+    *  - unseen bigram: `nll = ln(5·N) − ln(2·c'(w2))`  (stupid backoff
+    *    `0.4·c(w2)/N`, folded to integer ln arguments: 5N / 2c; OOV w2
+    *    floors at c' = 1)
+    *
+    * evaluated once per pair TYPE in micro-nats from exact integer
+    * counts (the [[docNll]] discipline — ln args are INTEGERS, so both
+    * engines see identical doubles); per-document totals are integer
+    * sums. Documents with fewer than two tokens have no bigrams and are
+    * absent from the output.
+    *
+    * Scale shape: the unigram table broadcasts (vocabulary-sized); the
+    * bigram table joins the doc pair TYPES by plain equi-shuffle — it
+    * grows with the training corpus, so it must never be forced
+    * broadcast. Token instances shuffle once (the groupBy(id, w1, w2)).
+    */
+  def bigramBackoffNll(train: DataFrame, docs: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    def pairs(t: Column): Column =
+      transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2")))
+    val trainToks = train.select(explode(toks(col(textCol))).as("tok"))
+    val cu = trainToks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val n = trainToks.count()
+    val cb = train
+      .select(toks(col(textCol)).as("t")).filter(size(col("t")) >= 2)
+      .select(explode(pairs(col("t"))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val docPairs = docs
+      .select(col(idCol).as("id"), toks(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("id"), explode(pairs(col("t"))).as("p"))
+      .groupBy(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val pairTypes = docPairs.select(col("w1"), col("w2")).distinct()
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(broadcast(cu.select(col("tok").as("w1"), col("c").as("cu1"))), Seq("w1"), "left")
+      .join(broadcast(cu.select(col("tok").as("w2"), col("c").as("cu2"))), Seq("w2"), "left")
+      .select(col("w1"), col("w2"),
+        when(col("cb").isNotNull,
+          round((log(col("cu1").cast("double")) - log(col("cb").cast("double"))) * 1000000, 0))
+        .otherwise(
+          round((log(lit(5L * n).cast("double"))
+            - log((lit(2L) * coalesce(col("cu2"), lit(1L))).cast("double"))) * 1000000, 0))
+        .cast("long").as("nll_micro"))
+    docPairs.join(pairTypes, Seq("w1", "w2"))
+      .groupBy(col("id"))
+      .agg(sum(col("cnt")).as("n_pairs"),
+        sum(col("cnt") * col("nll_micro")).as("sum_nll_micro"))
+      .select(col("id"), col("n_pairs"), col("sum_nll_micro"),
+        round(col("sum_nll_micro").cast("double") / col("n_pairs"), 0)
+          .cast("long").as("avg_nll_micro"))
+  }
+
   /** Per-document token-distribution Shannon entropy in micro-nats:
     * `H = Σ_types (c/n)·ln(n/c)`, evaluated as
     * `round(Σ_types c · round((ln n − ln c)·1e6) / n)` — the shared

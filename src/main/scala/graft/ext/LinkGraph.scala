@@ -56,4 +56,55 @@ object LinkGraph {
       ranks.select(col("id").as("node_id"), col("rank").as("rank_micro"))
     } finally { eDeg.unpersist(false); nodes.unpersist(false) }
   }
+
+  /** Per-node triangle counts by degree-ordered orientation — the
+    * clustering/community-density signal over co-occurrence graphs
+    * (co-purchased parts, co-cited pages). Exact integer counting, so
+    * any engine reproduces it bit-for-bit.
+    *
+    * The scale trick is the classical orientation bound: direct every
+    * undirected edge from its lower-(degree, id) endpoint to the higher
+    * one, build wedges only from ORIENTED out-edges, and close them
+    * against the oriented edge list. Out-degree under this orientation
+    * is O(sqrt(m)) regardless of raw degree skew — a hub of degree d
+    * contributes wedges only toward its few higher-degree peers, so the
+    * wedge set (the only super-linear intermediate) is O(m^1.5) worst
+    * case instead of sum(deg^2), and every join is a plain equi-shuffle
+    * (wedges on the pivot node, closure on the (v, w) pair). Each
+    * triangle materializes exactly once, at its lowest-ranked vertex.
+    *
+    * @param pairs undirected edges as (id_a, id_b) rows; duplicates,
+    *              orientation, and self-loops are normalized away
+    * @return (node_id, n_triangles) for every node on >= 1 triangle
+    */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = pairs.select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // a < b by normalization, so ties in degree keep the a -> b direction
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"))
+      .persist(lvl)
+    try {
+      val wedges = oriented.select(col("src").as("u"), col("dst").as("v"))
+        .join(oriented.select(col("src").as("u"), col("dst").as("w")), "u")
+        .filter(col("v") =!= col("w"))
+      // the closing edge exists oriented v -> w for exactly ONE of the two
+      // (v, w)/(w, v) wedge twins, so the inner join is also the dedup
+      val tri = wedges.join(
+        oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      tri.select(explode(array(col("u"), col("v"), col("w"))).as("node_id"))
+        .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
+        .localCheckpoint(true)
+    } finally oriented.unpersist(false)
+  }
 }

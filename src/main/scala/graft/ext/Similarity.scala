@@ -243,6 +243,49 @@ object Similarity {
     } finally cells.unpersist(false)
   }
 
+  /** kNN-graph construction over the whole corpus — every vector's top-k
+    * most-similar neighbors, the backbone structure for graph-based
+    * curation (kNN label propagation, local outlier factors, hubness
+    * filters). Same IVF-cell blocking as [[semanticDupPairs]]: neighbors
+    * are searched WITHIN each vector's coarse-quantizer cell (the
+    * documented SemDeDup-style approximation — recall set by kCells),
+    * so the quadratic work drops by ~kCells while assignment stays
+    * linear. The cell self-join is salted for the same reason as there:
+    * one fat cell must not serialize the cluster. Top-k per node is a
+    * window over the joined candidates — ordering on the ROUNDED
+    * similarity (ties to the lower neighbor id) so rank is reproducible
+    * across engines.
+    *
+    * EAGER: the assignment is persisted for the two join branches and
+    * released; the result is a materialized local-checkpoint scan.
+    */
+  def knnGraph(spark: org.apache.spark.sql.SparkSession,
+               corpus: DataFrame, k: Int,
+               kCells: Int = 16, salts: Int = 8): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val centroids = IvfIndex.materializeLocal(spark,
+      IvfIndex.buildCentroids(spark, corpus, kCells))
+    val vecs = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val cells = IvfIndex.assign(vecs, centroids).join(vecs, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val a = cells.select(col("cid"), col("id").as("vec_id"), col("emb").as("emb_a"))
+        .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(salts.toLong)))
+      val b = cells.select(col("cid"), col("id").as("n_id"), col("emb").as("emb_b"))
+        .withColumn("salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("n_id").asc)
+      a.join(b, Seq("cid", "salt"))
+        .filter(col("vec_id") =!= col("n_id"))
+        .withColumn("sim", graft.core.Exact.r6(cosineNative(col("emb_a"), col("emb_b"))))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("vec_id"), col("rank"), col("n_id"), col("sim"))
+        .localCheckpoint(true)
+    } finally cells.unpersist(false)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking
     * column (exact within block).
     */

@@ -48,6 +48,41 @@ object Versioned {
     spark.read.parquet(resolveLatest(dir, prefix).getOrElse(
       throw new IllegalArgumentException(s"no versioned object for prefix '$prefix' in $dir")))
 
+  /** Snapshot diff between two versions of a keyed table — the audit a
+    * versioned store runs between [[write]]s: which keys were added,
+    * removed, or changed. One full-outer equi-join on the key plus
+    * null-safe column compares; unchanged keys are filtered out, so the
+    * output is O(churn), not O(table). At scale both sides would be
+    * bucketed on the key and the join exchange-free — the operator is a
+    * single shuffle either way.
+    *
+    * Both frames must share a schema; keys are assumed non-null (they
+    * identify rows). Returns `keyCols :+ change` with
+    * `change ∈ {added, removed, changed}`.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      s"schema mismatch: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
+    val valueCols = oldDf.columns.filterNot(keyCols.contains).toSeq
+    def side(df: DataFrame, suffix: String) =
+      valueCols.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffix))
+        .withColumn(s"__present$suffix", lit(true))
+    val joined = side(oldDf, "__old")
+      .join(side(newDf, "__new"), keyCols, "full_outer")
+    val anyChanged = valueCols
+      .map(c => !(col(c + "__old") <=> col(c + "__new")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .withColumn("change",
+        when(col("__present__old").isNull, "added")
+          .when(col("__present__new").isNull, "removed")
+          .when(anyChanged, "changed"))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
   /** S13 — local fallback source: try the primary loader, fall back to a
     * bundled fixture (packaged lw_coeffs snapshot,
     * R/preprocessing-surveys.R:1221-1236).

@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{LangModel, LinkGraph, Similarity}
+import graft.io.Versioned
+
+/** Sixth-wave mining operators: graph structure (triangle counting),
+  * kNN-graph construction over embeddings, model-based text scoring
+  * (hashed linear classifier inference, bigram LM with stupid backoff),
+  * and versioned-snapshot change auditing.
+  *
+  * Same oracle discipline as [[ExtQueries]]: every probabilistic or
+  * transcendental ingredient is either exact integer arithmetic or a
+  * single shared-shape double computed from exact integers, so DuckDB
+  * recomputes each query end-to-end.
+  */
+object MiningQueries extends QueryPack {
+
+  /** DuckDB recompute of [[graft.functions.PolyHash]] (see its scaladoc). */
+  private def polyHashSql(c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(generate_series(1, length($c)), j ->
+       |    CAST(ascii(substring($c, j, 1)) AS BIGINT))),
+       |  (a, b) -> (a*31 + b) % 1000000007)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    // Per-node triangle counts on the co-purchase part graph (edges =
+    // part pairs sharing >= 2 orders — the support threshold keeps the
+    // graph sparse at any scale). Degree-ordered orientation bounds the
+    // wedge set at O(m^1.5); exact integer counting both engines.
+    Q("q128_triangle_counts",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+        val und = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+          .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+          .select($"id_a", $"id_b")
+        LinkGraph.triangleCounts(und).orderBy($"node_id")
+      },
+      Some("""WITH und AS (
+             |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |deg AS (
+             |  SELECT id, count(*) AS deg FROM (
+             |    SELECT pa AS id FROM und UNION ALL SELECT pb FROM und)
+             |  GROUP BY 1),
+             |o AS (
+             |  SELECT CASE WHEN da.deg <= db.deg THEN und.pa ELSE und.pb END AS src,
+             |         CASE WHEN da.deg <= db.deg THEN und.pb ELSE und.pa END AS dst
+             |  FROM und JOIN deg da ON da.id = und.pa JOIN deg db ON db.id = und.pb),
+             |tri AS (
+             |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+             |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+             |  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+             |SELECT id AS node_id, count(*) AS n_triangles FROM (
+             |  SELECT u AS id FROM tri UNION ALL SELECT v FROM tri
+             |  UNION ALL SELECT w FROM tri)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // kNN graph over the embeddings: every vector's top-3 in-cell
+    // neighbors under the deterministic IVF quantizer — rank ordered on
+    // the rounded similarity, ties to the lower neighbor id.
+    Q("q129_knn_graph",
+      (s, d) => {
+        import s.implicits._
+        Similarity.knnGraph(s, Tables.embeddings(s, d), k = 3, kCells = 16)
+          .orderBy($"vec_id", $"rank")
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+             |seeds AS (SELECT id AS cid, emb AS cemb FROM v ORDER BY id LIMIT 16),
+             |asg0 AS (
+             |  SELECT id, cid FROM (
+             |    SELECT v.id, s.cid,
+             |      row_number() OVER (PARTITION BY v.id ORDER BY
+             |        (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(s.cemb[i] AS DOUBLE))), (p,w) -> p + w)
+             |        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(v.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(s.cemb, (u,i) -> CAST(u AS DOUBLE) * CAST(s.cemb[i] AS DOUBLE))), (p,w) -> p + w)))) DESC,
+             |        s.cid) AS rn
+             |    FROM v CROSS JOIN seeds s)
+             |  WHERE rn = 1),
+             |dimrows AS (
+             |  SELECT cid, u.pos, u.x
+             |  FROM (SELECT a0.cid, unnest(list_transform(v.emb, (x,i) -> {'pos': i, 'x': x})) AS u
+             |        FROM asg0 a0 JOIN v USING (id)) a),
+             |dims AS (
+             |  SELECT cid, pos,
+             |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) / count(*) / 1000000.0 AS FLOAT) AS m
+             |  FROM dimrows GROUP BY cid, pos),
+             |cent AS (SELECT cid, list(m ORDER BY pos) AS cemb FROM dims GROUP BY cid),
+             |lists AS (
+             |  SELECT cid, id AS n_id FROM (
+             |    SELECT v.id, c.cid,
+             |      row_number() OVER (PARTITION BY v.id ORDER BY
+             |        (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)
+             |        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(v.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(v.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |             list_transform(c.cemb, (u,i) -> CAST(u AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))), (p,w) -> p + w)))) DESC,
+             |        c.cid) AS rn
+             |    FROM v CROSS JOIN cent c)
+             |  WHERE rn = 1),
+             |sims AS (
+             |  SELECT a.n_id AS vec_id, b.n_id AS nb, round(
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(va.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(vb.emb[i] AS DOUBLE))), (p,w) -> p + w)
+             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(va.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(va.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(vb.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(vb.emb[i] AS DOUBLE))), (p,w) -> p + w)))
+             |    , 6) + 0.0 AS sim
+             |  FROM lists a JOIN lists b ON a.cid = b.cid AND a.n_id <> b.n_id
+             |  JOIN v va ON va.id = a.n_id JOIN v vb ON vb.id = b.n_id),
+             |rk AS (
+             |  SELECT vec_id, nb, sim,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb) AS rank
+             |  FROM sims)
+             |SELECT vec_id, CAST(rank AS BIGINT) AS rank, nb AS n_id, sim
+             |FROM rk WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin)),
+
+    // Hashed linear classifier inference (fastText-style): PolyHash
+    // token features into 256 buckets, broadcast (bucket, w_micro)
+    // model, exact integer mean feature weight, sigmoid from the exact
+    // integer score.
+    Q("q130_hashed_classifier",
+      (s, d) => {
+        import s.implicits._
+        LangModel.hashedLinearScoreMicro(Tables.documents(s, d),
+            LangModel.syntheticWeights(s, nBuckets = 256),
+            "doc_id", "text", nBuckets = 256)
+          .select($"id".as("doc_id"), $"n_tokens", $"score_micro", $"prob_micro")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH u AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id,
+             |    (${polyHashSql("tok")}) % 256 AS bucket,
+             |    count(*) AS cnt
+             |  FROM u GROUP BY 1, 2),
+             |w AS (
+             |  SELECT g AS bucket,
+             |    ((1103515245 * g + 12345) % 1000000007) % 2000001 - 1000000 AS w_micro
+             |  FROM generate_series(0, 255) t(g)),
+             |sc AS (
+             |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |    CAST(round(CAST(sum(cnt * w_micro) AS DOUBLE) / CAST(sum(cnt) AS BIGINT), 0) AS BIGINT) AS score_micro
+             |  FROM f JOIN w USING (bucket) GROUP BY 1)
+             |SELECT doc_id, n_tokens, score_micro,
+             |  CAST(round(1000000.0 / (1.0 + exp(-(CAST(score_micro AS DOUBLE) / 1000000.0))), 0) AS BIGINT) AS prob_micro
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // Bigram LM with stupid backoff: trained on the English slice,
+    // scoring every document — unseen bigrams back off to the
+    // discounted unigram (5N/2c integer ln args). Micro-nat NLL per
+    // pair type, integer doc totals.
+    Q("q131_bigram_backoff",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        LangModel.bigramBackoffNll(docs.filter($"lang" === "en"), docs, "doc_id", "text")
+          .select($"id".as("doc_id"), $"n_pairs", $"sum_nll_micro", $"avg_nll_micro")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH dd AS (
+             |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |trt AS (
+             |  SELECT unnest(t) AS tok FROM dd WHERE lang = 'en'),
+             |cu AS (SELECT tok, count(*) AS c FROM trt GROUP BY 1),
+             |nn AS (SELECT count(*) AS n FROM trt),
+             |cb AS (
+             |  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cbn FROM (
+             |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+             |      j -> {'w1': t[j], 'w2': t[j+1]})) AS p
+             |    FROM dd WHERE lang = 'en' AND len(t) >= 2)
+             |  GROUP BY 1, 2),
+             |dp AS (
+             |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+             |      j -> {'w1': t[j], 'w2': t[j+1]})) AS p
+             |    FROM dd WHERE len(t) >= 2)
+             |  GROUP BY 1, 2, 3),
+             |pt AS (
+             |  SELECT d.w1, d.w2,
+             |    CASE WHEN cb.cbn IS NOT NULL THEN
+             |      CAST(round((ln(CAST(c1.c AS DOUBLE)) - ln(CAST(cb.cbn AS DOUBLE))) * 1000000) AS BIGINT)
+             |    ELSE
+             |      CAST(round((ln(CAST(5 * (SELECT n FROM nn) AS DOUBLE))
+             |        - ln(CAST(2 * coalesce(c2.c, 1) AS DOUBLE))) * 1000000) AS BIGINT)
+             |    END AS nll_micro
+             |  FROM (SELECT DISTINCT w1, w2 FROM dp) d
+             |  LEFT JOIN cb ON cb.w1 = d.w1 AND cb.w2 = d.w2
+             |  LEFT JOIN cu c1 ON c1.tok = d.w1
+             |  LEFT JOIN cu c2 ON c2.tok = d.w2)
+             |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_pairs,
+             |  CAST(sum(cnt * nll_micro) AS BIGINT) AS sum_nll_micro,
+             |  CAST(round(CAST(sum(cnt * nll_micro) AS DOUBLE) / CAST(sum(cnt) AS BIGINT), 0) AS BIGINT) AS avg_nll_micro
+             |FROM dp JOIN pt ON pt.w1 = dp.w1 AND pt.w2 = dp.w2
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Versioned-snapshot change audit: full-outer key join + null-safe
+    // column compares; output is O(churn). v1 drops %7 keys and bumps
+    // %5 prices, v2 drops %11 keys — all three change classes appear.
+    Q("q132_snapshot_diff",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+        val v1 = o.filter($"o_orderkey" % 7 =!= 0)
+          .withColumn("o_totalprice",
+            when($"o_orderkey" % 5 === 0, $"o_totalprice" + 1.0)
+              .otherwise($"o_totalprice"))
+        val v2 = o.filter($"o_orderkey" % 11 =!= 0)
+        Versioned.snapshotDiff(v1, v2, Seq("o_orderkey"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH v1 AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus,
+             |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+             |         ELSE o_totalprice END AS o_totalprice,
+             |    o_orderdate, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 7 <> 0),
+             |v2 AS (SELECT * FROM orders WHERE o_orderkey % 11 <> 0),
+             |j AS (
+             |  SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+             |    CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+             |         WHEN v2.o_orderkey IS NULL THEN 'removed'
+             |         WHEN v1.o_custkey IS DISTINCT FROM v2.o_custkey
+             |           OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+             |           OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+             |           OR v1.o_orderdate IS DISTINCT FROM v2.o_orderdate
+             |           OR v1.o_orderpriority IS DISTINCT FROM v2.o_orderpriority
+             |         THEN 'changed' END AS change
+             |  FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+             |SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
+             |ORDER BY o_orderkey""".stripMargin))
+  )
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{IvfIndex, LangModel, LinkGraph, Similarity}
+import graft.io.Versioned
+
+/** Sixth-wave operator specs: triangle counting goldens, kNN-graph ≡
+  * exhaustive within-cell scan, classifier/bigram golden values, and
+  * snapshot-diff change classes. Cross-engine exactness lives in the
+  * q128–q132 oracles; these pin semantics on hand-checkable inputs.
+  */
+class MiningSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    LinkGraph.triangleCounts(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("triangleCounts: K4 has 4 triangles, every node on 3") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(tri(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: square without diagonal has none; one diagonal makes two") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(tri(square) === Map.empty)
+    assert(tri(square :+ ((1L, 3L))) ===
+      Map(1L -> 2L, 3L -> 2L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("triangleCounts normalizes duplicates, reversals, self-loops") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L))
+    assert(tri(messy) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("knnGraph == exhaustive top-k within each quantizer cell") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val got = Similarity.knnGraph(spark, emb, k = 3, kCells = 8)
+      .select($"vec_id", $"rank", $"n_id", $"sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // naive twin: same centroids/assignment, plain (unsalted) cell
+    // self-join, window top-k
+    val centroids = IvfIndex.materializeLocal(spark,
+      IvfIndex.buildCentroids(spark, emb, 8))
+    val vecs = emb.select($"vec_id".as("id"), $"embedding".as("emb"))
+    val cells = IvfIndex.assign(vecs, centroids).join(vecs, "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"sim".desc, $"n_id".asc)
+    val want = cells.select($"cid", $"id".as("vec_id"), $"emb".as("ea"))
+      .join(cells.select($"cid", $"id".as("n_id"), $"emb".as("eb")), "cid")
+      .filter($"vec_id" =!= $"n_id")
+      .withColumn("sim", graft.core.Exact.r6(Similarity.cosineNative($"ea", $"eb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"vec_id", $"rank", $"n_id", $"sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("hashedLinearScoreMicro: hand-computed buckets, scores, sigmoid") {
+    // PolyHash("a")=97, "b"=98, "c"=99 → buckets mod 4: 1, 2, 3
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val weights = Seq((0L, 0L), (1L, 100000L), (2L, -400000L), (3L, 1000000L))
+      .toDF("bucket", "w_micro")
+    val got = LangModel.hashedLinearScoreMicro(docs, weights, "doc_id", "text", 4)
+      .select($"id", $"n_tokens", $"score_micro", $"prob_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc1: (2·100000 − 400000)/3 = −66666.67 → −66667 (round half away)
+    val p1 = math.round(1000000.0 / (1.0 + math.exp(66667.0 / 1000000.0)))
+    // doc2: 1000000/1 → sigmoid(1)
+    val p2 = math.round(1000000.0 / (1.0 + math.exp(-1.0)))
+    assert(got === Set((1L, 3L, -66667L, p1), (2L, 1L, 1000000L, p2)))
+  }
+
+  test("bigramBackoffNll: seen, backoff, and OOV pair types; short docs absent") {
+    val train = Seq((100L, "a b a")).toDF("doc_id", "text")
+    // cu: a=2 b=1, N=3; cb: (a,b)=1, (b,a)=1
+    val docs = Seq(
+      (1L, "a b"),  // seen bigram: ln(2) − ln(1)
+      (2L, "b b"),  // unseen bigram, seen w2: ln(5·3) − ln(2·1)
+      (3L, "x y"),  // unseen bigram, OOV w2 floors at 1: same value
+      (4L, "z")     // one token: no bigrams, absent
+    ).toDF("doc_id", "text")
+    val got = LangModel.bigramBackoffNll(train, docs, "doc_id", "text")
+      .select($"id", $"n_pairs", $"sum_nll_micro", $"avg_nll_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val seen = math.round(math.log(2.0) * 1000000)
+    val backoff = math.round((math.log(15.0) - math.log(2.0)) * 1000000)
+    assert(got === Set(
+      (1L, 1L, seen, seen),
+      (2L, 1L, backoff, backoff),
+      (3L, 1L, backoff, backoff)))
+  }
+
+  test("snapshotDiff classifies added/removed/changed, null-safely, drops unchanged") {
+    val old = Seq((1L, "x", Option(1L)), (2L, "y", Option.empty[Long]), (3L, "z", Option(1L)))
+      .toDF("id", "s", "v")
+    val nw = Seq((2L, "y", Option(5L)), (3L, "z", Option(1L)), (4L, "w", Option.empty[Long]))
+      .toDF("id", "s", "v")
+    val got = Versioned.snapshotDiff(old, nw, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "removed"), (2L, "changed"), (4L, "added")))
+  }
+}
