@@ -305,6 +305,41 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Pairwise-similarity distribution estimate WITHOUT the O(n²) cross
+    * join — the "how duplicated is this corpus?" diagnostic run before
+    * committing to a dedup pass. Every vector draws a pseudo-random
+    * bucket from the mixed PolyHash of its id (the square-then-affine
+    * mix from [[Sketches]] — raw poly31 is near-order-preserving on
+    * short numeric keys and would pair only id-adjacent vectors);
+    * within-bucket pairs are an unbiased-ish uniform pair sample of
+    * expected size n²/(2·nBuckets), and their exact cosines land in
+    * fixed-width micro-unit bins. Scale nBuckets ∝ n to hold the
+    * sampled-pair budget constant while the corpus grows.
+    *
+    * Everything is engine-portable: the mix is integer arithmetic, the
+    * cosine is the shared rounded shape, bins are positive integer
+    * division.
+    */
+  def pairSampleSimHistogram(df: DataFrame, idCol: String, embCol: String,
+                             nBuckets: Int = 32,
+                             binMicro: Long = 100000L): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val P = 1000000007L
+    val h0 = graft.functions.PolyHash.polyHash(col(idCol).cast("string"))
+    val base = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      pmod(pmod(h0 * h0, lit(P)) * 1103515245L + 12345L, lit(P)).mod(nBuckets.toLong)
+        .as("bkt"))
+    val a = base.select(col("bkt"), col("id").as("id_a"), col("emb").as("emb_a"))
+    val b = base.select(col("bkt"), col("id").as("id_b"), col("emb").as("emb_b"))
+    a.join(b, Seq("bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim_micro",
+        round(graft.core.Exact.r6(cosineNative(col("emb_a"), col("emb_b"))) * 1000000, 0)
+          .cast("long"))
+      .withColumn("bin", expr(s"(sim_micro + 1000000) div $binMicro"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Mean-pool chunk embeddings into one vector per group (RAG-style
     * doc embedding from chunk embeddings, or class centroids): per
     * dimension, the EXACT integer-micro-unit mean — `sum(round(x·1e6))

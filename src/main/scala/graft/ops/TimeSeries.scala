@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap filling for keyed time series — the sensor/metric repair pass
+  * (null = missing reading): linear interpolation between the nearest
+  * observed neighbors, falling back to LOCF / NOCB at the edges.
+  *
+  * The interpolation is EXACT integer arithmetic:
+  * `(v1·(t2−t) + v2·(t−t1)) div (t2−t1)` over integer timestamps and
+  * integer (fixed-point) values — all operands non-negative, so Spark's
+  * truncating `div` and DuckDB's flooring `//` agree and the fill is
+  * bit-reproducible in any engine.
+  *
+  * One exchange: both neighbor lookups are window frames over the same
+  * (partition, order) — Spark plans them on a single sort. The frames
+  * are `last(… IGNORE NULLS)` over (unbounded, −1) and
+  * `first(… IGNORE NULLS)` over (+1, unbounded): linear state per
+  * partition, no self-join, no per-gap scan.
+  */
+object TimeSeries {
+
+  /** @param tsCol  integer (epoch-seconds-like) NON-NULL ordering column,
+    *               unique within a partition for a true interpolation
+    *               (ties fall back to LOCF)
+    * @param valCol integer fixed-point reading; NULL = missing
+    * @return input plus `filled` (the repaired value; stays NULL only
+    *         when a partition has no observation at all) and
+    *         `fill_method` ∈ observed | interp | locf | nocb | none
+    */
+  def fillInterpolate(df: DataFrame, partCols: Seq[String],
+                      tsCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(tsCol))
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    val v = col(valCol)
+    val staged = df.select(col("*"),
+      last(v, ignoreNulls = true).over(before).as("__pv"),
+      last(when(v.isNotNull, col(tsCol)), ignoreNulls = true).over(before).as("__pt"),
+      first(v, ignoreNulls = true).over(after).as("__nv"),
+      first(when(v.isNotNull, col(tsCol)), ignoreNulls = true).over(after).as("__nt"))
+    val canInterp = col("__pv").isNotNull && col("__nv").isNotNull &&
+      col("__nt") > col("__pt")
+    staged
+      .withColumn("__num",
+        col("__pv") * (col("__nt") - col(tsCol)) + col("__nv") * (col(tsCol) - col("__pt")))
+      .withColumn("__den", col("__nt") - col("__pt"))
+      .withColumn("fill_method",
+        when(v.isNotNull, lit("observed"))
+          .when(canInterp, lit("interp"))
+          .when(col("__pv").isNotNull, lit("locf"))
+          .when(col("__nv").isNotNull, lit("nocb"))
+          .otherwise(lit("none")))
+      .withColumn("filled",
+        when(v.isNotNull, v)
+          .when(canInterp, expr("__num div __den"))
+          .when(col("__pv").isNotNull, col("__pv"))
+          .when(col("__nv").isNotNull, col("__nv")))
+      .drop("__pv", "__pt", "__nv", "__nt", "__num", "__den")
+  }
+}

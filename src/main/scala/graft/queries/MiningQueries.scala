@@ -242,6 +242,118 @@ object MiningQueries extends QueryPack {
              |         THEN 'changed' END AS change
              |  FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
              |SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Blocked record linkage: corrupt one mid-string character of every
+    // supplier name, then re-link dirty -> clean on a last-4-chars
+    // blocking key + Jaro-Winkler >= 0.9 verify — candidates only ever
+    // pay within-block cost, never the cross join.
+    Q("q133_fuzzy_link",
+      (s, d) => {
+        import s.implicits._
+        val sup = Tables.supplier(s, d)
+        val dirty = sup.select(concat(substring($"s_name", 1, 11), lit("X"),
+          substring($"s_name", 13, 6)).as("name"))
+        graft.ops.FuzzyLink.blockedJaroWinkler(dirty, sup, "name", "s_name",
+            c => c.substr(length(c) - 3, lit(4)), threshold = 0.9)
+          .orderBy($"left_key", $"right_key")
+      },
+      Some("""WITH dirty AS (
+             |  SELECT substring(s_name, 1, 11) || 'X' || substring(s_name, 13, 6) AS name
+             |  FROM supplier),
+             |l AS (SELECT DISTINCT name AS left_key FROM dirty),
+             |r AS (SELECT DISTINCT s_name AS right_key FROM supplier),
+             |lb AS (SELECT left_key, substring(left_key, length(left_key) - 3, 4) AS blk FROM l),
+             |rb AS (SELECT right_key, substring(right_key, length(right_key) - 3, 4) AS blk FROM r),
+             |cand AS (
+             |  SELECT left_key, right_key,
+             |    round(jaro_winkler_similarity(left_key, right_key), 6) + 0.0 AS jw
+             |  FROM lb JOIN rb USING (blk))
+             |SELECT left_key, right_key, jw FROM cand WHERE jw >= 0.9
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Time-series gap repair: mask every 10th reading deterministically,
+    // then fill by exact-integer linear interpolation between the
+    // nearest observed neighbors (LOCF/NOCB at the edges). One window
+    // exchange; integer cents x integer micros stay in 64 bits.
+    Q("q134_interpolate_gaps",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"event_id", $"user_id",
+          unix_micros($"ts").as("t"),
+          when((($"ts".cast("long") + $"user_id") % 10) === 0, lit(null))
+            .otherwise(round($"value" * 100, 0).cast("long")).as("v_cents"))
+        graft.ops.TimeSeries.fillInterpolate(ev, Seq("user_id"), "t", "v_cents")
+          .select($"event_id", $"fill_method", $"filled")
+          .orderBy($"event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             |    CASE WHEN (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + user_id) % 10 = 0
+             |         THEN NULL
+             |         ELSE CAST(round(value * 100, 0) AS BIGINT) END AS v_cents
+             |  FROM events),
+             |st AS (
+             |  SELECT event_id, t, v_cents,
+             |    last_value(v_cents IGNORE NULLS) OVER
+             |      (PARTITION BY user_id ORDER BY t
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             |    last_value(CASE WHEN v_cents IS NOT NULL THEN t END IGNORE NULLS) OVER
+             |      (PARTITION BY user_id ORDER BY t
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+             |    first_value(v_cents IGNORE NULLS) OVER
+             |      (PARTITION BY user_id ORDER BY t
+             |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             |    first_value(CASE WHEN v_cents IS NOT NULL THEN t END IGNORE NULLS) OVER
+             |      (PARTITION BY user_id ORDER BY t
+             |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+             |  FROM ev)
+             |SELECT event_id,
+             |  CASE WHEN v_cents IS NOT NULL THEN 'observed'
+             |       WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt THEN 'interp'
+             |       WHEN pv IS NOT NULL THEN 'locf'
+             |       WHEN nv IS NOT NULL THEN 'nocb'
+             |       ELSE 'none' END AS fill_method,
+             |  CASE WHEN v_cents IS NOT NULL THEN v_cents
+             |       WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt
+             |         THEN (pv * (nt - t) + nv * (t - pt)) // (nt - pt)
+             |       WHEN pv IS NOT NULL THEN pv
+             |       WHEN nv IS NOT NULL THEN nv END AS filled
+             |FROM st ORDER BY event_id""".stripMargin)),
+
+    // Corpus duplication diagnostic: hash-bucket pair sampling (n²/2B
+    // pairs instead of n²/2) -> exact cosine -> fixed-width micro-unit
+    // histogram. The mixed PolyHash bucket is the q122 recipe.
+    Q("q135_pair_sim_histogram",
+      (s, d) => {
+        import s.implicits._
+        Similarity.pairSampleSimHistogram(Tables.embeddings(s, d),
+            "vec_id", "embedding", nBuckets = 32)
+          .orderBy($"bin")
+      },
+      Some("""WITH h AS (
+             |  SELECT vec_id AS id, embedding AS emb,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(CAST(vec_id AS VARCHAR))),
+             |        j -> CAST(ascii(substring(CAST(vec_id AS VARCHAR), j, 1)) AS BIGINT))),
+             |      (a, b) -> (a*31 + b) % 1000000007) AS h0
+             |  FROM embeddings),
+             |v AS (
+             |  SELECT id, emb,
+             |    ((((h0 * h0) % 1000000007) * 1103515245 + 12345) % 1000000007) % 32 AS bkt
+             |  FROM h),
+             |sims AS (
+             |  SELECT CAST(round((round(
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(a.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(b.emb[i] AS DOUBLE))), (p,w) -> p + w)
+             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(a.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(a.emb[i] AS DOUBLE))), (p,w) -> p + w))
+             |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(b.emb, (u,i) -> CAST(u AS DOUBLE) * CAST(b.emb[i] AS DOUBLE))), (p,w) -> p + w)))
+             |    , 6) + 0.0) * 1000000) AS BIGINT) AS sim_micro
+             |  FROM v a JOIN v b ON a.bkt = b.bkt AND a.id < b.id)
+             |SELECT (sim_micro + 1000000) // 100000 AS bin, count(*) AS n_pairs
+             |FROM sims GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -93,6 +93,54 @@ class MiningSpec extends SparkTestBase {
       (3L, 1L, backoff, backoff)))
   }
 
+  test("blockedJaroWinkler compares only within blocks, verifies with JW") {
+    val left = Seq("martha", "zorro").toDF("name")
+    val right = Seq("marhta", "martha", "zebra", "marge").toDF("s_name")
+    val got = graft.ops.FuzzyLink.blockedJaroWinkler(left, right, "name", "s_name",
+        c => substring(c, 1, 1), threshold = 0.9)
+      .as[(String, String, Double)].collect().toSet
+    // "martha"/"marhta" is the textbook JW 0.961111 pair; "marge" (same
+    // block) fails the threshold; "zebra" shares zorro's block but fails
+    assert(got === Set(("martha", "marhta", 0.961111), ("martha", "martha", 1.0)))
+  }
+
+  test("fillInterpolate: interp between neighbors, locf/nocb edges, none when empty") {
+    val rows = Seq(
+      ("a", 0L, Option(100L)), ("a", 10L, None), ("a", 20L, Option(200L)),
+      ("b", 0L, None), ("b", 5L, Option(50L)), ("b", 20L, None),
+      ("c", 0L, Option.empty[Long]),
+      // uneven spacing: (100·15 + 200·5) div 20 = 125
+      ("d", 0L, Option(100L)), ("d", 5L, None), ("d", 20L, Option(200L))
+    ).toDF("k", "t", "v")
+    val got = graft.ops.TimeSeries.fillInterpolate(rows, Seq("k"), "t", "v")
+      .select($"k", $"t", $"fill_method", $"filled")
+      .as[(String, Long, String, Option[Long])].collect().toSet
+    assert(got === Set(
+      ("a", 0L, "observed", Some(100L)), ("a", 10L, "interp", Some(150L)),
+      ("a", 20L, "observed", Some(200L)),
+      ("b", 0L, "nocb", Some(50L)), ("b", 5L, "observed", Some(50L)),
+      ("b", 20L, "locf", Some(50L)),
+      ("c", 0L, "none", None),
+      ("d", 0L, "observed", Some(100L)), ("d", 5L, "interp", Some(125L)),
+      ("d", 20L, "observed", Some(200L))))
+  }
+
+  test("pairSampleSimHistogram bins exactly the within-bucket pairs") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val hist = Similarity.pairSampleSimHistogram(emb, "vec_id", "embedding", nBuckets = 8)
+      .as[(Long, Long)].collect().toMap
+    // twin recomputation of the sampled-pair count from the same mix
+    val P = 1000000007L
+    val h0 = graft.functions.PolyHash.polyHash($"vec_id".cast("string"))
+    val byBkt = emb.select(
+        pmod(pmod(h0 * h0, lit(P)) * 1103515245L + 12345L, lit(P)).mod(8L).as("bkt"))
+      .groupBy($"bkt").count().as[(Long, Long)].collect()
+    val wantPairs = byBkt.map { case (_, n) => n * (n - 1) / 2 }.sum
+    assert(hist.values.sum === wantPairs)
+    assert(hist.keys.forall(b => b >= 0L && b <= 20L))
+    assert(wantPairs > 0)
+  }
+
   test("snapshotDiff classifies added/removed/changed, null-safely, drops unchanged") {
     val old = Seq((1L, "x", Option(1L)), (2L, "y", Option.empty[Long]), (3L, "z", Option(1L)))
       .toDF("id", "s", "v")
