@@ -354,6 +354,40 @@ object MiningQueries extends QueryPack {
              |    , 6) + 0.0) * 1000000) AS BIGINT) AS sim_micro
              |  FROM v a JOIN v b ON a.bkt = b.bkt AND a.id < b.id)
              |SELECT (sim_micro + 1000000) // 100000 AS bin, count(*) AS n_pairs
-             |FROM sims GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM sims GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Distribution drift (PSI) between two event slices, per value
+    // bucket: integer-clamped counts keep the log arguments exact;
+    // per-bucket micro contributions sum order-independently.
+    Q("q136_psi_drift",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        graft.ops.Drift.psiContributions(
+            ev.filter($"event_type" === "view"),
+            ev.filter($"event_type" === "error"),
+            "value", width = 50L)
+          .orderBy($"bin_lo")
+      },
+      Some("""WITH r AS (
+             |  SELECT CAST(floor(value / 50) AS BIGINT) * 50 AS bin_lo, count(*) AS n_ref
+             |  FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1),
+             |c AS (
+             |  SELECT CAST(floor(value / 50) AS BIGINT) * 50 AS bin_lo, count(*) AS n_cur
+             |  FROM events WHERE event_type = 'error' AND value IS NOT NULL GROUP BY 1),
+             |j AS (
+             |  SELECT coalesce(r.bin_lo, c.bin_lo) AS bin_lo,
+             |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+             |  FROM r FULL JOIN c ON r.bin_lo = c.bin_lo),
+             |t AS (
+             |  SELECT bin_lo, n_ref, n_cur,
+             |    CAST((SELECT sum(n_ref) FROM j) AS BIGINT) AS t_ref,
+             |    CAST((SELECT sum(n_cur) FROM j) AS BIGINT) AS t_cur,
+             |    greatest(n_ref, 1) AS c1, greatest(n_cur, 1) AS c2
+             |  FROM j)
+             |SELECT bin_lo, n_ref, n_cur,
+             |  CAST(round((CAST(c1 AS DOUBLE) / t_ref - CAST(c2 AS DOUBLE) / t_cur)
+             |    * (ln(CAST(c1 * t_cur AS DOUBLE)) - ln(CAST(c2 * t_ref AS DOUBLE))) * 1000000) AS BIGINT) AS contrib_micro
+             |FROM t ORDER BY bin_lo""".stripMargin))
   )
 }

@@ -141,6 +141,21 @@ class MiningSpec extends SparkTestBase {
     assert(wantPairs > 0)
   }
 
+  test("psiContributions: identical slices score zero, disjoint mass positive") {
+    val a = Seq(10L, 20L, 110L, 120L).toDF("value")
+    val same = graft.ops.Drift.psiContributions(a, a, "value", 100L)
+      .select($"contrib_micro").as[Long].collect()
+    assert(same.length === 2 && same.forall(_ === 0L))
+    val a6 = Seq(10L, 20L, 30L, 110L, 120L, 130L).toDF("value")
+    val b6 = Seq(210L, 220L, 230L, 240L, 250L, 260L).toDF("value")
+    val drift = graft.ops.Drift.psiContributions(a6, b6, "value", 100L)
+      .select($"bin_lo", $"n_ref", $"n_cur", $"contrib_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // every bucket is one-sided → clamped counts, strictly positive PSI
+    assert(drift.map(_._1) === Set(0L, 100L, 200L))
+    assert(drift.forall(_._4 > 0L))
+  }
+
   test("snapshotDiff classifies added/removed/changed, null-safely, drops unchanged") {
     val old = Seq((1L, "x", Option(1L)), (2L, "y", Option.empty[Long]), (3L, "z", Option(1L)))
       .toDF("id", "s", "v")
