@@ -79,10 +79,16 @@ object LinkGraph {
     */
   def triangleCounts(pairs: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist the normalized edge set: it fans out into THREE consumers
+    // (both degree scans and the orientation join), and its upstream —
+    // the caller's edge derivation — is typically the expensive part
+    // (measured 11 s -> ~4 s on q128, whose edges come from a fact-table
+    // self-join that would otherwise re-execute per branch)
     val und = pairs.select(
         least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .persist(lvl)
     val deg = und.select(col("a").as("id"))
       .union(und.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -105,6 +111,6 @@ object LinkGraph {
       tri.select(explode(array(col("u"), col("v"), col("w"))).as("node_id"))
         .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
         .localCheckpoint(true)
-    } finally oriented.unpersist(false)
+    } finally { oriented.unpersist(false); und.unpersist(false) }
   }
 }
