@@ -207,4 +207,38 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"token-NLL model not broadcast:\n$plan")
   }
+
+  test("q130 classifier broadcasts the weight table and never nest-loops") {
+    val plan = finalPlan("q130_hashed_classifier")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight table not broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested loop in classifier plan:\n$plan")
+  }
+
+  test("q134 gap fill runs both neighbor frames on ONE exchange + ONE sort") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // audit the operator seam (the conformance query adds its
+    // presentation ORDER BY, which is its own legitimate exchange)
+    val ev = graft.core.Tables.events(spark, sfDir).select($"event_id", $"user_id",
+      unix_micros($"ts").as("t"),
+      when((($"ts".cast("long") + $"user_id") % 10) === 0, lit(null))
+        .otherwise(round($"value" * 100, 0).cast("long")).as("v_cents"))
+    val df = graft.ops.TimeSeries.fillInterpolate(ev, Seq("user_id"), "t", "v_cents")
+    df.collect()
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => s +: walk(s.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles === 1, s"expected 1 exchange, got $shuffles:\n${df.queryExecution.executedPlan}")
+    val sorts = nodes.count(_.nodeName.contains("Sort"))
+    assert(sorts === 1, s"expected 1 sort for both frames, got $sorts")
+  }
 }
