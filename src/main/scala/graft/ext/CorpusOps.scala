@@ -248,6 +248,34 @@ object CorpusOps {
       .filter(col("draw_rank") <= k)
   }
 
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis in its
+    * exponential-jitter form): each row draws a deterministic
+    * pseudo-uniform from the MIXED PolyHash of its id (the q122
+    * square-then-affine mix — raw poly31 is near-order-preserving on
+    * short numeric keys) and competes with key `−ln(u)/w`; the k
+    * smallest keys per stratum win, so inclusion probability scales
+    * with the weight. With `u = (h+1)/P` the key is
+    * `(ln P − ln(h+1)) / w` — both ln arguments INTEGERS, so any engine
+    * reproduces the micro-rounded key bit-for-bit; ties break on id.
+    * One window per stratum, same scale shape as [[stratifiedSample]].
+    *
+    * @param weight positive integer column (e.g. token count)
+    */
+  def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
+                     weight: Column, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val P = 1000000007L
+    val h0 = PolyHash.polyHash(col(idCol).cast("string"))
+    val h = pmod(pmod(h0 * h0, lit(P)) * 1103515245L + 12345L, lit(P))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("key_micro"), col(idCol))
+    df.withColumn("w", weight)
+      .withColumn("key_micro",
+        round((log(lit(P.toDouble)) - log((h + 1L).cast("double"))) / col("w")
+          * 1000000, 0).cast("long"))
+      .withColumn("draw_rank", row_number().over(w).cast("long"))
+      .filter(col("draw_rank") <= k)
+  }
+
   /** Deterministic source-mix rebalancing: stratum s contributes
     * floor(weight_s · total) documents, drawn as the quota smallest
     * (polyHash(id), id) ranks within the stratum — the same

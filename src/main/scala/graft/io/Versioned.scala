@@ -83,6 +83,34 @@ object Versioned {
       .select(keyCols.map(col) :+ col("change"): _*)
   }
 
+  /** [[snapshotDiff]] with payload: changed/added rows carry the NEW
+    * value columns (removed rows carry nulls) — the O(churn) artifact a
+    * versioned store ships downstream instead of the full snapshot.
+    * Inverse is [[applyPatch]].
+    */
+  def snapshotPatch(oldDf: DataFrame, newDf: DataFrame,
+                    keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val valueCols = newDf.columns.filterNot(keyCols.contains).toSeq
+    snapshotDiff(oldDf, newDf, keyCols)
+      .join(newDf, keyCols, "left")
+      .select(keyCols.map(col) ++ (col("change") +: valueCols.map(col)): _*)
+  }
+
+  /** Replay a [[snapshotPatch]] onto the old snapshot: drop removed and
+    * changed keys, append the patch's added/changed payloads. One
+    * anti-join plus a union — `applyPatch(old, snapshotPatch(old, new))
+    * == new` row-for-row (the q138 oracle checks exactly that).
+    */
+  def applyPatch(oldDf: DataFrame, patch: DataFrame,
+                 keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val touched = patch.select(keyCols.map(col): _*)
+    val incoming = patch.filter(col("change").isin("added", "changed"))
+      .select(oldDf.columns.map(col): _*)
+    oldDf.join(touched, keyCols, "left_anti").unionByName(incoming)
+  }
+
   /** S13 — local fallback source: try the primary loader, fall back to a
     * bundled fixture (packaged lw_coeffs snapshot,
     * R/preprocessing-surveys.R:1221-1236).

@@ -30,6 +30,24 @@ object TimeSeries {
     *         when a partition has no observation at all) and
     *         `fill_method` ∈ observed | interp | locf | nocb | none
     */
+  /** Debounce/throttle per key: keep an event only if it starts a new
+    * burst — i.e. it is MORE than `gap` after the previous event of its
+    * key (event time). Burst semantics, not a plain lag filter: rows
+    * inside a burst chain onto the kept head even when their immediate
+    * predecessor was itself dropped — which is exactly the
+    * gaps-and-islands head row, and the head is the row whose distance
+    * to its predecessor exceeds the gap, so ONE lag window suffices (no
+    * island renumbering pass). `tsCol` must be unique per key for a
+    * deterministic order.
+    */
+  def debounce(df: DataFrame, partCols: Seq[String], tsCol: String,
+               gap: Long): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(tsCol))
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev").isNull || col(tsCol) - col("__prev") > gap)
+      .drop("__prev")
+  }
+
   def fillInterpolate(df: DataFrame, partCols: Seq[String],
                       tsCol: String, valCol: String): DataFrame = {
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(tsCol))

@@ -388,6 +388,82 @@ object MiningQueries extends QueryPack {
              |SELECT bin_lo, n_ref, n_cur,
              |  CAST(round((CAST(c1 AS DOUBLE) / t_ref - CAST(c2 AS DOUBLE) / t_cur)
              |    * (ln(CAST(c1 * t_cur AS DOUBLE)) - ln(CAST(c2 * t_ref AS DOUBLE))) * 1000000) AS BIGINT) AS contrib_micro
-             |FROM t ORDER BY bin_lo""".stripMargin))
+             |FROM t ORDER BY bin_lo""".stripMargin)),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis):
+    // 5 docs per language, inclusion probability scaling with n_chars.
+    // Key = (ln P - ln(h+1)) / w in micro-units from integer ln args.
+    Q("q137_weighted_sample",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.CorpusOps.weightedSample(Tables.documents(s, d),
+            "lang", "doc_id", $"n_chars", k = 5)
+          .select($"lang", $"doc_id", $"key_micro", $"draw_rank")
+          .orderBy($"lang", $"draw_rank")
+      },
+      Some("""WITH h AS (
+             |  SELECT lang, doc_id, n_chars,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+             |        j -> CAST(ascii(substring(CAST(doc_id AS VARCHAR), j, 1)) AS BIGINT))),
+             |      (a, b) -> (a*31 + b) % 1000000007) AS h0
+             |  FROM documents),
+             |k AS (
+             |  SELECT lang, doc_id,
+             |    CAST(round((ln(CAST(1000000007 AS DOUBLE))
+             |      - ln(CAST(((((h0 * h0) % 1000000007) * 1103515245 + 12345) % 1000000007) + 1 AS DOUBLE)))
+             |      / n_chars * 1000000) AS BIGINT) AS key_micro
+             |  FROM h),
+             |r AS (
+             |  SELECT lang, doc_id, key_micro,
+             |    row_number() OVER (PARTITION BY lang ORDER BY key_micro, doc_id) AS draw_rank
+             |  FROM k)
+             |SELECT lang, doc_id, key_micro, CAST(draw_rank AS BIGINT) AS draw_rank
+             |FROM r WHERE draw_rank <= 5 ORDER BY lang, draw_rank""".stripMargin)),
+
+    // Patch round-trip: applyPatch(v1, snapshotPatch(v1, v2)) must
+    // reproduce v2 row-for-row — the oracle IS v2, recomputed directly.
+    Q("q138_patch_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+        val v1 = o.filter($"o_orderkey" % 7 =!= 0)
+          .withColumn("o_totalprice",
+            when($"o_orderkey" % 5 === 0, $"o_totalprice" + 1.0)
+              .otherwise($"o_totalprice"))
+        val v2 = o.filter($"o_orderkey" % 11 =!= 0)
+        val patch = Versioned.snapshotPatch(v1, v2, Seq("o_orderkey"))
+        Versioned.applyPatch(v1, patch, Seq("o_orderkey"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders WHERE o_orderkey % 11 <> 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Event debounce: keep only burst heads per (user, type) — an event
+    // more than 2h (event time) after its predecessor; rows inside a
+    // burst chain onto the head even across dropped predecessors.
+    Q("q139_debounce",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("t"))
+        graft.ops.TimeSeries.debounce(ev, Seq("user_id", "event_type"), "t",
+            gap = 7200L * 1000000L)
+          .select($"event_id", $"user_id", $"event_type")
+          .orderBy($"event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |  FROM events),
+             |l AS (
+             |  SELECT event_id, user_id, event_type, t,
+             |    lag(t) OVER (PARTITION BY user_id, event_type ORDER BY t) AS prev
+             |  FROM ev)
+             |SELECT event_id, user_id, event_type FROM l
+             |WHERE prev IS NULL OR t - prev > 7200000000
+             |ORDER BY event_id""".stripMargin))
   )
 }

@@ -141,6 +141,52 @@ class MiningSpec extends SparkTestBase {
     assert(wantPairs > 0)
   }
 
+  test("weightedSample: rank order is (key, id), k bounds each stratum") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val all = graft.ext.CorpusOps.weightedSample(docs, "lang", "doc_id",
+        col("n_chars"), k = Int.MaxValue)
+      .select($"lang", $"doc_id", $"key_micro", $"draw_rank")
+      .as[(String, Long, Long, Long)].collect()
+    all.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._4).map(r => (r._3, r._2))
+      assert(byRank.sameElements(rows.sortBy(r => (r._3, r._2)).map(r => (r._3, r._2))))
+    }
+    val k2 = graft.ext.CorpusOps.weightedSample(docs, "lang", "doc_id",
+        col("n_chars"), k = 2)
+      .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+    val want = all.groupBy(_._1).toSeq.flatMap { case (l, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(2).map(r => (l, r._2)).toSeq
+    }.toSet
+    assert(k2 === want)
+    assert(k2.groupBy(_._1).values.forall(_.size <= 2))
+  }
+
+  test("applyPatch(old, snapshotPatch(old, new)) reproduces new exactly") {
+    val old = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0)).toDF("id", "s", "v")
+    val nw = Seq((2L, "y", 5.0), (3L, "z", 3.0), (4L, "w", 4.0)).toDF("id", "s", "v")
+    val patch = Versioned.snapshotPatch(old, nw, Seq("id"))
+    val pset = patch.as[(Long, String, Option[String], Option[Double])].collect().toSet
+    assert(pset === Set(
+      (1L, "removed", None, None),
+      (2L, "changed", Some("y"), Some(5.0)),
+      (4L, "added", Some("w"), Some(4.0))))
+    val restored = Versioned.applyPatch(old, patch, Seq("id"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(restored === nw.as[(Long, String, Double)].collect().toSet)
+  }
+
+  test("debounce keeps burst heads; chained rows drop across dropped predecessors") {
+    val ev = Seq(
+      ("a", 0L), ("a", 50L), ("a", 100L), ("a", 200L),
+      ("b", 0L)
+    ).toDF("k", "t")
+    val got = graft.ops.TimeSeries.debounce(ev, Seq("k"), "t", gap = 60L)
+      .as[(String, Long)].collect().toSet
+    // a@100 is 100 away from the kept head but only 50 from its dropped
+    // predecessor → still inside the burst → dropped
+    assert(got === Set(("a", 0L), ("a", 200L), ("b", 0L)))
+  }
+
   test("psiContributions: identical slices score zero, disjoint mass positive") {
     val a = Seq(10L, 20L, 110L, 120L).toDF("value")
     val same = graft.ops.Drift.psiContributions(a, a, "value", 100L)
