@@ -305,6 +305,26 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Retrieval-quality report: per-query recall@k of an approximate
+    * top-k result against the exact one — the acceptance gate an ANN
+    * index must pass before it replaces brute force in a pipeline. Both
+    * inputs are (q_id, n_id, …) top-k frames ([[bruteForceKnn]],
+    * [[lshKnn]], [[IvfIndex.ivfKnn]]); output is one row per query:
+    * (q_id, n_exact, n_hit, recall_micro). A left semi join + two
+    * O(queries·k) aggregations — evaluation never rescans the corpus.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val ex = exact.select(col("q_id"), col("n_id"))
+    val hit = ex.join(approx.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    ex.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hit, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_micro", expr("n_hit * 1000000 div n_exact"))
+  }
+
   /** Pairwise-similarity distribution estimate WITHOUT the O(n²) cross
     * join — the "how duplicated is this corpus?" diagnostic run before
     * committing to a dedup pass. Every vector draws a pseudo-random

@@ -187,6 +187,16 @@ class MiningSpec extends SparkTestBase {
     assert(got === Set(("a", 0L), ("a", 200L), ("b", 0L)))
   }
 
+  test("recallAtK: semi-join overlap per query, absent queries score zero") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("q_id", "n_id")
+    val approx = Seq((1L, 11L), (1L, 12L), (1L, 99L)).toDF("q_id", "n_id")
+    val got = Similarity.recallAtK(exact, approx)
+      .select($"q_id", $"n_exact", $"n_hit", $"recall_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L, 2L, 666666L), (2L, 2L, 0L, 0L)))
+  }
+
   test("psiContributions: identical slices score zero, disjoint mass positive") {
     val a = Seq(10L, 20L, 110L, 120L).toDF("value")
     val same = graft.ops.Drift.psiContributions(a, a, "value", 100L)
