@@ -57,6 +57,42 @@ object LinkGraph {
     } finally { eDeg.unpersist(false); nodes.unpersist(false) }
   }
 
+  /** Synchronous label propagation (community detection), `rounds`
+    * fixed iterations: every node adopts the MOST FREQUENT label among
+    * its neighbors, ties to the smallest label, isolated semantics like
+    * [[Dedup.duplicateComponents]] (a node with no neighbors keeps its
+    * own id). Fixed round count + deterministic tie-break = the
+    * reproducible form of LPA (async/random-order variants are not
+    * replayable); any engine chains the same two steps.
+    *
+    * Per round: one edges-to-labels equi-join + one (dst, label) count
+    * + one per-node argmax — all map-side-combining shuffles on node
+    * ids. Labels are checkpointed per round (bounded lineage, the
+    * [[pageRankMicro]] contract).
+    */
+  def labelPropagation(pairs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one round")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("label", col("id")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val freq = edges
+        .join(labels.select(col("id").as("src"), col("label").as("nl")), "src")
+        .groupBy(col("dst").as("id"), col("nl"))
+        .agg(count(lit(1)).as("c"))
+      val adopted = freq
+        .groupBy(col("id"))
+        .agg(min_by(col("nl"), struct((-col("c")).as("negc"), col("nl"))).as("label"))
+      labels = nodes.join(adopted, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("id").as("node_id"), col("label"))
+  }
+
   /** Per-node triangle counts by degree-ordered orientation — the
     * clustering/community-density signal over co-occurrence graphs
     * (co-purchased parts, co-cited pages). Exact integer counting, so

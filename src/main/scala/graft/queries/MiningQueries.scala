@@ -536,6 +536,74 @@ object MiningQueries extends QueryPack {
              |SELECT ex.q_id, n_exact, coalesce(n_hit, 0) AS n_hit,
              |  coalesce(n_hit, 0) * 1000000 // n_exact AS recall_micro
              |FROM ex LEFT JOIN hit ON hit.q_id = ex.q_id
-             |ORDER BY ex.q_id""".stripMargin))
+             |ORDER BY ex.q_id""".stripMargin)),
+
+    // CSV source/sink round-trip: pipe-delimited, gzip, header, explicit
+    // read schema (never inferSchema on a 100 TB lake — one schema pass
+    // would rescan everything). Oracle = the original rows.
+    Q("q141_csv_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        val dir = java.nio.file.Files.createTempDirectory("csvrt").toString
+        o.write.mode("overwrite")
+          .option("header", "true").option("delimiter", "|")
+          .option("compression", "gzip")
+          .csv(s"$dir/orders_csv")
+        s.read
+          .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+          .option("header", "true").option("delimiter", "|")
+          .csv(s"$dir/orders_csv")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Community detection: 2 synchronous label-propagation rounds on
+    // the support-2 co-purchase graph — most-frequent neighbor label,
+    // ties to the smallest; fixed rounds + deterministic tie-break is
+    // the replayable LPA.
+    Q("q142_label_propagation",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+        val und = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+          .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+          .select($"id_a", $"id_b")
+        LinkGraph.labelPropagation(und, rounds = 2).orderBy($"node_id")
+      },
+      Some("""WITH und AS (
+             |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |edges AS (
+             |  SELECT pa AS src, pb AS dst FROM und
+             |  UNION SELECT pb, pa FROM und),
+             |nodes AS (SELECT DISTINCT src AS id FROM edges),
+             |f1 AS (
+             |  SELECT e.dst AS id, l.id AS nl, count(*) AS c
+             |  FROM edges e JOIN nodes l ON l.id = e.src GROUP BY 1, 2),
+             |a1 AS (
+             |  SELECT id, nl AS label FROM (
+             |    SELECT id, nl, row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) AS rn
+             |    FROM f1) WHERE rn = 1),
+             |l1 AS (
+             |  SELECT n.id, coalesce(a1.label, n.id) AS label
+             |  FROM nodes n LEFT JOIN a1 ON a1.id = n.id),
+             |f2 AS (
+             |  SELECT e.dst AS id, l.label AS nl, count(*) AS c
+             |  FROM edges e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+             |a2 AS (
+             |  SELECT id, nl AS label FROM (
+             |    SELECT id, nl, row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) AS rn
+             |    FROM f2) WHERE rn = 1),
+             |l2 AS (
+             |  SELECT n.id, coalesce(a2.label, n.id) AS label
+             |  FROM nodes n LEFT JOIN a2 ON a2.id = n.id)
+             |SELECT id AS node_id, label FROM l2 ORDER BY 1""".stripMargin))
   )
 }

@@ -33,6 +33,15 @@ class MiningSpec extends SparkTestBase {
     assert(tri(messy) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("labelPropagation: barbell graph, hand-computed 2 rounds") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = LinkGraph.labelPropagation(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // round 1: 1->2 2->1 3->1 4->3 5->4 6->4; round 2 as asserted
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 3L, 6L -> 3L))
+  }
+
   test("knnGraph == exhaustive top-k within each quantizer cell") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val got = Similarity.knnGraph(spark, emb, k = 3, kCells = 8)
