@@ -82,6 +82,20 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("n_frames"))
 
+  /** Content-addressable blob manifest — exact media dedup by digest,
+    * the first pass every multimodal ingest runs (identical bytes are
+    * common at crawl scale: re-hosted images, mirrored clips). One
+    * hash-groupBy on the md5 of the payload: map-side partial
+    * aggregation, no byte array ever shuffles twice; the canonical copy
+    * is the smallest id, bytes are accounted per digest. md5 is
+    * engine-standard, so the manifest is oracle-checkable.
+    */
+  def blobManifest(media: DataFrame): DataFrame =
+    media.groupBy(md5(col("payload")).as("digest"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("media_id")).as("canonical_id"),
+        sum(length(col("payload")).cast("long")).as("total_bytes"))
+
   /** Partition-wise decode/featurize: one iterator pass per partition,
     * batch-shaped like an Arrow/pandas UDF would be. The decoder is
     * initialized once per partition (here trivially; in production this

@@ -604,6 +604,21 @@ object MiningQueries extends QueryPack {
              |l2 AS (
              |  SELECT n.id, coalesce(a2.label, n.id) AS label
              |  FROM nodes n LEFT JOIN a2 ON a2.id = n.id)
-             |SELECT id AS node_id, label FROM l2 ORDER BY 1""".stripMargin))
+             |SELECT id AS node_id, label FROM l2 ORDER BY 1""".stripMargin)),
+
+    // Content-addressable blob manifest: exact media dedup by md5
+    // digest over the binary payload — one hash-groupBy, canonical copy
+    // = smallest id.
+    Q("q143_blob_manifest",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.Multimodal.blobManifest(
+            graft.ext.Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+          .orderBy($"digest")
+      },
+      Some("""SELECT md5(text) AS digest, count(*) AS n_copies,
+             |  min(doc_id) AS canonical_id,
+             |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
