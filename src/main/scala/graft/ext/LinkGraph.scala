@@ -32,9 +32,13 @@ object LinkGraph {
   def pageRankMicro(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "at least one iteration")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the caller's edge derivation fans out into eDeg (twice: list +
+    // degree agg) and nodes — persist it so it computes once (same
+    // lesson as triangleCounts; q115's edges are an orders-lineitem
+    // join + distinct that used to run twice)
+    val e = edges.select(col("src"), col("dst")).persist(lvl)
     // out-degree is loop-invariant: join it into the edge list ONCE so
     // each iteration is a single ranks-to-edges join, not two
-    val e = edges.select(col("src"), col("dst"))
     val eDeg = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .persist(lvl)
     val nodes = e.select(col("src").as("id"))
@@ -54,7 +58,7 @@ object LinkGraph {
           .localCheckpoint(true)
       }
       ranks.select(col("id").as("node_id"), col("rank").as("rank_micro"))
-    } finally { eDeg.unpersist(false); nodes.unpersist(false) }
+    } finally { eDeg.unpersist(false); nodes.unpersist(false); e.unpersist(false) }
   }
 
   /** Synchronous label propagation (community detection), `rounds`
