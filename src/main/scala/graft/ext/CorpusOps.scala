@@ -232,6 +232,31 @@ object CorpusOps {
       .select(col("id"), col("score"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** PER-STRATUM token-budget admission — every source/domain gets its
+    * own budget (the per-domain cap of crawl curation), best-first
+    * within the stratum until the cumulative token count would exceed
+    * it. Unlike the GLOBAL [[tokenBudgetSelect]] (whose single total
+    * order needs the two-phase range-partitioned prefix sum), the
+    * per-stratum cumsum is a plain PARTITIONED window — strata sort in
+    * parallel, a skewed stratum costs one fat partition bounded by the
+    * stratum, and no global coordination exists at any scale.
+    *
+    * @param ord admission order (ascending; caller makes NULLs rank
+    *            worst — see [[tokenBudgetSelect]]'s coalesce pattern)
+    */
+  def stratumBudgetSelect(df: DataFrame, stratumCol: String, idCol: String,
+                          nTokens: Column, ord: Column,
+                          budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy(col("stratum")).orderBy(col("ord"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(stratumCol).as("stratum"), col(idCol).as("id"),
+        nTokens.cast("long").as("n_tokens"), ord.as("ord"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("stratum"), col("id"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Deterministic stratified sample: the k documents with the smallest
     * (polyHash(id), id) rank within each stratum — uniform-without-
     * replacement per stratum (the hash is the random draw), reproducible

@@ -619,6 +619,32 @@ object MiningQueries extends QueryPack {
       Some("""SELECT md5(text) AS digest, count(*) AS n_copies,
              |  min(doc_id) AS canonical_id,
              |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
-             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Per-source token budgets (the per-domain crawl cap): longest docs
+    // first, admit while the source's cumulative tokens stay within
+    // 700. Plain partitioned-window cumsum — strata admit in parallel.
+    Q("q144_stratum_budget",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .withColumn("n_toks", graft.ext.TextAnalysis.tokenCount($"text"))
+        graft.ext.CorpusOps.stratumBudgetSelect(docs, "source", "doc_id",
+            $"n_toks", struct((-$"n_chars").as("neg"), $"doc_id"), budget = 700L)
+          .select($"stratum".as("source"), $"id".as("doc_id"),
+            $"n_tokens", $"cum_tokens")
+          .orderBy($"source", $"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, doc_id, n_chars,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT source, doc_id, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY source ORDER BY -n_chars, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             |  FROM t)
+             |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+             |FROM c WHERE cum_tokens <= 700 ORDER BY source, doc_id""".stripMargin))
   )
 }
