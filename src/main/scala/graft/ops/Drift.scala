@@ -23,6 +23,45 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** Two-sample Kolmogorov–Smirnov statistic, exactly: the max CDF gap
+    * over the union of observed values, computed as the integer
+    * cross-product `|cum1·n2 − cum2·n1|` (no per-step division, so the
+    * argmax is exact; the final micro-unit ratio is ONE shared-shape
+    * double op). Heavier-tailed than PSI's fixed buckets — the
+    * bucket-free drift test.
+    *
+    * Scale shape: both inputs collapse to per-VALUE counts first (two
+    * linear groupBys), so the cumulative window runs over the tiny
+    * distinct-value table, never the data; the single-partition window
+    * there is O(distinct values).
+    *
+    * @return one row: (n_ref, n_cur, d_num, d_micro) where
+    *         `d = d_num / (n_ref·n_cur)` and `d_micro = round(d·1e6)`
+    */
+  def ksStatistic(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    def byValue(df: DataFrame, n: String) = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as(n))
+    val joined = byValue(ref, "c1").join(byValue(cur, "c2"), Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    joined
+      .withColumn("cum1", sum(col("c1")).over(cum))
+      .withColumn("cum2", sum(col("c2")).over(cum))
+      .withColumn("n1", sum(col("c1")).over(whole))
+      .withColumn("n2", sum(col("c2")).over(whole))
+      .withColumn("diff", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      .agg(max(col("n1")).as("n_ref"), max(col("n2")).as("n_cur"),
+        max(col("diff")).as("d_num"))
+      .select(col("n_ref"), col("n_cur"), col("d_num"),
+        round(col("d_num").cast("double") / (col("n_ref") * col("n_cur")) * 1000000, 0)
+          .cast("long").as("d_micro"))
+  }
+
   def psiContributions(ref: DataFrame, cur: DataFrame,
                        valueCol: String, width: Long): DataFrame = {
     require(width > 0, "bin width must be positive")

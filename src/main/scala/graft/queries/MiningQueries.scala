@@ -645,6 +645,39 @@ object MiningQueries extends QueryPack {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
              |  FROM t)
              |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
-             |FROM c WHERE cum_tokens <= 700 ORDER BY source, doc_id""".stripMargin))
+             |FROM c WHERE cum_tokens <= 700 ORDER BY source, doc_id""".stripMargin)),
+
+    // Exact two-sample Kolmogorov-Smirnov drift between event slices:
+    // max CDF gap as the integer cross-product — no per-step division,
+    // argmax exact; the window runs over the distinct-value table.
+    Q("q145_ks_drift",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        graft.ops.Drift.ksStatistic(
+          ev.filter($"event_type" === "view"),
+          ev.filter($"event_type" === "click"), "value")
+      },
+      Some("""WITH r AS (
+             |  SELECT value AS v, count(*) AS c1 FROM events
+             |  WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1),
+             |c AS (
+             |  SELECT value AS v, count(*) AS c2 FROM events
+             |  WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1),
+             |j AS (
+             |  SELECT coalesce(r.v, c.v) AS v,
+             |    coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+             |  FROM r FULL JOIN c ON r.v = c.v),
+             |w AS (
+             |  SELECT
+             |    sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             |    sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+             |    sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+             |  FROM j)
+             |SELECT CAST(max(n1) AS BIGINT) AS n_ref, CAST(max(n2) AS BIGINT) AS n_cur,
+             |  CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+             |  CAST(round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+             |    / (CAST(max(n1) AS BIGINT) * CAST(max(n2) AS BIGINT)) * 1000000, 0) AS BIGINT) AS d_micro
+             |FROM w""".stripMargin))
   )
 }

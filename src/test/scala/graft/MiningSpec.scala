@@ -221,6 +221,19 @@ class MiningSpec extends SparkTestBase {
     assert(drift.forall(_._4 > 0L))
   }
 
+  test("ksStatistic: hand-computed max CDF gap; identical samples give zero") {
+    val a = Seq(1L, 2L, 3L, 4L).toDF("value")
+    val b = Seq(3L, 4L, 5L, 6L).toDF("value")
+    val got = graft.ops.Drift.ksStatistic(a, b, "value")
+      .as[(Long, Long, Long, Long)].collect().head
+    // CDFs cross-multiplied by n1·n2=16: at v=2 cum1=2,cum2=0 → 8; that
+    // is the max → D = 8/16 = 0.5
+    assert(got === ((4L, 4L, 8L, 500000L)))
+    val same = graft.ops.Drift.ksStatistic(a, a, "value")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(same === ((4L, 4L, 0L, 0L)))
+  }
+
   test("snapshotDiff classifies added/removed/changed, null-safely, drops unchanged") {
     val old = Seq((1L, "x", Option(1L)), (2L, "y", Option.empty[Long]), (3L, "z", Option(1L)))
       .toDF("id", "s", "v")
