@@ -109,6 +109,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Directed n-gram CONTAINMENT pairs: `C(A→B) = |A∩B| / |A|` ≥
+    * threshold within a block — the subset-relation detector Jaccard
+    * misses by construction (a quote, excerpt, or near-complete copy
+    * inside a much longer document scores near-zero Jaccard but
+    * containment ≈ 1; the MinHash-era literature treats containment as
+    * its own primitive for exactly this reason). Same salted block
+    * self-join + two-pointer kernel as [[ngramJaccardPairs]]; each
+    * unordered candidate pair evaluates ONE intersection and emits up
+    * to two directed rows. No size-ratio prune exists for containment —
+    * the small side may always be fully contained — so the block is the
+    * only candidate bound (documented quadratic-per-block ground
+    * truth).
+    *
+    * @return (contained_id, container_id, containment)
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, threshold: Double,
+                            blockCols: Seq[String], salts: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val bc = blockCols.map(col)
+    val toks = widen(df.select(
+      (col(idCol).as("id") +: bc) :+
+        TextAnalysis.tokens(col(textCol)).as("toks"): _*))
+    val withSh = toks.select(
+      (col("id") +: bc) :+ shinglesFromTokens(col("toks"), n).as("sh"): _*)
+    val a = withSh.select((bc :+ col("id").as("id_a") :+ col("sh").as("sh_a")): _*)
+      .withColumn("salt", pmod(xxhash64(col("id_a")), lit(salts.toLong)))
+    val b = withSh.select((bc :+ col("id").as("id_b") :+ col("sh").as("sh_b")): _*)
+      .withColumn("salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    a.join(b, blockCols :+ "salt")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize.sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .select(explode(array(
+        struct(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+          (col("inter").cast("double") / size(col("sh_a"))).as("containment")),
+        struct(col("id_b").as("contained_id"), col("id_a").as("container_id"),
+          (col("inter").cast("double") / size(col("sh_b"))).as("containment"))))
+        .as("p"))
+      .select(col("p.contained_id"), col("p.container_id"), col("p.containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   private val P = 2038074743L // prime > 2^30, products stay well under 2^63
 
   /** Universal-family multipliers for permutation i (i ≥ 0):

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{LangModel, LinkGraph, Similarity}
+import graft.ext.{Dedup, LangModel, LinkGraph, Similarity}
 import graft.io.Versioned
 
 /** Sixth-wave mining operators: graph structure (triangle counting),
@@ -678,6 +678,41 @@ object MiningQueries extends QueryPack {
              |  CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
              |  CAST(round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
              |    / (CAST(max(n1) AS BIGINT) * CAST(max(n2) AS BIGINT)) * 1000000, 0) AS BIGINT) AS d_micro
-             |FROM w""".stripMargin))
+             |FROM w""".stripMargin)),
+
+    // Directed n-gram containment (excerpt/subset detection): the
+    // quote-inside-a-long-doc case Jaccard scores near zero. One
+    // intersection per unordered candidate pair, two directed rows.
+    Q("q146_containment_pairs",
+      (s, d) => {
+        import s.implicits._
+        Dedup.ngramContainmentPairs(Tables.documents(s, d), "doc_id", "text",
+            n = 2, threshold = 0.6, blockCols = Seq("lang"))
+          .select($"contained_id", $"container_id",
+            graft.core.Exact.r4($"containment").as("containment"))
+          .orderBy($"contained_id", $"container_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text),'\s+') AS l FROM documents),
+             |bg AS (
+             |  SELECT doc_id, lang,
+             |    unnest(list_distinct(list_filter(
+             |      list_transform(l, (x,i) -> CASE WHEN i <= len(l)-1 THEN x || ' ' || l[i+1] END),
+             |      v -> v IS NOT NULL))) AS s
+             |  FROM toks),
+             |szs AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |  FROM bg a JOIN bg b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |dir AS (
+             |  SELECT id_a AS contained_id, id_b AS container_id,
+             |    i * 1.0 / x.sz AS c
+             |  FROM inter JOIN szs x ON x.doc_id = id_a
+             |  UNION ALL
+             |  SELECT id_b, id_a, i * 1.0 / y.sz
+             |  FROM inter JOIN szs y ON y.doc_id = id_b)
+             |SELECT contained_id, container_id, round(c, 4) + 0.0 AS containment
+             |FROM dir WHERE c >= 0.6
+             |ORDER BY contained_id, container_id""".stripMargin))
   )
 }

@@ -221,6 +221,24 @@ class MiningSpec extends SparkTestBase {
     assert(drift.forall(_._4 > 0L))
   }
 
+  test("containment pairs: excerpt scores 1.0 toward its container, Jaccard-invisible") {
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma"),
+      (2L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "en", "omega psi chi")
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.ext.Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+        n = 2, threshold = 0.6, blockCols = Seq("lang"))
+      .select($"contained_id", $"container_id", $"containment")
+      .as[(Long, Long, Double)].collect().toSet
+    // doc 1's two bigrams are both in doc 2 → containment 1.0; the
+    // reverse direction is 2/9; Jaccard would be 2/9 — below any dup bar
+    assert(got === Set((1L, 2L, 1.0)))
+    val jac = graft.ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 2, threshold = 0.6, blockCols = Seq("lang"))
+    assert(jac.count() === 0L)
+  }
+
   test("ksStatistic: hand-computed max CDF gap; identical samples give zero") {
     val a = Seq(1L, 2L, 3L, 4L).toDF("value")
     val b = Seq(3L, 4L, 5L, 6L).toDF("value")
