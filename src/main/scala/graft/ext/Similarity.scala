@@ -168,6 +168,43 @@ object Similarity {
     } finally { qb0.unpersist(false); cb0.unpersist(false) }
   }
 
+  /** Multi-probe LSH ANN: like [[lshKnn]], but each query ALSO probes
+    * every bucket at Hamming distance 1 from its own (flip each of the
+    * nBits plane signs) — the classic recall lever that trades
+    * (nBits+1)× more query-side candidates for extra hash TABLES
+    * (which would cost corpus-side index space instead; queries are the
+    * cheap side). Corpus bucketing is unchanged, so the same index
+    * serves both probe policies; q140-style [[recallAtK]] quantifies
+    * the gain. Deterministic and oracle-expressible: probes are plain
+    * XORs of the integer bucket.
+    */
+  def lshKnnMultiProbe(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+                       nBits: Int = 8, tables: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
+    val qb0 = withBuckets(prep(queries, "q_id", "q_emb"), "q_emb", dim, nBits, tables)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb0 = withBuckets(prep(corpus, "n_id", "n_emb"), "n_emb", dim, nBits, tables)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probes = explodeBuckets(qb0)
+        .select(col("*"), explode(array((lit(0L) +:
+          (0 until nBits).map(p => lit(1L << p))): _*)).as("flip"))
+        .withColumn("bucket", col("bucket").bitwiseXOR(col("flip")))
+        .drop("flip")
+      val cands = probes.join(explodeBuckets(cb0), Seq("t", "bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))
+        .dropDuplicates("q_id", "n_id")
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+      cands
+        .withColumn("sim", graft.core.Exact.r6(cosineNative(col("q_emb"), col("n_emb"))))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+        .localCheckpoint(true)
+    } finally { qb0.unpersist(false); cb0.unpersist(false) }
+  }
+
   /** Symmetric int8 embedding quantization — the 4× storage/bandwidth
     * cut a 100 TB embedding corpus takes before indexing. Per-vector
     * scale = max|x|; q_i = clamp(round(x_i · 127 / scale), ±127); the

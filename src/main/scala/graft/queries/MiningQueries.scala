@@ -713,6 +713,82 @@ object MiningQueries extends QueryPack {
              |  FROM inter JOIN szs y ON y.doc_id = id_b)
              |SELECT contained_id, container_id, round(c, 4) + 0.0 AS containment
              |FROM dir WHERE c >= 0.6
-             |ORDER BY contained_id, container_id""".stripMargin))
+             |ORDER BY contained_id, container_id""".stripMargin)),
+
+    // Multi-probe LSH recall: each query also probes Hamming-1 buckets
+    // (7 probes per table at nBits=6) — the recall lever that costs
+    // query-side candidates instead of corpus-side index space. Same
+    // report shape as q140; MiningSpec asserts it dominates q140's.
+    Q("q147_multiprobe_recall",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter($"vec_id" < 25)
+        val exact = Similarity.bruteForceKnn(queries, emb, k = 5)
+        val ann = Similarity.lshKnnMultiProbe(queries, emb, dim = 64, k = 5,
+          nBits = 6, tables = 4)
+        Similarity.recallAtK(exact, ann)
+          .orderBy($"q_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 25),
+             |e AS (SELECT vec_id, embedding FROM embeddings),
+             |xj AS (
+             |  SELECT q_id, e.vec_id AS n_id,
+             |    round(
+             |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform(q_emb, (x,i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (p,v) -> p + v)
+             |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(q_emb, (x,i) -> CAST(x AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))), (p,v) -> p + v))
+             |        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(e.embedding, (x,i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (p,v) -> p + v)))
+             |    , 6) + 0.0 AS sim
+             |  FROM q JOIN e ON e.vec_id <> q_id),
+             |exact AS (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+             |    FROM xj)
+             |  WHERE rank <= 5),
+             |buckets AS (
+             |  SELECT vec_id, t,
+             |    CAST(sum(CASE WHEN
+             |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) *
+             |          (CAST(((t*100000 + p*1000 + (i-1)) * 1103515245 + 12345) % 1000 AS DOUBLE) / 1000.0 - 0.5))),
+             |        (a,b) -> a + b) >= 0
+             |      THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM e CROSS JOIN range(0, 4) tt(t) CROSS JOIN range(0, 6) pp(p)
+             |  GROUP BY vec_id, t),
+             |probes AS (
+             |  SELECT qb.vec_id, qb.t, xor(qb.bucket, f.flip) AS bucket
+             |  FROM buckets qb CROSS JOIN (
+             |    SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS flip) f
+             |  WHERE qb.vec_id < 25),
+             |cand AS (
+             |  SELECT DISTINCT p.vec_id AS q_id, cb.vec_id AS n_id
+             |  FROM probes p JOIN buckets cb ON p.t = cb.t AND p.bucket = cb.bucket AND p.vec_id != cb.vec_id),
+             |asims AS (
+             |  SELECT q_id, n_id, round(
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(qe.embedding, (u,i) -> CAST(u AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE))), (p,v) -> p + v)
+             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(qe.embedding, (u,i) -> CAST(u AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))), (p,v) -> p + v))
+             |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(ne.embedding, (u,i) -> CAST(u AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE))), (p,v) -> p + v)))
+             |    , 6) + 0.0 AS sim
+             |  FROM cand JOIN e qe ON qe.vec_id = q_id JOIN e ne ON ne.vec_id = n_id),
+             |ann AS (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+             |    FROM asims)
+             |  WHERE rank <= 5),
+             |hit AS (
+             |  SELECT exact.q_id, count(*) AS n_hit
+             |  FROM exact JOIN ann ON exact.q_id = ann.q_id AND exact.n_id = ann.n_id
+             |  GROUP BY 1),
+             |ex AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY 1)
+             |SELECT ex.q_id, n_exact, coalesce(n_hit, 0) AS n_hit,
+             |  coalesce(n_hit, 0) * 1000000 // n_exact AS recall_micro
+             |FROM ex LEFT JOIN hit ON hit.q_id = ex.q_id
+             |ORDER BY ex.q_id""".stripMargin))
   )
 }

@@ -196,6 +196,24 @@ class MiningSpec extends SparkTestBase {
     assert(got === Set(("a", 0L), ("a", 200L), ("b", 0L)))
   }
 
+  test("multi-probe LSH candidates contain single-probe's; recall never drops") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceKnn(queries, emb, k = 5)
+    val single = Similarity.recallAtK(exact,
+        Similarity.lshKnn(queries, emb, dim = 64, k = 5, nBits = 6, tables = 2))
+      .select($"q_id", $"recall_micro").as[(Long, Long)].collect().toMap
+    val multi = Similarity.recallAtK(exact,
+        Similarity.lshKnnMultiProbe(queries, emb, dim = 64, k = 5, nBits = 6, tables = 2))
+      .select($"q_id", $"recall_micro").as[(Long, Long)].collect().toMap
+    assert(single.keySet === multi.keySet)
+    // flip=0 is among the probes, so multi-probe's candidate set is a
+    // superset — per-query recall can only improve
+    assert(single.keys.forall(q => multi(q) >= single(q)),
+      s"single=$single multi=$multi")
+    assert(multi.values.sum >= single.values.sum)
+  }
+
   test("recallAtK: semi-join overlap per query, absent queries score zero") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
       .toDF("q_id", "n_id")
