@@ -30,6 +30,43 @@ object TimeSeries {
     *         when a partition has no observation at all) and
     *         `fill_method` ∈ observed | interp | locf | nocb | none
     */
+  /** Subsequence similarity search over keyed time series (the
+    * distributed "find windows that look like this one" primitive of
+    * the time-series similarity-search literature, e.g. EDBT'19 /
+    * SIGMOD'20 streaming-similarity lines): slide a length-`w` window
+    * over every key's time-ordered integer readings, score each window
+    * against the query pattern by SQUARED EUCLIDEAN distance in exact
+    * integer units (Σ(aᵢ−bᵢ)² over fixed-point longs — no float ever,
+    * so the global top-k is reproducible bit-for-bit in any engine),
+    * and return the k best (ties by the window's head row id).
+    *
+    * Scale shape: window extraction is one partitioned sort (the frame
+    * collect is per-key, arrays of length w); the pattern is a one-row
+    * broadcast; scoring is per-row codegen; global top-k is Spark's
+    * TakeOrdered (per-partition heaps + driver merge of k·partitions
+    * rows — never a full sort). A z-normalized variant would divide by
+    * per-window σ — that belongs in micro-units if added; this exact
+    * form is the conformance anchor.
+    *
+    * @param pattern one row with an array<long> column `pw`, length w
+    */
+  def subsequenceTopK(df: DataFrame, partCols: Seq[String], tsCol: String,
+                      idCol: String, valCol: String,
+                      pattern: DataFrame, w: Int, k: Int): DataFrame = {
+    val frame = Window.partitionBy(partCols.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.currentRow, w - 1)
+    val wins = df
+      .withColumn("win", collect_list(col(valCol)).over(frame))
+      .filter(size(col("win")) === w)
+    wins.crossJoin(broadcast(pattern))
+      .withColumn("dist_c2",
+        aggregate(zip_with(col("win"), col("pw"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      .orderBy(col("dist_c2"), col(idCol))
+      .limit(k)
+      .select((partCols.map(col) :+ col(idCol) :+ col("dist_c2")): _*)
+  }
+
   /** Debounce/throttle per key: keep an event only if it starts a new
     * burst — i.e. it is MORE than `gap` after the previous event of its
     * key (event time). Burst semantics, not a plain lag filter: rows

@@ -789,6 +789,46 @@ object MiningQueries extends QueryPack {
              |SELECT ex.q_id, n_exact, coalesce(n_hit, 0) AS n_hit,
              |  coalesce(n_hit, 0) * 1000000 // n_exact AS recall_micro
              |FROM ex LEFT JOIN hit ON hit.q_id = ex.q_id
-             |ORDER BY ex.q_id""".stripMargin))
+             |ORDER BY ex.q_id""".stripMargin)),
+
+    // Time-series subsequence search: top-10 length-8 windows of the
+    // per-user 'view' value series closest (exact integer squared
+    // Euclidean, cents) to the earliest user's first window — the
+    // self-match anchors rank 1 at distance 0.
+    Q("q148_subsequence_search",
+      (s, d) => {
+        import s.implicits._
+        val v = Tables.events(s, d).filter($"event_type" === "view")
+          .select($"user_id", $"event_id", unix_micros($"ts").as("t"),
+            round($"value" * 100, 0).cast("long").as("c"))
+        val frame = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"t").rowsBetween(0, 7)
+        val wins = v.withColumn("win", collect_list($"c").over(frame))
+          .filter(size($"win") === 8)
+        val pattern = wins.orderBy($"user_id", $"t").limit(1)
+          .select($"win".as("pw"))
+        graft.ops.TimeSeries.subsequenceTopK(v, Seq("user_id"), "t",
+            "event_id", "c", pattern, w = 8, k = 10)
+          .orderBy($"dist_c2", $"event_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS c
+             |  FROM events WHERE event_type = 'view'),
+             |w AS (
+             |  SELECT user_id, event_id, t,
+             |    list(c) OVER (PARTITION BY user_id ORDER BY t
+             |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win
+             |  FROM v),
+             |f AS (SELECT * FROM w WHERE len(win) = 8),
+             |p AS (SELECT win AS pw FROM f ORDER BY user_id, t LIMIT 1),
+             |d AS (
+             |  SELECT f.user_id, f.event_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(f.win, (x, i) -> (x - p.pw[i]) * (x - p.pw[i]))),
+             |      (a, b) -> a + b) AS dist_c2
+             |  FROM f CROSS JOIN p)
+             |SELECT user_id, event_id, dist_c2 FROM d
+             |ORDER BY dist_c2, event_id LIMIT 10""".stripMargin))
   )
 }

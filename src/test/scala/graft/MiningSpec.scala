@@ -257,6 +257,20 @@ class MiningSpec extends SparkTestBase {
     assert(jac.count() === 0L)
   }
 
+  test("subsequenceTopK: exact integer distances, hand-computed top-3") {
+    val series = Seq(
+      ("a", 1L, 10L, 1L), ("a", 2L, 20L, 2L), ("a", 3L, 30L, 3L), ("a", 4L, 40L, 4L),
+      ("b", 5L, 10L, 1L), ("b", 6L, 20L, 2L), ("b", 7L, 30L, 9L)
+    ).toDF("k", "id", "t", "c")
+    val pattern = Seq(Tuple1(Array(1L, 2L))).toDF("pw")
+    val got = graft.ops.TimeSeries.subsequenceTopK(series, Seq("k"), "t", "id", "c",
+        pattern, w = 2, k = 3)
+      .as[(String, Long, Long)].collect().toSet
+    // windows: a@1 (1,2) d=0; a@2 (2,3) d=2; a@3 (3,4) d=8;
+    //          b@5 (1,2) d=0; b@6 (2,9) d=50
+    assert(got === Set(("a", 1L, 0L), ("b", 5L, 0L), ("a", 2L, 2L)))
+  }
+
   test("ksStatistic: hand-computed max CDF gap; identical samples give zero") {
     val a = Seq(1L, 2L, 3L, 4L).toDF("value")
     val b = Seq(3L, 4L, 5L, 6L).toDF("value")
