@@ -67,6 +67,48 @@ object TimeSeries {
       .select((partCols.map(col) :+ col(idCol) :+ col("dist_c2")): _*)
   }
 
+  /** Z-NORMALIZED subsequence search — the shape-matching form of
+    * [[subsequenceTopK]] (UCR-style semantics: a window matches the
+    * pattern up to affine scaling). Uses the closed form
+    * `d² = 2w·(1 − corr(a, b))` over z-normalized windows, with corr
+    * computed from FIVE exact integer sufficient statistics
+    * (Σa, Σa², Σb, Σb², Σab): the only doubles are one shared-shape
+    * quotient and its micro-rounding, so the top-k order is
+    * engine-reproducible. Zero-variance windows (flat lines — undefined
+    * z-norm) are excluded by the exact integer test `w·Σa² − (Σa)² > 0`.
+    * Same plan shape as the exact variant; the variance products exceed
+    * 64 bits, so they are cast to double BEFORE multiplying (both
+    * engines, same shape).
+    */
+  def znSubsequenceTopK(df: DataFrame, partCols: Seq[String], tsCol: String,
+                        idCol: String, valCol: String,
+                        pattern: DataFrame, w: Int, k: Int): DataFrame = {
+    val frame = Window.partitionBy(partCols.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.currentRow, w - 1)
+    def sumArr(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0L), (acc, x) => acc + x)
+    val pstats = pattern.select(col("pw"),
+      sumArr(col("pw")).as("sb"),
+      sumArr(transform(col("pw"), x => x * x)).as("sbb"))
+    val wins = df
+      .withColumn("win", collect_list(col(valCol)).over(frame))
+      .filter(size(col("win")) === w)
+      .withColumn("sa", sumArr(col("win")))
+      .withColumn("saa", sumArr(transform(col("win"), x => x * x)))
+      .filter(lit(w.toLong) * col("saa") - col("sa") * col("sa") > 0)
+    wins.crossJoin(broadcast(pstats))
+      .withColumn("sab", sumArr(zip_with(col("win"), col("pw"), (a, b) => a * b)))
+      .withColumn("corr",
+        (lit(w.toLong) * col("sab") - col("sa") * col("sb")).cast("double")
+          / sqrt((lit(w.toLong) * col("saa") - col("sa") * col("sa")).cast("double")
+            * (lit(w.toLong) * col("sbb") - col("sb") * col("sb")).cast("double")))
+      .withColumn("znd2_micro",
+        round(lit(2.0 * w) * (lit(1.0) - col("corr")) * 1000000, 0).cast("long"))
+      .orderBy(col("znd2_micro"), col(idCol))
+      .limit(k)
+      .select((partCols.map(col) :+ col(idCol) :+ col("znd2_micro")): _*)
+  }
+
   /** Debounce/throttle per key: keep an event only if it starts a new
     * burst — i.e. it is MORE than `gap` after the previous event of its
     * key (event time). Burst semantics, not a plain lag filter: rows

@@ -829,6 +829,55 @@ object MiningQueries extends QueryPack {
              |      (a, b) -> a + b) AS dist_c2
              |  FROM f CROSS JOIN p)
              |SELECT user_id, event_id, dist_c2 FROM d
-             |ORDER BY dist_c2, event_id LIMIT 10""".stripMargin))
+             |ORDER BY dist_c2, event_id LIMIT 10""".stripMargin)),
+
+    // Z-normalized (shape-matching) subsequence search: d² = 2w(1−corr)
+    // from five exact integer sufficient statistics — the UCR-style
+    // scale-invariant twin of q148 on the same windows.
+    Q("q149_zn_subsequence_search",
+      (s, d) => {
+        import s.implicits._
+        val v = Tables.events(s, d).filter($"event_type" === "view")
+          .select($"user_id", $"event_id", unix_micros($"ts").as("t"),
+            round($"value" * 100, 0).cast("long").as("c"))
+        val frame = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"t").rowsBetween(0, 7)
+        val wins = v.withColumn("win", collect_list($"c").over(frame))
+          .filter(size($"win") === 8)
+        val pattern = wins.orderBy($"user_id", $"t").limit(1)
+          .select($"win".as("pw"))
+        graft.ops.TimeSeries.znSubsequenceTopK(v, Seq("user_id"), "t",
+            "event_id", "c", pattern, w = 8, k = 10)
+          .orderBy($"znd2_micro", $"event_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS c
+             |  FROM events WHERE event_type = 'view'),
+             |w AS (
+             |  SELECT user_id, event_id, t,
+             |    list(c) OVER (PARTITION BY user_id ORDER BY t
+             |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win
+             |  FROM v),
+             |f AS (
+             |  SELECT user_id, event_id, t, win,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT), win), (a, b) -> a + b) AS sa,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(win, x -> x * x)), (a, b) -> a + b) AS saa
+             |  FROM w WHERE len(win) = 8),
+             |fv AS (SELECT * FROM f WHERE 8 * saa - sa * sa > 0),
+             |p AS (SELECT win AS pw, sa AS sb, saa AS sbb FROM f
+             |      ORDER BY user_id, t LIMIT 1),
+             |d AS (
+             |  SELECT fv.user_id, fv.event_id,
+             |    CAST(round(2.0 * 8 * (1.0 -
+             |      CAST(8 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(fv.win, (x, i) -> x * p.pw[i])), (a, b) -> a + b)
+             |        - fv.sa * p.sb AS DOUBLE)
+             |      / sqrt(CAST(8 * fv.saa - fv.sa * fv.sa AS DOUBLE)
+             |        * CAST(8 * p.sbb - p.sb * p.sb AS DOUBLE))) * 1000000, 0) AS BIGINT) AS znd2_micro
+             |  FROM fv CROSS JOIN p)
+             |SELECT user_id, event_id, znd2_micro FROM d
+             |ORDER BY znd2_micro, event_id LIMIT 10""".stripMargin))
   )
 }

@@ -271,6 +271,23 @@ class MiningSpec extends SparkTestBase {
     assert(got === Set(("a", 1L, 0L), ("b", 5L, 0L), ("a", 2L, 2L)))
   }
 
+  test("znSubsequenceTopK: scale-invariant match at zero, flat windows excluded") {
+    // key b is key a's pattern times 10 plus 5 — affine, so z-normed
+    // distance 0; key c is flat (zero variance) and must be excluded
+    val series = Seq(
+      ("a", 1L, 10L, 1L), ("a", 2L, 20L, 2L), ("a", 3L, 30L, 4L),
+      ("b", 4L, 10L, 15L), ("b", 5L, 20L, 25L), ("b", 6L, 30L, 45L),
+      ("c", 7L, 10L, 7L), ("c", 8L, 20L, 7L), ("c", 9L, 30L, 7L)
+    ).toDF("k", "id", "t", "c")
+    val pattern = Seq(Tuple1(Array(1L, 2L, 4L))).toDF("pw")
+    val got = graft.ops.TimeSeries.znSubsequenceTopK(series, Seq("k"), "t", "id", "c",
+        pattern, w = 3, k = 10)
+      .as[(String, Long, Long)].collect()
+    val byKey = got.map(r => (r._1, r._3)).toSet
+    assert(byKey.contains(("a", 0L)) && byKey.contains(("b", 0L)))
+    assert(!got.exists(_._1 == "c"), s"flat window not excluded: ${got.mkString(",")}")
+  }
+
   test("ksStatistic: hand-computed max CDF gap; identical samples give zero") {
     val a = Seq(1L, 2L, 3L, 4L).toDF("value")
     val b = Seq(3L, 4L, 5L, 6L).toDF("value")
