@@ -878,6 +878,27 @@ object MiningQueries extends QueryPack {
              |        * CAST(8 * p.sbb - p.sb * p.sb AS DOUBLE))) * 1000000, 0) AS BIGINT) AS znd2_micro
              |  FROM fv CROSS JOIN p)
              |SELECT user_id, event_id, znd2_micro FROM d
-             |ORDER BY znd2_micro, event_id LIMIT 10""".stripMargin))
+             |ORDER BY znd2_micro, event_id LIMIT 10""".stripMargin)),
+
+    // Corpus datasheet: the per-language summary a dataset card ships —
+    // docs, exact token totals, distinct-content count (md5), mean
+    // chars in micro-units. One pass, all integer-exact.
+    Q("q150_corpus_datasheet",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(graft.ext.TextAnalysis.tokenCount($"text")).as("n_tokens"),
+            countDistinct(md5($"text")).as("n_unique"),
+            round(sum($"n_chars").cast("double") / count(lit(1)) * 1000000, 0)
+              .cast("long").as("mean_chars_micro"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+             |  count(DISTINCT md5(text)) AS n_unique,
+             |  CAST(round(CAST(sum(n_chars) AS DOUBLE) / count(*) * 1000000, 0) AS BIGINT) AS mean_chars_micro
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
