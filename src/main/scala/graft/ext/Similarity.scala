@@ -362,6 +362,32 @@ object Similarity {
       .withColumn("recall_micro", expr("n_hit * 1000000 div n_exact"))
   }
 
+  /** Reciprocal-rank fusion of several per-query top-k lists — the
+    * standard way to combine retrievers with incomparable scores
+    * (exact + ANN, lexical + dense, …): each list contributes
+    * `1/(k0 + rank)` per hit; candidates are re-ranked by the sum.
+    * Terms are micro-rounded INDIVIDUALLY from the integer rank, so the
+    * fused score is an order-independent integer sum — reproducible at
+    * any parallelism and in any engine. One union + one groupBy + one
+    * per-query window; never touches the underlying corpora.
+    *
+    * @param lists (q_id, rank, n_id, …) frames, ranks 1-based
+    */
+  def rrfFuse(lists: Seq[DataFrame], k0: Int, k: Int): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    val terms = lists.map(_.select(col("q_id"), col("n_id"),
+        round(lit(1000000.0) / (lit(k0.toLong) + col("rank")), 0)
+          .cast("long").as("t")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_micro").desc, col("n_id").asc)
+    terms.groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("t")).as("score_micro"))
+      .withColumn("rrf_rank", row_number().over(w).cast("long"))
+      .filter(col("rrf_rank") <= k)
+      .select(col("q_id"), col("rrf_rank"), col("n_id"), col("score_micro"))
+  }
+
   /** Pairwise-similarity distribution estimate WITHOUT the O(n²) cross
     * join — the "how duplicated is this corpus?" diagnostic run before
     * committing to a dedup pass. Every vector draws a pseudo-random

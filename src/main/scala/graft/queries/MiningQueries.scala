@@ -899,6 +899,81 @@ object MiningQueries extends QueryPack {
              |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
              |  count(DISTINCT md5(text)) AS n_unique,
              |  CAST(round(CAST(sum(n_chars) AS DOUBLE) / count(*) * 1000000, 0) AS BIGINT) AS mean_chars_micro
-             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the exact and the
+    // LSH retrievers (k0 = 60) — incomparable scores fused on ranks
+    // alone; per-term micro rounding keeps the sum integer-exact.
+    Q("q151_rrf_fusion",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter($"vec_id" < 25)
+        val exact = Similarity.bruteForceKnn(queries, emb, k = 5)
+        val ann = Similarity.lshKnn(queries, emb, dim = 64, k = 5,
+          nBits = 6, tables = 4)
+        Similarity.rrfFuse(Seq(exact, ann), k0 = 60, k = 5)
+          .orderBy($"q_id", $"rrf_rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 25),
+             |e AS (SELECT vec_id, embedding FROM embeddings),
+             |xj AS (
+             |  SELECT q_id, e.vec_id AS n_id,
+             |    round(
+             |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform(q_emb, (x,i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (p,v) -> p + v)
+             |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(q_emb, (x,i) -> CAST(x AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))), (p,v) -> p + v))
+             |        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(e.embedding, (x,i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (p,v) -> p + v)))
+             |    , 6) + 0.0 AS sim
+             |  FROM q JOIN e ON e.vec_id <> q_id),
+             |exactr AS (
+             |  SELECT q_id, n_id, rank FROM (
+             |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+             |    FROM xj)
+             |  WHERE rank <= 5),
+             |buckets AS (
+             |  SELECT vec_id, t,
+             |    CAST(sum(CASE WHEN
+             |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) *
+             |          (CAST(((t*100000 + p*1000 + (i-1)) * 1103515245 + 12345) % 1000 AS DOUBLE) / 1000.0 - 0.5))),
+             |        (a,b) -> a + b) >= 0
+             |      THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM e CROSS JOIN range(0, 4) tt(t) CROSS JOIN range(0, 6) pp(p)
+             |  GROUP BY vec_id, t),
+             |cand AS (
+             |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS n_id
+             |  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket AND qb.vec_id != cb.vec_id
+             |  WHERE qb.vec_id < 25),
+             |asims AS (
+             |  SELECT q_id, n_id, round(
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(qe.embedding, (u,i) -> CAST(u AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE))), (p,v) -> p + v)
+             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(qe.embedding, (u,i) -> CAST(u AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))), (p,v) -> p + v))
+             |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(ne.embedding, (u,i) -> CAST(u AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE))), (p,v) -> p + v)))
+             |    , 6) + 0.0 AS sim
+             |  FROM cand JOIN e qe ON qe.vec_id = q_id JOIN e ne ON ne.vec_id = n_id),
+             |annr AS (
+             |  SELECT q_id, n_id, rank FROM (
+             |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+             |    FROM asims)
+             |  WHERE rank <= 5),
+             |terms AS (
+             |  SELECT q_id, n_id, CAST(round(1000000.0 / (60 + rank), 0) AS BIGINT) AS t FROM exactr
+             |  UNION ALL
+             |  SELECT q_id, n_id, CAST(round(1000000.0 / (60 + rank), 0) AS BIGINT) FROM annr),
+             |fused AS (
+             |  SELECT q_id, n_id, CAST(sum(t) AS BIGINT) AS score_micro
+             |  FROM terms GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT q_id, n_id, score_micro,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, n_id) AS rrf_rank
+             |  FROM fused)
+             |SELECT q_id, CAST(rrf_rank AS BIGINT) AS rrf_rank, n_id, score_micro
+             |FROM rk WHERE rrf_rank <= 5 ORDER BY q_id, rrf_rank""".stripMargin))
   )
 }

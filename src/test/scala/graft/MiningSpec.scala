@@ -214,6 +214,19 @@ class MiningSpec extends SparkTestBase {
     assert(multi.values.sum >= single.values.sum)
   }
 
+  test("rrfFuse: hand-computed fusion, double-hit candidates outrank single-hit") {
+    val l1 = Seq((1L, 1L, 10L), (1L, 2L, 11L)).toDF("q_id", "rank", "n_id")
+    val l2 = Seq((1L, 1L, 11L), (1L, 2L, 12L)).toDF("q_id", "rank", "n_id")
+    val got = Similarity.rrfFuse(Seq(l1, l2), k0 = 60, k = 3)
+      .select($"q_id", $"rrf_rank", $"n_id", $"score_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val t1 = math.round(1000000.0 / 61) // rank 1
+    val t2 = math.round(1000000.0 / 62) // rank 2
+    // 11 hits both lists (ranks 2 and 1) and must outrank both singles
+    assert(got === Set(
+      (1L, 1L, 11L, t1 + t2), (1L, 2L, 10L, t1), (1L, 3L, 12L, t2)))
+  }
+
   test("recallAtK: semi-join overlap per query, absent queries score zero") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
       .toDF("q_id", "n_id")
