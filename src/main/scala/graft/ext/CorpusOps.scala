@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Exec.EagerDf
 
 import graft.functions.{GraftFunctions, PolyHash}
 
@@ -70,7 +71,7 @@ object CorpusOps {
     val base = partitionedBy(df.select(col(idCol).as("id"),
         nTokens.cast("long").as("n_tokens")), col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try packSequencesPlan(base, budget).localCheckpoint(true)
+    try packSequencesPlan(base, budget).checkpointEager()
     finally base.unpersist(false)
   }
 
@@ -181,7 +182,7 @@ object CorpusOps {
           (PolyHash.polyHash(col("id").cast("string")) * lit(a) + lit(b)) % lit(P)),
       col("h"), col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try epochShufflePlan(base).localCheckpoint(true)
+    try epochShufflePlan(base).checkpointEager()
     finally base.unpersist(false)
   }
 
@@ -219,7 +220,7 @@ object CorpusOps {
           coalesce(negate(col("score")), lit(Double.PositiveInfinity))),
       col("ord"), col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try tokenBudgetSelectPlan(base, budget).localCheckpoint(true)
+    try tokenBudgetSelectPlan(base, budget).checkpointEager()
     finally base.unpersist(false)
   }
 
@@ -352,7 +353,7 @@ object CorpusOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = base.count() // materializes the persist; branch-consistent
-      quantileBucketsPlan(base, n, k).localCheckpoint(true)
+      quantileBucketsPlan(base, n, k).checkpointEager()
     } finally base.unpersist(false)
   }
 

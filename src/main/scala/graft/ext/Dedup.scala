@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ext.Exec.EagerDf
 
 /** Deduplication operators for a large-scale training-data pipeline:
   * exact (hash-groupBy), n-gram Jaccard (blocked pair join), MinHash+LSH
@@ -36,17 +37,11 @@ object Dedup {
   def shingles(textCol: Column, n: Int): Column =
     shinglesFromTokens(TextAnalysis.tokens(textCol), n)
 
-  /** Widen tiny inputs to the session's parallelism before compute-heavy
-    * per-row expressions or quadratic pair generation. Local-mode files
-    * often arrive as ONE scan partition (single parquet row group), which
-    * would serialize everything downstream; the one small shuffle is
-    * noise next to the work it parallelizes. On a real cluster with
-    * splittable inputs this is a near-no-op (partitions already ≈ cores).
+  /** Parallelism floor for the compute-heavy stages below — conditional
+    * (no-op when scan parallelism already meets the target); see
+    * [[Exec.widen]] for the full contract.
     */
-  private[ext] def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    df.repartition(target)
-  }
+  private[ext] def widen(df: DataFrame): DataFrame = Exec.widen(df)
 
   /** Exact duplicate groups on arbitrary key columns: groups with >1 row,
     * keeping the minimum id as the canonical representative.
@@ -249,7 +244,7 @@ object Dedup {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val sh = shingleDf(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try minHashLshPairsPlan(sh, threshold, bands, rowsPerBand).localCheckpoint(true)
+    try minHashLshPairsPlan(sh, threshold, bands, rowsPerBand).checkpointEager()
     finally sh.unpersist(false)
   }
 
@@ -296,7 +291,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bSh = shingleDf(benchmark, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try contaminationCountsPlan(cSh, bSh).localCheckpoint(true)
+    try contaminationCountsPlan(cSh, bSh).checkpointEager()
     finally { cSh.unpersist(false); bSh.unpersist(false) }
   }
 
@@ -322,7 +317,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try contaminationCountsPlan(sh.filter(!col("is_bench")).select(col("id"), col("sh")),
                                 sh.filter(col("is_bench")).select(col("id"), col("sh")))
-      .localCheckpoint(true)
+      .checkpointEager()
     finally sh.unpersist(false)
   }
 
@@ -375,7 +370,7 @@ object Dedup {
       grams.select(col("id"), size(col("gs")).cast("long").as("n_windows"))
         .join(shared, Seq("id"), "left")
         .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
-        .localCheckpoint(true)
+        .checkpointEager()
     } finally grams.unpersist(false)
   }
 
@@ -405,7 +400,7 @@ object Dedup {
                           maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+      .checkpointEager()
     // iterate ONLY over pair-touched nodes: an isolated node keeps
     // label = id forever, so hauling the whole corpus through every
     // round's joins and checkpoints buys nothing — touched nodes are
@@ -413,7 +408,7 @@ object Dedup {
     // Isolated nodes are attached back after convergence.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .checkpointEager()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -434,7 +429,7 @@ object Dedup {
       val jumped = stepped.join(ptr, stepped("mid") === ptr("pid"), "left")
         .select(col("id"), col("old"),
           least(col("mid"), coalesce(col("plabel"), col("mid"))).as("label"))
-        .localCheckpoint(true)
+        .checkpointEager()
       changed = jumped.filter(col("label") < col("old")).count()
       labels = jumped.select(col("id"), col("label"))
       it += 1
@@ -579,7 +574,7 @@ object Dedup {
         .filter(col("dist") <= maxDist)
         .select(col("id_a"), col("id_b"), col("dist"))
         .dropDuplicates("id_a", "id_b")
-        .localCheckpoint(true)
+        .checkpointEager()
     } finally h.unpersist(false)
   }
 
@@ -630,7 +625,7 @@ object Dedup {
         .filter(col("dist") <= maxDist)
         .select(col("batch_id"), col("corpus_id"), col("dist"))
         .dropDuplicates("batch_id", "corpus_id")
-        .localCheckpoint(true)
+        .checkpointEager()
     } finally { hc.unpersist(false); hb.unpersist(false) }
   }
 
@@ -679,7 +674,7 @@ object Dedup {
           .select(col("id_a"), col("id_b"), col("n_match"),
             expr(s"n_match * 1000000 div $numHashes").as("est_micro"),
             expr("inter * 1000000 div (size(sh_a) + size(sh_b) - inter)").as("exact_micro"))
-          .localCheckpoint(true)
+          .checkpointEager()
       } finally sig.unpersist(false)
     } finally sh.unpersist(false)
   }
@@ -733,7 +728,7 @@ object Dedup {
             array_sort(collect_list(when(!col("removed"),
               struct(col("seg_idx"), col("seg_text"))))),
             s => s.getField("seg_text")), " ").as("clean_text"))
-        .localCheckpoint(true)
+        .checkpointEager()
     } finally segRows.unpersist(false)
   }
 }

@@ -17,13 +17,45 @@ import org.apache.spark.sql.functions._
   * aggregation, unlike double sums).
   *
   * Scale shape: the model side (token → count) is vocabulary-sized —
-  * orders of magnitude smaller than the corpus at any scale — so it
-  * broadcasts; the corpus side stays a linear explode + partial-agg
-  * groupBy on doc id. Nothing shuffles token instances twice.
+  * usually orders of magnitude smaller than the corpus — so it
+  * broadcasts BY DEFAULT, but the broadcast is SIZE-GATED
+  * ([[BroadcastMaxRowsKey]]): a web-corpus vocabulary that outgrows the
+  * gate degrades the model join to a plain shuffle join instead of
+  * failing the job on the broadcast build. The corpus side stays a
+  * linear explode + partial-agg groupBy on doc id either way. Nothing
+  * shuffles token instances twice.
   */
 object LangModel {
 
   private def toks(textCol: Column): Column = TextAnalysis.tokens(textCol)
+
+  /** Spark conf key: row-count ceiling for force-broadcasting a
+    * model-side table (unigram counts, IDF, classifier weights). A
+    * model at or under the gate gets an explicit broadcast hint; above
+    * it the join is left to the planner (a shuffle join at web-corpus
+    * vocabulary sizes). Default [[DefaultBroadcastMaxRows]] ≈ the
+    * ~10M-token vocabulary the scaladoc always promised was the
+    * broadcast ceiling — now enforced instead of assumed.
+    */
+  val BroadcastMaxRowsKey = "graft.model.broadcastMaxRows"
+  val DefaultBroadcastMaxRows = 10000000L
+
+  private def broadcastMaxRows(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(BroadcastMaxRowsKey).map(_.toLong)
+      .getOrElse(DefaultBroadcastMaxRows)
+
+  /** Persist + count the model table, then broadcast-hint it only under
+    * the gate. The count is not an extra corpus pass: the model fit is
+    * persisted first, so the count materializes the aggregate once and
+    * the join reads the cache (the same single model-fit pass the
+    * unconditional broadcast build performed). Model tables are
+    * vocabulary-sized; Bench/Verify reclaim the blocks between queries.
+    */
+  private def gatedBroadcast(df: DataFrame): DataFrame = {
+    val model = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (model.count() <= broadcastMaxRows(df.sparkSession)) broadcast(model)
+    else model
+  }
 
   /** Unigram NLL table fit on the corpus: one row per distinct token,
     * `nll_micro = round((ln N - ln c) · 1e6)` where `c` is the token's
@@ -47,7 +79,7 @@ object LangModel {
     * outliers); the standard "perplexity bucket" filter key.
     */
   def docNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val model = broadcast(tokenNll(docs, col(textCol)))
+    val model = gatedBroadcast(tokenNll(docs, col(textCol)))
     docs
       .select(col(idCol).as("id"), explode(toks(col(textCol))).as("tok"))
       .join(model, "tok")
@@ -68,7 +100,7 @@ object LangModel {
       .select(col(idCol).as("id"), explode(toks(col(textCol))).as("tok"))
     val tf = docTok.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
     val nDocs = docs.select(col(idCol)).distinct().count()
-    val idf = broadcast(
+    val idf = gatedBroadcast(
       docTok.groupBy(col("tok")).agg(countDistinct(col("id")).as("df"))
         .select(col("tok"),
           round((log(lit(nDocs.toDouble)) - log(col("df").cast("double"))) * 1000000, 0)
@@ -110,7 +142,7 @@ object LangModel {
         pmod(graft.functions.PolyHash.polyHash(col("tok")), lit(nBuckets.toLong))
           .as("bucket"))
       .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
-    feats.join(broadcast(weights), "bucket")
+    feats.join(gatedBroadcast(weights), "bucket")
       .groupBy(col("id"))
       .agg(sum(col("cnt")).as("n_tokens"),
         sum(col("cnt") * col("w_micro")).as("wsum"))
@@ -152,10 +184,12 @@ object LangModel {
     * sums. Documents with fewer than two tokens have no bigrams and are
     * absent from the output.
     *
-    * Scale shape: the unigram table broadcasts (vocabulary-sized); the
-    * bigram table joins the doc pair TYPES by plain equi-shuffle — it
-    * grows with the training corpus, so it must never be forced
-    * broadcast. Token instances shuffle once (the groupBy(id, w1, w2)).
+    * Scale shape: the unigram table broadcasts under the
+    * [[BroadcastMaxRowsKey]] gate (vocabulary-sized, but web-corpus
+    * vocab degrades to a shuffle join); the bigram table joins the doc
+    * pair TYPES by plain equi-shuffle — it grows with the training
+    * corpus, so it is never force-broadcast at any size. Token
+    * instances shuffle once (the groupBy(id, w1, w2)).
     */
   def bigramBackoffNll(train: DataFrame, docs: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
@@ -163,7 +197,15 @@ object LangModel {
       transform(sequence(lit(1), size(t) - 1),
         i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2")))
     val trainToks = train.select(explode(toks(col(textCol))).as("tok"))
+    // the unigram table is consumed TWICE (w1 and w2 sides) plus the
+    // row-count gate: persist once, fit once, project per side
     val cu = trainToks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cuSmall = cu.count() <= broadcastMaxRows(train.sparkSession)
+    def cuSide(w: String, out: String): DataFrame = {
+      val side = cu.select(col("tok").as(w), col("c").as(out))
+      if (cuSmall) broadcast(side) else side
+    }
     val n = trainToks.count()
     val cb = train
       .select(toks(col(textCol)).as("t")).filter(size(col("t")) >= 2)
@@ -178,8 +220,8 @@ object LangModel {
       .agg(count(lit(1)).as("cnt"))
     val pairTypes = docPairs.select(col("w1"), col("w2")).distinct()
       .join(cb, Seq("w1", "w2"), "left")
-      .join(broadcast(cu.select(col("tok").as("w1"), col("c").as("cu1"))), Seq("w1"), "left")
-      .join(broadcast(cu.select(col("tok").as("w2"), col("c").as("cu2"))), Seq("w2"), "left")
+      .join(cuSide("w1", "cu1"), Seq("w1"), "left")
+      .join(cuSide("w2", "cu2"), Seq("w2"), "left")
       .select(col("w1"), col("w2"),
         when(col("cb").isNotNull,
           round((log(col("cu1").cast("double")) - log(col("cb").cast("double"))) * 1000000, 0))

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ext.Exec.EagerDf
 
 /** Link-graph analytics in EXACT integer fixed-point — PageRank as the
   * canonical centrality/quality prior (link-based quality weighting of
@@ -47,7 +48,7 @@ object LinkGraph {
       val n = nodes.count()
       val init = 1000000000000L / n
       val base = (15L * init) / 100L
-      var ranks = nodes.withColumn("rank", lit(init)).localCheckpoint(true)
+      var ranks = nodes.withColumn("rank", lit(init)).checkpointEager()
       for (_ <- 1 to iters) {
         val contrib = eDeg.join(ranks.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), expr("rank div deg").as("c"))
@@ -55,7 +56,7 @@ object LinkGraph {
         ranks = nodes.join(contrib, Seq("id"), "left")
           .select(col("id"),
             (lit(base) + expr("85 * coalesce(s, cast(0 as bigint)) div 100")).as("rank"))
-          .localCheckpoint(true)
+          .checkpointEager()
       }
       ranks.select(col("id").as("node_id"), col("rank").as("rank_micro"))
     } finally { eDeg.unpersist(false); nodes.unpersist(false); e.unpersist(false) }
@@ -79,9 +80,9 @@ object LinkGraph {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .checkpointEager()
     val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("label", col("id")).localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("id")).checkpointEager()
     for (_ <- 1 to rounds) {
       val freq = edges
         .join(labels.select(col("id").as("src"), col("label").as("nl")), "src")
@@ -92,7 +93,7 @@ object LinkGraph {
         .agg(min_by(col("nl"), struct((-col("c")).as("negc"), col("nl"))).as("label"))
       labels = nodes.join(adopted, Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("id")).as("label"))
-        .localCheckpoint(true)
+        .checkpointEager()
     }
     labels.select(col("id").as("node_id"), col("label"))
   }
@@ -150,7 +151,7 @@ object LinkGraph {
         oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
       tri.select(explode(array(col("u"), col("v"), col("w"))).as("node_id"))
         .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
-        .localCheckpoint(true)
+        .checkpointEager()
     } finally { oriented.unpersist(false); und.unpersist(false) }
   }
 }

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Exec.EagerDf
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>).
@@ -48,8 +49,7 @@ object Similarity {
   def cosineNative(a: Column, b: Column): Column =
     graft.functions.CosineSim.cosineSim(a, b)
 
-  private def widen(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def widen(df: DataFrame): DataFrame = Exec.widen(df)
 
   private def prep(df: DataFrame, idOut: String, embOut: String): DataFrame =
     widen(df.select(col("vec_id").as(idOut), col("embedding").as(embOut)))
@@ -164,7 +164,7 @@ object Similarity {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= k)
         .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
-        .localCheckpoint(true)
+        .checkpointEager()
     } finally { qb0.unpersist(false); cb0.unpersist(false) }
   }
 
@@ -201,7 +201,7 @@ object Similarity {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= k)
         .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
-        .localCheckpoint(true)
+        .checkpointEager()
     } finally { qb0.unpersist(false); cb0.unpersist(false) }
   }
 
@@ -276,7 +276,7 @@ object Similarity {
         .withColumn("sim", graft.core.Exact.r6(cosineNative(col("emb_a"), col("emb_b"))))
         .filter(col("sim") >= threshold)
         .select(col("id_a"), col("id_b"), col("sim"))
-        .localCheckpoint(true)
+        .checkpointEager()
     } finally cells.unpersist(false)
   }
 
@@ -319,7 +319,7 @@ object Similarity {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= k)
         .select(col("vec_id"), col("rank"), col("n_id"), col("sim"))
-        .localCheckpoint(true)
+        .checkpointEager()
     } finally cells.unpersist(false)
   }
 

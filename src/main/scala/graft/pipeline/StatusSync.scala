@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
+import graft.ext.Exec.EagerDf
 import org.apache.spark.sql.types._
 
 /** Validation-status synchronization — `sync_validation_submissions()` /
@@ -91,6 +92,6 @@ object StatusSync {
           Row(id, status, ok)
         }
       }(enc)
-      .localCheckpoint(true)
+      .checkpointEager()
   }
 }

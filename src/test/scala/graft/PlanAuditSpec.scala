@@ -241,4 +241,34 @@ class PlanAuditSpec extends SparkTestBase {
     val sorts = nodes.count(_.nodeName.contains("Sort"))
     assert(sorts === 1, s"expected 1 sort for both frames, got $sorts")
   }
+
+  test("q131 unigram model broadcasts under the default gate") {
+    val plan = finalPlan("q131_bigram_backoff")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocabulary-sized unigram side lost its broadcast:\n$plan")
+  }
+
+  test("q131 degrades to shuffle joins past the model broadcast gate, same rows") {
+    // baseline under the default gate (vocab ≪ 10M rows → broadcast)
+    val expected = SparkEntry.queries("q131_bigram_backoff")(spark, sfDir).collect()
+    spark.conf.set(graft.ext.LangModel.BroadcastMaxRowsKey, "1")
+    // kill Catalyst's own size-based broadcast so the plan shows what
+    // the OPERATOR no longer forces (a web-scale vocab would be past
+    // both thresholds anyway)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q131_bigram_backoff")(spark, sfDir)
+      val got = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"gated model join did not degrade to a shuffle join:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"a forced broadcast survived the gate:\n$plan")
+      assert(got.sameElements(expected),
+        "broadcast gate changed q131's result rows")
+    } finally {
+      spark.conf.unset(graft.ext.LangModel.BroadcastMaxRowsKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
