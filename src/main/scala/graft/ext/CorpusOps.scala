@@ -285,7 +285,15 @@ object CorpusOps {
     * reproduces the micro-rounded key bit-for-bit; ties break on id.
     * One window per stratum, same scale shape as [[stratifiedSample]].
     *
-    * @param weight positive integer column (e.g. token count)
+    * A NULL or non-positive weight is excluded from the draw outright
+    * (filtered, not documented away): a NULL weight would yield a NULL
+    * key, and Spark's ascending window sorts NULLs FIRST while DuckDB
+    * sorts them LAST — such rows would silently WIN rank 1 here and
+    * lose it in the oracle. Zero/negative weights have no E–S meaning
+    * (the key flips sign or divides by zero).
+    *
+    * @param weight positive integer column (e.g. token count); rows
+    *               where it is NULL or ≤ 0 never enter the sample
     */
   def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
                      weight: Column, k: Int): DataFrame = {
@@ -295,6 +303,7 @@ object CorpusOps {
     val h = pmod(pmod(h0 * h0, lit(P)) * 1103515245L + 12345L, lit(P))
     val w = Window.partitionBy(col(stratumCol)).orderBy(col("key_micro"), col(idCol))
     df.withColumn("w", weight)
+      .filter(col("w").isNotNull && col("w") > 0)
       .withColumn("key_micro",
         round((log(lit(P.toDouble)) - log((h + 1L).cast("double"))) / col("w")
           * 1000000, 0).cast("long"))

@@ -703,8 +703,15 @@ object Dedup {
     require(segTokens > 0, "segTokens must be positive")
     require(maxDocs >= 2, "maxDocs below 2 would strip every segment")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    // tokens() never yields an empty array today (split on trim leaves
+    // [""]), but guard anyway: size 0 would make the slice sequence
+    // below sequence(0, -1), which Spark evaluates DESCENDING to
+    // [0, -1] (two phantom "" segments) while DuckDB's
+    // generate_series(0, -1) yields none — dropping empty docs is the
+    // cross-engine-consistent behavior under any future tokenizer
     val toks = widen(df.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("toks")))
+      .filter(size(col("toks")) > 0)
     // consecutive fixed-width slices; the trailing segment may be short
     val nSegs = expr(s"(size(toks) + $segTokens - 1) div $segTokens")
     val segRows = toks

@@ -22,11 +22,19 @@ import org.apache.spark.sql.functions._
 object Expectations {
 
   /** @param rules (name, validity predicate) pairs — predicate TRUE =
-    *              row passes. Names must be distinct.
+    *              row passes. Names must be distinct identifiers
+    *              (`[A-Za-z0-9_]+`): they are spliced into the stack()
+    *              SQL below both as string literals and as generated
+    *              column identifiers, so a quote or space would
+    *              misparse the expression at runtime.
     */
   def audit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "no rules to audit")
     require(rules.map(_._1).distinct.size == rules.size, "duplicate rule names")
+    rules.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"rule name '$name' must match [A-Za-z0-9_]+ (spliced into SQL)")
+    }
     val aggs = rules.map { case (name, pred) =>
       sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"__v_$name")
     } :+ count(lit(1)).as("__checked")

@@ -22,14 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
-  /** @param tsCol  integer (epoch-seconds-like) NON-NULL ordering column,
-    *               unique within a partition for a true interpolation
-    *               (ties fall back to LOCF)
-    * @param valCol integer fixed-point reading; NULL = missing
-    * @return input plus `filled` (the repaired value; stays NULL only
-    *         when a partition has no observation at all) and
-    *         `fill_method` ∈ observed | interp | locf | nocb | none
-    */
   /** Subsequence similarity search over keyed time series (the
     * distributed "find windows that look like this one" primitive of
     * the time-series similarity-search literature, e.g. EDBT'19 /
@@ -127,6 +119,14 @@ object TimeSeries {
       .drop("__prev")
   }
 
+  /** @param tsCol  integer (epoch-seconds-like) NON-NULL ordering column,
+    *               unique within a partition for a true interpolation
+    *               (ties fall back to LOCF)
+    * @param valCol integer fixed-point reading; NULL = missing
+    * @return input plus `filled` (the repaired value; stays NULL only
+    *         when a partition has no observation at all) and
+    *         `fill_method` ∈ observed | interp | locf | nocb | none
+    */
   def fillInterpolate(df: DataFrame, partCols: Seq[String],
                       tsCol: String, valCol: String): DataFrame = {
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(tsCol))

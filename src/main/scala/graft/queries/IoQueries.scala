@@ -88,7 +88,7 @@ object IoQueries extends QueryPack {
     Q("q55_versioned_io",
       (s, d) => {
         import s.implicits._
-        val dir = java.nio.file.Files.createTempDirectory("versioned").toString
+        val dir = graft.core.Scratch.dir("q55_versioned")
         val base = Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
         Versioned.write(base.withColumn("version_marker", lit("v1")), dir, "stage", "00000001_aaa")
         Versioned.writeLz4(base.withColumn("version_marker", lit("v2")), dir, "stage", "00000002_bbb")
@@ -316,7 +316,7 @@ object IoQueries extends QueryPack {
     Q("q125_schema_evolution",
       (s, d) => {
         import s.implicits._
-        val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+        val dir = graft.core.Scratch.dir("q125_evolve")
         val o = Tables.orders(s, d)
         o.filter($"o_orderkey" % 2 === 0)
           .select($"o_orderkey",

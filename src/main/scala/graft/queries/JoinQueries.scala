@@ -439,7 +439,7 @@ object JoinQueries extends QueryPack {
     Q("q127_partitioned_write_prune",
       (s, d) => {
         import s.implicits._
-        val dir = java.nio.file.Files.createTempDirectory("evprt").toString
+        val dir = graft.core.Scratch.dir("q127_evprt")
         Tables.events(s, d)
           .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
           .write.mode("overwrite").partitionBy("day").parquet(dir)

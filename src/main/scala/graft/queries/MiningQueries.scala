@@ -546,7 +546,7 @@ object MiningQueries extends QueryPack {
         import s.implicits._
         val o = Tables.orders(s, d)
           .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
-        val dir = java.nio.file.Files.createTempDirectory("csvrt").toString
+        val dir = graft.core.Scratch.dir("q141_csvrt")
         o.write.mode("overwrite")
           .option("header", "true").option("delimiter", "|")
           .option("compression", "gzip")
