@@ -67,7 +67,11 @@ object AggQueries extends QueryPack {
     // A3 A4 — exact percentile (linear interpolation = R type-7), the
     // reference's median/quantile summaries (R/export.R:570-578,
     // R/model-taxa.R:193-212). percentile, NOT percentile_approx: the
-    // oracle compares hashes.
+    // oracle compares hashes. Exact percentile buffers the whole group
+    // — fine at the reference's group sizes; a 100 TB deployment with
+    // skewed groups swaps in graft.functions.Percentiles
+    // .percentileSketch (bounded GK sketch, rank-error contract pinned
+    // by PercentilesSpec).
     Q("q03_median_quantiles",
       (s, d) => {
         import s.implicits._
