@@ -679,6 +679,61 @@ object Dedup {
     } finally sh.unpersist(false)
   }
 
+  /** SimHash estimator calibration — the [[minHashCalibration]] twin
+    * for the banded SimHash screen: for every banded candidate pair
+    * (hamming ≤ `maxDist` over the 63-bit simhash) emit the hamming
+    * distance, the angular similarity that distance IMPLIES
+    * (`round(cos(π·dist/63)·1e6)` — dist is a small integer, so any
+    * engine evaluates cos on the identical double; the shared-shape
+    * transcendental discipline), and the exact n-gram Jaccard in
+    * micro-units. The hamming-vs-Jaccard cloud is the drift monitor
+    * for choosing maxDist on a given corpus: a cloud sagging below the
+    * expected curve means the screen needs a tighter threshold.
+    *
+    * Shared persisted dataflow (the q121 discipline): ONE tokens
+    * projection feeds both the token-hash array (simhash side) and the
+    * sorted shingle set (exact side); candidates ride the banded
+    * bucket join and verify with the two-pointer kernel. Banding is
+    * lossless, so the candidate set equals ALL pairs within maxDist —
+    * which is what an oracle recomputes exhaustively.
+    */
+  def simHashCalibration(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 63, s"maxDist must be in [0, 62], got $maxDist")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val toks = widen(df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks")))
+    val base = toks
+      .select(col("id"),
+        transform(col("toks"), t => graft.functions.PolyHash.polyHash(t)).as("th"),
+        shinglesFromTokens(col("toks"), n).as("shg"))
+      .select(col("id"), simHashFromHashes(col("th")).as("sim"), col("shg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val chunkRows = bandChunkRows(
+        base.select(col("id"), col("sim").as("sh")), maxDist)
+      val cands = broadcast(chunkRows
+        .select(col("id").as("id_a"), col("sh").as("sh_a"), col("chunk"), col("v"))
+        .join(chunkRows.select(col("id").as("id_b"), col("sh").as("sh_b"),
+          col("chunk"), col("v")), Seq("chunk", "v"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", hamming(col("sh_a"), col("sh_b")).cast("long"))
+        .filter(col("dist") <= maxDist)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .distinct())
+      cands
+        .join(base.select(col("id").as("id_a"), col("shg").as("shg_a")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("shg").as("shg_b")), "id_b")
+        .withColumn("inter",
+          graft.functions.SortedIntersectSize.sortedIntersectSize(col("shg_a"), col("shg_b")))
+        .select(col("id_a"), col("id_b"), col("dist"),
+          round(cos(lit(math.Pi) * col("dist") / 63.0) * 1000000, 0)
+            .cast("long").as("cos_est_micro"),
+          expr("inter * 1000000 div (size(shg_a) + size(shg_b) - inter)").as("exact_micro"))
+        .checkpointEager()
+    } finally base.unpersist(false)
+  }
+
   /** Cross-document boilerplate removal (the CCNet/RefinedWeb paragraph
     * dedup): cut each document into consecutive `segTokens`-token
     * segments, count how many DISTINCT documents contain each segment,

@@ -62,6 +62,51 @@ object LinkGraph {
     } finally { eDeg.unpersist(false); nodes.unpersist(false); e.unpersist(false) }
   }
 
+  /** WEIGHTED PageRank with the same exact-integer floor discipline as
+    * [[pageRankMicro]]: node u flows `(rank_u · w_e) div W_u` along
+    * each out-edge e, where `W_u = Σ w` over u's out-edges — link
+    * strength (co-occurrence counts, click weights) steers the mass
+    * instead of splitting it uniformly. Every operation is an integer
+    * floor on non-negative operands, so the result is bit-identical at
+    * any parallelism and in any engine; `w = 1` everywhere degenerates
+    * to exactly [[pageRankMicro]] (spec-pinned).
+    *
+    * Same scale shape: the weight sum is loop-invariant and joined
+    * into the edge list once; per iteration one ranks-to-edges join +
+    * one groupBy(dst) partial-sum; ranks eagerly checkpointed.
+    *
+    * @param edges directed (src, dst, w) rows with POSITIVE integer
+    *              weights, at most one edge per (src, dst);
+    *              `rank · w` must fit in 64 bits — with total mass
+    *              1e12 that caps w at ~9e6, far above any count-like
+    *              weight
+    */
+  def pageRankWeightedMicro(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst"), col("w")).persist(lvl)
+    val eW = e.join(e.groupBy(col("src")).agg(sum(col("w")).as("wsum")), "src")
+      .persist(lvl)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist(lvl)
+    try {
+      val n = nodes.count()
+      val init = 1000000000000L / n
+      val base = (15L * init) / 100L
+      var ranks = nodes.withColumn("rank", lit(init)).checkpointEager()
+      for (_ <- 1 to iters) {
+        val contrib = eW.join(ranks.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), expr("(rank * w) div wsum").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("s"))
+        ranks = nodes.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (lit(base) + expr("85 * coalesce(s, cast(0 as bigint)) div 100")).as("rank"))
+          .checkpointEager()
+      }
+      ranks.select(col("id").as("node_id"), col("rank").as("rank_micro"))
+    } finally { eW.unpersist(false); nodes.unpersist(false); e.unpersist(false) }
+  }
+
   /** Synchronous label propagation (community detection), `rounds`
     * fixed iterations: every node adopts the MOST FREQUENT label among
     * its neighbors, ties to the smallest label, isolated semantics like

@@ -974,6 +974,107 @@ object MiningQueries extends QueryPack {
              |    row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, n_id) AS rrf_rank
              |  FROM fused)
              |SELECT q_id, CAST(rrf_rank AS BIGINT) AS rrf_rank, n_id, score_micro
-             |FROM rk WHERE rrf_rank <= 5 ORDER BY q_id, rrf_rank""".stripMargin))
+             |FROM rk WHERE rrf_rank <= 5 ORDER BY q_id, rrf_rank""".stripMargin)),
+
+    // SimHash estimator calibration (the q121 twin): hamming distance,
+    // the cos(pi*d/63) similarity it implies, and the exact 2-gram
+    // Jaccard, per banded candidate. Banding is lossless, so the
+    // oracle recomputes every simhash and screens pairs exhaustively.
+    Q("q152_simhash_calibration",
+      (s, d) => {
+        import s.implicits._
+        Dedup.simHashCalibration(Tables.documents(s, d), "doc_id", "text",
+            n = 2, maxDist = 6)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text),'\s+') AS l FROM documents),
+             |th AS (
+             |  SELECT doc_id,
+             |    list_transform(l, s ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(generate_series(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007)) AS hs
+             |  FROM toks),
+             |bits AS (
+             |  SELECT doc_id, j,
+             |    CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+             |      CASE WHEN ((h * ((1103515245 * j) % 2038074743) + ((12345 * j + 7) % 2038074743)) % 2038074743) % 2 = 1
+             |           THEN 1 ELSE -1 END)), 0) > 0
+             |         THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE 0 END AS bit
+             |  FROM th CROSS JOIN range(1, 64) t(j)),
+             |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sh FROM bits GROUP BY 1),
+             |shg AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_filter(
+             |      list_transform(l, (x,i) -> CASE WHEN i <= len(l)-1 THEN x || ' ' || l[i+1] END),
+             |      v -> v IS NOT NULL)) AS sg
+             |  FROM toks),
+             |cand AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+             |sel AS (
+             |  SELECT c.id_a, c.id_b, c.dist,
+             |    len(list_intersect(sa.sg, sb.sg)) AS inter,
+             |    len(list_distinct(list_concat(sa.sg, sb.sg))) AS un
+             |  FROM cand c JOIN shg sa ON sa.doc_id = c.id_a
+             |    JOIN shg sb ON sb.doc_id = c.id_b)
+             |SELECT id_a, id_b, dist,
+             |  CAST(round(cos(pi() * dist / 63.0) * 1000000) AS BIGINT) AS cos_est_micro,
+             |  (inter * 1000000) // un AS exact_micro
+             |FROM sel ORDER BY 1, 2""".stripMargin)),
+
+    // Weighted PageRank on the customer-supplier bipartite graph, edge
+    // weight = shared lineitem count: mass flows (rank*w) div W_u per
+    // edge, same integer floor discipline as q115 (whose uniform flow
+    // is the w=1 special case, spec-pinned in LinkGraphSpec).
+    Q("q153_pagerank_weighted",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_custkey".as("c"), $"l_suppkey".as("p"))
+          .agg(count(lit(1)).as("w"))
+        val edges = pairs.select($"c".as("src"), ($"p" + 1000000L).as("dst"), $"w")
+          .union(pairs.select(($"p" + 1000000L).as("src"), $"c".as("dst"), $"w"))
+        LinkGraph.pageRankWeightedMicro(edges, iters = 3)
+          .orderBy($"node_id")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT o_custkey AS c, l_suppkey AS p, count(*) AS w
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+             |edges AS (
+             |  SELECT c AS src, p + 1000000 AS dst, w FROM pairs
+             |  UNION ALL SELECT p + 1000000, c, w FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS id FROM edges
+             |          UNION SELECT DISTINCT dst FROM edges),
+             |nn AS (SELECT count(*) AS n FROM nodes),
+             |ws AS (SELECT src, sum(w) AS wsum FROM edges GROUP BY 1),
+             |r0 AS (SELECT id, 1000000000000 // (SELECT n FROM nn) AS rank FROM nodes),
+             |s1 AS (SELECT e.dst AS id, sum((r.rank * e.w) // d.wsum) AS s
+             |       FROM edges e JOIN r0 r ON r.id = e.src JOIN ws d ON d.src = e.src
+             |       GROUP BY 1),
+             |r1 AS (SELECT n.id,
+             |         (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+             |           + (85 * coalesce(s1.s, 0)) // 100 AS rank
+             |       FROM nodes n LEFT JOIN s1 ON s1.id = n.id),
+             |s2 AS (SELECT e.dst AS id, sum((r.rank * e.w) // d.wsum) AS s
+             |       FROM edges e JOIN r1 r ON r.id = e.src JOIN ws d ON d.src = e.src
+             |       GROUP BY 1),
+             |r2 AS (SELECT n.id,
+             |         (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+             |           + (85 * coalesce(s2.s, 0)) // 100 AS rank
+             |       FROM nodes n LEFT JOIN s2 ON s2.id = n.id),
+             |s3 AS (SELECT e.dst AS id, sum((r.rank * e.w) // d.wsum) AS s
+             |       FROM edges e JOIN r2 r ON r.id = e.src JOIN ws d ON d.src = e.src
+             |       GROUP BY 1),
+             |r3 AS (SELECT n.id,
+             |         (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+             |           + (85 * coalesce(s3.s, 0)) // 100 AS rank
+             |       FROM nodes n LEFT JOIN s3 ON s3.id = n.id)
+             |SELECT id AS node_id, CAST(rank AS BIGINT) AS rank_micro
+             |FROM r3 ORDER BY id""".stripMargin))
   )
 }

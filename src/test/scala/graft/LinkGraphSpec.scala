@@ -32,6 +32,34 @@ class LinkGraphSpec extends SparkTestBase {
     assert(r.values.sum > 900000000000L) // but not pathologically much
   }
 
+  test("weighted pagerank: w=1 degenerates to exactly the unweighted operator") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 9L),
+      (9L, 1L), (9L, 4L)).toDF("src", "dst")
+    val unweighted = LinkGraph.pageRankMicro(edges, iters = 4)
+      .select($"node_id", $"rank_micro").as[(Long, Long)].collect().toMap
+    val weighted = LinkGraph.pageRankWeightedMicro(
+        edges.withColumn("w", lit(1L)), iters = 4)
+      .select($"node_id", $"rank_micro").as[(Long, Long)].collect().toMap
+    assert(weighted === unweighted)
+  }
+
+  test("weighted pagerank: heavy edge steers the ring's mass") {
+    // symmetric 3-ring except one edge is 9x heavier: its target must
+    // outrank the others, and scaling ALL weights equally must not
+    // change anything (div normalizes per-source)
+    val w1 = Seq((1L, 2L, 9L), (2L, 3L, 1L), (3L, 1L, 1L),
+      (1L, 3L, 1L), (3L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val r = LinkGraph.pageRankWeightedMicro(w1, iters = 4)
+      .select($"node_id", $"rank_micro").as[(Long, Long)].collect().toMap
+    assert(r(2L) > r(3L) && r(2L) > r(1L), s"heavy edge target must dominate: $r")
+    val scaled = LinkGraph.pageRankWeightedMicro(
+        w1.withColumn("w", $"w" * 1000L), iters = 4)
+      .select($"node_id", $"rank_micro").as[(Long, Long)].collect().toMap
+    assert(scaled === r, "per-source weight scaling must cancel")
+    // floors only ever lose mass
+    assert(r.values.sum <= 1000000000000L)
+  }
+
   test("incremental rollup merge == full recompute, any split, any merge order") {
     val ev = graft.core.Tables.events(spark, sfDir)
       .select($"user_id", $"event_type", $"value")
