@@ -455,6 +455,34 @@ object JoinQueries extends QueryPack {
              |FROM events
              |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') >= '2024-01-08'
              |  AND strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') < '2024-01-15'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The q91 semantics written NAIVELY — a pure range-band join with
+    // no equi key, exactly what stock Spark plans as an O(n*m) nested
+    // loop. The injected RangeJoinBinning rule must rewrite it into
+    // the two binned equi-join arms (PlanAuditSpec asserts the
+    // executed plan has no nested loop); the oracle is the same SQL as
+    // q91, so manual dataflow (q91) and rule-rewritten declarative
+    // form (this query) are both pinned to the identical result.
+    Q("q154_range_join_rule",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"event_id", $"ts".cast("long").as("t"), $"event_type")
+        val anchors = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"t".as("at"))
+        val others = ev.select($"t".as("pt"))
+        anchors.join(others, $"pt" >= $"at" - 3600L && $"pt" < $"at" + 3600L)
+          .groupBy($"event_id").agg(count(lit(1)).as("n_nearby"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t,
+             |    event_type
+             |  FROM events)
+             |SELECT a.event_id, count(*) AS n_nearby
+             |FROM ev a JOIN ev p ON p.t >= a.t - 3600 AND p.t < a.t + 3600
+             |WHERE a.event_type = 'purchase'
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1075,6 +1075,41 @@ object MiningQueries extends QueryPack {
              |           + (85 * coalesce(s3.s, 0)) // 100 AS rank
              |       FROM nodes n LEFT JOIN s3 ON s3.id = n.id)
              |SELECT id AS node_id, CAST(rank AS BIGINT) AS rank_micro
-             |FROM r3 ORDER BY id""".stripMargin))
+             |FROM r3 ORDER BY id""".stripMargin)),
+
+    // Token-overlap pairs via the STOCK Spark idiom
+    // size(array_intersect(array_sort(array_distinct(...)))) — the
+    // SortedIntersectRewrite rule must lower it onto the two-pointer
+    // kernel (PlanAuditSpec asserts sorted_intersect_size in the
+    // executed plan), so a user writing plain functions gets the
+    // Dedup-internal kernel without knowing it exists. 1-in-17 doc
+    // sample blocked by lang keeps the pair count bounded.
+    Q("q155_sorted_intersect_rule",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .filter(pmod($"doc_id", lit(17L)) === 0L)
+          .select($"doc_id", $"lang", $"text")
+        val a = docs.select($"lang", $"doc_id".as("id_a"), $"text".as("text_a"))
+        val b = docs.select($"lang", $"doc_id".as("id_b"), $"text".as("text_b"))
+        a.join(b, "lang")
+          .filter($"id_a" < $"id_b")
+          .select($"id_a", $"id_b",
+            size(array_intersect(
+              array_sort(array_distinct(split(trim($"text_a"), "\\s+"))),
+              array_sort(array_distinct(split(trim($"text_b"), "\\s+")))))
+              .cast("long").as("n_shared"))
+          .filter($"n_shared" >= 5L)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+             |  FROM documents WHERE doc_id % 17 = 0)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_shared
+             |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.toks, b.toks)) >= 5
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -242,6 +242,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(sorts === 1, s"expected 1 sort for both frames, got $sorts")
   }
 
+  test("q154 naive range join is binned by RangeJoinBinning — never a nested loop") {
+    val plan = finalPlan("q154_range_join_rule")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"pure range join fell back to a nested loop:\n$plan")
+    // the rewrite's signature: a union of two equi-join arms on
+    // computed bin keys, each still carrying the exact band filter
+    assert(plan.contains("Union"), s"no two-arm union in the plan:\n$plan")
+    val equiJoins = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .map(n => n.r.findAllIn(plan).length).sum
+    assert(equiJoins >= 2, s"expected 2 equi-join arms, got $equiJoins:\n$plan")
+  }
+
+  test("q155 stock intersect idiom lowers onto the two-pointer kernel") {
+    val plan = finalPlan("q155_sorted_intersect_rule")
+    assert(plan.contains("sorted_intersect_size"),
+      s"SortedIntersectRewrite did not fire in the executed plan:\n$plan")
+    assert(!plan.contains("array_intersect"),
+      s"stock array_intersect survived next to the kernel:\n$plan")
+  }
+
   test("q131 unigram model broadcasts under the default gate") {
     val plan = finalPlan("q131_bigram_backoff")
     assert(plan.contains("BroadcastHashJoin"),
