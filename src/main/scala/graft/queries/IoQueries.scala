@@ -337,6 +337,60 @@ object IoQueries extends QueryPack {
              |       ELSE 'unknown' END AS priority,
              |  count(*) AS n,
              |  CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
-             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // STREAMING path under the batch oracle: the orders change-log is
+    // replayed through StreamUpsert (foreachBatch merge into the V2
+    // document store) as four chronological file-source micro-batches;
+    // the FINAL store state must equal a plain batch last-per-key over
+    // the whole history, which is what the oracle computes. The unique
+    // ordering key `ord = eff_sec*1e7 + orderkey` makes within-batch
+    // collision ties deterministic; one file per slice pins the batch
+    // boundaries (replay harness shape — the operator itself never
+    // coalesces). This is the one conformance row that executes the
+    // streaming engine end-to-end (source -> foreachBatch -> store).
+    Q("q156_stream_upsert_replay",
+      (s, d) => {
+        import s.implicits._
+        val coll = "q156_store"
+        graft.io.MemDocStore.drop(coll)
+        val log = Tables.orders(s, d).select($"o_custkey",
+            $"o_orderdate".cast("timestamp_ltz").cast("long").as("eff_sec"),
+            $"o_orderkey", $"o_orderpriority",
+            year($"o_orderdate").as("yr"))
+          .withColumn("ord", $"eff_sec" * 10000000L + $"o_orderkey")
+        val root = graft.core.Scratch.dir("q156_replay")
+        val slices = Seq(
+          ("s1", $"yr" <= 1993),
+          ("s2", $"yr" === 1994 || $"yr" === 1995),
+          ("s3", $"yr" === 1996),
+          ("s4", $"yr" >= 1997))
+        slices.foreach { case (name, cond) =>
+          log.filter(cond).drop("yr").coalesce(1)
+            .write.mode("overwrite").parquet(s"$root/$name")
+          val stream = s.readStream
+            .schema(log.drop("yr").schema)
+            .parquet(s"$root/$name")
+          val q = graft.streaming.StreamUpsert.run(stream, coll,
+            "o_custkey", "ord")
+          q.processAllAvailable()
+          q.stop()
+        }
+        graft.io.DocumentSink.pullFrom(s, graft.io.MemDocStore.Format,
+            Map("collection" -> coll))
+          .select($"o_custkey", $"o_orderkey",
+            $"o_orderpriority".as("priority"), $"eff_sec")
+          .orderBy($"o_custkey")
+      },
+      Some("""WITH log AS (
+             |  SELECT o_custkey, o_orderkey, o_orderpriority,
+             |    epoch_us(o_orderdate) // 1000000 AS eff_sec,
+             |    (epoch_us(o_orderdate) // 1000000) * 10000000 + o_orderkey AS ord
+             |  FROM orders),
+             |w AS (
+             |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY ord DESC) AS rn
+             |  FROM log)
+             |SELECT o_custkey, o_orderkey, o_orderpriority AS priority, eff_sec
+             |FROM w WHERE rn = 1 ORDER BY o_custkey""".stripMargin))
   )
 }
