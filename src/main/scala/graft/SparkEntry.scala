@@ -18,6 +18,7 @@ object SparkEntry {
     ScalarQueries,
     ExtQueries,
     MiningQueries,
+    AnalyticsQueries,
     IoQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.

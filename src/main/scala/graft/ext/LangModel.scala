@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Exec.EagerDf
 
 /** Corpus-trained statistical text scoring — the perplexity-style
   * quality signals a pretraining pipeline runs after the rule filters
@@ -110,6 +111,79 @@ object LangModel {
       .select(col("id"), col("tok"), (col("tf") * col("idf_micro")).as("score_micro"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** Top-k salient terms per document by Okapi BM25 (k1 = 1.2,
+    * b = 0.75): `score = idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`
+    * with the Lucene-style non-negative idf
+    * `ln((N − df + 0.5)/(df + 0.5) + 1)`. The length-normalized upgrade
+    * of [[tfidfTopK]] — long documents no longer win on raw repetition.
+    *
+    * Every input (tf, df, dl, N, total tokens) is an exact integer; the
+    * score is ONE shared-shape double expression evaluated identically
+    * by both engines and rounded to micro-units at the end (scores are
+    * non-negative, so HALF_UP agrees cross-engine). `avgdl` is the
+    * exact double `totTok/nDocs` computed from two driver-side longs —
+    * the oracle reproduces it with the same single division.
+    *
+    * Shape: one tokenize/explode pass into the (id, tok) tf table
+    * (persisted — it feeds dl, df, the global total, and the score
+    * join), the df/idf model under the [[BroadcastMaxRowsKey]] gate,
+    * and a per-doc top-k window. No global-order window anywhere.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(toks(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = docs.select(col(idCol)).distinct().count()
+      val totTok = tf.agg(sum(col("tf")).cast("long")).head.getLong(0)
+      val avgdl = totTok.toDouble / nDocs.toDouble
+      val idf = gatedBroadcast(
+        tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .select(col("tok"),
+            log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0).as("idf")))
+      val dl = Window.partitionBy(col("id"))
+      val w = Window.partitionBy(col("id")).orderBy(col("score_micro").desc, col("tok").asc)
+      tf.withColumn("dl", sum(col("tf")).over(dl))
+        .join(idf, "tok")
+        .select(col("id"), col("tok"),
+          round(col("idf") * (col("tf") * 2.2 /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))) * 1000000, 0)
+            .cast("long").as("score_micro"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .checkpointEager()
+    } finally tf.unpersist(false)
+  }
+
+  /** Out-of-vocabulary rate per document against the corpus top-`vocabSize`
+    * token vocabulary (ties at the frequency boundary break
+    * lexicographically, so the vocabulary is deterministic). Reports
+    * per-doc token count, OOV token count, and the OOV fraction in
+    * micro-units — the standard "how well does a fixed tokenizer/vocab
+    * cover this source" curation diagnostic.
+    *
+    * The vocabulary selection is `orderBy(count desc, token).limit(V)` —
+    * Spark plans that as a distributed TakeOrdered (per-partition top-V
+    * then a V-row driver merge), never a global sort; the V-row result
+    * broadcasts unconditionally.
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    val docTok = docs
+      .select(col(idCol).as("id"), explode(toks(col(textCol))).as("tok"))
+    val vocab = docTok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    docTok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .select(col("id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") * 1000000.0 / col("n_tokens"), 0)
+          .cast("long").as("oov_micro"))
   }
 
   /** fastText-style hashed linear classifier INFERENCE — the quality/

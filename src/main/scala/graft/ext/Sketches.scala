@@ -157,6 +157,20 @@ object Sketches {
       .groupBy((groupCols :+ "bucket").map(col): _*).agg(max(col("rho")).as("register"))
   }
 
+  /** Max-merge of per-group HLL register tables into one global register
+    * table — the mergeability algebra that makes HLL the right
+    * 100 TB distinct-counter: registers computed independently per
+    * source/partition/day combine by bucket-wise MAX into exactly the
+    * registers a single pass over the union would have produced (max is
+    * associative/commutative/idempotent, and rho of a key is
+    * group-independent). An incremental pipeline therefore keeps one
+    * tiny register table per ingest slice and merges on read; nothing
+    * ever rescans history. The equivalence is oracle-checked (q167)
+    * against a direct single-pass register build.
+    */
+  def hllMergeRegisters(registers: DataFrame): DataFrame =
+    registers.groupBy(col("bucket")).agg(max(col("register")).as("register"))
+
   /** Standard HLL estimate from a register table (driver-side scalar —
     * the register table is 2^p rows by construction). Small-range
     * correction (linear counting) applied below the usual 2.5m cutoff.

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over an event stream: cohort retention, Markov
+  * transition estimation, and time-in-state attribution.
+  *
+  * Mirrors the reference's per-submission activity rollups (trip
+  * timelines in R/export.R, validation-status transitions in
+  * R/validation.R) generalized to the event-log shape a training-data
+  * telemetry pipeline emits.
+  *
+  * Scale posture: every operator keys its shuffles on `user_id` (or the
+  * aggregated state pair), so a 100 TB event log distributes on the
+  * natural high-cardinality key; no global-order window ever touches the
+  * raw events. All arithmetic is exact integers (epoch seconds / week
+  * indexes / counts) until a final shared-shape micro rounding, so the
+  * DuckDB oracle reproduces results bit-for-bit at any parallelism.
+  */
+object Behavior {
+
+  /** Epoch-week index from a timestamp column: `cast(ts as long) div
+    * 604800`. Non-negative for any post-1970 stream, so Spark `div`
+    * (truncate) and DuckDB `//` (floor) agree. Takes the column NAME —
+    * integer `div` has no Column-DSL form (`/` is double division, see
+    * the Layout.zKey trap) so the expression is built as SQL text.
+    */
+  def epochWeek(tsColName: String): org.apache.spark.sql.Column =
+    expr(s"cast($tsColName as long) div 604800")
+
+  /** Weekly cohort retention: users are cohorted by their first active
+    * week; for every (cohort_week, week_offset) cell, how many of that
+    * cohort's users were active `offset` weeks after they arrived.
+    *
+    * Plan: one distinct over (user, week), one per-user min, one join —
+    * all hash-partitioned on `user_id`, so the two big exchanges share a
+    * partitioning and the final rollup is over the tiny (cohort, offset)
+    * grid. Cells with zero active users are absent (sparse grid — the
+    * scaffold-complete operator in [[Reshape]] densifies if a consumer
+    * needs the full rectangle).
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val uw = events
+      .select(col(userCol).as("u"), epochWeek(tsCol).as("wk"))
+      .distinct()
+    val cohort = uw.groupBy(col("u")).agg(min(col("wk")).as("cohort_week"))
+    uw.join(cohort, "u")
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** First-order Markov transition estimates between event types, per
+    * user timeline. Orders each user's events by (ts, eventId) — the id
+    * breaks timestamp ties deterministically — takes adjacent pairs via
+    * one partitioned lag, and reports each (prev, next) pair's count and
+    * its row probability in integer micro-units
+    * (`round(n * 1e6 / total_from_prev)` through the shared double shape
+    * both engines evaluate identically).
+    *
+    * The lag window is partitioned by user — the event log's natural
+    * distribution key — and the transition matrix itself is
+    * |event_type|² rows, so the normalizing window over `prev_type` runs
+    * on a bounded table no matter the corpus size.
+    */
+  def eventTransitions(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts", typeCol: String = "event_type",
+                       idCol: String = "event_id"): DataFrame = {
+    val perUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(perUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val perPrev = Window.partitionBy(col("prev_type"))
+    pairs.withColumn("p_micro",
+      round(col("n_transitions") * 1000000.0 /
+        sum(col("n_transitions")).over(perPrev)).cast("long"))
+  }
+
+  /** Total dwell time per event type: the gap between consecutive events
+    * of one user is attributed to the EARLIER event's type (the state the
+    * user was in while the clock ran). Each user's last event has no
+    * successor and contributes no interval. Exact integer epoch-second
+    * arithmetic throughout.
+    */
+  def timeInState(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts", typeCol: String = "event_type",
+                  idCol: String = "event_id"): DataFrame = {
+    val perUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      // keep the full-resolution timestamp for the window ordering —
+      // the floored `sec` would reorder same-second events
+      .select(col(userCol), col(idCol), col(tsCol), col(typeCol).as("state"),
+        expr(s"cast($tsCol as long)").as("sec"))
+      .withColumn("next_sec", lead(col("sec"), 1).over(perUser))
+      .filter(col("next_sec").isNotNull)
+      .groupBy(col("state"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("next_sec") - col("sec")).as("total_sec"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation metrics computed with exact integer arithmetic so the
+  * cross-engine oracle reproduces them bit-for-bit: tie-aware ROC AUC via
+  * the Mann–Whitney pair count (no per-row ranks), and reliability
+  * (calibration) bins.
+  *
+  * Mirrors the reference's validation scoring (flag rates per submission
+  * in R/validation.R) lifted to the classifier-evaluation shape an LLM
+  * data pipeline needs for quality-filter models.
+  *
+  * Scale posture: both operators first collapse the corpus to per-score
+  * (or per-bin) counts with an ordinary hash aggregation — the only
+  * shuffles that touch all rows. The windows that follow run over the
+  * aggregated score table, whose cardinality is bounded by the score
+  * DOMAIN (micro scores ⊂ [-1e6, 1e6], so ≤ 2e6+1 rows regardless of
+  * corpus size) — the same bounded-small-table argument as the HLL
+  * register fold, not a global window over data.
+  */
+object Eval {
+
+  /** One-vs-rest ROC AUC per label over an integer score column.
+    *
+    * Tie-aware Mann–Whitney formulation on grouped counts: for each
+    * distinct score `s` (ascending) and label `L`, with `cnt` = rows of
+    * `L` at `s`, `tot` = all rows at `s`, `negBefore` = non-`L` rows at
+    * strictly lower scores, the doubled win count is
+    * `wins2 = Σ cnt · (2·negBefore + (tot − cnt))` — ties count half,
+    * kept integral by the doubling. `AUC = wins2 / (2·P·N)`, reported in
+    * micro-units through the shared double shape.
+    *
+    * All labels are evaluated in one pass: per-label cumulatives come
+    * from a label-partitioned window, the all-rows cumulative from one
+    * window over the bounded per-score table, and `negBefore` is their
+    * difference.
+    */
+  def aucOneVsRest(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val scored = df.select(col(scoreCol).as("s"), col(labelCol).as("lbl"))
+    val perScore = scored.groupBy(col("s")).agg(count(lit(1)).as("tot"))
+    val byLabel = scored.groupBy(col("s"), col("lbl")).agg(count(lit(1)).as("cnt"))
+
+    val allBefore = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = perScore.select(col("s"), col("tot"),
+      coalesce(sum(col("tot")).over(allBefore), lit(0L)).as("all_before"))
+
+    val lblBefore = Window.partitionBy(col("lbl")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cells = byLabel
+      .withColumn("lbl_before", coalesce(sum(col("cnt")).over(lblBefore), lit(0L)))
+      .join(totals, "s")
+      .withColumn("neg_before", col("all_before") - col("lbl_before"))
+      .withColumn("wins2",
+        col("cnt") * (lit(2L) * col("neg_before") + (col("tot") - col("cnt"))))
+
+    val perLabel = cells.groupBy(col("lbl").as("label"))
+      .agg(sum(col("cnt")).as("n_pos"), sum(col("wins2")).as("wins2"))
+    val overAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perLabel
+      .withColumn("n_neg", sum(col("n_pos")).over(overAll) - col("n_pos"))
+      .select(col("label"), col("n_pos"), col("n_neg"),
+        round(col("wins2").cast("double") * 1000000.0 /
+          (lit(2.0) * col("n_pos") * col("n_neg"))).cast("long").as("auc_micro"))
+  }
+
+  /** Reliability-diagram bins for a micro-unit probability column
+    * (`probMicro` ∈ [0, 1e6]): equal-width bins, per-bin support, mean
+    * predicted probability, and empirical positive rate — predicted vs
+    * empirical is the calibration gap. Integer bin index (`p·bins div
+    * 1e6`, clamped so p = 1.0 lands in the last bin), exact long sums,
+    * micro rounding through the shared double shape.
+    */
+  def calibrationBins(df: DataFrame, probMicroCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    df.select(
+        least(expr(s"$probMicroCol * $bins div 1000000"), lit(bins - 1L)).as("bin"),
+        col(probMicroCol).as("p"), col(labelCol).cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"), sum(col("p")).as("sp"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("sp").cast("double") / col("n")).cast("long").as("mean_pred_micro"),
+        round(col("n_pos").cast("double") * 1000000.0 / col("n")).cast("long")
+          .as("emp_rate_micro"))
+  }
+}

@@ -1,0 +1,321 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{LangModel, Sketches, TextAnalysis}
+import graft.ops.{Behavior, Eval, Frontier, Spatial}
+
+/** Eighth-wave operators: behavioral analytics over the event log
+  * (cohort retention, Markov transitions, dwell time), exact evaluation
+  * metrics (tie-aware AUC, calibration bins), geospatial assignment and
+  * radius search on integer micro-degrees, the two-phase Pareto
+  * frontier, BM25 salience, vocabulary-coverage OOV rates, and the HLL
+  * register merge algebra.
+  *
+  * Oracle discipline as everywhere: exact integer arithmetic end to
+  * end; any fractional step is ONE shared-shape double expression whose
+  * operands are exact integers (DuckDB side always promotes to DOUBLE
+  * via an explicit CAST before the first fractional literal — bare
+  * decimal literals are DECIMAL-typed there, and decimal arithmetic
+  * rounds differently than the double arithmetic Spark does).
+  */
+object AnalyticsQueries extends QueryPack {
+
+  /** Shared oracle fragment: synthetic coastal coordinates of
+    * [[Spatial.synthLatMicro]] for a key column. */
+  private def latSql(k: String) = s"-18000000 + ($k * 2654435761) % 2000001"
+  private def lonSql(k: String) = s"34000000 + (($k * 2654435761 + 777767777) % 2000001)"
+
+  val all: Seq[Q] = Seq(
+
+    // Weekly cohort retention over the event log: users cohorted by
+    // first active week, cells = users of that cohort active at each
+    // week offset. All integer epoch-week arithmetic.
+    Q("q157_cohort_retention",
+      (s, d) => {
+        import s.implicits._
+        Behavior.cohortRetention(Tables.events(s, d))
+          .orderBy($"cohort_week", $"week_offset")
+      },
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 604800 AS wk
+             |  FROM events),
+             |c AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1)
+             |SELECT c.cohort_week, uw.wk - c.cohort_week AS week_offset,
+             |  count(*) AS n_users
+             |FROM uw JOIN c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // First-order Markov transition matrix between event types: one
+    // partitioned lag over each user's (ts, event_id)-ordered timeline,
+    // probabilities in micro-units from exact counts.
+    Q("q158_event_transitions",
+      (s, d) => {
+        import s.implicits._
+        Behavior.eventTransitions(Tables.events(s, d))
+          .orderBy($"prev_type", $"next_type")
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type AS next_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_type
+             |  FROM events),
+             |pairs AS (
+             |  SELECT prev_type, next_type, count(*) AS n_transitions
+             |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT prev_type, next_type, n_transitions,
+             |  CAST(round(CAST(n_transitions AS DOUBLE) * 1000000.0 /
+             |    (sum(n_transitions) OVER (PARTITION BY prev_type))) AS BIGINT) AS p_micro
+             |FROM pairs ORDER BY 1, 2""".stripMargin)),
+
+    // Dwell time per event type: consecutive-event gaps attributed to
+    // the earlier event's state; exact epoch-second sums.
+    Q("q159_time_in_state",
+      (s, d) => {
+        import s.implicits._
+        Behavior.timeInState(Tables.events(s, d)).orderBy($"state")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type AS state,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |seq AS (
+             |  SELECT state, sec,
+             |    lead(sec) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_sec
+             |  FROM e)
+             |SELECT state, count(*) AS n_intervals,
+             |  CAST(sum(next_sec - sec) AS BIGINT) AS total_sec
+             |FROM seq WHERE next_sec IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // One-vs-rest tie-aware ROC AUC per embedding label, scoring on the
+    // first embedding coordinate (micro-rounded — floats promote to
+    // double exactly on both engines). Mann–Whitney on grouped counts:
+    // no per-row ranks, windows only over the bounded per-score table.
+    Q("q160_auc_one_vs_rest",
+      (s, d) => {
+        import s.implicits._
+        val scored = Tables.embeddings(s, d).select(
+          round(col("embedding").getItem(0) * 1000000.0, 0).cast("long").as("score"),
+          $"label")
+        Eval.aucOneVsRest(scored, "score", "label").orderBy($"label")
+      },
+      Some("""WITH s AS (
+             |  SELECT CAST(round(embedding[1] * 1000000.0) AS BIGINT) AS sc, label
+             |  FROM embeddings),
+             |per AS (SELECT sc, count(*) AS tot FROM s GROUP BY 1),
+             |tots AS (
+             |  SELECT sc, tot,
+             |    coalesce(sum(tot) OVER (ORDER BY sc
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS all_before
+             |  FROM per),
+             |bl AS (SELECT sc, label, count(*) AS cnt FROM s GROUP BY 1, 2),
+             |cells AS (
+             |  SELECT bl.label, bl.cnt, tots.tot,
+             |    tots.all_before - coalesce(sum(bl.cnt) OVER (PARTITION BY bl.label
+             |      ORDER BY bl.sc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS neg_before
+             |  FROM bl JOIN tots USING (sc)),
+             |per_label AS (
+             |  SELECT label, CAST(sum(cnt) AS BIGINT) AS n_pos,
+             |    CAST(sum(cnt * (2 * neg_before + (tot - cnt))) AS BIGINT) AS wins2
+             |  FROM cells GROUP BY 1),
+             |fin AS (
+             |  SELECT label, n_pos,
+             |    CAST(sum(n_pos) OVER () - n_pos AS BIGINT) AS n_neg, wins2
+             |  FROM per_label)
+             |SELECT label, n_pos, n_neg,
+             |  CAST(round(CAST(wins2 AS DOUBLE) * 1000000.0 /
+             |    (2.0 * CAST(n_pos AS DOUBLE) * n_neg)) AS BIGINT) AS auc_micro
+             |FROM fin ORDER BY label""".stripMargin)),
+
+    // Reliability bins: predicted probability (affine map of the first
+    // embedding coordinate, clamped to [0, 1e6]) vs empirical rate of
+    // the odd-label class, 10 equal-width bins.
+    Q("q161_calibration_bins",
+      (s, d) => {
+        import s.implicits._
+        val scored = Tables.embeddings(s, d).select(
+          least(greatest(
+            round((col("embedding").getItem(0) + 1.0) / 2.0 * 1000000.0, 0).cast("long"),
+            lit(0L)), lit(1000000L)).as("p_micro"),
+          ($"label" % 2).cast("long").as("y"))
+        Eval.calibrationBins(scored, "p_micro", "y", bins = 10).orderBy($"bin")
+      },
+      Some("""WITH s AS (
+             |  SELECT least(greatest(
+             |      CAST(round((embedding[1] + 1.0) / 2.0 * 1000000.0) AS BIGINT),
+             |      0), 1000000) AS p,
+             |    CAST(label % 2 AS BIGINT) AS y
+             |  FROM embeddings),
+             |b AS (SELECT least(p * 10 // 1000000, 9) AS bin, p, y FROM s)
+             |SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+             |  CAST(round(CAST(sum(p) AS DOUBLE) / count(*)) AS BIGINT) AS mean_pred_micro,
+             |  CAST(round(CAST(sum(y) AS DOUBLE) * 1000000.0 / count(*)) AS BIGINT)
+             |    AS emp_rate_micro
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Nearest landing site per customer point: broadcast site dimension
+    // + one arg-min pass, exact integer squared micro-degree distance,
+    // ties to the lower site id.
+    Q("q162_nearest_site",
+      (s, d) => {
+        import s.implicits._
+        val pts = Tables.customer(s, d).select($"c_custkey".as("id"),
+          Spatial.synthLatMicro("c_custkey").as("lat"),
+          Spatial.synthLonMicro("c_custkey").as("lon"))
+        val sites = Tables.supplier(s, d).select($"s_suppkey".as("site_id"),
+          Spatial.synthLatMicro("s_suppkey").as("lat"),
+          Spatial.synthLonMicro("s_suppkey").as("lon"))
+        Spatial.nearestSite(pts, sites).orderBy($"id")
+      },
+      Some(s"""WITH p AS (
+             |  SELECT c_custkey AS id, ${latSql("c_custkey")} AS plat,
+             |    ${lonSql("c_custkey")} AS plon FROM customer),
+             |st AS (
+             |  SELECT s_suppkey AS site_id, ${latSql("s_suppkey")} AS slat,
+             |    ${lonSql("s_suppkey")} AS slon FROM supplier),
+             |dist AS (
+             |  SELECT p.id, st.site_id,
+             |    (p.plat - st.slat) * (p.plat - st.slat) +
+             |    (p.plon - st.slon) * (p.plon - st.slon) AS dist2
+             |  FROM p CROSS JOIN st)
+             |SELECT id, site_id, dist2 FROM dist
+             |QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, site_id) = 1
+             |ORDER BY id""".stripMargin)),
+
+    // Neighbors within 0.05° of each customer point: grid-blocked
+    // candidate join (3×3 neighbor cells at cell size = r), exact
+    // integer distance filter; zero-neighbor points kept. Oracle is the
+    // brute-force quadratic — the blocking must reproduce it exactly.
+    Q("q163_radius_neighbors",
+      (s, d) => {
+        import s.implicits._
+        val pts = Tables.customer(s, d).select($"c_custkey".as("id"),
+          Spatial.synthLatMicro("c_custkey").as("lat"),
+          Spatial.synthLonMicro("c_custkey").as("lon"))
+        Spatial.radiusNeighbors(pts, rMicro = 50000L).orderBy($"id")
+      },
+      Some(s"""WITH p AS (
+             |  SELECT c_custkey AS id, ${latSql("c_custkey")} AS lat,
+             |    ${lonSql("c_custkey")} AS lon FROM customer)
+             |SELECT a.id, CAST(count(b.id) AS BIGINT) AS n_neighbors
+             |FROM p a LEFT JOIN p b ON a.id <> b.id
+             |  AND (a.lat - b.lat) * (a.lat - b.lat) +
+             |      (a.lon - b.lon) * (a.lon - b.lon) <= 2500000000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Pareto frontier of orders on (price, recency) under strict-both
+    // dominance — the two-phase range-partitioned prefix-max skyline.
+    // Oracle is the direct NOT EXISTS dominance definition.
+    Q("q164_pareto_frontier",
+      (s, d) => {
+        import s.implicits._
+        val pts = Tables.orders(s, d).select(
+          round($"o_totalprice" * 100, 0).cast("long").as("x"),
+          expr("cast(cast(o_orderdate as timestamp_ltz) as long)").as("y"))
+        Frontier.paretoFrontier(pts, "x", "y")
+          .select($"x".as("price_cents"), $"y".as("order_sec"))
+          .orderBy($"price_cents", $"order_sec")
+      },
+      Some("""WITH pts AS (
+             |  SELECT DISTINCT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             |    epoch_us(o_orderdate) // 1000000 AS order_sec
+             |  FROM orders)
+             |SELECT price_cents, order_sec FROM pts p
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM pts q
+             |  WHERE q.price_cents > p.price_cents AND q.order_sec > p.order_sec)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Top-3 salient terms per document by Okapi BM25 (k1=1.2, b=0.75) —
+    // the length-normalized TF-IDF upgrade; one shared-shape double
+    // score from exact integer tf/df/dl/N, micro-rounded.
+    Q("q165_bm25_topk",
+      (s, d) => {
+        import s.implicits._
+        LangModel.bm25TopK(Tables.documents(s, d), "doc_id", "text", k = 3)
+          .select($"id".as("doc_id"), $"rnk", $"tok", $"score_micro")
+          .orderBy($"doc_id", $"rnk")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS tok
+             |  FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM u GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+             |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT
+             |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents) AS nd,
+             |  (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS tot),
+             |sc AS (
+             |  SELECT tf.doc_id, tf.tok,
+             |    CAST(round(
+             |      ln((CAST(st.nd - dfq.df AS DOUBLE) + 0.5) /
+             |          (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0)
+             |      * (CAST(tf.tf AS DOUBLE) * 2.2 /
+             |          (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+             |            (CAST(st.tot AS DOUBLE) / st.nd))))
+             |      * 1000000) AS BIGINT) AS score_micro
+             |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok) CROSS JOIN st)
+             |SELECT doc_id,
+             |  CAST(row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score_micro DESC, tok) AS BIGINT) AS rnk,
+             |  tok, score_micro
+             |FROM sc QUALIFY rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // Per-document OOV rate against the deterministic corpus top-100
+    // vocabulary (count desc, token asc) — vocabulary coverage triage.
+    Q("q166_oov_rate",
+      (s, d) => {
+        import s.implicits._
+        LangModel.oovRate(Tables.documents(s, d), "doc_id", "text", vocabSize = 100)
+          .select($"id".as("doc_id"), $"n_tokens", $"n_oov", $"oov_micro")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS tok
+             |  FROM documents),
+             |voc AS (
+             |  SELECT tok FROM (
+             |    SELECT tok, count(*) AS c FROM u GROUP BY 1
+             |    ORDER BY c DESC, tok LIMIT 100)),
+             |agg AS (
+             |  SELECT u.doc_id, count(*) AS n_tokens,
+             |    count(CASE WHEN voc.tok IS NULL THEN 1 END) AS n_oov
+             |  FROM u LEFT JOIN voc ON u.tok = voc.tok GROUP BY 1)
+             |SELECT doc_id, n_tokens, n_oov,
+             |  CAST(round(CAST(n_oov AS DOUBLE) * 1000000.0 / n_tokens) AS BIGINT)
+             |    AS oov_micro
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // HLL merge algebra: per-source register tables max-merged into the
+    // global registers; the oracle computes the single-pass registers
+    // directly (q111's shape) — merge ≡ direct is the mergeability
+    // property that makes sketches incrementally maintainable.
+    Q("q167_hll_merge",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select($"source", explode(TextAnalysis.tokens($"text")).as("tok"))
+        val perSource = Sketches.hllRegistersBy(toks, Seq("source"), "tok", p = 6)
+        Sketches.hllMergeRegisters(perSource.select($"bucket", $"register"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH tk AS (
+             |  SELECT DISTINCT unnest(string_split_regex(trim(text),'\s+')) AS tok
+             |  FROM documents),
+             |th AS (
+             |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(tok)),
+             |        j -> CAST(ascii(substring(tok, j, 1)) AS BIGINT))),
+             |      (a, b) -> (a*31 + b) % 1000000007) AS h0
+             |  FROM tk),
+             |mx AS (SELECT (((h0 * h0) % 1000000007) * 1103515245 + 12345) % 1000000007 AS h FROM th),
+             |r AS (SELECT h % 64 AS bucket, h // 64 AS rest FROM mx)
+             |SELECT bucket,
+             |  max(CASE WHEN rest = 0 THEN CAST(25 AS BIGINT)
+             |       ELSE 25 - length(bin(rest)) END) AS register
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)))
+}

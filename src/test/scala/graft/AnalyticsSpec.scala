@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{LangModel, Sketches, TextAnalysis}
+import graft.ops.{Behavior, Eval, Frontier, Spatial}
+
+/** Ground truth for the eighth-wave operators on hand-built fixtures:
+  * hand-computed cohort/transition/dwell tables, AUC corner cases
+  * (perfect separation, all-ties, tie-averaging), calibration bin
+  * clamping, grid-blocking completeness vs brute force, two-phase
+  * frontier vs the quadratic dominance definition, BM25 length
+  * normalization, OOV vocabulary tie-break, and HLL merge ≡ direct.
+  */
+class AnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, Long, String)*) =
+    rows.toDF("event_id", "sec", "user_id", "event_type")
+      .select($"event_id", timestamp_seconds($"sec").as("ts"),
+        $"user_id", $"event_type")
+
+  test("cohortRetention: users cohort at first week, offsets count distinct actives") {
+    // week length 604800: u1 active wk0 and wk2, u2 active wk0 only,
+    // u3 arrives wk2; two events of u1 in wk0 count once
+    val events = ev(
+      (1L, 100L, 1L, "a"), (2L, 200L, 1L, "a"), (3L, 604800L * 2 + 5, 1L, "a"),
+      (4L, 50L, 2L, "a"),
+      (5L, 604800L * 2 + 9, 3L, "a"))
+    val got = Behavior.cohortRetention(events)
+      .orderBy($"cohort_week", $"week_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, 0L, 2L), (0L, 2L, 1L), (2L, 0L, 1L)))
+  }
+
+  test("eventTransitions: adjacent pairs per user, micro rows sum to ~1e6 per prev") {
+    val events = ev(
+      (1L, 10L, 1L, "view"), (2L, 20L, 1L, "cart"), (3L, 30L, 1L, "view"),
+      (4L, 10L, 2L, "view"), (5L, 25L, 2L, "view"))
+    val got = Behavior.eventTransitions(events)
+      .orderBy($"prev_type", $"next_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("cart", "view", 1L, 1000000L),
+      ("view", "cart", 1L, 500000L),
+      ("view", "view", 1L, 500000L)))
+  }
+
+  test("eventTransitions: timestamp ties break on event_id") {
+    val events = ev((2L, 10L, 1L, "b"), (1L, 10L, 1L, "a"), (3L, 20L, 1L, "c"))
+    val got = Behavior.eventTransitions(events)
+      .select($"prev_type", $"next_type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(got === Set("a" -> "b", "b" -> "c"))
+  }
+
+  test("timeInState: gaps attribute to the earlier state; last events drop") {
+    val events = ev(
+      (1L, 0L, 1L, "idle"), (2L, 30L, 1L, "busy"), (3L, 100L, 1L, "idle"),
+      (4L, 0L, 2L, "busy"), (5L, 10L, 2L, "busy"))
+    val got = Behavior.timeInState(events).orderBy($"state")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // u1: idle 0->30 (30s), busy 30->100 (70s); u2: busy 0->10 (10s)
+    assert(got === Seq(("busy", 2L, 80L), ("idle", 1L, 30L)))
+  }
+
+  test("aucOneVsRest: perfect separation = 1e6, anti-separation = 0, all-ties = 5e5") {
+    val df = Seq((10L, 1), (20L, 1), (1L, 0), (2L, 0)).toDF("score", "label")
+    val got = Eval.aucOneVsRest(df, "score", "label")
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(got === Map(1 -> 1000000L, 0 -> 0L))
+
+    val ties = Seq((5L, 1), (5L, 0), (5L, 1), (5L, 0)).toDF("score", "label")
+    val gotTies = Eval.aucOneVsRest(ties, "score", "label")
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(gotTies === Map(0 -> 500000L, 1 -> 500000L))
+  }
+
+  test("aucOneVsRest: hand-computed mixed case with a tie across classes") {
+    // scores: pos {3, 2}, neg {2, 1}; pairs: (3,2)win (3,1)win
+    // (2,2)half (2,1)win -> AUC = 3.5/4 = 0.875
+    val df = Seq((3L, 1), (2L, 1), (2L, 0), (1L, 0)).toDF("score", "label")
+    val got = Eval.aucOneVsRest(df, "score", "label")
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(got(1) === 875000L)
+    assert(got(0) === 125000L) // complement: 1 - 0.875
+  }
+
+  test("calibrationBins: p = 1e6 clamps into the last bin; means are exact") {
+    val df = Seq((1000000L, 1L), (950000L, 1L), (50000L, 0L), (149999L, 1L))
+      .toDF("p_micro", "y")
+    val got = Eval.calibrationBins(df, "p_micro", "y", bins = 10)
+      .orderBy($"bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0L, 1L, 0L, 50000L, 0L),
+      (1L, 1L, 1L, 149999L, 1000000L),
+      (9L, 2L, 2L, 975000L, 1000000L)))
+  }
+
+  test("nearestSite: exact arg-min with ties to the lower site id") {
+    val pts = Seq((1L, 0L, 0L), (2L, 10L, 10L)).toDF("id", "lat", "lon")
+    val sites = Seq((7L, 0L, 3L), (5L, 0L, -3L), (9L, 10L, 11L))
+      .toDF("site_id", "lat", "lon")
+    val got = Spatial.nearestSite(pts, sites).orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // point 1 is 9 micro² from both site 5 and site 7 -> lower id 5 wins
+    assert(got === Seq((1L, 5L, 9L), (2L, 9L, 1L)))
+  }
+
+  test("radiusNeighbors: grid blocking reproduces brute force exactly (incl. cell edges)") {
+    // deterministic pseudo-random points in a small box, radius chosen
+    // so pairs straddle cell boundaries; includes an exact-distance pair
+    val pts = (1L to 120L).map { k =>
+      (k, -500000L + (k * 2654435761L) % 1000001L, (k * 40503L + 7L) % 1000001L)
+    }.toDF("id", "lat", "lon")
+    val r = 60000L
+    val got = Spatial.radiusNeighbors(pts, r)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val a = pts.select($"id".as("ia"), $"lat".as("la"), $"lon".as("oa"))
+    val brute = a.crossJoin(pts.select($"id".as("ib"), $"lat".as("lb"), $"lon".as("ob")))
+      .filter($"ia" =!= $"ib")
+      .filter(($"la" - $"lb") * ($"la" - $"lb") + ($"oa" - $"ob") * ($"oa" - $"ob")
+        <= lit(r * r))
+      .groupBy($"ia").agg(count(lit(1)).as("n"))
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val full = (1L to 120L).map(k => k -> brute.getOrElse(k, 0L)).toMap
+    assert(got === full)
+    assert(got.values.sum > 0, "fixture must produce at least one pair")
+    assert(got.values.exists(_ == 0), "fixture must include isolated points")
+  }
+
+  test("paretoFrontier: matches the quadratic dominance definition, with ties") {
+    val pts = ((1L to 200L).map { k =>
+      ((k * 48271L) % 97L, (k * 16807L) % 89L)
+    } ++ Seq((96L, 0L), (96L, 5L), (0L, 88L), (50L, 50L), (50L, 50L)))
+      .toDF("x", "y")
+    val got = Frontier.paretoFrontier(pts, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = pts.select($"x", $"y").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = all.filter { case (x, y) =>
+      !all.exists { case (qx, qy) => qx > x && qy > y }
+    }
+    assert(got === want)
+    // strict-both dominance: (96, 0) survives only if nothing beats it
+    // on BOTH axes; a same-x higher-y point does not dominate it
+    assert(got.contains((96L, 5L)) === want.contains((96L, 5L)))
+  }
+
+  test("bm25TopK: length normalization demotes the long document's repeated term") {
+    // same tf for 'whale' in both docs, but doc 2 is much longer ->
+    // its normalized score must be lower
+    val docs = Seq(
+      (1L, "whale whale sea"),
+      (2L, "whale whale " + ("reef coral tide foam gull brine " * 8).trim),
+      (3L, "sea sea sky")).toDF("doc_id", "text")
+    val scored = LangModel.bm25TopK(docs, "doc_id", "text", k = 10)
+    // columns: (id, tok, score_micro, rnk)
+    val whale = scored.filter($"tok" === "whale")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(whale(1L) > whale(2L))
+    val ranks = scored.filter($"id" === 1L).orderBy($"rnk")
+      .collect().map(_.getString(1)).toSeq
+    assert(ranks.head === "whale") // rarer + frequent beats 'sea'
+  }
+
+  test("oovRate: deterministic vocabulary boundary (count desc, token asc)") {
+    // counts: aa=2, bb=2, cc=1; V=2 -> vocab {aa, bb}; doc tokens
+    // 'aa bb cc cc' -> 2 OOV of 4 = 500000 micro
+    val docs = Seq((1L, "aa bb cc cc"), (2L, "aa bb")).toDF("doc_id", "text")
+    val got = LangModel.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((1L, 4L, 2L, 500000L), (2L, 2L, 0L, 0L)))
+  }
+
+  test("hllMergeRegisters: per-source merge equals the single-pass registers") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val toks = docs.select($"source", explode(TextAnalysis.tokens($"text")).as("tok"))
+    val direct = Sketches.hllRegisters(toks.select($"tok"), "tok", p = 5)
+      .orderBy($"bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val merged = Sketches.hllMergeRegisters(
+        Sketches.hllRegistersBy(toks, Seq("source"), "tok", p = 5)
+          .select($"bucket", $"register"))
+      .orderBy($"bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(merged === direct)
+  }
+}
