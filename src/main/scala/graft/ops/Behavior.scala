@@ -82,6 +82,75 @@ object Behavior {
         sum(col("n_transitions")).over(perPrev)).cast("long"))
   }
 
+  /** Ordered funnel conversion within a time window: users enter at
+    * their FIRST `steps(0)` event; each later step must occur at or
+    * after the previous step's completion and within `windowSec` of the
+    * funnel entry. Output: one row per step with the surviving user
+    * count and its micro-unit conversion rate relative to step 1.
+    *
+    * Staged per-user min-aggregations — step i is one equi-join on
+    * `user_id` against the step-(i−1) survivors plus one groupBy, so
+    * every shuffle keys on the natural user key and the per-step count
+    * rows are single-row aggregates. Exact integer epoch-micros
+    * throughout; the one division is the shared micro shape.
+    */
+  def funnelConversion(events: DataFrame, steps: Seq[String], windowSec: Long,
+                       userCol: String = "user_id", tsCol: String = "ts",
+                       typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(windowSec > 0, "window must be positive")
+    val winUs = windowSec * 1000000L
+    val e = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      unix_micros(col(tsCol)).as("us"))
+    val first = e.filter(col("et") === steps.head)
+      .groupBy(col("u")).agg(min(col("us")).as("t"))
+      .withColumn("deadline", col("t") + winUs)
+    val stages = steps.tail.scanLeft(first) { (prev, step) =>
+      e.filter(col("et") === step)
+        .join(prev.select(col("u"), col("t").as("tprev"), col("deadline")), "u")
+        .filter(col("us") >= col("tprev") && col("us") <= col("deadline"))
+        .groupBy(col("u"))
+        .agg(min(col("us")).as("t"), min(col("deadline")).as("deadline"))
+    }
+    val rows = stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step_idx"), lit(step).as("step"), col("n_users"))
+    }.reduce(_ unionByName _)
+    rows.crossJoin(broadcast(first.agg(count(lit(1)).as("n1"))))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        when(col("n1") > 0,
+          round(col("n_users").cast("double") * 1000000.0 / col("n1")).cast("long"))
+          .otherwise(lit(0L)).as("conv_micro"))
+  }
+
+  /** Top-N most common session-opening paths: each user's first `k`
+    * event types (by (ts, eventId)) joined with `>`, counted across
+    * users. One per-user rank window (partitioned on the user key), an
+    * order-insensitive collect re-sorted by rank inside the row, and a
+    * distributed TakeOrdered for the top-N — no global sort.
+    */
+  def topPaths(events: DataFrame, k: Int, topN: Int,
+               userCol: String = "user_id", tsCol: String = "ts",
+               typeCol: String = "event_type",
+               idCol: String = "event_id"): DataFrame = {
+    require(k > 0 && topN > 0, "k and topN must be positive")
+    val perUser = Window.partitionBy(col("u"))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol).as("u"), col(tsCol), col(idCol), col(typeCol).as("et"))
+      .withColumn("rn", row_number().over(perUser))
+      .filter(col("rn") <= k)
+      .groupBy(col("u"))
+      // collect_list order is nondeterministic under parallel merge —
+      // sort by the embedded rank, then project the types
+      .agg(concat_ws(">",
+        transform(array_sort(collect_list(struct(col("rn"), col("et")))),
+          x => x.getField("et"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(topN)
+  }
+
   /** Total dwell time per event type: the gap between consecutive events
     * of one user is attributed to the EARLIER event's type (the state the
     * user was in while the clock ran). Each user's last event has no

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.Exec.EagerDf
+
+/** Sweep-line interval analytics: peak concurrency per group over a set
+  * of half-open integer intervals `[start, end)`.
+  *
+  * The textbook algorithm sorts all boundary events and takes a running
+  * sum of +1/−1 deltas — per group, a GLOBAL-order prefix sum, which as
+  * a single `Window.partitionBy(grp).orderBy(t)` puts each group's whole
+  * event list in one task (the hot group = the whole corpus at 100 TB).
+  * Here the prefix sum is TWO-PHASE like every global prefix in this
+  * engine ([[graft.ext.CorpusOps.packSequences]]): range-partition by
+  * (grp, t, delta), per-partition running sums, then offset each
+  * partition by the per-(group, partition) totals of the partitions
+  * before it — an O(#partitions · #groups-per-partition) single pass.
+  *
+  * Tie semantics: boundaries sort by (t, delta), so at equal t the −1
+  * ends precede the +1 starts (half-open intervals never overlap when
+  * one ends where the other begins). Within a run of EQUAL (t, delta)
+  * rows the running values depend on arbitrary intra-tie order, but the
+  * per-group MAX is permutation-invariant: a run of −1s is monotone
+  * decreasing and a run of +1s monotone increasing, so the maximum is
+  * always attained at a tie-group boundary — which is why only the max
+  * (not row-level running values) is part of the operator's contract.
+  */
+object Sweep {
+
+  /** Peak concurrency and interval count per group.
+    *
+    * @param intervals (grp, start, end) — long integers, half-open;
+    *                  rows with end ≤ start are dropped (zero/negative
+    *                  length never occupies the timeline)
+    */
+  def maxConcurrency(intervals: DataFrame): DataFrame = {
+    val spark = intervals.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val iv = intervals.select(col("grp"), col("start").cast("long"),
+        col("end").cast("long"))
+      .filter(col("end") > col("start"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deltas = iv.select(col("grp"), col("start").as("t"), lit(1L).as("delta"))
+        .unionByName(iv.select(col("grp"), col("end").as("t"), lit(-1L).as("delta")))
+      val base = deltas.repartitionByRange(p, col("grp"), col("t"), col("delta"))
+        .withColumn("part", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val local = Window.partitionBy(col("part"), col("grp"))
+          .orderBy(col("t"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val perPartGrp = base.groupBy(col("part"), col("grp"))
+          .agg(sum(col("delta")).as("ptotal"))
+        val prevParts = Window.partitionBy(col("grp")).orderBy(col("part"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = perPartGrp.select(col("part"), col("grp"),
+          coalesce(sum(col("ptotal")).over(prevParts), lit(0L)).as("poffset"))
+        val peaks = base
+          .withColumn("run_local", sum(col("delta")).over(local))
+          .join(broadcast(offsets), Seq("part", "grp"))
+          .groupBy(col("grp"))
+          .agg(max(col("run_local") + col("poffset")).as("max_concurrency"))
+        val counts = iv.groupBy(col("grp")).agg(count(lit(1)).as("n_intervals"))
+        counts.join(peaks, "grp")
+          .select(col("grp"), col("n_intervals"), col("max_concurrency"))
+          .checkpointEager()
+      } finally base.unpersist(false)
+    } finally iv.unpersist(false)
+  }
+}

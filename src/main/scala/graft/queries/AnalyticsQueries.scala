@@ -290,6 +290,131 @@ object AnalyticsQueries extends QueryPack {
              |    AS oov_micro
              |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // Ordered funnel (view → click → purchase) within 1 day of funnel
+    // entry: staged per-user min-aggregations, all joins on user_id,
+    // exact epoch-micros; conversion in micro-units of step-1 users.
+    Q("q168_funnel_conversion",
+      (s, d) => {
+        import s.implicits._
+        Behavior.funnelConversion(Tables.events(s, d),
+            steps = Seq("view", "click", "purchase"), windowSec = 86400L)
+          .orderBy($"step_idx")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |s1 AS (
+             |  SELECT user_id, min(us) AS t, min(us) + 86400000000 AS dl
+             |  FROM e WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, min(us) AS t, min(s1.dl) AS dl
+             |  FROM e JOIN s1 USING (user_id)
+             |  WHERE event_type = 'click' AND us >= s1.t AND us <= s1.dl
+             |  GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id, min(us) AS t
+             |  FROM e JOIN s2 USING (user_id)
+             |  WHERE event_type = 'purchase' AND us >= s2.t AND us <= s2.dl
+             |  GROUP BY 1),
+             |c AS (
+             |  SELECT 1 AS step_idx, 'view' AS step,
+             |    (SELECT count(*) FROM s1) AS n_users
+             |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+             |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+             |SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+             |  CAST(n_users AS BIGINT) AS n_users,
+             |  CAST(round(CAST(n_users AS DOUBLE) * 1000000.0 /
+             |    (SELECT count(*) FROM s1)) AS BIGINT) AS conv_micro
+             |FROM c ORDER BY 1""".stripMargin)),
+
+    // Top-10 session-opening paths: each user's first three event types
+    // joined with '>' — rank window on the user key, in-row re-sort of
+    // the collected steps, distributed TakeOrdered for the top-N.
+    Q("q169_top_paths",
+      (s, d) => {
+        import s.implicits._
+        Behavior.topPaths(Tables.events(s, d), k = 3, topN = 10)
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+             |  FROM events),
+             |p AS (
+             |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+             |  FROM r WHERE rn <= 3 GROUP BY 1)
+             |SELECT path, count(*) AS n_users FROM p
+             |GROUP BY 1 ORDER BY n_users DESC, path LIMIT 10""".stripMargin)),
+
+    // Peak concurrent intervals per event type (interval = [sec,
+    // sec + round(value)) seconds): the sweep-line +1/−1 prefix as a
+    // TWO-PHASE range-partitioned sum — never a per-group global-order
+    // window. Oracle is the single-window textbook sweep; the per-group
+    // max is tie-permutation-invariant (see Sweep scaladoc).
+    Q("q170_interval_concurrency",
+      (s, d) => {
+        import s.implicits._
+        val iv = Tables.events(s, d).select(
+          $"event_type".as("grp"),
+          expr("cast(ts as long)").as("start"),
+          (expr("cast(ts as long)")
+            + greatest(round($"value", 0).cast("long"), lit(0L))).as("end"))
+        graft.ops.Sweep.maxConcurrency(iv)
+          .select($"grp".as("event_type"), $"n_intervals", $"max_concurrency")
+          .orderBy($"event_type")
+      },
+      Some("""WITH iv AS (
+             |  SELECT event_type AS grp,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 +
+             |      greatest(CAST(round(value) AS BIGINT), 0) AS e
+             |  FROM events),
+             |ivf AS (SELECT * FROM iv WHERE e > s),
+             |ev AS (
+             |  SELECT grp, s AS t, CAST(1 AS BIGINT) AS delta FROM ivf
+             |  UNION ALL
+             |  SELECT grp, e, CAST(-1 AS BIGINT) FROM ivf),
+             |run AS (
+             |  SELECT grp, sum(delta) OVER (PARTITION BY grp ORDER BY t, delta
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+             |  FROM ev),
+             |mx AS (SELECT grp, CAST(max(c) AS BIGINT) AS max_concurrency
+             |  FROM run GROUP BY 1),
+             |cnt AS (SELECT grp, count(*) AS n_intervals FROM ivf GROUP BY 1)
+             |SELECT cnt.grp AS event_type, cnt.n_intervals, mx.max_concurrency
+             |FROM cnt JOIN mx USING (grp) ORDER BY 1""".stripMargin)),
+
+    // Dynamic partition pruning: orders written month-partitioned, then
+    // joined to a runtime dim (the Q1 months present in the data — the
+    // literal seasonal predicate is what Catalyst's DPP selectivity
+    // heuristic requires; a column-vs-column filter is not "likely
+    // selective" and gets no pruning subquery). The broadcast-hinted
+    // dim feeds the fact scan's dynamicpruning partition filter under
+    // the default reuseBroadcastOnly mode, so only ~1/4 of the
+    // partitions are read (PlanAuditSpec pins the expression); the
+    // oracle recomputes from the unpartitioned source.
+    Q("q171_dpp_join",
+      (s, d) => {
+        import s.implicits._
+        import graft.core.Exact
+        val dir = graft.core.Scratch.dir("q171_ordmonth")
+        Tables.orders(s, d)
+          .withColumn("omonth", date_format($"o_orderdate", "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("omonth").parquet(dir)
+        val dim = Tables.orders(s, d)
+          .select(date_format($"o_orderdate", "yyyy-MM").as("omonth")).distinct()
+          .filter(substring($"omonth", 6, 2).isin("01", "02", "03"))
+        s.read.parquet(dir).join(broadcast(dim), "omonth")
+          .groupBy($"omonth")
+          .agg(count(lit(1)).as("n"), Exact.centsSum($"o_totalprice").as("rev_cents"))
+          .orderBy($"omonth")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS omonth, count(*) AS n,
+             |  CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+             |FROM orders
+             |WHERE substring(strftime(o_orderdate, '%Y-%m'), 6, 2) IN ('01', '02', '03')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // HLL merge algebra: per-source register tables max-merged into the
     // global registers; the oracle computes the single-pass registers
     // directly (q111's shape) — merge ≡ direct is the mergeability

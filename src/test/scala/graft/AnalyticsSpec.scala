@@ -174,6 +174,65 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got === Seq((1L, 4L, 2L, 500000L), (2L, 2L, 0L, 0L)))
   }
 
+  test("funnelConversion: window gates each step from FUNNEL ENTRY, order enforced") {
+    val W = 100L
+    val events = ev(
+      // u1 completes in order within the window
+      (1L, 0L, 1L, "a"), (2L, 10L, 1L, "b"), (3L, 20L, 1L, "c"),
+      // u2: b BEFORE a -> not a conversion; later b missing
+      (4L, 50L, 2L, "b"), (5L, 60L, 2L, "a"),
+      // u3: b inside window, c past entry+W -> stops at b
+      (6L, 0L, 3L, "a"), (7L, 90L, 3L, "b"), (8L, 150L, 3L, "c"),
+      // u4 never enters (no a)
+      (9L, 0L, 4L, "c"))
+    val got = Behavior.funnelConversion(events, Seq("a", "b", "c"), W)
+      .orderBy($"step_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1L, "a", 3L, 1000000L),
+      (2L, "b", 2L, 666667L),   // u1, u3 (u2's b precedes its a)
+      (3L, "c", 1L, 333333L)))  // only u1 (u3's c is past the window)
+  }
+
+  test("topPaths: first-k path per user, count desc then path asc") {
+    val events = ev(
+      (1L, 0L, 1L, "a"), (2L, 1L, 1L, "b"), (3L, 2L, 1L, "c"), (4L, 3L, 1L, "d"),
+      (5L, 0L, 2L, "a"), (6L, 1L, 2L, "b"), (7L, 2L, 2L, "c"),
+      (8L, 0L, 3L, "a"), (9L, 1L, 3L, "z"),
+      (10L, 0L, 4L, "a"), (11L, 1L, 4L, "z"))
+    val got = Behavior.topPaths(events, k = 3, topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a>b>c", 2L), ("a>z", 2L)))
+  }
+
+  test("maxConcurrency: sweep line with half-open touch, per-group, zero-length dropped") {
+    val iv = Seq(
+      ("x", 0L, 10L), ("x", 5L, 15L), ("x", 10L, 20L), // peak 2; [0,10) and [10,20) never overlap
+      ("x", 7L, 7L),                                   // zero-length: dropped
+      ("y", 0L, 100L), ("y", 1L, 2L), ("y", 1L, 2L), ("y", 1L, 2L) // nested burst: peak 4
+    ).toDF("grp", "start", "end")
+    val got = graft.ops.Sweep.maxConcurrency(iv).orderBy($"grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("x", 3L, 2L), ("y", 4L, 4L)))
+  }
+
+  test("maxConcurrency: two-phase result matches the single-window sweep on a big group") {
+    val iv = (1L to 5000L).map { k =>
+      val s = (k * 48271L) % 10007L
+      ("g", s, s + 1 + (k * 16807L) % 97L)
+    }.toDF("grp", "start", "end")
+    val got = graft.ops.Sweep.maxConcurrency(iv)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).head
+    import org.apache.spark.sql.expressions.{Window => W}
+    val deltas = iv.select($"grp", $"start".as("t"), lit(1L).as("delta"))
+      .unionByName(iv.select($"grp", $"end".as("t"), lit(-1L).as("delta")))
+    val naive = deltas.withColumn("c",
+        sum($"delta").over(W.partitionBy($"grp").orderBy($"t", $"delta")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .agg(max($"c")).head.getLong(0)
+    assert(got === (("g", 5000L, naive)))
+  }
+
   test("hllMergeRegisters: per-source merge equals the single-pass registers") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val toks = docs.select($"source", explode(TextAnalysis.tokens($"text")).as("tok"))

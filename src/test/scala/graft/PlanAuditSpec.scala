@@ -291,4 +291,23 @@ class PlanAuditSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("q171 fact scan carries a dynamic partition pruning filter") {
+    val plan = finalPlan("q171_dpp_join")
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the month-partitioned fact scan:\n$plan")
+  }
+
+  test("q163 radius search joins on grid cells — never a quadratic pair plan") {
+    val plan = finalPlan("q163_radius_neighbors")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"radius search degenerated to an all-pairs join:\n$plan")
+  }
+
+  test("q164 frontier prefix-max is range-partitioned, not one global window") {
+    val plan = finalPlan("q164_pareto_frontier")
+    assert(plan.contains("rangepartitioning"),
+      s"two-phase prefix lost its range partitioning:\n$plan")
+  }
 }
