@@ -67,6 +67,41 @@ object Eval {
           (lit(2.0) * col("n_pos") * col("n_neg"))).cast("long").as("auc_micro"))
   }
 
+  /** Per-group simple linear regression (OLS) from exact integer
+    * moments: slope, intercept, and R² of `y ~ x` per group, where x
+    * and y are long-integer columns. The five moments accumulate as
+    * decimal(38,0) — exact, order-independent under distributed partial
+    * aggregation (the q123 correlation discipline) — and the three
+    * outputs are shared-shape double expressions rounded to 4 decimals
+    * (`+ 0.0` collapses negative zero: slopes go negative).
+    *
+    * One hash aggregation over the data; everything after runs on the
+    * one-row-per-group moment table. Degenerate groups (constant x)
+    * yield null slope/intercept/R²; constant y yields R² = null.
+    */
+  def olsByGroup(df: DataFrame, grpCol: String, xCol: String, yCol: String): DataFrame = {
+    import graft.core.Exact.r4
+    val m = df.select(col(grpCol).as("grp"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val varx = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val vary = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("grp"), col("n"),
+      when(varx =!= 0.0, r4(cov / varx)).as("slope"),
+      when(varx =!= 0.0,
+        r4((col("sy").cast("double") - cov / varx * col("sx").cast("double")) / nD))
+        .as("intercept"),
+      when(varx =!= 0.0 && vary =!= 0.0, r4(cov * cov / (varx * vary))).as("r2"))
+  }
+
   /** Reliability-diagram bins for a micro-unit probability column
     * (`probMicro` ∈ [0, 1e6]): equal-width bins, per-bin support, mean
     * predicted probability, and empirical positive rate — predicted vs

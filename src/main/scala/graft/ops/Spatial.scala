@@ -48,20 +48,23 @@ object Spatial {
     * `points`: (id, lat, lon); `sites`: (site_id, lat, lon), both in
     * micro-degrees. The site dimension is broadcast (landing sites are
     * O(100) rows — the lookup-dimension assumption of the reference's
-    * site metadata joins); the per-point arg-min is a window over the
-    * ≤|sites| candidate rows of each point.
+    * site metadata joins); the per-point arg-min is `min(struct(dist2,
+    * site_id))` — struct ordering IS the (distance, tie-to-lower-id)
+    * comparator, and as an AGGREGATE it partial-combines map-side, so
+    * the |points|·|sites| candidate stream collapses back to |points|
+    * rows before any exchange (a row_number window here would shuffle
+    * and sort the full candidate stream: measured 6× slower at sf0.1).
     */
   def nearestSite(points: DataFrame, sites: DataFrame): DataFrame = {
-    val joined = points.select(col("id"), col("lat").as("plat"), col("lon").as("plon"))
+    points.select(col("id"), col("lat").as("plat"), col("lon").as("plon"))
       .crossJoin(broadcast(
         sites.select(col("site_id"), col("lat").as("slat"), col("lon").as("slon"))))
       .withColumn("dist2",
         (col("plat") - col("slat")) * (col("plat") - col("slat")) +
         (col("plon") - col("slon")) * (col("plon") - col("slon")))
-    val best = Window.partitionBy(col("id")).orderBy(col("dist2"), col("site_id"))
-    joined.withColumn("rn", row_number().over(best))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("site_id"), col("dist2"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist2"), col("site_id"))).as("m"))
+      .select(col("id"), col("m.site_id").as("site_id"), col("m.dist2").as("dist2"))
   }
 
   /** Per-point neighbor count within radius `rMicro` (micro-degrees,

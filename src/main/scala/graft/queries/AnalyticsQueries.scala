@@ -415,6 +415,77 @@ object AnalyticsQueries extends QueryPack {
              |WHERE substring(strftime(o_orderdate, '%Y-%m'), 6, 2) IN ('01', '02', '03')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Per-type value-over-time trend: grouped OLS (slope/intercept/R²)
+    // from exact decimal(38) moments — one aggregation pass, shared
+    // double shapes on the one-row-per-group moment table.
+    Q("q172_group_ols",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"event_type".as("grp"),
+          expr("cast(ts as long) div 86400 - 19723").as("x"),
+          round($"value" * 100, 0).cast("long").as("y"))
+        Eval.olsByGroup(ev, "grp", "x", "y").orderBy($"grp")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type AS grp,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 - 19723 AS x,
+             |    CAST(round(value * 100) AS BIGINT) AS y
+             |  FROM events),
+             |m AS (
+             |  SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+             |  FROM e GROUP BY 1),
+             |m2 AS (
+             |  SELECT grp, n,
+             |    CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS cov,
+             |    CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS varx,
+             |    CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+             |      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vary,
+             |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+             |  FROM m)
+             |SELECT grp, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN varx <> 0 THEN round(cov / varx, 4) + 0.0 END AS slope,
+             |  CASE WHEN varx <> 0 THEN
+             |    round((syd - cov / varx * sxd) / CAST(n AS DOUBLE), 4) + 0.0 END
+             |    AS intercept,
+             |  CASE WHEN varx <> 0 AND vary <> 0 THEN
+             |    round(cov * cov / (varx * vary), 4) + 0.0 END AS r2
+             |FROM m2 ORDER BY grp""".stripMargin)),
+
+    // Runtime bloom-filter join pruning — the row-level counterpart of
+    // q171's partition-level DPP: with the dim side too big to
+    // broadcast (forced here), Catalyst builds a bloom filter from the
+    // selective dim and semi-filters the fact BEFORE its shuffle,
+    // cutting shuffle volume to ~the join's selectivity. Runs in a
+    // child session so the thresholds touch only this query's plans;
+    // the oracle is the plain join (the filter is transparent).
+    Q("q173_runtime_bloom_join",
+      (s, d) => {
+        import s.implicits._
+        import graft.core.Exact
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val li = Tables.lineitem(s2, d)
+        val o = Tables.orders(s2, d).filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_orderkey")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            Exact.centsSum($"l_extendedprice").as("rev_cents"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT)
+             |    AS rev_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // HLL merge algebra: per-source register tables max-merged into the
     // global registers; the oracle computes the single-pass registers
     // directly (q111's shape) — merge ≡ direct is the mergeability

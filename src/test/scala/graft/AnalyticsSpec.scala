@@ -233,6 +233,21 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got === (("g", 5000L, naive)))
   }
 
+  test("olsByGroup: exact fit on a perfect line, degenerate groups yield nulls") {
+    val df = Seq(
+      ("lin", 0L, 5L), ("lin", 1L, 7L), ("lin", 2L, 9L),  // y = 2x + 5
+      ("flat", 0L, 3L), ("flat", 1L, 3L),                  // slope 0, vary 0
+      ("deg", 4L, 1L), ("deg", 4L, 9L)                     // constant x
+    ).toDF("grp", "x", "y")
+    val got = Eval.olsByGroup(df, "grp", "x", "y").orderBy($"grp").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toSeq
+    assert(got === Seq(
+      ("deg", 2L, None, None, None),
+      ("flat", 2L, Some(0.0), Some(3.0), None),
+      ("lin", 3L, Some(2.0), Some(5.0), Some(1.0))))
+  }
+
   test("hllMergeRegisters: per-source merge equals the single-pass registers") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val toks = docs.select($"source", explode(TextAnalysis.tokens($"text")).as("tok"))

@@ -298,6 +298,14 @@ class PlanAuditSpec extends SparkTestBase {
       s"no dynamic partition pruning on the month-partitioned fact scan:\n$plan")
   }
 
+  test("q173 runtime bloom filter semi-filters the fact before its shuffle") {
+    val plan = finalPlan("q173_runtime_bloom_join")
+    assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+      s"no runtime bloom filter on the fact side:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"join was not the shuffle join this query forces:\n$plan")
+  }
+
   test("q163 radius search joins on grid cells — never a quadratic pair plan") {
     val plan = finalPlan("q163_radius_neighbors")
     assert(!plan.contains("CartesianProduct") &&
