@@ -486,6 +486,67 @@ object AnalyticsQueries extends QueryPack {
              |WHERE o_orderpriority = '1-URGENT'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Exact weighted quantiles per group (price weighted by quantity):
+    // integer crossing test den·cum ≥ num·W — no fractional target,
+    // every tie engine-agreed, grouped windows over the per-value table.
+    Q("q174_weighted_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_returnflag".as("grp"),
+          round($"l_extendedprice" * 100, 0).cast("long").as("cents"),
+          $"l_quantity".cast("long").as("qty"))
+        graft.ops.WeightedStats.weightedQuantiles(li, "grp", "cents", "qty",
+            Seq((1, 2, "wmedian_cents"), (9, 10, "wp90_cents")))
+          .orderBy($"grp")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_returnflag AS grp,
+             |    CAST(round(l_extendedprice*100, 0) AS BIGINT) AS v,
+             |    CAST(l_quantity AS BIGINT) AS w
+             |  FROM lineitem WHERE l_quantity > 0),
+             |bv AS (SELECT grp, v, CAST(sum(w) AS BIGINT) AS w FROM li GROUP BY 1, 2),
+             |c AS (
+             |  SELECT grp, v,
+             |    sum(w) OVER (PARTITION BY grp ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(w) OVER (PARTITION BY grp) AS tot
+             |  FROM bv)
+             |SELECT grp, CAST(min(tot) AS BIGINT) AS total_weight,
+             |  min(CASE WHEN cum * 2 >= tot * 1 THEN v END) AS wmedian_cents,
+             |  min(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS wp90_cents
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // "Customers also bought": top-3 co-purchased parts per part by
+    // shared-order count — directed pair counts off the same salted
+    // co-occurrence shape as the q128 graph, per-source rank window.
+    Q("q175_copurchase_topk",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") =!= col("y.pk"))
+          .groupBy(col("x.pk").as("part_id"), col("y.pk").as("also_part"))
+          .agg(count(lit(1)).as("n_orders"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"part_id")
+          .orderBy($"n_orders".desc, $"also_part".asc)
+        pairs.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= 3)
+          .select($"part_id", $"rnk", $"also_part", $"n_orders")
+          .orderBy($"part_id", $"rnk")
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |pairs AS (
+             |  SELECT x.pk AS part_id, y.pk AS also_part, count(*) AS n_orders
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk <> y.pk
+             |  GROUP BY 1, 2)
+             |SELECT part_id,
+             |  CAST(row_number() OVER (PARTITION BY part_id
+             |    ORDER BY n_orders DESC, also_part) AS BIGINT) AS rnk,
+             |  also_part, n_orders
+             |FROM pairs QUALIFY rnk <= 3 ORDER BY part_id, rnk""".stripMargin)),
+
     // HLL merge algebra: per-source register tables max-merged into the
     // global registers; the oracle computes the single-pass registers
     // directly (q111's shape) — merge ≡ direct is the mergeability

@@ -248,6 +248,23 @@ class AnalyticsSpec extends SparkTestBase {
       ("lin", 3L, Some(2.0), Some(5.0), Some(1.0))))
   }
 
+  test("weightedQuantiles: crossing test lands on real values, weights shift the median") {
+    // grp A: values 1(w5), 2(w1), 3(w1): W=7, median = first v with
+    // 2*cum >= 7 -> cum(1)=5, 10 >= 7 -> median 1; p90: 10*cum >= 63 ->
+    // cum(2)=6 (60 no), cum(3)=7 (70 yes) -> 3
+    // grp B: equal weights 1..4 -> lower median = 2
+    val df = Seq(
+      ("A", 1L, 5L), ("A", 2L, 1L), ("A", 3L, 1L),
+      ("B", 1L, 1L), ("B", 2L, 1L), ("B", 3L, 1L), ("B", 4L, 1L),
+      ("B", 9L, 0L) // zero weight: no mass, must not appear
+    ).toDF("grp", "v", "w")
+    val got = graft.ops.WeightedStats.weightedQuantiles(df, "grp", "v", "w",
+        Seq((1, 2, "med"), (9, 10, "p90")))
+      .orderBy($"grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(("A", 7L, 1L, 3L), ("B", 4L, 2L, 4L)))
+  }
+
   test("hllMergeRegisters: per-source merge equals the single-pass registers") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val toks = docs.select($"source", explode(TextAnalysis.tokens($"text")).as("tok"))
