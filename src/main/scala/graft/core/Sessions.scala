@@ -27,5 +27,13 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner only reclaims dereferenced checkpoint/broadcast
+      // blocks after a DRIVER GC; a long-running driver (Bench/Verify
+      // here, any resident pipeline service at 100 TB) can go 30+ min
+      // without one, so eagerly-checkpointed frames from finished
+      // queries pile up in the block manager and squeeze execution
+      // memory (measured: late-suite queries 4-5x their standalone
+      // medians). One periodic GC per minute bounds that drift.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
 }

@@ -547,6 +547,37 @@ object AnalyticsQueries extends QueryPack {
              |  also_part, n_orders
              |FROM pairs QUALIFY rnk <= 3 ORDER BY part_id, rnk""".stripMargin)),
 
+    // ORC source/sink round-trip (zlib, month-partitioned) with a
+    // pushed-down predicate on the read — the columnar-format seam next
+    // to parquet (S3-S5), CSV (q141), and the V2 doc store (q56):
+    // Spark's native ORC reader prunes partitions and pushes filters
+    // exactly like parquet (PlanAuditSpec pins PushedFilters on this
+    // scan). Oracle recomputes from the parquet source.
+    Q("q176_orc_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        import graft.core.Exact
+        val dir = graft.core.Scratch.dir("q176_orc")
+        Tables.orders(s, d)
+          .withColumn("omonth", date_format($"o_orderdate", "yyyy-MM"))
+          .write.mode("overwrite").option("compression", "zlib")
+          .partitionBy("omonth").orc(dir)
+        s.read.orc(dir)
+          .filter($"omonth" >= "1996-01" && $"omonth" < "1997-01"
+            && $"o_totalprice" > 100000.0)
+          .groupBy($"omonth")
+          .agg(count(lit(1)).as("n"), Exact.centsSum($"o_totalprice").as("rev_cents"))
+          .orderBy($"omonth")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS omonth, count(*) AS n,
+             |  CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+             |    AS rev_cents
+             |FROM orders
+             |WHERE strftime(o_orderdate, '%Y-%m') >= '1996-01'
+             |  AND strftime(o_orderdate, '%Y-%m') < '1997-01'
+             |  AND o_totalprice > 100000.0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // HLL merge algebra: per-source register tables max-merged into the
     // global registers; the oracle computes the single-pass registers
     // directly (q111's shape) — merge ≡ direct is the mergeability

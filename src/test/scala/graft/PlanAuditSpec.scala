@@ -306,6 +306,14 @@ class PlanAuditSpec extends SparkTestBase {
       s"join was not the shuffle join this query forces:\n$plan")
   }
 
+  test("q176 ORC read pushes the price filter and prunes partitions statically") {
+    val plan = finalPlan("q176_orc_roundtrip")
+    assert(plan.contains("GreaterThan(o_totalprice,100000.0)"),
+      s"price predicate not pushed to the ORC reader:\n$plan")
+    assert(plan.contains("PartitionFilters: [") && plan.contains("omonth"),
+      s"month range not applied as partition filters:\n$plan")
+  }
+
   test("q163 radius search joins on grid cells — never a quadratic pair plan") {
     val plan = finalPlan("q163_radius_neighbors")
     assert(!plan.contains("CartesianProduct") &&
