@@ -54,7 +54,14 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         if (ok) sec else -sec
       }
-      val median = secs.sorted.apply(secs.length / 2)
+      // median over SUCCESSFUL reps only: the negative failed-run
+      // sentinels would otherwise sort first and drag the median onto
+      // (or below) a failure time; a query with zero successes keeps a
+      // negative median so it can never read as a fast success
+      val good = secs.filter(_ >= 0)
+      val median =
+        if (good.nonEmpty) good.sorted.apply(good.length / 2)
+        else secs.sorted.apply(secs.length / 2)
       name -> (secs.head, median)
     }.toMap
     // per-query seconds at ms precision: the driver keeps only a bounded

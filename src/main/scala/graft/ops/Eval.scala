@@ -63,8 +63,12 @@ object Eval {
     perLabel
       .withColumn("n_neg", sum(col("n_pos")).over(overAll) - col("n_pos"))
       .select(col("label"), col("n_pos"), col("n_neg"),
-        round(col("wins2").cast("double") * 1000000.0 /
-          (lit(2.0) * col("n_pos") * col("n_neg"))).cast("long").as("auc_micro"))
+        // n_neg = 0 (only one label present) is 0/0: guard to null
+        // instead of letting the NaN cast to a misleading 0
+        when(col("n_neg") > 0,
+          round(col("wins2").cast("double") * 1000000.0 /
+            (lit(2.0) * col("n_pos") * col("n_neg"))).cast("long"))
+          .as("auc_micro"))
   }
 
   /** Per-group simple linear regression (OLS) from exact integer
@@ -112,8 +116,15 @@ object Eval {
   def calibrationBins(df: DataFrame, probMicroCol: String, labelCol: String,
                       bins: Int = 10): DataFrame = {
     require(bins > 0, "bins must be positive")
+    // the column name is spliced into SQL text (integer div has no
+    // Column-DSL form) — validate it like Expectations.audit does
+    require(probMicroCol.matches("[A-Za-z0-9_]+"),
+      s"probMicroCol must be a bare identifier, got '$probMicroCol'")
     df.select(
-        least(expr(s"$probMicroCol * $bins div 1000000"), lit(bins - 1L)).as("bin"),
+        // clamp BOTH edges: an out-of-range p (< 0 or > 1e6) from a
+        // sloppy upstream map must not mint phantom bins
+        least(greatest(expr(s"$probMicroCol * $bins div 1000000"), lit(0L)),
+          lit(bins - 1L)).as("bin"),
         col(probMicroCol).as("p"), col(labelCol).cast("long").as("y"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"), sum(col("p")).as("sp"))

@@ -35,8 +35,12 @@ object Frontier {
   def paretoFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism
+    // the distinct point set feeds BOTH the per-x table and the final
+    // dominance probe — persist it or the distinct shuffle (the full
+    // pass over all input points) executes twice
     val pts = df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per x; bound(x) = max y over strictly greater x decides
     // dominance for EVERY point at x, so the prefix runs on the per-x
     // table, not the point set
@@ -68,6 +72,9 @@ object Frontier {
         .filter(col("y") >= col("bound"))
         .select(col("x"), col("y"))
         .checkpointEager()
-    } finally base.unpersist(false)
+    } finally {
+      base.unpersist(false)
+      pts.unpersist(false)
+    }
   }
 }

@@ -36,11 +36,21 @@ object Spatial {
     * multiply + modulo, no overflow for keys < 3.4e9 (the multiplier is
     * 2654435761 = floor(2^32/φ)).
     */
+  /** SQL text of the scatter — the SINGLE definition both the Spark
+    * expressions below and the conformance oracles splice, so the two
+    * sides cannot drift.
+    */
+  def latSql(keyCol: String): String =
+    s"-18000000 + ($keyCol * 2654435761) % 2000001"
+
+  def lonSql(keyCol: String): String =
+    s"34000000 + (($keyCol * 2654435761 + 777767777) % 2000001)"
+
   def synthLatMicro(keyCol: String): org.apache.spark.sql.Column =
-    expr(s"-18000000 + ($keyCol * 2654435761) % 2000001")
+    expr(latSql(keyCol))
 
   def synthLonMicro(keyCol: String): org.apache.spark.sql.Column =
-    expr(s"34000000 + (($keyCol * 2654435761 + 777767777) % 2000001)")
+    expr(lonSql(keyCol))
 
   /** Assign each point to its nearest site by squared micro-degree
     * distance; deterministic ties to the lower site id.
@@ -56,9 +66,13 @@ object Spatial {
     * and sort the full candidate stream: measured 6× slower at sf0.1).
     */
   def nearestSite(points: DataFrame, sites: DataFrame): DataFrame = {
-    points.select(col("id"), col("lat").as("plat"), col("lon").as("plon"))
+    // cast to long BEFORE squaring: int-typed micro-degrees overflow
+    // 32-bit arithmetic at a delta of only ~46k micro-degrees
+    points.select(col("id"), col("lat").cast("long").as("plat"),
+        col("lon").cast("long").as("plon"))
       .crossJoin(broadcast(
-        sites.select(col("site_id"), col("lat").as("slat"), col("lon").as("slon"))))
+        sites.select(col("site_id"), col("lat").cast("long").as("slat"),
+          col("lon").cast("long").as("slon"))))
       .withColumn("dist2",
         (col("plat") - col("slat")) * (col("plat") - col("slat")) +
         (col("plon") - col("slon")) * (col("plon") - col("slon")))
@@ -81,9 +95,12 @@ object Spatial {
     */
   def radiusNeighbors(points: DataFrame, rMicro: Long): DataFrame = {
     require(rMicro > 0, "radius must be positive")
-    val pts = points.select(col("id"), col("lat"), col("lon"),
-      expr(s"(lat + 90000000) div $rMicro").as("cx"),
-      expr(s"(lon + 180000000) div $rMicro").as("cy"))
+    val pts = points
+      .select(col("id"), col("lat").cast("long").as("lat"),
+        col("lon").cast("long").as("lon"))
+      .select(col("id"), col("lat"), col("lon"),
+        expr(s"(lat + 90000000) div $rMicro").as("cx"),
+        expr(s"(lon + 180000000) div $rMicro").as("cy"))
     val probes = pts.select(col("id").as("id_a"),
         col("lat").as("lat_a"), col("lon").as("lon_a"),
         explode(expr("array(-1L, 0L, 1L)")).as("dx"), col("cx"), col("cy"))

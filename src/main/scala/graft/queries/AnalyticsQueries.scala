@@ -21,10 +21,11 @@ import graft.ops.{Behavior, Eval, Frontier, Spatial}
   */
 object AnalyticsQueries extends QueryPack {
 
-  /** Shared oracle fragment: synthetic coastal coordinates of
-    * [[Spatial.synthLatMicro]] for a key column. */
-  private def latSql(k: String) = s"-18000000 + ($k * 2654435761) % 2000001"
-  private def lonSql(k: String) = s"34000000 + (($k * 2654435761 + 777767777) % 2000001)"
+  /** Shared oracle fragment: synthetic coastal coordinates — the SQL
+    * text comes from [[Spatial.latSql]] itself, so the Spark expression
+    * and the oracle can never drift. */
+  private def latSql(k: String) = Spatial.latSql(k)
+  private def lonSql(k: String) = Spatial.lonSql(k)
 
   val all: Seq[Q] = Seq(
 
@@ -127,8 +128,9 @@ object AnalyticsQueries extends QueryPack {
              |    CAST(sum(n_pos) OVER () - n_pos AS BIGINT) AS n_neg, wins2
              |  FROM per_label)
              |SELECT label, n_pos, n_neg,
-             |  CAST(round(CAST(wins2 AS DOUBLE) * 1000000.0 /
-             |    (2.0 * CAST(n_pos AS DOUBLE) * n_neg)) AS BIGINT) AS auc_micro
+             |  CASE WHEN n_neg > 0 THEN
+             |    CAST(round(CAST(wins2 AS DOUBLE) * 1000000.0 /
+             |      (2.0 * CAST(n_pos AS DOUBLE) * n_neg)) AS BIGINT) END AS auc_micro
              |FROM fin ORDER BY label""".stripMargin)),
 
     // Reliability bins: predicted probability (affine map of the first
@@ -323,8 +325,10 @@ object AnalyticsQueries extends QueryPack {
              |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
              |SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
              |  CAST(n_users AS BIGINT) AS n_users,
-             |  CAST(round(CAST(n_users AS DOUBLE) * 1000000.0 /
-             |    (SELECT count(*) FROM s1)) AS BIGINT) AS conv_micro
+             |  CASE WHEN (SELECT count(*) FROM s1) > 0 THEN
+             |    CAST(round(CAST(n_users AS DOUBLE) * 1000000.0 /
+             |      (SELECT count(*) FROM s1)) AS BIGINT)
+             |  ELSE 0 END AS conv_micro
              |FROM c ORDER BY 1""".stripMargin)),
 
     // Top-10 session-opening paths: each user's first three event types

@@ -1033,10 +1033,14 @@ object MiningQueries extends QueryPack {
     Q("q153_pagerank_weighted",
       (s, d) => {
         import s.implicits._
+        // persist: both union arms consume `pairs`, and without the
+        // cache the orders⋈lineitem join + aggregation (the only pass
+        // over the fact table) executes once per arm
         val pairs = Tables.orders(s, d)
           .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
           .groupBy($"o_custkey".as("c"), $"l_suppkey".as("p"))
           .agg(count(lit(1)).as("w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val edges = pairs.select($"c".as("src"), ($"p" + 1000000L).as("dst"), $"w")
           .union(pairs.select(($"p" + 1000000L).as("src"), $"c".as("dst"), $"w"))
         LinkGraph.pageRankWeightedMicro(edges, iters = 3)

@@ -85,6 +85,30 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got(0) === 125000L) // complement: 1 - 0.875
   }
 
+  test("aucOneVsRest: single-label input yields null AUC, not a fake 0") {
+    val df = Seq((1L, 7), (2L, 7), (3L, 7)).toDF("score", "label")
+    val got = Eval.aucOneVsRest(df, "score", "label").collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(2) === 0L)   // n_neg
+    assert(got.head.isNullAt(3))          // auc_micro
+  }
+
+  test("calibrationBins: out-of-range p clamps to the edge bins") {
+    val df = Seq((-5000L, 0L), (2000000L, 1L)).toDF("p_micro", "y")
+    val got = Eval.calibrationBins(df, "p_micro", "y", bins = 10)
+      .orderBy($"bin").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(0L, 9L))
+  }
+
+  test("nearestSite: int-typed micro-degree inputs do not overflow the distance") {
+    // deltas of 100k micro-degrees square to 1e10 — past Int.MaxValue;
+    // without the long cast the int math wraps and picks a wrong site
+    val pts = Seq((1, 0, 0)).toDF("id", "lat", "lon")
+    val sites = Seq((1, 100000, 0), (2, 90000, 0)).toDF("site_id", "lat", "lon")
+    val got = Spatial.nearestSite(pts, sites).collect().head
+    assert(got.getInt(1) === 2 && got.getLong(2) === 8100000000L)
+  }
+
   test("calibrationBins: p = 1e6 clamps into the last bin; means are exact") {
     val df = Seq((1000000L, 1L), (950000L, 1L), (50000L, 0L), (149999L, 1L))
       .toDF("p_micro", "y")
