@@ -582,6 +582,76 @@ object AnalyticsQueries extends QueryPack {
              |  AND o_totalprice > 100000.0
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // STREAMING leaderboard under the batch oracle (the q156 replay
+    // pattern, second streaming operator to run end-to-end in the
+    // conformance gate): events replayed chronologically through
+    // StreamTopK (transformWithState MapState) in three file-source
+    // micro-batches; the FINAL generation per key (max keyTotal) must
+    // equal the batch top-5 per event type. Items are zero-padded so
+    // the processor's string tie-break equals the oracle's numeric one.
+    Q("q177_stream_topk_replay",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val prev = graft.streaming.StreamQuota.configure(s)
+        try {
+          val ev = Tables.events(s, d).select($"event_type",
+            format_string("%06d", $"user_id").as("item"),
+            expr("cast(ts as long) div 86400 - 19723").as("day"))
+          val root = graft.core.Scratch.dir("q177_replay")
+          val in = s"$root/in"
+          val slices = Seq(
+            ("s1", $"day" < 10), ("s2", $"day" >= 10 && $"day" < 20),
+            ("s3", $"day" >= 20))
+          s.catalog.dropTempView("q177_out")
+          // ONE streaming query fed incrementally — MapState must
+          // accumulate across micro-batches, and state lives per query
+          // (a fresh query per slice would reset the counts); the first
+          // slice overwrites the source dir, later slices append files,
+          // each processAllAvailable drains one batch boundary
+          ev.filter(slices.head._2).select($"event_type", $"item").coalesce(1)
+            .write.mode("overwrite").parquet(in)
+          val stream = s.readStream
+            .schema("event_type STRING, item STRING")
+            .parquet(in)
+            .as[(String, String)]
+          val q = graft.streaming.StreamTopK.topKPerKey(stream, k = 5)
+            .writeStream.outputMode("append").format("memory")
+            .queryName("q177_out").start()
+          q.processAllAvailable()
+          slices.tail.foreach { case (_, cond) =>
+            ev.filter(cond).select($"event_type", $"item").coalesce(1)
+              .write.mode("append").parquet(in)
+            q.processAllAvailable()
+          }
+          q.stop()
+          // window max instead of a self-join: the memory-sink relation
+          // carries identical attribute ids on both sides of a
+          // self-join and trips conflicting-reference resolution
+          s.table("q177_out")
+            .withColumn("mx", max($"keyTotal").over(Window.partitionBy($"key")))
+            .filter($"keyTotal" === $"mx")
+            .select($"key".as("event_type"), $"item".cast("long").as("user_id"),
+              $"cnt")
+            .withColumn("rnk", row_number().over(
+              Window.partitionBy($"event_type").orderBy($"cnt".desc, $"user_id".asc))
+              .cast("long"))
+            .orderBy($"event_type", $"rnk")
+        } finally s.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", prev)
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type, user_id, count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |r AS (
+             |  SELECT event_type, user_id, cnt,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY cnt DESC, user_id) AS rnk
+             |  FROM c)
+             |SELECT event_type, CAST(user_id AS BIGINT) AS user_id, cnt,
+             |  CAST(rnk AS BIGINT) AS rnk
+             |FROM r WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin)),
+
     // HLL merge algebra: per-source register tables max-merged into the
     // global registers; the oracle computes the single-pass registers
     // directly (q111's shape) — merge ≡ direct is the mergeability
