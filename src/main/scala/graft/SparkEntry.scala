@@ -19,6 +19,7 @@ object SparkEntry {
     ExtQueries,
     MiningQueries,
     AnalyticsQueries,
+    StatQueries,
     IoQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.

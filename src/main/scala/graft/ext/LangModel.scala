@@ -341,4 +341,136 @@ object LangModel {
         round(col("wsum").cast("double") / col("n_tokens"), 0)
           .cast("long").as("entropy_micro"))
   }
+
+  /** Exact all-pairs TF-IDF cosine top-k over n-gram vectors via the
+    * classic INVERTED-INDEX join — sparse lexical doc-doc similarity,
+    * the exact ground truth the ANN retrievers
+    * ([[Similarity]]/[[IvfIndex]]) approximate on dense embeddings.
+    *
+    * Weights are exact integers: `w = tf · idf_kilo` with
+    * `idf_kilo = round(ln(N/df)·1e3)` (KILO, not micro — norms sum w²,
+    * and kilo-scale keeps `Σ w²` far inside 64 bits: safe while
+    * `tf·idf_kilo ≤ ~3e9` per term at ~1e4 terms/doc). Dot products
+    * and squared norms are exact long sums; the cosine is ONE
+    * shared-shape double expression (`dot·1e6 / (√na·√nb)`) rounded to
+    * micro-units — bit-identical in any engine.
+    *
+    * Scale shape: the candidate join fans out per term as df², so the
+    * DF-CAP is the scale lever — `maxDf` bounds per-term fan-out
+    * (Σ_{df≤cap} df² ≤ cap·Σdf) exactly like the band-bucket caps in
+    * [[Dedup]]; capped terms drop from the VOCABULARY (weights and
+    * norms alike — both engines agree on the vector space). The df/idf
+    * table is vocabulary-sized and size-gate-broadcast; per-anchor
+    * top-k ranks only the surviving candidate pairs.
+    */
+  def tfidfCosineTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDf: Long, n: Int = 2): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val grams = docs.select(col(idCol).as("id"),
+        TextAnalysis.gramsFromTokens(toks(col(textCol)), n).as("g"))
+      .select(col("id"), explode(col("g")).as("tok"))
+    val tf = grams.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist(lvl)
+    try {
+      val nDocs = docs.select(col(idCol)).distinct().count()
+      val idf = gatedBroadcast(
+        tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("tok"),
+            round((log(lit(nDocs.toDouble)) - log(col("df").cast("double"))) * 1000, 0)
+              .cast("long").as("idf_kilo")))
+      val w = tf.join(idf, "tok")
+        .select(col("id"), col("tok"), (col("tf") * col("idf_kilo")).as("w"))
+        .persist(lvl)
+      try {
+        val norms = w.groupBy(col("id")).agg(sum(col("w") * col("w")).as("n2"))
+        val dots = w.select(col("id").as("id_a"), col("tok"), col("w").as("wa"))
+          .join(w.select(col("id").as("id_b"), col("tok"), col("w").as("wb")), "tok")
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(sum(col("wa") * col("wb")).as("dot"))
+        val both = dots.unionByName(dots.select(
+          col("id_b").as("id_a"), col("id_a").as("id_b"), col("dot")))
+        val scored = both
+          .join(norms.select(col("id").as("id_a"), col("n2").as("na")), "id_a")
+          .join(norms.select(col("id").as("id_b"), col("n2").as("nb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(col("dot").cast("double") * 1000000.0
+              / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 0)
+              .cast("long").as("cos_micro"))
+        val wnd = Window.partitionBy(col("id_a"))
+          .orderBy(col("cos_micro").desc, col("id_b").asc)
+        scored.withColumn("rnk", row_number().over(wnd).cast("long"))
+          .filter(col("rnk") <= k)
+          .select(col("id_a").as("doc_id"), col("rnk"),
+            col("id_b").as("nbr_id"), col("cos_micro"))
+          .checkpointEager()
+      } finally { w.unpersist(false); () }
+    } finally { tf.unpersist(false); () }
+  }
+
+  /** Byte-pair-encoding MERGE INDUCTION — the vocabulary-learning step
+    * of a BPE tokenizer, run corpus-wide: per round, count adjacent
+    * symbol pairs across all word occurrences (weighted by corpus word
+    * frequency), adopt the most frequent pair (ties: count desc, left
+    * asc, right asc) as a new merged symbol, and greedily re-tokenize
+    * every word left-to-right. Deterministic and engine-portable: the
+    * counts are exact integer sums and the greedy re-scan is a pure
+    * left fold, so the DuckDB oracle replays the identical rounds (its
+    * recursive-CTE scan ≡ this `aggregate()` fold, spec-pinned).
+    *
+    * Scale shape: everything after the first groupBy operates on the
+    * WORD VOCABULARY (tok, wf, syms) — orders of magnitude smaller
+    * than the corpus — so per round it is one vocabulary-sized
+    * pair-explode + partial-agg count plus ONE single-row argmax
+    * collect (bounded driver traffic, like the k-centroid collects in
+    * [[IvfIndex]]); the fold rewrite is a pure per-row expression.
+    * Vocabulary re-checkpointed per round (bounded lineage).
+    *
+    * @return one row per adopted merge: (merge_round, left_sym,
+    *         right_sym, pair_count); fewer than `rounds` rows if the
+    *         pair supply exhausts first
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one round")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs.select(explode(toks(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("wf"))
+      .withColumn("syms", split(col("tok"), ""))
+      .checkpointEager()
+    def lit1(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val pairs = vocab.select(col("wf"), explode(filter(
+          transform(col("syms"), (x, i) =>
+            when(i <= size(col("syms")) - 2,
+              struct(x.as("p1"), get(col("syms"), i + 1).as("p2")))),
+          _.isNotNull)).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum(col("wf")).as("c"))
+      // single-row argmax: bounded driver traffic by construction
+      val top = pairs.orderBy(col("c").desc, col("p1").asc, col("p2").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (p1, p2, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, p1, p2, c))
+        val fold =
+          s"""aggregate(slice(syms, 2, size(syms) - 1),
+             |  array(element_at(syms, 1)),
+             |  (acc, s) -> CASE
+             |    WHEN element_at(acc, -1) = ${lit1(p1)} AND s = ${lit1(p2)}
+             |    THEN concat(slice(acc, 1, size(acc) - 1), array(${lit1(p1 + p2)}))
+             |    ELSE concat(acc, array(s)) END)""".stripMargin
+        vocab = vocab.withColumn("syms", expr(fold)).checkpointEager()
+        r += 1
+      }
+    }
+    merges.toSeq
+      .toDF("merge_round", "left_sym", "right_sym", "pair_count")
+  }
 }

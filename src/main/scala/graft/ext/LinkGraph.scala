@@ -143,6 +143,50 @@ object LinkGraph {
     labels.select(col("id").as("node_id"), col("label"))
   }
 
+  /** Bounded-hop BFS from a seed set: the shortest hop-distance from
+    * any seed to every node within `maxHops` — k-hop neighborhoods /
+    * reachability (crawl-frontier expansion, spam-distance from a
+    * trusted core, feature extraction "distance to nearest seed").
+    * Exact integers throughout; the oracle's min-relaxation CTE chain
+    * reproduces it bit-for-bit because unit-weight BFS and repeated
+    * min-relaxation converge to the same distances.
+    *
+    * Scale shape: FRONTIER iteration, not whole-set relaxation — each
+    * hop joins only the nodes discovered in the previous hop to the
+    * edge list (settled nodes never re-expand; with unit weights a
+    * distance never improves after first discovery), then one
+    * `left_anti` against the settled set. All shuffles are equi-joins
+    * on the node id; the settled/frontier sets are eagerly
+    * checkpointed per hop ([[pageRankMicro]] contract).
+    *
+    * @param edges   directed (src, dst) pairs
+    * @param seeds   (id) rows, distance 0; duplicates tolerated
+    * @param maxHops number of expansion rounds (plan depth O(1)/round)
+    * @return (node_id, dist) for every node within maxHops of a seed
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "at least one hop")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).persist(lvl)
+    try {
+      var settled = seeds.select(col("id")).distinct()
+        .withColumn("dist", lit(0L)).checkpointEager()
+      var frontier = settled
+      var hop = 1
+      while (hop <= maxHops && !frontier.isEmpty) {
+        val discovered = e.join(frontier.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id")).distinct()
+          .join(settled, Seq("id"), "left_anti")
+          .withColumn("dist", lit(hop.toLong))
+          .checkpointEager()
+        settled = settled.unionByName(discovered).checkpointEager()
+        frontier = discovered
+        hop += 1
+      }
+      settled.select(col("id").as("node_id"), col("dist"))
+    } finally { e.unpersist(false); () }
+  }
+
   /** Per-node triangle counts by degree-ordered orientation — the
     * clustering/community-density signal over co-occurrence graphs
     * (co-purchased parts, co-cited pages). Exact integer counting, so

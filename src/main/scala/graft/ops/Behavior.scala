@@ -174,4 +174,31 @@ object Behavior {
         count(lit(1)).as("n_intervals"),
         sum(col("next_sec") - col("sec")).as("total_sec"))
   }
+
+  /** Daily active/new/cumulative-distinct user counts — the growth
+    * dashboard primitive ("users to date"). COUNT(DISTINCT) per day
+    * plus a running total of first-seen users; the cumulative sum runs
+    * over the per-DAY aggregate, whose cardinality is bounded by the
+    * calendar (a decade is ~3,650 rows), so the single-task window is
+    * safe by construction — the fact-table work is two
+    * partial-combining groupBys keyed on (user) and (day, user).
+    *
+    * All integer epoch-day arithmetic (`cast(ts as long) div 86400` —
+    * the shared cross-engine shape).
+    */
+  def cumulativeDistinct(events: DataFrame, userCol: String = "user_id",
+                         tsCol: String = "ts"): DataFrame = {
+    val du = events.select(expr(s"cast($tsCol as long) div 86400").as("day"),
+        col(userCol).as("u"))
+      .distinct()
+    val active = du.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val firstSeen = du.groupBy(col("u")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val byDay = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(firstSeen, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(byDay))
+  }
 }

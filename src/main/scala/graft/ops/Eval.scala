@@ -133,4 +133,44 @@ object Eval {
         round(col("n_pos").cast("double") * 1000000.0 / col("n")).cast("long")
           .as("emp_rate_micro"))
   }
+
+  /** Pearson chi-squared independence cells for two categorical
+    * columns — the "did the label mix drift across segments?" test
+    * behind A/B checks and stratification audits. Emits one row per
+    * observed (row, col) cell with the observed count, expected count,
+    * and the cell's chi-squared contribution; the caller sums
+    * `contrib_micro` (an exact INTEGER sum of already-rounded
+    * micro-units — deterministic in any engine, unlike a double sum
+    * whose partial order varies) for the statistic.
+    *
+    * Exactness: with T = total, R = row total, C = col total, O =
+    * observed, the contribution is `(O·T − R·C)² / (T·R·C)` — numerator
+    * and denominator are exact 64-bit integers (T ≤ ~3e6 with
+    * type²-cardinality cells keeps O·T ≤ ~9e12 and T·R·C well under
+    * 2^63 for the intended label/segment cardinalities), one
+    * shared-shape double division, micro-rounded.
+    *
+    * Scale shape: one groupBy over the fact table (partial-combining);
+    * everything after operates on the type²-cardinality cells table —
+    * windows over it are bounded by construction.
+    */
+  def chiSquareCells(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("o"))
+    val wr = Window.partitionBy(col("r"))
+    val wc = Window.partitionBy(col("c"))
+    val wt = Window.partitionBy()
+    cells
+      .withColumn("rt", sum(col("o")).over(wr))
+      .withColumn("ct", sum(col("o")).over(wc))
+      .withColumn("t", sum(col("o")).over(wt))
+      .withColumn("e_micro",
+        round(col("rt").cast("double") * col("ct").cast("double") * 1000000.0
+          / col("t").cast("double"), 0).cast("long"))
+      .withColumn("d", col("o") * col("t") - col("rt") * col("ct"))
+      .withColumn("contrib_micro",
+        round(col("d").cast("double") * col("d").cast("double") * 1000000.0
+          / (col("t") * col("rt") * col("ct")).cast("double"), 0).cast("long"))
+      .select(col("r"), col("c"), col("o"), col("e_micro"), col("contrib_micro"))
+  }
 }

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.Exec.EagerDf
+
+/** Per-group dense 1..n ranking WITHOUT a per-group global-order
+  * window. `Window.partitionBy(grp).orderBy(...)` puts each group's
+  * whole row set in one task — the hot group becomes the whole corpus
+  * at 100 TB. Here ranks come from the engine's standard TWO-PHASE
+  * prefix pattern ([[Sweep.maxConcurrency]],
+  * [[graft.ext.CorpusOps.packSequences]]): range-partition by
+  * (grp, order keys), per-partition local `row_number`, then offset
+  * each partition by the count of same-group rows in the partitions
+  * before it. The offsets table is one row per (partition, group)
+  * actually present — broadcast-sized for type-cardinality groups; a
+  * million-group regime would swap the broadcast for a shuffle join
+  * (one-line change, same contract).
+  *
+  * The order keys must be a TOTAL order within each group (include a
+  * unique tie-break key) — otherwise rank assignment within ties is
+  * partition-placement-dependent. All keys must be non-null (range
+  * partitioner and cross-engine NULL ordering both bite; callers
+  * filter/coalesce first).
+  */
+object Ranks {
+
+  /** Adds `rankCol` = 1-based rank of each row within its `grp`,
+    * ordered by `orderCols` (must include a unique tie-break).
+    */
+  def twoPhaseRank(df: DataFrame, grpCol: String, orderCols: Seq[String],
+      rankCol: String = "rank"): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val ordCols: Seq[Column] = orderCols.map(col)
+    val base = df
+      .repartitionByRange(p, (col(grpCol) +: ordCols): _*)
+      .withColumn("__part", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val local = Window.partitionBy(col("__part"), col(grpCol))
+        .orderBy(ordCols: _*)
+      val perPartGrp = base.groupBy(col("__part"), col(grpCol))
+        .agg(count(lit(1)).as("__pn"))
+      val prevParts = Window.partitionBy(col(grpCol)).orderBy(col("__part"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = perPartGrp.select(col("__part"), col(grpCol),
+        coalesce(sum(col("__pn")).over(prevParts), lit(0L)).as("__poffset"))
+      base
+        .withColumn("__rn", row_number().over(local).cast("long"))
+        .join(broadcast(offsets), Seq("__part", grpCol))
+        .withColumn(rankCol, col("__rn") + col("__poffset"))
+        .drop("__part", "__rn", "__poffset")
+        .checkpointEager() // materialize before unpersisting the base
+    } finally { base.unpersist(false); () }
+  }
+}

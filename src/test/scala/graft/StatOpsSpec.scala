@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.LinkGraph
+import graft.ops.{Allocate, Behavior, Eval, Inequality, Ranks}
+
+/** Ground truth for the twelfth-wave operators on hand-built fixtures:
+  * two-phase ranks ≡ the window row_number they replace, proration
+  * budget-exactness and tie-breaks, Gini corner cases (all-equal,
+  * max-concentration, zero-mass), chi-squared independence zeros, BFS
+  * frontier semantics (settled nodes never re-expand, min over seeds),
+  * and first-seen cumulative counts.
+  */
+class StatOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("twoPhaseRank equals per-group window row_number") {
+    val df = (1 to 97).map(i => (s"g${i % 3}", (i * 37) % 41, i))
+      .toDF("grp", "v", "k")
+    val got = Ranks.twoPhaseRank(df, "grp", Seq("v", "k"), "rank")
+      .select($"grp", $"v", $"k", $"rank")
+    val want = df.withColumn("rank",
+      row_number().over(Window.partitionBy($"grp").orderBy($"v", $"k"))
+        .cast("long"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("prorate: allocations sum to the budget, remainders break ties by key") {
+    val w = Seq(("g", "a", 1L), ("g", "b", 1L), ("g", "c", 1L))
+      .toDF("grp", "key", "w")
+    val got = Allocate.prorate(w, "grp", "key", "w", budget = 10L)
+      .orderBy($"key")
+      .collect().map(r => (r.getString(1), r.getLong(3))).toSeq
+    // base = 3 each, leftover 1 goes to the smallest key
+    assert(got === Seq(("a", 4L), ("b", 3L), ("c", 3L)))
+  }
+
+  test("prorate: proportionality and exact budget on skewed weights") {
+    val w = Seq(("g", "a", 5L), ("g", "b", 3L), ("g", "c", 2L))
+      .toDF("grp", "key", "w")
+    val got = Allocate.prorate(w, "grp", "key", "w", budget = 7L)
+      .collect().map(r => (r.getString(1), r.getLong(3))).toMap
+    assert(got.values.sum === 7L)
+    // 7*5/10=3.5 -> 3 rem 5; 7*3/10=2.1 -> 2 rem 1; 7*2/10=1.4 -> 1 rem 4
+    // leftover 1 goes to 'a' (largest remainder)
+    assert(got === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("prorate: NULL and non-positive weights are excluded, not allocated") {
+    val w = Seq(("g", "a", Some(3L)), ("g", "b", Some(0L)),
+        ("g", "c", Option.empty[Long]), ("g", "d", Some(-2L)))
+      .toDF("grp", "key", "w")
+    val got = Allocate.prorate(w, "grp", "key", "w", budget = 5L)
+      .collect().map(r => (r.getString(1), r.getLong(3))).toMap
+    assert(got === Map("a" -> 5L))
+  }
+
+  test("giniMicro: all-equal is 0, max concentration approaches (n-1)/n") {
+    val eq = Seq(("g", 7L, 1L), ("g", 7L, 2L), ("g", 7L, 3L))
+      .toDF("grp", "v", "k")
+    assert(Inequality.giniMicro(eq, "grp", "v", "k")
+      .select($"gini_micro").head.getLong(0) === 0L)
+    // one key owns everything: G = (2*4*10 - 5*10)/(4*10) = 30/40 = 0.75
+    val conc = Seq(("g", 0L, 1L), ("g", 0L, 2L), ("g", 0L, 3L), ("g", 10L, 4L))
+      .toDF("grp", "v", "k")
+    assert(Inequality.giniMicro(conc, "grp", "v", "k")
+      .select($"gini_micro").head.getLong(0) === 750000L)
+  }
+
+  test("giniMicro: zero-mass group yields NULL, not a division error") {
+    val z = Seq(("g", 0L, 1L), ("g", 0L, 2L)).toDF("grp", "v", "k")
+    val row = Inequality.giniMicro(z, "grp", "v", "k").head
+    assert(row.getLong(1) === 2L && row.isNullAt(3))
+  }
+
+  test("chiSquareCells: independent table has zero contributions") {
+    // counts r x c = rowShare * colShare * T exactly
+    val rows = Seq.fill(6)(("x", "u")) ++ Seq.fill(2)(("x", "v")) ++
+      Seq.fill(3)(("y", "u")) ++ Seq.fill(1)(("y", "v"))
+    val got = Eval.chiSquareCells(rows.toDF("r0", "c0"), "r0", "c0")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("x", "u")) === ((6L, 6000000L, 0L)))
+    assert(got(("y", "v")) === ((1L, 1000000L, 0L)))
+  }
+
+  test("chiSquareCells: a dependent 2x2 has symmetric positive contributions") {
+    val rows = Seq.fill(5)(("x", "u")) ++ Seq.fill(1)(("x", "v")) ++
+      Seq.fill(1)(("y", "u")) ++ Seq.fill(5)(("y", "v"))
+    val got = Eval.chiSquareCells(rows.toDF("r0", "c0"), "r0", "c0")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(4))).toMap
+    // all four cells deviate equally: (O*T-R*C)^2/(T*R*C) = (60-36)^2/(12*36)
+    val want = math.round(24.0 * 24.0 * 1e6 / (12.0 * 36.0))
+    assert(got.values.toSet === Set(want))
+  }
+
+  test("bfsDistances: frontier expansion matches hop distances, min over seeds") {
+    // line 1->2->3->4->5, plus a shortcut 10->4; seeds {1, 10}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 10L).toDF("id")
+    val got = LinkGraph.bfsDistances(edges, seeds, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 is reached at hop 1 via 10 (not hop 3 via the line); 5 at hop 2;
+    // nothing beyond maxHops
+    assert(got === Map(1L -> 0L, 10L -> 0L, 2L -> 1L, 4L -> 1L,
+      3L -> 2L, 5L -> 2L))
+  }
+
+  test("bfsDistances: early-exhausted frontier stops cleanly") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = LinkGraph.bfsDistances(edges, Seq(1L).toDF("id"), maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("cumulativeDistinct: actives, first-seen news, running total") {
+    val events = Seq(
+      (1L, 10L, 1L), (2L, 20L, 2L),            // day 0: u1, u2 new
+      (3L, 86400L + 5, 1L),                     // day 1: u1 active, no new
+      (4L, 2 * 86400L + 5, 3L), (5L, 2 * 86400L + 9, 1L)) // day 2: u3 new
+      .toDF("event_id", "sec", "user_id")
+      .select($"event_id", timestamp_seconds($"sec").as("ts"), $"user_id")
+    val got = Behavior.cumulativeDistinct(events).orderBy($"day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((0L, 2L, 2L, 2L), (1L, 1L, 0L, 2L),
+      (2L, 2L, 1L, 3L)))
+  }
+}
