@@ -175,6 +175,52 @@ object Behavior {
         sum(col("next_sec") - col("sec")).as("total_sec"))
   }
 
+  /** Conversion attribution over the event log: for every conversion
+    * event, credit the LAST touch (most recent non-conversion event of
+    * the same user strictly before it, within `windowSec`) and the
+    * FIRST touch (the user's earliest preceding non-conversion event,
+    * unwindowed — the classic first-touch definition). Emits per-channel
+    * credit counts; conversions with no qualifying touch fall out of
+    * the respective count.
+    *
+    * Determinism: the per-user ordering is (full-resolution ts,
+    * event_id); both touch lookups are IGNORE-NULLS window navigations
+    * over the strictly-preceding frame, so each conversion resolves to
+    * exactly one row in any engine. All integer epoch-second
+    * arithmetic.
+    *
+    * Scale shape: one shuffle keyed on the user, windows bounded by
+    * per-user timelines; the channel aggregate is a
+    * partial-combining groupBy over type-cardinality keys.
+    */
+  def attribution(events: DataFrame, convType: String, windowSec: Long,
+                  userCol: String = "user_id", tsCol: String = "ts",
+                  typeCol: String = "event_type",
+                  idCol: String = "event_id"): DataFrame = {
+    val before = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol) =!= convType
+    val marked = events.select(col(userCol), col(idCol), col(tsCol),
+        col(typeCol), expr(s"cast($tsCol as long)").as("sec"))
+      .withColumn("last_ch", last(when(isTouch, col(typeCol)), ignoreNulls = true).over(before))
+      .withColumn("last_sec", last(when(isTouch, col("sec")), ignoreNulls = true).over(before))
+      .withColumn("first_ch", first(when(isTouch, col(typeCol)), ignoreNulls = true).over(before))
+      .filter(col(typeCol) === convType)
+    val lastCredit = marked
+      .filter(col("last_ch").isNotNull && col("sec") - col("last_sec") <= windowSec)
+      .groupBy(col("last_ch").as("channel"))
+      .agg(count(lit(1)).as("n_last_touch"))
+    val firstCredit = marked
+      .filter(col("first_ch").isNotNull)
+      .groupBy(col("first_ch").as("channel"))
+      .agg(count(lit(1)).as("n_first_touch"))
+    lastCredit.join(firstCredit, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"),
+        coalesce(col("n_first_touch"), lit(0L)).as("n_first_touch"))
+  }
+
   /** Daily active/new/cumulative-distinct user counts — the growth
     * dashboard primitive ("users to date"). COUNT(DISTINCT) per day
     * plus a running total of first-seen users; the cumulative sum runs

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.LinkGraph
+import graft.ext.{LangModel, LinkGraph}
 import graft.ops.{Allocate, Behavior, Eval, Inequality}
 
 /** Twelfth-wave operators: bounded-hop BFS reachability over the trade
@@ -190,5 +190,173 @@ object StatQueries extends QueryPack {
              |         OVER (ORDER BY a.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
              |    AS cum_users
              |FROM a LEFT JOIN nn ON a.day = nn.day
-             |ORDER BY a.day""".stripMargin)))
+             |ORDER BY a.day""".stripMargin)),
+
+    // Exact TF-IDF cosine top-3 neighbors over bigram vectors via the
+    // inverted-index join — the lexical ground-truth retriever next to
+    // the dense-embedding ANN stack (q49/q50/q78). Kilo-unit integer
+    // idf weights, exact long dots/norms, one shared-shape double per
+    // pair. The doc_id bound keeps the exact quadratic stage fixed-size
+    // at any sf (the q46 convention); the df-cap is the operator's own
+    // scale lever.
+    Q("q183_tfidf_cosine_topk",
+      (s, d) => {
+        import s.implicits._
+        LangModel.tfidfCosineTopK(
+            Tables.documents(s, d).filter($"doc_id" < 1000),
+            "doc_id", "text", k = 3, maxDf = 200L, n = 2)
+          .orderBy($"doc_id", $"rnk")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+             |  FROM documents WHERE doc_id < 1000),
+             |gr AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(
+             |      list_transform(l, (x, i) ->
+             |        CASE WHEN i <= len(l) - 1 THEN x || ' ' || l[i+1] END),
+             |      v -> v IS NOT NULL)) AS tok
+             |  FROM toks),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM gr GROUP BY 1, 2),
+             |nd AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+             |idf AS (
+             |  SELECT tok,
+             |    CAST(round((ln(CAST((SELECT n FROM nd) AS DOUBLE))
+             |                - ln(CAST(count(*) AS DOUBLE))) * 1000) AS BIGINT)
+             |      AS idf_kilo
+             |  FROM tf GROUP BY tok HAVING count(*) <= 200),
+             |w AS (SELECT doc_id, tok, tf * idf_kilo AS w
+             |      FROM tf JOIN idf USING (tok)),
+             |nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+             |dots AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+             |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |bth AS (SELECT id_a, id_b, dot FROM dots
+             |        UNION ALL SELECT id_b, id_a, dot FROM dots),
+             |sc AS (
+             |  SELECT id_a, id_b,
+             |    CAST(round(CAST(dot AS DOUBLE) * 1000000.0
+             |               / (sqrt(CAST(x.n2 AS DOUBLE))
+             |                  * sqrt(CAST(y.n2 AS DOUBLE)))) AS BIGINT)
+             |      AS cos_micro
+             |  FROM bth JOIN nrm x ON x.doc_id = id_a
+             |           JOIN nrm y ON y.doc_id = id_b),
+             |r AS (SELECT id_a, id_b, cos_micro,
+             |        row_number() OVER (PARTITION BY id_a
+             |                           ORDER BY cos_micro DESC, id_b) AS rnk
+             |      FROM sc)
+             |SELECT id_a AS doc_id, CAST(rnk AS BIGINT) AS rnk,
+             |  id_b AS nbr_id, cos_micro
+             |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // BPE merge induction, 3 rounds: corpus-frequency-weighted adjacent
+    // symbol-pair counts over the word vocabulary, deterministic argmax
+    // adoption, greedy left-to-right re-tokenization as a pure left
+    // fold — the oracle replays the identical rounds with recursive-CTE
+    // scans (engine-portable by construction).
+    Q("q184_bpe_merges",
+      (s, d) => LangModel.bpeMerges(Tables.documents(s, d), "text", rounds = 3)
+        .orderBy(org.apache.spark.sql.functions.col("merge_round")),
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |sy0 AS (SELECT tok, count(*) AS wf, string_split_regex(tok, '') AS syms
+             |        FROM toks GROUP BY tok),
+             |p1c AS (
+             |  SELECT (u).p1 AS p1, (u).p2 AS p2, CAST(sum(wf) AS BIGINT) AS c
+             |  FROM (SELECT wf, unnest(list_filter(
+             |          list_transform(syms, (x, i) ->
+             |            CASE WHEN i <= len(syms) - 1
+             |                 THEN {'p1': x, 'p2': syms[i+1]} END),
+             |          v -> v IS NOT NULL)) AS u
+             |        FROM sy0)
+             |  GROUP BY 1, 2),
+             |m1 AS (SELECT p1, p2, c FROM p1c ORDER BY c DESC, p1, p2 LIMIT 1),
+             |scan1 AS (
+             |  SELECT tok, wf, syms, 2 AS i, [syms[1]] AS acc FROM sy0
+             |  UNION ALL
+             |  SELECT tok, wf, syms, i + 1,
+             |    CASE WHEN acc[-1] = m.p1 AND syms[i] = m.p2
+             |      THEN list_append(acc[1:len(acc)-1], m.p1 || m.p2)
+             |      ELSE list_append(acc, syms[i]) END
+             |  FROM scan1, m1 m WHERE i <= len(syms)),
+             |sy1 AS (SELECT tok, wf, acc AS syms FROM scan1
+             |        WHERE i = len(syms) + 1),
+             |p2c AS (
+             |  SELECT (u).p1 AS p1, (u).p2 AS p2, CAST(sum(wf) AS BIGINT) AS c
+             |  FROM (SELECT wf, unnest(list_filter(
+             |          list_transform(syms, (x, i) ->
+             |            CASE WHEN i <= len(syms) - 1
+             |                 THEN {'p1': x, 'p2': syms[i+1]} END),
+             |          v -> v IS NOT NULL)) AS u
+             |        FROM sy1)
+             |  GROUP BY 1, 2),
+             |m2 AS (SELECT p1, p2, c FROM p2c ORDER BY c DESC, p1, p2 LIMIT 1),
+             |scan2 AS (
+             |  SELECT tok, wf, syms, 2 AS i, [syms[1]] AS acc FROM sy1
+             |  UNION ALL
+             |  SELECT tok, wf, syms, i + 1,
+             |    CASE WHEN acc[-1] = m.p1 AND syms[i] = m.p2
+             |      THEN list_append(acc[1:len(acc)-1], m.p1 || m.p2)
+             |      ELSE list_append(acc, syms[i]) END
+             |  FROM scan2, m2 m WHERE i <= len(syms)),
+             |sy2 AS (SELECT tok, wf, acc AS syms FROM scan2
+             |        WHERE i = len(syms) + 1),
+             |p3c AS (
+             |  SELECT (u).p1 AS p1, (u).p2 AS p2, CAST(sum(wf) AS BIGINT) AS c
+             |  FROM (SELECT wf, unnest(list_filter(
+             |          list_transform(syms, (x, i) ->
+             |            CASE WHEN i <= len(syms) - 1
+             |                 THEN {'p1': x, 'p2': syms[i+1]} END),
+             |          v -> v IS NOT NULL)) AS u
+             |        FROM sy2)
+             |  GROUP BY 1, 2),
+             |m3 AS (SELECT p1, p2, c FROM p3c ORDER BY c DESC, p1, p2 LIMIT 1)
+             |SELECT CAST(1 AS BIGINT) AS merge_round, p1 AS left_sym,
+             |  p2 AS right_sym, c AS pair_count FROM m1
+             |UNION ALL SELECT 2, p1, p2, c FROM m2
+             |UNION ALL SELECT 3, p1, p2, c FROM m3
+             |ORDER BY merge_round""".stripMargin)),
+
+    // Conversion attribution: last-touch within a 7-day window and
+    // first-touch (unwindowed) credit per channel for 'purchase'
+    // conversions — IGNORE-NULLS navigation over the strictly-preceding
+    // per-user frame, identical frames on both engines.
+    Q("q185_attribution",
+      (s, d) => {
+        import s.implicits._
+        Behavior.attribution(Tables.events(s, d), convType = "purchase",
+            windowSec = 604800L)
+          .orderBy($"channel")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+             |  FROM events),
+             |m AS (
+             |  SELECT event_type, sec,
+             |    last_value(CASE WHEN event_type <> 'purchase'
+             |                    THEN event_type END IGNORE NULLS)
+             |      OVER w AS last_ch,
+             |    last_value(CASE WHEN event_type <> 'purchase'
+             |                    THEN sec END IGNORE NULLS)
+             |      OVER w AS last_sec,
+             |    first_value(CASE WHEN event_type <> 'purchase'
+             |                     THEN event_type END IGNORE NULLS)
+             |      OVER w AS first_ch
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |conv AS (SELECT * FROM m WHERE event_type = 'purchase'),
+             |lc AS (SELECT last_ch AS channel, count(*) AS n_last FROM conv
+             |       WHERE last_ch IS NOT NULL AND sec - last_sec <= 604800
+             |       GROUP BY 1),
+             |fc AS (SELECT first_ch AS channel, count(*) AS n_first FROM conv
+             |       WHERE first_ch IS NOT NULL GROUP BY 1)
+             |SELECT channel, CAST(coalesce(n_last, 0) AS BIGINT) AS n_last_touch,
+             |  CAST(coalesce(n_first, 0) AS BIGINT) AS n_first_touch
+             |FROM lc FULL OUTER JOIN fc USING (channel)
+             |ORDER BY channel""".stripMargin)))
 }

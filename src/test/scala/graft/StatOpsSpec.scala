@@ -115,6 +115,75 @@ class StatOpsSpec extends SparkTestBase {
     assert(got === Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("tfidfCosineTopK: identical docs are mutual top neighbors at cos 1e6") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.LangModel
+      .tfidfCosineTopK(docs, "doc_id", "text", k = 1, maxDf = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((2L, 1000000L)) && got(2L) === ((1L, 1000000L)))
+    // doc 3 shares no bigram with 1/2: no candidate pair survives
+    assert(!got.contains(3L))
+  }
+
+  test("tfidfCosineTopK: df-cap drops a ubiquitous bigram from the vocabulary") {
+    // 'q q' appears in all 3 docs; with maxDf=2 it leaves the space and
+    // docs 1/2 still match on 'a b' while doc 3 has no vector at all
+    val docs = Seq((1L, "q q a b"), (2L, "q q a b"), (3L, "q q"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.LangModel
+      .tfidfCosineTopK(docs, "doc_id", "text", k = 2, maxDf = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("bpeMerges: greedy left-to-right fold and weighted pair counts") {
+    // corpus: 'aaab' x2, 'ab' x1 -> round 1 pairs: (a,a):4, (a,b):3
+    // merge (a,a); re-tokenize 'aaab' -> [aa, a, b] (greedy, no overlap)
+    // round 2 pairs: (aa,a):2, (a,b):3 -> merge (a,b)
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val got = graft.ext.LangModel.bpeMerges(docs, "text", rounds = 2)
+      .orderBy($"merge_round")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, "a", "a", 4L), (2L, "a", "b", 3L)))
+  }
+
+  test("bpeMerges: stops early when no pairs remain") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val got = graft.ext.LangModel.bpeMerges(docs, "text", rounds = 5)
+    assert(got.count() === 0L)
+  }
+
+  test("attribution: last-touch windows out, first-touch is unwindowed") {
+    val events = Seq(
+      // u1: click(d0) -> view(d1) -> purchase(d2): last=view, first=click
+      (1L, 0L, 1L, "click"), (2L, 86400L, 1L, "view"),
+      (3L, 2 * 86400L, 1L, "purchase"),
+      // u2: click(d0) -> purchase(d20): last-touch outside 7d window,
+      // first-touch still credits click
+      (4L, 0L, 2L, "click"), (5L, 20L * 86400L, 2L, "purchase"),
+      // u3: purchase with no preceding touch: no credit anywhere
+      (6L, 0L, 3L, "purchase"))
+      .toDF("event_id", "sec", "user_id", "event_type")
+      .select($"event_id", timestamp_seconds($"sec").as("ts"),
+        $"user_id", $"event_type")
+    val got = Behavior.attribution(events, "purchase", windowSec = 7L * 86400L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("view" -> ((1L, 0L)), "click" -> ((0L, 2L))))
+  }
+
+  test("attribution: a purchase is not a touch for a later purchase") {
+    val events = Seq(
+      (1L, 0L, 1L, "view"), (2L, 100L, 1L, "purchase"),
+      (3L, 200L, 1L, "purchase"))
+      .toDF("event_id", "sec", "user_id", "event_type")
+      .select($"event_id", timestamp_seconds($"sec").as("ts"),
+        $"user_id", $"event_type")
+    val got = Behavior.attribution(events, "purchase", windowSec = 86400L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("view", 2L, 2L)))
+  }
+
   test("cumulativeDistinct: actives, first-seen news, running total") {
     val events = Seq(
       (1L, 10L, 1L), (2L, 20L, 2L),            // day 0: u1, u2 new
