@@ -157,4 +157,78 @@ object TimeSeries {
           .when(col("__nv").isNotNull, col("__nv")))
       .drop("__pv", "__pt", "__nv", "__nt", "__num", "__den")
   }
+
+  /** Sequential per-key FOLDS in exact integer arithmetic — the two
+    * canonical "inherently recursive" window computations that plain
+    * SQL windows cannot express (the recurrence references its own
+    * previous output), done as a per-key `aggregate()` left fold over
+    * the key's time-ordered value list. Engine-portable by
+    * construction: DuckDB replays the identical fold with
+    * `list_reduce` (spec- and oracle-pinned).
+    *
+    * Scale shape: ONE partial-combining groupBy per key collects the
+    * ordered list, then the fold is a per-row expression. A key's full
+    * history must fit one aggregation buffer — the right regime for
+    * entity-level histories (orders per customer, readings per
+    * device); a million-event single key would need a segmented
+    * fold (chunk-local folds + carry composition), which both these
+    * recurrences admit but which is not implemented here.
+    */
+
+  /** Fixed-point exponential moving average per key:
+    * `ema ← (num·x + (den−num)·ema) div den`, seeded with the first
+    * value. `num/den` ≈ the smoothing alpha in integer fixed point;
+    * all operands non-negative integers, so `div` ≡ DuckDB `//` and
+    * the result is bit-identical in any engine.
+    *
+    * @param orderCols total order within a key (include unique
+    *                  tie-breaks; ties that remain must carry equal
+    *                  values for the fold to stay order-invariant)
+    * @param valCol    NON-NEGATIVE integer value (fixed-point cents);
+    *                  NULLs dropped
+    * @return (key, n, last_val, ema) — `den·ema` must fit in 64 bits
+    */
+  def emaFixedPoint(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valCol: String, num: Long, den: Long): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "need 0 < num <= den")
+    val sorted = sort_array(collect_list(struct(
+      orderCols.map(col) :+ col(valCol).cast("long").as("__v"): _*)))
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"), sorted.as("__s"))
+      .withColumn("__vals", expr("transform(__s, x -> x.__v)"))
+      .select(col("key"), col("n"),
+        expr("element_at(__vals, -1)").as("last_val"),
+        expr(
+          s"""aggregate(slice(__vals, 2, size(__vals) - 1),
+             |  element_at(__vals, 1),
+             |  (acc, x) -> ($num * x + ${den - num} * acc) div $den)""".stripMargin)
+          .as("ema"))
+  }
+
+  /** Floor-capped running balance per key (inventory with backorders
+    * dropped, token buckets, battery charge): `level ← max(0, level +
+    * delta)` folded over the key's time-ordered signed deltas from a
+    * zero start — the classic non-associative running sum that a
+    * prefix-sum window CANNOT express (the clamp makes it
+    * order-dependent-recursive). Exact integer arithmetic; only
+    * addition and max, so sign never meets a division and the engines
+    * agree bit-for-bit.
+    *
+    * @return (key, n_moves, final_level)
+    */
+  def cappedRunningSum(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      deltaCol: String): DataFrame = {
+    val sorted = sort_array(collect_list(struct(
+      orderCols.map(col) :+ col(deltaCol).cast("long").as("__d"): _*)))
+    df.filter(col(deltaCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_moves"), sorted.as("__s"))
+      .withColumn("__ds", expr("transform(__s, x -> x.__d)"))
+      .select(col("key"), col("n_moves"),
+        expr(
+          """aggregate(__ds, cast(0 as bigint),
+            |  (acc, x) -> greatest(cast(0 as bigint), acc + x))""".stripMargin)
+          .as("final_level"))
+  }
 }

@@ -358,5 +358,108 @@ object StatQueries extends QueryPack {
              |SELECT channel, CAST(coalesce(n_last, 0) AS BIGINT) AS n_last_touch,
              |  CAST(coalesce(n_first, 0) AS BIGINT) AS n_first_touch
              |FROM lc FULL OUTER JOIN fc USING (channel)
-             |ORDER BY channel""".stripMargin)))
+             |ORDER BY channel""".stripMargin)),
+
+    // BUCKETED co-located join: both tables written bucketBy(8) on the
+    // join key, so the sort-merge join reads bucket files directly —
+    // NO shuffle on either side (PlanAuditSpec pins the exchange-free
+    // join subtree). The layout move that turns every repeated
+    // fact-dim join on the same key into a scan-local operation —
+    // at 100 TB the difference between re-shuffling the fact table
+    // per query and never shuffling it at all. Child session so the
+    // disabled broadcast threshold (SMJ, not BHJ) stays local.
+    Q("q186_bucketed_join",
+      (s, d) => {
+        import s.implicits._
+        import graft.core.Exact
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val wh = graft.core.Scratch.dir("q186_buckets")
+        Tables.orders(s2, d).write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$wh/ord").saveAsTable("q186_ord")
+        Tables.customer(s2, d).write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$wh/cust").saveAsTable("q186_cust")
+        val o = s2.table("q186_ord")
+        val c = s2.table("q186_cust")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            Exact.centsSum($"o_totalprice").as("rev_cents"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             |    AS rev_cents
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Fixed-point EMA of each customer's order values (alpha =
+    // 410/1024): the inherently-recursive smoothing a prefix-sum
+    // window cannot express, as a per-key integer left fold — DuckDB
+    // replays it with list_reduce, bit-identical.
+    Q("q187_ema_orders",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select(
+          $"o_custkey".as("cust"),
+          $"o_orderdate".cast("timestamp_ltz").cast("long").as("sec"),
+          $"o_orderkey".as("okey"),
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        graft.ops.TimeSeries.emaFixedPoint(o, "cust", Seq("sec", "okey"),
+            "cents", num = 410L, den = 1024L)
+          .select($"key".as("custkey"), $"n", $"last_val".as("last_cents"),
+            $"ema".as("ema_cents"))
+          .orderBy($"custkey")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey AS cust,
+             |    epoch_us(o_orderdate) // 1000000 AS sec,
+             |    o_orderkey AS okey,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders),
+             |l AS (SELECT cust, count(*) AS n,
+             |        list(cents ORDER BY sec, okey, cents) AS vals
+             |      FROM o GROUP BY 1)
+             |SELECT cust AS custkey, CAST(n AS BIGINT) AS n,
+             |  vals[-1] AS last_cents,
+             |  list_reduce(vals, (acc, x) -> (410 * x + 614 * acc) // 1024)
+             |    AS ema_cents
+             |FROM l ORDER BY custkey""".stripMargin)),
+
+    // Floor-capped running inventory per part: returns add stock,
+    // shipments drain it, level clamps at zero — the non-associative
+    // recurrence (clamp depends on its own previous output) as the
+    // same per-key integer fold; signs never meet a division, so the
+    // engines agree exactly.
+    Q("q188_capped_inventory",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select(
+          $"l_partkey".as("pk"),
+          $"l_shipdate".cast("timestamp_ltz").cast("long").as("sec"),
+          $"l_orderkey".as("ok"), $"l_linenumber".cast("long").as("ln"),
+          when($"l_returnflag" === "R", $"l_quantity")
+            .otherwise(-$"l_quantity").cast("long").as("delta"))
+        graft.ops.TimeSeries.cappedRunningSum(li, "pk",
+            Seq("sec", "ok", "ln"), "delta")
+          .select($"key".as("partkey"), $"n_moves", $"final_level")
+          .orderBy($"partkey")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_partkey AS pk,
+             |    epoch_us(l_shipdate) // 1000000 AS sec,
+             |    l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln,
+             |    CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity
+             |              ELSE -l_quantity END AS BIGINT) AS delta
+             |  FROM lineitem),
+             |l AS (SELECT pk, count(*) AS n_moves,
+             |        list(delta ORDER BY sec, ok, ln, delta) AS ds
+             |      FROM li GROUP BY 1)
+             |SELECT pk AS partkey, CAST(n_moves AS BIGINT) AS n_moves,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
+             |              (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x))
+             |    AS final_level
+             |FROM l ORDER BY partkey""".stripMargin)))
 }

@@ -326,4 +326,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("rangepartitioning"),
       s"two-phase prefix lost its range partitioning:\n$plan")
   }
+
+  test("q186 bucketed tables sort-merge join with ZERO exchanges") {
+    import org.apache.spark.sql.functions.col
+    // AQE off so the executed plan is inspectable as one tree; same
+    // bucket layout as the conformance query
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val wh = graft.core.Scratch.dir("q186_buckets_spec")
+    graft.core.Tables.orders(s2, sfDir).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/ord").saveAsTable("q186t_ord")
+    graft.core.Tables.customer(s2, sfDir).write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/cust").saveAsTable("q186t_cust")
+    val j = s2.table("q186t_cust")
+      .join(s2.table("q186t_ord"), col("c_custkey") === col("o_custkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join still shuffles — bucket pruning lost:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"scan does not report bucketed read:\n$plan")
+  }
 }

@@ -184,6 +184,31 @@ class StatOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq(("view", 2L, 2L)))
   }
 
+  test("emaFixedPoint: seeded with first value, folds in order") {
+    // order by sec: vals 1000 then 2000; alpha=1/2:
+    // ema = (2000 + 1000) div 2 = 1500; rows arrive out of order
+    val df = Seq(("k", 20L, 2L, 2000L), ("k", 10L, 1L, 1000L),
+        ("solo", 5L, 1L, 777L))
+      .toDF("key0", "sec", "id", "v")
+    val got = graft.ops.TimeSeries
+      .emaFixedPoint(df, "key0", Seq("sec", "id"), "v", num = 1L, den = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("k") === ((2L, 2000L, 1500L)))
+    assert(got("solo") === ((1L, 777L, 777L)))
+  }
+
+  test("cappedRunningSum: clamps at zero mid-fold, order matters") {
+    // in ts order: +5, -10 (clamps to 0), +3 -> 3; the unordered sum
+    // would be max(0, -2) = 0 — proves the fold respects the order
+    val df = Seq(("p", 1L, 1L, 5L), ("p", 2L, 2L, -10L), ("p", 3L, 3L, 3L))
+      .toDF("key0", "sec", "id", "d")
+    val got = graft.ops.TimeSeries
+      .cappedRunningSum(df, "key0", Seq("sec", "id"), "d")
+      .head
+    assert(got.getLong(1) === 3L && got.getLong(2) === 3L)
+  }
+
   test("cumulativeDistinct: actives, first-seen news, running total") {
     val events = Seq(
       (1L, 10L, 1L), (2L, 20L, 2L),            // day 0: u1, u2 new
