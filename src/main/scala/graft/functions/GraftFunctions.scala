@@ -29,6 +29,30 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("sorted_intersect_size",
         exprs => SortedIntersectSize(exprs.head, exprs(1)), "built-in")
     }
+    if (!reg.functionExists(FunctionIdentifier("weighted_quantile_sketch"))) {
+      // num/den/eps must be foldable literals (evaluated at resolution)
+      reg.createOrReplaceTempFunction("weighted_quantile_sketch",
+        exprs => {
+          def asLong(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+            e.eval() match {
+              case i: Int => i.toLong
+              case l: Long => l
+              case x => throw new IllegalArgumentException(
+                s"expected integer literal, got $x")
+            }
+          def asDouble(e: org.apache.spark.sql.catalyst.expressions.Expression): Double =
+            e.eval() match {
+              case d: Double => d
+              case d: org.apache.spark.sql.types.Decimal => d.toDouble
+              case n: Number => n.doubleValue()
+              case x => throw new IllegalArgumentException(
+                s"expected numeric literal, got $x")
+            }
+          WeightedQuantileSketch(exprs.head, exprs(1),
+            asLong(exprs(2)), asLong(exprs(3)),
+            if (exprs.length > 4) asDouble(exprs(4)) else 0.005)
+        }, "built-in")
+    }
     if (!reg.functionExists(FunctionIdentifier("loc_scale_b_sketch"))) {
       // k must be a foldable literal (evaluated at resolution time)
       reg.createOrReplaceTempFunction("loc_scale_b_sketch",

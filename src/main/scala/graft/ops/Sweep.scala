@@ -34,8 +34,17 @@ object Sweep {
     * @param intervals (grp, start, end) — long integers, half-open;
     *                  rows with end ≤ start are dropped (zero/negative
     *                  length never occupies the timeline)
+    * @param broadcastOffsets the per-(partition, group) offsets table is
+    *                  O(#partitions · #groups-per-partition) rows —
+    *                  broadcast-sized for type-cardinality groups (the
+    *                  default). A group-explosion regime (millions of
+    *                  groups) sets this false and the offsets join
+    *                  becomes a plain shuffle equi-join on
+    *                  (partition, group) instead — same rows, same
+    *                  contract, spec-pinned equal
     */
-  def maxConcurrency(intervals: DataFrame): DataFrame = {
+  def maxConcurrency(intervals: DataFrame,
+      broadcastOffsets: Boolean = true): DataFrame = {
     val spark = intervals.sparkSession
     val p = spark.sparkContext.defaultParallelism
     val iv = intervals.select(col("grp"), col("start").cast("long"),
@@ -60,7 +69,8 @@ object Sweep {
           coalesce(sum(col("ptotal")).over(prevParts), lit(0L)).as("poffset"))
         val peaks = base
           .withColumn("run_local", sum(col("delta")).over(local))
-          .join(broadcast(offsets), Seq("part", "grp"))
+          .join(if (broadcastOffsets) broadcast(offsets) else offsets,
+            Seq("part", "grp"))
           .groupBy(col("grp"))
           .agg(max(col("run_local") + col("poffset")).as("max_concurrency"))
         val counts = iv.groupBy(col("grp")).agg(count(lit(1)).as("n_intervals"))

@@ -53,4 +53,29 @@ object WeightedStats {
       }
     c.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Bounded-memory variant of [[weightedQuantiles]] — one
+    * [[graft.functions.WeightedQuantileSketch]] aggregate per
+    * requested quantile, O(2/eps) state per group regardless of the
+    * group's distinct-value count (the one-hot-group regime where the
+    * exact path's grouped window concentrates in a single task).
+    * Approximate: returned values sit within eps·W rank error of the
+    * exact crossing. Requires a graft session (or
+    * [[graft.functions.GraftFunctions.ensureRegistered]]).
+    */
+  def weightedQuantilesSketch(df: DataFrame, grpCol: String, valueCol: String,
+                              weightCol: String,
+                              quantiles: Seq[(Int, Int, String)],
+                              eps: Double = 0.005): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val v = col(valueCol).cast("long")
+    val w = col(weightCol).cast("long")
+    val aggs = sum(when(w > 0, w).otherwise(0L)).as("total_weight") +:
+      quantiles.map { case (num, den, alias) =>
+        call_function("weighted_quantile_sketch", v, w,
+          lit(num), lit(den), lit(eps)).as(alias)
+      }
+    df.groupBy(col(grpCol).as("grp")).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -257,6 +257,19 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got === (("g", 5000L, naive)))
   }
 
+  test("maxConcurrency: shuffle-offsets path equals the broadcast path") {
+    val iv = (1L to 3000L).map { k =>
+      val s = (k * 48271L) % 5003L
+      (s"g${k % 7}", s, s + 1 + (k * 16807L) % 97L)
+    }.toDF("grp", "start", "end")
+    val bc = graft.ops.Sweep.maxConcurrency(iv).orderBy($"grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val sh = graft.ops.Sweep.maxConcurrency(iv, broadcastOffsets = false)
+      .orderBy($"grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(bc === sh)
+  }
+
   test("olsByGroup: exact fit on a perfect line, degenerate groups yield nulls") {
     val df = Seq(
       ("lin", 0L, 5L), ("lin", 1L, 7L), ("lin", 2L, 9L),  // y = 2x + 5

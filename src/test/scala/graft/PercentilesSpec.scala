@@ -40,6 +40,54 @@ class PercentilesSpec extends SparkTestBase {
     }
   }
 
+  test("weighted sketch stays within 2*eps*W rank error on a skewed weighted 1e6 group") {
+    import spark.implicits._
+    val eps = 0.005
+    // skewed values, heavy-tailed integer weights; 32 partitions force
+    // real partial-aggregation merges through the sketch's merge path
+    val df = spark.range(0, n).select(
+        lit("g").as("grp"),
+        pmod(col("id") * 2654435761L + 12345L, lit(99991L)).as("v"),
+        (pmod(col("id") * 48271L, lit(1000L)) + 1L).as("w"))
+      .repartition(32)
+    val got = graft.ops.WeightedStats.weightedQuantilesSketch(df, "grp", "v", "w",
+      Seq((1, 2, "med"), (9, 10, "p90")), eps).head()
+    // exact per-value masses (the grouped table is small; the sketch is
+    // for the regime where it is not)
+    val exact = df.groupBy($"v").agg(sum($"w").as("w")).orderBy($"v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val totW = exact.map(_._2).sum
+    assert(got.getLong(1) === totW)
+    Seq(("med", 1L, 2L, 2), ("p90", 9L, 10L, 3)).foreach { case (alias, num, den, i) =>
+      val target = (totW * num + den - 1) / den
+      val vr = got.getLong(i)
+      var below = 0L; var le = 0L
+      exact.foreach { case (v, w) =>
+        if (v < vr) below += w
+        if (v <= vr) le += w
+      }
+      val err =
+        if (le >= target && below < target) 0L
+        else math.min(math.abs(le - target), math.abs(below + 1 - target))
+      val tol = (2 * eps * totW).toLong + 1
+      assert(err <= tol, s"$alias: value $vr rank err $err > tol $tol")
+    }
+  }
+
+  test("weighted sketch is exact when the group fits uncompressed") {
+    import spark.implicits._
+    val df = Seq(("A", 1L, 5L), ("A", 2L, 1L), ("A", 3L, 1L),
+        ("B", 1L, 1L), ("B", 2L, 1L), ("B", 3L, 1L), ("B", 4L, 1L),
+        ("B", 9L, 0L))
+      .toDF("grp", "v", "w")
+    val sk = graft.ops.WeightedStats.weightedQuantilesSketch(df, "grp", "v", "w",
+        Seq((1, 2, "med"), (9, 10, "p90")))
+      .orderBy($"grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // identical to the exact operator's spec fixture (AnalyticsSpec)
+    assert(sk === Seq(("A", 7L, 1L, 3L), ("B", 4L, 2L, 4L)))
+  }
+
   test("sketch matches exact percentile closely on q03's real groups") {
     import spark.implicits._
     val li = graft.core.Tables.lineitem(spark, sfDir)
