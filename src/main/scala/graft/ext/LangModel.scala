@@ -409,6 +409,49 @@ object LangModel {
     } finally { tf.unpersist(false); () }
   }
 
+  /** Top-k COLLOCATIONS by pointwise mutual information over adjacent
+    * token pairs — the multiword-expression detector ("new york",
+    * "machine learning") of the corpus-statistics stage.
+    * `PMI(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) )`, evaluated as ONE
+    * shared-shape double expression over exact integer counts —
+    * `ln( (c12·N1·N1) / (NB·c1·c2) )` — rounded to micro-nats, so any
+    * engine reproduces it bit-for-bit (the q92/q119 micro-nat
+    * discipline). A minimum pair count gates the classic PMI
+    * rare-pair blowup.
+    *
+    * Scale shape: unigram and bigram counts are two partial-combining
+    * groupBys over one token explode each; the scored table is
+    * vocabulary²-bounded and already min-count-filtered, so the
+    * global top-k is Spark's TakeOrdered (per-partition heaps), never
+    * a full sort.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String, k: Int,
+      minCount: Long): DataFrame = {
+    require(k >= 1 && minCount >= 1, "need k >= 1 and minCount >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toksCol = toks(col(textCol))
+    val uni = docs.select(explode(toksCol).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c")).persist(lvl)
+    val bi = docs.select(explode(TextAnalysis.gramsFromTokens(toksCol, 2)).as("g"))
+      .select(split(col("g"), " ").as("p"))
+      .select(col("p").getItem(0).as("w1"), col("p").getItem(1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")).persist(lvl)
+    try {
+      val n1 = uni.agg(sum(col("c"))).head.getLong(0)
+      val nb = bi.agg(sum(col("c12"))).head.getLong(0)
+      bi.filter(col("c12") >= minCount)
+        .join(gatedBroadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+        .join(gatedBroadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log(col("c12").cast("double") * lit(n1.toDouble) * lit(n1.toDouble)
+              / (lit(nb.toDouble) * col("c1").cast("double") * col("c2").cast("double")))
+            * 1000000, 0).cast("long").as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)
+        .limit(k)
+        .checkpointEager() // materialize before the persists release
+    } finally { bi.unpersist(false); uni.unpersist(false); () }
+  }
+
   /** Byte-pair-encoding MERGE INDUCTION — the vocabulary-learning step
     * of a BPE tokenizer, run corpus-wide: per round, count adjacent
     * symbol pairs across all word occurrences (weighted by corpus word

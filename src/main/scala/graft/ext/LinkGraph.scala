@@ -187,6 +187,51 @@ object LinkGraph {
     } finally { e.unpersist(false); () }
   }
 
+  /** Fixed-round k-core PEELING: repeatedly drop nodes of degree < k
+    * (with their edges) for exactly `rounds` iterations — the
+    * degeneracy/cohesion filter (spam farms and long-tail leaf nodes
+    * fall out; the dense core that survives is where community
+    * signals live). Fixed round count = the reproducible form, same
+    * discipline as [[labelPropagation]]/[[pageRankMicro]]: converged
+    * or not, any engine chaining the same `rounds` peels gets the
+    * identical node set, and once a peel removes nothing further
+    * rounds are no-ops (Spark exits early; the result still equals
+    * the oracle's full chain).
+    *
+    * Per round: one degree groupBy + two `left_semi` edge filters —
+    * all equi-shuffles on node ids, edges re-checkpointed per round
+    * (bounded lineage).
+    *
+    * @param pairs undirected edges as (id_a, id_b); normalized and
+    *              deduplicated here
+    * @return (node_id, deg) for nodes surviving `rounds` peels, with
+    *         their degree in the surviving subgraph
+    */
+  def kCorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    var e = pairs.select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .checkpointEager()
+    var r = 1
+    var stable = false
+    while (r <= rounds && !stable) {
+      val keep = degrees(e).filter(col("deg") >= k).select(col("id"))
+      val e2 = e
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .checkpointEager()
+      stable = e2.count() == e.count()
+      e = e2
+      r += 1
+    }
+    degrees(e).select(col("id").as("node_id"), col("deg"))
+  }
+
   /** Per-node triangle counts by degree-ordered orientation — the
     * clustering/community-density signal over co-occurrence graphs
     * (co-purchased parts, co-cited pages). Exact integer counting, so

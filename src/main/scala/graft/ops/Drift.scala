@@ -88,4 +88,33 @@ object Drift {
           .cast("long"))
       .select(col("bin_lo"), col("n_ref"), col("n_cur"), col("contrib_micro"))
   }
+
+  /** Benford first-digit profile of a POSITIVE integer measure — the
+    * fabricated-data / unit-mixing smoke test (hand-entered amounts
+    * and synthetic pads drift from the log distribution). Observed
+    * share vs the Benford expectation `log10(1 + 1/d)` per leading
+    * digit, all in micro-units: counts are exact longs; the share and
+    * the expectation are each ONE shared-shape double expression
+    * (`ln(d+1) − ln(d)` over `ln 10` — same literal shapes in the
+    * oracle), so deviations are engine-exact.
+    *
+    * One partial-combining groupBy over the measure; everything after
+    * lives on the ≤ 9-row digit table.
+    */
+  def benfordProfile(df: DataFrame, valCol: String): DataFrame = {
+    val byDigit = df
+      .filter(col(valCol).isNotNull && col(valCol) > 0)
+      .select(substring(col(valCol).cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy() // digit table only — <= 9 rows
+    byDigit
+      .withColumn("total", sum(col("n")).over(w))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") * 1000000.0 / col("total").cast("double"), 0)
+          .cast("long").as("share_micro"),
+        round((log((col("digit") + 1).cast("double")) - log(col("digit").cast("double")))
+          / log(lit(10.0).cast("double")) * 1000000.0, 0)
+          .cast("long").as("benford_micro"))
+      .withColumn("dev_micro", col("share_micro") - col("benford_micro"))
+  }
 }

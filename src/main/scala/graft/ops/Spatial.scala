@@ -121,4 +121,46 @@ object Spatial {
     points.select(col("id")).join(hits, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
   }
+
+  /** Ray-casting point-in-polygon over INTEGER micro-degree
+    * coordinates — the geofence predicate (which landings fall inside
+    * the management area). Division-free: the crossing test per edge
+    * is a sign check on the exact integer cross product
+    * `(x2−x1)(py−y1) − (y2−y1)(px−x1)` gated by the half-open
+    * y-interval (`y1 ≤ py < y2` upward / `y2 ≤ py < y1` downward), so
+    * the parity is bit-identical in any engine. Boundary points follow
+    * the HALF-OPEN TILING convention (a point on a west/south edge is
+    * inside, on an east/north edge outside) — adjacent fences tile the
+    * plane with every point in exactly one, the property a
+    * partition-by-region job needs; spec-pinned on the unit square.
+    *
+    * Scale shape: the polygon is a compile-time constant, so the
+    * whole test folds into ONE per-row codegen expression — no join,
+    * no shuffle, nothing but the scan. A multi-polygon variant would
+    * broadcast an edge table instead; for a fixed fence this is the
+    * plan you want at any scale.
+    *
+    * @param polygon closed ring as (x, y) micro-degree vertices
+    *                (last→first edge implied), ≥ 3 vertices
+    * @return input plus `n_crossings` and `inside` (parity) columns
+    */
+  def pointInPolygon(points: org.apache.spark.sql.DataFrame,
+      xCol: String, yCol: String,
+      polygon: Seq[(Long, Long)]): org.apache.spark.sql.DataFrame = {
+    require(polygon.size >= 3, "polygon needs >= 3 vertices")
+    val px = col(xCol)
+    val py = col(yCol)
+    val crossings = polygon.indices.map { i =>
+      val (x1, y1) = polygon(i)
+      val (x2, y2) = polygon((i + 1) % polygon.size)
+      val cross = (lit(x2) - lit(x1)) * (py - lit(y1)) -
+        (lit(y2) - lit(y1)) * (px - lit(x1))
+      val upward = lit(y1) <= py && py < lit(y2) && cross > 0
+      val downward = lit(y2) <= py && py < lit(y1) && cross < 0
+      when(upward || downward, 1L).otherwise(0L)
+    }.reduce(_ + _)
+    points
+      .withColumn("n_crossings", crossings)
+      .withColumn("inside", (col("n_crossings") % 2 === 1).cast("boolean"))
+  }
 }

@@ -80,4 +80,62 @@ object Sweep {
       } finally base.unpersist(false)
     } finally iv.unpersist(false)
   }
+
+  /** Total COVERED time per group — the measure of the union of the
+    * group's intervals (uptime from overlapping sessions, portfolio
+    * "any position open" time). Sweep formulation: between consecutive
+    * boundaries, the timeline is covered iff the running interval
+    * count is positive, so
+    * `covered = Σ (t_next − t) · [run > 0]`.
+    *
+    * Same TWO-PHASE prefix discipline as [[maxConcurrency]], plus the
+    * two-phase form of `lead`: within a range partition the next
+    * boundary comes from a local window; the LAST row of each
+    * (partition, group) run patches its successor from a bounded
+    * per-(partition, group) HEADS table (first boundary of each
+    * partition, next-present-partition lookup via one window over that
+    * small table). Tie runs contribute zero length, so the sum is
+    * invariant to intra-tie order — the same permutation argument as
+    * the concurrency max.
+    */
+  def coveredTime(intervals: DataFrame): DataFrame = {
+    val spark = intervals.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val iv = intervals.select(col("grp"), col("start").cast("long"),
+        col("end").cast("long"))
+      .filter(col("end") > col("start"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deltas = iv.select(col("grp"), col("start").as("t"), lit(1L).as("delta"))
+        .unionByName(iv.select(col("grp"), col("end").as("t"), lit(-1L).as("delta")))
+      val base = deltas.repartitionByRange(p, col("grp"), col("t"), col("delta"))
+        .withColumn("part", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val local = Window.partitionBy(col("part"), col("grp"))
+          .orderBy(col("t"), col("delta"))
+        val perPartGrp = base.groupBy(col("part"), col("grp"))
+          .agg(sum(col("delta")).as("ptotal"), min(col("t")).as("head_t"))
+        val byPart = Window.partitionBy(col("grp")).orderBy(col("part"))
+        val meta = perPartGrp.select(col("part"), col("grp"),
+          coalesce(sum(col("ptotal")).over(
+            byPart.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .as("poffset"),
+          lead(col("head_t"), 1).over(byPart).as("next_head_t"))
+        val covered = base
+          .withColumn("run", sum(col("delta")).over(
+            local.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("nt_local", lead(col("t"), 1).over(local))
+          .join(broadcast(meta), Seq("part", "grp"))
+          .withColumn("nt", coalesce(col("nt_local"), col("next_head_t")))
+          .groupBy(col("grp"))
+          .agg(sum(when(col("run") + col("poffset") > 0, col("nt") - col("t"))
+            .otherwise(0L)).as("covered"))
+        val counts = iv.groupBy(col("grp")).agg(count(lit(1)).as("n_intervals"))
+        counts.join(covered, "grp")
+          .select(col("grp"), col("n_intervals"), col("covered"))
+          .checkpointEager()
+      } finally base.unpersist(false)
+    } finally iv.unpersist(false)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.{LangModel, LinkGraph}
-import graft.ops.{Allocate, Behavior, Eval, Inequality}
+import graft.ops.{Allocate, Behavior, Eval, Inequality, Spatial, Sweep}
 
 /** Twelfth-wave operators: bounded-hop BFS reachability over the trade
   * graph, largest-remainder budget proration, per-group Gini via
@@ -16,6 +16,16 @@ import graft.ops.{Allocate, Behavior, Eval, Inequality}
   * engines.
   */
 object StatQueries extends QueryPack {
+
+  /** Geofence ring for q190, micro-degrees in the synthetic coastal
+    * coordinate range — shared between the Spark expression and the
+    * generated oracle text. Declared before `all`: the oracle strings
+    * evaluate it at object init.
+    */
+  private val FencePoly: Seq[(Long, Long)] = Seq(
+    (35000000L, -16400000L), (35570000L, -16810000L),
+    (35350000L, -17480000L), (34650000L, -17480000L),
+    (34430000L, -16810000L))
 
   val all: Seq[Q] = Seq(
 
@@ -461,5 +471,221 @@ object StatQueries extends QueryPack {
              |  list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
              |              (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x))
              |    AS final_level
-             |FROM l ORDER BY partkey""".stripMargin)))
+             |FROM l ORDER BY partkey""".stripMargin)),
+
+    // Fixed-round k-core peeling on the thresholded co-purchase graph
+    // (parts sharing >= 2 orders): 4 peels at k = 2 — converged at this
+    // scale, and round-for-round identical to the oracle's chained
+    // peels either way.
+    Q("q189_kcore_peel",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+          .agg(count(lit(1)).as("c"))
+          .filter($"c" >= 2).select($"id_a", $"id_b")
+        LinkGraph.kCorePeel(pairs, k = 2, rounds = 4)
+          .orderBy($"node_id")
+      },
+      Some {
+        val peel = (1 to 4).map { r =>
+          s"""d$r AS (SELECT id, count(*) AS c FROM (
+             |  SELECT a AS id FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+             |  GROUP BY 1),
+             |k$r AS (SELECT id FROM d$r WHERE c >= 2),
+             |e$r AS (SELECT a, b FROM e${r - 1}
+             |  WHERE a IN (SELECT id FROM k$r) AND b IN (SELECT id FROM k$r))"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           |  FROM lineitem),
+           |e0 AS (
+           |  SELECT x.pk AS a, y.pk AS b FROM li x JOIN li y
+           |  ON x.ok = y.ok AND x.pk < y.pk
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |$peel
+           |SELECT id AS node_id, CAST(count(*) AS BIGINT) AS deg FROM (
+           |  SELECT a AS id FROM e4 UNION ALL SELECT b FROM e4)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // Division-free ray-casting geofence over the synthetic coastal
+    // coordinates: the polygon folds into ONE per-row codegen
+    // expression (no join, no shuffle); exact integer cross products,
+    // so parity is engine-identical. The oracle text for the point
+    // coordinates AND the edge tests is generated from the same
+    // constants the Spark expression uses — no drift possible.
+    Q("q190_point_in_polygon",
+      (s, d) => {
+        import s.implicits._
+        val pts = Tables.customer(s, d).select($"c_custkey",
+          expr(Spatial.lonSql("c_custkey")).as("x"),
+          expr(Spatial.latSql("c_custkey")).as("y"))
+        Spatial.pointInPolygon(pts, "x", "y", FencePoly)
+          .select($"c_custkey", $"n_crossings",
+            $"inside".cast("long").as("inside"))
+          .orderBy($"c_custkey")
+      },
+      Some {
+        val edges = FencePoly.indices.map { i =>
+          val (x1, y1) = FencePoly(i)
+          val (x2, y2) = FencePoly((i + 1) % FencePoly.size)
+          s"""(CASE WHEN ($y1 <= py AND py < $y2
+             |        AND ($x2 - $x1) * (py - $y1) - ($y2 - $y1) * (px - $x1) > 0)
+             |       OR ($y2 <= py AND py < $y1
+             |        AND ($x2 - $x1) * (py - $y1) - ($y2 - $y1) * (px - $x1) < 0)
+             |  THEN 1 ELSE 0 END)""".stripMargin
+        }.mkString(" +\n")
+        s"""WITH p AS (
+           |  SELECT c_custkey,
+           |    ${Spatial.lonSql("c_custkey")} AS px,
+           |    ${Spatial.latSql("c_custkey")} AS py
+           |  FROM customer),
+           |x AS (SELECT c_custkey,
+           |  $edges AS n_crossings
+           |  FROM p)
+           |SELECT c_custkey, CAST(n_crossings AS BIGINT) AS n_crossings,
+           |  CAST(n_crossings % 2 AS BIGINT) AS inside
+           |FROM x ORDER BY c_custkey""".stripMargin
+      }),
+
+    // Union-of-intervals covered time per event type (sessions with a
+    // deterministic synthetic duration): the two-phase sweep with the
+    // two-phase form of LEAD (partition heads patch the successor of
+    // each partition's last row) — oracle is the single-window sweep.
+    Q("q191_covered_time",
+      (s, d) => {
+        import s.implicits._
+        val iv = Tables.events(s, d).select($"event_type".as("grp"),
+          expr("cast(ts as long)").as("start"),
+          expr("cast(ts as long) + 300 + event_id % 900").as("end"))
+        Sweep.coveredTime(iv).orderBy($"grp")
+      },
+      Some("""WITH iv AS (
+             |  SELECT event_type AS grp,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+             |      + 300 + event_id % 900 AS e
+             |  FROM events),
+             |d AS (SELECT grp, s AS t, 1 AS delta FROM iv
+             |      UNION ALL SELECT grp, e, -1 FROM iv),
+             |w AS (SELECT grp, t, delta,
+             |        sum(delta) OVER (PARTITION BY grp ORDER BY t, delta
+             |          ROWS UNBOUNDED PRECEDING) AS run,
+             |        lead(t) OVER (PARTITION BY grp ORDER BY t, delta) AS nt
+             |      FROM d),
+             |c AS (SELECT grp, count(*) AS n FROM iv GROUP BY 1)
+             |SELECT w.grp, CAST(c.n AS BIGINT) AS n_intervals,
+             |  CAST(sum(CASE WHEN run > 0 THEN nt - t ELSE 0 END) AS BIGINT)
+             |    AS covered
+             |FROM w JOIN c ON c.grp = w.grp
+             |GROUP BY w.grp, c.n ORDER BY w.grp""".stripMargin)),
+
+    // Month-over-month revenue growth per segment in micro-units: the
+    // period-comparison window over the calendar-bounded month table;
+    // the growth ratio is the shared round(CAST AS DOUBLE) shape (the
+    // delta can be negative — div/// would diverge).
+    Q("q192_mom_growth",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val m = Tables.orders(s, d)
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment".as("segment"),
+            date_format($"o_orderdate", "yyyy-MM").as("month"))
+          .agg(graft.core.Exact.centsSum($"o_totalprice").as("rev_cents"))
+        val w = Window.partitionBy($"segment").orderBy($"month")
+        m.withColumn("prev_cents", lag($"rev_cents", 1).over(w))
+          .withColumn("growth_micro", when($"prev_cents".isNotNull,
+            round(($"rev_cents" - $"prev_cents").cast("double") * 1000000.0
+              / $"prev_cents".cast("double"), 0).cast("long")))
+          .orderBy($"segment", $"month")
+      },
+      Some("""WITH m AS (
+             |  SELECT c_mktsegment AS segment,
+             |    strftime(o_orderdate, '%Y-%m') AS month,
+             |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             |      AS rev_cents
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |w AS (SELECT segment, month, rev_cents,
+             |        lag(rev_cents) OVER (PARTITION BY segment ORDER BY month)
+             |          AS prev_cents
+             |      FROM m)
+             |SELECT segment, month, rev_cents, prev_cents,
+             |  CASE WHEN prev_cents IS NOT NULL THEN
+             |    CAST(round(CAST(rev_cents - prev_cents AS DOUBLE) * 1000000.0
+             |               / CAST(prev_cents AS DOUBLE)) AS BIGINT) END
+             |    AS growth_micro
+             |FROM w ORDER BY segment, month""".stripMargin)),
+
+    // Benford first-digit profile of order values — the data-quality
+    // smoke test; observed share vs ln-shape expectation, both
+    // micro-rounded through identical expression shapes.
+    Q("q193_benford_digits",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Drift.benfordProfile(
+            Tables.orders(s, d).select(
+              round($"o_totalprice" * 100, 0).cast("long").as("cents")),
+            "cents")
+          .orderBy($"digit")
+      },
+      Some("""WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |    AS cents FROM orders),
+             |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+             |        AS digit, count(*) AS n
+             |      FROM c WHERE cents > 0 GROUP BY 1),
+             |t AS (SELECT digit, n, sum(n) OVER () AS total FROM d)
+             |SELECT digit, CAST(n AS BIGINT) AS n,
+             |  CAST(round(CAST(n AS DOUBLE) * 1000000.0
+             |             / CAST(total AS DOUBLE)) AS BIGINT) AS share_micro,
+             |  CAST(round((ln(CAST(digit + 1 AS DOUBLE)) - ln(CAST(digit AS DOUBLE)))
+             |             / ln(CAST(10 AS DOUBLE)) * 1000000.0) AS BIGINT)
+             |    AS benford_micro,
+             |  CAST(round(CAST(n AS DOUBLE) * 1000000.0 / CAST(total AS DOUBLE))
+             |    AS BIGINT)
+             |  - CAST(round((ln(CAST(digit + 1 AS DOUBLE)) - ln(CAST(digit AS DOUBLE)))
+             |               / ln(CAST(10 AS DOUBLE)) * 1000000.0) AS BIGINT)
+             |    AS dev_micro
+             |FROM t ORDER BY digit""".stripMargin)),
+
+    // Top-20 collocations by pointwise mutual information over
+    // adjacent token pairs (min pair count 5) — micro-nat PMI from
+    // exact integer counts through ONE shared ln shape; global top-k
+    // via TakeOrdered.
+    Q("q194_pmi_collocations",
+      (s, d) => {
+        import s.implicits._
+        LangModel.pmiCollocations(Tables.documents(s, d), "text",
+            k = 20, minCount = 5L)
+          .orderBy($"pmi_micro".desc, $"w1", $"w2")
+      },
+      Some("""WITH toks AS (
+             |  SELECT string_split_regex(trim(text), '\s+') AS l FROM documents),
+             |u AS (SELECT unnest(l) AS w FROM toks),
+             |uni AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+             |bg AS (
+             |  SELECT (p).p1 AS w1, (p).p2 AS w2 FROM (
+             |    SELECT unnest(list_filter(
+             |      list_transform(l, (x, i) ->
+             |        CASE WHEN i <= len(l) - 1 THEN {'p1': x, 'p2': l[i+1]} END),
+             |      v -> v IS NOT NULL)) AS p
+             |    FROM toks)),
+             |bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+             |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+             |nb AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM bi)
+             |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+             |  CAST(round(ln(CAST(c12 AS DOUBLE)
+             |      * CAST((SELECT n FROM n1) AS DOUBLE)
+             |      * CAST((SELECT n FROM n1) AS DOUBLE)
+             |      / (CAST((SELECT n FROM nb) AS DOUBLE)
+             |         * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
+             |    * 1000000) AS BIGINT) AS pmi_micro
+             |FROM bi JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2
+             |WHERE c12 >= 5
+             |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin)))
 }

@@ -209,6 +209,83 @@ class StatOpsSpec extends SparkTestBase {
     assert(got.getLong(1) === 3L && got.getLong(2) === 3L)
   }
 
+  test("kCorePeel: leaves peel off round by round, the cycle survives") {
+    // triangle 1-2-3 with tail 3-4-5: k=2 drops 5 (deg 1), then 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val got = LinkGraph.kCorePeel(pairs, k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCorePeel: everything below k vanishes entirely") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    assert(LinkGraph.kCorePeel(pairs, k = 2, rounds = 3).count() === 0L)
+  }
+
+  test("pointInPolygon: square parity, half-open tiling boundary convention") {
+    // west/south boundary inside (3: left edge, 4: SW corner), east
+    // boundary outside (6) — adjacent fences tile with no double-count
+    val pts = Seq((1L, 5L, 5L), (2L, 15L, 5L), (3L, 0L, 5L), (4L, 0L, 0L),
+        (5L, -3L, 5L), (6L, 10L, 5L))
+      .toDF("id", "x", "y")
+    val sq = Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))
+    val got = graft.ops.Spatial.pointInPolygon(pts, "x", "y", sq)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> true,
+      5L -> false, 6L -> false))
+  }
+
+  test("coveredTime: overlaps merge, gaps do not count") {
+    val iv = Seq(("g", 0L, 10L), ("g", 5L, 15L), ("g", 20L, 25L),
+        ("h", 0L, 3L), ("h", 0L, 3L)) // exact duplicate intervals
+      .toDF("grp", "start", "end")
+    val got = graft.ops.Sweep.coveredTime(iv).orderBy($"grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("g", 3L, 20L), ("h", 2L, 3L)))
+  }
+
+  test("coveredTime: two-phase lead matches the single-window sweep on a big group") {
+    val iv = (1L to 4000L).map { k =>
+      val s = (k * 48271L) % 9973L
+      ("g", s, s + 1 + (k * 16807L) % 211L)
+    }.toDF("grp", "start", "end")
+    val got = graft.ops.Sweep.coveredTime(iv)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    import org.apache.spark.sql.expressions.{Window => W}
+    val deltas = iv.select($"grp", $"start".as("t"), lit(1L).as("delta"))
+      .unionByName(iv.select($"grp", $"end".as("t"), lit(-1L).as("delta")))
+    val w = W.partitionBy($"grp").orderBy($"t", $"delta")
+    val naive = deltas
+      .withColumn("run", sum($"delta").over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("nt", lead($"t", 1).over(w))
+      .agg(sum(when($"run" > 0, $"nt" - $"t").otherwise(0L)))
+      .head.getLong(0)
+    assert(got === ((4000L, naive)))
+  }
+
+  test("benfordProfile: uniform digits share 1/9, leading digit extraction") {
+    val df = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L).map(d => d * 100 + 23))
+      .toDF("v") // 123, 223, ... 923: leading digits 1..9 once each
+    val got = graft.ops.Drift.benfordProfile(df, "v").orderBy($"digit")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq === (1L to 9L))
+    assert(got.forall(_._2 == 1L))
+    assert(got.forall(_._3 == 111111L))
+  }
+
+  test("pmiCollocations: hand-computed micro-nats and min-count gate") {
+    val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    // unigrams x:3 y:3 (N1=6); bigrams (x,y):3 (y,x):2 (NB=5)
+    // PMI(x,y) = ln(3*36/(5*9)) = ln(2.4); PMI(y,x) = ln(1.6)
+    val got = graft.ext.LangModel.pmiCollocations(docs, "text", k = 5, minCount = 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(("x", "y") -> ((3L, 875469L)), ("y", "x") -> ((2L, 470004L))))
+    val gated = graft.ext.LangModel.pmiCollocations(docs, "text", k = 5, minCount = 3L)
+    assert(gated.count() === 1L)
+  }
+
   test("cumulativeDistinct: actives, first-seen news, running total") {
     val events = Seq(
       (1L, 10L, 1L), (2L, 20L, 2L),            // day 0: u1, u2 new
