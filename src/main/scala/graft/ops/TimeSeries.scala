@@ -231,4 +231,129 @@ object TimeSeries {
             |  (acc, x) -> greatest(cast(0 as bigint), acc + x))""".stripMargin)
           .as("final_level"))
   }
+
+  /** SEGMENTED twin of [[cappedRunningSum]] — the million-event-key
+    * scale path. The clamp recurrence's step maps close under
+    * composition: every composition of `L → max(0, L + d)` steps is of
+    * the form `L → max(L + S, M)` (S = chunk delta sum; M = the
+    * max-suffix after a clamp), and two such maps compose as
+    * `(S₁,M₁)·(S₂,M₂) = (S₁+S₂, max(M₁+S₂, M₂))` — exact max-plus
+    * algebra, no truncation anywhere, so the segmented fold equals the
+    * sequential fold BIT-FOR-BIT for every chunk size (spec-pinned, and
+    * q195's oracle replays the PLAIN fold against this path).
+    *
+    * Scale shape: one row_number window (per-key sort, linear state)
+    * assigns chunk ids; per-(key, chunk) folds of ≤ `chunk` deltas run
+    * in parallel with partial combining; the per-key reduction then
+    * folds n/chunk summary structs — the aggregation buffer shrinks by
+    * the chunk factor (1024 events/chunk → 1000× smaller buffer than
+    * the plain fold's full-history list). Zero-floor only: a two-sided
+    * cap `min(U, max(0, ·))` also composes (the 3-parameter clamp-map
+    * family `L → min(u, max(L+s, m))` is closed), but has no windowed
+    * closed form; the zero-floor case alternatively admits the Lindley
+    * solution `yₙ = Sₙ − min(0, min prefix Sⱼ)` via two plain windows —
+    * this fold is the form that generalizes.
+    */
+  def cappedRunningSumSegmented(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], deltaCol: String, chunk: Int): DataFrame = {
+    require(chunk > 0, "chunk must be positive")
+    // -2^62: the pre-first-step "M = -inf" identity; the first step's
+    // greatest(M + d, 0) lands exactly on the single-step map's M = 0.
+    val negInf = -4611686018427387904L
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col) :+ col(deltaCol).cast("long"): _*)
+    val chunked = df.filter(col(deltaCol).isNotNull)
+      .withColumn("__d", col(deltaCol).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__ck", expr(s"cast((__rn - 1) div $chunk as bigint)"))
+    val perChunk = chunked
+      .groupBy(col(keyCol).as("key"), col("__ck"))
+      .agg(count(lit(1)).as("__n"),
+        sort_array(collect_list(struct(
+          orderCols.map(col) :+ col("__d"): _*))).as("__s"))
+      .withColumn("__ds", expr("transform(__s, x -> x.__d)"))
+      .withColumn("__sm", expr(
+        s"""aggregate(__ds,
+           |  named_struct('s', cast(0 as bigint), 'm', cast($negInf as bigint)),
+           |  (acc, x) -> named_struct(
+           |    's', acc.s + x,
+           |    'm', greatest(acc.m + x, cast(0 as bigint))))""".stripMargin))
+    perChunk
+      .groupBy(col("key"))
+      .agg(sum(col("__n")).as("n_moves"),
+        sort_array(collect_list(struct(col("__ck"),
+          col("__sm.s").as("s"), col("__sm.m").as("m")))).as("__maps"))
+      .select(col("key"), col("n_moves"),
+        expr(
+          """aggregate(__maps, cast(0 as bigint),
+            |  (acc, mm) -> greatest(acc + mm.s, mm.m))""".stripMargin)
+          .as("final_level"))
+  }
+
+  /** SEGMENTED fixed-point EMA — the scale twin of [[emaFixedPoint]]
+    * with ONE truncating division per CHUNK instead of per step. Each
+    * length-c chunk's untruncated recurrence composes into the exact
+    * affine map `L → (A·L + B) / D` with integer `A = (den−num)^c`,
+    * `D = den^c`, `B = Σ num·xᵢ·(den−num)^{c−i}·den^{i−1}` (built by an
+    * in-chunk integer fold); chunks then apply sequentially with one
+    * `div` each. Deterministic, engine-portable semantics in its own
+    * right (q196's oracle replays the identical chunked fold in DuckDB
+    * with nested list_reduce) — NOT bit-equal to the per-step variant,
+    * but strictly CLOSER to the real-valued EMA (n/c truncations
+    * instead of n; divergence from per-step is < den/num absolute,
+    * spec-pinned).
+    *
+    * Scale shape mirrors [[cappedRunningSumSegmented]]: window
+    * row_number → per-(key, chunk) parallel folds of ≤ chunk values →
+    * per-key fold over n/chunk (A, B, D) structs. Overflow discipline:
+    * `den^chunk` is required ≤ 2^24 and values must fit
+    * `maxVal·den^chunk < 2^62` — pick small den (e.g. den=8, num=3,
+    * chunk=8) for cent-scale values.
+    *
+    * @return (key, n, ema_seg) — seeded with the key's first value
+    */
+  def emaSegmentedFixedPoint(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], valCol: String, num: Long, den: Long,
+      chunk: Int): DataFrame = {
+    require(num > 0 && den > num, "need 0 < num < den")
+    require(chunk > 0 && math.pow(den.toDouble, chunk.toDouble) <= (1L << 24).toDouble,
+      "den^chunk must stay <= 2^24 so A*L + B fits in 64 bits")
+    val r = den - num
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col) :+ col(valCol).cast("long"): _*)
+    // rn=1 is the seed row and forms its own chunk -1; rn>=2 chunk by
+    // (rn-2) div c (non-negative, so truncating div == floor).
+    val chunked = df.filter(col(valCol).isNotNull)
+      .withColumn("__v", col(valCol).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__ck", when(col("__rn") === 1, lit(-1L))
+        .otherwise(expr(s"cast((__rn - 2) div $chunk as bigint)")))
+    val perChunk = chunked
+      .groupBy(col(keyCol).as("key"), col("__ck"))
+      .agg(count(lit(1)).as("__n"),
+        sort_array(collect_list(struct(
+          orderCols.map(col) :+ col("__v"): _*))).as("__s"))
+      .withColumn("__vals", expr("transform(__s, x -> x.__v)"))
+      .withColumn("__map", expr(
+        s"""aggregate(__vals,
+           |  named_struct('a', cast(1 as bigint), 'b', cast(0 as bigint),
+           |               'd', cast(1 as bigint)),
+           |  (acc, x) -> named_struct(
+           |    'a', $r * acc.a,
+           |    'b', $r * acc.b + $num * x * acc.d,
+           |    'd', $den * acc.d))""".stripMargin))
+      .withColumn("__v1", expr("element_at(__vals, 1)"))
+    perChunk
+      .groupBy(col("key"))
+      .agg(sum(col("__n")).as("n"),
+        sort_array(collect_list(struct(col("__ck"),
+          col("__map.a").as("a"), col("__map.b").as("b"),
+          col("__map.d").as("d"), col("__v1").as("v1")))).as("__m"))
+      .select(col("key"), col("n"),
+        expr(
+          """aggregate(slice(__m, 2, size(__m) - 1),
+            |  element_at(__m, 1).v1,
+            |  (acc, mm) -> (mm.a * acc + mm.b) div mm.d)""".stripMargin)
+          .as("ema_seg"))
+  }
 }

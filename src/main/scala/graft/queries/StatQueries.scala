@@ -687,5 +687,93 @@ object StatQueries extends QueryPack {
              |    * 1000000) AS BIGINT) AS pmi_micro
              |FROM bi JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2
              |WHERE c12 >= 5
-             |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin)))
+             |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    // SEGMENTED capped inventory — q188's recurrence through the
+    // chunked max-plus composition (chunk=16): per-(key,chunk) parallel
+    // partial folds, then a per-key fold over n/16 summary structs. The
+    // composition is exact, so the ORACLE IS THE PLAIN SEQUENTIAL FOLD
+    // — a green row proves segmented ≡ sequential cross-engine, the
+    // million-event-key scale path for every per-key recurrence.
+    Q("q195_capped_inventory_segmented",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select(
+          $"l_partkey".as("pk"),
+          $"l_shipdate".cast("timestamp_ltz").cast("long").as("sec"),
+          $"l_orderkey".as("ok"), $"l_linenumber".cast("long").as("ln"),
+          when($"l_returnflag" === "R", $"l_quantity")
+            .otherwise(-$"l_quantity").cast("long").as("delta"))
+        graft.ops.TimeSeries.cappedRunningSumSegmented(li, "pk",
+            Seq("sec", "ok", "ln"), "delta", chunk = 16)
+          .select($"key".as("partkey"), $"n_moves", $"final_level")
+          .orderBy($"partkey")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_partkey AS pk,
+             |    epoch_us(l_shipdate) // 1000000 AS sec,
+             |    l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln,
+             |    CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity
+             |              ELSE -l_quantity END AS BIGINT) AS delta
+             |  FROM lineitem),
+             |l AS (SELECT pk, count(*) AS n_moves,
+             |        list(delta ORDER BY sec, ok, ln, delta) AS ds
+             |      FROM li GROUP BY 1)
+             |SELECT pk AS partkey, CAST(n_moves AS BIGINT) AS n_moves,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
+             |              (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x))
+             |    AS final_level
+             |FROM l ORDER BY partkey""".stripMargin)),
+
+    // Segmented fixed-point EMA (alpha=3/8, chunk=4): one truncating
+    // division per CHUNK via the exact integer affine map
+    // (A,B,D) = ((den-num)^c, Σ num·xᵢ·(den-num)^{c-i}·den^{i-1}, den^c)
+    // — the oracle replays the identical chunked fold with DuckDB
+    // nested list_reduce over struct accumulators, bit-identical.
+    Q("q196_ema_segmented",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select(
+          $"o_custkey".as("cust"),
+          $"o_orderdate".cast("timestamp_ltz").cast("long").as("sec"),
+          $"o_orderkey".as("okey"),
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        graft.ops.TimeSeries.emaSegmentedFixedPoint(o, "cust",
+            Seq("sec", "okey"), "cents", num = 3L, den = 8L, chunk = 4)
+          .select($"key".as("custkey"), $"n", $"ema_seg".as("ema_cents"))
+          .orderBy($"custkey")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey AS cust,
+             |    epoch_us(o_orderdate) // 1000000 AS sec,
+             |    o_orderkey AS okey,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders),
+             |l AS (SELECT cust, count(*) AS n,
+             |        list(cents ORDER BY sec, okey, cents) AS vals
+             |      FROM o GROUP BY 1),
+             |p AS (SELECT cust, n, vals[1] AS seed, vals[2:] AS rest FROM l),
+             |ch AS (SELECT cust, n, seed,
+             |        list_transform(range(0, CAST(ceil(len(rest)/4.0) AS INT)),
+             |          i -> rest[i*4+1 : least((i+1)*4, len(rest))]) AS chunks
+             |      FROM p),
+             |m AS (SELECT cust, n, seed,
+             |        list_transform(chunks, ck ->
+             |          list_reduce(
+             |            list_prepend({'a': CAST(1 AS BIGINT),
+             |                'b': CAST(0 AS BIGINT), 'd': CAST(1 AS BIGINT)},
+             |              list_transform(ck, x -> {'a': CAST(x AS BIGINT),
+             |                'b': CAST(0 AS BIGINT), 'd': CAST(0 AS BIGINT)})),
+             |            (acc, x) -> {'a': 5*acc.a,
+             |                         'b': 5*acc.b + 3*x.a*acc.d,
+             |                         'd': 8*acc.d})) AS maps
+             |      FROM ch)
+             |SELECT cust AS custkey, CAST(n AS BIGINT) AS n,
+             |  list_reduce(
+             |    list_prepend({'a': CAST(0 AS BIGINT), 'b': CAST(seed AS BIGINT),
+             |                  'd': CAST(1 AS BIGINT)}, maps),
+             |    (acc, mm) -> {'a': CAST(0 AS BIGINT),
+             |                  'b': (mm.a * acc.b + mm.b) // mm.d,
+             |                  'd': CAST(1 AS BIGINT)}).b AS ema_cents
+             |FROM m ORDER BY custkey""".stripMargin)))
 }

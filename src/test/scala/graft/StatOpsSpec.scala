@@ -209,6 +209,49 @@ class StatOpsSpec extends SparkTestBase {
     assert(got.getLong(1) === 3L && got.getLong(2) === 3L)
   }
 
+  test("cappedRunningSumSegmented == cappedRunningSum for every chunk size") {
+    // pseudo-random signed deltas over 3 keys, 200 moves each — the
+    // max-plus composition is exact, so equality is bit-for-bit
+    val rows = for (k <- 0 until 3; i <- 0 until 200) yield {
+      val d = ((i * 2654435761L + k * 40503L) % 37L) - 18L
+      (s"k$k", i.toLong, i.toLong, d)
+    }
+    val df = rows.toDF("key0", "sec", "id", "d")
+    val plain = graft.ops.TimeSeries
+      .cappedRunningSum(df, "key0", Seq("sec", "id"), "d")
+    for (c <- Seq(1, 7, 64, 1000)) {
+      val seg = graft.ops.TimeSeries
+        .cappedRunningSumSegmented(df, "key0", Seq("sec", "id"), "d", c)
+      assert(seg.except(plain).isEmpty && plain.except(seg).isEmpty,
+        s"chunk=$c diverged")
+    }
+  }
+
+  test("emaSegmentedFixedPoint: chunked truncation stays within den/num " +
+      "of the per-step fold and matches it exactly when chunk=1") {
+    val rows = for (k <- 0 until 3; i <- 0 until 150) yield
+      (s"k$k", i.toLong, i.toLong, (i * 48271L + k * 137L) % 100000L)
+    val df = rows.toDF("key0", "sec", "id", "v")
+    val step = graft.ops.TimeSeries
+      .emaFixedPoint(df, "key0", Seq("sec", "id"), "v", num = 3L, den = 8L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val seg1 = graft.ops.TimeSeries
+      .emaSegmentedFixedPoint(df, "key0", Seq("sec", "id"), "v",
+        num = 3L, den = 8L, chunk = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(seg1 === step, "chunk=1 must replay per-step truncation exactly")
+    for (c <- Seq(4, 8)) {
+      val seg = graft.ops.TimeSeries
+        .emaSegmentedFixedPoint(df, "key0", Seq("sec", "id"), "v",
+          num = 3L, den = 8L, chunk = c)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      step.foreach { case (k, v) =>
+        assert(math.abs(seg(k) - v) <= 3L,
+          s"chunk=$c key=$k seg=${seg(k)} step=$v")
+      }
+    }
+  }
+
   test("kCorePeel: leaves peel off round by round, the cycle survives") {
     // triangle 1-2-3 with tail 3-4-5: k=2 drops 5 (deg 1), then 4
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
