@@ -20,6 +20,7 @@ object SparkEntry {
     MiningQueries,
     AnalyticsQueries,
     StatQueries,
+    TemporalQueries,
     IoQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.

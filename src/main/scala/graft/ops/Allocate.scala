@@ -58,4 +58,59 @@ object Allocate {
         col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
       .select(col(grpCol), col(keyCol), col("weight"), col("alloc"))
   }
+
+  /** FIFO lot matching — the inventory-costing / queue-consumption
+    * primitive: per key, consume supply lots in arrival order against
+    * demands in arrival order, reporting how much of each demand each
+    * lot fills. The classic imperative two-pointer walk becomes a pure
+    * RELATIONAL interval-overlap join on cumulative quantities: lot i
+    * occupies `[cumB_{i−1}, cumB_i)` on the key's supply axis, demand j
+    * occupies `[cumD_{j−1}, cumD_j)` on the demand axis, and FIFO means
+    * the two axes are THE SAME axis — matched(i,j) =
+    * `max(0, min(bhi, dhi) − max(blo, dlo))`, i.e. plain 1-D interval
+    * intersection. Exact non-negative integers throughout.
+    *
+    * Scale shape: one cumulative-sum window per side (both partitioned
+    * by key — the join that follows is on the same key, so the
+    * partitioning carries through with no extra exchange), then an
+    * equi-join on key with the overlap range predicate. Per-key output
+    * is LINEAR (≤ nB + nD − 1 matched pairs — consecutive intervals on
+    * one axis), even though the join inspects lot×demand candidate
+    * pairs per key; keys with huge lot AND demand counts would want
+    * the [[graft.plans.RangeJoinBinning]] bin treatment on the
+    * cumulative axis.
+    *
+    * Demand beyond total supply is unmatched (reported via
+    * `short = dhi − min(dhi, total supply)` on request by joining
+    * totals); lots beyond total demand simply match nothing.
+    *
+    * @param buys  supply lots: (key, ord…, qty > 0)
+    * @param sells demands: (key, ord…, qty > 0)
+    * @param ordCols arrival order within key (must totally order rows)
+    * @return (key, buy_ord…, sell_ord…, matched_qty > 0)
+    */
+  def fifoMatch(buys: DataFrame, sells: DataFrame, keyCol: String,
+      ordCols: Seq[String], qtyCol: String): DataFrame = {
+    def cum(df: DataFrame, hi: String, lo: String) = {
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(ordCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.filter(col(qtyCol).isNotNull && col(qtyCol) > 0)
+        .withColumn("__q", col(qtyCol).cast("long"))
+        .withColumn(hi, sum(col("__q")).over(w))
+        .withColumn(lo, col(hi) - col("__q"))
+    }
+    val b = cum(buys, "bhi", "blo").select(
+      col(keyCol).as("key") +: ordCols.map(c => col(c).as(s"buy_$c")) :+
+        col("blo") :+ col("bhi"): _*)
+    val s = cum(sells, "dhi", "dlo").select(
+      col(keyCol).as("skey") +: ordCols.map(c => col(c).as(s"sell_$c")) :+
+        col("dlo") :+ col("dhi"): _*)
+    b.join(s, col("key") === col("skey") &&
+        col("blo") < col("dhi") && col("dlo") < col("bhi"))
+      .withColumn("matched_qty",
+        least(col("bhi"), col("dhi")) - greatest(col("blo"), col("dlo")))
+      .select(col("key") +: ordCols.map(c => col(s"buy_$c")) ++:
+        ordCols.map(c => col(s"sell_$c")) :+ col("matched_qty"): _*)
+  }
 }

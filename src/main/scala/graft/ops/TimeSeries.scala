@@ -290,6 +290,91 @@ object TimeSeries {
           .as("final_level"))
   }
 
+  /** One-sided CUSUM change detection per key — `C_i = max(0, C_{i−1} +
+    * (x_i − k))`, alarms when `C_i > h` — WITHOUT any fold: the clamped
+    * recurrence is a Lindley equation whose solution is the closed form
+    * `C_i = S_i − min(0, min_{j≤i} S_j)` over the prefix sums
+    * `S_i = Σ(x−k)`, so two frames on ONE window sort (prefix sum +
+    * running min) compute every per-row CUSUM value exactly — linear
+    * state, no per-key list, no chunking, million-event keys for free.
+    * (Contrast [[cappedRunningSumSegmented]]: the same recurrence
+    * seeded at 0 — the closed form exists precisely because the floor
+    * is at zero and there is no upper cap.) Exact signed-integer sums;
+    * min/max only, no division, so the engines agree bit-for-bit.
+    *
+    * @param k drift allowance subtracted per observation
+    * @param h alarm threshold on the CUSUM statistic
+    * @return per key: (key, n, final_cusum, max_cusum, n_alarms)
+    */
+  def cusumStats(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valCol: String, k: Long, h: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = df.filter(col(valCol).isNotNull)
+      .withColumn("__s", sum(col(valCol).cast("long") - k).over(w))
+      .withColumn("__c", col("__s") - least(lit(0L), min(col("__s")).over(w)))
+    // final C_n = S_n − min(0, min_j S_j); S_n = Σ(x−k) — aggregate
+    // closed forms, no order-dependent "last row" pick needed
+    staged.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col(valCol).cast("long") - k)
+          - least(lit(0L), min(col("__s")))).as("final_cusum"),
+        max(col("__c")).as("max_cusum"),
+        sum(when(col("__c") > h, 1L).otherwise(0L)).as("n_alarms"))
+  }
+
+  /** Maximum drawdown per key — `max_i (max_{j≤i} V_j − V_i)` over the
+    * key's time-ordered cumulative value series (the running-peak
+    * shortfall; risk metric for any monotone-resettable series). Same
+    * one-sort shape as [[cusumStats]]: prefix sum → running max →
+    * per-row drawdown → per-key aggregate. Exact signed integers.
+    *
+    * @param deltaCol signed per-event increment (cents); the series is
+    *                 its cumulative sum from zero
+    * @return (key, n, final_value, max_drawdown)
+    */
+  def maxDrawdown(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      deltaCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = df.filter(col(deltaCol).isNotNull)
+      .withColumn("__v", sum(col(deltaCol).cast("long")).over(w))
+      .withColumn("__dd", max(col("__v")).over(w) - col("__v"))
+    // final value = total delta sum — no order-dependent pick needed
+    staged.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(deltaCol).cast("long")).as("final_value"),
+        max(col("__dd")).as("max_drawdown"))
+  }
+
+  /** Rolling-median outlier screen per key: the EXACT median of each
+    * trailing `w`-row frame (odd w — sorted-frame middle element, no
+    * interpolation, pure integers) flags readings far from their local
+    * level: `|x − med| · 2 > med · tol2` (tolerance = tol2/2 of the
+    * median, division-free). Rows before a full frame are not judged.
+    * Frame collect + sort is O(w log w) per row on bounded w — the
+    * rolling-robust-screen regime (w ≤ ~100); an O(log w) indexable
+    * skiplist would be the giant-window path, not needed at these
+    * frame sizes.
+    *
+    * @return (key, n_judged, n_outliers)
+    */
+  def rollingMedianOutliers(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], valCol: String, w: Int, tol2: Long): DataFrame = {
+    require(w % 2 == 1 && w > 1, "w must be odd > 1")
+    val frame = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val staged = df.filter(col(valCol).isNotNull)
+      .withColumn("__x", col(valCol).cast("long"))
+      .withColumn("__fr", collect_list(col("__x")).over(frame))
+      .filter(size(col("__fr")) === w)
+      .withColumn("__med", expr(s"element_at(array_sort(__fr), ${w / 2 + 1})"))
+    staged.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_judged"),
+        sum(when(abs(col("__x") - col("__med")) * 2 > col("__med") * tol2,
+          1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** SEGMENTED fixed-point EMA — the scale twin of [[emaFixedPoint]]
     * with ONE truncating division per CHUNK instead of per step. Each
     * length-c chunk's untruncated recurrence composes into the exact

@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Allocate, Calendar, Survival, TimeSeries}
+
+/** Fifteenth-wave operators — sequential/temporal analytics whose
+  * imperative formulations all collapse to relational plans: FIFO lot
+  * matching as a cumulative-interval join, CUSUM change detection via
+  * the Lindley closed form (no fold at all), running-peak drawdown,
+  * closed-form business-day calendars, Kaplan–Meier survival with the
+  * fold bounded by distinct TIMES (not subjects), and a rolling-median
+  * robust screen.
+  *
+  * Ordering discipline for lineitem-driven series: (sec, ok, ln) is
+  * NOT unique (the synthetic data carries duplicate (l_orderkey,
+  * l_linenumber) pairs), so every window order appends the value
+  * column — remaining ties are value-identical rows, which commute
+  * through every computation here.
+  */
+object TemporalQueries extends QueryPack {
+
+  val all: Seq[Q] = Seq(
+
+    // FIFO lot matching per part: returns are supply lots, shipments
+    // consume them in arrival order. The two-pointer walk becomes a
+    // pure interval-intersection join on per-key cumulative quantity —
+    // both cumsum windows and the join share the partkey partitioning,
+    // and per-key output is linear (<= nB + nD - 1 pairs).
+    Q("q197_fifo_match",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).filter($"l_partkey" < 1000)
+          .select($"l_partkey".as("pk"),
+            $"l_shipdate".cast("timestamp_ltz").cast("long").as("sec"),
+            $"l_orderkey".as("ok"), $"l_linenumber".cast("long").as("ln"),
+            $"l_quantity".cast("long").as("q"), $"l_returnflag".as("rf"))
+        val buys = li.filter($"rf" === "R").drop("rf")
+        val sells = li.filter($"rf" =!= "R").drop("rf")
+        Allocate.fifoMatch(buys, sells, "pk",
+            Seq("sec", "ok", "ln", "q"), "q")
+          .orderBy($"key", $"buy_sec", $"buy_ok", $"buy_ln", $"buy_q",
+            $"sell_sec", $"sell_ok", $"sell_ln", $"sell_q")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_partkey AS pk,
+             |    epoch_us(l_shipdate) // 1000000 AS sec,
+             |    l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln,
+             |    CAST(l_quantity AS BIGINT) AS q, l_returnflag AS rf
+             |  FROM lineitem WHERE l_partkey < 1000),
+             |b AS (SELECT pk, sec, ok, ln, q,
+             |        sum(q) OVER (PARTITION BY pk ORDER BY sec, ok, ln, q
+             |          ROWS UNBOUNDED PRECEDING) AS bhi
+             |      FROM li WHERE rf = 'R'),
+             |s AS (SELECT pk, sec, ok, ln, q,
+             |        sum(q) OVER (PARTITION BY pk ORDER BY sec, ok, ln, q
+             |          ROWS UNBOUNDED PRECEDING) AS dhi
+             |      FROM li WHERE rf <> 'R')
+             |SELECT b.pk AS key,
+             |  b.sec AS buy_sec, b.ok AS buy_ok, b.ln AS buy_ln,
+             |  b.q AS buy_q,
+             |  s.sec AS sell_sec, s.ok AS sell_ok, s.ln AS sell_ln,
+             |  s.q AS sell_q,
+             |  least(b.bhi, s.dhi) - greatest(b.bhi - b.q, s.dhi - s.q)
+             |    AS matched_qty
+             |FROM b JOIN s ON b.pk = s.pk
+             |  AND b.bhi - b.q < s.dhi AND s.dhi - s.q < b.bhi
+             |ORDER BY key, buy_sec, buy_ok, buy_ln, buy_q,
+             |  sell_sec, sell_ok, sell_ln, sell_q""".stripMargin)),
+
+    // One-sided CUSUM on shipped quantity per supplier (k=26, h=500):
+    // the clamped recurrence solved in CLOSED FORM (Lindley:
+    // C_i = S_i - min(0, min prefix S)) — two frames on one window
+    // sort, per-row exactness with zero sequential state.
+    Q("q198_cusum_qty",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select(
+          $"l_suppkey".as("sk"),
+          $"l_shipdate".cast("timestamp_ltz").cast("long").as("sec"),
+          $"l_orderkey".as("ok"), $"l_linenumber".cast("long").as("ln"),
+          $"l_quantity".cast("long").as("q"))
+        TimeSeries.cusumStats(li, "sk", Seq("sec", "ok", "ln", "q"), "q",
+            k = 26L, h = 500L)
+          .select($"key".as("suppkey"), $"n", $"final_cusum",
+            $"max_cusum", $"n_alarms")
+          .orderBy($"suppkey")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_suppkey AS sk,
+             |    epoch_us(l_shipdate) // 1000000 AS sec,
+             |    l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln,
+             |    CAST(l_quantity AS BIGINT) AS q
+             |  FROM lineitem),
+             |w AS (SELECT sk, sec, ok, ln, q,
+             |        sum(q - 26) OVER (PARTITION BY sk
+             |          ORDER BY sec, ok, ln, q ROWS UNBOUNDED PRECEDING) AS s
+             |      FROM li),
+             |c AS (SELECT sk, q, s,
+             |        min(s) OVER (PARTITION BY sk ORDER BY sec, ok, ln, q
+             |          ROWS UNBOUNDED PRECEDING) AS smin
+             |      FROM w)
+             |SELECT sk AS suppkey, count(*) AS n,
+             |  CAST(sum(q - 26) - least(CAST(0 AS BIGINT), min(s)) AS BIGINT)
+             |    AS final_cusum,
+             |  CAST(max(s - least(CAST(0 AS BIGINT), smin)) AS BIGINT)
+             |    AS max_cusum,
+             |  CAST(sum(CASE WHEN s - least(CAST(0 AS BIGINT), smin) > 500
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Maximum drawdown of each user's engagement walk (purchase +5,
+    // other events -1): prefix sum -> running max -> peak shortfall,
+    // one window sort, exact signed integers.
+    Q("q199_engagement_drawdown",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select(
+          $"user_id", expr("cast(ts as long)").as("sec"), $"event_id",
+          when($"event_type" === "purchase", 5L).otherwise(-1L).as("delta"))
+        TimeSeries.maxDrawdown(ev, "user_id", Seq("sec", "event_id"), "delta")
+          .select($"key".as("user_id"), $"n", $"final_value",
+            $"max_drawdown")
+          .orderBy($"user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec, event_id,
+             |    CASE WHEN event_type = 'purchase' THEN 5 ELSE -1 END AS delta
+             |  FROM events),
+             |w AS (SELECT user_id, sec, event_id, delta,
+             |        sum(delta) OVER (PARTITION BY user_id
+             |          ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS v
+             |      FROM ev),
+             |m AS (SELECT user_id, delta, v,
+             |        max(v) OVER (PARTITION BY user_id
+             |          ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING)
+             |          AS peak
+             |      FROM w)
+             |SELECT user_id, count(*) AS n,
+             |  CAST(sum(delta) AS BIGINT) AS final_value,
+             |  CAST(max(peak - v) AS BIGINT) AS max_drawdown
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Business-day SLA profile: weekday count between order date and a
+    // deterministic promise date via the pure closed form g(e2) - g(e1)
+    // (g = 5 full weeks + clamped residue; no calendar table, no UDF,
+    // codegen integer ops only). One builder emits both engines' text.
+    Q("q200_business_days",
+      (s, d) => {
+        import s.implicits._
+        val e1 = "(cast(cast(o_orderdate as timestamp_ltz) as long) div 86400)"
+        val o = Tables.orders(s, d)
+          .withColumn("bd", expr(Calendar.busDaysSql(
+            e1, s"($e1 + o_orderkey % 40)", divOp = "div")))
+        o.groupBy($"o_orderpriority".as("prio"))
+          .agg(count(lit(1)).as("n"),
+            sum($"bd").cast("long").as("sum_busdays"),
+            max($"bd").cast("long").as("max_busdays"),
+            sum(when($"bd" <= 20, 1L).otherwise(0L)).as("n_within_sla"))
+          .orderBy($"prio")
+      },
+      Some {
+        val e1 = "(epoch_us(o_orderdate) // 1000000 // 86400)"
+        val bd = Calendar.busDaysSql(e1, s"($e1 + o_orderkey % 40)",
+          divOp = "//")
+        s"""SELECT o_orderpriority AS prio, count(*) AS n,
+           |  CAST(sum($bd) AS BIGINT) AS sum_busdays,
+           |  CAST(max($bd) AS BIGINT) AS max_busdays,
+           |  CAST(sum(CASE WHEN $bd <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_within_sla
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // Kaplan-Meier survival per order priority (duration = okey % 60
+    // days, ~1/7 right-censored): the product-limit fold runs over
+    // DISTINCT TIMES (<= 60 cells/group), never over subjects — the
+    // fact table collapses in one groupBy first; survival kept in
+    // micro-units with one truncating division per step so DuckDB
+    // replays it bit-for-bit.
+    Q("q201_kaplan_meier",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select(
+          $"o_orderpriority".as("grp"),
+          ($"o_orderkey" % 60).as("dur"),
+          when($"o_orderkey" % 7 =!= 0, 1L).otherwise(0L).as("ev"))
+        Survival.kaplanMeier(o, "grp", "dur", "ev")
+          .orderBy($"grp", $"t")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderpriority AS grp,
+             |    CAST(o_orderkey % 60 AS BIGINT) AS t,
+             |    CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END AS ev
+             |  FROM orders),
+             |cells AS (SELECT grp, t, count(*) AS c,
+             |            CAST(sum(ev) AS BIGINT) AS d
+             |          FROM base GROUP BY 1, 2),
+             |r AS (SELECT grp, t, d,
+             |        CAST(sum(c) OVER (PARTITION BY grp ORDER BY t
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |          AS BIGINT) AS n_risk
+             |      FROM cells),
+             |l AS (SELECT grp,
+             |        list({'t': t, 'n': n_risk, 'd': d} ORDER BY t)
+             |          FILTER (d > 0) AS steps
+             |      FROM r GROUP BY 1)
+             |SELECT r.grp AS grp, r.t AS t, r.n_risk AS n_risk, r.d AS d,
+             |  list_reduce(
+             |    list_prepend({'t': CAST(0 AS BIGINT),
+             |                  'n': CAST(1000000 AS BIGINT),
+             |                  'd': CAST(0 AS BIGINT)},
+             |      list_filter(l.steps, s -> s.t <= r.t)),
+             |    (acc, s) -> {'t': s.t,
+             |                 'n': (acc.n * (s.n - s.d)) // s.n,
+             |                 'd': s.d}).n AS s_micro
+             |FROM r JOIN l ON l.grp = r.grp
+             |WHERE r.d > 0
+             |ORDER BY grp, t""".stripMargin)),
+
+    // Rolling-median robust screen on shipped quantity per supplier
+    // (w=15): exact sorted-frame middle element, outlier when the
+    // deviation exceeds half the local median (division-free integer
+    // test |x-med|*2 > med), judged only on full frames.
+    Q("q202_rolling_median_screen",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select(
+          $"l_suppkey".as("sk"),
+          $"l_shipdate".cast("timestamp_ltz").cast("long").as("sec"),
+          $"l_orderkey".as("ok"), $"l_linenumber".cast("long").as("ln"),
+          $"l_quantity".cast("long").as("q"))
+        TimeSeries.rollingMedianOutliers(li, "sk",
+            Seq("sec", "ok", "ln", "q"), "q", w = 15, tol2 = 1L)
+          .select($"key".as("suppkey"), $"n_judged", $"n_outliers")
+          .orderBy($"suppkey")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_suppkey AS sk,
+             |    epoch_us(l_shipdate) // 1000000 AS sec,
+             |    l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln,
+             |    CAST(l_quantity AS BIGINT) AS q
+             |  FROM lineitem),
+             |f AS (SELECT sk, q,
+             |        list(q) OVER (PARTITION BY sk ORDER BY sec, ok, ln, q
+             |          ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS fr
+             |      FROM li),
+             |j AS (SELECT sk, q, list_sort(fr)[8] AS med
+             |      FROM f WHERE len(fr) = 15)
+             |SELECT sk AS suppkey, count(*) AS n_judged,
+             |  CAST(sum(CASE WHEN abs(q - med) * 2 > med * 1
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)))
+}

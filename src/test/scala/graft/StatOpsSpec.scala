@@ -252,6 +252,78 @@ class StatOpsSpec extends SparkTestBase {
     }
   }
 
+  test("fifoMatch: lots fill demands in arrival order, shortage unmatched") {
+    // buys 10,5; sells 8,4,7 -> intervals [0,10)[10,15) vs [0,8)[8,12)[12,19):
+    // b1-s1=8, b1-s2=2, b2-s2=2, b2-s3=3; sell 3 is 4 short (total supply 15)
+    val buys = Seq(("k", 1L, 10L), ("k", 2L, 5L)).toDF("key0", "t", "q")
+    val sells = Seq(("k", 1L, 8L), ("k", 2L, 4L), ("k", 3L, 7L))
+      .toDF("key0", "t", "q")
+    val got = graft.ops.Allocate
+      .fifoMatch(buys, sells, "key0", Seq("t"), "q")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((1L, 1L, 8L), (1L, 2L, 2L), (2L, 2L, 2L), (2L, 3L, 3L)))
+  }
+
+  test("cusumStats: Lindley closed form equals the clamped fold") {
+    val xs = Seq(30L, 10L, 40L, 5L, 50L, 45L, 2L, 60L)
+    val k = 26L; val h = 20L
+    // reference: direct sequential fold
+    var c = 0L; var mx = 0L; var alarms = 0L
+    xs.foreach { x =>
+      c = math.max(0L, c + (x - k)); mx = math.max(mx, c)
+      if (c > h) alarms += 1
+    }
+    val df = xs.zipWithIndex.map { case (x, i) => ("s", i.toLong, x) }
+      .toDF("key0", "t", "x")
+    val got = graft.ops.TimeSeries
+      .cusumStats(df, "key0", Seq("t"), "x", k, h).head
+    assert(got.getLong(1) === xs.size.toLong)
+    assert(got.getLong(2) === c, "final")
+    assert(got.getLong(3) === mx, "max")
+    assert(got.getLong(4) === alarms, "alarms")
+  }
+
+  test("maxDrawdown: peak shortfall over the cumulative walk") {
+    // deltas +5,-3,+1,-4,+10 -> V 5,2,3,-1,9; peaks 5 -> dd max = 6
+    val df = Seq(("u", 1L, 5L), ("u", 2L, -3L), ("u", 3L, 1L),
+        ("u", 4L, -4L), ("u", 5L, 10L))
+      .toDF("key0", "t", "d")
+    val got = graft.ops.TimeSeries
+      .maxDrawdown(df, "key0", Seq("t"), "d").head
+    assert(got.getLong(2) === 9L && got.getLong(3) === 6L)
+  }
+
+  test("kaplanMeier: textbook product-limit with censoring, micro fold") {
+    // durations: 1e, 2e, 2e, 3c, 4e, 5c
+    val df = Seq((1L, 1L), (2L, 1L), (2L, 1L), (3L, 0L), (4L, 1L), (5L, 0L))
+      .map { case (t, e) => ("g", t, e) }.toDF("grp0", "dur", "ev")
+    val got = graft.ops.Survival.kaplanMeier(df, "grp0", "dur", "ev")
+      .orderBy($"t")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // S: 1e6*5 div 6 = 833333; *3 div 5 = 499999; *1 div 2 = 249999
+    assert(got.toSeq === Seq((1L, 6L, 1L, 833333L), (2L, 5L, 2L, 499999L),
+      (4L, 2L, 1L, 249999L)))
+  }
+
+  test("busDaysSql: closed form matches java.time over a month of spans") {
+    import java.time.LocalDate
+    import java.time.temporal.ChronoUnit
+    val base = LocalDate.of(2026, 7, 27) // a Monday
+    val spans = for (s <- 0 until 14; len <- Seq(0, 1, 3, 7, 10, 30))
+      yield (base.plusDays(s.toLong), base.plusDays((s + len).toLong))
+    def ref(a: LocalDate, b: LocalDate): Long =
+      Iterator.iterate(a)(_.plusDays(1)).takeWhile(_.isBefore(b))
+        .count(d => d.getDayOfWeek.getValue <= 5).toLong
+    val rows = spans.map { case (a, b) =>
+      (a.toEpochDay, b.toEpochDay, ref(a, b)) }
+    val df = rows.toDF("e1", "e2", "want")
+    val got = df.withColumn("got",
+        expr(graft.ops.Calendar.busDaysSql("e1", "e2", divOp = "div")))
+      .filter($"got" =!= $"want")
+    assert(got.count() === 0L)
+  }
+
   test("kCorePeel: leaves peel off round by round, the cycle survives") {
     // triangle 1-2-3 with tail 3-4-5: k=2 drops 5 (deg 1), then 4
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
