@@ -187,6 +187,45 @@ object LinkGraph {
     } finally { e.unpersist(false); () }
   }
 
+  /** Bounded-round WEIGHTED shortest paths (Bellman–Ford relaxation,
+    * min-plus semiring) from a seed set: `rounds` synchronous passes of
+    * `dist'(v) = min(dist(v), min over edges (u,v) of dist(u) + w)` —
+    * the weighted generalization of [[bfsDistances]]. Unlike BFS there
+    * is NO settled set: a longer-hop path may still be cheaper, so
+    * every round relaxes the full current table (correct to the exact
+    * shortest distance once `rounds` ≥ the shortest-path hop diameter;
+    * with fewer rounds the semantics are "cheapest path within k
+    * hops" — deterministic either way, which is what the oracle's
+    * chained min-relaxation CTEs replay).
+    *
+    * Scale: per round one equi-join (edges ⋈ dist on src) + one
+    * min-groupBy — both shuffle on node ids; dist is checkpointed per
+    * round (bounded lineage, the [[graft.ops.Exec.checkpointEager]]
+    * contract). Exact non-negative integer weights.
+    *
+    * @param edges (src, dst, w) directed, w a non-negative long
+    * @param seeds (id) — distance 0 sources
+    * @return (node_id, dist) for nodes reachable within `rounds` hops
+    */
+  def weightedShortestPaths(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one round")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst"), col("w")).persist(lvl)
+    try {
+      var dist = seeds.select(col("id")).distinct()
+        .withColumn("dist", lit(0L)).checkpointEager()
+      for (_ <- 1 to rounds) {
+        val relaxed = e.join(dist.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+        dist = dist.unionByName(relaxed)
+          .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+          .checkpointEager()
+      }
+      dist.select(col("id").as("node_id"), col("dist"))
+    } finally { e.unpersist(false); () }
+  }
+
   /** Fixed-round k-core PEELING: repeatedly drop nodes of degree < k
     * (with their edges) for exactly `rounds` iterations — the
     * degeneracy/cohesion filter (spam farms and long-tail leaf nodes

@@ -82,6 +82,42 @@ object Behavior {
         sum(col("n_transitions")).over(perPrev)).cast("long"))
   }
 
+  /** Two-step Markov transition matrix — the square of the one-step
+    * matrix in EXACT integer micro-units: one-step probabilities are
+    * `p(a,b) = (n_ab · 1e6) div n_a` (truncating div on non-negative
+    * counts — engine-identical), and the square is
+    * `p²(a,c) = (Σ_b p(a,b)·p(b,c)) div 1e6` — integer products (≤
+    * 1e12) summed exactly over the mid state before the single closing
+    * division, so matrix composition introduces no float anywhere.
+    *
+    * Scale: the per-user lag window is the only fact-table pass; the
+    * matrix itself is |states|² rows, so the self-join square is a
+    * dimension-table operation regardless of corpus size.
+    *
+    * @return (from_type, to_type, p2_micro) for every 2-hop-reachable
+    *         pair
+    */
+  def markovTwoStep(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val perUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val p1 = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("b"))
+      .withColumn("a", lag(col("b"), 1).over(perUser))
+      .filter(col("a").isNotNull)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("na", sum(col("n")).over(Window.partitionBy(col("a"))))
+      .withColumn("p_micro", expr("(n * 1000000) div na"))
+      .select(col("a"), col("b"), col("p_micro"))
+    p1.as("x").join(p1.as("y"), col("x.b") === col("y.a"))
+      .groupBy(col("x.a").as("from_type"), col("y.b").as("to_type"))
+      .agg(sum(col("x.p_micro") * col("y.p_micro")).as("pp"))
+      .select(col("from_type"), col("to_type"),
+        expr("pp div 1000000").as("p2_micro"))
+  }
+
   /** Ordered funnel conversion within a time window: users enter at
     * their FIRST `steps(0)` event; each later step must occur at or
     * after the previous step's completion and within `windowSec` of the

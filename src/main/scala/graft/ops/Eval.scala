@@ -173,4 +173,49 @@ object Eval {
           / (col("t") * col("rt") * col("ct")).cast("double"), 0).cast("long"))
       .select(col("r"), col("c"), col("o"), col("e_micro"), col("contrib_micro"))
   }
+
+  /** Welch's unequal-variance t statistic per group between two
+    * variants (the A/B-test workhorse) — from exact integer sufficient
+    * statistics only: per (group, variant) one partial-combining
+    * groupBy collects (n, Σx, Σx²) in integer cents; the statistic
+    * `t = (m₀ − m₁) / √(v₀/n₀ + v₁/n₁)` (sample variances
+    * `v = (n·Σx² − (Σx)²) / (n·(n−1))`) is then ONE shared-shape double
+    * expression over those six integers, micro-rounded — the
+    * [[chiSquareCells]] discipline, so both engines agree exactly.
+    * Groups missing a variant, or with n < 2 on either side, or with
+    * two exactly-constant samples (zero pooled standard error) are
+    * dropped.
+    *
+    * @param variantCol must take exactly the values 0 and 1
+    * @param centsCol   integer fixed-point metric
+    * @return (grp, n0, n1, mean_diff_micro, t_micro)
+    */
+  def welchT(df: DataFrame, grpCol: String, variantCol: String,
+      centsCol: String): DataFrame = {
+    val x = col(centsCol).cast("long")
+    def is(v: Int) = col(variantCol).cast("int") === v
+    // ONE partial-combining pass over the facts: conditional sums per
+    // variant instead of a per-(grp,variant) table joined to itself
+    val j = df.groupBy(col(grpCol).as("grp"))
+      .agg(sum(when(is(0), 1L).otherwise(0L)).as("n0"),
+        sum(when(is(0), x).otherwise(0L)).as("s0"),
+        sum(when(is(0), x * x).otherwise(0L)).as("ss0"),
+        sum(when(is(1), 1L).otherwise(0L)).as("n1"),
+        sum(when(is(1), x).otherwise(0L)).as("s1"),
+        sum(when(is(1), x * x).otherwise(0L)).as("ss1"))
+      .filter(col("n0") >= 2 && col("n1") >= 2)
+    def m(n: String, s: String) = col(s).cast("double") / col(n).cast("double")
+    def va(n: String, s: String, ss: String) =
+      (col(n).cast("double") * col(ss).cast("double")
+        - col(s).cast("double") * col(s).cast("double")) /
+        (col(n).cast("double") * (col(n) - 1).cast("double"))
+    val se2 = va("n0", "s0", "ss0") / col("n0").cast("double") +
+      va("n1", "s1", "ss1") / col("n1").cast("double")
+    j.filter(se2 > 0.0)
+      .select(col("grp"), col("n0"), col("n1"),
+        round((m("n0", "s0") - m("n1", "s1")) * 1000000.0, 0).cast("long")
+          .as("mean_diff_micro"),
+        round((m("n0", "s0") - m("n1", "s1")) * 1000000.0 / sqrt(se2), 0)
+          .cast("long").as("t_micro"))
+  }
 }

@@ -290,6 +290,50 @@ object TimeSeries {
           .as("final_level"))
   }
 
+  /** Lagged cross-correlation between two aligned integer series —
+    * "does x lead y by L steps?" for every lag 0..maxLag in one plan:
+    * explode the lag range, self-join the (small, pre-aggregated)
+    * series table on `day + lag`, and compute Pearson r per lag from
+    * FIVE exact integer sufficient statistics (n, Σx, Σy, Σx², Σy²,
+    * Σxy — the [[znSubsequenceTopK]] discipline): the only double is
+    * the one shared-shape quotient, micro-rounded, so lags rank
+    * identically in any engine. Products can exceed 64 bits only via
+    * n·Σ terms — cast to double BEFORE multiplying, same shape both
+    * engines.
+    *
+    * @param df one row per time point: (tCol, xCol, yCol) integer
+    * @return (lag, n, r_micro) — r of (x at t, y at t+lag)
+    */
+  def lagCrossCorr(df: DataFrame, tCol: String, xCol: String, yCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0, "maxLag must be >= 0")
+    val base = df.select(col(tCol).cast("long").as("t"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val lagged = base.select(col("t"), col("x"))
+      .withColumn("lag", explode(expr(s"sequence(0, $maxLag)")))
+    lagged.as("a")
+      .join(base.as("b"), col("b.t") === col("a.t") + col("a.lag"))
+      .groupBy(col("a.lag").as("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a.x")).as("sx"), sum(col("b.y")).as("sy"),
+        sum(col("a.x") * col("a.x")).as("sxx"),
+        sum(col("b.y") * col("b.y")).as("syy"),
+        sum(col("a.x") * col("b.y")).as("sxy"))
+      // zero-variance guard (exact integers — both engines filter the
+      // same lags; n·Σx² must fit 64 bits: n·max(x)² < 2^63)
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+        col("n") * col("syy") - col("sy") * col("sy") > 0)
+      .select(col("lag").cast("long").as("lag"), col("n"),
+        round((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          * lit(1000000.0)
+          / sqrt((col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))), 0)
+          .cast("long").as("r_micro"))
+  }
+
   /** One-sided CUSUM change detection per key — `C_i = max(0, C_{i−1} +
     * (x_i − k))`, alarms when `C_i > h` — WITHOUT any fold: the clamped
     * recurrence is a Lindley equation whose solution is the closed form

@@ -250,5 +250,205 @@ object TemporalQueries extends QueryPack {
              |SELECT sk AS suppkey, count(*) AS n_judged,
              |  CAST(sum(CASE WHEN abs(q - med) * 2 > med * 1
              |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Bounded Bellman-Ford over the weighted trade graph (edge cost
+    // shrinks with trade volume): 3 min-plus relaxation rounds — the
+    // weighted generalization of q178's BFS, no settled-set shortcut
+    // because a longer-hop path may still be cheaper. Oracle = the
+    // same three chained min-relaxations.
+    Q("q203_weighted_shortest_path",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_custkey".as("c"), $"l_suppkey".as("p"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("w", greatest(lit(1L), lit(8L) - least($"n", lit(7L))))
+        val edges = pairs.select($"c".as("src"), ($"p" + 1000000L).as("dst"), $"w")
+          .union(pairs.select(($"p" + 1000000L).as("src"), $"c".as("dst"), $"w"))
+        val seeds = Tables.customer(s, d).filter($"c_custkey" < 10)
+          .select($"c_custkey".as("id"))
+        graft.ext.LinkGraph.weightedShortestPaths(edges, seeds, rounds = 3)
+          .orderBy($"node_id")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT o_custkey AS c, l_suppkey AS p, count(*) AS n
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |  GROUP BY 1, 2),
+             |pw AS (SELECT c, p,
+             |         CAST(greatest(1, 8 - least(n, 7)) AS BIGINT) AS w
+             |       FROM pairs),
+             |edges AS (SELECT c AS src, p + 1000000 AS dst, w FROM pw
+             |          UNION ALL SELECT p + 1000000, c, w FROM pw),
+             |d0 AS (SELECT c_custkey AS id, CAST(0 AS BIGINT) AS dist
+             |       FROM customer WHERE c_custkey < 10),
+             |d1 AS (SELECT id, min(dist) AS dist FROM (
+             |         SELECT id, dist FROM d0
+             |         UNION ALL SELECT e.dst, d0.dist + e.w
+             |         FROM d0 JOIN edges e ON e.src = d0.id) GROUP BY id),
+             |d2 AS (SELECT id, min(dist) AS dist FROM (
+             |         SELECT id, dist FROM d1
+             |         UNION ALL SELECT e.dst, d1.dist + e.w
+             |         FROM d1 JOIN edges e ON e.src = d1.id) GROUP BY id),
+             |d3 AS (SELECT id, min(dist) AS dist FROM (
+             |         SELECT id, dist FROM d2
+             |         UNION ALL SELECT e.dst, d2.dist + e.w
+             |         FROM d2 JOIN edges e ON e.src = d2.id) GROUP BY id)
+             |SELECT id AS node_id, CAST(dist AS BIGINT) AS dist
+             |FROM d3 ORDER BY id""".stripMargin)),
+
+    // Two-step Markov matrix: the one-step micro-probability matrix
+    // (q158's counts, integer-div normalized) SQUARED in exact integer
+    // arithmetic — products summed over the mid state before one
+    // closing division; the matrix square is a |states|^2-cardinality
+    // operation however large the corpus.
+    Q("q204_markov_two_step",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Behavior.markovTwoStep(Tables.events(s, d))
+          .orderBy($"from_type", $"to_type")
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type AS b,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS a
+             |  FROM events),
+             |n1 AS (SELECT a, b, count(*) AS n FROM seq
+             |       WHERE a IS NOT NULL GROUP BY 1, 2),
+             |p1 AS (SELECT a, b,
+             |         (n * 1000000) // sum(n) OVER (PARTITION BY a) AS p
+             |       FROM n1)
+             |SELECT x.a AS from_type, y.b AS to_type,
+             |  CAST(sum(x.p * y.p) // 1000000 AS BIGINT) AS p2_micro
+             |FROM p1 x JOIN p1 y ON x.b = y.a
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Lead-lag screen: Pearson r between daily click volume and
+    // purchase volume at every lag 0..6, from exact integer sufficient
+    // statistics with one shared-shape double per lag — "does x lead
+    // y?" without ever materializing more than the daily table.
+    Q("q205_lag_crosscorr",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.events(s, d).select(
+          expr("cast(ts as long) div 86400").as("day"), $"event_type")
+        val days = e.groupBy($"day").agg(
+          sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+        graft.ops.TimeSeries.lagCrossCorr(days, "day", "x", "y", maxLag = 6)
+          .select($"lag".as("lag_steps"), $"n", $"r_micro")
+          .orderBy($"lag_steps")
+      },
+      Some("""WITH e AS (
+             |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400
+             |    AS day, event_type FROM events),
+             |ds AS (SELECT day,
+             |        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS x,
+             |        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS y
+             |      FROM e GROUP BY 1),
+             |pr AS (SELECT lg.lag_steps, a.x, b.y
+             |       FROM ds a
+             |       CROSS JOIN (SELECT unnest(range(0, 7)) AS lag_steps) lg
+             |       JOIN ds b ON b.day = a.day + lg.lag_steps),
+             |st AS (SELECT lag_steps, count(*) AS n,
+             |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |         CAST(sum(x * x) AS BIGINT) AS sxx,
+             |         CAST(sum(y * y) AS BIGINT) AS syy,
+             |         CAST(sum(x * y) AS BIGINT) AS sxy
+             |       FROM pr GROUP BY 1)
+             |SELECT CAST(lag_steps AS BIGINT) AS lag_steps, n,
+             |  CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    * 1000000.0
+             |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+             |    AS BIGINT) AS r_micro
+             |FROM st
+             |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             |ORDER BY lag_steps""".stripMargin)),
+
+    // Day-of-week seasonality index of order revenue: the dow falls
+    // out of the same epoch-day closed form as q200 (0=Monday), the
+    // index is exact integer micro-units (1e6 = flat) on the 7-row
+    // post-aggregate table.
+    Q("q206_dow_seasonality",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e1 = "(cast(cast(o_orderdate as timestamp_ltz) as long) div 86400)"
+        val byDow = Tables.orders(s, d)
+          .withColumn("dow", expr(Calendar.dowSql(e1)))
+          .groupBy($"dow".cast("long").as("dow"))
+          .agg(count(lit(1)).as("n"),
+            graft.core.Exact.centsSum($"o_totalprice").as("rev_cents"))
+        byDow
+          .withColumn("total", sum($"rev_cents").over(Window.partitionBy()))
+          .select($"dow", $"n", $"rev_cents",
+            expr("(rev_cents * 7000000) div total").as("index_micro"))
+          .orderBy($"dow")
+      },
+      Some("""WITH o AS (
+             |  SELECT (epoch_us(o_orderdate) // 1000000 // 86400) AS e,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders),
+             |g AS (SELECT CAST((e + 3) % 7 AS BIGINT) AS dow, count(*) AS n,
+             |        CAST(sum(cents) AS BIGINT) AS rev_cents
+             |      FROM o GROUP BY 1),
+             |t AS (SELECT dow, n, rev_cents,
+             |        sum(rev_cents) OVER () AS total FROM g)
+             |SELECT dow, n, rev_cents,
+             |  CAST((rev_cents * 7000000) // total AS BIGINT) AS index_micro
+             |FROM t ORDER BY dow""".stripMargin)),
+
+    // Welch's t per event type between user cohorts (user_id parity):
+    // one conditional-aggregation pass collects (n, Σx, Σx²) per side
+    // in exact cents; the statistic is one shared-shape double over
+    // six integers, micro-rounded — A/B readout with no float
+    // accumulation anywhere.
+    Q("q207_welch_ab",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select(
+          $"event_type".as("grp"),
+          ($"user_id" % 2).cast("int").as("variant"),
+          round($"value" * 100, 0).cast("long").as("cents"))
+        graft.ops.Eval.welchT(ev, "grp", "variant", "cents")
+          .orderBy($"grp")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type AS grp, user_id % 2 AS v,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |j AS (SELECT grp,
+             |        CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             |        CAST(sum(CASE WHEN v = 0 THEN cents ELSE 0 END) AS BIGINT) AS s0,
+             |        CAST(sum(CASE WHEN v = 0 THEN cents * cents ELSE 0 END)
+             |          AS BIGINT) AS ss0,
+             |        CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |        CAST(sum(CASE WHEN v = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+             |        CAST(sum(CASE WHEN v = 1 THEN cents * cents ELSE 0 END)
+             |          AS BIGINT) AS ss1
+             |      FROM ev GROUP BY 1
+             |      HAVING n0 >= 2 AND n1 >= 2),
+             |x AS (SELECT grp, n0, n1,
+             |        CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+             |          - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS md,
+             |        (CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
+             |           - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+             |          / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE))
+             |          / CAST(n0 AS DOUBLE)
+             |        + (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+             |           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             |          / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
+             |          / CAST(n1 AS DOUBLE) AS se2
+             |      FROM j)
+             |SELECT grp, n0, n1,
+             |  CAST(round(md * 1000000.0) AS BIGINT) AS mean_diff_micro,
+             |  CAST(round(md * 1000000.0 / sqrt(se2)) AS BIGINT) AS t_micro
+             |FROM x WHERE se2 > 0 ORDER BY grp""".stripMargin)))
 }

@@ -324,6 +324,56 @@ class StatOpsSpec extends SparkTestBase {
     assert(got.count() === 0L)
   }
 
+  test("weightedShortestPaths: cheaper two-hop path beats the direct edge") {
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    val r1 = LinkGraph.weightedShortestPaths(edges, seeds, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(1L -> 0L, 2L -> 10L, 3L -> 1L),
+      "one round sees only direct edges")
+    val r2 = LinkGraph.weightedShortestPaths(edges, seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 === Map(1L -> 0L, 2L -> 2L, 3L -> 1L),
+      "second round relaxes through the cheap middle node")
+  }
+
+  test("markovTwoStep: a two-state alternating chain squares to identity") {
+    val events = Seq.tabulate(6) { i =>
+      (i.toLong, i.toLong, 1L, if (i % 2 == 0) "v" else "c")
+    }.toDF("event_id", "sec", "user_id", "event_type")
+      .select($"event_id", timestamp_seconds($"sec").as("ts"),
+        $"user_id", $"event_type")
+    val got = Behavior.markovTwoStep(events)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(("v", "v") -> 1000000L, ("c", "c") -> 1000000L))
+  }
+
+  test("lagCrossCorr: a pure shift is perfectly correlated at its lag") {
+    // y(t) = x(t-2): at lag 2 the joined pairs line up exactly
+    val days = (0L to 19L).map(t => (t, 3L * t + 7L, 3L * (t - 2L) + 7L))
+      .toDF("day", "x", "y")
+    val got = graft.ops.TimeSeries.lagCrossCorr(days, "day", "x", "y", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(2L) === 1000000L, s"lag-2 r_micro was ${got(2L)}")
+    assert(got(0L) === 1000000L, "a linear series correlates at every lag")
+  }
+
+  test("welchT: symmetric samples give t = 0; formula matches reference") {
+    val rows = Seq(("g", 0, 100L), ("g", 0, 200L), ("g", 0, 300L),
+      ("g", 1, 100L), ("g", 1, 200L), ("g", 1, 300L),
+      ("h", 0, 100L), ("h", 0, 120L), ("h", 1, 200L), ("h", 1, 260L))
+    val df = rows.toDF("grp0", "variant", "cents")
+    val got = graft.ops.Eval.welchT(df, "grp0", "variant", "cents")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got("g") === ((0L, 0L)))
+    // h: m0=110 v0=200, m1=230 v1=1800 -> t = -120/sqrt(100+900)
+    val tRef = math.round(-120.0 * 1000000.0 / math.sqrt(1000.0))
+    assert(got("h")._1 === -120000000L && got("h")._2 === tRef)
+  }
+
   test("kCorePeel: leaves peel off round by round, the cycle survives") {
     // triangle 1-2-3 with tail 3-4-5: k=2 drops 5 (deg 1), then 4
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
