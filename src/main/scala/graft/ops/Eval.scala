@@ -190,6 +190,55 @@ object Eval {
     * @param centsCol   integer fixed-point metric
     * @return (grp, n0, n1, mean_diff_micro, t_micro)
     */
+  /** Mann–Whitney U (Wilcoxon rank-sum) per group between two variants
+    * — the nonparametric complement to [[welchT]], exact under ties:
+    * ranks are midranks kept in DOUBLED integer units (`rank2 =
+    * 2·midrank = 2·prev + m + 1` per tied value-cell, where `prev` is
+    * the count of strictly-smaller observations and `m` the tie size),
+    * so `U2 = 2·U = Σ m₁·rank2 − n₁(n₁+1)` is an exact integer in any
+    * engine. The normal-approximation z uses the tie-corrected
+    * variance `σ² = (n₀n₁/12)·((N+1) − Σ(t³−t)/(N(N−1)))` — one
+    * shared-shape double from five exact integers, micro-rounded.
+    *
+    * Scale shape: ONE fact-table groupBy to (grp, value) tie-cells —
+    * ranks come from a prefix-sum window over the CELL table (bounded
+    * by distinct values), never a per-row rank; groups that are all
+    * ties (zero variance) or single-variant are dropped.
+    *
+    * @return (grp, n0, n1, u2, z_micro) — u2 = 2·U of variant 1
+    */
+  def mannWhitneyU(df: DataFrame, grpCol: String, variantCol: String,
+      centsCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(grpCol).as("grp"), col(centsCol).cast("long").as("x"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col(variantCol).cast("int") === 1, 1L).otherwise(0L))
+          .as("m1"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("prev", coalesce(sum(col("m")).over(w), lit(0L)))
+      .withColumn("rank2", lit(2L) * col("prev") + col("m") + lit(1L))
+    ranked.groupBy(col("grp"))
+      .agg(sum(col("m")).as("nn"), sum(col("m1")).as("n1"),
+        sum(col("m1") * col("rank2")).as("r1_2"),
+        sum(col("m") * col("m") * col("m") - col("m")).as("tsum"))
+      .withColumn("n0", col("nn") - col("n1"))
+      .filter(col("n0") > 0 && col("n1") > 0 &&
+        col("tsum") < col("nn") * col("nn") * col("nn") - col("nn"))
+      .withColumn("u2", col("r1_2") - col("n1") * (col("n1") + lit(1L)))
+      .withColumn("z_micro",
+        round((col("u2") - col("n0") * col("n1")).cast("double") * 1000000.0
+          / (lit(2.0) * sqrt(
+            col("n0").cast("double") * col("n1").cast("double") / 12.0
+              * ((col("nn") + lit(1L)).cast("double")
+                - col("tsum").cast("double")
+                  / (col("nn").cast("double")
+                    * (col("nn") - lit(1L)).cast("double"))))), 0)
+          .cast("long"))
+      .select(col("grp"), col("n0"), col("n1"), col("u2"), col("z_micro"))
+  }
+
   def welchT(df: DataFrame, grpCol: String, variantCol: String,
       centsCol: String): DataFrame = {
     val x = col(centsCol).cast("long")

@@ -450,5 +450,145 @@ object TemporalQueries extends QueryPack {
              |SELECT grp, n0, n1,
              |  CAST(round(md * 1000000.0) AS BIGINT) AS mean_diff_micro,
              |  CAST(round(md * 1000000.0 / sqrt(se2)) AS BIGINT) AS t_micro
-             |FROM x WHERE se2 > 0 ORDER BY grp""".stripMargin)))
+             |FROM x WHERE se2 > 0 ORDER BY grp""".stripMargin)),
+
+    // Mann-Whitney U with exact midranks under ties: ranks live on the
+    // (grp, value) TIE-CELL table (doubled-integer midranks from a
+    // prefix-sum window over cells, never a per-row rank), U2 = 2U is
+    // an exact integer, z gets the tie-corrected variance through one
+    // shared double shape — the nonparametric twin of q207.
+    Q("q208_mann_whitney",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select(
+          $"event_type".as("grp"),
+          ($"user_id" % 2).cast("int").as("variant"),
+          round($"value" * 100, 0).cast("long").as("cents"))
+        graft.ops.Eval.mannWhitneyU(ev, "grp", "variant", "cents")
+          .orderBy($"grp")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type AS grp, user_id % 2 AS v,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |cells AS (SELECT grp, cents AS x, count(*) AS m,
+             |            CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS m1
+             |          FROM ev GROUP BY 1, 2),
+             |rk AS (SELECT grp, m, m1,
+             |         2 * coalesce(sum(m) OVER (PARTITION BY grp ORDER BY x
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |           + m + 1 AS rank2
+             |       FROM cells),
+             |g AS (SELECT grp, CAST(sum(m) AS BIGINT) AS nn,
+             |        CAST(sum(m1) AS BIGINT) AS n1,
+             |        CAST(sum(m1 * rank2) AS BIGINT) AS r1_2,
+             |        CAST(sum(m * m * m - m) AS BIGINT) AS tsum
+             |      FROM rk GROUP BY 1),
+             |x AS (SELECT grp, nn - n1 AS n0, n1, nn, tsum,
+             |        r1_2 - n1 * (n1 + 1) AS u2
+             |      FROM g
+             |      WHERE nn - n1 > 0 AND n1 > 0
+             |        AND tsum < nn * nn * nn - nn)
+             |SELECT grp, n0, n1, u2,
+             |  CAST(round(CAST(u2 - n0 * n1 AS DOUBLE) * 1000000.0
+             |    / (2.0 * sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0
+             |        * (CAST(nn + 1 AS DOUBLE)
+             |           - CAST(tsum AS DOUBLE)
+             |             / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE))))))
+             |    AS BIGINT) AS z_micro
+             |FROM x ORDER BY grp""".stripMargin)),
+
+    // MRR waterfall per calendar month: revenue movement decomposed
+    // into new / expansion / contraction / churn by a self equi-join
+    // on (customer, month+1) over the pre-aggregated (customer, month)
+    // table; the identity mrr(t) - mrr(t-1) = new + exp - con - churn
+    // holds exactly in integer cents (spec-pinned).
+    Q("q209_mrr_waterfall",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select(
+          $"o_custkey".as("cust"),
+          ((year($"o_orderdate") - 1992) * 12 + month($"o_orderdate") - 1)
+            .as("midx"),
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        graft.ops.Revenue.mrrWaterfall(o, "cust", "midx", "cents")
+          .orderBy($"midx")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_custkey AS cust,
+             |    CAST((year(o_orderdate) - 1992) * 12
+             |         + month(o_orderdate) - 1 AS BIGINT) AS midx,
+             |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS rev
+             |  FROM orders GROUP BY 1, 2),
+             |j AS (SELECT coalesce(a.cust, b.cust) AS cust,
+             |        coalesce(a.midx, b.midx + 1) AS midx,
+             |        a.rev AS rev, b.rev AS prev_rev
+             |      FROM m a
+             |      FULL OUTER JOIN m b
+             |        ON a.cust = b.cust AND a.midx = b.midx + 1)
+             |SELECT midx,
+             |  CAST(sum(coalesce(rev, 0)) AS BIGINT) AS mrr_cents,
+             |  CAST(sum(CASE WHEN prev_rev IS NULL THEN rev ELSE 0 END)
+             |    AS BIGINT) AS new_cents,
+             |  CAST(sum(CASE WHEN rev IS NOT NULL AND prev_rev IS NOT NULL
+             |                     AND rev > prev_rev
+             |                THEN rev - prev_rev ELSE 0 END) AS BIGINT)
+             |    AS expansion_cents,
+             |  CAST(sum(CASE WHEN rev IS NOT NULL AND prev_rev IS NOT NULL
+             |                     AND rev < prev_rev
+             |                THEN prev_rev - rev ELSE 0 END) AS BIGINT)
+             |    AS contraction_cents,
+             |  CAST(sum(CASE WHEN rev IS NULL THEN prev_rev ELSE 0 END)
+             |    AS BIGINT) AS churned_cents
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The STREAMING sessionizer executed end-to-end under the batch
+    // oracle (the q156 pattern for event-time state): every event plus
+    // one far-future sentinel per user flows through
+    // flatMapGroupsWithState, the sentinel flushes each user's final
+    // open session through the streaming path, and the memory sink's
+    // closed-session table (sentinel sessions filtered) must equal the
+    // batch gaps-and-islands SQL exactly.
+    Q("q210_stream_sessionize_replay",
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.{EventStream, Sessionize}
+        val gap = 7200000000L // 2h in micros
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.schema(EventStream.rawSchema)
+          .parquet(s"$d/events.parquet")
+        val root = graft.core.Scratch.dir("q210_replay")
+        raw.coalesce(1).write.mode("overwrite").parquet(s"$root/data")
+        val mxNanos = raw.agg(max($"ts")).head.getLong(0)
+        raw.select($"user_id").distinct()
+          .select(lit(-1L).as("event_id"),
+            lit(mxNanos + (gap + 1L) * 1000L).as("ts"), $"user_id",
+            lit("sentinel").as("event_type"), lit(0.0).as("value"),
+            lit(null).cast("string").as("props"))
+          .coalesce(1).write.mode("append").parquet(s"$root/data")
+        s.catalog.dropTempView("q210_sessions")
+        val sess = Sessionize.runToCompletion(s, s"$root/data", gap,
+          "q210_sessions")
+        sess.filter($"session_start" <= mxNanos / 1000L)
+          .select($"user_id", $"session_start", $"session_end",
+            $"n_events", $"total_value")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsm, value
+             |  FROM events),
+             |l AS (SELECT *, lag(tsm) OVER (PARTITION BY user_id
+             |        ORDER BY tsm) AS prev FROM e),
+             |m AS (SELECT *, CASE WHEN prev IS NULL OR tsm - prev > 7200000000
+             |                     THEN 1 ELSE 0 END AS new_s FROM l),
+             |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+             |        ORDER BY tsm ROWS UNBOUNDED PRECEDING) AS sn FROM m)
+             |SELECT user_id, min(tsm) AS session_start,
+             |  max(tsm) AS session_end, count(*) AS n_events,
+             |  sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0
+             |    AS total_value
+             |FROM s GROUP BY user_id, sn
+             |ORDER BY user_id, session_start""".stripMargin)))
 }

@@ -374,6 +374,47 @@ class StatOpsSpec extends SparkTestBase {
     assert(got("h")._1 === -120000000L && got("h")._2 === tRef)
   }
 
+  test("mannWhitneyU: midranks under ties, U and tie-corrected z") {
+    // v0 = {1,2,3}, v1 = {2,3,4}: midranks 1, 2.5, 2.5, 4.5, 4.5, 6
+    // -> R1 = 13, U = 7, T = 12
+    val rows = Seq(("g", 0, 1L), ("g", 0, 2L), ("g", 0, 3L),
+      ("g", 1, 2L), ("g", 1, 3L), ("g", 1, 4L))
+    val got = graft.ops.Eval
+      .mannWhitneyU(rows.toDF("grp0", "variant", "cents"),
+        "grp0", "variant", "cents").head
+    assert(got.getLong(1) === 3L && got.getLong(2) === 3L)
+    assert(got.getLong(3) === 14L, "U2 = 2U = 14")
+    val zRef = math.round(5.0 * 1000000.0 /
+      (2.0 * math.sqrt(3.0 * 3.0 / 12.0 * (7.0 - 12.0 / 30.0))))
+    assert(got.getLong(4) === zRef)
+  }
+
+  test("mannWhitneyU: all-tied group is dropped (zero variance)") {
+    val rows = Seq(("g", 0, 5L), ("g", 0, 5L), ("g", 1, 5L), ("g", 1, 5L))
+    assert(graft.ops.Eval
+      .mannWhitneyU(rows.toDF("grp0", "variant", "cents"),
+        "grp0", "variant", "cents").count() === 0L)
+  }
+
+  test("mrrWaterfall: four buckets and the per-period movement identity") {
+    val m = Seq(("A", 1L, 100L), ("A", 2L, 150L), ("A", 3L, 120L),
+      ("B", 2L, 50L))
+      .toDF("cust0", "midx0", "rev0")
+    val got = graft.ops.Revenue.mrrWaterfall(m, "cust0", "midx0", "rev0")
+      .orderBy($"midx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (1L, 100L, 100L, 0L, 0L, 0L),
+      (2L, 200L, 50L, 50L, 0L, 0L),
+      (3L, 120L, 0L, 0L, 30L, 50L),
+      (4L, 0L, 0L, 0L, 0L, 120L)))
+    // identity: mrr(t) - mrr(t-1) = new + exp - con - churn
+    got.sliding(2).foreach { case Array(p, c) =>
+      assert(c._2 - p._2 === c._3 + c._4 - c._5 - c._6)
+    }
+  }
+
   test("kCorePeel: leaves peel off round by round, the cycle survives") {
     // triangle 1-2-3 with tail 3-4-5: k=2 drops 5 (deg 1), then 4
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
