@@ -242,6 +242,61 @@ class PlanAuditSpec extends SparkTestBase {
     assert(sorts === 1, s"expected 1 sort for both frames, got $sorts")
   }
 
+  test("q198 CUSUM seam: both Lindley frames and the final agg on ONE exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val li = graft.core.Tables.lineitem(spark, sfDir).select(
+      $"l_suppkey".as("sk"),
+      $"l_shipdate".cast("timestamp_ltz").cast("long").as("sec"),
+      $"l_orderkey".as("ok"), $"l_linenumber".cast("long").as("ln"),
+      $"l_quantity".cast("long").as("q"))
+    val df = graft.ops.TimeSeries.cusumStats(li, "sk",
+      Seq("sec", "ok", "ln", "q"), "q", k = 26L, h = 500L)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => s +: walk(s.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles === 1,
+      s"expected 1 exchange (window + group agg co-keyed), got $shuffles:\n${df.queryExecution.executedPlan}")
+    val sorts = nodes.count(_.nodeName.contains("Sort"))
+    assert(sorts === 1, s"expected 1 sort for both frames, got $sorts")
+  }
+
+  test("q197 FIFO seam: join reuses the two cumsum-window partitionings") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .filter($"l_partkey" < 1000)
+      .select($"l_partkey".as("pk"),
+        $"l_shipdate".cast("timestamp_ltz").cast("long").as("sec"),
+        $"l_orderkey".as("ok"), $"l_linenumber".cast("long").as("ln"),
+        $"l_quantity".cast("long").as("q"), $"l_returnflag".as("rf"))
+    val df = graft.ops.Allocate.fifoMatch(
+      li.filter($"rf" === "R").drop("rf"),
+      li.filter($"rf" =!= "R").drop("rf"),
+      "pk", Seq("sec", "ok", "ln", "q"), "q")
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => s +: walk(s.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles === 2,
+      s"expected 2 exchanges (one per side; the equi-join must reuse them), got $shuffles:\n${df.queryExecution.executedPlan}")
+  }
+
   test("q154 naive range join is binned by RangeJoinBinning — never a nested loop") {
     val plan = finalPlan("q154_range_join_rule")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
