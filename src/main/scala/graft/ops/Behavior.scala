@@ -82,6 +82,30 @@ object Behavior {
         sum(col("n_transitions")).over(perPrev)).cast("long"))
   }
 
+  /** Longest consecutive-day streak per user — the gaps-and-islands
+    * maximum run: distinct active days collapse to islands via the
+    * classic `day − row_number()` constant (consecutive days share it),
+    * then two bounded groupBys (per island, per user). All the
+    * fact-table volume dies in the first DISTINCT; the window runs on
+    * the per-user day table.
+    *
+    * @param dayCol integer day number (epoch days or similar)
+    * @return (user, n_active_days, longest_streak)
+    */
+  def longestStreak(df: DataFrame, userCol: String,
+      dayCol: String): DataFrame = {
+    val days = df.select(col(userCol).as("user"),
+      col(dayCol).cast("long").as("day")).distinct()
+    val w = Window.partitionBy(col("user")).orderBy(col("day"))
+    days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user"), col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("user"))
+      .agg(sum(col("run")).as("n_active_days"),
+        max(col("run")).as("longest_streak"))
+  }
+
   /** Two-step Markov transition matrix — the square of the one-step
     * matrix in EXACT integer micro-units: one-step probabilities are
     * `p(a,b) = (n_ab · 1e6) div n_a` (truncating div on non-negative

@@ -190,6 +190,44 @@ object Eval {
     * @param centsCol   integer fixed-point metric
     * @return (grp, n0, n1, mean_diff_micro, t_micro)
     */
+  /** Theil–Sen robust slope per group — the median of all pairwise
+    * slopes `(y₂−y₁)/(x₂−x₁)` over x-distinct point pairs: up to ~29%
+    * of wild outliers cannot move it (the breakdown point OLS lacks;
+    * contrast [[olsByGroup]]). Each pair slope is ONE shared-shape
+    * double micro-rounded (the difference can be negative, so the
+    * `round(CAST AS DOUBLE)` form, never integer div); the median is
+    * then the EXACT lower-middle element by rank — deterministic in
+    * any engine, no interpolation.
+    *
+    * Scale shape: the pair table is quadratic in each group's POINT
+    * count, so feed it pre-aggregated series (daily rollups: 2 years →
+    * ~260k pairs/group); the rank is a per-group window over that
+    * bounded pair table. Groups need ≥ 2 distinct x.
+    *
+    * @return (grp, n_pairs, slope_micro)
+    */
+  def theilSen(df: DataFrame, grpCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(grpCol).as("grp"), col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val pairs = base.as("a")
+      .join(base.as("b"),
+        col("a.grp") === col("b.grp") && col("a.x") < col("b.x"))
+      .select(col("a.grp").as("grp"), col("a.x").as("x1"),
+        col("b.x").as("x2"),
+        round((col("b.y") - col("a.y")).cast("double") * 1000000.0
+          / (col("b.x") - col("a.x")).cast("double"), 0).cast("long")
+          .as("slope_micro"))
+    val w = Window.partitionBy(col("grp"))
+    val byS = Window.partitionBy(col("grp"))
+      .orderBy(col("slope_micro"), col("x1"), col("x2"))
+    pairs
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(byS).cast("long"))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("grp"), col("cnt").as("n_pairs"), col("slope_micro"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) per group between two variants
     * — the nonparametric complement to [[welchT]], exact under ties:
     * ranks are midranks kept in DOUBLED integer units (`rank2 =

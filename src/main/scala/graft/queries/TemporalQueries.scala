@@ -590,5 +590,167 @@ object TemporalQueries extends QueryPack {
              |  sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0
              |    AS total_value
              |FROM s GROUP BY user_id, sn
-             |ORDER BY user_id, session_start""".stripMargin)))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Theil-Sen robust trend per supplier over MONTHLY quantity rollups
+    // (the pre-aggregation keeps the pairwise-slope table bounded:
+    // ~84 months -> ~3.5k pairs/supplier). Slopes are shared-shape
+    // micro doubles (negatives!); the median is the exact lower-middle
+    // rank — no interpolation, engine-identical.
+    Q("q211_theil_sen",
+      (s, d) => {
+        import s.implicits._
+        val m = Tables.lineitem(s, d).select(
+            $"l_suppkey".as("sk"),
+            ((year($"l_shipdate") - 1992) * 12 + month($"l_shipdate") - 1)
+              .cast("long").as("midx"),
+            $"l_quantity".cast("long").as("q"))
+          .groupBy($"sk", $"midx").agg(sum($"q").as("qty"))
+        graft.ops.Eval.theilSen(m, "sk", "midx", "qty")
+          .select($"grp".as("suppkey"), $"n_pairs", $"slope_micro")
+          .orderBy($"suppkey")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_suppkey AS sk,
+             |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1
+             |      AS BIGINT) AS midx,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+             |  FROM lineitem GROUP BY 1, 2),
+             |p AS (SELECT a.sk AS sk, a.midx AS x1, b.midx AS x2,
+             |        CAST(round(CAST(b.qty - a.qty AS DOUBLE) * 1000000.0
+             |                   / CAST(b.midx - a.midx AS DOUBLE)) AS BIGINT)
+             |          AS slope_micro
+             |      FROM m a JOIN m b
+             |        ON a.sk = b.sk AND a.midx < b.midx),
+             |r AS (SELECT sk, slope_micro,
+             |        count(*) OVER (PARTITION BY sk) AS cnt,
+             |        row_number() OVER (PARTITION BY sk
+             |          ORDER BY slope_micro, x1, x2) AS rn
+             |      FROM p)
+             |SELECT sk AS suppkey, CAST(cnt AS BIGINT) AS n_pairs,
+             |  slope_micro
+             |FROM r WHERE rn = (cnt + 1) // 2
+             |ORDER BY suppkey""".stripMargin)),
+
+    // ABC inventory classification: parts ranked by revenue, classed by
+    // exact-integer cumulative-share thresholds (A <= 80%, B <= 95%)
+    // — the Pareto cut on the PART dimension table; the fact table
+    // collapses in one partial-combining groupBy first.
+    Q("q212_abc_classification",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.lineitem(s, d)
+          .groupBy($"l_partkey".as("pk"))
+          .agg(graft.core.Exact.centsSum($"l_extendedprice").as("rev"))
+        val w = Window.orderBy($"rev".desc, $"pk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy()
+        rev
+          .withColumn("cum", sum($"rev").over(w))
+          .withColumn("total", sum($"rev").over(wt))
+          .withColumn("cls",
+            when($"cum" * 5 <= $"total" * 4, "A")
+              .when($"cum" * 20 <= $"total" * 19, "B").otherwise("C"))
+          .groupBy($"cls")
+          .agg(count(lit(1)).as("n_parts"), sum($"rev").as("rev_cents"),
+            expr("(sum(rev) * 1000000) div max(total)").as("share_micro"))
+          .orderBy($"cls")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_partkey AS pk,
+             |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS rev
+             |  FROM lineitem GROUP BY 1),
+             |c AS (SELECT pk, rev,
+             |        CAST(sum(rev) OVER (ORDER BY rev DESC, pk
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             |        CAST(sum(rev) OVER () AS BIGINT) AS total
+             |      FROM rev),
+             |k AS (SELECT rev, total,
+             |        CASE WHEN cum * 5 <= total * 4 THEN 'A'
+             |             WHEN cum * 20 <= total * 19 THEN 'B'
+             |             ELSE 'C' END AS cls
+             |      FROM c)
+             |SELECT cls, count(*) AS n_parts,
+             |  CAST(sum(rev) AS BIGINT) AS rev_cents,
+             |  CAST((sum(rev) * 1000000) // max(total) AS BIGINT)
+             |    AS share_micro
+             |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Longest consecutive-day activity streak per user: the volume
+    // dies in one DISTINCT, islands come from the day - row_number
+    // constant, runs from two bounded groupBys.
+    Q("q213_longest_streak",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"user_id",
+          expr("cast(ts as long) div 86400").as("day"))
+        graft.ops.Behavior.longestStreak(ev, "user_id", "day")
+          .select($"user".as("user_id"), $"n_active_days",
+            $"longest_streak")
+          .orderBy($"user_id")
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day
+             |  FROM events),
+             |i AS (SELECT user_id, day,
+             |        day - row_number() OVER (PARTITION BY user_id
+             |          ORDER BY day) AS island
+             |      FROM du),
+             |runs AS (SELECT user_id, island, count(*) AS run
+             |         FROM i GROUP BY 1, 2)
+             |SELECT user_id, CAST(sum(run) AS BIGINT) AS n_active_days,
+             |  CAST(max(run) AS BIGINT) AS longest_streak
+             |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Seasonal decomposition (classical, additive): 7-day centered
+    // moving-average trend on the daily revenue series (exact `div 7`
+    // on full frames), day-of-week seasonal index as the mean of the
+    // detrended residual — the residual can be negative, so the mean
+    // is the shared round(CAST AS DOUBLE) shape, never integer div.
+    Q("q214_dow_decomposition",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.orders(s, d)
+          .groupBy(expr(
+            "cast(cast(o_orderdate as timestamp_ltz) as long) div 86400")
+            .as("day"))
+          .agg(graft.core.Exact.centsSum($"o_totalprice").as("cents"))
+        val w = Window.orderBy($"day").rowsBetween(-3, 3)
+        daily
+          .withColumn("n_win", count(lit(1)).over(w))
+          .withColumn("wsum", sum($"cents").over(w))
+          .filter($"n_win" === 7)
+          .withColumn("trend", expr("wsum div 7"))
+          .withColumn("resid", $"cents" - $"trend")
+          .groupBy(expr(graft.ops.Calendar.dowSql("day")).cast("long")
+            .as("dow"))
+          .agg(count(lit(1)).as("n_days"),
+            round(sum($"resid").cast("double") * 1000000.0
+              / count(lit(1)).cast("double"), 0).cast("long")
+              .as("seasonal_micro"))
+          .orderBy($"dow")
+      },
+      Some("""WITH daily AS (
+             |  SELECT (epoch_us(o_orderdate) // 1000000 // 86400) AS day,
+             |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |t AS (SELECT day, cents,
+             |        count(*) OVER w AS n_win,
+             |        CAST(sum(cents) OVER w AS BIGINT) // 7 AS trend
+             |      FROM daily
+             |      WINDOW w AS (ORDER BY day
+             |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |r AS (SELECT day, cents - trend AS resid FROM t
+             |      WHERE n_win = 7)
+             |SELECT CAST((day + 3) % 7 AS BIGINT) AS dow,
+             |  count(*) AS n_days,
+             |  CAST(round(CAST(sum(resid) AS DOUBLE) * 1000000.0
+             |             / CAST(count(*) AS DOUBLE)) AS BIGINT)
+             |    AS seasonal_micro
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

@@ -415,6 +415,27 @@ class StatOpsSpec extends SparkTestBase {
     }
   }
 
+  test("theilSen: one wild outlier cannot move the median slope") {
+    // y = 2x exactly except y(5) = 1000: 10 points -> 45 pairs; the
+    // 9 outlier pairs sit at the extremes, the median pair slope is 2
+    val pts = (0L to 9L).map(x => ("g", x, if (x == 5L) 1000L else 2L * x))
+      .toDF("grp0", "x0", "y0")
+    val got = graft.ops.Eval.theilSen(pts, "grp0", "x0", "y0").head
+    assert(got.getLong(1) === 45L)
+    assert(got.getLong(2) === 2000000L, s"slope was ${got.getLong(2)}")
+  }
+
+  test("longestStreak: islands over distinct days, duplicates collapse") {
+    // user a: days 1,2,3, 7,8, dup 2 -> streak 3, active 5
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L), ("a", 7L),
+        ("a", 8L), ("b", 4L))
+      .toDF("u", "day")
+    val got = graft.ops.Behavior.longestStreak(df, "u", "day")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("a" -> ((5L, 3L)), "b" -> ((1L, 1L))))
+  }
+
   test("kCorePeel: leaves peel off round by round, the cycle survives") {
     // triangle 1-2-3 with tail 3-4-5: k=2 drops 5 (deg 1), then 4
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
