@@ -90,7 +90,23 @@ object Allocate {
     * @return (key, buy_ord…, sell_ord…, matched_qty > 0)
     */
   def fifoMatch(buys: DataFrame, sells: DataFrame, keyCol: String,
-      ordCols: Seq[String], qtyCol: String): DataFrame = {
+      ordCols: Seq[String], qtyCol: String): DataFrame =
+    fifoMatchImpl(buys, sells, keyCol, ordCols, qtyCol, physical = false)
+
+  /** [[fifoMatch]] lowered onto the engine's own
+    * [[graft.plans.IntervalOverlapJoinExec]] physical operator: the
+    * same cumulative-interval formulation, but the per-key kernel is
+    * the two-pointer merge (O(nB + nD) per key) instead of
+    * SortMergeJoin's same-key pair materialization + overlap filter
+    * (O(nB · nD)) — identical results by construction (spec-pinned,
+    * and q215 runs it against q197's plain-SQL oracle).
+    */
+  def fifoMatchPhysical(buys: DataFrame, sells: DataFrame, keyCol: String,
+      ordCols: Seq[String], qtyCol: String): DataFrame =
+    fifoMatchImpl(buys, sells, keyCol, ordCols, qtyCol, physical = true)
+
+  private def fifoMatchImpl(buys: DataFrame, sells: DataFrame, keyCol: String,
+      ordCols: Seq[String], qtyCol: String, physical: Boolean): DataFrame = {
     def cum(df: DataFrame, hi: String, lo: String) = {
       val w = Window.partitionBy(col(keyCol))
         .orderBy(ordCols.map(col): _*)
@@ -106,8 +122,14 @@ object Allocate {
     val s = cum(sells, "dhi", "dlo").select(
       col(keyCol).as("skey") +: ordCols.map(c => col(c).as(s"sell_$c")) :+
         col("dlo") :+ col("dhi"): _*)
-    b.join(s, col("key") === col("skey") &&
-        col("blo") < col("dhi") && col("dlo") < col("bhi"))
+    val joined =
+      if (physical)
+        graft.plans.IntervalOverlapJoin.join(b, s,
+          "key", "blo", "bhi", "skey", "dlo", "dhi")
+      else
+        b.join(s, col("key") === col("skey") &&
+          col("blo") < col("dhi") && col("dlo") < col("bhi"))
+    joined
       .withColumn("matched_qty",
         least(col("bhi"), col("dhi")) - greatest(col("blo"), col("dlo")))
       .select(col("key") +: ordCols.map(c => col(s"buy_$c")) ++:

@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => LevenshteinPruning)
     e.injectOptimizerRule(_ => RangeJoinBinning)
     e.injectOptimizerRule(_ => SortedIntersectRewrite)
+    e.injectPlannerStrategy(_ => IntervalOverlapStrategy)
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator Catalyst extension — the full ladder rung (c) of the
+  * build contract: a custom [[LogicalPlan]] node, a [[SparkStrategy]],
+  * and a [[SparkPlan]] with SMJ-style distribution/ordering contracts,
+  * registered through [[GraftExtensions]].
+  *
+  * The operator: KEYED INTERVAL-OVERLAP JOIN for per-side-disjoint
+  * interval sets — the cumulative-quantity regime of
+  * [[graft.ops.Allocate.fifoMatch]] (FIFO lot matching), sequence
+  * alignment, and versioned-range reconciliation. Both sides arrive
+  * hash-clustered on the key and locally sorted by (key, lo); each
+  * key's two interval lists then merge with ONE two-pointer pass —
+  * O(nL + nR + matches) per key, versus the SortMergeJoin fallback
+  * that materializes every same-key row PAIR before the overlap filter
+  * (O(nL · nR)). Same exchange count as SMJ (the equi-join
+  * co-partitioning); the win is the per-key join kernel, which is what
+  * explodes first on a hot key at 100 TB.
+  *
+  * Contracts (checked by the API wrapper, exploited by the kernel):
+  * key/lo/hi are LongType; within a (side, key) the intervals are
+  * pairwise disjoint — which makes lo-sorted also hi-sorted, so the
+  * smaller-hi pointer advance enumerates exactly the overlapping
+  * pairs. Empty intervals (hi <= lo) never match.
+  */
+case class IntervalOverlapJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    lKey: Attribute, lLo: Attribute, lHi: Attribute,
+    rKey: Attribute, rLo: Attribute, rHi: Attribute) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): IntervalOverlapJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: one-pattern lowering of the logical node. */
+object IntervalOverlapStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: IntervalOverlapJoin =>
+      IntervalOverlapJoinExec(j.lKey, j.lLo, j.lHi, j.rKey, j.rLo, j.rHi,
+        planLater(j.left), planLater(j.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class IntervalOverlapJoinExec(
+    lKey: Attribute, lLo: Attribute, lHi: Attribute,
+    rKey: Attribute, rLo: Attribute, rHi: Attribute,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // the SMJ contract: co-clustered on the key, locally sorted by
+  // (key, lo) — EnsureRequirements inserts exchanges/sorts only where
+  // the child plans don't already satisfy this (a window partitioned
+  // by the same key upstream means NO new exchange)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(lKey)) :: ClusteredDistribution(Seq(rKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(lKey, Ascending), SortOrder(lLo, Ascending)),
+      Seq(SortOrder(rKey, Ascending), SortOrder(rLo, Ascending)))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): IntervalOverlapJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lk = BindReferences.bindReference(lKey: Expression, left.output)
+    val ll = BindReferences.bindReference(lLo: Expression, left.output)
+    val lh = BindReferences.bindReference(lHi: Expression, left.output)
+    val rk = BindReferences.bindReference(rKey: Expression, right.output)
+    val rl = BindReferences.bindReference(rLo: Expression, right.output)
+    val rh = BindReferences.bindReference(rHi: Expression, right.output)
+    val out = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // per-key group reader with one-row lookahead (rows are copied:
+      // the scan reuses its UnsafeRow)
+      final class Groups(it: Iterator[InternalRow], keyE: Expression,
+          loE: Expression, hiE: Expression) {
+        private var look: InternalRow =
+          if (it.hasNext) it.next().copy() else null
+        def hasGroup: Boolean = look != null
+        def headKey: Long = keyE.eval(look).asInstanceOf[Long]
+        def skipGroup(): Unit = {
+          val k = headKey
+          while (look != null && keyE.eval(look).asInstanceOf[Long] == k)
+            look = if (it.hasNext) it.next().copy() else null
+        }
+        def readGroup(): (Array[InternalRow], Array[Long], Array[Long]) = {
+          val k = headKey
+          val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          val los = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val his = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (look != null && keyE.eval(look).asInstanceOf[Long] == k) {
+            rows += look
+            los += loE.eval(look).asInstanceOf[Long]
+            his += hiE.eval(look).asInstanceOf[Long]
+            look = if (it.hasNext) it.next().copy() else null
+          }
+          (rows.toArray, los.toArray, his.toArray)
+        }
+      }
+      val lg = new Groups(lIter, lk, ll, lh)
+      val rg = new Groups(rIter, rk, rl, rh)
+      val proj = UnsafeProjection.create(out, out)
+      val joined = new JoinedRow
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private def fill(): Unit = {
+          while (!pending.hasNext && lg.hasGroup && rg.hasGroup) {
+            val kl = lg.headKey; val kr = rg.headKey
+            if (kl < kr) lg.skipGroup()
+            else if (kr < kl) rg.skipGroup()
+            else {
+              val (lrows, llos, lhis) = lg.readGroup()
+              val (rrows, rlos, rhis) = rg.readGroup()
+              val outBuf =
+                scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+              var i = 0; var j = 0
+              while (i < lrows.length && j < rrows.length) {
+                val lo = math.max(llos(i), rlos(j))
+                val hi = math.min(lhis(i), rhis(j))
+                if (hi > lo)
+                  outBuf += proj(joined(lrows(i), rrows(j))).copy()
+                if (lhis(i) <= rhis(j)) i += 1 else j += 1
+              }
+              pending = outBuf.iterator
+            }
+          }
+        }
+        override def hasNext: Boolean = { fill(); pending.hasNext }
+        override def next(): InternalRow = { fill(); pending.next() }
+      }
+    }
+  }
+}
+
+/** DataFrame-level API for the custom node. */
+object IntervalOverlapJoin {
+
+  /** Join `left` and `right` on key equality + interval overlap via
+    * [[IntervalOverlapJoinExec]]. Output = left columns ++ right
+    * columns (names must be disjoint). The right side is re-aliased
+    * through a Project so a self-join never carries duplicate
+    * expression ids into the custom node.
+    */
+  def join(left: DataFrame, right: DataFrame,
+      lKey: String, lLo: String, lHi: String,
+      rKey: String, rLo: String, rHi: String): DataFrame = {
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "column names of the two sides must be disjoint")
+    val lp = left.queryExecution.analyzed
+    val rp0 = right.queryExecution.analyzed
+    val rp = Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output}"))
+    val node = IntervalOverlapJoin(lp, rp,
+      attr(lp, lKey), attr(lp, lLo), attr(lp, lHi),
+      attr(rp, rKey), attr(rp, rLo), attr(rp, rHi))
+    org.apache.spark.sql.GraftShim.ofRows(left.sparkSession, node)
+  }
+}

@@ -752,5 +752,51 @@ object TemporalQueries extends QueryPack {
              |  CAST(round(CAST(sum(resid) AS DOUBLE) * 1000000.0
              |             / CAST(count(*) AS DOUBLE)) AS BIGINT)
              |    AS seasonal_micro
-             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q197 through the engine's OWN physical operator: the custom
+    // LogicalPlan + SparkStrategy + IntervalOverlapJoinExec two-pointer
+    // kernel (registered via GraftExtensions), answering the identical
+    // plain-SQL oracle — the whole-operator extension ladder proven
+    // under the correctness gate, not just a unit spec.
+    Q("q215_fifo_physical",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).filter($"l_partkey" < 1000)
+          .select($"l_partkey".as("pk"),
+            $"l_shipdate".cast("timestamp_ltz").cast("long").as("sec"),
+            $"l_orderkey".as("ok"), $"l_linenumber".cast("long").as("ln"),
+            $"l_quantity".cast("long").as("q"), $"l_returnflag".as("rf"))
+        val buys = li.filter($"rf" === "R").drop("rf")
+        val sells = li.filter($"rf" =!= "R").drop("rf")
+        Allocate.fifoMatchPhysical(buys, sells, "pk",
+            Seq("sec", "ok", "ln", "q"), "q")
+          .orderBy($"key", $"buy_sec", $"buy_ok", $"buy_ln", $"buy_q",
+            $"sell_sec", $"sell_ok", $"sell_ln", $"sell_q")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_partkey AS pk,
+             |    epoch_us(l_shipdate) // 1000000 AS sec,
+             |    l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln,
+             |    CAST(l_quantity AS BIGINT) AS q, l_returnflag AS rf
+             |  FROM lineitem WHERE l_partkey < 1000),
+             |b AS (SELECT pk, sec, ok, ln, q,
+             |        sum(q) OVER (PARTITION BY pk ORDER BY sec, ok, ln, q
+             |          ROWS UNBOUNDED PRECEDING) AS bhi
+             |      FROM li WHERE rf = 'R'),
+             |s AS (SELECT pk, sec, ok, ln, q,
+             |        sum(q) OVER (PARTITION BY pk ORDER BY sec, ok, ln, q
+             |          ROWS UNBOUNDED PRECEDING) AS dhi
+             |      FROM li WHERE rf <> 'R')
+             |SELECT b.pk AS key,
+             |  b.sec AS buy_sec, b.ok AS buy_ok, b.ln AS buy_ln,
+             |  b.q AS buy_q,
+             |  s.sec AS sell_sec, s.ok AS sell_ok, s.ln AS sell_ln,
+             |  s.q AS sell_q,
+             |  least(b.bhi, s.dhi) - greatest(b.bhi - b.q, s.dhi - s.q)
+             |    AS matched_qty
+             |FROM b JOIN s ON b.pk = s.pk
+             |  AND b.bhi - b.q < s.dhi AND s.dhi - s.q < b.bhi
+             |ORDER BY key, buy_sec, buy_ok, buy_ln, buy_q,
+             |  sell_sec, sell_ok, sell_ln, sell_q""".stripMargin)))
 }

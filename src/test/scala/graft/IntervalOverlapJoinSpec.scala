@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** The custom physical operator, proven three ways: bit-equality with
+  * the SortMergeJoin formulation on real data, the node actually
+  * planned (strategy fired, not silently fallen back), and the
+  * exchange budget identical to SMJ's (the kernel is the win, not a
+  * partitioning trick).
+  */
+class IntervalOverlapJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def li = graft.core.Tables.lineitem(spark, sfDir)
+    .filter($"l_partkey" < 500)
+    .select($"l_partkey".as("pk"),
+      $"l_shipdate".cast("timestamp_ltz").cast("long").as("sec"),
+      $"l_orderkey".as("ok"), $"l_linenumber".cast("long").as("ln"),
+      $"l_quantity".cast("long").as("q"), $"l_returnflag".as("rf"))
+
+  private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+    case s: QueryStageExec => s +: walk(s.plan)
+    case _ => p +: p.children.flatMap(walk)
+  }
+
+  test("physical FIFO equals the SortMergeJoin formulation exactly") {
+    val buys = li.filter($"rf" === "R").drop("rf")
+    val sells = li.filter($"rf" =!= "R").drop("rf")
+    val ord = Seq("sec", "ok", "ln", "q")
+    val smj = graft.ops.Allocate.fifoMatch(buys, sells, "pk", ord, "q")
+    val phys = graft.ops.Allocate.fifoMatchPhysical(buys, sells, "pk", ord, "q")
+    assert(phys.columns.toSeq === smj.columns.toSeq)
+    assert(phys.except(smj).isEmpty && smj.except(phys).isEmpty)
+    assert(phys.count() === smj.count(), "multiplicity must match too")
+  }
+
+  test("the strategy plans IntervalOverlapJoinExec with SMJ's exchange budget") {
+    val buys = li.filter($"rf" === "R").drop("rf")
+    val sells = li.filter($"rf" =!= "R").drop("rf")
+    val df = graft.ops.Allocate.fifoMatchPhysical(buys, sells, "pk",
+      Seq("sec", "ok", "ln", "q"), "q")
+    df.collect()
+    val nodes = walk(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[graft.plans.IntervalOverlapJoinExec]),
+      s"custom exec not planned:\n${df.queryExecution.executedPlan}")
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles === 2,
+      s"expected the 2 per-side exchanges only, got $shuffles:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("disjoint singleton intervals: overlap join on a hand fixture") {
+    val l = Seq((1L, 0L, 10L, "a"), (1L, 10L, 15L, "b"), (2L, 0L, 5L, "c"))
+      .toDF("k", "lo", "hi", "tag")
+    val r = Seq((1L, 8L, 12L, "x"), (2L, 5L, 9L, "y"), (3L, 0L, 9L, "z"))
+      .toDF("k2", "lo2", "hi2", "tag2")
+    val got = graft.plans.IntervalOverlapJoin.join(
+        l, r, "k", "lo", "hi", "k2", "lo2", "hi2")
+      .select($"tag", $"tag2")
+      .collect().map(row => (row.getString(0), row.getString(1))).toSet
+    // k=1: [0,10)x[8,12) overlap, [10,15)x[8,12) overlap; k=2: [0,5)x[5,9) touch only
+    assert(got === Set(("a", "x"), ("b", "x")))
+  }
+}
