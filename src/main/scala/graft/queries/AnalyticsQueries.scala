@@ -679,5 +679,82 @@ object AnalyticsQueries extends QueryPack {
              |SELECT bucket,
              |  max(CASE WHEN rest = 0 THEN CAST(25 AS BIGINT)
              |       ELSE 25 - length(bin(rest)) END) AS register
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Temperature-scaled source mixing (the multilingual-sampling
+    // move: weight ∝ n^0.7 flattens the head): kilo-unit weights from
+    // one shared exp(0.7·ln n) shape, then the largest-remainder
+    // prorate hands out an exactly-conserved 1M-unit budget.
+    Q("q217_temperature_mix",
+      (s, d) => {
+        import s.implicits._
+        val n = Tables.documents(s, d)
+          .groupBy($"lang").agg(count(lit(1)).as("n"))
+        val w = n.withColumn("w_kilo",
+            round(exp(lit(0.7) * log($"n".cast("double"))) * 1000.0, 0)
+              .cast("long"))
+          .withColumn("g", lit("all"))
+        graft.ops.Allocate.prorate(w, "g", "lang", "w_kilo",
+            budget = 1000000L)
+          .select($"lang", $"weight".as("w_kilo"), $"alloc")
+          .orderBy($"lang")
+      },
+      Some("""WITH n AS (SELECT lang, count(*) AS n FROM documents
+             |  GROUP BY 1),
+             |w AS (SELECT lang,
+             |        CAST(round(exp(0.7 * ln(CAST(n AS DOUBLE))) * 1000.0)
+             |          AS BIGINT) AS w_kilo
+             |      FROM n),
+             |b AS (SELECT lang, w_kilo,
+             |        sum(w_kilo) OVER () AS wsum
+             |      FROM w WHERE w_kilo > 0),
+             |c AS (SELECT lang, w_kilo,
+             |        (1000000 * w_kilo) // wsum AS base,
+             |        (1000000 * w_kilo) % wsum AS rem
+             |      FROM b),
+             |r AS (SELECT lang, w_kilo, base,
+             |        1000000 - sum(base) OVER () AS leftover,
+             |        row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+             |      FROM c)
+             |SELECT lang, w_kilo,
+             |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+             |    AS BIGINT) AS alloc
+             |FROM r ORDER BY lang""".stripMargin)),
+
+    // Tokenizer-vocabulary coverage: what share of all token
+    // occurrences the top-100 types per language capture — the rank
+    // window runs on the (lang, type) vocabulary table, never the
+    // corpus; exact integer micro share.
+    Q("q218_vocab_coverage",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val tc = Tables.documents(s, d)
+          .select($"lang", explode(split(trim($"text"), "\\s+")).as("tok"))
+          .groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy($"lang").orderBy($"c".desc, $"tok")
+        tc.withColumn("rn", row_number().over(w))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_types"), sum($"c").as("n_tokens"),
+            sum(when($"rn" <= 100, $"c").otherwise(0L)).as("top100_tokens"))
+          .withColumn("coverage_micro",
+            expr("(top100_tokens * 1000000) div n_tokens"))
+          .orderBy($"lang")
+      },
+      Some("""WITH toks AS (
+             |  SELECT lang, unnest(string_split_regex(trim(text), '\s+'))
+             |    AS tok
+             |  FROM documents),
+             |tc AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+             |r AS (SELECT lang, c,
+             |        row_number() OVER (PARTITION BY lang
+             |          ORDER BY c DESC, tok) AS rn
+             |      FROM tc)
+             |SELECT lang, count(*) AS n_types,
+             |  CAST(sum(c) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN rn <= 100 THEN c ELSE 0 END) AS BIGINT)
+             |    AS top100_tokens,
+             |  CAST((sum(CASE WHEN rn <= 100 THEN c ELSE 0 END) * 1000000)
+             |       // sum(c) AS BIGINT) AS coverage_micro
              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

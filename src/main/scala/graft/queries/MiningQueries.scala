@@ -1114,6 +1114,69 @@ object MiningQueries extends QueryPack {
              |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_shared
              |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
              |WHERE len(list_intersect(a.toks, b.toks)) >= 5
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Matryoshka-truncation recall: how much ANN quality survives when
+    // the 64-dim embeddings are cut to their first 16 dims (the
+    // dimension-truncation storage/latency lever) — exact top-5 on the
+    // full vectors vs exact top-5 on the prefix slice, scored with the
+    // q140 recall harness; the oracle recomputes BOTH retrievals over
+    // list slices.
+    Q("q216_matryoshka_recall",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val exact = Similarity.bruteForceKnn(emb.filter($"vec_id" < 25),
+          emb, k = 5)
+        val tEmb = emb.select($"vec_id",
+          slice($"embedding", 1, 16).as("embedding"))
+        val trunc = Similarity.bruteForceKnn(tEmb.filter($"vec_id" < 25),
+          tEmb, k = 5)
+        Similarity.recallAtK(exact, trunc).orderBy($"q_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+             |  FROM embeddings WHERE vec_id < 25),
+             |e AS (SELECT vec_id, embedding FROM embeddings),
+             |xj AS (
+             |  SELECT q_id, e.vec_id AS n_id,
+             |    round(
+             |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform(q_emb, (x,i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (p,v) -> p + v)
+             |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(q_emb, (x,i) -> CAST(x AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))), (p,v) -> p + v))
+             |        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(e.embedding, (x,i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (p,v) -> p + v)))
+             |    , 6) + 0.0 AS sim
+             |  FROM q JOIN e ON e.vec_id <> q_id),
+             |exact AS (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+             |    FROM xj)
+             |  WHERE rank <= 5),
+             |tj AS (
+             |  SELECT q_id, e.vec_id AS n_id,
+             |    round(
+             |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform(q_emb[1:16], (x,i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (p,v) -> p + v)
+             |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(q_emb[1:16], (x,i) -> CAST(x AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))), (p,v) -> p + v))
+             |        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(e.embedding[1:16], (x,i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (p,v) -> p + v)))
+             |    , 6) + 0.0 AS sim
+             |  FROM q JOIN e ON e.vec_id <> q_id),
+             |trunc AS (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+             |    FROM tj)
+             |  WHERE rank <= 5),
+             |hit AS (
+             |  SELECT exact.q_id, count(*) AS n_hit
+             |  FROM exact JOIN trunc ON exact.q_id = trunc.q_id AND exact.n_id = trunc.n_id
+             |  GROUP BY 1),
+             |ex AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY 1)
+             |SELECT ex.q_id, n_exact, coalesce(n_hit, 0) AS n_hit,
+             |  coalesce(n_hit, 0) * 1000000 // n_exact AS recall_micro
+             |FROM ex LEFT JOIN hit ON hit.q_id = ex.q_id
+             |ORDER BY ex.q_id""".stripMargin))
   )
 }
