@@ -754,6 +754,58 @@ object TemporalQueries extends QueryPack {
              |    AS seasonal_micro
              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // STREAM-STREAM interval join executed end-to-end under the batch
+    // oracle (fourth streaming operator in the gate): purchases and
+    // view/click streams, watermarked both sides, matched on user
+    // within [purchase - 24h, purchase] through Spark's symmetric hash
+    // join; the memory sink's pair table (inner join — pairs emit on
+    // match, no watermark flush needed) aggregates to prior-event
+    // counts that must equal the batch range-join SQL exactly.
+    Q("q219_stream_interval_join_replay",
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.{EventStream, IntervalJoin}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.schema(EventStream.rawSchema)
+          .parquet(s"$d/events.parquet")
+        val root = graft.core.Scratch.dir("q219_replay")
+        val p = raw.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("pid"),
+            expr("timestamp_micros(ts div 1000)").as("pts"))
+        val v = raw.filter($"event_type".isin("view", "click"))
+          .select($"user_id", $"event_id".as("vid"),
+            expr("timestamp_micros(ts div 1000)").as("vts"))
+        p.coalesce(1).write.mode("overwrite").parquet(s"$root/p")
+        v.coalesce(1).write.mode("overwrite").parquet(s"$root/v")
+        val ls = s.readStream.schema(p.schema).parquet(s"$root/p")
+        val rs = s.readStream.schema(v.schema).parquet(s"$root/v")
+        s.catalog.dropTempView("q219_pairs")
+        val q = IntervalJoin.joinWithin(ls, rs, "user_id", "pts", "vts",
+            before = "24 hours", after = "0 seconds", delay = "10 minutes")
+          .writeStream.outputMode("append").format("memory")
+          .queryName("q219_pairs").start()
+        q.processAllAvailable()
+        q.stop()
+        s.table("q219_pairs")
+          .groupBy($"user_id", $"pid")
+          .agg(count($"vid").as("n_prior"))
+          .select($"user_id", $"pid".as("purchase_id"), $"n_prior")
+          .orderBy($"purchase_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |p AS (SELECT user_id, event_id AS pid, us AS pus FROM e
+             |      WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, event_id AS vid, us AS vus FROM e
+             |      WHERE event_type IN ('view', 'click'))
+             |SELECT p.user_id, p.pid AS purchase_id,
+             |  count(v.vid) AS n_prior
+             |FROM p JOIN v ON v.user_id = p.user_id
+             |  AND v.vus >= p.pus - 86400000000 AND v.vus <= p.pus
+             |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin)),
+
     // q197 through the engine's OWN physical operator: the custom
     // LogicalPlan + SparkStrategy + IntervalOverlapJoinExec two-pointer
     // kernel (registered via GraftExtensions), answering the identical
