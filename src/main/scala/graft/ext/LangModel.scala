@@ -367,7 +367,10 @@ object LangModel {
       k: Int, maxDf: Long, n: Int = 2): DataFrame = {
     require(k >= 1, "k must be positive")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val grams = docs.select(col(idCol).as("id"),
+    // a selective id filter collapses the text scan to one partition —
+    // widen BEFORE the tokenize/bigram Generate or that CPU-heavy
+    // stage runs single-threaded (measured 3.6x on the q183 shape)
+    val grams = Exec.widen(docs).select(col(idCol).as("id"),
         TextAnalysis.gramsFromTokens(toks(col(textCol)), n).as("g"))
       .select(col("id"), explode(col("g")).as("tok"))
     val tf = grams.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
