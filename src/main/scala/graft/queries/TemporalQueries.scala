@@ -806,6 +806,138 @@ object TemporalQueries extends QueryPack {
              |  AND v.vus >= p.pus - 86400000000 AND v.vus <= p.pus
              |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin)),
 
+    // Dedup impact report: the one-row answer to "what does exact
+    // dedup buy us" — distinct contents, redundant copies, largest
+    // clone family, all from one md5 groupBy (the q45 exact-dup key)
+    // plus one aggregate over the bounded content table.
+    Q("q220_dedup_impact",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .groupBy(md5($"text").as("h"))
+          .agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_contents"),
+            sum($"sz").as("n_docs"),
+            sum($"sz" - 1).as("n_redundant"),
+            max($"sz").as("max_cluster"),
+            sum(when($"sz" > 1, 1L).otherwise(0L)).as("n_dup_clusters"))
+      },
+      Some("""WITH g AS (SELECT md5(text) AS h, count(*) AS sz
+             |  FROM documents GROUP BY 1)
+             |SELECT count(*) AS n_contents,
+             |  CAST(sum(sz) AS BIGINT) AS n_docs,
+             |  CAST(sum(sz - 1) AS BIGINT) AS n_redundant,
+             |  CAST(max(sz) AS BIGINT) AS max_cluster,
+             |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dup_clusters
+             |FROM g""".stripMargin)),
+
+    // FIFO fill-rate / backlog per part — the shortage view q197's
+    // matcher implies, from ONE conditional-aggregation pass (no join,
+    // no window): matched = min(supply, demand), backlog = the excess
+    // demand, fill rate in exact integer micro.
+    Q("q221_fifo_backlog",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_partkey".as("partkey"))
+          .agg(
+            sum(when($"l_returnflag" === "R", $"l_quantity").otherwise(0)
+              .cast("long")).as("supply"),
+            sum(when($"l_returnflag" =!= "R", $"l_quantity").otherwise(0)
+              .cast("long")).as("demand"))
+          .filter($"demand" > 0)
+          .select($"partkey", $"supply", $"demand",
+            greatest(lit(0L), $"demand" - $"supply").as("backlog"),
+            expr("(least(supply, demand) * 1000000) div demand")
+              .as("fill_micro"))
+          .orderBy($"partkey")
+      },
+      Some("""WITH g AS (
+             |  SELECT l_partkey AS partkey,
+             |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity
+             |                  ELSE 0 END) AS BIGINT) AS supply,
+             |    CAST(sum(CASE WHEN l_returnflag <> 'R' THEN l_quantity
+             |                  ELSE 0 END) AS BIGINT) AS demand
+             |  FROM lineitem GROUP BY 1)
+             |SELECT partkey, supply, demand,
+             |  greatest(CAST(0 AS BIGINT), demand - supply) AS backlog,
+             |  CAST((least(supply, demand) * 1000000) // demand AS BIGINT)
+             |    AS fill_micro
+             |FROM g WHERE demand > 0 ORDER BY partkey""".stripMargin)),
+
+    // Geometric and harmonic means per priority WITHOUT any cross-row
+    // double accumulation: each row integerizes (ln cents in micro,
+    // reciprocal in 1e15 units), the sums are exact 64-bit integers,
+    // and each mean is ONE shared-shape double over two integers — the
+    // engine's distributed-determinism discipline applied to the two
+    // means naive float sums get wrong.
+    Q("q222_robust_means",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select($"o_orderpriority".as("prio"),
+            round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+          .filter($"cents" > 0)
+          .withColumn("lnu", round(log($"cents".cast("double")) * 1000000.0, 0)
+            .cast("long"))
+          .withColumn("invp", expr("1000000000000000 div cents"))
+        o.groupBy($"prio")
+          .agg(count(lit(1)).as("n"), sum($"lnu").as("sln"),
+            sum($"invp").as("sinv"))
+          .select($"prio", $"n",
+            round(exp($"sln".cast("double") / $"n".cast("double") / 1000000.0), 0)
+              .cast("long").as("gm_cents"),
+            round($"n".cast("double") * 1.0e15 / $"sinv".cast("double"), 0)
+              .cast("long").as("hm_cents"))
+          .orderBy($"prio")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderpriority AS prio,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders),
+             |r AS (SELECT prio, cents,
+             |        CAST(round(ln(CAST(cents AS DOUBLE)) * 1000000.0)
+             |          AS BIGINT) AS lnu,
+             |        1000000000000000 // cents AS invp
+             |      FROM o WHERE cents > 0),
+             |g AS (SELECT prio, count(*) AS n,
+             |        CAST(sum(lnu) AS BIGINT) AS sln,
+             |        CAST(sum(invp) AS BIGINT) AS sinv
+             |      FROM r GROUP BY 1)
+             |SELECT prio, n,
+             |  CAST(round(exp(CAST(sln AS DOUBLE) / CAST(n AS DOUBLE)
+             |                 / 1000000.0)) AS BIGINT) AS gm_cents,
+             |  CAST(round(CAST(n AS DOUBLE) * 1.0e15
+             |             / CAST(sinv AS DOUBLE)) AS BIGINT) AS hm_cents
+             |FROM g ORDER BY prio""".stripMargin)),
+
+    // Sequence-integrity audit on the KNOWN-dirty lineitem numbering
+    // (duplicate (ok, ln) pairs ship in the synthetic data): per order,
+    // holes = max(ln) - distinct(ln), dups = rows - distinct(ln); the
+    // report is the (holes, dups) histogram — the data-quality shape
+    // of the gaps-and-islands family.
+    Q("q223_linenumber_gaps",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_orderkey")
+          .agg(count(lit(1)).as("n"),
+            countDistinct($"l_linenumber").as("nd"),
+            max($"l_linenumber").cast("long").as("mx"))
+          .select(($"mx" - $"nd").as("holes"), ($"n" - $"nd").as("dups"))
+          .groupBy($"holes", $"dups")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy($"holes", $"dups")
+      },
+      Some("""WITH o AS (
+             |  SELECT l_orderkey, count(*) AS n,
+             |    count(DISTINCT l_linenumber) AS nd,
+             |    CAST(max(l_linenumber) AS BIGINT) AS mx
+             |  FROM lineitem GROUP BY 1)
+             |SELECT mx - nd AS holes, n - nd AS dups,
+             |  count(*) AS n_orders
+             |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // q197 through the engine's OWN physical operator: the custom
     // LogicalPlan + SparkStrategy + IntervalOverlapJoinExec two-pointer
     // kernel (registered via GraftExtensions), answering the identical
