@@ -25,11 +25,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * co-partitioning); the win is the per-key join kernel, which is what
   * explodes first on a hot key at 100 TB.
   *
-  * Contracts (checked by the API wrapper, exploited by the kernel):
-  * key/lo/hi are LongType; within a (side, key) the intervals are
-  * pairwise disjoint — which makes lo-sorted also hi-sorted, so the
-  * smaller-hi pointer advance enumerates exactly the overlapping
-  * pairs. Empty intervals (hi <= lo) never match.
+  * Contracts: key/lo/hi are LongType; intervals may OVERLAP freely
+  * within a side (the kernel is a lo-ordered sweep with lazy eviction
+  * — O(nL + nR + matches) with the active set bounded by the side's
+  * max concurrency; for disjoint-interval sides like the FIFO
+  * cumulative axes the active set is a two-pointer in disguise).
+  * Empty intervals (hi <= lo) never match.
   */
 case class IntervalOverlapJoin(
     left: LogicalPlan, right: LogicalPlan,
@@ -127,13 +128,36 @@ case class IntervalOverlapJoinExec(
               val (rrows, rlos, rhis) = rg.readGroup()
               val outBuf =
                 scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-              var i = 0; var j = 0
-              while (i < lrows.length && j < rrows.length) {
-                val lo = math.max(llos(i), rlos(j))
-                val hi = math.min(lhis(i), rhis(j))
-                if (hi > lo)
-                  outBuf += proj(joined(lrows(i), rrows(j))).copy()
-                if (lhis(i) <= rhis(j)) i += 1 else j += 1
+              // lo-ordered sweep, lazy eviction: for each left (in lo
+              // order) admit rights with rlo < lhi into the active
+              // set, drop actives with rhi <= llo, emit the rest —
+              // every surviving active overlaps (rlo < lhi ∧ rhi >
+              // llo). Handles arbitrarily overlapping sides; cost is
+              // O(nL + nR + matches) with the active set bounded by
+              // the right side's max concurrency.
+              val active = scala.collection.mutable.ArrayBuffer.empty[Int]
+              var j = 0
+              var i = 0
+              while (i < lrows.length) {
+                val llo = llos(i); val lhi = lhis(i)
+                while (j < rrows.length && rlos(j) < lhi) {
+                  if (rhis(j) > llo) active += j
+                  j += 1
+                }
+                var a = 0
+                while (a < active.length) {
+                  val rj = active(a)
+                  if (rhis(rj) <= llo) {
+                    // lazy eviction: swap-remove, re-examine slot a
+                    active(a) = active(active.length - 1)
+                    active.remove(active.length - 1)
+                  } else {
+                    if (rlos(rj) < lhi && rhis(rj) > llo)
+                      outBuf += proj(joined(lrows(i), rrows(rj))).copy()
+                    a += 1
+                  }
+                }
+                i += 1
               }
               pending = outBuf.iterator
             }

@@ -938,6 +938,52 @@ object TemporalQueries extends QueryPack {
              |  count(*) AS n_orders
              |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // The custom physical operator on OVERLAPPING interval sets (the
+    // general case its sweep kernel handles beyond q215's disjoint
+    // cumulative axes): concurrent-session overlap between the two
+    // user cohorts per event type — every (cohort-0, cohort-1) session
+    // pair that overlaps in time, with exact total overlap seconds.
+    // The oracle is the plain inequality range join + aggregate.
+    Q("q224_interval_overlap_physical",
+      (s, d) => {
+        import s.implicits._
+        val typeId = when($"event_type" === "click", 1L)
+          .when($"event_type" === "error", 2L)
+          .when($"event_type" === "purchase", 3L)
+          .when($"event_type" === "signup", 4L).otherwise(5L)
+        val ev = Tables.events(s, d).select(typeId.as("tid"),
+          expr("cast(ts as long)").as("lo"),
+          expr("cast(ts as long) + 300 + event_id % 900").as("hi"),
+          ($"user_id" % 2).as("seg"), $"event_id")
+        val l = ev.filter($"seg" === 0)
+          .select($"tid".as("k"), $"lo", $"hi")
+        val r = ev.filter($"seg" === 1)
+          .select($"tid".as("k2"), $"lo".as("lo2"), $"hi".as("hi2"))
+        graft.plans.IntervalOverlapJoin.join(
+            l, r, "k", "lo", "hi", "k2", "lo2", "hi2")
+          .groupBy($"k".as("type_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(least($"hi", $"hi2") - greatest($"lo", $"lo2"))
+              .as("overlap_sec"))
+          .orderBy($"type_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT CASE event_type WHEN 'click' THEN 1
+             |           WHEN 'error' THEN 2 WHEN 'purchase' THEN 3
+             |           WHEN 'signup' THEN 4 ELSE 5 END AS tid,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS lo,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+             |      + 300 + event_id % 900 AS hi,
+             |    user_id % 2 AS seg
+             |  FROM events)
+             |SELECT l.tid AS type_id, count(*) AS n_pairs,
+             |  CAST(sum(least(l.hi, r.hi) - greatest(l.lo, r.lo)) AS BIGINT)
+             |    AS overlap_sec
+             |FROM ev l JOIN ev r
+             |  ON l.tid = r.tid AND l.seg = 0 AND r.seg = 1
+             |  AND l.lo < r.hi AND r.lo < l.hi
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // q197 through the engine's OWN physical operator: the custom
     // LogicalPlan + SparkStrategy + IntervalOverlapJoinExec two-pointer
     // kernel (registered via GraftExtensions), answering the identical

@@ -52,6 +52,24 @@ class IntervalOverlapJoinSpec extends SparkTestBase {
       s"expected the 2 per-side exchanges only, got $shuffles:\n${df.queryExecution.executedPlan}")
   }
 
+  test("OVERLAPPING sides: sweep kernel equals the brute-force join") {
+    // heavily overlapping synthetic intervals on both sides, 3 keys
+    def mk(side: Int) = (0 until 400).map { i =>
+      val k = (i % 3).toLong
+      val lo = ((i * 2654435761L + side * 97L) % 1000L)
+      (k, lo, lo + 1L + ((i * 48271L) % 150L), side * 1000L + i)
+    }
+    val l = mk(0).toDF("k", "lo", "hi", "lid")
+    val r = mk(1).toDF("k2", "lo2", "hi2", "rid")
+    val got = graft.plans.IntervalOverlapJoin.join(
+        l, r, "k", "lo", "hi", "k2", "lo2", "hi2")
+      .select($"lid", $"rid")
+    val want = l.join(r, $"k" === $"k2" && $"lo" < $"hi2" && $"lo2" < $"hi")
+      .select($"lid", $"rid")
+    assert(got.count() === want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("disjoint singleton intervals: overlap join on a hand fixture") {
     val l = Seq((1L, 0L, 10L, "a"), (1L, 10L, 15L, "b"), (2L, 0L, 5L, "c"))
       .toDF("k", "lo", "hi", "tag")
