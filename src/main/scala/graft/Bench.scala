@@ -64,10 +64,6 @@ object Bench {
         else secs.sorted.apply(secs.length / 2)
       name -> (secs.head, median)
     }.toMap
-    // per-query seconds at ms precision: the driver keeps only a bounded
-    // tail of stdout, and full-precision doubles pushed the JSON line
-    // past that buffer (BENCH_r02/r03 "parsed": null) — 3 decimals keeps
-    // the whole line comfortably inside it
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v._1) }
       .mkString("{", ",", "}")
@@ -76,13 +72,24 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_._1).filter(_ >= 0).sum else 0.0
     val totalMed = if (results.nonEmpty) results.values.map(_._2).filter(_ >= 0).sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
+    // full artifact (every query, first-run + median maps) goes to the
+    // file — round deltas are computed from it
+    val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":${r3(totalMed)},"reps":$reps,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(line)
-    // stdout capture has been observed truncated (BENCH_r01); the file is
-    // the durable copy round deltas are computed from
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
+    // stdout line: the driver keeps only a ~2000-char TAIL of stdout, and
+    // the full 224-query maps are ~11 KB — six rounds of "parsed": null.
+    // Print a bounded summary as the LAST stdout line: totals plus only
+    // the slowest queries by median (the ones worth reading in a report),
+    // and a count-capped failed list.
+    val slowest = results.toSeq.sortBy(-_._2._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v._2) }.mkString("{", ",", "}")
+    val failedShown = failed.sorted.take(8)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":${r3(totalMed)},"unit":"sec","queries":$slowest,"total_first_run":${r3(total)},"n_queries":${results.size},"reps":$reps,"n_failed":${failed.size},"failed":$failedShown,"sf":"$sfDir","full":"$out"}"""
+    println(line)
     spark.stop()
   }
 }

@@ -147,6 +147,76 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Banded (screened) containment: the 100-TB path for
+    * [[ngramContainmentPairs]], whose exact form is quadratic per block
+    * by construction. Asymmetric minwise screen:
+    *
+    *  1. hash every shingle; drop shingles whose document frequency in
+    *     the block exceeds `maxDf` (a stop-shingle in half the corpus
+    *     would alone generate quadratic candidates — the df cap is the
+    *     documented scale lever, same as tfidfCosineTopK's);
+    *  2. each document PROBES with the `probes` smallest kept hashes —
+    *     a minwise sample of its shingle set, so if C(A→B) ≥ τ each
+    *     probe independently hits B with probability ≈ C, and the
+    *     screen misses a true pair with probability ≲ (1−τ)^probes
+    *     (τ=0.6, probes=8 → ~6.5e-4);
+    *  3. candidates = probe ⋈ inverted-index on (block, hash) — per-doc
+    *     candidate count bounded by probes·maxDf, never block-quadratic;
+    *  4. exact two-pointer intersection verifies every candidate, so
+    *     emitted rows are exact containments — the screen only bounds
+    *     RECALL, never precision.
+    *
+    * The exact twin stays the oracle; MiningSpec pins banded ≡ exact on
+    * the test corpus so any recall loss from the cap/probe budget shows
+    * up as a named assertion, not silent undercounting.
+    *
+    * @return (contained_id, container_id, containment), directed
+    */
+  def ngramContainmentPairsBanded(df: DataFrame, idCol: String, textCol: String,
+                                  n: Int, threshold: Double,
+                                  blockCols: Seq[String], probes: Int = 8,
+                                  maxDf: Int = 200): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val bc = blockCols.map(col)
+    val toks = widen(df.select(
+      (col(idCol).as("id") +: bc) :+
+        TextAnalysis.tokens(col(textCol)).as("toks"): _*))
+    val withSh = toks.select(
+      (col("id") +: bc) :+ shinglesFromTokens(col("toks"), n).as("sh"): _*)
+    // hashed postings (block..., id, h) — longs join cheaper than grams
+    val posts = withSh.select(
+        (col("id") +: bc) :+ explode(col("sh")).as("s"): _*)
+      .withColumn("h", xxhash64(col("s"))).drop("s")
+    // document frequency per (block, hash); hot shingles leave BOTH the
+    // index and the probe pool (symmetric drop — a capped posting list
+    // that kept "the first maxDf docs" would make recall depend on
+    // partition order)
+    val kept = posts.join(
+      posts.groupBy(bc :+ col("h"): _*).agg(count(lit(1)).as("dfc"))
+        .filter(col("dfc") <= maxDf).drop("dfc"),
+      blockCols :+ "h")
+    // minwise probe sample: the `probes` smallest kept hashes per doc
+    val probeSide = kept
+      .groupBy(col("id") +: bc: _*)
+      .agg(slice(array_sort(collect_list(col("h"))), 1, probes).as("ph"))
+      .select((col("id").as("id_a") +: bc) :+ explode(col("ph")).as("h"): _*)
+    val cand = probeSide
+      .join(kept.select((col("id").as("id_b") +: bc) :+ col("h"): _*),
+        blockCols :+ "h")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"))
+      .distinct()
+    // exact verify on candidates only
+    val shA = withSh.select(col("id").as("contained_id"), col("sh").as("sh_a"))
+    val shB = withSh.select(col("id").as("container_id"), col("sh").as("sh_b"))
+    cand.join(shA, "contained_id").join(shB, "container_id")
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize.sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .withColumn("containment", col("inter").cast("double") / size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("contained_id"), col("container_id"), col("containment"))
+  }
+
   private val P = 2038074743L // prime > 2^30, products stay well under 2^63
 
   /** Universal-family multipliers for permutation i (i ≥ 0):

@@ -1177,6 +1177,44 @@ object MiningQueries extends QueryPack {
              |SELECT ex.q_id, n_exact, coalesce(n_hit, 0) AS n_hit,
              |  coalesce(n_hit, 0) * 1000000 // n_exact AS recall_micro
              |FROM ex LEFT JOIN hit ON hit.q_id = ex.q_id
-             |ORDER BY ex.q_id""".stripMargin))
+             |ORDER BY ex.q_id""".stripMargin)),
+
+    // q146's SCALE PATH: same directed-containment semantics through
+    // the banded screen (df-capped inverted index + minwise probes +
+    // exact verify) instead of the quadratic-per-block self-join. The
+    // oracle is the same exact SQL as q146 — the screen must reproduce
+    // the exact answer on this corpus or the query goes red, which is
+    // precisely the recall contract the operator documents.
+    Q("q225_containment_banded",
+      (s, d) => {
+        import s.implicits._
+        Dedup.ngramContainmentPairsBanded(Tables.documents(s, d), "doc_id",
+            "text", n = 2, threshold = 0.6, blockCols = Seq("lang"))
+          .select($"contained_id", $"container_id",
+            graft.core.Exact.r4($"containment").as("containment"))
+          .orderBy($"contained_id", $"container_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text),'\s+') AS l FROM documents),
+             |bg AS (
+             |  SELECT doc_id, lang,
+             |    unnest(list_distinct(list_filter(
+             |      list_transform(l, (x,i) -> CASE WHEN i <= len(l)-1 THEN x || ' ' || l[i+1] END),
+             |      v -> v IS NOT NULL))) AS s
+             |  FROM toks),
+             |szs AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |  FROM bg a JOIN bg b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |dir AS (
+             |  SELECT id_a AS contained_id, id_b AS container_id,
+             |    i * 1.0 / x.sz AS c
+             |  FROM inter JOIN szs x ON x.doc_id = id_a
+             |  UNION ALL
+             |  SELECT id_b, id_a, i * 1.0 / y.sz
+             |  FROM inter JOIN szs y ON y.doc_id = id_b)
+             |SELECT contained_id, container_id, round(c, 4) + 0.0 AS containment
+             |FROM dir WHERE c >= 0.6
+             |ORDER BY contained_id, container_id""".stripMargin))
   )
 }

@@ -39,8 +39,10 @@ object TemporalQueries extends QueryPack {
         val sells = li.filter($"rf" =!= "R").drop("rf")
         Allocate.fifoMatch(buys, sells, "pk",
             Seq("sec", "ok", "ln", "q"), "q")
+          // total order incl. matched_qty: bit-stable row order for the
+          // driver's streaming hasher even if upstream ties ever appear
           .orderBy($"key", $"buy_sec", $"buy_ok", $"buy_ln", $"buy_q",
-            $"sell_sec", $"sell_ok", $"sell_ln", $"sell_q")
+            $"sell_sec", $"sell_ok", $"sell_ln", $"sell_q", $"matched_qty")
       },
       Some("""WITH li AS (
              |  SELECT l_partkey AS pk,
@@ -66,7 +68,7 @@ object TemporalQueries extends QueryPack {
              |FROM b JOIN s ON b.pk = s.pk
              |  AND b.bhi - b.q < s.dhi AND s.dhi - s.q < b.bhi
              |ORDER BY key, buy_sec, buy_ok, buy_ln, buy_q,
-             |  sell_sec, sell_ok, sell_ln, sell_q""".stripMargin)),
+             |  sell_sec, sell_ok, sell_ln, sell_q, matched_qty""".stripMargin)),
 
     // One-sided CUSUM on shipped quantity per supplier (k=26, h=500):
     // the clamped recurrence solved in CLOSED FORM (Lindley:
@@ -554,24 +556,22 @@ object TemporalQueries extends QueryPack {
     Q("q210_stream_sessionize_replay",
       (s, d) => {
         import s.implicits._
-        import graft.streaming.{EventStream, Sessionize}
+        import graft.streaming.Sessionize
         val gap = 7200000000L // 2h in micros
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.schema(EventStream.rawSchema)
-          .parquet(s"$d/events.parquet")
+        val raw = Tables.events(s, d) // ts normalized to TimestampType
         val root = graft.core.Scratch.dir("q210_replay")
         raw.coalesce(1).write.mode("overwrite").parquet(s"$root/data")
-        val mxNanos = raw.agg(max($"ts")).head.getLong(0)
+        val mxMicros = raw.agg(max(unix_micros($"ts"))).head.getLong(0)
         raw.select($"user_id").distinct()
           .select(lit(-1L).as("event_id"),
-            lit(mxNanos + (gap + 1L) * 1000L).as("ts"), $"user_id",
+            timestamp_micros(lit(mxMicros + gap + 1L)).as("ts"), $"user_id",
             lit("sentinel").as("event_type"), lit(0.0).as("value"),
             lit(null).cast("string").as("props"))
           .coalesce(1).write.mode("append").parquet(s"$root/data")
         s.catalog.dropTempView("q210_sessions")
         val sess = Sessionize.runToCompletion(s, s"$root/data", gap,
           "q210_sessions")
-        sess.filter($"session_start" <= mxNanos / 1000L)
+        sess.filter($"session_start" <= mxMicros)
           .select($"user_id", $"session_start", $"session_end",
             $"n_events", $"total_value")
           .orderBy($"user_id", $"session_start")
@@ -764,17 +764,13 @@ object TemporalQueries extends QueryPack {
     Q("q219_stream_interval_join_replay",
       (s, d) => {
         import s.implicits._
-        import graft.streaming.{EventStream, IntervalJoin}
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.schema(EventStream.rawSchema)
-          .parquet(s"$d/events.parquet")
+        import graft.streaming.IntervalJoin
+        val raw = Tables.events(s, d) // ts normalized to TimestampType
         val root = graft.core.Scratch.dir("q219_replay")
         val p = raw.filter($"event_type" === "purchase")
-          .select($"user_id", $"event_id".as("pid"),
-            expr("timestamp_micros(ts div 1000)").as("pts"))
+          .select($"user_id", $"event_id".as("pid"), $"ts".as("pts"))
         val v = raw.filter($"event_type".isin("view", "click"))
-          .select($"user_id", $"event_id".as("vid"),
-            expr("timestamp_micros(ts div 1000)").as("vts"))
+          .select($"user_id", $"event_id".as("vid"), $"ts".as("vts"))
         p.coalesce(1).write.mode("overwrite").parquet(s"$root/p")
         v.coalesce(1).write.mode("overwrite").parquet(s"$root/v")
         val ls = s.readStream.schema(p.schema).parquet(s"$root/p")

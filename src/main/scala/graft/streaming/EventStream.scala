@@ -15,21 +15,21 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet physical schema under nanosAsLong (ts is raw nanos). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Physical schema of the events files at `path`, discovered from the
+    * parquet footers (a metadata-only batch read — no data scan). The
+    * file source needs an explicit schema; discovering it instead of
+    * pinning one keeps the streaming path schema-on-read like the batch
+    * loader ([[graft.core.Tables.normalizeEventTs]]).
+    */
+  def rawSchema(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
 
   /** Shared transform: 6h tumbling windows per event type with exact
-    * cents totals. Works on both batch and streaming inputs.
+    * cents totals. Works on both batch and streaming inputs, and on any
+    * physical encoding of `ts` (nanos long / timestamp / timestamp_ntz).
     */
   def windowedTotals(events: DataFrame): DataFrame =
-    events
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.core.Tables.normalizeEventTs(events)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -39,7 +39,7 @@ object EventStream {
   /** Streaming read of the events file(s); `path` may be a glob. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(path)
+    spark.readStream.schema(rawSchema(spark, path)).parquet(path)
   }
 
   /** Run the streaming aggregation to completion over the (finite) file

@@ -90,8 +90,9 @@ object Sessionize {
                       queryName: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream.schema(EventStream.rawSchema).parquet(path)
-      .select(col("user_id"), expr("ts DIV 1000").as("ts_micros"), col("value"))
+    val src = spark.readStream.schema(EventStream.rawSchema(spark, path)).parquet(path)
+    val raw = graft.core.Tables.normalizeEventTs(src)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_micros"), col("value"))
       .as[Event]
     val q = sessionizeStreaming(spark, raw, gapMicros)
       .writeStream.outputMode("append").format("memory").queryName(queryName).start()

@@ -16,6 +16,52 @@ class MiningSpec extends SparkTestBase {
     LinkGraph.triangleCounts(edges.toDF("id_a", "id_b"))
       .as[(Long, Long)].collect().toMap
 
+  test("banded containment screen ≡ exact containment on the test corpus") {
+    // the recall contract q225 relies on: the df-capped minwise screen
+    // plus exact verify must reproduce the quadratic exact twin's rows
+    // bit-for-bit (precision is structural — every emitted row is
+    // exact-verified — so any difference is a recall miss)
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val exact = graft.ext.Dedup.ngramContainmentPairs(
+        docs, "doc_id", "text", n = 2, threshold = 0.6, blockCols = Seq("lang"))
+      .as[(Long, Long, Double)].collect().toSet
+    val banded = graft.ext.Dedup.ngramContainmentPairsBanded(
+        docs, "doc_id", "text", n = 2, threshold = 0.6, blockCols = Seq("lang"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "fixture produced no containment pairs — spec is vacuous")
+    assert(banded === exact,
+      s"recall miss: exact-only=${(exact -- banded).take(5)} banded-only=${(banded -- exact).take(5)}")
+  }
+
+  test("banded containment df cap drops hot-shingle candidates (the scale lever)") {
+    // six docs share one ubiquitous bigram; with maxDf below the corpus
+    // size that shingle cannot generate candidates, and the pair whose
+    // ONLY overlap is the hot shingle disappears while a pair with rare
+    // overlap survives — the documented recall/cost trade
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "alpha beta gamma delta epsilon", "en"),
+      (3L, "alpha beta zeta eta theta iota kappa", "en"),
+      (4L, "alpha beta", "en"),
+      (5L, "alpha beta lambda", "en"),
+      (6L, "alpha beta mu nu", "en")).toDF("doc_id", "text", "lang")
+    val loose = graft.ext.Dedup.ngramContainmentPairsBanded(
+        docs, "doc_id", "text", n = 2, threshold = 0.9, blockCols = Seq("lang"),
+        probes = 8, maxDf = 100)
+      .as[(Long, Long, Double)].collect().toSet
+    // "alpha beta" is in all 6 docs; doc 4's only shingle is the hot one
+    assert(loose.exists(_._1 == 4L), "uncapped screen should contain doc 4")
+    val capped = graft.ext.Dedup.ngramContainmentPairsBanded(
+        docs, "doc_id", "text", n = 2, threshold = 0.9, blockCols = Seq("lang"),
+        probes = 8, maxDf = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(!capped.exists(_._1 == 4L),
+      "df cap must drop candidates whose only overlap is the hot shingle")
+    // doc 1 ⊂ doc 2 via rare shingles — must survive the cap
+    assert(capped.exists(p => p._1 == 1L && p._2 == 2L),
+      s"rare-shingle containment lost under the cap: $capped")
+  }
+
   test("triangleCounts: K4 has 4 triangles, every node on 3") {
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
     assert(tri(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
