@@ -177,44 +177,195 @@ object Dedup {
                                   blockCols: Seq[String], probes: Int = 8,
                                   maxDf: Int = 200): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bc = blockCols.map(col)
-    val toks = widen(df.select(
-      (col(idCol).as("id") +: bc) :+
-        TextAnalysis.tokens(col(textCol)).as("toks"): _*))
-    val withSh = toks.select(
-      (col("id") +: bc) :+ shinglesFromTokens(col("toks"), n).as("sh"): _*)
+    // Materialized shingle projection: feeds the posting explode and
+    // both verify-join sides. Two house lessons apply at once: Generate
+    // re-evaluates a DERIVED array child per emitted row (the
+    // contaminationCounts 7× explode tax), and Spark has no cross-
+    // branch CSE, so every un-persisted consumer re-runs the tokenize
+    // chain (the q47 lesson — an unpersisted first cut of this operator
+    // benched 13.7 s vs q146's 3.6 s from exactly these two taxes).
+    val withSh = widen(df.select(
+        (col(idCol).as("id") +: bc) :+
+          TextAnalysis.tokens(col(textCol)).as("toks"): _*))
+      .select((col("id") +: bc) :+ shinglesFromTokens(col("toks"), n).as("sh"): _*)
+      .persist(lvl)
     // hashed postings (block..., id, h) — longs join cheaper than grams
     val posts = withSh.select(
         (col("id") +: bc) :+ explode(col("sh")).as("s"): _*)
       .withColumn("h", xxhash64(col("s"))).drop("s")
-    // document frequency per (block, hash); hot shingles leave BOTH the
-    // index and the probe pool (symmetric drop — a capped posting list
-    // that kept "the first maxDf docs" would make recall depend on
-    // partition order)
-    val kept = posts.join(
-      posts.groupBy(bc :+ col("h"): _*).agg(count(lit(1)).as("dfc"))
-        .filter(col("dfc") <= maxDf).drop("dfc"),
-      blockCols :+ "h")
-    // minwise probe sample: the `probes` smallest kept hashes per doc
-    val probeSide = kept
-      .groupBy(col("id") +: bc: _*)
-      .agg(slice(array_sort(collect_list(col("h"))), 1, probes).as("ph"))
-      .select((col("id").as("id_a") +: bc) :+ explode(col("ph")).as("h"): _*)
-    val cand = probeSide
-      .join(kept.select((col("id").as("id_b") +: bc) :+ col("h"): _*),
-        blockCols :+ "h")
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"))
-      .distinct()
-    // exact verify on candidates only
-    val shA = withSh.select(col("id").as("contained_id"), col("sh").as("sh_a"))
-    val shB = withSh.select(col("id").as("container_id"), col("sh").as("sh_b"))
-    cand.join(shA, "contained_id").join(shB, "container_id")
+      .persist(lvl)
+    try {
+      // document frequency per (block, hash); hot shingles leave BOTH
+      // the index and the probe pool (symmetric drop — a capped posting
+      // list that kept "the first maxDf docs" would make recall depend
+      // on partition order)
+      val dfc = posts.groupBy(bc :+ col("h"): _*)
+        .agg(count(lit(1)).as("dfc"))
+        .filter(col("dfc") <= maxDf).drop("dfc")
+      val kept = posts.join(dfc, blockCols :+ "h").persist(lvl)
+      try {
+        // minwise probe sample: the `probes` smallest kept hashes per doc
+        val probeSide = kept
+          .groupBy(col("id") +: bc: _*)
+          .agg(slice(array_sort(collect_list(col("h"))), 1, probes).as("ph"))
+          .select((col("id").as("id_a") +: bc) :+ explode(col("ph")).as("h"): _*)
+        // candidates are a small fraction of the corpus by design
+        // (bounded by probes·df per doc) — broadcast them so the cached
+        // shingle side is probed in place (the minHashLshPairs shape)
+        val cand = broadcast(probeSide
+          .join(kept.select((col("id").as("id_b") +: bc) :+ col("h"): _*),
+            blockCols :+ "h")
+          .filter(col("id_a") =!= col("id_b"))
+          .select(col("id_a").as("contained_id"), col("id_b").as("container_id"))
+          .distinct())
+        // exact verify on candidates only
+        val shA = withSh.select(col("id").as("contained_id"), col("sh").as("sh_a"))
+        val shB = withSh.select(col("id").as("container_id"), col("sh").as("sh_b"))
+        cand.join(shA, "contained_id").join(shB, "container_id")
+          .withColumn("inter",
+            graft.functions.SortedIntersectSize.sortedIntersectSize(col("sh_a"), col("sh_b")))
+          .withColumn("containment", col("inter").cast("double") / size(col("sh_a")))
+          .filter(col("containment") >= threshold)
+          .select(col("contained_id"), col("container_id"), col("containment"))
+          .checkpointEager()
+      } finally kept.unpersist(false)
+    } finally { posts.unpersist(false); withSh.unpersist(false) }
+  }
+
+  /** Cross-split near-duplicate LEAKAGE report — the "is my eval split
+    * contaminated by train?" audit every pipeline runs after splitting:
+    * for each eval-side document, its closest train-side document by
+    * n-gram Jaccard (within `blockCols`), the candidate count, and a
+    * leaked flag at `threshold`.
+    *
+    * Asymmetric exact screen: eval docs are salted, train docs
+    * replicated per salt (the [[ngramJaccardPairs]] skew treatment),
+    * so cost is |eval_block|·|train_block| per block — bounded by the
+    * eval fraction, NOT corpus-quadratic, but still the exact twin; at
+    * web scale the candidate step is the banded MinHash screen
+    * ([[minHashLshPairs]] probing an indexed train side) feeding this
+    * same verify. Ties on max Jaccard break to the larger train id
+    * (struct-max lexicographic order ≡ the oracle's `ORDER BY jac
+    * DESC, train_id DESC` window).
+    *
+    * @return (eval_id, n_candidates, max_jaccard, nearest_train_id,
+    *         leaked) — one row per eval doc sharing ≥1 shingle with
+    *         any same-block train doc
+    */
+  def splitLeakageReport(df: DataFrame, idCol: String, textCol: String,
+                         splitCol: Column, trainName: String,
+                         n: Int, threshold: Double,
+                         blockCols: Seq[String], salts: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val bc = blockCols.map(col)
+    val toks = widen(df.select(
+      (col(idCol).as("id") +: splitCol.as("split") +: bc) :+
+        TextAnalysis.tokens(col(textCol)).as("toks"): _*))
+    val withSh = toks.select(
+      (col("id") +: col("split") +: bc) :+
+        shinglesFromTokens(col("toks"), n).as("sh"): _*)
+    val ev = withSh.filter(col("split") =!= trainName)
+      .select((col("id").as("eval_id") +: bc) :+ col("sh").as("sh_a"): _*)
+      .withColumn("salt", pmod(xxhash64(col("eval_id")), lit(salts.toLong)))
+    val tr = withSh.filter(col("split") === trainName)
+      .select((col("id").as("train_id") +: bc) :+ col("sh").as("sh_b"): _*)
+      .withColumn("salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    ev.join(tr, blockCols :+ "salt")
       .withColumn("inter",
         graft.functions.SortedIntersectSize.sortedIntersectSize(col("sh_a"), col("sh_b")))
-      .withColumn("containment", col("inter").cast("double") / size(col("sh_a")))
-      .filter(col("containment") >= threshold)
-      .select(col("contained_id"), col("container_id"), col("containment"))
+      .filter(col("inter") > 0)
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(col("jaccard")).as("max_jaccard"),
+        max(struct(col("jaccard"), col("train_id")))
+          .getField("train_id").as("nearest_train_id"))
+      .withColumn("leaked", col("max_jaccard") >= threshold)
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS local-fingerprinting scheme): hash every token k-gram
+    * ([[graft.functions.PolyHash]] — oracle-reproducible), slide a
+    * window of `w` consecutive hashes, keep each window's MINIMUM, and
+    * fingerprint the document with the distinct selected hashes. The
+    * guarantee that makes it the standard excerpt detector: any shared
+    * run of at least w+k-1 tokens between two documents selects at
+    * least one IDENTICAL fingerprint in both — detection without
+    * comparing documents pairwise. Expected density ~2/(w+1), so
+    * fingerprints are a small sample of the gram stream.
+    *
+    * Pure per-row array expressions (no shuffle, no UDF): the whole
+    * selection stays inside whole-stage codegen.
+    *
+    * @return (id, carryCols..., fp) — one row per distinct selected
+    *         hash per doc
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, w: Int,
+                            carryCols: Seq[String] = Nil): DataFrame = {
+    val arrs = winnowingFingerprintArrays(df, idCol, textCol, k, w, carryCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try arrs.select((col("id") +: carryCols.map(col)) :+
+        explode(col("fps")).as("fp"): _*).checkpointEager()
+    finally arrs.unpersist(false)
+  }
+
+  /** Per-doc fingerprint ARRAYS (id, carryCols..., fps). Split out so
+    * callers explode a MATERIALIZED attribute, never a derived
+    * expression (Generate re-evaluates a derived array child per
+    * emitted row — the contaminationCounts lesson). The selection runs
+    * through the [[graft.functions.WinnowingMins]] codegen kernel: the
+    * `transform(sequence, i -> array_min(slice(hs, i, w)))` formulation
+    * allocates a w-array per window — O(grams·w) — and benched 19.5 s
+    * for the sf0.1 corpus vs ~1 s for the O(grams) deque kernel.
+    */
+  private def winnowingFingerprintArrays(df: DataFrame, idCol: String,
+                                         textCol: String, k: Int, w: Int,
+                                         carryCols: Seq[String]): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val cc = carryCols.map(col)
+    val hs = transform(
+      TextAnalysis.gramsFromTokens(TextAnalysis.tokens(col(textCol)), k),
+      g => graft.functions.PolyHash.polyHash(g))
+    df.select((col(idCol).as("id") +: cc) :+ hs.as("hs"): _*)
+      .filter(size(col("hs")) >= w)
+      .select((col("id") +: cc) :+ array_distinct(
+        graft.functions.WinnowingMins.winnowingMins(col("hs"), lit(w))).as("fps"): _*)
+  }
+
+  /** Shared-fingerprint pair report over [[winnowingFingerprints]]:
+    * documents in the same block sharing at least `minShared` selected
+    * fingerprints, with the shared count — the winnowing paper's
+    * "matches above noise" screen. One inverted-index self-join on the
+    * fingerprint hash (shuffle-parallel, join fan-out bounded by
+    * fingerprint density ~2/(w+1) per doc and per-hash doc frequency);
+    * never a doc-pair cross product.
+    */
+  def winnowingSharedPairs(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, w: Int, minShared: Long,
+                           blockCols: Seq[String]): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bc = blockCols.map(col)
+    val arrs = winnowingFingerprintArrays(df, idCol, textCol, k, w, blockCols)
+      .persist(lvl)
+    // exploded fingerprint table feeds BOTH self-join sides — persist
+    // (no cross-branch CSE; the arrays cache protects the explode)
+    val fps = arrs.select((col("id") +: bc) :+ explode(col("fps")).as("fp"): _*)
+      .persist(lvl)
+    try {
+      val a = fps.select((col("id").as("id_a") +: bc) :+ col("fp"): _*)
+      val b = fps.select((col("id").as("id_b") +: bc) :+ col("fp"): _*)
+      a.join(b, blockCols :+ "fp")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .checkpointEager()
+    } finally { fps.unpersist(false); arrs.unpersist(false) }
   }
 
   private val P = 2038074743L // prime > 2^30, products stay well under 2^63

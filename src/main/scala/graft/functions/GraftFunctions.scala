@@ -29,6 +29,10 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("sorted_intersect_size",
         exprs => SortedIntersectSize(exprs.head, exprs(1)), "built-in")
     }
+    if (!reg.functionExists(FunctionIdentifier("winnowing_mins"))) {
+      reg.createOrReplaceTempFunction("winnowing_mins",
+        exprs => WinnowingMins(exprs.head, exprs(1)), "built-in")
+    }
     if (!reg.functionExists(FunctionIdentifier("weighted_quantile_sketch"))) {
       // num/den/eps must be foldable literals (evaluated at resolution)
       reg.createOrReplaceTempFunction("weighted_quantile_sketch",

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{Dedup, LangModel, LinkGraph, Similarity}
+import graft.ext.{CorpusOps, Dedup, LangModel, LinkGraph, Similarity}
 import graft.io.Versioned
 
 /** Sixth-wave mining operators: graph structure (triangle counting),
@@ -1215,6 +1215,140 @@ object MiningQueries extends QueryPack {
              |  FROM inter JOIN szs y ON y.doc_id = id_b)
              |SELECT contained_id, container_id, round(c, 4) + 0.0 AS containment
              |FROM dir WHERE c >= 0.6
-             |ORDER BY contained_id, container_id""".stripMargin))
+             |ORDER BY contained_id, container_id""".stripMargin)),
+
+    // DSIR importance resampling scores: hashed-bigram multinomials
+    // (target = English slice vs the raw corpus, Laplace-smoothed),
+    // per-bucket log-ratio weights in micro-nats, per-doc INTEGER
+    // weight sums — the "which raw docs look most like the target
+    // domain" selection key, top-50 by (score desc, id).
+    Q("q226_dsir_importance",
+      (s, d) => {
+        import s.implicits._
+        LangModel.dsirImportanceMicro(Tables.documents(s, d), "doc_id",
+            "text", $"lang" === "en", buckets = 1024)
+          .orderBy($"score_micro".desc, $"id")
+          .limit(50)
+          .select($"id".as("doc_id"), $"n_grams", $"score_micro")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text),'\\s+') AS l FROM documents),
+             |bg AS (
+             |  SELECT doc_id, lang,
+             |    unnest(list_filter(
+             |      list_transform(l, (x,i) -> CASE WHEN i <= len(l)-1 THEN x || ' ' || l[i+1] END),
+             |      v -> v IS NOT NULL)) AS g
+             |  FROM toks),
+             |hb AS (SELECT doc_id, lang, ${polyHashSql("g")} % 1024 AS b FROM bg),
+             |bc AS (SELECT b, count(*) AS cr,
+             |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+             |       FROM hb GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+             |               CAST(sum(ct) AS BIGINT) AS nt FROM bc),
+             |w AS (SELECT b,
+             |        CAST(round((ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE))
+             |                  - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE)))
+             |          * 1000000) AS BIGINT) AS w_micro
+             |      FROM bc CROSS JOIN tot)
+             |SELECT doc_id, count(*) AS n_grams,
+             |  CAST(sum(w_micro) AS BIGINT) AS score_micro
+             |FROM hb JOIN w USING (b)
+             |GROUP BY 1
+             |ORDER BY score_micro DESC, doc_id
+             |LIMIT 50""".stripMargin)),
+
+    // Train/eval leakage audit: hash-split the corpus (q75's split),
+    // then for every eval doc its nearest train doc by bigram Jaccard
+    // within the language block — candidate count, max similarity,
+    // nearest neighbor, leaked flag at 0.5. The asymmetric exact
+    // screen (eval fraction × train block, salted) is the oracle twin
+    // of the banded-index path at web scale.
+    Q("q227_split_leakage",
+      (s, d) => {
+        import s.implicits._
+        val split = CorpusOps.hashSplit(Tables.documents(s, d), "doc_id",
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        Dedup.splitLeakageReport(split, "doc_id", "text", $"split", "train",
+            n = 2, threshold = 0.5, blockCols = Seq("lang"))
+          .select($"eval_id", $"n_candidates",
+            graft.core.Exact.r4($"max_jaccard").as("max_jaccard"),
+            $"nearest_train_id", $"leaked")
+          .orderBy($"eval_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+             |        i -> CAST(ascii(substring(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007) % 100 AS bucket
+             |  FROM documents),
+             |sp AS (SELECT doc_id,
+             |         CASE WHEN bucket < 90 THEN 'train' ELSE 'eval' END AS split
+             |       FROM h),
+             |toks AS (SELECT doc_id, lang, string_split_regex(trim(text),'\s+') AS l FROM documents),
+             |bg AS (
+             |  SELECT doc_id, lang,
+             |    unnest(list_distinct(list_filter(
+             |      list_transform(l, (x,i) -> CASE WHEN i <= len(l)-1 THEN x || ' ' || l[i+1] END),
+             |      v -> v IS NOT NULL))) AS s
+             |  FROM toks),
+             |szs AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY 1),
+             |inter AS (
+             |  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, count(*) AS i
+             |  FROM bg e
+             |  JOIN sp se ON se.doc_id = e.doc_id AND se.split = 'eval'
+             |  JOIN bg t ON t.s = e.s AND t.lang = e.lang
+             |  JOIN sp st ON st.doc_id = t.doc_id AND st.split = 'train'
+             |  GROUP BY 1, 2),
+             |j AS (SELECT eval_id, train_id,
+             |        i * 1.0 / (x.sz + y.sz - i) AS jac
+             |      FROM inter
+             |      JOIN szs x ON x.doc_id = eval_id
+             |      JOIN szs y ON y.doc_id = train_id),
+             |r AS (SELECT *,
+             |        row_number() OVER (PARTITION BY eval_id
+             |          ORDER BY jac DESC, train_id DESC) AS rn,
+             |        count(*) OVER (PARTITION BY eval_id) AS n_candidates,
+             |        max(jac) OVER (PARTITION BY eval_id) AS mj
+             |      FROM j)
+             |SELECT eval_id, CAST(n_candidates AS BIGINT) AS n_candidates,
+             |  round(mj, 4) + 0.0 AS max_jaccard,
+             |  train_id AS nearest_train_id, mj >= 0.5 AS leaked
+             |FROM r WHERE rn = 1 ORDER BY eval_id""".stripMargin)),
+
+    // Winnowing (MOSS) fingerprint matching: per doc, the distinct
+    // window-minima of PolyHashed bigram hashes (w=4); pairs sharing
+    // >= 2 fingerprints within the language block. Detection through
+    // an inverted-index join on selected hashes — any shared run of
+    // w+k-1 tokens is guaranteed a common fingerprint, no pairwise
+    // document comparison anywhere.
+    Q("q228_winnowing_pairs",
+      (s, d) => {
+        import s.implicits._
+        Dedup.winnowingSharedPairs(Tables.documents(s, d), "doc_id", "text",
+            k = 2, w = 4, minShared = 2L, blockCols = Seq("lang"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text),'\\s+') AS l FROM documents),
+             |gs AS (
+             |  SELECT doc_id, lang,
+             |    list_filter(
+             |      list_transform(l, (x,i) -> CASE WHEN i <= len(l)-1 THEN x || ' ' || l[i+1] END),
+             |      v -> v IS NOT NULL) AS g
+             |  FROM toks),
+             |hs AS (SELECT doc_id, lang,
+             |         list_transform(g, x -> ${polyHashSql("x")}) AS h
+             |       FROM gs WHERE len(g) >= 4),
+             |fp AS (SELECT doc_id, lang,
+             |         unnest(list_distinct(
+             |           list_transform(generate_series(1, len(h) - 3),
+             |             i -> list_min(h[i:i+3])))) AS fp
+             |       FROM hs)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(count(*) AS BIGINT) AS n_shared
+             |FROM fp a JOIN fp b ON a.fp = b.fp AND a.lang = b.lang
+             |  AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2
+             |HAVING count(*) >= 2
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

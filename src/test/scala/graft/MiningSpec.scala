@@ -62,6 +62,79 @@ class MiningSpec extends SparkTestBase {
       s"rare-shingle containment lost under the cap: $capped")
   }
 
+  test("dsirImportanceMicro: target-exclusive grams score above raw-exclusive; short docs absent") {
+    val docs = Seq(
+      (1L, "x y x y", true),   // grams {x y, y x, x y} — target side
+      (2L, "x y z", true),     // target
+      (3L, "p q p q", false),  // raw-only grams
+      (4L, "x y p q", false),  // mixed: shares "x y" with target
+      (5L, "solo", false)      // < 2 tokens: no grams, absent
+    ).toDF("doc_id", "text", "is_t")
+    val out = graft.ext.LangModel.dsirImportanceMicro(
+        docs, "doc_id", "text", col("is_t"), buckets = 1024)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!out.contains(5L), "gram-less doc must be absent")
+    assert(out(1L)._1 === 3L && out(3L)._1 === 3L, "gram instance counts")
+    // doc 1's grams occur only in target docs, doc 3's only in raw:
+    // the log-ratio weights must separate them, mixed doc in between
+    assert(out(1L)._2 > out(4L)._2,
+      s"target-exclusive must outscore mixed: ${out(1L)} vs ${out(4L)}")
+    assert(out(4L)._2 > out(3L)._2,
+      s"mixed must outscore raw-exclusive: ${out(4L)} vs ${out(3L)}")
+  }
+
+  test("splitLeakageReport: nearest by jaccard, tie to larger id, disjoint eval absent") {
+    val docs = Seq(
+      (10L, "a b c d e", "train", "en"),
+      (11L, "a b c x y", "train", "en"),
+      (20L, "a b c d e f", "eval", "en"), // closer to 10 than 11
+      (21L, "zz ww", "eval", "en"),       // no shared bigram: absent
+      (30L, "a b", "train", "en"),
+      (31L, "a b", "train", "en"),
+      (40L, "a b", "eval", "en")          // ties 30/31 exactly: take 31
+    ).toDF("doc_id", "text", "split", "lang")
+    val out = graft.ext.Dedup.splitLeakageReport(docs, "doc_id", "text",
+        col("split"), "train", n = 2, threshold = 0.5, blockCols = Seq("lang"))
+      .select("eval_id", "n_candidates", "max_jaccard", "nearest_train_id", "leaked")
+      .as[(Long, Long, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!out.contains(21L), "eval doc sharing no shingle must be absent")
+    assert(out(20L)._4 === 10L, s"nearest for 20 should be 10: ${out(20L)}")
+    // 10/11 share multi-gram overlap; 30/31 ("a b") also share the
+    // "a b" bigram with 20 — all four train docs are candidates
+    assert(out(20L)._2 === 4L, s"all four train docs share a shingle with 20: ${out(20L)}")
+    assert(out(40L)._4 === 31L, s"exact tie must break to larger train id: ${out(40L)}")
+    assert(out(40L)._3 === 1.0 && out(40L)._5, "identical doc: jaccard 1, leaked")
+    assert(out(20L)._5 === (out(20L)._3 >= 0.5), "leaked flag consistent with threshold")
+  }
+
+  test("winnowing: window minima selected, short docs absent, shared-run guarantee") {
+    // doc 60/61 share the 6-token run "m n o p q r": with k=2, w=4 the
+    // run spans 5 gram hashes >= w+... >= one full window, so the paper's
+    // guarantee applies — at least one common fingerprint MUST be
+    // selected in both docs despite different surrounding context
+    val docs = Seq(
+      (60L, "a1 b2 m n o p q r c3 d4", "en"),
+      (61L, "x9 m n o p q r y8 z7 w6", "en"),
+      (62L, "totally unrelated words here now", "en"),
+      (63L, "tiny doc", "en") // 1 bigram < w: absent
+    ).toDF("doc_id", "text", "lang")
+    val fps = graft.ext.Dedup.winnowingFingerprints(docs, "doc_id", "text", 2, 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(!fps.contains(63L), "doc with fewer than w gram hashes must be absent")
+    assert((fps(60L) & fps(61L)).nonEmpty,
+      "shared 6-token run must select a common fingerprint in both docs")
+    // every fingerprint is an actual gram hash of its doc (window MIN,
+    // not an arbitrary hash), and density is below 1 (selection happened)
+    assert(fps(60L).size < 9, "winnowing must select fewer fingerprints than grams")
+    val pairs = graft.ext.Dedup.winnowingSharedPairs(docs, "doc_id", "text",
+        k = 2, w = 4, minShared = 1L, blockCols = Seq("lang"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.exists(p => p._1 == 60L && p._2 == 61L), s"pair 60-61 missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 62L || p._2 == 62L),
+      "unrelated doc must share no fingerprint")
+  }
+
   test("triangleCounts: K4 has 4 triangles, every node on 3") {
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
     assert(tri(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
