@@ -442,4 +442,67 @@ object Similarity {
       .groupBy(col("grp"), col("pos").cast("long").as("pos"))
       .agg((sum(round(col("x").cast("double") * 1000000, 0).cast("long"))
         / count(lit(1)) / 1000000.0).cast("float").as("pooled"))
+
+  /** Squared L2 distance in exact integer micro-units: the
+    * left-to-right double fold over per-dimension squared deltas,
+    * rounded once at the end — the engine-stable distance key for
+    * argmax selection (raw doubles would make farthest-point ties
+    * engine-dependent).
+    */
+  def sqDistMicro(a: Column, b: Column): Column =
+    round(aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v) * 1000000, 0).cast("long")
+
+  /** Greedy k-center coreset (farthest-point traversal, Gonzalez 1985)
+    * — the diversity-sampling selection a curation pipeline runs to
+    * pick k maximally-spread exemplars (dedup seeds, eval probes,
+    * annotation batches): seed with the smallest id, then repeatedly
+    * take the candidate FARTHEST from its nearest already-chosen
+    * center. The classic 2-approximation to the k-center objective.
+    *
+    * Deterministic end to end: distances are integer micro-units
+    * ([[sqDistMicro]]), argmax ties break to the smaller id.
+    *
+    * Scale shape: the per-round work is ONE linear pass updating each
+    * candidate's running min-distance against the single new center (a
+    * broadcast-literal comparison — no join, no shuffle) plus a
+    * TakeOrdered(1) argmax; k rounds total, k single-row collects
+    * (bounded driver traffic, the bpeMerges/IvfIndex contract). The
+    * candidate set is never materialized per pair.
+    *
+    * @return (sel_order, vec_id, d_micro) — d_micro is the candidate's
+    *         min-distance at selection time (NULL for the seed)
+    */
+  def kCenterCoreset(df: DataFrame, idCol: String, embCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = widen(df.select(col(idCol).as("id"), col(embCol).as("emb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = base.count() // also materializes the persist
+      val seed = base.orderBy(col("id").asc).limit(1).collect()(0)
+      var centers = List[(Long, Long, Option[Long])]((1L, seed.getLong(0), None))
+      var selected = Set(seed.getLong(0))
+      var centerEmb = seed.getSeq[Float](1)
+      var cur = base
+      var j = 2
+      while (j <= k && selected.size < total) {
+        cur = cur.withColumn("mind",
+          if (j == 2) sqDistMicro(col("emb"), typedlit(centerEmb))
+          else least(col("mind"), sqDistMicro(col("emb"), typedlit(centerEmb))))
+        val next = cur.filter(!col("id").isin(selected.toSeq: _*))
+          .orderBy(col("mind").desc, col("id").asc).limit(1)
+          .select(col("id"), col("mind"), col("emb")).collect()(0)
+        centers = (j.toLong, next.getLong(0), Some(next.getLong(1))) :: centers
+        selected += next.getLong(0)
+        centerEmb = next.getSeq[Float](2)
+        j += 1
+      }
+      centers.reverse.toDF("sel_order", "vec_id", "d_micro")
+    } finally base.unpersist(false)
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{CorpusOps, Dedup, LangModel, LinkGraph, Similarity}
+import graft.ext.{CorpusOps, Dedup, LangModel, LinkGraph, Similarity, TextAnalysis}
 import graft.io.Versioned
 
 /** Sixth-wave mining operators: graph structure (triangle counting),
@@ -1349,6 +1349,90 @@ object MiningQueries extends QueryPack {
              |  AND a.doc_id < b.doc_id
              |GROUP BY 1, 2
              |HAVING count(*) >= 2
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Heaps-law vocabulary growth curve (the corpus-datasheet "how fast
+    // does the type inventory saturate" panel): corpus in doc-id order
+    // cut into 10 deciles; per decile the token volume and the count of
+    // types FIRST seen there, plus running totals. The per-type
+    // min(doc_id) is one partial-combining groupBy; the cumulative
+    // window runs over the 10-row decile table only.
+    Q("q229_vocab_growth",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val mx = docs.agg(max($"doc_id")).head.getLong(0)
+        val toks = docs.select($"doc_id",
+          explode(TextAnalysis.tokens($"text")).as("tok"))
+        val newTypes = toks.groupBy($"tok").agg(min($"doc_id").as("fd"))
+          .select(expr(s"(fd * 10) div ${mx + 1}").as("decile"))
+          .groupBy($"decile").agg(count(lit(1)).as("new_types"))
+        val volume = docs.select(
+            expr(s"(doc_id * 10) div ${mx + 1}").as("decile"),
+            TextAnalysis.tokenCount($"text").as("nt"))
+          .groupBy($"decile").agg(sum($"nt").as("n_tokens"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"decile")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        volume.join(newTypes, Seq("decile"), "left")
+          .select($"decile", $"n_tokens",
+            coalesce($"new_types", lit(0L)).as("new_types"))
+          .withColumn("cum_tokens", sum($"n_tokens").over(w))
+          .withColumn("cum_vocab", sum($"new_types").over(w))
+          .select($"decile", $"n_tokens", $"cum_tokens", $"new_types", $"cum_vocab")
+          .orderBy($"decile")
+      },
+      Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+             |t AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS tok FROM documents),
+             |f AS (SELECT tok, min(doc_id) AS fd FROM t GROUP BY 1),
+             |nt AS (SELECT (fd * 10) // (m + 1) AS decile, count(*) AS new_types
+             |       FROM f CROSS JOIN mx GROUP BY 1),
+             |dt AS (SELECT (doc_id * 10) // (m + 1) AS decile, count(*) AS n_tokens
+             |       FROM t CROSS JOIN mx GROUP BY 1),
+             |j AS (SELECT dt.decile, dt.n_tokens,
+             |        coalesce(nt.new_types, 0) AS new_types
+             |      FROM dt LEFT JOIN nt USING (decile))
+             |SELECT CAST(decile AS BIGINT) AS decile,
+             |  CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(sum(n_tokens) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             |  CAST(new_types AS BIGINT) AS new_types,
+             |  CAST(sum(new_types) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+             |FROM j ORDER BY decile""".stripMargin)),
+
+    // Greedy k-center coreset over the embedding table (farthest-point
+    // traversal): 8 maximally-spread exemplars, each round one linear
+    // min-distance update against the single new center + a
+    // TakeOrdered(1) argmax. Distances are exact integer micro-units
+    // so the argmax and its ties replay identically in the oracle's
+    // 8 chained CTE stages.
+    Q("q230_kcenter_coreset",
+      (s, d) => {
+        import s.implicits._
+        Similarity.kCenterCoreset(Tables.embeddings(s, d), "vec_id",
+            "embedding", k = 8)
+          .orderBy($"sel_order")
+      },
+      Some {
+        def dist(v: String, c: String): String =
+          s"CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+            s"list_transform($v, (x,i) -> (CAST(x AS DOUBLE) - CAST($c[i] AS DOUBLE)) " +
+            s"* (CAST(x AS DOUBLE) - CAST($c[i] AS DOUBLE)))), (a,b) -> a + b) " +
+            s"* 1000000) AS BIGINT)"
+        val sb = new StringBuilder
+        sb ++= "WITH e AS (SELECT vec_id, embedding FROM embeddings),\n"
+        sb ++= "c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),\n"
+        sb ++= s"m1 AS (SELECT e.vec_id, e.embedding, ${dist("e.embedding", "c.embedding")} AS mind\n" +
+          "  FROM e CROSS JOIN c1 c WHERE e.vec_id <> c.vec_id),\n"
+        for (j <- 2 to 7) {
+          sb ++= s"c$j AS (SELECT vec_id, embedding, mind FROM m${j - 1} ORDER BY mind DESC, vec_id LIMIT 1),\n"
+          sb ++= s"m$j AS (SELECT m.vec_id, m.embedding, least(m.mind, ${dist("m.embedding", "c.embedding")}) AS mind\n" +
+            s"  FROM m${j - 1} m CROSS JOIN c$j c WHERE m.vec_id <> c.vec_id),\n"
+        }
+        sb ++= "c8 AS (SELECT vec_id, embedding, mind FROM m7 ORDER BY mind DESC, vec_id LIMIT 1)\n"
+        sb ++= "SELECT CAST(1 AS BIGINT) AS sel_order, vec_id, CAST(NULL AS BIGINT) AS d_micro FROM c1"
+        for (j <- 2 to 8)
+          sb ++= s"\nUNION ALL SELECT CAST($j AS BIGINT), vec_id, mind FROM c$j"
+        sb ++= "\nORDER BY sel_order"
+        sb.toString
+      })
   )
 }

@@ -135,6 +135,29 @@ class MiningSpec extends SparkTestBase {
       "unrelated doc must share no fingerprint")
   }
 
+  test("kCenterCoreset: farthest-point order on a line, tie to smaller id") {
+    // points 0, 1, 10, 11, 20 (ids 1..5): seed = id 1 (min id), then
+    // 20 (d²=400), then 10 (min-dist 100), then the 1-vs-11 tie at
+    // min-dist 1 breaks to the smaller id
+    val pts = Seq(
+      (1L, Seq(0f)), (2L, Seq(1f)), (3L, Seq(10f)), (4L, Seq(11f)), (5L, Seq(20f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.kCenterCoreset(pts, "vec_id", "embedding", 4)
+      .as[(Long, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1L, 1L, None),
+      (2L, 5L, Some(400000000L)),
+      (3L, 3L, Some(100000000L)),
+      (4L, 2L, Some(1000000L))), s"wrong traversal: $got")
+  }
+
+  test("kCenterCoreset: k larger than the table stops at the table size") {
+    val pts = Seq((1L, Seq(0f)), (2L, Seq(3f))).toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.kCenterCoreset(pts, "vec_id", "embedding", 5)
+      .as[(Long, Long, Option[Long])].collect()
+    assert(got.length === 2 && got.map(_._2).toSet === Set(1L, 2L))
+  }
+
   test("triangleCounts: K4 has 4 triangles, every node on 3") {
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
     assert(tri(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
