@@ -802,6 +802,53 @@ object TemporalQueries extends QueryPack {
              |  AND v.vus >= p.pus - 86400000000 AND v.vus <= p.pus
              |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin)),
 
+    // FIFTH streaming operator in the conformance gate: continuous
+    // grouped-HLL maintenance replayed over the events file in 8
+    // micro-batches (maxFilesPerTrigger=1), each batch max-merging its
+    // register delta into the V2 doc store. Registers are a max-monoid
+    // — associative, commutative, idempotent — so the batched state
+    // must equal the direct single-pass register build the oracle
+    // recomputes hash-for-hash.
+    Q("q231_stream_hll_replay",
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.{EventStream, StreamSketch}
+        import graft.io.MemDocStore
+        val raw = Tables.events(s, d).select($"event_type", $"user_id")
+        val root = graft.core.Scratch.dir("q231_replay")
+        raw.repartition(8).write.mode("overwrite").parquet(s"$root/data")
+        MemDocStore.drop("q231_hll") // clean slate per run (merge is
+        // idempotent on identical data, but a fresh build is the claim)
+        val stream = s.readStream
+          .schema(EventStream.rawSchema(s, s"$root/data"))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/data")
+        val q = StreamSketch.runHll(stream, "q231_hll", "event_type",
+          "user_id", p = 6)
+        q.processAllAvailable()
+        q.stop()
+        StreamSketch.counters(s, "q231_hll")
+          .select($"event_type", $"bucket", $"register")
+          .orderBy($"event_type", $"bucket")
+      },
+      Some("""WITH u AS (
+             |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS k
+             |  FROM events),
+             |th AS (
+             |  SELECT event_type, list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(k)),
+             |        j -> CAST(ascii(substring(k, j, 1)) AS BIGINT))),
+             |      (a, b) -> (a*31 + b) % 1000000007) AS h0
+             |  FROM u),
+             |mx AS (SELECT event_type,
+             |        (((h0 * h0) % 1000000007) * 1103515245 + 12345) % 1000000007 AS h
+             |       FROM th),
+             |r AS (SELECT event_type, h % 64 AS bucket, h // 64 AS rest FROM mx)
+             |SELECT event_type, bucket,
+             |  max(CASE WHEN rest = 0 THEN CAST(25 AS BIGINT)
+             |       ELSE 25 - length(bin(rest)) END) AS register
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Dedup impact report: the one-row answer to "what does exact
     // dedup buy us" — distinct contents, redundant copies, largest
     // clone family, all from one md5 groupBy (the q45 exact-dup key)

@@ -55,4 +55,42 @@ object StreamSketch {
   def counters(spark: SparkSession, collection: String): DataFrame =
     DocumentSink.pullFrom(spark, MemDocStore.Format,
       Map("collection" -> collection))
+
+  /** Max-merge one batch's grouped HLL registers into `collection`.
+    * Registers are a max-monoid (associative, commutative, IDEMPOTENT),
+    * so the batched maintenance is exactly the single-pass build — no
+    * approximation added by micro-batching, and replaying the same data
+    * leaves the state unchanged. The register table is bounded at
+    * groups × 2^p rows regardless of stream length.
+    */
+  private[streaming] def mergeHllBatch(spark: SparkSession, batch: DataFrame,
+                                       collection: String, groupCol: String,
+                                       keyCol: String, p: Int): Unit = {
+    val delta = Sketches.hllRegistersBy(batch, Seq(groupCol), keyCol, p)
+    val existing =
+      if (MemDocStore.collections.contains(collection))
+        DocumentSink.pullFrom(spark, MemDocStore.Format,
+          Map("collection" -> collection))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.schema)
+    val merged = existing.unionByName(delta)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("register")).as("register"))
+    DocumentSink.pushTo(merged, MemDocStore.Format,
+      Map("collection" -> collection))
+  }
+
+  /** Continuous grouped-HLL maintenance over `stream` — the streaming
+    * distinct-counter (distinct users per event type while events
+    * ingest). The stored register table IS the state; the stream keeps
+    * none.
+    */
+  def runHll(stream: DataFrame, collection: String, groupCol: String,
+             keyCol: String, p: Int): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeHllBatch(batch.sparkSession, batch, collection, groupCol, keyCol, p)
+      }
+      .start()
 }

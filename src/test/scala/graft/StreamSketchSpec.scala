@@ -44,4 +44,29 @@ class StreamSketchSpec extends SparkTestBase {
     exact.foreach { case (k, n) => assert(est(k) >= n, s"under-count for $k") }
     MemDocStore.drop(coll)
   }
+
+  test("batched grouped-HLL registers == one-shot build; replay is idempotent") {
+    implicit val sc = spark.sqlContext
+    val coll = "hll_spec"
+    MemDocStore.drop(coll)
+    val in = MemoryStream[(String, Long)]
+    val q = StreamSketch.runHll(in.toDF().toDF("grp", "uid"), coll,
+      "grp", "uid", p = 4)
+    val b1 = Seq(("x", 1L), ("x", 2L), ("y", 1L))
+    val b2 = Seq(("x", 2L), ("y", 7L), ("y", 9L))
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    // replaying an already-seen batch must not change the registers
+    in.addData(b1); q.processAllAvailable()
+    q.stop()
+
+    val got = StreamSketch.counters(spark, coll)
+      .as[(String, Long, Long)].collect().toSet
+    val oneShot = Sketches.hllRegistersBy(
+        (b1 ++ b2).toDF("grp", "uid"), Seq("grp"), "uid", p = 4)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === oneShot,
+      s"batched+replayed registers drift from one-shot: got=$got oneShot=$oneShot")
+    MemDocStore.drop(coll)
+  }
 }
