@@ -502,8 +502,6 @@ object LangModel {
       .groupBy(col("tok")).agg(count(lit(1)).as("wf"))
       .withColumn("syms", split(col("tok"), ""))
       .checkpointEager()
-    def lit1(s: String): String =
-      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -522,19 +520,71 @@ object LangModel {
       else {
         val (p1, p2, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r.toLong, p1, p2, c))
-        val fold =
-          s"""aggregate(slice(syms, 2, size(syms) - 1),
-             |  array(element_at(syms, 1)),
-             |  (acc, s) -> CASE
-             |    WHEN element_at(acc, -1) = ${lit1(p1)} AND s = ${lit1(p2)}
-             |    THEN concat(slice(acc, 1, size(acc) - 1), array(${lit1(p1 + p2)}))
-             |    ELSE concat(acc, array(s)) END)""".stripMargin
-        vocab = vocab.withColumn("syms", expr(fold)).checkpointEager()
+        vocab = vocab.withColumn("syms", expr(mergeFoldSql(p1, p2))).checkpointEager()
         r += 1
       }
     }
     merges.toSeq
       .toDF("merge_round", "left_sym", "right_sym", "pair_count")
+  }
+
+  private def lit1(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Greedy left-to-right application of ONE merge (p1, p2) to a `syms`
+    * array column — the `aggregate()` fold shared by the induction
+    * ([[bpeMerges]]) and the application ([[bpeApplyToVocab]]); the
+    * DuckDB oracle replays it as a recursive-CTE scan.
+    */
+  private[ext] def mergeFoldSql(p1: String, p2: String): String =
+    s"""aggregate(slice(syms, 2, size(syms) - 1),
+       |  array(element_at(syms, 1)),
+       |  (acc, s) -> CASE
+       |    WHEN element_at(acc, -1) = ${lit1(p1)} AND s = ${lit1(p2)}
+       |    THEN concat(slice(acc, 1, size(acc) - 1), array(${lit1(p1 + p2)}))
+       |    ELSE concat(acc, array(s)) END)""".stripMargin
+
+  /** Apply an ORDERED merge list to the corpus VOCABULARY: per distinct
+    * token, the subword segmentation after replaying every merge in
+    * induction order. All work is vocabulary-sized; each round is one
+    * per-row fold, re-checkpointed so the expression tree stays flat
+    * (the fold references `syms` three times — six stacked rounds
+    * without a materialization boundary would grow the collapsed
+    * projection ~3^6-fold).
+    *
+    * @return (tok, n_sub) — subword count per distinct token
+    */
+  def bpeApplyToVocab(docs: DataFrame, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    var vocab = docs.select(explode(toks(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("wf"))
+      .withColumn("syms", split(col("tok"), ""))
+      .checkpointEager()
+    merges.foreach { case (p1, p2) =>
+      vocab = vocab.withColumn("syms", expr(mergeFoldSql(p1, p2))).checkpointEager()
+    }
+    vocab.select(col("tok"), size(col("syms")).cast("long").as("n_sub"))
+  }
+
+  /** Tokenizer FERTILITY per group (subwords emitted per word — the
+    * standard "how well does this vocabulary fit this language/domain"
+    * diagnostic): induce `rounds` BPE merges on the corpus
+    * ([[bpeMerges]]), segment the vocabulary under them, and join the
+    * vocabulary-sized (token → subword-count) table back onto the
+    * token stream — the corpus is never re-segmented row by row.
+    * Fertility is exact integer micro (subwords·1e6 div words).
+    */
+  def bpeFertilityByGroup(docs: DataFrame, groupCol: String, textCol: String,
+                          rounds: Int): DataFrame = {
+    val merges = bpeMerges(docs, textCol, rounds)
+      .orderBy(col("merge_round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val sub = bpeApplyToVocab(docs, textCol, merges)
+    docs.select(col(groupCol).as("grp"), explode(toks(col(textCol))).as("tok"))
+      .join(gatedBroadcast(sub), "tok")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+      .withColumn("fertility_micro", expr("n_subwords * 1000000 div n_words"))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection

@@ -271,9 +271,9 @@ object StatQueries extends QueryPack {
       Some("""WITH RECURSIVE toks AS (
              |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
              |  FROM documents),
-             |sy0 AS (SELECT tok, count(*) AS wf, string_split_regex(tok, '') AS syms
+             |sy0 AS MATERIALIZED (SELECT tok, count(*) AS wf, string_split_regex(tok, '') AS syms
              |        FROM toks GROUP BY tok),
-             |p1c AS (
+             |p1c AS MATERIALIZED (
              |  SELECT (u).p1 AS p1, (u).p2 AS p2, CAST(sum(wf) AS BIGINT) AS c
              |  FROM (SELECT wf, unnest(list_filter(
              |          list_transform(syms, (x, i) ->
@@ -282,7 +282,7 @@ object StatQueries extends QueryPack {
              |          v -> v IS NOT NULL)) AS u
              |        FROM sy0)
              |  GROUP BY 1, 2),
-             |m1 AS (SELECT p1, p2, c FROM p1c ORDER BY c DESC, p1, p2 LIMIT 1),
+             |m1 AS MATERIALIZED (SELECT p1, p2, c FROM p1c ORDER BY c DESC, p1, p2 LIMIT 1),
              |scan1 AS (
              |  SELECT tok, wf, syms, 2 AS i, [syms[1]] AS acc FROM sy0
              |  UNION ALL
@@ -291,9 +291,9 @@ object StatQueries extends QueryPack {
              |      THEN list_append(acc[1:len(acc)-1], m.p1 || m.p2)
              |      ELSE list_append(acc, syms[i]) END
              |  FROM scan1, m1 m WHERE i <= len(syms)),
-             |sy1 AS (SELECT tok, wf, acc AS syms FROM scan1
+             |sy1 AS MATERIALIZED (SELECT tok, wf, acc AS syms FROM scan1
              |        WHERE i = len(syms) + 1),
-             |p2c AS (
+             |p2c AS MATERIALIZED (
              |  SELECT (u).p1 AS p1, (u).p2 AS p2, CAST(sum(wf) AS BIGINT) AS c
              |  FROM (SELECT wf, unnest(list_filter(
              |          list_transform(syms, (x, i) ->
@@ -302,7 +302,7 @@ object StatQueries extends QueryPack {
              |          v -> v IS NOT NULL)) AS u
              |        FROM sy1)
              |  GROUP BY 1, 2),
-             |m2 AS (SELECT p1, p2, c FROM p2c ORDER BY c DESC, p1, p2 LIMIT 1),
+             |m2 AS MATERIALIZED (SELECT p1, p2, c FROM p2c ORDER BY c DESC, p1, p2 LIMIT 1),
              |scan2 AS (
              |  SELECT tok, wf, syms, 2 AS i, [syms[1]] AS acc FROM sy1
              |  UNION ALL
@@ -311,9 +311,9 @@ object StatQueries extends QueryPack {
              |      THEN list_append(acc[1:len(acc)-1], m.p1 || m.p2)
              |      ELSE list_append(acc, syms[i]) END
              |  FROM scan2, m2 m WHERE i <= len(syms)),
-             |sy2 AS (SELECT tok, wf, acc AS syms FROM scan2
+             |sy2 AS MATERIALIZED (SELECT tok, wf, acc AS syms FROM scan2
              |        WHERE i = len(syms) + 1),
-             |p3c AS (
+             |p3c AS MATERIALIZED (
              |  SELECT (u).p1 AS p1, (u).p2 AS p2, CAST(sum(wf) AS BIGINT) AS c
              |  FROM (SELECT wf, unnest(list_filter(
              |          list_transform(syms, (x, i) ->
@@ -322,12 +322,74 @@ object StatQueries extends QueryPack {
              |          v -> v IS NOT NULL)) AS u
              |        FROM sy2)
              |  GROUP BY 1, 2),
-             |m3 AS (SELECT p1, p2, c FROM p3c ORDER BY c DESC, p1, p2 LIMIT 1)
+             |m3 AS MATERIALIZED (SELECT p1, p2, c FROM p3c ORDER BY c DESC, p1, p2 LIMIT 1)
              |SELECT CAST(1 AS BIGINT) AS merge_round, p1 AS left_sym,
              |  p2 AS right_sym, c AS pair_count FROM m1
              |UNION ALL SELECT 2, p1, p2, c FROM m2
              |UNION ALL SELECT 3, p1, p2, c FROM m3
              |ORDER BY merge_round""".stripMargin)),
+
+    // Tokenizer fertility per language under a corpus-induced BPE
+    // vocabulary (6 merge rounds): subwords emitted per word, exact
+    // integer micro. The segmentation runs ONCE over the vocabulary
+    // (token → subword count), then broadcast-joins onto the token
+    // stream — the corpus is never re-segmented row by row. The
+    // oracle re-derives the same 6 merges (argmax per round,
+    // count-desc/left/right ties) and replays the greedy folds with
+    // recursive-CTE scans, all generated from q184's round template.
+    Q("q232_bpe_fertility",
+      (s, d) => {
+        import s.implicits._
+        LangModel.bpeFertilityByGroup(Tables.documents(s, d), "lang",
+            "text", rounds = 6)
+          .select($"grp".as("lang"), $"n_words", $"n_subwords",
+            $"fertility_micro")
+          .orderBy($"lang")
+      },
+      Some {
+        // every non-recursive CTE is MATERIALIZED: DuckDB re-evaluates
+        // plain CTE references per use, and the per-round sy/m chain
+        // references compound — the unmaterialized 6-round oracle ran
+        // for minutes, the materialized one in 0.09 s (same rows)
+        def round(j: Int): String =
+          s"""p${j}c AS MATERIALIZED (
+             |  SELECT (u).p1 AS p1, (u).p2 AS p2, CAST(sum(wf) AS BIGINT) AS c
+             |  FROM (SELECT wf, unnest(list_filter(
+             |          list_transform(syms, (x, i) ->
+             |            CASE WHEN i <= len(syms) - 1
+             |                 THEN {'p1': x, 'p2': syms[i+1]} END),
+             |          v -> v IS NOT NULL)) AS u
+             |        FROM sy${j - 1})
+             |  GROUP BY 1, 2),
+             |m$j AS MATERIALIZED (SELECT p1, p2, c FROM p${j}c ORDER BY c DESC, p1, p2 LIMIT 1),
+             |scan$j AS (
+             |  SELECT tok, wf, syms, 2 AS i, [syms[1]] AS acc FROM sy${j - 1}
+             |  UNION ALL
+             |  SELECT tok, wf, syms, i + 1,
+             |    CASE WHEN acc[-1] = m.p1 AND syms[i] = m.p2
+             |      THEN list_append(acc[1:len(acc)-1], m.p1 || m.p2)
+             |      ELSE list_append(acc, syms[i]) END
+             |  FROM scan$j, m$j m WHERE i <= len(syms)),
+             |sy$j AS MATERIALIZED (SELECT tok, wf, acc AS syms FROM scan$j
+             |        WHERE i = len(syms) + 1),
+             |""".stripMargin
+        val head =
+          """WITH RECURSIVE tokl AS MATERIALIZED (
+            |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            |  FROM documents),
+            |sy0 AS MATERIALIZED (SELECT tok, count(*) AS wf, string_split_regex(tok, '') AS syms
+            |        FROM tokl GROUP BY tok),
+            |""".stripMargin
+        val tail =
+          """fin AS (SELECT tok, len(syms) AS n_sub FROM sy6)
+            |SELECT t.lang, CAST(count(*) AS BIGINT) AS n_words,
+            |  CAST(sum(f.n_sub) AS BIGINT) AS n_subwords,
+            |  CAST(sum(f.n_sub) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+            |    AS fertility_micro
+            |FROM tokl t JOIN fin f ON f.tok = t.tok
+            |GROUP BY 1 ORDER BY 1""".stripMargin
+        head + (1 to 6).map(round).mkString + tail
+      }),
 
     // Conversion attribution: last-touch within a 7-day window and
     // first-touch (unwindowed) credit per channel for 'purchase'

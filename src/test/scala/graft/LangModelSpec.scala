@@ -14,6 +14,23 @@ class LangModelSpec extends SparkTestBase {
     (2L, "a b c")
   ).toDF("doc_id", "text")
 
+  test("bpeApplyToVocab + fertility: hand-computed merge application") {
+    // corpus "aa aa ab": round-1 merge = (a,a) (count 2 beats (a,b)'s 1)
+    // apply: "aa" -> [aa] (1 subword), "ab" -> [a, b] (2)
+    // fertility: 3 words, 1+1+2 = 4 subwords -> 4e6 div 3
+    val d = Seq((1L, "aa aa ab", "g")).toDF("doc_id", "text", "lang")
+    val merges = graft.ext.LangModel.bpeMerges(d, "text", rounds = 1)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(merges === Seq((1L, "a", "a", 2L)), s"wrong merge: $merges")
+    val sub = graft.ext.LangModel.bpeApplyToVocab(d, "text",
+        merges.map(m => (m._2, m._3)))
+      .as[(String, Long)].collect().toMap
+    assert(sub === Map("aa" -> 1L, "ab" -> 2L), s"wrong segmentation: $sub")
+    val fert = graft.ext.LangModel.bpeFertilityByGroup(d, "lang", "text", rounds = 1)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(fert === Seq(("g", 3L, 4L, 1333333L)), s"wrong fertility: $fert")
+  }
+
   test("docNll matches hand-computed micro-nats") {
     // counts: a=3 b=2 c=1, N=6 → nll_micro a=693147 b=1098612 c=1791759
     val got = LangModel.docNll(docs, "doc_id", "text")
