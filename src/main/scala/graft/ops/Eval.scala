@@ -277,6 +277,91 @@ object Eval {
       .select(col("grp"), col("n0"), col("n1"), col("u2"), col("z_micro"))
   }
 
+  /** K-variant one-vs-rest Mann–Whitney U: [[mannWhitneyU]]'s exact
+    * doubled-midrank machinery run for EVERY variant against the rest
+    * (the `aucOneVsRest` shape — closes the "sides fixed at {0,1}"
+    * debt). The tie-cell table and its prefix-sum ranks are computed
+    * ONCE per group; each variant then reuses them through one
+    * (grp, value)-keyed join — cost is cells + cells×variants rows,
+    * never per-row ranks, never a per-variant rescan of the facts.
+    *
+    * @return (grp, variant, n0, n1, u2, z_micro) — u2 = 2·U of the
+    *         variant side vs the rest
+    */
+  def mannWhitneyOneVsRest(df: DataFrame, grpCol: String, variantCol: String,
+      centsCol: String): DataFrame = {
+    val totals = df
+      .groupBy(col(grpCol).as("grp"), col(centsCol).cast("long").as("x"))
+      .agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = totals
+      .withColumn("prev", coalesce(sum(col("m")).over(w), lit(0L)))
+      .withColumn("rank2", lit(2L) * col("prev") + col("m") + lit(1L))
+    val grpStats = ranked.groupBy(col("grp"))
+      .agg(sum(col("m")).as("nn"),
+        sum(col("m") * col("m") * col("m") - col("m")).as("tsum"))
+    val vcells = df
+      .groupBy(col(grpCol).as("grp"),
+        col(variantCol).cast("long").as("variant"),
+        col(centsCol).cast("long").as("x"))
+      .agg(count(lit(1)).as("mv"))
+    vcells.join(ranked.select(col("grp"), col("x"), col("rank2")), Seq("grp", "x"))
+      .groupBy(col("grp"), col("variant"))
+      .agg(sum(col("mv")).as("n1"), sum(col("mv") * col("rank2")).as("r1_2"))
+      .join(grpStats, "grp")
+      .withColumn("n0", col("nn") - col("n1"))
+      .filter(col("n0") > 0 && col("n1") > 0 &&
+        col("tsum") < col("nn") * col("nn") * col("nn") - col("nn"))
+      .withColumn("u2", col("r1_2") - col("n1") * (col("n1") + lit(1L)))
+      .withColumn("z_micro",
+        round((col("u2") - col("n0") * col("n1")).cast("double") * 1000000.0
+          / (lit(2.0) * sqrt(
+            col("n0").cast("double") * col("n1").cast("double") / 12.0
+              * ((col("nn") + lit(1L)).cast("double")
+                - col("tsum").cast("double")
+                  / (col("nn").cast("double")
+                    * (col("nn") - lit(1L)).cast("double"))))), 0)
+          .cast("long"))
+      .select(col("grp"), col("variant"), col("n0"), col("n1"),
+        col("u2"), col("z_micro"))
+  }
+
+  /** K-variant one-vs-rest Welch's t: per-variant moment sums plus one
+    * group-total pass; the rest-side moments are DIFFERENCES of exact
+    * integer sums (total − variant), so no second fact scan per
+    * variant. mean_diff is variant-minus-rest.
+    *
+    * @return (grp, variant, n0, n1, mean_diff_micro, t_micro)
+    */
+  def welchOneVsRest(df: DataFrame, grpCol: String, variantCol: String,
+      centsCol: String): DataFrame = {
+    val x = col(centsCol).cast("long")
+    val per = df.groupBy(col(grpCol).as("grp"),
+        col(variantCol).cast("long").as("variant"))
+      .agg(count(lit(1)).as("n1"), sum(x).as("s1"), sum(x * x).as("ss1"))
+    val tot = df.groupBy(col(grpCol).as("grp"))
+      .agg(count(lit(1)).as("nt"), sum(x).as("st"), sum(x * x).as("sst"))
+    def m(n: String, s: String) = col(s).cast("double") / col(n).cast("double")
+    def va(n: String, s: String, ss: String) =
+      (col(n).cast("double") * col(ss).cast("double")
+        - col(s).cast("double") * col(s).cast("double")) /
+        (col(n).cast("double") * (col(n) - 1).cast("double"))
+    val j = per.join(tot, "grp")
+      .withColumn("n0", col("nt") - col("n1"))
+      .withColumn("s0", col("st") - col("s1"))
+      .withColumn("ss0", col("sst") - col("ss1"))
+      .filter(col("n0") >= 2 && col("n1") >= 2)
+    val se2 = va("n1", "s1", "ss1") / col("n1").cast("double") +
+      va("n0", "s0", "ss0") / col("n0").cast("double")
+    j.filter(se2 > 0.0)
+      .select(col("grp"), col("variant"), col("n0"), col("n1"),
+        round((m("n1", "s1") - m("n0", "s0")) * 1000000.0, 0).cast("long")
+          .as("mean_diff_micro"),
+        round((m("n1", "s1") - m("n0", "s0")) * 1000000.0 / sqrt(se2), 0)
+          .cast("long").as("t_micro"))
+  }
+
   def welchT(df: DataFrame, grpCol: String, variantCol: String,
       centsCol: String): DataFrame = {
     val x = col(centsCol).cast("long")

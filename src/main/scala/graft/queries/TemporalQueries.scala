@@ -501,6 +501,102 @@ object TemporalQueries extends QueryPack {
              |    AS BIGINT) AS z_micro
              |FROM x ORDER BY grp""".stripMargin)),
 
+    // K-variant one-vs-rest Mann-Whitney (q208 generalized past
+    // {0,1}): every user-segment variant vs the rest, the tie-cell
+    // rank table computed ONCE per group and reused by all variants
+    // through one (grp, value) join.
+    Q("q233_mann_whitney_ovr",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select(
+          $"event_type".as("grp"),
+          ($"user_id" % 4).cast("int").as("variant"),
+          round($"value" * 100, 0).cast("long").as("cents"))
+        graft.ops.Eval.mannWhitneyOneVsRest(ev, "grp", "variant", "cents")
+          .orderBy($"grp", $"variant")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type AS grp, user_id % 4 AS v,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |cells AS (SELECT grp, cents AS x, count(*) AS m FROM ev GROUP BY 1, 2),
+             |rk AS (SELECT grp, x, m,
+             |         2 * coalesce(sum(m) OVER (PARTITION BY grp ORDER BY x
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |           + m + 1 AS rank2
+             |       FROM cells),
+             |g AS (SELECT grp, CAST(sum(m) AS BIGINT) AS nn,
+             |        CAST(sum(m * m * m - m) AS BIGINT) AS tsum
+             |      FROM rk GROUP BY 1),
+             |vc AS (SELECT grp, v AS variant, cents AS x, count(*) AS mv
+             |       FROM ev GROUP BY 1, 2, 3),
+             |pv AS (SELECT vc.grp, vc.variant,
+             |         CAST(sum(vc.mv) AS BIGINT) AS n1,
+             |         CAST(sum(vc.mv * rk.rank2) AS BIGINT) AS r1_2
+             |       FROM vc JOIN rk ON rk.grp = vc.grp AND rk.x = vc.x
+             |       GROUP BY 1, 2),
+             |x AS (SELECT pv.grp, pv.variant, g.nn - pv.n1 AS n0, pv.n1,
+             |        g.nn, g.tsum, pv.r1_2 - pv.n1 * (pv.n1 + 1) AS u2
+             |      FROM pv JOIN g ON g.grp = pv.grp
+             |      WHERE g.nn - pv.n1 > 0 AND pv.n1 > 0
+             |        AND g.tsum < g.nn * g.nn * g.nn - g.nn)
+             |SELECT grp, CAST(variant AS BIGINT) AS variant, n0, n1, u2,
+             |  CAST(round(CAST(u2 - n0 * n1 AS DOUBLE) * 1000000.0
+             |    / (2.0 * sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0
+             |        * (CAST(nn + 1 AS DOUBLE)
+             |           - CAST(tsum AS DOUBLE)
+             |             / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE))))))
+             |    AS BIGINT) AS z_micro
+             |FROM x ORDER BY grp, variant""".stripMargin)),
+
+    // K-variant one-vs-rest Welch's t (q207 generalized): rest-side
+    // moments are integer DIFFERENCES of the group totals — one
+    // per-variant pass plus one total pass, never a rescan per variant.
+    Q("q234_welch_ovr",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select(
+          $"event_type".as("grp"),
+          ($"user_id" % 4).cast("int").as("variant"),
+          round($"value" * 100, 0).cast("long").as("cents"))
+        graft.ops.Eval.welchOneVsRest(ev, "grp", "variant", "cents")
+          .orderBy($"grp", $"variant")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type AS grp, user_id % 4 AS v,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |per AS (SELECT grp, v AS variant,
+             |          CAST(count(*) AS BIGINT) AS n1,
+             |          CAST(sum(cents) AS BIGINT) AS s1,
+             |          CAST(sum(cents * cents) AS BIGINT) AS ss1
+             |        FROM ev GROUP BY 1, 2),
+             |tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS nt,
+             |          CAST(sum(cents) AS BIGINT) AS st,
+             |          CAST(sum(cents * cents) AS BIGINT) AS sst
+             |        FROM ev GROUP BY 1),
+             |j AS (SELECT per.grp, per.variant, per.n1, per.s1, per.ss1,
+             |        tot.nt - per.n1 AS n0, tot.st - per.s1 AS s0,
+             |        tot.sst - per.ss1 AS ss0
+             |      FROM per JOIN tot ON tot.grp = per.grp
+             |      WHERE tot.nt - per.n1 >= 2 AND per.n1 >= 2),
+             |x AS (SELECT grp, variant, n0, n1,
+             |        CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |          - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS md,
+             |        (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+             |           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             |          / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
+             |          / CAST(n1 AS DOUBLE)
+             |        + (CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
+             |           - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+             |          / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE))
+             |          / CAST(n0 AS DOUBLE) AS se2
+             |      FROM j)
+             |SELECT grp, CAST(variant AS BIGINT) AS variant, n0, n1,
+             |  CAST(round(md * 1000000.0) AS BIGINT) AS mean_diff_micro,
+             |  CAST(round(md * 1000000.0 / sqrt(se2)) AS BIGINT) AS t_micro
+             |FROM x WHERE se2 > 0 ORDER BY grp, variant""".stripMargin)),
+
     // MRR waterfall per calendar month: revenue movement decomposed
     // into new / expansion / contraction / churn by a self equi-join
     // on (customer, month+1) over the pre-aggregated (customer, month)

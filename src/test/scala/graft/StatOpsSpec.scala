@@ -389,6 +389,33 @@ class StatOpsSpec extends SparkTestBase {
     assert(got.getLong(4) === zRef)
   }
 
+  test("one-vs-rest variants restricted to {0,1} reproduce the binary tests") {
+    val rows = Seq(("g", 0, 1L), ("g", 0, 2L), ("g", 0, 3L),
+      ("g", 1, 2L), ("g", 1, 3L), ("g", 1, 4L),
+      ("h", 0, 100L), ("h", 0, 120L), ("h", 1, 200L), ("h", 1, 260L))
+    val df = rows.toDF("grp0", "variant", "cents")
+    // MW: the variant=1 slice of OVR must equal mannWhitneyU exactly
+    val ovrMw = graft.ops.Eval.mannWhitneyOneVsRest(df, "grp0", "variant", "cents")
+      .filter($"variant" === 1L)
+      .select("grp", "n0", "n1", "u2", "z_micro")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val binMw = graft.ops.Eval.mannWhitneyU(df, "grp0", "variant", "cents")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(ovrMw === binMw, s"OVR variant-1 slice drifts: $ovrMw vs $binMw")
+    // Welch: OVR is variant-minus-rest, binary is v0-minus-v1 — the
+    // variant=1 slice must be the NEGATION of the binary stats
+    val ovrW = graft.ops.Eval.welchOneVsRest(df, "grp0", "variant", "cents")
+      .filter($"variant" === 1L)
+      .select("grp", "mean_diff_micro", "t_micro")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val binW = graft.ops.Eval.welchT(df, "grp0", "variant", "cents")
+      .select("grp", "mean_diff_micro", "t_micro")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    binW.foreach { case (g, (md, t)) =>
+      assert(ovrW(g) === ((-md, -t)), s"$g: ${ovrW(g)} != ${(-md, -t)}")
+    }
+  }
+
   test("mannWhitneyU: all-tied group is dropped (zero variance)") {
     val rows = Seq(("g", 0, 5L), ("g", 0, 5L), ("g", 1, 5L), ("g", 1, 5L))
     assert(graft.ops.Eval
