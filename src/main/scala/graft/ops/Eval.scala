@@ -277,6 +277,66 @@ object Eval {
       .select(col("grp"), col("n0"), col("n1"), col("u2"), col("z_micro"))
   }
 
+  /** Deterministic m-of-n bootstrap confidence interval for a per-group
+    * mean — the uncertainty band a data-quality dashboard needs without
+    * any RNG state: resample draws are indexed by
+    * `polyHash(grp:b:j) mod n` (engine-portable, replayable by any SQL
+    * engine), so the whole procedure is a pure function of the data.
+    *
+    *  - rows are ranked once per group by (value, tiebreak) — draw
+    *    index i selects the i-th ranked row;
+    *  - `reps` resamples of `min(m, n)` draws each; a resample mean is
+    *    an EXACT integer micro (`sum·1e6 div m_eff` — no double
+    *    accumulation);
+    *  - the CI is exact order statistics over the `reps` means
+    *    (ranks ceil(α·reps) and ceil((1−α)·reps), ties by rep id).
+    *
+    * Scale shape: draws are `groups × reps × m` rows joined back on
+    * (grp, rank) — linear, bounded by the sampling budget, never by
+    * group size; the per-group rank window is the only group-sized
+    * sort. m-of-n (m ≪ n) is the documented lever at web scale.
+    *
+    * @return (grp, n, m_eff, reps, mean_micro, lo_micro, hi_micro)
+    */
+  def bootstrapMeanCi(df: DataFrame, grpCol: String, centsCol: String,
+      tieCol: String, reps: Int, m: Int, alphaMilli: Int = 25): DataFrame = {
+    require(reps >= 2 && m >= 1, "need reps >= 2 and m >= 1")
+    require(alphaMilli > 0 && alphaMilli < 500, "alpha in (0, 0.5) per mille")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val base = df.select(col(grpCol).as("grp"),
+      col(centsCol).cast("long").as("x"), col(tieCol).as("tb"))
+    val ranked = base.withColumn("i",
+      row_number().over(Window.partitionBy(col("grp"))
+        .orderBy(col("x"), col("tb"))).cast("long") - 1L)
+    val stats = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .withColumn("m_eff", least(lit(m.toLong), col("n")))
+    val draws = stats.select(col("grp"), col("n"), col("m_eff"))
+      .withColumn("b", explode(sequence(lit(1), lit(reps))))
+      .withColumn("j", explode(sequence(lit(0L), col("m_eff") - 1L)))
+      .withColumn("i", pmod(graft.functions.PolyHash.polyHash(
+        concat_ws(":", col("grp"), col("b"), col("j"))), col("n")))
+    val means = draws
+      .join(ranked.select(col("grp"), col("i"), col("x")), Seq("grp", "i"))
+      .groupBy(col("grp"), col("b"), col("m_eff"))
+      .agg(sum(col("x")).as("sb"))
+      .withColumn("mean_b", expr("sb * 1000000 div m_eff"))
+    val loRank = (alphaMilli * reps + 999) / 1000
+    val hiRank = ((1000 - alphaMilli) * reps + 999) / 1000
+    val byMean = Window.partitionBy(col("grp"))
+      .orderBy(col("mean_b"), col("b"))
+    val ci = means
+      .withColumn("rn", row_number().over(byMean))
+      .filter(col("rn") === loRank || col("rn") === hiRank)
+      .groupBy(col("grp"))
+      .agg(min(when(col("rn") === loRank, col("mean_b"))).as("lo_micro"),
+        min(when(col("rn") === hiRank, col("mean_b"))).as("hi_micro"))
+    stats.join(ci, "grp")
+      .select(col("grp"), col("n"), col("m_eff"), lit(reps.toLong).as("reps"),
+        expr("sx * 1000000 div n").as("mean_micro"),
+        col("lo_micro"), col("hi_micro"))
+  }
+
   /** K-variant one-vs-rest Mann–Whitney U: [[mannWhitneyU]]'s exact
     * doubled-midrank machinery run for EVERY variant against the rest
     * (the `aucOneVsRest` shape — closes the "sides fixed at {0,1}"

@@ -1433,6 +1433,59 @@ object MiningQueries extends QueryPack {
           sb ++= s"\nUNION ALL SELECT CAST($j AS BIGINT), vec_id, mind FROM c$j"
         sb ++= "\nORDER BY sel_order"
         sb.toString
-      })
+      }),
+
+    // Deterministic m-of-n bootstrap CI for the per-priority mean
+    // order value: 200 resamples of 1000 draws each, draw indices from
+    // PolyHash(grp:b:j) mod n — a pure function of the data, so the
+    // oracle replays the entire resampling procedure. Resample means
+    // are exact integer micro; the CI is exact order statistics over
+    // the 200 means (ranks 5 and 195 at alpha = 2.5%).
+    Q("q235_bootstrap_ci",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select(
+          $"o_orderpriority".as("prio"),
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"),
+          $"o_orderkey")
+        graft.ops.Eval.bootstrapMeanCi(o, "prio", "cents", "o_orderkey",
+            reps = 200, m = 1000)
+          .select($"grp".as("prio"), $"n", $"m_eff", $"reps",
+            $"mean_micro", $"lo_micro", $"hi_micro")
+          .orderBy($"prio")
+      },
+      Some(s"""WITH base AS (SELECT o_orderpriority AS grp,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x,
+             |    o_orderkey AS tb
+             |  FROM orders),
+             |rk AS (SELECT grp, x,
+             |        row_number() OVER (PARTITION BY grp ORDER BY x, tb) - 1 AS i
+             |      FROM base),
+             |st AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(x) AS BIGINT) AS sx,
+             |        least(1000, CAST(count(*) AS BIGINT)) AS m_eff
+             |      FROM base GROUP BY 1),
+             |draws AS (
+             |  SELECT st.grp, st.n, st.m_eff, gb.b, gj.j,
+             |    ${polyHashSql("(st.grp || ':' || CAST(gb.b AS VARCHAR) || ':' || CAST(gj.j AS VARCHAR))")} % st.n AS i
+             |  FROM st, generate_series(1, 200) AS gb(b),
+             |       generate_series(0, 999) AS gj(j)
+             |  WHERE gj.j < st.m_eff),
+             |means AS (
+             |  SELECT d.grp, d.b, d.m_eff,
+             |    CAST(sum(r.x) AS BIGINT) * 1000000 // d.m_eff AS mean_b
+             |  FROM draws d JOIN rk r ON r.grp = d.grp AND r.i = d.i
+             |  GROUP BY 1, 2, 3),
+             |rn AS (SELECT grp, b, mean_b,
+             |        row_number() OVER (PARTITION BY grp
+             |          ORDER BY mean_b, b) AS rn
+             |      FROM means),
+             |ci AS (SELECT grp,
+             |        min(CASE WHEN rn = 5 THEN mean_b END) AS lo_micro,
+             |        min(CASE WHEN rn = 195 THEN mean_b END) AS hi_micro
+             |      FROM rn WHERE rn IN (5, 195) GROUP BY 1)
+             |SELECT st.grp AS prio, st.n, st.m_eff, CAST(200 AS BIGINT) AS reps,
+             |  st.sx * 1000000 // st.n AS mean_micro, ci.lo_micro, ci.hi_micro
+             |FROM st JOIN ci ON ci.grp = st.grp ORDER BY prio""".stripMargin))
   )
 }

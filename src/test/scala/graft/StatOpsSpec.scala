@@ -389,6 +389,27 @@ class StatOpsSpec extends SparkTestBase {
     assert(got.getLong(4) === zRef)
   }
 
+  test("bootstrapMeanCi: deterministic, ordered bounds, degenerate group collapses") {
+    val rows = (1 to 300).map(i => ("g", ((i * 48271) % 997).toLong, i.toLong)) :+
+      (("solo", 42L, 1L))
+    val df = rows.toDF("grp0", "cents", "k")
+    def run() = graft.ops.Eval.bootstrapMeanCi(df, "grp0", "cents", "k",
+        reps = 40, m = 50)
+      .select("grp", "n", "m_eff", "mean_micro", "lo_micro", "hi_micro")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val a = run(); val b = run()
+    assert(a === b, "hash-driven resampling must be a pure function of the data")
+    val g = a.find(_._1 == "g").get
+    assert(g._2 === 300L && g._3 === 50L, s"n/m_eff wrong: $g")
+    assert(g._5 <= g._6, s"lo > hi: $g")
+    assert(g._5 < g._4 && g._4 < g._6,
+      s"full mean should sit inside a 95% band on smooth data: $g")
+    // single-row group: every draw is the same row -> band collapses
+    val s1 = a.find(_._1 == "solo").get
+    assert(s1._3 === 1L && s1._4 === 42000000L &&
+      s1._5 === 42000000L && s1._6 === 42000000L, s"degenerate: $s1")
+  }
+
   test("one-vs-rest variants restricted to {0,1} reproduce the binary tests") {
     val rows = Seq(("g", 0, 1L), ("g", 0, 2L), ("g", 0, 3L),
       ("g", 1, 2L), ("g", 1, 3L), ("g", 1, 4L),
