@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -335,6 +335,59 @@ object Eval {
       .select(col("grp"), col("n"), col("m_eff"), lit(reps.toLong).as("reps"),
         expr("sx * 1000000 div n").as("mean_micro"),
         col("lo_micro"), col("hi_micro"))
+  }
+
+  /** Deterministic randomization test for a variant effect on a
+    * per-group mean — the nonparametric "is this A/B difference real"
+    * complement to [[bootstrapMeanCi]], with the same no-RNG
+    * discipline: permuted labels come from `polyHash(grp:p:key) mod 2`
+    * (unconditional Bernoulli reassignment), so any engine replays the
+    * full null distribution. The statistic is |mean1 − mean0| in
+    * micro through the q207 shared double shape; the p-value is the
+    * add-one-smoothed exceedance rate in exact integer milli.
+    *
+    * Scale shape: `perms` copies of each row feed ONE
+    * partial-combining groupBy down to groups × perms × 2 cells — no
+    * sort, no join on the fact table; volume is perms·|facts| rows
+    * through a map-side-combined hash aggregate.
+    *
+    * @return (grp, n0, n1, obs_diff_micro, n_perms, n_ge, p_milli)
+    */
+  def randomizationTestMicro(df: DataFrame, grpCol: String, variantCol: String,
+      keyCol: String, centsCol: String, perms: Int): DataFrame = {
+    require(perms >= 1, "need perms >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val base = df.select(col(grpCol).as("grp"),
+      col(variantCol).cast("int").as("v"),
+      col(keyCol).cast("string").as("k"), col(centsCol).cast("long").as("x"))
+    def sideAggs(vCol: Column) = Seq(
+      sum(when(vCol === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(vCol === 1, col("x")).otherwise(0L)).as("s1"),
+      sum(when(vCol === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(vCol === 0, col("x")).otherwise(0L)).as("s0"))
+    def diffMicro: Column =
+      abs(round((col("s1").cast("double") / col("n1").cast("double")
+        - col("s0").cast("double") / col("n0").cast("double")) * 1000000.0, 0)
+        .cast("long"))
+    val obs = base.groupBy(col("grp"))
+      .agg(sideAggs(col("v")).head, sideAggs(col("v")).tail: _*)
+      .filter(col("n0") > 0 && col("n1") > 0)
+      .select(col("grp"), col("n0"), col("n1"), diffMicro.as("obs"))
+    val perm = base
+      .withColumn("p", explode(sequence(lit(1), lit(perms))))
+      .withColumn("vp", pmod(graft.functions.PolyHash.polyHash(
+        concat_ws(":", col("grp"), col("p"), col("k"))), lit(2L)).cast("int"))
+    val pd = perm.groupBy(col("grp"), col("p"))
+      .agg(sideAggs(col("vp")).head, sideAggs(col("vp")).tail: _*)
+      .filter(col("n0") > 0 && col("n1") > 0)
+      .select(col("grp"), diffMicro.as("d"))
+    obs.join(pd, "grp")
+      .groupBy(col("grp"), col("n0"), col("n1"), col("obs"))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("d") >= col("obs"), 1L).otherwise(0L)).as("n_ge"))
+      .select(col("grp"), col("n0"), col("n1"),
+        col("obs").as("obs_diff_micro"), col("n_perms"), col("n_ge"),
+        expr("(1 + n_ge) * 1000 div (n_perms + 1)").as("p_milli"))
   }
 
   /** K-variant one-vs-rest Mann–Whitney U: [[mannWhitneyU]]'s exact

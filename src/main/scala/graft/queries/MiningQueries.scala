@@ -1486,6 +1486,61 @@ object MiningQueries extends QueryPack {
              |      FROM rn WHERE rn IN (5, 195) GROUP BY 1)
              |SELECT st.grp AS prio, st.n, st.m_eff, CAST(200 AS BIGINT) AS reps,
              |  st.sx * 1000000 // st.n AS mean_micro, ci.lo_micro, ci.hi_micro
-             |FROM st JOIN ci ON ci.grp = st.grp ORDER BY prio""".stripMargin))
+             |FROM st JOIN ci ON ci.grp = st.grp ORDER BY prio""".stripMargin)),
+
+    // Randomization test for the q207 A/B split: 50 deterministic
+    // label reassignments (PolyHash(grp:p:event_id) mod 2) build the
+    // null distribution of |mean1 - mean0| per event type; p-value is
+    // the add-one-smoothed exceedance rate in exact milli. One
+    // partial-combining pass over perms x facts — no sort, no joins on
+    // the fact side.
+    Q("q236_randomization_test",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select(
+          $"event_type", ($"user_id" % 2).cast("int").as("variant"),
+          $"event_id", round($"value" * 100, 0).cast("long").as("cents"))
+        graft.ops.Eval.randomizationTestMicro(ev, "event_type", "variant",
+            "event_id", "cents", perms = 50)
+          .orderBy($"grp")
+      },
+      Some(s"""WITH base AS (SELECT event_type AS grp, user_id % 2 AS v,
+             |    CAST(event_id AS VARCHAR) AS k,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS x
+             |  FROM events),
+             |obs0 AS (SELECT grp,
+             |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN v = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+             |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN v = 0 THEN x ELSE 0 END) AS BIGINT) AS s0
+             |  FROM base GROUP BY 1
+             |  HAVING n0 > 0 AND n1 > 0),
+             |od AS (SELECT grp, n0, n1,
+             |    abs(CAST(round((CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+             |      - CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE)) * 1000000.0) AS BIGINT)) AS obs
+             |  FROM obs0),
+             |perm AS (
+             |  SELECT b.grp, gp.p,
+             |    ${polyHashSql("(b.grp || ':' || CAST(gp.p AS VARCHAR) || ':' || b.k)")} % 2 AS vp,
+             |    b.x
+             |  FROM base b, generate_series(1, 50) AS gp(p)),
+             |pm AS (SELECT grp, p,
+             |    CAST(sum(CASE WHEN vp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN vp = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+             |    CAST(sum(CASE WHEN vp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN vp = 0 THEN x ELSE 0 END) AS BIGINT) AS s0
+             |  FROM perm GROUP BY 1, 2
+             |  HAVING n0 > 0 AND n1 > 0),
+             |pd AS (SELECT grp, p,
+             |    abs(CAST(round((CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+             |      - CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE)) * 1000000.0) AS BIGINT)) AS d
+             |  FROM pm)
+             |SELECT od.grp, od.n0, od.n1, od.obs AS obs_diff_micro,
+             |  CAST(count(*) AS BIGINT) AS n_perms,
+             |  CAST(sum(CASE WHEN pd.d >= od.obs THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+             |  (1 + CAST(sum(CASE WHEN pd.d >= od.obs THEN 1 ELSE 0 END) AS BIGINT))
+             |    * 1000 // (CAST(count(*) AS BIGINT) + 1) AS p_milli
+             |FROM od JOIN pd ON pd.grp = od.grp
+             |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin))
   )
 }

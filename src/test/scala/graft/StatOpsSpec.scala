@@ -410,6 +410,28 @@ class StatOpsSpec extends SparkTestBase {
       s1._5 === 42000000L && s1._6 === 42000000L, s"degenerate: $s1")
   }
 
+  test("randomizationTestMicro: strong effect rejects, label-free effect doesn't") {
+    // "big": variant 1 values are 100x variant 0's — no random
+    // relabeling reproduces that gap, so the smoothed p-value is the
+    // minimum 1000/(n_perms+1)
+    val big = (1 to 60).map(i => ("big", i % 2, i.toLong, if (i % 2 == 1) 10000L else 100L))
+    // "null": value is independent of the label — the observed diff is
+    // tiny and most relabelings exceed it
+    val nul = (1 to 60).map(i => ("null", i % 2, (100 + i).toLong, (i % 7).toLong))
+    val df = (big ++ nul).toDF("grp0", "variant", "k", "cents")
+    def run() = graft.ops.Eval.randomizationTestMicro(
+        df, "grp0", "variant", "k", "cents", perms = 40)
+      .select("grp", "n0", "n1", "n_perms", "n_ge", "p_milli")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val a = run()
+    assert(a === run(), "hash-driven permutation must be deterministic")
+    assert(a("big")._2 === 30L && a("big")._3 === 30L)
+    assert(a("big")._5 === 0L && a("big")._6 === 1000L / 41L,
+      s"strong effect should never be exceeded: ${a("big")}")
+    assert(a("null")._6 > 200L, s"null effect should not reject: ${a("null")}")
+  }
+
   test("one-vs-rest variants restricted to {0,1} reproduce the binary tests") {
     val rows = Seq(("g", 0, 1L), ("g", 0, 2L), ("g", 0, 3L),
       ("g", 1, 2L), ("g", 1, 3L), ("g", 1, 4L),
