@@ -63,7 +63,8 @@ object TemporalQueries extends QueryPack {
              |  b.q AS buy_q,
              |  s.sec AS sell_sec, s.ok AS sell_ok, s.ln AS sell_ln,
              |  s.q AS sell_q,
-             |  least(b.bhi, s.dhi) - greatest(b.bhi - b.q, s.dhi - s.q)
+             |  CAST(least(b.bhi, s.dhi)
+             |    - greatest(b.bhi - b.q, s.dhi - s.q) AS BIGINT)
              |    AS matched_qty
              |FROM b JOIN s ON b.pk = s.pk
              |  AND b.bhi - b.q < s.dhi AND s.dhi - s.q < b.bhi
@@ -1162,7 +1163,8 @@ object TemporalQueries extends QueryPack {
              |  b.q AS buy_q,
              |  s.sec AS sell_sec, s.ok AS sell_ok, s.ln AS sell_ln,
              |  s.q AS sell_q,
-             |  least(b.bhi, s.dhi) - greatest(b.bhi - b.q, s.dhi - s.q)
+             |  CAST(least(b.bhi, s.dhi)
+             |    - greatest(b.bhi - b.q, s.dhi - s.q) AS BIGINT)
              |    AS matched_qty
              |FROM b JOIN s ON b.pk = s.pk
              |  AND b.bhi - b.q < s.dhi AND s.dhi - s.q < b.bhi
