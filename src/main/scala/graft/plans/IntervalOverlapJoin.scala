@@ -116,55 +116,89 @@ case class IntervalOverlapJoinExec(
       val rg = new Groups(rIter, rk, rl, rh)
       val proj = UnsafeProjection.create(out, out)
       val joined = new JoinedRow
+      // Streamed emission (round-7 verdict item #3 / ROADMAP debt #5):
+      // the lo-ordered sweep below is suspended MID-WALK between
+      // next() calls — one output row per call, never an output
+      // buffer. For each left (in lo order) admit rights with
+      // rlo < lhi into the active set, drop actives with rhi <= llo,
+      // emit the rest — every surviving active overlaps (rlo < lhi ∧
+      // rhi > llo). Handles arbitrarily overlapping sides; cost is
+      // O(nL + nR + matches) per key with resident memory = the two
+      // INPUT groups + the active set (bounded by right-side max
+      // concurrency); a key whose MATCH count explodes (the skew
+      // regime at 100 TB) no longer materializes its output array.
+      // The emitted row reuses the projection buffer, the standard
+      // exec-node contract (downstream copies if it buffers).
       new Iterator[InternalRow] {
-        private var pending: Iterator[InternalRow] = Iterator.empty
-        private def fill(): Unit = {
-          while (!pending.hasNext && lg.hasGroup && rg.hasGroup) {
+        private var lrows: Array[InternalRow] = null
+        private var llos: Array[Long] = null
+        private var lhis: Array[Long] = null
+        private var rrows: Array[InternalRow] = null
+        private var rlos: Array[Long] = null
+        private var rhis: Array[Long] = null
+        private val active = scala.collection.mutable.ArrayBuffer.empty[Int]
+        private var i = 0     // current left row in the group
+        private var j = 0     // next right row to admit
+        private var a = 0     // resume slot in the active set
+        private var ready: InternalRow = null
+
+        // admit rights for left i, then position the active-set scan
+        private def startLeft(): Unit = {
+          val llo = llos(i); val lhi = lhis(i)
+          while (j < rrows.length && rlos(j) < lhi) {
+            if (rhis(j) > llo) active += j
+            j += 1
+          }
+          a = 0
+        }
+
+        private def loadGroup(): Boolean = {
+          while (lg.hasGroup && rg.hasGroup) {
             val kl = lg.headKey; val kr = rg.headKey
             if (kl < kr) lg.skipGroup()
             else if (kr < kl) rg.skipGroup()
             else {
-              val (lrows, llos, lhis) = lg.readGroup()
-              val (rrows, rlos, rhis) = rg.readGroup()
-              val outBuf =
-                scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-              // lo-ordered sweep, lazy eviction: for each left (in lo
-              // order) admit rights with rlo < lhi into the active
-              // set, drop actives with rhi <= llo, emit the rest —
-              // every surviving active overlaps (rlo < lhi ∧ rhi >
-              // llo). Handles arbitrarily overlapping sides; cost is
-              // O(nL + nR + matches) with the active set bounded by
-              // the right side's max concurrency.
-              val active = scala.collection.mutable.ArrayBuffer.empty[Int]
-              var j = 0
-              var i = 0
-              while (i < lrows.length) {
-                val llo = llos(i); val lhi = lhis(i)
-                while (j < rrows.length && rlos(j) < lhi) {
-                  if (rhis(j) > llo) active += j
-                  j += 1
-                }
-                var a = 0
-                while (a < active.length) {
-                  val rj = active(a)
-                  if (rhis(rj) <= llo) {
-                    // lazy eviction: swap-remove, re-examine slot a
-                    active(a) = active(active.length - 1)
-                    active.remove(active.length - 1)
-                  } else {
-                    if (rlos(rj) < lhi && rhis(rj) > llo)
-                      outBuf += proj(joined(lrows(i), rrows(rj))).copy()
-                    a += 1
-                  }
-                }
-                i += 1
+              val (lr, ll2, lh2) = lg.readGroup()
+              val (rr, rl2, rh2) = rg.readGroup()
+              lrows = lr; llos = ll2; lhis = lh2
+              rrows = rr; rlos = rl2; rhis = rh2
+              active.clear(); i = 0; j = 0
+              startLeft()
+              return true
+            }
+          }
+          false
+        }
+
+        private def advance(): Unit = {
+          while (ready == null) {
+            if (lrows == null && !loadGroup()) return
+            val llo = llos(i); val lhi = lhis(i)
+            while (a < active.length && ready == null) {
+              val rj = active(a)
+              if (rhis(rj) <= llo) {
+                // lazy eviction: swap-remove, re-examine slot a
+                active(a) = active(active.length - 1)
+                active.remove(active.length - 1)
+              } else {
+                if (rlos(rj) < lhi && rhis(rj) > llo)
+                  ready = proj(joined(lrows(i), rrows(rj)))
+                a += 1
               }
-              pending = outBuf.iterator
+            }
+            if (ready == null) {
+              i += 1
+              if (i < lrows.length) startLeft()
+              else lrows = null // group exhausted; load the next key
             }
           }
         }
-        override def hasNext: Boolean = { fill(); pending.hasNext }
-        override def next(): InternalRow = { fill(); pending.next() }
+
+        override def hasNext: Boolean = { advance(); ready != null }
+        override def next(): InternalRow = {
+          advance()
+          val r = ready; ready = null; r
+        }
       }
     }
   }

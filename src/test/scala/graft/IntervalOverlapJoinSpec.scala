@@ -70,6 +70,35 @@ class IntervalOverlapJoinSpec extends SparkTestBase {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("skewed key: 1e5-interval key streams without buffering its output") {
+    // One hot key carries 100k disjoint-ish intervals per side (each
+    // left matches ~2 rights → ~200k pairs walked with O(1) active
+    // set), plus an EXPLOSIVE key where all 2000×2000 intervals
+    // mutually overlap → 4M output pairs from one key. Round-7 debt:
+    // the exec buffered one key's full match array before emission —
+    // the explosive key is exactly the 100-TB OOM shape. The streamed
+    // kernel emits row-by-row; this pins the resume-mid-key walk
+    // (group boundaries, active-set suspension) at volume.
+    val hotL = (0 until 100000).map(i => (0L, i.toLong, i + 2L, i.toLong))
+    val hotR = (0 until 100000).map(i => (0L, i + 1L, i + 3L, i.toLong))
+    val boomL = (0 until 2000).map(i => (1L, 0L, 1000000L, 100000L + i))
+    val boomR = (0 until 2000).map(i => (1L, 0L, 1000000L, 100000L + i))
+    val l = (hotL ++ boomL).toDF("k", "lo", "hi", "lid").repartition(4)
+    val r = (hotR ++ boomR).toDF("k2", "lo2", "hi2", "rid").repartition(4)
+    val joined = graft.plans.IntervalOverlapJoin.join(
+      l, r, "k", "lo", "hi", "k2", "lo2", "hi2")
+    // hot key: left [i,i+2) vs right [j+1,j+3) overlap iff
+    // i < j+3 ∧ j+1 < i+2 ⇔ j ∈ {i-2, i-1, i} → 3 per left minus the
+    // 3 out-of-range (j<0) pairs at the i=0/1 boundary
+    val hotPairs = 3L * 100000 - 3
+    val boomPairs = 2000L * 2000
+    assert(joined.count() === hotPairs + boomPairs)
+    // lazy prefix consumption stays correct (streamed iterator path)
+    val it = joined.select($"lid", $"rid").toLocalIterator()
+    val first = (0 until 10).map(_ => it.next()).toSeq
+    assert(first.size === 10 && first.forall(_ != null))
+  }
+
   test("disjoint singleton intervals: overlap join on a hand fixture") {
     val l = Seq((1L, 0L, 10L, "a"), (1L, 10L, 15L, "b"), (2L, 0L, 5L, "c"))
       .toDF("k", "lo", "hi", "tag")
