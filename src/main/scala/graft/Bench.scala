@@ -87,9 +87,19 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v._2) }.mkString("{", ",", "}")
     val failedShown = failed.sorted.take(8)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // identical key semantics to the file artifact ("value" = first-run
+    // total, "total_median" = median total) so delta tooling parsing
+    // either artifact reads the same numbers
     val line =
-      s"""{"metric":"total","value":${r3(totalMed)},"unit":"sec","queries":$slowest,"total_first_run":${r3(total)},"n_queries":${results.size},"reps":$reps,"n_failed":${failed.size},"failed":$failedShown,"sf":"$sfDir","full":"$out"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"total_median":${r3(totalMed)},"n_queries":${results.size},"reps":$reps,"n_failed":${failed.size},"failed":$failedShown,"sf":"$sfDir","full":"$out"}"""
     println(line)
+    // the driver keeps only a tail of each stream and may lose the
+    // stdout line behind log footers — give it two more places to find
+    // the identical summary: stderr, and a fixed sibling file
+    System.err.println(line)
+    val sumPath = java.nio.file.Paths.get(out).toAbsolutePath.getParent
+      .resolve("BENCH_SUMMARY.json")
+    java.nio.file.Files.writeString(sumPath, line + "\n")
     spark.stop()
   }
 }

@@ -45,17 +45,30 @@ object LangModel {
     spark.conf.getOption(BroadcastMaxRowsKey).map(_.toLong)
       .getOrElse(DefaultBroadcastMaxRows)
 
-  /** Gate counts memoized by canonicalized logical plan: the same model
-    * fit over the same files always has the same cardinality, so the
-    * count job runs once per distinct model per session instead of once
-    * per CALL (the per-call count was a measured 2.5× regression on
-    * q92 — an extra job per bench rep for a number that never changes).
-    * Bounded: distinct model plans per session are a handful; cleared
-    * defensively if it ever grows past the cap.
+  /** Gate counts memoized by (session, canonicalized logical plan):
+    * the same model fit over the same files always has the same
+    * cardinality, so the count job runs once per distinct model per
+    * SESSION instead of once per CALL (the per-call count was a
+    * measured 2.5× regression on q92 — an extra job per bench rep for
+    * a number that never changes). Scoping by session means a fresh
+    * `SparkSession` (tests, `newSession()` per-query isolation) never
+    * reads another session's counts. ACCEPTED STALENESS within one
+    * session: if the files under an identical plan are rewritten
+    * in-session (scratch-dir regeneration), the cached count survives —
+    * a harness that rewrites data must call [[clearGateCountCache]]
+    * (or open a new session). Bounded: distinct model plans per session
+    * are a handful; cleared defensively if it ever grows past the cap.
     */
   private val gateCountCache =
     new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]()
+      (org.apache.spark.sql.SparkSession,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+      java.lang.Long]()
+
+  /** Drop all memoized gate counts — for harnesses that rewrite the
+    * files under a live session (see the staleness note above).
+    */
+  def clearGateCountCache(): Unit = gateCountCache.clear()
 
   /** Persist + count the model table, then broadcast-hint it only under
     * the gate. The count is not an extra corpus pass: the model fit is
@@ -68,7 +81,8 @@ object LangModel {
     val model = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (gateCountCache.size > 256) gateCountCache.clear()
     val n = gateCountCache.computeIfAbsent(
-      df.queryExecution.optimizedPlan.canonicalized, _ => model.count())
+      (df.sparkSession, df.queryExecution.optimizedPlan.canonicalized),
+      _ => model.count())
     if (n <= broadcastMaxRows(df.sparkSession)) broadcast(model)
     else model
   }
@@ -291,7 +305,8 @@ object LangModel {
     val cu = trainToks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cuN = gateCountCache.computeIfAbsent(
-      cu.queryExecution.optimizedPlan.canonicalized, _ => cu.count())
+      (train.sparkSession, cu.queryExecution.optimizedPlan.canonicalized),
+      _ => cu.count())
     val cuSmall = cuN <= broadcastMaxRows(train.sparkSession)
     def cuSide(w: String, out: String): DataFrame = {
       val side = cu.select(col("tok").as(w), col("c").as(out))

@@ -484,25 +484,44 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val total = base.count() // also materializes the persist
-      val seed = base.orderBy(col("id").asc).limit(1).collect()(0)
-      var centers = List[(Long, Long, Option[Long])]((1L, seed.getLong(0), None))
-      var selected = Set(seed.getLong(0))
-      var centerEmb = seed.getSeq[Float](1)
-      var cur = base
-      var j = 2
-      while (j <= k && selected.size < total) {
-        cur = cur.withColumn("mind",
-          if (j == 2) sqDistMicro(col("emb"), typedlit(centerEmb))
-          else least(col("mind"), sqDistMicro(col("emb"), typedlit(centerEmb))))
-        val next = cur.filter(!col("id").isin(selected.toSeq: _*))
-          .orderBy(col("mind").desc, col("id").asc).limit(1)
-          .select(col("id"), col("mind"), col("emb")).collect()(0)
-        centers = (j.toLong, next.getLong(0), Some(next.getLong(1))) :: centers
-        selected += next.getLong(0)
-        centerEmb = next.getSeq[Float](2)
-        j += 1
+      val seedArr = base.orderBy(col("id").asc).limit(1).collect()
+      if (seedArr.isEmpty) {
+        // empty input: the 0-center coreset, not an exception
+        Seq.empty[(Long, Long, Option[Long])]
+          .toDF("sel_order", "vec_id", "d_micro")
+      } else {
+        val seed = seedArr(0)
+        var centers =
+          List[(Long, Long, Option[Long])]((1L, seed.getLong(0), None))
+        var selected = Set(seed.getLong(0))
+        var centerEmb = seed.getSeq[Float](1)
+        var cur = base
+        var j = 2
+        var exhausted = false
+        // `selected.size < total` under-counts when ids repeat (total
+        // counts ROWS); the per-round empty check below is the real
+        // termination guard — a partial coreset, never an exception.
+        // Design bound: each round stacks one typedlit distance column
+        // and an isin literal list, so the plan grows O(k) — built for
+        // small k (coreset seeding), not k in the thousands.
+        while (j <= k && selected.size < total && !exhausted) {
+          cur = cur.withColumn("mind",
+            if (j == 2) sqDistMicro(col("emb"), typedlit(centerEmb))
+            else least(col("mind"), sqDistMicro(col("emb"), typedlit(centerEmb))))
+          val nextArr = cur.filter(!col("id").isin(selected.toSeq: _*))
+            .orderBy(col("mind").desc, col("id").asc).limit(1)
+            .select(col("id"), col("mind"), col("emb")).collect()
+          if (nextArr.isEmpty) exhausted = true
+          else {
+            val next = nextArr(0)
+            centers = (j.toLong, next.getLong(0), Some(next.getLong(1))) :: centers
+            selected += next.getLong(0)
+            centerEmb = next.getSeq[Float](2)
+            j += 1
+          }
+        }
+        centers.reverse.toDF("sel_order", "vec_id", "d_micro")
       }
-      centers.reverse.toDF("sel_order", "vec_id", "d_micro")
     } finally base.unpersist(false)
   }
 }

@@ -24,6 +24,8 @@ import org.apache.spark.sql.types._
   * two fixed int/long scratch arrays per row.
   *
   * Empty result when the array is shorter than `w` (no full window).
+  * `w < 1` throws (both eval paths — the function is registered at the
+  * SQL surface, where the Scala caller's require() can't reach).
   * PRECONDITION: non-null elements (hash arrays by construction).
   */
 case class WinnowingMins(left: Expression, right: Expression)
@@ -40,6 +42,10 @@ case class WinnowingMins(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val w = r.asInstanceOf[Int]
+    // SQL surface guard: a w < 1 window would let head pass tail and
+    // read stale deque slots — garbage, not an error. Fail loudly.
+    if (w < 1) throw new IllegalArgumentException(
+      s"winnowing_mins: window must be >= 1, got $w")
     val n = a.numElements()
     val buf = new Array[Long](math.max(n, 1))
     val dqi = new Array[Int](math.max(n, 1))
@@ -71,6 +77,8 @@ case class WinnowingMins(left: Expression, right: Expression)
       s"""
          |int $n = $a.numElements();
          |int $w = $wv;
+         |if ($w < 1) throw new IllegalArgumentException(
+         |  "winnowing_mins: window must be >= 1, got " + $w);
          |long[] $buf = new long[$n > 0 ? $n : 1];
          |int[] $dqi = new int[$n > 0 ? $n : 1];
          |int $head = 0; int $tail = 0; int $cnt = 0;

@@ -55,4 +55,42 @@ object Ranks {
         .checkpointEager() // materialize before unpersisting the base
     } finally { base.unpersist(false); () }
   }
+
+  /** Adds `outCol` = running sum of `valueCol` over the GLOBAL order
+    * `orderCols` (must be a total order) — same two-phase shape as
+    * [[twoPhaseRank]] but for prefix sums: range-partition by the order
+    * keys, per-partition local cumulative sum, then offset each
+    * partition by the sum of all partitions before it. The only global
+    * window left runs over the per-partition sums table —
+    * `defaultParallelism` rows, bounded by the cluster not the data —
+    * so a dimension that scales with the fact table (parts, users)
+    * never funnels through one task the way a partition-less
+    * `Window.orderBy` does.
+    */
+  def twoPhasePrefixSum(df: DataFrame, orderCols: Seq[Column],
+      valueCol: Column, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val base = df
+      .repartitionByRange(p, orderCols: _*)
+      .withColumn("__part", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val local = Window.partitionBy(col("__part")).orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val perPart = base.groupBy(col("__part"))
+        .agg(sum(valueCol).as("__psum"))
+      // bounded global window: one row per partition
+      val prevParts = Window.orderBy(col("__part"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = perPart.select(col("__part"),
+        coalesce(sum(col("__psum")).over(prevParts), lit(0L)).as("__poffset"))
+      base
+        .withColumn("__lc", sum(valueCol).over(local))
+        .join(broadcast(offsets), Seq("__part"))
+        .withColumn(outCol, col("__lc") + col("__poffset"))
+        .drop("__part", "__lc", "__poffset")
+        .checkpointEager() // materialize before unpersisting the base
+    } finally { base.unpersist(false); () }
+  }
 }

@@ -732,20 +732,22 @@ object TemporalQueries extends QueryPack {
     // ABC inventory classification: parts ranked by revenue, classed by
     // exact-integer cumulative-share thresholds (A <= 80%, B <= 95%)
     // — the Pareto cut on the PART dimension table; the fact table
-    // collapses in one partial-combining groupBy first.
+    // collapses in one partial-combining groupBy first. The part
+    // dimension SCALES with the fact table (TPC-H: |part| = 200k·SF),
+    // so the cumulative revenue comes from the two-phase prefix sum —
+    // the only partition-less window left is over the per-partition
+    // sums (defaultParallelism rows), and the grand total is one agg
+    // broadcast back, not a second global window.
     Q("q212_abc_classification",
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val rev = Tables.lineitem(s, d)
           .groupBy($"l_partkey".as("pk"))
           .agg(graft.core.Exact.centsSum($"l_extendedprice").as("rev"))
-        val w = Window.orderBy($"rev".desc, $"pk")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wt = Window.partitionBy()
-        rev
-          .withColumn("cum", sum($"rev").over(w))
-          .withColumn("total", sum($"rev").over(wt))
+        val cum = graft.ops.Ranks.twoPhasePrefixSum(
+          rev, Seq($"rev".desc, $"pk"), $"rev", "cum")
+        val total = cum.agg(sum($"rev").as("total"))
+        cum.crossJoin(broadcast(total))
           .withColumn("cls",
             when($"cum" * 5 <= $"total" * 4, "A")
               .when($"cum" * 20 <= $"total" * 19, "B").otherwise("C"))
@@ -807,6 +809,11 @@ object TemporalQueries extends QueryPack {
     // on full frames), day-of-week seasonal index as the mean of the
     // detrended residual — the residual can be negative, so the mean
     // is the shared round(CAST AS DOUBLE) shape, never integer div.
+    // BOUND NOTE on the partition-less window: it runs over the DAILY
+    // series — one row per calendar day after the groupBy collapse, a
+    // few thousand rows for any horizon (the TPC-H date range is ~2.4k
+    // days and does NOT scale with SF) — the standard two-phase shape
+    // where the bounded post-aggregate table rides a single task.
     Q("q214_dow_decomposition",
       (s, d) => {
         import s.implicits._

@@ -20,9 +20,17 @@ object EventStream {
     * file source needs an explicit schema; discovering it instead of
     * pinning one keeps the streaming path schema-on-read like the batch
     * loader ([[graft.core.Tables.normalizeEventTs]]).
+    *
+    * PRECONDITION: at least one file must match `path` at call time (a
+    * footer read needs a footer) — an initially-empty stream directory
+    * needs a caller-pinned schema instead. Sets the `nanosAsLong`
+    * legacy conf itself so TIMESTAMP(NANOS) files are readable by ANY
+    * caller, not only those that came through [[readEvents]].
     */
-  def rawSchema(spark: SparkSession, path: String): StructType =
+  def rawSchema(spark: SparkSession, path: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path).schema
+  }
 
   /** Shared transform: 6h tumbling windows per event type with exact
     * cents totals. Works on both batch and streaming inputs, and on any

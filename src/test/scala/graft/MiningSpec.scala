@@ -158,6 +158,19 @@ class MiningSpec extends SparkTestBase {
     assert(got.length === 2 && got.map(_._2).toSet === Set(1L, 2L))
   }
 
+  test("kCenterCoreset: empty input and duplicate ids degrade gracefully") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(graft.ext.Similarity.kCenterCoreset(
+      empty, "vec_id", "embedding", 3).count() === 0L)
+    // 3 rows but only 2 distinct ids: the id-exhaustion round returns
+    // zero candidates — partial (2-center) coreset, not an exception
+    val dup = Seq((1L, Seq(0f)), (1L, Seq(1f)), (2L, Seq(9f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.kCenterCoreset(dup, "vec_id", "embedding", 3)
+      .as[(Long, Long, Option[Long])].collect()
+    assert(got.map(_._2).toSet === Set(1L, 2L), s"got ${got.toSeq}")
+  }
+
   test("triangleCounts: K4 has 4 triangles, every node on 3") {
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
     assert(tri(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))

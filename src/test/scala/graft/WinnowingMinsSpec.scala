@@ -31,6 +31,14 @@ class WinnowingMinsSpec extends SparkTestBase {
     assert(mins(Seq(4L, 9L, 2L), 3) === Seq(2L))
   }
 
+  test("w < 1 errors instead of returning garbage (SQL-surface guard)") {
+    val e = intercept[Exception] { mins(Seq(1L, 2L, 3L), 0) }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("window must be >= 1")), s"wrong error: $e")
+  }
+
   test("matches the naive slice formulation on random-ish arrays") {
     GraftFunctions.ensureRegistered(spark)
     val xs = (1 to 200).map(i => (i * 48271L) % 1009L)
