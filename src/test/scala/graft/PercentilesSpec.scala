@@ -74,6 +74,37 @@ class PercentilesSpec extends SparkTestBase {
     }
   }
 
+  test("weighted sketch final state is O(1/eps) tuples (two-tier compress)") {
+    // same build as the rank-error test, driven through the buffer API
+    // so the tuple count is observable: 32 partial buffers, pairwise
+    // merge tree, eval-time finalCompress. Single-tier absorption
+    // saturated every certificate and stalled at 1996 tuples; the
+    // two-tier scheme measured 190. Assert a generous O(1/eps) ceiling
+    // (3/eps = 600) so a regression back to certificate saturation
+    // (~10/eps) fails loudly, plus the error-bound invariant.
+    val eps = 0.005
+    val bufs = Array.fill(32)(new graft.functions.WgkBuffer(eps))
+    var i = 0
+    while (i < 1000000) {
+      val v = (i.toLong * 2654435761L + 12345L) % 99991L
+      val w = (i.toLong * 48271L) % 1000L + 1L
+      bufs(i % 32).insert(v, w)
+      i += 1
+    }
+    var layer = bufs
+    while (layer.length > 1)
+      layer = layer.grouped(2).map { g =>
+        if (g.length == 2) g(0).mergeIn(g(1)); g(0)
+      }.toArray
+    val b = layer(0)
+    b.finalCompress()
+    assert(b.vs.length <= (3.0 / eps).toInt,
+      s"final state ${b.vs.length} tuples — certificate saturation is back")
+    val certMax = b.vs.indices.map(k => b.gs(k) + b.ds(k)).max
+    assert(certMax <= (2.0 * eps * b.totalW).toLong,
+      s"certificate $certMax exceeds 2*eps*W")
+  }
+
   test("weighted sketch is exact when the group fits uncompressed") {
     import spark.implicits._
     val df = Seq(("A", 1L, 5L), ("A", 2L, 1L), ("A", 3L, 1L),
