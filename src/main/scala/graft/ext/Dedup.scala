@@ -104,6 +104,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Screen-quality certification: precision/recall of the banded
+    * MinHash screen against exhaustive n-gram Jaccard ground truth on
+    * the SAME corpus — the measurement that justifies (or rejects) a
+    * (bands, rowsPerBand) configuration before a 100 TB dedup run
+    * commits to it. Run on a bounded audit SLICE (the ground truth is
+    * the quadratic all-pairs join); the certified screen then runs on
+    * the full corpus.
+    *
+    *  - truth     = all pairs with exact Jaccard ≥ threshold;
+    *  - screen    = banded candidates (any shared band bucket), each
+    *                verified with the same exact Jaccard;
+    *  - tp        = screen pairs that are truth pairs (same shingle
+    *                definition on both paths, so tp ⊆ truth exactly);
+    *  - precision = tp / screen size (how much verify work the bands
+    *                waste), recall = tp / truth (what the screen
+    *                misses — LSH's only source of false negatives).
+    *
+    * One row: (n_truth, n_screen, tp, fp, fn, precision_micro,
+    * recall_micro), integer micro-units, NULL when a denominator is 0.
+    */
+  def screenQualityReport(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, threshold: Double,
+                          bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    val truth = ngramJaccardPairs(df, idCol, textCol, n, threshold,
+      blockCols = Seq.empty)
+    val screen = minHashLshPairs(df, idCol, textCol, n, threshold = 0.0,
+      bands, rowsPerBand)
+    val s = screen.agg(
+      count(lit(1)).as("n_screen"),
+      coalesce(sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)),
+        lit(0L)).as("tp"))
+    val t = truth.agg(count(lit(1)).as("n_truth"))
+    s.crossJoin(t).select(
+      col("n_truth"), col("n_screen"), col("tp"),
+      (col("n_screen") - col("tp")).as("fp"),
+      (col("n_truth") - col("tp")).as("fn"),
+      when(col("n_screen") > 0, expr("tp * 1000000 div n_screen"))
+        .as("precision_micro"),
+      when(col("n_truth") > 0, expr("tp * 1000000 div n_truth"))
+        .as("recall_micro"))
+  }
+
   /** Directed n-gram CONTAINMENT pairs: `C(A→B) = |A∩B| / |A|` ≥
     * threshold within a block — the subset-relation detector Jaccard
     * misses by construction (a quote, excerpt, or near-complete copy

@@ -101,15 +101,16 @@ object IvfIndex {
   def materializeLocal(spark: SparkSession, df: DataFrame): DataFrame =
     spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
 
-  /** IVF top-k: probe the nProbe best centroids per query, exact rerank
-    * within the probed inverted lists.
+  /** IVF top-k against a PREBUILT centroid table (local relation from
+    * [[materializeLocal]] or [[loadLatest]]): probe the nProbe best
+    * centroids per query, exact rerank within the probed inverted
+    * lists. The search result depends only on the centroid ROWS, not
+    * their order (every argmax ties to the lower cid), so a persisted
+    * and reloaded index answers bit-identically to a fresh build.
     */
-  def ivfKnn(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
-             k: Int, kCentroids: Int = 16, nProbe: Int = 4,
-             iters: Int = 1): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    val centroids = materializeLocal(spark,
-      buildCentroids(spark, corpus, kCentroids, iters))
+  def ivfKnnWith(centroids: DataFrame, queries: DataFrame,
+                 corpus: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
     val lists = assign(
       corpus.select(col("vec_id").as("id"), col("embedding").as("emb")), centroids)
       .join(corpus.select(col("vec_id").as("id"), col("embedding").as("n_emb")), "id")
@@ -130,4 +131,34 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
   }
+
+  /** Build + search in one call (the original single-shot entry). */
+  def ivfKnn(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+             k: Int, kCentroids: Int = 16, nProbe: Int = 4,
+             iters: Int = 1): DataFrame = {
+    val centroids = materializeLocal(spark,
+      buildCentroids(spark, corpus, kCentroids, iters))
+    ivfKnnWith(centroids, queries, corpus, k, nProbe)
+  }
+
+  /** Persist the centroid table through the engine's versioned store
+    * ([[graft.io.Versioned]]) — the index-build/serve split a 100 TB
+    * deployment actually runs: the quantizer is fit ONCE per corpus
+    * snapshot (k Lloyd passes over every vector), then every serving
+    * query loads the O(k·dim) centroid object and probes, instead of
+    * re-running the build per query the way [[ivfKnn]] does. Returns
+    * the written path.
+    */
+  def persistCentroids(spark: SparkSession, corpus: DataFrame, dir: String,
+                       prefix: String, tag: String, kCentroids: Int = 16,
+                       iters: Int = 1): String =
+    graft.io.Versioned.write(
+      buildCentroids(spark, corpus, kCentroids, iters), dir, prefix, tag)
+
+  /** Load the NEWEST persisted centroid table as a local relation ready
+    * for [[ivfKnnWith]]. Floats round-trip parquet bit-exactly and the
+    * search is centroid-row-order independent, so reload ≡ rebuild.
+    */
+  def loadLatest(spark: SparkSession, dir: String, prefix: String): DataFrame =
+    materializeLocal(spark, graft.io.Versioned.readLatest(spark, dir, prefix))
 }

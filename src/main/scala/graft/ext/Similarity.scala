@@ -388,6 +388,46 @@ object Similarity {
       .select(col("q_id"), col("rrf_rank"), col("n_id"), col("score_micro"))
   }
 
+  /** Weighted SCORE fusion of several per-query top-k lists — the
+    * score-aware companion to [[rrfFuse]] (rank-only): each list's
+    * scores are min-max normalized PER QUERY to [0, 1e6] integer micro
+    * units, then combined as a weighted sum (CombSUM with per-retriever
+    * weights — the "cross-encoder says 2×, lexical says 1×" fusion a
+    * two-stage retrieve-rerank stack runs). Normalization is integer
+    * end-to-end — `(s - min) * 1e6 div (max - min)`, a degenerate
+    * one-score list maps to 1e6 — so the fused score is an
+    * order-independent integer and reproducible in any engine.
+    *
+    * Scale shape: each list is already a per-query top-k (k rows per
+    * query); the min/max window, the union, and the fuse groupBy all
+    * partition by q_id — queries × k rows end to end, never the
+    * corpora.
+    *
+    * @param lists (frame, weight) pairs; frames carry (q_id, n_id, sim)
+    *              with `sim` the r6-rounded cosine the retrievers emit
+    */
+  def scoreFuse(lists: Seq[(DataFrame, Long)], k: Int): DataFrame = {
+    require(lists.nonEmpty, "need at least one scored list")
+    val normed = lists.map { case (df, weight) =>
+      val wq = Window.partitionBy(col("q_id"))
+      df.select(col("q_id"), col("n_id"),
+          round(col("sim") * 1000000, 0).cast("long").as("sm"))
+        .withColumn("mn", min(col("sm")).over(wq))
+        .withColumn("mx", max(col("sm")).over(wq))
+        .select(col("q_id"), col("n_id"),
+          (lit(weight) * when(col("mx") > col("mn"),
+              expr("(sm - mn) * 1000000 div (mx - mn)"))
+            .otherwise(lit(1000000L))).as("t"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_micro").desc, col("n_id").asc)
+    normed.groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("t")).as("score_micro"))
+      .withColumn("fuse_rank", row_number().over(w).cast("long"))
+      .filter(col("fuse_rank") <= k)
+      .select(col("q_id"), col("fuse_rank"), col("n_id"), col("score_micro"))
+  }
+
   /** Pairwise-similarity distribution estimate WITHOUT the O(n²) cross
     * join — the "how duplicated is this corpus?" diagnostic run before
     * committing to a dedup pass. Every vector draws a pseudo-random

@@ -24,6 +24,69 @@ object MiningQueries extends QueryPack {
        |    CAST(ascii(substring($c, j, 1)) AS BIGINT))),
        |  (a, b) -> (a*31 + b) % 1000000007)""".stripMargin
 
+  /** DuckDB recompute of the shared double-dot/cosine shapes (see
+    * [[graft.ext.Similarity.cosineNative]] / [[graft.core.Exact.r6]]).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform($a, (u,i) -> CAST(u AS DOUBLE) * CAST($b[i] AS DOUBLE))), (p,w) -> p + w)""".stripMargin
+  private def cosRawSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+  private def cosR6Sql(a: String, b: String): String =
+    s"(round(${cosRawSql(a, b)}, 6) + 0.0)"
+
+  /** The q64 IVF CTE chain (seed -> exact-integer Lloyd -> inverted
+    * lists -> probe -> exact rerank), parameterized by the query-row
+    * predicate and k — shared by q237 (fusion input) and q238 (the
+    * persisted-index search must answer exactly what a fresh build
+    * answers, which is exactly this chain). Emits CTEs `v` .. `ivfr`;
+    * `ivfr` = (q_id, n_id, sim, rank <= k).
+    */
+  private def ivfSql(queryPred: String, k: Int): String =
+    s"""v AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+       |seeds AS (SELECT id AS cid, emb AS cemb FROM v ORDER BY id LIMIT 16),
+       |asg0 AS (
+       |  SELECT id, cid FROM (
+       |    SELECT v.id, s.cid,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY
+       |        ${cosRawSql("v.emb", "s.cemb")} DESC, s.cid) AS rn
+       |    FROM v CROSS JOIN seeds s)
+       |  WHERE rn = 1),
+       |dimrows AS (
+       |  SELECT cid, u.pos, u.x
+       |  FROM (SELECT a0.cid, unnest(list_transform(v.emb, (x,i) -> {'pos': i, 'x': x})) AS u
+       |        FROM asg0 a0 JOIN v USING (id)) a),
+       |dims AS (
+       |  SELECT cid, pos,
+       |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) / count(*) / 1000000.0 AS FLOAT) AS m
+       |  FROM dimrows GROUP BY cid, pos),
+       |cent AS (SELECT cid, list(m ORDER BY pos) AS cemb FROM dims GROUP BY cid),
+       |lists AS (
+       |  SELECT cid, id AS n_id FROM (
+       |    SELECT v.id, c.cid,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY
+       |        ${cosRawSql("v.emb", "c.cemb")} DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT v.id AS q_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY
+       |        ${cosRawSql("v.emb", "c.cemb")} DESC, c.cid) AS pr
+       |    FROM v CROSS JOIN cent c WHERE $queryPred)
+       |  WHERE pr <= 4),
+       |icand AS (
+       |  SELECT DISTINCT p.q_id, l.n_id
+       |  FROM probes p JOIN lists l USING (cid)
+       |  WHERE p.q_id != l.n_id),
+       |isims AS (
+       |  SELECT q_id, n_id, ${cosR6Sql("qe.emb", "ne.emb")} AS sim
+       |  FROM icand JOIN v qe ON qe.id = q_id JOIN v ne ON ne.id = n_id),
+       |ivfr AS (
+       |  SELECT q_id, n_id, sim, rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM isims)
+       |  WHERE rank <= $k)""".stripMargin
+
   val all: Seq[Q] = Seq(
     // Per-node triangle counts on the co-purchase part graph (edges =
     // part pairs sharing >= 2 orders — the support threshold keeps the
@@ -1541,6 +1604,179 @@ object MiningQueries extends QueryPack {
              |  (1 + CAST(sum(CASE WHEN pd.d >= od.obs THEN 1 ELSE 0 END) AS BIGINT))
              |    * 1000 // (CAST(count(*) AS BIGINT) + 1) AS p_milli
              |FROM od JOIN pd ON pd.grp = od.grp
-             |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin))
+             |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin)),
+
+    // Score-aware fusion of the exact and the IVF retrievers — the
+    // cross-encoder-style companion to q151's rank-only RRF: per-query
+    // min-max normalization to integer micro units, weighted CombSUM
+    // (exact 2×, IVF 1×), re-rank. The oracle replays both retrievers
+    // (the q151 exact chain, the q64 IVF chain) plus the integer
+    // normalization end-to-end.
+    Q("q237_score_fusion",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter($"vec_id" < 25)
+        val exact = Similarity.bruteForceKnn(queries, emb, k = 5)
+        val ivf = graft.ext.IvfIndex.ivfKnn(s, queries, emb, k = 5,
+          kCentroids = 16, nProbe = 4)
+        Similarity.scoreFuse(Seq((exact, 2L), (ivf, 1L)), k = 5)
+          .orderBy($"q_id", $"fuse_rank")
+      },
+      Some(s"""WITH ${ivfSql("v.id < 25", 5)},
+             |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 25),
+             |xj AS (
+             |  SELECT q_id, e.vec_id AS n_id,
+             |    ${cosR6Sql("q_emb", "e.embedding")} AS sim
+             |  FROM q JOIN embeddings e ON e.vec_id <> q_id),
+             |exactr AS (
+             |  SELECT q_id, n_id, sim, rank FROM (
+             |    SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+             |    FROM xj)
+             |  WHERE rank <= 5),
+             |exn AS (
+             |  SELECT q_id, n_id,
+             |    CASE WHEN mx > mn THEN (sm - mn) * 1000000 // (mx - mn)
+             |         ELSE 1000000 END AS norm
+             |  FROM (SELECT q_id, n_id, CAST(round(sim * 1000000) AS BIGINT) AS sm,
+             |          min(CAST(round(sim * 1000000) AS BIGINT)) OVER (PARTITION BY q_id) AS mn,
+             |          max(CAST(round(sim * 1000000) AS BIGINT)) OVER (PARTITION BY q_id) AS mx
+             |        FROM exactr)),
+             |ivn AS (
+             |  SELECT q_id, n_id,
+             |    CASE WHEN mx > mn THEN (sm - mn) * 1000000 // (mx - mn)
+             |         ELSE 1000000 END AS norm
+             |  FROM (SELECT q_id, n_id, CAST(round(sim * 1000000) AS BIGINT) AS sm,
+             |          min(CAST(round(sim * 1000000) AS BIGINT)) OVER (PARTITION BY q_id) AS mn,
+             |          max(CAST(round(sim * 1000000) AS BIGINT)) OVER (PARTITION BY q_id) AS mx
+             |        FROM ivfr)),
+             |terms AS (
+             |  SELECT q_id, n_id, 2 * norm AS t FROM exn
+             |  UNION ALL
+             |  SELECT q_id, n_id, 1 * norm FROM ivn),
+             |fused AS (
+             |  SELECT q_id, n_id, CAST(sum(t) AS BIGINT) AS score_micro
+             |  FROM terms GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT q_id, n_id, score_micro,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, n_id) AS fuse_rank
+             |  FROM fused)
+             |SELECT q_id, CAST(fuse_rank AS BIGINT) AS fuse_rank, n_id, score_micro
+             |FROM rk WHERE fuse_rank <= 5 ORDER BY q_id, fuse_rank""".stripMargin)),
+
+    // The IVF index through the versioned store: fit once, persist via
+    // io.Versioned (S3-S4's object-versioning contract), reload the
+    // NEWEST version past a stale decoy, and serve — the build/serve
+    // split a 100 TB deployment runs instead of q64's per-query
+    // rebuild. The oracle is the fresh-build chain: reload must answer
+    // bit-identically (floats round-trip parquet exactly; the search
+    // is centroid-row-order independent).
+    Q("q238_ivf_persist",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val dir = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_ivf_store").getAbsolutePath
+        // decoy under an older tag (tiny corpus slice, k=2): reload
+        // must skip it for the newer full-corpus index
+        graft.ext.IvfIndex.persistCentroids(s, emb.filter($"vec_id" < 4),
+          dir, "ivf16", tag = f"${1L}%020d_stale", kCentroids = 2)
+        graft.ext.IvfIndex.persistCentroids(s, emb, dir, "ivf16",
+          tag = f"${2L}%020d_live", kCentroids = 16)
+        val cent = graft.ext.IvfIndex.loadLatest(s, dir, "ivf16")
+        graft.ext.IvfIndex.ivfKnnWith(cent,
+            emb.filter($"vec_id" >= 5 && $"vec_id" < 10), emb,
+            k = 5, nProbe = 4)
+          .orderBy($"q_id", $"rank")
+      },
+      Some(s"""WITH ${ivfSql("v.id >= 5 AND v.id < 10", 5)}
+             |SELECT q_id, rank, n_id, sim FROM ivfr
+             |ORDER BY q_id, rank""".stripMargin)),
+
+    // Near-dup screen certification on seeded duplicates: every doc in
+    // the audit slice gets a planted 80%-prefix near-copy, then the
+    // banded MinHash screen is scored against exhaustive n-gram
+    // Jaccard ground truth — the precision/recall report that certifies
+    // a (bands, rows) configuration's miss rate before the full-corpus
+    // run commits to it. The oracle replays the mutation, the
+    // exhaustive truth (q46 shape), the banded screen (q47 shape), and
+    // the metric arithmetic.
+    Q("q239_screen_quality",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d)
+          .filter($"doc_id" < 300)
+          .select($"doc_id", trim($"text").as("text"))
+          .withColumn("l", split($"text", "\\s+"))
+          .filter(size($"l") >= 2)
+        val mutated = base.select(
+          ($"doc_id" + 1000000L).as("doc_id"),
+          array_join(slice($"l", lit(1), expr("(4 * size(l) + 4) div 5")), " ")
+            .as("text"))
+        val u = base.select($"doc_id", $"text").unionByName(mutated)
+        Dedup.screenQualityReport(u, "doc_id", "text",
+          n = 2, threshold = 0.2, bands = 21, rowsPerBand = 3)
+      },
+      Some("""WITH b0 AS (
+             |  SELECT doc_id, trim(text) AS text,
+             |    string_split_regex(trim(text), '\s+') AS l
+             |  FROM documents WHERE doc_id < 300),
+             |b AS (SELECT * FROM b0 WHERE len(l) >= 2),
+             |u AS (
+             |  SELECT doc_id, text FROM b
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |    array_to_string(l[1 : CAST((4 * len(l) + 4) // 5 AS INT)], ' ')
+             |  FROM b),
+             |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM u),
+             |shg AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_filter(
+             |      list_transform(l, (x,i) -> CASE WHEN i <= len(l)-1 THEN x || ' ' || l[i+1] END),
+             |      v -> v IS NOT NULL)) AS sh
+             |  FROM toks),
+             |bg AS (SELECT doc_id, unnest(sh) AS s FROM shg),
+             |szs AS (SELECT doc_id, len(sh) AS sz FROM shg),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |  FROM bg a JOIN bg b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |truthp AS (
+             |  SELECT id_a, id_b
+             |  FROM inter JOIN szs x ON x.doc_id = id_a JOIN szs y ON y.doc_id = id_b
+             |  WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.2),
+             |base2 AS (
+             |  SELECT doc_id, sh,
+             |    list_transform(sh, s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007)) AS hs
+             |  FROM shg),
+             |sig AS (
+             |  SELECT doc_id, sh,
+             |    list_transform(generate_series(1, 63), j ->
+             |      coalesce(list_min(list_transform(hs, h ->
+             |        (h * ((1103515245 * j) % 2038074743) + ((12345 * j + 7) % 2038074743)) % 2038074743)),
+             |      CAST(-1 AS BIGINT))) AS sig
+             |  FROM base2),
+             |bandrows AS (
+             |  SELECT doc_id, bb, sig[CAST(bb*3+1 AS INT) : CAST(bb*3+3 AS INT)] AS bucket
+             |  FROM sig CROSS JOIN range(0, 21) t(bb)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bandrows a JOIN bandrows b ON a.bb = b.bb AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+             |ver AS (
+             |  SELECT id_a, id_b,
+             |    len(list_intersect(x.sh, y.sh)) * 1.0 / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
+             |  FROM cand JOIN shg x ON x.doc_id = id_a JOIN shg y ON y.doc_id = id_b),
+             |sm AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_screen,
+             |    CAST(coalesce(sum(CASE WHEN jac >= 0.2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp
+             |  FROM ver),
+             |tm AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truthp)
+             |SELECT n_truth, n_screen, tp,
+             |  n_screen - tp AS fp, n_truth - tp AS fn,
+             |  CASE WHEN n_screen > 0 THEN tp * 1000000 // n_screen END AS precision_micro,
+             |  CASE WHEN n_truth > 0 THEN tp * 1000000 // n_truth END AS recall_micro
+             |FROM sm CROSS JOIN tm""".stripMargin))
   )
 }
