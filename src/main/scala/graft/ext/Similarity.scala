@@ -428,6 +428,77 @@ object Similarity {
       .select(col("q_id"), col("fuse_rank"), col("n_id"), col("score_micro"))
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell &
+    * Goldstein 1998) — the de-duplicating reranker RAG retrieval runs
+    * so the k passages are not k paraphrases: greedy selection of
+    * `score(d) = lamNum·rel(d) − (10−lamNum)·max_{s∈S} sim(d, s)`
+    * over an m-candidate pool from the exact retriever. Everything is
+    * integer micro units (rel and pairwise sims from r6 cosines), ties
+    * break to the lower id, and the selection rounds are UNROLLED
+    * relational stages (k is small by definition) — argmax per round
+    * is the partial-aggregating `min(struct(-score, id))` idiom, so no
+    * window over the candidate stream and nothing driver-side.
+    *
+    * Scale shape: the pool is m rows per query and the diversity table
+    * m·(m−1); every stage joins/aggregates on q_id. The corpus is
+    * touched once, inside [[bruteForceKnn]].
+    *
+    * @return (q_id, sel_order 1..k, n_id, mmr_micro) — round 1's score
+    *         is `lamNum·rel` (S is empty; the standard convention)
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int,
+              lamNum: Int = 7): DataFrame = {
+    require(k >= 1 && m >= k, s"need 1 <= k <= m, got k=$k m=$m")
+    require(lamNum >= 0 && lamNum <= 10, s"lamNum $lamNum out of [0,10]")
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
+    val lam = lamNum.toLong
+    val cands = bruteForceKnn(queries, corpus, m)
+      .select(col("q_id"), col("n_id"),
+        round(col("sim") * 1000000, 0).cast("long").as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ce = widen(corpus.select(col("vec_id").as("n_id"),
+        col("embedding").as("emb")))
+      val withEmb = cands.join(ce, "n_id")
+      val pa = withEmb.select(col("q_id"), col("n_id").as("a"), col("emb").as("ea"))
+      val pb = withEmb.select(col("q_id"), col("n_id").as("b"), col("emb").as("eb"))
+      val psim = pa.join(pb, Seq("q_id")).filter(col("a") =!= col("b"))
+        .withColumn("dsim",
+          round(graft.core.Exact.r6(cosineNative(col("ea"), col("eb"))) * 1000000, 0)
+            .cast("long"))
+        .select(col("q_id"), col("a"), col("b"), col("dsim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // round 1: pure relevance
+        var sel = cands
+          .groupBy(col("q_id"))
+          .agg(min(struct((-lit(lam) * col("rel")).as("negs"),
+            col("n_id").as("nid"))).as("p"))
+          .select(col("q_id"), lit(1L).as("sel_order"),
+            col("p.nid").as("n_id"), (-col("p.negs")).as("mmr_micro"))
+        for (r <- 2 to k) {
+          val remaining = cands.join(sel.select(col("q_id"), col("n_id")),
+            Seq("q_id", "n_id"), "left_anti")
+          val div = psim
+            .join(sel.select(col("q_id"), col("n_id").as("b")), Seq("q_id", "b"))
+            .groupBy(col("q_id"), col("a"))
+            .agg(max(col("dsim")).as("maxdiv"))
+            .withColumnRenamed("a", "n_id")
+          val pick = remaining.join(div, Seq("q_id", "n_id"))
+            .withColumn("score",
+              lit(lam) * col("rel") - lit(10L - lam) * col("maxdiv"))
+            .groupBy(col("q_id"))
+            .agg(min(struct((-col("score")).as("negs"),
+              col("n_id").as("nid"))).as("p"))
+            .select(col("q_id"), lit(r.toLong).as("sel_order"),
+              col("p.nid").as("n_id"), (-col("p.negs")).as("mmr_micro"))
+          sel = sel.unionByName(pick)
+        }
+        sel.checkpointEager()
+      } finally { psim.unpersist(false); () }
+    } finally { cands.unpersist(false); () }
+  }
+
   /** Pairwise-similarity distribution estimate WITHOUT the O(n²) cross
     * join — the "how duplicated is this corpus?" diagnostic run before
     * committing to a dedup pass. Every vector draws a pseudo-random

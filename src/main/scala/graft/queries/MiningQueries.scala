@@ -1777,6 +1777,78 @@ object MiningQueries extends QueryPack {
              |  n_screen - tp AS fp, n_truth - tp AS fn,
              |  CASE WHEN n_screen > 0 THEN tp * 1000000 // n_screen END AS precision_micro,
              |  CASE WHEN n_truth > 0 THEN tp * 1000000 // n_truth END AS recall_micro
-             |FROM sm CROSS JOIN tm""".stripMargin))
+             |FROM sm CROSS JOIN tm""".stripMargin)),
+
+    // Maximal-marginal-relevance diversified top-3 from a 6-candidate
+    // exact pool (lambda = 0.7 in integer tenths) — the de-duplicating
+    // reranker between retrieval and a RAG context window. Greedy
+    // rounds are unrolled relational stages on both sides; the oracle
+    // replays candidate pool, pairwise diversity sims, and all three
+    // argmax rounds in integer micro arithmetic.
+    Q("q240_mmr_topk",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        Similarity.mmrTopK(emb.filter($"vec_id" < 20), emb,
+            k = 3, m = 6, lamNum = 7)
+          .orderBy($"q_id", $"sel_order")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+             |v AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+             |xj AS (
+             |  SELECT q_id, v.id AS n_id, ${cosR6Sql("q_emb", "v.emb")} AS sim
+             |  FROM q JOIN v ON v.id <> q_id),
+             |cr AS (
+             |  SELECT q_id, n_id, CAST(round(sim * 1000000) AS BIGINT) AS rel FROM (
+             |    SELECT q_id, n_id, sim,
+             |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+             |    FROM xj)
+             |  WHERE rn <= 6),
+             |psim AS (
+             |  SELECT c1.q_id, c1.n_id AS a, c2.n_id AS b,
+             |    CAST(round(${cosR6Sql("e1.emb", "e2.emb")} * 1000000) AS BIGINT) AS dsim
+             |  FROM cr c1 JOIN cr c2 ON c2.q_id = c1.q_id AND c2.n_id <> c1.n_id
+             |  JOIN v e1 ON e1.id = c1.n_id JOIN v e2 ON e2.id = c2.n_id),
+             |s1 AS (
+             |  SELECT q_id, n_id, 7 * rel AS sc FROM (
+             |    SELECT q_id, n_id, rel,
+             |      row_number() OVER (PARTITION BY q_id ORDER BY 7 * rel DESC, n_id) AS rn
+             |    FROM cr)
+             |  WHERE rn = 1),
+             |d2 AS (
+             |  SELECT p.q_id, p.a AS n_id, max(p.dsim) AS md
+             |  FROM psim p JOIN s1 ON s1.q_id = p.q_id AND s1.n_id = p.b
+             |  GROUP BY 1, 2),
+             |c2 AS (
+             |  SELECT c.q_id, c.n_id, 7 * c.rel - 3 * d.md AS sc
+             |  FROM cr c JOIN d2 d ON d.q_id = c.q_id AND d.n_id = c.n_id),
+             |s2 AS (
+             |  SELECT q_id, n_id, sc FROM (
+             |    SELECT q_id, n_id, sc,
+             |      row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, n_id) AS rn
+             |    FROM c2)
+             |  WHERE rn = 1),
+             |sel12 AS (SELECT q_id, n_id FROM s1 UNION ALL SELECT q_id, n_id FROM s2),
+             |d3 AS (
+             |  SELECT p.q_id, p.a AS n_id, max(p.dsim) AS md
+             |  FROM psim p JOIN sel12 s ON s.q_id = p.q_id AND s.n_id = p.b
+             |  GROUP BY 1, 2),
+             |c3 AS (
+             |  SELECT c.q_id, c.n_id, 7 * c.rel - 3 * d.md AS sc
+             |  FROM cr c JOIN d3 d ON d.q_id = c.q_id AND d.n_id = c.n_id
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel12 s
+             |                    WHERE s.q_id = c.q_id AND s.n_id = c.n_id)),
+             |s3 AS (
+             |  SELECT q_id, n_id, sc FROM (
+             |    SELECT q_id, n_id, sc,
+             |      row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, n_id) AS rn
+             |    FROM c3)
+             |  WHERE rn = 1)
+             |SELECT q_id, CAST(1 AS BIGINT) AS sel_order, n_id, sc AS mmr_micro FROM s1
+             |UNION ALL
+             |SELECT q_id, CAST(2 AS BIGINT), n_id, sc FROM s2
+             |UNION ALL
+             |SELECT q_id, CAST(3 AS BIGINT), n_id, sc FROM s3
+             |ORDER BY q_id, sel_order""".stripMargin))
   )
 }

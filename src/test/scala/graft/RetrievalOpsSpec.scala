@@ -28,6 +28,29 @@ class RetrievalOpsSpec extends SparkTestBase {
       (1L, 4L, 12L, 0L)))
   }
 
+  test("mmrTopK: diversity overrides relevance ties against the pack") {
+    // corpus: a=[.9,.436,0] (most relevant), b=[.85,.527,0] (clone of
+    // a's direction), c=[.85,-.527,0] (same relevance as b, diverse).
+    // Round 1 takes a; round 2 must take c over b — equal relevance,
+    // but sim(b,a)≈0.99 vs sim(c,a)≈0.54 — then round 3 takes b.
+    val corpus = Seq(
+      (1L, Seq(0.9f, 0.436f, 0f)),
+      (2L, Seq(0.85f, 0.527f, 0f)),
+      (3L, Seq(0.85f, -0.527f, 0f)),
+      (99L, Seq(1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 99L)
+    val got = graft.ext.Similarity.mmrTopK(q, corpus, k = 3, m = 3, lamNum = 7)
+      .orderBy($"sel_order")
+      .select($"n_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 3L, 2L), s"MMR order wrong: $got")
+    // sanity: pure relevance (lamNum = 10) keeps the rank order a,b,c
+    val rel = graft.ext.Similarity.mmrTopK(q, corpus, k = 3, m = 3, lamNum = 10)
+      .orderBy($"sel_order")
+      .select($"n_id").as[Long].collect().toSeq
+    assert(rel === Seq(1L, 2L, 3L), s"pure-relevance order wrong: $rel")
+  }
+
   test("IVF persist + loadLatest answers exactly like a fresh build") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val dir = java.nio.file.Files
