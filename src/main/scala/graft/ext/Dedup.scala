@@ -146,6 +146,45 @@ object Dedup {
         .as("recall_micro"))
   }
 
+  /** The threshold SWEEP of [[screenQualityReport]]: one row per
+    * candidate verification threshold τ, from ONE pass over each pair
+    * set — the curve that picks the dedup operating point (τ low =
+    * recall-heavy, τ high = precision-heavy) instead of certifying a
+    * single pre-chosen τ. The banded candidate set does not depend on
+    * τ (bands screen, τ verifies), so `n_screen` is constant along the
+    * curve, `tp(τ)` counts screen pairs whose exact Jaccard reaches τ,
+    * and `n_truth(τ)` counts all-pairs truth at τ. Jaccards compare in
+    * micro units through the shared `round(double · 1e6)` shape.
+    *
+    * Same audit-slice contract as the report: ground truth is the
+    * quadratic all-pairs join — bound the input.
+    */
+  def screenQualityCurve(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, tausMicro: Seq[Long],
+                         bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    require(tausMicro.nonEmpty, "need at least one threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val jm = round(col("jaccard") * 1000000, 0).cast("long").as("jm")
+    val truthAll = ngramJaccardPairs(df, idCol, textCol, n, threshold = 0.0,
+      blockCols = Seq.empty).select(jm)
+    val screen = minHashLshPairs(df, idCol, textCol, n, threshold = 0.0,
+      bands, rowsPerBand).select(jm)
+    val taus = broadcast(tausMicro.toDF("tau_micro"))
+    val truthC = taus.join(truthAll, col("jm") >= col("tau_micro"), "left")
+      .groupBy(col("tau_micro")).agg(count(col("jm")).as("n_truth"))
+    val screenC = taus.join(screen, col("jm") >= col("tau_micro"), "left")
+      .groupBy(col("tau_micro")).agg(count(col("jm")).as("tp"))
+    val nScreen = screen.agg(count(lit(1)).as("n_screen"))
+    truthC.join(screenC, "tau_micro").crossJoin(broadcast(nScreen))
+      .select(col("tau_micro"), col("n_truth"), col("n_screen"), col("tp"),
+        when(col("n_screen") > 0, expr("tp * 1000000 div n_screen"))
+          .as("precision_micro"),
+        when(col("n_truth") > 0, expr("tp * 1000000 div n_truth"))
+          .as("recall_micro"))
+      .orderBy(col("tau_micro"))
+  }
+
   /** Directed n-gram CONTAINMENT pairs: `C(A→B) = |A∩B| / |A|` ≥
     * threshold within a block — the subset-relation detector Jaccard
     * misses by construction (a quote, excerpt, or near-complete copy

@@ -1849,6 +1849,91 @@ object MiningQueries extends QueryPack {
              |SELECT q_id, CAST(2 AS BIGINT), n_id, sc FROM s2
              |UNION ALL
              |SELECT q_id, CAST(3 AS BIGINT), n_id, sc FROM s3
-             |ORDER BY q_id, sel_order""".stripMargin))
+             |ORDER BY q_id, sel_order""".stripMargin)),
+
+    // The q239 certification swept across verification thresholds: one
+    // precision/recall row per tau from one pass over each pair set —
+    // the operating-point curve (bands screen, tau verifies, so
+    // n_screen is constant and only tp/n_truth move). Same seeded
+    // slice and oracle chains as q239, plus the threshold unnest.
+    Q("q241_screen_curve",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d)
+          .filter($"doc_id" < 300)
+          .select($"doc_id", trim($"text").as("text"))
+          .withColumn("l", split($"text", "\\s+"))
+          .filter(size($"l") >= 2)
+        val mutated = base.select(
+          ($"doc_id" + 1000000L).as("doc_id"),
+          array_join(slice($"l", lit(1), expr("(4 * size(l) + 4) div 5")), " ")
+            .as("text"))
+        val u = base.select($"doc_id", $"text").unionByName(mutated)
+        Dedup.screenQualityCurve(u, "doc_id", "text", n = 2,
+          tausMicro = Seq(100000L, 300000L, 500000L, 700000L, 900000L),
+          bands = 21, rowsPerBand = 3)
+      },
+      Some("""WITH b0 AS (
+             |  SELECT doc_id, trim(text) AS text,
+             |    string_split_regex(trim(text), '\s+') AS l
+             |  FROM documents WHERE doc_id < 300),
+             |b AS (SELECT * FROM b0 WHERE len(l) >= 2),
+             |u AS (
+             |  SELECT doc_id, text FROM b
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |    array_to_string(l[1 : CAST((4 * len(l) + 4) // 5 AS INT)], ' ')
+             |  FROM b),
+             |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM u),
+             |shg AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_filter(
+             |      list_transform(l, (x,i) -> CASE WHEN i <= len(l)-1 THEN x || ' ' || l[i+1] END),
+             |      v -> v IS NOT NULL)) AS sh
+             |  FROM toks),
+             |bg AS (SELECT doc_id, unnest(sh) AS s FROM shg),
+             |szs AS (SELECT doc_id, len(sh) AS sz FROM shg),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |  FROM bg a JOIN bg b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |truthj AS (
+             |  SELECT CAST(round(CAST(i AS DOUBLE) / (x.sz + y.sz - i) * 1000000) AS BIGINT) AS jm
+             |  FROM inter JOIN szs x ON x.doc_id = id_a JOIN szs y ON y.doc_id = id_b),
+             |base2 AS (
+             |  SELECT doc_id, sh,
+             |    list_transform(sh, s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007)) AS hs
+             |  FROM shg),
+             |sig AS (
+             |  SELECT doc_id, sh,
+             |    list_transform(generate_series(1, 63), j ->
+             |      coalesce(list_min(list_transform(hs, h ->
+             |        (h * ((1103515245 * j) % 2038074743) + ((12345 * j + 7) % 2038074743)) % 2038074743)),
+             |      CAST(-1 AS BIGINT))) AS sig
+             |  FROM base2),
+             |bandrows AS (
+             |  SELECT doc_id, bb, sig[CAST(bb*3+1 AS INT) : CAST(bb*3+3 AS INT)] AS bucket
+             |  FROM sig CROSS JOIN range(0, 21) t(bb)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bandrows a JOIN bandrows b ON a.bb = b.bb AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+             |ver AS (
+             |  SELECT CAST(round(
+             |      CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(x.sh, y.sh))) * 1000000) AS BIGINT) AS jm
+             |  FROM cand JOIN shg x ON x.doc_id = id_a JOIN shg y ON y.doc_id = id_b),
+             |taus AS (SELECT unnest([100000, 300000, 500000, 700000, 900000]) AS tau_micro),
+             |tc AS (SELECT tau_micro, CAST(count(jm) AS BIGINT) AS n_truth
+             |       FROM taus LEFT JOIN truthj ON jm >= tau_micro GROUP BY 1),
+             |sc AS (SELECT tau_micro, CAST(count(jm) AS BIGINT) AS tp
+             |       FROM taus LEFT JOIN ver ON jm >= tau_micro GROUP BY 1),
+             |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_screen FROM ver)
+             |SELECT CAST(tau_micro AS BIGINT) AS tau_micro, n_truth, n_screen, tp,
+             |  CASE WHEN n_screen > 0 THEN tp * 1000000 // n_screen END AS precision_micro,
+             |  CASE WHEN n_truth > 0 THEN tp * 1000000 // n_truth END AS recall_micro
+             |FROM tc JOIN sc USING (tau_micro) CROSS JOIN ns
+             |ORDER BY tau_micro""".stripMargin))
   )
 }

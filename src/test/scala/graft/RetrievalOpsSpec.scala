@@ -72,6 +72,31 @@ class RetrievalOpsSpec extends SparkTestBase {
     assert(decoy.count() === 8L, "latest must be the k=8 index")
   }
 
+  test("screenQualityCurve: monotone counts, constant screen size") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog once more today"),
+      (4L, "completely different text about spark query engines at scale"),
+      (5L, "unrelated words concerning weighted quantile sketches only here")
+    ).toDF("doc_id", "text")
+    val rows = graft.ext.Dedup.screenQualityCurve(docs, "doc_id", "text",
+        n = 2, tausMicro = Seq(100000L, 500000L, 999999L),
+        bands = 21, rowsPerBand = 3)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length === 3)
+    val nScreen = rows.map(_.getLong(2)).distinct
+    assert(nScreen.length === 1, "bands don't depend on tau")
+    // tp and n_truth shrink (weakly) as tau rises; tp <= n_truth always
+    val truths = rows.map(_.getLong(1)); val tps = rows.map(_.getLong(3))
+    assert(truths.zip(truths.tail).forall { case (a, b) => a >= b })
+    assert(tps.zip(tps.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(1)))
+    // the exact-duplicate pair (1,2) has jaccard 1.0 >= every tau and
+    // the bands cannot miss an identical signature
+    assert(tps.last >= 1L)
+  }
+
   test("screenQualityReport: identities and planted-duplicate recall") {
     // 3 near-identical docs (one shared long sentence) + 2 unrelated:
     // truth pairs exist; screen must catch the identical pair
