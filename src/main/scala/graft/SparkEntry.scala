@@ -21,6 +21,7 @@ object SparkEntry {
     AnalyticsQueries,
     StatQueries,
     TemporalQueries,
+    CurationQueries,
     IoQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.

@@ -439,4 +439,73 @@ object CorpusOps {
       .select(col("col_name"), col("__n").as("n_rows"),
         col("n_nulls"), col("n_distinct"))
   }
+
+  /** Temperature-based source rebalance (the multilingual-sampling
+    * `p^α` recipe at α = 1/2): target share per stratum ∝ √count —
+    * up-weights small sources relative to proportional sampling without
+    * letting any source dominate — then a largest-remainder allocation
+    * ([[graft.ops.Allocate.prorate]]) hands out exactly `budget` units.
+    * Unlike [[rebalanceToMix]] (caller-given target mix), the mix here
+    * is DERIVED from the counts. α is fixed at 1/2 because `sqrt` is
+    * IEEE-exactly-rounded and therefore engine-portable; arbitrary
+    * `pow(c, α)` can differ in the last ulp across libms and would
+    * break the oracle's bit-equality.
+    *
+    * One count aggregation; everything after runs on the strata table
+    * (bounded by the number of sources, never the corpus).
+    *
+    * @return (stratum, n_docs, weight, share_micro, alloc),
+    *         Σ alloc = budget
+    */
+  def temperatureMix(df: DataFrame, stratumCol: String,
+                     budget: Long): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight",
+        round(sqrt(col("n_docs").cast("double")) * 1000000, 0).cast("long"))
+    val alloc = graft.ops.Allocate.prorate(
+      counts.withColumn("__g", lit(1)), "__g", stratumCol, "weight", budget)
+    counts
+      .join(alloc.select(col(stratumCol), col("alloc")), stratumCol)
+      .withColumn("share_micro",
+        expr("weight * 1000000 div sum(weight) over ()"))
+      .select(col(stratumCol), col("n_docs"), col("weight"),
+        col("share_micro"), col("alloc"))
+  }
+
+  /** Sequential quality-filter FUNNEL report — the rule battery every
+    * published curation pipeline documents (C4/Gopher-style): rules
+    * evaluate in order, each document is charged to the FIRST rule it
+    * fails (a NULL predicate counts as a fail), and the report gives
+    * per-rule in/killed/out counts so the reader sees where the corpus
+    * went. One linear pass computes each document's killing rule; the
+    * funnel arithmetic runs on the RULES-sized table (the partition-
+    * less window is bounded by the rule count, never the corpus).
+    *
+    * @param rules (name, keep-predicate) in evaluation order
+    * @return (rule_ord, rule, n_in, n_killed, n_out) in rule order
+    */
+  def filterFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val firstFail = rules.zipWithIndex.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, ((_, pred), i)) =>
+        acc.when(!coalesce(pred, lit(false)), lit(i.toLong))
+    }.otherwise(lit(-1L))
+    val killed = df.select(firstFail.as("killer"))
+      .groupBy(col("killer")).agg(count(lit(1)).as("n"))
+    val ruleRows = rules.zipWithIndex
+      .map { case ((name, _), i) => (i.toLong, name) }
+      .toDF("rule_ord", "rule")
+    val total = killed.agg(sum(col("n")).as("total"))
+    val before = Window.orderBy(col("rule_ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ruleRows
+      .join(killed, col("rule_ord") === col("killer"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("n_killed", coalesce(col("n"), lit(0L)))
+      .withColumn("n_in", col("total") - coalesce(sum(col("n_killed")).over(before), lit(0L)))
+      .select(col("rule_ord"), col("rule"), col("n_in"), col("n_killed"),
+        (col("n_in") - col("n_killed")).as("n_out"))
+  }
 }

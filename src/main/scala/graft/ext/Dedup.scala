@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ext.Exec.EagerDf
 
@@ -1094,5 +1095,136 @@ object Dedup {
             s => s.getField("seg_text")), " ").as("clean_text"))
         .checkpointEager()
     } finally segRows.unpersist(false)
+  }
+
+  /** Duplicated-SPAN extraction — the removal signal of substring-level
+    * training-data dedup (/root/reference has no text ops; the design
+    * follows the published ExactSubstr procedure): hash every SLIDING
+    * n-token window, mark windows whose hash occurs ≥ 2 times anywhere
+    * in the corpus (other documents or elsewhere in the same one), and
+    * merge each document's marked windows into MAXIMAL token intervals.
+    * Unlike [[stripCommonSegments]] (disjoint fixed segments, stripped
+    * only at a high document-frequency threshold — boilerplate), this
+    * finds every once-repeated run at sliding granularity, the way
+    * suffix-array dedup does, and reports exact token extents.
+    *
+    * Interval merge is gaps-and-islands per document: windows at
+    * positions p, q (p < q) cover a contiguous token run iff q ≤ p + n,
+    * so an island breaks where the position gap exceeds n. The window
+    * functions partition by document id — never a global order.
+    *
+    * Scale shape: two linear passes (position explode → hash count →
+    * semi-join back) + per-doc windows. Window hashes are
+    * [[graft.functions.PolyHash]] so the oracle reproduces collisions.
+    *
+    * @return (id, span_start, span_end, span_len) — 0-based inclusive
+    *         token extents, one row per maximal duplicated span
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    require(n >= 1, "window length must be positive")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val toks = widen(df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks")))
+    // persist the position rows: they feed the hash count AND the
+    // dup-join probe (no cross-branch CSE), and the gram array must be
+    // materialized before the positional explode (the Generate
+    // re-evaluation lesson)
+    val grams = toks
+      .select(col("id"), TextAnalysis.gramsFromTokens(col("toks"), n).as("gs"))
+      .select(col("id"), posexplode(col("gs")).as(Seq("pos", "g")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        graft.functions.PolyHash.polyHash(col("g")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dupH = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2).select(col("h"))
+      val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+      grams.join(dupH, Seq("h"), "left_semi")
+        .withColumn("brk",
+          when(col("pos") - lag(col("pos"), 1).over(w) > n, 1L).otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(w))
+        .groupBy(col("id"), col("island"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + (n - 1)).as("span_end"))
+        .select(col("id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("span_len"))
+        .checkpointEager()
+    } finally grams.unpersist(false)
+  }
+
+  /** Per-document coverage report over [[duplicatedSpans]]: how much of
+    * each document sits inside a duplicated run — the threshold key for
+    * "drop documents that are mostly copies" curation. One row per input
+    * document (zero-span documents report zero coverage).
+    *
+    * @return (id, n_tokens, n_spans, covered_tokens, coverage_micro)
+    */
+  def duplicatedSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                             n: Int): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, n)
+    val perDoc = spans.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("covered_tokens"))
+    df.select(col(idCol).as("id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        expr("coalesce(covered_tokens, 0L) * 1000000 div n_tokens")
+          .as("coverage_micro"))
+  }
+
+  /** Scrub pass over [[duplicatedSpans]]: cut every duplicated span out
+    * of its document and emit the surviving REMNANT segments of at
+    * least `minTokens` tokens, re-joined as text — what actually ships
+    * to training after substring dedup (short remnants between two cut
+    * spans are noise and are dropped, per the published procedure).
+    *
+    * Remnants are the per-document complement intervals of the span
+    * set: the run before the first span (`lag` with a -1 sentinel makes
+    * it uniform), the gaps between consecutive spans, and the tail run
+    * — plus the whole document when it has no spans at all (anti-join).
+    * All windows partition by document id; remnant text is a bounded
+    * per-row `slice` of the document's own token array.
+    *
+    * @return (id, seg_index, seg_start, seg_len, seg_text), seg_index
+    *         numbered per document in token order from 1
+    */
+  def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, minTokens: Int): DataFrame = {
+    require(minTokens >= 1, "minTokens must be positive")
+    val toks = df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val spans = duplicatedSpans(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w = Window.partitionBy(col("id")).orderBy(col("span_start"))
+      // gap candidates: [prev_end+1, span_start-1] per span (the first
+      // span's sentinel prev_end = -1 yields the head run), plus the
+      // tail run after the last span
+      val gaps = spans
+        .withColumn("prev_end", lag(col("span_end"), 1, -1L).over(w))
+        .select(col("id"), (col("prev_end") + 1).as("seg_start"),
+          (col("span_start") - col("prev_end") - 1).as("seg_len"))
+      val tails = spans.groupBy(col("id"))
+        .agg(max(col("span_end")).as("last_end"))
+        .join(toks.select(col("id"), col("n_tokens")), "id")
+        .select(col("id"), (col("last_end") + 1).as("seg_start"),
+          (col("n_tokens") - col("last_end") - 1).as("seg_len"))
+      val clean = toks.join(spans.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(0L).as("seg_start"), col("n_tokens").as("seg_len"))
+      val segs = gaps.unionByName(tails).unionByName(clean)
+        .filter(col("seg_len") >= minTokens)
+      val wIdx = Window.partitionBy(col("id")).orderBy(col("seg_start"))
+      segs
+        .join(toks.select(col("id"), col("toks")), "id")
+        .withColumn("seg_index", row_number().over(wIdx).cast("long"))
+        .select(col("id"), col("seg_index"), col("seg_start"), col("seg_len"),
+          array_join(slice(col("toks"), (col("seg_start") + 1).cast("int"),
+            col("seg_len").cast("int")), " ").as("seg_text"))
+        .checkpointEager()
+    } finally spans.unpersist(false)
   }
 }

@@ -664,4 +664,119 @@ object LangModel {
         .checkpointEager()
     } finally { grams.unpersist(false); withGrams.unpersist(false) }
   }
+
+  /** Per-GROUP unigram document NLL — [[docNll]] with one model per
+    * group (the CCNet recipe fits one LM per language; scoring a
+    * document against its own language's model is what makes the
+    * perplexity comparable within that language). Counts aggregate per
+    * (group, token); the group totals ride a window over the
+    * vocabulary-sized count table partitioned by group — never the
+    * token stream; scoring joins on (group, token) by plain
+    * equi-shuffle (the per-group vocab union can exceed any broadcast
+    * budget at corpus scale).
+    *
+    * @return (grp, id, n_tokens, sum_nll_micro, avg_nll_micro)
+    */
+  def docNllByGroup(docs: DataFrame, grpCol: String, idCol: String,
+                    textCol: String): DataFrame = {
+    val tokRows = Exec.widen(docs.select(col(grpCol).as("grp"),
+        col(idCol).as("id"), toks(col(textCol)).as("toks")))
+      .select(col("grp"), col("id"), explode(col("toks")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = tokRows.groupBy(col("grp"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+        .select(col("grp"), col("tok"),
+          round((log(col("n").cast("double")) - log(col("c").cast("double"))) * 1000000, 0)
+            .cast("long").as("nll_micro"))
+      tokRows.join(model, Seq("grp", "tok"))
+        .groupBy(col("grp"), col("id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("nll_micro")).as("sum_nll_micro"))
+        .select(col("grp"), col("id"), col("n_tokens"), col("sum_nll_micro"),
+          round(col("sum_nll_micro").cast("double") / col("n_tokens"), 0)
+            .cast("long").as("avg_nll_micro"))
+        .checkpointEager()
+    } finally tokRows.unpersist(false)
+  }
+
+  /** Multinomial Naive Bayes document classifier — the fasttext-style
+    * seed-trained quality/domain filter of the classic curation recipe
+    * (train on a trusted seed vs the raw pool, score the whole corpus,
+    * keep documents the classifier likes). Unlike [[dsirImportanceMicro]]
+    * (hashed feature buckets, importance WEIGHTS over the whole fit
+    * set), this fits an explicit-vocabulary model on the `trainPred`
+    * subset only, carries a class PRIOR, scores every document —
+    * including held-out ones whose tokens may be out-of-vocabulary —
+    * and emits a hard prediction next to the gold label, so the
+    * held-out rows double as the classifier's own accuracy audit.
+    *
+    * All model terms are the house micro-nat shape (`round(ln(·)·1e6)`
+    * of exact integer ratios, Laplace +1 smoothing):
+    *
+    *   llr(w)  = round((ln((c1+1)/(n1+V)) − ln((c0+1)/(n0+V))) · 1e6)
+    *   oov     = the same with c = 0
+    *   prior   = round((ln d1 − ln d0) · 1e6)
+    *   score(doc) = prior + Σ_tokens llr  (OOV tokens at the oov term)
+    *
+    * Scale shape: the vocabulary model broadcasts under the
+    * [[BroadcastMaxRowsKey]] gate; token instances shuffle once into
+    * the per-document aggregate; the five scalar constants ride a
+    * broadcast 1-row cross join — nothing collects to the driver.
+    *
+    * @param labelPred gold class (the seed definition), evaluated per row
+    * @param trainPred fit subset (e.g. a [[CorpusOps.hashSplit]] bucket)
+    * @return (id, gold, is_train, n_tokens, n_oov, score_micro, pred)
+    */
+  def naiveBayesClassify(docs: DataFrame, idCol: String, textCol: String,
+                         labelPred: Column, trainPred: Column): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val tokRows = Exec.widen(docs.select(col(idCol).as("id"),
+        labelPred.as("gold"), trainPred.as("is_train"),
+        TextAnalysis.tokens(col(textCol)).as("toks")))
+      .select(col("id"), col("gold"), col("is_train"),
+        explode(col("toks")).as("tok"))
+      .persist(lvl)
+    try {
+      val counts = tokRows.filter(col("is_train"))
+        .groupBy(col("tok")).agg(
+          sum(when(col("gold"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("gold"), 0L).otherwise(1L)).as("c0"))
+        .persist(lvl)
+      try {
+        val docPriors = tokRows.filter(col("is_train"))
+          .select(col("id"), col("gold")).distinct()
+          .agg(sum(when(col("gold"), 1L).otherwise(0L)).as("d1"),
+            sum(when(col("gold"), 0L).otherwise(1L)).as("d0"))
+        val consts = counts
+          .agg(count(lit(1)).as("v"), sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
+          .crossJoin(docPriors)
+          .select(col("v"), col("n1"), col("n0"),
+            round((log(lit(1.0) / (col("n1") + col("v")).cast("double"))
+                 - log(lit(1.0) / (col("n0") + col("v")).cast("double")))
+              * 1000000, 0).cast("long").as("oov_micro"),
+            round((log(col("d1").cast("double")) - log(col("d0").cast("double")))
+              * 1000000, 0).cast("long").as("prior_micro"))
+        val model = gatedBroadcast(counts.crossJoin(broadcast(consts))
+          .select(col("tok"),
+            round((log((col("c1") + 1).cast("double") / (col("n1") + col("v")).cast("double"))
+                 - log((col("c0") + 1).cast("double") / (col("n0") + col("v")).cast("double")))
+              * 1000000, 0).cast("long").as("llr_micro")))
+        tokRows
+          .join(model, Seq("tok"), "left")
+          .groupBy(col("id"), col("gold"), col("is_train"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("llr_micro").isNull, 1L).otherwise(0L)).as("n_oov"),
+            sum(coalesce(col("llr_micro"), lit(0L))).as("s"))
+          .crossJoin(broadcast(consts.select(col("oov_micro"), col("prior_micro"))))
+          .select(col("id"), col("gold"), col("is_train"),
+            col("n_tokens"), col("n_oov"),
+            (col("prior_micro") + col("s") + col("n_oov") * col("oov_micro"))
+              .as("score_micro"))
+          .withColumn("pred", col("score_micro") >= 0)
+          .checkpointEager()
+      } finally counts.unpersist(false)
+    } finally tokRows.unpersist(false)
+  }
 }

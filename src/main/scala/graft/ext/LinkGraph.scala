@@ -327,4 +327,60 @@ object LinkGraph {
         .checkpointEager()
     } finally { oriented.unpersist(false); und.unpersist(false) }
   }
+
+  /** HITS hubs & authorities in the same exact integer fixed-point
+    * discipline as [[pageRankMicro]]: per round, authority = Σ of hub
+    * scores over IN-edges, hub = Σ of the new authority scores over
+    * OUT-edges, each renormalized to a 1e6 max by an integer floor
+    * division (all operands non-negative, so Spark `div` ≡ DuckDB `//`).
+    * On a bipartite source→target graph this is the classic "good hubs
+    * cite good authorities" quality prior (query-independent HITS) —
+    * the complement of PageRank's single-score view.
+    *
+    * Scale shape per round: two edge-to-score joins + two groupBy
+    * partial sums, all hash-keyed on node ids; the normalizer is a
+    * 1-row aggregate broadcast back; scores eagerly checkpointed so
+    * the plan stays one-round deep. Nodes with no in-edges hold
+    * authority 0, nodes with no out-edges hold hub 0 (never renormed
+    * into existence — the oracle replays the identical floors).
+    *
+    * @param edges directed DISTINCT (src, dst) pairs
+    * @return (node_id, hub_micro, auth_micro)
+    */
+  def hitsMicro(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).persist(lvl)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist(lvl)
+    try {
+      nodes.count() // materialize before the loop's repeated scans
+      def renorm(raw: DataFrame, vCol: String): DataFrame = {
+        val mx = raw.agg(max(col(vCol)).as("mx"))
+        raw.crossJoin(broadcast(mx))
+          .select(col("id"),
+            when(col("mx") > 0, expr(s"$vCol * 1000000 div mx"))
+              .otherwise(lit(0L)).as(vCol))
+      }
+      var hub = nodes.withColumn("h", lit(1000000L)).checkpointEager()
+      var auth = nodes.withColumn("a", lit(0L))
+      for (_ <- 1 to iters) {
+        val aRaw = nodes.join(
+            e.join(hub.withColumnRenamed("id", "src"), "src")
+              .groupBy(col("dst").as("id")).agg(sum(col("h")).as("s")),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("s"), lit(0L)).as("a"))
+        auth = renorm(aRaw, "a").checkpointEager()
+        val hRaw = nodes.join(
+            e.join(auth.withColumnRenamed("id", "dst"), "dst")
+              .groupBy(col("src").as("id")).agg(sum(col("a")).as("s")),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("s"), lit(0L)).as("h"))
+        hub = renorm(hRaw, "h").checkpointEager()
+      }
+      nodes.join(hub, "id").join(auth, "id")
+        .select(col("id").as("node_id"), col("h").as("hub_micro"),
+          col("a").as("auth_micro"))
+    } finally { nodes.unpersist(false); e.unpersist(false) }
+  }
 }

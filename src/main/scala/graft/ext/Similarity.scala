@@ -635,4 +635,43 @@ object Similarity {
       }
     } finally base.unpersist(false)
   }
+
+  /** Inter-group embedding similarity map: the per-group centroid of
+    * the embedding column, then the cosine between every group pair —
+    * the "how close are my sources/domains in embedding space" summary
+    * that drives mixing and dedup-blocking decisions. Centroid
+    * components are exact integer micro-sums divided at the end
+    * (order-independent — the [[IvfIndex]] Lloyd-step discipline), so
+    * the pairwise cosine fold sees identical inputs in every engine.
+    *
+    * Scale shape: one posexplode + groupBy(grp, dim) partial-sum pass
+    * over the corpus; everything after (centroid assembly, the pair
+    * join) runs on the GROUPS-sized table — the pair join is quadratic
+    * only in the number of groups, and broadcasts.
+    *
+    * @return (grp_a, grp_b, n_a, n_b, cos_micro), grp_a < grp_b
+    */
+  def groupCentroidCosines(df: DataFrame, grpCol: String,
+                           embCol: String): DataFrame = {
+    val dims = df
+      .select(col(grpCol).as("grp"), posexplode(col(embCol)).as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(round(col("x").cast("double") * 1000000, 0).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("c", round(col("s").cast("double") / col("n"), 0).cast("long"))
+    val cents = dims.groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          e => e.getField("c")).as("cent"),
+        min(col("n")).as("n_rows"))
+    val a = cents.select(col("grp").as("grp_a"), col("cent").as("ca"),
+      col("n_rows").as("n_a"))
+    val b = cents.select(col("grp").as("grp_b"), col("cent").as("cb"),
+      col("n_rows").as("n_b"))
+    a.join(broadcast(b), col("grp_a") < col("grp_b"))
+      .withColumn("cos_micro",
+        round(cosine(col("ca").cast("array<double>"),
+          col("cb").cast("array<double>")) * 1000000, 0).cast("long"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        col("cos_micro"))
+  }
 }

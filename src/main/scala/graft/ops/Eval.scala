@@ -503,4 +503,43 @@ object Eval {
         round((m("n0", "s0") - m("n1", "s1")) * 1000000.0 / sqrt(se2), 0)
           .cast("long").as("t_micro"))
   }
+
+  /** Cohen's kappa inter-annotator agreement per group — the labeled-
+    * data QA gate (two annotators, or an annotator vs a model, on the
+    * same items): chance-corrected agreement from the 2×2 confusion
+    * counts. Everything up to the final division is exact integers:
+    *
+    *   po = (n00 + n11) / N        pe = (a1·b1 + a0·b0) / N²
+    *   kappa = (N·(n00+n11) − (a1·b1 + a0·b0)) / (N² − (a1·b1 + a0·b0))
+    *
+    * reported in micro-units via one rounded double division each (the
+    * shared cross-engine shape). Groups where pe = 1 (both annotators
+    * constant) have an undefined kappa and report null.
+    *
+    * One hash aggregation per group — no window, no join; grows with
+    * the number of GROUPS, not items.
+    *
+    * @return (grp, n, n00, n01, n10, n11, po_micro, pe_micro, kappa_micro)
+    */
+  def cohenKappa(df: DataFrame, grpCol: String, aPred: Column,
+                 bPred: Column): DataFrame = {
+    val g = df.groupBy(col(grpCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(!aPred && !bPred, 1L).otherwise(0L)).as("n00"),
+        sum(when(!aPred && bPred, 1L).otherwise(0L)).as("n01"),
+        sum(when(aPred && !bPred, 1L).otherwise(0L)).as("n10"),
+        sum(when(aPred && bPred, 1L).otherwise(0L)).as("n11"))
+    val agree = col("n00") + col("n11")
+    val chance = (col("n10") + col("n11")) * (col("n01") + col("n11")) +
+      (col("n00") + col("n01")) * (col("n00") + col("n10"))
+    g.select(col("grp"), col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
+      round(agree.cast("double") / col("n").cast("double") * 1000000, 0)
+        .cast("long").as("po_micro"),
+      round(chance.cast("double") / (col("n") * col("n")).cast("double") * 1000000, 0)
+        .cast("long").as("pe_micro"),
+      when(col("n") * col("n") === chance, lit(null).cast("long"))
+        .otherwise(round((col("n") * agree - chance).cast("double")
+          / (col("n") * col("n") - chance).cast("double") * 1000000, 0)
+          .cast("long")).as("kappa_micro"))
+  }
 }

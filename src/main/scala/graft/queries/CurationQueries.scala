@@ -1,0 +1,548 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{CorpusOps, Dedup, LangModel}
+import graft.ops.{Eval, Privacy}
+
+/** Wave 25 — training-data curation closers: substring-level duplicated
+  * spans (extraction + scrub), the seed-trained Naive Bayes corpus
+  * filter, per-language perplexity bucketing (the CCNet recipe),
+  * privacy-release audits, and annotation-agreement QA. Each query
+  * pairs an `ext`/`ops` operator with a DuckDB oracle that replays the
+  * identical arithmetic (PolyHash folds, micro-nat logs of integer
+  * ratios, exact integer counts).
+  */
+object CurationQueries extends QueryPack {
+
+  /** DuckDB replica of [[graft.functions.PolyHash]] over an expression. */
+  private def phSql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, length($e)),
+       |        i -> CAST(ascii(substring($e, i, 1)) AS BIGINT))),
+       |      (a,b) -> (a*31 + b) % 1000000007)""".stripMargin
+
+  /** Shared oracle CTEs for the duplicated-span queries: 5-gram hashes
+    * with 0-based positions, duplicated-window rows, and maximal spans.
+    */
+  private val spanCtes: String =
+    s"""toksx AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |  FROM documents),
+       |gl AS (
+       |  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(l) >= 5 THEN list_transform(generate_series(1, len(l) - 4),
+       |      i -> list_aggregate(l[i:i+4], 'string_agg', ' '))
+       |    ELSE [] END AS gs
+       |  FROM toksx),
+       |hs AS (
+       |  SELECT doc_id, n_tokens,
+       |    list_transform(gs, s -> ${phSql("s")}) AS hl
+       |  FROM gl),
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(hl, (h, i) -> {'h': h, 'pos': CAST(i - 1 AS BIGINT)}),
+       |           recursive := true)
+       |  FROM hs),
+       |duph AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+       |d AS (SELECT doc_id, pos FROM g JOIN duph USING (h)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM d),
+       |isl2 AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+       |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // Substring-level duplicated-span COVERAGE (the ExactSubstr dedup
+    // removal signal): sliding 5-gram windows hashed corpus-wide, any
+    // window occurring >= 2 times marks its token extent, marked
+    // windows merge into maximal per-doc spans. Linear passes + per-doc
+    // windows — never a pair join.
+    Q("q242_dup_span_coverage",
+      (s, d) => {
+        import s.implicits._
+        Dedup.duplicatedSpanCoverage(Tables.documents(s, d), "doc_id", "text", n = 5)
+          .select($"id".as("doc_id"), $"n_tokens", $"n_spans",
+            $"covered_tokens", $"coverage_micro")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $spanCtes,
+             |per AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |    CAST(sum(e - s + 1) AS BIGINT) AS covered
+             |  FROM spans GROUP BY 1)
+             |SELECT t.doc_id, t.n_tokens,
+             |  coalesce(n_spans, 0) AS n_spans,
+             |  coalesce(covered, 0) AS covered_tokens,
+             |  coalesce(covered, 0) * 1000000 // n_tokens AS coverage_micro
+             |FROM gl t LEFT JOIN per USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Scrub pass: cut every duplicated span, keep remnant segments of
+    // >= 5 tokens, re-joined as text — what actually ships to training
+    // after substring dedup.
+    Q("q243_span_scrub",
+      (s, d) => {
+        import s.implicits._
+        Dedup.scrubDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+            n = 5, minTokens = 5)
+          .select($"id".as("doc_id"), $"seg_index", $"seg_start",
+            $"seg_len", $"seg_text")
+          .orderBy($"doc_id", $"seg_index")
+      },
+      Some(s"""WITH $spanCtes,
+             |gaps AS (
+             |  SELECT doc_id,
+             |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), -1) + 1 AS seg_start,
+             |    s - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), -1) - 1 AS seg_len
+             |  FROM spans),
+             |tails AS (
+             |  SELECT sp.doc_id, max(e) + 1 AS seg_start,
+             |    min(t.n_tokens) - max(e) - 1 AS seg_len
+             |  FROM spans sp JOIN gl t USING (doc_id) GROUP BY sp.doc_id),
+             |clean AS (
+             |  SELECT doc_id, CAST(0 AS BIGINT) AS seg_start, n_tokens AS seg_len
+             |  FROM gl WHERE doc_id NOT IN (SELECT doc_id FROM spans)),
+             |segs AS (
+             |  SELECT * FROM gaps UNION ALL
+             |  SELECT * FROM tails UNION ALL
+             |  SELECT * FROM clean),
+             |idx AS (
+             |  SELECT doc_id, seg_start, seg_len,
+             |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY seg_start) AS BIGINT)
+             |      AS seg_index
+             |  FROM segs WHERE seg_len >= 5)
+             |SELECT i.doc_id, seg_index,
+             |  CAST(seg_start AS BIGINT) AS seg_start,
+             |  CAST(seg_len AS BIGINT) AS seg_len,
+             |  array_to_string(t.l[CAST(seg_start + 1 AS INT) : CAST(seg_start + seg_len AS INT)], ' ')
+             |    AS seg_text
+             |FROM idx i JOIN toksx t USING (doc_id)
+             |ORDER BY doc_id, seg_index""".stripMargin)),
+
+    // Seed-trained Naive Bayes corpus filter (the fasttext-style
+    // quality/domain classifier): fit on the 80% hash-split train
+    // subset with gold = (lang = 'en'), score EVERY document — held-out
+    // rows audit the classifier — with Laplace-smoothed micro-nat
+    // log-likelihood ratios, an OOV term, and a class prior.
+    Q("q244_nb_classifier",
+      (s, d) => {
+        import s.implicits._
+        LangModel.naiveBayesClassify(Tables.documents(s, d), "doc_id", "text",
+            $"lang" === "en",
+            pmod(graft.functions.PolyHash.polyHash($"doc_id".cast("string")),
+              lit(100L)) < 80)
+          .select($"id".as("doc_id"), $"gold", $"is_train", $"n_tokens",
+            $"n_oov", $"score_micro", $"pred")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH ph AS (
+             |  SELECT doc_id, lang = 'en' AS gold,
+             |    ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 80 AS is_train,
+             |    string_split_regex(trim(text), '\\s+') AS l
+             |  FROM documents),
+             |tokrows AS (SELECT doc_id, gold, is_train, unnest(l) AS tok FROM ph),
+             |counts AS (
+             |  SELECT tok,
+             |    CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT) AS c0
+             |  FROM tokrows WHERE is_train GROUP BY 1),
+             |consts AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS v,
+             |    CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0,
+             |    (SELECT CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT)
+             |       FROM ph WHERE is_train) AS d1,
+             |    (SELECT CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT)
+             |       FROM ph WHERE is_train) AS d0
+             |  FROM counts),
+             |cc AS (
+             |  SELECT v, n1, n0,
+             |    CAST(round((ln(1.0 / CAST(n1 + v AS DOUBLE))
+             |              - ln(1.0 / CAST(n0 + v AS DOUBLE))) * 1000000) AS BIGINT)
+             |      AS oov_micro,
+             |    CAST(round((ln(CAST(d1 AS DOUBLE)) - ln(CAST(d0 AS DOUBLE)))
+             |      * 1000000) AS BIGINT) AS prior_micro
+             |  FROM consts),
+             |model AS (
+             |  SELECT tok,
+             |    CAST(round((ln(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE))
+             |              - ln(CAST(c0 + 1 AS DOUBLE) / CAST(n0 + v AS DOUBLE)))
+             |      * 1000000) AS BIGINT) AS llr_micro
+             |  FROM counts CROSS JOIN cc),
+             |scored AS (
+             |  SELECT t.doc_id, t.gold, t.is_train,
+             |    CAST(count(*) AS BIGINT) AS n_tokens,
+             |    CAST(sum(CASE WHEN m.llr_micro IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_oov,
+             |    CAST(sum(coalesce(m.llr_micro, 0)) AS BIGINT) AS sm
+             |  FROM tokrows t LEFT JOIN model m ON t.tok = m.tok
+             |  GROUP BY 1, 2, 3)
+             |SELECT doc_id, gold, is_train, n_tokens, n_oov,
+             |  CAST(prior_micro + sm + n_oov * oov_micro AS BIGINT) AS score_micro,
+             |  (prior_micro + sm + n_oov * oov_micro) >= 0 AS pred
+             |FROM scored CROSS JOIN cc
+             |ORDER BY doc_id""".stripMargin)),
+
+    // CCNet-style per-language perplexity bucketing: one unigram LM per
+    // language, per-doc average NLL, per-language percentile tertiles →
+    // head/middle/tail, rolled up per (lang, bucket).
+    Q("q245_ccnet_buckets",
+      (s, d) => {
+        import s.implicits._
+        val nll = LangModel.docNllByGroup(Tables.documents(s, d),
+          "lang", "doc_id", "text")
+        CorpusOps.percentileNormalize(nll, "grp", "id", $"avg_nll_micro")
+          .withColumn("bucket",
+            least(lit(2L), expr("pct_micro * 3 div 1000000")))
+          .groupBy($"grp".as("lang"), $"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"avg_nll_micro").as("min_nll_micro"),
+            max($"avg_nll_micro").as("max_nll_micro"),
+            sum($"avg_nll_micro").as("sum_nll_micro"))
+          .withColumn("bucket_name",
+            when($"bucket" === 0, "head")
+              .when($"bucket" === 1, "middle").otherwise("tail"))
+          .orderBy($"lang", $"bucket")
+      },
+      Some("""WITH toksx AS (
+             |  SELECT lang, doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |model AS (
+             |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c,
+             |    CAST(sum(count(*)) OVER (PARTITION BY lang) AS BIGINT) AS n
+             |  FROM toksx GROUP BY lang, tok),
+             |m2 AS (
+             |  SELECT lang, tok,
+             |    CAST(round((ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE))) * 1000000)
+             |      AS BIGINT) AS nll_micro
+             |  FROM model),
+             |docs AS (
+             |  SELECT t.lang, t.doc_id,
+             |    CAST(count(*) AS BIGINT) AS n_tokens,
+             |    CAST(sum(m2.nll_micro) AS BIGINT) AS sum_nll_micro
+             |  FROM toksx t JOIN m2 ON t.lang = m2.lang AND t.tok = m2.tok
+             |  GROUP BY 1, 2),
+             |avgd AS (
+             |  SELECT lang, doc_id,
+             |    CAST(round(CAST(sum_nll_micro AS DOUBLE) / n_tokens) AS BIGINT)
+             |      AS avg_nll_micro
+             |  FROM docs),
+             |ranked AS (
+             |  SELECT lang, doc_id, avg_nll_micro,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY avg_nll_micro, doc_id) AS BIGINT) AS rnk,
+             |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_stratum
+             |  FROM avgd),
+             |pct AS (
+             |  SELECT lang, avg_nll_micro,
+             |    CASE WHEN n_stratum = 1 THEN 0
+             |         ELSE (rnk - 1) * 1000000 // (n_stratum - 1) END AS pct_micro
+             |  FROM ranked),
+             |bk AS (
+             |  SELECT lang, avg_nll_micro,
+             |    least(2, pct_micro * 3 // 1000000) AS bucket
+             |  FROM pct)
+             |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  min(avg_nll_micro) AS min_nll_micro,
+             |  max(avg_nll_micro) AS max_nll_micro,
+             |  CAST(sum(avg_nll_micro) AS BIGINT) AS sum_nll_micro,
+             |  CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+             |    ELSE 'tail' END AS bucket_name
+             |FROM bk GROUP BY lang, bucket
+             |ORDER BY lang, bucket""".stripMargin)),
+
+    // k-anonymity census across a generalization ladder over the
+    // customer quasi-identifiers (nation, segment, balance bucket at
+    // 100 / 1000 / suppressed), k = 5 — the privacy-release audit.
+    Q("q246_k_anonymity",
+      (s, d) => {
+        import s.implicits._
+        Privacy.kAnonymityLadder(Tables.customer(s, d), Seq(
+            "balance_100" -> Seq($"c_nationkey", $"c_mktsegment",
+              floor($"c_acctbal" / 100).cast("long")),
+            "balance_1000" -> Seq($"c_nationkey", $"c_mktsegment",
+              floor($"c_acctbal" / 1000).cast("long")),
+            "balance_dropped" -> Seq($"c_nationkey", $"c_mktsegment")),
+            k = 5L)
+          .orderBy($"level_ord")
+      },
+      Some("""WITH l0 AS (
+             |  SELECT count(*) AS sz FROM customer
+             |  GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 100) AS BIGINT)),
+             |l1 AS (
+             |  SELECT count(*) AS sz FROM customer
+             |  GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT)),
+             |l2 AS (
+             |  SELECT count(*) AS sz FROM customer
+             |  GROUP BY c_nationkey, c_mktsegment),
+             |r0 AS (
+             |  SELECT CAST(0 AS BIGINT) AS level_ord, 'balance_100' AS level,
+             |    CAST(count(*) AS BIGINT) AS n_classes,
+             |    CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+             |    CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS records_at_risk,
+             |    CAST(min(sz) AS BIGINT) AS min_class
+             |  FROM l0),
+             |r1 AS (
+             |  SELECT CAST(1 AS BIGINT), 'balance_1000',
+             |    CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT),
+             |    CAST(min(sz) AS BIGINT)
+             |  FROM l1),
+             |r2 AS (
+             |  SELECT CAST(2 AS BIGINT), 'balance_dropped',
+             |    CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT),
+             |    CAST(min(sz) AS BIGINT)
+             |  FROM l2)
+             |SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2
+             |ORDER BY level_ord""".stripMargin)),
+
+    // Cohen's kappa inter-annotator agreement per language: two
+    // deterministic "annotators" (token-count gate vs char-count gate)
+    // on every document; chance-corrected agreement from exact 2x2
+    // confusion counts.
+    Q("q247_cohen_kappa",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        Eval.cohenKappa(docs, "lang",
+            size(split(trim($"text"), "\\s+")) >= 55,
+            $"n_chars" >= 300)
+          .select($"grp".as("lang"), $"n", $"n00", $"n01", $"n10", $"n11",
+            $"po_micro", $"pe_micro", $"kappa_micro")
+          .orderBy($"lang")
+      },
+      Some("""WITH f AS (
+             |  SELECT lang,
+             |    len(string_split_regex(trim(text), '\s+')) >= 55 AS a,
+             |    n_chars >= 300 AS b
+             |  FROM documents),
+             |g AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11
+             |  FROM f GROUP BY 1),
+             |k AS (
+             |  SELECT lang, n, n00, n01, n10, n11,
+             |    (n10 + n11) * (n01 + n11) + (n00 + n01) * (n00 + n10) AS chance
+             |  FROM g)
+             |SELECT lang, n, n00, n01, n10, n11,
+             |  CAST(round(CAST(n00 + n11 AS DOUBLE) / CAST(n AS DOUBLE) * 1000000)
+             |    AS BIGINT) AS po_micro,
+             |  CAST(round(CAST(chance AS DOUBLE) / CAST(n * n AS DOUBLE) * 1000000)
+             |    AS BIGINT) AS pe_micro,
+             |  CASE WHEN n * n = chance THEN NULL
+             |    ELSE CAST(round(CAST(n * (n00 + n11) - chance AS DOUBLE)
+             |      / CAST(n * n - chance AS DOUBLE) * 1000000) AS BIGINT)
+             |  END AS kappa_micro
+             |FROM k ORDER BY lang""".stripMargin)),
+
+    // Temperature-α (α = 1/2) source rebalance: target share ∝ √count,
+    // largest-remainder allocation of a 10k-unit budget. sqrt is
+    // IEEE-exactly-rounded, so the derived weights are engine-portable.
+    Q("q248_temperature_mix",
+      (s, d) => {
+        import s.implicits._
+        CorpusOps.temperatureMix(Tables.documents(s, d), "source", budget = 10000L)
+          .orderBy($"source")
+      },
+      Some("""WITH c AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY 1),
+             |w AS (
+             |  SELECT source, n_docs,
+             |    CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS weight
+             |  FROM c),
+             |t AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+             |b AS (
+             |  SELECT source, n_docs, weight,
+             |    10000 * weight // wsum AS base,
+             |    (10000 * weight) % wsum AS rem
+             |  FROM w CROSS JOIN t),
+             |l AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS leftover FROM b),
+             |r AS (
+             |  SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source ASC) AS BIGINT) AS rk
+             |  FROM b)
+             |SELECT source, n_docs, weight,
+             |  CAST(weight * 1000000 // (SELECT wsum FROM t) AS BIGINT) AS share_micro,
+             |  CAST(base + CASE WHEN rk <= (SELECT leftover FROM l) THEN 1 ELSE 0 END
+             |    AS BIGINT) AS alloc
+             |FROM r ORDER BY source""".stripMargin)),
+
+    // C4/Gopher-style quality-rule FUNNEL: rules fire in order, each
+    // doc charged to the first rule it fails; per-rule in/killed/out.
+    Q("q249_filter_funnel",
+      (s, d) => {
+        import s.implicits._
+        val toksC = split(trim($"text"), "\\s+")
+        val sumLen = aggregate(toksC, lit(0L), (acc, x) => acc + length(x))
+        val grams2 = graft.ext.TextAnalysis.gramsFromTokens(toksC, 2)
+        CorpusOps.filterFunnel(Tables.documents(s, d), Seq(
+          "min_tokens" -> (size(toksC) >= 40),
+          "max_tokens" -> (size(toksC) <= 90),
+          "mean_word_len" ->
+            (sumLen >= size(toksC) * 3 && sumLen <= size(toksC) * 12),
+          "low_repetition" ->
+            ((size(grams2) - size(array_distinct(grams2))) * 5 <= size(grams2))))
+          .orderBy($"rule_ord")
+      },
+      Some("""WITH base AS (
+             |  SELECT string_split_regex(trim(text), '\s+') AS l FROM documents),
+             |g AS (
+             |  SELECT l, list_filter(list_transform(l,
+             |      (x,i) -> CASE WHEN i <= len(l)-1 THEN x || ' ' || l[i+1] END),
+             |    v -> v IS NOT NULL) AS gs
+             |  FROM base),
+             |feats AS (
+             |  SELECT len(l) AS nt,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(l, x -> CAST(length(x) AS BIGINT))), (a,b) -> a + b) AS sl,
+             |    len(gs) AS ng, len(list_distinct(gs)) AS nd
+             |  FROM g),
+             |f AS (
+             |  SELECT CASE
+             |    WHEN NOT (nt >= 40) THEN 0
+             |    WHEN NOT (nt <= 90) THEN 1
+             |    WHEN NOT (sl >= 3*nt AND sl <= 12*nt) THEN 2
+             |    WHEN NOT ((ng - nd)*5 <= ng) THEN 3
+             |    ELSE -1 END AS killer
+             |  FROM feats),
+             |k AS (SELECT killer, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+             |rules AS (SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), 'min_tokens'), (CAST(1 AS BIGINT), 'max_tokens'),
+             |  (CAST(2 AS BIGINT), 'mean_word_len'),
+             |  (CAST(3 AS BIGINT), 'low_repetition')) AS t(rule_ord, rule)),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM k),
+             |j AS (
+             |  SELECT rule_ord, rule, CAST(coalesce(n, 0) AS BIGINT) AS n_killed
+             |  FROM rules LEFT JOIN k ON killer = rule_ord),
+             |runr AS (
+             |  SELECT rule_ord, rule, n_killed,
+             |    CAST(coalesce(sum(n_killed) OVER (ORDER BY rule_ord
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS before
+             |  FROM j)
+             |SELECT rule_ord, rule,
+             |  CAST(total - before AS BIGINT) AS n_in, n_killed,
+             |  CAST(total - before - n_killed AS BIGINT) AS n_out
+             |FROM runr CROSS JOIN tot ORDER BY rule_ord""".stripMargin)),
+
+    // Inter-label embedding similarity map: exact micro-int centroids
+    // per label, pairwise centroid cosine — the domain-closeness
+    // summary behind mixing / dedup-blocking decisions.
+    Q("q250_label_centroid_cosines",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.Similarity.groupCentroidCosines(
+            Tables.embeddings(s, d), "label", "embedding")
+          .select($"grp_a".cast("long").as("label_a"),
+            $"grp_b".cast("long").as("label_b"),
+            $"n_a", $"n_b", $"cos_micro")
+          .orderBy($"label_a", $"label_b")
+      },
+      Some("""WITH dims AS (
+             |  SELECT label,
+             |    unnest(list_transform(embedding,
+             |      (x,i) -> {'pos': CAST(i AS BIGINT),
+             |                'xm': CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)}),
+             |      recursive := true)
+             |  FROM embeddings),
+             |agg AS (
+             |  SELECT label, pos, CAST(sum(xm) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM dims GROUP BY 1, 2),
+             |cent AS (
+             |  SELECT label, pos, n,
+             |    CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS c
+             |  FROM agg),
+             |arrs AS (
+             |  SELECT label, min(n) AS n_rows, list(c ORDER BY pos) AS cent
+             |  FROM cent GROUP BY label),
+             |p AS (
+             |  SELECT a.label AS label_a, b.label AS label_b,
+             |    a.n_rows AS n_a, b.n_rows AS n_b, a.cent AS ca, b.cent AS cb
+             |  FROM arrs a JOIN arrs b ON a.label < b.label)
+             |SELECT CAST(label_a AS BIGINT) AS label_a,
+             |  CAST(label_b AS BIGINT) AS label_b,
+             |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |  CAST(round(
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(ca, (x,i) -> CAST(x AS DOUBLE) * CAST(cb[i] AS DOUBLE))),
+             |      (p,v) -> p + v)
+             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(ca, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             |         (p,v) -> p + v))
+             |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |         list_transform(cb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             |         (p,v) -> p + v)))
+             |    * 1000000) AS BIGINT) AS cos_micro
+             |FROM p ORDER BY label_a, label_b""".stripMargin)),
+
+    // HITS hubs/authorities on the DIRECTED customer→supplier bipartite
+    // graph (exact integer fixed-point, 2 rounds; the oracle replays
+    // every floor). Customers accumulate hub mass, suppliers authority.
+    Q("q251_hits",
+      (s, d) => {
+        import s.implicits._
+        val edges = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+          .select($"o_custkey".as("src"), ($"l_suppkey" + 1000000L).as("dst"))
+          .distinct()
+        graft.ext.LinkGraph.hitsMicro(edges, iters = 2)
+          .orderBy($"node_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+             |a1r AS (
+             |  SELECT n.id, CAST(coalesce(t.s, 0) AS BIGINT) AS a
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT dst AS id, sum(CAST(1000000 AS BIGINT)) AS s
+             |    FROM e GROUP BY 1) t ON t.id = n.id),
+             |a1m AS (SELECT max(a) AS mx FROM a1r),
+             |a1 AS (SELECT id, CASE WHEN mx > 0 THEN a * 1000000 // mx
+             |  ELSE CAST(0 AS BIGINT) END AS a FROM a1r CROSS JOIN a1m),
+             |h1r AS (
+             |  SELECT n.id, CAST(coalesce(t.s, 0) AS BIGINT) AS h
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.src AS id, sum(a1.a) AS s
+             |    FROM e JOIN a1 ON a1.id = e.dst GROUP BY 1) t ON t.id = n.id),
+             |h1m AS (SELECT max(h) AS mx FROM h1r),
+             |h1 AS (SELECT id, CASE WHEN mx > 0 THEN h * 1000000 // mx
+             |  ELSE CAST(0 AS BIGINT) END AS h FROM h1r CROSS JOIN h1m),
+             |a2r AS (
+             |  SELECT n.id, CAST(coalesce(t.s, 0) AS BIGINT) AS a
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS id, sum(h1.h) AS s
+             |    FROM e JOIN h1 ON h1.id = e.src GROUP BY 1) t ON t.id = n.id),
+             |a2m AS (SELECT max(a) AS mx FROM a2r),
+             |a2 AS (SELECT id, CASE WHEN mx > 0 THEN a * 1000000 // mx
+             |  ELSE CAST(0 AS BIGINT) END AS a FROM a2r CROSS JOIN a2m),
+             |h2r AS (
+             |  SELECT n.id, CAST(coalesce(t.s, 0) AS BIGINT) AS h
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.src AS id, sum(a2.a) AS s
+             |    FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1) t ON t.id = n.id),
+             |h2m AS (SELECT max(h) AS mx FROM h2r),
+             |h2 AS (SELECT id, CASE WHEN mx > 0 THEN h * 1000000 // mx
+             |  ELSE CAST(0 AS BIGINT) END AS h FROM h2r CROSS JOIN h2m)
+             |SELECT n.id AS node_id, h2.h AS hub_micro, a2.a AS auth_micro
+             |FROM nodes n JOIN h2 ON h2.id = n.id JOIN a2 ON a2.id = n.id
+             |ORDER BY node_id""".stripMargin))
+  )
+}
