@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{CorpusOps, LinkGraph, Similarity}
+
+/** Wave-26 operator specs: HITS golden values on a hand-walked bipartite
+  * graph, temperature-mix weights/allocation, filter-funnel charging
+  * semantics, and centroid-cosine geometry goldens.
+  */
+class Curation2Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hitsMicro golden: two rounds on a 4-node bipartite graph") {
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val out = LinkGraph.hitsMicro(edges, iters = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // round 1: a(10)=2e6, a(11)=1e6 → norm (1e6, 5e5); h(1)=1e6,
+    // h(2)=1.5e6 → norm (666666, 1e6). round 2: a(10)=1666666,
+    // a(11)=1e6 → norm (1e6, 600000); h(1)=1e6, h(2)=1.6e6 →
+    // norm (625000, 1e6). Sources hold no authority, sinks no hub.
+    assert(out === Set(
+      (1L, 625000L, 0L), (2L, 1000000L, 0L),
+      (10L, 0L, 1000000L), (11L, 0L, 600000L)))
+  }
+
+  test("temperatureMix: sqrt weights, exact-budget largest-remainder allocation") {
+    val df = (Seq.fill(1)("a") ++ Seq.fill(4)("b")).toDF("src")
+    val out = CorpusOps.temperatureMix(df, "src", budget = 9L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("a") === ((1L, 1000000L, 333333L, 3L)))
+    assert(out("b") === ((4L, 2000000L, 666666L, 6L)))
+  }
+
+  test("temperatureMix ties break by stratum name and the budget is exact") {
+    val df = Seq("a", "b", "c", "d").toDF("src")
+    val out = CorpusOps.temperatureMix(df, "src", budget = 10L)
+      .select($"src", $"alloc").as[(String, Long)].collect().toMap
+    assert(out === Map("a" -> 3L, "b" -> 3L, "c" -> 2L, "d" -> 2L))
+  }
+
+  test("filterFunnel charges each row to its FIRST failing rule; null = fail") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 1L),      // passes both
+      (null, 1L),    // fails rule 0 (null)
+      (0L, 0L),      // fails rule 0 (and would fail 1 — charged to 0)
+      (1L, 0L)       // fails rule 1 only
+    ).toDF("x", "y")
+    val out = CorpusOps.filterFunnel(df, Seq(
+        "x_pos" -> ($"x" > 0), "y_pos" -> ($"y" > 0)))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, "x_pos", 4L, 2L, 2L),
+      (1L, "y_pos", 2L, 1L, 1L)))
+  }
+
+  test("groupCentroidCosines geometry goldens: orthogonal 0, identical 1e6") {
+    val df = Seq(
+      ("g1", Array(1f, 0f)), ("g1", Array(1f, 0f)),
+      ("g2", Array(0f, 1f)),
+      ("g3", Array(2f, 0f))).toDF("grp", "emb")
+    val out = Similarity.groupCentroidCosines(df, "grp", "emb")
+      .select($"grp_a", $"grp_b", $"cos_micro")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("g1", "g2")) === 0L)
+    assert(out(("g1", "g3")) === 1000000L)
+    assert(out(("g2", "g3")) === 0L)
+  }
+}
