@@ -14,6 +14,7 @@ object Bench {
     val spark = Sessions.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Sessions.quietKnownWarnings()
     // untimed warmup: absorb JVM/codegen/session startup so the first
     // timed query reflects its own cost, not the engine's
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")

@@ -10,6 +10,7 @@ object Verify {
     val spark = graft.core.Sessions.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Sessions.quietKnownWarnings()
     new java.io.File(outDir).mkdirs()
     // optional subset for local iteration (same contract as Bench):
     // comma-separated name substrings; oracle_sql.json still covers all

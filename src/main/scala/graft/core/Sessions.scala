@@ -36,4 +36,25 @@ object Sessions {
       // medians). One periodic GC per minute bounds that drift.
       .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
+
+  /** Silence two benign but PROLIFIC warning sources that flood stderr
+    * during a full Bench/Verify run and push the one-line JSON summary
+    * out of any bounded log tail a harness might read:
+    *  - `WindowExec: No Partition Defined` — every partition-less
+    *    window in the suite is over a provably bounded table (the
+    *    two-phase offset/decile/calendar pattern; see the bound notes
+    *    at each site), so the warning is expected and repeats hundreds
+    *    of times;
+    *  - `rdd.*: RDD was locally checkpointed` — emitted once per
+    *    unpersist of an eagerly-checkpointed frame (the Bench
+    *    inter-query block cleanup does this ~40× per query).
+    * Errors still surface; only these WARN loggers drop to ERROR.
+    */
+  def quietKnownWarnings(): Unit = {
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+  }
 }

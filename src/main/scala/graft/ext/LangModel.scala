@@ -700,6 +700,69 @@ object LangModel {
     } finally tokRows.unpersist(false)
   }
 
+  /** Pairwise Jensen–Shannon divergence between per-group unigram
+    * distributions — the text-side domain-closeness map (embedding-side
+    * twin: [[Similarity.groupCentroidCosines]]) that data-mixing work
+    * reads before deciding which sources to merge, up-weight, or use as
+    * mutual dedup blocks. JSD(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M), M=(P+Q)/2,
+    * decomposed so every token is charged exactly once:
+    *
+    *  - token in both:  p·ln(2p/(p+q)) + q·ln(2q/(p+q))
+    *  - token in one:   its probability mass · ln 2 (the KL limit),
+    *    charged from the pair's exact leftover integer mass — never a
+    *    per-token row for the absent side.
+    *
+    * Double sums over a vocabulary are partition-order-dependent, so
+    * each per-token term is rounded to PICO units (1e-12; JSD ≤ ln 2 ≈
+    * 0.69, so totals stay far inside 64 bits and per-term rounding
+    * error is ≤ vocab·5e-13) and summed exactly as integers — the same
+    * discipline as every micro-nat operator, two orders tighter because
+    * the terms are probability-scaled.
+    *
+    * Scale shape: one token-count aggregation; the group totals ride a
+    * window over the vocabulary-sized count table; the pair join is on
+    * `tok` and fans out at most (groups choose 2) rows per token.
+    * Group pairs sharing NO token are absent from the output (their
+    * JSD is exactly ln 2).
+    *
+    * @return (grp_a, grp_b, n_a, n_b, vocab_both, jsd_pico), grp_a < grp_b
+    */
+  def jsDivergencePico(docs: DataFrame, grpCol: String,
+                       textCol: String): DataFrame = {
+    val counts = Exec.widen(docs.select(col(grpCol).as("grp"),
+        toks(col(textCol)).as("toks")))
+      .select(col("grp"), explode(col("toks")).as("tok"))
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val a = counts.select(col("grp").as("grp_a"), col("tok"),
+        col("c").as("ca"), col("n").as("na"))
+      val b = counts.select(col("grp").as("grp_b"), col("tok"),
+        col("c").as("cb"), col("n").as("nb"))
+      val pa = col("ca").cast("double") / col("na").cast("double")
+      val pb = col("cb").cast("double") / col("nb").cast("double")
+      // the ½ of JSD = ½KL(P‖M) + ½KL(Q‖M) is folded into the pico
+      // scale (5e11 = 1e12/2, an exact double), applied BEFORE rounding
+      val term = round((pa * log(lit(2.0) * pa / (pa + pb))
+          + pb * log(lit(2.0) * pb / (pa + pb))) * 5e11, 0).cast("long")
+      def onlyTerm(n: Column, cBoth: Column): Column =
+        round((n - cBoth).cast("double") / n.cast("double")
+          * log(lit(2.0)) * 5e11, 0).cast("long")
+      a.join(b, Seq("tok")).filter(col("grp_a") < col("grp_b"))
+        .groupBy(col("grp_a"), col("grp_b"))
+        .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+          count(lit(1)).as("vocab_both"),
+          sum(col("ca")).as("ca_both"), sum(col("cb")).as("cb_both"),
+          sum(term).as("s_both"))
+        .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+          col("vocab_both"),
+          (col("s_both") + onlyTerm(col("n_a"), col("ca_both"))
+            + onlyTerm(col("n_b"), col("cb_both"))).as("jsd_pico"))
+        .checkpointEager()
+    } finally counts.unpersist(false)
+  }
+
   /** Multinomial Naive Bayes document classifier — the fasttext-style
     * seed-trained quality/domain filter of the classic curation recipe
     * (train on a trusted seed vs the raw pool, score the whole corpus,

@@ -543,6 +543,60 @@ object CurationQueries extends QueryPack {
              |  ELSE CAST(0 AS BIGINT) END AS h FROM h2r CROSS JOIN h2m)
              |SELECT n.id AS node_id, h2.h AS hub_micro, a2.a AS auth_micro
              |FROM nodes n JOIN h2 ON h2.id = n.id JOIN a2 ON a2.id = n.id
-             |ORDER BY node_id""".stripMargin))
+             |ORDER BY node_id""".stripMargin)),
+
+    // Pairwise Jensen–Shannon divergence between source unigram
+    // distributions — the text-side domain-closeness map. Per-token
+    // terms rounded to pico units and summed as exact integers;
+    // one-sided mass charged at ln 2 from the pair's integer leftover.
+    Q("q252_js_divergence",
+      (s, d) => {
+        import s.implicits._
+        LangModel.jsDivergencePico(Tables.documents(s, d), "source", "text")
+          .orderBy($"grp_a", $"grp_b")
+      },
+      Some("""WITH tokrows AS (
+             |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |counts AS (
+             |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM tokrows GROUP BY 1, 2),
+             |ct AS (
+             |  SELECT source, tok, c,
+             |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+             |  FROM counts),
+             |j AS (
+             |  SELECT a.source AS grp_a, b.source AS grp_b,
+             |    a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb
+             |  FROM ct a JOIN ct b ON a.tok = b.tok AND a.source < b.source),
+             |terms AS (
+             |  SELECT grp_a, grp_b, ca, cb, na, nb,
+             |    CAST(round((
+             |      CAST(ca AS DOUBLE)/CAST(na AS DOUBLE)
+             |        * ln(CAST(2 AS DOUBLE) * (CAST(ca AS DOUBLE)/CAST(na AS DOUBLE))
+             |             / (CAST(ca AS DOUBLE)/CAST(na AS DOUBLE)
+             |                + CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE)))
+             |      + CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE)
+             |        * ln(CAST(2 AS DOUBLE) * (CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE))
+             |             / (CAST(ca AS DOUBLE)/CAST(na AS DOUBLE)
+             |                + CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE))))
+             |      * CAST(500000000000 AS DOUBLE)) AS BIGINT) AS term
+             |  FROM j),
+             |agg AS (
+             |  SELECT grp_a, grp_b,
+             |    CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
+             |    CAST(count(*) AS BIGINT) AS vocab_both,
+             |    CAST(sum(ca) AS BIGINT) AS ca_both,
+             |    CAST(sum(cb) AS BIGINT) AS cb_both,
+             |    CAST(sum(term) AS BIGINT) AS s_both
+             |  FROM terms GROUP BY 1, 2)
+             |SELECT grp_a, grp_b, n_a, n_b, vocab_both,
+             |  CAST(s_both
+             |    + CAST(round(CAST(n_a - ca_both AS DOUBLE)/CAST(n_a AS DOUBLE)
+             |        * ln(CAST(2 AS DOUBLE)) * CAST(500000000000 AS DOUBLE)) AS BIGINT)
+             |    + CAST(round(CAST(n_b - cb_both AS DOUBLE)/CAST(n_b AS DOUBLE)
+             |        * ln(CAST(2 AS DOUBLE)) * CAST(500000000000 AS DOUBLE)) AS BIGINT)
+             |    AS BIGINT) AS jsd_pico
+             |FROM agg ORDER BY grp_a, grp_b""".stripMargin))
   )
 }

@@ -54,6 +54,28 @@ class Curation2Spec extends SparkTestBase {
       (1L, "y_pos", 2L, 1L, 1L)))
   }
 
+  test("jsDivergencePico: zero for identical distributions, hand-walked golden") {
+    val docs = Seq(
+      ("a", "x x y"), ("b", "x z z"), ("c", "x x y")).toDF("src", "text")
+    val out = graft.ext.LangModel.jsDivergencePico(docs, "src", "text")
+      .select($"grp_a", $"grp_b", $"jsd_pico")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // identical distributions → every term ln(2p/2p) = 0, no leftover
+    assert(out(("a", "c")) === 0L)
+    // hand-walk (a, b): shared token x (pa=2/3, pb=1/3), a-only mass
+    // 1/3, b-only mass 2/3 — replay the op's exact double shape
+    val pa = 2.0 / 3; val pb = 1.0 / 3
+    val shared = math.round(
+      (pa * math.log(2.0 * pa / (pa + pb))
+        + pb * math.log(2.0 * pb / (pa + pb))) * 5e11)
+    val aOnly = math.round(1.0 / 3 * math.log(2.0) * 5e11)
+    val bOnly = math.round(2.0 / 3 * math.log(2.0) * 5e11)
+    assert(out(("a", "b")) === shared + aOnly + bOnly)
+    // sanity: the value is ~0.3749·1e12, inside the ln 2 bound
+    assert(out(("a", "b")) > 370000000000L && out(("a", "b")) < 380000000000L)
+  }
+
   test("groupCentroidCosines geometry goldens: orthogonal 0, identical 1e6") {
     val df = Seq(
       ("g1", Array(1f, 0f)), ("g1", Array(1f, 0f)),
