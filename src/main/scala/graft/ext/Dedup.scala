@@ -1097,6 +1097,69 @@ object Dedup {
     } finally segRows.unpersist(false)
   }
 
+  /** Source-level token-set overlap map: exact Jaccard between every
+    * group pair PLUS the bottom-k minwise estimate and its error — the
+    * vocabulary-overlap complement of [[graft.ext.LangModel.jsDivergencePico]]
+    * (set overlap vs distribution divergence), with the sketch column
+    * certifying on real data how much fidelity the constant-size
+    * summary would give up at a scale where the exact pair join is no
+    * longer affordable.
+    *
+    * Bottom-k estimator: J ≈ |S_k(A∪B) ∩ S_k(A) ∩ S_k(B)| / |S_k(A∪B)|
+    * where S_k = the k smallest distinct [[graft.functions.PolyHash]]
+    * values — engine-portable, so the oracle replays the sketch too.
+    *
+    * Scale shape: the exact side is one (grp, tok)-distinct projection,
+    * one self-join on `tok` (fan-out bounded by groups per token), and
+    * group-sized aggregates; the sketch side ranks hashes within each
+    * group (vocabulary-sized window per group) and every array after
+    * that is exactly k elements. Output is (groups choose 2) rows.
+    *
+    * @return (grp_a, grp_b, n_a, n_b, inter, jaccard_micro, est_micro,
+    *         err_micro), grp_a < grp_b
+    */
+  def groupTokenOverlap(df: DataFrame, grpCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, "sketch size must be positive")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val st = widen(df.select(col(grpCol).as("grp"),
+        TextAnalysis.tokens(col(textCol)).as("toks")))
+      .select(col("grp"), explode(col("toks")).as("tok")).distinct()
+      .persist(lvl)
+    try {
+      val sizes = st.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      val inter = st.select(col("grp").as("grp_a"), col("tok"))
+        .join(st.select(col("grp").as("grp_b"), col("tok")), "tok")
+        .filter(col("grp_a") < col("grp_b"))
+        .groupBy(col("grp_a"), col("grp_b")).agg(count(lit(1)).as("inter"))
+      val hs = st.select(col("grp"),
+        graft.functions.PolyHash.polyHash(col("tok")).as("h")).distinct()
+      val sig = hs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("grp")).orderBy(col("h"))))
+        .filter(col("rn") <= k)
+        .groupBy(col("grp")).agg(array_sort(collect_list(col("h"))).as("sig"))
+      val pairs = sig.select(col("grp").as("grp_a"), col("sig").as("sa"))
+        .join(broadcast(sig.select(col("grp").as("grp_b"), col("sig").as("sb"))),
+          col("grp_a") < col("grp_b"))
+        .withColumn("uk", slice(array_sort(array_union(col("sa"), col("sb"))), 1, k))
+        .withColumn("est_micro", expr(
+          "size(array_intersect(array_intersect(uk, sa), sb)) * 1000000L div size(uk)"))
+      pairs
+        .join(broadcast(sizes.select(col("grp").as("grp_a"), col("n").as("n_a"))), "grp_a")
+        .join(broadcast(sizes.select(col("grp").as("grp_b"), col("n").as("n_b"))), "grp_b")
+        .join(inter, Seq("grp_a", "grp_b"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .withColumn("jaccard_micro",
+          expr("inter * 1000000 div (n_a + n_b - inter)"))
+        .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+          col("inter"), col("jaccard_micro"), col("est_micro"),
+          abs(col("est_micro") - col("jaccard_micro")).as("err_micro"))
+        .checkpointEager()
+    } finally st.unpersist(false)
+  }
+
   /** Duplicated-SPAN extraction — the removal signal of substring-level
     * training-data dedup (/root/reference has no text ops; the design
     * follows the published ExactSubstr procedure): hash every SLIDING

@@ -636,6 +636,44 @@ object Similarity {
     } finally base.unpersist(false)
   }
 
+  /** Per-group embedding DISPERSION: every row's cosine affinity to its
+    * own group centroid, aggregated per group — the intra-source
+    * diversity report read next to [[groupCentroidCosines]]'s
+    * inter-source map (a tight source may be redundant boilerplate; a
+    * diffuse one may be mislabeled or need sub-clustering). Centroids
+    * are the exact micro-int means (the Lloyd-step discipline);
+    * per-row cosines round to micro BEFORE aggregating, so the group
+    * mean is an exact integer division of an exact integer sum —
+    * order-independent in any engine.
+    *
+    * One posexplode pass for centroids, then one broadcast join of the
+    * groups-sized centroid table back onto the rows.
+    *
+    * @return (grp, n_rows, mean_cos_micro, min_cos_micro, max_cos_micro)
+    */
+  def groupDispersion(df: DataFrame, grpCol: String, embCol: String): DataFrame = {
+    val dims = df
+      .select(col(grpCol).as("grp"), posexplode(col(embCol)).as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(round(col("x").cast("double") * 1000000, 0).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("c", round(col("s").cast("double") / col("n"), 0).cast("long"))
+    val cents = dims.groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("cent"))
+    df.select(col(grpCol).as("grp"), col(embCol).as("emb"))
+      .join(broadcast(cents), "grp")
+      .withColumn("cos_micro",
+        round(cosine(col("emb").cast("array<double>"),
+          col("cent").cast("array<double>")) * 1000000, 0).cast("long"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("cos_micro")).cast("double") / count(lit(1)), 0)
+          .cast("long").as("mean_cos_micro"),
+        min(col("cos_micro")).as("min_cos_micro"),
+        max(col("cos_micro")).as("max_cos_micro"))
+  }
+
   /** Inter-group embedding similarity map: the per-group centroid of
     * the embedding column, then the cosine between every group pair —
     * the "how close are my sources/domains in embedding space" summary

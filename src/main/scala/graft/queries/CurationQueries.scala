@@ -597,6 +597,103 @@ object CurationQueries extends QueryPack {
              |    + CAST(round(CAST(n_b - cb_both AS DOUBLE)/CAST(n_b AS DOUBLE)
              |        * ln(CAST(2 AS DOUBLE)) * CAST(500000000000 AS DOUBLE)) AS BIGINT)
              |    AS BIGINT) AS jsd_pico
-             |FROM agg ORDER BY grp_a, grp_b""".stripMargin))
+             |FROM agg ORDER BY grp_a, grp_b""".stripMargin)),
+
+    // Source token-set overlap map: exact pairwise Jaccard over distinct
+    // vocabularies PLUS the bottom-64 minwise estimate and its error —
+    // certifying the constant-size sketch against ground truth.
+    Q("q253_source_overlap",
+      (s, d) => {
+        import s.implicits._
+        Dedup.groupTokenOverlap(Tables.documents(s, d), "source", "text", k = 64)
+          .orderBy($"grp_a", $"grp_b")
+      },
+      Some(s"""WITH st AS (
+             |  SELECT DISTINCT source AS grp, tok FROM (
+             |    SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+             |    FROM documents)),
+             |sizes AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY 1),
+             |intr AS (
+             |  SELECT a.grp AS grp_a, b.grp AS grp_b, CAST(count(*) AS BIGINT) AS inter
+             |  FROM st a JOIN st b ON a.tok = b.tok AND a.grp < b.grp
+             |  GROUP BY 1, 2),
+             |hsd AS (SELECT DISTINCT grp, ${phSql("tok")} AS h FROM st),
+             |sigr AS (
+             |  SELECT grp, h,
+             |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+             |  FROM hsd),
+             |sig AS (
+             |  SELECT grp, list_sort(list(h)) AS sig FROM sigr
+             |  WHERE rn <= 64 GROUP BY grp),
+             |p AS (
+             |  SELECT a.grp AS grp_a, b.grp AS grp_b, a.sig AS sa, b.sig AS sb,
+             |    list_sort(list_distinct(list_concat(a.sig, b.sig)))[1:64] AS uk
+             |  FROM sig a JOIN sig b ON a.grp < b.grp),
+             |e AS (
+             |  SELECT grp_a, grp_b,
+             |    CAST(len(list_intersect(list_intersect(uk, sa), sb)) * 1000000
+             |      // len(uk) AS BIGINT) AS est_micro
+             |  FROM p)
+             |SELECT e.grp_a, e.grp_b, x.n AS n_a, y.n AS n_b,
+             |  coalesce(intr.inter, 0) AS inter,
+             |  CAST(coalesce(intr.inter, 0) * 1000000
+             |    // (x.n + y.n - coalesce(intr.inter, 0)) AS BIGINT) AS jaccard_micro,
+             |  est_micro,
+             |  abs(est_micro - CAST(coalesce(intr.inter, 0) * 1000000
+             |    // (x.n + y.n - coalesce(intr.inter, 0)) AS BIGINT)) AS err_micro
+             |FROM e
+             |JOIN sizes x ON x.grp = e.grp_a
+             |JOIN sizes y ON y.grp = e.grp_b
+             |LEFT JOIN intr ON intr.grp_a = e.grp_a AND intr.grp_b = e.grp_b
+             |ORDER BY e.grp_a, e.grp_b""".stripMargin)),
+
+    // Per-label embedding dispersion: each vector's cosine to its own
+    // label centroid (exact micro-int centroid), aggregated — the
+    // intra-source diversity report next to q250's inter-source map.
+    Q("q254_label_dispersion",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.Similarity.groupDispersion(
+            Tables.embeddings(s, d), "label", "embedding")
+          .select($"grp".cast("long").as("label"), $"n_rows",
+            $"mean_cos_micro", $"min_cos_micro", $"max_cos_micro")
+          .orderBy($"label")
+      },
+      Some("""WITH dims AS (
+             |  SELECT label,
+             |    unnest(list_transform(embedding,
+             |      (x,i) -> {'pos': CAST(i AS BIGINT),
+             |                'xm': CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)}),
+             |      recursive := true)
+             |  FROM embeddings),
+             |agg AS (
+             |  SELECT label, pos, CAST(sum(xm) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM dims GROUP BY 1, 2),
+             |cent AS (
+             |  SELECT label, pos,
+             |    CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS c
+             |  FROM agg),
+             |arrs AS (SELECT label, list(c ORDER BY pos) AS cent FROM cent GROUP BY label),
+             |rows_cos AS (
+             |  SELECT e.label,
+             |    CAST(round(
+             |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform(e.embedding,
+             |          (x,i) -> CAST(x AS DOUBLE) * CAST(a.cent[i] AS DOUBLE))),
+             |        (p,v) -> p + v)
+             |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             |           (p,v) -> p + v))
+             |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(a.cent, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             |           (p,v) -> p + v)))
+             |      * 1000000) AS BIGINT) AS cm
+             |  FROM embeddings e JOIN arrs a ON a.label = e.label)
+             |SELECT CAST(label AS BIGINT) AS label,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(round(CAST(sum(cm) AS DOUBLE) / count(*)) AS BIGINT) AS mean_cos_micro,
+             |  min(cm) AS min_cos_micro, max(cm) AS max_cos_micro
+             |FROM rows_cos GROUP BY label ORDER BY label""".stripMargin))
   )
 }

@@ -76,6 +76,32 @@ class Curation2Spec extends SparkTestBase {
     assert(out(("a", "b")) > 370000000000L && out(("a", "b")) < 380000000000L)
   }
 
+  test("groupTokenOverlap: exact Jaccard golden; sketch exact when k covers the union") {
+    val docs = Seq(
+      ("A", "a b c"), ("B", "b c d"), ("C", "x y")).toDF("src", "text")
+    val out = graft.ext.Dedup.groupTokenOverlap(docs, "src", "text", k = 64)
+      .select($"grp_a", $"grp_b", $"n_a", $"n_b", $"inter",
+        $"jaccard_micro", $"est_micro", $"err_micro")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // |{a,b,c} ∩ {b,c,d}| = 2, union 4 → 0.5; k=64 ≥ union → est exact
+    assert(out(("A", "B")) === (("A", "B", 3L, 3L, 2L, 500000L, 500000L, 0L)))
+    assert(out(("A", "C")) === (("A", "C", 3L, 2L, 0L, 0L, 0L, 0L)))
+    assert(out(("B", "C"))._5 === 0L)
+  }
+
+  test("groupDispersion: identical vectors cohere at 1e6; orthogonal pair at cos 45°") {
+    val df = Seq(
+      ("same", Array(1f, 0f)), ("same", Array(1f, 0f)),
+      ("orth", Array(1f, 0f)), ("orth", Array(0f, 1f))).toDF("grp", "emb")
+    val out = graft.ext.Similarity.groupDispersion(df, "grp", "emb")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("same") === ((2L, 1000000L, 1000000L, 1000000L)))
+    // centroid (0.5, 0.5): each vector sits at cos 45° from it
+    assert(out("orth") === ((2L, 707107L, 707107L, 707107L)))
+  }
+
   test("groupCentroidCosines geometry goldens: orthogonal 0, identical 1e6") {
     val df = Seq(
       ("g1", Array(1f, 0f)), ("g1", Array(1f, 0f)),
