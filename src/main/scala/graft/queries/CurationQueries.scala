@@ -694,6 +694,128 @@ object CurationQueries extends QueryPack {
              |  CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(round(CAST(sum(cm) AS DOUBLE) / count(*)) AS BIGINT) AS mean_cos_micro,
              |  min(cm) AS min_cos_micro, max(cm) AS max_cos_micro
-             |FROM rows_cos GROUP BY label ORDER BY label""".stripMargin))
+             |FROM rows_cos GROUP BY label ORDER BY label""".stripMargin)),
+
+    // END-TO-END curation pipeline report — the integration proof that
+    // the stages compose: C4-style rule funnel → duplicated-span
+    // coverage gate (<50%) → NB classifier gate, rolled up per source
+    // with surviving token mass. One relational plan; the oracle
+    // replays all three stages from their proven fragments.
+    Q("q255_pipeline_report",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val toksC = split(trim($"text"), "\\s+")
+        val sumLen = aggregate(toksC, lit(0L), (acc, x) => acc + length(x))
+        val grams2 = graft.ext.TextAnalysis.gramsFromTokens(toksC, 2)
+        val flagged = docs.select($"doc_id", $"source",
+          size(toksC).cast("long").as("n_tokens"),
+          (size(toksC) >= 40 && size(toksC) <= 90 &&
+            sumLen >= size(toksC) * 3 && sumLen <= size(toksC) * 12 &&
+            (size(grams2) - size(array_distinct(grams2))) * 5 <= size(grams2))
+            .as("pass_filters"))
+        val cov = Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", n = 5)
+          .select($"id".as("doc_id"),
+            ($"coverage_micro" < 500000L).as("pass_dedup"))
+        val nb = LangModel.naiveBayesClassify(docs, "doc_id", "text",
+            $"lang" === "en",
+            pmod(graft.functions.PolyHash.polyHash($"doc_id".cast("string")),
+              lit(100L)) < 80)
+          .select($"id".as("doc_id"), $"pred".as("pass_class"))
+        flagged.join(cov, "doc_id").join(nb, "doc_id")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_raw"),
+            sum(when($"pass_filters", 1L).otherwise(0L)).as("n_pass_filters"),
+            sum(when($"pass_filters" && $"pass_dedup", 1L).otherwise(0L))
+              .as("n_pass_dedup"),
+            sum(when($"pass_filters" && $"pass_dedup" && $"pass_class", 1L)
+              .otherwise(0L)).as("n_final"),
+            sum(when($"pass_filters" && $"pass_dedup" && $"pass_class",
+              $"n_tokens").otherwise(0L)).as("tokens_final"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH $spanCtes,
+             |per AS (
+             |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS covered
+             |  FROM spans GROUP BY 1),
+             |covg AS (
+             |  SELECT t.doc_id,
+             |    coalesce(covered, 0) * 1000000 // n_tokens < 500000 AS pass_dedup
+             |  FROM gl t LEFT JOIN per USING (doc_id)),
+             |ph AS (
+             |  SELECT doc_id, lang = 'en' AS gold,
+             |    ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 80 AS is_train, l
+             |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS l
+             |        FROM documents)),
+             |tokrows AS (SELECT doc_id, gold, is_train, unnest(l) AS tok FROM ph),
+             |counts AS (
+             |  SELECT tok,
+             |    CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT) AS c0
+             |  FROM tokrows WHERE is_train GROUP BY 1),
+             |consts AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS v,
+             |    CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0,
+             |    (SELECT CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT)
+             |       FROM ph WHERE is_train) AS d1,
+             |    (SELECT CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT)
+             |       FROM ph WHERE is_train) AS d0
+             |  FROM counts),
+             |cc AS (
+             |  SELECT v, n1, n0,
+             |    CAST(round((ln(1.0 / CAST(n1 + v AS DOUBLE))
+             |              - ln(1.0 / CAST(n0 + v AS DOUBLE))) * 1000000) AS BIGINT)
+             |      AS oov_micro,
+             |    CAST(round((ln(CAST(d1 AS DOUBLE)) - ln(CAST(d0 AS DOUBLE)))
+             |      * 1000000) AS BIGINT) AS prior_micro
+             |  FROM consts),
+             |model AS (
+             |  SELECT tok,
+             |    CAST(round((ln(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE))
+             |              - ln(CAST(c0 + 1 AS DOUBLE) / CAST(n0 + v AS DOUBLE)))
+             |      * 1000000) AS BIGINT) AS llr_micro
+             |  FROM counts CROSS JOIN cc),
+             |scored AS (
+             |  SELECT t.doc_id,
+             |    CAST(sum(CASE WHEN m.llr_micro IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_oov,
+             |    CAST(sum(coalesce(m.llr_micro, 0)) AS BIGINT) AS sm
+             |  FROM tokrows t LEFT JOIN model m ON t.tok = m.tok
+             |  GROUP BY 1),
+             |nbp AS (
+             |  SELECT doc_id,
+             |    (prior_micro + sm + n_oov * oov_micro) >= 0 AS pass_class
+             |  FROM scored CROSS JOIN cc),
+             |feats AS (
+             |  SELECT doc_id, source, CAST(len(l) AS BIGINT) AS n_tokens,
+             |    len(l) >= 40 AND len(l) <= 90
+             |      AND sl >= 3*len(l) AND sl <= 12*len(l)
+             |      AND (ng - nd)*5 <= ng AS pass_filters
+             |  FROM (
+             |    SELECT doc_id, source, l,
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(l, x -> CAST(length(x) AS BIGINT))), (a,b) -> a + b) AS sl,
+             |      len(gs) AS ng, len(list_distinct(gs)) AS nd
+             |    FROM (
+             |      SELECT doc_id, source, l, list_filter(list_transform(l,
+             |          (x,i) -> CASE WHEN i <= len(l)-1 THEN x || ' ' || l[i+1] END),
+             |        v -> v IS NOT NULL) AS gs
+             |      FROM (SELECT doc_id, source,
+             |              string_split_regex(trim(text), '\\s+') AS l
+             |            FROM documents))))
+             |SELECT f.source,
+             |  CAST(count(*) AS BIGINT) AS n_raw,
+             |  CAST(sum(CASE WHEN pass_filters THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_pass_filters,
+             |  CAST(sum(CASE WHEN pass_filters AND pass_dedup THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_pass_dedup,
+             |  CAST(sum(CASE WHEN pass_filters AND pass_dedup AND pass_class
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+             |  CAST(sum(CASE WHEN pass_filters AND pass_dedup AND pass_class
+             |    THEN f.n_tokens ELSE 0 END) AS BIGINT) AS tokens_final
+             |FROM feats f
+             |JOIN covg ON covg.doc_id = f.doc_id
+             |JOIN nbp ON nbp.doc_id = f.doc_id
+             |GROUP BY f.source ORDER BY f.source""".stripMargin))
   )
 }
