@@ -328,6 +328,130 @@ object LinkGraph {
     } finally { oriented.unpersist(false); und.unpersist(false) }
   }
 
+  /** PERSONALIZED PageRank with the [[pageRankMicro]] exact-integer
+    * floor discipline: teleport mass returns only to the SEED set, so
+    * rank measures proximity to the seeds along links — the "expand
+    * from a trusted whitelist" crawl-frontier prior (seed a few vetted
+    * sources, rank the rest by how much seed mass flows to them), and
+    * the standard related-item score on bipartite graphs.
+    *
+    *   init_v = 1e12 div |S| on seeds, 0 elsewhere
+    *   rank'_v = (15·(1e12 div |S|)) div 100 · [v ∈ S]
+    *           + (85·Σ_{u→v} (rank_u div deg_u)) div 100
+    *
+    * Every operation an integer floor — bit-identical at any
+    * parallelism and in any engine. Same per-iteration shape as the
+    * global variant (one ranks-to-edges join + one groupBy(dst)); the
+    * seed membership joins as a broadcast flag.
+    *
+    * @param seeds 1-column (id) seed set, distinct
+    */
+  def pageRankPersonalizedMicro(edges: DataFrame, seeds: DataFrame,
+                                iters: Int): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).persist(lvl)
+    val eDeg = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .persist(lvl)
+    val sd = seeds.toDF("id").distinct().persist(lvl)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(broadcast(sd.withColumn("is_seed", lit(true))), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .persist(lvl)
+    try {
+      val nSeeds = sd.count()
+      require(nSeeds >= 1, "need at least one seed")
+      val init = 1000000000000L / nSeeds
+      val base = (15L * init) / 100L
+      var ranks = nodes
+        .withColumn("rank", when(col("is_seed"), lit(init)).otherwise(lit(0L)))
+        .select(col("id"), col("rank")).checkpointEager()
+      for (_ <- 1 to iters) {
+        val contrib = eDeg.join(ranks.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), expr("rank div deg").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("s"))
+        ranks = nodes.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (when(col("is_seed"), lit(base)).otherwise(lit(0L))
+              + expr("85 * coalesce(s, cast(0 as bigint)) div 100")).as("rank"))
+          .checkpointEager()
+      }
+      ranks.select(col("id").as("node_id"), col("rank").as("rank_micro"))
+    } finally {
+      nodes.unpersist(false); sd.unpersist(false)
+      eDeg.unpersist(false); e.unpersist(false)
+    }
+  }
+
+  /** Degree assortativity of an undirected graph (pass both edge
+    * directions): the Pearson correlation, across edges, of the two
+    * endpoint degrees — positive r = hubs link hubs (social-network
+    * shape), negative = hubs link leaves (bipartite / infrastructure
+    * shape). The five sufficient moments are EXACT integer sums over
+    * the edge list (degree ≤ n keeps every product far inside 64 bits
+    * for any graph whose edge list fits a cluster); the statistic is
+    * one shared-shape double at the end.
+    *
+    * One degree aggregation + two broadcast-sized joins of the degree
+    * table back onto edges + one total aggregation.
+    *
+    * @return 1 row: (n_edges, sxy, sx, sy, sxx, syy, r_micro)
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val m = e
+      .join(deg.select(col("id").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dy")), "dst")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+    val n = col("n_edges").cast("double")
+    val cov = col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / n
+    val vx = col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / n
+    val vy = col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double") / n
+    m.select(col("n_edges"), col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"),
+      when(vx > 0.0 && vy > 0.0,
+        round(cov / sqrt(vx) / sqrt(vy) * 1000000, 0).cast("long"))
+        .otherwise(lit(null).cast("long")).as("r_micro"))
+  }
+
+  /** Fixed-round k-core PEEL: each round removes every node whose
+    * degree among SURVIVORS is below `k`; after `rounds` rounds the
+    * survivors approximate (and, once a round removes nothing, exactly
+    * equal) the k-core — the standard "dense interaction core"
+    * extraction. Fixed rounds rather than convergence detection keep
+    * the computation a pure function both engines replay identically;
+    * callers size `rounds` to the expected peel depth (each round is
+    * one semi-join + one degree aggregation, eagerly checkpointed).
+    *
+    * @param edges undirected edge list given in BOTH directions
+    * @return (node_id, core_degree) for surviving nodes
+    */
+  def kCorePeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = edges.select(col("src"), col("dst")).persist(lvl)
+    try {
+      var alive = e0.select(col("src").as("id")).distinct().checkpointEager()
+      for (_ <- 1 to rounds) {
+        val survEdges = e0
+          .join(alive.select(col("id").as("src")), "src")
+          .join(alive.select(col("id").as("dst")), "dst")
+        alive = survEdges.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("id")).checkpointEager()
+      }
+      e0.join(alive.select(col("id").as("src")), "src")
+        .join(alive.select(col("id").as("dst")), "dst")
+        .groupBy(col("src").as("node_id")).agg(count(lit(1)).as("core_degree"))
+    } finally e0.unpersist(false)
+  }
+
   /** HITS hubs & authorities in the same exact integer fixed-point
     * discipline as [[pageRankMicro]]: per round, authority = Σ of hub
     * scores over IN-edges, hub = Σ of the new authority scores over

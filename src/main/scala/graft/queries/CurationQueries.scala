@@ -816,6 +816,144 @@ object CurationQueries extends QueryPack {
              |FROM feats f
              |JOIN covg ON covg.doc_id = f.doc_id
              |JOIN nbp ON nbp.doc_id = f.doc_id
-             |GROUP BY f.source ORDER BY f.source""".stripMargin))
+             |GROUP BY f.source ORDER BY f.source""".stripMargin)),
+
+    // Personalized PageRank from a seed set (nation-0 customers):
+    // teleport mass returns only to seeds — proximity-to-seeds along
+    // links, in the exact integer floor discipline of q115.
+    Q("q256_pagerank_personalized",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+          .select($"o_custkey".as("c"), $"l_suppkey".as("p")).distinct()
+        val edges = pairs.select($"c".as("src"), ($"p" + 1000000L).as("dst"))
+          .union(pairs.select(($"p" + 1000000L).as("src"), $"c".as("dst")))
+        val seeds = Tables.customer(s, d)
+          .filter($"c_nationkey" === 0).select($"c_custkey")
+        graft.ext.LinkGraph.pageRankPersonalizedMicro(edges, seeds, iters = 2)
+          .orderBy($"node_id")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |edges AS (
+             |  SELECT c AS src, p + 1000000 AS dst FROM pairs
+             |  UNION ALL SELECT p + 1000000, c FROM pairs),
+             |seeds AS (SELECT DISTINCT c_custkey AS id FROM customer
+             |          WHERE c_nationkey = 0),
+             |ns AS (SELECT count(*) AS n FROM seeds),
+             |nodes AS (SELECT DISTINCT src AS id FROM edges
+             |          UNION SELECT DISTINCT dst FROM edges),
+             |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+             |r0 AS (SELECT n.id,
+             |         CASE WHEN sd.id IS NOT NULL
+             |           THEN 1000000000000 // (SELECT n FROM ns) ELSE 0 END AS rank
+             |       FROM nodes n LEFT JOIN seeds sd ON sd.id = n.id),
+             |s1 AS (SELECT e.dst AS id, sum(r.rank // d.deg) AS s
+             |       FROM edges e JOIN r0 r ON r.id = e.src JOIN deg d ON d.src = e.src
+             |       GROUP BY 1),
+             |r1 AS (SELECT n.id,
+             |         CASE WHEN sd.id IS NOT NULL
+             |           THEN (15 * (1000000000000 // (SELECT n FROM ns))) // 100
+             |           ELSE 0 END
+             |           + (85 * coalesce(s1.s, 0)) // 100 AS rank
+             |       FROM nodes n LEFT JOIN seeds sd ON sd.id = n.id
+             |         LEFT JOIN s1 ON s1.id = n.id),
+             |s2 AS (SELECT e.dst AS id, sum(r.rank // d.deg) AS s
+             |       FROM edges e JOIN r1 r ON r.id = e.src JOIN deg d ON d.src = e.src
+             |       GROUP BY 1),
+             |r2 AS (SELECT n.id,
+             |         CASE WHEN sd.id IS NOT NULL
+             |           THEN (15 * (1000000000000 // (SELECT n FROM ns))) // 100
+             |           ELSE 0 END
+             |           + (85 * coalesce(s2.s, 0)) // 100 AS rank
+             |       FROM nodes n LEFT JOIN seeds sd ON sd.id = n.id
+             |         LEFT JOIN s2 ON s2.id = n.id)
+             |SELECT id AS node_id, CAST(rank AS BIGINT) AS rank_micro
+             |FROM r2 ORDER BY id""".stripMargin)),
+
+    // Degree assortativity of the undirected co-trade graph: Pearson r
+    // of endpoint degrees across edges — exact integer moments, one
+    // shared double. Bipartite graphs come out strongly negative.
+    Q("q257_assortativity",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+          .select($"o_custkey".as("c"), $"l_suppkey".as("p")).distinct()
+        val edges = pairs.select($"c".as("src"), ($"p" + 1000000L).as("dst"))
+          .union(pairs.select(($"p" + 1000000L).as("src"), $"c".as("dst")))
+        graft.ext.LinkGraph.degreeAssortativity(edges)
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |edges AS (
+             |  SELECT c AS src, p + 1000000 AS dst FROM pairs
+             |  UNION ALL SELECT p + 1000000, c FROM pairs),
+             |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+             |        FROM edges GROUP BY 1),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             |    CAST(sum(x.deg * y.deg) AS BIGINT) AS sxy,
+             |    CAST(sum(x.deg) AS BIGINT) AS sx,
+             |    CAST(sum(y.deg) AS BIGINT) AS sy,
+             |    CAST(sum(x.deg * x.deg) AS BIGINT) AS sxx,
+             |    CAST(sum(y.deg * y.deg) AS BIGINT) AS syy
+             |  FROM edges e JOIN deg x ON x.id = e.src JOIN deg y ON y.id = e.dst)
+             |SELECT n_edges, sxy, sx, sy, sxx, syy,
+             |  CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             |               / CAST(n_edges AS DOUBLE)) > 0
+             |        AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+             |               / CAST(n_edges AS DOUBLE)) > 0
+             |    THEN CAST(round(
+             |      (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+             |         / CAST(n_edges AS DOUBLE))
+             |      / sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             |           / CAST(n_edges AS DOUBLE))
+             |      / sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+             |           / CAST(n_edges AS DOUBLE))
+             |      * 1000000) AS BIGINT)
+             |    ELSE NULL END AS r_micro
+             |FROM m""".stripMargin)),
+
+    // Fixed-round 3-core peel of the co-purchase part graph (parts
+    // sharing an order, df-capped): survivors + their core degree
+    // after 4 peel rounds — both engines replay the identical rounds.
+    Q("q258_kcore",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+          .filter($"l_partkey" < 400).distinct()
+        val co = li.join(li.withColumnRenamed("l_partkey", "p2"), "l_orderkey")
+          .filter($"l_partkey" =!= $"p2")
+          .select($"l_partkey".as("src"), $"p2".as("dst")).distinct()
+        graft.ext.LinkGraph.kCorePeel(co, k = 3L, rounds = 4)
+          .orderBy($"node_id")
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+             |  WHERE l_partkey < 400),
+             |e0 AS (
+             |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |  WHERE a.l_partkey <> b.l_partkey),
+             |a0 AS (SELECT DISTINCT src AS id FROM e0),
+             |a1 AS (SELECT src AS id FROM e0
+             |       JOIN a0 x ON x.id = e0.src JOIN a0 y ON y.id = e0.dst
+             |       GROUP BY src HAVING count(*) >= 3),
+             |a2 AS (SELECT src AS id FROM e0
+             |       JOIN a1 x ON x.id = e0.src JOIN a1 y ON y.id = e0.dst
+             |       GROUP BY src HAVING count(*) >= 3),
+             |a3 AS (SELECT src AS id FROM e0
+             |       JOIN a2 x ON x.id = e0.src JOIN a2 y ON y.id = e0.dst
+             |       GROUP BY src HAVING count(*) >= 3),
+             |a4 AS (SELECT src AS id FROM e0
+             |       JOIN a3 x ON x.id = e0.src JOIN a3 y ON y.id = e0.dst
+             |       GROUP BY src HAVING count(*) >= 3)
+             |SELECT src AS node_id, CAST(count(*) AS BIGINT) AS core_degree
+             |FROM e0 JOIN a4 x ON x.id = e0.src JOIN a4 y ON y.id = e0.dst
+             |GROUP BY src ORDER BY node_id""".stripMargin))
   )
 }

@@ -102,6 +102,51 @@ class Curation2Spec extends SparkTestBase {
     assert(out("orth") === ((2L, 707107L, 707107L, 707107L)))
   }
 
+  test("pageRankPersonalizedMicro with seeds = all nodes ≡ global pageRankMicro") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val nodes = edges.select($"src".as("id"))
+      .union(edges.select($"dst".as("id"))).distinct()
+    val global = LinkGraph.pageRankMicro(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val pers = LinkGraph.pageRankPersonalizedMicro(edges, nodes, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(pers === global)
+  }
+
+  test("pageRankPersonalizedMicro concentrates mass near the seed") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 10L))
+      .toDF("src", "dst")
+    val out = LinkGraph.pageRankPersonalizedMicro(
+        edges, Seq(1L).toDF("id"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // the disconnected {10, 11} cycle receives no seed mass at all
+    assert(out(10L) === 0L && out(11L) === 0L)
+    assert(out(1L) > 0L && out(2L) > 0L)
+  }
+
+  test("degreeAssortativity: star graph is perfectly disassortative, cycle undefined") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val r = LinkGraph.degreeAssortativity(star)
+      .select($"r_micro").as[Option[Long]].collect().head
+    assert(r === Some(-1000000L))
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 1L), (3L, 2L), (1L, 3L)).toDF("src", "dst")
+    val rc = LinkGraph.degreeAssortativity(cycle)
+      .select($"r_micro").as[Option[Long]].collect().head
+    assert(rc.isEmpty) // constant degree → zero variance → null
+  }
+
+  test("kCorePeel: tail nodes peel off, the triangle is the 2-core; 3-core empty") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val core2 = LinkGraph.kCorePeel(edges, k = 2L, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(LinkGraph.kCorePeel(edges, k = 3L, rounds = 3).count() === 0L)
+  }
+
   test("groupCentroidCosines geometry goldens: orthogonal 0, identical 1e6") {
     val df = Seq(
       ("g1", Array(1f, 0f)), ("g1", Array(1f, 0f)),
