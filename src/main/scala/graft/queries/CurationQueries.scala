@@ -954,6 +954,49 @@ object CurationQueries extends QueryPack {
              |       GROUP BY src HAVING count(*) >= 3)
              |SELECT src AS node_id, CAST(count(*) AS BIGINT) AS core_degree
              |FROM e0 JOIN a4 x ON x.id = e0.src JOIN a4 y ON y.id = e0.dst
-             |GROUP BY src ORDER BY node_id""".stripMargin))
+             |GROUP BY src ORDER BY node_id""".stripMargin)),
+
+    // SIXTH streaming operator in the conformance gate: continuous
+    // Bloom-filter maintenance replayed over the documents file in 8
+    // micro-batches, each ORing its bit delta into the V2 doc store.
+    // Set bits are an OR-monoid (associative, commutative, idempotent)
+    // so the batched state must equal the direct single-pass build the
+    // oracle recomputes hash-for-hash — the streaming dedup screen.
+    Q("q259_stream_bloom_replay",
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.StreamSketch
+        import graft.io.MemDocStore
+        val keyed = Tables.documents(s, d).select(concat_ws(" ",
+          slice(graft.ext.TextAnalysis.tokens($"text"), 1, 3)).as("key"))
+        val root = graft.core.Scratch.dir("q259_replay")
+        keyed.repartition(8).write.mode("overwrite").parquet(s"$root/data")
+        MemDocStore.drop("q259_bloom")
+        val stream = s.readStream
+          .schema(s.read.parquet(s"$root/data").schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/data")
+        val q = StreamSketch.runBloom(stream, "q259_bloom", "key",
+          m = 4096, k = 3)
+        q.processAllAvailable()
+        q.stop()
+        StreamSketch.counters(s, "q259_bloom")
+          .select($"bit").orderBy($"bit")
+      },
+      Some("""WITH keyed AS (
+             |  SELECT DISTINCT
+             |    array_to_string(string_split_regex(trim(text),'\s+')[1:3], ' ') AS key
+             |  FROM documents),
+             |ch AS (
+             |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(key)),
+             |        j -> CAST(ascii(substring(key, j, 1)) AS BIGINT))),
+             |      (a, b) -> (a*31 + b) % 1000000007) AS h
+             |  FROM keyed),
+             |ii AS (SELECT unnest(generate_series(0, 2)) AS i)
+             |SELECT DISTINCT
+             |  ((h * ((1103515245 * (i+1)) % 1000000007)
+             |    + ((12345 * (i+1) + 7) % 1000000007)) % 1000000007) % 4096 AS bit
+             |FROM ch, ii ORDER BY bit""".stripMargin))
   )
 }

@@ -93,4 +93,38 @@ object StreamSketch {
         mergeHllBatch(batch.sparkSession, batch, collection, groupCol, keyCol, p)
       }
       .start()
+
+  /** OR one batch's Bloom bit delta into `collection`. Set bits are an
+    * OR-monoid — associative, commutative, IDEMPOTENT — so the batched
+    * maintenance equals the single-pass build exactly and replaying
+    * data is a no-op; the bit table is bounded at `m` rows regardless
+    * of stream length. This is the streaming dedup SCREEN: the stored
+    * filter answers "have we (possibly) seen this key before" for an
+    * ingest running next to it ([[graft.ext.Sketches.bloomScreen]] is
+    * the batch probe side — no false negatives by construction).
+    */
+  private[streaming] def mergeBloomBatch(spark: SparkSession, batch: DataFrame,
+                                         collection: String, keyCol: String,
+                                         m: Int, k: Int): Unit = {
+    val delta = Sketches.bloomBits(batch, keyCol, m, k)
+    val existing =
+      if (MemDocStore.collections.contains(collection))
+        DocumentSink.pullFrom(spark, MemDocStore.Format,
+          Map("collection" -> collection))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.schema)
+    val merged = existing.unionByName(delta).distinct()
+    DocumentSink.pushTo(merged, MemDocStore.Format,
+      Map("collection" -> collection))
+  }
+
+  /** Continuous Bloom-filter maintenance over `stream`'s `keyCol`. */
+  def runBloom(stream: DataFrame, collection: String, keyCol: String,
+               m: Int, k: Int): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBloomBatch(batch.sparkSession, batch, collection, keyCol, m, k)
+      }
+      .start()
 }

@@ -69,4 +69,34 @@ class StreamSketchSpec extends SparkTestBase {
       s"batched+replayed registers drift from one-shot: got=$got oneShot=$oneShot")
     MemDocStore.drop(coll)
   }
+
+  test("batched Bloom bits == one-shot build; replay is idempotent; no false negatives") {
+    implicit val sc = spark.sqlContext
+    val coll = "bloom_spec"
+    MemDocStore.drop(coll)
+    val in = MemoryStream[String]
+    val q = StreamSketch.runBloom(in.toDF().toDF("key"), coll, "key",
+      m = 256, k = 3)
+    val b1 = Seq("alpha", "beta", "gamma")
+    val b2 = Seq("delta", "beta")
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    // replaying an already-seen batch must not change the bit set
+    in.addData(b1); q.processAllAvailable()
+    q.stop()
+
+    val got = StreamSketch.counters(spark, coll)
+      .as[Long].collect().toSet
+    val oneShot = Sketches.bloomBits((b1 ++ b2).toDF("key"), "key",
+        m = 256, k = 3)
+      .as[Long].collect().toSet
+    assert(got === oneShot,
+      s"batched+replayed bits drift from one-shot: got=$got oneShot=$oneShot")
+    // the maintained filter screens with no false negatives
+    val screen = Sketches.bloomScreen((b1 ++ b2).toDF("key"),
+        (b1 ++ b2 ++ Seq("zeta")).toDF("key"), "key", m = 256, k = 3)
+      .as[(String, Boolean)].collect().toMap
+    (b1 ++ b2).foreach(k => assert(screen(k), s"false negative for $k"))
+    MemDocStore.drop(coll)
+  }
 }
