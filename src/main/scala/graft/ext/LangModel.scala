@@ -700,6 +700,58 @@ object LangModel {
     } finally tokRows.unpersist(false)
   }
 
+  /** Per-group token KEYNESS: the k most distinctive tokens of each
+    * group versus the rest of the corpus, scored by the Laplace-
+    * smoothed log-likelihood ratio (the corpus-linguistics keyness /
+    * Monroe log-odds family, in the same micro-nat integer shape as
+    * [[naiveBayesClassify]]'s llr with the group as class 1 and the
+    * rest as class 0):
+    *
+    *   score(w, g) = round((ln((c_g+1)/(n_g+V)) −
+    *                        ln((c_r+1)/(n_r+V))) · 1e6)
+    *
+    * — "what words make source g sound like itself", the audit behind
+    * mixing and contamination decisions. One (grp, tok) count pass;
+    * global token totals join back on tok; the rank window runs per
+    * group over the vocabulary-sized score table.
+    *
+    * @return (grp, rnk, tok, c_grp, c_rest, score_micro), rnk 1..k by
+    *         (score desc, tok asc)
+    */
+  def keynessTopK(docs: DataFrame, grpCol: String, textCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val counts = Exec.widen(docs.select(col(grpCol).as("grp"),
+        toks(col(textCol)).as("toks")))
+      .select(col("grp"), explode(col("toks")).as("tok"))
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val byTok = counts.groupBy(col("tok")).agg(sum(col("c")).as("c_all"))
+      val byGrp = counts.groupBy(col("grp")).agg(sum(col("c")).as("n_g"))
+      val globals = counts.agg(sum(col("c")).as("n_all"),
+        countDistinct(col("tok")).as("v"))
+      val scored = counts
+        .join(byTok, "tok")
+        .join(broadcast(byGrp), "grp")
+        .crossJoin(broadcast(globals))
+        .select(col("grp"), col("tok"), col("c").as("c_grp"),
+          (col("c_all") - col("c")).as("c_rest"),
+          round((log((col("c") + 1).cast("double")
+                / (col("n_g") + col("v")).cast("double"))
+              - log((col("c_all") - col("c") + 1).cast("double")
+                / (col("n_all") - col("n_g") + col("v")).cast("double")))
+            * 1000000, 0).cast("long").as("score_micro"))
+      scored
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("grp"))
+          .orderBy(col("score_micro").desc, col("tok").asc)).cast("long"))
+        .filter(col("rnk") <= k)
+        .select(col("grp"), col("rnk"), col("tok"), col("c_grp"),
+          col("c_rest"), col("score_micro"))
+        .checkpointEager()
+    } finally counts.unpersist(false)
+  }
+
   /** Pairwise Jensen–Shannon divergence between per-group unigram
     * distributions — the text-side domain-closeness map (embedding-side
     * twin: [[Similarity.groupCentroidCosines]]) that data-mixing work

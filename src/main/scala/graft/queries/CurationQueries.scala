@@ -997,6 +997,48 @@ object CurationQueries extends QueryPack {
              |SELECT DISTINCT
              |  ((h * ((1103515245 * (i+1)) % 1000000007)
              |    + ((12345 * (i+1) + 7) % 1000000007)) % 1000000007) % 4096 AS bit
-             |FROM ch, ii ORDER BY bit""".stripMargin))
+             |FROM ch, ii ORDER BY bit""".stripMargin)),
+
+    // Token keyness: top-5 most distinctive tokens per language vs the
+    // rest of the corpus (Laplace log-likelihood ratio, micro-nats) —
+    // "what words make this slice sound like itself".
+    Q("q260_keyness",
+      (s, d) => {
+        import s.implicits._
+        LangModel.keynessTopK(Tables.documents(s, d), "lang", "text", k = 5)
+          .select($"grp".as("lang"), $"rnk", $"tok", $"c_grp", $"c_rest",
+            $"score_micro")
+          .orderBy($"lang", $"rnk")
+      },
+      Some("""WITH tokrows AS (
+             |  SELECT lang AS grp, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |counts AS (
+             |  SELECT grp, tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM tokrows GROUP BY 1, 2),
+             |bytok AS (SELECT tok, CAST(sum(c) AS BIGINT) AS c_all
+             |          FROM counts GROUP BY 1),
+             |bygrp AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_g
+             |          FROM counts GROUP BY 1),
+             |globals AS (SELECT CAST(sum(c) AS BIGINT) AS n_all,
+             |  CAST(count(DISTINCT tok) AS BIGINT) AS v FROM counts),
+             |scored AS (
+             |  SELECT c.grp, c.tok, c.c AS c_grp, t.c_all - c.c AS c_rest,
+             |    CAST(round((ln(CAST(c.c + 1 AS DOUBLE)
+             |          / CAST(g.n_g + gl.v AS DOUBLE))
+             |        - ln(CAST(t.c_all - c.c + 1 AS DOUBLE)
+             |          / CAST(gl.n_all - g.n_g + gl.v AS DOUBLE)))
+             |      * 1000000) AS BIGINT) AS score_micro
+             |  FROM counts c
+             |  JOIN bytok t ON t.tok = c.tok
+             |  JOIN bygrp g ON g.grp = c.grp
+             |  CROSS JOIN globals gl),
+             |ranked AS (
+             |  SELECT grp, tok, c_grp, c_rest, score_micro,
+             |    CAST(row_number() OVER (PARTITION BY grp
+             |      ORDER BY score_micro DESC, tok ASC) AS BIGINT) AS rnk
+             |  FROM scored)
+             |SELECT grp AS lang, rnk, tok, c_grp, c_rest, score_micro
+             |FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin))
   )
 }

@@ -405,4 +405,37 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("SelectedBucketsCount"),
       s"scan does not report bucketed read:\n$plan")
   }
+
+  test("q250 centroid pair join broadcasts the groups-sized side, never a cartesian") {
+    val plan = finalPlan("q250_label_centroid_cosines")
+    // the grp_a < grp_b pair predicate is non-equi — correct plan is a
+    // BROADCAST nested loop over the groups-sized centroid table, and
+    // the corpus-side dim aggregation partial-combines map-side
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"pair join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in centroid pair plan:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"dim sums not partial-aggregated:\n$plan")
+  }
+
+  test("q247 kappa is one aggregation pass: no join, no window, no extra shuffle") {
+    val plan = finalPlan("q247_cohen_kappa")
+    assert(!plan.contains("Join"), s"join leaked into kappa plan:\n$plan")
+    assert(!plan.contains("Window"), s"window leaked into kappa plan:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"confusion counts not partial-aggregated map-side:\n$plan")
+  }
+
+  test("q246 k-anonymity levels are pure hash aggregations — no window, no join") {
+    val plan = finalPlan("q246_k_anonymity")
+    assert(!plan.contains("Join"), s"join leaked into census plan:\n$plan")
+    assert(!plan.contains("Window"), s"window leaked into census plan:\n$plan")
+  }
+
+  test("q249 funnel never sort-merge joins — corpus collapses before the rules table") {
+    val plan = finalPlan("q249_filter_funnel")
+    assert(!plan.contains("SortMergeJoin"),
+      s"rules-side join shuffled:\n$plan")
+  }
 }
