@@ -22,6 +22,7 @@ object SparkEntry {
     StatQueries,
     TemporalQueries,
     CurationQueries,
+    EvalQueries,
     IoQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.

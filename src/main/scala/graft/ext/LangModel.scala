@@ -894,4 +894,55 @@ object LangModel {
       } finally counts.unpersist(false)
     } finally tokRows.unpersist(false)
   }
+
+  /** Zipf rank–frequency fit per group: OLS of ln(freq) on ln(rank) over
+    * the top `topR` token ranks — the corpus-health fingerprint (natural
+    * text sits near slope −1; template/boilerplate slices drift off it).
+    *
+    * Numeric contract: ln values are rounded to micro-units the moment
+    * they are produced, the five OLS sufficient statistics are exact
+    * 64-bit integer sums of those micro values (order-independent), and
+    * slope/intercept/R² divide the exact sums in double with one fixed
+    * expression shape — bit-reproducible in any engine.
+    *
+    * Scale shape: one (grp, tok) count shuffle over the corpus, a
+    * per-group window on the counts table for ranks, then all regression
+    * math on ≤ topR rows per group.
+    *
+    * @return (grp, n_ranks, slope_micro, intercept_micro, r2_milli)
+    */
+  def zipfOls(docs: DataFrame, grpCol: String, textCol: String,
+              topR: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(grpCol).as("grp"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("grp"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("c").desc, col("tok").asc)
+    val pts = counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topR)
+      .withColumn("x", round(log(col("rnk").cast("double")) * 1000000, 0).cast("long"))
+      .withColumn("y", round(log(col("c").cast("double")) * 1000000, 0).cast("long"))
+    val s = pts.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    s.select(col("grp"), col("n").as("n_ranks"),
+      when(den > 0, round(num / den * 1000000, 0).cast("long"))
+        .otherwise(lit(null).cast("long")).as("slope_micro"),
+      when(den > 0,
+        round((col("sy").cast("double") - num / den * col("sx").cast("double"))
+          / col("n").cast("double"), 0).cast("long"))
+        .otherwise(lit(null).cast("long")).as("intercept_micro"),
+      when(den > 0 && deny > 0,
+        round(num * num / (den * deny) * 1000, 0).cast("long"))
+        .otherwise(lit(null).cast("long")).as("r2_milli"))
+  }
 }

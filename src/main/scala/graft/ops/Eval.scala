@@ -542,4 +542,49 @@ object Eval {
           / (col("n") * col("n") - chance).cast("double") * 1000000, 0)
           .cast("long")).as("kappa_micro"))
   }
+
+  /** Fleiss' kappa per group: chance-corrected agreement for ≥ 2 raters
+    * over a fixed category set — the multi-annotator generalization of
+    * [[cohenKappa]] (label-quality audits with rater panels).
+    *
+    * Input is one row per (group, item, rating); every item must carry
+    * the same rater count n (the classic Fleiss precondition — emitted
+    * as `n_raters` so a violated contract is visible, not silent).
+    * With n_ij the count of raters placing item i in category j:
+    * `P_i = (Σ_j n_ij² − n)/(n(n−1))`, `P̄o = mean_i P_i`,
+    * `p_j = Σ_i n_ij/(N·n)`, `P̄e = Σ_j p_j²`,
+    * `κ = (P̄o − P̄e)/(1 − P̄e)`.
+    *
+    * All inputs to the final ratios are exact 64-bit counts (S2, Σc_j²),
+    * so the double arithmetic replays identically in any engine. One
+    * shuffle on (grp, item, cat), then group-sized tables.
+    *
+    * @return (grp, n_items, n_raters, po_micro, pe_micro, kappa_micro)
+    */
+  def fleissKappa(df: DataFrame, grpCol: String, itemCol: String,
+                  catCol: String): DataFrame = {
+    val nij = df.groupBy(col(grpCol).as("grp"), col(itemCol).as("item"),
+        col(catCol).as("cat"))
+      .agg(count(lit(1)).as("nij"))
+    val perItem = nij.groupBy(col("grp"), col("item"))
+      .agg(sum(col("nij")).as("n_i"), sum(col("nij") * col("nij")).as("s2_i"))
+    val g1 = perItem.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_items"), max(col("n_i")).as("n_raters"),
+        sum(col("s2_i")).as("s2"))
+    val g2 = nij.groupBy(col("grp"), col("cat"))
+      .agg(sum(col("nij")).as("c_j"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c_j") * col("c_j")).as("pe_num"))
+    val nn = col("n_items") * col("n_raters")
+    val po = (col("s2") - nn).cast("double") /
+      (nn * (col("n_raters") - 1)).cast("double")
+    val pe = col("pe_num").cast("double") / (nn * nn).cast("double")
+    g1.join(g2, "grp")
+      .select(col("grp"), col("n_items"), col("n_raters"),
+        round(po * 1000000, 0).cast("long").as("po_micro"),
+        round(pe * 1000000, 0).cast("long").as("pe_micro"),
+        when(pe === 1.0, lit(null).cast("long"))
+          .otherwise(round((po - pe) / (lit(1.0) - pe) * 1000000, 0)
+            .cast("long")).as("kappa_micro"))
+  }
 }

@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{LangModel, Ranking}
+import graft.ops.Eval
+
+/** Wave 28 — ranking-quality evaluation and agreement statistics: the
+  * measurement half of a retrieval/curation pipeline. Graded-relevance
+  * nDCG over a query panel, rank-biased overlap between two document
+  * orderings, hard-negative mining for contrastive training pairs,
+  * centroid silhouette as the clustering-quality score, multi-rater
+  * Fleiss' kappa, and the Zipf rank–frequency fit as a corpus-health
+  * fingerprint. Every oracle replays the exact fixed-point arithmetic
+  * (micro-unit logs and cosines, integer sufficient statistics, one
+  * double-division shape).
+  */
+object EvalQueries extends QueryPack {
+
+  /** DuckDB replica of the sequential-fold double cosine between two
+    * list columns (the [[graft.ext.Similarity.cosineNative]] kernel).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform($a, (u,i) -> CAST(u AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |      (p,v) -> p + v)
+       |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform($a, u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))),
+       |         (p,v) -> p + v))
+       |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform($b, u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))),
+       |         (p,v) -> p + v))))""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Graded-relevance nDCG@10 for a deterministic query panel against
+    // the whole corpus: the exact-eval harness that certifies the ANN
+    // retrievers. Relevance graded off the label distance; discounts
+    // are micro-unit 1/log2(rank+1); nDCG an integer ratio.
+    Q("q261_ndcg_eval",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        Ranking.ndcgEval(emb.filter($"vec_id" % 25 === 0), emb, "label", k = 10)
+          .orderBy($"q_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS q_label,
+             |  embedding AS q_emb FROM embeddings WHERE vec_id % 25 = 0),
+             |j AS (
+             |  SELECT q_id, q_label, e.vec_id AS n_id,
+             |    CAST(e.label AS BIGINT) AS n_label,
+             |    CAST(round(${cosSql("q_emb", "e.embedding")} * 1000000) AS BIGINT) AS sim_micro
+             |  FROM q, embeddings e WHERE e.vec_id != q_id),
+             |r AS (
+             |  SELECT *, CAST(CASE WHEN q_label = n_label THEN 2
+             |    WHEN abs(q_label - n_label) = 1 THEN 1 ELSE 0 END AS BIGINT) AS rel
+             |  FROM j),
+             |rk AS (
+             |  SELECT *,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY sim_micro DESC, n_id) AS rnk,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS irnk
+             |  FROM r),
+             |agg AS (
+             |  SELECT q_id, q_label,
+             |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+             |    CAST(sum(CASE WHEN rnk <= 10 THEN rel *
+             |      CAST(round(1000000 * ln(2) / ln(rnk + 1)) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS dcg_micro,
+             |    CAST(sum(CASE WHEN irnk <= 10 THEN rel *
+             |      CAST(round(1000000 * ln(2) / ln(irnk + 1)) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS idcg_micro
+             |  FROM rk GROUP BY 1, 2)
+             |SELECT q_id, q_label, n_rel, dcg_micro, idcg_micro,
+             |  CASE WHEN idcg_micro > 0 THEN
+             |    CAST(round(CAST(dcg_micro * 1000 AS DOUBLE)
+             |      / CAST(idcg_micro AS DOUBLE)) AS BIGINT)
+             |  ELSE CAST(0 AS BIGINT) END AS ndcg_milli
+             |FROM agg ORDER BY q_id""".stripMargin)),
+
+    // Fleiss' kappa per language over a 3-rater panel derived
+    // deterministically from the documents (char-length bucket, token
+    // -count bucket, id bucket) — the multi-annotator agreement audit.
+    Q("q262_fleiss_kappa",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val r1 = docs.select($"lang", $"doc_id".as("item"),
+          ($"n_chars" % 3).cast("long").as("cat"))
+        val r2 = docs.select($"lang", $"doc_id".as("item"),
+          (size(graft.ext.TextAnalysis.tokens($"text")) % 3).cast("long").as("cat"))
+        val r3 = docs.select($"lang", $"doc_id".as("item"),
+          (floor($"doc_id" / 3).cast("long") % 3).as("cat"))
+        Eval.fleissKappa(r1.unionByName(r2).unionByName(r3), "lang", "item", "cat")
+          .select($"grp".as("lang"), $"n_items", $"n_raters",
+            $"po_micro", $"pe_micro", $"kappa_micro")
+          .orderBy($"lang")
+      },
+      Some("""WITH r AS (
+             |  SELECT lang, doc_id AS item, CAST(n_chars % 3 AS BIGINT) AS cat
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT lang, doc_id,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) % 3 AS BIGINT)
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT lang, doc_id, CAST((doc_id // 3) % 3 AS BIGINT)
+             |  FROM documents),
+             |nij AS (SELECT lang, item, cat, CAST(count(*) AS BIGINT) AS nij
+             |        FROM r GROUP BY 1, 2, 3),
+             |pi AS (SELECT lang, item, CAST(sum(nij) AS BIGINT) AS n_i,
+             |         CAST(sum(nij*nij) AS BIGINT) AS s2_i
+             |       FROM nij GROUP BY 1, 2),
+             |g1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_items,
+             |         CAST(max(n_i) AS BIGINT) AS n_raters,
+             |         CAST(sum(s2_i) AS BIGINT) AS s2
+             |       FROM pi GROUP BY 1),
+             |cj AS (SELECT lang, cat, CAST(sum(nij) AS BIGINT) AS c_j
+             |       FROM nij GROUP BY 1, 2),
+             |g2 AS (SELECT lang, CAST(sum(c_j*c_j) AS BIGINT) AS pe_num
+             |       FROM cj GROUP BY 1)
+             |SELECT g1.lang, n_items, n_raters,
+             |  CAST(round(CAST(s2 - n_items*n_raters AS DOUBLE)
+             |    / CAST(n_items*n_raters*(n_raters-1) AS DOUBLE) * 1000000) AS BIGINT) AS po_micro,
+             |  CAST(round(CAST(pe_num AS DOUBLE)
+             |    / CAST((n_items*n_raters)*(n_items*n_raters) AS DOUBLE) * 1000000) AS BIGINT) AS pe_micro,
+             |  CASE WHEN CAST(pe_num AS DOUBLE)
+             |      / CAST((n_items*n_raters)*(n_items*n_raters) AS DOUBLE) = 1.0
+             |    THEN NULL
+             |  ELSE CAST(round(
+             |    (CAST(s2 - n_items*n_raters AS DOUBLE)
+             |       / CAST(n_items*n_raters*(n_raters-1) AS DOUBLE)
+             |     - CAST(pe_num AS DOUBLE)
+             |       / CAST((n_items*n_raters)*(n_items*n_raters) AS DOUBLE))
+             |    / (1.0 - CAST(pe_num AS DOUBLE)
+             |       / CAST((n_items*n_raters)*(n_items*n_raters) AS DOUBLE))
+             |    * 1000000) AS BIGINT) END AS kappa_micro
+             |FROM g1 JOIN g2 USING (lang) ORDER BY lang""".stripMargin)),
+
+    // Rank-biased overlap between two top-20 document orderings (by
+    // char length vs by token count): how much two quality rankings
+    // agree, weighted toward the head — with the per-depth overlap
+    // trace and running truncated-RBO sum.
+    Q("q263_rbo",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        // Top-20 extractions are TakeOrdered (orderBy+limit); the rank
+        // window then runs on 20 rows — bounded by construction.
+        val a = docs.select($"doc_id".as("id"), $"n_chars")
+          .orderBy($"n_chars".desc, $"id".asc).limit(20)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy($"n_chars".desc, $"id".asc)).cast("long"))
+        val b = docs
+          .select($"doc_id".as("id"),
+            size(graft.ext.TextAnalysis.tokens($"text")).as("ntok"))
+          .orderBy($"ntok".desc, $"id".asc).limit(20)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy($"ntok".desc, $"id".asc)).cast("long"))
+        Ranking.rboByDepth(a, b, depth = 20).orderBy($"d")
+      },
+      Some("""WITH ta AS (
+             |  SELECT doc_id AS id,
+             |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk_a
+             |  FROM documents QUALIFY rnk_a <= 20),
+             |tb AS (
+             |  SELECT doc_id AS id,
+             |    CAST(row_number() OVER (
+             |      ORDER BY len(string_split_regex(trim(text), '\s+')) DESC, doc_id)
+             |      AS BIGINT) AS rnk_b
+             |  FROM documents QUALIFY rnk_b <= 20),
+             |bt AS (SELECT ta.id, rnk_a, rnk_b FROM ta JOIN tb USING (id)),
+             |dd AS (SELECT unnest(generate_series(1, 20)) AS d),
+             |ov AS (
+             |  SELECT dd.d, CAST(count(b.id) AS BIGINT) AS overlap
+             |  FROM dd LEFT JOIN bt b ON b.rnk_a <= dd.d AND b.rnk_b <= dd.d
+             |  GROUP BY dd.d),
+             |t AS (
+             |  SELECT d, overlap,
+             |    CAST(round(CAST(overlap * 1000 AS DOUBLE) / CAST(d AS DOUBLE)) AS BIGINT) AS agree_milli,
+             |    CAST(round((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+             |      * pow(CAST(0.9 AS DOUBLE), CAST(d AS DOUBLE) - 1.0)
+             |      * 1000000000.0) AS BIGINT) AS weight_nano
+             |  FROM ov),
+             |t2 AS (
+             |  SELECT d, overlap, agree_milli, weight_nano,
+             |    CAST(round(CAST(weight_nano * agree_milli AS DOUBLE) / 1000.0) AS BIGINT) AS contrib_nano
+             |  FROM t)
+             |SELECT d, overlap, agree_milli, weight_nano,
+             |  CAST(sum(contrib_nano) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rbo_cum_nano
+             |FROM t2 ORDER BY d""".stripMargin)),
+
+    // Centroid silhouette per label: the O(n·k) clustering-quality
+    // score over the embedding space (cosine distance to own vs
+    // nearest-other label centroid).
+    Q("q264_silhouette",
+      (s, d) => {
+        import s.implicits._
+        Ranking.silhouetteByLabel(Tables.embeddings(s, d), "label", "embedding")
+          .orderBy($"label")
+      },
+      Some(s"""WITH dims AS (
+             |  SELECT label,
+             |    unnest(list_transform(embedding,
+             |      (x,i) -> {'pos': CAST(i AS BIGINT),
+             |                'xm': CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)}),
+             |      recursive := true)
+             |  FROM embeddings),
+             |agg AS (
+             |  SELECT label, pos, CAST(sum(xm) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM dims GROUP BY 1, 2),
+             |cent AS (
+             |  SELECT label, pos,
+             |    CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS c
+             |  FROM agg),
+             |arrs AS (
+             |  SELECT CAST(label AS BIGINT) AS cgrp, list(c ORDER BY pos) AS cent
+             |  FROM cent GROUP BY 1),
+             |sc AS (
+             |  SELECT CAST(e.label AS BIGINT) AS grp, e.vec_id AS id, a.cgrp,
+             |    CAST(round(${cosSql("e.embedding", "a.cent")} * 1000000) AS BIGINT) AS cos_micro
+             |  FROM embeddings e CROSS JOIN arrs a),
+             |pr AS (
+             |  SELECT grp, id,
+             |    max(CASE WHEN cgrp = grp THEN cos_micro END) AS own_micro,
+             |    max(CASE WHEN cgrp != grp THEN cos_micro END) AS other_micro
+             |  FROM sc GROUP BY 1, 2),
+             |sv AS (
+             |  SELECT grp,
+             |    CASE WHEN greatest(1000000 - own_micro, 1000000 - other_micro) > 0
+             |      THEN CAST(round(
+             |        CAST(((1000000 - other_micro) - (1000000 - own_micro)) * 1000 AS DOUBLE)
+             |        / CAST(greatest(1000000 - own_micro, 1000000 - other_micro) AS DOUBLE))
+             |        AS BIGINT)
+             |    ELSE CAST(0 AS BIGINT) END AS s_milli
+             |  FROM pr)
+             |SELECT grp AS label, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(round(CAST(sum(s_milli) AS DOUBLE) / count(*)) AS BIGINT) AS mean_s_milli,
+             |  CAST(min(s_milli) AS BIGINT) AS min_s_milli,
+             |  CAST(max(s_milli) AS BIGINT) AS max_s_milli
+             |FROM sv GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    // Hard-negative mining: top-3 most-similar other-label vectors per
+    // anchor — the contrastive-pair generator, exact over a broadcast
+    // anchor panel.
+    Q("q265_hard_negatives",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        Ranking.hardNegatives(emb.filter($"vec_id" % 25 === 0), emb, "label", k = 3)
+          .orderBy($"q_id", $"rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS q_label,
+             |  embedding AS q_emb FROM embeddings WHERE vec_id % 25 = 0),
+             |j AS (
+             |  SELECT q_id, q_label, e.vec_id AS n_id,
+             |    CAST(e.label AS BIGINT) AS n_label,
+             |    round(${cosSql("q_emb", "e.embedding")}, 6) + 0.0 AS sim
+             |  FROM q, embeddings e WHERE CAST(e.label AS BIGINT) != q_label)
+             |SELECT q_id, q_label, rank, n_id, n_label, sim FROM (
+             |  SELECT *, CAST(row_number() OVER (
+             |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank
+             |  FROM j)
+             |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    // Zipf rank–frequency OLS per language over the top-100 token
+    // ranks: slope/intercept/R² from exact integer micro-log sums.
+    Q("q266_zipf_slope",
+      (s, d) => {
+        import s.implicits._
+        LangModel.zipfOls(Tables.documents(s, d), "lang", "text", topR = 100)
+          .select($"grp".as("lang"), $"n_ranks", $"slope_micro",
+            $"intercept_micro", $"r2_milli")
+          .orderBy($"lang")
+      },
+      Some("""WITH tokrows AS (
+             |  SELECT lang AS grp, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |counts AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS c
+             |           FROM tokrows GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT grp, c,
+             |    CAST(row_number() OVER (PARTITION BY grp ORDER BY c DESC, tok)
+             |      AS BIGINT) AS rnk
+             |  FROM counts QUALIFY rnk <= 100),
+             |pts AS (
+             |  SELECT grp,
+             |    CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+             |  FROM rk),
+             |s AS (
+             |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+             |    CAST(sum(y*y) AS BIGINT) AS syy
+             |  FROM pts GROUP BY 1)
+             |SELECT grp AS lang, n AS n_ranks,
+             |  CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0 THEN
+             |    CAST(round(CAST(n*sxy - sx*sy AS DOUBLE)
+             |      / CAST(n*sxx - sx*sx AS DOUBLE) * 1000000) AS BIGINT)
+             |  END AS slope_micro,
+             |  CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0 THEN
+             |    CAST(round((CAST(sy AS DOUBLE)
+             |        - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+             |          * CAST(sx AS DOUBLE))
+             |      / CAST(n AS DOUBLE)) AS BIGINT)
+             |  END AS intercept_micro,
+             |  CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0
+             |        AND CAST(n*syy - sy*sy AS DOUBLE) > 0 THEN
+             |    CAST(round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+             |      / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+             |      * 1000) AS BIGINT)
+             |  END AS r2_milli
+             |FROM s ORDER BY lang""".stripMargin))
+  )
+}
