@@ -23,6 +23,7 @@ object SparkEntry {
     TemporalQueries,
     CurationQueries,
     EvalQueries,
+    VectorQueries,
     IoQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.

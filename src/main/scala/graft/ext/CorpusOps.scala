@@ -508,4 +508,37 @@ object CorpusOps {
       .select(col("rule_ord"), col("rule"), col("n_in"), col("n_killed"),
         (col("n_in") - col("n_killed")).as("n_out"))
   }
+
+  /** Curriculum schedule head: documents staged by per-source quality
+    * tier (ntile over the quality key within each source), sources
+    * interleaved within each tier — the "best data first, no source
+    * starves" training-order recipe. Returns only the first `take`
+    * positions: the global order is realized as a TakeOrdered on
+    * (tier, rank-within-tier, source), never a full sort; writing the
+    * complete schedule at scale would instead range-partition on the
+    * same key.
+    *
+    * @return (position, tier, rnk_tier, source, id)
+    */
+  def curriculumHead(df: DataFrame, idCol: String, srcCol: String,
+                     qualityCol: String, tiers: Int, take: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("id").asc)
+    val byTier = Window.partitionBy(col("source"), col("tier"))
+      .orderBy(col("q").desc, col("id").asc)
+    val staged = df.select(col(idCol).as("id"), col(srcCol).as("source"),
+        col(qualityCol).as("q"))
+      .withColumn("tier", ntile(tiers).over(bySrc).cast("long"))
+      .withColumn("rnk_tier", row_number().over(byTier).cast("long"))
+    val head = staged
+      .orderBy(col("tier").asc, col("rnk_tier").asc, col("source").asc)
+      .limit(take)
+    // position over `take` rows — bounded by construction
+    val wPos = Window.orderBy(col("tier").asc, col("rnk_tier").asc,
+      col("source").asc)
+    head.withColumn("position", row_number().over(wPos).cast("long"))
+      .select(col("position"), col("tier"), col("rnk_tier"), col("source"),
+        col("id"))
+  }
 }

@@ -1290,4 +1290,33 @@ object Dedup {
         .checkpointEager()
     } finally spans.unpersist(false)
   }
+
+  /** Per-document n-gram novelty against everything EARLIER in the
+    * corpus order: the fraction of a document's distinct n-grams whose
+    * first occurrence (minimum id) is the document itself — the
+    * "marginal new content" curve that decides when additional
+    * crawl/source data stops paying for itself.
+    *
+    * Shape: one (gram → min id) shuffle (partial-aggregated map-side)
+    * plus one join back — linear in total grams, no pair joins; the
+    * id-order is the corpus order, so the operator streams at any
+    * scale.
+    *
+    * @return (id, n_grams, n_novel, novelty_milli)
+    */
+  def ngramNoveltyByOrder(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val grams = widen(df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks")))
+      .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
+      .select(col("id"), explode(col("sh")).as("g"))
+    val first = grams.groupBy(col("g")).agg(min(col("id")).as("first_id"))
+    grams.join(first, "g")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_milli",
+        round((col("n_novel") * 1000L).cast("double")
+          / col("n_grams").cast("double"), 0).cast("long"))
+  }
 }

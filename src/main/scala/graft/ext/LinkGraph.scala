@@ -507,4 +507,35 @@ object LinkGraph {
           col("a").as("auth_micro"))
     } finally { nodes.unpersist(false); e.unpersist(false) }
   }
+
+  /** Adamic–Adar link prediction over a bipartite edge set: for every
+    * pair of right-side nodes sharing a left-side neighbor, the sum of
+    * `1/ln(deg(neighbor))` over the common neighbors — rarer shared
+    * neighbors count more. Per-term values are rounded to micro-units
+    * BEFORE the integer sum (the exact-sum discipline), so the score is
+    * engine-identical.
+    *
+    * `maxDeg` is the scale lever: a left node of degree d fans out d²
+    * pairs, so hub neighbors are dropped above the cap (they carry the
+    * least signal anyway — exactly the df-cap trade the banded
+    * containment screen documents). Degree-1 neighbors are excluded
+    * (no pair, and ln 1 = 0 would divide by zero).
+    *
+    * @return (id_a, id_b, n_common, score_micro), top `k` by score
+    */
+  def adamicAdarTopK(edges: DataFrame, k: Int, maxDeg: Int = 50): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2 && col("deg") <= maxDeg)
+      .withColumn("term_micro",
+        round(lit(1000000.0) / log(col("deg").cast("double")), 0).cast("long"))
+    val ed = e.join(broadcast(deg), "src")
+    ed.select(col("src"), col("dst").as("id_a"), col("term_micro"))
+      .join(ed.select(col("src"), col("dst").as("id_b")), "src")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("term_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("id_a").asc, col("id_b").asc)
+      .limit(k)
+  }
 }

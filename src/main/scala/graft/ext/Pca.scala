@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Principal-direction extraction over an embedding column by exact
+  * integer fixed-point power iteration — the whitening / anisotropy
+  * diagnostic for embedding spaces (a dominant direction usually means
+  * uncentered or collapsed embeddings; downstream consumers project it
+  * out).
+  *
+  * Pipeline: micro-int components → exact per-dimension mean →
+  * centered covariance as exact integer sums (micro² scale) →
+  * `g = round(cov/1e6)` → power iteration from the all-ones vector
+  * with max-abs renormalization, every division a shared
+  * round-of-double shape. All state after the one covariance pass is
+  * dim×dim — driver-trivial, and the covariance pass itself is one
+  * self-join of the (rows × dim) narrow table on the row id: linear in
+  * the corpus with a dim² fan-out, shuffled once on the id.
+  */
+object Pca {
+
+  /** Top principal direction after `iters` fixed-point power steps.
+    * @return (pos, v_micro) — dim rows, max-abs component = ±1e6
+    */
+  def powerTopDirection(df: DataFrame, embCol: String,
+                        iters: Int = 2): DataFrame = {
+    val dims = Exec.widen(df.select(col("vec_id").as("id"), col(embCol).as("emb")))
+      .select(col("id"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        round(col("x").cast("double") * 1000000, 0).cast("long").as("xm"))
+    val mu = dims.groupBy(col("pos"))
+      .agg(round(sum(col("xm")).cast("double") / count(lit(1)), 0)
+        .cast("long").as("mu"))
+    val centered = dims.join(broadcast(mu), "pos")
+      .select(col("id"), col("pos"), (col("xm") - col("mu")).as("v"))
+    val cov = centered.as("a")
+      .join(centered.as("b"), col("a.id") === col("b.id"))
+      .groupBy(col("a.pos").as("pi"), col("b.pos").as("pj"))
+      .agg(sum(col("a.v") * col("b.v")).as("cov"))
+      .withColumn("g", round(col("cov").cast("double") / 1000000.0, 0).cast("long"))
+      .select(col("pi"), col("pj"), col("g"))
+    // dim² rows from here on — materialize locally, broadcast to every step
+    val gLocal = IvfIndex.materializeLocal(df.sparkSession, cov)
+    var v = IvfIndex.materializeLocal(df.sparkSession,
+      mu.select(col("pos"), lit(1000000L).as("v")))
+    for (_ <- 1 to iters) {
+      val w = gLocal.join(broadcast(v), col("pj") === col("pos"))
+        .groupBy(col("pi"))
+        .agg(sum(col("g") * col("v")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = IvfIndex.materializeLocal(df.sparkSession,
+        w.crossJoin(broadcast(m))
+          .select(col("pi").as("pos"),
+            when(col("m") > 0,
+              round(col("w").cast("double") * 1000000.0 / col("m").cast("double"), 0)
+                .cast("long")).otherwise(0L).as("v")))
+    }
+    v.select(col("pos"), col("v").as("v_micro"))
+  }
+}

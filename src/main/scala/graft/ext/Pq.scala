@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding compression and ADC
+  * (asymmetric-distance) candidate search — the storage-side scale
+  * lever for vector search: the corpus keeps only `m` small codes per
+  * vector (here m·2 bits vs 64·4 bytes) and queries scan codes against
+  * a per-query distance table instead of touching raw floats.
+  *
+  * Everything is EXACT 64-bit integer arithmetic: subvector components
+  * are rounded to micro-units once at ingest, squared-L2 distances,
+  * Lloyd means (round-of-exact-sum), distance tables and ADC sums are
+  * all integer — bit-reproducible in any engine at any parallelism
+  * (the same discipline as [[IvfIndex]], minus even the float cast).
+  *
+  * Scale shape: codebook training touches each subvector × k centroids
+  * (broadcast); encoding is one linear pass; ADC is a broadcast join of
+  * the (queries × m × k)-sized distance table against the codes table —
+  * the corpus-sized side never shuffles and never re-reads the raw
+  * embedding column.
+  */
+object Pq {
+
+  /** Micro-unit integer subvector `s` (0-based) of an array<float>. */
+  def subMicro(emb: Column, s: Column, subDim: Int): Column =
+    transform(slice(emb, s * subDim + 1, lit(subDim)),
+      x => round(x.cast("double") * 1000000, 0).cast("long"))
+
+  /** Exact integer squared-L2 distance between two micro-int arrays. */
+  def d2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** (vec_id, s, sub) — one row per subspace per vector. */
+  def subvectors(corpus: DataFrame, m: Int, subDim: Int): DataFrame =
+    Exec.widen(corpus.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"),
+        col("embedding"))
+      .select(col("vec_id"), col("s").cast("long").as("s"),
+        subMicro(col("embedding"), col("s"), subDim).as("sub"))
+
+  /** Per-subspace codebooks: k seeds (lowest vec_ids' subvectors, cid =
+    * seed vec_id) refined by `iters` exact-integer Lloyd steps. A cell
+    * that attracts no vectors drops out (deterministic argmin ties to
+    * the lower cid), so k is an upper bound on cells per subspace.
+    *
+    * @return (s, cid, cent: array<long>)
+    */
+  def trainCodebooks(spark: SparkSession, corpus: DataFrame, m: Int,
+                     subDim: Int, k: Int, iters: Int = 1): DataFrame = {
+    val sub = subvectors(corpus, m, subDim)
+    val seedIds = corpus.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
+    var cents = sub.join(broadcast(seedIds), "vec_id")
+      .select(col("s"), col("vec_id").as("cid"), col("sub").as("cent"))
+    for (_ <- 1 to iters) {
+      val assigned = sub.join(broadcast(cents), "s")
+        .withColumn("dd", d2(col("sub"), col("cent")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min_by(col("cid"), struct(col("dd"), col("cid"))).as("cid"))
+      cents = assigned.join(sub, Seq("vec_id", "s"))
+        .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("pos", "xm")))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg(sum(col("xm")).as("sm"), count(lit(1)).as("n"))
+        .withColumn("c", round(col("sm").cast("double") / col("n"), 0).cast("long"))
+        .groupBy(col("s"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          e => e.getField("c")).as("cent"))
+    }
+    cents
+  }
+
+  /** Encode the corpus: nearest codebook cell per (vector, subspace).
+    * @return (vec_id, s, cid)
+    */
+  def encode(corpus: DataFrame, codebooks: DataFrame, m: Int,
+             subDim: Int): DataFrame =
+    subvectors(corpus, m, subDim).join(broadcast(codebooks), "s")
+      .withColumn("dd", d2(col("sub"), col("cent")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("cid"), struct(col("dd"), col("cid"))).as("cid"))
+
+  /** ADC top-k: for each query, rank the coded corpus by the sum over
+    * subspaces of the precomputed (query-subvector → cell) integer
+    * distances, then flag which ADC winners the exact micro-L2 top-k
+    * also contains (`in_exact` — the per-row recall trace).
+    *
+    * @return (q_id, rank, n_id, adc_d2, in_exact)
+    */
+  def adcTopK(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
+              m: Int, subDim: Int, k: Int): DataFrame = {
+    val qsub = subvectors(queries, m, subDim)
+      .select(col("vec_id").as("q_id"), col("s"), col("sub").as("qsub"))
+    // distance table: |panel| × m × cells rows — broadcast-sized
+    val tab = qsub.join(broadcast(codebooks), "s")
+      .select(col("q_id"), col("s"), col("cid"),
+        d2(col("qsub"), col("cent")).as("dt"))
+    val codes = encode(corpus, codebooks, m, subDim)
+    val adc = codes.join(broadcast(tab), Seq("s", "cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("adc_d2"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
+    val top = adc.withColumn("rank", row_number().over(wAdc).cast("long"))
+      .filter(col("rank") <= k)
+    // exact micro-L2 top-k of the same panel for the recall flag
+    def full(df: DataFrame, id: String, out: String) =
+      Exec.widen(df.select(col("vec_id").as(id),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000, 0).cast("long")).as(out)))
+    val q = full(queries, "q_id", "q_emb")
+    val c = full(corpus, "n_id", "n_emb")
+    val wEx = Window.partitionBy(col("q_id"))
+      .orderBy(col("ex_d2").asc, col("n_id").asc)
+    val exact = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("ex_d2", d2(col("q_emb"), col("n_emb")))
+      .withColumn("ex_rank", row_number().over(wEx))
+      .filter(col("ex_rank") <= k)
+      .select(col("q_id"), col("n_id"), lit(true).as("in_exact"))
+    top.select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("adc_d2"))
+      .join(exact, Seq("q_id", "n_id"), "left")
+      .select(col("q_id"), col("rank"), col("n_id"), col("adc_d2"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"))
+  }
+}

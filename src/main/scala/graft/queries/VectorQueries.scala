@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{CorpusOps, Dedup, LinkGraph, Pca, Pq}
+
+/** Wave 29 — vector compression and corpus/graph structure: product
+  * quantization with ADC search (the storage-side ANN scale lever),
+  * fixed-point PCA power iteration (embedding-space anisotropy),
+  * n-gram novelty over corpus order (marginal-content curve),
+  * curriculum scheduling (quality tiers × source interleave), and
+  * Adamic–Adar link prediction. The PQ and PCA oracles replay every
+  * integer step — seeds, Lloyd means, distance tables, matvec rounds —
+  * so the quantizer and the eigenvector are bit-identical across
+  * engines.
+  */
+object VectorQueries extends QueryPack {
+
+  /** DuckDB exact integer squared-L2 between two micro-int lists. */
+  private def d2Sql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform($a, (x,i) -> (x - $b[i]) * (x - $b[i]))),
+       |      (p,v) -> p + v)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Product quantization: 8 subspaces × 8 dims, 4-cell codebooks
+    // (1 exact-integer Lloyd step), ADC top-5 for a query panel with
+    // the per-row exact-top-5 recall flag.
+    Q("q267_pq_adc",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val cb = Pq.trainCodebooks(s, emb, m = 8, subDim = 8, k = 4)
+        Pq.adcTopK(emb.filter($"vec_id" % 50 === 0), emb, cb,
+            m = 8, subDim = 8, k = 5)
+          .orderBy($"q_id", $"rank")
+      },
+      Some(s"""WITH sub AS (
+             |  SELECT vec_id, s,
+             |    list_transform(embedding[(s*8+1):(s*8+8)],
+             |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS sub
+             |  FROM embeddings CROSS JOIN range(0, 8) ss(s)),
+             |seeds AS (
+             |  SELECT s, vec_id AS cid, sub AS cent FROM sub
+             |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+             |d0 AS (
+             |  SELECT sub.vec_id, sub.s, seeds.cid,
+             |    ${d2Sql("sub.sub", "seeds.cent")} AS dd
+             |  FROM sub JOIN seeds ON seeds.s = sub.s),
+             |a0 AS (
+             |  SELECT vec_id, s, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
+             |    FROM d0) WHERE rn = 1),
+             |subp AS (
+             |  SELECT vec_id, s,
+             |    unnest(list_transform(sub, (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}),
+             |      recursive := true)
+             |  FROM sub),
+             |cbp AS (
+             |  SELECT a0.s, a0.cid, p.pos,
+             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
+             |  FROM a0 JOIN subp p ON p.vec_id = a0.vec_id AND p.s = a0.s
+             |  GROUP BY 1, 2, 3),
+             |cb AS (SELECT s, cid, list(c ORDER BY pos) AS cent FROM cbp GROUP BY 1, 2),
+             |d1 AS (
+             |  SELECT sub.vec_id, sub.s, cb.cid,
+             |    ${d2Sql("sub.sub", "cb.cent")} AS dd
+             |  FROM sub JOIN cb ON cb.s = sub.s),
+             |codes AS (
+             |  SELECT vec_id, s, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
+             |    FROM d1) WHERE rn = 1),
+             |qsub AS (SELECT vec_id AS q_id, s, sub FROM sub WHERE vec_id % 50 = 0),
+             |tab AS (
+             |  SELECT q_id, cb.s, cb.cid, ${d2Sql("qsub.sub", "cb.cent")} AS dt
+             |  FROM qsub JOIN cb ON cb.s = qsub.s),
+             |adc AS (
+             |  SELECT t.q_id, c.vec_id AS n_id, CAST(sum(t.dt) AS BIGINT) AS adc_d2
+             |  FROM codes c JOIN tab t ON t.s = c.s AND t.cid = c.cid
+             |  WHERE t.q_id != c.vec_id GROUP BY 1, 2),
+             |topadc AS (
+             |  SELECT q_id, n_id, adc_d2,
+             |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS BIGINT) AS rank
+             |  FROM adc QUALIFY rank <= 5),
+             |fullv AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS fv
+             |  FROM embeddings),
+             |ex AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, ${d2Sql("q.fv", "c.fv")} AS ed
+             |  FROM fullv q JOIN fullv c ON q.vec_id % 50 = 0 AND c.vec_id != q.vec_id),
+             |ext AS (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ed, n_id) AS rn
+             |    FROM ex) WHERE rn <= 5)
+             |SELECT t.q_id AS q_id, t.rank, t.n_id, t.adc_d2,
+             |  (e.n_id IS NOT NULL) AS in_exact
+             |FROM topadc t LEFT JOIN ext e ON e.q_id = t.q_id AND e.n_id = t.n_id
+             |ORDER BY t.q_id, t.rank""".stripMargin)),
+
+    // Per-document 3-gram novelty vs everything earlier in id order.
+    Q("q268_ngram_novelty",
+      (s, d) => {
+        import s.implicits._
+        Dedup.ngramNoveltyByOrder(Tables.documents(s, d), "doc_id", "text", n = 3)
+          .select($"id".as("doc_id"), $"n_grams", $"n_novel", $"novelty_milli")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+             |tg AS (
+             |  SELECT doc_id, unnest(list_distinct(list_filter(
+             |    list_transform(l, (x,i) -> CASE WHEN i <= len(l)-2
+             |      THEN x || ' ' || l[i+1] || ' ' || l[i+2] END),
+             |    v -> v IS NOT NULL))) AS g
+             |  FROM toks),
+             |fo AS (SELECT g, min(doc_id) AS first_id FROM tg GROUP BY 1),
+             |per AS (
+             |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |    CAST(sum(CASE WHEN fo.first_id = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+             |  FROM tg t JOIN fo ON fo.g = t.g GROUP BY 1)
+             |SELECT doc_id, n_grams, n_novel,
+             |  CAST(round(CAST(n_novel * 1000 AS DOUBLE) / CAST(n_grams AS DOUBLE)) AS BIGINT) AS novelty_milli
+             |FROM per ORDER BY doc_id""".stripMargin)),
+
+    // Curriculum head: 3 quality tiers per source (ntile on n_chars),
+    // sources interleaved within tiers, first 100 positions.
+    Q("q269_curriculum_schedule",
+      (s, d) => {
+        import s.implicits._
+        CorpusOps.curriculumHead(Tables.documents(s, d), "doc_id", "source",
+            "n_chars", tiers = 3, take = 100)
+          .select($"position", $"tier", $"rnk_tier", $"source",
+            $"id".as("doc_id"))
+          .orderBy($"position")
+      },
+      Some("""WITH staged AS (
+             |  SELECT doc_id AS id, source, n_chars AS q,
+             |    CAST(ntile(3) OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS tier
+             |  FROM documents),
+             |r AS (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY source, tier
+             |    ORDER BY q DESC, id) AS BIGINT) AS rnk_tier
+             |  FROM staged),
+             |h AS (SELECT * FROM r ORDER BY tier, rnk_tier, source LIMIT 100)
+             |SELECT CAST(row_number() OVER (ORDER BY tier, rnk_tier, source) AS BIGINT) AS position,
+             |  tier, rnk_tier, source, id AS doc_id
+             |FROM h ORDER BY position""".stripMargin)),
+
+    // Adamic–Adar supplier-pair link prediction over the shared-customer
+    // bipartite graph (degree-capped neighbors, micro-int terms).
+    Q("q270_adamic_adar",
+      (s, d) => {
+        import s.implicits._
+        val edges = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+          .select($"o_custkey".as("src"), $"l_suppkey".as("dst"))
+        LinkGraph.adamicAdarTopK(edges, k = 10, maxDeg = 50)
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |dg AS (
+             |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+             |  HAVING count(*) BETWEEN 2 AND 50),
+             |t AS (
+             |  SELECT src, CAST(round(CAST(1000000.0 AS DOUBLE)
+             |    / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS term_micro
+             |  FROM dg),
+             |p AS (
+             |  SELECT a.dst AS id_a, b.dst AS id_b, t.term_micro
+             |  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+             |  JOIN t ON t.src = a.src),
+             |sc AS (
+             |  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_common,
+             |    CAST(sum(term_micro) AS BIGINT) AS score_micro
+             |  FROM p GROUP BY 1, 2)
+             |SELECT id_a, id_b, n_common, score_micro FROM sc
+             |ORDER BY score_micro DESC, id_a, id_b LIMIT 10""".stripMargin)),
+
+    // Top principal direction of the embedding cloud: centered integer
+    // covariance + 2 fixed-point power-iteration rounds, every floor
+    // replayed by the oracle.
+    Q("q271_pca_power",
+      (s, d) => {
+        import s.implicits._
+        Pca.powerTopDirection(Tables.embeddings(s, d), "embedding", iters = 2)
+          .orderBy($"pos")
+      },
+      Some("""WITH dims AS (
+             |  SELECT vec_id AS id,
+             |    unnest(list_transform(embedding, (x,i) -> {'pos': CAST(i - 1 AS BIGINT),
+             |      'xm': CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)}),
+             |      recursive := true)
+             |  FROM embeddings),
+             |mu AS (
+             |  SELECT pos, CAST(round(CAST(sum(xm) AS DOUBLE)/count(*)) AS BIGINT) AS mu
+             |  FROM dims GROUP BY 1),
+             |cen AS (
+             |  SELECT id, d.pos, d.xm - mu.mu AS v
+             |  FROM dims d JOIN mu ON mu.pos = d.pos),
+             |cov AS (
+             |  SELECT a.pos AS pi, b.pos AS pj,
+             |    CAST(round(CAST(sum(a.v * b.v) AS DOUBLE)/1000000.0) AS BIGINT) AS g
+             |  FROM cen a JOIN cen b ON a.id = b.id GROUP BY 1, 2),
+             |w1 AS (SELECT pi, CAST(sum(g * 1000000) AS BIGINT) AS w FROM cov GROUP BY 1),
+             |m1 AS (SELECT max(abs(w)) AS m FROM w1),
+             |v1 AS (
+             |  SELECT pi AS pos, CASE WHEN m > 0 THEN
+             |    CAST(round(CAST(w AS DOUBLE)*1000000.0/CAST(m AS DOUBLE)) AS BIGINT)
+             |    ELSE CAST(0 AS BIGINT) END AS v
+             |  FROM w1 CROSS JOIN m1),
+             |w2 AS (
+             |  SELECT cov.pi, CAST(sum(g * v1.v) AS BIGINT) AS w
+             |  FROM cov JOIN v1 ON v1.pos = cov.pj GROUP BY 1),
+             |m2 AS (SELECT max(abs(w)) AS m FROM w2),
+             |v2 AS (
+             |  SELECT pi AS pos, CASE WHEN m > 0 THEN
+             |    CAST(round(CAST(w AS DOUBLE)*1000000.0/CAST(m AS DOUBLE)) AS BIGINT)
+             |    ELSE CAST(0 AS BIGINT) END AS v
+             |  FROM w2 CROSS JOIN m2)
+             |SELECT pos, v AS v_micro FROM v2 ORDER BY pos""".stripMargin))
+  )
+}
