@@ -541,4 +541,44 @@ object CorpusOps {
       .select(col("position"), col("tier"), col("rnk_tier"), col("source"),
         col("id"))
   }
+
+  /** Quantile normalization of a numeric column across groups: each
+    * row's value is replaced by the POOLED distribution's value at the
+    * matching quantile (midpoint rank mapping `((2r−1)·N + n_g) //
+    * (2·n_g)`), so every group ends up on one common scale — the
+    * cross-source score-calibration step that makes per-source quality
+    * thresholds comparable.
+    *
+    * Scale shape: the within-group rank is a partitioned window; the
+    * pooled rank goes through [[graft.ops.Ranks.twoPhaseRank]]
+    * (range-repartition + per-partition ranks + broadcast offsets —
+    * no single-reducer global window); the final mapping is a join on
+    * the pooled rank. Integer arithmetic throughout — `floor` of an
+    * exact small-integer division on both engines.
+    *
+    * @return (id, grp, v, rnk_grp, n_grp, target_rank, norm_v)
+    */
+  def quantileNormalize(df: DataFrame, idCol: String, grpCol: String,
+                        valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(idCol).as("id"), col(grpCol).as("grp"),
+      col(valCol).cast("long").as("v"))
+    val wg = Window.partitionBy(col("grp")).orderBy(col("v").asc, col("id").asc)
+    val ranked = rows
+      .withColumn("rnk_grp", row_number().over(wg).cast("long"))
+      .withColumn("n_grp", count(lit(1))
+        .over(Window.partitionBy(col("grp"))))
+    val pooled = graft.ops.Ranks.twoPhaseRank(
+      rows.withColumn("__g", lit(1)), "__g", Seq("v", "id"), "prank")
+      .select(col("prank"), col("v").as("norm_v"))
+    val total = rows.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("target_rank",
+        floor(((lit(2L) * col("rnk_grp") - 1L) * col("n_total") + col("n_grp"))
+          .cast("double") / (lit(2L) * col("n_grp")).cast("double"))
+          .cast("long"))
+      .join(pooled, col("target_rank") === col("prank"))
+      .select(col("id"), col("grp"), col("v"), col("rnk_grp"), col("n_grp"),
+        col("target_rank"), col("norm_v"))
+  }
 }

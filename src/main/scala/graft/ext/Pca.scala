@@ -58,4 +58,44 @@ object Pca {
     }
     v.select(col("pos"), col("v").as("v_micro"))
   }
+
+  /** Anisotropy report: the share of total (centered) variance carried
+    * by the top principal direction from [[powerTopDirection]] — the
+    * "is this embedding space collapsed" health number (isotropic
+    * spaces score ≈ 1/dim; a dominant direction pushes toward 1).
+    *
+    * Per-row projections `p = Σ v·(x−μ)` are exact integers scaled once
+    * (`q = round(p/1e6)`); the three sums of squares (projection,
+    * direction, total) are exact 64-bit sums, and the single ratio is
+    * one shared double expression. One linear pass over the corpus
+    * beyond the covariance pass the direction itself costs.
+    *
+    * @return one row (n_rows, total_ss, p2, v2, ratio_milli)
+    */
+  def anisotropy(df: DataFrame, embCol: String, iters: Int = 2): DataFrame = {
+    val v = IvfIndex.materializeLocal(df.sparkSession,
+      powerTopDirection(df, embCol, iters))
+    val dims = Exec.widen(df.select(col("vec_id").as("id"), col(embCol).as("emb")))
+      .select(col("id"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        round(col("x").cast("double") * 1000000, 0).cast("long").as("xm"))
+    val mu = dims.groupBy(col("pos"))
+      .agg(round(sum(col("xm")).cast("double") / count(lit(1)), 0)
+        .cast("long").as("mu"))
+    val centered = dims.join(broadcast(mu), "pos")
+      .select(col("id"), col("pos"), (col("xm") - col("mu")).as("vc"))
+    val proj = centered.join(broadcast(v), "pos")
+      .groupBy(col("id"))
+      .agg(sum(col("vc") * col("v_micro")).as("p"))
+      .withColumn("q", round(col("p").cast("double") / 1000000.0, 0).cast("long"))
+    val t = centered.agg(count(lit(1)).as("n_cells"),
+      sum(col("vc") * col("vc")).as("total_ss"))
+    val p2 = proj.agg(count(lit(1)).as("n_rows"), sum(col("q") * col("q")).as("p2"))
+    val v2 = v.agg(sum(col("v_micro") * col("v_micro")).as("v2"))
+    p2.crossJoin(t).crossJoin(v2)
+      .select(col("n_rows"), col("total_ss"), col("p2"), col("v2"),
+        round(col("p2").cast("double") * 1000000000000.0
+          / (col("v2").cast("double") * col("total_ss").cast("double"))
+          * 1000.0, 0).cast("long").as("ratio_milli"))
+  }
 }

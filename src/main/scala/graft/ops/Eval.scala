@@ -587,4 +587,44 @@ object Eval {
           .otherwise(round((po - pe) / (lit(1.0) - pe) * 1000000, 0)
             .cast("long")).as("kappa_micro"))
   }
+
+  /** Krippendorff's alpha (nominal metric, complete data) per group:
+    * `α = 1 − D_o/D_e` with observed disagreement
+    * `D_o = (N·n² − Σ_ij n_ij²) / (N·n·(n−1))` and expected
+    * `D_e = (n_tot² − Σ_j c_j²) / (n_tot·(n_tot−1))`, `n_tot = N·n` —
+    * the agreement coefficient whose expected-disagreement baseline
+    * uses the finite-sample (without-replacement) correction, which is
+    * why it differs from [[fleissKappa]] on small panels. Same input
+    * contract and shuffle shape as fleissKappa.
+    *
+    * @return (grp, n_items, n_raters, do_micro, de_micro, alpha_micro)
+    */
+  def krippendorffAlphaNominal(df: DataFrame, grpCol: String, itemCol: String,
+                               catCol: String): DataFrame = {
+    val nij = df.groupBy(col(grpCol).as("grp"), col(itemCol).as("item"),
+        col(catCol).as("cat"))
+      .agg(count(lit(1)).as("nij"))
+    val perItem = nij.groupBy(col("grp"), col("item"))
+      .agg(sum(col("nij")).as("n_i"), sum(col("nij") * col("nij")).as("s2_i"))
+    val g1 = perItem.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_items"), max(col("n_i")).as("n_raters"),
+        sum(col("s2_i")).as("s2"))
+    val g2 = nij.groupBy(col("grp"), col("cat"))
+      .agg(sum(col("nij")).as("c_j"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c_j") * col("c_j")).as("c2"))
+    val nTot = col("n_items") * col("n_raters")
+    val dObs = (col("n_items") * col("n_raters") * col("n_raters") - col("s2"))
+      .cast("double") /
+      (col("n_items") * col("n_raters") * (col("n_raters") - 1)).cast("double")
+    val dExp = (nTot * nTot - col("c2")).cast("double") /
+      (nTot * (nTot - 1)).cast("double")
+    g1.join(g2, "grp")
+      .select(col("grp"), col("n_items"), col("n_raters"),
+        round(dObs * 1000000, 0).cast("long").as("do_micro"),
+        round(dExp * 1000000, 0).cast("long").as("de_micro"),
+        when(dExp === 0.0, lit(null).cast("long"))
+          .otherwise(round((lit(1.0) - dObs / dExp) * 1000000, 0)
+            .cast("long")).as("alpha_micro"))
+  }
 }

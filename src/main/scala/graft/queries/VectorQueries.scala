@@ -221,6 +221,198 @@ object VectorQueries extends QueryPack {
              |    CAST(round(CAST(w AS DOUBLE)*1000000.0/CAST(m AS DOUBLE)) AS BIGINT)
              |    ELSE CAST(0 AS BIGINT) END AS v
              |  FROM w2 CROSS JOIN m2)
-             |SELECT pos, v AS v_micro FROM v2 ORDER BY pos""".stripMargin))
+             |SELECT pos, v AS v_micro FROM v2 ORDER BY pos""".stripMargin)),
+
+    // SEVENTH streaming operator in the conformance gate: continuous
+    // Count-Min maintenance replayed over the documents in 8
+    // micro-batches, each ADDING its counter delta into the V2 doc
+    // store. Counters are an addition monoid (associative,
+    // commutative), so the batched state equals the direct single-pass
+    // build the oracle recomputes cell-for-cell.
+    Q("q272_stream_cms_replay",
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.StreamSketch
+        import graft.io.MemDocStore
+        val keyed = Tables.documents(s, d).select(
+          element_at(graft.ext.TextAnalysis.tokens($"text"), 1).as("key"))
+        val root = graft.core.Scratch.dir("q272_replay")
+        keyed.repartition(8).write.mode("overwrite").parquet(s"$root/data")
+        MemDocStore.drop("q272_cms")
+        val stream = s.readStream
+          .schema(s.read.parquet(s"$root/data").schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/data")
+        val q = StreamSketch.run(stream, "q272_cms", "key", d = 3, w = 256)
+        q.processAllAvailable()
+        q.stop()
+        StreamSketch.counters(s, "q272_cms")
+          .select($"row", $"pos", $"cnt").orderBy($"row", $"pos")
+      },
+      Some("""WITH k AS (
+             |  SELECT string_split_regex(trim(text), '\s+')[1] AS key FROM documents),
+             |occ AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY 1),
+             |th AS (
+             |  SELECT key, n,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(key)),
+             |        j -> CAST(ascii(substring(key, j, 1)) AS BIGINT))),
+             |      (a, b) -> (a*31 + b) % 1000000007) AS h
+             |  FROM occ),
+             |ii AS (SELECT unnest(generate_series(0, 2)) AS i),
+             |cells AS (
+             |  SELECT key, n, i AS r,
+             |    ((h * ((1103515245 * (i+1)) % 1000000007)
+             |      + ((12345 * (i+1) + 7) % 1000000007)) % 1000000007) % 256 AS pos
+             |  FROM th, ii)
+             |SELECT r AS "row", pos, CAST(sum(n) AS BIGINT) AS cnt
+             |FROM cells GROUP BY 1, 2 ORDER BY "row", pos""".stripMargin)),
+
+    // Quantile normalization of n_chars across sources onto the pooled
+    // distribution (midpoint rank mapping, two-phase pooled rank).
+    Q("q273_quantile_normalize",
+      (s, d) => {
+        import s.implicits._
+        CorpusOps.quantileNormalize(Tables.documents(s, d), "doc_id",
+            "source", "n_chars")
+          .select($"id".as("doc_id"), $"grp".as("source"),
+            $"v".as("n_chars"), $"rnk_grp", $"n_grp", $"target_rank",
+            $"norm_v")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH rw AS (
+             |  SELECT doc_id AS id, source AS grp, CAST(n_chars AS BIGINT) AS v
+             |  FROM documents),
+             |rg AS (
+             |  SELECT *,
+             |    CAST(row_number() OVER (PARTITION BY grp ORDER BY v, id) AS BIGINT) AS rnk_grp,
+             |    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n_grp
+             |  FROM rw),
+             |pool AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY v, id) AS BIGINT) AS prank,
+             |    v AS norm_v
+             |  FROM rw),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM rw),
+             |tg AS (
+             |  SELECT id, grp, v, rnk_grp, n_grp,
+             |    CAST(floor(CAST((2*rnk_grp - 1)*n_total + n_grp AS DOUBLE)
+             |      / CAST(2*n_grp AS DOUBLE)) AS BIGINT) AS target_rank
+             |  FROM rg CROSS JOIN tot)
+             |SELECT id AS doc_id, grp AS source, v AS n_chars, rnk_grp, n_grp,
+             |  target_rank, p.norm_v
+             |FROM tg JOIN pool p ON p.prank = tg.target_rank
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Krippendorff's alpha (nominal) per language over the same 3-rater
+    // panel as q262 — the finite-sample-corrected agreement twin.
+    Q("q274_krippendorff_alpha",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val r1 = docs.select($"lang", $"doc_id".as("item"),
+          ($"n_chars" % 3).cast("long").as("cat"))
+        val r2 = docs.select($"lang", $"doc_id".as("item"),
+          (size(graft.ext.TextAnalysis.tokens($"text")) % 3).cast("long").as("cat"))
+        val r3 = docs.select($"lang", $"doc_id".as("item"),
+          (floor($"doc_id" / 3).cast("long") % 3).as("cat"))
+        graft.ops.Eval.krippendorffAlphaNominal(
+            r1.unionByName(r2).unionByName(r3), "lang", "item", "cat")
+          .select($"grp".as("lang"), $"n_items", $"n_raters",
+            $"do_micro", $"de_micro", $"alpha_micro")
+          .orderBy($"lang")
+      },
+      Some("""WITH r AS (
+             |  SELECT lang, doc_id AS item, CAST(n_chars % 3 AS BIGINT) AS cat
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT lang, doc_id,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) % 3 AS BIGINT)
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT lang, doc_id, CAST((doc_id // 3) % 3 AS BIGINT)
+             |  FROM documents),
+             |nij AS (SELECT lang, item, cat, CAST(count(*) AS BIGINT) AS nij
+             |        FROM r GROUP BY 1, 2, 3),
+             |pi AS (SELECT lang, item, CAST(sum(nij) AS BIGINT) AS n_i,
+             |         CAST(sum(nij*nij) AS BIGINT) AS s2_i
+             |       FROM nij GROUP BY 1, 2),
+             |g1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_items,
+             |         CAST(max(n_i) AS BIGINT) AS n_raters,
+             |         CAST(sum(s2_i) AS BIGINT) AS s2
+             |       FROM pi GROUP BY 1),
+             |cj AS (SELECT lang, cat, CAST(sum(nij) AS BIGINT) AS c_j
+             |       FROM nij GROUP BY 1, 2),
+             |g2 AS (SELECT lang, CAST(sum(c_j*c_j) AS BIGINT) AS c2
+             |       FROM cj GROUP BY 1)
+             |SELECT g1.lang, n_items, n_raters,
+             |  CAST(round(CAST(n_items*n_raters*n_raters - s2 AS DOUBLE)
+             |    / CAST(n_items*n_raters*(n_raters-1) AS DOUBLE) * 1000000) AS BIGINT) AS do_micro,
+             |  CAST(round(CAST((n_items*n_raters)*(n_items*n_raters) - c2 AS DOUBLE)
+             |    / CAST((n_items*n_raters)*((n_items*n_raters)-1) AS DOUBLE) * 1000000) AS BIGINT) AS de_micro,
+             |  CASE WHEN CAST((n_items*n_raters)*(n_items*n_raters) - c2 AS DOUBLE)
+             |      / CAST((n_items*n_raters)*((n_items*n_raters)-1) AS DOUBLE) = 0.0
+             |    THEN NULL
+             |  ELSE CAST(round((CAST(1.0 AS DOUBLE)
+             |    - (CAST(n_items*n_raters*n_raters - s2 AS DOUBLE)
+             |       / CAST(n_items*n_raters*(n_raters-1) AS DOUBLE))
+             |      / (CAST((n_items*n_raters)*(n_items*n_raters) - c2 AS DOUBLE)
+             |         / CAST((n_items*n_raters)*((n_items*n_raters)-1) AS DOUBLE)))
+             |    * 1000000) AS BIGINT) END AS alpha_micro
+             |FROM g1 JOIN g2 USING (lang) ORDER BY lang""".stripMargin)),
+
+    // Embedding-space anisotropy: share of centered variance on the
+    // top principal direction (the q271 eigenvector), one ratio row.
+    Q("q275_pca_anisotropy",
+      (s, d) => {
+        import s.implicits._
+        Pca.anisotropy(Tables.embeddings(s, d), "embedding", iters = 2)
+      },
+      Some("""WITH dims AS (
+             |  SELECT vec_id AS id,
+             |    unnest(list_transform(embedding, (x,i) -> {'pos': CAST(i - 1 AS BIGINT),
+             |      'xm': CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)}),
+             |      recursive := true)
+             |  FROM embeddings),
+             |mu AS (
+             |  SELECT pos, CAST(round(CAST(sum(xm) AS DOUBLE)/count(*)) AS BIGINT) AS mu
+             |  FROM dims GROUP BY 1),
+             |cen AS (
+             |  SELECT id, d.pos, d.xm - mu.mu AS v
+             |  FROM dims d JOIN mu ON mu.pos = d.pos),
+             |cov AS (
+             |  SELECT a.pos AS pi, b.pos AS pj,
+             |    CAST(round(CAST(sum(a.v * b.v) AS DOUBLE)/1000000.0) AS BIGINT) AS g
+             |  FROM cen a JOIN cen b ON a.id = b.id GROUP BY 1, 2),
+             |w1 AS (SELECT pi, CAST(sum(g * 1000000) AS BIGINT) AS w FROM cov GROUP BY 1),
+             |m1 AS (SELECT max(abs(w)) AS m FROM w1),
+             |v1 AS (
+             |  SELECT pi AS pos, CASE WHEN m > 0 THEN
+             |    CAST(round(CAST(w AS DOUBLE)*1000000.0/CAST(m AS DOUBLE)) AS BIGINT)
+             |    ELSE CAST(0 AS BIGINT) END AS v
+             |  FROM w1 CROSS JOIN m1),
+             |w2 AS (
+             |  SELECT cov.pi, CAST(sum(g * v1.v) AS BIGINT) AS w
+             |  FROM cov JOIN v1 ON v1.pos = cov.pj GROUP BY 1),
+             |m2 AS (SELECT max(abs(w)) AS m FROM w2),
+             |v2 AS (
+             |  SELECT pi AS pos, CASE WHEN m > 0 THEN
+             |    CAST(round(CAST(w AS DOUBLE)*1000000.0/CAST(m AS DOUBLE)) AS BIGINT)
+             |    ELSE CAST(0 AS BIGINT) END AS v
+             |  FROM w2 CROSS JOIN m2),
+             |proj AS (
+             |  SELECT id, CAST(sum(c.v * v2.v) AS BIGINT) AS p
+             |  FROM cen c JOIN v2 ON v2.pos = c.pos GROUP BY 1),
+             |pq AS (
+             |  SELECT id, CAST(round(CAST(p AS DOUBLE)/1000000.0) AS BIGINT) AS q
+             |  FROM proj),
+             |t AS (SELECT CAST(sum(v*v) AS BIGINT) AS total_ss FROM cen),
+             |p2 AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |         CAST(sum(q*q) AS BIGINT) AS p2 FROM pq),
+             |vv AS (SELECT CAST(sum(v*v) AS BIGINT) AS v2s FROM v2)
+             |SELECT n_rows, total_ss, p2, v2s AS v2,
+             |  CAST(round(CAST(p2 AS DOUBLE) * 1000000000000.0
+             |    / (CAST(v2s AS DOUBLE) * CAST(total_ss AS DOUBLE))
+             |    * 1000.0) AS BIGINT) AS ratio_milli
+             |FROM p2 CROSS JOIN t CROSS JOIN vv""".stripMargin))
   )
 }

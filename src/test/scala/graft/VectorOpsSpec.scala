@@ -78,6 +78,43 @@ class VectorOpsSpec extends SparkTestBase {
     assert(head.map(_._4).toSeq === Seq("sA", "sB", "sA", "sB", "sA", "sB"))
   }
 
+  test("quantileNormalize maps each group onto the pooled scale") {
+    // group A values {1..4}, group B values {101..104}: after
+    // normalization both groups cover the pooled distribution's span,
+    // and ranks map monotonically
+    val df = (Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L), (4L, "A", 4L),
+      (5L, "B", 101L), (6L, "B", 102L), (7L, "B", 103L), (8L, "B", 104L)))
+      .toDF("id", "grp", "v")
+    val out = CorpusOps.quantileNormalize(df, "id", "grp", "v")
+      .orderBy($"id").as[(Long, String, Long, Long, Long, Long, Long)].collect()
+    // midpoint mapping of r∈{1..4} into N=8: target ranks 1,3,5,7
+    assert(out.filter(_._2 == "A").map(_._6).toSeq === Seq(1L, 3L, 5L, 7L))
+    // identical within-group ranks get identical normalized values
+    val a = out.filter(_._2 == "A").map(r => r._4 -> r._7).toMap
+    val b = out.filter(_._2 == "B").map(r => r._4 -> r._7).toMap
+    assert(a === b)
+  }
+
+  test("krippendorffAlphaNominal: perfect agreement is exactly 1e6") {
+    val ratings = for { item <- 1L to 9L; _ <- 1 to 3 } yield ("g", item, item % 3)
+    val Array(alpha) = graft.ops.Eval.krippendorffAlphaNominal(
+        ratings.toDF("grp", "item", "cat"), "grp", "item", "cat")
+      .select($"alpha_micro").as[Long].collect()
+    assert(alpha === 1000000L)
+  }
+
+  test("Pca.anisotropy: a one-axis cloud carries ~all variance on the top direction") {
+    val rows = (0 until 40).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(2) = (if (i % 2 == 0) 10.0f else -10.0f)
+      (i.toLong, v.toSeq)
+    }
+    val Array((n, _, _, _, ratio)) =
+      graft.ext.Pca.anisotropy(embDf(rows: _*), "embedding", iters = 2)
+        .as[(Long, Long, Long, Long, Long)].collect()
+    assert(n === 40L && ratio > 990L && ratio <= 1001L, s"ratio=$ratio")
+  }
+
   test("adamicAdarTopK: rare shared neighbor outweighs a hub") {
     // c1 (deg 2) links s1,s2; c2 (deg 4) links s3,s4 (and s5,s6):
     // AA(s1,s2) = 1/ln2 > AA(s3,s4) = 1/ln4
