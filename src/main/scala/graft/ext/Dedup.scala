@@ -1319,4 +1319,59 @@ object Dedup {
         round((col("n_novel") * 1000L).cast("double")
           / col("n_grams").cast("double"), 0).cast("long"))
   }
+
+  /** Content-defined chunking dedup report per source: documents are
+    * cut where the rolling `w`-char window's PolyHash hits `0 mod
+    * mask` (expected chunk ≈ mask chars), chunks are keyed by their
+    * own hash, and each source reports its chunk-level duplication —
+    * the storage-side dedup estimate (CDC is what makes chunk stores
+    * resilient to insertions: an edit reshuffles only the chunks it
+    * touches, unlike fixed-size blocks).
+    *
+    * Boundaries and chunk keys are pure integer PolyHash folds —
+    * engine-exact. One linear pass (O(chars·w) hashing per document),
+    * one (src) aggregation; no pair joins.
+    *
+    * @return (source, n_docs, n_chunks, n_distinct, dup_milli,
+    *         mean_len_milli)
+    */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, w: Int = 8, mask: Int = 32): DataFrame = {
+    import graft.functions.PolyHash
+    val base = widen(df.select(col(idCol).as("id"), col(srcCol).as("src"),
+      col(textCol).as("text")))
+    val ln = length(col("text"))
+    val cutsAfter = when(ln - (w - 1) >= 1,
+        filter(
+          transform(
+            filter(sequence(lit(1), greatest(ln - (w - 1), lit(1))),
+              b => pmod(PolyHash.polyHash(col("text").substr(b, lit(w))),
+                lit(mask.toLong)) === 0L),
+            b => b + w),
+          s => s <= ln))
+      .otherwise(array().cast("array<int>"))
+    val withStarts = base
+      .withColumn("starts", concat(array(lit(1)), cutsAfter))
+      .withColumn("ends", concat(
+        slice(col("starts"), lit(2), greatest(size(col("starts")) - 1, lit(0))),
+        array(ln + 1)))
+    val chunks = withStarts
+      .withColumn("chunks", zip_with(col("starts"), col("ends"),
+        (s, e) => col("text").substr(s, e - s)))
+      .select(col("id"), col("src"), explode(col("chunks")).as("chunk"))
+      .select(col("id"), col("src"),
+        PolyHash.polyHash(col("chunk")).as("h"),
+        length(col("chunk")).cast("long").as("len"))
+    chunks.groupBy(col("src"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct"),
+        sum(col("len")).as("sum_len"))
+      .select(col("src").as("source"), col("n_docs"), col("n_chunks"),
+        col("n_distinct"),
+        round(((col("n_chunks") - col("n_distinct")) * 1000L).cast("double")
+          / col("n_chunks").cast("double"), 0).cast("long").as("dup_milli"),
+        round(col("sum_len").cast("double") * 1000.0
+          / col("n_chunks").cast("double"), 0).cast("long").as("mean_len_milli"))
+  }
 }

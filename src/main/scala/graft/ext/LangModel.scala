@@ -945,4 +945,98 @@ object LangModel {
         round(num * num / (den * deny) * 1000, 0).cast("long"))
         .otherwise(lit(null).cast("long")).as("r2_milli"))
   }
+
+  /** Leave-one-source-out influence of every source on a Naive Bayes
+    * label model — the data-valuation audit: train the token model on
+    * the WHOLE corpus and on the corpus minus each source (closed-form:
+    * complement counts are global minus per-source counts, no
+    * retraining pass), score each source's own documents under both,
+    * and report the accuracy delta. A strongly negative delta means the
+    * source's labels are only supported by its own data — the
+    * mislabeled/outlier-source signal.
+    *
+    * Laplace-smoothed micro-nat LLR terms over the COMPLEMENT vocab
+    * size (tokens whose complement count is zero collapse to the OOV
+    * term automatically — smoothing is uniform, no separate branch);
+    * per-token terms are rounded to micro-nats then integer-summed
+    * (the exact-sum discipline), priors from complement doc counts.
+    *
+    * Scale shape: one (tok) and one (tok, source) count shuffle, then a
+    * single linear scoring pass over token rows joined to the two count
+    * tables and a broadcast per-source constant row — O(corpus tokens)
+    * total for ALL leave-one-out models at once.
+    *
+    * @return (source, n_docs, acc_full_milli, acc_loo_milli, delta_milli)
+    */
+  def sourceInfluenceNb(docs: DataFrame, idCol: String, textCol: String,
+                        srcCol: String, gold: Column): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(srcCol).as("src"),
+      gold.as("gold"), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val tokRows = base.select(col("id"), col("src"), col("gold"),
+      explode(col("toks")).as("tok"))
+    val counts = tokRows.groupBy(col("tok"))
+      .agg(sum(when(col("gold"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("gold"), 1L).otherwise(0L)).as("c0"))
+    val sCounts = tokRows.groupBy(col("tok"), col("src"))
+      .agg(sum(when(col("gold"), 1L).otherwise(0L)).as("c1s"),
+        sum(when(!col("gold"), 1L).otherwise(0L)).as("c0s"))
+    val glob = counts.agg(count(lit(1)).as("v"),
+      sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
+    val docTotals = docs.select(gold.as("gold")).agg(
+      sum(when(col("gold"), 1L).otherwise(0L)).as("d1"),
+      sum(when(!col("gold"), 1L).otherwise(0L)).as("d0"))
+    // per-source complement constants: token/doc totals and the
+    // complement vocab (tokens the source doesn't monopolize)
+    val lost = sCounts.join(counts, "tok")
+      .filter(col("c1s") + col("c0s") === col("c1") + col("c0"))
+      .groupBy(col("src")).agg(count(lit(1)).as("v_lost"))
+    val srcConsts = sCounts.groupBy(col("src"))
+      .agg(sum(col("c1s")).as("n1s"), sum(col("c0s")).as("n0s"))
+      .join(docs.select(col(srcCol).as("src"), gold.as("gold"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("gold"), 1L).otherwise(0L)).as("d1s"),
+          sum(when(!col("gold"), 1L).otherwise(0L)).as("d0s")),
+        "src")
+      .join(lost, Seq("src"), "left")
+      .crossJoin(broadcast(glob)).crossJoin(broadcast(docTotals))
+      .select(col("src"), col("n_docs"),
+        (col("n1") - col("n1s")).as("n1c"), (col("n0") - col("n0s")).as("n0c"),
+        (col("d1") - col("d1s")).as("d1c"), (col("d0") - col("d0s")).as("d0c"),
+        (col("v") - coalesce(col("v_lost"), lit(0L))).as("vs"))
+    def llr(c1: Column, n1: Column, c0: Column, n0: Column, vv: Column) =
+      round((log((c1 + 1L).cast("double") / (n1 + vv).cast("double"))
+        - log((c0 + 1L).cast("double") / (n0 + vv).cast("double")))
+        * 1000000, 0).cast("long")
+    val scored = tokRows
+      .join(counts, "tok")
+      .join(sCounts, Seq("tok", "src"))
+      .join(broadcast(srcConsts), "src")
+      .crossJoin(broadcast(glob))
+      .withColumn("t_full", llr(col("c1"), col("n1"), col("c0"), col("n0"), col("v")))
+      .withColumn("t_loo", llr(col("c1") - col("c1s"), col("n1c"),
+        col("c0") - col("c0s"), col("n0c"), col("vs")))
+      .groupBy(col("id"), col("src"), col("gold"))
+      .agg(sum(col("t_full")).as("s_full"), sum(col("t_loo")).as("s_loo"))
+    val priors = srcConsts.crossJoin(broadcast(docTotals))
+      .select(col("src"),
+        round((log(col("d1").cast("double")) - log(col("d0").cast("double")))
+          * 1000000, 0).cast("long").as("p_full"),
+        round((log(col("d1c").cast("double")) - log(col("d0c").cast("double")))
+          * 1000000, 0).cast("long").as("p_loo"))
+    scored.join(broadcast(priors), "src")
+      .withColumn("pred_full", col("p_full") + col("s_full") >= 0)
+      .withColumn("pred_loo", col("p_loo") + col("s_loo") >= 0)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(when(col("pred_full") === col("gold"), 1L).otherwise(0L))
+          .cast("double") * 1000.0 / count(lit(1)).cast("double"), 0)
+          .cast("long").as("acc_full_milli"),
+        round(sum(when(col("pred_loo") === col("gold"), 1L).otherwise(0L))
+          .cast("double") * 1000.0 / count(lit(1)).cast("double"), 0)
+          .cast("long").as("acc_loo_milli"))
+      .withColumn("delta_milli", col("acc_loo_milli") - col("acc_full_milli"))
+      .select(col("src").as("source"), col("n_docs"), col("acc_full_milli"),
+        col("acc_loo_milli"), col("delta_milli"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{CorpusOps, Dedup, LinkGraph, Pca, Pq}
+import graft.ext.{CorpusOps, Dedup, LangModel, LinkGraph, Pca, Pq}
 
 /** Wave 29 — vector compression and corpus/graph structure: product
   * quantization with ADC search (the storage-side ANN scale lever),
@@ -413,6 +413,146 @@ object VectorQueries extends QueryPack {
              |  CAST(round(CAST(p2 AS DOUBLE) * 1000000000000.0
              |    / (CAST(v2s AS DOUBLE) * CAST(total_ss AS DOUBLE))
              |    * 1000.0) AS BIGINT) AS ratio_milli
-             |FROM p2 CROSS JOIN t CROSS JOIN vv""".stripMargin))
+             |FROM p2 CROSS JOIN t CROSS JOIN vv""".stripMargin)),
+
+    // Leave-one-source-out NB influence: accuracy of the label model on
+    // each source's own docs, with and without that source in the
+    // training counts — closed-form complement counts, one linear
+    // scoring pass for all 20 LOO models at once.
+    Q("q276_source_influence",
+      (s, d) => {
+        import s.implicits._
+        LangModel.sourceInfluenceNb(Tables.documents(s, d), "doc_id", "text",
+            "source", $"lang" === "en")
+          .orderBy($"source")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id AS id, source AS src, lang = 'en' AS gold,
+             |    string_split_regex(trim(text), '\s+') AS l
+             |  FROM documents),
+             |tokrows AS (SELECT id, src, gold, unnest(l) AS tok FROM base),
+             |counts AS (
+             |  SELECT tok,
+             |    CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT) AS c0
+             |  FROM tokrows GROUP BY 1),
+             |scounts AS (
+             |  SELECT tok, src,
+             |    CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS c1s,
+             |    CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT) AS c0s
+             |  FROM tokrows GROUP BY 1, 2),
+             |gl AS (SELECT CAST(count(*) AS BIGINT) AS v,
+             |    CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0
+             |  FROM counts),
+             |dtot AS (SELECT
+             |    CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             |    CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT) AS d0
+             |  FROM base),
+             |lost AS (
+             |  SELECT src, CAST(count(*) AS BIGINT) AS v_lost
+             |  FROM scounts sc JOIN counts c USING (tok)
+             |  WHERE sc.c1s + sc.c0s = c.c1 + c.c0 GROUP BY 1),
+             |stot AS (SELECT src, CAST(sum(c1s) AS BIGINT) AS n1s,
+             |    CAST(sum(c0s) AS BIGINT) AS n0s FROM scounts GROUP BY 1),
+             |sdoc AS (SELECT src,
+             |    CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS d1s,
+             |    CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT) AS d0s
+             |  FROM base GROUP BY 1),
+             |sc2 AS (
+             |  SELECT stot.src, n1 - n1s AS n1c, n0 - n0s AS n0c,
+             |    d1 - d1s AS d1c, d0 - d0s AS d0c,
+             |    v - coalesce(v_lost, 0) AS vs
+             |  FROM stot JOIN sdoc USING (src) LEFT JOIN lost USING (src)
+             |  CROSS JOIN gl CROSS JOIN dtot),
+             |terms AS (
+             |  SELECT t.id, t.src, t.gold,
+             |    CAST(round((ln(CAST(c.c1 + 1 AS DOUBLE) / CAST(g.n1 + g.v AS DOUBLE))
+             |      - ln(CAST(c.c0 + 1 AS DOUBLE) / CAST(g.n0 + g.v AS DOUBLE)))
+             |      * 1000000) AS BIGINT) AS t_full,
+             |    CAST(round((ln(CAST(c.c1 - s.c1s + 1 AS DOUBLE) / CAST(k.n1c + k.vs AS DOUBLE))
+             |      - ln(CAST(c.c0 - s.c0s + 1 AS DOUBLE) / CAST(k.n0c + k.vs AS DOUBLE)))
+             |      * 1000000) AS BIGINT) AS t_loo
+             |  FROM tokrows t JOIN counts c USING (tok)
+             |  JOIN scounts s ON s.tok = t.tok AND s.src = t.src
+             |  JOIN sc2 k ON k.src = t.src CROSS JOIN gl g),
+             |dscore AS (
+             |  SELECT id, src, gold, CAST(sum(t_full) AS BIGINT) AS s_full,
+             |    CAST(sum(t_loo) AS BIGINT) AS s_loo
+             |  FROM terms GROUP BY 1, 2, 3),
+             |pri AS (
+             |  SELECT k.src,
+             |    CAST(round((ln(CAST(d1 AS DOUBLE)) - ln(CAST(d0 AS DOUBLE)))
+             |      * 1000000) AS BIGINT) AS p_full,
+             |    CAST(round((ln(CAST(d1c AS DOUBLE)) - ln(CAST(d0c AS DOUBLE)))
+             |      * 1000000) AS BIGINT) AS p_loo
+             |  FROM sc2 k CROSS JOIN dtot),
+             |fin AS (
+             |  SELECT d.src, d.gold,
+             |    (p.p_full + d.s_full >= 0) AS pred_full,
+             |    (p.p_loo + d.s_loo >= 0) AS pred_loo
+             |  FROM dscore d JOIN pri p USING (src)),
+             |agg AS (
+             |  SELECT src AS source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(round(CAST(sum(CASE WHEN pred_full = gold THEN 1 ELSE 0 END) AS DOUBLE)
+             |      * 1000 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS acc_full_milli,
+             |    CAST(round(CAST(sum(CASE WHEN pred_loo = gold THEN 1 ELSE 0 END) AS DOUBLE)
+             |      * 1000 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS acc_loo_milli
+             |  FROM fin GROUP BY 1)
+             |SELECT source, n_docs, acc_full_milli, acc_loo_milli,
+             |  acc_loo_milli - acc_full_milli AS delta_milli
+             |FROM agg ORDER BY source""".stripMargin)),
+
+    // Content-defined chunking dedup report: rolling-hash cut points
+    // (8-char PolyHash window, mask 32), chunk-hash duplication and
+    // mean chunk length per source — the chunk-store storage estimate.
+    Q("q277_cdc_chunks",
+      (s, d) => {
+        import s.implicits._
+        Dedup.cdcChunkStats(Tables.documents(s, d), "doc_id", "text",
+            "source", w = 8, mask = 32)
+          .orderBy($"source")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id AS id, source AS src, text,
+             |    CAST(length(text) AS BIGINT) AS ll
+             |  FROM documents),
+             |cuts AS (
+             |  SELECT id, src, text, ll,
+             |    CASE WHEN ll - 7 >= 1 THEN
+             |      list_filter(list_transform(list_filter(
+             |        generate_series(CAST(1 AS BIGINT), ll - 7),
+             |        b -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |            list_transform(generate_series(1, 8),
+             |              j -> CAST(ascii(substring(text, CAST(b + j - 1 AS INT), 1)) AS BIGINT))),
+             |            (a, c) -> (a*31 + c) % 1000000007) % 32 = 0),
+             |        b -> b + 8), s2 -> s2 <= ll)
+             |    ELSE CAST([] AS BIGINT[]) END AS ca
+             |  FROM base),
+             |st AS (
+             |  SELECT id, src, text, ll,
+             |    list_prepend(CAST(1 AS BIGINT), ca) AS starts
+             |  FROM cuts),
+             |ch AS (
+             |  SELECT id, src,
+             |    unnest(list_transform(starts, (s0, i) ->
+             |      substring(text, CAST(s0 AS INT),
+             |        CAST(coalesce(starts[i+1], ll + 1) - s0 AS INT)))) AS chunk
+             |  FROM st),
+             |hs AS (
+             |  SELECT id, src,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(chunk)),
+             |        j -> CAST(ascii(substring(chunk, j, 1)) AS BIGINT))),
+             |      (a, c) -> (a*31 + c) % 1000000007) AS h,
+             |    CAST(length(chunk) AS BIGINT) AS len
+             |  FROM ch)
+             |SELECT src AS source, CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+             |  CAST(round(CAST((count(*) - count(DISTINCT h)) * 1000 AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS dup_milli,
+             |  CAST(round(CAST(sum(len) AS DOUBLE) * 1000
+             |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_len_milli
+             |FROM hs GROUP BY 1 ORDER BY source""".stripMargin))
   )
 }

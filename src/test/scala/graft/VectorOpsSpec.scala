@@ -115,6 +115,47 @@ class VectorOpsSpec extends SparkTestBase {
     assert(n === 40L && ratio > 990L && ratio <= 1001L, s"ratio=$ratio")
   }
 
+  test("sourceInfluenceNb: a lying source loses accuracy without itself") {
+    // each source has its OWN vocabulary: the full model supports
+    // srcBad's label claims with srcBad's own counts (perfect
+    // accuracy), while the LOO model has never seen its tokens — all
+    // its docs collapse onto one prior-driven prediction and half the
+    // labels flip. srcGood's vocabulary is shared with srcAlly, so its
+    // LOO accuracy holds.
+    val docs = (
+      (1L to 8L).map(i => (i, "srcGood", if (i % 2 == 0) "en" else "xx",
+        if (i % 2 == 0) "alpha alpha alpha" else "beta beta beta")) ++
+      (21L to 28L).map(i => (i, "srcAlly", if (i % 2 == 0) "en" else "xx",
+        if (i % 2 == 0) "alpha alpha alpha" else "beta beta beta")) ++
+      (9L to 12L).map(i => (i, "srcBad", if (i % 2 == 0) "xx" else "en",
+        if (i % 2 == 0) "gamma gamma gamma" else "delta delta delta"))
+    ).toDF("doc_id", "source", "lang", "text")
+    val out = graft.ext.LangModel.sourceInfluenceNb(docs, "doc_id", "text",
+        "source", col("lang") === "en")
+      .orderBy($"source").as[(String, Long, Long, Long, Long)].collect()
+    val bad = out.find(_._1 == "srcBad").get
+    val good = out.find(_._1 == "srcGood").get
+    assert(bad._5 < 0, s"srcBad delta should be negative: $bad")
+    assert(good._4 === 1000L, s"srcGood LOO accuracy should stay perfect: $good")
+  }
+
+  test("cdcChunkStats: duplicated documents duplicate their chunks") {
+    // two identical long docs + one unique: the repeated doc's chunks
+    // collide corpus-wide within the source, the unique one's don't
+    val body = (1 to 40).map(i => f"tok$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, "sA", body), (2L, "sA", body),
+      (3L, "sB", (41 to 80).map(i => f"tok$i%02d").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = graft.ext.Dedup.cdcChunkStats(docs, "doc_id", "text", "source")
+      .orderBy($"source").as[(String, Long, Long, Long, Long, Long)].collect()
+    val sA = out(0); val sB = out(1)
+    assert(sA._2 === 2L && sA._3 === 2 * sA._4,
+      s"identical docs must produce identical chunk streams: $sA vs $sB")
+    assert(sA._5 === 500L, s"half of sA's chunks are repeats: $sA")
+    assert(sB._5 === 0L, s"unique doc has no dup chunks: $sB")
+  }
+
   test("adamicAdarTopK: rare shared neighbor outweighs a hub") {
     // c1 (deg 2) links s1,s2; c2 (deg 4) links s3,s4 (and s5,s6):
     // AA(s1,s2) = 1/ln2 > AA(s3,s4) = 1/ln4
