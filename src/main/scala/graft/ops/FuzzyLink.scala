@@ -39,4 +39,68 @@ object FuzzyLink {
       .filter(col("jw") >= threshold)
       .select(col("left_key"), col("right_key"), col("jw"))
   }
+
+  /** Fellegi–Sunter match-weight estimation by EM over binary agreement
+    * patterns — the probabilistic layer above [[blockedJaroWinkler]]:
+    * given candidate pairs with K binary field agreements, learn the
+    * per-field match/unmatch agreement rates (m_k, u_k) and the match
+    * prior p, and emit each PATTERN's posterior match probability.
+    *
+    * The scale trick is classic: pairs collapse to their agreement
+    * pattern first (≤ 2^K rows with counts), and every E/M step runs on
+    * the pattern table — so EM cost is independent of the pair count
+    * after one aggregation pass. Probabilities live as micro-ints; the
+    * E-step likelihood products and M-step ratios are single shared
+    * double expressions over exact integers, so the fixed point is
+    * engine-identical.
+    *
+    * @param pairs  one row per candidate pair with boolean columns
+    *               `aCols`
+    * @param iters  EM rounds (unrolled in the oracle)
+    * @return (a1..aK, n_pairs, r_micro) — pattern posterior after
+    *         `iters` rounds, plus the learned constants on every row
+    *         (m_k_micro, u_k_micro, p_micro)
+    */
+  def fellegiSunterEm(pairs: DataFrame, aCols: Seq[String],
+                      iters: Int = 2): DataFrame = {
+    val k = aCols.size
+    val patterns = pairs
+      .groupBy(aCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    var consts = patterns.sparkSession.range(1).select(
+      (aCols.flatMap(a => Seq(lit(900000L).as(s"m_$a"), lit(100000L).as(s"u_$a")))
+        :+ lit(500000L).as("p")): _*)
+    def rCol: Column = {
+      val wm = aCols.map(a =>
+        when(col(a), col(s"m_$a")).otherwise(lit(1000000L) - col(s"m_$a"))
+          .cast("double"))
+        .foldLeft(col("p").cast("double"))(_ * _)
+      val wu = aCols.map(a =>
+        when(col(a), col(s"u_$a")).otherwise(lit(1000000L) - col(s"u_$a"))
+          .cast("double"))
+        .foldLeft((lit(1000000L) - col("p")).cast("double"))(_ * _)
+      round(wm / (wm + wu) * 1000000, 0).cast("long")
+    }
+    for (_ <- 1 to iters) {
+      val e = patterns.crossJoin(broadcast(consts)).withColumn("r", rCol)
+      val mStep: Seq[Column] = aCols.flatMap(a => Seq(
+        round(sum(when(col(a), col("n") * col("r")).otherwise(0L))
+          .cast("double") * 1000000.0
+          / sum(col("n") * col("r")).cast("double"), 0)
+          .cast("long").as(s"m_$a"),
+        round(sum(when(col(a), col("n") * (lit(1000000L) - col("r")))
+          .otherwise(0L)).cast("double") * 1000000.0
+          / sum(col("n") * (lit(1000000L) - col("r"))).cast("double"), 0)
+          .cast("long").as(s"u_$a"))) :+
+        round(sum(col("n") * col("r")).cast("double")
+          / (sum(col("n")) * lit(1000000L)).cast("double") * 1000000.0, 0)
+          .cast("long").as("p")
+      consts = e.agg(mStep.head, mStep.tail: _*)
+    }
+    patterns.crossJoin(broadcast(consts))
+      .withColumn("r_micro", rCol)
+      .select((aCols.map(col) :+ col("n").as("n_pairs") :+ col("r_micro"))
+        ++ aCols.flatMap(a => Seq(col(s"m_$a").as(s"m_${a}_micro"),
+          col(s"u_$a").as(s"u_${a}_micro"))) :+ col("p").as("p_micro"): _*)
+  }
 }

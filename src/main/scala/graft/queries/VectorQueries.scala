@@ -553,6 +553,119 @@ object VectorQueries extends QueryPack {
              |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS dup_milli,
              |  CAST(round(CAST(sum(len) AS DOUBLE) * 1000
              |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_len_milli
-             |FROM hs GROUP BY 1 ORDER BY source""".stripMargin))
+             |FROM hs GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // Fellegi–Sunter record-linkage weights by EM over agreement
+    // patterns: dirty supplier names re-linked within nation blocks on
+    // (edit-distance, acctbal-bucket, address-initial) agreements; the
+    // oracle replays both EM rounds pattern-for-pattern.
+    Q("q278_fs_em",
+      (s, d) => {
+        import s.implicits._
+        val sup = Tables.supplier(s, d)
+        val dirty = sup.select(
+          concat(substring($"s_name", 1, 11), lit("X"),
+            substring($"s_name", 13, 6)).as("d_name"),
+          $"s_nationkey".as("d_nat"), $"s_acctbal".as("d_bal"),
+          ($"s_suppkey" % 10).as("d_k"))
+        val pairs = dirty.join(sup, $"d_nat" === $"s_nationkey")
+          .select(
+            (levenshtein($"d_name", $"s_name") <= 2).as("a_name"),
+            (floor($"d_bal".cast("double") / 1000.0)
+              === floor($"s_acctbal".cast("double") / 1000.0)).as("a_acct"),
+            ($"d_k" === $"s_suppkey" % 10).as("a_addr"))
+        graft.ops.FuzzyLink.fellegiSunterEm(pairs,
+            Seq("a_name", "a_acct", "a_addr"), iters = 2)
+          .orderBy($"a_name", $"a_acct", $"a_addr")
+      },
+      Some("""WITH dirty AS (
+             |  SELECT substring(s_name, 1, 11) || 'X' || substring(s_name, 13, 6) AS d_name,
+             |    s_nationkey AS d_nat, s_acctbal AS d_bal,
+             |    s_suppkey % 10 AS d_k
+             |  FROM supplier),
+             |pr AS (
+             |  SELECT (levenshtein(d_name, s.s_name) <= 2) AS a_name,
+             |    (floor(CAST(d_bal AS DOUBLE) / 1000.0)
+             |      = floor(CAST(s.s_acctbal AS DOUBLE) / 1000.0)) AS a_acct,
+             |    (d_k = s.s_suppkey % 10) AS a_addr
+             |  FROM dirty JOIN supplier s ON s.s_nationkey = d_nat),
+             |pat AS (SELECT a_name, a_acct, a_addr, CAST(count(*) AS BIGINT) AS n
+             |        FROM pr GROUP BY 1, 2, 3),
+             |e1 AS (
+             |  SELECT *, CAST(round(wm / (wm + wu) * 1000000) AS BIGINT) AS r FROM (
+             |    SELECT pat.*,
+             |      CAST(500000 AS DOUBLE)
+             |        * CAST(CASE WHEN a_name THEN 900000 ELSE 100000 END AS DOUBLE)
+             |        * CAST(CASE WHEN a_acct THEN 900000 ELSE 100000 END AS DOUBLE)
+             |        * CAST(CASE WHEN a_addr THEN 900000 ELSE 100000 END AS DOUBLE) AS wm,
+             |      CAST(500000 AS DOUBLE)
+             |        * CAST(CASE WHEN a_name THEN 100000 ELSE 900000 END AS DOUBLE)
+             |        * CAST(CASE WHEN a_acct THEN 100000 ELSE 900000 END AS DOUBLE)
+             |        * CAST(CASE WHEN a_addr THEN 100000 ELSE 900000 END AS DOUBLE) AS wu
+             |    FROM pat)),
+             |c1 AS (
+             |  SELECT
+             |    CAST(round(CAST(sum(CASE WHEN a_name THEN n*r ELSE 0 END) AS DOUBLE)
+             |      * 1000000.0 / CAST(sum(n*r) AS DOUBLE)) AS BIGINT) AS m_name,
+             |    CAST(round(CAST(sum(CASE WHEN a_name THEN n*(1000000-r) ELSE 0 END) AS DOUBLE)
+             |      * 1000000.0 / CAST(sum(n*(1000000-r)) AS DOUBLE)) AS BIGINT) AS u_name,
+             |    CAST(round(CAST(sum(CASE WHEN a_acct THEN n*r ELSE 0 END) AS DOUBLE)
+             |      * 1000000.0 / CAST(sum(n*r) AS DOUBLE)) AS BIGINT) AS m_acct,
+             |    CAST(round(CAST(sum(CASE WHEN a_acct THEN n*(1000000-r) ELSE 0 END) AS DOUBLE)
+             |      * 1000000.0 / CAST(sum(n*(1000000-r)) AS DOUBLE)) AS BIGINT) AS u_acct,
+             |    CAST(round(CAST(sum(CASE WHEN a_addr THEN n*r ELSE 0 END) AS DOUBLE)
+             |      * 1000000.0 / CAST(sum(n*r) AS DOUBLE)) AS BIGINT) AS m_addr,
+             |    CAST(round(CAST(sum(CASE WHEN a_addr THEN n*(1000000-r) ELSE 0 END) AS DOUBLE)
+             |      * 1000000.0 / CAST(sum(n*(1000000-r)) AS DOUBLE)) AS BIGINT) AS u_addr,
+             |    CAST(round(CAST(sum(n*r) AS DOUBLE)
+             |      / CAST(sum(n)*1000000 AS DOUBLE) * 1000000.0) AS BIGINT) AS p
+             |  FROM e1),
+             |e2 AS (
+             |  SELECT *, CAST(round(wm / (wm + wu) * 1000000) AS BIGINT) AS r FROM (
+             |    SELECT pat.*, c1.*,
+             |      CAST(p AS DOUBLE)
+             |        * CAST(CASE WHEN a_name THEN m_name ELSE 1000000 - m_name END AS DOUBLE)
+             |        * CAST(CASE WHEN a_acct THEN m_acct ELSE 1000000 - m_acct END AS DOUBLE)
+             |        * CAST(CASE WHEN a_addr THEN m_addr ELSE 1000000 - m_addr END AS DOUBLE) AS wm,
+             |      CAST(1000000 - p AS DOUBLE)
+             |        * CAST(CASE WHEN a_name THEN u_name ELSE 1000000 - u_name END AS DOUBLE)
+             |        * CAST(CASE WHEN a_acct THEN u_acct ELSE 1000000 - u_acct END AS DOUBLE)
+             |        * CAST(CASE WHEN a_addr THEN u_addr ELSE 1000000 - u_addr END AS DOUBLE) AS wu
+             |    FROM pat CROSS JOIN c1)),
+             |c2 AS (
+             |  SELECT
+             |    CAST(round(CAST(sum(CASE WHEN a_name THEN n*r ELSE 0 END) AS DOUBLE)
+             |      * 1000000.0 / CAST(sum(n*r) AS DOUBLE)) AS BIGINT) AS m_name,
+             |    CAST(round(CAST(sum(CASE WHEN a_name THEN n*(1000000-r) ELSE 0 END) AS DOUBLE)
+             |      * 1000000.0 / CAST(sum(n*(1000000-r)) AS DOUBLE)) AS BIGINT) AS u_name,
+             |    CAST(round(CAST(sum(CASE WHEN a_acct THEN n*r ELSE 0 END) AS DOUBLE)
+             |      * 1000000.0 / CAST(sum(n*r) AS DOUBLE)) AS BIGINT) AS m_acct,
+             |    CAST(round(CAST(sum(CASE WHEN a_acct THEN n*(1000000-r) ELSE 0 END) AS DOUBLE)
+             |      * 1000000.0 / CAST(sum(n*(1000000-r)) AS DOUBLE)) AS BIGINT) AS u_acct,
+             |    CAST(round(CAST(sum(CASE WHEN a_addr THEN n*r ELSE 0 END) AS DOUBLE)
+             |      * 1000000.0 / CAST(sum(n*r) AS DOUBLE)) AS BIGINT) AS m_addr,
+             |    CAST(round(CAST(sum(CASE WHEN a_addr THEN n*(1000000-r) ELSE 0 END) AS DOUBLE)
+             |      * 1000000.0 / CAST(sum(n*(1000000-r)) AS DOUBLE)) AS BIGINT) AS u_addr,
+             |    CAST(round(CAST(sum(n*r) AS DOUBLE)
+             |      / CAST(sum(n)*1000000 AS DOUBLE) * 1000000.0) AS BIGINT) AS p
+             |  FROM e2)
+             |SELECT a_name, a_acct, a_addr, n AS n_pairs,
+             |  CAST(round(wm / (wm + wu) * 1000000) AS BIGINT) AS r_micro,
+             |  m_name AS m_a_name_micro, u_name AS u_a_name_micro,
+             |  m_acct AS m_a_acct_micro, u_acct AS u_a_acct_micro,
+             |  m_addr AS m_a_addr_micro, u_addr AS u_a_addr_micro,
+             |  p AS p_micro
+             |FROM (
+             |  SELECT pat.*, c2.*,
+             |    CAST(p AS DOUBLE)
+             |      * CAST(CASE WHEN a_name THEN m_name ELSE 1000000 - m_name END AS DOUBLE)
+             |      * CAST(CASE WHEN a_acct THEN m_acct ELSE 1000000 - m_acct END AS DOUBLE)
+             |      * CAST(CASE WHEN a_addr THEN m_addr ELSE 1000000 - m_addr END AS DOUBLE) AS wm,
+             |    CAST(1000000 - p AS DOUBLE)
+             |      * CAST(CASE WHEN a_name THEN u_name ELSE 1000000 - u_name END AS DOUBLE)
+             |      * CAST(CASE WHEN a_acct THEN u_acct ELSE 1000000 - u_acct END AS DOUBLE)
+             |      * CAST(CASE WHEN a_addr THEN u_addr ELSE 1000000 - u_addr END AS DOUBLE) AS wu
+             |  FROM pat CROSS JOIN c2)
+             |ORDER BY a_name, a_acct, a_addr""".stripMargin))
   )
 }

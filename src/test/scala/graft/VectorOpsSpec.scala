@@ -156,6 +156,20 @@ class VectorOpsSpec extends SparkTestBase {
     assert(sB._5 === 0L, s"unique doc has no dup chunks: $sB")
   }
 
+  test("fellegiSunterEm separates all-agree from all-disagree patterns") {
+    // 10 pairs agree on both fields (true matches), 90 disagree on
+    // both: after 2 EM rounds the all-agree pattern's posterior must
+    // sit near 1, the all-disagree near 0, and the learned m > u
+    val pairs = ((1 to 10).map(_ => (true, true)) ++
+      (1 to 90).map(_ => (false, false))).toDF("a_x", "a_y")
+    val out = graft.ops.FuzzyLink.fellegiSunterEm(pairs, Seq("a_x", "a_y"), 2)
+      .orderBy($"a_x").collect()
+    val lo = out(0); val hi = out(1)
+    assert(hi.getAs[Long]("r_micro") > 900000L, s"all-agree: $hi")
+    assert(lo.getAs[Long]("r_micro") < 100000L, s"all-disagree: $lo")
+    assert(hi.getAs[Long]("m_a_x_micro") > hi.getAs[Long]("u_a_x_micro"))
+  }
+
   test("adamicAdarTopK: rare shared neighbor outweighs a hub") {
     // c1 (deg 2) links s1,s2; c2 (deg 4) links s3,s4 (and s5,s6):
     // AA(s1,s2) = 1/ln2 > AA(s3,s4) = 1/ln4
