@@ -946,6 +946,58 @@ object LangModel {
         .otherwise(lit(null).cast("long")).as("r2_milli"))
   }
 
+  /** Heaps'-law fit per group: OLS of ln(vocab) on ln(tokens) over the
+    * cumulative (tokens-seen, distinct-vocab) curve in id order — the
+    * vocabulary-richness exponent (natural text β ≈ 0.7–0.9; template
+    * slices flatten early). Log points are MILLI-units here (the
+    * cumulative-token lns are larger than the rank lns of [[zipfOls]],
+    * and milli keeps the integer sufficient statistics far from 64-bit
+    * range at any corpus size); the OLS ratios are the same shared
+    * double shapes.
+    *
+    * Shape: one (grp, tok) first-occurrence shuffle, one per-group
+    * ordered window for the two running sums, regression math on the
+    * per-doc points.
+    *
+    * @return (grp, n_points, tokens_total, vocab_total, slope_micro,
+    *         r2_milli)
+    */
+  def heapsOls(docs: DataFrame, grpCol: String, idCol: String,
+               textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(grpCol).as("grp"), col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("ntok", size(col("toks")).cast("long"))
+    val firstOcc = base.select(col("grp"), col("id"), explode(col("toks")).as("tok"))
+      .groupBy(col("grp"), col("tok")).agg(min(col("id")).as("fid"))
+    val newPerDoc = firstOcc.groupBy(col("grp"), col("fid").as("id"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("id"))
+    val pts = base.select(col("grp"), col("id"), col("ntok"))
+      .join(newPerDoc, Seq("grp", "id"), "left")
+      .withColumn("cum_tok", sum(col("ntok")).over(w))
+      .withColumn("cum_voc", sum(coalesce(col("n_new"), lit(0L))).over(w))
+      .withColumn("x", round(log(col("cum_tok").cast("double")) * 1000, 0).cast("long"))
+      .withColumn("y", round(log(col("cum_voc").cast("double")) * 1000, 0).cast("long"))
+    val st = pts.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), max(col("cum_tok")).as("tokens_total"),
+        max(col("cum_voc")).as("vocab_total"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    st.select(col("grp"), col("n").as("n_points"), col("tokens_total"),
+      col("vocab_total"),
+      when(den > 0, round(num / den * 1000000, 0).cast("long"))
+        .otherwise(lit(null).cast("long")).as("slope_micro"),
+      when(den > 0 && deny > 0,
+        round(num * num / (den * deny) * 1000, 0).cast("long"))
+        .otherwise(lit(null).cast("long")).as("r2_milli"))
+  }
+
   /** Leave-one-source-out influence of every source on a Naive Bayes
     * label model — the data-valuation audit: train the token model on
     * the WHOLE corpus and on the corpus minus each source (closed-form:

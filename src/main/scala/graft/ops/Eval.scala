@@ -627,4 +627,40 @@ object Eval {
           .otherwise(round((lit(1.0) - dObs / dExp) * 1000000, 0)
             .cast("long")).as("alpha_micro"))
   }
+
+  /** ROC threshold sweep: confusion counts and rates for a classifier
+    * score at every threshold of an integer grid — the operating-point
+    * selection table ([[aucOneVsRest]] integrates it; this emits the
+    * curve itself plus Youden's J so the best cutoff is a max over
+    * rows). One pass: global positives/negatives once, then each grid
+    * row aggregates `score >= t` counts — a broadcast grid × one
+    * corpus-side aggregation, no per-threshold rescans.
+    *
+    * @param grid inclusive integer thresholds (score predicted
+    *             positive when `score >= t`)
+    * @return (t, n_pos, n_neg, tp, fp, tpr_milli, fpr_milli,
+    *         youden_milli)
+    */
+  def rocSweep(df: DataFrame, scoreCol: String, labelCol: String,
+               grid: Seq[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(scoreCol).cast("long").as("s"),
+      col(labelCol).cast("boolean").as("y"))
+    val g = grid.toDF("t")
+    val counts = rows.crossJoin(broadcast(g))
+      .groupBy(col("t"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("y") && col("s") >= col("t"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("y") && col("s") >= col("t"), 1L).otherwise(0L)).as("fp"))
+    counts
+      .withColumn("tpr_milli",
+        round((col("tp") * 1000L).cast("double") / col("n_pos").cast("double"), 0)
+          .cast("long"))
+      .withColumn("fpr_milli",
+        round((col("fp") * 1000L).cast("double") / col("n_neg").cast("double"), 0)
+          .cast("long"))
+      .withColumn("youden_milli", col("tpr_milli") - col("fpr_milli"))
+  }
 }

@@ -666,6 +666,130 @@ object VectorQueries extends QueryPack {
              |      * CAST(CASE WHEN a_acct THEN u_acct ELSE 1000000 - u_acct END AS DOUBLE)
              |      * CAST(CASE WHEN a_addr THEN u_addr ELSE 1000000 - u_addr END AS DOUBLE) AS wu
              |  FROM pat CROSS JOIN c2)
-             |ORDER BY a_name, a_acct, a_addr""".stripMargin))
+             |ORDER BY a_name, a_acct, a_addr""".stripMargin)),
+
+    // EIGHTH streaming operator in the gate: IVF-cell occupancy over an
+    // embedding stream in 8 micro-batches — nearest-seed assignment by
+    // exact integer L2, per-cell counts add-monoid-merged into the V2
+    // doc store; the oracle recomputes the single-pass occupancy.
+    Q("q279_stream_cell_occupancy",
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.StreamSketch
+        import graft.io.MemDocStore
+        val emb = Tables.embeddings(s, d)
+        val micro = (c: org.apache.spark.sql.Column) =>
+          transform(c, x => round(x.cast("double") * 1000000, 0).cast("long"))
+        val cents = graft.ext.IvfIndex.materializeLocal(s,
+          emb.orderBy($"vec_id").limit(8)
+            .select($"vec_id".as("cid"), micro($"embedding").as("cm")))
+        val root = graft.core.Scratch.dir("q279_replay")
+        emb.select($"vec_id", $"embedding").repartition(8)
+          .write.mode("overwrite").parquet(s"$root/data")
+        MemDocStore.drop("q279_cells")
+        val stream = s.readStream
+          .schema(s.read.parquet(s"$root/data").schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/data")
+        val q = StreamSketch.runCellCounts(stream, "q279_cells", cents)
+        q.processAllAvailable()
+        q.stop()
+        StreamSketch.counters(s, "q279_cells")
+          .select($"cid", $"cnt").orderBy($"cid")
+      },
+      Some(s"""WITH v AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS vm
+             |  FROM embeddings),
+             |seeds AS (SELECT vec_id AS cid, vm AS cm FROM v ORDER BY vec_id LIMIT 8),
+             |asg AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT v.vec_id, s.cid,
+             |      row_number() OVER (PARTITION BY v.vec_id
+             |        ORDER BY ${d2Sql("v.vm", "s.cm")}, s.cid) AS rn
+             |    FROM v CROSS JOIN seeds s) WHERE rn = 1)
+             |SELECT cid, CAST(count(*) AS BIGINT) AS cnt
+             |FROM asg GROUP BY 1 ORDER BY cid""".stripMargin)),
+
+    // ROC threshold sweep of the token-count score predicting lang=en:
+    // the operating-point table (tpr/fpr/Youden J per threshold).
+    Q("q280_roc_sweep",
+      (s, d) => {
+        import s.implicits._
+        val scored = Tables.documents(s, d).select(
+          size(graft.ext.TextAnalysis.tokens($"text")).cast("long").as("score"),
+          ($"lang" === "en").as("gold"))
+        graft.ops.Eval.rocSweep(scored, "score", "gold", (0L to 100L by 5L))
+          .orderBy($"t")
+      },
+      Some("""WITH rows_ AS (
+             |  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS s,
+             |    lang = 'en' AS y
+             |  FROM documents),
+             |grid AS (SELECT unnest(generate_series(0, 100, 5)) AS t),
+             |counts AS (
+             |  SELECT t,
+             |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+             |    CAST(sum(CASE WHEN y AND s >= t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |    CAST(sum(CASE WHEN NOT y AND s >= t THEN 1 ELSE 0 END) AS BIGINT) AS fp
+             |  FROM rows_ CROSS JOIN grid GROUP BY 1)
+             |SELECT t, n_pos, n_neg, tp, fp,
+             |  CAST(round(CAST(tp * 1000 AS DOUBLE) / CAST(n_pos AS DOUBLE)) AS BIGINT) AS tpr_milli,
+             |  CAST(round(CAST(fp * 1000 AS DOUBLE) / CAST(n_neg AS DOUBLE)) AS BIGINT) AS fpr_milli,
+             |  CAST(round(CAST(tp * 1000 AS DOUBLE) / CAST(n_pos AS DOUBLE)) AS BIGINT)
+             |    - CAST(round(CAST(fp * 1000 AS DOUBLE) / CAST(n_neg AS DOUBLE)) AS BIGINT) AS youden_milli
+             |FROM counts ORDER BY t""".stripMargin)),
+
+    // Heaps'-law vocabulary-growth exponent per source (milli-ln
+    // points, exact integer OLS).
+    Q("q281_heaps_per_source",
+      (s, d) => {
+        import s.implicits._
+        LangModel.heapsOls(Tables.documents(s, d), "source", "doc_id", "text")
+          .select($"grp".as("source"), $"n_points", $"tokens_total",
+            $"vocab_total", $"slope_micro", $"r2_milli")
+          .orderBy($"source")
+      },
+      Some("""WITH base AS (
+             |  SELECT source AS grp, doc_id AS id,
+             |    string_split_regex(trim(text), '\s+') AS l
+             |  FROM documents),
+             |b2 AS (SELECT grp, id, CAST(len(l) AS BIGINT) AS ntok FROM base),
+             |fo AS (
+             |  SELECT grp, tok, min(id) AS fid FROM (
+             |    SELECT grp, id, unnest(l) AS tok FROM base) GROUP BY 1, 2),
+             |npd AS (SELECT grp, fid AS id, CAST(count(*) AS BIGINT) AS n_new
+             |        FROM fo GROUP BY 1, 2),
+             |pts AS (
+             |  SELECT b2.grp, b2.id,
+             |    CAST(sum(ntok) OVER (PARTITION BY b2.grp ORDER BY b2.id) AS BIGINT) AS cum_tok,
+             |    CAST(sum(coalesce(n_new, 0)) OVER (PARTITION BY b2.grp ORDER BY b2.id) AS BIGINT) AS cum_voc
+             |  FROM b2 LEFT JOIN npd ON npd.grp = b2.grp AND npd.id = b2.id),
+             |xy AS (
+             |  SELECT grp, cum_tok, cum_voc,
+             |    CAST(round(ln(CAST(cum_tok AS DOUBLE)) * 1000) AS BIGINT) AS x,
+             |    CAST(round(ln(CAST(cum_voc AS DOUBLE)) * 1000) AS BIGINT) AS y
+             |  FROM pts),
+             |st AS (
+             |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(max(cum_tok) AS BIGINT) AS tokens_total,
+             |    CAST(max(cum_voc) AS BIGINT) AS vocab_total,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+             |    CAST(sum(y*y) AS BIGINT) AS syy
+             |  FROM xy GROUP BY 1)
+             |SELECT grp AS source, n AS n_points, tokens_total, vocab_total,
+             |  CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0 THEN
+             |    CAST(round(CAST(n*sxy - sx*sy AS DOUBLE)
+             |      / CAST(n*sxx - sx*sx AS DOUBLE) * 1000000) AS BIGINT)
+             |  END AS slope_micro,
+             |  CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0
+             |        AND CAST(n*syy - sy*sy AS DOUBLE) > 0 THEN
+             |    CAST(round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+             |      / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+             |      * 1000) AS BIGINT)
+             |  END AS r2_milli
+             |FROM st ORDER BY source""".stripMargin))
   )
 }

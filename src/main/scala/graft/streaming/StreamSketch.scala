@@ -127,4 +127,50 @@ object StreamSketch {
         mergeBloomBatch(batch.sparkSession, batch, collection, keyCol, m, k)
       }
       .start()
+
+  /** Add one batch's nearest-centroid cell counts into `collection`.
+    * `centroids` must be a LOCAL relation (cid, cm: array<long> micro
+    * components) so each batch broadcasts the same frozen quantizer;
+    * assignment is exact integer squared-L2 with ties to the lower cid
+    * (the [[graft.ext.Pq]] discipline), and per-cell counts are an
+    * addition monoid — the batched state equals the single-pass build.
+    */
+  private[streaming] def mergeCellBatch(spark: SparkSession, batch: DataFrame,
+                                        collection: String,
+                                        centroids: DataFrame): Unit = {
+    val d2 = aggregate(zip_with(col("vm"), col("cm"),
+      (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    val delta = batch
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1000000, 0).cast("long")).as("vm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dd", d2)
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("dd"), col("cid"))).as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("cnt"))
+    val existing =
+      if (MemDocStore.collections.contains(collection))
+        DocumentSink.pullFrom(spark, MemDocStore.Format,
+          Map("collection" -> collection))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.schema)
+    val merged = existing.unionByName(delta)
+      .groupBy(col("cid")).agg(sum(col("cnt")).as("cnt"))
+    DocumentSink.pushTo(merged, MemDocStore.Format,
+      Map("collection" -> collection))
+  }
+
+  /** Continuous IVF-cell occupancy over an embedding stream — the
+    * online cluster-drift monitor (a cell whose share surges marks a
+    * distribution shift while a crawl ingests). The stored (cid, cnt)
+    * table IS the state, bounded at the centroid count.
+    */
+  def runCellCounts(stream: DataFrame, collection: String,
+                    centroids: DataFrame): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeCellBatch(batch.sparkSession, batch, collection, centroids)
+      }
+      .start()
 }

@@ -170,6 +170,32 @@ class VectorOpsSpec extends SparkTestBase {
     assert(hi.getAs[Long]("m_a_x_micro") > hi.getAs[Long]("u_a_x_micro"))
   }
 
+  test("rocSweep: threshold 0 is all-positive, above-max is all-negative") {
+    val df = Seq((10L, true), (20L, true), (5L, false), (1L, false))
+      .toDF("score", "gold")
+    val out = graft.ops.Eval.rocSweep(df, "score", "gold", Seq(0L, 8L, 100L))
+      .orderBy($"t").as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(out(0) === ((0L, 2L, 2L, 2L, 2L, 1000L, 1000L, 0L)))
+    assert(out(1) === ((8L, 2L, 2L, 2L, 0L, 1000L, 0L, 1000L)))  // best J
+    assert(out(2) === ((100L, 2L, 2L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("heapsOls: a fresh-vocab-per-doc corpus fits slope ≈ 1") {
+    // every doc introduces only new tokens → vocab == tokens exactly,
+    // so ln-ln slope is exactly 1 and the fit is perfect
+    val docs = (1 to 10).map(i =>
+      ("g", i.toLong, (1 to 20).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("src", "id", "text")
+    val Array((n, tt, vt, slope, r2)) =
+      graft.ext.LangModel.heapsOls(docs, "src", "id", "text")
+        .select($"n_points", $"tokens_total", $"vocab_total",
+          $"slope_micro", $"r2_milli").as[(Long, Long, Long, Long, Long)]
+        .collect()
+    assert(n === 10L && tt === 200L && vt === 200L)
+    assert(slope === 1000000L && r2 === 1000L, s"slope=$slope r2=$r2")
+  }
+
   test("adamicAdarTopK: rare shared neighbor outweighs a hub") {
     // c1 (deg 2) links s1,s2; c2 (deg 4) links s3,s4 (and s5,s6):
     // AA(s1,s2) = 1/ln2 > AA(s3,s4) = 1/ln4
