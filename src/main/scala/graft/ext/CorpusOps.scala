@@ -581,4 +581,35 @@ object CorpusOps {
       .select(col("id"), col("grp"), col("v"), col("rnk_grp"), col("n_grp"),
         col("target_rank"), col("norm_v"))
   }
+
+  /** Deterministic token-dropout augmentation: each token survives iff
+    * an LCG seeded on (doc id, 1-based position) clears the drop rate —
+    * the seeded data-augmentation primitive (reproducible across runs,
+    * engines, and re-partitions because the randomness is a pure
+    * function of the row, never of execution order). Returns the kept
+    * token count and the PolyHash fingerprint of the augmented text so
+    * the oracle can certify the exact surviving sequence without
+    * hauling the text through the compare.
+    *
+    * One pass, per-row array HOFs only — no shuffle at all.
+    *
+    * @param dropPct tokens dropped per hundred (expected)
+    * @return (id, n_tokens, n_kept, aug_hash)
+    */
+  def tokenDropout(df: DataFrame, idCol: String, textCol: String,
+                   dropPct: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val base = df.select(col(idCol).as("id"),
+      graft.ext.TextAnalysis.tokens(col(textCol)).as("toks"))
+    val kept = filter(col("toks"), (_, i) =>
+      pmod((col("id") * 31 + (i + 1)) * 1103515245L + 12345L,
+        lit(1000000007L)) % 100 >= dropPct)
+    base
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("kept", kept)
+      .select(col("id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        graft.functions.PolyHash.polyHash(array_join(col("kept"), " "))
+          .as("aug_hash"))
+  }
 }

@@ -790,6 +790,93 @@ object VectorQueries extends QueryPack {
              |      / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
              |      * 1000) AS BIGINT)
              |  END AS r2_milli
-             |FROM st ORDER BY source""".stripMargin))
+             |FROM st ORDER BY source""".stripMargin)),
+
+    // Deterministic token-dropout augmentation: LCG on (doc, position)
+    // decides survival; the oracle certifies the exact surviving
+    // sequence through its PolyHash fingerprint.
+    Q("q282_token_dropout",
+      (s, d) => {
+        import s.implicits._
+        CorpusOps.tokenDropout(Tables.documents(s, d), "doc_id", "text",
+            dropPct = 10)
+          .select($"id".as("doc_id"), $"n_tokens", $"n_kept", $"aug_hash")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS l
+             |  FROM documents),
+             |k AS (
+             |  SELECT id, CAST(len(l) AS BIGINT) AS n_tokens,
+             |    list_filter(l, (x, i) ->
+             |      ((id * 31 + i) * 1103515245 + 12345) % 1000000007 % 100 >= 10) AS kept
+             |  FROM base)
+             |SELECT id AS doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(generate_series(1, length(array_to_string(kept, ' '))),
+             |      j -> CAST(ascii(substring(array_to_string(kept, ' '), j, 1)) AS BIGINT))),
+             |    (a, c) -> (a*31 + c) % 1000000007) AS aug_hash
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
+    // Pairwise 1-D Wasserstein distance between source length
+    // distributions — mass × distance moved, exact on the discrete
+    // length domain.
+    Q("q283_wasserstein_sources",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Drift.wasserstein1dByGroup(Tables.documents(s, d),
+            "source", "n_chars")
+          .select($"grp_a".as("src_a"), $"grp_b".as("src_b"),
+            $"n_a", $"n_b", $"w1_milli")
+          .orderBy($"src_a", $"src_b")
+      },
+      Some("""WITH vals AS (
+             |  SELECT source AS grp, CAST(n_chars AS BIGINT) AS v FROM documents),
+             |counts AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS n
+             |           FROM vals GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT v, CAST(coalesce(lead(v) OVER (ORDER BY v) - v, 0) AS BIGINT) AS gap
+             |  FROM (SELECT DISTINCT v FROM vals)),
+             |grps AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_tot
+             |         FROM vals GROUP BY 1),
+             |cdf AS (
+             |  SELECT g.grp, gr.v, gr.gap, g.n_tot,
+             |    CAST(sum(coalesce(c.n, 0)) OVER (PARTITION BY g.grp ORDER BY gr.v)
+             |      AS BIGINT) AS cum
+             |  FROM grps g CROSS JOIN grid gr
+             |  LEFT JOIN counts c ON c.grp = g.grp AND c.v = gr.v)
+             |SELECT a.grp AS src_a, b.grp AS src_b,
+             |  a.n_tot AS n_a, b.n_tot AS n_b,
+             |  CAST(round(CAST(sum(abs(a.cum*b.n_tot - b.cum*a.n_tot) * a.gap) AS DOUBLE)
+             |    * 1000 / CAST(a.n_tot * b.n_tot AS DOUBLE)) AS BIGINT) AS w1_milli
+             |FROM cdf a JOIN cdf b ON a.grp < b.grp AND a.v = b.v
+             |GROUP BY 1, 2, 3, 4 ORDER BY src_a, src_b""".stripMargin)),
+
+    // Association rules over order baskets: support/confidence/lift,
+    // top-15 by lift (popularity-corrected affinity).
+    Q("q284_assoc_rules",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Assoc.rulesTopK(Tables.lineitem(s, d), "l_orderkey",
+            "l_partkey", k = 15, minItem = 3L, minPair = 2L)
+      },
+      Some("""WITH bi AS (
+             |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+             |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM bi),
+             |item AS (SELECT it, CAST(count(*) AS BIGINT) AS n_it
+             |         FROM bi GROUP BY 1 HAVING count(*) >= 3),
+             |p AS (
+             |  SELECT x.it AS ante, y.it AS cons, ia.n_it AS n_ante,
+             |    ic.n_it AS n_cons, CAST(count(*) AS BIGINT) AS n_both
+             |  FROM bi x JOIN bi y ON x.bk = y.bk AND x.it != y.it
+             |  JOIN item ia ON ia.it = x.it JOIN item ic ON ic.it = y.it
+             |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+             |SELECT ante, cons, n_ante, n_cons, n_both,
+             |  CAST(round(CAST(n_both * 1000 AS DOUBLE) / CAST(n_ante AS DOUBLE))
+             |    AS BIGINT) AS conf_milli,
+             |  CAST(round(CAST(n_both * n_baskets AS DOUBLE) * 1000000.0
+             |    / CAST(n_ante * n_cons AS DOUBLE)) AS BIGINT) AS lift_micro
+             |FROM p CROSS JOIN nb
+             |ORDER BY lift_micro DESC, ante, cons LIMIT 15""".stripMargin))
   )
 }

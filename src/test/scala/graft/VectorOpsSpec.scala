@@ -196,6 +196,47 @@ class VectorOpsSpec extends SparkTestBase {
     assert(slope === 1000000L && r2 === 1000L, s"slope=$slope r2=$r2")
   }
 
+  test("tokenDropout is deterministic and bounded by the drop rate") {
+    val docs = Seq((7L, (1 to 200).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val run = () => graft.ext.CorpusOps.tokenDropout(docs, "doc_id", "text", 10)
+      .as[(Long, Long, Long, Long)].collect().head
+    val r1 = run(); val r2 = run()
+    assert(r1 === r2, "same seed inputs must reproduce bit-identically")
+    assert(r1._2 === 200L && r1._3 < 200L && r1._3 > 150L, s"kept=${r1._3}")
+    // dropPct=0 keeps everything and fingerprints the original text
+    val all = graft.ext.CorpusOps.tokenDropout(docs, "doc_id", "text", 0)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(all._3 === 200L)
+  }
+
+  test("wasserstein1dByGroup: shifted distribution measures the shift") {
+    // B is A shifted by +10 → W1 = 10 exactly; C == A → W1 = 0
+    val rows = (1L to 100L).flatMap(i => Seq(("A", i), ("B", i + 10), ("C", i)))
+    val out = graft.ops.Drift.wasserstein1dByGroup(
+        rows.toDF("grp", "v"), "grp", "v")
+      .orderBy($"grp_a", $"grp_b")
+      .as[(String, String, Long, Long, Long)].collect()
+    val m = out.map(r => (r._1, r._2) -> r._5).toMap
+    assert(m(("A", "B")) === 10000L)
+    assert(m(("A", "C")) === 0L)
+    assert(m(("B", "C")) === 10000L)
+  }
+
+  test("rulesTopK: lift ranks the exclusive pair above the ubiquitous one") {
+    // items u,v in every basket (lift 1); items p,q only together in 2
+    // of 10 baskets (lift 5)
+    val rows = (1L to 10L).flatMap { b =>
+      Seq((b, "u"), (b, "v")) ++ (if (b <= 2) Seq((b, "p"), (b, "q")) else Nil)
+    }
+    val out = graft.ops.Assoc.rulesTopK(rows.toDF("bk", "it"), "bk", "it",
+        k = 10, minItem = 2L, minPair = 2L)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(out.head._1 === "p" && out.head._7 === 5000000L, s"${out.head}")
+    assert(out.exists(r => r._1 == "u" && r._2 == "v" && r._7 == 1000000L))
+    assert(out.head._6 === 1000L) // p -> q confidence is 100%
+  }
+
   test("adamicAdarTopK: rare shared neighbor outweighs a hub") {
     // c1 (deg 2) links s1,s2; c2 (deg 4) links s3,s4 (and s5,s6):
     // AA(s1,s2) = 1/ln2 > AA(s3,s4) = 1/ln4
