@@ -1338,20 +1338,15 @@ object Dedup {
   def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
                     srcCol: String, w: Int = 8, mask: Int = 32): DataFrame = {
     import graft.functions.PolyHash
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val base = widen(df.select(col(idCol).as("id"), col(srcCol).as("src"),
       col(textCol).as("text")))
     val ln = length(col("text"))
-    val cutsAfter = when(ln - (w - 1) >= 1,
-        filter(
-          transform(
-            filter(sequence(lit(1), greatest(ln - (w - 1), lit(1))),
-              b => pmod(PolyHash.polyHash(col("text").substr(b, lit(w))),
-                lit(mask.toLong)) === 0L),
-            b => b + w),
-          s => s <= ln))
-      .otherwise(array().cast("array<int>"))
+    // the O(n) rolling-hash kernel already emits the leading 1 and the
+    // in-bounds `b + w` cut positions (graft.functions.CdcCutpoints)
     val withStarts = base
-      .withColumn("starts", concat(array(lit(1)), cutsAfter))
+      .withColumn("starts", graft.functions.CdcCutpoints.cdcCutpoints(
+        col("text"), lit(w), lit(mask)))
       .withColumn("ends", concat(
         slice(col("starts"), lit(2), greatest(size(col("starts")) - 1, lit(0))),
         array(ln + 1)))

@@ -33,6 +33,10 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("winnowing_mins",
         exprs => WinnowingMins(exprs.head, exprs(1)), "built-in")
     }
+    if (!reg.functionExists(FunctionIdentifier("cdc_cutpoints"))) {
+      reg.createOrReplaceTempFunction("cdc_cutpoints",
+        exprs => CdcCutpoints(exprs.head, exprs(1), exprs(2)), "built-in")
+    }
     if (!reg.functionExists(FunctionIdentifier("weighted_quantile_sketch"))) {
       // num/den/eps must be foldable literals (evaluated at resolution)
       reg.createOrReplaceTempFunction("weighted_quantile_sketch",
