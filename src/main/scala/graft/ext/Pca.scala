@@ -20,11 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object Pca {
 
-  /** Top principal direction after `iters` fixed-point power steps.
-    * @return (pos, v_micro) — dim rows, max-abs component = ±1e6
-    */
-  def powerTopDirection(df: DataFrame, embCol: String,
-                        iters: Int = 2): DataFrame = {
+  /** (id, pos, v): centered micro-int components, one narrow pass. */
+  private def centeredDims(df: DataFrame, embCol: String): DataFrame = {
     val dims = Exec.widen(df.select(col("vec_id").as("id"), col(embCol).as("emb")))
       .select(col("id"), posexplode(col("emb")).as(Seq("pos", "x")))
       .select(col("id"), col("pos").cast("long").as("pos"),
@@ -32,18 +29,29 @@ object Pca {
     val mu = dims.groupBy(col("pos"))
       .agg(round(sum(col("xm")).cast("double") / count(lit(1)), 0)
         .cast("long").as("mu"))
-    val centered = dims.join(broadcast(mu), "pos")
+    dims.join(broadcast(mu), "pos")
       .select(col("id"), col("pos"), (col("xm") - col("mu")).as("v"))
-    val cov = centered.as("a")
-      .join(centered.as("b"), col("a.id") === col("b.id"))
+  }
+
+  /** Scaled integer covariance (pi, pj, g) from the centered table. */
+  private def covMicro(cen: DataFrame): DataFrame =
+    cen.as("a")
+      .join(cen.as("b"), col("a.id") === col("b.id"))
       .groupBy(col("a.pos").as("pi"), col("b.pos").as("pj"))
       .agg(sum(col("a.v") * col("b.v")).as("cov"))
       .withColumn("g", round(col("cov").cast("double") / 1000000.0, 0).cast("long"))
       .select(col("pi"), col("pj"), col("g"))
-    // dim² rows from here on — materialize locally, broadcast to every step
+
+  /** `iters` fixed-point matvec rounds from the all-ones vector; the
+    * dim²-sized cov table is materialized locally so every step
+    * broadcasts the same in-memory rows.
+    */
+  private def powerIterate(df: DataFrame, cov: DataFrame,
+                           iters: Int): DataFrame = {
     val gLocal = IvfIndex.materializeLocal(df.sparkSession, cov)
     var v = IvfIndex.materializeLocal(df.sparkSession,
-      mu.select(col("pos"), lit(1000000L).as("v")))
+      gLocal.select(col("pi").as("pos")).distinct()
+        .select(col("pos"), lit(1000000L).as("v")))
     for (_ <- 1 to iters) {
       val w = gLocal.join(broadcast(v), col("pj") === col("pos"))
         .groupBy(col("pi"))
@@ -56,7 +64,17 @@ object Pca {
               round(col("w").cast("double") * 1000000.0 / col("m").cast("double"), 0)
                 .cast("long")).otherwise(0L).as("v")))
     }
-    v.select(col("pos"), col("v").as("v_micro"))
+    v
+  }
+
+  /** Top principal direction after `iters` fixed-point power steps.
+    * @return (pos, v_micro) — dim rows, max-abs component = ±1e6
+    */
+  def powerTopDirection(df: DataFrame, embCol: String,
+                        iters: Int = 2): DataFrame = {
+    val cen = centeredDims(df, embCol)
+    powerIterate(df, covMicro(cen), iters)
+      .select(col("pos"), col("v").as("v_micro"))
   }
 
   /** Anisotropy report: the share of total (centered) variance carried
@@ -67,35 +85,33 @@ object Pca {
     * Per-row projections `p = Σ v·(x−μ)` are exact integers scaled once
     * (`q = round(p/1e6)`); the three sums of squares (projection,
     * direction, total) are exact 64-bit sums, and the single ratio is
-    * one shared double expression. One linear pass over the corpus
-    * beyond the covariance pass the direction itself costs.
+    * one shared double expression. The centered table is built ONCE and
+    * persisted across the covariance and projection passes.
     *
     * @return one row (n_rows, total_ss, p2, v2, ratio_milli)
     */
   def anisotropy(df: DataFrame, embCol: String, iters: Int = 2): DataFrame = {
-    val v = IvfIndex.materializeLocal(df.sparkSession,
-      powerTopDirection(df, embCol, iters))
-    val dims = Exec.widen(df.select(col("vec_id").as("id"), col(embCol).as("emb")))
-      .select(col("id"), posexplode(col("emb")).as(Seq("pos", "x")))
-      .select(col("id"), col("pos").cast("long").as("pos"),
-        round(col("x").cast("double") * 1000000, 0).cast("long").as("xm"))
-    val mu = dims.groupBy(col("pos"))
-      .agg(round(sum(col("xm")).cast("double") / count(lit(1)), 0)
-        .cast("long").as("mu"))
-    val centered = dims.join(broadcast(mu), "pos")
-      .select(col("id"), col("pos"), (col("xm") - col("mu")).as("vc"))
-    val proj = centered.join(broadcast(v), "pos")
-      .groupBy(col("id"))
-      .agg(sum(col("vc") * col("v_micro")).as("p"))
-      .withColumn("q", round(col("p").cast("double") / 1000000.0, 0).cast("long"))
-    val t = centered.agg(count(lit(1)).as("n_cells"),
-      sum(col("vc") * col("vc")).as("total_ss"))
-    val p2 = proj.agg(count(lit(1)).as("n_rows"), sum(col("q") * col("q")).as("p2"))
-    val v2 = v.agg(sum(col("v_micro") * col("v_micro")).as("v2"))
-    p2.crossJoin(t).crossJoin(v2)
-      .select(col("n_rows"), col("total_ss"), col("p2"), col("v2"),
-        round(col("p2").cast("double") * 1000000000000.0
-          / (col("v2").cast("double") * col("total_ss").cast("double"))
-          * 1000.0, 0).cast("long").as("ratio_milli"))
+    val cen = centeredDims(df, embCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val v = powerIterate(df, covMicro(cen), iters)
+      // alias the direction component: `cen` also carries a `v` column
+      val vv = v.select(col("pos"), col("v").as("vm"))
+      val proj2 = cen.join(broadcast(vv), "pos")
+        .groupBy(col("id"))
+        .agg(sum(col("v") * col("vm")).as("p"))
+        .withColumn("q", round(col("p").cast("double") / 1000000.0, 0).cast("long"))
+      val t = cen.agg(count(lit(1)).as("n_cells"),
+        sum(col("v") * col("v")).as("total_ss"))
+      val p2 = proj2.agg(count(lit(1)).as("n_rows"),
+        sum(col("q") * col("q")).as("p2"))
+      val v2 = vv.agg(sum(col("vm") * col("vm")).as("v2"))
+      p2.crossJoin(t).crossJoin(v2)
+        .select(col("n_rows"), col("total_ss"), col("p2"), col("v2"),
+          round(col("p2").cast("double") * 1000000000000.0
+            / (col("v2").cast("double") * col("total_ss").cast("double"))
+            * 1000.0, 0).cast("long").as("ratio_milli"))
+        .localCheckpoint(true)
+    } finally { cen.unpersist(false); () }
   }
 }
