@@ -200,4 +200,65 @@ object Ranking {
       .select(col("grp").as("label"), col("n_rows"), col("mean_s_milli"),
         col("min_s_milli"), col("max_s_milli"))
   }
+
+  /** Split-conformal calibration per label over an embedding space:
+    * nonconformity is the cosine DISTANCE to the own-label centroid
+    * (centroids fit on the calibration split only), the per-label
+    * threshold is the classic `⌈(1−α)(n+1)⌉`-th smallest calibration
+    * score, and the held-out split reports its empirical coverage —
+    * the finite-sample-guaranteed "is this embedding where its label
+    * says it should be" gate.
+    *
+    * Exact throughout: micro-int centroids, micro nonconformities, the
+    * order statistic by per-label rank, integer coverage ratio. One
+    * pass per split against broadcast centroids.
+    *
+    * @param alphaPct miscoverage per hundred (10 → 90 % target)
+    * @return (label, n_cal, k, qhat_nc, n_test, n_covered, cov_milli)
+    */
+  def conformalCalibrate(df: DataFrame, labelCol: String, embCol: String,
+                         alphaPct: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val split = df.select(col("vec_id").as("id"),
+      col(labelCol).cast("long").as("grp"), col(embCol).as("emb"),
+      (pmod(graft.functions.PolyHash.polyHash(col("vec_id").cast("string")),
+        lit(100L)) < 50).as("is_cal"))
+    val dims = split.filter(col("is_cal"))
+      .select(col("grp"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(round(col("x").cast("double") * 1000000, 0).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("c", round(col("s").cast("double") / col("n"), 0).cast("long"))
+    val cents = dims.groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("cent"))
+    val nc = split.join(broadcast(cents), "grp")
+      .withColumn("nc", lit(1000000L) -
+        round(Similarity.cosine(col("emb").cast("array<double>"),
+          col("cent").cast("array<double>")) * 1000000, 0).cast("long"))
+      .select(col("grp"), col("id"), col("is_cal"), col("nc"))
+    val wCal = Window.partitionBy(col("grp"))
+      .orderBy(col("nc").asc, col("id").asc)
+    val cal = nc.filter(col("is_cal"))
+      .withColumn("rnk", row_number().over(wCal).cast("long"))
+    val calStats = cal.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", least(
+        floor(((lit(100L) - alphaPct) * (col("n_cal") + 1L) + 99L).cast("double")
+          / 100.0).cast("long"),
+        col("n_cal")))
+    val qhat = cal.join(calStats, "grp")
+      .filter(col("rnk") === col("k"))
+      .select(col("grp"), col("n_cal"), col("k"), col("nc").as("qhat_nc"))
+    nc.filter(!col("is_cal"))
+      .join(broadcast(qhat), "grp")
+      .groupBy(col("grp"), col("n_cal"), col("k"), col("qhat_nc"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("nc") <= col("qhat_nc"), 1L).otherwise(0L)).as("n_covered"))
+      .withColumn("cov_milli",
+        round((col("n_covered") * 1000L).cast("double")
+          / col("n_test").cast("double"), 0).cast("long"))
+      .select(col("grp").as("label"), col("n_cal"), col("k"), col("qhat_nc"),
+        col("n_test"), col("n_covered"), col("cov_milli"))
+  }
 }

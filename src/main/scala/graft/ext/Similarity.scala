@@ -712,4 +712,42 @@ object Similarity {
       .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
         col("cos_micro"))
   }
+
+  /** Deterministic mixup augmentation over an embedding column: each
+    * vector is blended with its rank-successor (`λ·a + (1−λ)·b`, λ a
+    * pure LCG function of the id) — the embedding-side twin of
+    * [[CorpusOps.tokenDropout]]. Pairing goes through a global
+    * two-phase rank rather than id arithmetic, so it holds on
+    * non-contiguous ids; the blend is exact integer micro arithmetic
+    * with one shared round-of-double per component, summarized by an
+    * integer checksum + min/max so the oracle certifies the whole
+    * mixed vector without hauling arrays through the compare.
+    *
+    * @return (id, partner_id, lambda_milli, n_dims, checksum_micro,
+    *         min_micro, max_micro)
+    */
+  def mixupAugment(df: DataFrame, embCol: String): DataFrame = {
+    val rows = Exec.widen(df.select(col("vec_id").as("id"),
+      transform(col(embCol),
+        x => round(x.cast("double") * 1000000, 0).cast("long")).as("am")))
+    val ranked = graft.ops.Ranks.twoPhaseRank(
+      rows.withColumn("__g", lit(1)), "__g", Seq("id"), "r").drop("__g")
+    val n = ranked.agg(count(lit(1)).as("n_total"))
+    val a = ranked.select(col("id"), col("am"), col("r"))
+    val b = ranked.select(col("id").as("partner_id"), col("am").as("bm"),
+      col("r").as("rb"))
+    a.crossJoin(broadcast(n))
+      .withColumn("pr", pmod(col("r"), col("n_total")) + 1L)
+      .join(b, col("pr") === col("rb"))
+      .withColumn("lambda_milli",
+        pmod(col("id") * 1103515245L + 12345L, lit(1000000007L)) % 1000L)
+      .withColumn("mix", zip_with(col("am"), col("bm"), (x, y) =>
+        round((col("lambda_milli") * x + (lit(1000L) - col("lambda_milli")) * y)
+          .cast("double") / 1000.0, 0).cast("long")))
+      .select(col("id"), col("partner_id"), col("lambda_milli"),
+        size(col("mix")).cast("long").as("n_dims"),
+        aggregate(col("mix"), lit(0L), (acc, v) => acc + v).as("checksum_micro"),
+        array_min(col("mix")).as("min_micro"),
+        array_max(col("mix")).as("max_micro"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{CorpusOps, Dedup, LangModel, LinkGraph, Pca, Pq}
+import graft.ext.{CorpusOps, Dedup, LangModel, LinkGraph, Pca, Pq, Ranking}
 
 /** Wave 29 — vector compression and corpus/graph structure: product
   * quantization with ADC search (the storage-side ANN scale lever),
@@ -15,6 +15,20 @@ import graft.ext.{CorpusOps, Dedup, LangModel, LinkGraph, Pca, Pq}
   * engines.
   */
 object VectorQueries extends QueryPack {
+
+  /** DuckDB replica of the sequential-fold double cosine (see
+    * [[EvalQueries]]).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform($a, (u,i) -> CAST(u AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |      (p,v) -> p + v)
+       |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform($a, u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))),
+       |         (p,v) -> p + v))
+       |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform($b, u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))),
+       |         (p,v) -> p + v))))""".stripMargin
 
   /** DuckDB exact integer squared-L2 between two micro-int lists. */
   private def d2Sql(a: String, b: String): String =
@@ -877,6 +891,149 @@ object VectorQueries extends QueryPack {
              |  CAST(round(CAST(n_both * n_baskets AS DOUBLE) * 1000000.0
              |    / CAST(n_ante * n_cons AS DOUBLE)) AS BIGINT) AS lift_micro
              |FROM p CROSS JOIN nb
-             |ORDER BY lift_micro DESC, ante, cons LIMIT 15""".stripMargin))
+             |ORDER BY lift_micro DESC, ante, cons LIMIT 15""".stripMargin)),
+
+    // Deterministic mixup augmentation: rank-successor pairing, LCG λ,
+    // exact integer blend certified through checksum/min/max.
+    Q("q285_mixup",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.Similarity.mixupAugment(Tables.embeddings(s, d), "embedding")
+          .orderBy($"id")
+      },
+      Some("""WITH rws AS (
+             |  SELECT vec_id AS id,
+             |    list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS am,
+             |    CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS r
+             |  FROM embeddings),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM rws),
+             |p AS (
+             |  SELECT a.id, b.id AS partner_id, a.am, b.am AS bm,
+             |    (a.id * 1103515245 + 12345) % 1000000007 % 1000 AS lam
+             |  FROM rws a CROSS JOIN nn JOIN rws b ON (a.r % n_total) + 1 = b.r),
+             |m AS (
+             |  SELECT id, partner_id, lam,
+             |    list_transform(am, (x,i) ->
+             |      CAST(round(CAST(lam*x + (1000-lam)*bm[i] AS DOUBLE)/1000.0) AS BIGINT)) AS mix
+             |  FROM p)
+             |SELECT id, partner_id, lam AS lambda_milli,
+             |  CAST(len(mix) AS BIGINT) AS n_dims,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT), mix),
+             |    (a, b) -> a + b) AS checksum_micro,
+             |  CAST(list_min(mix) AS BIGINT) AS min_micro,
+             |  CAST(list_max(mix) AS BIGINT) AS max_micro
+             |FROM m ORDER BY id""".stripMargin)),
+
+    // Split-conformal calibration per label: centroid-distance
+    // nonconformity, the ⌈0.9(n+1)⌉-th order statistic as threshold,
+    // held-out coverage audit.
+    Q("q286_conformal",
+      (s, d) => {
+        import s.implicits._
+        Ranking.conformalCalibrate(Tables.embeddings(s, d), "label",
+            "embedding", alphaPct = 10)
+          .orderBy($"label")
+      },
+      Some(s"""WITH sp AS (
+             |  SELECT vec_id AS id, CAST(label AS BIGINT) AS grp, embedding AS emb,
+             |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(CAST(vec_id AS VARCHAR))),
+             |        j -> CAST(ascii(substring(CAST(vec_id AS VARCHAR), j, 1)) AS BIGINT))),
+             |      (a, b) -> (a*31 + b) % 1000000007) % 100 < 50) AS is_cal
+             |  FROM embeddings),
+             |dims AS (
+             |  SELECT grp,
+             |    unnest(list_transform(emb,
+             |      (x,i) -> {'pos': CAST(i AS BIGINT),
+             |                'xm': CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)}),
+             |      recursive := true)
+             |  FROM sp WHERE is_cal),
+             |agg AS (
+             |  SELECT grp, pos, CAST(sum(xm) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM dims GROUP BY 1, 2),
+             |cent AS (
+             |  SELECT grp, list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT)
+             |    ORDER BY pos) AS cent
+             |  FROM agg GROUP BY 1),
+             |nc AS (
+             |  SELECT sp.grp, sp.id, sp.is_cal,
+             |    1000000 - CAST(round(${cosSql("sp.emb", "cent.cent")} * 1000000)
+             |      AS BIGINT) AS nc
+             |  FROM sp JOIN cent ON cent.grp = sp.grp),
+             |cal AS (
+             |  SELECT grp, id, nc,
+             |    CAST(row_number() OVER (PARTITION BY grp ORDER BY nc, id)
+             |      AS BIGINT) AS rnk
+             |  FROM nc WHERE is_cal),
+             |cs AS (
+             |  SELECT grp, CAST(count(*) AS BIGINT) AS n_cal,
+             |    least(CAST(floor(CAST(90*(count(*)+1) + 99 AS DOUBLE)/100.0)
+             |      AS BIGINT), CAST(count(*) AS BIGINT)) AS k
+             |  FROM cal GROUP BY 1),
+             |qh AS (
+             |  SELECT cal.grp, cs.n_cal, cs.k, cal.nc AS qhat_nc
+             |  FROM cal JOIN cs ON cs.grp = cal.grp AND cal.rnk = cs.k)
+             |SELECT t.grp AS label, q.n_cal, q.k, q.qhat_nc,
+             |  CAST(count(*) AS BIGINT) AS n_test,
+             |  CAST(sum(CASE WHEN t.nc <= q.qhat_nc THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_covered,
+             |  CAST(round(CAST(sum(CASE WHEN t.nc <= q.qhat_nc THEN 1 ELSE 0 END)
+             |      * 1000 AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cov_milli
+             |FROM nc t JOIN qh q ON q.grp = t.grp
+             |WHERE NOT t.is_cal
+             |GROUP BY 1, 2, 3, 4 ORDER BY label""".stripMargin)),
+
+    // NINTH streaming operator in the gate: fixed-width value-histogram
+    // maintenance over the events stream in 8 micro-batches (addition
+    // monoid ≡ single pass), with p50/p90 bin flags off the stored
+    // cumulative counts.
+    Q("q287_stream_histogram",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        import graft.streaming.StreamSketch
+        import graft.io.MemDocStore
+        val ev = Tables.events(s, d).select($"value")
+        val root = graft.core.Scratch.dir("q287_replay")
+        ev.repartition(8).write.mode("overwrite").parquet(s"$root/data")
+        MemDocStore.drop("q287_hist")
+        val stream = s.readStream
+          .schema(s.read.parquet(s"$root/data").schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/data")
+        val q = StreamSketch.runHistogram(stream, "q287_hist", "value",
+          width = 8.0, bins = 64)
+        q.processAllAvailable()
+        q.stop()
+        // 64-row bin table: bounded windows by construction
+        val wc = Window.orderBy($"bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy()
+        StreamSketch.counters(s, "q287_hist")
+          .withColumn("cum", sum($"cnt").over(wc))
+          .withColumn("total", sum($"cnt").over(wt))
+          .select($"bin", $"cnt", $"cum",
+            ($"cum" * 2 >= $"total" && ($"cum" - $"cnt") * 2 < $"total")
+              .as("is_p50"),
+            ($"cum" * 10 >= $"total" * 9 && ($"cum" - $"cnt") * 10 < $"total" * 9)
+              .as("is_p90"))
+          .orderBy($"bin")
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(least(greatest(floor(CAST(value AS DOUBLE) / 8.0), 0), 63)
+             |    AS BIGINT) AS bin
+             |  FROM events),
+             |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+             |cc AS (
+             |  SELECT bin, cnt,
+             |    CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER () AS BIGINT) AS total
+             |  FROM c)
+             |SELECT bin, cnt, cum,
+             |  (cum*2 >= total AND (cum - cnt)*2 < total) AS is_p50,
+             |  (cum*10 >= total*9 AND (cum - cnt)*10 < total*9) AS is_p90
+             |FROM cc ORDER BY bin""".stripMargin))
   )
 }

@@ -173,4 +173,41 @@ object StreamSketch {
         mergeCellBatch(batch.sparkSession, batch, collection, centroids)
       }
       .start()
+
+  /** Add one batch's fixed-width value-histogram deltas into
+    * `collection`: `bin = clamp(floor(value/width), 0, bins−1)` —
+    * bin counts are an addition monoid, so the batched maintenance
+    * equals the single-pass build and quantiles read off the stored
+    * cumulative counts at any moment (the latency-dashboard
+    * primitive). State is bounded at `bins` rows forever.
+    */
+  private[streaming] def mergeHistBatch(spark: SparkSession, batch: DataFrame,
+                                        collection: String, valCol: String,
+                                        width: Double, bins: Int): Unit = {
+    val delta = batch
+      .select(least(greatest(floor(col(valCol).cast("double") / width), lit(0.0)),
+        lit((bins - 1).toDouble)).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val existing =
+      if (MemDocStore.collections.contains(collection))
+        DocumentSink.pullFrom(spark, MemDocStore.Format,
+          Map("collection" -> collection))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.schema)
+    val merged = existing.unionByName(delta)
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+    DocumentSink.pushTo(merged, MemDocStore.Format,
+      Map("collection" -> collection))
+  }
+
+  /** Continuous histogram maintenance over `stream`'s `valCol`. */
+  def runHistogram(stream: DataFrame, collection: String, valCol: String,
+                   width: Double, bins: Int): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeHistBatch(batch.sparkSession, batch, collection, valCol,
+          width, bins)
+      }
+      .start()
 }

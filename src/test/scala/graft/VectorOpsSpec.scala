@@ -237,6 +237,40 @@ class VectorOpsSpec extends SparkTestBase {
     assert(out.head._6 === 1000L) // p -> q confidence is 100%
   }
 
+  test("mixupAugment: λ=0 copies the partner, endpoints bound the mix") {
+    // with the LCG λ fixed by ids, just pin structural invariants:
+    // partner is the rank successor (wrapping), checksum within the
+    // endpoint checksums' envelope per component bounds
+    val rows = (0 until 6).map(i => (i.toLong, Seq.fill(4)(i.toFloat)))
+    val out = graft.ext.Similarity.mixupAugment(
+        rows.toDF("vec_id", "embedding"), "embedding")
+      .orderBy($"id").as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).toSeq === Seq(1L, 2L, 3L, 4L, 5L, 0L)) // wrap
+    out.foreach { case (id, pid, lam, nd, cs, mn, mx) =>
+      assert(nd === 4L && lam >= 0 && lam < 1000)
+      val lo = math.min(id, pid) * 1000000L * 4
+      val hi = math.max(id, pid) * 1000000L * 4
+      assert(cs >= lo && cs <= hi, s"checksum $cs outside [$lo,$hi]")
+      assert(mn === mx) // constant components stay constant
+    }
+  }
+
+  test("conformalCalibrate covers ≈ the target rate on a clean cluster") {
+    // one tight cluster per label: nonconformity ~ 0 for all, so
+    // coverage is total
+    val rows = (0 until 60).map { i =>
+      val lab = i % 2
+      (i.toLong, Seq.fill(4)((lab + 1).toFloat), lab)
+    }
+    val out = graft.ext.Ranking.conformalCalibrate(
+        rows.toDF("vec_id", "embedding", "label"), "label", "embedding", 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 2)
+    out.foreach { case (_, nCal, k, _, nTest, nCov, cov) =>
+      assert(k <= nCal && nCov === nTest && cov === 1000L)
+    }
+  }
+
   test("adamicAdarTopK: rare shared neighbor outweighs a hub") {
     // c1 (deg 2) links s1,s2; c2 (deg 4) links s3,s4 (and s5,s6):
     // AA(s1,s2) = 1/ln2 > AA(s3,s4) = 1/ln4
