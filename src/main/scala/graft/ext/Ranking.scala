@@ -261,4 +261,82 @@ object Ranking {
       .select(col("grp").as("label"), col("n_cal"), col("k"), col("qhat_nc"),
         col("n_test"), col("n_covered"), col("cov_milli"))
   }
+
+  /** Label-noise screen by kNN disagreement (Confident-Learning-lite):
+    * for each panel vector, the share of its k nearest corpus
+    * neighbors carrying a DIFFERENT label — a high share marks a
+    * probable mislabel or an off-distribution embedding. Panel
+    * broadcasts; corpus streams once; per-anchor window top-k.
+    *
+    * @return (q_id, q_label, n_diff, noise_milli, suspect)
+    */
+  def labelNoiseKnn(panel: DataFrame, corpus: DataFrame, labelCol: String,
+                    k: Int, suspectMin: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(panel.sparkSession)
+    val q = Exec.widen(panel.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col(labelCol).cast("long").as("q_label")))
+    val c = Exec.widen(corpus.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col(labelCol).cast("long").as("n_label")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_micro").desc, col("n_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("sim_micro",
+        round(Similarity.cosineNative(col("q_emb"), col("n_emb")) * 1000000, 0)
+          .cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(sum(when(col("n_label") =!= col("q_label"), 1L).otherwise(0L))
+        .as("n_diff"))
+      .withColumn("noise_milli",
+        round((col("n_diff") * 1000L).cast("double") / k.toDouble, 0)
+          .cast("long"))
+      .withColumn("suspect", col("n_diff") >= suspectMin)
+  }
+
+  /** In-batch InfoNCE evaluation over an anchor panel: the positive is
+    * each anchor's nearest same-label corpus neighbor, the negatives
+    * are the OTHER panel anchors (the in-batch-negatives recipe), and
+    * the loss is `ln Σe^s − s⁺` with every exponential rounded to
+    * micro-units before the integer sum — the contrastive-quality
+    * number for an embedding table, engine-exact.
+    *
+    * @return (q_id, q_label, pos_id, s_pos_micro, n_negs, denom_sum,
+    *         loss_micro)
+    */
+  def infoNceEval(panel: DataFrame, corpus: DataFrame,
+                  labelCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(panel.sparkSession)
+    val q = Exec.widen(panel.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col(labelCol).cast("long").as("q_label")))
+    val c = Exec.widen(corpus.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col(labelCol).cast("long").as("n_label")))
+    def simTo(a: Column, b: Column): Column =
+      round(Similarity.cosineNative(a, b) * 1000000, 0).cast("long")
+    val wPos = Window.partitionBy(col("q_id"))
+      .orderBy(col("s").desc, col("n_id").asc)
+    val pos = broadcast(q)
+      .join(c, col("q_id") =!= col("n_id") && col("q_label") === col("n_label"))
+      .withColumn("s", simTo(col("q_emb"), col("n_emb")))
+      .withColumn("rnk", row_number().over(wPos))
+      .filter(col("rnk") === 1)
+      .select(col("q_id"), col("q_label"), col("q_emb"),
+        col("n_id").as("pos_id"), col("s").as("s_pos"))
+    val other = q.select(col("q_id").as("o_id"), col("q_emb").as("o_emb"))
+    def eMicro(s: Column): Column =
+      round(exp(s.cast("double") / 1000000.0) * 1000000, 0).cast("long")
+    val negs = pos.join(broadcast(other), col("q_id") =!= col("o_id"))
+      .withColumn("s_neg", simTo(col("q_emb"), col("o_emb")))
+      .groupBy(col("q_id"), col("q_label"), col("pos_id"), col("s_pos"))
+      .agg(count(lit(1)).as("n_negs"),
+        sum(eMicro(col("s_neg"))).as("neg_sum"))
+    negs
+      .withColumn("denom_sum", eMicro(col("s_pos")) + col("neg_sum"))
+      .withColumn("loss_micro",
+        round((log(col("denom_sum").cast("double"))
+          - log(eMicro(col("s_pos")).cast("double"))) * 1000000, 0).cast("long"))
+      .select(col("q_id"), col("q_label"), col("pos_id"),
+        col("s_pos").as("s_pos_micro"), col("n_negs"), col("denom_sum"),
+        col("loss_micro"))
+  }
 }

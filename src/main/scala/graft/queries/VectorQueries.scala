@@ -1034,6 +1034,76 @@ object VectorQueries extends QueryPack {
              |SELECT bin, cnt, cum,
              |  (cum*2 >= total AND (cum - cnt)*2 < total) AS is_p50,
              |  (cum*10 >= total*9 AND (cum - cnt)*10 < total*9) AS is_p90
-             |FROM cc ORDER BY bin""".stripMargin))
+             |FROM cc ORDER BY bin""".stripMargin)),
+
+    // Label-noise screen: share of each panel vector's 10 nearest
+    // neighbors carrying a different label (Confident-Learning-lite).
+    Q("q288_label_noise",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        Ranking.labelNoiseKnn(emb.filter($"vec_id" % 10 === 0), emb, "label",
+            k = 10, suspectMin = 6)
+          .orderBy($"q_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS q_label,
+             |  embedding AS q_emb FROM embeddings WHERE vec_id % 10 = 0),
+             |j AS (
+             |  SELECT q_id, q_label, e.vec_id AS n_id,
+             |    CAST(e.label AS BIGINT) AS n_label,
+             |    CAST(round(${cosSql("q_emb", "e.embedding")} * 1000000) AS BIGINT) AS sim_micro
+             |  FROM q, embeddings e WHERE e.vec_id != q_id),
+             |r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY q_id
+             |    ORDER BY sim_micro DESC, n_id) AS rnk
+             |  FROM j)
+             |SELECT q_id, q_label,
+             |  CAST(sum(CASE WHEN n_label != q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+             |  CAST(round(CAST(sum(CASE WHEN n_label != q_label THEN 1 ELSE 0 END)
+             |    * 1000 AS DOUBLE) / 10.0) AS BIGINT) AS noise_milli,
+             |  (CAST(sum(CASE WHEN n_label != q_label THEN 1 ELSE 0 END) AS BIGINT) >= 6)
+             |    AS suspect
+             |FROM r WHERE rnk <= 10 GROUP BY 1, 2 ORDER BY q_id""".stripMargin)),
+
+    // In-batch InfoNCE: nearest same-label positive, other panel
+    // anchors as negatives, micro-rounded exponentials summed exactly.
+    Q("q289_infonce_eval",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        Ranking.infoNceEval(emb.filter($"vec_id" % 25 === 0), emb, "label")
+          .orderBy($"q_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS q_label,
+             |  embedding AS q_emb FROM embeddings WHERE vec_id % 25 = 0),
+             |ps AS (
+             |  SELECT q.q_id, q.q_label, q.q_emb, e.vec_id AS n_id,
+             |    CAST(round(${cosSql("q.q_emb", "e.embedding")} * 1000000) AS BIGINT) AS s
+             |  FROM q JOIN embeddings e
+             |    ON e.vec_id != q.q_id AND CAST(e.label AS BIGINT) = q.q_label),
+             |pos AS (
+             |  SELECT q_id, q_label, q_emb, n_id AS pos_id, s AS s_pos FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rnk
+             |    FROM ps) WHERE rnk = 1),
+             |ng AS (
+             |  SELECT p.q_id, p.q_label, p.pos_id, p.s_pos,
+             |    CAST(round(${cosSql("p.q_emb", "o.q_emb")} * 1000000) AS BIGINT) AS s_neg
+             |  FROM pos p JOIN q o ON o.q_id != p.q_id),
+             |ag AS (
+             |  SELECT q_id, q_label, pos_id, s_pos,
+             |    CAST(count(*) AS BIGINT) AS n_negs,
+             |    CAST(sum(CAST(round(exp(CAST(s_neg AS DOUBLE)/1000000.0)*1000000)
+             |      AS BIGINT)) AS BIGINT) AS neg_sum
+             |  FROM ng GROUP BY 1, 2, 3, 4),
+             |fin AS (
+             |  SELECT q_id, q_label, pos_id, s_pos, n_negs,
+             |    CAST(round(exp(CAST(s_pos AS DOUBLE)/1000000.0)*1000000) AS BIGINT) AS e_pos,
+             |    neg_sum
+             |  FROM ag)
+             |SELECT q_id, q_label, pos_id, s_pos AS s_pos_micro, n_negs,
+             |  e_pos + neg_sum AS denom_sum,
+             |  CAST(round((ln(CAST(e_pos + neg_sum AS DOUBLE))
+             |    - ln(CAST(e_pos AS DOUBLE))) * 1000000) AS BIGINT) AS loss_micro
+             |FROM fin ORDER BY q_id""".stripMargin))
   )
 }

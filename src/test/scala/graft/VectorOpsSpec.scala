@@ -271,6 +271,37 @@ class VectorOpsSpec extends SparkTestBase {
     }
   }
 
+  test("labelNoiseKnn flags the vector planted inside the wrong cluster") {
+    // two tight clusters; vector 99 sits in cluster A's space but
+    // carries label B → all its neighbors disagree
+    val rows = (0 until 20).map { i =>
+      val lab = if (i < 10) 0 else 1
+      val base = if (i < 10) 1.0f else -1.0f
+      (i.toLong, Seq(base, 0.001f * i), lab)
+    } :+ ((99L, Seq(1.0f, 0.0005f), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.ext.Ranking.labelNoiseKnn(
+        df.filter($"vec_id" === 99), df, "label", k = 5, suspectMin = 3)
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(out === ((99L, 1L, 5L, 1000L, true)))
+  }
+
+  test("infoNceEval: a clean pair scores lower loss than a hard one") {
+    // anchors 0 and 25: 0's positive is nearly identical (easy), 25's
+    // positive is distant while a negative is close (hard)
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(1.0f, 0.01f), 0),
+      (25L, Seq(0.0f, 1.0f), 1), (26L, Seq(0.7f, 0.7f), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.ext.Ranking.infoNceEval(
+        df.filter($"vec_id" % 25 === 0), df, "label")
+      .orderBy($"q_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._3).toSeq === Seq(1L, 26L)) // nearest same-label
+    assert(out(0)._7 < out(1)._7,
+      s"easy pair must lose less: ${out(0)._7} vs ${out(1)._7}")
+  }
+
   test("adamicAdarTopK: rare shared neighbor outweighs a hub") {
     // c1 (deg 2) links s1,s2; c2 (deg 4) links s3,s4 (and s5,s6):
     // AA(s1,s2) = 1/ln2 > AA(s3,s4) = 1/ln4
