@@ -438,4 +438,43 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"),
       s"rules-side join shuffled:\n$plan")
   }
+
+  test("q288 panel scan broadcasts the anchors; corpus never shuffles for the pair join") {
+    val plan = finalPlan("q288_label_noise")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"panel × corpus join not a broadcast NLJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"unbroadcast cartesian leaked in:\n$plan")
+  }
+
+  test("q267 ADC joins the codes table to a BROADCAST distance table") {
+    val plan = finalPlan("q267_pq_adc")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"distance-table join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"unbroadcast cartesian leaked in:\n$plan")
+  }
+
+  test("q273 pooled rank goes through range repartitioning, not a global window") {
+    val plan = finalPlan("q273_quantile_normalize")
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"two-phase rank's range exchange missing:\n$plan")
+  }
+
+  test("q276 scores all LOO models with broadcast constants — per-source tables never shuffle the token stream twice") {
+    val plan = finalPlan("q276_source_influence")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source constants not broadcast:\n$plan")
+  }
+
+  test("q277 chunking scan reads only the three referenced columns") {
+    val plan = finalPlan("q277_cdc_chunks")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse("")
+    val readCols = readSchema.split(",").map(_.trim.takeWhile(_ != ':')).toSet
+    assert(readCols === Set("doc_id", "text", "source"),
+      s"scan reads wrong column set: $readCols")
+    assert(plan.contains("cdc_cutpoints"),
+      s"rolling-hash kernel missing from the plan:\n$plan")
+  }
 }
