@@ -998,6 +998,48 @@ object LangModel {
         .otherwise(lit(null).cast("long")).as("r2_milli"))
   }
 
+  /** Per-document token attribution for the Naive Bayes label model:
+    * the top-`k` tokens by absolute micro-nat log-likelihood ratio in
+    * each panel document — "which words drove this classification",
+    * the explainability view of the q244 classifier (same hash train
+    * split, same Laplace LLR table).
+    *
+    * One model count pass, then a join of the panel docs' DISTINCT
+    * tokens against the broadcast-sized model and a per-doc window.
+    * Ordering (|llr| desc, llr desc, tok) is total.
+    *
+    * @return (id, rnk, tok, n_occ, llr_micro)
+    */
+  def tokenAttributionTopK(docs: DataFrame, idCol: String, textCol: String,
+                           gold: Column, isTrain: Column, panel: Column,
+                           k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("id"), gold.as("gold"),
+      isTrain.as("is_train"), panel.as("in_panel"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val tokRows = base.select(col("id"), col("gold"), col("is_train"),
+      col("in_panel"), explode(col("toks")).as("tok"))
+    val counts = tokRows.filter(col("is_train"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("gold"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("gold"), 1L).otherwise(0L)).as("c0"))
+    val consts = counts.agg(count(lit(1)).as("v"),
+      sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
+    val model = counts.crossJoin(broadcast(consts))
+      .select(col("tok"),
+        round((log((col("c1") + 1).cast("double") / (col("n1") + col("v")).cast("double"))
+          - log((col("c0") + 1).cast("double") / (col("n0") + col("v")).cast("double")))
+          * 1000000, 0).cast("long").as("llr_micro"))
+    val docToks = tokRows.filter(col("in_panel"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("n_occ"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(abs(col("llr_micro")).desc, col("llr_micro").desc, col("tok").asc)
+    docToks.join(model, "tok")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("rnk"), col("tok"), col("n_occ"), col("llr_micro"))
+  }
+
   /** Leave-one-source-out influence of every source on a Naive Bayes
     * label model — the data-valuation audit: train the token model on
     * the WHOLE corpus and on the corpus minus each source (closed-form:

@@ -339,4 +339,39 @@ object Ranking {
         col("s_pos").as("s_pos_micro"), col("n_negs"), col("denom_sum"),
         col("loss_micro"))
   }
+
+  /** Late-interaction (ColBERT-style MaxSim) retrieval: each vector is
+    * treated as `m` sub-embeddings (the multi-vector view of the
+    * [[Pq]] subspace split), and a query scores a document as
+    * `Σ_i max_j cos(q_i, d_j)` — each query part finds its best match
+    * anywhere in the document. Sub-cosines are micro-rounded before
+    * the max/sum, so the score is exact integer arithmetic.
+    *
+    * Shape: the panel's sub-vector table broadcasts (panel × m rows);
+    * the corpus sub-vector table streams once through the nested-loop
+    * pair join; two partial-aggregating groupBys (max per query part,
+    * sum per pair) collapse before the top-k window.
+    *
+    * @return (q_id, rank, n_id, score_micro)
+    */
+  def maxSimTopK(panel: DataFrame, corpus: DataFrame, m: Int, subDim: Int,
+                 k: Int): DataFrame = {
+    val qsub = Pq.subvectors(panel, m, subDim)
+      .select(col("vec_id").as("q_id"), col("s").as("qs"), col("sub").as("qv"))
+    val dsub = Pq.subvectors(corpus, m, subDim)
+      .select(col("vec_id").as("n_id"), col("s").as("ds"), col("sub").as("dv"))
+    val best = broadcast(qsub).join(dsub, col("q_id") =!= col("n_id"))
+      .withColumn("cos_micro",
+        round(Similarity.cosine(col("qv").cast("array<double>"),
+          col("dv").cast("array<double>")) * 1000000, 0).cast("long"))
+      .groupBy(col("q_id"), col("n_id"), col("qs"))
+      .agg(max(col("cos_micro")).as("best"))
+    val scored = best.groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("best")).as("score_micro"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_micro").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("score_micro"))
+  }
 }

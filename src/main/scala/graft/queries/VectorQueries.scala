@@ -1104,6 +1104,156 @@ object VectorQueries extends QueryPack {
              |  e_pos + neg_sum AS denom_sum,
              |  CAST(round((ln(CAST(e_pos + neg_sum AS DOUBLE))
              |    - ln(CAST(e_pos AS DOUBLE))) * 1000000) AS BIGINT) AS loss_micro
-             |FROM fin ORDER BY q_id""".stripMargin))
+             |FROM fin ORDER BY q_id""".stripMargin)),
+
+    // Late-interaction MaxSim retrieval: 8 sub-embeddings per vector,
+    // query parts each find their best match in the document, top-5.
+    Q("q290_maxsim",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        Ranking.maxSimTopK(emb.filter($"vec_id" % 50 === 0), emb,
+            m = 8, subDim = 8, k = 5)
+          .orderBy($"q_id", $"rank")
+      },
+      Some(s"""WITH sub AS (
+             |  SELECT vec_id, s,
+             |    list_transform(embedding[(s*8+1):(s*8+8)],
+             |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS sub
+             |  FROM embeddings CROSS JOIN range(0, 8) ss(s)),
+             |qs AS (SELECT vec_id AS q_id, s AS sq, sub AS qv FROM sub
+             |       WHERE vec_id % 50 = 0),
+             |ds AS (SELECT vec_id AS n_id, s AS sd, sub AS dv FROM sub),
+             |pc AS (
+             |  SELECT q_id, n_id, sq,
+             |    max(CAST(round(${cosSql("qv", "dv")} * 1000000) AS BIGINT)) AS best
+             |  FROM qs JOIN ds ON n_id != q_id
+             |  GROUP BY 1, 2, 3),
+             |sc AS (SELECT q_id, n_id, CAST(sum(best) AS BIGINT) AS score_micro
+             |       FROM pc GROUP BY 1, 2)
+             |SELECT q_id, rank, n_id, score_micro FROM (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+             |    ORDER BY score_micro DESC, n_id) AS BIGINT) AS rank
+             |  FROM sc)
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // Per-document token attribution for the NB label model: top-3
+    // tokens by |LLR| per panel doc — the classifier's explanation.
+    Q("q291_token_attribution",
+      (s, d) => {
+        import s.implicits._
+        LangModel.tokenAttributionTopK(Tables.documents(s, d), "doc_id",
+            "text", $"lang" === "en",
+            pmod(graft.functions.PolyHash.polyHash($"doc_id".cast("string")),
+              lit(100L)) < 80,
+            $"doc_id" % 50 === 0, k = 3)
+          .select($"id".as("doc_id"), $"rnk", $"tok", $"n_occ", $"llr_micro")
+          .orderBy($"doc_id", $"rnk")
+      },
+      Some(s"""WITH ph AS (
+             |  SELECT doc_id, lang = 'en' AS gold,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+             |        j -> CAST(ascii(substring(CAST(doc_id AS VARCHAR), j, 1)) AS BIGINT))),
+             |      (a, b) -> (a*31 + b) % 1000000007) % 100 < 80 AS is_train,
+             |    doc_id % 50 = 0 AS in_panel,
+             |    string_split_regex(trim(text), '\\s+') AS l
+             |  FROM documents),
+             |tokrows AS (SELECT doc_id, gold, is_train, in_panel, unnest(l) AS tok
+             |            FROM ph),
+             |counts AS (
+             |  SELECT tok,
+             |    CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT) AS c0
+             |  FROM tokrows WHERE is_train GROUP BY 1),
+             |consts AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS v,
+             |    CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0
+             |  FROM counts),
+             |model AS (
+             |  SELECT tok,
+             |    CAST(round((ln(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE))
+             |      - ln(CAST(c0 + 1 AS DOUBLE) / CAST(n0 + v AS DOUBLE)))
+             |      * 1000000) AS BIGINT) AS llr_micro
+             |  FROM counts CROSS JOIN consts),
+             |dt AS (
+             |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n_occ
+             |  FROM tokrows WHERE in_panel GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT dt.doc_id, dt.tok, dt.n_occ, m.llr_micro,
+             |    CAST(row_number() OVER (PARTITION BY dt.doc_id
+             |      ORDER BY abs(m.llr_micro) DESC, m.llr_micro DESC, dt.tok)
+             |      AS BIGINT) AS rnk
+             |  FROM dt JOIN model m ON m.tok = dt.tok)
+             |SELECT doc_id, rnk, tok, n_occ, llr_micro
+             |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // Agglomerative merge log over the label centroids: 3 unrolled
+    // weighted-centroid-linkage rounds, argmin by (cos distance, ids).
+    Q("q292_hac_merges",
+      (s, d) => {
+        import s.implicits._
+        val items = graft.ext.Hac.labelCentroidItems(
+          Tables.embeddings(s, d), "label", "embedding")
+        graft.ext.Hac.mergeLog(s, items, rounds = 3).orderBy($"rnd")
+      },
+      Some(s"""WITH dims AS (
+             |  SELECT CAST(label AS BIGINT) AS id,
+             |    unnest(list_transform(embedding,
+             |      (x,i) -> {'pos': CAST(i AS BIGINT),
+             |                'xm': CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)}),
+             |      recursive := true)
+             |  FROM embeddings),
+             |agg AS (
+             |  SELECT id, pos, CAST(sum(xm) AS BIGINT) AS sm,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM dims GROUP BY 1, 2),
+             |r0 AS (
+             |  SELECT id, list(CAST(round(CAST(sm AS DOUBLE) / n) AS BIGINT)
+             |    ORDER BY pos) AS cent, min(n) AS size
+             |  FROM agg GROUP BY id),
+             |p1 AS (
+             |  SELECT a.id AS id_a, b.id AS id_b, a.cent AS ca, b.cent AS cb,
+             |    a.size AS sa, b.size AS sb,
+             |    1000000 - CAST(round(${cosSql("a.cent", "b.cent")} * 1000000) AS BIGINT) AS dist_micro
+             |  FROM r0 a JOIN r0 b ON a.id < b.id),
+             |b1 AS (SELECT * FROM p1 ORDER BY dist_micro, id_a, id_b LIMIT 1),
+             |r1 AS (
+             |  SELECT id, cent, size FROM r0
+             |  WHERE id NOT IN (SELECT id_a FROM b1 UNION ALL SELECT id_b FROM b1)
+             |  UNION ALL
+             |  SELECT id_a, list_transform(ca, (x,i) ->
+             |      CAST(round(CAST(sa*x + sb*cb[i] AS DOUBLE)
+             |        / CAST(sa+sb AS DOUBLE)) AS BIGINT)),
+             |    sa + sb
+             |  FROM b1),
+             |p2 AS (
+             |  SELECT a.id AS id_a, b.id AS id_b, a.cent AS ca, b.cent AS cb,
+             |    a.size AS sa, b.size AS sb,
+             |    1000000 - CAST(round(${cosSql("a.cent", "b.cent")} * 1000000) AS BIGINT) AS dist_micro
+             |  FROM r1 a JOIN r1 b ON a.id < b.id),
+             |b2 AS (SELECT * FROM p2 ORDER BY dist_micro, id_a, id_b LIMIT 1),
+             |r2 AS (
+             |  SELECT id, cent, size FROM r1
+             |  WHERE id NOT IN (SELECT id_a FROM b2 UNION ALL SELECT id_b FROM b2)
+             |  UNION ALL
+             |  SELECT id_a, list_transform(ca, (x,i) ->
+             |      CAST(round(CAST(sa*x + sb*cb[i] AS DOUBLE)
+             |        / CAST(sa+sb AS DOUBLE)) AS BIGINT)),
+             |    sa + sb
+             |  FROM b2),
+             |p3 AS (
+             |  SELECT a.id AS id_a, b.id AS id_b,
+             |    a.size AS sa, b.size AS sb,
+             |    1000000 - CAST(round(${cosSql("a.cent", "b.cent")} * 1000000) AS BIGINT) AS dist_micro
+             |  FROM r2 a JOIN r2 b ON a.id < b.id),
+             |b3 AS (SELECT * FROM p3 ORDER BY dist_micro, id_a, id_b LIMIT 1)
+             |SELECT CAST(1 AS BIGINT) AS rnd, id_a AS cid_a, id_b AS cid_b,
+             |  dist_micro, sa + sb AS new_size FROM b1
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), id_a, id_b, dist_micro, sa + sb FROM b2
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), id_a, id_b, dist_micro, sa + sb FROM b3
+             |ORDER BY rnd""".stripMargin))
   )
 }

@@ -302,6 +302,38 @@ class VectorOpsSpec extends SparkTestBase {
       s"easy pair must lose less: ${out(0)._7} vs ${out(1)._7}")
   }
 
+  test("maxSimTopK: part-level matches beat a single-vector average") {
+    // doc 1 matches query part 0 exactly and part 1 exactly (in
+    // swapped slots); doc 2 is a mediocre match everywhere. MaxSim
+    // rewards doc 1's per-part alignment.
+    def v(parts: Seq[Seq[Double]]): Seq[Float] =
+      parts.flatten.map(_.toFloat)
+    val q = v(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val rows = Seq(
+      (0L, q),
+      (1L, v(Seq(Seq(0.0, 1.0), Seq(1.0, 0.0)))),  // swapped slots
+      (2L, v(Seq(Seq(0.5, 0.5), Seq(0.5, 0.5)))))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.ext.Ranking.maxSimTopK(df.filter($"vec_id" === 0), df,
+        m = 2, subDim = 2, k = 2)
+      .orderBy($"rank").as[(Long, Long, Long, Long)].collect()
+    // each query part finds its perfect match inside doc 1
+    assert(out.head._3 === 1L && out.head._4 === 2000000L, s"${out.head}")
+  }
+
+  test("hac mergeLog joins the closest pair first and re-weights the centroid") {
+    val items = Seq(
+      (0L, Seq(1000000L, 0L), 2L),
+      (1L, Seq(990000L, 10000L), 2L),   // nearly identical to 0
+      (2L, Seq(-1000000L, 0L), 4L))
+    val df = items.toDF("id", "cent", "size")
+    val log = graft.ext.Hac.mergeLog(spark, df, rounds = 2)
+      .orderBy($"rnd").as[(Long, Long, Long, Long, Long)].collect()
+    assert(log(0)._2 === 0L && log(0)._3 === 1L && log(0)._5 === 4L)
+    assert(log(1)._2 === 0L && log(1)._3 === 2L && log(1)._5 === 8L)
+    assert(log(0)._4 < log(1)._4) // first merge is the tighter one
+  }
+
   test("adamicAdarTopK: rare shared neighbor outweighs a hub") {
     // c1 (deg 2) links s1,s2; c2 (deg 4) links s3,s4 (and s5,s6):
     // AA(s1,s2) = 1/ln2 > AA(s3,s4) = 1/ln4
