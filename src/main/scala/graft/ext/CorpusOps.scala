@@ -596,6 +596,44 @@ object CorpusOps {
     * @param dropPct tokens dropped per hundred (expected)
     * @return (id, n_tokens, n_kept, aug_hash)
     */
+  /** Balanced training-shard manifest: documents ranked by token count
+    * (heaviest first) are dealt into `shards` by SNAKE order — block b
+    * deals left-to-right when even, right-to-left when odd — the
+    * classic deterministic LPT-like balancer (each shard gets one doc
+    * per block, alternating which shard takes the block's heaviest).
+    * Reports per-shard token mass and deviation from the ideal split.
+    *
+    * The global rank goes through [[graft.ops.Ranks.twoPhaseRank]];
+    * everything after is a shards-sized aggregate.
+    *
+    * @return (shard, n_docs, sum_tokens, dev_milli)
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+                    shards: Int): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      size(graft.ext.TextAnalysis.tokens(col(textCol))).cast("long").as("ntok"))
+    val ranked = graft.ops.Ranks.twoPhaseRank(
+      docs.withColumn("__g", lit(1)).withColumn("negtok", -col("ntok")),
+      "__g", Seq("negtok", "id"), "rnk")
+    val pos = col("rnk") - 1L
+    val block = floor(pos.cast("double") / shards.toDouble).cast("long")
+    val within = pmod(pos, lit(shards.toLong))
+    val shard = when(pmod(col("block"), lit(2L)) === 0L, col("within"))
+      .otherwise(lit(shards.toLong - 1L) - col("within"))
+    val assigned = ranked
+      .withColumn("block", block).withColumn("within", within)
+      .withColumn("shard", shard)
+    val agg = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
+    val total = agg.agg(sum(col("sum_tokens")).as("total"))
+    agg.crossJoin(broadcast(total))
+      .select(col("shard"), col("n_docs"), col("sum_tokens"),
+        round((col("sum_tokens").cast("double")
+          - col("total").cast("double") / shards.toDouble)
+          / (col("total").cast("double") / shards.toDouble) * 1000.0, 0)
+          .cast("long").as("dev_milli"))
+  }
+
   def tokenDropout(df: DataFrame, idCol: String, textCol: String,
                    dropPct: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)

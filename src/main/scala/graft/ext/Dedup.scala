@@ -1320,6 +1320,36 @@ object Dedup {
           / col("n_grams").cast("double"), 0).cast("long"))
   }
 
+  /** Cross-source duplicate FLOW matrix: after exact-hash dedup keeps
+    * the minimum-id row of every duplicate group, which source's rows
+    * survive at which source's expense — the "who wins canonicalization"
+    * audit that decides whether a dedup pass silently drains one
+    * provenance into another. One hash groupBy, one join back, one
+    * pair count; linear.
+    *
+    * @param key the canonicalization key (full-text hash for strict
+    *            exact dedup, a prefix/normalized key for the fuzzier
+    *            passes — same contract as [[exactDupGroups]])
+    * @return (src_keep, src_dup, n_docs) — dropped rows only, keyed by
+    *         (keeper's source, dropped row's source)
+    */
+  def dedupFlowMatrix(df: DataFrame, idCol: String,
+                      key: org.apache.spark.sql.Column,
+                      srcCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val rows = df.select(col(idCol).as("id"), col(srcCol).as("src"),
+      key.as("h"))
+    val keep = rows.groupBy(col("h"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val keepSrc = rows.select(col("id").as("keep_id"), col("src").as("src_keep"))
+    rows.join(keep, "h")
+      .filter(col("id") =!= col("keep_id"))
+      .join(keepSrc, "keep_id")
+      .groupBy(col("src_keep"), col("src").as("src_dup"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Content-defined chunking dedup report per source: documents are
     * cut where the rolling `w`-char window's PolyHash hits `0 mod
     * mask` (expected chunk ≈ mask chars), chunks are keyed by their

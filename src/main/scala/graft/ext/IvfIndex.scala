@@ -161,4 +161,57 @@ object IvfIndex {
     */
   def loadLatest(spark: SparkSession, dir: String, prefix: String): DataFrame =
     materializeLocal(spark, graft.io.Versioned.readLatest(spark, dir, prefix))
+
+  /** Cluster↔label alignment: entropies and mutual information between
+    * the label column and the nearest-seed cell assignment (exact
+    * integer squared-L2, ties to the lower cid — the
+    * [[graft.ext.Pq]]/q279 quantizer), plus the homogeneity score
+    * `1 − H(label|cell)/H(label)` — "do my clusters mean anything".
+    * Every entropy term is rounded to micro-nats from exact counts and
+    * integer-summed, so MI is an exact integer difference.
+    *
+    * One broadcast cross join for assignment, then counts-table math.
+    *
+    * @return one row (n_rows, n_cells, h_label_micro, h_cond_micro,
+    *         mi_micro, homogeneity_milli)
+    */
+  def clusterHomogeneity(df: DataFrame, labelCol: String, embCol: String,
+                         k: Int): DataFrame = {
+    val micro = transform(col(embCol),
+      x => round(x.cast("double") * 1000000, 0).cast("long"))
+    val vecs = df.select(col("vec_id").as("id"),
+      col(labelCol).cast("long").as("lab"), micro.as("vm"))
+    val seeds = materializeLocal(df.sparkSession,
+      vecs.orderBy(col("id")).limit(k)
+        .select(col("id").as("cid"), col("vm").as("cm")))
+    val d2 = aggregate(zip_with(col("vm"), col("cm"),
+      (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    val asg = vecs.crossJoin(broadcast(seeds))
+      .withColumn("dd", d2)
+      .groupBy(col("id"), col("lab"))
+      .agg(min_by(col("cid"), struct(col("dd"), col("cid"))).as("cell"))
+    val cl = asg.groupBy(col("cell"), col("lab")).agg(count(lit(1)).as("n_cl"))
+    val cCnt = cl.groupBy(col("cell")).agg(sum(col("n_cl")).as("n_c"))
+    val lCnt = cl.groupBy(col("lab")).agg(sum(col("n_cl")).as("n_l"))
+    val tot = cl.agg(sum(col("n_cl")).as("n"))
+    val hLab = lCnt.crossJoin(broadcast(tot))
+      .select(round(-(col("n_l").cast("double") / col("n").cast("double"))
+        * log(col("n_l").cast("double") / col("n").cast("double"))
+        * 1000000, 0).cast("long").as("t"))
+      .agg(sum(col("t")).as("h_label_micro"))
+    val hCond = cl.join(cCnt, "cell").crossJoin(broadcast(tot))
+      .select(round(-(col("n_cl").cast("double") / col("n").cast("double"))
+        * log(col("n_cl").cast("double") / col("n_c").cast("double"))
+        * 1000000, 0).cast("long").as("t"))
+      .agg(sum(col("t")).as("h_cond_micro"))
+    val nCells = cCnt.agg(count(lit(1)).as("n_cells"))
+    tot.crossJoin(nCells).crossJoin(hLab).crossJoin(hCond)
+      .select(col("n").as("n_rows"), col("n_cells"),
+        col("h_label_micro"), col("h_cond_micro"),
+        (col("h_label_micro") - col("h_cond_micro")).as("mi_micro"),
+        when(col("h_label_micro") > 0,
+          round((lit(1.0) - col("h_cond_micro").cast("double")
+            / col("h_label_micro").cast("double")) * 1000.0, 0).cast("long"))
+          .otherwise(0L).as("homogeneity_milli"))
+  }
 }

@@ -1254,6 +1254,103 @@ object VectorQueries extends QueryPack {
              |SELECT CAST(2 AS BIGINT), id_a, id_b, dist_micro, sa + sb FROM b2
              |UNION ALL
              |SELECT CAST(3 AS BIGINT), id_a, id_b, dist_micro, sa + sb FROM b3
-             |ORDER BY rnd""".stripMargin))
+             |ORDER BY rnd""".stripMargin)),
+
+    // Balanced training shards: token-ranked snake deal into 8 shards,
+    // per-shard mass and deviation from the ideal split.
+    Q("q293_shard_manifest",
+      (s, d) => {
+        import s.implicits._
+        CorpusOps.shardManifest(Tables.documents(s, d), "doc_id", "text",
+            shards = 8)
+          .orderBy($"shard")
+      },
+      Some("""WITH dcs AS (
+             |  SELECT doc_id AS id,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
+             |  FROM documents),
+             |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY ntok DESC, id)
+             |  AS BIGINT) AS rnk FROM dcs),
+             |asg AS (SELECT *, (rnk - 1) // 8 AS blk, (rnk - 1) % 8 AS w FROM rk),
+             |sh AS (SELECT CASE WHEN blk % 2 = 0 THEN w ELSE 7 - w END AS shard,
+             |  ntok FROM asg),
+             |ag AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(ntok) AS BIGINT) AS sum_tokens FROM sh GROUP BY 1),
+             |t AS (SELECT CAST(sum(sum_tokens) AS BIGINT) AS total FROM ag)
+             |SELECT shard, n_docs, sum_tokens,
+             |  CAST(round((CAST(sum_tokens AS DOUBLE) - CAST(total AS DOUBLE)/8.0)
+             |    / (CAST(total AS DOUBLE)/8.0) * 1000.0) AS BIGINT) AS dev_milli
+             |FROM ag CROSS JOIN t ORDER BY shard""".stripMargin)),
+
+    // Cross-source dedup flow: after exact-hash dedup, which source's
+    // rows canonicalize into which source's keeper.
+    Q("q294_dedup_flow",
+      (s, d) => {
+        import s.implicits._
+        Dedup.dedupFlowMatrix(Tables.documents(s, d), "doc_id",
+            concat_ws(" ",
+              slice(graft.ext.TextAnalysis.tokens($"text"), 1, 2)),
+            "source")
+          .orderBy($"src_keep", $"src_dup")
+      },
+      Some("""WITH rws AS (
+             |  SELECT doc_id AS id, source AS src,
+             |    array_to_string(string_split_regex(trim(text), '\s+')[1:2], ' ') AS h
+             |  FROM documents),
+             |keep AS (SELECT h, min(id) AS keep_id, count(*) AS n
+             |         FROM rws GROUP BY 1 HAVING count(*) > 1),
+             |ks AS (SELECT id AS keep_id, src AS src_keep FROM rws)
+             |SELECT k2.src_keep, r.src AS src_dup,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM rws r JOIN keep USING (h) JOIN ks k2 ON k2.keep_id = keep.keep_id
+             |WHERE r.id != keep.keep_id
+             |GROUP BY 1, 2 ORDER BY src_keep, src_dup""".stripMargin)),
+
+    // Cluster↔label alignment over the 8-seed quantizer: entropies,
+    // mutual information, homogeneity — "do the cells mean anything".
+    Q("q295_cluster_homogeneity",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.IvfIndex.clusterHomogeneity(Tables.embeddings(s, d),
+          "label", "embedding", k = 8)
+      },
+      Some(s"""WITH v AS (
+             |  SELECT vec_id AS id, CAST(label AS BIGINT) AS lab,
+             |    list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS vm
+             |  FROM embeddings),
+             |seeds AS (SELECT id AS cid, vm AS cm FROM v ORDER BY id LIMIT 8),
+             |asg AS (
+             |  SELECT id, lab, cell FROM (
+             |    SELECT v.id, v.lab, s.cid AS cell,
+             |      row_number() OVER (PARTITION BY v.id
+             |        ORDER BY ${d2Sql("v.vm", "s.cm")}, s.cid) AS rn
+             |    FROM v CROSS JOIN seeds s) WHERE rn = 1),
+             |cl AS (SELECT cell, lab, CAST(count(*) AS BIGINT) AS n_cl
+             |       FROM asg GROUP BY 1, 2),
+             |cc AS (SELECT cell, CAST(sum(n_cl) AS BIGINT) AS n_c FROM cl GROUP BY 1),
+             |lc AS (SELECT lab, CAST(sum(n_cl) AS BIGINT) AS n_l FROM cl GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n FROM cl),
+             |hl AS (
+             |  SELECT CAST(sum(CAST(round(
+             |    -(CAST(n_l AS DOUBLE)/CAST(n AS DOUBLE))
+             |    * ln(CAST(n_l AS DOUBLE)/CAST(n AS DOUBLE)) * 1000000) AS BIGINT))
+             |    AS BIGINT) AS h_label_micro
+             |  FROM lc CROSS JOIN t),
+             |hc AS (
+             |  SELECT CAST(sum(CAST(round(
+             |    -(CAST(n_cl AS DOUBLE)/CAST(n AS DOUBLE))
+             |    * ln(CAST(n_cl AS DOUBLE)/CAST(n_c AS DOUBLE)) * 1000000) AS BIGINT))
+             |    AS BIGINT) AS h_cond_micro
+             |  FROM cl JOIN cc USING (cell) CROSS JOIN t),
+             |nc2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cc)
+             |SELECT n AS n_rows, n_cells, h_label_micro, h_cond_micro,
+             |  h_label_micro - h_cond_micro AS mi_micro,
+             |  CASE WHEN h_label_micro > 0 THEN
+             |    CAST(round((CAST(1.0 AS DOUBLE)
+             |      - CAST(h_cond_micro AS DOUBLE)/CAST(h_label_micro AS DOUBLE))
+             |      * 1000.0) AS BIGINT)
+             |  ELSE CAST(0 AS BIGINT) END AS homogeneity_milli
+             |FROM t CROSS JOIN nc2 CROSS JOIN hl CROSS JOIN hc""".stripMargin))
   )
 }

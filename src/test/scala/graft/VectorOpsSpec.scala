@@ -334,6 +334,41 @@ class VectorOpsSpec extends SparkTestBase {
     assert(log(0)._4 < log(1)._4) // first merge is the tighter one
   }
 
+  test("shardManifest: snake deal balances a linear token gradient") {
+    // token counts 100, 99, ..., 1 over 2 shards: snake pairing
+    // (1st+4th, 2nd+3rd, ...) keeps the split within one token
+    val docs = (1 to 100).map(i => (i.toLong, (1 to (101 - i))
+      .map(j => s"t$j").mkString(" "))).toDF("id", "text")
+    val out = graft.ext.CorpusOps.shardManifest(docs, "id", "text", shards = 2)
+      .orderBy($"shard").as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).toSeq === Seq(50L, 50L))
+    assert(math.abs(out(0)._3 - out(1)._3) <= 50L,
+      s"snake split off balance: ${out.toSeq}")
+    assert(out.forall(r => math.abs(r._4) <= 10L), s"dev too large: ${out.toSeq}")
+  }
+
+  test("dedupFlowMatrix charges dropped rows to the keeper's source") {
+    val docs = Seq(
+      (1L, "sA", "x x"), (2L, "sB", "x x"), (3L, "sB", "x x"),
+      (4L, "sC", "y y")).toDF("doc_id", "source", "text")
+    val out = graft.ext.Dedup.dedupFlowMatrix(docs, "doc_id",
+        col("text"), "source")
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(("sA", "sB", 2L))) // sA's id 1 keeps, sB loses 2 rows
+  }
+
+  test("clusterHomogeneity: label-pure cells score 1000 milli") {
+    // vectors cluster exactly at their label's seed → H(label|cell)=0
+    val rows = (0 until 40).map { i =>
+      val lab = i % 4
+      (i.toLong, Seq.fill(4)(lab.toFloat * 2 - 3), lab)
+    }
+    val out = graft.ext.IvfIndex.clusterHomogeneity(
+        rows.toDF("vec_id", "embedding", "label"), "label", "embedding", k = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(out._1 === 40L && out._4 === 0L && out._6 === 1000L, s"$out")
+  }
+
   test("adamicAdarTopK: rare shared neighbor outweighs a hub") {
     // c1 (deg 2) links s1,s2; c2 (deg 4) links s3,s4 (and s5,s6):
     // AA(s1,s2) = 1/ln2 > AA(s3,s4) = 1/ln4
