@@ -24,6 +24,7 @@ object SparkEntry {
     CurationQueries,
     EvalQueries,
     VectorQueries,
+    ValuationQueries,
     IoQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.Valuation
+
+/** Wave 33 — data valuation and calibration: exact Shapley credit over
+  * the coalition lattice (the data-market question "what is each slice
+  * worth"), with the same fixed-point/oracle discipline as the LOO
+  * influence audit (q276): every transcendental term is rounded to
+  * integer micro-units before summation so DuckDB replays the exact
+  * integers.
+  */
+object ValuationQueries extends QueryPack {
+
+  val all: Seq[Q] = Seq(
+
+    // Exact Shapley value of each language bucket toward a long-document
+    // NB classifier's held-out accuracy: all 2^5 coalitions trained (as
+    // integer sums of per-player count tables) and evaluated; credit
+    // carries the exact 1/n! numerator plus its rounded micro value.
+    Q("q296_shapley_players",
+      (s, d) => {
+        import s.implicits._
+        Valuation.shapleyByGroup(Tables.documents(s, d), "doc_id", "text",
+            "lang", $"n_chars" >= 250, panelMod = 7)
+          .orderBy($"player")
+      },
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT doc_id AS id, lang AS grp, n_chars >= 250 AS gold,
+             |    string_split_regex(trim(text), '\s+') AS l
+             |  FROM documents),
+             |train AS (SELECT * FROM base WHERE id % 7 != 0),
+             |panel AS (SELECT * FROM base WHERE id % 7 = 0),
+             |gidx AS (
+             |  SELECT grp, CAST(row_number() OVER (ORDER BY grp) - 1 AS BIGINT) AS idx,
+             |    CAST(1 AS BIGINT)
+             |      << CAST(row_number() OVER (ORDER BY grp) - 1 AS INT) AS bit
+             |  FROM (SELECT DISTINCT grp FROM train)),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gidx),
+             |ss AS (
+             |  SELECT CAST(0 AS BIGINT) AS subset, CAST(0 AS BIGINT) AS i
+             |  UNION ALL
+             |  SELECT s.subset + CASE WHEN bb.b = 1 THEN g.bit ELSE 0 END, s.i + 1
+             |  FROM ss s JOIN gidx g ON g.idx = s.i
+             |  CROSS JOIN (SELECT 0 AS b UNION ALL SELECT 1) bb),
+             |subsets AS (SELECT subset FROM ss, nn WHERE i = nn.n),
+             |tokrows AS (SELECT grp, gold, unnest(l) AS tok FROM train),
+             |gcounts AS (
+             |  SELECT grp, tok,
+             |    CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS c1g,
+             |    CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT) AS c0g
+             |  FROM tokrows GROUP BY 1, 2),
+             |vsz AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM gcounts),
+             |gtok AS (SELECT grp, CAST(sum(c1g) AS BIGINT) AS n1g,
+             |    CAST(sum(c0g) AS BIGINT) AS n0g FROM gcounts GROUP BY 1),
+             |gdoc AS (SELECT grp,
+             |    CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS d1g,
+             |    CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT) AS d0g
+             |  FROM train GROUP BY 1),
+             |member AS (
+             |  SELECT subset, grp, n1g, n0g, d1g, d0g, bit
+             |  FROM subsets CROSS JOIN gidx
+             |  JOIN gtok USING (grp) JOIN gdoc USING (grp)
+             |  WHERE (subset & bit) != 0),
+             |sconst AS (
+             |  SELECT s.subset,
+             |    CAST(round(ln(CAST(coalesce(m.d1s, 0) + 1 AS DOUBLE)) * 1000000)
+             |        AS BIGINT)
+             |      - CAST(round(ln(CAST(coalesce(m.d0s, 0) + 1 AS DOUBLE)) * 1000000)
+             |        AS BIGINT) AS prior_micro,
+             |    CAST(round(ln(CAST(coalesce(m.n1s, 0) + v AS DOUBLE)) * 1000000)
+             |        AS BIGINT)
+             |      - CAST(round(ln(CAST(coalesce(m.n0s, 0) + v AS DOUBLE)) * 1000000)
+             |        AS BIGINT) AS denom_micro
+             |  FROM subsets s CROSS JOIN vsz
+             |  LEFT JOIN (
+             |    SELECT subset, sum(n1g) AS n1s, sum(n0g) AS n0s,
+             |      sum(d1g) AS d1s, sum(d0g) AS d0s
+             |    FROM member GROUP BY 1) m ON m.subset = s.subset),
+             |stok AS (
+             |  SELECT m.subset, g.tok,
+             |    CAST(round(ln(CAST(sum(g.c1g) + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+             |      - CAST(round(ln(CAST(sum(g.c0g) + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+             |      AS term_micro
+             |  FROM gcounts g JOIN (SELECT subset, grp FROM member) m USING (grp)
+             |  GROUP BY 1, 2),
+             |vocab AS (SELECT DISTINCT tok FROM gcounts),
+             |ptok AS (
+             |  SELECT id, tok FROM (SELECT id, unnest(l) AS tok FROM panel)
+             |  WHERE tok IN (SELECT tok FROM vocab)),
+             |plen AS (SELECT id, CAST(count(*) AS BIGINT) AS t_len FROM ptok GROUP BY 1),
+             |pdocs AS (
+             |  SELECT p.id, p.gold, coalesce(plen.t_len, 0) AS t_len
+             |  FROM panel p LEFT JOIN plen ON plen.id = p.id),
+             |nsums AS (
+             |  SELECT pt.id, st.subset,
+             |    CAST(sum(st.term_micro) AS BIGINT) AS num_micro
+             |  FROM ptok pt JOIN stok st USING (tok) GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT d.id, d.gold, s.subset,
+             |    (c.prior_micro + coalesce(n.num_micro, 0)
+             |      - d.t_len * c.denom_micro) >= 0 AS pred
+             |  FROM pdocs d CROSS JOIN subsets s
+             |  LEFT JOIN nsums n ON n.id = d.id AND n.subset = s.subset
+             |  JOIN sconst c ON c.subset = s.subset),
+             |sacc AS (
+             |  SELECT subset,
+             |    CAST(round(sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) * 1000.0
+             |      / count(*)) AS BIGINT) AS acc_milli
+             |  FROM scored GROUP BY 1),
+             |pairs AS (
+             |  SELECT g.grp, a.subset AS s_lo, a.acc_milli AS v_lo,
+             |    b.acc_milli AS v_hi,
+             |    CASE bit_count(a.subset)
+             |      WHEN 0 THEN 24 WHEN 1 THEN 6 WHEN 2 THEN 4
+             |      WHEN 3 THEN 6 WHEN 4 THEN 24 END AS w
+             |  FROM sacc a CROSS JOIN gidx g
+             |  JOIN sacc b ON b.subset = a.subset + g.bit
+             |  WHERE (a.subset & g.bit) = 0),
+             |shap AS (
+             |  SELECT grp, CAST(sum(w * (v_hi - v_lo)) AS BIGINT) AS shap_num
+             |  FROM pairs GROUP BY 1),
+             |vfull AS (
+             |  SELECT acc_milli AS v_full_milli FROM sacc, nn
+             |  WHERE subset = (CAST(1 AS BIGINT) << CAST(nn.n AS INT)) - 1),
+             |vwo AS (
+             |  SELECT g.grp, acc_milli AS v_without_milli
+             |  FROM sacc JOIN gidx g
+             |    ON sacc.subset = (SELECT (CAST(1 AS BIGINT) << CAST(n AS INT)) - 1
+             |                      FROM nn) - g.bit)
+             |SELECT shap.grp AS player, v_full_milli, v_without_milli, shap_num,
+             |  CAST(round(CAST(shap_num AS DOUBLE) * 1000.0 / 120.0) AS BIGINT)
+             |    AS shap_micro
+             |FROM shap JOIN vwo USING (grp) CROSS JOIN vfull
+             |ORDER BY player""".stripMargin))
+  )
+}

@@ -468,6 +468,10 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("q277 chunking scan reads only the three referenced columns") {
+    // other suites cache() the full documents table; the shared-session
+    // CacheManager would substitute that full-schema InMemoryRelation for
+    // this query's pruned scan and the audit would see all five columns
+    spark.catalog.clearCache()
     val plan = finalPlan("q277_cdc_chunks")
     val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
       .map(_.group(1)).getOrElse("")
