@@ -133,6 +133,108 @@ object ValuationQueries extends QueryPack {
              |  CAST(round(CAST(shap_num AS DOUBLE) * 1000.0 / 120.0) AS BIGINT)
              |    AS shap_micro
              |FROM shap JOIN vwo USING (grp) CROSS JOIN vfull
-             |ORDER BY player""".stripMargin))
+             |ORDER BY player""".stripMargin)),
+
+    // Isotonic (PAVA) calibration of the q161 forecast via the exact
+    // minimax form over score deciles: fitted rate must be monotone in
+    // the bin — the calibration map a screen-score goes through before
+    // its threshold gates a corpus.
+    Q("q297_isotonic_calibration",
+      (s, d) => {
+        import s.implicits._
+        val scored = Tables.embeddings(s, d).select(
+          least(greatest(
+            round((col("embedding").getItem(0) + 1.0) / 2.0 * 1000000.0, 0).cast("long"),
+            lit(0L)), lit(1000000L)).as("p_micro"),
+          ($"label" % 2).cast("long").as("y"))
+        graft.ext.Calibrate.isotonicBins(scored, "p_micro", "y", bins = 10)
+          .orderBy($"bin")
+      },
+      Some("""WITH s AS (
+             |  SELECT least(greatest(
+             |      CAST(round((embedding[1] + 1.0) / 2.0 * 1000000.0) AS BIGINT),
+             |      0), 1000000) AS p,
+             |    CAST(label % 2 AS BIGINT) AS y
+             |  FROM embeddings),
+             |b AS (SELECT least(p * 10 // 1000000, 9) AS bin,
+             |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+             |  FROM s GROUP BY 1),
+             |pre AS (SELECT bin, n, n_pos,
+             |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+             |    CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cy
+             |  FROM b),
+             |segs AS (
+             |  SELECT lo.bin AS i, hi.bin AS j,
+             |    CAST(round(CAST(hi.cy - (lo.cy - lo.n_pos) AS DOUBLE) * 1000000.0
+             |      / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE)) AS BIGINT) AS avg_micro
+             |  FROM pre lo CROSS JOIN pre hi WHERE lo.bin <= hi.bin),
+             |inner_min AS (
+             |  SELECT k.bin AS k, s2.i, min(s2.avg_micro) AS m
+             |  FROM b k JOIN segs s2 ON s2.i <= k.bin AND k.bin <= s2.j
+             |  GROUP BY 1, 2),
+             |iso AS (SELECT k, CAST(max(m) AS BIGINT) AS iso_rate_micro
+             |  FROM inner_min GROUP BY 1)
+             |SELECT bin, n, n_pos,
+             |  CAST(round(CAST(n_pos AS DOUBLE) * 1000000.0 / CAST(n AS DOUBLE))
+             |    AS BIGINT) AS emp_rate_micro,
+             |  iso_rate_micro
+             |FROM b JOIN iso ON iso.k = b.bin
+             |ORDER BY bin""".stripMargin)),
+
+    // Murphy decomposition of the Brier score for the same forecast
+    // snapped to bin centers: reliability − resolution + uncertainty,
+    // per-bin micro terms integer-summed.
+    Q("q298_brier_decomposition",
+      (s, d) => {
+        import s.implicits._
+        val scored = Tables.embeddings(s, d).select(
+          least(greatest(
+            round((col("embedding").getItem(0) + 1.0) / 2.0 * 1000000.0, 0).cast("long"),
+            lit(0L)), lit(1000000L)).as("p_micro"),
+          ($"label" % 2).cast("long").as("y"))
+        graft.ext.Calibrate.brierDecomposition(scored, "p_micro", "y", bins = 10)
+      },
+      Some("""WITH s AS (
+             |  SELECT least(greatest(
+             |      CAST(round((embedding[1] + 1.0) / 2.0 * 1000000.0) AS BIGINT),
+             |      0), 1000000) AS p,
+             |    CAST(label % 2 AS BIGINT) AS y
+             |  FROM embeddings),
+             |b AS (SELECT least(p * 10 // 1000000, 9) AS bin,
+             |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS yb
+             |  FROM s GROUP BY 1),
+             |bc AS (SELECT bin, n, yb,
+             |    CAST(2 * bin + 1 AS DOUBLE) / CAST(20 AS DOUBLE) AS c FROM b),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+             |    CAST(sum(yb) AS BIGINT) AS yy FROM b),
+             |terms AS (
+             |  SELECT
+             |    CAST(round((CAST(n AS BIGINT) * c * c
+             |      - CAST(yb AS BIGINT) * c * CAST(2.0 AS DOUBLE)
+             |      + CAST(yb AS DOUBLE) * CAST(yb AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * 1000000.0) AS BIGINT) AS t_rel,
+             |    CAST(round(CAST(n AS DOUBLE)
+             |      * (CAST(yb AS DOUBLE) / CAST(n AS DOUBLE)
+             |        - CAST(yy AS DOUBLE) / CAST(nn AS DOUBLE))
+             |      * (CAST(yb AS DOUBLE) / CAST(n AS DOUBLE)
+             |        - CAST(yy AS DOUBLE) / CAST(nn AS DOUBLE))
+             |      * 1000000.0) AS BIGINT) AS t_res,
+             |    CAST(round((CAST(yb AS BIGINT) * (CAST(1.0 AS DOUBLE) - c)
+             |        * (CAST(1.0 AS DOUBLE) - c)
+             |      + CAST(n - yb AS BIGINT) * c * c) * 1000000.0) AS BIGINT)
+             |      AS t_brier
+             |  FROM bc CROSS JOIN tot)
+             |SELECT nn AS n, yy AS n_pos,
+             |  CAST(round(CAST(sum(t_brier) AS DOUBLE) / CAST(nn AS DOUBLE))
+             |    AS BIGINT) AS brier_micro,
+             |  CAST(round(CAST(sum(t_rel) AS DOUBLE) / CAST(nn AS DOUBLE))
+             |    AS BIGINT) AS rel_micro,
+             |  CAST(round(CAST(sum(t_res) AS DOUBLE) / CAST(nn AS DOUBLE))
+             |    AS BIGINT) AS res_micro,
+             |  CAST(round(CAST(yy AS DOUBLE) / CAST(nn AS DOUBLE)
+             |    * (CAST(1.0 AS DOUBLE) - CAST(yy AS DOUBLE) / CAST(nn AS DOUBLE))
+             |    * 1000000.0) AS BIGINT) AS unc_micro
+             |FROM terms CROSS JOIN tot
+             |GROUP BY nn, yy""".stripMargin))
   )
 }
