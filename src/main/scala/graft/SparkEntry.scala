@@ -25,6 +25,7 @@ object SparkEntry {
     EvalQueries,
     VectorQueries,
     ValuationQueries,
+    StructureQueries,
     IoQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.

@@ -142,6 +142,51 @@ object Behavior {
         expr("pp div 1000000").as("p2_micro"))
   }
 
+  /** Stationary distribution of the one-step transition matrix by
+    * `rounds` unrolled integer power iterations: π'_j = (Σ_i π_i ·
+    * p_ij) div 1e6 with the same truncating-div fixed point as
+    * [[markovTwoStep]] (non-negative operands — engine-identical), π₀
+    * uniform micro. States missing as a target in some round keep a
+    * zero row (left join against the state dimension), so the output
+    * schema is stable and the oracle can replay every floor.
+    *
+    * Scale: one per-user lag pass builds the |states|² matrix; the
+    * iteration is |states|-sized joins — dimension work. Floor
+    * truncation bleeds ≤|states| micro of mass per round by design
+    * (the spec pins the bound).
+    */
+  def markovStationary(events: DataFrame, rounds: Int = 6,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "unrolled rounds out of range")
+    val perUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val p1 = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("b"))
+      .withColumn("a", lag(col("b"), 1).over(perUser))
+      .filter(col("a").isNotNull)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("na", sum(col("n")).over(Window.partitionBy(col("a"))))
+      .withColumn("p_micro", expr("(n * 1000000) div na"))
+      .select(col("a"), col("b"), col("p_micro"))
+      .persist()
+    val states = p1.select(col("a").as("state")).distinct()
+      .unionByName(p1.select(col("b").as("state")).distinct()).distinct()
+    val pi0 = states
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
+      .select(col("state"), expr("1000000 div k").as("pi_micro"))
+    val piN = (1 to rounds).foldLeft(pi0) { (pi, _) =>
+      val stepped = pi.join(p1, pi("state") === p1("a"))
+        .groupBy(col("b").as("state2"))
+        .agg(sum(col("pi_micro") * col("p_micro")).as("m"))
+      states.join(stepped, col("state") === col("state2"), "left")
+        .select(col("state"),
+          coalesce(expr("m div 1000000"), lit(0L)).as("pi_micro"))
+    }
+    piN.select(col("state"), col("pi_micro"))
+  }
+
   /** Ordered funnel conversion within a time window: users enter at
     * their FIRST `steps(0)` event; each later step must occur at or
     * after the previous step's completion and within `windowSec` of the

@@ -13,6 +13,54 @@ import graft.ext.Valuation
   */
 object ValuationQueries extends QueryPack {
 
+  /** DuckDB replica of [[graft.ext.LinearModel.logisticGd]] on the two
+    * standardized length features: one CTE trio (score+sigmoid,
+    * gradient, update) per unrolled epoch, every intermediate rounded
+    * to the identical micro-int as the Spark side.
+    */
+  private def logregOracleSql(epochs: Int): String = {
+    val score = "w0 + CAST(round((CAST(w1 AS DOUBLE) * CAST(x0 AS DOUBLE) " +
+      "+ CAST(w2 AS DOUBLE) * CAST(x1 AS DOUBLE)) / CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    val head =
+      s"""WITH f AS (
+         |  SELECT CAST(round(CAST(n_chars - 300 AS DOUBLE) * CAST(1000000 AS DOUBLE)
+         |      / CAST(150 AS DOUBLE)) AS BIGINT) AS x0,
+         |    CAST(round(CAST(len(string_split_regex(trim(text), '\\s+')) - 50
+         |      AS DOUBLE) * CAST(1000000 AS DOUBLE) / CAST(25 AS DOUBLE)) AS BIGINT) AS x1,
+         |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS y
+         |  FROM documents),
+         |e0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+         |  CAST(0 AS BIGINT) AS w2)""".stripMargin
+    val rounds = (1 to epochs).map { i =>
+      s"""
+         |,p$i AS (SELECT y, x0, x1,
+         |    CAST(round(CAST(1000000 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+         |      + exp(-(CAST($score AS DOUBLE)) / CAST(1000000 AS DOUBLE)))) AS BIGINT) AS p
+         |  FROM f CROSS JOIN e${i - 1})
+         |,g$i AS (SELECT CAST(sum(y * 1000000 - p) AS BIGINT) AS g0,
+         |    CAST(sum((y * 1000000 - p) * x0) AS BIGINT) AS g1,
+         |    CAST(sum((y * 1000000 - p) * x1) AS BIGINT) AS g2,
+         |    CAST(count(*) AS BIGINT) AS n FROM p$i)
+         |,e$i AS (SELECT
+         |    w0 + CAST(round(CAST(g0 AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+         |      AS w0,
+         |    w1 + CAST(round(CAST(g1 AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * CAST(1000000 AS DOUBLE))) AS BIGINT) AS w1,
+         |    w2 + CAST(round(CAST(g2 AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * CAST(1000000 AS DOUBLE))) AS BIGINT) AS w2
+         |  FROM e${i - 1} CROSS JOIN g$i)
+         |,a$i AS (SELECT CAST($i AS BIGINT) AS epoch, w0, w1, w2,
+         |    CAST(round(CAST(sum(CASE WHEN ($score >= 0) = (y = 1)
+         |        THEN 1 ELSE 0 END) AS DOUBLE) * CAST(1000 AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS acc_milli
+         |  FROM f CROSS JOIN e$i GROUP BY w0, w1, w2)""".stripMargin
+    }.mkString
+    val tail = (1 to epochs).map(i => s"SELECT * FROM a$i")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY epoch")
+    head + rounds + tail
+  }
+
   val all: Seq[Q] = Seq(
 
     // Exact Shapley value of each language bucket toward a long-document
@@ -235,6 +283,25 @@ object ValuationQueries extends QueryPack {
              |    * (CAST(1.0 AS DOUBLE) - CAST(yy AS DOUBLE) / CAST(nn AS DOUBLE))
              |    * 1000000.0) AS BIGINT) AS unc_micro
              |FROM terms CROSS JOIN tot
-             |GROUP BY nn, yy""".stripMargin))
+             |GROUP BY nn, yy""".stripMargin)),
+
+    // Logistic regression trained IN the engine: three unrolled
+    // full-batch GD epochs on micro-int length features, one
+    // partial-aggregated scan per epoch, model = 3 broadcast scalars;
+    // the oracle replays every sigmoid/gradient/update rounding.
+    Q("q299_logreg_gd",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        graft.ext.LinearModel.logisticGd(docs,
+          Seq(
+            round(($"n_chars" - 300).cast("double") * 1000000.0 / 150.0, 0)
+              .cast("long"),
+            round((graft.ext.TextAnalysis.tokenCount($"text") - 50).cast("double")
+              * 1000000.0 / 25.0, 0).cast("long")),
+          $"lang" === "en", epochs = 3)
+          .orderBy($"epoch")
+      },
+      Some(logregOracleSql(3)))
   )
 }

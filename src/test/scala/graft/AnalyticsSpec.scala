@@ -313,4 +313,25 @@ class AnalyticsSpec extends SparkTestBase {
       .orderBy($"bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(merged === direct)
   }
+
+  test("markovStationary: deterministic 2-cycle settles on the uniform fixed point") {
+    // a→b→a→b…: P = [[0,1],[1,0]]; π0 = (0.5, 0.5) is exactly
+    // stationary, and integer floors lose nothing on exact halves
+    val events = ev(
+      (1L, 1L, 1L, "a"), (2L, 2L, 1L, "b"), (3L, 3L, 1L, "a"),
+      (4L, 4L, 1L, "b"), (5L, 5L, 1L, "a"))
+    val got = Behavior.markovStationary(events, rounds = 5)
+      .orderBy($"state").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a", 500000L), ("b", 500000L)))
+  }
+
+  test("markovStationary: floor truncation bleeds at most states micro per round") {
+    val events = graft.core.Tables.events(spark, sfDir)
+    val pi = Behavior.markovStationary(events, rounds = 6)
+      .agg(sum($"pi_micro")).collect()(0).getLong(0)
+    // 5 states × 6 rounds × ≤1 micro floor loss each, plus the π0 div
+    assert(pi <= 1000000L && pi >= 1000000L - 5L * 7L,
+      s"mass out of the floor-loss envelope: $pi")
+  }
 }
