@@ -419,6 +419,47 @@ object LinkGraph {
         .otherwise(lit(null).cast("long")).as("r_micro"))
   }
 
+  /** Conductance of a vertex partition: for each group S,
+    * `cut(S) / min(vol(S), vol(V∖S))` where cut counts edges with
+    * exactly one endpoint in S and vol sums degrees — the spectral-
+    * quality audit for any blocking/clustering the engine produced
+    * (IVF cells, label groups, brand families): low conductance =
+    * the partition respects the graph's community structure.
+    *
+    * One degree aggregation, two id-keyed joins of the assignment onto
+    * the edge list, then group-sized arithmetic. Exact integers until
+    * the single micro-rounded ratio; groups whose smaller side has
+    * zero volume yield null.
+    *
+    * @param edges  undirected edges, each ONCE with `id_a < id_b`
+    * @param assign (id, grp) vertex partition
+    * @return (grp, n_nodes, vol, cut_edges, conductance_micro)
+    */
+  def partitionConductance(edges: DataFrame, assign: DataFrame): DataFrame = {
+    val e = edges.select(col("id_a"), col("id_b"))
+    val tagged = e
+      .join(assign.select(col("id").as("id_a"), col("grp").as("ga")), "id_a")
+      .join(assign.select(col("id").as("id_b"), col("grp").as("gb")), "id_b")
+      .persist()
+    val cut = tagged.filter(col("ga") =!= col("gb"))
+      .select(explode(array(col("ga"), col("gb"))).as("grp"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("cut_edges"))
+    val deg = tagged.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val vol = deg.join(assign, "id").groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("vol"))
+    val tot = tagged.agg((count(lit(1)) * 2).as("tot_vol"))
+    vol.join(cut, Seq("grp"), "left")
+      .na.fill(0L, Seq("cut_edges"))
+      .crossJoin(broadcast(tot))
+      .withColumn("mv", least(col("vol"), col("tot_vol") - col("vol")))
+      .select(col("grp"), col("n_nodes"), col("vol"), col("cut_edges"),
+        when(col("mv") > 0L,
+          round(col("cut_edges").cast("double") * 1000000.0
+            / col("mv").cast("double"), 0).cast("long"))
+          .otherwise(lit(null).cast("long")).as("conductance_micro"))
+  }
+
   /** Fixed-round k-core PEEL: each round removes every node whose
     * degree among SURVIVORS is below `k`; after `rounds` rounds the
     * survivors approximate (and, once a round removes nothing, exactly

@@ -56,5 +56,54 @@ object StructureQueries extends QueryPack {
           .orderBy($"state")
       },
       Some(stationaryOracleSql(6)))
+  ,
+    // Conductance of the brand partition over the q128 copurchase
+    // graph: does the catalog taxonomy respect the actual co-buy
+    // communities. Exact integer cut/volume; one micro ratio.
+    Q("q301_brand_conductance",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+          .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+          .select($"id_a", $"id_b")
+        val assign = Tables.part(s, d)
+          .select($"p_partkey".as("id"), $"p_brand".as("grp"))
+        graft.ext.LinkGraph.partitionConductance(edges, assign)
+          .orderBy($"grp")
+      },
+      Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |e AS (
+             |  SELECT x.pk AS id_a, y.pk AS id_b
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |asg AS (SELECT p_partkey AS id, p_brand AS grp FROM part),
+             |tg AS (
+             |  SELECT e.id_a, e.id_b, a1.grp AS ga, a2.grp AS gb
+             |  FROM e JOIN asg a1 ON a1.id = e.id_a
+             |         JOIN asg a2 ON a2.id = e.id_b),
+             |cut AS (
+             |  SELECT grp, CAST(count(*) AS BIGINT) AS cut_edges
+             |  FROM (SELECT unnest([ga, gb]) AS grp FROM tg WHERE ga != gb)
+             |  GROUP BY 1),
+             |deg AS (
+             |  SELECT id, CAST(count(*) AS BIGINT) AS deg
+             |  FROM (SELECT unnest([id_a, id_b]) AS id FROM tg) GROUP BY 1),
+             |vol AS (
+             |  SELECT grp, CAST(count(*) AS BIGINT) AS n_nodes,
+             |    CAST(sum(deg) AS BIGINT) AS vol
+             |  FROM deg JOIN asg USING (id) GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) * 2 AS BIGINT) AS tot_vol FROM tg)
+             |SELECT vol.grp, n_nodes, vol,
+             |  coalesce(cut.cut_edges, 0) AS cut_edges,
+             |  CASE WHEN least(vol, tot_vol - vol) > 0 THEN
+             |    CAST(round(CAST(coalesce(cut.cut_edges, 0) AS DOUBLE) * 1000000.0
+             |      / CAST(least(vol, tot_vol - vol) AS DOUBLE)) AS BIGINT)
+             |  ELSE NULL END AS conductance_micro
+             |FROM vol LEFT JOIN cut ON cut.grp = vol.grp CROSS JOIN tot
+             |ORDER BY vol.grp""".stripMargin))
   )
 }

@@ -77,4 +77,31 @@ class LinkGraphSpec extends SparkTestBase {
     assert(mergedA === full)
     assert(mergedB === full)
   }
+
+  test("partitionConductance: two triangles with one bridge score 1/7 each") {
+    // triangle {1,2,3} + triangle {4,5,6} + bridge 3-4; partition by
+    // triangle: cut = 1, vol = 7 each side -> conductance = 1/7
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val assign = Seq((1L, "t1"), (2L, "t1"), (3L, "t1"),
+      (4L, "t2"), (5L, "t2"), (6L, "t2")).toDF("id", "grp")
+    val got = LinkGraph.partitionConductance(edges, assign)
+      .orderBy($"grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val c = math.round(1000000.0 / 7.0)
+    assert(got === Seq(("t1", 3L, 7L, 1L, c), ("t2", 3L, 7L, 1L, c)))
+  }
+
+  test("partitionConductance: internal-only group has zero cut; singleton group null") {
+    val edges = Seq((1L, 2L), (3L, 3L)).toDF("id_a", "id_b")
+      .filter($"id_a" =!= $"id_b") // just the 1-2 edge
+    val assign = Seq((1L, "a"), (2L, "a"), (9L, "z")).toDF("id", "grp")
+    val got = LinkGraph.partitionConductance(edges, assign)
+      .orderBy($"grp").collect()
+    // group a holds the whole graph: cut 0, min-vol side is 0 -> null
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "a" && got(0).getLong(3) == 0L)
+    assert(got(0).isNullAt(4))
+  }
 }
