@@ -67,4 +67,44 @@ object Privacy {
         countDistinct(sensitive).as("n_sensitive"))
       .withColumn("diverse", col("n_sensitive") >= l)
   }
+
+  /** Distinct AND entropy l-diversity per equivalence class: distinct-l
+    * (as [[lDiversityClasses]]) plus the entropy criterion
+    * H(sensitive | class) ≥ ln(l), which additionally rejects classes
+    * where one value dominates a nominally-diverse mix. Entropy terms
+    * are micro-rounded per (class, value) then integer-summed — the
+    * cross-engine fixed-point discipline.
+    *
+    * Two stacked hash aggregations — (qi, sensitive) counts, then per
+    * class — both map-side combinable; no window, no join back to
+    * records.
+    *
+    * @return (qi..., class_size, n_sensitive, entropy_micro,
+    *         distinct_ok, entropy_ok)
+    */
+  def lDiversityReport(df: DataFrame, qi: Seq[Column], qiNames: Seq[String],
+                       sensitive: Column, l: Long): DataFrame = {
+    require(l >= 2, "l below 2 is vacuous")
+    require(qi.size == qiNames.size, "one name per quasi-identifier column")
+    val named = qi.zip(qiNames).map { case (c, n) => c.as(n) }
+    val vc = df.select((named :+ sensitive.as("sv")): _*)
+      .groupBy((qiNames.map(col) :+ col("sv")): _*)
+      .agg(count(lit(1)).as("n_cv"))
+    val perClass = vc
+      .withColumn("n_c",
+        sum(col("n_cv")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(qiNames.map(col): _*)))
+      .withColumn("term_micro",
+        round(-(col("n_cv").cast("double") / col("n_c").cast("double"))
+          * log(col("n_cv").cast("double") / col("n_c").cast("double"))
+          * 1000000.0, 0).cast("long"))
+      .groupBy(qiNames.map(col): _*)
+      .agg(max(col("n_c")).as("class_size"),
+        count(lit(1)).as("n_sensitive"),
+        sum(col("term_micro")).as("entropy_micro"))
+    val lnL = math.round(math.log(l.toDouble) * 1000000.0)
+    perClass
+      .withColumn("distinct_ok", col("n_sensitive") >= l)
+      .withColumn("entropy_ok", col("entropy_micro") >= lnL)
+  }
 }

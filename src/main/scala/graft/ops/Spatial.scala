@@ -94,6 +94,17 @@ object Spatial {
     * operands.
     */
   def radiusNeighbors(points: DataFrame, rMicro: Long): DataFrame = {
+    val hits = neighborPairs(points, rMicro)
+      .groupBy(col("id_a").as("id")).agg(count(lit(1)).as("n_neighbors"))
+    points.select(col("id")).join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+  }
+
+  /** All in-radius directed pairs `(id_a, id_b)`, `a ≠ b`, via the same
+    * grid blocking as [[radiusNeighbors]] (each unordered pair emitted
+    * in both directions).
+    */
+  private[graft] def neighborPairs(points: DataFrame, rMicro: Long): DataFrame = {
     require(rMicro > 0, "radius must be positive")
     val pts = points
       .select(col("id"), col("lat").cast("long").as("lat"),
@@ -109,7 +120,7 @@ object Spatial {
         explode(expr("array(-1L, 0L, 1L)")).as("dy"), col("cy"))
       .select(col("id_a"), col("lat_a"), col("lon_a"), col("jx"),
         (col("cy") + col("dy")).as("jy"))
-    val hits = probes.join(pts.select(col("id").as("id_b"),
+    probes.join(pts.select(col("id").as("id_b"),
         col("lat").as("lat_b"), col("lon").as("lon_b"),
         col("cx").as("jx"), col("cy").as("jy")), Seq("jx", "jy"))
       .filter(col("id_a") =!= col("id_b"))
@@ -117,9 +128,52 @@ object Spatial {
         (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b")) +
         (col("lon_a") - col("lon_b")) * (col("lon_a") - col("lon_b"))
           <= lit(rMicro * rMicro))
-      .groupBy(col("id_a").as("id")).agg(count(lit(1)).as("n_neighbors"))
-    points.select(col("id")).join(hits, Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Grid-blocked DBSCAN: core points have ≥ `minPts` points (self
+    * included) within `rMicro`; clusters are connected components of
+    * the core-core radius graph (labels = min member id via the
+    * [[graft.ext.Dedup.duplicateComponents]] iterative min-label);
+    * border points adopt the smallest cluster label among their core
+    * neighbors; the rest is noise.
+    *
+    * Scale shape: candidate pairs come from the 3×3 cell equi-join
+    * (never a cross join), the component iteration touches only core
+    * points, and every role decision is one keyed aggregation. The
+    * density parameters bound the per-cell fan-out exactly as in
+    * [[radiusNeighbors]].
+    *
+    * @return (id, n_neighbors, role ∈ core|border|noise, cluster —
+    *         null for noise)
+    */
+  def dbscanGrid(points: DataFrame, rMicro: Long, minPts: Int): DataFrame = {
+    require(minPts >= 1, "minPts must be positive")
+    val pairs = neighborPairs(points, rMicro).persist()
+    val counts = pairs.groupBy(col("id_a").as("id"))
+      .agg(count(lit(1)).as("n_neighbors"))
+    val core = counts.filter(col("n_neighbors") + 1L >= minPts)
+      .select(col("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("id_a")), "id_a")
+      .join(core.select(col("id").as("id_b")), "id_b")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.ext.Dedup.duplicateComponents(coreEdges, core, "id")
+      .select(col("id"), col("label"))
+    val borderLbl = pairs
+      .join(comp.select(col("id").as("id_b"), col("label")), "id_b")
+      .join(core.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+      .groupBy(col("id_a").as("id")).agg(min(col("label")).as("b_label"))
+    points.select(col("id"))
+      .join(counts, Seq("id"), "left").na.fill(0L, Seq("n_neighbors"))
+      .join(comp.select(col("id"), col("label").as("c_label")), Seq("id"), "left")
+      .join(borderLbl, Seq("id"), "left")
+      .select(col("id"), col("n_neighbors"),
+        when(col("c_label").isNotNull, lit("core"))
+          .when(col("b_label").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("c_label"), col("b_label")).as("cluster"))
   }
 
   /** Ray-casting point-in-polygon over INTEGER micro-degree

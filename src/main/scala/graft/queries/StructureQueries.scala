@@ -104,6 +104,83 @@ object StructureQueries extends QueryPack {
              |      / CAST(least(vol, tot_vol - vol) AS DOUBLE)) AS BIGINT)
              |  ELSE NULL END AS conductance_micro
              |FROM vol LEFT JOIN cut ON cut.grp = vol.grp CROSS JOIN tot
-             |ORDER BY vol.grp""".stripMargin))
+             |ORDER BY vol.grp""".stripMargin)),
+
+    // Grid-blocked DBSCAN over the embeddings' first two coordinates:
+    // core/border/noise roles and min-id cluster labels, candidate
+    // pairs from the 3×3 cell join, components via iterative min-label.
+    Q("q302_dbscan_grid",
+      (s, d) => {
+        import s.implicits._
+        val pts = Tables.embeddings(s, d).select($"vec_id".as("id"),
+          round(col("embedding").getItem(0).cast("double") * 1000000.0, 0)
+            .cast("long").as("lat"),
+          round(col("embedding").getItem(1).cast("double") * 1000000.0, 0)
+            .cast("long").as("lon"))
+        graft.ops.Spatial.dbscanGrid(pts, rMicro = 30000L, minPts = 5)
+          .orderBy($"id")
+      },
+      Some("""WITH RECURSIVE p AS (
+             |  SELECT vec_id AS id,
+             |    CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS x,
+             |    CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS y
+             |  FROM embeddings),
+             |nb AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b
+             |  ON a.id != b.id AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)
+             |     <= CAST(30000 AS BIGINT)*30000),
+             |cnt AS (SELECT ia AS id, CAST(count(*) AS BIGINT) AS n
+             |        FROM nb GROUP BY 1),
+             |core AS (SELECT id FROM cnt WHERE n + 1 >= 5),
+             |ce AS (SELECT nb.ia AS src, nb.ib AS dst FROM nb
+             |       JOIN core c1 ON c1.id = nb.ia JOIN core c2 ON c2.id = nb.ib),
+             |reach AS (SELECT id, id AS lbl FROM core
+             |  UNION SELECT e.dst AS id, r.lbl FROM reach r
+             |        JOIN ce e ON e.src = r.id),
+             |comp AS (SELECT id, CAST(min(lbl) AS BIGINT) AS c_label
+             |         FROM reach GROUP BY 1),
+             |border AS (SELECT nb.ia AS id, CAST(min(comp.c_label) AS BIGINT)
+             |    AS b_label
+             |  FROM nb JOIN comp ON comp.id = nb.ib
+             |  WHERE nb.ia NOT IN (SELECT id FROM core) GROUP BY 1)
+             |SELECT p.id, coalesce(cnt.n, 0) AS n_neighbors,
+             |  CASE WHEN comp.id IS NOT NULL THEN 'core'
+             |       WHEN border.id IS NOT NULL THEN 'border'
+             |       ELSE 'noise' END AS role,
+             |  coalesce(comp.c_label, border.b_label) AS cluster
+             |FROM p LEFT JOIN cnt ON cnt.id = p.id
+             |LEFT JOIN comp ON comp.id = p.id
+             |LEFT JOIN border ON border.id = p.id
+             |ORDER BY p.id""".stripMargin)),
+
+    // Distinct + entropy l-diversity per (nation, segment) class over
+    // banded balances: the homogeneity-attack audit on top of q246's
+    // k-anonymity census.
+    Q("q303_l_diversity",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Privacy.lDiversityReport(Tables.customer(s, d),
+            Seq($"c_nationkey", $"c_mktsegment"), Seq("nat", "seg"),
+            floor($"c_acctbal" / 1000).cast("long"), l = 3L)
+          .orderBy($"nat", $"seg")
+      },
+      Some("""WITH vc AS (
+             |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS sv,
+             |    CAST(count(*) AS BIGINT) AS n_cv
+             |  FROM customer GROUP BY 1, 2, 3),
+             |pc AS (SELECT nat, seg, n_cv,
+             |    CAST(sum(n_cv) OVER (PARTITION BY nat, seg) AS BIGINT) AS n_c
+             |  FROM vc),
+             |t AS (SELECT nat, seg, n_c,
+             |    CAST(round(-(CAST(n_cv AS DOUBLE) / CAST(n_c AS DOUBLE))
+             |      * ln(CAST(n_cv AS DOUBLE) / CAST(n_c AS DOUBLE))
+             |      * 1000000) AS BIGINT) AS term
+             |  FROM pc)
+             |SELECT nat, seg, CAST(max(n_c) AS BIGINT) AS class_size,
+             |  CAST(count(*) AS BIGINT) AS n_sensitive,
+             |  CAST(sum(term) AS BIGINT) AS entropy_micro,
+             |  count(*) >= 3 AS distinct_ok,
+             |  CAST(sum(term) AS BIGINT) >= 1098612 AS entropy_ok
+             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -334,4 +334,36 @@ class AnalyticsSpec extends SparkTestBase {
     assert(pi <= 1000000L && pi >= 1000000L - 5L * 7L,
       s"mass out of the floor-loss envelope: $pi")
   }
+
+  test("dbscanGrid: two blobs and a far point give two clusters and noise") {
+    // blob A: 5 points within r of each other at (0,0); blob B: 5 at
+    // (1000000, 0); outlier at (5000000, 5000000); minPts 4
+    val a = (1L to 5L).map(k => (k, k * 100L, 0L))
+    val b = (11L to 15L).map(k => (k, 1000000L + (k - 11L) * 100L, 0L))
+    val pts = (a ++ b :+ ((99L, 5000000L, 5000000L))).toDF("id", "lat", "lon")
+    val got = Spatial.dbscanGrid(pts, rMicro = 10000L, minPts = 4)
+      .orderBy($"id").collect()
+    val roles = got.map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((1L to 5L).forall(roles(_) == "core"))
+    assert((11L to 15L).forall(roles(_) == "core"))
+    assert(roles(99L) == "noise")
+    val clusters = got.filter(!_.isNullAt(3))
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert((1L to 5L).map(clusters).toSet == Set(1L))
+    assert((11L to 15L).map(clusters).toSet == Set(11L))
+    assert(got.filter(_.getString(2) == "noise").forall(_.isNullAt(3)))
+  }
+
+  test("dbscanGrid: border point adopts its core neighbor's cluster") {
+    // 4 mutual cores at x=0..300 (each sees 3 others + self = 4);
+    // border at x=10300: within r of core 4 only, itself sees 1 -> border
+    val pts = Seq((1L, 0L, 0L), (2L, 100L, 0L), (3L, 200L, 0L),
+      (4L, 300L, 0L), (9L, 10300L, 0L)).toDF("id", "lat", "lon")
+    val got = Spatial.dbscanGrid(pts, rMicro = 10000L, minPts = 4)
+      .orderBy($"id").collect()
+    val byId = got.map(r => r.getLong(0) ->
+      (r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(byId(9L) == ("border", 1L), s"got $byId")
+    assert(Seq(1L, 2L, 3L, 4L).forall(k => byId(k) == ("core", 1L)))
+  }
 }

@@ -140,4 +140,22 @@ class CurationSpec extends SparkTestBase {
       .as[(String, Long, Long, Boolean)].collect().toSet
     assert(out === Set(("n1", 3L, 1L, false), ("n2", 2L, 2L, true)))
   }
+
+  test("lDiversityReport: uniform class passes entropy, skewed 3-distinct class fails it") {
+    import spark.implicits._
+    // class A: 3 values x4 each (H = ln 3) -> both criteria pass;
+    // class B: values 10,1,1 of 12 (3 distinct but H = 0.566 < ln 3)
+    val rows =
+      (1 to 4).flatMap(_ => Seq(("A", 1L), ("A", 2L), ("A", 3L))) ++
+      (Seq.fill(10)(("B", 1L)) ++ Seq(("B", 2L), ("B", 3L)))
+    val got = graft.ops.Privacy.lDiversityReport(rows.toDF("g", "sv"),
+        Seq(col("g")), Seq("grp"), col("sv"), l = 3L)
+      .orderBy(col("grp")).collect()
+    val a = got(0); val b = got(1)
+    assert(a.getAs[Long]("class_size") == 12L)
+    assert(a.getAs[Boolean]("distinct_ok") && a.getAs[Boolean]("entropy_ok"))
+    // ln 3 in micro = 1098612; uniform-thirds entropy sums to the same
+    assert(math.abs(a.getAs[Long]("entropy_micro") - 1098612L) <= 2L)
+    assert(b.getAs[Boolean]("distinct_ok") && !b.getAs[Boolean]("entropy_ok"))
+  }
 }
