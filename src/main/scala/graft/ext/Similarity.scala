@@ -750,4 +750,41 @@ object Similarity {
         array_min(col("mix")).as("min_micro"),
         array_max(col("mix")).as("max_micro"))
   }
+
+  /** LSH banding planner: for every (bands b, rows r) factorization of
+    * `nHashes`, the S-curve P(candidate | sim s) = 1 − (1 − s^r)^b
+    * integrated on a fixed 100-point midpoint grid, split at the
+    * target `threshold` into a false-positive area (candidates below
+    * threshold) and a false-negative area (misses above it) — the
+    * design table that picks (b, r) for [[minHashLshPairs]] before a
+    * 100-TB run commits to a banding. Pure bounded computation
+    * (|divisors| × 100 rows); per-point terms micro-rounded then
+    * integer-summed, engine-identically.
+    *
+    * @return (b, r, fp_micro, fn_micro, total_micro) ordered by b
+    */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, nHashes: Int = 128,
+              threshold: Double = 0.7): DataFrame = {
+    require(nHashes >= 1, "nHashes must be positive")
+    import spark.implicits._
+    val cands = (1 to nHashes).filter(nHashes % _ == 0)
+      .map(b => (b.toLong, (nHashes / b).toLong)).toDF("b", "r")
+    val grid = spark.range(0, 100).toDF("i")
+      .select(((col("i") * 2 + 1).cast("double") / lit(200.0)).as("s"))
+    cands.crossJoin(grid)
+      .withColumn("pm",
+        round((lit(1.0) - pow(lit(1.0) - pow(col("s"), col("r").cast("double")),
+          col("b").cast("double"))) * 1000000.0, 0).cast("long"))
+      .groupBy(col("b"), col("r"))
+      .agg(
+        sum(when(col("s") < threshold, col("pm")).otherwise(0L)).as("fp_sum"),
+        sum(when(col("s") >= threshold, lit(1000000L) - col("pm"))
+          .otherwise(0L)).as("fn_sum"))
+      .select(col("b"), col("r"),
+        round(col("fp_sum").cast("double") / lit(100.0), 0).cast("long")
+          .as("fp_micro"),
+        round(col("fn_sum").cast("double") / lit(100.0), 0).cast("long")
+          .as("fn_micro"))
+      .withColumn("total_micro", col("fp_micro") + col("fn_micro"))
+  }
 }

@@ -202,4 +202,12 @@ object TextAnalysis {
   def urlCount(c: Column): Column = regexp_count(c, lit(UrlRe)).cast("long")
   def scrubPii(c: Column): Column =
     regexp_replace(regexp_replace(c, UrlRe, "<URL>"), EmailRe, "<EMAIL>")
+
+  /** Vowel-group syllable estimate for one token: the count of maximal
+    * `[aeiou]+` runs in the lowercased word — the standard cheap
+    * syllable proxy readability formulas run on (silent-e etc. are
+    * noise this screen doesn't chase).
+    */
+  def syllableEstimate(tok: Column): Column =
+    size(regexp_extract_all(lower(tok), lit("[aeiou]+"), lit(0))).cast("long")
 }

@@ -181,6 +181,97 @@ object StructureQueries extends QueryPack {
              |  CAST(sum(term) AS BIGINT) AS entropy_micro,
              |  count(*) >= 3 AS distinct_ok,
              |  CAST(sum(term) AS BIGINT) >= 1098612 AS entropy_ok
-             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Readability per source from the vowel-group syllable proxy:
+    // syllables/word, complex-word share, and a Gunning-Fog-style
+    // grade — one exploded-token aggregation pass.
+    Q("q304_readability",
+      (s, d) => {
+        import s.implicits._
+        val tr = Tables.documents(s, d).select($"source".as("src"),
+          $"doc_id".as("id"),
+          explode(graft.ext.TextAnalysis.tokens($"text")).as("tok"))
+        tr.withColumn("syl", graft.ext.TextAnalysis.syllableEstimate($"tok"))
+          .groupBy($"src")
+          .agg(countDistinct($"id").as("n_docs"),
+            count(lit(1)).as("n_words"),
+            sum($"syl").as("n_syll"),
+            sum(when($"syl" >= 3, 1L).otherwise(0L)).as("n_complex"))
+          .select($"src".as("source"), $"n_docs", $"n_words",
+            round($"n_syll".cast("double") * 1000000.0
+              / $"n_words".cast("double"), 0).cast("long")
+              .as("syll_per_word_micro"),
+            round($"n_complex".cast("double") * 1000000.0
+              / $"n_words".cast("double"), 0).cast("long")
+              .as("complex_share_micro"),
+            round(lit(0.4) * ($"n_words".cast("double") / $"n_docs".cast("double")
+              + lit(100.0) * $"n_complex".cast("double")
+                / $"n_words".cast("double")) * 1000000.0, 0).cast("long")
+              .as("fog_micro"))
+          .orderBy($"source")
+      },
+      Some("""WITH tr AS (
+             |  SELECT source AS src, doc_id AS id,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |ts AS (SELECT src, id,
+             |    CAST(len(regexp_extract_all(lower(tok), '[aeiou]+')) AS BIGINT)
+             |      AS syl
+             |  FROM tr),
+             |ag AS (SELECT src,
+             |    CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+             |    CAST(count(*) AS BIGINT) AS n_words,
+             |    CAST(sum(syl) AS BIGINT) AS n_syll,
+             |    CAST(sum(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_complex
+             |  FROM ts GROUP BY 1)
+             |SELECT src AS source, n_docs, n_words,
+             |  CAST(round(CAST(n_syll AS DOUBLE) * CAST(1000000 AS DOUBLE)
+             |    / CAST(n_words AS DOUBLE)) AS BIGINT) AS syll_per_word_micro,
+             |  CAST(round(CAST(n_complex AS DOUBLE) * CAST(1000000 AS DOUBLE)
+             |    / CAST(n_words AS DOUBLE)) AS BIGINT) AS complex_share_micro,
+             |  CAST(round(CAST(0.4 AS DOUBLE)
+             |    * (CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             |      + CAST(100 AS DOUBLE) * CAST(n_complex AS DOUBLE)
+             |        / CAST(n_words AS DOUBLE))
+             |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS fog_micro
+             |FROM ag ORDER BY source""".stripMargin)),
+
+    // LSH banding design table: FP/FN areas of the (b, r) S-curves
+    // around the 0.7 similarity target for 128 hashes — the planner a
+    // 100-TB near-dup run consults before committing a banding.
+    Q("q305_lsh_plan",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.Similarity.lshPlan(s, nHashes = 128, threshold = 0.7)
+          .orderBy($"b")
+      },
+      Some("""WITH cand AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS bi),
+             |c2 AS (SELECT CAST(bi AS BIGINT) AS b,
+             |  CAST(128 // bi AS BIGINT) AS r FROM cand),
+             |g AS (SELECT (CAST(2 * i + 1 AS DOUBLE) / CAST(200 AS DOUBLE)) AS s
+             |      FROM range(0, 100) t(i)),
+             |p AS (SELECT b, r, s,
+             |    CAST(round((CAST(1 AS DOUBLE)
+             |      - pow(CAST(1 AS DOUBLE) - pow(s, CAST(r AS DOUBLE)),
+             |          CAST(b AS DOUBLE))) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+             |      AS pm
+             |  FROM c2 CROSS JOIN g),
+             |ag AS (SELECT b, r,
+             |    CAST(sum(CASE WHEN s < CAST(0.7 AS DOUBLE) THEN pm ELSE 0 END)
+             |      AS BIGINT) AS fp_sum,
+             |    CAST(sum(CASE WHEN s >= CAST(0.7 AS DOUBLE) THEN 1000000 - pm
+             |      ELSE 0 END) AS BIGINT) AS fn_sum
+             |  FROM p GROUP BY 1, 2)
+             |SELECT b, r,
+             |  CAST(round(CAST(fp_sum AS DOUBLE) / CAST(100 AS DOUBLE)) AS BIGINT)
+             |    AS fp_micro,
+             |  CAST(round(CAST(fn_sum AS DOUBLE) / CAST(100 AS DOUBLE)) AS BIGINT)
+             |    AS fn_micro,
+             |  CAST(round(CAST(fp_sum AS DOUBLE) / CAST(100 AS DOUBLE)) AS BIGINT)
+             |    + CAST(round(CAST(fn_sum AS DOUBLE) / CAST(100 AS DOUBLE))
+             |      AS BIGINT) AS total_micro
+             |FROM ag ORDER BY b""".stripMargin))
   )
 }

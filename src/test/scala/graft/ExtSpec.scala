@@ -360,4 +360,27 @@ class ExtSpec extends SparkTestBase {
     val mae = errs.map(_._1).sum.toDouble / errs.length
     assert(mae < 200000.0, s"calibration MAE $mae micro too large")
   }
+
+  test("lshPlan: one wide band catches everything, one long row catches nothing") {
+    val rows = Similarity.lshPlan(spark, nHashes = 128, threshold = 0.7)
+      .orderBy(col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.length == 8)
+    val byB = rows.map(r => r._1 -> r).toMap
+    // b=1, r=128: P(s) = s^128 ~ 0 below 0.7 -> near-zero FP, huge FN
+    assert(byB(1L)._3 < 50000L && byB(1L)._4 > 200000L)
+    // b=128, r=1: P(s) = 1-(1-s)^128 ~ 1 everywhere -> huge FP, near-zero FN
+    assert(byB(128L)._3 > 500000L && byB(128L)._4 < 50000L)
+    // FP grows with b; FN shrinks with b (S-curve slides left)
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+    assert(rows.map(_._4).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("syllableEstimate counts vowel groups") {
+    import spark.implicits._
+    val got = Seq("table", "strength", "query", "AEIOU", "zzz")
+      .toDF("w").select(TextAnalysis.syllableEstimate(col("w")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L, 1L, 1L, 1L, 0L))
+  }
 }
