@@ -650,4 +650,63 @@ object CorpusOps {
         graft.functions.PolyHash.polyHash(array_join(col("kept"), " "))
           .as("aug_hash"))
   }
+
+  /** Exponentiated-gradient mixing weights (DoReMi-style, static
+    * excess loss): each source's difficulty is its mean per-token NLL
+    * under the FULL-corpus Laplace unigram model; `rounds` EG updates
+    * tilt the uniform mix toward the hard domains,
+    * `w'_i = normalize(w_i · exp(η · (ℓ_i − ℓ̄)/ℓ̄))`, with every exp
+    * micro-rounded and the normalization a floor div — so both engines
+    * replay identical integers. The proper DoReMi inner loop retrains
+    * the proxy model per round; this fixes the reference losses (one
+    * corpus pass) and runs the reweighting exactly — the mixing-table
+    * operator, not the trainer.
+    *
+    * One exploded-token aggregation (corpus-wide shuffle) to the
+    * (source, token) counts; the model join is vocab-sized; everything
+    * after runs on the sources-sized table.
+    *
+    * @return (source, n_tokens, nll_micro, w_micro) after `rounds`
+    */
+  def doremiMixWeights(docs: DataFrame, idCol: String, textCol: String,
+                       srcCol: String, rounds: Int = 3,
+                       eta: Double = 1.0): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "unrolled rounds out of range")
+    val tok = docs.select(col(srcCol).as("source"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val sc = tok.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+    val glob = sc.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val consts = glob.agg(sum(col("c_t")).as("nn"),
+      count(lit(1)).as("v"))
+    // per-(source, token) micro-nats term against the global model,
+    // integer-summed; mean per token via one shared-shape double
+    val terms = sc.join(glob, "tok").crossJoin(broadcast(consts))
+      .withColumn("t_micro",
+        col("c_st") * round(-log((col("c_t") + 1L).cast("double")
+          / (col("nn") + col("v")).cast("double")) * 1000000.0, 0).cast("long"))
+    val losses = terms.groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_tokens"), sum(col("t_micro")).as("t_sum"))
+      .select(col("source"), col("n_tokens"),
+        round(col("t_sum").cast("double") / col("n_tokens").cast("double"), 0)
+          .cast("long").as("nll_micro"))
+    // integer sum then ONE divide — avg() would sum doubles in
+    // partition order, which neither engine replays deterministically
+    val lBar = losses.agg(
+      round(sum(col("nll_micro")).cast("double")
+        / count(lit(1)).cast("double"), 0).cast("long").as("l_bar"))
+    val seeded = losses.crossJoin(broadcast(lBar))
+      .withColumn("w", lit(1000000L))
+    val mixed = (1 to rounds).foldLeft(seeded) { (cur, _) =>
+      val raw = cur.withColumn("raw",
+        round(col("w").cast("double")
+          * exp(lit(eta) * (col("nll_micro") - col("l_bar")).cast("double")
+            / col("l_bar").cast("double")), 0).cast("long"))
+      raw.withColumn("w",
+        expr("raw * 1000000 div sum(raw) over ()"))
+        .drop("raw")
+    }
+    mixed.select(col("source"), col("n_tokens"), col("nll_micro"),
+      col("w").as("w_micro"))
+  }
 }

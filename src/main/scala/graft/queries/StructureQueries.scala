@@ -272,6 +272,54 @@ object StructureQueries extends QueryPack {
              |  CAST(round(CAST(fp_sum AS DOUBLE) / CAST(100 AS DOUBLE)) AS BIGINT)
              |    + CAST(round(CAST(fn_sum AS DOUBLE) / CAST(100 AS DOUBLE))
              |      AS BIGINT) AS total_micro
-             |FROM ag ORDER BY b""".stripMargin))
+             |FROM ag ORDER BY b""".stripMargin)),
+
+    // DoReMi-style mixing table: per-source unigram NLL against the
+    // full-corpus model, then three exponentiated-gradient rounds tilt
+    // the uniform mix toward hard domains — every exp micro-rounded,
+    // normalization by floor div.
+    Q("q306_doremi_mix",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.CorpusOps.doremiMixWeights(Tables.documents(s, d),
+            "doc_id", "text", "source", rounds = 3)
+          .orderBy($"source")
+      },
+      Some {
+        val head =
+          """WITH tok AS (
+            |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            |  FROM documents),
+            |sc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st
+            |       FROM tok GROUP BY 1, 2),
+            |gl AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM sc GROUP BY 1),
+            |cn AS (SELECT CAST(sum(c_t) AS BIGINT) AS nn,
+            |       CAST(count(*) AS BIGINT) AS v FROM gl),
+            |tm AS (SELECT source, c_st,
+            |    c_st * CAST(round(-ln(CAST(c_t + 1 AS DOUBLE)
+            |      / CAST(nn + v AS DOUBLE)) * 1000000) AS BIGINT) AS t_micro
+            |  FROM sc JOIN gl USING (tok) CROSS JOIN cn),
+            |ls AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_tokens,
+            |    CAST(round(CAST(sum(t_micro) AS DOUBLE)
+            |      / CAST(sum(c_st) AS DOUBLE)) AS BIGINT) AS nll
+            |  FROM tm GROUP BY 1),
+            |lb AS (SELECT CAST(round(CAST(sum(nll) AS DOUBLE)
+            |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS l_bar FROM ls),
+            |w0 AS (SELECT source, n_tokens, nll, CAST(1000000 AS BIGINT) AS w
+            |       FROM ls)""".stripMargin
+        val rounds = (1 to 3).map { i =>
+          s"""
+             |,x$i AS (SELECT source, n_tokens, nll,
+             |    CAST(round(CAST(w AS DOUBLE)
+             |      * exp(CAST(nll - l_bar AS DOUBLE) / CAST(l_bar AS DOUBLE)))
+             |      AS BIGINT) AS raw
+             |  FROM w${i - 1} CROSS JOIN lb)
+             |,w$i AS (SELECT source, n_tokens, nll,
+             |    raw * 1000000 // sum(raw) OVER () AS w FROM x$i)""".stripMargin
+        }.mkString
+        head + rounds +
+          "\nSELECT source, n_tokens, nll AS nll_micro, CAST(w AS BIGINT) AS w_micro" +
+          "\nFROM w3 ORDER BY source"
+      })
   )
 }

@@ -211,4 +211,23 @@ class CorpusOpsSpec extends SparkTestBase {
       (4L, 4L, 4L, 1000000L),   // max -> exactly 1e6
       (5L, 1L, 1L, 0L)))        // singleton defined as 0, not div-by-zero
   }
+
+  test("doremiMixWeights: weights stay normalized and tilt toward the hard domain") {
+    import spark.implicits._
+    // source "rare" uses tokens the corpus barely sees -> higher NLL
+    // under the global model -> EG must upweight it above uniform
+    val docs = (
+      (1 to 20).map(i => (i.toLong, "the the the the the", "common")) ++
+      (21 to 24).map(i => (i.toLong, "zq xv qj zz vx", "rare"))
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ext.CorpusOps.doremiMixWeights(docs, "doc_id", "text",
+        "source", rounds = 3)
+      .orderBy(col("source")).collect()
+    val byS = got.map(r => r.getString(0) ->
+      (r.getAs[Long]("nll_micro"), r.getAs[Long]("w_micro"))).toMap
+    assert(byS("rare")._1 > byS("common")._1)
+    assert(byS("rare")._2 > 500000L && byS("common")._2 < 500000L)
+    val total = got.map(_.getAs[Long]("w_micro")).sum
+    assert(total <= 1000000L && total >= 1000000L - got.length)
+  }
 }
