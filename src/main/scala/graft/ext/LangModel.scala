@@ -1133,4 +1133,68 @@ object LangModel {
       .select(col("src").as("source"), col("n_docs"), col("acc_full_milli"),
         col("acc_loo_milli"), col("delta_milli"))
   }
+
+  /** Interpolated Kneser–Ney bigram scoring by source: the classic
+    * smoothed LM the backoff model (q131) approximates —
+    * `p(w|v) = (max(c(vw) − D, 0) + D · N1+(v·) · N1+(·w) / T) / c(v)`
+    * with absolute discount D and continuation counts, trained on the
+    * `id % panelMod != 0` split and scored on the held-out panel.
+    * Bigrams whose context v never opened a training bigram or whose w
+    * never closed one are counted as OOV, not scored (their KN mass is
+    * undefined without a unigram backoff level).
+    *
+    * One exploded-bigram aggregation builds the model; scoring joins
+    * the PANEL bigram counts (not instances) against the model tables
+    * on their natural keys. Per-(v,w) micro-nats are rounded before
+    * the weighted integer sum.
+    *
+    * @return (source, n_scored, n_oov, kn_nll_micro)
+    */
+  def knBigramNllBySource(docs: DataFrame, idCol: String, textCol: String,
+                          srcCol: String, panelMod: Int = 7,
+                          discount: Double = 0.75): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(srcCol).as("source"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    def pairsOf(df: DataFrame): DataFrame = df
+      .withColumn("pr", explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("v"), b.as("w")))))
+      .select(col("id"), col("source"), col("pr.v").as("v"), col("pr.w").as("w"))
+
+    val train = pairsOf(base.filter(col("id") % panelMod =!= 0))
+    val cvw = train.groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("c_vw")).persist()
+    val cv = cvw.groupBy(col("v"))
+      .agg(sum(col("c_vw")).as("c_v"), count(lit(1)).as("n1_v"))
+    val contw = cvw.groupBy(col("w")).agg(count(lit(1)).as("cont_w"))
+    val tTypes = cvw.agg(count(lit(1)).as("tt"))
+
+    val panel = pairsOf(base.filter(col("id") % panelMod === 0))
+      .groupBy(col("source"), col("v"), col("w"))
+      .agg(count(lit(1)).as("b_c"))
+    val scored = panel
+      .join(cv, Seq("v"), "left")
+      .join(contw, Seq("w"), "left")
+      .join(cvw, Seq("v", "w"), "left")
+      .crossJoin(broadcast(tTypes))
+      .withColumn("oov", col("c_v").isNull || col("cont_w").isNull)
+      .withColumn("p",
+        (greatest(coalesce(col("c_vw"), lit(0L)).cast("double") - discount,
+          lit(0.0))
+          + lit(discount) * col("n1_v").cast("double")
+            * col("cont_w").cast("double") / col("tt").cast("double"))
+          / col("c_v").cast("double"))
+      .withColumn("t_micro",
+        when(col("oov"), lit(0L))
+          .otherwise(round(-log(col("p")) * 1000000.0, 0).cast("long")))
+    scored.groupBy(col("source"))
+      .agg(sum(when(!col("oov"), col("b_c")).otherwise(0L)).as("n_scored"),
+        sum(when(col("oov"), col("b_c")).otherwise(0L)).as("n_oov"),
+        sum(col("t_micro") * col("b_c")).as("t_sum"))
+      .select(col("source"), col("n_scored"), col("n_oov"),
+        when(col("n_scored") > 0L,
+          round(col("t_sum").cast("double") / col("n_scored").cast("double"), 0)
+            .cast("long")).otherwise(lit(null).cast("long")).as("kn_nll_micro"))
+  }
 }

@@ -320,6 +320,63 @@ object StructureQueries extends QueryPack {
         head + rounds +
           "\nSELECT source, n_tokens, nll AS nll_micro, CAST(w AS BIGINT) AS w_micro" +
           "\nFROM w3 ORDER BY source"
-      })
+      }),
+
+    // Interpolated Kneser–Ney bigram NLL per source on the held-out
+    // panel: discounted bigram mass + continuation-count smoothing —
+    // the exact smoothed LM next to q131's backoff approximation.
+    Q("q307_kneser_ney",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.LangModel.knBigramNllBySource(Tables.documents(s, d),
+            "doc_id", "text", "source")
+          .orderBy($"source")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id AS id, source,
+             |    string_split_regex(trim(text), '\s+') AS l
+             |  FROM documents),
+             |tru AS (SELECT id, source,
+             |    unnest(list_transform(l[1:len(l)-1],
+             |      (x, i) -> {'v': x, 'w': l[i+1]})) AS u
+             |  FROM base WHERE id % 7 != 0),
+             |trp AS (SELECT source, (u).v AS v, (u).w AS w FROM tru),
+             |cvw AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c_vw
+             |        FROM trp GROUP BY 1, 2),
+             |cv AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+             |       CAST(count(*) AS BIGINT) AS n1_v FROM cvw GROUP BY 1),
+             |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS cont_w
+             |       FROM cvw GROUP BY 1),
+             |tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM cvw),
+             |pnu AS (SELECT id, source,
+             |    unnest(list_transform(l[1:len(l)-1],
+             |      (x, i) -> {'v': x, 'w': l[i+1]})) AS u
+             |  FROM base WHERE id % 7 = 0),
+             |pp AS (SELECT source, (u).v AS v, (u).w AS w,
+             |    CAST(count(*) AS BIGINT) AS b_c
+             |  FROM pnu GROUP BY 1, 2, 3),
+             |sc AS (SELECT source, b_c,
+             |    cv.c_v IS NULL OR cw.cont_w IS NULL AS oov,
+             |    (greatest(CAST(coalesce(cvw.c_vw, 0) AS DOUBLE)
+             |        - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+             |      + CAST(0.75 AS DOUBLE) * CAST(cv.n1_v AS DOUBLE)
+             |        * CAST(cw.cont_w AS DOUBLE) / CAST(tt.tt AS DOUBLE))
+             |      / CAST(cv.c_v AS DOUBLE) AS p
+             |  FROM pp LEFT JOIN cv USING (v) LEFT JOIN cw USING (w)
+             |  LEFT JOIN cvw USING (v, w) CROSS JOIN tt),
+             |t2 AS (SELECT source, b_c, oov,
+             |    CASE WHEN oov THEN 0
+             |      ELSE CAST(round(-ln(p) * 1000000) AS BIGINT) END AS t_micro
+             |  FROM sc)
+             |SELECT source,
+             |  CAST(sum(CASE WHEN NOT oov THEN b_c ELSE 0 END) AS BIGINT)
+             |    AS n_scored,
+             |  CAST(sum(CASE WHEN oov THEN b_c ELSE 0 END) AS BIGINT) AS n_oov,
+             |  CASE WHEN sum(CASE WHEN NOT oov THEN b_c ELSE 0 END) > 0 THEN
+             |    CAST(round(CAST(sum(t_micro * b_c) AS DOUBLE)
+             |      / CAST(sum(CASE WHEN NOT oov THEN b_c ELSE 0 END) AS DOUBLE))
+             |      AS BIGINT)
+             |  ELSE NULL END AS kn_nll_micro
+             |FROM t2 GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -94,4 +94,35 @@ class LangModelSpec extends SparkTestBase {
       (1L, 0L, 2.0f), (1L, 1L, 1.0f),
       (2L, 0L, 0.5f), (2L, 1L, 0.25f)))
   }
+
+  test("knBigramNllBySource: KN probabilities sum to 1 over seen contexts") {
+    import spark.implicits._
+    // tiny corpus; check the model normalizes: for a context v with
+    // c(v) mass, sum over the FULL cont-vocab of p(w|v) = 1 exactly
+    // (discount mass redistributed by continuation weights)
+    val docs = Seq(
+      (1L, "a b a c a b", "s"), (2L, "b a b c", "s"), (3L, "c a", "s"),
+      (7L, "a b c a", "s")).toDF("doc_id", "text", "source")
+    val out = graft.ext.LangModel.knBigramNllBySource(docs, "doc_id", "text",
+      "source", panelMod = 7)
+    val row = out.collect()(0)
+    assert(row.getAs[Long]("n_scored") > 0L)
+    assert(row.getAs[Long]("kn_nll_micro") > 0L)
+    // independent check of normalization in plain Scala
+    val train = Seq("a b a c a b", "b a b c", "c a").flatMap { t =>
+      val w = t.split(" "); w.zip(w.tail)
+    }
+    val cvw = train.groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+    val cv = cvw.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val n1v = cvw.groupBy(_._1._1).map { case (k, m) => k -> m.size.toDouble }
+    val contw = cvw.groupBy(_._1._2).map { case (k, m) => k -> m.size.toDouble }
+    val tt = cvw.size.toDouble
+    for (v <- cv.keys) {
+      val mass = contw.keys.map { w =>
+        (math.max(cvw.getOrElse((v, w), 0.0) - 0.75, 0.0)
+          + 0.75 * n1v(v) * contw(w) / tt) / cv(v)
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"KN mass for '$v' = $mass")
+    }
+  }
 }
