@@ -1197,4 +1197,74 @@ object LangModel {
           round(col("t_sum").cast("double") / col("n_scored").cast("double"), 0)
             .cast("long")).otherwise(lit(null).cast("long")).as("kn_nll_micro"))
   }
+
+  /** K-fold cross-validation of the complement-count NB classifier in
+    * ONE scoring pass: fold = id mod k; each fold's model is the
+    * closed-form complement (global counts minus the fold's counts —
+    * the [[sourceInfluenceNb]] trick with folds as the held-out unit),
+    * so "train k models, score k held-out folds" costs one token-count
+    * aggregation plus one scoring join, never k passes.
+    *
+    * @return (fold, n_docs, acc_milli) one row per fold
+    */
+  def crossValNb(docs: DataFrame, idCol: String, textCol: String,
+                 gold: Column, k: Int = 5): DataFrame = {
+    require(k >= 2 && k <= 64, "fold count out of range")
+    val base = docs.select(col(idCol).as("id"),
+      pmod(col(idCol), lit(k)).cast("long").as("fold"),
+      gold.as("gold"), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val tokRows = base.select(col("fold"), col("gold"),
+      explode(col("toks")).as("tok"))
+    val counts = tokRows.groupBy(col("tok"))
+      .agg(sum(when(col("gold"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("gold"), 1L).otherwise(0L)).as("c0"))
+    val fCounts = tokRows.groupBy(col("tok"), col("fold"))
+      .agg(sum(when(col("gold"), 1L).otherwise(0L)).as("c1f"),
+        sum(when(!col("gold"), 1L).otherwise(0L)).as("c0f"))
+    val glob = counts.agg(count(lit(1)).as("v"),
+      sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
+    val docTotals = base.agg(
+      sum(when(col("gold"), 1L).otherwise(0L)).as("d1"),
+      sum(when(!col("gold"), 1L).otherwise(0L)).as("d0"))
+    val lost = fCounts.join(counts, "tok")
+      .filter(col("c1f") + col("c0f") === col("c1") + col("c0"))
+      .groupBy(col("fold")).agg(count(lit(1)).as("v_lost"))
+    val foldConsts = fCounts.groupBy(col("fold"))
+      .agg(sum(col("c1f")).as("n1f"), sum(col("c0f")).as("n0f"))
+      .join(base.groupBy(col("fold")).agg(
+        sum(when(col("gold"), 1L).otherwise(0L)).as("d1f"),
+        sum(when(!col("gold"), 1L).otherwise(0L)).as("d0f")), "fold")
+      .join(lost, Seq("fold"), "left")
+      .crossJoin(broadcast(glob)).crossJoin(broadcast(docTotals))
+      .select(col("fold"),
+        (col("n1") - col("n1f")).as("n1c"), (col("n0") - col("n0f")).as("n0c"),
+        (col("d1") - col("d1f")).as("d1c"), (col("d0") - col("d0f")).as("d0c"),
+        (col("v") - coalesce(col("v_lost"), lit(0L))).as("vc"))
+    def llr(c1: Column, n1: Column, c0: Column, n0: Column, vv: Column) =
+      round((log((c1 + 1L).cast("double") / (n1 + vv).cast("double"))
+        - log((c0 + 1L).cast("double") / (n0 + vv).cast("double")))
+        * 1000000, 0).cast("long")
+    val scored = base
+      .select(col("id"), col("fold"), col("gold"), explode(col("toks")).as("tok"))
+      .join(counts, "tok")
+      .join(fCounts, Seq("tok", "fold"), "left")
+      .na.fill(0L, Seq("c1f", "c0f"))
+      .join(broadcast(foldConsts), "fold")
+      .withColumn("t_cv", llr(col("c1") - col("c1f"), col("n1c"),
+        col("c0") - col("c0f"), col("n0c"), col("vc")))
+      .groupBy(col("id"), col("fold"), col("gold"))
+      .agg(sum(col("t_cv")).as("s_cv"))
+    val priors = foldConsts
+      .select(col("fold"),
+        round((log((col("d1c") + 1L).cast("double"))
+          - log((col("d0c") + 1L).cast("double"))) * 1000000, 0)
+          .cast("long").as("p_cv"))
+    scored.join(broadcast(priors), "fold")
+      .withColumn("pred", col("p_cv") + col("s_cv") >= 0)
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(when(col("pred") === col("gold"), 1L).otherwise(0L))
+          .cast("double") * 1000.0 / count(lit(1)).cast("double"), 0)
+          .cast("long").as("acc_milli"))
+  }
 }

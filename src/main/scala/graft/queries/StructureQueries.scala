@@ -377,6 +377,111 @@ object StructureQueries extends QueryPack {
              |      / CAST(sum(CASE WHEN NOT oov THEN b_c ELSE 0 END) AS DOUBLE))
              |      AS BIGINT)
              |  ELSE NULL END AS kn_nll_micro
-             |FROM t2 GROUP BY source ORDER BY source""".stripMargin))
+             |FROM t2 GROUP BY source ORDER BY source""".stripMargin)),
+
+    // TextTiling-lite: distinct-token Jaccard cohesion at every gap,
+    // boundaries at sub-threshold local minima — topic-shift chunking
+    // next to the fixed-stride (q84) and CDC (q277) chunkers.
+    Q("q308_text_tiling",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.TextSegment.tilingGaps(Tables.documents(s, d),
+            "doc_id", "text", w = 8, stride = 4, thresholdMicro = 200000L)
+          .orderBy($"doc_id", $"pos")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+             |  FROM documents),
+             |b2 AS (SELECT doc_id, l FROM base WHERE len(l) >= 16),
+             |g AS (SELECT doc_id, l, unnest(generate_series(8, len(l) - 8, 4))
+             |      AS p FROM b2),
+             |s1 AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+             |    list_distinct(l[(p-7):p]) AS da,
+             |    list_distinct(l[(p+1):(p+8)]) AS db
+             |  FROM g),
+             |s2 AS (SELECT doc_id, pos,
+             |    CAST(len(list_intersect(da, db)) AS BIGINT) AS inter,
+             |    CAST(len(da) AS BIGINT) AS sa, CAST(len(db) AS BIGINT) AS sb
+             |  FROM s1),
+             |s3 AS (SELECT doc_id, pos,
+             |    CAST(round(CAST(inter AS DOUBLE) * CAST(1000000 AS DOUBLE)
+             |      / CAST(sa + sb - inter AS DOUBLE)) AS BIGINT) AS sim_micro
+             |  FROM s2),
+             |s4 AS (SELECT doc_id, pos, sim_micro,
+             |    lag(sim_micro) OVER (PARTITION BY doc_id ORDER BY pos) AS prv,
+             |    lead(sim_micro) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+             |  FROM s3)
+             |SELECT doc_id, pos, sim_micro,
+             |  sim_micro < 200000
+             |    AND sim_micro <= coalesce(prv, 9223372036854775807)
+             |    AND sim_micro < coalesce(nxt, 9223372036854775807) AS boundary
+             |FROM s4 ORDER BY doc_id, pos""".stripMargin)),
+
+    // 5-fold cross-validated NB accuracy in one pass: every fold's
+    // model is the complement of the global counts, so k models train
+    // and score without k corpus passes.
+    Q("q309_crossval_nb",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.LangModel.crossValNb(Tables.documents(s, d),
+            "doc_id", "text", $"lang" === "en", k = 5)
+          .orderBy($"fold")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id AS id, doc_id % 5 AS fold, lang = 'en' AS gold,
+             |    string_split_regex(trim(text), '\s+') AS l
+             |  FROM documents),
+             |tokrows AS (SELECT id, fold, gold, unnest(l) AS tok FROM base),
+             |counts AS (SELECT tok,
+             |    CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT) AS c0
+             |  FROM tokrows GROUP BY 1),
+             |fc AS (SELECT tok, fold,
+             |    CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS c1f,
+             |    CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT) AS c0f
+             |  FROM tokrows GROUP BY 1, 2),
+             |gl AS (SELECT CAST(count(*) AS BIGINT) AS v,
+             |    CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0
+             |  FROM counts),
+             |dt AS (SELECT
+             |    CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             |    CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT) AS d0
+             |  FROM base),
+             |lost AS (SELECT fold, CAST(count(*) AS BIGINT) AS v_lost
+             |  FROM fc JOIN counts USING (tok)
+             |  WHERE fc.c1f + fc.c0f = counts.c1 + counts.c0 GROUP BY 1),
+             |ftot AS (SELECT fold, CAST(sum(c1f) AS BIGINT) AS n1f,
+             |    CAST(sum(c0f) AS BIGINT) AS n0f FROM fc GROUP BY 1),
+             |fdoc AS (SELECT fold,
+             |    CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS d1f,
+             |    CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT) AS d0f
+             |  FROM base GROUP BY 1),
+             |fcst AS (
+             |  SELECT ftot.fold, n1 - n1f AS n1c, n0 - n0f AS n0c,
+             |    d1 - d1f AS d1c, d0 - d0f AS d0c,
+             |    v - coalesce(v_lost, 0) AS vc
+             |  FROM ftot JOIN fdoc ON fdoc.fold = ftot.fold
+             |  LEFT JOIN lost ON lost.fold = ftot.fold
+             |  CROSS JOIN gl CROSS JOIN dt),
+             |sc AS (
+             |  SELECT id, t.fold, gold,
+             |    CAST(sum(CAST(round((ln(CAST(c1 - coalesce(c1f, 0) + 1 AS DOUBLE)
+             |        / CAST(n1c + vc AS DOUBLE))
+             |      - ln(CAST(c0 - coalesce(c0f, 0) + 1 AS DOUBLE)
+             |        / CAST(n0c + vc AS DOUBLE))) * 1000000) AS BIGINT))
+             |      AS BIGINT) AS s_cv
+             |  FROM tokrows t JOIN counts USING (tok)
+             |  LEFT JOIN fc ON fc.tok = t.tok AND fc.fold = t.fold
+             |  JOIN fcst ON fcst.fold = t.fold
+             |  GROUP BY 1, 2, 3),
+             |pr AS (SELECT fold,
+             |    CAST(round((ln(CAST(d1c + 1 AS DOUBLE))
+             |      - ln(CAST(d0c + 1 AS DOUBLE))) * 1000000) AS BIGINT) AS p_cv
+             |  FROM fcst)
+             |SELECT sc.fold, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(round(CAST(sum(CASE WHEN (p_cv + s_cv >= 0) = gold
+             |      THEN 1 ELSE 0 END) AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS acc_milli
+             |FROM sc JOIN pr USING (fold) GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

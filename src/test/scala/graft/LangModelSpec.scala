@@ -125,4 +125,32 @@ class LangModelSpec extends SparkTestBase {
       assert(math.abs(mass - 1.0) < 1e-9, s"KN mass for '$v' = $mass")
     }
   }
+
+  test("crossValNb: fold models never see their own fold (leakage canary)") {
+    import spark.implicits._
+    // the ONLY signal is a token whose label flips between folds:
+    // a leaky model (trained on itself) would score 100%; the
+    // leave-fold-out complement must score 0% on both folds
+    val docs = ((0 until 10 by 2).map(i => (i.toLong, "aaa aaa aaa", true)) ++
+      (1 until 10 by 2).map(i => (i.toLong, "aaa aaa aaa", false)))
+      .toDF("doc_id", "text", "gold")
+    val got = graft.ext.LangModel.crossValNb(docs, "doc_id", "text",
+        col("gold"), k = 2)
+      .orderBy(col("fold")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, 5L, 0L), (1L, 5L, 0L)))
+  }
+
+  test("crossValNb: separable folds with shared signal reach full accuracy") {
+    import spark.implicits._
+    // signal token consistent across folds -> every complement model
+    // learns it -> 100% everywhere
+    val docs = (0 until 20).map { i =>
+      (i.toLong, if (i % 3 == 0) "pos pos pos" else "neg neg neg", i % 3 == 0)
+    }.toDF("doc_id", "text", "gold")
+    val got = graft.ext.LangModel.crossValNb(docs, "doc_id", "text",
+        col("gold"), k = 4)
+      .collect().map(_.getLong(2)).toSeq
+    assert(got.forall(_ == 1000L), s"got $got")
+  }
 }
