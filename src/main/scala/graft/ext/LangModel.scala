@@ -1267,4 +1267,55 @@ object LangModel {
           .cast("double") * 1000.0 / count(lit(1)).cast("double"), 0)
           .cast("long").as("acc_milli"))
   }
+
+  /** Dirichlet-smoothed query-likelihood retrieval (the third classic
+    * ranking model beside TF-IDF q183 and BM25 q165):
+    * `score(q,d) = Σ_w qtf·ln(1 + c(w,d)·N/(μ·c(w))) + |q|·ln(μ/(|d|+μ))`
+    * — the matched-term decomposition, so the corpus joins only
+    * through the inverted index on the query's terms; the per-doc
+    * length term closes the score on the (queries × docs) grid, which
+    * is bounded by the query panel. Queries are the first `qLen`
+    * tokens of every `id % qMod == 0` document.
+    *
+    * @return (q_id, rnk, doc_id, score_micro) top-`k` docs per query
+    */
+  def dirichletQlTopK(docs: DataFrame, idCol: String, textCol: String,
+                      qMod: Int = 50, qLen: Int = 4, mu: Long = 100L,
+                      k: Int = 3): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val tf = base.select(col("id"), explode(col("toks")).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val cw = tf.groupBy(col("tok")).agg(sum(col("tf")).as("c_w"))
+    val tot = cw.agg(sum(col("c_w")).as("nn"))
+
+    val qrows = base.filter(col("id") % qMod === 0)
+      .select(col("id").as("q_id"),
+        explode(slice(col("toks"), lit(1), lit(qLen))).as("tok"))
+      .groupBy(col("q_id"), col("tok")).agg(count(lit(1)).as("qtf"))
+    val qlen = qrows.groupBy(col("q_id")).agg(sum(col("qtf")).as("q_len"))
+
+    val matched = qrows
+      .join(tf.select(col("id").as("doc_id"), col("tok"), col("tf")), "tok")
+      .join(cw, "tok").crossJoin(broadcast(tot))
+      .withColumn("t_micro", col("qtf") *
+        round(log(lit(1.0) + col("tf").cast("double") * col("nn").cast("double")
+          / (lit(mu.toDouble) * col("c_w").cast("double"))) * 1000000.0, 0)
+          .cast("long"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("t_micro")).as("m_sum"))
+    val grid = qlen.crossJoin(dl.select(col("id").as("doc_id"), col("dl")))
+      .join(matched, Seq("q_id", "doc_id"), "left")
+      .na.fill(0L, Seq("m_sum"))
+      .withColumn("score_micro", col("m_sum") + col("q_len") *
+        round(log(lit(mu.toDouble) / (col("dl").cast("double") + mu.toDouble))
+          * 1000000.0, 0).cast("long"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    grid.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("doc_id"), col("score_micro"))
+  }
 }

@@ -482,6 +482,54 @@ object StructureQueries extends QueryPack {
              |  CAST(round(CAST(sum(CASE WHEN (p_cv + s_cv >= 0) = gold
              |      THEN 1 ELSE 0 END) AS DOUBLE) * CAST(1000 AS DOUBLE)
              |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS acc_milli
-             |FROM sc JOIN pr USING (fold) GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM sc JOIN pr USING (fold) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Dirichlet query-likelihood retrieval: matched-term decomposition
+    // over the inverted index + per-doc length term on the bounded
+    // (queries × docs) grid — the third classic ranker beside TF-IDF
+    // (q183) and BM25 (q165).
+    Q("q310_dirichlet_ql",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.LangModel.dirichletQlTopK(Tables.documents(s, d),
+            "doc_id", "text", qMod = 50, qLen = 4, mu = 100L, k = 3)
+          .orderBy($"q_id", $"rnk")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS l
+             |  FROM documents),
+             |tf AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT id, unnest(l) AS tok FROM base) GROUP BY 1, 2),
+             |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+             |cw AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS c_w FROM tf GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS nn FROM cw),
+             |qr AS (SELECT id AS q_id, tok, CAST(count(*) AS BIGINT) AS qtf
+             |  FROM (SELECT id, unnest(l[1:4]) AS tok FROM base WHERE id % 50 = 0)
+             |  GROUP BY 1, 2),
+             |ql AS (SELECT q_id, CAST(sum(qtf) AS BIGINT) AS q_len
+             |       FROM qr GROUP BY 1),
+             |mt AS (
+             |  SELECT qr.q_id, tf.id AS doc_id,
+             |    CAST(sum(qtf * CAST(round(ln(CAST(1.0 AS DOUBLE)
+             |      + CAST(tf.tf AS DOUBLE) * CAST(nn AS DOUBLE)
+             |        / (CAST(100 AS DOUBLE) * CAST(c_w AS DOUBLE)))
+             |      * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS m_sum
+             |  FROM qr JOIN tf USING (tok) JOIN cw USING (tok) CROSS JOIN tot
+             |  GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT ql.q_id, dl.id AS doc_id, ql.q_len, dl.dl,
+             |    coalesce(mt.m_sum, 0) AS m_sum
+             |  FROM ql CROSS JOIN dl
+             |  LEFT JOIN mt ON mt.q_id = ql.q_id AND mt.doc_id = dl.id),
+             |sc AS (SELECT q_id, doc_id,
+             |    m_sum + q_len * CAST(round(ln(CAST(100 AS DOUBLE)
+             |      / (CAST(dl AS DOUBLE) + CAST(100 AS DOUBLE)))
+             |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS score_micro
+             |  FROM grid)
+             |SELECT q_id,
+             |  CAST(row_number() OVER (PARTITION BY q_id
+             |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk,
+             |  doc_id, score_micro
+             |FROM sc QUALIFY rnk <= 3 ORDER BY q_id, rnk""".stripMargin))
   )
 }

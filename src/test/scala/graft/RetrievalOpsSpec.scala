@@ -122,4 +122,23 @@ class RetrievalOpsSpec extends SparkTestBase {
     if (nTruth > 0)
       assert(r.getLong(6) === tp * 1000000L / nTruth)
   }
+
+  test("dirichletQlTopK: self-retrieval wins and scores decrease with rank") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta unrelated filler words here"),
+      (1L, "epsilon zeta eta theta other stuff"),
+      (2L, "alpha beta something else entirely different thing"),
+      (3L, "completely disjoint vocabulary tokens appear once")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.LangModel.dirichletQlTopK(docs, "doc_id", "text",
+        qMod = 4, qLen = 4, mu = 100L, k = 4)   // query = doc 0's head
+      .orderBy(col("rnk")).collect()
+    // the query IS doc 0's first four tokens: doc 0 must rank first,
+    // doc 2 (shares alpha beta) second
+    assert(got(0).getAs[Long]("doc_id") == 0L)
+    assert(got(1).getAs[Long]("doc_id") == 2L)
+    val scores = got.map(_.getAs[Long]("score_micro"))
+    assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
 }
