@@ -1399,4 +1399,48 @@ object Dedup {
         round(col("sum_len").cast("double") * 1000.0
           / col("n_chunks").cast("double"), 0).cast("long").as("mean_len_milli"))
   }
+
+  /** Distributed Merkle root per corpus slice: leaves are the
+    * engine-portable poly_hash of each document's text, ranked by id
+    * within the slice; `rounds` pairing rounds fold adjacent nodes
+    * (`(left·8191 + right) mod 1e9+7`, odd node promotes unchanged)
+    * until one root remains — the integrity manifest a snapshot store
+    * publishes next to the versioned parquet (io/Versioned, q132's
+    * diff): two slices share a root iff they hold the same texts in
+    * the same id order.
+    *
+    * log₂-depth tree as `rounds` keyed aggregations, each halving the
+    * table — no per-slice collect, no sequential fold over an
+    * unbounded list. `rounds` must cover the largest slice
+    * (2^rounds ≥ max docs per slice; require-guarded output).
+    *
+    * @return (source, n_docs, root_hash)
+    */
+  def merkleRootBySlice(docs: DataFrame, idCol: String, textCol: String,
+                        srcCol: String, rounds: Int = 12): DataFrame = {
+    require(rounds >= 1 && rounds <= 40, "rounds out of range")
+    val w = Window.partitionBy(col("src")).orderBy(col("id"))
+    val leaves = docs.select(col(srcCol).as("src"), col(idCol).as("id"),
+        graft.functions.PolyHash.polyHash(col(textCol)).as("h"))
+      .withColumn("idx", (row_number().over(w) - 1).cast("long"))
+      .select(col("src"), col("idx"), col("h"))
+    val folded = (1 to rounds).foldLeft(leaves) { (cur, r) =>
+      val stepped = cur.groupBy(col("src"), expr("idx div 2").as("idx"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("idx"), col("h"))).as("lo"),
+          max(struct(col("idx"), col("h"))).as("hi"))
+        .select(col("src"), col("idx"),
+          when(col("n") === 2L,
+            (col("lo.h") * 8191L + col("hi.h")) % 1000000007L)
+            .otherwise(col("lo.h")).as("h"))
+      if (r % 4 == 0) Exec.checkpointEager(stepped) else stepped
+    }
+    val roots = folded.groupBy(col("src")).agg(count(lit(1)).as("n_nodes"),
+      min(col("h")).as("root_hash"))
+    val sizes = docs.groupBy(col(srcCol).as("src"))
+      .agg(count(lit(1)).as("n_docs"))
+    sizes.join(roots, "src")
+      .select(col("src").as("source"), col("n_docs"), col("root_hash"),
+        col("n_nodes"))
+  }
 }

@@ -530,6 +530,46 @@ object StructureQueries extends QueryPack {
              |  CAST(row_number() OVER (PARTITION BY q_id
              |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk,
              |  doc_id, score_micro
-             |FROM sc QUALIFY rnk <= 3 ORDER BY q_id, rnk""".stripMargin))
+             |FROM sc QUALIFY rnk <= 3 ORDER BY q_id, rnk""".stripMargin)),
+
+    // Merkle integrity manifest per source: poly-hash leaves in id
+    // order, 12 pairing rounds to one root — the snapshot checksum
+    // published next to the versioned parquet (q55/q132).
+    Q("q311_merkle_manifest",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.Dedup.merkleRootBySlice(Tables.documents(s, d),
+            "doc_id", "text", "source", rounds = 12)
+          .orderBy($"source")
+      },
+      Some {
+        val head =
+          """WITH l0 AS (
+            |  SELECT source AS src,
+            |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+            |      AS BIGINT) AS idx,
+            |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+            |      list_transform(generate_series(1, length(text)),
+            |        i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+            |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+            |  FROM documents)""".stripMargin
+        val rounds = (1 to 12).map { r =>
+          s"""
+             |,l$r AS (
+             |  SELECT src, idx // 2 AS idx,
+             |    CASE WHEN count(*) = 2
+             |      THEN (arg_min(h, idx) * 8191 + arg_max(h, idx)) % 1000000007
+             |      ELSE arg_min(h, idx) END AS h
+             |  FROM l${r - 1} GROUP BY src, idx // 2)""".stripMargin
+        }.mkString
+        head + rounds +
+          """
+            |,roots AS (SELECT src, CAST(count(*) AS BIGINT) AS n_nodes,
+            |    CAST(min(h) AS BIGINT) AS root_hash FROM l12 GROUP BY 1),
+            |sizes AS (SELECT source AS src, CAST(count(*) AS BIGINT) AS n_docs
+            |          FROM documents GROUP BY 1)
+            |SELECT src AS source, n_docs, root_hash, n_nodes
+            |FROM sizes JOIN roots USING (src) ORDER BY source""".stripMargin
+      })
   )
 }

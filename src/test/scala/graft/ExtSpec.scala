@@ -383,4 +383,32 @@ class ExtSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(got === Seq(2L, 1L, 1L, 1L, 0L))
   }
+
+  test("merkleRootBySlice: root is id-order sensitive and content sensitive") {
+    import spark.implicits._
+    val a = Seq((1L, "x", "s"), (2L, "y", "s"), (3L, "z", "s"))
+      .toDF("doc_id", "text", "source")
+    val ra = Dedup.merkleRootBySlice(a, "doc_id", "text", "source", rounds = 4)
+      .collect()(0)
+    assert(ra.getAs[Long]("n_nodes") == 1L)
+    assert(ra.getAs[Long]("n_docs") == 3L)
+    // identical content, same order, different ids -> same root
+    val b = Seq((10L, "x", "s"), (20L, "y", "s"), (30L, "z", "s"))
+      .toDF("doc_id", "text", "source")
+    val rb = Dedup.merkleRootBySlice(b, "doc_id", "text", "source", rounds = 4)
+      .collect()(0)
+    assert(rb.getAs[Long]("root_hash") == ra.getAs[Long]("root_hash"))
+    // swapped order -> different root
+    val c = Seq((1L, "y", "s"), (2L, "x", "s"), (3L, "z", "s"))
+      .toDF("doc_id", "text", "source")
+    val rc = Dedup.merkleRootBySlice(c, "doc_id", "text", "source", rounds = 4)
+      .collect()(0)
+    assert(rc.getAs[Long]("root_hash") != ra.getAs[Long]("root_hash"))
+    // changed content -> different root
+    val e = Seq((1L, "x", "s"), (2L, "y!", "s"), (3L, "z", "s"))
+      .toDF("doc_id", "text", "source")
+    val re = Dedup.merkleRootBySlice(e, "doc_id", "text", "source", rounds = 4)
+      .collect()(0)
+    assert(re.getAs[Long]("root_hash") != ra.getAs[Long]("root_hash"))
+  }
 }
