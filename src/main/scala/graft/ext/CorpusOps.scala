@@ -676,6 +676,7 @@ object CorpusOps {
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val sc = tok.groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("c_st"))
+      .persist()
     val glob = sc.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
     val consts = glob.agg(sum(col("c_t")).as("nn"),
       count(lit(1)).as("v"))

@@ -1210,17 +1210,22 @@ object LangModel {
   def crossValNb(docs: DataFrame, idCol: String, textCol: String,
                  gold: Column, k: Int = 5): DataFrame = {
     require(k >= 2 && k <= 64, "fold count out of range")
+    // persist the scan-level projection and both count tables: six
+    // downstream branches reference them, and without the persists each
+    // branch re-scans the corpus (the PlanAuditSpec scan-count gate)
     val base = docs.select(col(idCol).as("id"),
       pmod(col(idCol), lit(k)).cast("long").as("fold"),
       gold.as("gold"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .persist()
     val tokRows = base.select(col("fold"), col("gold"),
       explode(col("toks")).as("tok"))
-    val counts = tokRows.groupBy(col("tok"))
-      .agg(sum(when(col("gold"), 1L).otherwise(0L)).as("c1"),
-        sum(when(!col("gold"), 1L).otherwise(0L)).as("c0"))
     val fCounts = tokRows.groupBy(col("tok"), col("fold"))
       .agg(sum(when(col("gold"), 1L).otherwise(0L)).as("c1f"),
         sum(when(!col("gold"), 1L).otherwise(0L)).as("c0f"))
+      .persist()
+    val counts = fCounts.groupBy(col("tok"))
+      .agg(sum(col("c1f")).as("c1"), sum(col("c0f")).as("c0"))
+      .persist()
     val glob = counts.agg(count(lit(1)).as("v"),
       sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
     val docTotals = base.agg(

@@ -53,8 +53,12 @@ object Valuation {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // persist the scan-level projection: the lattice expansion
+    // references train/panel through many branches, and each would
+    // otherwise re-scan the corpus (PlanAuditSpec pins the scan count)
     val base = docs.select(col(idCol).as("id"), col(grpCol).as("grp"),
       gold.as("gold"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .persist()
     val train = base.filter(col("id") % panelMod =!= 0)
     val panel = base.filter(col("id") % panelMod === 0)
 

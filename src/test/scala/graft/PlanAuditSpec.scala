@@ -481,4 +481,36 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("cdc_cutpoints"),
       s"rolling-hash kernel missing from the plan:\n$plan")
   }
+
+  test("q296 Shapley: coalition tables broadcast; the corpus never cartesians") {
+    val plan = finalPlan("q296_shapley_players")
+    // the 2^n lattice joins must be broadcast, and the only cross joins
+    // are against single-row/lattice-sized broadcast sides
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast in the lattice joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"non-broadcast cartesian leaked into the Shapley plan:\n$plan")
+  }
+
+  test("q302 DBSCAN: candidate pairs come from the grid equi-join, never a cross join") {
+    val plan = finalPlan("q302_dbscan_grid")
+    assert(!plan.contains("CartesianProduct"),
+      s"quadratic pair plan leaked into DBSCAN:\n$plan")
+  }
+
+  test("q309 cross-validation scores all folds in one pass — no per-fold scans") {
+    // count LOGICAL parquet relations outside the persisted fragments:
+    // the six model/score branches must resolve to InMemoryRelation hits,
+    // not re-scan the corpus once per fold (plan strings expand cached
+    // plans, so string-counting "Scan parquet" overcounts)
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = SparkEntry.queries("q309_crossval_nb")(spark, sfDir)
+    df.collect()
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l
+    }.length
+    assert(scans <= 2,
+      s"fold models are rescanning the corpus ($scans uncached parquet relations)")
+  }
 }
