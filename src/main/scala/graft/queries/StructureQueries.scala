@@ -570,6 +570,74 @@ object StructureQueries extends QueryPack {
             |          FROM documents GROUP BY 1)
             |SELECT src AS source, n_docs, root_hash, n_nodes
             |FROM sizes JOIN roots USING (src) ORDER BY source""".stripMargin
+      }),
+
+    // Hash-forest density outliers over the first four embedding
+    // coordinates: 8 deterministic hash-built trees of depth 4, score
+    // = mean leaf occupancy, bottom-20 — the rand()-free isolation-
+    // forest reading, exact integers end to end.
+    Q("q312_hash_forest_outliers",
+      (s, d) => {
+        import s.implicits._
+        val pts = Tables.embeddings(s, d).select($"vec_id".as("id") +:
+          (0 until 4).map(i =>
+            round(col("embedding").getItem(i).cast("double") * 1000000.0, 0)
+              .cast("long").as(s"e$i")): _*)
+        graft.ext.HashForest.outliers(pts, "id",
+            Seq("e0", "e1", "e2", "e3"), trees = 8, depth = 4, k = 20)
+          .orderBy($"rnk")
+      },
+      Some {
+        val head =
+          """WITH p AS (
+            |  SELECT vec_id AS id,
+            |    CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS x0,
+            |    CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS x1,
+            |    CAST(round(CAST(embedding[3] AS DOUBLE) * 1000000) AS BIGINT) AS x2,
+            |    CAST(round(CAST(embedding[4] AS DOUBLE) * 1000000) AS BIGINT) AS x3
+            |  FROM embeddings),
+            |box AS (SELECT min(x0) AS lo0, max(x0) AS hi0, min(x1) AS lo1,
+            |    max(x1) AS hi1, min(x2) AS lo2, max(x2) AS hi2,
+            |    min(x3) AS lo3, max(x3) AS hi3 FROM p),
+            |nodes AS (
+            |  SELECT CAST(t AS BIGINT) AS tree, CAST(l AS BIGINT) AS lvl,
+            |    CAST(i AS BIGINT) AS idx,
+            |    CAST((t * 31 + l * 7 + i * 17) % 4 AS BIGINT) AS f,
+            |    CAST((t * 1103515245 + l * 12345 + i * 7919 + 7) % 1000
+            |      AS BIGINT) AS frac
+            |  FROM range(0, 8) tt(t), range(0, 4) ll(l), range(0, 8) ii(i)
+            |  WHERE i < (1 << l)),
+            |w0 AS (SELECT p.id, n.tree, x0, x1, x2, x3, CAST(0 AS BIGINT) AS idx
+            |  FROM p CROSS JOIN box CROSS JOIN
+            |    (SELECT DISTINCT tree FROM nodes) n)""".stripMargin
+        def xF = "CASE WHEN n.f = 0 THEN x0 WHEN n.f = 1 THEN x1 " +
+          "WHEN n.f = 2 THEN x2 ELSE x3 END"
+        def splitF = "CASE WHEN n.f = 0 THEN lo0 + n.frac * (hi0 - lo0) // 1000 " +
+          "WHEN n.f = 1 THEN lo1 + n.frac * (hi1 - lo1) // 1000 " +
+          "WHEN n.f = 2 THEN lo2 + n.frac * (hi2 - lo2) // 1000 " +
+          "ELSE lo3 + n.frac * (hi3 - lo3) // 1000 END"
+        val walks = (0 until 4).map { l =>
+          s"""
+             |,w${l + 1} AS (
+             |  SELECT w$l.id, w$l.tree, x0, x1, x2, x3,
+             |    w$l.idx * 2 + CASE WHEN ($xF) > ($splitF) THEN 1 ELSE 0 END AS idx
+             |  FROM w$l CROSS JOIN box
+             |  JOIN nodes n ON n.tree = w$l.tree AND n.lvl = $l
+             |    AND n.idx = w$l.idx)""".stripMargin
+        }.mkString
+        head + walks +
+          """
+            |,occ AS (SELECT tree, idx AS leaf, CAST(count(*) AS BIGINT) AS n_leaf
+            |  FROM w4 GROUP BY 1, 2),
+            |dens AS (
+            |  SELECT w4.id,
+            |    CAST(round(CAST(sum(n_leaf) AS DOUBLE) * CAST(1000 AS DOUBLE)
+            |      / CAST(8 AS DOUBLE)) AS BIGINT) AS density_milli
+            |  FROM w4 JOIN occ ON occ.tree = w4.tree AND occ.leaf = w4.idx
+            |  GROUP BY 1)
+            |SELECT id, density_milli,
+            |  CAST(row_number() OVER (ORDER BY density_milli, id) AS BIGINT) AS rnk
+            |FROM dens ORDER BY density_milli, id LIMIT 20""".stripMargin
       })
   )
 }

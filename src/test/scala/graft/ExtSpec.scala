@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, HashForest, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data operators: MinHash-LSH recall vs exact Jaccard ground truth,
   * SimHash sanity, ANN recall vs brute-force KNN, multimodal featurize
@@ -410,5 +410,20 @@ class ExtSpec extends SparkTestBase {
     val re = Dedup.merkleRootBySlice(e, "doc_id", "text", "source", rounds = 4)
       .collect()(0)
     assert(re.getAs[Long]("root_hash") != ra.getAs[Long]("root_hash"))
+  }
+
+  test("hashForest outliers: a far-away point lands in the sparsest leaves") {
+    import spark.implicits._
+    // dense blob near origin + one extreme point: the extreme point
+    // must surface with the minimum density
+    val pts = ((1L to 60L).map(k =>
+      (k, (k * 37) % 1000L, (k * 91) % 1000L)) :+ ((999L, 900000L, 900000L)))
+      .toDF("id", "a", "b")
+    val got = HashForest.outliers(pts, "id", Seq("a", "b"),
+      trees = 8, depth = 4, k = 5).orderBy(col("rnk")).collect()
+    assert(got.head.getLong(0) == 999L,
+      s"outlier not ranked first: ${got.map(_.getLong(0)).toSeq}")
+    // occupancy of a leaf is at least 1 (the point itself)
+    assert(got.forall(_.getLong(1) >= 1000L / 8))
   }
 }
