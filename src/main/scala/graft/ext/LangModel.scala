@@ -1323,4 +1323,96 @@ object LangModel {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("doc_id"), col("score_micro"))
   }
+
+  /** Laplace-smoothing hyperparameter sweep for the NB screen in ONE
+    * dataflow: the per-token LLR table is built once per alpha by
+    * crossing the vocab-sized count table with the (tiny) alpha grid,
+    * so "train and evaluate the classifier at 5 smoothing strengths"
+    * is one corpus aggregation + one panel-scoring join with a ×|grid|
+    * fan-out on BOUNDED tables — the grid-search shape that never
+    * rescans the data per configuration.
+    *
+    * @param alphasMicro smoothing strengths in micro units
+    * @return (alpha_micro, n_docs, acc_milli) per grid point
+    */
+  def alphaSweepNb(docs: DataFrame, idCol: String, textCol: String,
+                   gold: Column, alphasMicro: Seq[Long],
+                   panelMod: Int = 7): DataFrame = {
+    require(alphasMicro.nonEmpty && alphasMicro.size <= 64,
+      "alpha grid out of range")
+    require(alphasMicro.forall(_ > 0L), "alpha must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).as("id"), gold.as("gold"),
+      TextAnalysis.tokens(col(textCol)).as("toks")).persist()
+    val train = base.filter(col("id") % panelMod =!= 0)
+    val panel = base.filter(col("id") % panelMod === 0)
+    val counts = train.select(col("gold"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("gold"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("gold"), 1L).otherwise(0L)).as("c0"))
+      .persist()
+    val glob = counts.agg(count(lit(1)).as("v"),
+      sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
+    val prior = train.agg(
+      round((log((sum(when(col("gold"), 1L).otherwise(0L)) + 1L).cast("double"))
+        - log((sum(when(!col("gold"), 1L).otherwise(0L)) + 1L).cast("double")))
+        * 1000000, 0).cast("long").as("p_micro"))
+    val alphas = alphasMicro.toDF("alpha_micro")
+    val a = col("alpha_micro").cast("double") / lit(1000000.0)
+    val terms = counts.crossJoin(broadcast(alphas)).crossJoin(broadcast(glob))
+      .select(col("tok"), col("alpha_micro"),
+        round((log((col("c1").cast("double") + a)
+            / (col("n1").cast("double") + a * col("v").cast("double")))
+          - log((col("c0").cast("double") + a)
+            / (col("n0").cast("double") + a * col("v").cast("double"))))
+          * 1000000, 0).cast("long").as("t_micro"))
+    val scored = panel.select(col("id"), col("gold"), explode(col("toks")).as("tok"))
+      .join(terms, "tok")
+      .groupBy(col("id"), col("gold"), col("alpha_micro"))
+      .agg(sum(col("t_micro")).as("s_sum"))
+    scored.crossJoin(broadcast(prior))
+      .withColumn("pred", col("p_micro") + col("s_sum") >= 0L)
+      .groupBy(col("alpha_micro"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(when(col("pred") === col("gold"), 1L).otherwise(0L))
+          .cast("double") * 1000.0 / count(lit(1)).cast("double"), 0)
+          .cast("long").as("acc_milli"))
+  }
+
+  /** Hill-number diversity profile per slice: effective token counts
+    * at orders q = 0 (richness), 1 (exp of Shannon entropy), 2
+    * (inverse Simpson) — the ecology-standard spectrum, read here as
+    * "how many effective token types does each source really use".
+    * Entropy terms micro-rounded then integer-summed; the two
+    * exponentials/ratios are shared-shape doubles.
+    *
+    * @return (source, n_tokens, hill0, hill1_milli, hill2_milli)
+    */
+  def hillDiversity(docs: DataFrame, textCol: String,
+                    srcCol: String): DataFrame = {
+    val tc = docs.select(col(srcCol).as("source"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n_st"))
+    val withTot = tc.withColumn("n_s",
+      sum(col("n_st")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))))
+    withTot
+      .withColumn("h_term",
+        round(-(col("n_st").cast("double") / col("n_s").cast("double"))
+          * log(col("n_st").cast("double") / col("n_s").cast("double"))
+          * 1000000.0, 0).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("hill0"),
+        sum(col("h_term")).as("h_sum"),
+        sum(col("n_st") * col("n_st")).as("sq_sum"))
+      .select(col("source"), col("n_tokens"), col("hill0"),
+        round(exp(col("h_sum").cast("double") / lit(1000000.0)) * 1000.0, 0)
+          .cast("long").as("hill1_milli"),
+        round(col("n_tokens").cast("double") * col("n_tokens").cast("double")
+          / col("sq_sum").cast("double") * 1000.0, 0).cast("long")
+          .as("hill2_milli"))
+  }
 }

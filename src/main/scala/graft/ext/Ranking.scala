@@ -374,4 +374,66 @@ object Ranking {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("score_micro"))
   }
+
+  /** Wang–Isola alignment & uniformity of an embedding table:
+    * alignment = mean squared distance over same-label pairs, computed
+    * from per-label MOMENTS (2·n·Σ‖z‖² − 2·‖Σz‖² over ordered pairs) —
+    * exact integers, O(n·dim), never a pair join; uniformity =
+    * ln(mean exp(−2‖zi−zj‖²)) over a deterministic systematic pair
+    * sample (partner = id + step for a fixed step set — the rand()-
+    * free pairing discipline). Both on micro-int embeddings.
+    *
+    * @return one row: (n, n_align_pairs, align_micro, n_unif_pairs,
+    *         uniform_micro)
+    */
+  def alignmentUniformity(emb: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String,
+                          steps: Seq[Int] = Seq(1, 7, 31, 101)): DataFrame = {
+    require(steps.nonEmpty, "need at least one sampling step")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val micro = emb.select(col(idCol).as("id"), col(labelCol).as("lab"),
+      transform(col(vecCol),
+        x => round(x.cast("double") * 1000000.0, 0).cast("long")).as("vm"))
+      .persist()
+    // alignment from per-label moments: Σ_{a≠b} ‖za−zb‖² =
+    //   2·n·Σ‖z‖² − 2·Σ_d (Σ z_d)² (ordered pairs)
+    val withNorm = micro
+      .withColumn("sq", aggregate(col("vm"), lit(0L), (acc, x) => acc + x * x))
+    // per-dimension label sums via posexplode (the meanPoolMicro shape)
+    val dimSums = micro
+      .select(col("lab"), posexplode(col("vm")).as(Seq("pos", "x")))
+      .groupBy(col("lab"), col("pos")).agg(sum(col("x")).as("s_d"))
+    val vsumSq = dimSums.groupBy(col("lab"))
+      .agg(sum(col("s_d") * col("s_d")).as("vsum_sq"))
+    val byLab = withNorm.groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_l"), sum(col("sq")).as("sum_sq"))
+      .join(vsumSq, "lab")
+      .select(col("lab"), col("n_l"),
+        (col("n_l") * col("sum_sq") * 2L - col("vsum_sq") * 2L).as("pair_d2"),
+        (col("n_l") * (col("n_l") - 1L)).as("n_pairs"))
+    val align = byLab.agg(sum(col("pair_d2")).as("d2_tot"),
+      sum(col("n_pairs")).as("np"))
+    // uniformity over the systematic sample: partner id + step, joined
+    // on the shifted key (missing partners drop — documented)
+    val stepsDf = steps.toDF("step")
+    val pairs = micro.crossJoin(broadcast(stepsDf))
+      .select(col("id"), col("vm"), (col("id") + col("step")).as("pid"))
+      .join(micro.select(col("id").as("pid"), col("vm").as("wm")), "pid")
+      .withColumn("d2",
+        aggregate(zip_with(col("vm"), col("wm"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("e_micro",
+        round(exp(col("d2").cast("double") / lit(-5e11)) * 1000000.0, 0)
+          .cast("long"))
+    val unif = pairs.agg(count(lit(1)).as("nu"), sum(col("e_micro")).as("es"))
+    align.crossJoin(broadcast(unif)).crossJoin(
+        broadcast(micro.agg(count(lit(1)).as("n"))))
+      .select(col("n"), col("np").as("n_align_pairs"),
+        round(col("d2_tot").cast("double") / col("np").cast("double")
+          / 1000000.0, 0).cast("long").as("align_micro"),
+        col("nu").as("n_unif_pairs"),
+        round(log(col("es").cast("double") / col("nu").cast("double")
+          / 1000000.0) * 1000000.0, 0).cast("long").as("uniform_micro"))
+  }
 }

@@ -485,4 +485,45 @@ object TimeSeries {
             |  (acc, mm) -> (mm.a * acc + mm.b) div mm.d)""".stripMargin)
           .as("ema_seg"))
   }
+
+  /** Seasonal-naive forecast evaluation (MASE): forecast each series
+    * value by its reading one season back, score MAE against it, and
+    * scale by the one-step-naive MAE — Hyndman's scale-free accuracy
+    * measure, the baseline every demand/traffic forecaster must beat.
+    * Lags resolve by value JOIN on `t − season` / `t − 1` (not row
+    * lag), so gaps in the series drop out of the evaluation instead of
+    * silently comparing non-adjacent readings.
+    *
+    * Exact integer absolute-error sums per key; the two MAEs and their
+    * ratio are the only shared-shape doubles.
+    *
+    * @return (key, n_eval, mae_seasonal_milli, mae_naive_milli,
+    *         mase_milli — null when the naive MAE is 0)
+    */
+  def seasonalNaiveEval(df: DataFrame, keyCol: String, tCol: String,
+                        yCol: String, season: Int = 7): DataFrame = {
+    require(season >= 2, "season below 2 is the naive baseline itself")
+    val base = df.select(col(keyCol).as("key"), col(tCol).cast("long").as("t"),
+      col(yCol).cast("long").as("y"))
+    val eval = base.as("c")
+      .join(base.select(col("key"), (col("t") + season).as("t"),
+        col("y").as("y_season")), Seq("key", "t"))
+      .join(base.select(col("key"), (col("t") + 1).as("t"),
+        col("y").as("y_prev")), Seq("key", "t"))
+    eval.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("y") - col("y_season"))).as("ae_s"),
+        sum(abs(col("y") - col("y_prev"))).as("ae_n"))
+      .select(col("key"), col("n_eval"),
+        round(col("ae_s").cast("double") * 1000.0
+          / col("n_eval").cast("double"), 0).cast("long")
+          .as("mae_seasonal_milli"),
+        round(col("ae_n").cast("double") * 1000.0
+          / col("n_eval").cast("double"), 0).cast("long")
+          .as("mae_naive_milli"),
+        when(col("ae_n") > 0L,
+          round(col("ae_s").cast("double") * 1000.0
+            / col("ae_n").cast("double"), 0).cast("long"))
+          .otherwise(lit(null).cast("long")).as("mase_milli"))
+  }
 }

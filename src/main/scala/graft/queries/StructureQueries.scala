@@ -638,6 +638,192 @@ object StructureQueries extends QueryPack {
             |SELECT id, density_milli,
             |  CAST(row_number() OVER (ORDER BY density_milli, id) AS BIGINT) AS rnk
             |FROM dens ORDER BY density_milli, id LIMIT 20""".stripMargin
-      })
+      }),
+
+    // NB smoothing grid search in one dataflow: the vocab-sized LLR
+    // table crosses the 5-point alpha grid, the corpus is scanned once
+    // — hyperparameter sweep without per-configuration passes.
+    Q("q313_alpha_sweep",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.LangModel.alphaSweepNb(Tables.documents(s, d),
+            "doc_id", "text", $"lang" === "en",
+            Seq(100000L, 500000L, 1000000L, 2000000L, 5000000L))
+          .orderBy($"alpha_micro")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id AS id, lang = 'en' AS gold,
+             |    string_split_regex(trim(text), '\s+') AS l
+             |  FROM documents),
+             |tr AS (SELECT * FROM base WHERE id % 7 != 0),
+             |pn AS (SELECT * FROM base WHERE id % 7 = 0),
+             |counts AS (SELECT tok,
+             |    CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT) AS c0
+             |  FROM (SELECT gold, unnest(l) AS tok FROM tr) GROUP BY 1),
+             |gl AS (SELECT CAST(count(*) AS BIGINT) AS v,
+             |    CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0
+             |  FROM counts),
+             |pr AS (SELECT CAST(round((ln(CAST(
+             |      sum(CASE WHEN gold THEN 1 ELSE 0 END) + 1 AS DOUBLE))
+             |    - ln(CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) + 1 AS DOUBLE)))
+             |    * 1000000) AS BIGINT) AS p_micro FROM tr),
+             |al AS (SELECT CAST(unnest([100000, 500000, 1000000, 2000000,
+             |    5000000]) AS BIGINT) AS alpha_micro),
+             |terms AS (
+             |  SELECT tok, alpha_micro,
+             |    CAST(round((ln((CAST(c1 AS DOUBLE)
+             |        + CAST(alpha_micro AS DOUBLE) / CAST(1000000 AS DOUBLE))
+             |      / (CAST(n1 AS DOUBLE)
+             |        + CAST(alpha_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
+             |          * CAST(v AS DOUBLE)))
+             |      - ln((CAST(c0 AS DOUBLE)
+             |        + CAST(alpha_micro AS DOUBLE) / CAST(1000000 AS DOUBLE))
+             |      / (CAST(n0 AS DOUBLE)
+             |        + CAST(alpha_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
+             |          * CAST(v AS DOUBLE)))) * 1000000) AS BIGINT) AS t_micro
+             |  FROM counts CROSS JOIN al CROSS JOIN gl),
+             |sc AS (
+             |  SELECT p.id, p.gold, t.alpha_micro,
+             |    CAST(sum(t.t_micro) AS BIGINT) AS s_sum
+             |  FROM (SELECT id, gold, unnest(l) AS tok FROM pn) p
+             |  JOIN terms t USING (tok)
+             |  GROUP BY 1, 2, 3)
+             |SELECT alpha_micro, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(round(CAST(sum(CASE WHEN (p_micro + s_sum >= 0) = gold
+             |      THEN 1 ELSE 0 END) AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS acc_milli
+             |FROM sc CROSS JOIN pr GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Seasonal-naive MASE per event type over daily volumes: the
+    // scale-free forecast baseline, gap-safe through value joins.
+    Q("q314_mase_eval",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.events(s, d)
+          .select(expr("cast(ts as long) div 86400").as("day"), $"event_type")
+          .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+        graft.ops.TimeSeries.seasonalNaiveEval(daily, "event_type", "day",
+            "n", season = 7)
+          .select($"key".as("event_type"), $"n_eval", $"mae_seasonal_milli",
+            $"mae_naive_milli", $"mase_milli")
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+             |    // 86400 AS day
+             |  FROM events),
+             |ds AS (SELECT event_type AS key, day AS t,
+             |    CAST(count(*) AS BIGINT) AS y
+             |  FROM e GROUP BY 1, 2),
+             |ev AS (
+             |  SELECT c.key, c.t, c.y, s.y AS y_season, p.y AS y_prev
+             |  FROM ds c JOIN ds s ON s.key = c.key AND s.t + 7 = c.t
+             |  JOIN ds p ON p.key = c.key AND p.t + 1 = c.t),
+             |ag AS (SELECT key, CAST(count(*) AS BIGINT) AS n_eval,
+             |    CAST(sum(abs(y - y_season)) AS BIGINT) AS ae_s,
+             |    CAST(sum(abs(y - y_prev)) AS BIGINT) AS ae_n
+             |  FROM ev GROUP BY 1)
+             |SELECT key AS event_type, n_eval,
+             |  CAST(round(CAST(ae_s AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |    / CAST(n_eval AS DOUBLE)) AS BIGINT) AS mae_seasonal_milli,
+             |  CAST(round(CAST(ae_n AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |    / CAST(n_eval AS DOUBLE)) AS BIGINT) AS mae_naive_milli,
+             |  CASE WHEN ae_n > 0 THEN
+             |    CAST(round(CAST(ae_s AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |      / CAST(ae_n AS DOUBLE)) AS BIGINT)
+             |  ELSE NULL END AS mase_milli
+             |FROM ag ORDER BY event_type""".stripMargin)),
+
+    // Hill diversity profile per source: effective token counts at
+    // orders 0/1/2 — richness, exp(Shannon), inverse Simpson.
+    Q("q315_hill_diversity",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.LangModel.hillDiversity(Tables.documents(s, d),
+            "text", "source")
+          .orderBy($"source")
+      },
+      Some("""WITH tc AS (
+             |  SELECT source, tok, CAST(count(*) AS BIGINT) AS n_st
+             |  FROM (SELECT source,
+             |        unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |      FROM documents) GROUP BY 1, 2),
+             |wt AS (SELECT source, n_st,
+             |    CAST(sum(n_st) OVER (PARTITION BY source) AS BIGINT) AS n_s
+             |  FROM tc),
+             |ht AS (SELECT source, n_s, n_st,
+             |    CAST(round(-(CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+             |      * ln(CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+             |      * 1000000) AS BIGINT) AS h_term
+             |  FROM wt)
+             |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) AS BIGINT) AS hill0,
+             |  CAST(round(exp(CAST(sum(h_term) AS DOUBLE)
+             |    / CAST(1000000 AS DOUBLE)) * CAST(1000 AS DOUBLE)) AS BIGINT)
+             |    AS hill1_milli,
+             |  CAST(round(CAST(max(n_s) AS DOUBLE) * CAST(max(n_s) AS DOUBLE)
+             |    / CAST(sum(n_st * n_st) AS DOUBLE) * CAST(1000 AS DOUBLE))
+             |    AS BIGINT) AS hill2_milli
+             |FROM ht GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Wang–Isola alignment (exact, per-label moments — no pair join)
+    // and uniformity (deterministic systematic pair sample) of the
+    // embedding table.
+    Q("q316_alignment_uniformity",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.Ranking.alignmentUniformity(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label")
+      },
+      Some("""WITH m AS (
+             |  SELECT vec_id AS id, CAST(label AS BIGINT) AS lab,
+             |    list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+             |  FROM embeddings),
+             |nr AS (SELECT id, lab,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(vm, x -> x * x)), (a, b) -> a + b) AS sq
+             |  FROM m),
+             |dims AS (
+             |  SELECT lab,
+             |    unnest(list_transform(vm, (x, i) -> {'pos': CAST(i AS BIGINT),
+             |      'xm': x}), recursive := true)
+             |  FROM m),
+             |ds AS (SELECT lab, pos, CAST(sum(xm) AS BIGINT) AS s_d
+             |       FROM dims GROUP BY 1, 2),
+             |vs AS (SELECT lab, CAST(sum(s_d * s_d) AS BIGINT) AS vsum_sq
+             |       FROM ds GROUP BY 1),
+             |bl AS (
+             |  SELECT nr.lab, CAST(count(*) AS BIGINT) AS n_l,
+             |    CAST(sum(sq) AS BIGINT) AS sum_sq
+             |  FROM nr GROUP BY 1),
+             |pl AS (
+             |  SELECT bl.lab, n_l,
+             |    n_l * sum_sq * 2 - vsum_sq * 2 AS pair_d2,
+             |    n_l * (n_l - 1) AS n_pairs
+             |  FROM bl JOIN vs ON vs.lab = bl.lab),
+             |alg AS (SELECT CAST(sum(pair_d2) AS BIGINT) AS d2_tot,
+             |    CAST(sum(n_pairs) AS BIGINT) AS np FROM pl),
+             |prs AS (
+             |  SELECT a.id, CAST(round(exp(CAST(
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(a.vm, (x, i) ->
+             |          (x - b.vm[i]) * (x - b.vm[i]))), (p, v) -> p + v)
+             |      AS DOUBLE) / CAST(-500000000000 AS DOUBLE))
+             |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS e_micro
+             |  FROM m a CROSS JOIN (SELECT unnest([1, 7, 31, 101]) AS step) st
+             |  JOIN m b ON b.id = a.id + st.step),
+             |un AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+             |    CAST(sum(e_micro) AS BIGINT) AS es FROM prs),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m)
+             |SELECT n, np AS n_align_pairs,
+             |  CAST(round(CAST(d2_tot AS DOUBLE) / CAST(np AS DOUBLE)
+             |    / CAST(1000000 AS DOUBLE)) AS BIGINT) AS align_micro,
+             |  nu AS n_unif_pairs,
+             |  CAST(round(ln(CAST(es AS DOUBLE) / CAST(nu AS DOUBLE)
+             |    / CAST(1000000 AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+             |    AS uniform_micro
+             |FROM nn CROSS JOIN alg CROSS JOIN un""".stripMargin))
   )
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ground truth for the wave-35 evaluation operators on hand fixtures:
+  * alpha sweep on a separable corpus, MASE of a perfectly seasonal
+  * series, Hill numbers of a uniform distribution, and the moment-form
+  * alignment against the brute pair definition.
+  */
+class EvalOps2Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("alphaSweepNb: separable corpus is perfect at every smoothing strength") {
+    val docs = (0 until 28).map { i =>
+      (i.toLong, if (i % 2 == 0) "good good" else "bad bad", i % 2 == 0)
+    }.toDF("doc_id", "text", "gold")
+    val got = graft.ext.LangModel.alphaSweepNb(docs, "doc_id", "text",
+        col("gold"), Seq(100000L, 1000000L, 5000000L))
+      .orderBy(col("alpha_micro")).collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getAs[Long]("acc_milli") == 1000L))
+    assert(got.map(_.getAs[Long]("n_docs")).distinct.length == 1)
+  }
+
+  test("seasonalNaiveEval: a period-7 series scores MASE 0; a drifting one doesn't") {
+    // y(t) = t % 7: seasonal forecast exact, one-step naive errs
+    val seasonal = (0L until 42L).map(t => ("a", t, t % 7)).toDF("k", "t", "y")
+    val g1 = graft.ops.TimeSeries.seasonalNaiveEval(seasonal, "k", "t", "y")
+      .collect()(0)
+    assert(g1.getAs[Long]("mae_seasonal_milli") == 0L)
+    assert(g1.getAs[Long]("mase_milli") == 0L)
+    // y(t) = t: seasonal error 7, naive error 1 -> MASE = 7.0
+    val drift = (0L until 42L).map(t => ("a", t, t)).toDF("k", "t", "y")
+    val g2 = graft.ops.TimeSeries.seasonalNaiveEval(drift, "k", "t", "y")
+      .collect()(0)
+    assert(g2.getAs[Long]("mase_milli") == 7000L)
+  }
+
+  test("hillDiversity: uniform k-token slice has all Hill numbers = k") {
+    val docs = Seq((1L, "a b c d a b c d", "u")).toDF("doc_id", "text", "source")
+    val r = graft.ext.LangModel.hillDiversity(docs, "text", "source")
+      .collect()(0)
+    assert(r.getAs[Long]("hill0") == 4L)
+    assert(math.abs(r.getAs[Long]("hill1_milli") - 4000L) <= 2L)
+    assert(r.getAs[Long]("hill2_milli") == 4000L)
+  }
+
+  test("alignmentUniformity: moment form equals the brute pair definition") {
+    val vecs = Seq(
+      (0L, Array(0.1f, 0.2f), 0), (1L, Array(0.3f, -0.1f), 0),
+      (2L, Array(-0.2f, 0.4f), 0), (3L, Array(0.0f, 0.0f), 1),
+      (4L, Array(0.5f, 0.5f), 1))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val r = graft.ext.Ranking.alignmentUniformity(df, "vec_id", "embedding",
+      "label", steps = Seq(1)).collect()(0)
+    // brute: ordered same-label pairs of the micro vectors
+    val micro = vecs.map { case (id, v, l) =>
+      (id, v.map(x => math.round(x.toDouble * 1e6)), l)
+    }
+    val pairs = for {
+      a <- micro; b <- micro
+      if a._3 == b._3 && a._1 != b._1
+    } yield a._2.zip(b._2).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expect = math.round(pairs.sum.toDouble / pairs.length / 1e6)
+    assert(r.getAs[Long]("n_align_pairs") == pairs.length)
+    assert(r.getAs[Long]("align_micro") == expect)
+    // identical-vector labels would align at 0
+    val same = Seq((0L, Array(0.1f, 0.2f), 0), (1L, Array(0.1f, 0.2f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r2 = graft.ext.Ranking.alignmentUniformity(same, "vec_id", "embedding",
+      "label", steps = Seq(1)).collect()(0)
+    assert(r2.getAs[Long]("align_micro") == 0L)
+  }
+}
