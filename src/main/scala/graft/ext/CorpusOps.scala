@@ -710,4 +710,35 @@ object CorpusOps {
     mixed.select(col("source"), col("n_tokens"), col("nll_micro"),
       col("w").as("w_micro"))
   }
+
+  /** Length-bucket padding-waste report: each sequence rounds up to
+    * the smallest bucket boundary that holds it (power-of-two ladders
+    * are the convention), and the report prices what dynamic batching
+    * actually pays — padded token slots vs real tokens per bucket.
+    * Sequences longer than the last bucket clamp into it (truncation
+    * accounting is the chunker's job, q84).
+    *
+    * One projection + one hash aggregation; buckets are a literal
+    * CASE ladder, so the pass is map-side combinable at any size.
+    *
+    * @param buckets ascending bucket capacities
+    * @return (bucket, n_seqs, sum_tokens, padded_tokens, waste_micro)
+    */
+  def paddingWasteReport(df: DataFrame, idCol: String, nTokens: Column,
+                         buckets: Seq[Long]): DataFrame = {
+    require(buckets.nonEmpty && buckets == buckets.sorted,
+      "buckets must be ascending")
+    val n = nTokens.cast("long")
+    val bucket = buckets.init.reverse.foldLeft(lit(buckets.last)) {
+      (acc, b) => when(n <= b, lit(b)).otherwise(acc)
+    }
+    df.select(col(idCol).as("id"), n.as("n_tok"), bucket.as("bucket"))
+      .withColumn("n_pad", least(col("n_tok"), col("bucket")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("n_pad")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_seqs") * col("bucket"))
+      .withColumn("waste_micro",
+        round((col("padded_tokens") - col("sum_tokens")).cast("double")
+          * 1000000.0 / col("padded_tokens").cast("double"), 0).cast("long"))
+  }
 }

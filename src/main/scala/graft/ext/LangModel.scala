@@ -1415,4 +1415,88 @@ object LangModel {
           / col("sq_sum").cast("double") * 1000.0, 0).cast("long")
           .as("hill2_milli"))
   }
+
+  /** NB learning curve in one pass: training shards are the id-hash
+    * buckets `id mod m < j` for j = 1..m (nested prefixes, so shard j's
+    * model is the CUMULATIVE sum of per-bucket count tables — built by
+    * a bounded running sum over the bucket index, never by re-scanning
+    * the corpus per point); every curve point scores the same held-out
+    * panel. The "is more data still buying accuracy" audit.
+    *
+    * @param m number of curve points (and training buckets)
+    * @return (train_frac_pct, n_train_docs, acc_milli) per point
+    */
+  def learningCurveNb(docs: DataFrame, idCol: String, textCol: String,
+                      gold: Column, m: Int = 5,
+                      panelMod: Int = 7): DataFrame = {
+    require(m >= 2 && m <= 20, "curve points out of range")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).as("id"), gold.as("gold"),
+      TextAnalysis.tokens(col(textCol)).as("toks")).persist()
+    val train = base.filter(col("id") % panelMod =!= 0)
+      .withColumn("bkt", pmod(expr("id div " + panelMod), lit(m)).cast("long"))
+    val panel = base.filter(col("id") % panelMod === 0)
+
+    val bCounts = train.select(col("bkt"), col("gold"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("tok"), col("bkt"))
+      .agg(sum(when(col("gold"), 1L).otherwise(0L)).as("c1b"),
+        sum(when(!col("gold"), 1L).otherwise(0L)).as("c0b"))
+      .persist()
+    // cumulative (token, j) counts via the bounded bucket window
+    val wTok = Window.partitionBy(col("tok")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumTok = bCounts
+      .withColumn("c1c", sum(col("c1b")).over(wTok))
+      .withColumn("c0c", sum(col("c0b")).over(wTok))
+    // a token enters the model at its FIRST bucket; later curve points
+    // must still see it — expand each cumulative row to every j ≥ bkt
+    val jGrid = (0 until m).map(_.toLong).toDF("j")
+    val tokJ = cumTok.join(broadcast(jGrid), col("j") >= col("bkt"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("tok"), col("j")).orderBy(col("bkt").desc)))
+      .filter(col("rn") === 1)
+      .select(col("tok"), col("j"), col("c1c"), col("c0c"))
+    // per-point constants: vocab, token mass, doc counts
+    val consts = tokJ.groupBy(col("j"))
+      .agg(count(lit(1)).as("v"), sum(col("c1c")).as("n1"),
+        sum(col("c0c")).as("n0"))
+      .join(train.groupBy(col("bkt")).agg(
+          count(lit(1)).as("nd"),
+          sum(when(col("gold"), 1L).otherwise(0L)).as("d1b"),
+          sum(when(!col("gold"), 1L).otherwise(0L)).as("d0b"))
+        .withColumn("j", col("bkt"))
+        .select(col("j"), col("nd"), col("d1b"), col("d0b"))
+        .withColumn("n_train", sum(col("nd")).over(Window.orderBy(col("j"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("d1", sum(col("d1b")).over(Window.orderBy(col("j"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("d0", sum(col("d0b")).over(Window.orderBy(col("j"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("j"), col("n_train"), col("d1"), col("d0")), "j")
+      .withColumn("p_micro",
+        round((log((col("d1") + 1L).cast("double"))
+          - log((col("d0") + 1L).cast("double"))) * 1000000, 0).cast("long"))
+    val terms = tokJ.join(broadcast(consts.select(col("j"), col("v"),
+        col("n1"), col("n0"))), "j")
+      .select(col("tok"), col("j"),
+        round((log((col("c1c") + 1L).cast("double")
+            / (col("n1") + col("v")).cast("double"))
+          - log((col("c0c") + 1L).cast("double")
+            / (col("n0") + col("v")).cast("double"))) * 1000000, 0)
+          .cast("long").as("t_micro"))
+    val scored = panel.select(col("id"), col("gold"), explode(col("toks")).as("tok"))
+      .join(terms, "tok")
+      .groupBy(col("id"), col("gold"), col("j"))
+      .agg(sum(col("t_micro")).as("s_sum"))
+    scored.join(broadcast(consts.select(col("j"), col("n_train"), col("p_micro"))), "j")
+      .withColumn("pred", col("p_micro") + col("s_sum") >= 0L)
+      .groupBy(col("j"), col("n_train"))
+      .agg(round(sum(when(col("pred") === col("gold"), 1L).otherwise(0L))
+          .cast("double") * 1000.0 / count(lit(1)).cast("double"), 0)
+        .cast("long").as("acc_milli"))
+      .select(expr(s"(j + 1) * 100 div $m").as("train_frac_pct"),
+        col("n_train").as("n_train_docs"), col("acc_milli"))
+  }
 }

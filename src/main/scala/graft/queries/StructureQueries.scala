@@ -824,6 +824,108 @@ object StructureQueries extends QueryPack {
              |  CAST(round(ln(CAST(es AS DOUBLE) / CAST(nu AS DOUBLE)
              |    / CAST(1000000 AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT)
              |    AS uniform_micro
-             |FROM nn CROSS JOIN alg CROSS JOIN un""".stripMargin))
+             |FROM nn CROSS JOIN alg CROSS JOIN un""".stripMargin)),
+
+    // NB learning curve: five nested training prefixes built by ONE
+    // bounded cumulative window over per-bucket counts — accuracy vs
+    // data volume without re-scanning the corpus per point.
+    Q("q317_learning_curve",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.LangModel.learningCurveNb(Tables.documents(s, d),
+            "doc_id", "text", $"lang" === "en", m = 5)
+          .orderBy($"train_frac_pct")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id AS id, lang = 'en' AS gold,
+             |    string_split_regex(trim(text), '\s+') AS l
+             |  FROM documents),
+             |tr AS (SELECT id, (id // 7) % 5 AS bkt, gold, l
+             |       FROM base WHERE id % 7 != 0),
+             |pn AS (SELECT id, gold, l FROM base WHERE id % 7 = 0),
+             |bc AS (SELECT tok, bkt,
+             |    CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS c1b,
+             |    CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT) AS c0b
+             |  FROM (SELECT bkt, gold, unnest(l) AS tok FROM tr) GROUP BY 1, 2),
+             |cum AS (SELECT tok, bkt,
+             |    CAST(sum(c1b) OVER (PARTITION BY tok ORDER BY bkt) AS BIGINT)
+             |      AS c1c,
+             |    CAST(sum(c0b) OVER (PARTITION BY tok ORDER BY bkt) AS BIGINT)
+             |      AS c0c
+             |  FROM bc),
+             |tokj AS (
+             |  SELECT tok, j, c1c, c0c FROM (
+             |    SELECT c.tok, g.j, c.c1c, c.c0c,
+             |      row_number() OVER (PARTITION BY c.tok, g.j
+             |        ORDER BY c.bkt DESC) AS rn
+             |    FROM cum c JOIN (SELECT CAST(unnest(generate_series(0, 4))
+             |      AS BIGINT) AS j) g ON g.j >= c.bkt)
+             |  WHERE rn = 1),
+             |cns AS (
+             |  SELECT j, CAST(count(*) AS BIGINT) AS v,
+             |    CAST(sum(c1c) AS BIGINT) AS n1, CAST(sum(c0c) AS BIGINT) AS n0
+             |  FROM tokj GROUP BY 1),
+             |dcum AS (
+             |  SELECT bkt AS j,
+             |    CAST(sum(count(*)) OVER (ORDER BY bkt) AS BIGINT) AS n_train,
+             |    CAST(sum(sum(CASE WHEN gold THEN 1 ELSE 0 END))
+             |      OVER (ORDER BY bkt) AS BIGINT) AS d1,
+             |    CAST(sum(sum(CASE WHEN gold THEN 0 ELSE 1 END))
+             |      OVER (ORDER BY bkt) AS BIGINT) AS d0
+             |  FROM tr GROUP BY bkt),
+             |cns2 AS (
+             |  SELECT cns.j, v, n1, n0, n_train,
+             |    CAST(round((ln(CAST(d1 + 1 AS DOUBLE))
+             |      - ln(CAST(d0 + 1 AS DOUBLE))) * 1000000) AS BIGINT) AS p_micro
+             |  FROM cns JOIN dcum ON dcum.j = cns.j),
+             |terms AS (
+             |  SELECT tok, tokj.j,
+             |    CAST(round((ln(CAST(c1c + 1 AS DOUBLE)
+             |        / CAST(n1 + v AS DOUBLE))
+             |      - ln(CAST(c0c + 1 AS DOUBLE)
+             |        / CAST(n0 + v AS DOUBLE))) * 1000000) AS BIGINT) AS t_micro
+             |  FROM tokj JOIN cns2 ON cns2.j = tokj.j),
+             |sc AS (
+             |  SELECT p.id, p.gold, t.j, CAST(sum(t.t_micro) AS BIGINT) AS s_sum
+             |  FROM (SELECT id, gold, unnest(l) AS tok FROM pn) p
+             |  JOIN terms t USING (tok) GROUP BY 1, 2, 3)
+             |SELECT (sc.j + 1) * 100 // 5 AS train_frac_pct,
+             |  n_train AS n_train_docs,
+             |  CAST(round(CAST(sum(CASE WHEN (p_micro + s_sum >= 0) = gold
+             |      THEN 1 ELSE 0 END) AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS acc_milli
+             |FROM sc JOIN cns2 ON cns2.j = sc.j
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // Padding-waste pricing for length-bucketed batching: power-of-two
+    // ladder, padded slots vs real tokens per bucket.
+    Q("q318_padding_waste",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.CorpusOps.paddingWasteReport(Tables.documents(s, d),
+            "doc_id", graft.ext.TextAnalysis.tokenCount($"text"),
+            Seq(8L, 16L, 32L, 64L, 128L))
+          .orderBy($"bucket")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id AS id,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |      AS n_tok
+             |  FROM documents),
+             |b AS (SELECT id, n_tok,
+             |    CASE WHEN n_tok <= 8 THEN 8 WHEN n_tok <= 16 THEN 16
+             |      WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64
+             |      ELSE 128 END AS bucket
+             |  FROM t),
+             |ag AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+             |    CAST(count(*) AS BIGINT) AS n_seqs,
+             |    CAST(sum(least(n_tok, bucket)) AS BIGINT) AS sum_tokens
+             |  FROM b GROUP BY 1)
+             |SELECT bucket, n_seqs, sum_tokens,
+             |  n_seqs * bucket AS padded_tokens,
+             |  CAST(round(CAST(n_seqs * bucket - sum_tokens AS DOUBLE)
+             |    * CAST(1000000 AS DOUBLE)
+             |    / CAST(n_seqs * bucket AS DOUBLE)) AS BIGINT) AS waste_micro
+             |FROM ag ORDER BY bucket""".stripMargin))
   )
 }

@@ -71,4 +71,35 @@ class EvalOps2Spec extends SparkTestBase {
       "label", steps = Seq(1)).collect()(0)
     assert(r2.getAs[Long]("align_micro") == 0L)
   }
+
+  test("learningCurveNb: clean-signal corpus is perfect at every prefix; panel fixed") {
+    val docs = (0 until 140).map { i =>
+      (i.toLong, if (i % 2 == 0) "pos pos" else "neg neg", i % 2 == 0)
+    }.toDF("doc_id", "text", "gold")
+    val got = graft.ext.LangModel.learningCurveNb(docs, "doc_id", "text",
+        col("gold"), m = 5)
+      .orderBy(col("train_frac_pct")).collect()
+    assert(got.length == 5)
+    assert(got.map(_.getAs[Long]("train_frac_pct")).toSeq ==
+      Seq(20L, 40L, 60L, 80L, 100L))
+    // training sizes strictly increase along the curve
+    val sizes = got.map(_.getAs[Long]("n_train_docs"))
+    assert(sizes.sliding(2).forall(p => p(0) < p(1)))
+    assert(got.forall(_.getAs[Long]("acc_milli") == 1000L))
+  }
+
+  test("paddingWasteReport: exact waste on a hand bucket") {
+    // two 5-token and one 8-token seqs in the 8-bucket:
+    // padded 24, real 18 -> waste 250000
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 8L), (4L, 20L))
+      .toDF("id", "ntok")
+    val got = graft.ext.CorpusOps.paddingWasteReport(df, "id", col("ntok"),
+        Seq(8L, 16L, 32L))
+      .orderBy(col("bucket")).collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("bucket") == 8L)
+    assert(got(0).getAs[Long]("waste_micro") == 250000L)
+    assert(got(1).getAs[Long]("bucket") == 32L)
+    assert(got(1).getAs[Long]("padded_tokens") == 32L)
+  }
 }
