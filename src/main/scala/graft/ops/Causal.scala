@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experiment-analysis operators over an event log: CUPED variance
+  * reduction and the difference-in-differences estimator — the two
+  * workhorse adjustments an A/B readout applies before anyone trusts
+  * a lift number. Metric values enter as exact integer cents
+  * ([[graft.core.Exact]] discipline); covariances and the final
+  * estimators are the only shared-shape doubles.
+  *
+  * Scale shape: one user-keyed aggregation collapses the event log to
+  * per-user (pre, post) metric rows; everything after is single-row
+  * moment arithmetic. No window, no pair join, no collect.
+  */
+object Causal {
+
+  /** CUPED-adjusted A/B readout: per-user pre-period metric x and
+    * post-period metric y (integer cents), pooled
+    * θ = cov(x,y)/var(x) from exact integer sufficient statistics,
+    * adjusted metric y* = y − θ·(x − x̄). Reports, per variant, the
+    * raw and adjusted means plus the pooled θ and the variance ratio
+    * var(y*)/var(y) — the "how much noise did the covariate remove"
+    * number.
+    *
+    * @param variant  integer variant assignment per user row
+    * @param preCents pre-period metric (integer cents)
+    * @param postCents post-period metric (integer cents)
+    * @return (variant, n_users, mean_y_milli, mean_adj_milli,
+    *         theta_micro, var_ratio_milli)
+    */
+  def cuped(users: DataFrame, variant: Column, preCents: Column,
+            postCents: Column): DataFrame = {
+    val base = users.select(variant.cast("long").as("v"),
+      preCents.cast("long").as("x"), postCents.cast("long").as("y"))
+      .persist()
+    val mom = base.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val cov = col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / nD
+    val varX = col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / nD
+    val varY = col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double") / nD
+    val consts = mom.select(col("n"),
+      (cov / varX).as("theta"),
+      (col("sx").cast("double") / nD).as("xbar"),
+      varY.as("var_y"), (varY - cov * cov / varX).as("var_adj"))
+    // per-variant means in MOMENT form: mean(y*) = ȳ_v − θ(x̄_v − x̄).
+    // Adjusting per row would sum doubles in partition order — the
+    // non-reproducible plan the Exact discipline exists to avoid.
+    val perV = base.groupBy(col("v").as("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sxv"), sum(col("y")).as("syv"))
+    perV.crossJoin(broadcast(consts))
+      .select(col("variant"), col("n_users"),
+        round(col("syv").cast("double") / col("n_users").cast("double")
+          * 10.0, 0).cast("long").as("mean_y_milli"),
+        round((col("syv").cast("double") / col("n_users").cast("double")
+          - col("theta") * (col("sxv").cast("double")
+            / col("n_users").cast("double") - col("xbar")))
+          * 10.0, 0).cast("long").as("mean_adj_milli"),
+        round(col("theta") * 1000000.0, 0).cast("long").as("theta_micro"),
+        round(col("var_adj") / col("var_y") * 1000.0, 0)
+          .cast("long").as("var_ratio_milli"))
+  }
+
+  /** Difference-in-differences over the 2×2 (variant × period) design:
+    * exact integer cell sums, the four cell means, and
+    * DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre).
+    *
+    * @param rows (variant 0|1, is_post, cents) observation rows
+    * @return one row: cell means (milli) + did_milli
+    */
+  def diffInDiff(rows: DataFrame, variant: Column, isPost: Column,
+                 cents: Column): DataFrame = {
+    val base = rows.select(variant.cast("long").as("v"),
+      isPost.cast("boolean").as("p"), cents.cast("long").as("c"))
+    val cells = base.groupBy(col("v"), col("p"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      .withColumn("mean_milli",
+        round(col("s").cast("double") * 1000.0
+          / (col("n").cast("double") * 100.0), 0).cast("long"))
+    val wide = cells.groupBy(lit(1).as("one"))
+      .pivot(concat(col("v"), when(col("p"), lit("_post"))
+        .otherwise(lit("_pre"))), Seq("0_pre", "0_post", "1_pre", "1_post"))
+      .agg(first(col("mean_milli")))
+    wide.select(
+      col("0_pre").as("control_pre_milli"), col("0_post").as("control_post_milli"),
+      col("1_pre").as("treat_pre_milli"), col("1_post").as("treat_post_milli"),
+      (col("1_post") - col("1_pre") - (col("0_post") - col("0_pre")))
+        .as("did_milli"))
+  }
+}

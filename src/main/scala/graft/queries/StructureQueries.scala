@@ -926,6 +926,113 @@ object StructureQueries extends QueryPack {
              |  CAST(round(CAST(n_seqs * bucket - sum_tokens AS DOUBLE)
              |    * CAST(1000000 AS DOUBLE)
              |    / CAST(n_seqs * bucket AS DOUBLE)) AS BIGINT) AS waste_micro
-             |FROM ag ORDER BY bucket""".stripMargin))
+             |FROM ag ORDER BY bucket""".stripMargin)),
+
+    // CUPED variance-reduced A/B readout: pre-period spend as the
+    // covariate, pooled theta from exact integer moments, per-variant
+    // raw vs adjusted means — all in moment form, no per-row doubles.
+    Q("q319_cuped",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"user_id",
+          expr("cast(ts as long) div 86400").as("day"),
+          round($"value" * 100, 0).cast("long").as("cents"))
+        val users = ev.groupBy($"user_id").agg(
+          sum(when($"day" < 19738, $"cents").otherwise(0L)).as("pre_c"),
+          sum(when($"day" >= 19738, $"cents").otherwise(0L)).as("post_c"))
+        graft.ops.Causal.cuped(users, pmod($"user_id", lit(2)),
+            $"pre_c", $"post_c")
+          .orderBy($"variant")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |us AS (SELECT user_id,
+             |    CAST(sum(CASE WHEN day < 19738 THEN cents ELSE 0 END)
+             |      AS BIGINT) AS x,
+             |    CAST(sum(CASE WHEN day >= 19738 THEN cents ELSE 0 END)
+             |      AS BIGINT) AS y
+             |  FROM ev GROUP BY 1),
+             |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM us),
+             |cns AS (SELECT n,
+             |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+             |        / CAST(n AS DOUBLE))
+             |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             |        / CAST(n AS DOUBLE)) AS theta,
+             |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+             |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) AS var_y,
+             |    ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+             |      / CAST(n AS DOUBLE))
+             |     - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+             |        / CAST(n AS DOUBLE))
+             |       * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+             |        / CAST(n AS DOUBLE))
+             |       / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             |        / CAST(n AS DOUBLE))) AS var_adj
+             |  FROM mom),
+             |pv AS (SELECT user_id % 2 AS variant,
+             |    CAST(count(*) AS BIGINT) AS n_users,
+             |    CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv
+             |  FROM us GROUP BY 1)
+             |SELECT variant, n_users,
+             |  CAST(round(CAST(syv AS DOUBLE) / CAST(n_users AS DOUBLE)
+             |    * CAST(10 AS DOUBLE)) AS BIGINT) AS mean_y_milli,
+             |  CAST(round((CAST(syv AS DOUBLE) / CAST(n_users AS DOUBLE)
+             |    - theta * (CAST(sxv AS DOUBLE) / CAST(n_users AS DOUBLE) - xbar))
+             |    * CAST(10 AS DOUBLE)) AS BIGINT) AS mean_adj_milli,
+             |  CAST(round(theta * CAST(1000000 AS DOUBLE)) AS BIGINT)
+             |    AS theta_micro,
+             |  CAST(round(var_adj / var_y * CAST(1000 AS DOUBLE)) AS BIGINT)
+             |    AS var_ratio_milli
+             |FROM pv CROSS JOIN cns ORDER BY variant""".stripMargin)),
+
+    // Difference-in-differences on the 2×2 variant × period design:
+    // exact cell sums, four means, one DiD estimate.
+    Q("q320_diff_in_diff",
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.events(s, d).select(
+          pmod($"user_id", lit(2)).as("variant"),
+          (expr("cast(ts as long) div 86400") >= 19738).as("is_post"),
+          round($"value" * 100, 0).cast("long").as("cents"))
+        graft.ops.Causal.diffInDiff(rows, $"variant", $"is_post", $"cents")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id % 2 AS v,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 >= 19738
+             |      AS p,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events),
+             |cells AS (SELECT v, p, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(c) AS BIGINT) AS s
+             |  FROM ev GROUP BY 1, 2),
+             |m AS (SELECT v, p,
+             |    CAST(round(CAST(s AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |      / (CAST(n AS DOUBLE) * CAST(100 AS DOUBLE))) AS BIGINT)
+             |      AS mean_milli
+             |  FROM cells)
+             |SELECT
+             |  max(CASE WHEN v = 0 AND NOT p THEN mean_milli END)
+             |    AS control_pre_milli,
+             |  max(CASE WHEN v = 0 AND p THEN mean_milli END)
+             |    AS control_post_milli,
+             |  max(CASE WHEN v = 1 AND NOT p THEN mean_milli END)
+             |    AS treat_pre_milli,
+             |  max(CASE WHEN v = 1 AND p THEN mean_milli END)
+             |    AS treat_post_milli,
+             |  max(CASE WHEN v = 1 AND p THEN mean_milli END)
+             |    - max(CASE WHEN v = 1 AND NOT p THEN mean_milli END)
+             |    - (max(CASE WHEN v = 0 AND p THEN mean_milli END)
+             |      - max(CASE WHEN v = 0 AND NOT p THEN mean_milli END))
+             |    AS did_milli
+             |FROM m""".stripMargin))
   )
 }

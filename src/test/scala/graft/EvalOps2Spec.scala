@@ -102,4 +102,33 @@ class EvalOps2Spec extends SparkTestBase {
     assert(got(1).getAs[Long]("bucket") == 32L)
     assert(got(1).getAs[Long]("padded_tokens") == 32L)
   }
+
+  test("cuped: perfectly correlated covariate removes all variance; theta exact") {
+    // y = 2x exactly -> theta = 2, var ratio 0, adjusted means equal
+    // the grand mean of y for both variants
+    val users = (1 to 40).map { i =>
+      (i.toLong, i.toLong * 100L, i.toLong * 200L)
+    }.toDF("uid", "pre_c", "post_c")
+    val got = graft.ops.Causal.cuped(users, col("uid") % 2,
+      col("pre_c"), col("post_c")).orderBy(col("variant")).collect()
+    assert(got.length == 2)
+    assert(got.forall(_.getAs[Long]("theta_micro") == 2000000L))
+    assert(got.forall(_.getAs[Long]("var_ratio_milli") == 0L))
+    // grand mean of y = 2*100*(1..40 mean)=4100 cents -> 41000 milli
+    assert(got.forall(r => math.abs(r.getAs[Long]("mean_adj_milli") - 41000L) <= 1L))
+    // raw means differ by parity (odd vs even ids); adjusted ones don't
+    assert(got(0).getAs[Long]("mean_y_milli") != got(1).getAs[Long]("mean_y_milli"))
+  }
+
+  test("diffInDiff: hand 2x2 with a known uplift") {
+    // control: 10 -> 12 (+2); treat: 20 -> 27 (+7); DiD = +5 (milli: 5000)
+    val rows = Seq(
+      (0, false, 1000L), (0, true, 1200L),
+      (1, false, 2000L), (1, true, 2700L)).toDF("v", "p", "c")
+    val r = graft.ops.Causal.diffInDiff(rows, col("v"), col("p"), col("c"))
+      .collect()(0)
+    assert(r.getAs[Long]("did_milli") == 5000L)
+    assert(r.getAs[Long]("control_pre_milli") == 10000L)
+    assert(r.getAs[Long]("treat_post_milli") == 27000L)
+  }
 }
