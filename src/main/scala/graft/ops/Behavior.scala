@@ -352,4 +352,79 @@ object Behavior {
         coalesce(col("n_new"), lit(0L)).as("n_new"))
       .withColumn("cum_users", sum(col("n_new")).over(byDay))
   }
+
+  /** Backtest of the Markov-1 next-event predictor: the transition
+    * matrix trains on events BEFORE `cutoffDay` (argmax next type per
+    * context, ties to the lexicographically smaller type), then every
+    * post-cutoff transition scores against its prediction — the
+    * temporal-split evaluation that keeps the model from grading its
+    * own training data. One lag pass + bounded matrix argmax + one
+    * scoring join on the context type.
+    *
+    * @return (prev_type, predicted, n_test, n_correct, acc_milli)
+    */
+  def markovBacktest(events: DataFrame, cutoffDay: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    val perUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("b"),
+        expr(s"cast($tsCol as long) div 86400").as("day"))
+      .withColumn("a", lag(col("b"), 1).over(perUser))
+      // the transition is assigned to the day of its SECOND event;
+      // train pairs must complete before the cutoff
+      .filter(col("a").isNotNull)
+      .persist()
+    // argmax over the bounded |types|² matrix: best next type per
+    // context, ties to the smaller type
+    val wA = Window.partitionBy(col("a")).orderBy(col("n").desc, col("b").asc)
+    val model = pairs.filter(col("day") < cutoffDay)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select(col("a"), col("b").as("predicted"))
+    val test = pairs.filter(col("day") >= cutoffDay)
+    test.join(model, "a")
+      .groupBy(col("a").as("prev_type"), col("predicted"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("b") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_milli",
+        round(col("n_correct").cast("double") * 1000.0
+          / col("n_test").cast("double"), 0).cast("long"))
+  }
+
+  /** Churn-label construction with temporal hygiene: features aggregate
+    * STRICTLY from events on or before `cutoffDay`; the label is "no
+    * activity in the following `horizonDays`" — the future window the
+    * features must never see (the leakage rule every churn training
+    * set lives or dies by; the crossValNb leakage canary is the model-
+    * side twin of this audit). One pass per side, one anti-join-shaped
+    * left join on the user key.
+    *
+    * @return (user_id, n_events, n_purchases, n_days_active, recency_days,
+    *         spend_cents, churned)
+    */
+  def churnLabels(events: DataFrame, cutoffDay: Long, horizonDays: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", valueCol: String = "value"): DataFrame = {
+    val ev = events.select(col(userCol).as("user_id"),
+      expr(s"cast($tsCol as long) div 86400").as("day"),
+      col(typeCol).as("et"),
+      round(col(valueCol) * 100, 0).cast("long").as("cents"))
+    val feats = ev.filter(col("day") <= cutoffDay)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("et") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        countDistinct(col("day")).as("n_days_active"),
+        (lit(cutoffDay) - max(col("day"))).as("recency_days"),
+        sum(col("cents")).as("spend_cents"))
+    val future = ev
+      .filter(col("day") > cutoffDay && col("day") <= cutoffDay + horizonDays)
+      .select(col("user_id")).distinct()
+      .withColumn("active", lit(true))
+    feats.join(future, Seq("user_id"), "left")
+      .withColumn("churned", coalesce(!col("active"), lit(true)))
+      .drop("active")
+  }
 }

@@ -1033,6 +1033,68 @@ object StructureQueries extends QueryPack {
              |    - (max(CASE WHEN v = 0 AND p THEN mean_milli END)
              |      - max(CASE WHEN v = 0 AND NOT p THEN mean_milli END))
              |    AS did_milli
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Markov-1 predictor backtest on a temporal split: argmax next
+    // type trained before day 19743, accuracy on later transitions.
+    Q("q321_markov_backtest",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Behavior.markovBacktest(Tables.events(s, d),
+            cutoffDay = 19743L)
+          .orderBy($"prev_type")
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type AS b,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS a
+             |  FROM events),
+             |pr AS (SELECT a, b, day FROM seq WHERE a IS NOT NULL),
+             |mdl AS (
+             |  SELECT a, b AS predicted FROM (
+             |    SELECT a, b, row_number() OVER (PARTITION BY a
+             |      ORDER BY count(*) DESC, b) AS rn
+             |    FROM pr WHERE day < 19743 GROUP BY a, b)
+             |  WHERE rn = 1),
+             |ts2 AS (SELECT a, b FROM pr WHERE day >= 19743)
+             |SELECT a AS prev_type, predicted,
+             |  CAST(count(*) AS BIGINT) AS n_test,
+             |  CAST(sum(CASE WHEN b = predicted THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_correct,
+             |  CAST(round(CAST(sum(CASE WHEN b = predicted THEN 1 ELSE 0 END)
+             |      AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS acc_milli
+             |FROM ts2 JOIN mdl USING (a)
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // Churn training-set construction: cutoff-bounded features, a
+    // future-window label the features never see.
+    Q("q322_churn_labels",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Behavior.churnLabels(Tables.events(s, d),
+            cutoffDay = 19740L, horizonDays = 8L)
+          .orderBy($"user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day,
+             |    event_type AS et, CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_purchases,
+             |    CAST(count(DISTINCT day) AS BIGINT) AS n_days_active,
+             |    CAST(19740 - max(day) AS BIGINT) AS recency_days,
+             |    CAST(sum(cents) AS BIGINT) AS spend_cents
+             |  FROM ev WHERE day <= 19740 GROUP BY 1),
+             |fut AS (SELECT DISTINCT user_id FROM ev
+             |        WHERE day > 19740 AND day <= 19748)
+             |SELECT f.user_id, n_events, n_purchases, n_days_active,
+             |  recency_days, spend_cents,
+             |  fut.user_id IS NULL AS churned
+             |FROM f LEFT JOIN fut ON fut.user_id = f.user_id
+             |ORDER BY f.user_id""".stripMargin))
   )
 }

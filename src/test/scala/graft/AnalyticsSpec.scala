@@ -366,4 +366,38 @@ class AnalyticsSpec extends SparkTestBase {
     assert(byId(9L) == ("border", 1L), s"got $byId")
     assert(Seq(1L, 2L, 3L, 4L).forall(k => byId(k) == ("core", 1L)))
   }
+
+  test("markovBacktest: trains only before the cutoff; a post-cutoff flip is invisible") {
+    // pre-cutoff: a->b always; post-cutoff: a->c always. The model must
+    // still predict b (trained pre-cutoff) and score 0 on the test side.
+    val pre = (1 to 6).flatMap(k => Seq(
+      (k * 10L, 100L + k, k.toLong, "a"), (k * 10L + 1, 200L + k, k.toLong, "b")))
+    val post = (1 to 4).flatMap(k => Seq(
+      (1000L + k * 10L, 86400L * 40 + k * 100L, 100L + k, "a"),
+      (1001L + k * 10L, 86400L * 40 + k * 100L + 1, 100L + k, "c")))
+    val events = ev((pre ++ post): _*)
+    val got = Behavior.markovBacktest(events, cutoffDay = 30L).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(2) == 4L && r.getLong(3) == 0L && r.getLong(4) == 0L)
+  }
+
+  test("churnLabels: future window sets the label; features stop at the cutoff") {
+    // u1 active pre and in the horizon -> not churned; u2 pre only ->
+    // churned; u3 only post-horizon activity -> churned (and its
+    // post-cutoff events must not leak into the features)
+    val events = ev(
+      (1L, 86400L * 2, 1L, "view"), (2L, 86400L * 12, 1L, "purchase"),
+      (3L, 86400L * 3, 2L, "view"),
+      (4L, 86400L * 4, 3L, "view"), (5L, 86400L * 25, 3L, "view"))
+      .withColumn("value", lit(10.0))
+    val got = Behavior.churnLabels(events, cutoffDay = 10L, horizonDays = 5L)
+      .orderBy(col("user_id")).collect()
+    val byU = got.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_events"), r.getAs[Boolean]("churned"))).toMap
+    assert(byU(1L) == (1L, false)) // day-12 purchase is label-side only
+    assert(byU(2L) == (1L, true))
+    assert(byU(3L) == (1L, true)) // day-25 event beyond the horizon
+  }
 }
