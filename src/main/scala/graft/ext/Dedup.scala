@@ -572,6 +572,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental MinHash+LSH: near-dup candidates of a NEW BATCH
+    * against the standing corpus (the ingestion-time shape — a day's
+    * crawl screens against the accumulated store without re-pairing
+    * the corpus with itself), with exact Jaccard verification. The
+    * MinHash twin of [[simHashPairsAgainst]]: one shingle/signature
+    * pass over the union (split by the flag, the contaminationCounts-
+    * Split discipline), band buckets joined batch→corpus only — the
+    * candidate volume scales with the BATCH, not corpus².
+    *
+    * @param isBatch boolean column marking new-batch rows (null =
+    *                corpus)
+    * @return (batch_id, corpus_id, jaccard)
+    */
+  def minHashPairsAgainst(docs: DataFrame, isBatch: Column, idCol: String,
+                          textCol: String, n: Int, threshold: Double,
+                          bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val toks = widen(docs.select(col(idCol).as("id"),
+      coalesce(isBatch, lit(false)).as("is_batch"),
+      TextAnalysis.tokens(col(textCol)).as("toks")))
+    val sh = toks.select(col("id"), col("is_batch"),
+        shinglesFromTokens(col("toks"), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hs = sh.select(col("id"), col("is_batch"),
+        transform(col("sh"), x => graft.functions.PolyHash.polyHash(x)).as("hs"))
+      val sig = hs.select(col("id"), col("is_batch"),
+        minHashSignatureFromHashes(col("hs"), bands * rowsPerBand).as("sig"))
+      val bandRows = sig.select(col("id"), col("is_batch"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), bI =>
+          slice(col("sig"), bI * rowsPerBand + 1, lit(rowsPerBand))))
+        .as(Seq("band", "bucket")))
+      val cands = bandRows.filter(col("is_batch"))
+        .select(col("band"), col("bucket"), col("id").as("batch_id"))
+        .join(bandRows.filter(!col("is_batch"))
+          .select(col("band"), col("bucket"), col("id").as("corpus_id")),
+          Seq("band", "bucket"))
+        .select(col("batch_id"), col("corpus_id")).distinct()
+      broadcast(cands)
+        .join(sh.select(col("id").as("batch_id"), col("sh").as("sh_a")), "batch_id")
+        .join(sh.select(col("id").as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
+        .withColumn("inter",
+          graft.functions.SortedIntersectSize.sortedIntersectSize(col("sh_a"), col("sh_b")))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+        .checkpointEager()
+    } finally sh.unpersist(false)
+  }
+
   /** Benchmark decontamination: for each corpus document, the number of
     * distinct n-gram shingles it shares with ANY document of an eval/
     * benchmark set — the pretraining-hygiene check that a training

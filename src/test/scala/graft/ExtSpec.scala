@@ -426,4 +426,22 @@ class ExtSpec extends SparkTestBase {
     // occupancy of a leaf is at least 1 (the point itself)
     assert(got.forall(_.getLong(1) >= 1000L / 8))
   }
+
+  test("minHashPairsAgainst equals the batch-corpus slice of the full pair set") {
+    import spark.implicits._
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val inc = Dedup.minHashPairsAgainst(d, col("doc_id") % 5 === 0,
+        "doc_id", "text", n = 2, threshold = 0.2, bands = 21, rowsPerBand = 3)
+      .select(col("batch_id"), col("corpus_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minHashLshPairs(d, "doc_id", "text",
+        n = 2, threshold = 0.2, bands = 21, rowsPerBand = 3)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = full.flatMap { case (a, b) =>
+      (if (a % 5 == 0 && b % 5 != 0) Seq((a, b)) else Nil) ++
+        (if (b % 5 == 0 && a % 5 != 0) Seq((b, a)) else Nil)
+    }.toSet
+    assert(inc === expected)
+  }
 }
