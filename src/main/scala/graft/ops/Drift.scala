@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -159,5 +159,69 @@ object Drift {
         round(col("s").cast("double") * 1000.0
           / (col("n_a") * col("n_b")).cast("double"), 0)
           .cast("long").as("w1_milli"))
+  }
+
+  /** Sliced 1-D Wasserstein between two embedding groups: project the
+    * micro-int vectors onto `nProj` deterministic ±1 hash directions
+    * (sign = parity of a (proj, dim) hash — the rand()-free direction
+    * set), then run the exact discrete W₁ of [[wasserstein1dByGroup]]
+    * per projection. The scalable reading of high-dimensional
+    * distribution shift: exact in each slice, direction count is the
+    * resolution knob.
+    *
+    * The per-projection CDF window partitions on the projection id; at
+    * corpus scale each slice is a candidate for the two-phase
+    * range-partitioned rank (ops/Ranks) — the slice count bounds the
+    * parallelism either way.
+    *
+    * @param grpA boolean: true = group A, false = group B
+    * @return (proj, n_a, n_b, w1_milli) one row per direction
+    */
+  def slicedWasserstein(emb: DataFrame, idCol: String, vecCol: String,
+                        grpA: Column, nProj: Int = 8): DataFrame = {
+    require(nProj >= 1 && nProj <= 64, "direction count out of range")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val micro = emb.select(col(idCol).as("id"), grpA.as("ga"),
+      posexplode(transform(col(vecCol),
+        x => round(x.cast("double") * 1000000.0, 0).cast("long")))
+        .as(Seq("d", "xm")))
+    // the cross-term (d+1)(p+7) keeps the sign hash NONLINEAR mod 2 —
+    // a linear form like p·31 + d·17 collapses every direction onto one
+    // parity vector (caught by the shifted-group spec)
+    val dirs = (0 until nProj).flatMap { pr =>
+      (0 until 512).map { d =>
+        val h = ((pr + 1L) * 2654435761L + (d + 1L) * (pr + 7L) * 40503L) %
+          1000003L % 2L
+        (pr.toLong, d.toLong, if (h == 0L) 1L else -1L)
+      }
+    }.toDF("p", "d", "sgn")
+    val proj = micro.join(broadcast(dirs), "d")
+      .groupBy(col("id"), col("ga"), col("p"))
+      .agg(sum(col("sgn") * col("xm")).as("x"))
+    val counts = proj.groupBy(col("p"), col("ga"), col("x"))
+      .agg(count(lit(1)).as("n"))
+    val grid = proj.select(col("p"), col("x")).distinct()
+      .withColumn("gap", coalesce(
+        lead(col("x"), 1).over(Window.partitionBy(col("p")).orderBy(col("x")))
+          - col("x"), lit(0L)))
+    val grps = proj.groupBy(col("p"), col("ga")).agg(count(lit(1)).as("n_tot"))
+    val cdf = grps.join(grid, "p")
+      .join(counts, Seq("p", "ga", "x"), "left")
+      .withColumn("cum", sum(coalesce(col("n"), lit(0L)))
+        .over(Window.partitionBy(col("p"), col("ga")).orderBy(col("x"))))
+      .select(col("p"), col("ga"), col("x"), col("gap"), col("n_tot"), col("cum"))
+    val a = cdf.filter(col("ga")).select(col("p"), col("x"), col("gap"),
+      col("n_tot").as("n_a"), col("cum").as("cum_a"))
+    val b = cdf.filter(!col("ga")).select(col("p").as("pb"), col("x").as("xb"),
+      col("n_tot").as("n_b"), col("cum").as("cum_b"))
+    a.join(b, col("p") === col("pb") && col("x") === col("xb"))
+      .groupBy(col("p").as("proj"), col("n_a"), col("n_b"))
+      .agg(sum(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
+        * col("gap")).as("s"))
+      .select(col("proj"), col("n_a"), col("n_b"),
+        round(col("s").cast("double") * 1000.0
+          / (col("n_a") * col("n_b")).cast("double")
+          / 1000000.0, 0).cast("long").as("w1_milli"))
   }
 }

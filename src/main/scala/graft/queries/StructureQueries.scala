@@ -1151,6 +1151,55 @@ object StructureQueries extends QueryPack {
              |  FROM cand JOIN shg x ON x.doc_id = batch_id
              |  JOIN shg y ON y.doc_id = corpus_id)
              |SELECT batch_id, corpus_id, round(jac, 4) + 0.0 AS jaccard
-             |FROM ver WHERE jac >= 0.2 ORDER BY 1, 2""".stripMargin))
+             |FROM ver WHERE jac >= 0.2 ORDER BY 1, 2""".stripMargin)),
+
+    // Sliced Wasserstein between even/odd label groups: 8 hash-sign
+    // directions, exact discrete W1 per slice — high-dimensional
+    // distribution shift, one number per direction.
+    Q("q324_sliced_wasserstein",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Drift.slicedWasserstein(Tables.embeddings(s, d),
+            "vec_id", "embedding", $"label" % 2 === 0, nProj = 8)
+          .orderBy($"proj")
+      },
+      Some("""WITH m AS (
+             |  SELECT vec_id AS id, label % 2 = 0 AS ga,
+             |    unnest(list_transform(embedding,
+             |      (x, i) -> {'d': CAST(i - 1 AS BIGINT),
+             |        'xm': CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)}),
+             |      recursive := true)
+             |  FROM embeddings),
+             |dirs AS (SELECT CAST(p AS BIGINT) AS p, CAST(d AS BIGINT) AS d,
+             |    CASE WHEN ((p + 1) * 2654435761 + (d + 1) * (p + 7) * 40503)
+             |        % 1000003 % 2 = 0 THEN 1 ELSE -1 END AS sgn
+             |  FROM range(0, 8) pp(p), range(0, 512) dd(d)),
+             |proj AS (SELECT id, ga, p, CAST(sum(sgn * xm) AS BIGINT) AS x
+             |  FROM m JOIN dirs USING (d) GROUP BY 1, 2, 3),
+             |cnts AS (SELECT p, ga, x, CAST(count(*) AS BIGINT) AS n
+             |  FROM proj GROUP BY 1, 2, 3),
+             |grid AS (SELECT p, x,
+             |    coalesce(lead(x) OVER (PARTITION BY p ORDER BY x) - x, 0)
+             |      AS gap
+             |  FROM (SELECT DISTINCT p, x FROM proj)),
+             |grps AS (SELECT p, ga, CAST(count(*) AS BIGINT) AS n_tot
+             |  FROM proj GROUP BY 1, 2),
+             |cdf AS (
+             |  SELECT g.p, g.ga, gr.x, gr.gap, g.n_tot,
+             |    CAST(sum(coalesce(c.n, 0)) OVER (PARTITION BY g.p, g.ga
+             |      ORDER BY gr.x) AS BIGINT) AS cum
+             |  FROM grps g JOIN grid gr ON gr.p = g.p
+             |  LEFT JOIN cnts c ON c.p = g.p AND c.ga = g.ga AND c.x = gr.x),
+             |aa AS (SELECT p, x, gap, n_tot AS n_a, cum AS cum_a
+             |       FROM cdf WHERE ga),
+             |bb AS (SELECT p, x, n_tot AS n_b, cum AS cum_b
+             |       FROM cdf WHERE NOT ga)
+             |SELECT aa.p AS proj, n_a, n_b,
+             |  CAST(round(CAST(sum(abs(cum_a * n_b - cum_b * n_a) * gap)
+             |      AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |    / CAST(n_a * n_b AS DOUBLE) / CAST(1000000 AS DOUBLE))
+             |    AS BIGINT) AS w1_milli
+             |FROM aa JOIN bb ON bb.p = aa.p AND bb.x = aa.x
+             |GROUP BY 1, 2, 3 ORDER BY proj""".stripMargin))
   )
 }

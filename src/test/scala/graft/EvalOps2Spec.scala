@@ -131,4 +131,26 @@ class EvalOps2Spec extends SparkTestBase {
     assert(r.getAs[Long]("control_pre_milli") == 10000L)
     assert(r.getAs[Long]("treat_post_milli") == 27000L)
   }
+
+  test("slicedWasserstein: identical groups score 0; a shifted group scores the shift") {
+    // group B = group A + constant offset c in every dim: every ±1
+    // projection separates by |Σ ±c| and W1 per slice equals that gap
+    val a = (1 to 10).map(i => (i.toLong, Array(0.1f, 0.2f), true))
+    val same = (11 to 20).map(i => (i.toLong, Array(0.1f, 0.2f), false))
+    val df0 = (a ++ same).toDF("vec_id", "embedding", "ga")
+    val g0 = graft.ops.Drift.slicedWasserstein(df0, "vec_id", "embedding",
+      col("ga"), nProj = 4).collect()
+    assert(g0.forall(_.getAs[Long]("w1_milli") == 0L))
+
+    val shifted = (11 to 20).map(i => (i.toLong, Array(0.2f, 0.3f), false))
+    val df1 = (a ++ shifted).toDF("vec_id", "embedding", "ga")
+    val g1 = graft.ops.Drift.slicedWasserstein(df1, "vec_id", "embedding",
+      col("ga"), nProj = 4).collect()
+    // projection signs for dims (0,1): per p, shift = |±0.1 ± 0.1|
+    // which is 0 or 0.2 -> every slice reads 0 or ~200 milli
+    assert(g1.forall(r => {
+      val w = r.getAs[Long]("w1_milli"); w == 0L || math.abs(w - 200L) <= 1L
+    }))
+    assert(g1.exists(_.getAs[Long]("w1_milli") > 0L))
+  }
 }
