@@ -1499,4 +1499,92 @@ object LangModel {
       .select(expr(s"(j + 1) * 100 div $m").as("train_frac_pct"),
         col("n_train").as("n_train_docs"), col("acc_milli"))
   }
+
+  /** Count-based word embeddings in-engine: ±`window` co-occurrence
+    * counts → PPMI weights → a `dim`-dimensional hash-sign projection
+    * (component k of word w = Σ_c sgn(c,k)·PPMI(w,c), signs from a
+    * nonlinear parity of the context's poly-hash — the rand()-free
+    * random-projection that sketches the PPMI matrix row without ever
+    * materializing |V|² of it), then exact-integer cosine neighbors
+    * for the most frequent probe words. The classical distributional
+    * baseline the dense `embeddings` table gets compared against.
+    *
+    * Scale: co-occurrence pairs are a linear explode (window ≤ 2);
+    * the ×`dim` fan-out applies to the PPMI table (weights, not text);
+    * probes are a bounded panel, so the neighbor join is panel ×
+    * vocab, never vocab².
+    *
+    * @return (probe, rnk, neighbor, cos_micro) top-`topK` per probe
+    */
+  def ppmiWordNeighbors(docs: DataFrame, textCol: String, dim: Int = 16,
+                        window: Int = 2, probes: Int = 5,
+                        topK: Int = 5): DataFrame = {
+    require(dim >= 2 && dim <= 64 && window >= 1 && window <= 4,
+      "projection shape out of range")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(TextAnalysis.tokens(col(textCol)).as("l"))
+    val pairSets = (1 to window).map { o =>
+      toks.select(explode(zip_with(
+        slice(col("l"), lit(1), size(col("l")) - o),
+        slice(col("l"), lit(1 + o), size(col("l")) - o),
+        (a, b) => struct(a.as("w"), b.as("c")))).as("pr"))
+        .select(col("pr.w").as("w"), col("pr.c").as("c"))
+    }
+    val directed = pairSets.reduce(_ unionAll _)
+    val pairs = directed.unionAll(directed.select(col("c").as("w"), col("w").as("c")))
+    val nwc = pairs.groupBy(col("w"), col("c")).agg(count(lit(1)).as("n_wc"))
+      .persist()
+    val nw = nwc.groupBy(col("w")).agg(sum(col("n_wc")).as("n_w")).persist()
+    val tot = nw.agg(sum(col("n_w")).as("nn"))
+    val ppmi = nwc
+      .join(nw, "w")
+      .join(nw.select(col("w").as("c"), col("n_w").as("n_c")), "c")
+      .crossJoin(broadcast(tot))
+      .select(col("w"), col("c"),
+        // MILLI, not micro: v components sum |contexts| weights and the
+        // cosine squares them — micro weights would push v² past the
+        // signed-64 range on a large vocabulary
+        greatest(lit(0L),
+          round(log(col("n_wc").cast("double") * col("nn").cast("double")
+            / (col("n_w").cast("double") * col("n_c").cast("double")))
+            * 1000.0, 0).cast("long")).as("ppmi_milli"))
+      .filter(col("ppmi_milli") > 0L)
+    val dims = spark.range(0, dim).toDF("k")
+    // sign: nonlinear parity of the context hash crossed with k (the
+    // slicedWasserstein lesson: linear-in-inputs parities collapse)
+    val comps = ppmi.crossJoin(broadcast(dims))
+      .withColumn("hc", graft.functions.PolyHash.polyHash(col("c")))
+      .withColumn("sgn", when(
+        (col("hc") * (col("k") + 3L) + (col("k") + 11L) * 12345L)
+          % 1000003L % 2L === 0L, 1L).otherwise(-1L))
+      .groupBy(col("w"), col("k"))
+      .agg(sum(col("sgn") * col("ppmi_milli")).as("v"))
+      .persist()
+    // TakeOrdered head, not a vocab-wide global window
+    val probeWords = nw.orderBy(col("n_w").desc, col("w").asc)
+      .limit(probes).select(col("w").as("probe"))
+    val pv = comps.join(broadcast(probeWords), col("w") === col("probe"))
+      .select(col("probe"), col("k"), col("v").as("pv"))
+    val dots = pv.join(comps.select(col("w").as("neighbor"), col("k"), col("v")),
+        "k")
+      .groupBy(col("probe"), col("neighbor"))
+      .agg(sum(col("pv") * col("v")).as("dot"))
+    val norms = comps.groupBy(col("w"))
+      .agg(sum(col("v") * col("v")).as("nsq"))
+    val cos = dots
+      .join(norms.select(col("w").as("probe"), col("nsq").as("na")), "probe")
+      .join(norms.select(col("w").as("neighbor"), col("nsq").as("nb")), "neighbor")
+      .filter(col("probe") =!= col("neighbor"))
+      .select(col("probe"), col("neighbor"),
+        round(col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+          * 1000000.0, 0).cast("long").as("cos_micro"))
+    val wTop = org.apache.spark.sql.expressions.Window.partitionBy(col("probe"))
+      .orderBy(col("cos_micro").desc, col("neighbor").asc)
+    cos.withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("probe"), col("rnk"), col("neighbor"), col("cos_micro"))
+  }
 }

@@ -1200,6 +1200,78 @@ object StructureQueries extends QueryPack {
              |    / CAST(n_a * n_b AS DOUBLE) / CAST(1000000 AS DOUBLE))
              |    AS BIGINT) AS w1_milli
              |FROM aa JOIN bb ON bb.p = aa.p AND bb.x = aa.x
-             |GROUP BY 1, 2, 3 ORDER BY proj""".stripMargin))
+             |GROUP BY 1, 2, 3 ORDER BY proj""".stripMargin)),
+
+    // Count-based word vectors: ±2 co-occurrence → PPMI → 16-dim
+    // hash-sign projection → exact-cosine neighbors of the five most
+    // frequent words — the distributional baseline in one dataflow.
+    Q("q325_ppmi_word_vectors",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.LangModel.ppmiWordNeighbors(Tables.documents(s, d),
+            "text", dim = 16, window = 2, probes = 5, topK = 5)
+          .orderBy($"probe", $"rnk")
+      },
+      Some("""WITH toks AS (
+             |  SELECT string_split_regex(trim(text), '\s+') AS l FROM documents),
+             |p1 AS (SELECT (u).w AS w, (u).c AS c FROM (
+             |  SELECT unnest(list_transform(l[1:len(l)-1],
+             |    (x, i) -> {'w': x, 'c': l[i+1]})) AS u FROM toks)),
+             |p2 AS (SELECT (u).w AS w, (u).c AS c FROM (
+             |  SELECT unnest(list_transform(l[1:len(l)-2],
+             |    (x, i) -> {'w': x, 'c': l[i+2]})) AS u FROM toks)),
+             |dirp AS (SELECT w, c FROM p1 UNION ALL SELECT w, c FROM p2),
+             |pairs AS (SELECT w, c FROM dirp
+             |          UNION ALL SELECT c AS w, w AS c FROM dirp),
+             |nwc AS (SELECT w, c, CAST(count(*) AS BIGINT) AS n_wc
+             |        FROM pairs GROUP BY 1, 2),
+             |nw AS (SELECT w, CAST(sum(n_wc) AS BIGINT) AS n_w
+             |       FROM nwc GROUP BY 1),
+             |tt AS (SELECT CAST(sum(n_w) AS BIGINT) AS nn FROM nw),
+             |ppmi AS (
+             |  SELECT * FROM (
+             |    SELECT nwc.w, nwc.c,
+             |      greatest(CAST(0 AS BIGINT),
+             |        CAST(round(ln(CAST(n_wc AS DOUBLE) * CAST(nn AS DOUBLE)
+             |          / (CAST(a.n_w AS DOUBLE) * CAST(b.n_w AS DOUBLE)))
+             |          * CAST(1000 AS DOUBLE)) AS BIGINT)) AS pm
+             |    FROM nwc JOIN nw a ON a.w = nwc.w JOIN nw b ON b.w = nwc.c
+             |    CROSS JOIN tt)
+             |  WHERE pm > 0),
+             |hashed AS (
+             |  SELECT w, pm,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(c)),
+             |        i -> CAST(ascii(substring(c, i, 1)) AS BIGINT))),
+             |      (a, b) -> (a * 31 + b) % 1000000007) AS hc
+             |  FROM ppmi),
+             |comps AS (
+             |  SELECT w, CAST(k AS BIGINT) AS k,
+             |    CAST(sum(CASE WHEN (hc * (k + 3) + (k + 11) * 12345)
+             |        % 1000003 % 2 = 0 THEN pm ELSE -pm END) AS BIGINT) AS v
+             |  FROM hashed CROSS JOIN range(0, 16) kk(k) GROUP BY 1, 2),
+             |pw AS (SELECT w AS probe FROM nw
+             |       ORDER BY n_w DESC, w LIMIT 5),
+             |pv AS (SELECT probe, k, v AS pvv FROM comps
+             |       JOIN pw ON pw.probe = comps.w),
+             |dots AS (
+             |  SELECT pv.probe, c2.w AS neighbor,
+             |    CAST(sum(pv.pvv * c2.v) AS BIGINT) AS dot
+             |  FROM pv JOIN comps c2 USING (k) GROUP BY 1, 2),
+             |nrm AS (SELECT w, CAST(sum(v * v) AS BIGINT) AS nsq
+             |        FROM comps GROUP BY 1),
+             |cosd AS (
+             |  SELECT d2.probe, d2.neighbor,
+             |    CAST(round(CAST(dot AS DOUBLE)
+             |      / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+             |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cos_micro
+             |  FROM dots d2 JOIN nrm na ON na.w = d2.probe
+             |  JOIN nrm nb ON nb.w = d2.neighbor
+             |  WHERE d2.probe != d2.neighbor)
+             |SELECT probe,
+             |  CAST(row_number() OVER (PARTITION BY probe
+             |    ORDER BY cos_micro DESC, neighbor) AS BIGINT) AS rnk,
+             |  neighbor, cos_micro
+             |FROM cosd QUALIFY rnk <= 5 ORDER BY probe, rnk""".stripMargin))
   )
 }

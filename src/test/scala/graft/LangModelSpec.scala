@@ -153,4 +153,22 @@ class LangModelSpec extends SparkTestBase {
       .collect().map(_.getLong(2)).toSeq
     assert(got.forall(_ == 1000L), s"got $got")
   }
+
+  test("ppmiWordNeighbors: words with identical context profiles are mutual top neighbors") {
+    import spark.implicits._
+    // "cat" and "dog" appear in interchangeable contexts; "rock" never
+    // shares them -> cat's top neighbor must be dog (cosine ~1)
+    val docs = Seq(
+      "the cat sat here", "the dog sat here", "the cat ran far",
+      "the dog ran far", "a rock fell down", "a rock rolled down",
+      "the cat sat here", "the dog sat here")
+      .map(Tuple1(_)).toDF("text")
+    val got = graft.ext.LangModel.ppmiWordNeighbors(docs, "text",
+        dim = 16, window = 2, probes = 8, topK = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val catTop = got.filter(_._1 == "cat").minBy(_._2)
+    assert(catTop._3 == "dog", s"cat's top neighbor: $catTop")
+    assert(catTop._4 > 900000L, s"cat~dog cosine too low: $catTop")
+  }
 }
