@@ -526,4 +526,48 @@ object TimeSeries {
             / col("ae_n").cast("double"), 0).cast("long"))
           .otherwise(lit(null).cast("long")).as("mase_milli"))
   }
+
+  /** Best single change-point per key (binary-segmentation step 1):
+    * the split k maximizing the between-segment sum of squares,
+    * equivalently `(n·S_k − k·S_n)² / (k·(n−k))` over prefix sums —
+    * the location answer to CUSUM's drift alarm ([[cusumStats]]).
+    * Scores are computed from exact integer prefix sums through ONE
+    * shared double shape (the squared numerator can exceed 2^53 at
+    * large n·ΣQ, where both engines make the identical nearest-double
+    * conversion); ties break to the earliest split.
+    *
+    * Per-key windows only — the event log's natural partitioning; the
+    * argmax is one more per-key window on the same sort.
+    *
+    * @return (key, n, split_pos, mean_pre_milli, mean_post_milli)
+    */
+  def bestSplit(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                valCol: String): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("key"))
+    val scored = df
+      .select((col(keyCol).as("key") +: orderCols.map(col) :+
+        col(valCol).cast("long").as("v")): _*)
+      .withColumn("k", row_number().over(Window.partitionBy(col("key"))
+        .orderBy(orderCols.map(col): _*)).cast("long"))
+      .withColumn("sk", sum(col("v")).over(w))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("sn", sum(col("v")).over(whole))
+      .filter(col("k") < col("n"))
+      .withColumn("d",
+        (col("n") * col("sk") - col("k") * col("sn")).cast("double"))
+      .withColumn("score",
+        col("d") * col("d") / (col("k") * (col("n") - col("k"))).cast("double"))
+    val pick = Window.partitionBy(col("key"))
+      .orderBy(col("score").desc, col("k").asc)
+    scored.withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
+      .select(col("key"), col("n"), col("k").as("split_pos"),
+        round(col("sk").cast("double") * 1000.0 / col("k").cast("double"), 0)
+          .cast("long").as("mean_pre_milli"),
+        round((col("sn") - col("sk")).cast("double") * 1000.0
+          / (col("n") - col("k")).cast("double"), 0)
+          .cast("long").as("mean_post_milli"))
+  }
 }

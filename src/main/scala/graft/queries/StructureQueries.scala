@@ -1272,6 +1272,53 @@ object StructureQueries extends QueryPack {
              |  CAST(row_number() OVER (PARTITION BY probe
              |    ORDER BY cos_micro DESC, neighbor) AS BIGINT) AS rnk,
              |  neighbor, cos_micro
-             |FROM cosd QUALIFY rnk <= 5 ORDER BY probe, rnk""".stripMargin))
+             |FROM cosd QUALIFY rnk <= 5 ORDER BY probe, rnk""".stripMargin)),
+
+    // Best single change-point per supplier: the split maximizing the
+    // between-segment sum of squares over the q198 quantity series —
+    // the location answer to CUSUM's drift alarm.
+    Q("q326_changepoint",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select(
+          $"l_suppkey".as("sk"),
+          $"l_shipdate".cast("timestamp_ltz").cast("long").as("sec"),
+          $"l_orderkey".as("ok"), $"l_linenumber".cast("long").as("ln"),
+          $"l_quantity".cast("long").as("q"))
+        graft.ops.TimeSeries.bestSplit(li, "sk",
+            Seq("sec", "ok", "ln", "q"), "q")
+          .select($"key".as("suppkey"), $"n", $"split_pos",
+            $"mean_pre_milli", $"mean_post_milli")
+          .orderBy($"suppkey")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_suppkey AS sk,
+             |    epoch_us(l_shipdate) // 1000000 AS sec,
+             |    l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln,
+             |    CAST(l_quantity AS BIGINT) AS q
+             |  FROM lineitem),
+             |pre AS (SELECT sk,
+             |    CAST(row_number() OVER (PARTITION BY sk
+             |      ORDER BY sec, ok, ln, q) AS BIGINT) AS k,
+             |    CAST(sum(q) OVER (PARTITION BY sk ORDER BY sec, ok, ln, q
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sk_sum,
+             |    CAST(count(*) OVER (PARTITION BY sk) AS BIGINT) AS n,
+             |    CAST(sum(q) OVER (PARTITION BY sk) AS BIGINT) AS sn
+             |  FROM li),
+             |sc AS (SELECT sk, k, sk_sum, n, sn,
+             |    CAST(n * sk_sum - k * sn AS DOUBLE)
+             |      * CAST(n * sk_sum - k * sn AS DOUBLE)
+             |      / CAST(k * (n - k) AS DOUBLE) AS score
+             |  FROM pre WHERE k < n),
+             |best AS (SELECT sk, k, sk_sum, n, sn,
+             |    row_number() OVER (PARTITION BY sk
+             |      ORDER BY score DESC, k) AS rn
+             |  FROM sc)
+             |SELECT sk AS suppkey, n, k AS split_pos,
+             |  CAST(round(CAST(sk_sum AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |    / CAST(k AS DOUBLE)) AS BIGINT) AS mean_pre_milli,
+             |  CAST(round(CAST(sn - sk_sum AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |    / CAST(n - k AS DOUBLE)) AS BIGINT) AS mean_post_milli
+             |FROM best WHERE rn = 1 ORDER BY suppkey""".stripMargin))
   )
 }

@@ -595,4 +595,26 @@ class StatOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((0L, 2L, 2L, 2L), (1L, 1L, 0L, 2L),
       (2L, 2L, 1L, 3L)))
   }
+
+  test("bestSplit: finds the exact step location in a clean level shift") {
+    import spark.implicits._
+    // 10 values at 5 then 10 values at 20: the split must land at k=10
+    val df = ((1 to 10).map(t => (1L, t.toLong, 5L)) ++
+      (11 to 20).map(t => (1L, t.toLong, 20L))).toDF("k", "t", "v")
+    val got = graft.ops.TimeSeries.bestSplit(df, "k", Seq("t"), "v")
+      .collect()(0)
+    assert(got.getAs[Long]("split_pos") == 10L)
+    assert(got.getAs[Long]("mean_pre_milli") == 5000L)
+    assert(got.getAs[Long]("mean_post_milli") == 20000L)
+  }
+
+  test("bestSplit: a constant series ties to the earliest split") {
+    import spark.implicits._
+    val df = (1 to 8).map(t => (1L, t.toLong, 7L)).toDF("k", "t", "v")
+    val got = graft.ops.TimeSeries.bestSplit(df, "k", Seq("t"), "v")
+      .collect()(0)
+    assert(got.getAs[Long]("split_pos") == 1L)
+    assert(got.getAs[Long]("mean_pre_milli") == 7000L)
+    assert(got.getAs[Long]("mean_post_milli") == 7000L)
+  }
 }
