@@ -427,4 +427,44 @@ object Behavior {
       .withColumn("churned", coalesce(!col("active"), lit(true)))
       .drop("active")
   }
+
+  /** RFM segmentation: per-user recency/frequency/monetary quartile
+    * codes (1..4, 4 best — low recency, high frequency, high spend),
+    * rolled up to segment sizes and value. Quartiles come from the
+    * two-phase global rank ([[graft.ext.CorpusOps.quantileBuckets]] —
+    * never a partition-less window over the user table), ties broken
+    * by user id, money as exact integer cents.
+    *
+    * @return (segment, r_code, f_code, m_code, n_users,
+    *         mean_monetary_milli) per non-empty segment
+    */
+  def rfmSegments(events: DataFrame, refDay: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val per = events.select(col(userCol).as("user_id"),
+        expr(s"cast($tsCol as long) div 86400").as("day"),
+        round(col(valueCol) * 100, 0).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg((lit(refDay) - max(col("day"))).as("recency"),
+        count(lit(1)).as("freq"), sum(col("cents")).as("monetary"))
+      .persist()
+    def codes(c: String, best: String) = {
+      val b = graft.ext.CorpusOps.quantileBuckets(per, "user_id", col(c), 4)
+        .select(col("id").as("user_id"), col("bucket"))
+      if (best == "low") b.select(col("user_id"), (lit(4L) - col("bucket")).as(s"${c}_code"))
+      else b.select(col("user_id"), (col("bucket") + 1L).as(s"${c}_code"))
+    }
+    per
+      .join(codes("recency", "low"), "user_id")
+      .join(codes("freq", "high"), "user_id")
+      .join(codes("monetary", "high"), "user_id")
+      .groupBy((col("recency_code") * 100 + col("freq_code") * 10
+          + col("monetary_code")).as("segment"),
+        col("recency_code").as("r_code"), col("freq_code").as("f_code"),
+        col("monetary_code").as("m_code"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("monetary")).cast("double") * 10.0
+          / count(lit(1)).cast("double"), 0).cast("long")
+          .as("mean_monetary_milli"))
+  }
 }

@@ -1319,6 +1319,45 @@ object StructureQueries extends QueryPack {
              |    / CAST(k AS DOUBLE)) AS BIGINT) AS mean_pre_milli,
              |  CAST(round(CAST(sn - sk_sum AS DOUBLE) * CAST(1000 AS DOUBLE)
              |    / CAST(n - k AS DOUBLE)) AS BIGINT) AS mean_post_milli
-             |FROM best WHERE rn = 1 ORDER BY suppkey""".stripMargin))
+             |FROM best WHERE rn = 1 ORDER BY suppkey""".stripMargin)),
+
+    // RFM quartile segmentation of the user base: codes from the
+    // two-phase global rank, money as exact cents.
+    Q("q327_rfm_segments",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Behavior.rfmSegments(Tables.events(s, d), refDay = 19753L)
+          .orderBy($"segment")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |per AS (SELECT user_id,
+             |    CAST(19753 - max(day) AS BIGINT) AS recency,
+             |    CAST(count(*) AS BIGINT) AS freq,
+             |    CAST(sum(cents) AS BIGINT) AS monetary
+             |  FROM ev GROUP BY 1),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+             |rb AS (SELECT user_id, 4 - ((rn - 1) * 4) // n AS r_code FROM (
+             |  SELECT user_id, CAST(row_number() OVER (ORDER BY recency, user_id)
+             |    AS BIGINT) AS rn FROM per) CROSS JOIN nn),
+             |fb AS (SELECT user_id, ((rn - 1) * 4) // n + 1 AS f_code FROM (
+             |  SELECT user_id, CAST(row_number() OVER (ORDER BY freq, user_id)
+             |    AS BIGINT) AS rn FROM per) CROSS JOIN nn),
+             |mb AS (SELECT user_id, ((rn - 1) * 4) // n + 1 AS m_code FROM (
+             |  SELECT user_id, CAST(row_number() OVER (ORDER BY monetary, user_id)
+             |    AS BIGINT) AS rn FROM per) CROSS JOIN nn)
+             |SELECT CAST(r_code * 100 + f_code * 10 + m_code AS BIGINT)
+             |    AS segment,
+             |  CAST(r_code AS BIGINT) AS r_code, CAST(f_code AS BIGINT) AS f_code,
+             |  CAST(m_code AS BIGINT) AS m_code,
+             |  CAST(count(*) AS BIGINT) AS n_users,
+             |  CAST(round(CAST(sum(monetary) AS DOUBLE) * CAST(10 AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_monetary_milli
+             |FROM per JOIN rb USING (user_id) JOIN fb USING (user_id)
+             |JOIN mb USING (user_id)
+             |GROUP BY 1, 2, 3, 4 ORDER BY segment""".stripMargin))
   )
 }

@@ -400,4 +400,23 @@ class AnalyticsSpec extends SparkTestBase {
     assert(byU(2L) == (1L, true))
     assert(byU(3L) == (1L, true)) // day-25 event beyond the horizon
   }
+
+  test("rfmSegments: codes run 1..4 with 4 = best on every axis") {
+    import spark.implicits._
+    // 8 users with strictly increasing activity/spend and strictly
+    // more recent last events: user 8 must land in segment 444
+    val events = ev((1 to 8).flatMap { u =>
+      (1 to u).map(j => ((u * 100 + j).toLong,
+        86400L * u + j, u.toLong, "view"))
+    }: _*).withColumn("value", $"user_id".cast("double"))
+    val got = graft.ops.Behavior.rfmSegments(events, refDay = 20L)
+      .collect()
+    val total = got.map(_.getAs[Long]("n_users")).sum
+    assert(total == 8L)
+    assert(got.forall { r =>
+      Seq("r_code", "f_code", "m_code").forall { c =>
+        val v = r.getAs[Long](c); v >= 1L && v <= 4L } })
+    // the most active, most recent, highest-spend user sits in 444
+    assert(got.exists(r => r.getAs[Long]("segment") == 444L))
+  }
 }
