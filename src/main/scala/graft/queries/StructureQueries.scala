@@ -44,6 +44,50 @@ object StructureQueries extends QueryPack {
       s"\nSELECT state, CAST(pi AS BIGINT) AS pi_micro FROM r$rounds ORDER BY state"
   }
 
+  /** Generalized [[ValuationQueries.logregOracleSql]]: k features named
+    * x0..x{k−1} provided by `featsCte` (which must end with the CTE
+    * `f(x0.., y)`), same per-epoch sigmoid/gradient/update roundings.
+    */
+  private def logregKOracleSql(featsCte: String, k: Int, epochs: Int): String = {
+    val dot = (1 to k).map(i =>
+      s"CAST(w$i AS DOUBLE) * CAST(x${i - 1} AS DOUBLE)").mkString(" + ")
+    val score = s"w0 + CAST(round(($dot) / CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    val w0 = (0 to k).map(i => s"CAST(0 AS BIGINT) AS w$i").mkString(", ")
+    val xs = (0 until k).map(i => s"x$i").mkString(", ")
+    val head = s"$featsCte,\ne0 AS (SELECT $w0)"
+    val rounds = (1 to epochs).map { i =>
+      val gsel = (1 to k).map(j =>
+        s"CAST(sum((y * 1000000 - p) * x${j - 1}) AS BIGINT) AS g$j").mkString(",\n    ")
+      val wsel = (1 to k).map(j =>
+        s"w$j + CAST(round(CAST(g$j AS DOUBLE) / (CAST(n AS DOUBLE) " +
+          s"* CAST(1000000 AS DOUBLE))) AS BIGINT) AS w$j").mkString(",\n    ")
+      s"""
+         |,p$i AS (SELECT y, $xs,
+         |    CAST(round(CAST(1000000 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+         |      + exp(-(CAST($score AS DOUBLE)) / CAST(1000000 AS DOUBLE))))
+         |      AS BIGINT) AS p
+         |  FROM f CROSS JOIN e${i - 1})
+         |,g$i AS (SELECT CAST(sum(y * 1000000 - p) AS BIGINT) AS g0,
+         |    $gsel,
+         |    CAST(count(*) AS BIGINT) AS n FROM p$i)
+         |,e$i AS (SELECT
+         |    w0 + CAST(round(CAST(g0 AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+         |      AS w0,
+         |    $wsel
+         |  FROM e${i - 1} CROSS JOIN g$i)
+         |,a$i AS (SELECT CAST($i AS BIGINT) AS epoch,
+         |    ${(0 to k).map(j => s"w$j").mkString(", ")},
+         |    CAST(round(CAST(sum(CASE WHEN ($score >= 0) = (y = 1)
+         |        THEN 1 ELSE 0 END) AS DOUBLE) * CAST(1000 AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS acc_milli
+         |  FROM f CROSS JOIN e$i
+         |  GROUP BY ${(0 to k).map(j => s"w$j").mkString(", ")})""".stripMargin
+    }.mkString
+    val tail = (1 to epochs).map(i => s"SELECT * FROM a$i")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY epoch")
+    head + rounds + tail
+  }
+
   val all: Seq[Q] = Seq(
 
     // Stationary distribution of the event-type chain: 6 integer power
@@ -1358,6 +1402,56 @@ object StructureQueries extends QueryPack {
              |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_monetary_milli
              |FROM per JOIN rb USING (user_id) JOIN fb USING (user_id)
              |JOIN mb USING (user_id)
-             |GROUP BY 1, 2, 3, 4 ORDER BY segment""".stripMargin))
+             |GROUP BY 1, 2, 3, 4 ORDER BY segment""".stripMargin)),
+
+    // Hashing-trick text classifier trained IN the engine: 8 hashed
+    // token-share features (poly-hash mod 8, micro-normalized by doc
+    // length) through the q299 fixed-point GD — text to model with no
+    // vocabulary table at all.
+    Q("q328_hashed_logreg",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        val tok = Tables.documents(s, d).select($"doc_id", $"lang",
+          explode(graft.ext.TextAnalysis.tokens($"text")).as("tok"))
+        val hashed = tok.withColumn("h",
+          pmod(graft.functions.PolyHash.polyHash($"tok"), lit(8)))
+        val cAggs = (0 until 8).map(j =>
+          sum(when($"h" === j, 1L).otherwise(0L)).as(s"c$j"))
+        val feats = hashed.groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("ntok"), cAggs: _*)
+        val withX = feats.select(($"doc_id" +: $"lang".as("lang") +:
+          (0 until 8).map(j =>
+            round(col(s"c$j").cast("double") * 1000000.0
+              / col("ntok").cast("double"), 0).cast("long").as(s"x$j"))): _*)
+        graft.ext.LinearModel.logisticGd(withX,
+            (0 until 8).map(j => col(s"x$j")), $"lang" === "en", epochs = 3)
+          .orderBy($"epoch")
+      },
+      Some(logregKOracleSql(
+        """WITH tok AS (
+          |  SELECT doc_id, lang,
+          |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+          |  FROM documents),
+          |hashed AS (
+          |  SELECT doc_id, lang,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(generate_series(1, length(tok)),
+          |        i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+          |      (a, b) -> (a * 31 + b) % 1000000007) % 8 AS h
+          |  FROM tok),
+          |cnts AS (
+          |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS ntok,
+          |""".stripMargin +
+          (0 until 8).map(j =>
+            s"    CAST(sum(CASE WHEN h = $j THEN 1 ELSE 0 END) AS BIGINT) AS c$j")
+            .mkString(",\n") +
+          "\n  FROM hashed GROUP BY 1, 2),\nf AS (\n  SELECT\n" +
+          (0 until 8).map(j =>
+            s"    CAST(round(CAST(c$j AS DOUBLE) * CAST(1000000 AS DOUBLE)" +
+              s" / CAST(ntok AS DOUBLE)) AS BIGINT) AS x$j").mkString(",\n") +
+          ",\n    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)" +
+          " ELSE CAST(0 AS BIGINT) END AS y\n  FROM cnts)",
+        k = 8, epochs = 3)))
   )
 }
