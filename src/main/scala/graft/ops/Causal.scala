@@ -93,4 +93,39 @@ object Causal {
       (col("1_post") - col("1_pre") - (col("0_post") - col("0_pre")))
         .as("did_milli"))
   }
+
+  /** Weight-of-evidence / information-value table: bin a score by
+    * quantiles (two-phase global rank — [[graft.ext.CorpusOps
+    * .quantileBuckets]]), then per bin WoE = ln((g_b/G)/(b_b/B)) and
+    * its IV contribution, Laplace-smoothed (+1 per cell) so empty
+    * cells stay finite — the credit-scoring-style audit of how much a
+    * single feature separates a binary label (pairs with the churn
+    * labels of q322). Terms micro-rounded before the sum.
+    *
+    * @return (bucket, n, n_bad, woe_milli, iv_term_micro)
+    */
+  def woeIvTable(df: DataFrame, idCol: String, score: Column, label: Column,
+                 bins: Int = 4): DataFrame = {
+    val base = df.select(col(idCol).as("id"), score.cast("long").as("s"),
+      label.cast("boolean").as("bad")).persist()
+    val bucketed = graft.ext.CorpusOps.quantileBuckets(base, "id", col("s"), bins)
+      .select(col("id"), col("bucket"))
+      .join(base, "id")
+    val cells = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_bad"))
+      .withColumn("n_good", col("n") - col("n_bad"))
+    val tot = cells.agg(sum(col("n_good")).as("gg"), sum(col("n_bad")).as("bb"),
+      count(lit(1)).as("k"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("pg", (col("n_good") + 1L).cast("double")
+        / (col("gg") + col("k")).cast("double"))
+      .withColumn("pb", (col("n_bad") + 1L).cast("double")
+        / (col("bb") + col("k")).cast("double"))
+      .select(col("bucket"), col("n"), col("n_bad"),
+        round(log(col("pg") / col("pb")) * 1000.0, 0).cast("long")
+          .as("woe_milli"),
+        round((col("pg") - col("pb")) * log(col("pg") / col("pb"))
+          * 1000000.0, 0).cast("long").as("iv_term_micro"))
+  }
 }

@@ -1452,6 +1452,54 @@ object StructureQueries extends QueryPack {
               s" / CAST(ntok AS DOUBLE)) AS BIGINT) AS x$j").mkString(",\n") +
           ",\n    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)" +
           " ELSE CAST(0 AS BIGINT) END AS y\n  FROM cnts)",
-        k = 8, epochs = 3)))
+        k = 8, epochs = 3))),
+
+    // WoE / information value of pre-cutoff spend against the churn
+    // label: quantile bins via two-phase rank, Laplace-smoothed
+    // evidence weights — does the feature separate the label at all.
+    Q("q329_woe_iv",
+      (s, d) => {
+        import s.implicits._
+        val labeled = graft.ops.Behavior.churnLabels(Tables.events(s, d),
+          cutoffDay = 19740L, horizonDays = 8L)
+        graft.ops.Causal.woeIvTable(labeled, "user_id", $"spend_cents",
+            $"churned", bins = 4)
+          .orderBy($"bucket")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day,
+             |    event_type AS et, CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |f AS (SELECT user_id,
+             |    CAST(sum(cents) AS BIGINT) AS s
+             |  FROM ev WHERE day <= 19740 GROUP BY 1),
+             |fut AS (SELECT DISTINCT user_id FROM ev
+             |        WHERE day > 19740 AND day <= 19748),
+             |lb AS (SELECT f.user_id AS id, f.s,
+             |    fut.user_id IS NULL AS bad
+             |  FROM f LEFT JOIN fut ON fut.user_id = f.user_id),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lb),
+             |bk AS (SELECT id, ((rn - 1) * 4) // n AS bucket FROM (
+             |  SELECT id, CAST(row_number() OVER (ORDER BY s, id) AS BIGINT)
+             |    AS rn FROM lb) CROSS JOIN nn),
+             |cells AS (
+             |  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+             |  FROM bk JOIN lb USING (id) GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n - n_bad) AS BIGINT) AS gg,
+             |    CAST(sum(n_bad) AS BIGINT) AS bb,
+             |    CAST(count(*) AS BIGINT) AS k FROM cells)
+             |SELECT CAST(bucket AS BIGINT) AS bucket, n, n_bad,
+             |  CAST(round(ln((CAST(n - n_bad + 1 AS DOUBLE)
+             |      / CAST(gg + k AS DOUBLE))
+             |    / (CAST(n_bad + 1 AS DOUBLE) / CAST(bb + k AS DOUBLE)))
+             |    * CAST(1000 AS DOUBLE)) AS BIGINT) AS woe_milli,
+             |  CAST(round((CAST(n - n_bad + 1 AS DOUBLE) / CAST(gg + k AS DOUBLE)
+             |      - CAST(n_bad + 1 AS DOUBLE) / CAST(bb + k AS DOUBLE))
+             |    * ln((CAST(n - n_bad + 1 AS DOUBLE) / CAST(gg + k AS DOUBLE))
+             |      / (CAST(n_bad + 1 AS DOUBLE) / CAST(bb + k AS DOUBLE)))
+             |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS iv_term_micro
+             |FROM cells CROSS JOIN tot ORDER BY bucket""".stripMargin))
   )
 }

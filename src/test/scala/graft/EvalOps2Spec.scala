@@ -153,4 +153,20 @@ class EvalOps2Spec extends SparkTestBase {
     }))
     assert(g1.exists(_.getAs[Long]("w1_milli") > 0L))
   }
+
+  test("woeIvTable: a perfectly separating score gives opposite-sign extreme WoE") {
+    import spark.implicits._
+    // low scores all bad, high scores all good
+    val df = ((1 to 20).map(i => (i.toLong, i.toLong, true)) ++
+      (21 to 40).map(i => (i.toLong, i.toLong, false)))
+      .toDF("id", "s", "bad")
+    val got = graft.ops.Causal.woeIvTable(df, "id", col("s"), col("bad"),
+        bins = 2)
+      .orderBy(col("bucket")).collect()
+    assert(got.length == 2)
+    // bucket 0 = low scores = all bad -> strongly negative WoE
+    assert(got(0).getAs[Long]("woe_milli") < -2000L)
+    assert(got(1).getAs[Long]("woe_milli") > 2000L)
+    assert(got.forall(_.getAs[Long]("iv_term_micro") > 0L))
+  }
 }
