@@ -103,4 +103,43 @@ object FuzzyLink {
         ++ aCols.flatMap(a => Seq(col(s"m_$a").as(s"m_${a}_micro"),
           col(s"u_$a").as(s"u_${a}_micro"))) :+ col("p").as("p_micro"): _*)
   }
+
+  /** Blocking-quality report: for a candidate-generation key, the two
+    * numbers every entity-resolution blocking decision turns on —
+    * reduction ratio (how much of the quadratic pair space the key
+    * prunes) and pairs completeness (what fraction of TRUE matches the
+    * key keeps co-blocked). Truth pairs come from the caller (here the
+    * engine's own SimHash near-dup screen — the audit composes two of
+    * the engine's operators against each other).
+    *
+    * Candidate counting is one key-grouped aggregation (Σ n_k·(n_k−1)/2
+    * — never a materialized pair join); only the truth∩candidate check
+    * joins pairs, and the truth set is screen-sized.
+    *
+    * @param records (id, key) blocking assignment
+    * @param truth   (id_a, id_b) true-match pairs, id_a < id_b
+    * @return one row: n_records, n_cand_pairs, n_true_pairs,
+    *         n_true_blocked, rr_micro, pc_milli
+    */
+  def blockingQuality(records: DataFrame, truth: DataFrame): DataFrame = {
+    val recs = records.select(col("id"), col("key")).persist()
+    val nRec = recs.agg(count(lit(1)).as("n_records"))
+    val cand = recs.groupBy(col("key")).agg(count(lit(1)).as("nk"))
+      .agg(sum(expr("nk * (nk - 1) div 2")).as("n_cand_pairs"))
+    val truthKeyed = truth
+      .join(recs.select(col("id").as("id_a"), col("key").as("ka")), "id_a")
+      .join(recs.select(col("id").as("id_b"), col("key").as("kb")), "id_b")
+    val truthStats = truthKeyed.agg(count(lit(1)).as("n_true_pairs"),
+      sum(when(col("ka") === col("kb"), 1L).otherwise(0L)).as("n_true_blocked"))
+    nRec.crossJoin(broadcast(cand)).crossJoin(broadcast(truthStats))
+      .select(col("n_records"), col("n_cand_pairs"), col("n_true_pairs"),
+        col("n_true_blocked"),
+        round((lit(1.0) - col("n_cand_pairs").cast("double")
+          / (col("n_records") * (col("n_records") - 1) / 2).cast("double"))
+          * 1000000.0, 0).cast("long").as("rr_micro"),
+        when(col("n_true_pairs") > 0L,
+          round(col("n_true_blocked").cast("double") * 1000.0
+            / col("n_true_pairs").cast("double"), 0).cast("long"))
+          .otherwise(lit(null).cast("long")).as("pc_milli"))
+  }
 }

@@ -1500,6 +1500,71 @@ object StructureQueries extends QueryPack {
              |    * ln((CAST(n - n_bad + 1 AS DOUBLE) / CAST(gg + k AS DOUBLE))
              |      / (CAST(n_bad + 1 AS DOUBLE) / CAST(bb + k AS DOUBLE)))
              |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS iv_term_micro
-             |FROM cells CROSS JOIN tot ORDER BY bucket""".stripMargin))
+             |FROM cells CROSS JOIN tot ORDER BY bucket""".stripMargin)),
+
+    // Blocking-quality audit: the first-2-token key's reduction ratio
+    // and pairs completeness against the engine's own SimHash near-dup
+    // truth — two operators composed into one ER design answer.
+    Q("q330_blocking_quality",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val recs = docs.select($"doc_id".as("id"),
+          concat_ws(" ",
+            slice(graft.ext.TextAnalysis.tokens($"text"), 1, 2)).as("key"))
+        val truth = graft.ext.Dedup.simHashPairsBanded(docs, "doc_id", "text",
+          maxDist = 6).select($"id_a", $"id_b")
+        graft.ops.FuzzyLink.blockingQuality(recs, truth)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+             |  FROM documents),
+             |recs AS (SELECT doc_id AS id,
+             |    array_to_string(l[1:2], ' ') AS key FROM toks),
+             |th AS (
+             |  SELECT doc_id,
+             |    list_transform(l, s ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(generate_series(1, length(s)),
+             |          i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+             |      (a, b) -> (a*31 + b) % 1000000007)) AS hs
+             |  FROM toks),
+             |bits AS (
+             |  SELECT doc_id, j,
+             |    CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+             |      CASE WHEN ((h * ((1103515245 * j) % 2038074743)
+             |          + ((12345 * j + 7) % 2038074743)) % 2038074743) % 2 = 1
+             |           THEN 1 ELSE -1 END)), 0) > 0
+             |         THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE 0 END
+             |      AS bit
+             |  FROM th CROSS JOIN range(1, 64) t(j)),
+             |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sh
+             |       FROM bits GROUP BY 1),
+             |truth AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+             |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM recs),
+             |cnd AS (SELECT CAST(sum(nk * (nk - 1) // 2) AS BIGINT)
+             |    AS n_cand_pairs
+             |  FROM (SELECT key, CAST(count(*) AS BIGINT) AS nk
+             |        FROM recs GROUP BY 1)),
+             |ts AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+             |    CAST(sum(CASE WHEN ra.key = rb.key THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_true_blocked
+             |  FROM truth JOIN recs ra ON ra.id = truth.id_a
+             |  JOIN recs rb ON rb.id = truth.id_b)
+             |SELECT n_records, n_cand_pairs, n_true_pairs, n_true_blocked,
+             |  CAST(round((CAST(1.0 AS DOUBLE)
+             |    - CAST(n_cand_pairs AS DOUBLE)
+             |      / (CAST(n_records * (n_records - 1) AS DOUBLE)
+             |        / CAST(2 AS DOUBLE)))
+             |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS rr_micro,
+             |  CASE WHEN n_true_pairs > 0 THEN
+             |    CAST(round(CAST(n_true_blocked AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |      / CAST(n_true_pairs AS DOUBLE)) AS BIGINT)
+             |  ELSE NULL END AS pc_milli
+             |FROM nr CROSS JOIN cnd CROSS JOIN ts""".stripMargin))
   )
 }

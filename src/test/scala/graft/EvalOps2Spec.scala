@@ -169,4 +169,18 @@ class EvalOps2Spec extends SparkTestBase {
     assert(got(1).getAs[Long]("woe_milli") > 2000L)
     assert(got.forall(_.getAs[Long]("iv_term_micro") > 0L))
   }
+
+  test("blockingQuality: hand-computed RR and PC on a tiny block design") {
+    import spark.implicits._
+    // 6 records, 2 blocks of 3 -> candidates 2*3 = 6 of 15 -> RR = 0.6;
+    // truth: 2 pairs, one co-blocked, one across blocks -> PC = 0.5
+    val recs = Seq((1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"), (6L, "b")).toDF("id", "key")
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val r = graft.ops.FuzzyLink.blockingQuality(recs, truth).collect()(0)
+    assert(r.getAs[Long]("n_cand_pairs") == 6L)
+    assert(r.getAs[Long]("n_true_blocked") == 1L)
+    assert(r.getAs[Long]("rr_micro") == 600000L)
+    assert(r.getAs[Long]("pc_milli") == 500L)
+  }
 }
