@@ -579,4 +579,32 @@ object LinkGraph {
       .orderBy(col("score_micro").desc, col("id_a").asc, col("id_b").asc)
       .limit(k)
   }
+
+  /** Local clustering coefficient per node:
+    * `2·T(v) / (deg(v)·(deg(v)−1))` from [[triangleCounts]] and the
+    * degree table — "how tightly does each node's neighborhood close"
+    * (the per-node reading of the global transitivity q128 reports).
+    * Degree-1 nodes yield null (the coefficient is undefined).
+    *
+    * @param pairs undirected edges, each once with any orientation
+    * @return (node_id, degree, n_triangles, coeff_micro)
+    */
+  def clusteringCoefficient(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(
+      least(col("id_a"), col("id_b")).as("a"),
+      greatest(col("id_a"), col("id_b")).as("b")).distinct()
+      .persist()
+    val deg = und.select(col("a").as("node_id"))
+      .unionAll(und.select(col("b").as("node_id")))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(und.select(col("a").as("id_a"), col("b").as("id_b")))
+    deg.join(tri, Seq("node_id"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .select(col("node_id"), col("degree"), col("n_triangles"),
+        when(col("degree") >= 2L,
+          round(col("n_triangles").cast("double") * 2000000.0
+            / (col("degree") * (col("degree") - 1)).cast("double"), 0)
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("coeff_micro"))
+  }
 }

@@ -1565,6 +1565,56 @@ object StructureQueries extends QueryPack {
              |    CAST(round(CAST(n_true_blocked AS DOUBLE) * CAST(1000 AS DOUBLE)
              |      / CAST(n_true_pairs AS DOUBLE)) AS BIGINT)
              |  ELSE NULL END AS pc_milli
-             |FROM nr CROSS JOIN cnd CROSS JOIN ts""".stripMargin))
+             |FROM nr CROSS JOIN cnd CROSS JOIN ts""".stripMargin)),
+
+    // Local clustering coefficient per part over the q128 copurchase
+    // graph: how tightly each node's neighborhood closes.
+    Q("q331_clustering_coefficient",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+        val und = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+          .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+          .select($"id_a", $"id_b")
+        graft.ext.LinkGraph.clusteringCoefficient(und)
+          .orderBy($"node_id")
+      },
+      Some("""WITH und AS (
+             |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |deg AS (
+             |  SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+             |    SELECT pa AS id FROM und UNION ALL SELECT pb FROM und)
+             |  GROUP BY 1),
+             |o AS (
+             |  SELECT CASE WHEN da.degree <= db.degree THEN und.pa ELSE und.pb
+             |      END AS src,
+             |    CASE WHEN da.degree <= db.degree THEN und.pb ELSE und.pa
+             |      END AS dst
+             |  FROM und JOIN deg da ON da.id = und.pa
+             |  JOIN deg db ON db.id = und.pb),
+             |tri AS (
+             |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+             |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+             |  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+             |tc AS (SELECT id AS node_id, CAST(count(*) AS BIGINT)
+             |    AS n_triangles
+             |  FROM (SELECT u AS id FROM tri UNION ALL SELECT v FROM tri
+             |        UNION ALL SELECT w FROM tri)
+             |  GROUP BY 1)
+             |SELECT deg.id AS node_id, degree,
+             |  coalesce(tc.n_triangles, 0) AS n_triangles,
+             |  CASE WHEN degree >= 2 THEN
+             |    CAST(round(CAST(coalesce(tc.n_triangles, 0) AS DOUBLE)
+             |      * CAST(2000000 AS DOUBLE)
+             |      / CAST(degree * (degree - 1) AS DOUBLE)) AS BIGINT)
+             |  ELSE NULL END AS coeff_micro
+             |FROM deg LEFT JOIN tc ON tc.node_id = deg.id
+             |ORDER BY node_id""".stripMargin))
   )
 }

@@ -104,4 +104,19 @@ class LinkGraphSpec extends SparkTestBase {
     assert(got(0).getString(0) == "a" && got(0).getLong(3) == 0L)
     assert(got(0).isNullAt(4))
   }
+
+  test("clusteringCoefficient: triangle scores 1, star center scores 0, leaf null") {
+    // triangle {1,2,3} plus star edges 1-4, 1-5 (no closures among 4,5)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("id_a", "id_b")
+    val got = LinkGraph.clusteringCoefficient(edges)
+      .orderBy($"node_id").collect()
+    val byN = got.map(r => r.getLong(0) ->
+      (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(byN(2L) == (2L, 1000000L)) // degree 2, its one wedge closes
+    assert(byN(3L) == (2L, 1000000L))
+    // node 1: degree 4, one triangle of 6 possible wedges -> 1/6
+    assert(byN(1L)._1 == 4L && math.abs(byN(1L)._2 - 166667L) <= 1L)
+    assert(byN(4L) == (1L, -1L)) // degree-1 leaf: undefined -> null
+  }
 }
