@@ -108,4 +108,37 @@ object Calibrate {
           * (lit(1.0) - col("yy").cast("double") / col("nn").cast("double"))
           * 1000000.0, 0).cast("long").as("unc_micro"))
   }
+
+  /** Expected / maximum calibration error over the q161 bins:
+    * ECE = Σ n_b·|p̄_b − ō_b| / N and MCE = max_b |p̄_b − ō_b| — the
+    * two headline numbers a calibration report leads with (the bins
+    * themselves are q161; the isotonic FIX is [[isotonicBins]]).
+    * Per-bin gaps micro-rounded before the weighted sum.
+    *
+    * @return one row: (n, ece_micro, mce_micro)
+    */
+  def calibrationError(scored: DataFrame, pCol: String, yCol: String,
+                       bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(pCol.matches("[A-Za-z0-9_]+"),
+      s"pCol must be a bare identifier, got '$pCol'")
+    val b = scored
+      .select(least(greatest(expr(s"$pCol * $bins div 1000000"), lit(0L)),
+          lit(bins - 1L)).as("bin"),
+        col(pCol).as("p"), col(yCol).as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"), sum(col("y")).as("sy"))
+      .withColumn("gap_micro",
+        abs(round(col("sp").cast("double") / col("n").cast("double"), 0)
+            .cast("long")
+          - round(col("sy").cast("double") * 1000000.0
+            / col("n").cast("double"), 0).cast("long")))
+    b.agg(sum(col("n")).as("nn"),
+        sum(col("n") * col("gap_micro")).as("wsum"),
+        max(col("gap_micro")).as("mce_micro"))
+      .select(col("nn").as("n"),
+        round(col("wsum").cast("double") / col("nn").cast("double"), 0)
+          .cast("long").as("ece_micro"),
+        col("mce_micro"))
+  }
 }

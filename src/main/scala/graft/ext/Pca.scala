@@ -114,4 +114,56 @@ object Pca {
         .localCheckpoint(true)
     } finally { cen.unpersist(false); () }
   }
+
+  /** Linear CKA (centered-kernel alignment) between two dimension
+    * blocks of one embedding table — "do the first and last halves of
+    * the vector encode the same geometry": CKA = ‖Cxy‖²_F /
+    * (‖Cxx‖_F·‖Cyy‖_F) over centered cross-covariance blocks. Exact
+    * integer path: every block entry is the EXACT integer
+    * `n·Σx_a·x_b − Σx_a·Σx_b` (centering without materializing means),
+    * scaled by a giga-unit floor before the Frobenius squares so the
+    * squared sums stay inside signed-64 — both engines replay the
+    * identical integers; the closing ratio is the one shared double.
+    *
+    * One posexplode + one id-keyed self-join builds the full gram
+    * (rows × dims² — dims bounded); everything after is dims²-sized.
+    *
+    * @return one row: (n, split_dim, cka_milli)
+    */
+  def linearCka(emb: DataFrame, idCol: String, vecCol: String,
+                splitDim: Int = 32): DataFrame = {
+    require(splitDim >= 1, "split dimension must be positive")
+    val m = emb.select(col(idCol).as("id"),
+      posexplode(transform(col(vecCol),
+        x => round(x.cast("double") * 1000000.0, 0).cast("long")))
+        .as(Seq("d", "xm")))
+      .persist()
+    val sums = m.groupBy(col("d")).agg(sum(col("xm")).as("sd"))
+    val nRow = emb.agg(count(lit(1)).as("n"))
+    val gram = m.as("a").join(m.as("b"), col("a.id") === col("b.id"))
+      .groupBy(col("a.d").as("da"), col("b.d").as("db"))
+      .agg(sum(col("a.xm") * col("b.xm")).as("sxy"))
+    val blocks = gram
+      .join(broadcast(sums.select(col("d").as("da"), col("sd").as("sa"))), "da")
+      .join(broadcast(sums.select(col("d").as("db"), col("sd").as("sb"))), "db")
+      .crossJoin(broadcast(nRow))
+      // exact centered entry, then the giga floor both engines share
+      .withColumn("mg",
+        round((col("n") * col("sxy") - col("sa") * col("sb")).cast("double")
+          / 1.0e9, 0).cast("long"))
+      .withColumn("blk",
+        when(col("da") < splitDim && col("db") < splitDim, "xx")
+          .when(col("da") >= splitDim && col("db") >= splitDim, "yy")
+          .when(col("da") < splitDim && col("db") >= splitDim, "xy")
+          .otherwise("yx"))
+    val fro = blocks.filter(col("blk") =!= "yx")
+      .groupBy(col("blk")).agg(sum(col("mg") * col("mg")).as("f2"))
+    val wide = fro.groupBy(lit(1).as("one"))
+      .pivot(col("blk"), Seq("xx", "yy", "xy")).agg(first(col("f2")))
+    wide.crossJoin(broadcast(nRow))
+      .select(col("n"), lit(splitDim.toLong).as("split_dim"),
+        round(col("xy").cast("double")
+          / (sqrt(col("xx").cast("double")) * sqrt(col("yy").cast("double")))
+          * 1000.0, 0).cast("long").as("cka_milli"))
+  }
 }

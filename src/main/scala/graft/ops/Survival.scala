@@ -59,4 +59,33 @@ object Survival {
             |  (acc, s) -> (acc * (s.n_risk - s.d)) div s.n_risk)""".stripMargin)
           .as("s_micro"))
   }
+
+  /** Nelson–Aalen cumulative hazard: per event time,
+    * `h(t) = d_t / n_risk(t)` micro-rounded, `H(t)` the running integer
+    * sum — the hazard-scale companion to [[kaplanMeier]] (same risk
+    * sets, no product), preferred when hazards get compared or summed
+    * across groups.
+    *
+    * @return (grp, t, n_risk, d, h_micro, cumhaz_micro) at event times
+    */
+  def nelsonAalen(df: DataFrame, grpCol: String, durCol: String,
+                  eventCol: String): DataFrame = {
+    val cells = df.select(col(grpCol).as("grp"),
+        col(durCol).cast("long").as("t"), col(eventCol).cast("long").as("ev"))
+      .groupBy(col("grp"), col("t"))
+      .agg(count(lit(1)).as("c"), sum(col("ev")).as("d"))
+    val rev = Window.partitionBy(col("grp")).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val fwd = Window.partitionBy(col("grp")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("n_risk", sum(col("c")).over(rev))
+      .withColumn("h_micro",
+        round(col("d").cast("double") * 1000000.0
+          / col("n_risk").cast("double"), 0).cast("long"))
+      .withColumn("cumhaz_micro", sum(col("h_micro")).over(fwd))
+      .filter(col("d") > 0)
+      .select(col("grp"), col("t"), col("n_risk"), col("d"), col("h_micro"),
+        col("cumhaz_micro"))
+  }
 }

@@ -1615,6 +1615,153 @@ object StructureQueries extends QueryPack {
              |      / CAST(degree * (degree - 1) AS DOUBLE)) AS BIGINT)
              |  ELSE NULL END AS coeff_micro
              |FROM deg LEFT JOIN tc ON tc.node_id = deg.id
-             |ORDER BY node_id""".stripMargin))
+             |ORDER BY node_id""".stripMargin)),
+
+    // ECE / MCE headline calibration numbers over the q161 forecast.
+    Q("q332_calibration_error",
+      (s, d) => {
+        import s.implicits._
+        val scored = Tables.embeddings(s, d).select(
+          least(greatest(
+            round((col("embedding").getItem(0) + 1.0) / 2.0 * 1000000.0, 0)
+              .cast("long"), lit(0L)), lit(1000000L)).as("p_micro"),
+          ($"label" % 2).cast("long").as("y"))
+        graft.ext.Calibrate.calibrationError(scored, "p_micro", "y", bins = 10)
+      },
+      Some("""WITH s AS (
+             |  SELECT least(greatest(
+             |      CAST(round((embedding[1] + 1.0) / 2.0 * 1000000.0) AS BIGINT),
+             |      0), 1000000) AS p,
+             |    CAST(label % 2 AS BIGINT) AS y
+             |  FROM embeddings),
+             |b AS (SELECT least(p * 10 // 1000000, 9) AS bin,
+             |    CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS sp,
+             |    CAST(sum(y) AS BIGINT) AS sy
+             |  FROM s GROUP BY 1),
+             |g AS (SELECT n,
+             |    abs(CAST(round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+             |        AS BIGINT)
+             |      - CAST(round(CAST(sy AS DOUBLE) * 1000000.0
+             |        / CAST(n AS DOUBLE)) AS BIGINT)) AS gap
+             |  FROM b)
+             |SELECT CAST(sum(n) AS BIGINT) AS n,
+             |  CAST(round(CAST(sum(n * gap) AS DOUBLE)
+             |    / CAST(sum(n) AS DOUBLE)) AS BIGINT) AS ece_micro,
+             |  CAST(max(gap) AS BIGINT) AS mce_micro
+             |FROM g""".stripMargin)),
+
+    // Nelson–Aalen cumulative hazard on the q201 cohort: hazard-scale
+    // companion to the Kaplan–Meier survival steps.
+    Q("q333_nelson_aalen",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select(
+          $"o_orderpriority".as("grp"),
+          ($"o_orderkey" % 60).as("dur"),
+          when($"o_orderkey" % 7 =!= 0, 1L).otherwise(0L).as("ev"))
+        graft.ops.Survival.nelsonAalen(o, "grp", "dur", "ev")
+          .orderBy($"grp", $"t")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderpriority AS grp,
+             |    CAST(o_orderkey % 60 AS BIGINT) AS t,
+             |    CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END AS ev
+             |  FROM orders),
+             |cells AS (SELECT grp, t, CAST(count(*) AS BIGINT) AS c,
+             |    CAST(sum(ev) AS BIGINT) AS d
+             |  FROM base GROUP BY 1, 2),
+             |r AS (SELECT grp, t, d,
+             |    CAST(sum(c) OVER (PARTITION BY grp ORDER BY t
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |      AS BIGINT) AS n_risk
+             |  FROM cells),
+             |h AS (SELECT grp, t, n_risk, d,
+             |    CAST(round(CAST(d AS DOUBLE) * 1000000.0
+             |      / CAST(n_risk AS DOUBLE)) AS BIGINT) AS h_micro
+             |  FROM r),
+             |ch AS (SELECT grp, t, n_risk, d, h_micro,
+             |    CAST(sum(h_micro) OVER (PARTITION BY grp ORDER BY t
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumhaz_micro
+             |  FROM h)
+             |SELECT grp, t, n_risk, d, h_micro, cumhaz_micro
+             |FROM ch WHERE d > 0 ORDER BY grp, t""".stripMargin)),
+
+    // MATTR lexical diversity per source: moving-average type-token
+    // ratio over 20-token windows at stride 10 — the length-robust
+    // companion to raw TTR / Heaps (q281).
+    Q("q334_mattr",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d).select($"source",
+            graft.ext.TextAnalysis.tokens($"text").as("l"))
+          .filter(size($"l") >= 20)
+        val wins = base.select($"source",
+          explode(sequence(lit(1), size($"l") - 19, lit(10))).as("p"), $"l")
+        wins
+          .select($"source",
+            (size(array_distinct(slice($"l", $"p", lit(20)))).cast("long")
+              * 50000L).as("ttr_micro"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_windows"),
+            round(sum($"ttr_micro").cast("double")
+              / count(lit(1)).cast("double"), 0).cast("long")
+              .as("mattr_micro"))
+          .orderBy($"source")
+      },
+      Some("""WITH base AS (
+             |  SELECT source, string_split_regex(trim(text), '\s+') AS l
+             |  FROM documents),
+             |b2 AS (SELECT source, l FROM base WHERE len(l) >= 20),
+             |wins AS (SELECT source, l,
+             |    unnest(generate_series(1, len(l) - 19, 10)) AS p FROM b2),
+             |t AS (SELECT source,
+             |    CAST(len(list_distinct(l[p:p+19])) AS BIGINT) * 50000
+             |      AS ttr_micro
+             |  FROM wins)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_windows,
+             |  CAST(round(CAST(sum(ttr_micro) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mattr_micro
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Linear CKA between the first and last 32 embedding dimensions:
+    // exact integer centered gram blocks, giga-floored before the
+    // Frobenius squares.
+    Q("q335_cka_halves",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.Pca.linearCka(Tables.embeddings(s, d), "vec_id",
+          "embedding", splitDim = 32)
+      },
+      Some("""WITH m AS (
+             |  SELECT vec_id AS id,
+             |    unnest(list_transform(embedding,
+             |      (x, i) -> {'d': CAST(i - 1 AS BIGINT),
+             |        'xm': CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)}),
+             |      recursive := true)
+             |  FROM embeddings),
+             |nn AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n FROM m),
+             |sums AS (SELECT d, CAST(sum(xm) AS BIGINT) AS sd FROM m GROUP BY 1),
+             |gram AS (
+             |  SELECT a.d AS da, b.d AS db, CAST(sum(a.xm * b.xm) AS BIGINT)
+             |    AS sxy
+             |  FROM m a JOIN m b ON a.id = b.id GROUP BY 1, 2),
+             |blocks AS (
+             |  SELECT da, db,
+             |    CAST(round(CAST(n * sxy - sa.sd * sb.sd AS DOUBLE)
+             |      / CAST(1000000000 AS DOUBLE)) AS BIGINT) AS mg,
+             |    CASE WHEN da < 32 AND db < 32 THEN 'xx'
+             |      WHEN da >= 32 AND db >= 32 THEN 'yy'
+             |      WHEN da < 32 AND db >= 32 THEN 'xy' ELSE 'yx' END AS blk
+             |  FROM gram JOIN sums sa ON sa.d = gram.da
+             |  JOIN sums sb ON sb.d = gram.db CROSS JOIN nn),
+             |fro AS (SELECT blk, CAST(sum(mg * mg) AS BIGINT) AS f2
+             |  FROM blocks WHERE blk != 'yx' GROUP BY 1)
+             |SELECT n, CAST(32 AS BIGINT) AS split_dim,
+             |  CAST(round(
+             |    (SELECT CAST(f2 AS DOUBLE) FROM fro WHERE blk = 'xy')
+             |    / (sqrt((SELECT CAST(f2 AS DOUBLE) FROM fro WHERE blk = 'xx'))
+             |      * sqrt((SELECT CAST(f2 AS DOUBLE) FROM fro WHERE blk = 'yy')))
+             |    * CAST(1000 AS DOUBLE)) AS BIGINT) AS cka_milli
+             |FROM nn""".stripMargin))
   )
 }

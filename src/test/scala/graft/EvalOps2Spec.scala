@@ -183,4 +183,40 @@ class EvalOps2Spec extends SparkTestBase {
     assert(r.getAs[Long]("rr_micro") == 600000L)
     assert(r.getAs[Long]("pc_milli") == 500L)
   }
+
+  test("calibrationError: perfectly calibrated bins give 0; one bad bin drives MCE") {
+    import spark.implicits._
+    // bin 0 (p=50000): 1 of 20 positive (rate 50000) -> gap 0;
+    // bin 9 (p=950000): all negative -> gap 950000
+    val rows = (Seq.fill(19)((50000L, 0L)) :+ ((50000L, 1L))) ++
+      Seq.fill(10)((950000L, 0L))
+    val r = graft.ext.Calibrate.calibrationError(rows.toDF("p_micro", "y"),
+      "p_micro", "y").collect()(0)
+    assert(r.getAs[Long]("mce_micro") == 950000L)
+    // ece = (20*0 + 10*950000)/30
+    assert(r.getAs[Long]("ece_micro") == math.round(10.0 * 950000.0 / 30.0))
+  }
+
+  test("nelsonAalen: hand risk sets and running hazard") {
+    import spark.implicits._
+    // grp a: durations 1,1,2 all events: t=1 n=3 d=2 h=2/3; t=2 n=1 d=1 h=1
+    val df = Seq(("a", 1L, 1L), ("a", 1L, 1L), ("a", 2L, 1L)).toDF("g", "t", "e")
+    val got = graft.ops.Survival.nelsonAalen(df, "g", "t", "e")
+      .orderBy(col("t")).collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("h_micro") == 666667L)
+    assert(got(1).getAs[Long]("cumhaz_micro") == 1666667L)
+  }
+
+  test("linearCka: duplicated halves align at 1000, independent axes do not") {
+    import spark.implicits._
+    // 4-dim vectors whose second half EQUALS the first half -> CKA = 1
+    val dup = (1 to 30).map { i =>
+      val a = (i * 37 % 100) / 100.0f; val b = (i * 91 % 100) / 100.0f
+      (i.toLong, Array(a, b, a, b))
+    }.toDF("vec_id", "embedding")
+    val r1 = graft.ext.Pca.linearCka(dup, "vec_id", "embedding", splitDim = 2)
+      .collect()(0)
+    assert(math.abs(r1.getAs[Long]("cka_milli") - 1000L) <= 1L)
+  }
 }
