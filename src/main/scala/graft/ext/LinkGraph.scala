@@ -607,4 +607,40 @@ object LinkGraph {
             .cast("long"))
           .otherwise(lit(null).cast("long")).as("coeff_micro"))
   }
+
+  /** Harmonic centrality of a seed panel within `maxHops`:
+    * `H(s) = Σ_{v ≠ s reachable} 1/d(s,v)` with the per-seed labeled
+    * min-relaxation (the [[bfsDistances]] rounds keyed by (seed, node)
+    * so every seed carries its own distance field), reciprocal as the
+    * engine-identical integer floor `1e6 div d`. Bounded: the state is
+    * |seeds| × reached nodes; seeds are a panel by design.
+    *
+    * @param edges directed (src, dst) rows — pass both directions for
+    *              an undirected reading
+    * @return (seed, n_reached, harmonic_micro)
+    */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
+                         maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8, "hop budget out of range")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).persist(lvl)
+    try {
+      var dist = seeds.select(col("id").as("seed"))
+        .distinct()
+        .withColumn("id", col("seed")).withColumn("dist", lit(0L))
+        .checkpointEager()
+      for (_ <- 1 to maxHops) {
+        val relax = e.join(dist.withColumnRenamed("id", "src"), "src")
+          .select(col("seed"), col("dst").as("id"),
+            (col("dist") + 1L).as("dist"))
+        dist = dist.unionByName(relax)
+          .groupBy(col("seed"), col("id")).agg(min(col("dist")).as("dist"))
+          .checkpointEager()
+      }
+      dist.filter(col("dist") > 0L)
+        .groupBy(col("seed"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(expr("1000000 div dist")).as("harmonic_micro"))
+    } finally e.unpersist(false)
+  }
 }

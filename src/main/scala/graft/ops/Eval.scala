@@ -663,4 +663,41 @@ object Eval {
           .cast("long"))
       .withColumn("youden_milli", col("tpr_milli") - col("fpr_milli"))
   }
+
+  /** Importance-weighted accuracy under covariate shift: when the
+    * evaluation panel's group mix differs from the deployment target
+    * mix, each group's correctness is reweighted by
+    * `w_g = target_share_g / panel_share_g` (here: uniform target) —
+    * the estimator that answers "what would this accuracy be on the
+    * mix we actually serve". Exact integer counts; the weights and the
+    * two closing ratios are the only shared doubles.
+    *
+    * @param correct boolean per-row correctness flag
+    * @return one row: (n, n_groups, acc_raw_milli, acc_weighted_milli)
+    */
+  def importanceWeightedAccuracy(df: DataFrame, grpCol: String,
+                                 correct: Column): DataFrame = {
+    val per = df.select(col(grpCol).as("g"), correct.as("ok"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("c_g"))
+    val tot = per.agg(sum(col("n_g")).as("nn"), count(lit(1)).as("k"))
+    per.crossJoin(broadcast(tot))
+      // uniform target: w_g = (N / k) / n_g — per-group correct mass
+      // w_g·c_g over w_g·n_g telescopes to mean-of-group-accuracies
+      .withColumn("w", col("nn").cast("double")
+        / (col("k").cast("double") * col("n_g").cast("double")))
+      .groupBy(col("nn"), col("k"))
+      .agg(sum(col("c_g")).as("cc"),
+        sum(round(col("w") * col("c_g").cast("double") * 1000000.0, 0)
+          .cast("long")).as("wc_sum"),
+        sum(round(col("w") * col("n_g").cast("double") * 1000000.0, 0)
+          .cast("long")).as("wn_sum"))
+      .select(col("nn").as("n"), col("k").as("n_groups"),
+        round(col("cc").cast("double") * 1000.0 / col("nn").cast("double"), 0)
+          .cast("long").as("acc_raw_milli"),
+        round(col("wc_sum").cast("double") * 1000.0
+          / col("wn_sum").cast("double"), 0).cast("long")
+          .as("acc_weighted_milli"))
+  }
 }

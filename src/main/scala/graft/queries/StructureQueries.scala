@@ -1762,6 +1762,81 @@ object StructureQueries extends QueryPack {
              |    / (sqrt((SELECT CAST(f2 AS DOUBLE) FROM fro WHERE blk = 'xx'))
              |      * sqrt((SELECT CAST(f2 AS DOUBLE) FROM fro WHERE blk = 'yy')))
              |    * CAST(1000 AS DOUBLE)) AS BIGINT) AS cka_milli
-             |FROM nn""".stripMargin))
+             |FROM nn""".stripMargin)),
+
+    // Covariate-shift evaluation: raw panel accuracy vs the
+    // importance-weighted accuracy under a uniform target source mix.
+    Q("q336_importance_weighted_acc",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        graft.ops.Eval.importanceWeightedAccuracy(docs, "source",
+          ($"n_chars" >= 250) === ($"lang" === "en"))
+      },
+      Some("""WITH per AS (
+             |  SELECT source AS g, CAST(count(*) AS BIGINT) AS n_g,
+             |    CAST(sum(CASE WHEN (n_chars >= 250) = (lang = 'en')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS c_g
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+             |        CAST(count(*) AS BIGINT) AS k FROM per),
+             |wt AS (SELECT n_g, c_g, nn, k,
+             |    CAST(nn AS DOUBLE) / (CAST(k AS DOUBLE) * CAST(n_g AS DOUBLE))
+             |      AS w
+             |  FROM per CROSS JOIN tot)
+             |SELECT nn AS n, k AS n_groups,
+             |  CAST(round(CAST(sum(c_g) AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |    / CAST(nn AS DOUBLE)) AS BIGINT) AS acc_raw_milli,
+             |  CAST(round(CAST(sum(CAST(round(w * CAST(c_g AS DOUBLE)
+             |      * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+             |    * CAST(1000 AS DOUBLE)
+             |    / CAST(sum(CAST(round(w * CAST(n_g AS DOUBLE)
+             |      * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE))
+             |    AS BIGINT) AS acc_weighted_milli
+             |FROM wt GROUP BY nn, k""".stripMargin)),
+
+    // Harmonic centrality of the q178 seed panel over the bipartite
+    // customer-supplier graph: per-seed labeled BFS, integer-floor
+    // reciprocal distances.
+    Q("q337_harmonic_centrality",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+          .select($"o_custkey".as("c"), $"l_suppkey".as("p")).distinct()
+        val edges = pairs.select($"c".as("src"), ($"p" + 1000000L).as("dst"))
+          .union(pairs.select(($"p" + 1000000L).as("src"), $"c".as("dst")))
+        val seeds = Tables.customer(s, d).filter($"c_custkey" < 10)
+          .select($"c_custkey".as("id"))
+        graft.ext.LinkGraph.harmonicCentrality(edges, seeds, maxHops = 3)
+          .orderBy($"seed")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |edges AS (
+             |  SELECT c AS src, p + 1000000 AS dst FROM pairs
+             |  UNION ALL SELECT p + 1000000, c FROM pairs),
+             |d0 AS (SELECT c_custkey AS seed, c_custkey AS id,
+             |       CAST(0 AS BIGINT) AS dist
+             |       FROM customer WHERE c_custkey < 10),
+             |d1 AS (SELECT seed, id, min(dist) AS dist FROM (
+             |         SELECT seed, id, dist FROM d0
+             |         UNION ALL
+             |         SELECT d0.seed, e.dst, d0.dist + 1 FROM d0
+             |         JOIN edges e ON e.src = d0.id) GROUP BY 1, 2),
+             |d2 AS (SELECT seed, id, min(dist) AS dist FROM (
+             |         SELECT seed, id, dist FROM d1
+             |         UNION ALL
+             |         SELECT d1.seed, e.dst, d1.dist + 1 FROM d1
+             |         JOIN edges e ON e.src = d1.id) GROUP BY 1, 2),
+             |d3 AS (SELECT seed, id, min(dist) AS dist FROM (
+             |         SELECT seed, id, dist FROM d2
+             |         UNION ALL
+             |         SELECT d2.seed, e.dst, d2.dist + 1 FROM d2
+             |         JOIN edges e ON e.src = d2.id) GROUP BY 1, 2)
+             |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+             |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
+             |FROM d3 WHERE dist > 0 GROUP BY 1 ORDER BY seed""".stripMargin))
   )
 }

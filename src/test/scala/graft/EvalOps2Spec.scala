@@ -219,4 +219,29 @@ class EvalOps2Spec extends SparkTestBase {
       .collect()(0)
     assert(math.abs(r1.getAs[Long]("cka_milli") - 1000L) <= 1L)
   }
+
+  test("importanceWeightedAccuracy: uniform target equals mean of group accuracies") {
+    import spark.implicits._
+    // group a: 100 rows at 90%; group b: 10 rows at 50% ->
+    // raw = (90+5)/110 ~ 863; weighted = (900+500)/2 = 700
+    val rows = (1 to 100).map(i => ("a", i <= 90)) ++
+      (1 to 10).map(i => ("b", i <= 5))
+    val r = graft.ops.Eval.importanceWeightedAccuracy(
+      rows.toDF("g", "ok"), "g", col("ok")).collect()(0)
+    assert(r.getAs[Long]("acc_raw_milli") == 864L)
+    assert(r.getAs[Long]("acc_weighted_milli") == 700L)
+  }
+
+  test("harmonicCentrality: hand path graph") {
+    import spark.implicits._
+    // path 1-2-3-4, seed {1}: dists 1,2,3 -> H = 1e6 + 5e5 + 333333
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val r = graft.ext.LinkGraph.harmonicCentrality(edges, seeds, maxHops = 3)
+      .collect()(0)
+    assert(r.getAs[Long]("n_reached") == 3L)
+    assert(r.getAs[Long]("harmonic_micro") == 1000000L + 500000L + 333333L)
+  }
 }
