@@ -1837,6 +1837,109 @@ object StructureQueries extends QueryPack {
              |         JOIN edges e ON e.src = d2.id) GROUP BY 1, 2)
              |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
              |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
-             |FROM d3 WHERE dist > 0 GROUP BY 1 ORDER BY seed""".stripMargin))
+             |FROM d3 WHERE dist > 0 GROUP BY 1 ORDER BY seed""".stripMargin)),
+
+    // Burstiness of the ten most frequent words: variance-to-mean
+    // ratio of inter-occurrence gaps over the (doc, position) order —
+    // uniform filler words sit near 1, clumped topical words above it.
+    Q("q338_token_burstiness",
+      (s, d) => {
+        import s.implicits._
+        val occ = Tables.documents(s, d)
+          .select($"doc_id", posexplode(
+            graft.ext.TextAnalysis.tokens($"text")).as(Seq("pos", "tok")))
+          // scalar corpus position: docs are ≤ 512 tokens by generation
+          .select($"tok", ($"doc_id" * 1024 + $"pos").as("gp"))
+        val top = occ.groupBy($"tok").agg(count(lit(1)).as("n_occ"))
+          .orderBy($"n_occ".desc, $"tok".asc).limit(10)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"tok").orderBy($"gp")
+        occ.join(broadcast(top), "tok")
+          .withColumn("prev", lag($"gp", 1).over(w))
+          .filter($"prev".isNotNull)
+          .withColumn("g", $"gp" - $"prev")
+          .groupBy($"tok", $"n_occ")
+          .agg(count(lit(1)).as("n_gaps"), sum($"g").as("sg"),
+            sum($"g" * $"g").as("sgg"))
+          .select($"tok", $"n_occ",
+            round($"sg".cast("double") * 1000.0 / $"n_gaps".cast("double"), 0)
+              .cast("long").as("mean_gap_milli"),
+            round(($"sgg".cast("double") / $"n_gaps".cast("double")
+              - ($"sg".cast("double") / $"n_gaps".cast("double"))
+                * ($"sg".cast("double") / $"n_gaps".cast("double")))
+              / ($"sg".cast("double") / $"n_gaps".cast("double"))
+              * 1000.0, 0).cast("long").as("vmr_milli"))
+          .orderBy($"tok")
+      },
+      Some("""WITH occ AS (
+             |  SELECT (u).tok AS tok, (u).gp AS gp FROM (
+             |    SELECT unnest(list_transform(
+             |      string_split_regex(trim(text), '\s+'),
+             |      (x, i) -> {'tok': x,
+             |        'gp': CAST(doc_id * 1024 + i - 1 AS BIGINT)})) AS u
+             |    FROM documents)),
+             |top AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_occ
+             |  FROM occ GROUP BY 1 ORDER BY n_occ DESC, tok LIMIT 10),
+             |g AS (SELECT occ.tok, n_occ,
+             |    gp - lag(gp) OVER (PARTITION BY occ.tok ORDER BY gp) AS g
+             |  FROM occ JOIN top ON top.tok = occ.tok),
+             |ag AS (SELECT tok, n_occ, CAST(count(*) AS BIGINT) AS n_gaps,
+             |    CAST(sum(g) AS BIGINT) AS sg, CAST(sum(g * g) AS BIGINT) AS sgg
+             |  FROM g WHERE g IS NOT NULL GROUP BY 1, 2)
+             |SELECT tok, n_occ,
+             |  CAST(round(CAST(sg AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |    / CAST(n_gaps AS DOUBLE)) AS BIGINT) AS mean_gap_milli,
+             |  CAST(round((CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+             |    - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+             |      * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+             |    / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+             |    * CAST(1000 AS DOUBLE)) AS BIGINT) AS vmr_milli
+             |FROM ag ORDER BY tok""".stripMargin)),
+
+    // Hill power-law exponent of the copurchase degree distribution:
+    // alpha = 1 + n / Σ ln(d_i/d_min) over the tail d ≥ d_min.
+    Q("q339_degree_powerlaw",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+        val und = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+          .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+          .select($"id_a", $"id_b")
+        val deg = und.select($"id_a".as("id"))
+          .unionAll(und.select($"id_b".as("id")))
+          .groupBy($"id").agg(count(lit(1)).as("deg"))
+        val dMin = 4L
+        deg.filter($"deg" >= dMin)
+          .select(round(log($"deg".cast("double") / lit(dMin.toDouble))
+            * 1000000.0, 0).cast("long").as("t_micro"))
+          .agg(count(lit(1)).as("n_tail"), sum($"t_micro").as("t_sum"))
+          .select($"n_tail",
+            round((lit(1.0) + $"n_tail".cast("double") * 1000000.0
+              / $"t_sum".cast("double")) * 1000.0, 0).cast("long")
+              .as("alpha_milli"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |e AS (
+             |  SELECT x.pk AS id_a, y.pk AS id_b
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |deg AS (
+             |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+             |    SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e)
+             |  GROUP BY 1),
+             |t AS (SELECT CAST(round(ln(CAST(deg AS DOUBLE)
+             |      / CAST(4 AS DOUBLE)) * 1000000.0) AS BIGINT) AS t_micro
+             |  FROM deg WHERE deg >= 4),
+             |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+             |       CAST(sum(t_micro) AS BIGINT) AS t_sum FROM t)
+             |SELECT n_tail,
+             |  CAST(round((CAST(1.0 AS DOUBLE)
+             |    + CAST(n_tail AS DOUBLE) * CAST(1000000 AS DOUBLE)
+             |      / CAST(t_sum AS DOUBLE)) * CAST(1000 AS DOUBLE))
+             |    AS BIGINT) AS alpha_milli
+             |FROM ag""".stripMargin))
   )
 }
