@@ -513,4 +513,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(scans <= 2,
       s"fold models are rescanning the corpus ($scans uncached parquet relations)")
   }
+
+  test("q335 CKA gram builds from the id-keyed self-join, never a cartesian") {
+    val plan = finalPlan("q335_cka_halves")
+    assert(!plan.contains("CartesianProduct"),
+      s"dims-squared gram went cartesian:\n$plan")
+  }
+
+  test("q326 change-point runs both prefix windows on the per-key sort") {
+    val plan = finalPlan("q326_changepoint")
+    assert(!plan.contains("CartesianProduct"))
+    // the scoring and the argmax pick both partition by the key — no
+    // partition-less global window over the fact table
+    assert(!plan.contains("WindowExec: No Partition"),
+      s"global window leaked into the per-key change-point:\n$plan")
+  }
+
+  test("q310 Dirichlet retrieval joins the corpus through the inverted index") {
+    val plan = finalPlan("q310_dirichlet_ql")
+    assert(!plan.contains("CartesianProduct"),
+      s"query-likelihood scoring went quadratic:\n$plan")
+  }
 }
