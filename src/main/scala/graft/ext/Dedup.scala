@@ -1463,7 +1463,9 @@ object Dedup {
     * log₂-depth tree as `rounds` keyed aggregations, each halving the
     * table — no per-slice collect, no sequential fold over an
     * unbounded list. `rounds` must cover the largest slice
-    * (2^rounds ≥ max docs per slice; require-guarded output).
+    * (2^rounds ≥ max docs per slice): a slice the folds failed to
+    * collapse to one node gets a NULL `root_hash` (its `n_nodes` > 1),
+    * never a silently-wrong partial root.
     *
     * @return (source, n_docs, root_hash)
     */
@@ -1491,7 +1493,10 @@ object Dedup {
     val sizes = docs.groupBy(col(srcCol).as("src"))
       .agg(count(lit(1)).as("n_docs"))
     sizes.join(roots, "src")
-      .select(col("src").as("source"), col("n_docs"), col("root_hash"),
+      .select(col("src").as("source"), col("n_docs"),
+        // incomplete fold (slice bigger than 2^rounds) must not publish a
+        // plausible-but-wrong root: surface NULL, keep n_nodes as the why
+        when(col("n_nodes") === 1L, col("root_hash")).as("root_hash"),
         col("n_nodes"))
   }
 }

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ext.Exec.EagerDf
 
 /** Isolation-forest-style density outlier scoring with HASH-built
   * trees: every tree is a depth-`depth` axis-aligned partition of the
@@ -36,6 +37,7 @@ object HashForest {
     val pts = df.select(col(idCol).as("id") +:
       features.zipWithIndex.map { case (f, i) => col(f).cast("long").as(s"x$i") }: _*)
       .persist()
+    try {
     val boxAggs = features.indices.flatMap(i => Seq(
       min(col(s"x$i")).as(s"lo$i"), max(col(s"x$i")).as(s"hi$i")))
     val box = pts.agg(boxAggs.head, boxAggs.tail: _*)
@@ -94,5 +96,7 @@ object HashForest {
       .limit(k)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("id"), col("density_milli"), col("rnk"))
+      .checkpointEager()
+    } finally pts.unpersist(false)
   }
 }

@@ -1165,6 +1165,7 @@ object LangModel {
     val train = pairsOf(base.filter(col("id") % panelMod =!= 0))
     val cvw = train.groupBy(col("v"), col("w"))
       .agg(count(lit(1)).as("c_vw")).persist()
+    try {
     val cv = cvw.groupBy(col("v"))
       .agg(sum(col("c_vw")).as("c_v"), count(lit(1)).as("n1_v"))
     val contw = cvw.groupBy(col("w")).agg(count(lit(1)).as("cont_w"))
@@ -1196,6 +1197,8 @@ object LangModel {
         when(col("n_scored") > 0L,
           round(col("t_sum").cast("double") / col("n_scored").cast("double"), 0)
             .cast("long")).otherwise(lit(null).cast("long")).as("kn_nll_micro"))
+      .checkpointEager()
+    } finally cvw.unpersist(false)
   }
 
   /** K-fold cross-validation of the complement-count NB classifier in
@@ -1226,6 +1229,7 @@ object LangModel {
     val counts = fCounts.groupBy(col("tok"))
       .agg(sum(col("c1f")).as("c1"), sum(col("c0f")).as("c0"))
       .persist()
+    try {
     val glob = counts.agg(count(lit(1)).as("v"),
       sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
     val docTotals = base.agg(
@@ -1271,6 +1275,10 @@ object LangModel {
         round(sum(when(col("pred") === col("gold"), 1L).otherwise(0L))
           .cast("double") * 1000.0 / count(lit(1)).cast("double"), 0)
           .cast("long").as("acc_milli"))
+      .checkpointEager()
+    } finally {
+      base.unpersist(false); fCounts.unpersist(false); counts.unpersist(false)
+    }
   }
 
   /** Dirichlet-smoothed query-likelihood retrieval (the third classic
@@ -1292,6 +1300,7 @@ object LangModel {
     val tf = base.select(col("id"), explode(col("toks")).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
       .persist()
+    try {
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
     val cw = tf.groupBy(col("tok")).agg(sum(col("tf")).as("c_w"))
     val tot = cw.agg(sum(col("c_w")).as("nn"))
@@ -1322,6 +1331,8 @@ object LangModel {
     grid.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("doc_id"), col("score_micro"))
+      .checkpointEager()
+    } finally tf.unpersist(false)
   }
 
   /** Laplace-smoothing hyperparameter sweep for the NB screen in ONE
@@ -1352,6 +1363,7 @@ object LangModel {
       .agg(sum(when(col("gold"), 1L).otherwise(0L)).as("c1"),
         sum(when(!col("gold"), 1L).otherwise(0L)).as("c0"))
       .persist()
+    try {
     val glob = counts.agg(count(lit(1)).as("v"),
       sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
     val prior = train.agg(
@@ -1378,6 +1390,8 @@ object LangModel {
         round(sum(when(col("pred") === col("gold"), 1L).otherwise(0L))
           .cast("double") * 1000.0 / count(lit(1)).cast("double"), 0)
           .cast("long").as("acc_milli"))
+      .checkpointEager()
+    } finally { base.unpersist(false); counts.unpersist(false) }
   }
 
   /** Hill-number diversity profile per slice: effective token counts
@@ -1444,6 +1458,7 @@ object LangModel {
       .agg(sum(when(col("gold"), 1L).otherwise(0L)).as("c1b"),
         sum(when(!col("gold"), 1L).otherwise(0L)).as("c0b"))
       .persist()
+    try {
     // cumulative (token, j) counts via the bounded bucket window
     val wTok = Window.partitionBy(col("tok")).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1498,6 +1513,8 @@ object LangModel {
         .cast("long").as("acc_milli"))
       .select(expr(s"(j + 1) * 100 div $m").as("train_frac_pct"),
         col("n_train").as("n_train_docs"), col("acc_milli"))
+      .checkpointEager()
+    } finally { base.unpersist(false); bCounts.unpersist(false) }
   }
 
   /** Count-based word embeddings in-engine: ±`window` co-occurrence
@@ -1537,6 +1554,7 @@ object LangModel {
     val nwc = pairs.groupBy(col("w"), col("c")).agg(count(lit(1)).as("n_wc"))
       .persist()
     val nw = nwc.groupBy(col("w")).agg(sum(col("n_wc")).as("n_w")).persist()
+    try {
     val tot = nw.agg(sum(col("n_w")).as("nn"))
     val ppmi = nwc
       .join(nw, "w")
@@ -1562,6 +1580,7 @@ object LangModel {
       .groupBy(col("w"), col("k"))
       .agg(sum(col("sgn") * col("ppmi_milli")).as("v"))
       .persist()
+    try {
     // TakeOrdered head, not a vocab-wide global window
     val probeWords = nw.orderBy(col("n_w").desc, col("w").asc)
       .limit(probes).select(col("w").as("probe"))
@@ -1586,5 +1605,8 @@ object LangModel {
     cos.withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= topK)
       .select(col("probe"), col("rnk"), col("neighbor"), col("cos_micro"))
+      .checkpointEager()
+    } finally comps.unpersist(false)
+    } finally { nwc.unpersist(false); nw.unpersist(false) }
   }
 }

@@ -118,12 +118,13 @@ object Pca {
   /** Linear CKA (centered-kernel alignment) between two dimension
     * blocks of one embedding table — "do the first and last halves of
     * the vector encode the same geometry": CKA = ‖Cxy‖²_F /
-    * (‖Cxx‖_F·‖Cyy‖_F) over centered cross-covariance blocks. Exact
-    * integer path: every block entry is the EXACT integer
-    * `n·Σx_a·x_b − Σx_a·Σx_b` (centering without materializing means),
-    * scaled by a giga-unit floor before the Frobenius squares so the
-    * squared sums stay inside signed-64 — both engines replay the
-    * identical integers; the closing ratio is the one shared double.
+    * (‖Cxx‖_F·‖Cyy‖_F) over centered cross-covariance blocks. The
+    * moments Σx_a·x_b, Σx_a, Σx_b are exact integers; the centered
+    * entry `n·Σx_a·x_b − Σx_a·Σx_b` is combined in ONE SHARED DOUBLE
+    * SHAPE (it grows as n²·1e10 micro-units and would wrap signed-64
+    * near n≈20k rows — both engines multiply the identical IEEE
+    * doubles instead), then giga-floored before the Frobenius squares;
+    * the closing ratio is the other shared double.
     *
     * One posexplode + one id-keyed self-join builds the full gram
     * (rows × dims² — dims bounded); everything after is dims²-sized.
@@ -147,9 +148,12 @@ object Pca {
       .join(broadcast(sums.select(col("d").as("da"), col("sd").as("sa"))), "da")
       .join(broadcast(sums.select(col("d").as("db"), col("sd").as("sb"))), "db")
       .crossJoin(broadcast(nRow))
-      // exact centered entry, then the giga floor both engines share
+      // centered entry in one shared double shape (n·sxy grows as n²·1e10
+      // and would wrap signed-64 near n≈20k; both engines multiply the
+      // SAME IEEE doubles instead), then the giga floor both share
       .withColumn("mg",
-        round((col("n") * col("sxy") - col("sa") * col("sb")).cast("double")
+        round((col("n").cast("double") * col("sxy").cast("double")
+          - col("sa").cast("double") * col("sb").cast("double"))
           / 1.0e9, 0).cast("long"))
       .withColumn("blk",
         when(col("da") < splitDim && col("db") < splitDim, "xx")

@@ -126,4 +126,80 @@ object Pq {
       .select(col("q_id"), col("rank"), col("n_id"), col("adc_d2"),
         coalesce(col("in_exact"), lit(false)).as("in_exact"))
   }
+
+  /** IVFPQ — the composed shape that actually serves 10⁹-vector
+    * corpora: a COARSE inverted file (the full vector as ONE PQ
+    * subspace: `trainCodebooks(m=1, subDim=dim, k=kCells)` — same
+    * exact-integer Lloyd, k cells) blocks the corpus into cells;
+    * queries probe their `nProbe` nearest cells and rank by ADC
+    * distance tables over ONLY the probed lists. Per query the scan is
+    * `nProbe/kCells` of the code table instead of all of it — the IVF
+    * restriction composes with the PQ compression, both already
+    * oracle-certified separately (q238/q64 and q267).
+    *
+    * All state — coarse centroids, fine codebooks, cell assignments,
+    * codes — is exact 64-bit integer, so a persisted index
+    * ([[graft.io.Versioned]]) reloads bit-identically (PqSpec pins
+    * fresh ≡ reloaded).
+    *
+    * @return (q_id, rank, n_id, adc_d2, in_exact) — `in_exact` flags
+    *         membership in the exact micro-L2 top-k (the recall trace)
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, coarse: DataFrame,
+                codebooks: DataFrame, dim: Int, nProbe: Int, m: Int,
+                subDim: Int, k: Int): DataFrame = {
+    require(m * subDim == dim, "subspaces must tile the vector")
+    // inverted file: cell per corpus vector (coarse = 1-subspace PQ)
+    val cells = encode(corpus, coarse, m = 1, subDim = dim)
+      .select(col("vec_id"), col("cid").as("cell"))
+    // query-side probes: nProbe nearest cells by exact integer d2
+    val qfull = subvectors(queries, m = 1, subDim = dim)
+      .select(col("vec_id").as("q_id"), col("sub").as("qv"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cd").asc, col("cell").asc)
+    val probes = qfull.crossJoin(broadcast(
+        coarse.select(col("cid").as("cell"), col("cent"))))
+      .withColumn("cd", d2(col("qv"), col("cent")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("cell"))
+    // ADC distance tables: |panel| × m × cells rows — broadcast-sized
+    val qsub = subvectors(queries, m, subDim)
+      .select(col("vec_id").as("q_id"), col("s"), col("sub").as("qsub"))
+    val tab = qsub.join(broadcast(codebooks), "s")
+      .select(col("q_id"), col("s"), col("cid"),
+        d2(col("qsub"), col("cent")).as("dt"))
+    val codes = encode(corpus, codebooks, m, subDim)
+    // candidates = probed lists only: the IVF restriction BEFORE the
+    // per-subspace fan-out, so unprobed cells' codes never join
+    val cand = cells.join(broadcast(probes), "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+    val adc = cand.join(codes, "vec_id")
+      .join(broadcast(tab), Seq("q_id", "s", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("adc_d2"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
+    val top = adc.withColumn("rank", row_number().over(wAdc).cast("long"))
+      .filter(col("rank") <= k)
+    // exact micro-L2 top-k recall flag (same trace as adcTopK)
+    def full(df: DataFrame, id: String, out: String) =
+      Exec.widen(df.select(col("vec_id").as(id),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000, 0).cast("long")).as(out)))
+    val q = full(queries, "q_id", "q_emb")
+    val c = full(corpus, "n_id", "n_emb")
+    val wEx = Window.partitionBy(col("q_id"))
+      .orderBy(col("ex_d2").asc, col("n_id").asc)
+    val exact = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("ex_d2", d2(col("q_emb"), col("n_emb")))
+      .withColumn("ex_rank", row_number().over(wEx))
+      .filter(col("ex_rank") <= k)
+      .select(col("q_id"), col("n_id"), lit(true).as("in_exact"))
+    top.select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("adc_d2"))
+      .join(exact, Seq("q_id", "n_id"), "left")
+      .select(col("q_id"), col("rank"), col("n_id"), col("adc_d2"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"))
+  }
 }

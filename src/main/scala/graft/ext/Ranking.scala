@@ -378,7 +378,9 @@ object Ranking {
   /** Wang–Isola alignment & uniformity of an embedding table:
     * alignment = mean squared distance over same-label pairs, computed
     * from per-label MOMENTS (2·n·Σ‖z‖² − 2·‖Σz‖² over ordered pairs) —
-    * exact integers, O(n·dim), never a pair join; uniformity =
+    * exact integer moments combined in one shared double shape (the
+    * n_l·Σ‖z‖² product wraps signed-64 past a few thousand rows per
+    * label), O(n·dim), never a pair join; uniformity =
     * ln(mean exp(−2‖zi−zj‖²)) over a deterministic systematic pair
     * sample (partner = id + step for a fixed step set — the rand()-
     * free pairing discipline). Both on micro-int embeddings.
@@ -406,11 +408,15 @@ object Ranking {
       .groupBy(col("lab"), col("pos")).agg(sum(col("x")).as("s_d"))
     val vsumSq = dimSums.groupBy(col("lab"))
       .agg(sum(col("s_d") * col("s_d")).as("vsum_sq"))
+    // n_l·sum_sq grows as n_l²·1e12 micro-units — wraps signed-64 near
+    // n_l≈2k; combine in one shared double shape (both engines multiply
+    // the identical IEEE doubles), round back to long per label
     val byLab = withNorm.groupBy(col("lab"))
       .agg(count(lit(1)).as("n_l"), sum(col("sq")).as("sum_sq"))
       .join(vsumSq, "lab")
       .select(col("lab"), col("n_l"),
-        (col("n_l") * col("sum_sq") * 2L - col("vsum_sq") * 2L).as("pair_d2"),
+        round(col("n_l").cast("double") * col("sum_sq").cast("double") * 2.0
+          - col("vsum_sq").cast("double") * 2.0, 0).cast("long").as("pair_d2"),
         (col("n_l") * (col("n_l") - 1L)).as("n_pairs"))
     val align = byLab.agg(sum(col("pair_d2")).as("d2_tot"),
       sum(col("n_pairs")).as("np"))

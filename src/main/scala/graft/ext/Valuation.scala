@@ -69,7 +69,13 @@ object Valuation {
       train.select(col("grp")).distinct().orderBy(col("grp"))
         .as[String].collect()
     val n = groups.length
-    require(n >= 1 && n <= 20, s"player count $n out of the exact-lattice range")
+    // exact Shapley is 2^n by definition; the documented contract is
+    // players = language buckets / top-level sources (n ≈ 5–12). 2^12 =
+    // 4096 coalitions keeps the panel×subsets fan-out and the membership
+    // lattice wallet-sized; past that use a sampled estimator instead.
+    require(n >= 1 && n <= 12,
+      s"player count $n out of the exact-lattice range (max 12 players = " +
+        "4096 coalitions; regroup sources or sample permutations instead)")
     val groupIdx = groups.zipWithIndex
       .map { case (g, i) => (g, i, 1L << i) }.toSeq.toDF("grp", "idx", "bit")
 

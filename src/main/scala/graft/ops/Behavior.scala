@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Exec.EagerDf
 
 /** Behavioral analytics over an event stream: cohort retention, Markov
   * transition estimation, and time-in-state attribution.
@@ -171,6 +172,7 @@ object Behavior {
       .withColumn("p_micro", expr("(n * 1000000) div na"))
       .select(col("a"), col("b"), col("p_micro"))
       .persist()
+    try {
     val states = p1.select(col("a").as("state")).distinct()
       .unionByName(p1.select(col("b").as("state")).distinct()).distinct()
     val pi0 = states
@@ -184,7 +186,8 @@ object Behavior {
         .select(col("state"),
           coalesce(expr("m div 1000000"), lit(0L)).as("pi_micro"))
     }
-    piN.select(col("state"), col("pi_micro"))
+    piN.select(col("state"), col("pi_micro")).checkpointEager()
+    } finally p1.unpersist(false)
   }
 
   /** Ordered funnel conversion within a time window: users enter at
@@ -376,6 +379,7 @@ object Behavior {
       // train pairs must complete before the cutoff
       .filter(col("a").isNotNull)
       .persist()
+    try {
     // argmax over the bounded |types|² matrix: best next type per
     // context, ties to the smaller type
     val wA = Window.partitionBy(col("a")).orderBy(col("n").desc, col("b").asc)
@@ -392,6 +396,8 @@ object Behavior {
       .withColumn("acc_milli",
         round(col("n_correct").cast("double") * 1000.0
           / col("n_test").cast("double"), 0).cast("long"))
+      .checkpointEager()
+    } finally pairs.unpersist(false)
   }
 
   /** Churn-label construction with temporal hygiene: features aggregate
@@ -448,6 +454,7 @@ object Behavior {
       .agg((lit(refDay) - max(col("day"))).as("recency"),
         count(lit(1)).as("freq"), sum(col("cents")).as("monetary"))
       .persist()
+    try {
     def codes(c: String, best: String) = {
       val b = graft.ext.CorpusOps.quantileBuckets(per, "user_id", col(c), 4)
         .select(col("id").as("user_id"), col("bucket"))
@@ -466,5 +473,7 @@ object Behavior {
         round(sum(col("monetary")).cast("double") * 10.0
           / count(lit(1)).cast("double"), 0).cast("long")
           .as("mean_monetary_milli"))
+      .checkpointEager()
+    } finally per.unpersist(false)
   }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ext.Exec.EagerDf
 
 /** Experiment-analysis operators over an event log: CUPED variance
   * reduction and the difference-in-differences estimator — the two
@@ -35,6 +36,7 @@ object Causal {
     val base = users.select(variant.cast("long").as("v"),
       preCents.cast("long").as("x"), postCents.cast("long").as("y"))
       .persist()
+    try {
     val mom = base.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum(col("x") * col("x")).as("sxx"),
@@ -65,6 +67,8 @@ object Causal {
         round(col("theta") * 1000000.0, 0).cast("long").as("theta_micro"),
         round(col("var_adj") / col("var_y") * 1000.0, 0)
           .cast("long").as("var_ratio_milli"))
+      .checkpointEager()
+    } finally base.unpersist(false)
   }
 
   /** Difference-in-differences over the 2×2 (variant × period) design:
@@ -108,6 +112,7 @@ object Causal {
                  bins: Int = 4): DataFrame = {
     val base = df.select(col(idCol).as("id"), score.cast("long").as("s"),
       label.cast("boolean").as("bad")).persist()
+    try {
     val bucketed = graft.ext.CorpusOps.quantileBuckets(base, "id", col("s"), bins)
       .select(col("id"), col("bucket"))
       .join(base, "id")
@@ -127,5 +132,7 @@ object Causal {
           .as("woe_milli"),
         round((col("pg") - col("pb")) * log(col("pg") / col("pb"))
           * 1000000.0, 0).cast("long").as("iv_term_micro"))
+      .checkpointEager()
+    } finally base.unpersist(false)
   }
 }

@@ -186,11 +186,16 @@ object Drift {
       posexplode(transform(col(vecCol),
         x => round(x.cast("double") * 1000000.0, 0).cast("long")))
         .as(Seq("d", "xm")))
+    // direction table spans the ACTUAL embedding width (a hardcoded cap
+    // would silently drop tail dimensions from the inner join on d);
+    // one column-pruned aggregate, dims-bounded
+    val dim = emb.agg(max(size(col(vecCol)))).head().getInt(0)
+    require(dim >= 1, "empty embedding column")
     // the cross-term (d+1)(p+7) keeps the sign hash NONLINEAR mod 2 —
     // a linear form like p·31 + d·17 collapses every direction onto one
     // parity vector (caught by the shifted-group spec)
     val dirs = (0 until nProj).flatMap { pr =>
-      (0 until 512).map { d =>
+      (0 until dim).map { d =>
         val h = ((pr + 1L) * 2654435761L + (d + 1L) * (pr + 7L) * 40503L) %
           1000003L % 2L
         (pr.toLong, d.toLong, if (h == 0L) 1L else -1L)

@@ -93,4 +93,54 @@ object Ranks {
         .checkpointEager() // materialize before unpersisting the base
     } finally { base.unpersist(false); () }
   }
+
+  /** Per-group inter-occurrence gap MOMENTS (count, Σg, Σg²) over the
+    * global `orderCol` order — the burstiness/VMR building block —
+    * without `Window.partitionBy(grp).orderBy(v)` over raw occurrence
+    * rows (the hottest group, e.g. the token "the" over a corpus, would
+    * land its entire occurrence stream in one task's sort). Same
+    * two-phase shape as [[twoPhaseRank]]: range-partition by
+    * (grp, order), per-slice local lag + moment aggregation, then the
+    * slice-boundary gaps (last-of-previous-slice → first-of-this-slice)
+    * from the per-(partition, group) summary table — one row per slice
+    * a group touches, bounded by the cluster's partition count × the
+    * (broadcast-sized) group panel, never by occurrence volume.
+    *
+    * `orderCol` must be integer-typed and a total order within each
+    * group (ties would make gap attribution placement-dependent).
+    *
+    * @return (grpCol, n_gaps, sum_gap, sum_gap_sq) one row per group
+    */
+  def twoPhaseGapMoments(df: DataFrame, grpCol: String,
+      orderCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val base = df.select(col(grpCol), orderCol.cast("long").as("__v"))
+      .repartitionByRange(p, col(grpCol), col("__v"))
+      .withColumn("__part", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val local = Window.partitionBy(col("__part"), col(grpCol))
+        .orderBy(col("__v"))
+      val sliced = base
+        .withColumn("__g", col("__v") - lag(col("__v"), 1).over(local))
+        .groupBy(col("__part"), col(grpCol))
+        .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
+          count(col("__g")).as("__ng"),
+          sum(col("__g")).as("__sg"),
+          sum(col("__g") * col("__g")).as("__sgg"))
+      // boundary gaps over the bounded per-(slice, group) summary
+      val wPrev = Window.partitionBy(col(grpCol)).orderBy(col("__part"))
+      sliced
+        .withColumn("__bg", col("__lo") - lag(col("__hi"), 1).over(wPrev))
+        .groupBy(col(grpCol))
+        .agg((sum(col("__ng")) + count(col("__bg"))).as("n_gaps"),
+          (coalesce(sum(col("__sg")), lit(0L))
+            + coalesce(sum(col("__bg")), lit(0L))).as("sum_gap"),
+          (coalesce(sum(col("__sgg")), lit(0L))
+            + coalesce(sum(col("__bg") * col("__bg")), lit(0L)))
+            .as("sum_gap_sq"))
+        .checkpointEager() // materialize before unpersisting the base
+    } finally { base.unpersist(false); () }
+  }
 }

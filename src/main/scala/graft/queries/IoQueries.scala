@@ -391,6 +391,51 @@ object IoQueries extends QueryPack {
              |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY ord DESC) AS rn
              |  FROM log)
              |SELECT o_custkey, o_orderkey, o_orderpriority AS priority, eff_sec
-             |FROM w WHERE rn = 1 ORDER BY o_custkey""".stripMargin))
+             |FROM w WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    // Incremental/delta pipeline cycle (the capability the reference
+    // lacks — it reprocesses the full snapshot every run): the prior
+    // per-(district, month) state and the new raw delta land as
+    // versioned objects; the cycle reads ONLY those two, folds the
+    // delta's rollup into the state, and publishes the next version.
+    // The oracle is the FULL REPROCESS over the complete tables, so a
+    // green row proves incremental ≡ full bit-for-bit — including the
+    // late-arriving rows the mid-month cutoff forces into months the
+    // prior state already holds.
+    Q("q340_incremental_pipeline",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q340_incremental")
+        val o = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        val full = li.join(o, $"l_orderkey" === $"o_orderkey")
+          .select($"o_orderpriority".as("district"),
+            trunc(to_date($"o_orderdate"), "month").as("month"),
+            to_date($"o_orderdate").as("day"),
+            $"l_extendedprice".as("price"))
+        // mid-month cutoff: the cut month straddles prior state and
+        // delta — the merge must add into an existing group
+        val cutoff = to_date(lit("1997-06-15"))
+        val prior = full.filter($"day" < cutoff)
+        val delta = full.filter($"day" >= cutoff)
+        Versioned.write(
+          graft.ops.IncrementalAgg.rollupState(prior,
+            Seq("district", "month"), $"price"),
+          dir, "state", "00000001_aaa")
+        Versioned.write(delta, dir, "raw_delta", "00000002_bbb")
+        // the incremental run: scans ONLY the two versioned objects
+        graft.pipeline.Incremental.deltaCycle(s, dir, "state", "raw_delta",
+            Seq("district", "month"), $"price", "00000002_bbb")
+          .select($"district", $"month", $"n".as("n_rows"), $"sum_cents")
+          .orderBy($"district", $"month")
+      },
+      Some("""SELECT o_orderpriority AS district,
+             |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

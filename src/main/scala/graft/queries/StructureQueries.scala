@@ -844,7 +844,10 @@ object StructureQueries extends QueryPack {
              |  FROM nr GROUP BY 1),
              |pl AS (
              |  SELECT bl.lab, n_l,
-             |    n_l * sum_sq * 2 - vsum_sq * 2 AS pair_d2,
+             |    CAST(round(CAST(n_l AS DOUBLE) * CAST(sum_sq AS DOUBLE)
+             |      * CAST(2 AS DOUBLE)
+             |      - CAST(vsum_sq AS DOUBLE) * CAST(2 AS DOUBLE)) AS BIGINT)
+             |      AS pair_d2,
              |    n_l * (n_l - 1) AS n_pairs
              |  FROM bl JOIN vs ON vs.lab = bl.lab),
              |alg AS (SELECT CAST(sum(pair_d2) AS BIGINT) AS d2_tot,
@@ -1747,7 +1750,8 @@ object StructureQueries extends QueryPack {
              |  FROM m a JOIN m b ON a.id = b.id GROUP BY 1, 2),
              |blocks AS (
              |  SELECT da, db,
-             |    CAST(round(CAST(n * sxy - sa.sd * sb.sd AS DOUBLE)
+             |    CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |        - CAST(sa.sd AS DOUBLE) * CAST(sb.sd AS DOUBLE))
              |      / CAST(1000000000 AS DOUBLE)) AS BIGINT) AS mg,
              |    CASE WHEN da < 32 AND db < 32 THEN 'xx'
              |      WHEN da >= 32 AND db >= 32 THEN 'yy'
@@ -1850,17 +1854,18 @@ object StructureQueries extends QueryPack {
             graft.ext.TextAnalysis.tokens($"text")).as(Seq("pos", "tok")))
           // scalar corpus position: docs are ≤ 512 tokens by generation
           .select($"tok", ($"doc_id" * 1024 + $"pos").as("gp"))
-        val top = occ.groupBy($"tok").agg(count(lit(1)).as("n_occ"))
-          .orderBy($"n_occ".desc, $"tok".asc).limit(10)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"tok").orderBy($"gp")
-        occ.join(broadcast(top), "tok")
-          .withColumn("prev", lag($"gp", 1).over(w))
-          .filter($"prev".isNotNull)
-          .withColumn("g", $"gp" - $"prev")
-          .groupBy($"tok", $"n_occ")
-          .agg(count(lit(1)).as("n_gaps"), sum($"g").as("sg"),
-            sum($"g" * $"g").as("sgg"))
+        // 10-row panel, materialized once: referenced by both the gap
+        // input and the closing join
+        val top = graft.ext.Exec.checkpointEager(
+          occ.groupBy($"tok").agg(count(lit(1)).as("n_occ"))
+            .orderBy($"n_occ".desc, $"tok".asc).limit(10))
+        // two-phase gap moments: the hottest token's occurrence stream
+        // never funnels through one task's sort (ops/Ranks)
+        graft.ops.Ranks
+          .twoPhaseGapMoments(occ.join(broadcast(top), "tok"), "tok", $"gp")
+          .withColumnRenamed("sum_gap", "sg")
+          .withColumnRenamed("sum_gap_sq", "sgg")
+          .join(broadcast(top), "tok")
           .select($"tok", $"n_occ",
             round($"sg".cast("double") * 1000.0 / $"n_gaps".cast("double"), 0)
               .cast("long").as("mean_gap_milli"),

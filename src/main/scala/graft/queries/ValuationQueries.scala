@@ -160,10 +160,10 @@ object ValuationQueries extends QueryPack {
              |pairs AS (
              |  SELECT g.grp, a.subset AS s_lo, a.acc_milli AS v_lo,
              |    b.acc_milli AS v_hi,
-             |    CASE bit_count(a.subset)
-             |      WHEN 0 THEN 24 WHEN 1 THEN 6 WHEN 2 THEN 4
-             |      WHEN 3 THEN 6 WHEN 4 THEN 24 END AS w
-             |  FROM sacc a CROSS JOIN gidx g
+             |    CAST(factorial(CAST(bit_count(a.subset) AS INT))
+             |      * factorial(CAST(nn.n - 1 - bit_count(a.subset) AS INT))
+             |      AS BIGINT) AS w
+             |  FROM sacc a CROSS JOIN gidx g CROSS JOIN nn
              |  JOIN sacc b ON b.subset = a.subset + g.bit
              |  WHERE (a.subset & g.bit) = 0),
              |shap AS (
@@ -178,9 +178,10 @@ object ValuationQueries extends QueryPack {
              |    ON sacc.subset = (SELECT (CAST(1 AS BIGINT) << CAST(n AS INT)) - 1
              |                      FROM nn) - g.bit)
              |SELECT shap.grp AS player, v_full_milli, v_without_milli, shap_num,
-             |  CAST(round(CAST(shap_num AS DOUBLE) * 1000.0 / 120.0) AS BIGINT)
+             |  CAST(round(CAST(shap_num AS DOUBLE) * 1000.0
+             |    / CAST(factorial(CAST(nn.n AS INT)) AS DOUBLE)) AS BIGINT)
              |    AS shap_micro
-             |FROM shap JOIN vwo USING (grp) CROSS JOIN vfull
+             |FROM shap JOIN vwo USING (grp) CROSS JOIN vfull CROSS JOIN nn
              |ORDER BY player""".stripMargin)),
 
     // Isotonic (PAVA) calibration of the q161 forecast via the exact

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.{CorpusOps, Dedup, LangModel, LinkGraph, Pca, Pq, Ranking}
+import graft.io.Versioned
 
 /** Wave 29 — vector compression and corpus/graph structure: product
   * quantization with ADC search (the storage-side ANN scale lever),
@@ -1351,6 +1352,133 @@ object VectorQueries extends QueryPack {
              |      - CAST(h_cond_micro AS DOUBLE)/CAST(h_label_micro AS DOUBLE))
              |      * 1000.0) AS BIGINT)
              |  ELSE CAST(0 AS BIGINT) END AS homogeneity_milli
-             |FROM t CROSS JOIN nc2 CROSS JOIN hl CROSS JOIN hc""".stripMargin))
+             |FROM t CROSS JOIN nc2 CROSS JOIN hl CROSS JOIN hc""".stripMargin)),
+
+    // IVFPQ: coarse 8-cell inverted file (full vector as one PQ
+    // subspace) + the q267 fine codebooks; queries probe 2 cells and
+    // rank by ADC over ONLY the probed lists. Both quantizer tables go
+    // through the versioned store and are SERVED FROM THE RELOAD — the
+    // build/serve split at the composed-index level (q238's seam),
+    // bit-identical because every component is 64-bit integer.
+    Q("q341_ivfpq",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val dir = graft.core.Scratch.dir("q341_ivfpq")
+        Versioned.write(Pq.trainCodebooks(s, emb, m = 1, subDim = 64, k = 8),
+          dir, "coarse", "00000001_aaa")
+        Versioned.write(Pq.trainCodebooks(s, emb, m = 8, subDim = 8, k = 4),
+          dir, "fine", "00000001_aaa")
+        val coarse = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "coarse"))
+        val fine = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "fine"))
+        Pq.ivfPqTopK(emb.filter($"vec_id" % 50 === 0), emb, coarse, fine,
+            dim = 64, nProbe = 2, m = 8, subDim = 8, k = 5)
+          .orderBy($"q_id", $"rank")
+      },
+      Some(s"""WITH sub AS (
+             |  SELECT vec_id, s,
+             |    list_transform(embedding[(s*8+1):(s*8+8)],
+             |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS sub
+             |  FROM embeddings CROSS JOIN range(0, 8) ss(s)),
+             |fullv AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS fv
+             |  FROM embeddings),
+             |cseeds AS (
+             |  SELECT vec_id AS cid, fv AS cent FROM fullv
+             |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+             |cd0 AS (
+             |  SELECT fullv.vec_id, cseeds.cid,
+             |    ${d2Sql("fullv.fv", "cseeds.cent")} AS dd
+             |  FROM fullv CROSS JOIN cseeds),
+             |ca0 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+             |    FROM cd0) WHERE rn = 1),
+             |cfp AS (
+             |  SELECT vec_id, unnest(list_transform(fv,
+             |    (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}), recursive := true)
+             |  FROM fullv),
+             |ccbp AS (
+             |  SELECT ca0.cid, p.pos,
+             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
+             |  FROM ca0 JOIN cfp p ON p.vec_id = ca0.vec_id
+             |  GROUP BY 1, 2),
+             |ccb AS (SELECT cid, list(c ORDER BY pos) AS cent FROM ccbp GROUP BY 1),
+             |cells AS (
+             |  SELECT vec_id, cid AS cell FROM (
+             |    SELECT fullv.vec_id, ccb.cid,
+             |      ${d2Sql("fullv.fv", "ccb.cent")} AS dd,
+             |      row_number() OVER (PARTITION BY fullv.vec_id
+             |        ORDER BY ${d2Sql("fullv.fv", "ccb.cent")}, ccb.cid) AS rn
+             |    FROM fullv CROSS JOIN ccb) WHERE rn = 1),
+             |probes AS (
+             |  SELECT q_id, cell FROM (
+             |    SELECT q.vec_id AS q_id, ccb.cid AS cell,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY ${d2Sql("q.fv", "ccb.cent")}, ccb.cid) AS pr
+             |    FROM fullv q CROSS JOIN ccb WHERE q.vec_id % 50 = 0)
+             |  WHERE pr <= 2),
+             |seeds AS (
+             |  SELECT s, vec_id AS cid, sub AS cent FROM sub
+             |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+             |d0 AS (
+             |  SELECT sub.vec_id, sub.s, seeds.cid,
+             |    ${d2Sql("sub.sub", "seeds.cent")} AS dd
+             |  FROM sub JOIN seeds ON seeds.s = sub.s),
+             |a0 AS (
+             |  SELECT vec_id, s, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
+             |    FROM d0) WHERE rn = 1),
+             |subp AS (
+             |  SELECT vec_id, s,
+             |    unnest(list_transform(sub, (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}),
+             |      recursive := true)
+             |  FROM sub),
+             |cbp AS (
+             |  SELECT a0.s, a0.cid, p.pos,
+             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
+             |  FROM a0 JOIN subp p ON p.vec_id = a0.vec_id AND p.s = a0.s
+             |  GROUP BY 1, 2, 3),
+             |cb AS (SELECT s, cid, list(c ORDER BY pos) AS cent FROM cbp GROUP BY 1, 2),
+             |d1 AS (
+             |  SELECT sub.vec_id, sub.s, cb.cid,
+             |    ${d2Sql("sub.sub", "cb.cent")} AS dd
+             |  FROM sub JOIN cb ON cb.s = sub.s),
+             |codes AS (
+             |  SELECT vec_id, s, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
+             |    FROM d1) WHERE rn = 1),
+             |qsub AS (SELECT vec_id AS q_id, s, sub FROM sub WHERE vec_id % 50 = 0),
+             |tab AS (
+             |  SELECT q_id, cb.s, cb.cid, ${d2Sql("qsub.sub", "cb.cent")} AS dt
+             |  FROM qsub JOIN cb ON cb.s = qsub.s),
+             |cand AS (
+             |  SELECT p.q_id, cells.vec_id
+             |  FROM cells JOIN probes p ON p.cell = cells.cell
+             |  WHERE p.q_id != cells.vec_id),
+             |adc AS (
+             |  SELECT cand.q_id, cand.vec_id AS n_id,
+             |    CAST(sum(t.dt) AS BIGINT) AS adc_d2
+             |  FROM cand JOIN codes c ON c.vec_id = cand.vec_id
+             |  JOIN tab t ON t.q_id = cand.q_id AND t.s = c.s AND t.cid = c.cid
+             |  GROUP BY 1, 2),
+             |topadc AS (
+             |  SELECT q_id, n_id, adc_d2,
+             |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS BIGINT) AS rank
+             |  FROM adc QUALIFY rank <= 5),
+             |ex AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, ${d2Sql("q.fv", "c.fv")} AS ed
+             |  FROM fullv q JOIN fullv c ON q.vec_id % 50 = 0 AND c.vec_id != q.vec_id),
+             |ext AS (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ed, n_id) AS rn
+             |    FROM ex) WHERE rn <= 5)
+             |SELECT t.q_id AS q_id, t.rank, t.n_id, t.adc_d2,
+             |  (e.n_id IS NOT NULL) AS in_exact
+             |FROM topadc t LEFT JOIN ext e ON e.q_id = t.q_id AND e.n_id = t.n_id
+             |ORDER BY t.q_id, t.rank""".stripMargin))
   )
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Incremental/delta pipeline mode (pipeline/Incremental): the cycle
+  * must (a) scan ONLY the two versioned objects — prior state + new raw
+  * delta — never the full raw history, and (b) produce a state equal to
+  * the full-from-scratch recompute (the monoid-merge contract the q340
+  * DuckDB oracle also enforces at sf0.01).
+  */
+class IncrementalSpec extends SparkTestBase {
+
+  test("delta cycle scans only the versioned state + delta objects") {
+    val df = SparkEntry.queries("q340_incremental_pipeline")(spark, sfDir)
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l
+    }
+    val paths = rels.flatMap(_.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location.rootPaths.map(_.toString)
+      case _ => Seq.empty
+    })
+    assert(rels.length == 2,
+      s"incremental run must read exactly state + delta, got:\n${paths.mkString("\n")}")
+    assert(paths.exists(_.contains("state__")) &&
+      paths.exists(_.contains("raw_delta__")),
+      s"unexpected scan set:\n${paths.mkString("\n")}")
+    assert(!paths.exists(_.contains(sfDir)),
+      s"incremental run leaked a full-history scan:\n${paths.mkString("\n")}")
+  }
+
+  test("incremental merge ≡ full recompute, including the straddled month") {
+    import spark.implicits._
+    val inc = SparkEntry.queries("q340_incremental_pipeline")(spark, sfDir)
+      .collect().toSet
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val fullRecompute = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority".as("district"),
+        trunc(to_date($"o_orderdate"), "month").as("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.core.Exact.centsSum($"l_extendedprice").as("sum_cents"))
+      .collect().toSet
+    assert(inc == fullRecompute,
+      s"incremental state diverged from full reprocess: " +
+        s"${(inc diff fullRecompute).take(3)} vs ${(fullRecompute diff inc).take(3)}")
+    // the cutoff actually straddles a month: June 1997 must draw rows
+    // from BOTH the prior state and the delta for the test to bite
+    val juneFull = fullRecompute.filter(_.getAs[java.sql.Date]("month")
+      .toString == "1997-06-01")
+    assert(juneFull.nonEmpty, "fixture has no June-1997 rows; cutoff moot")
+  }
+
+  test("published next-version state is readable and equals the returned state") {
+    val dir = graft.core.Scratch.dir("q340_incremental")
+    val returned = SparkEntry.queries("q340_incremental_pipeline")(spark, sfDir)
+    val published = graft.io.Versioned.readLatest(spark, dir, "state_next")
+      .select(col("district"), col("month"), col("n").as("n_rows"),
+        col("sum_cents"))
+    assert(returned.collect().toSet == published.collect().toSet)
+  }
+}

@@ -47,4 +47,16 @@ class ValuationSpec extends SparkTestBase {
     assert(out(0).getAs[Long]("shap_num") == out(1).getAs[Long]("shap_num"),
       s"symmetry violated: ${out.toSeq}")
   }
+
+  test("lattice guard rejects player counts past the 4096-coalition budget") {
+    import spark.implicits._
+    // 13 synthetic players → 2^13 coalitions: over the documented wallet
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("grp13", ($"doc_id" % 13).cast("string"))
+    val ex = intercept[IllegalArgumentException] {
+      Valuation.shapleyByGroup(docs, "doc_id", "text", "grp13",
+        $"n_chars" >= 250).collect()
+    }
+    assert(ex.getMessage.contains("player count 13"))
+  }
 }
