@@ -34,7 +34,28 @@ object Bench {
     // the first (coldest) run is still reported per-query for
     // round-over-round continuity with the single-run artifacts
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    val results = selected.map { case (name, fn) =>
+    // ambient-load canary: a FIXED-cost synthetic aggregation timed
+    // before the suite and every `canaryEvery` queries. Its runs have
+    // an identical plan over identical in-memory input, so any spread
+    // is machine noise, not the engine — a high coefficient of
+    // variation marks the whole bench artifact as load-contaminated
+    // (the q147 "9x apparition" class of driver-run phantoms becomes
+    // machine-detectable instead of a per-round forensic exercise).
+    val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "25").toInt.max(1)
+    var canaryTimes = List.empty[Double]
+    def runCanary(): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(4000000L).selectExpr("id % 9973 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v")).count()
+      canaryTimes ::= (System.nanoTime() - t0) / 1e9
+    }
+    // one untimed canary first: its codegen/JIT compile would otherwise
+    // inflate the first timed canary and fake a high CV on quiet runs
+    spark.range(4000000L).selectExpr("id % 9973 AS k", "id AS v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("v")).count()
+    runCanary()
+    val results = selected.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi > 0 && qi % canaryEvery == 0) runCanary()
       val secs = (1 to reps).map { _ =>
         // drop blocks left by the PREVIOUS run before timing this one:
         // eagerly-checkpointed result frames (localCheckpoint) stay in
@@ -65,6 +86,14 @@ object Bench {
         else secs.sorted.apply(secs.length / 2)
       name -> (secs.head, median)
     }.toMap
+    runCanary()
+    // canary dispersion: CV = stddev/mean over all canary runs
+    val canaryCv = {
+      val xs = canaryTimes
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      if (m > 0) math.sqrt(v) / m else 0.0
+    }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v._1) }
       .mkString("{", ",", "}")
@@ -76,7 +105,7 @@ object Bench {
     // full artifact (every query, first-run + median maps) goes to the
     // file — round deltas are computed from it
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":${r3(totalMed)},"reps":$reps,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":${r3(totalMed)},"reps":$reps,"canary_cv":${r3(canaryCv)},"canary_n":${canaryTimes.length},"failed":$failedJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     // stdout line: the driver keeps only a ~2000-char TAIL of stdout, and
@@ -92,7 +121,7 @@ object Bench {
     // total, "total_median" = median total) so delta tooling parsing
     // either artifact reads the same numbers
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"total_median":${r3(totalMed)},"n_queries":${results.size},"reps":$reps,"n_failed":${failed.size},"failed":$failedShown,"sf":"$sfDir","full":"$out"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"total_median":${r3(totalMed)},"n_queries":${results.size},"reps":$reps,"canary_cv":${r3(canaryCv)},"canary_n":${canaryTimes.length},"n_failed":${failed.size},"failed":$failedShown,"sf":"$sfDir","full":"$out"}"""
     println(line)
     // the driver keeps only a tail of each stream and may lose the
     // stdout line behind log footers — give it two more places to find

@@ -25,6 +25,11 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // default-on in current Spark, pinned EXPLICITLY: the engine's
+      // skew posture (SkewSpec) assumes hot-key probe rows in shuffle
+      // joins get runtime-split — a deployment override turning AQE
+      // skew handling off would silently reintroduce the straggler
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // ContextCleaner only reclaims dereferenced checkpoint/broadcast

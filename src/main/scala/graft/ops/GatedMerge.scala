@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Gated 1:1 full merge — the reference's `merge_trips()` semantics
@@ -10,20 +9,26 @@ import org.apache.spark.sql.functions._
   * keys (duplicates on either side) pass through unjoined, columns from
   * the other side null.
   *
-  * Spark-first execution: a count window per side (one shuffle each on the
-  * join keys), a split by the `n == 1` gate, a full-outer join of the
-  * unique halves (hash join, same key partitioning reused), and a
-  * `unionByName(allowMissingColumns = true)` of the ambiguous remainders —
-  * no driver materialization, scales linearly in both inputs. The
-  * reference instead splits the tibble in memory
+  * Spark-first execution: a per-side keyed count AGGREGATION joined back
+  * on the keys (NOT a `count(*) over (partition by keys)` window: the
+  * window form buffers each key's whole row group in one task, so a hot
+  * key with 20% of the table becomes a straggler/OOM — the aggregation
+  * partial-combines map-side and the join back streams, and AQE's
+  * skew-join split can further divide the hot key's probe rows; SkewSpec
+  * certifies this on a 60%-hot fixture), a split by the `n == 1` gate, a
+  * full-outer join of the unique halves (hash join, same key partitioning
+  * reused), and a `unionByName(allowMissingColumns = true)` of the
+  * ambiguous remainders — no driver materialization, scales linearly in
+  * both inputs. The reference instead splits the tibble in memory
   * (`split(.$unique_trip_per_day)`).
   */
 object GatedMerge {
   def gatedOneToOne(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame = {
     val keyCols = keys.map(col)
-    val wl = Window.partitionBy(keyCols: _*)
-    val lc = left.withColumn("__n", count(lit(1)).over(wl))
-    val rc = right.withColumn("__n", count(lit(1)).over(wl))
+    def withCount(df: DataFrame) = df.join(
+      df.groupBy(keyCols: _*).agg(count(lit(1)).as("__n")), keys)
+    val lc = withCount(left)
+    val rc = withCount(right)
     val lUniq = lc.filter(col("__n") === 1).drop("__n")
     val lDup = lc.filter(col("__n") > 1).drop("__n")
     val rUniq = rc.filter(col("__n") === 1).drop("__n")

@@ -119,28 +119,36 @@ object Ranks {
       .repartitionByRange(p, col(grpCol), col("__v"))
       .withColumn("__part", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val local = Window.partitionBy(col("__part"), col(grpCol))
-        .orderBy(col("__v"))
-      val sliced = base
-        .withColumn("__g", col("__v") - lag(col("__v"), 1).over(local))
-        .groupBy(col("__part"), col(grpCol))
-        .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
-          count(col("__g")).as("__ng"),
-          sum(col("__g")).as("__sg"),
-          sum(col("__g") * col("__g")).as("__sgg"))
-      // boundary gaps over the bounded per-(slice, group) summary
-      val wPrev = Window.partitionBy(col(grpCol)).orderBy(col("__part"))
-      sliced
-        .withColumn("__bg", col("__lo") - lag(col("__hi"), 1).over(wPrev))
-        .groupBy(col(grpCol))
-        .agg((sum(col("__ng")) + count(col("__bg"))).as("n_gaps"),
-          (coalesce(sum(col("__sg")), lit(0L))
-            + coalesce(sum(col("__bg")), lit(0L))).as("sum_gap"),
-          (coalesce(sum(col("__sgg")), lit(0L))
-            + coalesce(sum(col("__bg") * col("__bg")), lit(0L)))
-            .as("sum_gap_sq"))
-        .checkpointEager() // materialize before unpersisting the base
-    } finally { base.unpersist(false); () }
+    try twoPhaseGapMomentsPlan(base, grpCol).checkpointEager()
+    finally { base.unpersist(false); () }
+  }
+
+  /** The lazy dataflow of [[twoPhaseGapMoments]] given the already
+    * range-partitioned base (`grpCol`, `__v`, `__part`) — exposed so
+    * the plan audit can assert the window keying without the
+    * checkpoint boundary hiding the executed plan.
+    */
+  private[graft] def twoPhaseGapMomentsPlan(base: DataFrame,
+      grpCol: String): DataFrame = {
+    val local = Window.partitionBy(col("__part"), col(grpCol))
+      .orderBy(col("__v"))
+    val sliced = base
+      .withColumn("__g", col("__v") - lag(col("__v"), 1).over(local))
+      .groupBy(col("__part"), col(grpCol))
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
+        count(col("__g")).as("__ng"),
+        sum(col("__g")).as("__sg"),
+        sum(col("__g") * col("__g")).as("__sgg"))
+    // boundary gaps over the bounded per-(slice, group) summary
+    val wPrev = Window.partitionBy(col(grpCol)).orderBy(col("__part"))
+    sliced
+      .withColumn("__bg", col("__lo") - lag(col("__hi"), 1).over(wPrev))
+      .groupBy(col(grpCol))
+      .agg((sum(col("__ng")) + count(col("__bg"))).as("n_gaps"),
+        (coalesce(sum(col("__sg")), lit(0L))
+          + coalesce(sum(col("__bg")), lit(0L))).as("sum_gap"),
+        (coalesce(sum(col("__sgg")), lit(0L))
+          + coalesce(sum(col("__bg") * col("__bg")), lit(0L)))
+          .as("sum_gap_sq"))
   }
 }

@@ -534,4 +534,40 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"),
       s"query-likelihood scoring went quadratic:\n$plan")
   }
+
+  test("q338 burstiness gaps never sort a token's full occurrence stream in one task") {
+    // q338 runs green end-to-end...
+    SparkEntry.queries("q338_token_burstiness")(spark, sfDir).collect()
+    // ...and its gap operator plans the two-phase shape: the
+    // occurrence-level window keys on (partition id, group); the only
+    // single-key window sits ABOVE the per-(slice, group) aggregate —
+    // bounded input, never the raw occurrence stream
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    // AQE wraps the executed plan in query stages `collect` can't
+    // traverse — audit under a non-adaptive sibling session
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val occ = graft.core.Tables.documents(s2, sfDir)
+      .selectExpr("doc_id",
+        "posexplode(split(trim(text), '\\\\s+')) AS (pos, tok)")
+      .selectExpr("tok", "CAST(doc_id * 1024 + pos AS LONG) AS __v")
+    val p = s2.sparkContext.defaultParallelism
+    val base = occ.repartitionByRange(p, col("tok"), col("__v"))
+      .withColumn("__part", spark_partition_id())
+    val plan = graft.ops.Ranks.twoPhaseGapMomentsPlan(base, "tok")
+    plan.collect()
+    val winExecs = plan.queryExecution.executedPlan.collect {
+      case we: WindowExec => we
+    }
+    assert(winExecs.length == 2, s"expected 2 windows, got $winExecs")
+    winExecs.foreach { we =>
+      if (we.partitionSpec.length == 1)
+        assert(we.child.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+          s"single-key window runs over raw occurrences:\n$we")
+    }
+    assert(winExecs.exists(_.partitionSpec.length >= 2),
+      "occurrence-level window lost the partition-id key")
+  }
 }

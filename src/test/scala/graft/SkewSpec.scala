@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-hardening certificates: the engine's scale story leans on
+  * fine-grained shuffle keys and map-side partial aggregation; this
+  * suite PROVES it on a Zipf fixture where ONE key holds 60% of the
+  * rows, using per-task shuffle-read metrics as the certificate —
+  * a skew-oblivious plan funnels the hot key's whole row group through
+  * one task (measured here as the naive baseline), the engine's shape
+  * must not.
+  *
+  * All fixtures are parquet-backed (constant-folding eats
+  * LocalRelation plans — the PlanAudit lesson).
+  */
+class SkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- fixtures: 60%-hot Zipf key over parquet ------------------------
+  private lazy val occPath: String = {
+    val p = graft.core.Scratch.dir("skew_occ") + "/occ.parquet"
+    // 50k occurrences: token "hot" at 60% of positions, 500 cold tokens
+    spark.range(0, 50000).select(
+        when($"id" % 5 < 3, "hot")
+          .otherwise(concat(lit("t"), ($"id" % 500).cast("string"))).as("tok"),
+        $"id".as("gp"))
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+  private lazy val docsPath: String = {
+    val p = graft.core.Scratch.dir("skew_docs") + "/docs.parquet"
+    // 50k docs: 60% share one exact text (a giant dup group)
+    spark.range(0, 50000).select($"id",
+        when($"id" % 5 < 3, "the hot duplicated text body")
+          .otherwise(concat(lit("unique text "), $"id".cast("string"))).as("text"))
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  // ---- per-task shuffle-read tap --------------------------------------
+  private class TaskTap extends SparkListener {
+    val recs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) recs.add(m.shuffleReadMetrics.recordsRead)
+    }
+  }
+
+  /** Max records any single task read from a shuffle while `action`
+    * ran — the straggler certificate. Polls the listener queue until
+    * it stops growing (the bus delivers asynchronously).
+    */
+  private def maxTaskShuffleRead(action: => Unit): Long = {
+    val tap = new TaskTap
+    spark.sparkContext.addSparkListener(tap)
+    try {
+      action
+      var prev = -1; var stable = 0
+      while (stable < 3) {
+        val n = tap.recs.size
+        if (n == prev) stable += 1 else { stable = 0; prev = n }
+        Thread.sleep(150)
+      }
+      import scala.jdk.CollectionConverters._
+      tap.recs.asScala.map(_.longValue).foldLeft(0L)(math.max)
+    } finally spark.sparkContext.removeSparkListener(tap)
+  }
+
+  test("two-phase gap moments: no task ingests the hot token's stream; the naive window does") {
+    val occ = spark.read.parquet(occPath)
+    val hotCount = occ.filter($"tok" === "hot").count() // 30k of 50k
+    val twoPhase = graft.ops.Ranks.twoPhaseGapMoments(occ, "tok", $"gp")
+    var tpRows: Array[org.apache.spark.sql.Row] = null
+    val tpMax = maxTaskShuffleRead { tpRows = twoPhase.collect() }
+    // naive baseline: the partition-less-per-key window the operator
+    // exists to avoid — its hot task must swallow the whole hot stream
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"tok").orderBy($"gp")
+    val naive = occ.withColumn("g", $"gp" - lag($"gp", 1).over(w))
+      .filter($"g".isNotNull)
+      .groupBy($"tok").agg(count(lit(1)).as("n_gaps"),
+        sum($"g").as("sum_gap"), sum($"g" * $"g").as("sum_gap_sq"))
+    var nvRows: Array[org.apache.spark.sql.Row] = null
+    val nvMax = maxTaskShuffleRead { nvRows = naive.collect() }
+    // identical moments...
+    def asMap(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      r.getAs[String]("tok") -> (r.getAs[Long]("n_gaps"),
+        r.getAs[Long]("sum_gap"), r.getAs[Long]("sum_gap_sq"))).toMap
+    assert(asMap(tpRows).view.filterKeys(asMap(nvRows).contains).toMap
+      == asMap(nvRows),
+      "two-phase moments diverge from the sequential window")
+    // ...and the straggler certificate: naive funnels >= the hot stream
+    // into one task, two-phase stays near the balanced range share
+    assert(nvMax >= hotCount,
+      s"baseline didn't exhibit the skew (max task read $nvMax < $hotCount)")
+    assert(tpMax < hotCount / 2,
+      s"two-phase still funnels the hot token: max task read $tpMax of $hotCount hot rows")
+  }
+
+  test("exact-dup groups absorb a 30k-row dup group map-side") {
+    val docs = spark.read.parquet(docsPath)
+    var out: Array[org.apache.spark.sql.Row] = null
+    val mx = maxTaskShuffleRead {
+      out = graft.ext.Dedup.exactDupGroups(docs, "id", Seq("text")).collect()
+    }
+    assert(out.length == 1 && out.head.getAs[Long]("n_dups") == 30000L
+      && out.head.getAs[Long]("keep_id") == 0L)
+    // partial aggregation collapses the hot group to one row per map
+    // partition BEFORE the exchange: the reduce side never sees the
+    // 30k rows (bound: distinct keys + a few per-partition partials)
+    assert(mx < 25000L,
+      s"hot dup group crossed the shuffle as rows: max task read $mx")
+  }
+
+  test("gated merge streams a 60%-hot ambiguous key instead of buffering it") {
+    val docs = spark.read.parquet(docsPath)
+    val left = docs.select($"text".as("k"), $"id".as("lv"))
+    val right = docs.select($"text".as("k"), ($"id" + 1000000L).as("rv"))
+    var n = 0L
+    val mx = maxTaskShuffleRead {
+      n = graft.ops.GatedMerge.gatedOneToOne(left, right, Seq("k")).count()
+    }
+    // 30k hot left + 30k hot right pass through unjoined; 20k unique
+    // keys join 1:1 → 20k + 60k rows
+    assert(n == 80000L, s"gated merge row count $n")
+    // the count-side aggregation partial-combines; the join probe tasks
+    // stream — no task may buffer-read the union of both hot sides.
+    // (The old count-window form read 60k+ in one task here.)
+    assert(mx < 45000L, s"hot key still funnels one task: max read $mx")
+  }
+
+  test("banded containment screen stays sub-quadratic under a corpus-wide stop-shingle") {
+    // every doc shares one hot sentence; without the df cap the hot
+    // shingle alone would generate ~n² candidates
+    val p = graft.core.Scratch.dir("skew_shingle") + "/docs.parquet"
+    spark.range(0, 2000).select($"id",
+        concat(lit("the quick brown fox jumps over it "),
+          lit("doc "), $"id".cast("string"), lit(" body "),
+          ($"id" % 7).cast("string"), lit(" tail "),
+          ($"id" % 11).cast("string"))
+          .as("text"))
+      .write.mode("overwrite").parquet(p)
+    val docs = spark.read.parquet(p)
+    val pairs = graft.ext.Dedup.ngramContainmentPairsBanded(
+      docs, "id", "text", n = 3, threshold = 0.5, blockCols = Seq.empty,
+      probes = 4, maxDf = 64)
+    val cnt = pairs.count()
+    // df cap drops the ubiquitous shingles: candidates per doc are
+    // bounded by probes·maxDf = 256, so the 2000-doc corpus emits far
+    // fewer than the ~4M pairs the hot shingle alone would license
+    assert(cnt < 2000L * 4 * 64,
+      s"screen emitted $cnt pairs — the stop-shingle leaked through the cap")
+  }
+}
