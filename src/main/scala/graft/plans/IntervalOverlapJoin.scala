@@ -25,7 +25,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * co-partitioning); the win is the per-key join kernel, which is what
   * explodes first on a hot key at 100 TB.
   *
-  * Contracts: key/lo/hi are LongType; intervals may OVERLAP freely
+  * Contracts: the key is ANY orderable Catalyst type (compared through
+  * the type's interpreted ordering — both sides must agree on the
+  * type); lo/hi are LongType; intervals may OVERLAP freely
   * within a side (the kernel is a lo-ordered sweep with lazy eviction
   * — O(nL + nR + matches) with the active set bounded by the side's
   * max concurrency; for disjoint-interval sides like the FIFO
@@ -77,6 +79,14 @@ case class IntervalOverlapJoinExec(
     copy(left = newLeft, right = newRight)
 
   protected override def doExecute(): RDD[InternalRow] = {
+    require(lKey.dataType == rKey.dataType,
+      s"key types differ: ${lKey.dataType} vs ${rKey.dataType}")
+    // interpreted ordering over the key's Catalyst type — the same
+    // comparator EnsureRequirements' sorts use, so group boundaries
+    // here agree with the child ordering for ANY orderable key type
+    val keyOrd: Ordering[Any] =
+      org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(lKey.dataType)
     val lk = BindReferences.bindReference(lKey: Expression, left.output)
     val ll = BindReferences.bindReference(lLo: Expression, left.output)
     val lh = BindReferences.bindReference(lHi: Expression, left.output)
@@ -92,10 +102,10 @@ case class IntervalOverlapJoinExec(
         private var look: InternalRow =
           if (it.hasNext) it.next().copy() else null
         def hasGroup: Boolean = look != null
-        def headKey: Long = keyE.eval(look).asInstanceOf[Long]
+        def headKey: Any = keyE.eval(look)
         def skipGroup(): Unit = {
           val k = headKey
-          while (look != null && keyE.eval(look).asInstanceOf[Long] == k)
+          while (look != null && keyOrd.equiv(keyE.eval(look), k))
             look = if (it.hasNext) it.next().copy() else null
         }
         def readGroup(): (Array[InternalRow], Array[Long], Array[Long]) = {
@@ -103,7 +113,7 @@ case class IntervalOverlapJoinExec(
           val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
           val los = scala.collection.mutable.ArrayBuffer.empty[Long]
           val his = scala.collection.mutable.ArrayBuffer.empty[Long]
-          while (look != null && keyE.eval(look).asInstanceOf[Long] == k) {
+          while (look != null && keyOrd.equiv(keyE.eval(look), k)) {
             rows += look
             los += loE.eval(look).asInstanceOf[Long]
             his += hiE.eval(look).asInstanceOf[Long]
@@ -154,9 +164,9 @@ case class IntervalOverlapJoinExec(
 
         private def loadGroup(): Boolean = {
           while (lg.hasGroup && rg.hasGroup) {
-            val kl = lg.headKey; val kr = rg.headKey
-            if (kl < kr) lg.skipGroup()
-            else if (kr < kl) rg.skipGroup()
+            val c = keyOrd.compare(lg.headKey, rg.headKey)
+            if (c < 0) lg.skipGroup()
+            else if (c > 0) rg.skipGroup()
             else {
               val (lr, ll2, lh2) = lg.readGroup()
               val (rr, rl2, rh2) = rg.readGroup()

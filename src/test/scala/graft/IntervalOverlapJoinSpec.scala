@@ -111,4 +111,35 @@ class IntervalOverlapJoinSpec extends SparkTestBase {
     // k=1: [0,10)x[8,12) overlap, [10,15)x[8,12) overlap; k=2: [0,5)x[5,9) touch only
     assert(got === Set(("a", "x"), ("b", "x")))
   }
+
+  test("string-typed keys route through the interpreted ordering (ROADMAP debt #5)") {
+    // same fixture as above with string keys — the exec must group and
+    // align by the type's ordering, not a Long cast
+    val l = Seq(("k1", 0L, 10L, "a"), ("k1", 10L, 15L, "b"), ("k2", 0L, 5L, "c"),
+        ("k10", 3L, 7L, "d")) // "k10" < "k2" lexicographically — ordering matters
+      .toDF("k", "lo", "hi", "tag")
+    val r = Seq(("k1", 8L, 12L, "x"), ("k2", 5L, 9L, "y"), ("k3", 0L, 9L, "z"),
+        ("k10", 5L, 6L, "w"))
+      .toDF("k2", "lo2", "hi2", "tag2")
+    val df = graft.plans.IntervalOverlapJoin.join(
+      l, r, "k", "lo", "hi", "k2", "lo2", "hi2")
+    // the custom node actually planned (no silent fallback)
+    df.collect()
+    val nodes = walk(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[graft.plans.IntervalOverlapJoinExec]),
+      s"strategy fell back:\n${df.queryExecution.executedPlan}")
+    val got = df.select($"tag", $"tag2")
+      .collect().map(row => (row.getString(0), row.getString(1))).toSet
+    assert(got === Set(("a", "x"), ("b", "x"), ("d", "w")))
+  }
+
+  test("mismatched key types are rejected, not silently miscompared") {
+    val l = Seq((1L, 0L, 10L, "a")).toDF("k", "lo", "hi", "tag")
+    val r = Seq(("1", 8L, 12L, "x")).toDF("k2", "lo2", "hi2", "tag2")
+    val ex = intercept[Exception] {
+      graft.plans.IntervalOverlapJoin.join(
+        l, r, "k", "lo", "hi", "k2", "lo2", "hi2").collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
