@@ -508,6 +508,34 @@ object Dedup {
     candidatesFromShingles(shingleDf(df, idCol, textCol, n), bands, rowsPerBand)
   }
 
+  /** Per-document LSH index STATE — `(id, sh, sig)`: the sorted shingle
+    * set (for exact verification of screened candidates) plus the
+    * minhash signature (for band bucketing). Everything 64-bit-integer
+    * or sorted-string deterministic, so the row round-trips a parquet
+    * store bit-exactly — the unit [[graft.pipeline.Incremental
+    * .lshDedupCycle]] versions so a delta batch probes YESTERDAY'S
+    * signatures instead of re-hashing the whole corpus.
+    */
+  def signatureState(df: DataFrame, idCol: String, textCol: String,
+                     n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val sh = shingleDf(df, idCol, textCol, n)
+    val hs = sh.select(col("id"), col("sh"),
+      transform(col("sh"), s => graft.functions.PolyHash.polyHash(s)).as("hs"))
+    hs.select(col("id"), col("sh"),
+      minHashSignatureFromHashes(col("hs"), bands * rowsPerBand).as("sig"))
+  }
+
+  /** Band rows `(id, band, bucket)` from a [[signatureState]] table —
+    * derivable from the state alone, no corpus scan.
+    */
+  def bandRowsFromState(state: DataFrame, bands: Int,
+                        rowsPerBand: Int): DataFrame =
+    state.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)), bI =>
+        slice(col("sig"), bI * rowsPerBand + 1, lit(rowsPerBand))))
+      .as(Seq("band", "bucket")))
+
   private def candidatesFromShingles(sh: DataFrame, bands: Int,
                                      rowsPerBand: Int): DataFrame = {
     // hash array materialized as a column so the bands·rows permutation

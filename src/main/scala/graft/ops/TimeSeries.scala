@@ -486,6 +486,94 @@ object TimeSeries {
           .as("ema_seg"))
   }
 
+  /** SEGMENTED fixed-point HOLT LINEAR smoothing (level + trend): the
+    * double-exponential extension of [[emaSegmentedFixedPoint]] —
+    * `l' = α·x + (1−α)(l+b)`, `b' = β(l'−l) + (1−β)·b` with rational
+    * α = na/da, β = nb/db. The per-step update is AFFINE in (l, b), so
+    * a length-c chunk composes into one exact integer 2×2 map
+    * `(l,b) → (A·(l,b) + c) / u^c` built by an in-chunk fold with NO
+    * intermediate division; chunks then apply sequentially with one
+    * shared-shape `round(double/d)` per component per chunk (round, not
+    * `div`: the trend row's matrix entries go negative, and truncating
+    * vs flooring division diverge across engines on negatives — the
+    * q130 lesson).
+    *
+    * Overflow discipline: `(da·db)^chunk ≤ 2^24` (require-guarded) and
+    * values must satisfy `maxVal·(da·db)^chunk < 2^53` so the closing
+    * double conversion is exact — e.g. da=db=4, chunk=4 covers
+    * cent-scale values to ~1e8.
+    *
+    * @return (key, n, level_end, trend_end) — level seeded with the
+    *         key's first value, trend seeded 0
+    */
+  def holtSegmentedFixedPoint(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], valCol: String, na: Long, da: Long,
+      nb: Long, db: Long, chunk: Int): DataFrame = {
+    require(na > 0 && da > na && nb > 0 && db > nb,
+      "need 0 < na < da and 0 < nb < db")
+    val u = da * db
+    require(chunk > 0 &&
+      math.pow(u.toDouble, chunk.toDouble) <= (1L << 24).toDouble,
+      "(da*db)^chunk must stay <= 2^24 so the chunk map fits in 64 bits")
+    // per-step integer map over common denominator u = da·db:
+    //   l' = (m11·l + m12·b + na·db·x) / u
+    //   b' = (m21·l + m22·b + nb·na·x) / u
+    val m11 = (da - na) * db
+    val m12 = m11
+    val m21 = -(nb * na)
+    val m22 = nb * (da - na) + (db - nb) * da
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col) :+ col(valCol).cast("long"): _*)
+    val chunked = df.filter(col(valCol).isNotNull)
+      .withColumn("__v", col(valCol).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__ck", when(col("__rn") === 1, lit(-1L))
+        .otherwise(expr(s"cast((__rn - 2) div $chunk as bigint)")))
+    val perChunk = chunked
+      .groupBy(col(keyCol).as("key"), col("__ck"))
+      .agg(count(lit(1)).as("__n"),
+        sort_array(collect_list(struct(
+          orderCols.map(col) :+ col("__v"): _*))).as("__s"))
+      .withColumn("__vals", expr("transform(__s, x -> x.__v)"))
+      .withColumn("__map", expr(
+        s"""aggregate(__vals,
+           |  named_struct(
+           |    'a11', cast(1 as bigint), 'a12', cast(0 as bigint),
+           |    'a21', cast(0 as bigint), 'a22', cast(1 as bigint),
+           |    'b1', cast(0 as bigint), 'b2', cast(0 as bigint),
+           |    'd', cast(1 as bigint)),
+           |  (acc, x) -> named_struct(
+           |    'a11', $m11 * acc.a11 + $m12 * acc.a21,
+           |    'a12', $m11 * acc.a12 + $m12 * acc.a22,
+           |    'a21', $m21 * acc.a11 + $m22 * acc.a21,
+           |    'a22', $m21 * acc.a12 + $m22 * acc.a22,
+           |    'b1', $m11 * acc.b1 + $m12 * acc.b2 + acc.d * ${na * db} * x,
+           |    'b2', $m21 * acc.b1 + $m22 * acc.b2 + acc.d * ${nb * na} * x,
+           |    'd', $u * acc.d))""".stripMargin))
+      .withColumn("__v1", expr("element_at(__vals, 1)"))
+    perChunk
+      .groupBy(col("key"))
+      .agg(sum(col("__n")).as("n"),
+        sort_array(collect_list(struct(col("__ck"),
+          col("__map.a11").as("a11"), col("__map.a12").as("a12"),
+          col("__map.a21").as("a21"), col("__map.a22").as("a22"),
+          col("__map.b1").as("b1"), col("__map.b2").as("b2"),
+          col("__map.d").as("d"), col("__v1").as("v1")))).as("__m"))
+      .select(col("key"), col("n"),
+        expr(
+          """aggregate(slice(__m, 2, size(__m) - 1),
+            |  named_struct('l', element_at(__m, 1).v1,
+            |               'b', cast(0 as bigint)),
+            |  (acc, mm) -> named_struct(
+            |    'l', cast(round(cast(mm.a11 * acc.l + mm.a12 * acc.b + mm.b1
+            |           as double) / cast(mm.d as double)) as bigint),
+            |    'b', cast(round(cast(mm.a21 * acc.l + mm.a22 * acc.b + mm.b2
+            |           as double) / cast(mm.d as double)) as bigint)))""".stripMargin)
+          .as("__st"))
+      .select(col("key"), col("n"),
+        col("__st.l").as("level_end"), col("__st.b").as("trend_end"))
+  }
+
   /** Seasonal-naive forecast evaluation (MASE): forecast each series
     * value by its reading one season back, score MAE against it, and
     * scale by the one-step-naive MAE — Hyndman's scale-free accuracy

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.io.Versioned
 import graft.ops.IncrementalAgg
 
@@ -55,5 +56,67 @@ object Incremental {
       prior, IncrementalAgg.rollupState(delta, keys, valueCol))
     Versioned.write(merged, dir, statePrefix + "_next", newTag)
     merged
+  }
+
+  /** Incremental LSH deduplication cycle — the delta lane for the
+    * MinHash screen ([[graft.ext.Dedup.minHashPairsAgainst]] proved the
+    * batch-vs-corpus JOIN shape; this adds the missing piece: the
+    * corpus side comes from a VERSIONED SIGNATURE STATE, so a nightly
+    * delta batch re-hashes only ITSELF — the prior corpus contributes
+    * its stored `(id, sh, sig)` rows, never a re-tokenize of the lake).
+    *
+    *  1. resolve + read the newest signature state and the newest raw
+    *     delta object;
+    *  2. compute the delta's own [[graft.ext.Dedup.signatureState]]
+    *     (the only text-processing in the cycle);
+    *  3. candidates = delta band rows ⋈ state band rows (cross-version
+    *     dups) ∪ delta ⋈ delta with `id_a < id_b` (intra-batch dups);
+    *  4. verify every candidate exactly (sorted-intersection Jaccard ≥
+    *     `threshold`) against the stored shingle sets;
+    *  5. publish state ∪ delta-signatures as the next version.
+    *
+    * @return (batch_id, corpus_id, jaccard) — every NEW duplicate pair
+    *         this delta introduces (batch-vs-prior and batch-vs-batch);
+    *         prior-vs-prior pairs were reported by earlier cycles
+    */
+  def lshDedupCycle(spark: SparkSession, dir: String, statePrefix: String,
+                    rawPrefix: String, idCol: String, textCol: String,
+                    n: Int, threshold: Double, bands: Int, rowsPerBand: Int,
+                    newTag: String): DataFrame = {
+    import graft.ext.Dedup
+    val state = Versioned.readLatest(spark, dir, statePrefix)
+    val delta = Versioned.readLatest(spark, dir, rawPrefix)
+    val dState = graft.ext.Exec.checkpointEager(
+      Dedup.signatureState(delta, idCol, textCol, n, bands, rowsPerBand))
+    val sBand = Dedup.bandRowsFromState(state, bands, rowsPerBand)
+    val dBand = Dedup.bandRowsFromState(dState, bands, rowsPerBand)
+    val crossVer = dBand.select(col("band"), col("bucket"),
+        col("id").as("batch_id"))
+      .join(sBand.select(col("band"), col("bucket"), col("id").as("corpus_id")),
+        Seq("band", "bucket"))
+      .select(col("batch_id"), col("corpus_id"))
+    val intraBatch = dBand.select(col("band"), col("bucket"),
+        col("id").as("batch_id"))
+      .join(dBand.select(col("band"), col("bucket"), col("id").as("corpus_id")),
+        Seq("band", "bucket"))
+      .filter(col("batch_id") < col("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"))
+    val cands = crossVer.unionAll(intraBatch).distinct()
+    val allSh = state.select(col("id"), col("sh"))
+      .unionByName(dState.select(col("id"), col("sh")))
+    val pairs = cands
+      .join(dState.select(col("id").as("batch_id"), col("sh").as("sh_a")),
+        "batch_id")
+      .join(allSh.select(col("id").as("corpus_id"), col("sh").as("sh_b")),
+        "corpus_id")
+      .withColumn("inter", graft.functions.SortedIntersectSize
+        .sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+    Versioned.write(state.unionByName(dState), dir, statePrefix + "_next",
+      newTag)
+    pairs
   }
 }

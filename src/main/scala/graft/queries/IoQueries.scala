@@ -436,6 +436,73 @@ object IoQueries extends QueryPack {
              |    AS sum_cents
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY 1, 2
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Incremental LSH dedup cycle: the prior corpus contributes ONLY
+    // its versioned signature state (id, shingles, minhash sig); the
+    // delta batch re-hashes itself, probes the stored band index, and
+    // reports every NEW duplicate pair (cross-version + intra-batch).
+    // The oracle is the full-corpus replay of the same screen
+    // restricted to pairs touching the delta — incremental ≡ full.
+    Q("q342_incremental_lsh_dedup",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q342_lsh")
+        val docs = Tables.documents(s, d)
+        Versioned.write(
+          graft.ext.Dedup.signatureState(docs.filter($"doc_id" % 17 =!= 0),
+            "doc_id", "text", n = 2, bands = 21, rowsPerBand = 3),
+          dir, "lshstate", "00000001_aaa")
+        Versioned.write(docs.filter($"doc_id" % 17 === 0),
+          dir, "lshraw", "00000002_bbb")
+        graft.pipeline.Incremental.lshDedupCycle(s, dir, "lshstate",
+            "lshraw", "doc_id", "text", n = 2, threshold = 0.2,
+            bands = 21, rowsPerBand = 3, newTag = "00000002_bbb")
+          .select($"batch_id", $"corpus_id",
+            graft.core.Exact.r4($"jaccard").as("jaccard"))
+          .orderBy($"batch_id", $"corpus_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, doc_id % 17 = 0 AS is_batch,
+             |    string_split_regex(trim(text), '\s+') AS l FROM documents),
+             |shg AS (
+             |  SELECT doc_id, is_batch,
+             |    list_distinct(list_filter(
+             |      list_transform(l, (x, i) ->
+             |        CASE WHEN i <= len(l) - 1 THEN x || ' ' || l[i+1] END),
+             |      v -> v IS NOT NULL)) AS sh
+             |  FROM toks),
+             |base AS (
+             |  SELECT doc_id, is_batch, sh,
+             |    list_transform(sh, s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(s)),
+             |        i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+             |      (a, b) -> (a*31 + b) % 1000000007)) AS hs
+             |  FROM shg),
+             |sig AS (
+             |  SELECT doc_id, is_batch, sh,
+             |    list_transform(generate_series(1, 63), j ->
+             |      coalesce(list_min(list_transform(hs, h ->
+             |        (h * ((1103515245 * j) % 2038074743)
+             |          + ((12345 * j + 7) % 2038074743)) % 2038074743)),
+             |      CAST(-1 AS BIGINT))) AS sig
+             |  FROM base),
+             |bandrows AS (
+             |  SELECT doc_id, is_batch, b,
+             |    sig[CAST(b*3+1 AS INT) : CAST(b*3+3 AS INT)] AS bucket
+             |  FROM sig CROSS JOIN range(0, 21) t(b)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+             |  FROM bandrows a JOIN bandrows b
+             |    ON a.b = b.b AND a.bucket = b.bucket
+             |  WHERE a.is_batch AND (NOT b.is_batch OR a.doc_id < b.doc_id)),
+             |ver AS (
+             |  SELECT batch_id, corpus_id,
+             |    len(list_intersect(x.sh, y.sh)) * 1.0
+             |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
+             |  FROM cand JOIN shg x ON x.doc_id = batch_id
+             |  JOIN shg y ON y.doc_id = corpus_id)
+             |SELECT batch_id, corpus_id, round(jac, 4) + 0.0 AS jaccard
+             |FROM ver WHERE jac >= 0.2 ORDER BY 1, 2""".stripMargin))
   )
 }

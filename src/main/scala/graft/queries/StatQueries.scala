@@ -837,5 +837,90 @@ object StatQueries extends QueryPack {
              |    (acc, mm) -> {'a': CAST(0 AS BIGINT),
              |                  'b': (mm.a * acc.b + mm.b) // mm.d,
              |                  'd': CAST(1 AS BIGINT)}).b AS ema_cents
-             |FROM m ORDER BY custkey""".stripMargin)))
+             |FROM m ORDER BY custkey""".stripMargin)),
+
+    // Holt linear (level+trend) smoothing, segmented: each 4-value
+    // chunk composes into ONE exact integer 2x2 affine map with no
+    // intermediate division (matrix entries from the closed form
+    // S^k — the per-step matrix is constant, only the offset carries
+    // the data); chunks then apply sequentially with a shared
+    // round(x/d) per component (trend numerators go negative, where
+    // div/floor diverge across engines — the q130 lesson). The oracle
+    // replays the same closed form and walks the chunk chain with a
+    // recursive CTE carrying (level, trend) as plain columns —
+    // DuckDB's struct-typed list_reduce accumulators evaluate fields
+    // against a partially-updated struct, so cross-field recurrences
+    // must never fold through one.
+    Q("q343_holt_segmented",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select(
+          $"o_custkey".as("cust"),
+          $"o_orderdate".cast("timestamp_ltz").cast("long").as("sec"),
+          $"o_orderkey".as("okey"),
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        graft.ops.TimeSeries.holtSegmentedFixedPoint(o, "cust",
+            Seq("sec", "okey"), "cents", na = 1L, da = 4L, nb = 1L,
+            db = 4L, chunk = 4)
+          .select($"key".as("custkey"), $"n", $"level_end", $"trend_end")
+          .orderBy($"custkey")
+      },
+      Some("""WITH RECURSIVE o AS (
+             |  SELECT o_custkey AS cust,
+             |    epoch_us(o_orderdate) // 1000000 AS sec,
+             |    o_orderkey AS okey,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders),
+             |lh AS (SELECT cust, count(*) AS n,
+             |        list(cents ORDER BY sec, okey, cents) AS vals
+             |      FROM o GROUP BY 1),
+             |ph AS (SELECT cust, n, vals[1] AS seed, vals[2:] AS rest FROM lh),
+             |chh AS (SELECT cust, n, seed,
+             |        list_transform(range(0, CAST(ceil(len(rest)/4.0) AS INT)),
+             |          i -> rest[i*4+1 : least((i+1)*4, len(rest))]) AS chunks
+             |      FROM ph),
+             |mr AS (
+             |  SELECT cust, (u).i AS i, len((u).ck) AS c, (u).ck AS ck
+             |  FROM (SELECT cust, unnest(list_transform(chunks,
+             |          (ck, i) -> {'i': CAST(i - 1 AS BIGINT), 'ck': ck})) AS u
+             |        FROM chh)),
+             |mm AS (
+             |  SELECT cust, i,
+             |    CASE c WHEN 1 THEN 12 WHEN 2 THEN 132 WHEN 3 THEN 1260 ELSE 8676 END AS a11,
+             |    CASE c WHEN 1 THEN 12 WHEN 2 THEN 324 WHEN 3 THEN 6444 ELSE 111780 END AS a12,
+             |    CASE c WHEN 1 THEN -1 WHEN 2 THEN -27 WHEN 3 THEN -537 ELSE -9315 END AS a21,
+             |    CASE c WHEN 1 THEN 15 WHEN 2 THEN 213 WHEN 3 THEN 2871 ELSE 36621 END AS a22,
+             |    CASE c WHEN 1 THEN 16 WHEN 2 THEN 256 WHEN 3 THEN 4096 ELSE 65536 END AS d,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ck, (x, j) ->
+             |      (CASE j WHEN 1 THEN 1 WHEN 2 THEN 16 WHEN 3 THEN 256 ELSE 4096 END)
+             |      * ((CASE c - j WHEN 0 THEN 1 WHEN 1 THEN 12 WHEN 2 THEN 132 ELSE 1260 END) * 4
+             |       + (CASE c - j WHEN 0 THEN 0 WHEN 1 THEN 12 WHEN 2 THEN 324 ELSE 6444 END))
+             |      * x)), (pp, v) -> pp + v) AS b1,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ck, (x, j) ->
+             |      (CASE j WHEN 1 THEN 1 WHEN 2 THEN 16 WHEN 3 THEN 256 ELSE 4096 END)
+             |      * ((CASE c - j WHEN 0 THEN 0 WHEN 1 THEN -1 WHEN 2 THEN -27 ELSE -537 END) * 4
+             |       + (CASE c - j WHEN 0 THEN 1 WHEN 1 THEN 15 WHEN 2 THEN 213 ELSE 2871 END))
+             |      * x)), (pp, v) -> pp + v) AS b2
+             |  FROM mr),
+             |nch AS (SELECT cust, CAST(count(*) AS BIGINT) AS nc FROM mr GROUP BY 1),
+             |app AS (
+             |  SELECT cust, CAST(0 AS BIGINT) AS i, CAST(seed AS BIGINT) AS lv,
+             |    CAST(0 AS BIGINT) AS bv
+             |  FROM ph
+             |  UNION ALL
+             |  SELECT a.cust, a.i + 1,
+             |    CAST(round(CAST(m.a11*a.lv + m.a12*a.bv + m.b1 AS DOUBLE)
+             |      / CAST(m.d AS DOUBLE)) AS BIGINT),
+             |    CAST(round(CAST(m.a21*a.lv + m.a22*a.bv + m.b2 AS DOUBLE)
+             |      / CAST(m.d AS DOUBLE)) AS BIGINT)
+             |  FROM app a JOIN mm m ON m.cust = a.cust AND m.i = a.i),
+             |fin AS (
+             |  SELECT app.cust, app.lv, app.bv FROM app
+             |  JOIN (SELECT ph.cust, coalesce(nch.nc, CAST(0 AS BIGINT)) AS nc
+             |        FROM ph LEFT JOIN nch ON nch.cust = ph.cust) k
+             |    ON k.cust = app.cust AND app.i = k.nc)
+             |SELECT ph.cust AS custkey, CAST(ph.n AS BIGINT) AS n,
+             |  fin.lv AS level_end, fin.bv AS trend_end
+             |FROM ph JOIN fin ON fin.cust = ph.cust
+             |ORDER BY custkey""".stripMargin)))
 }

@@ -53,6 +53,26 @@ class IncrementalSpec extends SparkTestBase {
     assert(juneFull.nonEmpty, "fixture has no June-1997 rows; cutoff moot")
   }
 
+  test("LSH delta cycle re-hashes only the delta: prior text never re-tokenized") {
+    val df = SparkEntry.queries("q342_incremental_lsh_dedup")(spark, sfDir)
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l
+    }
+    val paths = rels.flatMap(_.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location.rootPaths.map(_.toString)
+      case _ => Seq.empty
+    })
+    // the plan may touch the state object several times (band rows +
+    // shingle verification) but the RAW corpus must appear nowhere:
+    // the prior side's only input is the signature state
+    assert(paths.nonEmpty && paths.forall(p =>
+      p.contains("lshstate__") || p.contains("lshraw__")),
+      s"unexpected scan set:\n${paths.mkString("\n")}")
+    assert(!paths.exists(_.contains(sfDir)),
+      s"LSH delta cycle re-read the raw corpus:\n${paths.mkString("\n")}")
+  }
+
   test("published next-version state is readable and equals the returned state") {
     val dir = graft.core.Scratch.dir("q340_incremental")
     val returned = SparkEntry.queries("q340_incremental_pipeline")(spark, sfDir)
