@@ -202,4 +202,70 @@ object Pq {
       .select(col("q_id"), col("rank"), col("n_id"), col("adc_d2"),
         coalesce(col("in_exact"), lit(false)).as("in_exact"))
   }
+
+  /** Recall-vs-probe-budget curve — the tuning table an IVF deployment
+    * reads before pinning `nProbe`: for every budget in `probeGrid`,
+    * the mean recall@k of exact-rerank-within-probed-lists against the
+    * full exact top-k. ONE dataflow for the whole grid: candidates
+    * carry the probe rank that admitted them, the (bounded) grid fans
+    * out only the already-screened candidate rows, and the ground
+    * truth is computed once.
+    *
+    * @return (n_probe, n_queries, recall_milli) one row per budget
+    */
+  def ivfProbeSweep(queries: DataFrame, corpus: DataFrame,
+                    coarse: DataFrame, dim: Int, probeGrid: Seq[Int],
+                    k: Int): DataFrame = {
+    require(probeGrid.nonEmpty && probeGrid.forall(_ >= 1), "bad grid")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val maxP = probeGrid.max
+    val cells = encode(corpus, coarse, m = 1, subDim = dim)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val qfull = subvectors(queries, m = 1, subDim = dim)
+      .select(col("vec_id").as("q_id"), col("sub").as("qv"))
+    val cfull = subvectors(corpus, m = 1, subDim = dim)
+      .select(col("vec_id").as("n_id"), col("sub").as("nv"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cd").asc, col("cell").asc)
+    val probes = qfull.crossJoin(broadcast(
+        coarse.select(col("cid").as("cell"), col("cent"))))
+      .withColumn("cd", d2(col("qv"), col("cent")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= maxP)
+      .select(col("q_id"), col("cell"), col("pr"))
+    // each corpus vector lives in exactly one cell, so candidate rows
+    // are unique per (q, n) and carry the admitting probe rank
+    val cand = cells.join(broadcast(probes), "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("pr"))
+    val scored = cand.join(cfull, "n_id").join(broadcast(qfull), "q_id")
+      .withColumn("dd", d2(col("qv"), col("nv")))
+      .select(col("q_id"), col("n_id"), col("pr"), col("dd"))
+    val wEx = Window.partitionBy(col("q_id"))
+      .orderBy(col("ed").asc, col("n_id").asc)
+    val exact = broadcast(qfull).join(cfull, col("q_id") =!= col("n_id"))
+      .withColumn("ed", d2(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(wEx))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), lit(true).as("in_exact"))
+    val grid = probeGrid.map(_.toLong).toDF("n_probe")
+    val wP = Window.partitionBy(col("n_probe"), col("q_id"))
+      .orderBy(col("dd").asc, col("n_id").asc)
+    val ranked = scored.crossJoin(broadcast(grid))
+      .filter(col("pr") <= col("n_probe"))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= k)
+    val hits = ranked.join(exact, Seq("q_id", "n_id"), "left")
+      .groupBy(col("n_probe"), col("q_id"))
+      .agg(sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_hit"))
+    qfull.select(col("q_id")).crossJoin(broadcast(grid))
+      .join(hits, Seq("n_probe", "q_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .groupBy(col("n_probe"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("n_hit")).cast("double") * 1000.0
+          / (count(lit(1)) * k).cast("double"), 0).cast("long")
+          .as("recall_milli"))
+  }
 }

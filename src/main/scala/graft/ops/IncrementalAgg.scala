@@ -46,4 +46,36 @@ object IncrementalAgg {
     */
   def withAvg(state: DataFrame): DataFrame =
     state.withColumn("avg_value", col("sum_cents") / col("n") / 100.0)
+
+  /** Per-key top-k as a MERGEABLE state: the state is the top-k ROWS
+    * per key (ordered by `ordCol` desc, ties to the smaller
+    * `payloadCol`), so `merge(topK(A), topK(B)) ≡ topK(A ∪ B)` — the
+    * classic bounded-state monoid (each side's discarded rows can
+    * never re-enter any union's top-k). Row-shaped (not list-shaped)
+    * state keeps the merge relational and the per-key window input
+    * bounded by `sides · k` rows, not the data.
+    *
+    * @return (keys..., rnk, payloadCol, ordCol) — `rnk` 1-based
+    */
+  def topKState(df: DataFrame, keys: Seq[String], ordCol: String,
+                payloadCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(ordCol).desc, col(payloadCol).asc)
+    df.select((keys.map(col) :+ col(payloadCol) :+ col(ordCol)): _*)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Merge top-k states (and/or a fresh delta's [[topKState]]): union,
+    * re-rank, keep k. Input per key is bounded by `states.size · k`.
+    */
+  def mergeTopKStates(keys: Seq[String], ordCol: String,
+                      payloadCol: String, k: Int,
+                      states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "nothing to merge")
+    topKState(states.reduce(_.unionByName(_)).drop("rnk"),
+      keys, ordCol, payloadCol, k)
+  }
 }

@@ -119,4 +119,57 @@ object Incremental {
       newTag)
     pairs
   }
+
+  /** Incremental SCD2 append — extend a versioned interval table
+    * ([[graft.ops.Scd2.fromChangeLog]]) with a new change-log delta
+    * WITHOUT replaying the full log. Contract: the log is append-only
+    * in time — every delta row's effective instant is strictly after
+    * the prior state's open versions (enforced by construction when
+    * deltas are time-partitioned).
+    *
+    * Per touched key, the OPEN version re-enters the collapse as the
+    * earliest synthetic log row (sentinel tie-break `Long.MinValue`):
+    * the run-merge then sees exactly what the full rebuild's lag
+    * compare sees — the last prior value — so a delta row repeating
+    * the open value collapses, a change closes the open interval at
+    * the change's instant, and version numbers continue from the
+    * key's prior maximum. Untouched keys and closed versions pass
+    * through by reference. Work is O(|state| + |delta| · log-ops),
+    * never O(|history log|).
+    *
+    * @return the merged interval table ≡ `fromChangeLog(full log)`
+    *         (the q344 oracle IS the full rebuild)
+    */
+  def scd2DeltaCycle(spark: SparkSession, dir: String, statePrefix: String,
+                     rawPrefix: String, keyCols: Seq[String],
+                     valueCols: Seq[String], effectiveCol: String,
+                     tieBreakCol: String, newTag: String): DataFrame = {
+    val state = Versioned.readLatest(spark, dir, statePrefix)
+    val delta = Versioned.readLatest(spark, dir, rawPrefix)
+    val keys = keyCols.map(col)
+    val touched = delta.select(keys: _*).distinct()
+    val openAsLog = state.join(touched, keyCols, "left_semi")
+      .filter(col("is_current"))
+      .select((keys ++ valueCols.map(col))
+        :+ col("effective_from").as(effectiveCol)
+        :+ lit(Long.MinValue).as(tieBreakCol): _*)
+    val deltaLog = delta.select((keys ++ valueCols.map(col))
+      :+ col(effectiveCol) :+ col(tieBreakCol).cast("long"): _*)
+    val synth = graft.ops.Scd2.fromChangeLog(
+      openAsLog.unionByName(deltaLog), keyCols, valueCols, effectiveCol,
+      Seq(tieBreakCol))
+    val priorMax = state.join(touched, keyCols, "left_semi")
+      .groupBy(keys: _*).agg(max(col("version")).as("__vmax"))
+    val renumbered = synth
+      .join(priorMax, keyCols, "left")
+      .withColumn("version", col("version") + coalesce(col("__vmax"), lit(1L)) - 1L)
+      .drop("__vmax", tieBreakCol)
+    val carried = state.join(touched, keyCols, "left_anti")
+      .unionByName(state.join(touched, keyCols, "left_semi")
+        .filter(!col("is_current")))
+    val merged = carried.unionByName(
+      renumbered.select(carried.columns.map(col): _*))
+    Versioned.write(merged, dir, statePrefix + "_next", newTag)
+    merged
+  }
 }

@@ -503,6 +503,102 @@ object IoQueries extends QueryPack {
              |  FROM cand JOIN shg x ON x.doc_id = batch_id
              |  JOIN shg y ON y.doc_id = corpus_id)
              |SELECT batch_id, corpus_id, round(jac, 4) + 0.0 AS jaccard
-             |FROM ver WHERE jac >= 0.2 ORDER BY 1, 2""".stripMargin))
+             |FROM ver WHERE jac >= 0.2 ORDER BY 1, 2""".stripMargin)),
+
+    // Incremental SCD2 append: the prior interval table and the new
+    // change-log delta land as versioned objects; the cycle re-opens
+    // each touched key's CURRENT version into the collapse, continues
+    // version numbers from the prior maximum, and passes untouched
+    // keys through — oracle = the FULL-LOG rebuild (q108's shape), so
+    // green proves append ≡ replay without the history scan.
+    Q("q344_incremental_scd2",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q344_scd2")
+        val log = Tables.orders(s, d).select($"o_custkey",
+          $"o_orderdate".cast("timestamp_ltz").cast("long").as("eff_sec"),
+          $"o_orderkey", $"o_orderpriority")
+        val cutoff = 866332800L // 1997-06-15T00:00:00Z
+        Versioned.write(
+          graft.ops.Scd2.fromChangeLog(log.filter($"eff_sec" < cutoff),
+              Seq("o_custkey"), Seq("o_orderpriority"), "eff_sec",
+              Seq("o_orderkey"))
+            .drop("o_orderkey"),
+          dir, "scd2state", "00000001_aaa")
+        Versioned.write(log.filter($"eff_sec" >= cutoff),
+          dir, "scd2raw", "00000002_bbb")
+        graft.pipeline.Incremental.scd2DeltaCycle(s, dir, "scd2state",
+            "scd2raw", Seq("o_custkey"), Seq("o_orderpriority"),
+            "eff_sec", "o_orderkey", newTag = "00000002_bbb")
+          .select($"o_custkey", $"version",
+            $"o_orderpriority".as("priority"),
+            $"effective_from", $"effective_to", $"is_current")
+          .orderBy($"o_custkey", $"version")
+      },
+      Some("""WITH log AS (
+             |  SELECT o_custkey, epoch_us(o_orderdate) // 1000000 AS eff_sec,
+             |    o_orderkey, o_orderpriority
+             |  FROM orders),
+             |chg AS (
+             |  SELECT *,
+             |    o_orderpriority IS DISTINCT FROM
+             |      lag(o_orderpriority) OVER
+             |        (PARTITION BY o_custkey ORDER BY eff_sec, o_orderkey) AS changed
+             |  FROM log),
+             |kept AS (SELECT * FROM chg WHERE changed)
+             |SELECT o_custkey,
+             |  CAST(row_number() OVER w AS BIGINT) AS version,
+             |  o_orderpriority AS priority,
+             |  eff_sec AS effective_from,
+             |  lead(eff_sec) OVER w AS effective_to,
+             |  lead(eff_sec) OVER w IS NULL AS is_current
+             |FROM kept
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY eff_sec, o_orderkey)
+             |ORDER BY o_custkey, version""".stripMargin)),
+
+    // Incremental per-key top-k: the state is each customer's top-3
+    // orders by exact cents — a bounded-state monoid (merge of top-k's
+    // ≡ top-k of the union, since a discarded row can never re-enter).
+    // Prior state + delta land versioned; the cycle merges delta's
+    // top-k into the state and publishes. Oracle = top-3 over the FULL
+    // table.
+    Q("q345_incremental_topk",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q345_topk")
+        val o = Tables.orders(s, d).select($"o_custkey",
+          $"o_orderdate".cast("timestamp_ltz").cast("long").as("sec"),
+          $"o_orderkey",
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        val cutoff = 866332800L
+        Versioned.write(
+          graft.ops.IncrementalAgg.topKState(
+            o.filter($"sec" < cutoff).drop("sec"),
+            Seq("o_custkey"), "cents", "o_orderkey", k = 3),
+          dir, "topkstate", "00000001_aaa")
+        Versioned.write(o.filter($"sec" >= cutoff).drop("sec"),
+          dir, "topkraw", "00000002_bbb")
+        val state = Versioned.readLatest(s, dir, "topkstate")
+        val delta = Versioned.readLatest(s, dir, "topkraw")
+        val merged = graft.ops.IncrementalAgg.mergeTopKStates(
+          Seq("o_custkey"), "cents", "o_orderkey", 3,
+          state,
+          graft.ops.IncrementalAgg.topKState(delta, Seq("o_custkey"),
+            "cents", "o_orderkey", 3))
+        Versioned.write(merged, dir, "topkstate_next", "00000002_bbb")
+        merged.select($"o_custkey", $"rnk", $"o_orderkey", $"cents")
+          .orderBy($"o_custkey", $"rnk")
+      },
+      Some("""WITH r AS (
+             |  SELECT o_custkey,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             |    o_orderkey,
+             |    CAST(row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC,
+             |        o_orderkey) AS BIGINT) AS rnk
+             |  FROM orders)
+             |SELECT o_custkey, rnk, o_orderkey, cents
+             |FROM r WHERE rnk <= 3
+             |ORDER BY o_custkey, rnk""".stripMargin))
   )
 }

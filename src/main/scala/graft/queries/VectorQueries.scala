@@ -1479,6 +1479,95 @@ object VectorQueries extends QueryPack {
              |SELECT t.q_id AS q_id, t.rank, t.n_id, t.adc_d2,
              |  (e.n_id IS NOT NULL) AS in_exact
              |FROM topadc t LEFT JOIN ext e ON e.q_id = t.q_id AND e.n_id = t.n_id
-             |ORDER BY t.q_id, t.rank""".stripMargin))
+             |ORDER BY t.q_id, t.rank""".stripMargin)),
+
+    // IVF probe-budget sweep: recall@5 of exact-rerank-within-probed-
+    // lists at nProbe ∈ {1,2,4,8} against the full exact top-5, one
+    // dataflow for the whole grid — the tuning curve an IVF deployment
+    // reads before pinning its probe budget.
+    Q("q346_ivf_probe_sweep",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val coarse = graft.ext.IvfIndex.materializeLocal(s,
+          Pq.trainCodebooks(s, emb, m = 1, subDim = 64, k = 8))
+        Pq.ivfProbeSweep(emb.filter($"vec_id" % 50 === 0), emb, coarse,
+            dim = 64, probeGrid = Seq(1, 2, 4, 8), k = 5)
+          .orderBy($"n_probe")
+      },
+      Some(s"""WITH fullv AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS fv
+             |  FROM embeddings),
+             |cseeds AS (
+             |  SELECT vec_id AS cid, fv AS cent FROM fullv
+             |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+             |cd0 AS (
+             |  SELECT fullv.vec_id, cseeds.cid,
+             |    ${d2Sql("fullv.fv", "cseeds.cent")} AS dd
+             |  FROM fullv CROSS JOIN cseeds),
+             |ca0 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+             |    FROM cd0) WHERE rn = 1),
+             |cfp AS (
+             |  SELECT vec_id, unnest(list_transform(fv,
+             |    (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}), recursive := true)
+             |  FROM fullv),
+             |ccbp AS (
+             |  SELECT ca0.cid, p.pos,
+             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
+             |  FROM ca0 JOIN cfp p ON p.vec_id = ca0.vec_id
+             |  GROUP BY 1, 2),
+             |ccb AS (SELECT cid, list(c ORDER BY pos) AS cent FROM ccbp GROUP BY 1),
+             |cells AS (
+             |  SELECT vec_id, cid AS cell FROM (
+             |    SELECT fullv.vec_id, ccb.cid,
+             |      row_number() OVER (PARTITION BY fullv.vec_id
+             |        ORDER BY ${d2Sql("fullv.fv", "ccb.cent")}, ccb.cid) AS rn
+             |    FROM fullv CROSS JOIN ccb) WHERE rn = 1),
+             |probes AS (
+             |  SELECT q_id, cell, pr FROM (
+             |    SELECT q.vec_id AS q_id, ccb.cid AS cell,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY ${d2Sql("q.fv", "ccb.cent")}, ccb.cid) AS pr
+             |    FROM fullv q CROSS JOIN ccb WHERE q.vec_id % 50 = 0)
+             |  WHERE pr <= 8),
+             |cand AS (
+             |  SELECT p.q_id, cells.vec_id AS n_id, p.pr,
+             |    ${d2Sql("q.fv", "c.fv")} AS dd
+             |  FROM cells JOIN probes p ON p.cell = cells.cell
+             |  JOIN fullv q ON q.vec_id = p.q_id
+             |  JOIN fullv c ON c.vec_id = cells.vec_id
+             |  WHERE p.q_id != cells.vec_id),
+             |ex AS (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY ${d2Sql("q.fv", "c.fv")}, c.vec_id) AS rn
+             |    FROM fullv q JOIN fullv c
+             |      ON q.vec_id % 50 = 0 AND c.vec_id != q.vec_id)
+             |  WHERE rn <= 5),
+             |grid AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS n_probe),
+             |ranked AS (
+             |  SELECT g.n_probe, cand.q_id, cand.n_id FROM cand CROSS JOIN grid g
+             |  WHERE cand.pr <= g.n_probe
+             |  QUALIFY row_number() OVER (PARTITION BY g.n_probe, cand.q_id
+             |    ORDER BY cand.dd, cand.n_id) <= 5),
+             |hits AS (
+             |  SELECT r.n_probe, r.q_id,
+             |    CAST(sum(CASE WHEN e.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_hit
+             |  FROM ranked r LEFT JOIN ex e
+             |    ON e.q_id = r.q_id AND e.n_id = r.n_id
+             |  GROUP BY 1, 2),
+             |panel AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 50 = 0)
+             |SELECT g.n_probe, CAST(count(*) AS BIGINT) AS n_queries,
+             |  CAST(round(CAST(sum(coalesce(h.n_hit, 0)) AS DOUBLE)
+             |    * CAST(1000 AS DOUBLE)
+             |    / CAST(count(*) * 5 AS DOUBLE)) AS BIGINT) AS recall_milli
+             |FROM panel CROSS JOIN grid g
+             |LEFT JOIN hits h ON h.n_probe = g.n_probe AND h.q_id = panel.q_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
