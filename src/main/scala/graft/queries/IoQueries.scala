@@ -599,6 +599,69 @@ object IoQueries extends QueryPack {
              |  FROM orders)
              |SELECT o_custkey, rnk, o_orderkey, cents
              |FROM r WHERE rnk <= 3
-             |ORDER BY o_custkey, rnk""".stripMargin))
+             |ORDER BY o_custkey, rnk""".stripMargin)),
+
+    // Incremental duplicate components: the dup-pair LEDGER is the
+    // versioned state (O(dups), not O(corpus)); a delta batch appends
+    // its new pairs and components recompute over the merged ledger
+    // ONLY — the corpus text is never rescanned in the cycle. Oracle =
+    // full-corpus SimHash components (q68's shape): prior-prior pairs
+    // ∪ delta-touching pairs IS the full pair set, so ledger-derived
+    // components ≡ full-rebuild components.
+    Q("q347_incremental_components",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q347_components")
+        val docs = Tables.documents(s, d)
+        val pairs = graft.ext.Dedup.simHashPairsBanded(docs, "doc_id",
+          "text", maxDist = 6)
+        Versioned.write(
+          pairs.filter($"id_a" % 17 =!= 0 && $"id_b" % 17 =!= 0),
+          dir, "pairledger", "00000001_aaa")
+        Versioned.write(
+          pairs.filter($"id_a" % 17 === 0 || $"id_b" % 17 === 0),
+          dir, "pairdelta", "00000002_bbb")
+        val ledger = Versioned.readLatest(s, dir, "pairledger")
+        val delta = Versioned.readLatest(s, dir, "pairdelta")
+        val merged = ledger.unionByName(delta).distinct()
+        Versioned.write(merged, dir, "pairledger_next", "00000002_bbb")
+        val ids = merged.select($"id_a".as("doc_id"))
+          .unionAll(merged.select($"id_b".as("doc_id"))).distinct()
+        graft.ext.Dedup.duplicateGroups(merged, ids, "doc_id")
+          .select($"id".as("doc_id"), $"canonical_id", $"n_group")
+          .orderBy($"canonical_id", $"doc_id")
+      },
+      Some("""WITH RECURSIVE th AS (
+             |  SELECT doc_id,
+             |    list_transform(string_split_regex(trim(text),'\s+'), s ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(generate_series(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007)) AS hs
+             |  FROM documents),
+             |bits AS (
+             |  SELECT doc_id, j,
+             |    CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+             |      CASE WHEN ((h * ((1103515245 * j) % 2038074743) + ((12345 * j + 7) % 2038074743)) % 2038074743) % 2 = 1
+             |           THEN 1 ELSE -1 END)), 0) > 0
+             |         THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE 0 END AS bit
+             |  FROM th CROSS JOIN range(1, 64) t(j)),
+             |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sh FROM bits GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+             |  UNION
+             |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+             |comp AS (SELECT id, min(lbl) AS canonical_id FROM reach GROUP BY id),
+             |sized AS (SELECT canonical_id, count(*) AS n_group FROM comp GROUP BY 1)
+             |SELECT c.id AS doc_id, c.canonical_id, s.n_group
+             |FROM comp c JOIN sized s USING (canonical_id)
+             |WHERE s.n_group > 1
+             |ORDER BY canonical_id, doc_id""".stripMargin))
   )
 }

@@ -73,6 +73,27 @@ class IncrementalSpec extends SparkTestBase {
       s"LSH delta cycle re-read the raw corpus:\n${paths.mkString("\n")}")
   }
 
+  test("components delta cycle derives from the pair ledger, never the corpus") {
+    val df = SparkEntry.queries("q347_incremental_components")(spark, sfDir)
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l
+    }
+    val paths = rels.flatMap(_.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location.rootPaths.map(_.toString)
+      case _ => Seq.empty
+    })
+    // the iterative components op checkpoints its edge list, so some
+    // inputs appear as checkpoint RDDs rather than relations — every
+    // relation that DOES survive must be a ledger object, and the raw
+    // corpus must appear nowhere
+    assert(paths.forall(p =>
+      p.contains("pairledger__") || p.contains("pairdelta__")),
+      s"unexpected scan set:\n${paths.mkString("\n")}")
+    assert(!paths.exists(_.contains(sfDir)),
+      s"components cycle re-read the corpus:\n${paths.mkString("\n")}")
+  }
+
   test("published next-version state is readable and equals the returned state") {
     val dir = graft.core.Scratch.dir("q340_incremental")
     val returned = SparkEntry.queries("q340_incremental_pipeline")(spark, sfDir)
