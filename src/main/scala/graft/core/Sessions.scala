@@ -30,6 +30,16 @@ object Sessions {
       // joins get runtime-split — a deployment override turning AQE
       // skew handling off would silently reintroduce the straggler
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE re-plan under caching (Spark 3.2+): by default a cached
+      // plan pins its output partitioning and compiles without adaptive
+      // execution. NOTE the measured limitation: persist()/checkpoint
+      // MATERIALIZATION of a deep fold still runs without runtime
+      // coalescing even with this on (markov fold: 0.9 s action vs
+      // ~4-5 s eager materialization at sf0.1) — hence the engine's
+      // pattern of checkpointing shallow shared INPUTS and returning
+      // fold results LAZILY so the caller's action gets full AQE.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // ContextCleaner only reclaims dereferenced checkpoint/broadcast

@@ -1552,9 +1552,9 @@ object LangModel {
     val directed = pairSets.reduce(_ unionAll _)
     val pairs = directed.unionAll(directed.select(col("c").as("w"), col("w").as("c")))
     val nwc = pairs.groupBy(col("w"), col("c")).agg(count(lit(1)).as("n_wc"))
-      .persist()
-    val nw = nwc.groupBy(col("w")).agg(sum(col("n_wc")).as("n_w")).persist()
-    try {
+      .checkpointEager()
+    val nw = nwc.groupBy(col("w")).agg(sum(col("n_wc")).as("n_w"))
+      .checkpointEager()
     val tot = nw.agg(sum(col("n_w")).as("nn"))
     val ppmi = nwc
       .join(nw, "w")
@@ -1579,8 +1579,7 @@ object LangModel {
           % 1000003L % 2L === 0L, 1L).otherwise(-1L))
       .groupBy(col("w"), col("k"))
       .agg(sum(col("sgn") * col("ppmi_milli")).as("v"))
-      .persist()
-    try {
+      .checkpointEager()
     // TakeOrdered head, not a vocab-wide global window
     val probeWords = nw.orderBy(col("n_w").desc, col("w").asc)
       .limit(probes).select(col("w").as("probe"))
@@ -1605,8 +1604,5 @@ object LangModel {
     cos.withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= topK)
       .select(col("probe"), col("rnk"), col("neighbor"), col("cos_micro"))
-      .checkpointEager()
-    } finally comps.unpersist(false)
-    } finally { nwc.unpersist(false); nw.unpersist(false) }
   }
 }

@@ -440,8 +440,9 @@ object LinkGraph {
     val tagged = e
       .join(assign.select(col("id").as("id_a"), col("grp").as("ga")), "id_a")
       .join(assign.select(col("id").as("id_b"), col("grp").as("gb")), "id_b")
-      .persist()
-    try {
+      // shared-input checkpoint, lazy result (the markovStationary
+      // lesson: eager result materialization loses AQE)
+      .checkpointEager()
     val cut = tagged.filter(col("ga") =!= col("gb"))
       .select(explode(array(col("ga"), col("gb"))).as("grp"))
       .groupBy(col("grp")).agg(count(lit(1)).as("cut_edges"))
@@ -459,8 +460,6 @@ object LinkGraph {
           round(col("cut_edges").cast("double") * 1000000.0
             / col("mv").cast("double"), 0).cast("long"))
           .otherwise(lit(null).cast("long")).as("conductance_micro"))
-      .checkpointEager()
-    } finally tagged.unpersist(false)
   }
 
   /** Fixed-round k-core PEEL: each round removes every node whose
@@ -596,8 +595,7 @@ object LinkGraph {
     val und = pairs.select(
       least(col("id_a"), col("id_b")).as("a"),
       greatest(col("id_a"), col("id_b")).as("b")).distinct()
-      .persist()
-    try {
+      .checkpointEager()
     val deg = und.select(col("a").as("node_id"))
       .unionAll(und.select(col("b").as("node_id")))
       .groupBy(col("node_id")).agg(count(lit(1)).as("degree"))
@@ -610,8 +608,6 @@ object LinkGraph {
             / (col("degree") * (col("degree") - 1)).cast("double"), 0)
             .cast("long"))
           .otherwise(lit(null).cast("long")).as("coeff_micro"))
-      .checkpointEager()
-    } finally und.unpersist(false)
   }
 
   /** Harmonic centrality of a seed panel within `maxHops`:

@@ -171,8 +171,11 @@ object Behavior {
       .withColumn("na", sum(col("n")).over(Window.partitionBy(col("a"))))
       .withColumn("p_micro", expr("(n * 1000000) div na"))
       .select(col("a"), col("b"), col("p_micro"))
-      .persist()
-    try {
+      // checkpoint the SHARED INPUT (shallow plan), return the fold
+      // LAZILY: materializing the fold itself (persist/localCheckpoint)
+      // executes it without AQE's runtime coalescing/broadcasts —
+      // measured 0.9 s (lazy, action path) vs 4-6 s (eager) at sf0.1
+      .checkpointEager()
     val states = p1.select(col("a").as("state")).distinct()
       .unionByName(p1.select(col("b").as("state")).distinct()).distinct()
     val pi0 = states
@@ -186,8 +189,7 @@ object Behavior {
         .select(col("state"),
           coalesce(expr("m div 1000000"), lit(0L)).as("pi_micro"))
     }
-    piN.select(col("state"), col("pi_micro")).checkpointEager()
-    } finally p1.unpersist(false)
+    piN.select(col("state"), col("pi_micro"))
   }
 
   /** Ordered funnel conversion within a time window: users enter at

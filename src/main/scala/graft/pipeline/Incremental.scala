@@ -172,4 +172,130 @@ object Incremental {
     Versioned.write(merged, dir, statePrefix + "_next", newTag)
     merged
   }
+
+  /** Gap-based sessionization over (user_id, sec, cents) event rows —
+    * integer-cents twin of [[graft.streaming.Sessionize.sessionizeBatch]]
+    * used by the delta cycle below and its q349 oracle.
+    */
+  def sessionizeCents(events: DataFrame, gapSec: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("sec"))
+    events
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev").isNull || col("sec") - col("prev") > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("sn", sum(col("ns")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sn"))
+      .agg(min(col("sec")).as("session_start"),
+        max(col("sec")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("cents"))
+      .drop("sn")
+  }
+
+  /** Incremental sessionization — the boundary-session merge: prior
+    * sessions are versioned state; a delta batch (all events strictly
+    * after the prior batch) can only EXTEND each touched user's LAST
+    * session or open new ones. The open session re-enters the gap
+    * chain as one synthetic zero-value event at its end instant; the
+    * recomputed session that starts at that instant then absorbs the
+    * old session's aggregates (when the synthetic stays alone the
+    * merge reproduces the old session verbatim — no special case).
+    * Untouched users and non-final sessions pass through. Oracle =
+    * full-event sessionization.
+    *
+    * @return (user_id, session_start, session_end, n_events, cents)
+    */
+  def sessionizeDeltaCycle(spark: SparkSession, dir: String,
+                           statePrefix: String, rawPrefix: String,
+                           gapSec: Long, newTag: String): DataFrame = {
+    val state = Versioned.readLatest(spark, dir, statePrefix)
+    val delta = Versioned.readLatest(spark, dir, rawPrefix)
+    val touched = delta.select(col("user_id")).distinct()
+    val touchedState = state.join(touched, Seq("user_id"), "left_semi")
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("session_start").desc)
+    val marked = touchedState
+      .withColumn("__rn", row_number().over(wLast))
+    val last = marked.filter(col("__rn") === 1).drop("__rn")
+    val earlier = marked.filter(col("__rn") > 1).drop("__rn")
+    val synth = last.select(col("user_id"),
+      col("session_end").as("sec"), lit(0L).as("cents"))
+    val recomputed = sessionizeCents(
+      synth.unionByName(delta.select(col("user_id"), col("sec"),
+        col("cents"))), gapSec)
+    val lastKeyed = last.select(col("user_id"),
+      col("session_end").as("__synth_sec"),
+      col("session_start").as("__old_start"),
+      col("n_events").as("__old_n"), col("cents").as("__old_cents"))
+    val isCarry = col("session_start") === col("__synth_sec")
+    val fixed = recomputed.join(lastKeyed, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(isCarry, col("__old_start")).otherwise(col("session_start"))
+          .as("session_start"),
+        col("session_end"),
+        when(isCarry, col("n_events") - 1L + col("__old_n"))
+          .otherwise(col("n_events")).as("n_events"),
+        when(isCarry, col("cents") + col("__old_cents"))
+          .otherwise(col("cents")).as("cents"))
+    val merged = state.join(touched, Seq("user_id"), "left_anti")
+      .unionByName(earlier).unionByName(fixed)
+    Versioned.write(merged, dir, statePrefix + "_next", newTag)
+    merged
+  }
+
+  /** Incremental inverted-index maintenance + BM25 serving: the
+    * POSTINGS table `(id, tok, tf)` is the versioned state; a delta
+    * batch of new documents tokenizes only itself and APPENDS (doc
+    * sets are disjoint across versions, so the merge is a plain
+    * union — df/cf/avgdl re-derive from the merged index by monoid
+    * sums). Serving then runs entirely index-side: the query panel is
+    * the index's own `qTerms` highest-collection-frequency tokens
+    * (ties lexicographic), each document scores
+    * `Σ idf·(tf·2.2 / (tf + 1.2·(0.25 + 0.75·dl/avgdl)))` with
+    * per-term micro-rounding before the integer sum, and the top-`k`
+    * docs return. The cycle's plan touches ONLY the two versioned
+    * objects — the prior corpus text is never re-tokenized.
+    *
+    * @return (rnk, doc_id, score_micro) — top-`k` over the whole index
+    */
+  def bm25IndexCycle(spark: SparkSession, dir: String, statePrefix: String,
+                     rawPrefix: String, idCol: String, textCol: String,
+                     qTerms: Int, k: Int, newTag: String): DataFrame = {
+    val state = Versioned.readLatest(spark, dir, statePrefix)
+    val delta = Versioned.readLatest(spark, dir, rawPrefix)
+    val dPost = delta
+      .select(col(idCol).as("id"),
+        explode(graft.ext.TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val merged = graft.ext.Exec.checkpointEager(state.unionByName(dPost))
+    Versioned.write(merged, dir, statePrefix + "_next", newTag)
+    val stats = merged.agg(countDistinct(col("id")).as("nd"),
+      sum(col("tf")).as("tot"))
+    val dft = merged.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    // the panel: the index's own hottest terms — distributed TakeOrdered
+    val qt = dft.orderBy(col("cf").desc, col("tok").asc).limit(qTerms)
+      .select(col("tok"), col("df"))
+    val dl = merged.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val scored = merged.join(broadcast(qt), "tok")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot").cast("double") / col("nd").cast("double"))
+      .withColumn("t_micro", round(
+        log((col("nd").cast("double") - col("df").cast("double") + 0.5)
+          / (col("df").cast("double") + 0.5) + 1.0)
+        * (col("tf").cast("double") * 2.2
+          / (col("tf").cast("double") + lit(1.2)
+            * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+        * 1000000.0, 0).cast("long"))
+      .groupBy(col("id")).agg(sum(col("t_micro")).as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_micro").desc, col("id").asc)
+    scored.orderBy(col("score_micro").desc, col("id").asc).limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("id").as("doc_id"), col("score_micro"))
+  }
 }

@@ -662,6 +662,161 @@ object IoQueries extends QueryPack {
              |SELECT c.id AS doc_id, c.canonical_id, s.n_group
              |FROM comp c JOIN sized s USING (canonical_id)
              |WHERE s.n_group > 1
-             |ORDER BY canonical_id, doc_id""".stripMargin))
+             |ORDER BY canonical_id, doc_id""".stripMargin)),
+
+    // Incremental EXACT quantile over a bounded-cardinality value: the
+    // state is a per-(flag, quantity) counts HISTOGRAM (≤ 50 distinct
+    // quantities — the state is tiny and the merge is a monoid), so
+    // the delta cycle maintains an exact lower median without holding
+    // or re-scanning history. The holistic-aggregate escape hatch:
+    // when the value domain is bounded, exact quantiles ARE
+    // incremental. Oracle = exact median over the full table.
+    Q("q348_incremental_histogram_median",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q348_hist")
+        val li = Tables.lineitem(s, d).select(
+          $"l_returnflag".as("flag"),
+          $"l_quantity".cast("long").as("v"),
+          $"l_shipdate".cast("timestamp_ltz").cast("long").as("sec"))
+        val cutoff = 866332800L
+        Versioned.write(
+          li.filter($"sec" < cutoff).groupBy($"flag", $"v")
+            .agg(count(lit(1)).as("n")),
+          dir, "histstate", "00000001_aaa")
+        Versioned.write(li.filter($"sec" >= cutoff).drop("sec"),
+          dir, "histraw", "00000002_bbb")
+        val state = Versioned.readLatest(s, dir, "histstate")
+        val delta = Versioned.readLatest(s, dir, "histraw")
+        val merged = state.unionByName(
+            delta.groupBy($"flag", $"v").agg(count(lit(1)).as("n")))
+          .groupBy($"flag", $"v").agg(sum($"n").as("n"))
+        Versioned.write(merged, dir, "histstate_next", "00000002_bbb")
+        // lower median from the cumulative histogram: windows run over
+        // ≤ 50 rows per flag — bounded by the value domain, not data
+        val wc = Window.partitionBy($"flag").orderBy($"v")
+        val wt = Window.partitionBy($"flag")
+        merged
+          .withColumn("cum", sum($"n").over(wc))
+          .withColumn("tot", sum($"n").over(wt))
+          .filter($"cum" * 2 >= $"tot" + 1)
+          .groupBy($"flag")
+          .agg(max($"tot").as("n_rows"), min($"v").as("median_lo"))
+          .orderBy($"flag")
+      },
+      Some("""WITH h AS (
+             |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM lineitem GROUP BY 1, 2),
+             |c AS (
+             |  SELECT flag, v, n,
+             |    sum(n) OVER (PARTITION BY flag ORDER BY v) AS cum,
+             |    sum(n) OVER (PARTITION BY flag) AS tot
+             |  FROM h)
+             |SELECT flag, CAST(max(tot) AS BIGINT) AS n_rows,
+             |  CAST(min(v) AS BIGINT) AS median_lo
+             |FROM c WHERE cum * 2 >= tot + 1
+             |GROUP BY flag ORDER BY flag""".stripMargin)),
+
+    // Incremental sessionization — the boundary-session merge: prior
+    // sessions are versioned state; delta events (strictly later) can
+    // only extend each touched user's LAST session or open new ones.
+    // The open session re-enters the gap chain as one synthetic event
+    // at its end instant; the recomputed carry session absorbs its
+    // aggregates. Oracle = sessionize over ALL events.
+    Q("q349_incremental_sessionize",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q349_sess")
+        val ev = Tables.events(s, d).select($"user_id",
+          $"ts".cast("long").as("sec"),
+          round($"value" * 100, 0).cast("long").as("cents"))
+        val cutoff = 1705363200L // 2024-01-16T00:00:00Z
+        Versioned.write(
+          graft.pipeline.Incremental.sessionizeCents(
+            ev.filter($"sec" < cutoff), gapSec = 1800L),
+          dir, "sessstate", "00000001_aaa")
+        Versioned.write(ev.filter($"sec" >= cutoff),
+          dir, "sessraw", "00000002_bbb")
+        graft.pipeline.Incremental.sessionizeDeltaCycle(s, dir,
+            "sessstate", "sessraw", gapSec = 1800L,
+            newTag = "00000002_bbb")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |s AS (
+             |  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+             |      OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+             |g AS (
+             |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY sec
+             |    ROWS UNBOUNDED PRECEDING) AS sn
+             |  FROM s)
+             |SELECT user_id, CAST(min(sec) AS BIGINT) AS session_start,
+             |  CAST(max(sec) AS BIGINT) AS session_end,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(cents) AS BIGINT) AS cents
+             |FROM g GROUP BY user_id, sn
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Incremental inverted index + BM25 serving: the postings table is
+    // the versioned state (doc sets disjoint across versions → the
+    // merge is a plain append; df/cf/avgdl re-derive by monoid sums);
+    // the delta batch tokenizes only itself. Serving is index-only:
+    // query panel = the index's 3 hottest terms, BM25 top-10. Oracle =
+    // the same retrieval over the FULL corpus.
+    Q("q350_incremental_bm25",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q350_bm25")
+        val docs = Tables.documents(s, d)
+        Versioned.write(
+          docs.filter($"doc_id" % 17 =!= 0)
+            .select($"doc_id".as("id"),
+              explode(graft.ext.TextAnalysis.tokens($"text")).as("tok"))
+            .groupBy($"id", $"tok").agg(count(lit(1)).as("tf")),
+          dir, "postings", "00000001_aaa")
+        Versioned.write(docs.filter($"doc_id" % 17 === 0),
+          dir, "docsraw", "00000002_bbb")
+        graft.pipeline.Incremental.bm25IndexCycle(s, dir, "postings",
+            "docsraw", "doc_id", "text", qTerms = 3, k = 10,
+            newTag = "00000002_bbb")
+          .orderBy($"rnk")
+      },
+      Some("""WITH post AS (
+             |  SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id,
+             |          unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY 1, 2),
+             |st AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS nd,
+             |        CAST(sum(tf) AS BIGINT) AS tot FROM post),
+             |dfts AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+             |        CAST(sum(tf) AS BIGINT) AS cf FROM post GROUP BY 1),
+             |qt AS (SELECT tok, df FROM dfts ORDER BY cf DESC, tok LIMIT 3),
+             |dls AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
+             |sc AS (
+             |  SELECT p.id, CAST(sum(CAST(round(
+             |      ln((CAST(nd AS DOUBLE) - CAST(qt.df AS DOUBLE)
+             |          + CAST(0.5 AS DOUBLE))
+             |        / (CAST(qt.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             |        + CAST(1.0 AS DOUBLE))
+             |      * (CAST(p.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+             |        / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+             |          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+             |            * CAST(dls.dl AS DOUBLE)
+             |            / (CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE)))))
+             |      * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+             |    AS score_micro
+             |  FROM post p JOIN qt USING (tok) JOIN dls USING (id)
+             |  CROSS JOIN st GROUP BY 1)
+             |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, id)
+             |    AS BIGINT) AS rnk,
+             |  id AS doc_id, score_micro
+             |FROM sc QUALIFY rnk <= 10 ORDER BY rnk""".stripMargin))
   )
 }
