@@ -228,6 +228,99 @@ object Eval {
       .select(col("grp"), col("cnt").as("n_pairs"), col("slope_micro"))
   }
 
+  /** Spearman rank correlation per group — the monotonic-association
+    * complement to [[olsByGroup]]'s linear fit, exact under ties:
+    * midranks kept in DOUBLED integer units (the [[mannWhitneyU]]
+    * discipline — `rank2 = 2·prev + m + 1` per tied value-cell), so
+    * every rank and rank moment is an exact integer; ρ is Pearson on
+    * the rank2 values, closed with ONE shared-double combination
+    * `(n·Sxy − Sx·Sy) / √((n·Sxx − Sx²)(n·Syy − Sy²))` (the linearCka
+    * shape — the centered products grow as n³ and would wrap signed-64
+    * near n ≈ 1.3M rows per group; the moments themselves stay exact
+    * well past that).
+    *
+    * Scale shape: ranks come from prefix-sum windows over the
+    * per-(group, value) CELL tables (bounded by distinct values per
+    * group), never a per-row rank window.
+    *
+    * @return (grp, n, rho_micro) — groups with zero variance on either
+    *         axis yield null rho
+    */
+  def spearmanByGroup(df: DataFrame, grpCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(grpCol).as("grp"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    def rank2(v: String): DataFrame = {
+      val w = Window.partitionBy(col("grp")).orderBy(col(v))
+      base.groupBy(col("grp"), col(v)).agg(count(lit(1)).as("m"))
+        .withColumn("cum", sum(col("m")).over(w))
+        .select(col("grp"), col(v),
+          (lit(2L) * (col("cum") - col("m")) + col("m") + 1L).as(s"r_$v"))
+    }
+    val ranked = base.join(rank2("x"), Seq("grp", "x"))
+      .join(rank2("y"), Seq("grp", "y"))
+    val mom = ranked.groupBy(col("grp")).agg(count(lit(1)).as("n"),
+      sum(col("r_x")).as("sx"), sum(col("r_y")).as("sy"),
+      sum(col("r_x") * col("r_x")).as("sxx"),
+      sum(col("r_x") * col("r_y")).as("sxy"),
+      sum(col("r_y") * col("r_y")).as("syy"))
+    val nD = col("n").cast("double")
+    def cen(sab: Column, sa: Column, sb: Column) =
+      nD * sab.cast("double") - sa.cast("double") * sb.cast("double")
+    mom.select(col("grp"), col("n"),
+      when(cen(col("sxx"), col("sx"), col("sx")) > 0.0
+          && cen(col("syy"), col("sy"), col("sy")) > 0.0,
+        round(cen(col("sxy"), col("sx"), col("sy"))
+          / sqrt(cen(col("sxx"), col("sx"), col("sx"))
+            * cen(col("syy"), col("sy"), col("sy")))
+          * 1000000.0, 0).cast("long"))
+        .otherwise(lit(null).cast("long")).as("rho_micro"))
+  }
+
+  /** Kendall τ-b per group — the concordance reading of monotonic
+    * association (and, with x = time, the Mann–Kendall trend
+    * statistic): `τ_b = (C − D) / √((n₀−n₁)(n₀−n₂))` with C−D the
+    * exact integer sum of `sign((x_j−x_i)(y_j−y_i))` over unordered
+    * pairs and n₁/n₂ the x-/y-tie pair counts.
+    *
+    * Scale shape: the pair table is quadratic in each group's point
+    * count BY DESIGN (the [[theilSen]] contract) — feed it
+    * pre-aggregated series (monthly rollups), never raw facts.
+    * `tieBreakCol` must be a total order within each group (for a
+    * time series, the time axis itself).
+    *
+    * @return (grp, n, cd, tau_micro) — cd = C − D exact; groups where
+    *         either axis is all ties yield null tau
+    */
+  def kendallTauB(df: DataFrame, grpCol: String, xCol: String,
+      yCol: String, tieBreakCol: String): DataFrame = {
+    val base = df.select(col(grpCol).as("grp"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"),
+      col(tieBreakCol).cast("long").as("tb"))
+    val pairs = base.as("a")
+      .join(base.as("b"),
+        col("a.grp") === col("b.grp") && col("a.tb") < col("b.tb"))
+      .select(col("a.grp").as("grp"),
+        (signum((col("b.x") - col("a.x")).cast("double"))
+          * signum((col("b.y") - col("a.y")).cast("double")))
+          .cast("long").as("s"))
+    val cd = pairs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n0"), sum(col("s")).as("cd"))
+    def tiePairs(v: String) = base.groupBy(col("grp"), col(v))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("grp"))
+      .agg((sum(col("m") * (col("m") - 1L)) / 2L).cast("long").as(s"t_$v"))
+    val nRows = base.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    nRows.join(cd, "grp").join(tiePairs("x"), "grp").join(tiePairs("y"), "grp")
+      .select(col("grp"), col("n"), col("cd"),
+        when(col("n0") - col("t_x") > 0L && col("n0") - col("t_y") > 0L,
+          round(col("cd").cast("double")
+            / sqrt((col("n0") - col("t_x")).cast("double")
+              * (col("n0") - col("t_y")).cast("double")) * 1000000.0, 0)
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("tau_micro"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) per group between two variants
     * — the nonparametric complement to [[welchT]], exact under ties:
     * ranks are midranks kept in DOUBLED integer units (`rank2 =

@@ -574,6 +574,56 @@ object TimeSeries {
         col("__st.l").as("level_end"), col("__st.b").as("trend_end"))
   }
 
+  /** Classical additive seasonal decomposition of a regular per-key
+    * series: trend = centered 2×`period` moving average (the textbook
+    * `(S_{−p/2..p/2−1} + S_{−p/2+1..p/2}) / 2p`, exact integer
+    * numerator, ONE shared milli division; defined only where the full
+    * window exists), seasonal = month-of-period mean of the detrended
+    * values (uncentered by convention here — a deterministic index,
+    * not the sum-zero classical normalization; documented so the
+    * oracle replays it), remainder = value − trend − seasonal.
+    *
+    * The series must be REGULAR (no gaps — feed it through a complete
+    * grid first; a missing step would silently shift the rows-frame).
+    * Windows run over per-key SERIES tables (months, not facts) —
+    * bounded by the calendar.
+    *
+    * @param period seasonal period (12 for monthly data), must be even
+    * @return (key, t, y, trend_milli, seasonal_milli, remainder_milli)
+    */
+  def classicalDecompose(df: DataFrame, keyCol: String, tCol: String,
+                         yCol: String, period: Int = 12): DataFrame = {
+    require(period >= 2 && period % 2 == 0, "period must be even, >= 2")
+    val h = period / 2
+    val w = Window.partitionBy(col("key")).orderBy(col("t"))
+    val f1 = w.rowsBetween(-h, h - 1)
+    val f2 = w.rowsBetween(-h + 1, h)
+    val base = df.select(col(keyCol).as("key"), col(tCol).cast("long").as("t"),
+      col(yCol).cast("long").as("y"))
+    val withTrend = base
+      .withColumn("s1", sum(col("y")).over(f1))
+      .withColumn("c1", count(col("y")).over(f1))
+      .withColumn("s2", sum(col("y")).over(f2))
+      .withColumn("c2", count(col("y")).over(f2))
+      .withColumn("trend_milli",
+        when(col("c1") === period && col("c2") === period,
+          round((col("s1") + col("s2")).cast("double") * 1000.0
+            / lit(2.0 * period), 0).cast("long")))
+      .select(col("key"), col("t"), col("y"), col("trend_milli"))
+    val seasonal = withTrend.filter(col("trend_milli").isNotNull)
+      .groupBy(col("key"), pmod(col("t"), lit(period.toLong)).as("moy"))
+      .agg(round(sum(col("y") * 1000L - col("trend_milli")).cast("double")
+        / count(lit(1)).cast("double"), 0).cast("long").as("seasonal_milli"))
+    withTrend
+      .withColumn("moy", pmod(col("t"), lit(period.toLong)))
+      .join(seasonal, Seq("key", "moy"), "left")
+      .select(col("key"), col("t"), col("y"), col("trend_milli"),
+        col("seasonal_milli"),
+        when(col("trend_milli").isNotNull,
+          col("y") * 1000L - col("trend_milli") - col("seasonal_milli"))
+          .as("remainder_milli"))
+  }
+
   /** Seasonal-naive forecast evaluation (MASE): forecast each series
     * value by its reading one season back, score MAE against it, and
     * scale by the one-step-naive MAE — Hyndman's scale-free accuracy

@@ -922,5 +922,163 @@ object StatQueries extends QueryPack {
              |SELECT ph.cust AS custkey, CAST(ph.n AS BIGINT) AS n,
              |  fin.lv AS level_end, fin.bv AS trend_end
              |FROM ph JOIN fin ON fin.cust = ph.cust
-             |ORDER BY custkey""".stripMargin)))
+             |ORDER BY custkey""".stripMargin)),
+
+    // Spearman rank correlation per priority between order value and
+    // order date: exact doubled midranks per tied value-cell (the
+    // Mann-Whitney discipline), Pearson on rank2 closed with the one
+    // shared-double combination (the linearCka shape).
+    Q("q351_spearman",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select($"o_orderpriority".as("prio"),
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"),
+          $"o_orderdate".cast("timestamp_ltz").cast("long").as("sec"))
+        graft.ops.Eval.spearmanByGroup(o, "prio", "cents", "sec")
+          .select($"grp".as("prio"), $"n", $"rho_micro")
+          .orderBy($"prio")
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderpriority AS grp,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x,
+             |    epoch_us(o_orderdate) // 1000000 AS y
+             |  FROM orders),
+             |cx AS (SELECT grp, x, CAST(count(*) AS BIGINT) AS m
+             |       FROM b GROUP BY 1, 2),
+             |rx AS (SELECT grp, x,
+             |    2 * (sum(m) OVER (PARTITION BY grp ORDER BY x) - m) + m + 1
+             |      AS r_x
+             |  FROM cx),
+             |cy AS (SELECT grp, y, CAST(count(*) AS BIGINT) AS m
+             |       FROM b GROUP BY 1, 2),
+             |ry AS (SELECT grp, y,
+             |    2 * (sum(m) OVER (PARTITION BY grp ORDER BY y) - m) + m + 1
+             |      AS r_y
+             |  FROM cy),
+             |rk AS (
+             |  SELECT b.grp, rx.r_x, ry.r_y
+             |  FROM b JOIN rx ON rx.grp = b.grp AND rx.x = b.x
+             |  JOIN ry ON ry.grp = b.grp AND ry.y = b.y),
+             |mm AS (
+             |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(r_x) AS BIGINT) AS sx, CAST(sum(r_y) AS BIGINT) AS sy,
+             |    CAST(sum(r_x * r_x) AS BIGINT) AS sxx,
+             |    CAST(sum(r_x * r_y) AS BIGINT) AS sxy,
+             |    CAST(sum(r_y * r_y) AS BIGINT) AS syy
+             |  FROM rk GROUP BY 1)
+             |SELECT grp AS prio, n,
+             |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             |      AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+             |    THEN CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |      * CAST(1000000 AS DOUBLE)) AS BIGINT)
+             |  END AS rho_micro
+             |FROM mm ORDER BY prio""".stripMargin)),
+
+    // Mann-Kendall monotone trend per priority: Kendall tau-b between
+    // the month index and the monthly order count — the bounded
+    // pre-aggregated series contract (pairs quadratic in MONTHS, never
+    // facts). C-D is an exact integer pair-sign sum.
+    Q("q352_mann_kendall",
+      (s, d) => {
+        import s.implicits._
+        val m = Tables.orders(s, d)
+          .groupBy($"o_orderpriority".as("prio"),
+            trunc(to_date($"o_orderdate"), "month").as("mon"))
+          .agg(count(lit(1)).as("cnt"))
+          .select($"prio",
+            (year($"mon") * 12 + month($"mon")).cast("long").as("mi"),
+            $"cnt")
+        graft.ops.Eval.kendallTauB(m, "prio", "mi", "cnt", "mi")
+          .select($"grp".as("prio"), $"n", $"cd", $"tau_micro")
+          .orderBy($"prio")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderpriority AS grp,
+             |    CAST(year(date_trunc('month', o_orderdate)) * 12
+             |      + month(date_trunc('month', o_orderdate)) AS BIGINT) AS mi,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM orders GROUP BY 1, 2),
+             |p AS (
+             |  SELECT a.grp, CAST(count(*) AS BIGINT) AS n0,
+             |    CAST(sum(CAST(sign(CAST(b.mi - a.mi AS DOUBLE)) AS BIGINT)
+             |      * CAST(sign(CAST(b.cnt - a.cnt AS DOUBLE)) AS BIGINT))
+             |      AS BIGINT) AS cd
+             |  FROM m a JOIN m b ON a.grp = b.grp AND a.mi < b.mi
+             |  GROUP BY 1),
+             |tx AS (SELECT grp, CAST(sum(mm * (mm - 1) // 2) AS BIGINT) AS t_x
+             |  FROM (SELECT grp, mi, CAST(count(*) AS BIGINT) AS mm
+             |        FROM m GROUP BY 1, 2) GROUP BY 1),
+             |ty AS (SELECT grp, CAST(sum(mm * (mm - 1) // 2) AS BIGINT) AS t_y
+             |  FROM (SELECT grp, cnt, CAST(count(*) AS BIGINT) AS mm
+             |        FROM m GROUP BY 1, 2) GROUP BY 1),
+             |nr AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1)
+             |SELECT nr.grp AS prio, nr.n, p.cd,
+             |  CASE WHEN p.n0 - tx.t_x > 0 AND p.n0 - ty.t_y > 0
+             |    THEN CAST(round(CAST(p.cd AS DOUBLE)
+             |      / sqrt(CAST(p.n0 - tx.t_x AS DOUBLE)
+             |        * CAST(p.n0 - ty.t_y AS DOUBLE))
+             |      * CAST(1000000 AS DOUBLE)) AS BIGINT)
+             |  END AS tau_micro
+             |FROM nr JOIN p ON p.grp = nr.grp
+             |JOIN tx ON tx.grp = nr.grp JOIN ty ON ty.grp = nr.grp
+             |ORDER BY prio""".stripMargin)),
+
+    // Classical additive decomposition of the monthly order-count
+    // series per priority: centered 2x12 MA trend (exact integer
+    // numerator, one shared milli division), month-of-year seasonal
+    // index over the detrended values, integer remainder.
+    Q("q353_seasonal_decompose",
+      (s, d) => {
+        import s.implicits._
+        val m = Tables.orders(s, d)
+          .groupBy($"o_orderpriority".as("prio"),
+            trunc(to_date($"o_orderdate"), "month").as("mon"))
+          .agg(count(lit(1)).as("cnt"))
+          .select($"prio",
+            (year($"mon") * 12 + month($"mon")).cast("long").as("mi"),
+            $"cnt")
+        graft.ops.TimeSeries.classicalDecompose(m, "prio", "mi", "cnt",
+            period = 12)
+          .select($"key".as("prio"), $"t".as("mi"), $"y".as("cnt"),
+            $"trend_milli", $"seasonal_milli", $"remainder_milli")
+          .orderBy($"prio", $"mi")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderpriority AS prio,
+             |    CAST(year(date_trunc('month', o_orderdate)) * 12
+             |      + month(date_trunc('month', o_orderdate)) AS BIGINT) AS mi,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM orders GROUP BY 1, 2),
+             |tr AS (
+             |  SELECT prio, mi, cnt,
+             |    CASE WHEN count(cnt) OVER w1 = 12 AND count(cnt) OVER w2 = 12
+             |      THEN CAST(round(CAST(sum(cnt) OVER w1 + sum(cnt) OVER w2
+             |        AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |        / CAST(24 AS DOUBLE)) AS BIGINT)
+             |    END AS trend_milli
+             |  FROM m
+             |  WINDOW w1 AS (PARTITION BY prio ORDER BY mi
+             |    ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING),
+             |  w2 AS (PARTITION BY prio ORDER BY mi
+             |    ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)),
+             |se AS (
+             |  SELECT prio, mi % 12 AS moy,
+             |    CAST(round(CAST(sum(cnt * 1000 - trend_milli) AS DOUBLE)
+             |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS seasonal_milli
+             |  FROM tr WHERE trend_milli IS NOT NULL GROUP BY 1, 2)
+             |SELECT tr.prio, tr.mi, tr.cnt, tr.trend_milli,
+             |  se.seasonal_milli,
+             |  CASE WHEN tr.trend_milli IS NOT NULL
+             |    THEN tr.cnt * 1000 - tr.trend_milli - se.seasonal_milli
+             |  END AS remainder_milli
+             |FROM tr LEFT JOIN se
+             |  ON se.prio = tr.prio AND se.moy = tr.mi % 12
+             |ORDER BY tr.prio, tr.mi""".stripMargin)))
 }

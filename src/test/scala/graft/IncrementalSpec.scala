@@ -94,6 +94,25 @@ class IncrementalSpec extends SparkTestBase {
       s"components cycle re-read the corpus:\n${paths.mkString("\n")}")
   }
 
+  test("sessionize and BM25 delta cycles never re-read raw history") {
+    for ((name, allowed) <- Seq(
+        "q349_incremental_sessionize" -> Seq("sessstate__", "sessraw__"),
+        "q350_incremental_bm25" -> Seq("postings__", "docsraw__"))) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val paths = df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l
+      }.flatMap(_.relation match {
+        case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      })
+      assert(paths.forall(p => allowed.exists(p.contains)),
+        s"$name unexpected scan set:\n${paths.mkString("\n")}")
+      assert(!paths.exists(_.contains(sfDir)),
+        s"$name re-read the raw corpus:\n${paths.mkString("\n")}")
+    }
+  }
+
   test("published next-version state is readable and equals the returned state") {
     val dir = graft.core.Scratch.dir("q340_incremental")
     val returned = SparkEntry.queries("q340_incremental_pipeline")(spark, sfDir)
