@@ -741,4 +741,53 @@ object CorpusOps {
         round((col("padded_tokens") - col("sum_tokens")).cast("double")
           * 1000000.0 / col("padded_tokens").cast("double"), 0).cast("long"))
   }
+
+  /** Corpus DATA CARD — the one-row-per-source manifest a dataset
+    * release ships: volume (docs, whitespace tokens), length profile
+    * (mean chars in milli + exact lower-median token count via the
+    * bounded-value histogram trick — token counts are capped by the
+    * ingest contract, so the cumulative-histogram median is exact and
+    * cheap), hygiene (exact-duplicate rate by full-text equality,
+    * URL-bearing doc rate). Every number exact-integer or one shared
+    * division; one scan plus per-source aggregations.
+    *
+    * @return (source, n_docs, n_tokens, mean_chars_milli,
+    *         p50_tokens, dup_milli, url_milli)
+    */
+  def dataCard(docs: DataFrame, idCol: String, textCol: String,
+               srcCol: String, nCharsCol: String): DataFrame = {
+    val base = docs.select(col(srcCol).as("source"),
+      col(nCharsCol).cast("long").as("n_chars"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tok"),
+      col(textCol).as("text"))
+    val agg = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("text")).as("n_distinct"),
+        sum(when(col("text").contains("http"), 1L).otherwise(0L))
+          .as("n_url"))
+    // exact lower median of the bounded token-count value domain
+    val hist = base.groupBy(col("source"), col("n_tok"))
+      .agg(count(lit(1)).as("m"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_tok"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val med = hist
+      .withColumn("cum", sum(col("m")).over(wc))
+      .withColumn("tot", sum(col("m")).over(wt))
+      .filter(col("cum") * 2 >= col("tot") + 1)
+      .groupBy(col("source")).agg(min(col("n_tok")).as("p50_tokens"))
+    agg.join(med, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("sum_chars").cast("double") * 1000.0
+          / col("n_docs").cast("double"), 0).cast("long")
+          .as("mean_chars_milli"),
+        col("p50_tokens"),
+        round((col("n_docs") - col("n_distinct")).cast("double") * 1000.0
+          / col("n_docs").cast("double"), 0).cast("long").as("dup_milli"),
+        round(col("n_url").cast("double") * 1000.0
+          / col("n_docs").cast("double"), 0).cast("long").as("url_milli"))
+  }
 }

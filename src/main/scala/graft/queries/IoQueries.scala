@@ -817,6 +817,50 @@ object IoQueries extends QueryPack {
              |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, id)
              |    AS BIGINT) AS rnk,
              |  id AS doc_id, score_micro
-             |FROM sc QUALIFY rnk <= 10 ORDER BY rnk""".stripMargin))
+             |FROM sc QUALIFY rnk <= 10 ORDER BY rnk""".stripMargin)),
+
+    // Corpus data card: the one-row-per-source release manifest —
+    // volume, length profile (exact lower-median tokens via the
+    // bounded-value histogram), exact-dup rate, URL-bearing rate.
+    Q("q354_corpus_datacard",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.CorpusOps.dataCard(Tables.documents(s, d), "doc_id",
+            "text", "source", "n_chars")
+          .orderBy($"source")
+      },
+      Some("""WITH b AS (
+             |  SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |      AS n_tok,
+             |    text
+             |  FROM documents),
+             |a AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |    CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+             |    CAST(sum(CASE WHEN position('http' IN text) > 0
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_url
+             |  FROM b GROUP BY 1),
+             |h AS (SELECT source, n_tok, CAST(count(*) AS BIGINT) AS m
+             |      FROM b GROUP BY 1, 2),
+             |c AS (SELECT source, n_tok, m,
+             |    sum(m) OVER (PARTITION BY source ORDER BY n_tok) AS cum,
+             |    sum(m) OVER (PARTITION BY source) AS tot
+             |  FROM h),
+             |md AS (SELECT source, CAST(min(n_tok) AS BIGINT) AS p50_tokens
+             |  FROM c WHERE cum * 2 >= tot + 1 GROUP BY 1)
+             |SELECT a.source, n_docs, n_tokens,
+             |  CAST(round(CAST(sum_chars AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |    / CAST(n_docs AS DOUBLE)) AS BIGINT) AS mean_chars_milli,
+             |  p50_tokens,
+             |  CAST(round(CAST(n_docs - n_distinct AS DOUBLE)
+             |    * CAST(1000 AS DOUBLE)
+             |    / CAST(n_docs AS DOUBLE)) AS BIGINT) AS dup_milli,
+             |  CAST(round(CAST(n_url AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |    / CAST(n_docs AS DOUBLE)) AS BIGINT) AS url_milli
+             |FROM a JOIN md ON md.source = a.source
+             |ORDER BY a.source""".stripMargin))
   )
 }
