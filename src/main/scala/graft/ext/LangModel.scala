@@ -1605,4 +1605,35 @@ object LangModel {
       .filter(col("rnk") <= topK)
       .select(col("probe"), col("rnk"), col("neighbor"), col("cos_micro"))
   }
+
+  /** word2vec-style negative-sampling table + frequency subsampling
+    * rates: sampling weight ∝ cf^0.75 (the unigram smoothing that
+    * lifts rare words), keep probability `min(1, √(t/f))` (Mikolov's
+    * frequent-word subsample at threshold `t`). The per-token pow is
+    * micro-rounded to an integer BEFORE the vocabulary sum — a direct
+    * double Σ over the vocab would be partition-order-dependent; the
+    * integer sum is exact, and the closing shares are shared-shape
+    * doubles.
+    *
+    * @param tMilli subsample threshold in milli units (1 = 1e-3)
+    * @return (tok, cf, p_micro, keep_micro) — top `topK` by cf
+    */
+  def negativeSamplingTable(docs: DataFrame, textCol: String,
+                            topK: Int, tMilli: Long = 1L): DataFrame = {
+    require(topK >= 1 && tMilli >= 1, "bad parameters")
+    val cf = docs.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val withW = cf.withColumn("wm",
+      round(pow(col("c").cast("double"), 0.75) * 1000000.0, 0).cast("long"))
+    val tot = withW.agg(sum(col("c")).as("tot"), sum(col("wm")).as("swm"))
+    withW.crossJoin(broadcast(tot))
+      .select(col("tok"), col("c").as("cf"),
+        round(col("wm").cast("double") * 1000000.0
+          / col("swm").cast("double"), 0).cast("long").as("p_micro"),
+        round(least(lit(1.0),
+          sqrt(lit(tMilli.toDouble) / 1000.0
+            / (col("c").cast("double") / col("tot").cast("double"))))
+          * 1000000.0, 0).cast("long").as("keep_micro"))
+      .orderBy(col("cf").desc, col("tok").asc).limit(topK)
+  }
 }

@@ -116,4 +116,28 @@ object ScaleJoins {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_nearby"))
   }
+
+  /** EXACT self-join output cardinality per key bucket WITHOUT running
+    * the join — the planner-style diagnostic every shuffle-join
+    * decision wants: `|A ⋈_k A|` restricted to a bucket is exactly
+    * `Σ_{k ∈ bucket} cnt(k)²`, a per-key count aggregation (one
+    * map-side-combined shuffle over keys, never the pair blowup). The
+    * q355 oracle computes the ACTUAL join count per bucket — equality
+    * proves the estimator exact, and the `max_key_rows` column is the
+    * skew headline (the hottest key's share of the bucket's pairs is
+    * max² / est_pairs).
+    *
+    * @return (bucket, n_keys, n_rows, est_pairs, max_key_rows)
+    */
+  def selfJoinSizeProfile(df: DataFrame, keyCol: String,
+                          nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, "bucket count must be positive")
+    val cnts = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("bucket", pmod(col("k"), lit(nBuckets.toLong)).cast("long"))
+    cnts.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        sum(col("c") * col("c")).as("est_pairs"),
+        max(col("c")).as("max_key_rows"))
+  }
 }

@@ -861,6 +861,67 @@ object IoQueries extends QueryPack {
              |  CAST(round(CAST(n_url AS DOUBLE) * CAST(1000 AS DOUBLE)
              |    / CAST(n_docs AS DOUBLE)) AS BIGINT) AS url_milli
              |FROM a JOIN md ON md.source = a.source
-             |ORDER BY a.source""".stripMargin))
+             |ORDER BY a.source""".stripMargin)),
+
+    // Join-size profiler: exact self-join output cardinality per key
+    // bucket from per-key counts alone (Σ cnt² — never the pair
+    // blowup). The ORACLE RUNS THE ACTUAL JOIN and counts — equality
+    // proves the estimator exact.
+    Q("q355_join_size_profile",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.ScaleJoins.selfJoinSizeProfile(
+            Tables.lineitem(s, d).select($"l_partkey"), "l_partkey",
+            nBuckets = 8)
+          .orderBy($"bucket")
+      },
+      Some("""WITH c AS (
+             |  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c,
+             |    CAST(l_partkey % 8 AS BIGINT) AS bucket
+             |  FROM lineitem GROUP BY 1, 3),
+             |est AS (
+             |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_keys,
+             |    CAST(sum(c) AS BIGINT) AS n_rows,
+             |    CAST(max(c) AS BIGINT) AS max_key_rows
+             |  FROM c GROUP BY 1),
+             |act AS (
+             |  SELECT CAST(a.l_partkey % 8 AS BIGINT) AS bucket,
+             |    CAST(count(*) AS BIGINT) AS est_pairs
+             |  FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+             |  GROUP BY 1)
+             |SELECT est.bucket, n_keys, n_rows, act.est_pairs, max_key_rows
+             |FROM est JOIN act ON act.bucket = est.bucket
+             |ORDER BY est.bucket""".stripMargin)),
+
+    // word2vec negative-sampling table: cf^0.75 sampling weights
+    // (per-token pow micro-rounded BEFORE the vocab sum — a double sum
+    // over the vocabulary would be partition-order-dependent) and
+    // Mikolov frequent-word subsampling rates, top-20 tokens.
+    Q("q356_negative_sampling",
+      (s, d) => {
+        import s.implicits._
+        graft.ext.LangModel.negativeSamplingTable(Tables.documents(s, d),
+          "text", topK = 20, tMilli = 1L)
+      },
+      Some("""WITH tk AS (
+             |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+             |       FROM tk GROUP BY 1),
+             |w AS (SELECT tok, c,
+             |    CAST(round(pow(CAST(c AS DOUBLE), CAST(0.75 AS DOUBLE))
+             |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS wm
+             |  FROM cf),
+             |t AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+             |        CAST(sum(wm) AS BIGINT) AS swm FROM w)
+             |SELECT tok, c AS cf,
+             |  CAST(round(CAST(wm AS DOUBLE) * CAST(1000000 AS DOUBLE)
+             |    / CAST(swm AS DOUBLE)) AS BIGINT) AS p_micro,
+             |  CAST(round(least(CAST(1.0 AS DOUBLE),
+             |      sqrt(CAST(1 AS DOUBLE) / CAST(1000 AS DOUBLE)
+             |        / (CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))))
+             |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS keep_micro
+             |FROM w CROSS JOIN t
+             |ORDER BY cf DESC, tok LIMIT 20""".stripMargin))
   )
 }
