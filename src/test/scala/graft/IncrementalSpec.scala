@@ -113,6 +113,37 @@ class IncrementalSpec extends SparkTestBase {
     }
   }
 
+  test("two chained delta cycles ≡ one full reprocess (associativity across versions)") {
+    import spark.implicits._
+    val dir = graft.core.Scratch.dir("spec_two_cycles")
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val full = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority".as("district"),
+        trunc(to_date($"o_orderdate"), "month").as("month"),
+        to_date($"o_orderdate").as("day"),
+        $"l_extendedprice".as("price"))
+    val c1 = to_date(lit("1995-01-01"))
+    val c2 = to_date(lit("1997-01-01"))
+    graft.io.Versioned.write(
+      graft.ops.IncrementalAgg.rollupState(full.filter($"day" < c1),
+        Seq("district", "month"), $"price"), dir, "st", "00000001_a")
+    graft.io.Versioned.write(full.filter($"day" >= c1 && $"day" < c2),
+      dir, "raw", "00000002_b")
+    graft.pipeline.Incremental.deltaCycle(spark, dir, "st", "raw",
+      Seq("district", "month"), $"price", "00000002_b").count()
+    // cycle 2: prior = cycle 1's published next-version state
+    graft.io.Versioned.write(full.filter($"day" >= c2),
+      dir, "raw2", "00000003_c")
+    val out = graft.pipeline.Incremental.deltaCycle(spark, dir, "st_next",
+        "raw2", Seq("district", "month"), $"price", "00000003_c")
+      .collect().toSet
+    val fullState = graft.ops.IncrementalAgg.rollupState(full,
+      Seq("district", "month"), $"price").collect().toSet
+    assert(out == fullState,
+      s"chained cycles diverge: ${(out diff fullState).take(3)}")
+  }
+
   test("published next-version state is readable and equals the returned state") {
     val dir = graft.core.Scratch.dir("q340_incremental")
     val returned = SparkEntry.queries("q340_incremental_pipeline")(spark, sfDir)
