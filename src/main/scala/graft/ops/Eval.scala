@@ -277,6 +277,121 @@ object Eval {
         .otherwise(lit(null).cast("long")).as("rho_micro"))
   }
 
+  /** Wald SPRT over an ordered Bernoulli stream per variant — the A/B
+    * early-stopping monitor: after each observation the cumulative
+    * log-likelihood ratio `Λ_n = a·k_n + b·(n−k_n)` (k = conversions
+    * so far; `a = ln(p1/p0) > 0`, `b = ln((1−p1)/(1−p0)) < 0`,
+    * micro-ints) is tested against `A = ln((1−β)/α)` (accept H1) and
+    * `B = ln(β/(1−α))` (accept H0); the decision is the FIRST
+    * crossing.
+    *
+    * Scale shape: no per-variant global scan. Λ only rises AT a
+    * conversion and falls linearly between them, so every crossing is
+    * computable from the CONVERSION-ROW table alone: observation ranks
+    * come from [[Ranks.twoPhaseRank]] (full stream and conversion
+    * subset), run boundaries from an equi-join on (variant, k+1) — no
+    * window touches the raw stream. Upper candidates are conversion
+    * rows with Λ ≥ A; lower candidates close each run at
+    * `r + ceil((Λ_run − B)/(−b))` when that lands inside the run.
+    *
+    * @return (variant, n_obs, n_conv, decision, decide_at, llr_micro)
+    *         — decision ∈ {h1, h0, continue}; decide_at null when
+    *         continuing; llr_micro = Λ at decide_at (or at n_obs)
+    */
+  def sprtDecision(df: DataFrame, variantCol: String,
+      orderCols: Seq[String], conv: Column, p0Micro: Long, p1Micro: Long,
+      alphaMilli: Long, betaMilli: Long): DataFrame = {
+    require(0 < p0Micro && p0Micro < p1Micro && p1Micro < 1000000L,
+      "need 0 < p0 < p1 < 1")
+    val a = math.round(math.log(p1Micro.toDouble / p0Micro.toDouble) * 1e6)
+    val b = math.round(math.log(
+      (1e6 - p1Micro) / (1e6 - p0Micro)) * 1e6) // negative
+    val bigA = math.round(math.log(
+      (1000.0 - betaMilli) / alphaMilli) * 1e6)
+    val bigB = math.round(math.log(
+      betaMilli / (1000.0 - alphaMilli)) * 1e6)
+    val base = df.select((col(variantCol).as("variant") +:
+      orderCols.map(col)) :+ conv.as("cv"): _*)
+    val ranked = Ranks.twoPhaseRank(base, "variant", orderCols, "r")
+    val convRanked = Ranks.twoPhaseRank(
+      ranked.filter(col("cv")), "variant", orderCols, "k")
+      .select(col("variant"), col("k"), col("r"))
+    val totals = ranked.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("cv"), 1L).otherwise(0L)).as("n_conv"))
+    // virtual run start before the first conversion: (k=0, r=0)
+    val runs = convRanked.unionByName(
+        totals.select(col("variant"), lit(0L).as("k"), lit(0L).as("r")))
+      .join(totals.select(col("variant"), col("n_obs")), "variant")
+      .withColumn("llr_at", lit(a) * col("k") + lit(b) * (col("r") - col("k")))
+    val nextR = runs.select(col("variant"), (col("k") - 1L).as("k"),
+      col("r").as("r_next"))
+    val withNext = runs.join(nextR, Seq("variant", "k"), "left")
+      .withColumn("run_end", coalesce(col("r_next") - 1L, col("n_obs")))
+    val upper = withNext.filter(col("k") > 0L && col("llr_at") >= bigA)
+      .select(col("variant"), col("r").as("pos"), lit("h1").as("side"),
+        col("llr_at").as("llr"))
+    // lower: Λ(r + m) = llr_at + b·m ≤ B at m = ceil((llr_at − B)/(−b))
+    val m = greatest(lit(1L),
+      expr(s"cast((llr_at + ${-bigB}L + ${-b - 1}L) div ${-b}L as bigint)"))
+    val lower = withNext
+      .withColumn("pos", col("r") + m)
+      .filter(col("pos") <= col("run_end"))
+      .select(col("variant"), col("pos"), lit("h0").as("side"),
+        (col("llr_at") + lit(b) * m).as("llr"))
+    val cands = upper.unionByName(lower)
+    val first = cands.groupBy(col("variant"))
+      .agg(min_by(struct(col("side"), col("pos"), col("llr")),
+        struct(col("pos"), col("side"))).as("f"))
+    totals.join(first, Seq("variant"), "left")
+      .select(col("variant"), col("n_obs"), col("n_conv"),
+        coalesce(col("f.side"), lit("continue")).as("decision"),
+        col("f.pos").as("decide_at"),
+        coalesce(col("f.llr"),
+          lit(a) * col("n_conv") + lit(b) * (col("n_obs") - col("n_conv")))
+          .as("llr_micro"))
+  }
+
+  /** Empirical-Bayes shrinkage of per-key Bernoulli rates toward the
+    * pooled mean — the "small accounts get the prior, big accounts get
+    * their data" estimator every per-user/per-domain rate table needs
+    * before ranking on it. Method-of-moments beta prior: pooled mean
+    * `m = Σk/Σn`, between-key weighted rate variance `s²` (per-key
+    * terms `n·(k/n − m)²` micro-rounded BEFORE the sum — a raw double
+    * sum would be partition-order-dependent), prior strength
+    * `ν = max(1, m(1−m)/s² − 1)`; shrunken rate
+    * `(k + m·ν)/(n + ν)`. All three scalars are shared-shape doubles
+    * from exact integer moments.
+    *
+    * @return (key, n, k, raw_micro, shrunk_micro) one row per key
+    */
+  def ebShrunkRates(df: DataFrame, keyCol: String, conv: Column): DataFrame = {
+    val per = df.select(col(keyCol).as("key"), conv.as("cv"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cv"), 1L).otherwise(0L)).as("k"))
+    val pooled = per.agg(sum(col("n")).as("tn"), sum(col("k")).as("tk"))
+    val mExpr = col("tk").cast("double") / col("tn").cast("double")
+    val withM = per.crossJoin(broadcast(pooled))
+      .withColumn("m", mExpr)
+      .withColumn("t_micro", round(col("n").cast("double")
+        * (col("k").cast("double") / col("n").cast("double") - col("m"))
+        * (col("k").cast("double") / col("n").cast("double") - col("m"))
+        * 1000000.0, 0).cast("long"))
+    val s2 = withM.agg(sum(col("t_micro")).as("ts"))
+    withM.crossJoin(broadcast(s2))
+      .withColumn("s2", col("ts").cast("double") / 1000000.0
+        / col("tn").cast("double"))
+      .withColumn("nu", greatest(lit(1.0),
+        col("m") * (lit(1.0) - col("m")) / col("s2") - 1.0))
+      .select(col("key"), col("n"), col("k"),
+        round(col("k").cast("double") * 1000000.0
+          / col("n").cast("double"), 0).cast("long").as("raw_micro"),
+        round((col("k").cast("double") + col("m") * col("nu"))
+          / (col("n").cast("double") + col("nu")) * 1000000.0, 0)
+          .cast("long").as("shrunk_micro"))
+  }
+
   /** Kendall τ-b per group — the concordance reading of monotonic
     * association (and, with x = time, the Mann–Kendall trend
     * statistic): `τ_b = (C − D) / √((n₀−n₁)(n₀−n₂))` with C−D the

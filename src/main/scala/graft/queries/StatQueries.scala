@@ -1080,5 +1080,115 @@ object StatQueries extends QueryPack {
              |  END AS remainder_milli
              |FROM tr LEFT JOIN se
              |  ON se.prio = tr.prio AND se.moy = tr.mi % 12
-             |ORDER BY tr.prio, tr.mi""".stripMargin)))
+             |ORDER BY tr.prio, tr.mi""".stripMargin)),
+
+    // Wald SPRT early-stopping monitor per variant: H0 p=0.15 vs H1
+    // p=0.20 over the time-ordered purchase stream, α=0.05, β=0.10.
+    // The engine derives every crossing from the CONVERSION-ROW table
+    // (two-phase ranks + a k+1 equi-join — no window over the raw
+    // stream); the oracle brute-forces the cumulative LLR walk.
+    Q("q357_sprt",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.events(s, d).select(
+          ($"user_id" % 2).cast("long").as("variant"),
+          $"ts".cast("long").as("sec"), $"event_id",
+          ($"event_type" === "purchase").as("cv"))
+        graft.ops.Eval.sprtDecision(e, "variant", Seq("sec", "event_id"),
+            $"cv", p0Micro = 150000L, p1Micro = 200000L,
+            alphaMilli = 50L, betaMilli = 100L)
+          .orderBy($"variant")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec, event_id,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS cv
+             |  FROM events),
+             |con AS (SELECT
+             |  CAST(round(ln(CAST(200000 AS DOUBLE) / CAST(150000 AS DOUBLE))
+             |    * 1000000) AS BIGINT) AS a,
+             |  CAST(round(ln((CAST(1000000 AS DOUBLE) - CAST(200000 AS DOUBLE))
+             |      / (CAST(1000000 AS DOUBLE) - CAST(150000 AS DOUBLE)))
+             |    * 1000000) AS BIGINT) AS b,
+             |  CAST(round(ln((CAST(1000 AS DOUBLE) - CAST(100 AS DOUBLE))
+             |      / CAST(50 AS DOUBLE)) * 1000000) AS BIGINT) AS biga,
+             |  CAST(round(ln(CAST(100 AS DOUBLE)
+             |      / (CAST(1000 AS DOUBLE) - CAST(50 AS DOUBLE)))
+             |    * 1000000) AS BIGINT) AS bigb),
+             |w AS (
+             |  SELECT variant, cv,
+             |    CAST(row_number() OVER ww AS BIGINT) AS n,
+             |    CAST(sum(cv) OVER (ww ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |      AS k
+             |  FROM e WINDOW ww AS (PARTITION BY variant ORDER BY sec, event_id)),
+             |l AS (SELECT variant, n, k,
+             |    a * k + b * (n - k) AS llr FROM w CROSS JOIN con),
+             |h1 AS (SELECT variant, CAST(min(n) AS BIGINT) AS pos
+             |  FROM l CROSS JOIN con WHERE llr >= biga GROUP BY 1),
+             |h0 AS (SELECT variant, CAST(min(n) AS BIGINT) AS pos
+             |  FROM l CROSS JOIN con WHERE llr <= bigb GROUP BY 1),
+             |tot AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_obs,
+             |  CAST(sum(cv) AS BIGINT) AS n_conv FROM e GROUP BY 1),
+             |dec AS (
+             |  SELECT tot.variant, n_obs, n_conv,
+             |    CASE WHEN h1.pos IS NOT NULL
+             |        AND (h0.pos IS NULL OR h1.pos < h0.pos) THEN 'h1'
+             |      WHEN h0.pos IS NOT NULL THEN 'h0'
+             |      ELSE 'continue' END AS decision,
+             |    CASE WHEN h1.pos IS NOT NULL
+             |        AND (h0.pos IS NULL OR h1.pos < h0.pos) THEN h1.pos
+             |      ELSE h0.pos END AS decide_at
+             |  FROM tot LEFT JOIN h1 ON h1.variant = tot.variant
+             |  LEFT JOIN h0 ON h0.variant = tot.variant)
+             |SELECT dec.variant, dec.n_obs, dec.n_conv, dec.decision,
+             |  dec.decide_at,
+             |  CAST(coalesce(l.llr, con.a * dec.n_conv
+             |    + con.b * (dec.n_obs - dec.n_conv)) AS BIGINT) AS llr_micro
+             |FROM dec CROSS JOIN con
+             |LEFT JOIN l ON l.variant = dec.variant AND l.n = dec.decide_at
+             |ORDER BY dec.variant""".stripMargin)),
+
+    // Empirical-Bayes shrinkage of per-user purchase rates toward the
+    // pooled mean: method-of-moments beta prior (between-user variance
+    // terms micro-rounded before the sum), nu = max(1, m(1-m)/s^2 - 1).
+    Q("q358_eb_shrinkage",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Eval.ebShrunkRates(Tables.events(s, d), "user_id",
+            $"event_type" === "purchase")
+          .select($"key".as("user_id"), $"n", $"k", $"raw_micro",
+            $"shrunk_micro")
+          .orderBy($"user_id")
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS k
+             |  FROM events GROUP BY 1),
+             |pool AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+             |  CAST(sum(k) AS BIGINT) AS tk FROM per),
+             |wm AS (
+             |  SELECT per.*, CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE) AS m, tn,
+             |    CAST(round(CAST(n AS DOUBLE)
+             |      * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+             |        - CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+             |      * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+             |        - CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))
+             |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS t_micro
+             |  FROM per CROSS JOIN pool),
+             |sv AS (SELECT CAST(sum(t_micro) AS BIGINT) AS ts FROM wm)
+             |SELECT user_id, n, k,
+             |  CAST(round(CAST(k AS DOUBLE) * CAST(1000000 AS DOUBLE)
+             |    / CAST(n AS DOUBLE)) AS BIGINT) AS raw_micro,
+             |  CAST(round((CAST(k AS DOUBLE) + m * nu)
+             |    / (CAST(n AS DOUBLE) + nu) * CAST(1000000 AS DOUBLE))
+             |    AS BIGINT) AS shrunk_micro
+             |FROM (
+             |  SELECT wm.*, greatest(CAST(1.0 AS DOUBLE),
+             |      m * (CAST(1.0 AS DOUBLE) - m)
+             |        / (CAST(ts AS DOUBLE) / CAST(1000000 AS DOUBLE)
+             |          / CAST(tn AS DOUBLE))
+             |      - CAST(1.0 AS DOUBLE)) AS nu
+             |  FROM wm CROSS JOIN sv)
+             |ORDER BY user_id""".stripMargin)))
 }
