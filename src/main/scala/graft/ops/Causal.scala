@@ -135,4 +135,91 @@ object Causal {
       .checkpointEager()
     } finally base.unpersist(false)
   }
+
+  /** Post-stratification (g-computation) average treatment effect:
+    * within each stratum of an observed covariate, the treated/control
+    * mean difference; the ATE is the stratum-size-weighted average —
+    * the standardization estimator confounded comparisons need when
+    * the covariate drives both assignment and outcome. Exact integer
+    * cell sums; each stratum difference and the closing weighted
+    * average are shared-shape doubles from exact integers (per-stratum
+    * terms micro-rounded before the integer sum — the order-stability
+    * discipline).
+    *
+    * Strata missing either arm drop out (no counterfactual) — their
+    * weight is excluded from the denominator, and the output reports
+    * how much support survived.
+    *
+    * @return one row: (n_strata, n_used, n_rows, n_supported,
+    *         ate_milli)
+    */
+  def postStratifiedAte(df: DataFrame, stratumCol: String, treated: Column,
+                        cents: Column): DataFrame = {
+    val cells = df.select(col(stratumCol).as("s"),
+        treated.cast("boolean").as("t"), cents.cast("long").as("c"))
+      .groupBy(col("s"), col("t"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+    val wide = cells.groupBy(col("s"))
+      .agg(sum(col("n")).as("n_s"),
+        sum(when(col("t"), col("n"))).as("n1"),
+        sum(when(col("t"), col("sc"))).as("s1"),
+        sum(when(!col("t"), col("n"))).as("n0"),
+        sum(when(!col("t"), col("sc"))).as("s0"))
+    val supported = wide.filter(col("n1").isNotNull && col("n0").isNotNull)
+      .withColumn("diff_milli", round(
+        (col("s1").cast("double") / col("n1").cast("double")
+          - col("s0").cast("double") / col("n0").cast("double"))
+        * 10.0, 0).cast("long")) // cents → milli currency units
+      .withColumn("w_term", col("diff_milli") * col("n_s"))
+    val tot = wide.agg(count(lit(1)).as("n_strata"), sum(col("n_s")).as("n_rows"))
+    supported.agg(count(lit(1)).as("n_used"),
+        sum(col("n_s")).as("n_supported"), sum(col("w_term")).as("wt"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_strata"), col("n_used"), col("n_rows"),
+        col("n_supported"),
+        round(col("wt").cast("double") / col("n_supported").cast("double"), 0)
+          .cast("long").as("ate_milli"))
+  }
+
+  /** Iterative proportional fitting (raking) of a two-way count table
+    * to target row/column margins — the survey-weighting step the
+    * reference's domain (small-scale fishery surveys) runs before any
+    * estimate generalizes: cell weights start at the observed counts
+    * (micro units) and alternately scale to match the row then column
+    * targets, `iters` full rounds, every scale factor applied through
+    * one shared double and micro-rounded so both engines walk
+    * identical integers.
+    *
+    * Bounded state: the weight table is |rows|×|cols| cells and the
+    * margins are broadcast; each half-step is one keyed join — no
+    * corpus-side work after the initial count aggregation.
+    *
+    * @param targets (rowKey, colKey) → (rowTargetMicro, colTargetMicro)
+    *                as two DataFrames (r, target_micro) and
+    *                (c, target_micro)
+    * @return (r, c, n, w_micro) — raked weight per cell
+    */
+  def rake2Way(counts: DataFrame, rowTargets: DataFrame,
+               colTargets: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, "iteration budget out of range")
+    val init = counts.select(col("r"), col("c"), col("n"),
+      (col("n") * 1000000L).as("w"))
+    val rt = broadcast(rowTargets.select(col("r"), col("target_micro").as("rt")))
+    val ct = broadcast(colTargets.select(col("c"), col("target_micro").as("ct")))
+    val raked = (1 to iters).foldLeft(init) { (cur, _) =>
+      val rSums = cur.groupBy(col("r")).agg(sum(col("w")).as("rs"))
+      val afterR = cur.join(broadcast(rSums), "r").join(rt, "r")
+        .withColumn("w", round(col("w").cast("double")
+          * (col("rt").cast("double") / col("rs").cast("double")), 0)
+          .cast("long"))
+        .select(col("r"), col("c"), col("n"), col("w"))
+      val cSums = afterR.groupBy(col("c")).agg(sum(col("w")).as("cs"))
+      afterR.join(broadcast(cSums), "c").join(ct, "c")
+        .withColumn("w", round(col("w").cast("double")
+          * (col("ct").cast("double") / col("cs").cast("double")), 0)
+          .cast("long"))
+        .select(col("r"), col("c"), col("n"), col("w"))
+    }
+    raked.select(col("r"), col("c"), col("n"), col("w").as("w_micro"))
+  }
 }

@@ -1190,5 +1190,114 @@ object StatQueries extends QueryPack {
              |          / CAST(tn AS DOUBLE))
              |      - CAST(1.0 AS DOUBLE)) AS nu
              |  FROM wm CROSS JOIN sv)
-             |ORDER BY user_id""".stripMargin)))
+             |ORDER BY user_id""".stripMargin)),
+
+    // Post-stratification (g-computation) ATE: per-nation treated vs
+    // control order-value difference, stratum-size weighted — the
+    // standardization estimator. Strata missing either arm drop out.
+    Q("q359_poststrat_ate",
+      (s, d) => {
+        import s.implicits._
+        val df = Tables.orders(s, d)
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .select($"c_nationkey".as("nat"), $"c_custkey",
+            round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        graft.ops.Causal.postStratifiedAte(df, "nat",
+          $"c_custkey" % 2 === 0, $"cents")
+      },
+      Some("""WITH b AS (
+             |  SELECT c_nationkey AS st, c_custkey % 2 = 0 AS t,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |w AS (
+             |  SELECT st, CAST(count(*) AS BIGINT) AS n_s,
+             |    CAST(sum(CASE WHEN t THEN 1 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN t THEN c END) AS BIGINT) AS s1,
+             |    CAST(sum(CASE WHEN NOT t THEN 1 END) AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN NOT t THEN c END) AS BIGINT) AS s0
+             |  FROM b GROUP BY 1),
+             |sup AS (
+             |  SELECT *, CAST(round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |      - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             |    * CAST(10 AS DOUBLE)) AS BIGINT) AS diff_milli
+             |  FROM w WHERE n1 IS NOT NULL AND n0 IS NOT NULL),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             |  CAST(sum(n_s) AS BIGINT) AS n_rows FROM w)
+             |SELECT n_strata, CAST(count(*) AS BIGINT) AS n_used, n_rows,
+             |  CAST(sum(n_s) AS BIGINT) AS n_supported,
+             |  CAST(round(CAST(sum(diff_milli * n_s) AS DOUBLE)
+             |    / CAST(sum(n_s) AS DOUBLE)) AS BIGINT) AS ate_milli
+             |FROM sup CROSS JOIN tot
+             |GROUP BY n_strata, n_rows""".stripMargin)),
+
+    // Survey raking (IPF) of the event (type x iso-weekday) count
+    // table to uniform row/column targets: 3 full rounds, every scale
+    // factor one shared double micro-rounded — both engines walk
+    // identical integer weight tables (the reference's survey-weighting
+    // step, distributed).
+    Q("q360_raking_ipf",
+      (s, d) => {
+        import s.implicits._
+        val counts = Tables.events(s, d)
+          .select($"event_type".as("r"),
+            (weekday($"ts".cast("date")) + 1).cast("long").as("c"))
+          .groupBy($"r", $"c").agg(count(lit(1)).as("n"))
+        val tot = counts.agg((sum($"n") * 1000000L).as("w"),
+          countDistinct($"r").as("nr"), countDistinct($"c").as("nc"))
+        val rowT = counts.select($"r").distinct().crossJoin(broadcast(tot))
+          .select($"r", expr("w div nr").as("target_micro"))
+        val colT = counts.select($"c").distinct().crossJoin(broadcast(tot))
+          .select($"c", expr("w div nc").as("target_micro"))
+        graft.ops.Causal.rake2Way(counts, rowT, colT, iters = 3)
+          .orderBy($"r", $"c")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type AS r,
+             |    CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS c
+             |  FROM events),
+             |cnt AS (SELECT r, c, CAST(count(*) AS BIGINT) AS n
+             |        FROM e GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(n) * 1000000 AS BIGINT) AS w,
+             |  CAST(count(DISTINCT r) AS BIGINT) AS nr,
+             |  CAST(count(DISTINCT c) AS BIGINT) AS nc FROM cnt),
+             |rt AS (SELECT DISTINCT r, (SELECT w // nr FROM tot) AS rt FROM cnt),
+             |ct AS (SELECT DISTINCT c, (SELECT w // nc FROM tot) AS ct FROM cnt),
+             |w0 AS (SELECT r, c, n, CAST(n * 1000000 AS BIGINT) AS w FROM cnt),
+             |r1 AS (SELECT w0.r, w0.c, n, CAST(round(CAST(w AS DOUBLE)
+             |    * (CAST(rt AS DOUBLE) / CAST(rs AS DOUBLE))) AS BIGINT) AS w
+             |  FROM w0
+             |  JOIN (SELECT r, CAST(sum(w) AS BIGINT) AS rs FROM w0 GROUP BY 1) s
+             |    ON s.r = w0.r
+             |  JOIN rt ON rt.r = w0.r),
+             |c1 AS (SELECT r1.r, r1.c, n, CAST(round(CAST(w AS DOUBLE)
+             |    * (CAST(ct AS DOUBLE) / CAST(cs AS DOUBLE))) AS BIGINT) AS w
+             |  FROM r1
+             |  JOIN (SELECT c, CAST(sum(w) AS BIGINT) AS cs FROM r1 GROUP BY 1) s
+             |    ON s.c = r1.c
+             |  JOIN ct ON ct.c = r1.c),
+             |r2 AS (SELECT c1.r, c1.c, n, CAST(round(CAST(w AS DOUBLE)
+             |    * (CAST(rt AS DOUBLE) / CAST(rs AS DOUBLE))) AS BIGINT) AS w
+             |  FROM c1
+             |  JOIN (SELECT r, CAST(sum(w) AS BIGINT) AS rs FROM c1 GROUP BY 1) s
+             |    ON s.r = c1.r
+             |  JOIN rt ON rt.r = c1.r),
+             |c2 AS (SELECT r2.r, r2.c, n, CAST(round(CAST(w AS DOUBLE)
+             |    * (CAST(ct AS DOUBLE) / CAST(cs AS DOUBLE))) AS BIGINT) AS w
+             |  FROM r2
+             |  JOIN (SELECT c, CAST(sum(w) AS BIGINT) AS cs FROM r2 GROUP BY 1) s
+             |    ON s.c = r2.c
+             |  JOIN ct ON ct.c = r2.c),
+             |r3 AS (SELECT c2.r, c2.c, n, CAST(round(CAST(w AS DOUBLE)
+             |    * (CAST(rt AS DOUBLE) / CAST(rs AS DOUBLE))) AS BIGINT) AS w
+             |  FROM c2
+             |  JOIN (SELECT r, CAST(sum(w) AS BIGINT) AS rs FROM c2 GROUP BY 1) s
+             |    ON s.r = c2.r
+             |  JOIN rt ON rt.r = c2.r),
+             |c3 AS (SELECT r3.r, r3.c, n, CAST(round(CAST(w AS DOUBLE)
+             |    * (CAST(ct AS DOUBLE) / CAST(cs AS DOUBLE))) AS BIGINT) AS w
+             |  FROM r3
+             |  JOIN (SELECT c, CAST(sum(w) AS BIGINT) AS cs FROM r3 GROUP BY 1) s
+             |    ON s.c = r3.c
+             |  JOIN ct ON ct.c = r3.c)
+             |SELECT r, c, n, w AS w_micro FROM c3 ORDER BY r, c""".stripMargin)))
 }
