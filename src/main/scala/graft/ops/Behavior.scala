@@ -192,6 +192,45 @@ object Behavior {
     piN.select(col("state"), col("pi_micro"))
   }
 
+  /** First/last-touch conversion attribution: each conversion event
+    * credits the FIRST and the LAST preceding touch event by the same
+    * user within `windowSec` — the two bookend rules of marketing
+    * attribution (any position-based blend interpolates between them).
+    * One per-user equi-join bounded by the window filter, then two
+    * partial-aggregating argmin/argmax picks per conversion (the
+    * min_by-struct shape — no window over the joined stream);
+    * conversions with no touch in window keep null credits.
+    *
+    * @return (conv_id, conv_sec, cents, first_touch_id, last_touch_id,
+    *         n_touches)
+    */
+  def touchAttribution(events: DataFrame, convType: String,
+      touchType: String, windowSec: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", idCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u"), col(idCol).as("conv_id"),
+        col(tsCol).cast("long").as("conv_sec"),
+        round(col(valueCol) * 100, 0).cast("long").as("cents"))
+    val touch = events.filter(col(typeCol) === touchType)
+      .select(col(userCol).as("u"), col(idCol).as("t_id"),
+        col(tsCol).cast("long").as("t_sec"))
+    val inWindow = conv.join(touch, Seq("u"))
+      .filter(col("t_sec") <= col("conv_sec")
+        && col("t_sec") > col("conv_sec") - windowSec)
+    val credits = inWindow.groupBy(col("conv_id"))
+      .agg(min_by(col("t_id"), struct(col("t_sec"), col("t_id")))
+          .as("first_touch_id"),
+        max_by(col("t_id"), struct(col("t_sec"), col("t_id")))
+          .as("last_touch_id"),
+        count(lit(1)).as("n_touches"))
+    conv.join(credits, Seq("conv_id"), "left")
+      .na.fill(0L, Seq("n_touches"))
+      .select(col("conv_id"), col("conv_sec"), col("cents"),
+        col("first_touch_id"), col("last_touch_id"), col("n_touches"))
+  }
+
   /** Ordered funnel conversion within a time window: users enter at
     * their FIRST `steps(0)` event; each later step must occur at or
     * after the previous step's completion and within `windowSec` of the

@@ -352,6 +352,48 @@ object Eval {
           .as("llr_micro"))
   }
 
+  /** Winsorized and trimmed means per group at a symmetric tail
+    * fraction — the robust location estimates a metric pipeline
+    * publishes next to the raw mean when outliers are routine. With
+    * `k = floor(q·n)` rows clipped per tail: trimmed = mean of the
+    * middle ranks; winsorized = middle sum + k·(lower boundary value)
+    * + k·(upper boundary value), all exact integers until the one
+    * shared division. Ranks come from [[Ranks.twoPhaseRank]] (never a
+    * per-group global window); ties order by the unique tie-break but
+    * any tie permutation leaves every sum unchanged.
+    *
+    * @param qMilli tail fraction in milli (50 = 5% per tail)
+    * @return (grp, n, k_tail, mean_milli, trimmed_milli, winsor_milli)
+    */
+  def robustMeans(df: DataFrame, grpCol: String, centsCol: String,
+      tieBreakCol: String, qMilli: Long = 50L): DataFrame = {
+    require(qMilli >= 1 && qMilli < 500, "tail fraction out of range")
+    val base = df.select(col(grpCol).as("grp"),
+      col(centsCol).cast("long").as("v"),
+      col(tieBreakCol).cast("long").as("tb"))
+    val ranked = Ranks.twoPhaseRank(base, "grp", Seq("v", "tb"), "r")
+    val nTab = ranked.groupBy(col("grp")).agg(count(lit(1)).as("n"),
+      sum(col("v")).as("sv"))
+      .withColumn("k", expr(s"(n * $qMilli) div 1000"))
+    val j = ranked.join(nTab, "grp")
+    val mids = j.filter(col("r") > col("k") && col("r") <= col("n") - col("k"))
+      .groupBy(col("grp")).agg(sum(col("v")).as("mid_sum"),
+        count(lit(1)).as("mid_n"))
+    val lo = j.filter(col("r") === col("k") + 1L)
+      .select(col("grp"), col("v").as("v_lo"))
+    val hi = j.filter(col("r") === col("n") - col("k"))
+      .select(col("grp"), col("v").as("v_hi"))
+    nTab.join(mids, "grp").join(lo, "grp").join(hi, "grp")
+      .select(col("grp"), col("n"), col("k").as("k_tail"),
+        round(col("sv").cast("double") * 1000.0
+          / col("n").cast("double"), 0).cast("long").as("mean_milli"),
+        round(col("mid_sum").cast("double") * 1000.0
+          / col("mid_n").cast("double"), 0).cast("long").as("trimmed_milli"),
+        round((col("mid_sum") + col("k") * col("v_lo")
+          + col("k") * col("v_hi")).cast("double") * 1000.0
+          / col("n").cast("double"), 0).cast("long").as("winsor_milli"))
+  }
+
   /** Empirical-Bayes shrinkage of per-key Bernoulli rates toward the
     * pooled mean — the "small accounts get the prior, big accounts get
     * their data" estimator every per-user/per-domain rate table needs

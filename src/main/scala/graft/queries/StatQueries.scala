@@ -1299,5 +1299,94 @@ object StatQueries extends QueryPack {
              |  JOIN (SELECT c, CAST(sum(w) AS BIGINT) AS cs FROM r3 GROUP BY 1) s
              |    ON s.c = r3.c
              |  JOIN ct ON ct.c = r3.c)
-             |SELECT r, c, n, w AS w_micro FROM c3 ORDER BY r, c""".stripMargin)))
+             |SELECT r, c, n, w AS w_micro FROM c3 ORDER BY r, c""".stripMargin)),
+
+    // Robust location estimates per priority: 5%-per-tail trimmed and
+    // winsorized means of order value, exact integer rank cutoffs from
+    // two-phase ranks, one shared division each.
+    Q("q361_robust_means",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select($"o_orderpriority".as("prio"),
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"),
+          $"o_orderkey")
+        graft.ops.Eval.robustMeans(o, "prio", "cents", "o_orderkey",
+            qMilli = 50L)
+          .select($"grp".as("prio"), $"n", $"k_tail", $"mean_milli",
+            $"trimmed_milli", $"winsor_milli")
+          .orderBy($"prio")
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderpriority AS grp,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+             |    o_orderkey AS tb
+             |  FROM orders),
+             |r AS (SELECT grp, v,
+             |    CAST(row_number() OVER (PARTITION BY grp ORDER BY v, tb)
+             |      AS BIGINT) AS r
+             |  FROM b),
+             |nt AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(v) AS BIGINT) AS sv,
+             |    CAST((count(*) * 50) // 1000 AS BIGINT) AS k
+             |  FROM b GROUP BY 1),
+             |mid AS (
+             |  SELECT r.grp, CAST(sum(v) AS BIGINT) AS mid_sum,
+             |    CAST(count(*) AS BIGINT) AS mid_n
+             |  FROM r JOIN nt ON nt.grp = r.grp
+             |  WHERE r.r > nt.k AND r.r <= nt.n - nt.k GROUP BY 1),
+             |lo AS (SELECT r.grp, v AS v_lo FROM r JOIN nt ON nt.grp = r.grp
+             |       WHERE r.r = nt.k + 1),
+             |hi AS (SELECT r.grp, v AS v_hi FROM r JOIN nt ON nt.grp = r.grp
+             |       WHERE r.r = nt.n - nt.k)
+             |SELECT nt.grp AS prio, nt.n, nt.k AS k_tail,
+             |  CAST(round(CAST(sv AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |    / CAST(nt.n AS DOUBLE)) AS BIGINT) AS mean_milli,
+             |  CAST(round(CAST(mid_sum AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |    / CAST(mid_n AS DOUBLE)) AS BIGINT) AS trimmed_milli,
+             |  CAST(round(CAST(mid_sum + nt.k * v_lo + nt.k * v_hi AS DOUBLE)
+             |    * CAST(1000 AS DOUBLE)
+             |    / CAST(nt.n AS DOUBLE)) AS BIGINT) AS winsor_milli
+             |FROM nt JOIN mid ON mid.grp = nt.grp
+             |JOIN lo ON lo.grp = nt.grp JOIN hi ON hi.grp = nt.grp
+             |ORDER BY prio""".stripMargin)),
+
+    // First/last-touch attribution: each purchase credits the first
+    // and last click by the same user within 24h — per-user equi-join
+    // + partial-aggregating argmin/argmax, no window over the stream.
+    Q("q362_touch_attribution",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Behavior.touchAttribution(Tables.events(s, d),
+            convType = "purchase", touchType = "click",
+            windowSec = 86400L)
+          .orderBy($"conv_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id AS u, event_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+             |    event_type,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |cv AS (SELECT u, event_id AS conv_id, sec AS conv_sec, cents
+             |       FROM e WHERE event_type = 'purchase'),
+             |tc AS (SELECT u, event_id AS t_id, sec AS t_sec
+             |       FROM e WHERE event_type = 'click'),
+             |iw AS (
+             |  SELECT cv.conv_id, tc.t_id, tc.t_sec
+             |  FROM cv JOIN tc ON tc.u = cv.u
+             |  WHERE tc.t_sec <= cv.conv_sec
+             |    AND tc.t_sec > cv.conv_sec - 86400),
+             |cr AS (
+             |  SELECT conv_id,
+             |    arg_min(t_id, CAST(t_sec * 1000000000 + t_id AS BIGINT))
+             |      AS first_touch_id,
+             |    arg_max(t_id, CAST(t_sec * 1000000000 + t_id AS BIGINT))
+             |      AS last_touch_id,
+             |    CAST(count(*) AS BIGINT) AS n_touches
+             |  FROM iw GROUP BY 1)
+             |SELECT cv.conv_id, cv.conv_sec, cv.cents,
+             |  cr.first_touch_id, cr.last_touch_id,
+             |  coalesce(cr.n_touches, 0) AS n_touches
+             |FROM cv LEFT JOIN cr ON cr.conv_id = cv.conv_id
+             |ORDER BY cv.conv_id""".stripMargin)))
 }
