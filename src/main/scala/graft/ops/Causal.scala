@@ -181,6 +181,50 @@ object Causal {
           .cast("long").as("ate_milli"))
   }
 
+  /** Uplift (Qini) decile table: users ranked by a targeting score into
+    * deciles (the engine's two-phase [[graft.ext.CorpusOps
+    * .quantileBuckets]]); per decile the treated/control conversion
+    * rates, their difference (uplift), and — walking deciles from the
+    * highest score down — the cumulative Qini value
+    * `cumC1 − cumC0·(cumN1/cumN0)`: the incremental-conversions curve
+    * a targeting model is judged by. Exact integer cells; rates, the
+    * difference, and the Qini term are shared-shape doubles over exact
+    * integers; the closing window runs over the 10-row decile table.
+    *
+    * @return (bucket, n1, c1, n0, c0, uplift_micro, qini_milli) —
+    *         bucket 9 = highest scores
+    */
+  def upliftDeciles(users: DataFrame, idCol: String, score: Column,
+                    treated: Column, converted: Column): DataFrame = {
+    val base = users.select(col(idCol).as("uid"), score.as("sc"),
+      treated.cast("boolean").as("t"), converted.cast("boolean").as("cv"))
+    val buckets = graft.ext.CorpusOps.quantileBuckets(
+      base.select(col("uid").as(idCol), col("sc")), idCol, col("sc"), 10)
+      .select(col("id").as("uid"), col("bucket"))
+    val cells = base.join(buckets, "uid")
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("t") && col("cv"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n0"),
+        sum(when(!col("t") && col("cv"), 1L).otherwise(0L)).as("c0"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    cells
+      .withColumn("cn1", sum(col("n1")).over(wDesc))
+      .withColumn("cc1", sum(col("c1")).over(wDesc))
+      .withColumn("cn0", sum(col("n0")).over(wDesc))
+      .withColumn("cc0", sum(col("c0")).over(wDesc))
+      .select(col("bucket"), col("n1"), col("c1"), col("n0"), col("c0"),
+        round((col("c1").cast("double") / col("n1").cast("double")
+          - col("c0").cast("double") / col("n0").cast("double"))
+          * 1000000.0, 0).cast("long").as("uplift_micro"),
+        round((col("cc1").cast("double") - col("cc0").cast("double")
+          * (col("cn1").cast("double") / col("cn0").cast("double")))
+          * 1000.0, 0).cast("long").as("qini_milli"))
+  }
+
   /** Iterative proportional fitting (raking) of a two-way count table
     * to target row/column margins — the survey-weighting step the
     * reference's domain (small-scale fishery surveys) runs before any

@@ -1388,5 +1388,57 @@ object StatQueries extends QueryPack {
              |  cr.first_touch_id, cr.last_touch_id,
              |  coalesce(cr.n_touches, 0) AS n_touches
              |FROM cv LEFT JOIN cr ON cr.conv_id = cv.conv_id
-             |ORDER BY cv.conv_id""".stripMargin)))
+             |ORDER BY cv.conv_id""".stripMargin)),
+
+    // Uplift (Qini) decile table: users scored by activity volume,
+    // treated = even user id, converted = any purchase. Per-decile
+    // uplift plus the cumulative Qini curve from the top decile down.
+    Q("q363_uplift_qini",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.events(s, d).groupBy($"user_id")
+          .agg(count(lit(1)).as("sc"),
+            max(when($"event_type" === "purchase", 1L).otherwise(0L))
+              .as("cvl"))
+        graft.ops.Causal.upliftDeciles(per, "user_id", $"sc",
+            $"user_id" % 2 === 0, $"cvl" === 1L)
+          .orderBy($"bucket")
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS sc,
+             |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS cvl
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT user_id, sc, cvl,
+             |    row_number() OVER (ORDER BY sc, user_id) AS rn,
+             |    count(*) OVER () AS n
+             |  FROM per),
+             |bk AS (SELECT user_id, sc, cvl,
+             |    CAST(((rn - 1) * 10) // n AS BIGINT) AS bucket FROM r),
+             |cells AS (
+             |  SELECT bucket,
+             |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN user_id % 2 = 0 AND cvl = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c1,
+             |    CAST(sum(CASE WHEN user_id % 2 != 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN user_id % 2 != 0 AND cvl = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c0
+             |  FROM bk GROUP BY 1),
+             |cum AS (
+             |  SELECT *, CAST(sum(n1) OVER wd AS BIGINT) AS cn1,
+             |    CAST(sum(c1) OVER wd AS BIGINT) AS cc1,
+             |    CAST(sum(n0) OVER wd AS BIGINT) AS cn0,
+             |    CAST(sum(c0) OVER wd AS BIGINT) AS cc0
+             |  FROM cells
+             |  WINDOW wd AS (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING))
+             |SELECT bucket, n1, c1, n0, c0,
+             |  CAST(round((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |    - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS uplift_micro,
+             |  CAST(round((CAST(cc1 AS DOUBLE) - CAST(cc0 AS DOUBLE)
+             |    * (CAST(cn1 AS DOUBLE) / CAST(cn0 AS DOUBLE)))
+             |    * CAST(1000 AS DOUBLE)) AS BIGINT) AS qini_milli
+             |FROM cum ORDER BY bucket""".stripMargin)))
 }
