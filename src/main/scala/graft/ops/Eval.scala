@@ -950,4 +950,103 @@ object Eval {
           / col("wn_sum").cast("double"), 0).cast("long")
           .as("acc_weighted_milli"))
   }
+
+  /** Delta-method standard error for a ratio-of-sums metric
+    * (revenue-per-session, clicks-per-user) per experiment variant —
+    * the estimator behind every "ratio metric" readout in large-scale
+    * experimentation (Deng et al., KDD'18 shape): with per-unit
+    * numerator x and denominator y, θ = Σx/Σy and
+    * `Var(θ) ≈ (s_x² − 2θ·s_xy + θ²·s_y²) / (n·ȳ²)` from the per-unit
+    * sample moments.
+    *
+    * Exactness discipline: ONE groupBy collapses the units to six
+    * integer sums (n, Σx, Σy, Σx², Σy², Σxy); every fractional step is
+    * a shared-shape double expression over those integers (each sum is
+    * cast to double BEFORE any product, so nothing re-wraps signed-64
+    * at corpus scale — the linearCka lesson), rounded to micro at the
+    * end. sqrt is IEEE-correctly-rounded on both engines.
+    *
+    * Scale shape: one partial-aggregating pass over the unit table to
+    * |variants| rows; everything after runs on that tiny table.
+    *
+    * @param num per-unit numerator (integer units, e.g. cents)
+    * @param den per-unit denominator (integer count)
+    * @return (variant, n, sx, sy, ratio_micro, se_micro)
+    */
+  def ratioMetricDelta(units: DataFrame, variantCol: String,
+      num: Column, den: Column): DataFrame = {
+    val base = units.select(col(variantCol).as("variant"),
+      num.cast("long").as("x"), den.cast("long").as("y"))
+    def d(c: String) = col(c).cast("double")
+    // second moments stay INTEGER sums (order-independent across
+    // engines); bound: |x| ≤ 1e6-ish per unit keeps Σx² < 2^63 up to
+    // ~1e6 units per variant — per-unit metrics, not raw event values
+    val agg = base.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .filter(col("n") > 1 && col("sy") > 0)
+    val r = d("sx") / d("sy")
+    val nD = d("n")
+    val vx = (d("sxx") - d("sx") * d("sx") / nD) / (nD - 1.0d)
+    val vy = (d("syy") - d("sy") * d("sy") / nD) / (nD - 1.0d)
+    val cxy = (d("sxy") - d("sx") * d("sy") / nD) / (nD - 1.0d)
+    val muY = d("sy") / nD
+    val varTheta = (vx - lit(2.0d) * r * cxy + r * r * vy) / (nD * muY * muY)
+    agg.select(col("variant"), col("n"), col("sx"), col("sy"),
+      round(r * 1000000.0d, 0).cast("long").as("ratio_micro"),
+      round(sqrt(greatest(varTheta, lit(0.0d))) * 1000000.0d, 0)
+        .cast("long").as("se_micro"))
+  }
+
+  /** Leave-one-group-out (delete-a-fold) jackknife standard error for
+    * a global ratio-of-sums — the variance estimate that survives
+    * arbitrary within-fold correlation (fold = clerk, day, shard),
+    * standard for cluster-correlated pipeline metrics.
+    *
+    * θ_i = (Σx − sx_i)/(Σy − sy_i) comes from TOTALS MINUS THE FOLD —
+    * one groupBy plus one broadcast of the two totals, never a
+    * leave-one-out re-scan. Each θ_i deviation is MILLI-rounded to an
+    * integer FIRST, so the fold-table sum of squared deviations is an
+    * exact integer sum (order-independent across engines; milli, not
+    * micro, so dev² of cents-scale ratios stays far inside signed-64);
+    * only the final sqrt is a double.
+    *
+    * @return one row: (n_folds, theta_micro, jk_se_milli)
+    */
+  def jackknifeRatio(df: DataFrame, foldCol: String,
+      num: Column, den: Column): DataFrame = {
+    val folds = df.select(col(foldCol).as("f"),
+        num.cast("long").as("x"), den.cast("long").as("y"))
+      .groupBy(col("f"))
+      .agg(sum(col("x")).as("sx_i"), sum(col("y")).as("sy_i"))
+    val tot = folds.agg(sum(col("sx_i")).as("sx"), sum(col("sy_i")).as("sy"),
+      count(lit(1)).as("g"))
+    // center each θ_i on the FULL-sample θ (both milli integers) before
+    // squaring: LOO deviations are tiny, so dev² sums never approach
+    // signed-64 even when θ itself is ~1e10 milli (cents-scale ratios)
+    val thetas = folds.crossJoin(broadcast(tot))
+      .filter(col("sy") - col("sy_i") > 0)
+      .select(col("g"), col("sx"), col("sy"),
+        (round((col("sx") - col("sx_i")).cast("double") * 1000.0d
+          / (col("sy") - col("sy_i")).cast("double"), 0).cast("long")
+          - round(col("sx").cast("double") * 1000.0d
+            / col("sy").cast("double"), 0).cast("long")).as("dev"))
+    thetas.groupBy(col("g"), col("sx"), col("sy"))
+      .agg(count(lit(1)).as("g_eff"), sum(col("dev")).as("sd"),
+        sum(col("dev") * col("dev")).as("sdd"))
+      // Σ(θ_i − θ̄)² = Σdev² − (Σdev)²/G (same centering identity, any
+      // origin); jackknife var = (G−1)/G · Σ(θ_i − θ̄)²
+      .select(col("g_eff").as("n_folds"),
+        round(col("sx").cast("double") * 1000000.0d
+          / col("sy").cast("double"), 0).cast("long").as("theta_micro"),
+        round(sqrt(greatest(
+          (col("g_eff") - 1L).cast("double") / col("g_eff").cast("double")
+            * (col("sdd").cast("double")
+              - col("sd").cast("double") * col("sd").cast("double")
+                / col("g_eff").cast("double")), lit(0.0d))), 0)
+          .cast("long").as("jk_se_milli"))
+  }
 }

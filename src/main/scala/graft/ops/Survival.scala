@@ -88,4 +88,58 @@ object Survival {
       .select(col("grp"), col("t"), col("n_risk"), col("d"), col("h_micro"),
         col("cumhaz_micro"))
   }
+
+  /** Two-sample log-rank (Mantel–Cox) test: does group 1's
+    * time-to-event distribution differ from group 0's, respecting
+    * right-censoring — the hypothesis-test companion to
+    * [[kaplanMeier]], run off the SAME risk-set cells.
+    *
+    * At each distinct event time t: observed group-1 events `d1`,
+    * expected `E = d·n1/n`, hypergeometric variance
+    * `V = d·(n1/n)·(n0/n)·(n−d)/(n−1)` (0 when n = 1); per-time E and
+    * V are micro-rounded integers summed exactly;
+    * `Z = (O1 − ΣE) / sqrt(ΣV)` is the one final shared-shape double.
+    *
+    * Scale shape: one groupBy to (group, t) cells, suffix-sum windows
+    * over the ≤ |distinct t| cell table — identical posture to KM.
+    *
+    * @param sideCol 0/1 group indicator column name
+    * @return one row: (n1, n0, o1, e1_micro, v_micro, z_milli)
+    */
+  def logRank(df: DataFrame, sideCol: String, durCol: String,
+              eventCol: String): DataFrame = {
+    val cells = df
+      .filter(col(durCol).isNotNull && col(durCol) >= 0)
+      .select(col(sideCol).cast("int").as("s1"),
+        col(durCol).cast("long").as("t"), col(eventCol).cast("long").as("ev"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("s1") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s1") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("s1") === 1, col("ev")).otherwise(0L)).as("d1"),
+        sum(when(col("s1") === 0, col("ev")).otherwise(0L)).as("d0"))
+    val suffix = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risky = cells
+      .withColumn("n1t", sum(col("c1")).over(suffix))
+      .withColumn("n0t", sum(col("c0")).over(suffix))
+      .withColumn("dt", col("d1") + col("d0"))
+      .withColumn("nt", col("n1t") + col("n0t"))
+      .filter(col("dt") > 0)
+    def dd(c: String) = col(c).cast("double")
+    val eTerm = dd("dt") * dd("n1t") / dd("nt")
+    val vTerm = when(col("nt") <= 1L, lit(0.0d)).otherwise(
+      dd("dt") * (dd("n1t") / dd("nt")) * (dd("n0t") / dd("nt"))
+        * (dd("nt") - dd("dt")) / (dd("nt") - 1.0d))
+    val tot = cells.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
+    risky
+      .agg(sum(col("d1")).as("o1"),
+        sum(round(eTerm * 1000000.0d, 0).cast("long")).as("e1_micro"),
+        sum(round(vTerm * 1000000.0d, 0).cast("long")).as("v_micro"))
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n0"), col("o1"), col("e1_micro"), col("v_micro"),
+        round((col("o1").cast("double")
+          - col("e1_micro").cast("double") / 1000000.0d)
+          / sqrt(col("v_micro").cast("double") / 1000000.0d) * 1000.0d, 0)
+          .cast("long").as("z_milli"))
+  }
 }

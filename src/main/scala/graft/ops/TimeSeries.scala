@@ -708,4 +708,69 @@ object TimeSeries {
           / (col("n") - col("k")).cast("double"), 0)
           .cast("long").as("mean_post_milli"))
   }
+
+  /** Sample autocorrelation function r_k for lags 1..maxLag per keyed
+    * series, plus the Ljung–Box portmanteau statistic
+    * `Q = n(n+2)·Σ_k r_k²/(n−k)` — the "is this series white noise"
+    * screen a forecasting pipeline runs before model fit.
+    *
+    * The caller supplies an integer time index `tCol` that is DENSE
+    * per key (0,1,2,…): lag-k pairs come from an equi-join on
+    * `t + k`, so gaps in the index silently shrink the pair sets —
+    * index first (row_number or a completed calendar), then call.
+    *
+    * Exactness: the lag cross-moment `Σ x_t·x_{t+k}` and the head/tail
+    * sums are exact integer sums (bound: |x| ≤ ~1e6 with series length
+    * to ~1e6 keeps Σx·x inside signed-64 — pre-scale heavier series);
+    * `c_k = Σx_t·x_{t+k} − x̄(Σ_head + Σ_tail) + m·x̄²` and
+    * `c_0 = Σx² − n·x̄²` are shared-shape doubles over those integers;
+    * each r_k is micro-rounded, each Ljung–Box term is pico-rounded and
+    * integer-summed so the Q total is order-independent.
+    *
+    * Scale shape: per-key totals in one groupBy; the lag join fans each
+    * row out maxLag times (explode of 1..K) into ONE equi-join on
+    * (key, t) — volume n·K rows through a partial-combining aggregate,
+    * no window over the raw series.
+    *
+    * @return (key, lag, m, r_micro, lb_q_milli) — lb_q_milli repeats
+    *         the K-lag Ljung–Box statistic on every lag row of the key
+    */
+  def acfLjungBox(series: DataFrame, keyCol: String, tCol: String,
+      valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 100, "lag budget out of range")
+    val base = series.select(col(keyCol).as("key"),
+      col(tCol).cast("long").as("t"), col(valCol).cast("long").as("x"))
+    val stats = base.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+      .filter(col("n") > maxLag.toLong)
+    val head = base
+      .withColumn("k", explode(sequence(lit(1), lit(maxLag))))
+      .select(col("key"), col("k"), (col("t") + col("k")).as("t2"),
+        col("x").as("xh"))
+    val pairs = head.join(
+        base.select(col("key"), col("t").as("t2"), col("x").as("xt")),
+        Seq("key", "t2"))
+      .groupBy(col("key"), col("k"))
+      .agg(count(lit(1)).as("m"), sum(col("xh") * col("xt")).as("sp"),
+        sum(col("xh")).as("sh"), sum(col("xt")).as("st"))
+    def d(c: String) = col(c).cast("double")
+    val xb = d("s") / d("n")
+    val c0 = d("ss") - d("s") * xb
+    val ck = d("sp") - xb * (d("sh") + d("st")) + d("m") * xb * xb
+    val perLag = pairs.join(broadcast(stats), "key")
+      .withColumn("r_micro", round(ck / c0 * 1000000.0d, 0).cast("long"))
+      .withColumn("term_pico",
+        round(d("r_micro") / 1000000.0d * (d("r_micro") / 1000000.0d)
+          / (d("n") - d("k")) * 1000000000000.0d, 0).cast("long"))
+    val lb = perLag.groupBy(col("key"))
+      .agg(sum(col("term_pico")).as("sum_pico"), max(col("n")).as("nk"))
+      .select(col("key"),
+        round(d("nk") * (d("nk") + 2.0d)
+          * (d("sum_pico") / 1000000000000.0d) * 1000.0d, 0)
+          .cast("long").as("lb_q_milli"))
+    perLag.join(broadcast(lb), "key")
+      .select(col("key"), col("k").as("lag"), col("m"), col("r_micro"),
+        col("lb_q_milli"))
+  }
 }

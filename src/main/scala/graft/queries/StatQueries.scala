@@ -1440,5 +1440,220 @@ object StatQueries extends QueryPack {
              |  CAST(round((CAST(cc1 AS DOUBLE) - CAST(cc0 AS DOUBLE)
              |    * (CAST(cn1 AS DOUBLE) / CAST(cn0 AS DOUBLE)))
              |    * CAST(1000 AS DOUBLE)) AS BIGINT) AS qini_milli
-             |FROM cum ORDER BY bucket""".stripMargin)))
+             |FROM cum ORDER BY bucket""".stripMargin)),
+
+    // Delta-method SE for the revenue-per-event ratio metric by
+    // variant: six integer sums per variant, then one shared-shape
+    // double chain — the cluster-correct ratio readout.
+    Q("q364_ratio_delta",
+      (s, d) => {
+        import s.implicits._
+        val units = Tables.events(s, d).groupBy($"user_id")
+          .agg(sum(when($"event_type" === "purchase",
+              round($"value" * 100, 0).cast("long")).otherwise(0L)).as("x"),
+            count(lit(1)).as("y"))
+          .select(($"user_id" % 2).as("variant"), $"x", $"y")
+        Eval.ratioMetricDelta(units, "variant", $"x", $"y")
+          .orderBy($"variant")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id % 2 AS variant,
+             |    CAST(sum(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(round(value * 100, 0) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS x,
+             |    CAST(count(*) AS BIGINT) AS y
+             |  FROM events GROUP BY user_id, user_id % 2),
+             |a AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy
+             |  FROM u GROUP BY 1)
+             |SELECT variant, n, sx, sy,
+             |  CAST(round(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)
+             |    * 1000000.0) AS BIGINT) AS ratio_micro,
+             |  CAST(round(sqrt(greatest((
+             |      (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+             |        * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |        / (CAST(n AS DOUBLE) - 1.0)
+             |      - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+             |        * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+             |          * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             |          / (CAST(n AS DOUBLE) - 1.0))
+             |      + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+             |        * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+             |        * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+             |          * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             |          / (CAST(n AS DOUBLE) - 1.0)))
+             |    / (CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 0.0))
+             |    * 1000000.0) AS BIGINT) AS se_micro
+             |FROM a WHERE n > 1 AND sy > 0 ORDER BY variant""".stripMargin)),
+
+    // Leave-one-clerk-out jackknife SE of global revenue-per-order:
+    // totals minus the fold, θ_i micro-rounded BEFORE the exact
+    // integer sum of squared deviations (centered on the full θ).
+    Q("q365_jackknife_ratio",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select(($"o_custkey" % 97).as("fold"),
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        Eval.jackknifeRatio(o, "fold", $"cents", lit(1L))
+      },
+      Some("""WITH f AS (
+             |  SELECT o_custkey % 97 AS fold,
+             |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS sx_i,
+             |    CAST(count(*) AS BIGINT) AS sy_i
+             |  FROM orders GROUP BY 1),
+             |t AS (SELECT CAST(sum(sx_i) AS BIGINT) AS sx,
+             |    CAST(sum(sy_i) AS BIGINT) AS sy,
+             |    CAST(count(*) AS BIGINT) AS g FROM f),
+             |th AS (SELECT g, sx, sy,
+             |    CAST(round(CAST(sx - sx_i AS DOUBLE) * 1000.0
+             |      / CAST(sy - sy_i AS DOUBLE)) AS BIGINT)
+             |    - CAST(round(CAST(sx AS DOUBLE) * 1000.0
+             |      / CAST(sy AS DOUBLE)) AS BIGINT) AS dev
+             |  FROM f, t WHERE sy - sy_i > 0),
+             |a AS (SELECT g, sx, sy, CAST(count(*) AS BIGINT) AS g_eff,
+             |    CAST(sum(dev) AS BIGINT) AS sd,
+             |    CAST(sum(dev * dev) AS BIGINT) AS sdd
+             |  FROM th GROUP BY 1, 2, 3)
+             |SELECT g_eff AS n_folds,
+             |  CAST(round(CAST(sx AS DOUBLE) * 1000000.0
+             |    / CAST(sy AS DOUBLE)) AS BIGINT) AS theta_micro,
+             |  CAST(round(sqrt(greatest(
+             |    CAST(g_eff - 1 AS DOUBLE) / CAST(g_eff AS DOUBLE)
+             |      * (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)
+             |        * CAST(sd AS DOUBLE) / CAST(g_eff AS DOUBLE)),
+             |    0.0))) AS BIGINT) AS jk_se_milli
+             |FROM a""".stripMargin)),
+
+    // ACF lags 1..7 + Ljung-Box Q over the daily order-count series
+    // per priority (dense observation index): lag pairs via ONE
+    // equi-join, per-term pico-rounded integer sums.
+    Q("q366_acf_ljungbox",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.orders(s, d)
+          .groupBy($"o_orderpriority".as("key"),
+            to_date($"o_orderdate").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val idx = daily.withColumn("t",
+          row_number().over(Window.partitionBy($"key").orderBy($"day"))
+            .cast("long") - 1L)
+        graft.ops.TimeSeries.acfLjungBox(idx, "key", "t", "x", maxLag = 7)
+          .orderBy($"key", $"lag")
+      },
+      Some("""WITH dly AS (
+             |  SELECT o_orderpriority AS key, CAST(o_orderdate AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM orders GROUP BY 1, 2),
+             |ix AS (SELECT key, x,
+             |    CAST(row_number() OVER (PARTITION BY key ORDER BY day) - 1
+             |      AS BIGINT) AS t
+             |  FROM dly),
+             |st AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS ss
+             |  FROM ix GROUP BY 1 HAVING count(*) > 7),
+             |hd AS (SELECT key, k, t + k AS t2, x AS xh
+             |  FROM ix CROSS JOIN
+             |    (SELECT CAST(unnest([1,2,3,4,5,6,7]) AS BIGINT) AS k)),
+             |pr AS (SELECT hd.key, k, CAST(count(*) AS BIGINT) AS m,
+             |    CAST(sum(xh * xt) AS BIGINT) AS sp,
+             |    CAST(sum(xh) AS BIGINT) AS sh,
+             |    CAST(sum(xt) AS BIGINT) AS st2
+             |  FROM hd JOIN (SELECT key, t AS t2, x AS xt FROM ix) b
+             |    ON b.key = hd.key AND b.t2 = hd.t2
+             |  GROUP BY 1, 2),
+             |pl AS (SELECT pr.key, k, m, n,
+             |    CAST(round((CAST(sp AS DOUBLE)
+             |        - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             |          * (CAST(sh AS DOUBLE) + CAST(st2 AS DOUBLE))
+             |        + CAST(m AS DOUBLE)
+             |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |      / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+             |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |      * 1000000.0) AS BIGINT) AS r_micro
+             |  FROM pr JOIN st ON st.key = pr.key),
+             |tp AS (SELECT *,
+             |    CAST(round(CAST(r_micro AS DOUBLE) / 1000000.0
+             |      * (CAST(r_micro AS DOUBLE) / 1000000.0)
+             |      / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+             |      * 1000000000000.0) AS BIGINT) AS term_pico
+             |  FROM pl),
+             |lb AS (SELECT key,
+             |    CAST(round(CAST(max(n) AS DOUBLE)
+             |      * (CAST(max(n) AS DOUBLE) + 2.0)
+             |      * (CAST(sum(term_pico) AS DOUBLE) / 1000000000000.0)
+             |      * 1000.0) AS BIGINT) AS lb_q_milli
+             |  FROM tp GROUP BY 1)
+             |SELECT tp.key, k AS lag, m, r_micro, lb_q_milli
+             |FROM tp JOIN lb ON lb.key = tp.key
+             |ORDER BY tp.key, lag""".stripMargin)),
+
+    // Two-sample log-rank test: time to first purchase per user (days
+    // from first event; censored at last event), even-vs-odd user ids.
+    Q("q367_logrank",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.events(s, d)
+          .select($"user_id", $"event_type", $"ts".cast("long").as("sec"))
+          .groupBy($"user_id")
+          .agg(min($"sec").as("t0"),
+            min(when($"event_type" === "purchase", $"sec")).as("tp"),
+            max($"sec").as("tl"))
+        val subj = per.select(($"user_id" % 2).cast("int").as("side"),
+          when($"tp".isNotNull, expr("(tp - t0) div 86400"))
+            .otherwise(expr("(tl - t0) div 86400")).as("dur"),
+          when($"tp".isNotNull, 1L).otherwise(0L).as("ev"))
+        graft.ops.Survival.logRank(subj, "side", "dur", "ev")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+             |  FROM events),
+             |per AS (SELECT user_id, CAST(min(sec) AS BIGINT) AS t0,
+             |    min(CASE WHEN event_type = 'purchase' THEN sec END) AS tp,
+             |    CAST(max(sec) AS BIGINT) AS tl
+             |  FROM e GROUP BY 1),
+             |subj AS (SELECT user_id % 2 AS side,
+             |    CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400
+             |         ELSE (tl - t0) // 86400 END AS dur,
+             |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+             |  FROM per),
+             |cells AS (SELECT dur AS t,
+             |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             |    CAST(sum(CASE WHEN side = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+             |    CAST(sum(CASE WHEN side = 0 THEN ev ELSE 0 END) AS BIGINT) AS d0
+             |  FROM subj GROUP BY 1),
+             |rk AS (SELECT *, CAST(sum(c1) OVER sw AS BIGINT) AS n1t,
+             |    CAST(sum(c0) OVER sw AS BIGINT) AS n0t,
+             |    d1 + d0 AS dt
+             |  FROM cells
+             |  WINDOW sw AS (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)),
+             |ev2 AS (SELECT *, n1t + n0t AS nt FROM rk WHERE dt > 0),
+             |agg AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+             |    CAST(sum(CAST(round(CAST(dt AS DOUBLE) * CAST(n1t AS DOUBLE)
+             |      / CAST(nt AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT)
+             |      AS e1_micro,
+             |    CAST(sum(CAST(round((CASE WHEN nt <= 1 THEN 0.0
+             |      ELSE CAST(dt AS DOUBLE)
+             |        * (CAST(n1t AS DOUBLE) / CAST(nt AS DOUBLE))
+             |        * (CAST(n0t AS DOUBLE) / CAST(nt AS DOUBLE))
+             |        * (CAST(nt AS DOUBLE) - CAST(dt AS DOUBLE))
+             |        / (CAST(nt AS DOUBLE) - 1.0) END) * 1000000.0)
+             |      AS BIGINT)) AS BIGINT) AS v_micro
+             |  FROM ev2),
+             |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             |    CAST(sum(c0) AS BIGINT) AS n0 FROM cells)
+             |SELECT n1, n0, o1, e1_micro, v_micro,
+             |  CAST(round((CAST(o1 AS DOUBLE)
+             |      - CAST(e1_micro AS DOUBLE) / 1000000.0)
+             |    / sqrt(CAST(v_micro AS DOUBLE) / 1000000.0) * 1000.0)
+             |    AS BIGINT) AS z_milli
+             |FROM agg, tot""".stripMargin)))
 }

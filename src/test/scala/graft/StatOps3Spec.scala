@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 late-wave statistics: hand-walkable goldens for the
+  * delta-method ratio SE, the leave-one-group-out jackknife, the
+  * ACF/Ljung–Box screen, and the two-sample log-rank test.
+  */
+class StatOps3Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ratio delta: constant per-unit ratio has zero variance") {
+    // x = 3·y exactly for every unit → θ = 3, delta-method SE = 0
+    val df = Seq(("a", 30L, 10L), ("a", 60L, 20L), ("a", 90L, 30L),
+      ("a", 15L, 5L)).toDF("variant", "x", "y")
+    val r = graft.ops.Eval.ratioMetricDelta(df, "variant", col("x"), col("y"))
+      .collect()
+    assert(r.head.getAs[Long]("ratio_micro") == 3000000L, r.toSeq)
+    assert(r.head.getAs[Long]("se_micro") == 0L)
+  }
+
+  test("ratio delta: y ≡ 1 reduces to the plain SE of the mean") {
+    // x = 2, 4, 6, 8 with unit denominators: θ = mean = 5,
+    // s² = 20/3, Var(θ) = s²/n = 5/3, SE = sqrt(5/3) ≈ 1.290994
+    val df = Seq(("a", 2L, 1L), ("a", 4L, 1L), ("a", 6L, 1L), ("a", 8L, 1L))
+      .toDF("variant", "x", "y")
+    val r = graft.ops.Eval.ratioMetricDelta(df, "variant", col("x"), col("y"))
+      .collect()
+    assert(r.head.getAs[Long]("ratio_micro") == 5000000L)
+    assert(r.head.getAs[Long]("se_micro") == 1290994L, r.toSeq)
+  }
+
+  test("jackknife ratio: identical folds give zero SE; asymmetry > 0") {
+    val same = (1 to 10).map(i => (i.toLong, 100L, 1L)).toDF("f", "x", "y")
+    val r1 = graft.ops.Eval.jackknifeRatio(same, "f", col("x"), col("y"))
+      .collect()
+    assert(r1.head.getAs[Long]("theta_micro") == 100000000L)
+    assert(r1.head.getAs[Long]("jk_se_milli") == 0L)
+    // one outlier fold moves every LOO theta — SE strictly positive
+    val skew = ((1 to 9).map(i => (i.toLong, 100000L, 1L)) :+ (10L, 2000000L, 1L))
+      .toDF("f", "x", "y")
+    val r2 = graft.ops.Eval.jackknifeRatio(skew, "f", col("x"), col("y"))
+      .collect()
+    assert(r2.head.getAs[Long]("n_folds") == 10L)
+    assert(r2.head.getAs[Long]("jk_se_milli") > 0L, r2.toSeq)
+  }
+
+  test("acf: period-2 alternating series has r_1 = -1, r_2 = +1") {
+    // x alternates 0, 10, 0, 10 … over a dense index; with the
+    // (n−k)-pair sample ACF the lag-1 correlation is −1·(pair share)
+    // of c0 — check signs and the exact lag-2 value on n = 40
+    val n = 40
+    val df = (0 until n).map(i => ("k", i.toLong, if (i % 2 == 0) 0L else 10L))
+      .toDF("key", "t", "x")
+    val r = graft.ops.TimeSeries.acfLjungBox(df, "key", "t", "x", maxLag = 2)
+      .collect().map(row => row.getAs[Long]("lag") -> row).toMap
+    // c0 = Σ(x−5)² = 40·25 = 1000
+    // lag1: 39 pairs each (x−5)(x'−5) = −25 → c1 = −975, r1 = −975000
+    assert(r(1L).getAs[Long]("r_micro") == -975000L, r)
+    // lag2: 38 pairs each +25 → c2 = 950, r2 = 950000
+    assert(r(2L).getAs[Long]("r_micro") == 950000L)
+    assert(r(1L).getAs[Long]("m") == 39L)
+    // Ljung-Box is large for this maximally autocorrelated series:
+    // Q = n(n+2)·(r1²/39 + r2²/38) ≈ 40·42·(0.024375 + 0.023750) ≈ 80.8
+    assert(r(1L).getAs[Long]("lb_q_milli") > 80000L)
+    assert(r(1L).getAs[Long]("lb_q_milli") < 82000L)
+  }
+
+  test("acf: near-constant series with one blip — hand moments") {
+    // x = 0 except x[0] = 4, n = 8, K = 1: x̄ = 0.5,
+    // c0 = 4² − 8·0.25 = 14... check via the shared shape:
+    // c0 = Σx² − S·(S/n) = 16 − 4·0.5 = 14
+    // lag1 pairs: Σ x_t·x_{t+1} = 0; head sum = 4, tail sum = 0, m = 7
+    // c1 = 0 − 0.5·(4+0) + 7·0.25 = −0.25 → r1 = round(−0.25/14·1e6)
+    val df = (0 until 8).map(i => ("k", i.toLong, if (i == 0) 4L else 0L))
+      .toDF("key", "t", "x")
+    val r = graft.ops.TimeSeries.acfLjungBox(df, "key", "t", "x", maxLag = 1)
+      .collect()
+    assert(r.head.getAs[Long]("r_micro") ==
+      math.round(-0.25 / 14.0 * 1e6), r.toSeq)
+  }
+
+  test("logrank: identical survival in both groups gives z ≈ 0") {
+    // mirrored event times and censoring across sides
+    val rows = for (i <- 1 to 30; s <- Seq(0, 1))
+      yield (s, (i % 7 + 1).toLong, if (i % 3 == 0) 0L else 1L)
+    val r = graft.ops.Survival.logRank(rows.toDF("side", "dur", "ev"),
+      "side", "dur", "ev").collect()
+    assert(r.head.getAs[Long]("n1") == 30L)
+    assert(r.head.getAs[Long]("n0") == 30L)
+    // O = E exactly under mirror symmetry
+    assert(r.head.getAs[Long]("o1") * 1000000L ==
+      r.head.getAs[Long]("e1_micro"), r.toSeq)
+    assert(math.abs(r.head.getAs[Long]("z_milli")) <= 1L)
+  }
+
+  test("logrank: hand risk sets on a 4-subject fixture") {
+    // side 1: events at t=1, t=3; side 0: event at t=2, censored at t=4
+    // t=1: n1=2, n0=2, d=1 → E += 1·2/4 = 0.5, V += (2/4)(2/4)(3/3) = 0.25
+    // t=2: n1=1, n0=2, d=1 → E += 1/3,  V += (1/3)(2/3)(1)·(2/2)? —
+    //   V term: d(n1/n)(n0/n)(n−d)/(n−1) = (1/3)(2/3)(2)/2 = 2/9
+    // t=3: n1=1, n0=1, d=1 → E += 1/2,  V += (1/2)(1/2)(1)/1 = 1/4
+    // O1 = 2, E1 = 0.5 + 1/3 + 0.5 = 4/3, V = 0.25 + 2/9 + 0.25 = 13/18
+    val df = Seq((1, 1L, 1L), (1, 3L, 1L), (0, 2L, 1L), (0, 4L, 0L))
+      .toDF("side", "dur", "ev")
+    val r = graft.ops.Survival.logRank(df, "side", "dur", "ev").collect()
+    assert(r.head.getAs[Long]("o1") == 2L)
+    assert(r.head.getAs[Long]("e1_micro") == 500000L + 333333L + 500000L)
+    assert(r.head.getAs[Long]("v_micro") == 250000L + 222222L + 250000L)
+    val z = (2.0 - 1333333.0 / 1e6) / math.sqrt(722222.0 / 1e6) * 1000.0
+    assert(r.head.getAs[Long]("z_milli") == math.round(z), r.toSeq)
+  }
+}
