@@ -1636,4 +1636,74 @@ object LangModel {
           * 1000000.0, 0).cast("long").as("keep_micro"))
       .orderBy(col("cf").desc, col("tok").asc).limit(topK)
   }
+
+  /** Corpus-level BLEU-2 and ROUGE-1 over candidate/reference text
+    * pairs, grouped — the n-gram overlap metrics a generation-eval or
+    * paraphrase-mining pass needs. Standard corpus-BLEU semantics:
+    * clipped n-gram matches `Σ min(cnt_cand(g), cnt_ref(g))` and
+    * candidate totals are summed across ALL pairs of a group BEFORE
+    * the precision ratios, brevity penalty `exp(1 − r/c)` when the
+    * candidate corpus is shorter, geometric mean of p1 and p2.
+    * ROUGE-1 recall = unigram matches over reference length.
+    *
+    * Everything is an exact integer sum until the closing per-group
+    * double chain (ln/exp shared-shape from integer operands — the
+    * q92/q101 convention); groups with zero uni- or bigram matches
+    * report bleu = 0.
+    *
+    * Scale shape: grams explode per pair and collapse by
+    * (group, pair, gram) hash aggregates; the clip is an inner join of
+    * the two count tables on that key — linear in gram volume, never
+    * quadratic; group closings run on a |groups|-sized table.
+    *
+    * @param pairs (grpCol, pairCol, candCol text, refCol text)
+    * @return (grp, n_pairs, c_len, r_len, m1, m2, bleu_micro,
+    *         rouge1_micro)
+    */
+  def bleuRougeByGroup(pairs: DataFrame, grpCol: String, pairCol: String,
+                       candCol: String, refCol: String): DataFrame = {
+    // checkpoint the shallow shared input (tokenize once — five
+    // consumers), return the result LAZILY so the caller's action gets
+    // full AQE (the round-9 materialization lesson)
+    val base = pairs.select(col(grpCol).as("grp"), col(pairCol).as("pid"),
+        TextAnalysis.tokens(col(candCol)).as("cl"),
+        TextAnalysis.tokens(col(refCol)).as("rl"))
+      .checkpointEager()
+    locally {
+      def counts(tokCol: String, n: Int, out: String): DataFrame = base
+        .select(col("grp"), col("pid"),
+          TextAnalysis.gramsFromTokens(col(tokCol), n).as("gs"))
+        .select(col("grp"), col("pid"), explode(col("gs")).as("g"))
+        .groupBy(col("grp"), col("pid"), col("g"))
+        .agg(count(lit(1)).as(out))
+      def clipped(n: Int): DataFrame = counts("cl", n, "cc")
+        .join(counts("rl", n, "rc"), Seq("grp", "pid", "g"))
+        .groupBy(col("grp"))
+        .agg(sum(least(col("cc"), col("rc"))).as(s"m$n"))
+      val lens = base.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(size(col("cl")).cast("long")).as("c_len"),
+          sum(size(col("rl")).cast("long")).as("r_len"),
+          sum(greatest(size(col("cl")).cast("long") - 1L, lit(0L)))
+            .as("c2_len"))
+      val joined = lens
+        .join(clipped(1), Seq("grp"), "left")
+        .join(clipped(2), Seq("grp"), "left")
+        .na.fill(0L, Seq("m1", "m2"))
+      def d(c: String) = col(c).cast("double")
+      val bp = when(col("c_len") >= col("r_len"), lit(1.0d))
+        .otherwise(exp(lit(1.0d) - d("r_len") / d("c_len")))
+      val bleu = bp * exp((log(d("m1") / d("c_len"))
+        + log(d("m2") / d("c2_len"))) / 2.0d)
+      joined.select(col("grp"), col("n_pairs"), col("c_len"), col("r_len"),
+        col("m1"), col("m2"),
+        when(col("m1") === 0L || col("m2") === 0L || col("c_len") === 0L
+            || col("c2_len") === 0L, lit(0L))
+          .otherwise(round(bleu * 1000000.0d, 0).cast("long"))
+          .as("bleu_micro"),
+        when(col("r_len") === 0L, lit(0L))
+          .otherwise(round(d("m1") * 1000000.0d / d("r_len"), 0)
+            .cast("long")).as("rouge1_micro"))
+    }
+  }
 }

@@ -645,4 +645,63 @@ object LinkGraph {
           sum(expr("1000000 div dist")).as("harmonic_micro"))
     } finally e.unpersist(false)
   }
+
+  /** k-truss decomposition step: iteratively remove edges supported by
+    * fewer than `k − 2` triangles — the cohesive-subgraph mining
+    * standard (tighter than k-core: every surviving edge sits in at
+    * least k−2 triangles of surviving edges). `rounds` prune passes
+    * run unconditionally (a fixpoint needs ≤ |E| rounds; bounded
+    * budgets are the engine's iteration convention); the result is the
+    * edge set entering round `rounds` that met the support bar in that
+    * round, reported with that round's support.
+    *
+    * Scale shape per round: triangle enumeration by degree-ordered
+    * orientation (the [[triangleCounts]] wedge join — every triangle
+    * materializes once, wedge fan-out bounded by the lower-degree
+    * endpoint), support via one hash aggregate over 3·|triangles|
+    * rows, prune is a filter. Each round checkpoints, so the plan
+    * depth stays constant.
+    *
+    * @return surviving (id_a, id_b, support) canonical edges
+    */
+  def kTruss(pairs: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3")
+    require(rounds >= 1 && rounds <= 6, "round budget out of range")
+    var und = pairs.select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().checkpointEager()
+    var kept: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val deg = und.select(col("a").as("id"))
+        .unionAll(und.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+      // a < b by normalization, so degree ties keep the a -> b direction
+      val oriented = und
+        .join(deg.select(col("id").as("a"), col("dg").as("da")), "a")
+        .join(deg.select(col("id").as("b"), col("dg").as("db")), "b")
+        .select(
+          when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
+          when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"))
+        .checkpointEager()
+      val tri = oriented.select(col("src").as("u"), col("dst").as("v"))
+        .join(oriented.select(col("src").as("u"), col("dst").as("w")), "u")
+        .filter(col("v") =!= col("w"))
+        .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+          Seq("v", "w"))
+      val hits = tri.select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .unionAll(tri.select(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")))
+        .unionAll(tri.select(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      kept = und.join(hits, Seq("a", "b"), "left")
+        .na.fill(0L, Seq("support"))
+        .filter(col("support") >= k - 2L)
+        .checkpointEager()
+      und = kept.select(col("a"), col("b"))
+    }
+    kept.select(col("a").as("id_a"), col("b").as("id_b"), col("support"))
+  }
 }

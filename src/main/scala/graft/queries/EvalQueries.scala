@@ -312,6 +312,82 @@ object EvalQueries extends QueryPack {
              |      / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
              |      * 1000) AS BIGINT)
              |  END AS r2_milli
-             |FROM s ORDER BY lang""".stripMargin))
+             |FROM s ORDER BY lang""".stripMargin)),
+
+    // Corpus BLEU-2 + ROUGE-1 per source over consecutive-doc
+    // candidate/reference pairs: clipped n-gram matches and candidate
+    // totals summed across pairs BEFORE the precision ratios; brevity
+    // penalty and the geometric mean close in one shared double chain.
+    Q("q368_bleu_rouge",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val rk = Tables.documents(s, d).select($"source", $"doc_id", $"text")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"source").orderBy($"doc_id")).cast("long"))
+        val pairs = rk.as("c").join(rk.as("r"),
+            col("c.source") === col("r.source")
+              && col("r.rn") === col("c.rn") + 1L)
+          .select(col("c.source").as("source"), col("c.rn").as("pid"),
+            col("c.text").as("cand"), col("r.text").as("ref"))
+        LangModel.bleuRougeByGroup(pairs, "source", "pid", "cand", "ref")
+          .select($"grp".as("source"), $"n_pairs", $"c_len", $"r_len",
+            $"m1", $"m2", $"bleu_micro", $"rouge1_micro")
+          .orderBy($"source")
+      },
+      Some("""WITH rk AS (
+             |  SELECT source, text,
+             |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+             |      AS BIGINT) AS rn
+             |  FROM documents),
+             |p AS (SELECT c.source, c.rn AS pid,
+             |    string_split_regex(trim(c.text), '\s+') AS cl,
+             |    string_split_regex(trim(r.text), '\s+') AS rl
+             |  FROM rk c JOIN rk r ON r.source = c.source AND r.rn = c.rn + 1),
+             |cu AS (SELECT source, pid, unnest(cl) AS g FROM p),
+             |ru AS (SELECT source, pid, unnest(rl) AS g FROM p),
+             |cb AS (SELECT source, pid, unnest(list_filter(list_transform(cl,
+             |      (x, i) -> CASE WHEN i <= len(cl) - 1
+             |        THEN x || ' ' || cl[i + 1] END),
+             |    v -> v IS NOT NULL)) AS g FROM p),
+             |rb AS (SELECT source, pid, unnest(list_filter(list_transform(rl,
+             |      (x, i) -> CASE WHEN i <= len(rl) - 1
+             |        THEN x || ' ' || rl[i + 1] END),
+             |    v -> v IS NOT NULL)) AS g FROM p),
+             |m1 AS (SELECT source, CAST(sum(least(cc, rc)) AS BIGINT) AS m1
+             |  FROM (SELECT source, pid, g, CAST(count(*) AS BIGINT) AS cc
+             |        FROM cu GROUP BY 1, 2, 3) a
+             |  JOIN (SELECT source, pid, g, CAST(count(*) AS BIGINT) AS rc
+             |        FROM ru GROUP BY 1, 2, 3) b USING (source, pid, g)
+             |  GROUP BY 1),
+             |m2 AS (SELECT source, CAST(sum(least(cc, rc)) AS BIGINT) AS m2
+             |  FROM (SELECT source, pid, g, CAST(count(*) AS BIGINT) AS cc
+             |        FROM cb GROUP BY 1, 2, 3) a
+             |  JOIN (SELECT source, pid, g, CAST(count(*) AS BIGINT) AS rc
+             |        FROM rb GROUP BY 1, 2, 3) b USING (source, pid, g)
+             |  GROUP BY 1),
+             |lens AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    CAST(sum(len(cl)) AS BIGINT) AS c_len,
+             |    CAST(sum(len(rl)) AS BIGINT) AS r_len,
+             |    CAST(sum(greatest(len(cl) - 1, 0)) AS BIGINT) AS c2_len
+             |  FROM p GROUP BY 1),
+             |j AS (SELECT lens.source, n_pairs, c_len, r_len, c2_len,
+             |    coalesce(m1.m1, 0) AS m1, coalesce(m2.m2, 0) AS m2
+             |  FROM lens LEFT JOIN m1 ON m1.source = lens.source
+             |  LEFT JOIN m2 ON m2.source = lens.source)
+             |SELECT source, n_pairs, c_len, r_len, m1, m2,
+             |  CASE WHEN m1 = 0 OR m2 = 0 OR c_len = 0 OR c2_len = 0 THEN 0
+             |    ELSE CAST(round((CASE WHEN c_len >= r_len
+             |        THEN CAST(1 AS DOUBLE)
+             |        ELSE exp(CAST(1 AS DOUBLE)
+             |          - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)) END)
+             |      * exp((ln(CAST(m1 AS DOUBLE) / CAST(c_len AS DOUBLE))
+             |        + ln(CAST(m2 AS DOUBLE) / CAST(c2_len AS DOUBLE)))
+             |        / CAST(2 AS DOUBLE))
+             |      * 1000000.0) AS BIGINT) END AS bleu_micro,
+             |  CASE WHEN r_len = 0 THEN 0
+             |    ELSE CAST(round(CAST(m1 AS DOUBLE) * 1000000.0
+             |      / CAST(r_len AS DOUBLE)) AS BIGINT) END AS rouge1_micro
+             |FROM j ORDER BY source""".stripMargin))
   )
 }

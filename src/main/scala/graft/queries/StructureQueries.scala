@@ -1945,6 +1945,65 @@ object StructureQueries extends QueryPack {
              |    + CAST(n_tail AS DOUBLE) * CAST(1000000 AS DOUBLE)
              |      / CAST(t_sum AS DOUBLE)) * CAST(1000 AS DOUBLE))
              |    AS BIGINT) AS alpha_milli
-             |FROM ag""".stripMargin))
+             |FROM ag""".stripMargin)),
+
+    // k-truss cohesive-subgraph mining on the copurchase graph:
+    // per-round triangle support via the degree-ordered wedge join,
+    // edges below support k-2 pruned, three unrolled rounds — the
+    // oracle replays every round's orientation/triangle/prune walk.
+    Q("q369_ktruss",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+        val und = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+          .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+          .select($"id_a", $"id_b")
+        graft.ext.LinkGraph.kTruss(und, k = 3L, rounds = 3)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(kTrussOracleSql(k = 3, rounds = 3)))
   )
+
+  /** Unrolled k-truss oracle: each round recomputes degrees, orients
+    * edges low-degree → high-degree (ties keep a → b), enumerates each
+    * triangle once through the wedge join, and prunes edges whose
+    * triangle support is below k−2 — the exact walk
+    * [[graft.ext.LinkGraph.kTruss]] runs.
+    */
+  private def kTrussOracleSql(k: Int, rounds: Int): String = {
+    val base = """e0 AS MATERIALIZED (
+                 |  SELECT a.l_partkey AS a, b.l_partkey AS b
+                 |  FROM lineitem a JOIN lineitem b
+                 |    ON a.l_orderkey = b.l_orderkey
+                 |      AND a.l_partkey < b.l_partkey
+                 |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+    val roundCtes = (1 to rounds).map { i =>
+      val in = s"e${i - 1}"
+      s"""deg$i AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+         |    SELECT a AS id FROM $in UNION ALL SELECT b FROM $in)
+         |  GROUP BY 1),
+         |o$i AS MATERIALIZED (SELECT
+         |    CASE WHEN da.dg <= db.dg THEN e.a ELSE e.b END AS src,
+         |    CASE WHEN da.dg <= db.dg THEN e.b ELSE e.a END AS dst
+         |  FROM $in e JOIN deg$i da ON da.id = e.a
+         |  JOIN deg$i db ON db.id = e.b),
+         |tri$i AS MATERIALIZED (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         |  FROM o$i e1 JOIN o$i e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+         |  JOIN o$i e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |sup$i AS MATERIALIZED (SELECT e.a, e.b, coalesce(h.s, 0) AS support
+         |  FROM $in e LEFT JOIN (
+         |    SELECT a, b, CAST(count(*) AS BIGINT) AS s FROM (
+         |      SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri$i
+         |      UNION ALL SELECT least(u, w), greatest(u, w) FROM tri$i
+         |      UNION ALL SELECT least(v, w), greatest(v, w) FROM tri$i)
+         |    GROUP BY 1, 2) h ON h.a = e.a AND h.b = e.b),
+         |e$i AS MATERIALIZED (SELECT a, b FROM sup$i WHERE support >= ${k - 2})""".stripMargin
+    }
+    (s"WITH $base,\n" + roundCtes.mkString(",\n") +
+      s"\nSELECT a AS id_a, b AS id_b, support FROM sup$rounds" +
+      s" WHERE support >= ${k - 2} ORDER BY id_a, id_b")
+  }
 }
