@@ -266,4 +266,69 @@ object Causal {
     }
     raked.select(col("r"), col("c"), col("n"), col("w").as("w_micro"))
   }
+
+  /** Inverse-propensity-weighted (Hájek) ATE with a MODEL-based
+    * propensity: the treatment probability comes from the in-engine
+    * logistic trainer ([[graft.ext.LinearModel.logisticGd]]) over
+    * micro-int unit features, scored back per unit through the
+    * identical fixed-point sigmoid — the estimator a causal pipeline
+    * uses when strata are too fine for [[postStratifiedAte]].
+    *
+    * Weights are milli ints `round(1e9 / p_micro)` (treated) /
+    * `round(1e9 / (1e6 − p_micro))` (control) with the propensity
+    * clipped to `[clipMicro, 1e6 − clipMicro]` first (standard overlap
+    * trimming; also bounds w ≤ 1e6/clip so w·y integer sums stay far
+    * inside signed-64). Hájek arm means `Σw·y / Σw` are the closing
+    * shared-shape double.
+    *
+    * Scale shape: training is one partial-aggregated scan per epoch
+    * with a k+1-scalar broadcast model; scoring + both arm sums are
+    * ONE more aggregate over the unit table. Nothing iterates on the
+    * driver, nothing shuffles the units by key.
+    *
+    * @param features micro-int feature columns (bias added inside)
+    * @param outcome  integer outcome per unit (0/1 or small counts)
+    * @return one row: (n, n1, n0, mu1_micro, mu0_micro, ate_micro)
+    */
+  def ipwAteLogistic(units: DataFrame, features: Seq[Column],
+      treated: Column, outcome: Column, epochs: Int = 3,
+      clipMicro: Long = 50000L): DataFrame = {
+    require(clipMicro > 0 && clipMicro < 500000L, "clip in (0, 0.5) micro")
+    val k = features.size
+    val feats = units.select(
+      (features.zipWithIndex.map { case (f, i) => f.as(s"x$i") } :+
+        when(treated, 1L).otherwise(0L).as("t") :+
+        outcome.cast("long").as("yo")): _*)
+      .checkpointEager()
+    val wFinal = graft.ext.LinearModel.logisticGd(feats,
+        (0 until k).map(i => col(s"x$i")), col("t") === 1L, epochs)
+      .filter(col("epoch") === epochs.toLong)
+      .select((0 to k).map(i => col(s"w$i")): _*)
+    // identical fixed-point score/sigmoid shapes as the trainer
+    val dot = (0 until k).map(i => col(s"w${i + 1}").cast("double") *
+      col(s"x$i").cast("double")).reduceOption(_ + _).getOrElse(lit(0.0))
+    val score = col("w0") + round(dot / 1000000.0, 0).cast("long")
+    val p = round(lit(1000000.0)
+      / (lit(1.0) + exp(-score.cast("double") / 1000000.0)), 0).cast("long")
+    val scored = feats.crossJoin(broadcast(wFinal))
+      .withColumn("pc", least(greatest(p, lit(clipMicro)),
+        lit(1000000L - clipMicro)))
+      .withColumn("w", when(col("t") === 1L,
+          round(lit(1000000000.0) / col("pc").cast("double"), 0).cast("long"))
+        .otherwise(round(lit(1000000000.0)
+          / (lit(1000000L) - col("pc")).cast("double"), 0).cast("long")))
+    def armSum(t: Int, e: Column, n: String) =
+      sum(when(col("t") === t.toLong, e).otherwise(0L)).as(n)
+    scored.agg(count(lit(1)).as("n"),
+        armSum(1, lit(1L), "n1"), armSum(0, lit(1L), "n0"),
+        armSum(1, col("w"), "sw1"), armSum(0, col("w"), "sw0"),
+        armSum(1, col("w") * col("yo"), "swy1"),
+        armSum(0, col("w") * col("yo"), "swy0"))
+      .select(col("n"), col("n1"), col("n0"),
+        round(col("swy1").cast("double") * 1000000.0
+          / col("sw1").cast("double"), 0).cast("long").as("mu1_micro"),
+        round(col("swy0").cast("double") * 1000000.0
+          / col("sw0").cast("double"), 0).cast("long").as("mu0_micro"))
+      .withColumn("ate_micro", col("mu1_micro") - col("mu0_micro"))
+  }
 }

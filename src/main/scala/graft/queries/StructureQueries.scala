@@ -48,10 +48,18 @@ object StructureQueries extends QueryPack {
     * x0..x{k−1} provided by `featsCte` (which must end with the CTE
     * `f(x0.., y)`), same per-epoch sigmoid/gradient/update roundings.
     */
-  private def logregKOracleSql(featsCte: String, k: Int, epochs: Int): String = {
+  /** Integer score expression under weights w0..wk over features
+    * x0..x{k−1} — the shape scoreMicro uses on the Spark side.
+    */
+  private[queries] def logregScoreSql(k: Int): String = {
     val dot = (1 to k).map(i =>
       s"CAST(w$i AS DOUBLE) * CAST(x${i - 1} AS DOUBLE)").mkString(" + ")
-    val score = s"w0 + CAST(round(($dot) / CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    s"w0 + CAST(round(($dot) / CAST(1000000 AS DOUBLE)) AS BIGINT)"
+  }
+
+  private[queries] def logregKOracleSql(featsCte: String, k: Int,
+      epochs: Int): String = {
+    val score = logregScoreSql(k)
     val w0 = (0 to k).map(i => s"CAST(0 AS BIGINT) AS w$i").mkString(", ")
     val xs = (0 until k).map(i => s"x$i").mkString(", ")
     val head = s"$featsCte,\ne0 AS (SELECT $w0)"
@@ -86,6 +94,17 @@ object StructureQueries extends QueryPack {
     val tail = (1 to epochs).map(i => s"SELECT * FROM a$i")
       .mkString("\n", "\nUNION ALL\n", "\nORDER BY epoch")
     head + rounds + tail
+  }
+
+  /** Training CTEs only (f, e0..e{epochs} — the a$i accuracy CTEs are
+    * present but unreferenced, so DuckDB never evaluates them): for
+    * oracles that SCORE under the trained weights instead of reporting
+    * the epoch table (q370's propensity model).
+    */
+  private[queries] def logregTrainCtes(featsCte: String, k: Int,
+      epochs: Int): String = {
+    val full = logregKOracleSql(featsCte, k, epochs)
+    full.substring(0, full.lastIndexOf("\nSELECT * FROM a1"))
   }
 
   val all: Seq[Q] = Seq(

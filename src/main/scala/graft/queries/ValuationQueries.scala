@@ -304,5 +304,70 @@ object ValuationQueries extends QueryPack {
           .orderBy($"epoch")
       },
       Some(logregOracleSql(3)))
+  ,
+
+    // Model-based IPW (Hájek) ATE: propensity of "user clicked" from a
+    // 2-feature fixed-point logistic model, scored back per user,
+    // clipped, inverse-weighted — oracle replays training epochs AND
+    // the scoring/weighting walk.
+    Q("q370_ipw_ate",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.events(s, d).groupBy($"user_id")
+          .agg(count(lit(1)).as("ne"),
+            countDistinct($"event_type").as("nt"),
+            sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+              .as("yo"))
+          .withColumn("t", when($"user_id" % 3 === 0L, 1L).otherwise(0L))
+        graft.ops.Causal.ipwAteLogistic(per,
+          Seq(least($"ne", lit(50L)) * 20000L,
+            least($"nt", lit(5L)) * 200000L),
+          $"t" === 1L, $"yo", epochs = 3, clipMicro = 50000L)
+      },
+      Some(StructureQueries.logregTrainCtes(
+        """WITH per AS (
+          |  SELECT user_id, CAST(count(*) AS BIGINT) AS ne,
+          |    CAST(count(DISTINCT event_type) AS BIGINT) AS nt,
+          |    CAST(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS t,
+          |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS yo
+          |  FROM events GROUP BY 1),
+          |f AS (SELECT least(ne, 50) * 20000 AS x0,
+          |    least(nt, 5) * 200000 AS x1, t AS y, yo
+          |  FROM per)""".stripMargin, k = 2, epochs = 3) +
+        s"""
+          |,sc AS (SELECT y AS t, yo,
+          |    least(greatest(CAST(round(CAST(1000000 AS DOUBLE)
+          |        / (CAST(1.0 AS DOUBLE)
+          |          + exp(-(CAST(${StructureQueries.logregScoreSql(2)}
+          |            AS DOUBLE)) / CAST(1000000 AS DOUBLE)))) AS BIGINT),
+          |      50000), 950000) AS pc
+          |  FROM f CROSS JOIN e3)
+          |,wt AS (SELECT t, yo,
+          |    CASE WHEN t = 1
+          |      THEN CAST(round(1000000000.0 / CAST(pc AS DOUBLE)) AS BIGINT)
+          |      ELSE CAST(round(1000000000.0 / CAST(1000000 - pc AS DOUBLE))
+          |        AS BIGINT) END AS w
+          |  FROM sc)
+          |,ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |    CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          |    CAST(sum(CASE WHEN t = 1 THEN w ELSE 0 END) AS BIGINT) AS sw1,
+          |    CAST(sum(CASE WHEN t = 0 THEN w ELSE 0 END) AS BIGINT) AS sw0,
+          |    CAST(sum(CASE WHEN t = 1 THEN w * yo ELSE 0 END) AS BIGINT)
+          |      AS swy1,
+          |    CAST(sum(CASE WHEN t = 0 THEN w * yo ELSE 0 END) AS BIGINT)
+          |      AS swy0
+          |  FROM wt)
+          |SELECT n, n1, n0,
+          |  CAST(round(CAST(swy1 AS DOUBLE) * 1000000.0
+          |    / CAST(sw1 AS DOUBLE)) AS BIGINT) AS mu1_micro,
+          |  CAST(round(CAST(swy0 AS DOUBLE) * 1000000.0
+          |    / CAST(sw0 AS DOUBLE)) AS BIGINT) AS mu0_micro,
+          |  CAST(round(CAST(swy1 AS DOUBLE) * 1000000.0
+          |    / CAST(sw1 AS DOUBLE)) AS BIGINT)
+          |  - CAST(round(CAST(swy0 AS DOUBLE) * 1000000.0
+          |    / CAST(sw0 AS DOUBLE)) AS BIGINT) AS ate_micro
+          |FROM ag""".stripMargin))
   )
 }

@@ -94,6 +94,21 @@ class StatOps3Spec extends SparkTestBase {
     assert(math.abs(r.head.getAs[Long]("z_milli")) <= 1L)
   }
 
+  test("ipw: flat propensity reduces Hájek means to raw arm means") {
+    // one CONSTANT feature → the model scores every unit identically →
+    // equal weights within each arm → mu_arm = plain arm mean
+    val units = ((1 to 8).map(i => (i.toLong, 500000L, 1L, 3L))
+      ++ (9 to 20).map(i => (i.toLong, 500000L, 0L, 1L)))
+      .toDF("id", "x", "t", "y")
+    val r = graft.ops.Causal.ipwAteLogistic(units, Seq(col("x")),
+      col("t") === 1L, col("y"), epochs = 2).collect().head
+    assert(r.getAs[Long]("n1") == 8L)
+    assert(r.getAs[Long]("n0") == 12L)
+    assert(r.getAs[Long]("mu1_micro") == 3000000L, r)
+    assert(r.getAs[Long]("mu0_micro") == 1000000L)
+    assert(r.getAs[Long]("ate_micro") == 2000000L)
+  }
+
   test("logrank: hand risk sets on a 4-subject fixture") {
     // side 1: events at t=1, t=3; side 0: event at t=2, censored at t=4
     // t=1: n1=2, n0=2, d=1 → E += 1·2/4 = 0.5, V += (2/4)(2/4)(3/3) = 0.25
