@@ -790,4 +790,70 @@ object CorpusOps {
         round(col("n_url").cast("double") * 1000.0
           / col("n_docs").cast("double"), 0).cast("long").as("url_milli"))
   }
+
+  /** UniMax-style token allocation (Chung et al., 2023 shape): spread a
+    * training budget as UNIFORMLY as possible across sources, capping
+    * each source at `maxEpochsMilli/1000` passes over its own tokens —
+    * the mixing rule that avoids both upsampling tiny sources past
+    * their epoch cap and tilting to giant ones.
+    *
+    * Exact integer water-filling: sort sources by cap ascending; for
+    * each candidate boundary j (first j sources capped), the water
+    * level is `λ_j = (B − Σ_{i≤j} cap_i) div (k − j)`; the unique
+    * feasible boundary is the SMALLEST j with `cap_j ≤ λ_j` and
+    * `cap_{j+1} > λ_j` (all capped when `B ≥ Σcap`). Uncapped sources
+    * get λ, with the integer remainder distributed one token each to
+    * the smallest-cap uncapped sources — fully deterministic, no
+    * doubles anywhere.
+    *
+    * Scale shape: one groupBy to |sources| rows; every window below
+    * runs on that bounded table.
+    *
+    * @param perSource (source, tokens) rows
+    * @return (source, tokens, cap, alloc, epochs_milli)
+    */
+  def unimaxAllocate(perSource: DataFrame, budget: Long,
+                     maxEpochsMilli: Long): DataFrame = {
+    require(budget >= 0 && maxEpochsMilli > 0, "bad budget/cap")
+    val w = org.apache.spark.sql.expressions.Window
+    val s = perSource.select(col("source"), col("tokens").cast("long"))
+      .withColumn("cap", expr(s"tokens * $maxEpochsMilli div 1000"))
+    val ordered = s
+      .withColumn("j", row_number()
+        .over(w.orderBy(col("cap"), col("source"))).cast("long"))
+      .withColumn("p", sum(col("cap"))
+        .over(w.orderBy(col("cap"), col("source"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("k", count(lit(1)).over(w.partitionBy()))
+      .withColumn("nextcap", lead(col("cap"), 1)
+        .over(w.orderBy(col("cap"), col("source"))))
+    // candidate boundaries: j = 0 (nothing capped) plus each sorted row
+    val cands = ordered.select(col("j"), col("cap"), col("p"), col("k"),
+        col("nextcap"))
+      .unionByName(ordered.groupBy(col("k"))
+        .agg(min(col("cap")).as("nextcap"))
+        .select(lit(0L).as("j"), lit(0L).as("cap"), lit(0L).as("p"),
+          col("k"), col("nextcap")))
+      // p > B → λ = −1 sentinel: keeps every div on NON-NEGATIVE
+      // operands (Spark div truncates, DuckDB // floors — they only
+      // agree on non-negatives)
+      .withColumn("lam", when(col("k") === col("j"),
+          when(col("p") <= budget, Long.MaxValue).otherwise(lit(-1L)))
+        .otherwise(when(col("p") > budget, lit(-1L))
+          .otherwise(expr(s"(${budget}L - p) div (k - j)"))))
+      .filter(col("cap") <= col("lam")
+        && (col("nextcap").isNull || col("nextcap") > col("lam")))
+    val jstar = cands.agg(min(col("j")).as("jstar"),
+      min_by(col("lam"), col("j")).as("lam"),
+      min_by(col("p"), col("j")).as("pstar"))
+    ordered.crossJoin(broadcast(jstar))
+      .withColumn("rem", when(col("k") === col("jstar"), lit(0L))
+        .otherwise(expr(s"(${budget}L - pstar) % (k - jstar)")))
+      .withColumn("alloc", when(col("j") <= col("jstar"), col("cap"))
+        .otherwise(least(col("cap"),
+          col("lam") + when(col("j") - col("jstar") <= col("rem"), 1L)
+            .otherwise(0L))))
+      .select(col("source"), col("tokens"), col("cap"), col("alloc"),
+        expr("alloc * 1000 div tokens").as("epochs_milli"))
+  }
 }

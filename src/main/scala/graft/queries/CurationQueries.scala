@@ -1039,6 +1039,64 @@ object CurationQueries extends QueryPack {
              |      ORDER BY score_micro DESC, tok ASC) AS BIGINT) AS rnk
              |  FROM scored)
              |SELECT grp AS lang, rnk, tok, c_grp, c_rest, score_micro
-             |FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin))
+             |FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin)),
+
+    // UniMax token allocation: budget = ⅓ of corpus tokens spread as
+    // uniformly as sources allow under a 0.36-epoch per-source cap —
+    // exact integer water-filling, remainder to the smallest caps.
+    Q("q371_unimax_alloc",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.documents(s, d)
+          .select($"source",
+            size(graft.ext.TextAnalysis.tokens($"text")).cast("long")
+              .as("n_tok"))
+          .groupBy($"source").agg(sum($"n_tok").as("tokens"))
+        val budget = per.agg(sum($"tokens")).head.getLong(0) / 3L
+        CorpusOps.unimaxAllocate(per, budget, maxEpochsMilli = 360L)
+          .orderBy($"source")
+      },
+      Some("""WITH s AS (
+             |  SELECT source,
+             |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
+             |      AS BIGINT) AS tokens
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(sum(tokens) // 3 AS BIGINT) AS b FROM s),
+             |o AS (SELECT source, tokens, tokens * 360 // 1000 AS cap,
+             |    CAST(row_number() OVER
+             |      (ORDER BY tokens * 360 // 1000, source) AS BIGINT) AS j,
+             |    CAST(sum(tokens * 360 // 1000) OVER
+             |      (ORDER BY tokens * 360 // 1000, source
+             |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+             |    CAST(count(*) OVER () AS BIGINT) AS k,
+             |    lead(tokens * 360 // 1000, 1) OVER
+             |      (ORDER BY tokens * 360 // 1000, source) AS nextcap
+             |  FROM s),
+             |c AS (SELECT j, cap, p, k, nextcap FROM o
+             |  UNION ALL
+             |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             |    CAST(max(k) AS BIGINT), CAST(min(cap) AS BIGINT) FROM o),
+             |l AS (SELECT c.*, b,
+             |    CASE WHEN j = k THEN (CASE WHEN p <= b
+             |        THEN 9223372036854775807 ELSE -1 END)
+             |      WHEN p > b THEN -1
+             |      ELSE (b - p) // (k - j) END AS lam
+             |  FROM c CROSS JOIN tot),
+             |v AS (SELECT * FROM l
+             |  WHERE cap <= lam AND (nextcap IS NULL OR nextcap > lam)),
+             |js AS (SELECT CAST(min(j) AS BIGINT) AS jstar,
+             |    CAST(arg_min(lam, j) AS BIGINT) AS lam,
+             |    CAST(arg_min(p, j) AS BIGINT) AS pstar FROM v),
+             |fin AS (SELECT o.source, o.tokens, o.cap,
+             |    CASE WHEN o.j <= js.jstar THEN o.cap
+             |      ELSE least(o.cap, js.lam
+             |        + CASE WHEN o.j - js.jstar
+             |            <= (CASE WHEN o.k = js.jstar THEN 0
+             |                ELSE (b - js.pstar) % (o.k - js.jstar) END)
+             |          THEN 1 ELSE 0 END) END AS alloc
+             |  FROM o CROSS JOIN js CROSS JOIN tot)
+             |SELECT source, tokens, cap, alloc,
+             |  alloc * 1000 // tokens AS epochs_milli
+             |FROM fin ORDER BY source""".stripMargin))
   )
 }

@@ -230,4 +230,37 @@ class CorpusOpsSpec extends SparkTestBase {
     val total = got.map(_.getAs[Long]("w_micro")).sum
     assert(total <= 1000000L && total >= 1000000L - got.length)
   }
+
+  test("unimax: caps bind small sources, budget exactly consumed") {
+    import spark.implicits._
+    // caps at 1 epoch: 100, 200, 1000, 1000; budget 900 → small two
+    // capped (100+200), remaining 600 split 300/300
+    val per = Seq(("tiny", 100L), ("small", 200L), ("big1", 1000L),
+      ("big2", 1000L)).toDF("source", "tokens")
+    val r = graft.ext.CorpusOps.unimaxAllocate(per, budget = 900L,
+      maxEpochsMilli = 1000L).collect()
+      .map(x => x.getAs[String]("source") -> x.getAs[Long]("alloc")).toMap
+    assert(r == Map("tiny" -> 100L, "small" -> 200L,
+      "big1" -> 300L, "big2" -> 300L), r)
+  }
+
+  test("unimax: remainder goes to the smallest-cap uncapped sources") {
+    import spark.implicits._
+    // budget 10 over three uncapped sources → 4, 3, 3 in cap order
+    val per = Seq(("a", 100L), ("b", 200L), ("c", 300L))
+      .toDF("source", "tokens")
+    val r = graft.ext.CorpusOps.unimaxAllocate(per, budget = 10L,
+      maxEpochsMilli = 1000L).collect()
+      .map(x => x.getAs[String]("source") -> x.getAs[Long]("alloc")).toMap
+    assert(r == Map("a" -> 4L, "b" -> 3L, "c" -> 3L), r)
+  }
+
+  test("unimax: budget above total caps everything") {
+    import spark.implicits._
+    val per = Seq(("a", 100L), ("b", 200L)).toDF("source", "tokens")
+    val r = graft.ext.CorpusOps.unimaxAllocate(per, budget = 5000L,
+      maxEpochsMilli = 2000L).collect()
+      .map(x => x.getAs[String]("source") -> x.getAs[Long]("alloc")).toMap
+    assert(r == Map("a" -> 200L, "b" -> 400L), r)
+  }
 }
