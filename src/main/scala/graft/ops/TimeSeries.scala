@@ -773,4 +773,60 @@ object TimeSeries {
       .select(col("key"), col("k").as("lag"), col("m"), col("r_micro"),
         col("lb_q_milli"))
   }
+
+  /** Partial autocorrelation function per keyed series via the
+    * Durbin–Levinson recursion on [[acfLjungBox]]'s sample ACF — the
+    * AR-order diagnostic that complements the ACF (an AR(p) series has
+    * PACF ≈ 0 past lag p while its ACF decays slowly).
+    *
+    * D–L over r₁..r_K (doubles from the micro-int ACF):
+    * `φ₁₁ = r₁, E₁ = 1 − r₁²`, then
+    * `φ_mm = (r_m − Σ_{j<m} φ_{m−1,j}·r_{m−j}) / E_{m−1}`,
+    * `φ_mj = φ_{m−1,j} − φ_mm·φ_{m−1,m−j}`,
+    * `E_m = E_{m−1}(1 − φ_mm²)`. The whole recursion is ONE per-key
+    * higher-order `aggregate` fold over the K-element ACF array —
+    * lambdas touch only bound variables (the interpreted-HOF O(len²)
+    * trap doesn't bite at K ≤ 100), left-fold sums in fixed j order so
+    * a recursive-CTE oracle replays the identical double sequence.
+    *
+    * Scale shape: everything after the [[acfLjungBox]] aggregation
+    * runs on the |keys| × K table.
+    *
+    * @return (key, lag, r_micro, pacf_micro)
+    */
+  def pacfDurbinLevinson(series: DataFrame, keyCol: String, tCol: String,
+      valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 2 && maxLag <= 100, "lag budget out of range")
+    val acf = acfLjungBox(series, keyCol, tCol, valCol, maxLag)
+    val rl = acf.groupBy(col("key")).agg(
+        array_sort(collect_list(struct(col("lag"), col("r_micro")))).as("lr"))
+      .select(col("key"),
+        expr("transform(lr, x -> cast(x.r_micro as double) / 1000000.0D)")
+          .as("rs"))
+      .filter(size(col("rs")) === maxLag)
+    val pm = """(element_at(rs, m) - aggregate(sequence(1, m - 1), 0.0D,
+               |  (s2, j) -> s2 + element_at(acc.phi, j)
+               |    * element_at(rs, m - j))) / acc.e""".stripMargin
+    val fold =
+      s"""aggregate(
+         |  sequence(2, $maxLag),
+         |  named_struct(
+         |    'phi', array(element_at(rs, 1)),
+         |    'pacf', array(element_at(rs, 1)),
+         |    'e', 1.0D - element_at(rs, 1) * element_at(rs, 1)),
+         |  (acc, m) -> named_struct(
+         |    'phi', concat(
+         |      transform(acc.phi, (v, ji) ->
+         |        v - ($pm) * element_at(acc.phi, m - 1 - ji)),
+         |      array($pm)),
+         |    'pacf', concat(acc.pacf, array($pm)),
+         |    'e', acc.e * (1.0D - ($pm) * ($pm))),
+         |  acc -> acc.pacf)""".stripMargin
+    val exploded = rl.select(col("key"),
+        posexplode(expr(fold)).as(Seq("pos", "pv")))
+      .select(col("key"), (col("pos") + 1).cast("long").as("lag"),
+        round(col("pv") * 1000000.0d, 0).cast("long").as("pacf_micro"))
+    acf.select(col("key"), col("lag"), col("r_micro"))
+      .join(exploded, Seq("key", "lag"))
+  }
 }

@@ -1655,5 +1655,90 @@ object StatQueries extends QueryPack {
              |      - CAST(e1_micro AS DOUBLE) / 1000000.0)
              |    / sqrt(CAST(v_micro AS DOUBLE) / 1000000.0) * 1000.0)
              |    AS BIGINT) AS z_milli
-             |FROM agg, tot""".stripMargin)))
+             |FROM agg, tot""".stripMargin)),
+
+    // PACF via Durbin–Levinson over the q366 ACF: the oracle replays
+    // the recursion as a recursive CTE carrying the φ vector as a
+    // list, every double op in the identical left-fold order.
+    Q("q372_pacf",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.orders(s, d)
+          .groupBy($"o_orderpriority".as("key"),
+            to_date($"o_orderdate").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val idx = daily.withColumn("t",
+          row_number().over(Window.partitionBy($"key").orderBy($"day"))
+            .cast("long") - 1L)
+        graft.ops.TimeSeries.pacfDurbinLevinson(idx, "key", "t", "x",
+            maxLag = 7)
+          .orderBy($"key", $"lag")
+      },
+      Some(pacfOracleSql(7)))
+  )
+
+  /** DuckDB replica of [[graft.ops.TimeSeries.pacfDurbinLevinson]] on
+    * the daily order-count series: the q366 ACF CTEs, then a recursive
+    * CTE carrying (φ list, φ_mm, E) per key — `pm` is inlined at every
+    * use site, left-fold sums via list_reduce with a prepended 0.
+    */
+  private def pacfOracleSql(maxLag: Int): String = {
+    val pm = s"""(rl.rs[d.m + 1] - list_reduce(list_prepend(
+                |  CAST(0 AS DOUBLE), list_transform(generate_series(1, d.m),
+                |    j -> d.phi[j] * rl.rs[d.m + 1 - j])),
+                |  (x, y) -> x + y)) / d.e""".stripMargin
+    s"""WITH RECURSIVE dly AS (
+       |  SELECT o_orderpriority AS key, CAST(o_orderdate AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM orders GROUP BY 1, 2),
+       |ix AS (SELECT key, x,
+       |    CAST(row_number() OVER (PARTITION BY key ORDER BY day) - 1
+       |      AS BIGINT) AS t
+       |  FROM dly),
+       |st AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS ss
+       |  FROM ix GROUP BY 1 HAVING count(*) > $maxLag),
+       |hd AS (SELECT key, k, t + k AS t2, x AS xh
+       |  FROM ix CROSS JOIN
+       |    (SELECT CAST(unnest([${(1 to maxLag).mkString(",")}]) AS BIGINT)
+       |      AS k)),
+       |pr AS (SELECT hd.key, k, CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(xh * xt) AS BIGINT) AS sp,
+       |    CAST(sum(xh) AS BIGINT) AS sh,
+       |    CAST(sum(xt) AS BIGINT) AS st2
+       |  FROM hd JOIN (SELECT key, t AS t2, x AS xt FROM ix) b
+       |    ON b.key = hd.key AND b.t2 = hd.t2
+       |  GROUP BY 1, 2),
+       |pl AS (SELECT pr.key, k, m, n,
+       |    CAST(round((CAST(sp AS DOUBLE)
+       |        - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+       |          * (CAST(sh AS DOUBLE) + CAST(st2 AS DOUBLE))
+       |        + CAST(m AS DOUBLE)
+       |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+       |      / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+       |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+       |      * 1000000.0) AS BIGINT) AS r_micro
+       |  FROM pr JOIN st ON st.key = pr.key),
+       |rl AS (SELECT key,
+       |    list(CAST(r_micro AS DOUBLE) / 1000000.0 ORDER BY k) AS rs
+       |  FROM pl GROUP BY 1 HAVING count(*) = $maxLag),
+       |dl AS (
+       |  SELECT key, 1 AS m, [rs[1]] AS phi, rs[1] AS pm,
+       |    CAST(1 AS DOUBLE) - rs[1] * rs[1] AS e
+       |  FROM rl
+       |  UNION ALL
+       |  SELECT d.key, d.m + 1,
+       |    list_append(list_transform(d.phi, (v, i) ->
+       |        v - ($pm) * d.phi[d.m + 1 - i]),
+       |      $pm),
+       |    $pm,
+       |    d.e * (CAST(1 AS DOUBLE) - ($pm) * ($pm))
+       |  FROM dl d JOIN rl ON rl.key = d.key WHERE d.m < $maxLag)
+       |SELECT pl.key, pl.k AS lag, pl.r_micro,
+       |  CAST(round(pm * 1000000.0) AS BIGINT) AS pacf_micro
+       |FROM dl JOIN pl ON pl.key = dl.key AND pl.k = dl.m
+       |ORDER BY pl.key, lag""".stripMargin
+  }
 }

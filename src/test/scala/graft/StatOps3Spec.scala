@@ -80,6 +80,21 @@ class StatOps3Spec extends SparkTestBase {
       math.round(-0.25 / 14.0 * 1e6), r.toSeq)
   }
 
+  test("pacf: lag-1 equals r1; lag-2 matches the hand D-L step") {
+    val n = 40
+    val df = (0 until n).map(i => ("k", i.toLong, if (i % 2 == 0) 0L else 10L))
+      .toDF("key", "t", "x")
+    val r = graft.ops.TimeSeries.pacfDurbinLevinson(df, "key", "t", "x",
+        maxLag = 2)
+      .collect().map(row => row.getAs[Long]("lag") -> row).toMap
+    // r1 = -0.975, r2 = 0.950 (the q366 alternating fixture)
+    assert(r(1L).getAs[Long]("pacf_micro") == -975000L, r)
+    // φ22 = (r2 − r1²) / (1 − r1²) with the engine's rounded r values
+    val r1 = -975000L / 1e6; val r2 = 950000L / 1e6
+    val phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    assert(r(2L).getAs[Long]("pacf_micro") == math.round(phi22 * 1e6), r)
+  }
+
   test("logrank: identical survival in both groups gives z ≈ 0") {
     // mirrored event times and censoring across sides
     val rows = for (i <- 1 to 30; s <- Seq(0, 1))
