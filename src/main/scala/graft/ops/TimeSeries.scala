@@ -829,4 +829,72 @@ object TimeSeries {
     acf.select(col("key"), col("lag"), col("r_micro"))
       .join(exploded, Seq("key", "lag"))
   }
+
+  /** Holt–Winters ADDITIVE seasonal smoothing per keyed series —
+    * level + trend + period-p seasonal state, the full triple to
+    * [[holtSegmentedFixedPoint]]'s level/trend double:
+    * `l_t = round((nα(x_t − s_{t−p}) + (dα−nα)(l+b)) / dα)`,
+    * `b_t = round((nβ(l_t − l_{t−1}) + (dβ−nβ)b) / dβ)`,
+    * `s_t = round((nγ(x_t − l_t) + (dγ−nγ)s_{t−p}) / dγ)` — every
+    * step ONE shared `round(int/int)` double shape (operands can be
+    * negative, so never a truncating div — the q130 lesson), state all
+    * integers. Init: l = round(mean of the first p values), b = 0,
+    * s_i = x_i − l.
+    *
+    * The recursion is inherently sequential per key; it runs as ONE
+    * per-key higher-order fold over the collected series array
+    * (bounded by the series length — the KM/EMA convention for
+    * per-key recurrences), so a recursive-CTE oracle carrying
+    * (l, b, s-list) replays it bit-for-bit.
+    *
+    * @param num/den α β γ as integer fractions (nα/dα, nβ/dβ, nγ/dγ)
+    * @return (key, n, level_end, trend_end, forecast1) — forecast1 is
+    *         the one-step-ahead `l + b + s_{n−p}`
+    */
+  def holtWintersAdditive(series: DataFrame, keyCol: String, tCol: String,
+      valCol: String, p: Int, na: Long, da: Long, nb: Long, db: Long,
+      ng: Long, dg: Long): DataFrame = {
+    require(p >= 2 && p <= 366, "period out of range")
+    require(da > na && na > 0 && db > nb && nb > 0 && dg > ng && ng > 0,
+      "smoothing fractions must sit strictly inside (0, 1)")
+    val rl = series
+      .select(col(keyCol).as("key"), col(tCol).cast("long").as("t"),
+        col(valCol).cast("long").as("x"))
+      .groupBy(col("key"))
+      .agg(array_sort(collect_list(struct(col("t"), col("x")))).as("tx"))
+      .select(col("key"), expr("transform(tx, e -> e.x)").as("xs"))
+      .filter(size(col("xs")) > p)
+    val l0 = s"cast(round(cast(aggregate(slice(xs, 1, $p), 0L, " +
+      s"(a, v) -> a + v) as double) / cast($p as double)) as bigint)"
+    val lNew = s"""cast(round(cast($na * (element_at(xs, m)
+                  |  - element_at(acc.s, ((m - 1) % $p) + 1))
+                  |  + ${da - na} * (acc.l + acc.b) as double)
+                  |  / cast($da as double)) as bigint)""".stripMargin
+    val bNew = s"""cast(round(cast($nb * (($lNew) - acc.l)
+                  |  + ${db - nb} * acc.b as double)
+                  |  / cast($db as double)) as bigint)""".stripMargin
+    val sUpd = s"""cast(round(cast($ng * (element_at(xs, m) - ($lNew))
+                  |  + ${dg - ng} * element_at(acc.s, ((m - 1) % $p) + 1)
+                  |  as double) / cast($dg as double)) as bigint)""".stripMargin
+    val fold =
+      s"""aggregate(
+         |  sequence(${p + 1}, cast(size(xs) as int)),
+         |  named_struct(
+         |    'l', $l0,
+         |    'b', 0L,
+         |    's', transform(slice(xs, 1, $p), v -> v - ($l0))),
+         |  (acc, m) -> named_struct(
+         |    'l', $lNew,
+         |    'b', $bNew,
+         |    's', transform(acc.s, (v, ji) ->
+         |      if(ji = (m - 1) % $p, $sUpd, v))),
+         |  acc -> acc)""".stripMargin
+    rl.select(col("key"), size(col("xs")).cast("long").as("n"),
+        expr(fold).as("st"))
+      .select(col("key"), col("n"),
+        col("st.l").as("level_end"), col("st.b").as("trend_end"),
+        (col("st.l") + col("st.b")
+          + element_at(col("st.s"), (col("n") % p).cast("int") + 1))
+          .as("forecast1"))
+  }
 }

@@ -1676,7 +1676,76 @@ object StatQueries extends QueryPack {
           .orderBy($"key", $"lag")
       },
       Some(pacfOracleSql(7)))
+  ,
+
+    // Holt-Winters additive seasonal smoothing (p = 7, α = 3/10,
+    // β = 1/10, γ = 2/10) over the daily order-count series: the
+    // level/trend/seasonal triple recursion, oracle-replayed as a
+    // recursive CTE carrying the seasonal vector as a list.
+    Q("q373_holt_winters",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.orders(s, d)
+          .groupBy($"o_orderpriority".as("key"),
+            to_date($"o_orderdate").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val idx = daily.withColumn("t",
+          row_number().over(Window.partitionBy($"key").orderBy($"day"))
+            .cast("long") - 1L)
+        graft.ops.TimeSeries.holtWintersAdditive(idx, "key", "t", "x",
+            p = 7, na = 3L, da = 10L, nb = 1L, db = 10L, ng = 2L, dg = 10L)
+          .orderBy($"key")
+      },
+      Some(holtWintersOracleSql(p = 7, na = 3, da = 10, nb = 1, db = 10,
+        ng = 2, dg = 10)))
   )
+
+  /** DuckDB replica of [[graft.ops.TimeSeries.holtWintersAdditive]] on
+    * the daily order-count series: recursive CTE carrying
+    * (l, b, seasonal list); each integer numerator is exact, the one
+    * double op per component is the shared round(int/int).
+    */
+  private def holtWintersOracleSql(p: Int, na: Int, da: Int, nb: Int,
+      db: Int, ng: Int, dg: Int): String = {
+    val lNew = s"""CAST(round(CAST($na * (rl.xs[d.m + 1]
+                  |  - d.s[(d.m % $p) + 1])
+                  |  + ${da - na} * (d.l + d.b) AS DOUBLE)
+                  |  / CAST($da AS DOUBLE)) AS BIGINT)""".stripMargin
+    val bNew = s"""CAST(round(CAST($nb * (($lNew) - d.l)
+                  |  + ${db - nb} * d.b AS DOUBLE)
+                  |  / CAST($db AS DOUBLE)) AS BIGINT)""".stripMargin
+    val sUpd = s"""CAST(round(CAST($ng * (rl.xs[d.m + 1] - ($lNew))
+                  |  + ${dg - ng} * d.s[(d.m % $p) + 1] AS DOUBLE)
+                  |  / CAST($dg AS DOUBLE)) AS BIGINT)""".stripMargin
+    s"""WITH RECURSIVE dly AS (
+       |  SELECT o_orderpriority AS key, CAST(o_orderdate AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM orders GROUP BY 1, 2),
+       |rl AS (SELECT key, list(x ORDER BY day) AS xs
+       |  FROM dly GROUP BY 1 HAVING count(*) > $p),
+       |b0 AS (SELECT key, xs,
+       |    CAST(round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        xs[1:$p]), (a, v) -> a + v) AS DOUBLE)
+       |      / CAST($p AS DOUBLE)) AS BIGINT) AS l0
+       |  FROM rl),
+       |rec AS (
+       |  SELECT key, $p AS m, l0 AS l, CAST(0 AS BIGINT) AS b,
+       |    list_transform(xs[1:$p], v -> v - l0) AS s
+       |  FROM b0
+       |  UNION ALL
+       |  SELECT d.key, d.m + 1,
+       |    $lNew,
+       |    $bNew,
+       |    list_transform(d.s, (v, i) ->
+       |      CASE WHEN i = (d.m % $p) + 1 THEN $sUpd ELSE v END)
+       |  FROM rec d JOIN rl ON rl.key = d.key WHERE d.m < len(rl.xs))
+       |SELECT rec.key, CAST(len(xs) AS BIGINT) AS n, l AS level_end,
+       |  b AS trend_end,
+       |  l + b + s[CAST(len(xs) % $p AS BIGINT) + 1] AS forecast1
+       |FROM rec JOIN rl ON rl.key = rec.key WHERE m = len(xs)
+       |ORDER BY rec.key""".stripMargin
+  }
 
   /** DuckDB replica of [[graft.ops.TimeSeries.pacfDurbinLevinson]] on
     * the daily order-count series: the q366 ACF CTEs, then a recursive

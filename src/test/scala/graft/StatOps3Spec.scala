@@ -95,6 +95,30 @@ class StatOps3Spec extends SparkTestBase {
     assert(r(2L).getAs[Long]("pacf_micro") == math.round(phi22 * 1e6), r)
   }
 
+  test("holt-winters: constant series is a fixed point") {
+    val df = (0 until 20).map(i => ("k", i.toLong, 500L)).toDF("key", "t", "x")
+    val r = graft.ops.TimeSeries.holtWintersAdditive(df, "key", "t", "x",
+      p = 7, na = 3L, da = 10L, nb = 1L, db = 10L, ng = 2L, dg = 10L)
+      .collect().head
+    assert(r.getAs[Long]("level_end") == 500L, r)
+    assert(r.getAs[Long]("trend_end") == 0L)
+    assert(r.getAs[Long]("forecast1") == 500L)
+  }
+
+  test("holt-winters: pure period-3 seasonal is tracked exactly") {
+    // x cycles 10, 20, 30 — l stays 20, b stays 0, s stays (−10, 0, 10),
+    // and the one-step forecast equals the true next value
+    val df = (0 until 12).map(i => ("k", i.toLong, ((i % 3) + 1) * 10L))
+      .toDF("key", "t", "x")
+    val r = graft.ops.TimeSeries.holtWintersAdditive(df, "key", "t", "x",
+      p = 3, na = 3L, da = 10L, nb = 1L, db = 10L, ng = 2L, dg = 10L)
+      .collect().head
+    assert(r.getAs[Long]("level_end") == 20L, r)
+    assert(r.getAs[Long]("trend_end") == 0L)
+    // n = 12 → next value is x_12 = 10 (slot 0)
+    assert(r.getAs[Long]("forecast1") == 10L)
+  }
+
   test("logrank: identical survival in both groups gives z ≈ 0") {
     // mirrored event times and censoring across sides
     val rows = for (i <- 1 to 30; s <- Seq(0, 1))
