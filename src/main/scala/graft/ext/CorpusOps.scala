@@ -856,4 +856,72 @@ object CorpusOps {
       .select(col("source"), col("tokens"), col("cap"), col("alloc"),
         expr("alloc * 1000 div tokens").as("epochs_milli"))
   }
+
+  /** Consistent-hash ring sharding audit: assign every doc to its
+    * successor virtual node on a [[graft.functions.PolyHash]] ring,
+    * under `nShards` and again under `nShards + 1`, and report the
+    * per-shard movement — the "how much data rebalances when we add a
+    * node" certificate (expected moved share ≈ 1/(n+1), versus ~100%
+    * for mod-n sharding).
+    *
+    * Fully deterministic integers: ring positions are
+    * `mix(polyHash("s:<shard>:<vnode>"))` and doc keys
+    * `mix(polyHash(id))`, where `mix(x) = (x·2654435761 + 987654321)
+    * mod (2^31 − 1)` — the LCG avalanche matters because raw polyHash
+    * of strings differing only in the trailing char is
+    * near-consecutive, which would collapse the whole ring into one
+    * narrow arc (every doc lands on the first shard). The successor
+    * pick is `min(pos·100 + shard)` over ring rows with `pos ≥ h`
+    * (wrapping to the global min) — the scaled composite key makes
+    * position ties break on the lower shard id identically in any
+    * engine.
+    *
+    * Scale shape: the ring is `shards × vnodes` rows — broadcast; the
+    * assignment is one broadcast range join (≤ ring-size candidates
+    * per doc, collapsed map-side by the min aggregate), no shuffle of
+    * the docs by key.
+    *
+    * @return (shard, n_docs, n_moved, moved_milli) under the OLD
+    *         numbering, ordered by shard
+    */
+  def consistentHashRebalance(docs: DataFrame, idCol: String,
+      nShards: Int, vnodes: Int): DataFrame = {
+    require(nShards >= 1 && nShards < 99 && vnodes >= 1 && vnodes <= 64,
+      "ring size out of range")
+    val spark = docs.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    // LCG avalanche over the polyHash: spreads near-consecutive raw
+    // hashes across the full [0, 2^31-1) ring. polyHash < 1e9+7, so
+    // the multiply stays far inside signed-64.
+    def mix(c: Column): Column =
+      pmod(c * lit(2654435761L) + lit(987654321L), lit(2147483647L))
+    def ring(n: Int): DataFrame = spark.range(n.toLong)
+      .select(col("id").as("sh"))
+      .crossJoin(spark.range(vnodes.toLong).select(col("id").as("v")))
+      .select(col("sh"), mix(PolyHash.polyHash(
+        concat_ws(":", lit("s"), col("sh"), col("v")))).as("pos"))
+    val keyed = docs.select(col(idCol).as("id"),
+        mix(PolyHash.polyHash(col(idCol).cast("string"))).as("h"))
+      .checkpointEager()
+    def assign(n: Int, out: String): DataFrame = {
+      val r = ring(n)
+      val wrap = r.agg(min(col("pos") * 100L + col("sh")).as("wk"))
+      keyed.join(broadcast(r), col("pos") >= col("h"), "left")
+        .groupBy(col("id"), col("h"))
+        .agg(min(when(col("pos").isNotNull, col("pos") * 100L + col("sh")))
+          .as("k"))
+        .crossJoin(broadcast(wrap))
+        .select(col("id"), col("h"),
+          pmod(coalesce(col("k"), col("wk")), lit(100L)).as(out))
+    }
+    assign(nShards, "shard").join(assign(nShards + 1, "shard_new"),
+        Seq("id", "h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard") =!= col("shard_new"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .select(col("shard"), col("n_docs"), col("n_moved"),
+        round(col("n_moved").cast("double") * 1000.0
+          / col("n_docs").cast("double"), 0).cast("long").as("moved_milli"))
+  }
 }

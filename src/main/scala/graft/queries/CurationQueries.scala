@@ -1097,6 +1097,58 @@ object CurationQueries extends QueryPack {
              |  FROM o CROSS JOIN js CROSS JOIN tot)
              |SELECT source, tokens, cap, alloc,
              |  alloc * 1000 // tokens AS epochs_milli
-             |FROM fin ORDER BY source""".stripMargin))
+             |FROM fin ORDER BY source""".stripMargin)),
+
+    // Consistent-hash ring rebalance audit: successor-vnode shard
+    // assignment under 8 and 9 shards (4 vnodes each); the moved share
+    // is ~1/9 per shard instead of mod-N's ~100%.
+    Q("q374_hash_ring",
+      (s, d) => {
+        import s.implicits._
+        CorpusOps.consistentHashRebalance(Tables.documents(s, d), "doc_id",
+            nShards = 8, vnodes = 4)
+          .orderBy($"shard")
+      },
+      Some(hashRingOracleSql(nShards = 8, vnodes = 4)))
   )
+
+  /** DuckDB replica of [[CorpusOps.consistentHashRebalance]]:
+    * LCG-mixed polyHash ring + successor pick via the scaled
+    * `pos·100 + shard` key.
+    */
+  private def hashRingOracleSql(nShards: Int, vnodes: Int): String = {
+    def mix(e: String): String =
+      s"(($e) * 2654435761 + 987654321) % 2147483647"
+    def ring(name: String, n: Int): String = {
+      val str = s"'s:' || CAST(sh AS VARCHAR) || ':' || CAST(v AS VARCHAR)"
+      s"""$name AS (
+         |  SELECT sh, ${mix(phSql(str))} AS pos
+         |  FROM (SELECT unnest(generate_series(0, ${n - 1})) AS sh)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${vnodes - 1}))
+         |    AS v))""".stripMargin
+    }
+    def assign(name: String, ringName: String): String =
+      s"""$name AS (
+         |  SELECT k.id, k.h,
+         |    coalesce(min(CASE WHEN r.pos >= k.h
+         |        THEN r.pos * 100 + r.sh END),
+         |      (SELECT min(pos * 100 + sh) FROM $ringName)) % 100 AS shard
+         |  FROM keyed k LEFT JOIN $ringName r ON r.pos >= k.h
+         |  GROUP BY k.id, k.h)""".stripMargin
+    s"""WITH ${ring("r1", nShards)},
+       |${ring("r2", nShards + 1)},
+       |keyed AS (SELECT doc_id AS id,
+       |    ${mix(phSql("CAST(doc_id AS VARCHAR)"))} AS h
+       |  FROM documents),
+       |${assign("a1", "r1")},
+       |${assign("a2", "r2")}
+       |SELECT a1.shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN a1.shard <> a2.shard THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_moved,
+       |  CAST(round(CAST(sum(CASE WHEN a1.shard <> a2.shard THEN 1 ELSE 0
+       |      END) AS DOUBLE) * 1000.0
+       |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS moved_milli
+       |FROM a1 JOIN a2 ON a2.id = a1.id
+       |GROUP BY 1 ORDER BY a1.shard""".stripMargin
+  }
 }

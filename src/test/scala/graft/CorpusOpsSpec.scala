@@ -263,4 +263,17 @@ class CorpusOpsSpec extends SparkTestBase {
       .map(x => x.getAs[String]("source") -> x.getAs[Long]("alloc")).toMap
     assert(r == Map("a" -> 200L, "b" -> 400L), r)
   }
+
+  test("consistent-hash ring: all docs assigned, movement near 1/(n+1)") {
+    val r = CorpusOps.consistentHashRebalance(docs, "doc_id",
+      nShards = 8, vnodes = 4).collect()
+    val n = docs.count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum === n)
+    // every shard should own something at 8x4 vnodes over >=100 docs
+    assert(r.length === 8, r.mkString(","))
+    val moved = r.map(_.getAs[Long]("n_moved")).sum
+    // expected 1/9 ~ 11%; mod-N sharding would move ~8/9. Accept a wide
+    // band but reject both degenerate (0) and mod-N-like (>40%) shapes.
+    assert(moved > 0 && moved.toDouble / n < 0.40, s"moved=$moved of $n")
+  }
 }
