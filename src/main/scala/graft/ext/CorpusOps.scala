@@ -876,10 +876,13 @@ object CorpusOps {
     * position ties break on the lower shard id identically in any
     * engine.
     *
-    * Scale shape: the ring is `shards × vnodes` rows — broadcast; the
-    * assignment is one broadcast range join (≤ ring-size candidates
-    * per doc, collapsed map-side by the min aggregate), no shuffle of
-    * the docs by key.
+    * Scale shape: the ring collapses to ONE sorted LITERAL array of
+    * composite keys (`pos·100 + shard`, ≤ 6,272 longs — a bounded
+    * single-row head() over a generated table, baked into the plan);
+    * each doc's successor under BOTH ring sizes is an O(ring) scalar
+    * HOF (`array_min(filter(ring, p ≥ h·100))` with wraparound to
+    * `ring[0]`) inside one projection — no join at all, no row
+    * amplification, no shuffle of the docs by key.
     *
     * @return (shard, n_docs, n_moved, moved_milli) under the OLD
     *         numbering, ordered by shard
@@ -901,21 +904,24 @@ object CorpusOps {
       .select(col("sh"), mix(PolyHash.polyHash(
         concat_ws(":", lit("s"), col("sh"), col("v")))).as("pos"))
     val keyed = docs.select(col(idCol).as("id"),
-        mix(PolyHash.polyHash(col(idCol).cast("string"))).as("h"))
-      .checkpointEager()
-    def assign(n: Int, out: String): DataFrame = {
-      val r = ring(n)
-      val wrap = r.agg(min(col("pos") * 100L + col("sh")).as("wk"))
-      keyed.join(broadcast(r), col("pos") >= col("h"), "left")
-        .groupBy(col("id"), col("h"))
-        .agg(min(when(col("pos").isNotNull, col("pos") * 100L + col("sh")))
-          .as("k"))
-        .crossJoin(broadcast(wrap))
-        .select(col("id"), col("h"),
-          pmod(coalesce(col("k"), col("wk")), lit(100L)).as(out))
-    }
-    assign(nShards, "shard").join(assign(nShards + 1, "shard_new"),
-        Seq("id", "h"))
+      mix(PolyHash.polyHash(col(idCol).cast("string"))).as("h"))
+    // ring as ONE sorted composite-key literal (pos·100 + shard keeps
+    // the lower-shard tie-break); pos ≥ h ⟺ composite ≥ h·100 since
+    // shard < 100. The head() is a bounded one-row collect over the
+    // ≤ 6,272-row generated ring — the same PolyHash expression the
+    // docs use, so engine and literal can never drift.
+    def ringLit(n: Int): Column = lit(ring(n)
+      .agg(sort_array(collect_list(col("pos") * 100L + col("sh"))))
+      .head().getSeq[Long](0).toArray)
+    // successor = min surviving composite, wrapping to ring[0] (the
+    // sorted head) when h exceeds every position
+    def assign(r: Column): Column = pmod(coalesce(
+      array_min(filter(r, p => p >= col("h") * 100L)),
+      get(r, lit(0))), lit(100L))
+    keyed
+      .select(col("id"),
+        assign(ringLit(nShards)).as("shard"),
+        assign(ringLit(nShards + 1)).as("shard_new"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("shard") =!= col("shard_new"), 1L).otherwise(0L))

@@ -649,11 +649,16 @@ object LinkGraph {
   /** k-truss decomposition step: iteratively remove edges supported by
     * fewer than `k − 2` triangles — the cohesive-subgraph mining
     * standard (tighter than k-core: every surviving edge sits in at
-    * least k−2 triangles of surviving edges). `rounds` prune passes
-    * run unconditionally (a fixpoint needs ≤ |E| rounds; bounded
-    * budgets are the engine's iteration convention); the result is the
-    * edge set entering round `rounds` that met the support bar in that
-    * round, reported with that round's support.
+    * least k−2 triangles of surviving edges). Up to `rounds` prune
+    * passes run, stopping EARLY at the fixpoint (a round that prunes
+    * nothing — detected by comparing consecutive edge counts, which is
+    * free on the per-round checkpoint; once a round removes no edge,
+    * every later round recomputes identical support, so the early
+    * return is bit-identical to running the full budget). The result
+    * is the surviving edge set with the support counted in the final
+    * executed round; if the budget was exhausted BEFORE the fixpoint
+    * the peel cascade may not have converged — size `rounds` to the
+    * graph (a fixpoint needs ≤ |E| rounds).
     *
     * Scale shape per round: triangle enumeration by degree-ordered
     * orientation (the [[triangleCounts]] wedge join — every triangle
@@ -666,13 +671,15 @@ object LinkGraph {
     */
   def kTruss(pairs: DataFrame, k: Long, rounds: Int): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3")
-    require(rounds >= 1 && rounds <= 6, "round budget out of range")
+    require(rounds >= 1 && rounds <= 32, "round budget out of range")
     var und = pairs.select(
         least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct().checkpointEager()
+    var prevEdges = und.count()
+    var converged = false
     var kept: DataFrame = null
-    for (_ <- 1 to rounds) {
+    for (_ <- 1 to rounds if !converged) {
       val deg = und.select(col("a").as("id"))
         .unionAll(und.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("dg"))
@@ -701,6 +708,9 @@ object LinkGraph {
         .filter(col("support") >= k - 2L)
         .checkpointEager()
       und = kept.select(col("a"), col("b"))
+      val n = kept.count() // free: kept is checkpointed above
+      converged = n == prevEdges
+      prevEdges = n
     }
     kept.select(col("a").as("id_a"), col("b").as("id_b"), col("support"))
   }

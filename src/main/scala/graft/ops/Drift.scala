@@ -189,7 +189,10 @@ object Drift {
     // direction table spans the ACTUAL embedding width (a hardcoded cap
     // would silently drop tail dimensions from the inner join on d);
     // one column-pruned aggregate, dims-bounded
-    val dim = emb.agg(max(size(col(vecCol)))).head().getInt(0)
+    // nullable read: an empty input (or all-null vector column) makes
+    // the max NULL — fold that into the require instead of NPE-ing
+    val dimRow = emb.agg(max(size(col(vecCol)))).head()
+    val dim = if (dimRow.isNullAt(0)) 0 else dimRow.getInt(0)
     require(dim >= 1, "empty embedding column")
     // the cross-term (d+1)(p+7) keeps the sign hash NONLINEAR mod 2 —
     // a linear form like p·31 + d·17 collapses every direction onto one

@@ -26,9 +26,10 @@ import graft.ops.IncrementalAgg
   *
   * Late-arriving data needs no special path: a delta row landing in an
   * old (key, month) group simply adds to that group's state components.
-  * The state is algebraic by design — medians and other holistic
-  * aggregates stay in the full-reprocess lane (Export.monthlyMetrics);
-  * the incremental lane carries what folds.
+  * The state is algebraic by design; even exact medians join the lane
+  * when the value domain is bounded — the q348 histogram-median cycle
+  * folds per-bucket counts, so only truly unbounded holistic aggregates
+  * remain full-reprocess-only.
   */
 object Incremental {
 
@@ -84,10 +85,16 @@ object Incremental {
                     n: Int, threshold: Double, bands: Int, rowsPerBand: Int,
                     newTag: String): DataFrame = {
     import graft.ext.Dedup
-    val state = Versioned.readLatest(spark, dir, statePrefix)
+    val rawState = Versioned.readLatest(spark, dir, statePrefix)
     val delta = Versioned.readLatest(spark, dir, rawPrefix)
     val dState = graft.ext.Exec.checkpointEager(
       Dedup.signatureState(delta, idCol, textCol, n, bands, rowsPerBand))
+    // a delta that RE-INGESTS an existing document replaces (never
+    // duplicates) its signature rows: drop the stale state rows for
+    // every delta id before the union, so the new text is authoritative
+    // both for this cycle's verification and for the published state
+    val state = rawState.join(dState.select(col("id")), Seq("id"),
+      "left_anti")
     val sBand = Dedup.bandRowsFromState(state, bands, rowsPerBand)
     val dBand = Dedup.bandRowsFromState(dState, bands, rowsPerBand)
     val crossVer = dBand.select(col("band"), col("bucket"),
@@ -147,6 +154,17 @@ object Incremental {
     val state = Versioned.readLatest(spark, dir, statePrefix)
     val delta = Versioned.readLatest(spark, dir, rawPrefix)
     val keys = keyCols.map(col)
+    // contract guard (cheap, loud): the log is append-only in time —
+    // every delta row must land strictly after its key's OPEN version.
+    // One tiny agg-join job; a violation would otherwise diverge the
+    // published state from the full rebuild silently.
+    val viol = state.filter(col("is_current"))
+      .join(delta.groupBy(keys: _*).agg(min(col(effectiveCol)).as("__dmin")),
+        keyCols)
+      .filter(col("__dmin") <= col("effective_from"))
+      .limit(1).count()
+    require(viol == 0L, "scd2DeltaCycle: delta rows not strictly after " +
+      "the prior state's open versions — append-only contract violated")
     val touched = delta.select(keys: _*).distinct()
     val openAsLog = state.join(touched, keyCols, "left_semi")
       .filter(col("is_current"))
@@ -213,6 +231,17 @@ object Incremental {
                            gapSec: Long, newTag: String): DataFrame = {
     val state = Versioned.readLatest(spark, dir, statePrefix)
     val delta = Versioned.readLatest(spark, dir, rawPrefix)
+    // contract guard (cheap, loud): delta events must be strictly after
+    // every touched user's last session end, or the carry-event merge
+    // silently diverges from the full-event rebuild
+    val viol = state.groupBy(col("user_id"))
+      .agg(max(col("session_end")).as("__smax"))
+      .join(delta.groupBy(col("user_id")).agg(min(col("sec")).as("__dmin")),
+        Seq("user_id"))
+      .filter(col("__dmin") <= col("__smax"))
+      .limit(1).count()
+    require(viol == 0L, "sessionizeDeltaCycle: delta events not strictly " +
+      "after the prior state's sessions — append-only contract violated")
     val touched = delta.select(col("user_id")).distinct()
     val touchedState = state.join(touched, Seq("user_id"), "left_semi")
     val wLast = org.apache.spark.sql.expressions.Window

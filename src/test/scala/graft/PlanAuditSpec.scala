@@ -208,6 +208,16 @@ class PlanAuditSpec extends SparkTestBase {
       s"token-NLL model not broadcast:\n$plan")
   }
 
+  test("q374 ring successor is a scalar HOF projection — no join at all") {
+    val plan = finalPlan("q374_hash_ring")
+    // the per-key successor lookup must never row-amplify: no nested
+    // loop, no cartesian, and in fact NO join of any kind — both ring
+    // sizes resolve inside one projection over a literal sorted array
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"ring assign row-amplifies:\n$plan")
+  }
+
   test("q130 classifier broadcasts the weight table and never nest-loops") {
     val plan = finalPlan("q130_hashed_classifier")
     assert(plan.contains("BroadcastHashJoin"),
