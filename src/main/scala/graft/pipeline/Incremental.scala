@@ -275,6 +275,92 @@ object Incremental {
     merged
   }
 
+  /** Preprocess + validate over one batch of NESTED survey submissions —
+    * the two upstream stages of the reference's topology
+    * (preprocess: reshape repeat groups long + length-weight catch calc,
+    * R/preprocessing-surveys.R:30-332; validate: per-row alert flags and
+    * whole-submission exclusion, R/validation.R:514-904) — expressed so
+    * the CHAINED delta cycle below can run them on a delta alone:
+    *
+    *  - stage A (preprocess) is per-row: `posexplode_outer` reshape
+    *    ([[SpeciesReshape.toLongCatches]], district/month carried through
+    *    the Generate nodes), taxon recode, and the broadcast LW join
+    *    ([[CatchCalc.calculateCatch]]) — embarrassingly incremental;
+    *  - stage B (validate) is per-SUBMISSION: rows gain flags 1–7
+    *    ([[Validation.catchFlags]]) against the broadcast per-taxon
+    *    bounds, and any flag excludes the WHOLE submission (the
+    *    reference's validated export keeps only alert-free submissions).
+    *    A submission lives entirely inside one batch, so the exclusion
+    *    decision needs no cross-batch state.
+    *
+    * The flags branch and the clean branch both read the raw object
+    * (two scans of the DELTA, never of history) — acceptable because the
+    * delta is the small side; the prior corpus is only ever touched as
+    * its rolled-up monthly state.
+    *
+    * @param lw broadcastable per-taxon metadata:
+    *           (catch_taxon, a_6, b_6, min_length, max_length_75)
+    * @return clean long catch rows with `catch_kg`, district + month
+    */
+  def surveyProcess(raw: DataFrame, lw: DataFrame): DataFrame = {
+    // stage A: preprocess
+    val calc = graft.pipeline.CatchCalc.calculateCatch(
+      graft.pipeline.SpeciesReshape
+        .toLongCatches(raw, carry = Seq("district", "month"))
+        .withColumn("catch_taxon",
+          graft.pipeline.CatchCalc.recodeTaxon(col("selected_species"))),
+      lw.select(col("catch_taxon"), col("a_6"), col("b_6")))
+      .join(broadcast(lw.select(col("catch_taxon"), col("min_length"),
+        col("max_length_75"))), Seq("catch_taxon"), "left")
+      .withColumn("submission_date", col("month"))
+      .withColumn("catch_outcome", lit("1"))
+    // stage B: validate — any per-row flag excludes the submission
+    val f = graft.pipeline.Validation.catchFlags(calc)
+    val bad = f.filter(graft.pipeline.Validation.concatFlags(Seq(
+        col("alert_form_incomplete"), col("alert_catch_info_incomplete"),
+        col("alert_min_length"), col("alert_max_length"),
+        col("alert_bucket_weight"), col("alert_n_buckets"),
+        col("alert_n_individuals"))).isNotNull)
+      .select(col("submission_id")).distinct()
+    calc.join(bad, Seq("submission_id"), "left_anti")
+  }
+
+  /** The END-TO-END chained incremental DAG — the reference's full
+    * nightly topology (raw → preprocess → validate → export,
+    * R/preprocessing-surveys.R:69-74 → R/validation.R:519-524 →
+    * R/export.R:506-511) in ONE run whose every stage consumes only the
+    * delta and the rolled-up state:
+    *
+    *  1. resolve the newest monthly-rollup STATE and the newest nested
+    *     raw DELTA (the only two objects the whole chain scans —
+    *     IncrementalSpec pins the plan's relation set);
+    *  2. [[surveyProcess]] the delta alone (reshape → LW calc → flags →
+    *     submission exclusion — stages A and B never touch history);
+    *  3. roll the clean delta rows up per (district, month) and
+    *     monoid-merge into the prior state ([[graft.ops.IncrementalAgg]]
+    *     — counts and exact integer-cent sums add, so a late-arriving
+    *     delta row in an already-published month just folds in);
+    *  4. publish the merged state as the next version and return it
+    *     LAZILY.
+    *
+    * The q375 oracle is the FULL three-stage reprocess over the complete
+    * tables, so a green row proves chain-incremental ≡ full — the
+    * composition property the per-operator cycles (q340/q342/q344…)
+    * cannot prove alone: no stage silently re-derives a full input.
+    */
+  def chainedSurveyCycle(spark: SparkSession, dir: String,
+                         statePrefix: String, rawPrefix: String,
+                         lw: DataFrame, newTag: String): DataFrame = {
+    val state = Versioned.readLatest(spark, dir, statePrefix)
+    val delta = Versioned.readLatest(spark, dir, rawPrefix)
+    val clean = surveyProcess(delta, lw)
+    val merged = IncrementalAgg.mergeStates(Seq("district", "month"),
+      state, IncrementalAgg.rollupState(clean, Seq("district", "month"),
+        col("catch_kg")))
+    Versioned.write(merged, dir, statePrefix + "_next", newTag)
+    merged
+  }
+
   /** Incremental inverted-index maintenance + BM25 serving: the
     * POSTINGS table `(id, tok, tf)` is the versioned state; a delta
     * batch of new documents tokenizes only itself and APPENDS (doc

@@ -43,25 +43,31 @@ object SpeciesReshape {
 
   /** Wide nested submissions → long catch rows (one row per species-group
     * per length bin; empty groups and binless catches survive as
-    * null-filled rows).
+    * null-filled rows). `carry` names extra submission-level columns to
+    * keep alongside the exploded rows (e.g. district/month for the
+    * chained incremental cycle) — carrying them through the Generate
+    * nodes avoids a join-back rescan of the raw object.
     */
-  def toLongCatches(raw: DataFrame): DataFrame =
+  def toLongCatches(raw: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val carryCols = carry.map(col)
     raw
-      .select(col("submission_id"),
-        posexplode_outer(col("species_groups")).as(Seq("pos", "sg")))
+      .select(col("submission_id") +: carryCols :+
+        posexplode_outer(col("species_groups")).as(Seq("pos", "sg")): _*)
       .select(
-        col("submission_id"),
-        (col("pos") + 1).cast("long").as("n_catch"),
-        col("sg.species").as("selected_species"),
-        col("sg.counting_method").as("count_method"),
-        col("sg.n_buckets").cast("double").as("n_buckets"),
-        col("sg.weight_bucket").cast("double").as("weight_bucket"),
-        col("sg.catch_estimate").cast("double").as("catch_estimate"),
-        explode_outer(col("sg.length_bins")).as("bin"))
+        Seq(col("submission_id")) ++ carryCols ++ Seq(
+          (col("pos") + 1).cast("long").as("n_catch"),
+          col("sg.species").as("selected_species"),
+          col("sg.counting_method").as("count_method"),
+          col("sg.n_buckets").cast("double").as("n_buckets"),
+          col("sg.weight_bucket").cast("double").as("weight_bucket"),
+          col("sg.catch_estimate").cast("double").as("catch_estimate"),
+          explode_outer(col("sg.length_bins")).as("bin")): _*)
       .select(
-        col("submission_id"), col("n_catch"), col("selected_species"),
-        col("count_method"), col("n_buckets"), col("weight_bucket"),
-        col("catch_estimate"),
-        lengthMidpoint(col("bin.length_class")).as("length"),
-        col("bin.n").cast("double").as("individuals"))
+        Seq(col("submission_id")) ++ carryCols ++ Seq(
+          col("n_catch"), col("selected_species"),
+          col("count_method"), col("n_buckets"), col("weight_bucket"),
+          col("catch_estimate"),
+          lengthMidpoint(col("bin.length_class")).as("length"),
+          col("bin.n").cast("double").as("individuals")): _*)
+  }
 }

@@ -922,6 +922,171 @@ object IoQueries extends QueryPack {
              |        / (CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))))
              |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS keep_micro
              |FROM w CROSS JOIN t
-             |ORDER BY cf DESC, tok LIMIT 20""".stripMargin))
+             |ORDER BY cf DESC, tok LIMIT 20""".stripMargin)),
+
+    // THE CHAINED incremental DAG — the reference's full nightly
+    // topology (raw → preprocess → validate → export) in ONE delta run:
+    // nested raw delta → repeat-group reshape + LW catch calc → flags
+    // 1-7 with whole-submission exclusion → monthly rollup monoid-merged
+    // into the prior state. Every stage consumes ONLY delta+state
+    // (IncrementalSpec pins the whole chain's scan set); the oracle is
+    // the FULL three-stage reprocess over the complete tables, so green
+    // proves the COMPOSITION — no stage silently re-derives a full
+    // input — not just each per-operator cycle.
+    Q("q375_incremental_chain",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q375_chain")
+        val lw = chainLwTable(s)
+        val flat = chainSurveyFlat(s, d)
+        def nest(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"submission_id", $"district", $"month")
+            .agg(collect_list($"sg").as("species_groups"))
+        val cutoff = to_date(lit("1998-06-15"))
+        // submissions are atomic: the cutoff splits on submission day,
+        // so a submission lives entirely in one batch (mid-month, so
+        // June 1998 straddles state and delta — the merge must add
+        // into an existing month group)
+        Versioned.write(
+          graft.ops.IncrementalAgg.rollupState(
+            graft.pipeline.Incremental.surveyProcess(
+              nest(flat.filter($"day" < cutoff)), lw),
+            Seq("district", "month"), $"catch_kg"),
+          dir, "chain_state", "00000001_aaa")
+        Versioned.write(nest(flat.filter($"day" >= cutoff)).coalesce(4),
+          dir, "chain_raw", "00000002_bbb")
+        graft.pipeline.Incremental.chainedSurveyCycle(s, dir,
+            "chain_state", "chain_raw", lw, "00000002_bbb")
+          .select($"district", $"month", $"n".as("n_rows"), $"sum_cents")
+          .orderBy($"district", $"month")
+      },
+      Some("""WITH lw(catch_taxon, a_6, b_6, min_length, max_length_75) AS (
+             |  VALUES
+             |  ('OCZ', CAST(0.0631 AS DOUBLE), CAST(2.8 AS DOUBLE),
+             |    CAST(10.0 AS DOUBLE), CAST(50.0 AS DOUBLE)),
+             |  ('TUS', CAST(0.0085 AS DOUBLE), CAST(3.1 AS DOUBLE),
+             |    CAST(12.0 AS DOUBLE), CAST(55.0 AS DOUBLE)),
+             |  ('CRB', CAST(0.2 AS DOUBLE), CAST(2.5 AS DOUBLE),
+             |    CAST(5.0 AS DOUBLE), CAST(52.5 AS DOUBLE)),
+             |  ('SNA', CAST(0.012 AS DOUBLE), CAST(3.0 AS DOUBLE),
+             |    CAST(10.0 AS DOUBLE), CAST(47.5 AS DOUBLE)),
+             |  ('GRP', CAST(0.015 AS DOUBLE), CAST(2.9 AS DOUBLE),
+             |    CAST(5.0 AS DOUBLE), CAST(57.5 AS DOUBLE))),
+             |flat AS (
+             |  SELECT o_orderkey AS submission_id,
+             |    o_orderpriority AS district,
+             |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             |    ['OCZ','TUN','CRB','SNA','GRP'][CAST(l_partkey % 5 AS INT) + 1]
+             |      AS species,
+             |    l_linenumber % 3 AS mode,
+             |    l_partkey % 19 = 0 AS incomplete,
+             |    CAST(7.5 AS DOUBLE) + CAST(5.0 AS DOUBLE)
+             |      * CAST(CAST(l_quantity AS BIGINT) % 11 AS DOUBLE) AS length0,
+             |    CASE WHEN l_suppkey % 37 = 0 THEN 1500
+             |      ELSE l_suppkey % 9 + 1 END AS bin_n,
+             |    CAST(l_partkey % 40 + 1 AS DOUBLE) AS nb,
+             |    CAST(l_quantity AS DOUBLE) AS wb
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |r0 AS (
+             |  SELECT submission_id, district, month,
+             |    CASE WHEN species = 'TUN' THEN 'TUS' ELSE species END
+             |      AS catch_taxon,
+             |    CASE WHEN NOT incomplete AND mode <> 1 THEN length0 END
+             |      AS length,
+             |    CASE WHEN NOT incomplete AND mode <> 1
+             |      THEN CAST(bin_n AS DOUBLE) END AS individuals,
+             |    CASE WHEN NOT incomplete AND mode = 1 THEN nb END AS n_buckets,
+             |    CASE WHEN NOT incomplete AND mode = 1 THEN wb END
+             |      AS weight_bucket
+             |  FROM flat),
+             |calc AS (
+             |  SELECT r0.*, lw.min_length, lw.max_length_75,
+             |    coalesce(
+             |      CASE WHEN length IS NOT NULL THEN
+             |        a_6 * pow(CASE WHEN catch_taxon = 'OCZ'
+             |            THEN length / CAST(5.5 AS DOUBLE) ELSE length END, b_6)
+             |          * individuals / CAST(1000.0 AS DOUBLE) END,
+             |      n_buckets * weight_bucket) AS catch_kg
+             |  FROM r0 JOIN lw USING (catch_taxon)),
+             |bad AS (
+             |  SELECT DISTINCT submission_id FROM calc
+             |  WHERE (catch_taxon IS NOT NULL
+             |      AND (catch_kg IS NULL OR catch_kg <= 0)
+             |      AND (individuals IS NULL OR individuals <= 0))
+             |    OR (length IS NOT NULL AND length < min_length)
+             |    OR (length IS NOT NULL AND length > max_length_75)
+             |    OR (weight_bucket IS NOT NULL AND weight_bucket > 45)
+             |    OR (n_buckets IS NOT NULL AND n_buckets > 30)
+             |    OR (individuals IS NOT NULL AND individuals > 1000)),
+             |clean AS (
+             |  SELECT * FROM calc
+             |  WHERE submission_id NOT IN (SELECT submission_id FROM bad))
+             |SELECT district, month, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(round(catch_kg * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents
+             |FROM clean GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
+
+  /** Per-taxon LW + length-bound metadata for the chained incremental
+    * cycle (q375): broadcast-sized, mirrored by the oracle's VALUES
+    * table. Includes the OCZ mantle-length taxon and (via the TUN→TUS
+    * recode upstream) the recoded tuna row.
+    */
+  private def chainLwTable(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(
+      ("OCZ", 0.0631, 2.8, 10.0, 50.0),
+      ("TUS", 0.0085, 3.1, 12.0, 55.0),
+      ("CRB", 0.2, 2.5, 5.0, 52.5),
+      ("SNA", 0.012, 3.0, 10.0, 47.5),
+      ("GRP", 0.015, 2.9, 5.0, 57.5))
+      .toDF("catch_taxon", "a_6", "b_6", "min_length", "max_length_75")
+  }
+
+  /** Survey-shaped catch rows derived deterministically from
+    * lineitem ⋈ orders for q375: each order is a submission, each line a
+    * species group that is length-binned (mode ≠ 1), bucket-counted
+    * (mode = 1), or incomplete (every 19th part — exercises flag 2).
+    * Flag-triggering values are seeded on purpose: individuals 1500
+    * (flag 7), n_buckets 31–40 (flag 6), weight_bucket 46–50 (flag 5),
+    * and per-taxon length bounds that catch the 7.5 / 52.5+ midpoints
+    * (flags 3–4). Returned flat with the per-line nested struct `sg`;
+    * callers group to `species_groups` per submission.
+    */
+  private def chainSurveyFlat(s: org.apache.spark.sql.SparkSession,
+                              d: String) = {
+    import s.implicits._
+    val taxa = array(lit("OCZ"), lit("TUN"), lit("CRB"), lit("SNA"),
+      lit("GRP"))
+    val bins = array(Seq("5_10", "10_15", "15_20", "20_25", "25_30",
+      "30_35", "35_40", "40_45", "45_50", "50_55", "55_60").map(lit): _*)
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .select(
+        $"o_orderkey".as("submission_id"),
+        $"o_orderpriority".as("district"),
+        trunc(to_date($"o_orderdate"), "month").as("month"),
+        to_date($"o_orderdate").as("day"),
+        element_at(taxa, ($"l_partkey" % 5 + 1).cast("int")).as("species"),
+        ($"l_linenumber" % 3).as("mode"),
+        ($"l_partkey" % 19 === 0).as("incomplete"),
+        element_at(bins, ($"l_quantity".cast("long") % 11 + 1).cast("int"))
+          .as("length_class"),
+        when($"l_suppkey" % 37 === 0, 1500L)
+          .otherwise($"l_suppkey" % 9 + 1).as("bin_n"),
+        ($"l_partkey" % 40 + 1).cast("double").as("nb"),
+        $"l_quantity".cast("double").as("wb"))
+      .select(
+        $"submission_id", $"district", $"month", $"day",
+        struct(
+          $"species",
+          when($"incomplete", "none").when($"mode" === 1, "bucket")
+            .otherwise("bins").as("counting_method"),
+          when(!$"incomplete" && $"mode" === 1, $"nb").as("n_buckets"),
+          when(!$"incomplete" && $"mode" === 1, $"wb").as("weight_bucket"),
+          lit(null).cast("double").as("catch_estimate"),
+          slice(array(struct($"length_class", $"bin_n".as("n"))), lit(1),
+            when(!$"incomplete" && $"mode" =!= 1, lit(1)).otherwise(lit(0)))
+            .as("length_bins")).as("sg"))
+  }
 }

@@ -113,6 +113,30 @@ class IncrementalSpec extends SparkTestBase {
     }
   }
 
+  test("chained DAG (preprocess→validate→export) scans only state + delta") {
+    val df = SparkEntry.queries("q375_incremental_chain")(spark, sfDir)
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l
+    }
+    val paths = rels.flatMap(_.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location.rootPaths.map(_.toString)
+      case _ => Seq.empty
+    })
+    // the WHOLE three-stage chain: the nested raw delta may be read
+    // twice (flags branch + clean branch), the state once — and the
+    // full-history tables must appear NOWHERE in any stage (the
+    // composition property: no stage re-derives a full input)
+    assert(paths.nonEmpty && paths.forall(p =>
+      p.contains("chain_state__") || p.contains("chain_raw__")),
+      s"unexpected scan set:\n${paths.mkString("\n")}")
+    assert(paths.exists(_.contains("chain_state__")) &&
+      paths.exists(_.contains("chain_raw__")),
+      s"chain missing a versioned input:\n${paths.mkString("\n")}")
+    assert(!paths.exists(_.contains(sfDir)),
+      s"a chain stage leaked a full-history scan:\n${paths.mkString("\n")}")
+  }
+
   test("two chained delta cycles ≡ one full reprocess (associativity across versions)") {
     import spark.implicits._
     val dir = graft.core.Scratch.dir("spec_two_cycles")
