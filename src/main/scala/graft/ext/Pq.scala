@@ -148,10 +148,45 @@ object Pq {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, coarse: DataFrame,
                 codebooks: DataFrame, dim: Int, nProbe: Int, m: Int,
                 subDim: Int, k: Int): DataFrame = {
-    require(m * subDim == dim, "subspaces must tile the vector")
     // inverted file: cell per corpus vector (coarse = 1-subspace PQ)
     val cells = encode(corpus, coarse, m = 1, subDim = dim)
       .select(col("vec_id"), col("cid").as("cell"))
+    val codes = encode(corpus, codebooks, m, subDim)
+    val top = ivfPqServe(queries, cells, codes, coarse, codebooks, dim,
+      nProbe, m, subDim, k)
+    // exact micro-L2 top-k recall flag (same trace as adcTopK)
+    def full(df: DataFrame, id: String, out: String) =
+      Exec.widen(df.select(col("vec_id").as(id),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000, 0).cast("long")).as(out)))
+    val q = full(queries, "q_id", "q_emb")
+    val c = full(corpus, "n_id", "n_emb")
+    val wEx = Window.partitionBy(col("q_id"))
+      .orderBy(col("ex_d2").asc, col("n_id").asc)
+    val exact = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("ex_d2", d2(col("q_emb"), col("n_emb")))
+      .withColumn("ex_rank", row_number().over(wEx))
+      .filter(col("ex_rank") <= k)
+      .select(col("q_id"), col("n_id"), lit(true).as("in_exact"))
+    top.join(exact, Seq("q_id", "n_id"), "left")
+      .select(col("q_id"), col("rank"), col("n_id"), col("adc_d2"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"))
+  }
+
+  /** Index-side IVFPQ serving — rank by ADC over only the probed lists,
+    * reading PREBUILT state: `cells` (vec_id, cell), `codes`
+    * (vec_id, s, cid) and the two quantizer tables. No raw corpus
+    * embedding is touched — this is the path an INCREMENTALLY
+    * maintained index serves from ([[graft.pipeline.Incremental
+    * .ivfPqIndexCycle]]), and what [[ivfPqTopK]] delegates to after
+    * encoding a fresh corpus.
+    *
+    * @return (q_id, rank, n_id, adc_d2)
+    */
+  def ivfPqServe(queries: DataFrame, cells: DataFrame, codes: DataFrame,
+                 coarse: DataFrame, codebooks: DataFrame, dim: Int,
+                 nProbe: Int, m: Int, subDim: Int, k: Int): DataFrame = {
+    require(m * subDim == dim, "subspaces must tile the vector")
     // query-side probes: nProbe nearest cells by exact integer d2
     val qfull = subvectors(queries, m = 1, subDim = dim)
       .select(col("vec_id").as("q_id"), col("sub").as("qv"))
@@ -169,7 +204,6 @@ object Pq {
     val tab = qsub.join(broadcast(codebooks), "s")
       .select(col("q_id"), col("s"), col("cid"),
         d2(col("qsub"), col("cent")).as("dt"))
-    val codes = encode(corpus, codebooks, m, subDim)
     // candidates = probed lists only: the IVF restriction BEFORE the
     // per-subspace fan-out, so unprobed cells' codes never join
     val cand = cells.join(broadcast(probes), "cell")
@@ -181,26 +215,47 @@ object Pq {
       .agg(sum(col("dt")).as("adc_d2"))
     val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_d2").asc, col("vec_id").asc)
-    val top = adc.withColumn("rank", row_number().over(wAdc).cast("long"))
+    adc.withColumn("rank", row_number().over(wAdc).cast("long"))
       .filter(col("rank") <= k)
-    // exact micro-L2 top-k recall flag (same trace as adcTopK)
-    def full(df: DataFrame, id: String, out: String) =
-      Exec.widen(df.select(col("vec_id").as(id),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000000, 0).cast("long")).as(out)))
-    val q = full(queries, "q_id", "q_emb")
-    val c = full(corpus, "n_id", "n_emb")
-    val wEx = Window.partitionBy(col("q_id"))
-      .orderBy(col("ex_d2").asc, col("n_id").asc)
-    val exact = broadcast(q).join(c, col("q_id") =!= col("n_id"))
-      .withColumn("ex_d2", d2(col("q_emb"), col("n_emb")))
-      .withColumn("ex_rank", row_number().over(wEx))
-      .filter(col("ex_rank") <= k)
-      .select(col("q_id"), col("n_id"), lit(true).as("in_exact"))
-    top.select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("adc_d2"))
-      .join(exact, Seq("q_id", "n_id"), "left")
-      .select(col("q_id"), col("rank"), col("n_id"), col("adc_d2"),
-        coalesce(col("in_exact"), lit(false)).as("in_exact"))
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        col("adc_d2"))
+  }
+
+  /** Cell-population drift between the prior index and a delta batch —
+    * the RE-CLUSTER TRIGGER an incrementally maintained IVF index
+    * reports each cycle: frozen coarse centroids slowly mismatch the
+    * data distribution, and the first measurable symptom is the delta's
+    * cell-share profile diverging from the prior corpus's. Per cell:
+    * prior/delta populations, milli shares, and the absolute share
+    * drift; globally the total-variation distance (Σ|q−p| div 2, exact
+    * integer on milli shares) and a `rebuild` flag at the `tvMilli`
+    * threshold. Work is O(cells) after two count aggregates.
+    *
+    * @return (cell, n_prior, n_delta, prior_milli, delta_milli,
+    *         drift_milli, tv_milli, rebuild) ordered by cell
+    */
+  def cellDrift(coarse: DataFrame, priorCells: DataFrame,
+                deltaCells: DataFrame, tvMilli: Long = 250L): DataFrame = {
+    val p = priorCells.groupBy(col("cell")).agg(count(lit(1)).as("n_prior"))
+    val q = deltaCells.groupBy(col("cell")).agg(count(lit(1)).as("n_delta"))
+    val base = coarse.select(col("cid").as("cell")).distinct()
+      .join(p, Seq("cell"), "left")
+      .join(q, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_prior", "n_delta"))
+    val tot = base.agg(sum(col("n_prior")).as("tp"),
+      sum(col("n_delta")).as("td"))
+    val milli = base.crossJoin(broadcast(tot))
+      .withColumn("prior_milli", round(col("n_prior").cast("double")
+        * 1000.0 / col("tp").cast("double"), 0).cast("long"))
+      .withColumn("delta_milli", round(col("n_delta").cast("double")
+        * 1000.0 / col("td").cast("double"), 0).cast("long"))
+      .withColumn("drift_milli",
+        abs(col("delta_milli") - col("prior_milli")))
+    val tv = milli.agg(expr("sum(drift_milli) div 2").as("tv_milli"))
+    milli.crossJoin(broadcast(tv))
+      .select(col("cell"), col("n_prior"), col("n_delta"),
+        col("prior_milli"), col("delta_milli"), col("drift_milli"),
+        col("tv_milli"), (col("tv_milli") > tvMilli).as("rebuild"))
   }
 
   /** Recall-vs-probe-budget curve — the tuning table an IVF deployment

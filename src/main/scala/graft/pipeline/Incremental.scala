@@ -361,6 +361,58 @@ object Incremental {
     merged
   }
 
+  /** Incremental ANN (IVFPQ) index maintenance — the delta lane for the
+    * vector-search index ([[graft.ext.Pq.ivfPqTopK]] proved the
+    * composed build+serve shape; this adds what a nightly embedding
+    * batch actually needs): the delta's vectors ASSIGN to the persisted
+    * coarse cells and fine codebooks — the quantizers stay FROZEN, no
+    * re-train, no re-encode of the prior corpus — and the appended
+    * cells/codes tables publish as the next index version. Serving runs
+    * [[graft.ext.Pq.ivfPqServe]] against the merged RELOAD, touching
+    * only quantizer state and the published code tables, never a raw
+    * corpus embedding.
+    *
+    * Replacement semantics: a delta that re-ingests an existing
+    * `vec_id` replaces (anti-join, never duplicates) its cells/codes
+    * rows — the new embedding is authoritative.
+    *
+    * The drift companion [[graft.ext.Pq.cellDrift]] is the honesty
+    * mechanism for the frozen quantizers: when the delta's cell-share
+    * profile diverges (total variation above threshold), the cycle's
+    * report says REBUILD — incremental maintenance is a certified
+    * fast path, not a silent quality leak.
+    *
+    * @return (q_id, rank, n_id, adc_d2) — `queries` served from the
+    *         merged reloaded index
+    */
+  def ivfPqIndexCycle(spark: SparkSession, dir: String,
+                      coarsePrefix: String, finePrefix: String,
+                      cellsPrefix: String, codesPrefix: String,
+                      rawPrefix: String, queries: DataFrame, dim: Int,
+                      nProbe: Int, m: Int, subDim: Int, k: Int,
+                      newTag: String): DataFrame = {
+    import graft.ext.{IvfIndex, Pq}
+    val coarse = IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, coarsePrefix))
+    val fine = IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, finePrefix))
+    val cellsPrior = Versioned.readLatest(spark, dir, cellsPrefix)
+    val codesPrior = Versioned.readLatest(spark, dir, codesPrefix)
+    val delta = Versioned.readLatest(spark, dir, rawPrefix)
+    val dCells = Pq.encode(delta, coarse, m = 1, subDim = dim)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val dCodes = Pq.encode(delta, fine, m, subDim)
+    val dIds = delta.select(col("vec_id"))
+    Versioned.write(cellsPrior.join(dIds, Seq("vec_id"), "left_anti")
+      .unionByName(dCells), dir, cellsPrefix + "_next", newTag)
+    Versioned.write(codesPrior.join(dIds, Seq("vec_id"), "left_anti")
+      .unionByName(dCodes), dir, codesPrefix + "_next", newTag)
+    Pq.ivfPqServe(queries,
+      Versioned.readLatest(spark, dir, cellsPrefix + "_next"),
+      Versioned.readLatest(spark, dir, codesPrefix + "_next"),
+      coarse, fine, dim, nProbe, m, subDim, k)
+  }
+
   /** Incremental inverted-index maintenance + BM25 serving: the
     * POSTINGS table `(id, tok, tf)` is the versioned state; a delta
     * batch of new documents tokenizes only itself and APPENDS (doc

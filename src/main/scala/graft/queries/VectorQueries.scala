@@ -1568,6 +1568,218 @@ object VectorQueries extends QueryPack {
              |    / CAST(count(*) * 5 AS DOUBLE)) AS BIGINT) AS recall_milli
              |FROM panel CROSS JOIN grid g
              |LEFT JOIN hits h ON h.n_probe = g.n_probe AND h.q_id = panel.q_id
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Incremental ANN index maintenance: quantizers trained on the
+    // PRIOR corpus stay frozen; the delta batch (10% of vectors)
+    // assigns to the persisted coarse cells + fine codebooks and the
+    // appended cells/codes tables publish as the next version; serving
+    // runs index-side from the merged RELOAD (no raw corpus embedding
+    // touched). Oracle: train on prior, assign ALL, serve — so green
+    // proves assign-only maintenance ≡ the full re-encode against the
+    // same frozen quantizers.
+    Q("q376_incremental_ivfpq",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val dir = graft.core.Scratch.dir("q376_annidx")
+        val prior = emb.filter($"vec_id" % 10 =!= 0)
+        // original build: quantizers + assignments from the prior corpus
+        Versioned.write(Pq.trainCodebooks(s, prior, m = 1, subDim = 64,
+          k = 8), dir, "anncoarse", "00000001_aaa")
+        Versioned.write(Pq.trainCodebooks(s, prior, m = 8, subDim = 8,
+          k = 4), dir, "annfine", "00000001_aaa")
+        val coarse0 = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "anncoarse"))
+        val fine0 = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "annfine"))
+        Versioned.write(Pq.encode(prior, coarse0, m = 1, subDim = 64)
+          .select($"vec_id", $"cid".as("cell")),
+          dir, "anncells", "00000001_aaa")
+        Versioned.write(Pq.encode(prior, fine0, m = 8, subDim = 8),
+          dir, "anncodes", "00000001_aaa")
+        Versioned.write(emb.filter($"vec_id" % 10 === 0),
+          dir, "annraw", "00000002_bbb")
+        graft.pipeline.Incremental.ivfPqIndexCycle(s, dir, "anncoarse",
+            "annfine", "anncells", "anncodes", "annraw",
+            emb.filter($"vec_id" % 50 === 1), dim = 64, nProbe = 2,
+            m = 8, subDim = 8, k = 5, newTag = "00000002_bbb")
+          .orderBy($"q_id", $"rank")
+      },
+      Some(s"""WITH sub AS (
+             |  SELECT vec_id, s,
+             |    list_transform(embedding[(s*8+1):(s*8+8)],
+             |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS sub
+             |  FROM embeddings CROSS JOIN range(0, 8) ss(s)),
+             |fullv AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS fv
+             |  FROM embeddings),
+             |cseeds AS (
+             |  SELECT vec_id AS cid, fv AS cent FROM fullv
+             |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+             |    WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 8)),
+             |cd0 AS (
+             |  SELECT fullv.vec_id, cseeds.cid,
+             |    ${d2Sql("fullv.fv", "cseeds.cent")} AS dd
+             |  FROM fullv CROSS JOIN cseeds WHERE fullv.vec_id % 10 <> 0),
+             |ca0 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+             |    FROM cd0) WHERE rn = 1),
+             |cfp AS (
+             |  SELECT vec_id, unnest(list_transform(fv,
+             |    (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}), recursive := true)
+             |  FROM fullv),
+             |ccbp AS (
+             |  SELECT ca0.cid, p.pos,
+             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
+             |  FROM ca0 JOIN cfp p ON p.vec_id = ca0.vec_id
+             |  GROUP BY 1, 2),
+             |ccb AS (SELECT cid, list(c ORDER BY pos) AS cent FROM ccbp GROUP BY 1),
+             |cells AS (
+             |  SELECT vec_id, cid AS cell FROM (
+             |    SELECT fullv.vec_id, ccb.cid,
+             |      ${d2Sql("fullv.fv", "ccb.cent")} AS dd,
+             |      row_number() OVER (PARTITION BY fullv.vec_id
+             |        ORDER BY ${d2Sql("fullv.fv", "ccb.cent")}, ccb.cid) AS rn
+             |    FROM fullv CROSS JOIN ccb) WHERE rn = 1),
+             |probes AS (
+             |  SELECT q_id, cell FROM (
+             |    SELECT q.vec_id AS q_id, ccb.cid AS cell,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY ${d2Sql("q.fv", "ccb.cent")}, ccb.cid) AS pr
+             |    FROM fullv q CROSS JOIN ccb WHERE q.vec_id % 50 = 1)
+             |  WHERE pr <= 2),
+             |seeds AS (
+             |  SELECT s, vec_id AS cid, sub AS cent FROM sub
+             |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+             |    WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 4)),
+             |d0 AS (
+             |  SELECT sub.vec_id, sub.s, seeds.cid,
+             |    ${d2Sql("sub.sub", "seeds.cent")} AS dd
+             |  FROM sub JOIN seeds ON seeds.s = sub.s
+             |  WHERE sub.vec_id % 10 <> 0),
+             |a0 AS (
+             |  SELECT vec_id, s, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
+             |    FROM d0) WHERE rn = 1),
+             |subp AS (
+             |  SELECT vec_id, s,
+             |    unnest(list_transform(sub, (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}),
+             |      recursive := true)
+             |  FROM sub),
+             |cbp AS (
+             |  SELECT a0.s, a0.cid, p.pos,
+             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
+             |  FROM a0 JOIN subp p ON p.vec_id = a0.vec_id AND p.s = a0.s
+             |  GROUP BY 1, 2, 3),
+             |cb AS (SELECT s, cid, list(c ORDER BY pos) AS cent FROM cbp GROUP BY 1, 2),
+             |d1 AS (
+             |  SELECT sub.vec_id, sub.s, cb.cid,
+             |    ${d2Sql("sub.sub", "cb.cent")} AS dd
+             |  FROM sub JOIN cb ON cb.s = sub.s),
+             |codes AS (
+             |  SELECT vec_id, s, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
+             |    FROM d1) WHERE rn = 1),
+             |qsub AS (SELECT vec_id AS q_id, s, sub FROM sub WHERE vec_id % 50 = 1),
+             |tab AS (
+             |  SELECT q_id, cb.s, cb.cid, ${d2Sql("qsub.sub", "cb.cent")} AS dt
+             |  FROM qsub JOIN cb ON cb.s = qsub.s),
+             |cand AS (
+             |  SELECT p.q_id, cells.vec_id
+             |  FROM cells JOIN probes p ON p.cell = cells.cell
+             |  WHERE p.q_id != cells.vec_id),
+             |adc AS (
+             |  SELECT cand.q_id, cand.vec_id AS n_id,
+             |    CAST(sum(t.dt) AS BIGINT) AS adc_d2
+             |  FROM cand JOIN codes c ON c.vec_id = cand.vec_id
+             |  JOIN tab t ON t.q_id = cand.q_id AND t.s = c.s AND t.cid = c.cid
+             |  GROUP BY 1, 2)
+             |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+             |    ORDER BY adc_d2, n_id) AS BIGINT) AS rank,
+             |  n_id, adc_d2
+             |FROM adc QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // The frozen-quantizer honesty stat: per-cell population drift
+    // between the prior index and the delta batch, with the
+    // total-variation rebuild trigger — the number an incrementally
+    // maintained IVF index must report so quantizer staleness is
+    // measured, not assumed away.
+    Q("q377_ann_cell_drift",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val prior = emb.filter($"vec_id" % 10 =!= 0)
+        val delta = emb.filter($"vec_id" % 10 === 0)
+        val coarse = graft.ext.IvfIndex.materializeLocal(s,
+          Pq.trainCodebooks(s, prior, m = 1, subDim = 64, k = 8))
+        def cellsOf(df: org.apache.spark.sql.DataFrame) =
+          Pq.encode(df, coarse, m = 1, subDim = 64)
+            .select($"vec_id", $"cid".as("cell"))
+        Pq.cellDrift(coarse, cellsOf(prior), cellsOf(delta))
+          .orderBy($"cell")
+      },
+      Some(s"""WITH fullv AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS fv
+             |  FROM embeddings),
+             |cseeds AS (
+             |  SELECT vec_id AS cid, fv AS cent FROM fullv
+             |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+             |    WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 8)),
+             |cd0 AS (
+             |  SELECT fullv.vec_id, cseeds.cid,
+             |    ${d2Sql("fullv.fv", "cseeds.cent")} AS dd
+             |  FROM fullv CROSS JOIN cseeds WHERE fullv.vec_id % 10 <> 0),
+             |ca0 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+             |    FROM cd0) WHERE rn = 1),
+             |cfp AS (
+             |  SELECT vec_id, unnest(list_transform(fv,
+             |    (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}), recursive := true)
+             |  FROM fullv),
+             |ccbp AS (
+             |  SELECT ca0.cid, p.pos,
+             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
+             |  FROM ca0 JOIN cfp p ON p.vec_id = ca0.vec_id
+             |  GROUP BY 1, 2),
+             |ccb AS (SELECT cid, list(c ORDER BY pos) AS cent FROM ccbp GROUP BY 1),
+             |cells AS (
+             |  SELECT vec_id, cid AS cell FROM (
+             |    SELECT fullv.vec_id, ccb.cid,
+             |      ${d2Sql("fullv.fv", "ccb.cent")} AS dd,
+             |      row_number() OVER (PARTITION BY fullv.vec_id
+             |        ORDER BY ${d2Sql("fullv.fv", "ccb.cent")}, ccb.cid) AS rn
+             |    FROM fullv CROSS JOIN ccb) WHERE rn = 1),
+             |base AS (
+             |  SELECT ccb.cid AS cell,
+             |    coalesce(p.n_prior, 0) AS n_prior,
+             |    coalesce(q.n_delta, 0) AS n_delta
+             |  FROM ccb
+             |  LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n_prior
+             |    FROM cells WHERE vec_id % 10 <> 0 GROUP BY 1) p
+             |    ON p.cell = ccb.cid
+             |  LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n_delta
+             |    FROM cells WHERE vec_id % 10 = 0 GROUP BY 1) q
+             |    ON q.cell = ccb.cid),
+             |t AS (SELECT CAST(sum(n_prior) AS BIGINT) AS tp,
+             |        CAST(sum(n_delta) AS BIGINT) AS td FROM base),
+             |m AS (
+             |  SELECT cell, n_prior, n_delta,
+             |    CAST(round(CAST(n_prior AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |      / CAST(tp AS DOUBLE)) AS BIGINT) AS prior_milli,
+             |    CAST(round(CAST(n_delta AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |      / CAST(td AS DOUBLE)) AS BIGINT) AS delta_milli
+             |  FROM base CROSS JOIN t),
+             |m2 AS (SELECT *, abs(delta_milli - prior_milli) AS drift_milli
+             |  FROM m),
+             |tv AS (SELECT CAST(sum(drift_milli) AS BIGINT) // 2 AS tv_milli
+             |  FROM m2)
+             |SELECT cell, n_prior, n_delta, prior_milli, delta_milli,
+             |  drift_milli, tv_milli, tv_milli > 250 AS rebuild
+             |FROM m2 CROSS JOIN tv ORDER BY cell""".stripMargin))
   )
 }

@@ -40,6 +40,59 @@ class VectorOpsSpec extends SparkTestBase {
     assert(adc.head._3 === 4L && adc.head._4 === 0L && adc.head._5)
   }
 
+  test("incremental IVFPQ maintenance: recall parity with a full rebuild") {
+    import graft.core.Tables
+    import graft.ext.IvfIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    val prior = emb.filter($"vec_id" % 10 =!= 0)
+    val delta = emb.filter($"vec_id" % 10 === 0)
+    val queries = emb.filter($"vec_id" % 50 === 1)
+    val k = 5
+    // exact micro-L2 top-k ground truth over the FULL corpus
+    def micro(df: org.apache.spark.sql.DataFrame, id: String, out: String) =
+      df.select($"vec_id".as(id), transform($"embedding",
+        x => round(x.cast("double") * 1000000, 0).cast("long")).as(out))
+    val wEx = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"ed".asc, $"n_id".asc)
+    val exact = broadcast(micro(queries, "q_id", "qv"))
+      .join(micro(emb, "n_id", "nv"), $"q_id" =!= $"n_id")
+      .withColumn("ed", Pq.d2($"qv", $"nv"))
+      .withColumn("rn", row_number().over(wEx))
+      .filter($"rn" <= k).select($"q_id", $"n_id")
+      .cache()
+    val nq = queries.count()
+    def recall(top: org.apache.spark.sql.DataFrame): Double =
+      top.join(exact, Seq("q_id", "n_id")).count().toDouble / (nq * k)
+    // (a) incremental: quantizers FROZEN on the prior corpus, delta
+    //     assigned to the existing cells, index = appended tables
+    val coarseP = IvfIndex.materializeLocal(spark,
+      Pq.trainCodebooks(spark, prior, m = 1, subDim = 64, k = 8))
+    val fineP = IvfIndex.materializeLocal(spark,
+      Pq.trainCodebooks(spark, prior, m = 8, subDim = 8, k = 4))
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      Pq.encode(df, coarseP, m = 1, subDim = 64)
+        .select($"vec_id", $"cid".as("cell"))
+    val incTop = Pq.ivfPqServe(queries,
+      cellsOf(prior).unionByName(cellsOf(delta)),
+      Pq.encode(prior, fineP, m = 8, subDim = 8)
+        .unionByName(Pq.encode(delta, fineP, m = 8, subDim = 8)),
+      coarseP, fineP, dim = 64, nProbe = 2, m = 8, subDim = 8, k = k)
+    // (b) full rebuild: quantizers retrained on prior + delta
+    val coarseF = IvfIndex.materializeLocal(spark,
+      Pq.trainCodebooks(spark, emb, m = 1, subDim = 64, k = 8))
+    val fineF = IvfIndex.materializeLocal(spark,
+      Pq.trainCodebooks(spark, emb, m = 8, subDim = 8, k = 4))
+    val rebuildTop = Pq.ivfPqTopK(queries, emb, coarseF, fineF,
+      dim = 64, nProbe = 2, m = 8, subDim = 8, k = k)
+      .select($"q_id", $"n_id")
+    val (ri, rf) = (recall(incTop), recall(rebuildTop))
+    exact.unpersist(false)
+    // a 10% delta must not cost meaningful recall vs retraining from
+    // scratch (both numbers are deterministic on the fixed fixture)
+    assert(ri >= rf - 0.15, s"incremental recall $ri << rebuild $rf")
+    assert(ri > 0.0 && rf > 0.0, s"degenerate recalls: $ri / $rf")
+  }
+
   test("Pca.powerTopDirection finds the dominant axis") {
     // cloud stretched along dim 2 (amplitude 10), noise ±1 on dim 5
     val rows = (0 until 40).map { i =>
