@@ -131,6 +131,38 @@ class SkewSpec extends SparkTestBase {
     assert(mx < 45000L, s"hot key still funnels one task: max read $mx")
   }
 
+  test("interval join streams a 4M-pair hot STRING key out of the sweep kernel") {
+    // one string key holds 2000 fully-overlapping intervals per side →
+    // 2000² = 4M output pairs; 2000 cold rows sit on singleton keys
+    // with disjoint unit intervals (each matches only itself)
+    val p = graft.core.Scratch.dir("skew_iv") + "/iv.parquet"
+    spark.range(0, 4000).select(
+        when($"id" < 2000, "hot")
+          .otherwise(concat(lit("cold"), $"id".cast("string"))).as("k"),
+        when($"id" < 2000, $"id" % 50).otherwise($"id" * 10000L).as("lo"),
+        when($"id" < 2000, $"id" % 50 + 9000L).otherwise($"id" * 10000L + 1L)
+          .as("hi"),
+        $"id".as("rid"))
+      .write.mode("overwrite").parquet(p)
+    val df = spark.read.parquet(p)
+    val l = df.select($"k".as("lk"), $"lo".as("llo"), $"hi".as("lhi"),
+      $"rid".as("lid"))
+    val r = df.select($"k".as("rk"), $"lo".as("rlo"), $"hi".as("rhi"),
+      $"rid".as("rrid"))
+    var n = 0L
+    val mx = maxTaskShuffleRead {
+      n = graft.plans.IntervalOverlapJoin.join(
+        l, r, "lk", "llo", "lhi", "rk", "rlo", "rhi").count()
+    }
+    assert(n == 2000L * 2000L + 2000L, s"pair count $n")
+    // the certificate: the exec's INPUT shuffles at data size (8k rows
+    // across both sides — AQE may coalesce them into one task) and the
+    // 4M pairs stream out of the sweep kernel — a pair-materializing
+    // plan would read millions of shuffled rows in one task
+    assert(mx <= 8000L,
+      s"hot string key's pairs crossed a shuffle: max task read $mx")
+  }
+
   test("banded containment screen stays sub-quadratic under a corpus-wide stop-shingle") {
     // every doc shares one hot sentence; without the df cap the hot
     // shingle alone would generate ~n² candidates
