@@ -217,12 +217,17 @@ object Causal {
       .withColumn("cn0", sum(col("n0")).over(wDesc))
       .withColumn("cc0", sum(col("c0")).over(wDesc))
       .select(col("bucket"), col("n1"), col("c1"), col("n0"), col("c0"),
-        round((col("c1").cast("double") / col("n1").cast("double")
-          - col("c0").cast("double") / col("n0").cast("double"))
-          * 1000000.0, 0).cast("long").as("uplift_micro"),
-        round((col("cc1").cast("double") - col("cc0").cast("double")
-          * (col("cn1").cast("double") / col("cn0").cast("double")))
-          * 1000.0, 0).cast("long").as("qini_milli"))
+        // a decile with an EMPTY arm has undefined uplift — NULL, not a
+        // division error (ANSI doubles throw; bit at tiny scale factors
+        // where 10 buckets over a handful of users leave arms empty)
+        when(col("n1") > 0 && col("n0") > 0,
+          round((col("c1").cast("double") / col("n1").cast("double")
+            - col("c0").cast("double") / col("n0").cast("double"))
+            * 1000000.0, 0).cast("long")).as("uplift_micro"),
+        when(col("cn0") > 0,
+          round((col("cc1").cast("double") - col("cc0").cast("double")
+            * (col("cn1").cast("double") / col("cn0").cast("double")))
+            * 1000.0, 0).cast("long")).as("qini_milli"))
   }
 
   /** Iterative proportional fitting (raking) of a two-way count table

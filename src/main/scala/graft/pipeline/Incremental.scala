@@ -361,6 +361,55 @@ object Incremental {
     merged
   }
 
+  /** Per-submission contribution rows of one batch of clean catch rows —
+    * the RETRACTABLE state grain for [[chainedResubmitCycle]]:
+    * (submission_id, district, month, n, sum_cents), one row per clean
+    * submission.
+    */
+  def submissionContrib(clean: DataFrame): DataFrame =
+    clean.groupBy(col("submission_id"), col("district"), col("month"))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.centsSum(col("catch_kg")).as("sum_cents"))
+
+  /** Chained incremental cycle WITH RESUBMISSION (retraction) support —
+    * the reference's real edit workflow: validators correct submissions
+    * upstream and the pipeline re-pulls the edited rows
+    * (sync_validation_submissions, R/validation.R:968-1090). A
+    * full-reprocess engine just re-reads everything; an incremental one
+    * must RETRACT the stale contribution before folding in the
+    * corrected one.
+    *
+    * The state is therefore kept at SUBMISSION grain — one
+    * (submission_id, district, month, n, sum_cents) row per clean
+    * submission — which is what makes retraction exact and O(1) per
+    * edit: any submission id present in the delta anti-joins its prior
+    * contribution OUT (including an edit that now FAILS validation —
+    * the old contribution disappears and nothing re-enters), the
+    * re-processed contribution unions IN, and the monthly export
+    * derives by one state-sized rollup. No subtraction is ever needed
+    * because the subtrahend is exactly the stored row. The tradeoff vs
+    * [[chainedSurveyCycle]]'s month-grain state is deliberate:
+    * append-only pipelines keep O(districts × months) state; edit
+    * support costs O(submissions) state — still orders below the raw
+    * catch rows, and the minimum information retraction requires.
+    *
+    * @return the monthly export (district, month, n, sum_cents) derived
+    *         from the published contribution state
+    */
+  def chainedResubmitCycle(spark: SparkSession, dir: String,
+                           statePrefix: String, rawPrefix: String,
+                           lw: DataFrame, newTag: String): DataFrame = {
+    val state = Versioned.readLatest(spark, dir, statePrefix)
+    val delta = Versioned.readLatest(spark, dir, rawPrefix)
+    val contrib = submissionContrib(surveyProcess(delta, lw))
+    val merged = state.join(delta.select(col("submission_id")).distinct(),
+        Seq("submission_id"), "left_anti")
+      .unionByName(contrib)
+    Versioned.write(merged, dir, statePrefix + "_next", newTag)
+    merged.groupBy(col("district"), col("month"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+  }
+
   /** Incremental ANN (IVFPQ) index maintenance — the delta lane for the
     * vector-search index ([[graft.ext.Pq.ivfPqTopK]] proved the
     * composed build+serve shape; this adds what a nightly embedding

@@ -104,7 +104,7 @@ object AnalyticsQueries extends QueryPack {
         Eval.aucOneVsRest(scored, "score", "label").orderBy($"label")
       },
       Some("""WITH s AS (
-             |  SELECT CAST(round(embedding[1] * 1000000.0) AS BIGINT) AS sc, label
+             |  SELECT CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT) AS sc, label
              |  FROM embeddings),
              |per AS (SELECT sc, count(*) AS tot FROM s GROUP BY 1),
              |tots AS (
@@ -148,7 +148,8 @@ object AnalyticsQueries extends QueryPack {
       },
       Some("""WITH s AS (
              |  SELECT least(greatest(
-             |      CAST(round((embedding[1] + 1.0) / 2.0 * 1000000.0) AS BIGINT),
+             |      CAST(round((CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0
+             |        * 1000000.0) AS BIGINT),
              |      0), 1000000) AS p,
              |    CAST(label % 2 AS BIGINT) AS y
              |  FROM embeddings),

@@ -960,72 +960,134 @@ object IoQueries extends QueryPack {
           .select($"district", $"month", $"n".as("n_rows"), $"sum_cents")
           .orderBy($"district", $"month")
       },
-      Some("""WITH lw(catch_taxon, a_6, b_6, min_length, max_length_75) AS (
-             |  VALUES
-             |  ('OCZ', CAST(0.0631 AS DOUBLE), CAST(2.8 AS DOUBLE),
-             |    CAST(10.0 AS DOUBLE), CAST(50.0 AS DOUBLE)),
-             |  ('TUS', CAST(0.0085 AS DOUBLE), CAST(3.1 AS DOUBLE),
-             |    CAST(12.0 AS DOUBLE), CAST(55.0 AS DOUBLE)),
-             |  ('CRB', CAST(0.2 AS DOUBLE), CAST(2.5 AS DOUBLE),
-             |    CAST(5.0 AS DOUBLE), CAST(52.5 AS DOUBLE)),
-             |  ('SNA', CAST(0.012 AS DOUBLE), CAST(3.0 AS DOUBLE),
-             |    CAST(10.0 AS DOUBLE), CAST(47.5 AS DOUBLE)),
-             |  ('GRP', CAST(0.015 AS DOUBLE), CAST(2.9 AS DOUBLE),
-             |    CAST(5.0 AS DOUBLE), CAST(57.5 AS DOUBLE))),
-             |flat AS (
-             |  SELECT o_orderkey AS submission_id,
-             |    o_orderpriority AS district,
-             |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-             |    ['OCZ','TUN','CRB','SNA','GRP'][CAST(l_partkey % 5 AS INT) + 1]
-             |      AS species,
-             |    l_linenumber % 3 AS mode,
-             |    l_partkey % 19 = 0 AS incomplete,
-             |    CAST(7.5 AS DOUBLE) + CAST(5.0 AS DOUBLE)
-             |      * CAST(CAST(l_quantity AS BIGINT) % 11 AS DOUBLE) AS length0,
-             |    CASE WHEN l_suppkey % 37 = 0 THEN 1500
-             |      ELSE l_suppkey % 9 + 1 END AS bin_n,
-             |    CAST(l_partkey % 40 + 1 AS DOUBLE) AS nb,
-             |    CAST(l_quantity AS DOUBLE) AS wb
-             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-             |r0 AS (
-             |  SELECT submission_id, district, month,
-             |    CASE WHEN species = 'TUN' THEN 'TUS' ELSE species END
-             |      AS catch_taxon,
-             |    CASE WHEN NOT incomplete AND mode <> 1 THEN length0 END
-             |      AS length,
-             |    CASE WHEN NOT incomplete AND mode <> 1
-             |      THEN CAST(bin_n AS DOUBLE) END AS individuals,
-             |    CASE WHEN NOT incomplete AND mode = 1 THEN nb END AS n_buckets,
-             |    CASE WHEN NOT incomplete AND mode = 1 THEN wb END
-             |      AS weight_bucket
-             |  FROM flat),
-             |calc AS (
-             |  SELECT r0.*, lw.min_length, lw.max_length_75,
-             |    coalesce(
-             |      CASE WHEN length IS NOT NULL THEN
-             |        a_6 * pow(CASE WHEN catch_taxon = 'OCZ'
-             |            THEN length / CAST(5.5 AS DOUBLE) ELSE length END, b_6)
-             |          * individuals / CAST(1000.0 AS DOUBLE) END,
-             |      n_buckets * weight_bucket) AS catch_kg
-             |  FROM r0 JOIN lw USING (catch_taxon)),
-             |bad AS (
-             |  SELECT DISTINCT submission_id FROM calc
-             |  WHERE (catch_taxon IS NOT NULL
-             |      AND (catch_kg IS NULL OR catch_kg <= 0)
-             |      AND (individuals IS NULL OR individuals <= 0))
-             |    OR (length IS NOT NULL AND length < min_length)
-             |    OR (length IS NOT NULL AND length > max_length_75)
-             |    OR (weight_bucket IS NOT NULL AND weight_bucket > 45)
-             |    OR (n_buckets IS NOT NULL AND n_buckets > 30)
-             |    OR (individuals IS NOT NULL AND individuals > 1000)),
-             |clean AS (
-             |  SELECT * FROM calc
-             |  WHERE submission_id NOT IN (SELECT submission_id FROM bad))
-             |SELECT district, month, CAST(count(*) AS BIGINT) AS n_rows,
-             |  CAST(sum(CAST(round(catch_kg * 100) AS BIGINT)) AS BIGINT)
-             |    AS sum_cents
-             |FROM clean GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+      Some(chainOracleSql(RawBinNSql))),
+
+    // Chained incremental cycle WITH RESUBMISSION: the delta carries
+    // new submissions PLUS edited re-pulls of prior ones (the
+    // reference's validator workflow, R/validation.R:968-1090 — here
+    // the edit caps implausible individual counts at 900, un-flagging
+    // the 1500-count flag-7 submissions). The state is per-SUBMISSION
+    // contribution rows, so each resubmitted id RETRACTS its stale
+    // contribution by anti-join before the corrected one folds in;
+    // the monthly export derives from the published state. Oracle =
+    // full reprocess with the edited rows authoritative.
+    Q("q378_incremental_resubmit",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q378_resubmit")
+        val lw = chainLwTable(s)
+        val flat = chainSurveyFlat(s, d)
+        def nest(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"submission_id", $"district", $"month")
+            .agg(collect_list($"sg").as("species_groups"))
+        val cutoff = to_date(lit("1998-06-15"))
+        val prior = flat.filter($"day" < cutoff)
+        // the validator's edit on every 23rd prior submission: halve
+        // the individual counts (floor 1) — un-flags the seeded 1500
+        // outliers AND changes every clean resubmission's catch_kg, so
+        // the retraction path provably bites (IncrementalSpec pins it)
+        val edited = prior.filter($"submission_id" % 23 === 0)
+          .withColumn("sg", $"sg".withField("length_bins",
+            transform($"sg.length_bins", b => struct(
+              b.getField("length_class").as("length_class"),
+              greatest(lit(1L), shiftright(b.getField("n"), 1)).as("n")))))
+        Versioned.write(
+          graft.pipeline.Incremental.submissionContrib(
+            graft.pipeline.Incremental.surveyProcess(nest(prior), lw)),
+          dir, "resub_state", "00000001_aaa")
+        Versioned.write(
+          nest(flat.filter($"day" >= cutoff).unionByName(edited))
+            .coalesce(4),
+          dir, "resub_raw", "00000002_bbb")
+        graft.pipeline.Incremental.chainedResubmitCycle(s, dir,
+            "resub_state", "resub_raw", lw, "00000002_bbb")
+          .select($"district", $"month", $"n".as("n_rows"), $"sum_cents")
+          .orderBy($"district", $"month")
+      },
+      Some(chainOracleSql(
+        s"""CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-06-15'
+           |      AND o_orderkey % 23 = 0
+           |      THEN greatest(1, $RawBinNSql // 2) ELSE $RawBinNSql END"""
+          .stripMargin)))
   )
+
+  /** The q375 per-line bin-count derivation, shared with q378's edited
+    * variant (a def: `all` initializes before any later vals would).
+    */
+  private def RawBinNSql: String =
+    "(CASE WHEN l_suppkey % 37 = 0 THEN 1500 ELSE l_suppkey % 9 + 1 END)"
+
+  /** Shared full-reprocess oracle for the chained incremental cycles
+    * (q375/q378): the three-stage replay over lineitem ⋈ orders with
+    * the per-line effective bin count plugged in (`binNSql`) — q375
+    * uses the raw derivation, q378 applies the validator's
+    * resubmission edit to it.
+    */
+  private def chainOracleSql(binNSql: String): String =
+    s"""WITH lw(catch_taxon, a_6, b_6, min_length, max_length_75) AS (
+       |  VALUES
+       |  ('OCZ', CAST(0.0631 AS DOUBLE), CAST(2.8 AS DOUBLE),
+       |    CAST(10.0 AS DOUBLE), CAST(50.0 AS DOUBLE)),
+       |  ('TUS', CAST(0.0085 AS DOUBLE), CAST(3.1 AS DOUBLE),
+       |    CAST(12.0 AS DOUBLE), CAST(55.0 AS DOUBLE)),
+       |  ('CRB', CAST(0.2 AS DOUBLE), CAST(2.5 AS DOUBLE),
+       |    CAST(5.0 AS DOUBLE), CAST(52.5 AS DOUBLE)),
+       |  ('SNA', CAST(0.012 AS DOUBLE), CAST(3.0 AS DOUBLE),
+       |    CAST(10.0 AS DOUBLE), CAST(47.5 AS DOUBLE)),
+       |  ('GRP', CAST(0.015 AS DOUBLE), CAST(2.9 AS DOUBLE),
+       |    CAST(5.0 AS DOUBLE), CAST(57.5 AS DOUBLE))),
+       |flat AS (
+       |  SELECT o_orderkey AS submission_id,
+       |    o_orderpriority AS district,
+       |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       |    ['OCZ','TUN','CRB','SNA','GRP'][CAST(l_partkey % 5 AS INT) + 1]
+       |      AS species,
+       |    l_linenumber % 3 AS mode,
+       |    l_partkey % 19 = 0 AS incomplete,
+       |    CAST(7.5 AS DOUBLE) + CAST(5.0 AS DOUBLE)
+       |      * CAST(CAST(l_quantity AS BIGINT) % 11 AS DOUBLE) AS length0,
+       |    $binNSql AS bin_n,
+       |    CAST(l_partkey % 40 + 1 AS DOUBLE) AS nb,
+       |    CAST(l_quantity AS DOUBLE) AS wb
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |r0 AS (
+       |  SELECT submission_id, district, month,
+       |    CASE WHEN species = 'TUN' THEN 'TUS' ELSE species END
+       |      AS catch_taxon,
+       |    CASE WHEN NOT incomplete AND mode <> 1 THEN length0 END
+       |      AS length,
+       |    CASE WHEN NOT incomplete AND mode <> 1
+       |      THEN CAST(bin_n AS DOUBLE) END AS individuals,
+       |    CASE WHEN NOT incomplete AND mode = 1 THEN nb END AS n_buckets,
+       |    CASE WHEN NOT incomplete AND mode = 1 THEN wb END
+       |      AS weight_bucket
+       |  FROM flat),
+       |calc AS (
+       |  SELECT r0.*, lw.min_length, lw.max_length_75,
+       |    coalesce(
+       |      CASE WHEN length IS NOT NULL THEN
+       |        a_6 * pow(CASE WHEN catch_taxon = 'OCZ'
+       |            THEN length / CAST(5.5 AS DOUBLE) ELSE length END, b_6)
+       |          * individuals / CAST(1000.0 AS DOUBLE) END,
+       |      n_buckets * weight_bucket) AS catch_kg
+       |  FROM r0 JOIN lw USING (catch_taxon)),
+       |bad AS (
+       |  SELECT DISTINCT submission_id FROM calc
+       |  WHERE (catch_taxon IS NOT NULL
+       |      AND (catch_kg IS NULL OR catch_kg <= 0)
+       |      AND (individuals IS NULL OR individuals <= 0))
+       |    OR (length IS NOT NULL AND length < min_length)
+       |    OR (length IS NOT NULL AND length > max_length_75)
+       |    OR (weight_bucket IS NOT NULL AND weight_bucket > 45)
+       |    OR (n_buckets IS NOT NULL AND n_buckets > 30)
+       |    OR (individuals IS NOT NULL AND individuals > 1000)),
+       |clean AS (
+       |  SELECT * FROM calc
+       |  WHERE submission_id NOT IN (SELECT submission_id FROM bad))
+       |SELECT district, month, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CAST(round(catch_kg * 100) AS BIGINT)) AS BIGINT)
+       |    AS sum_cents
+       |FROM clean GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Per-taxon LW + length-bound metadata for the chained incremental
     * cycle (q375): broadcast-sized, mirrored by the oracle's VALUES

@@ -1434,12 +1434,14 @@ object StatQueries extends QueryPack {
              |  FROM cells
              |  WINDOW wd AS (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING))
              |SELECT bucket, n1, c1, n0, c0,
-             |  CAST(round((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-             |    - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-             |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS uplift_micro,
-             |  CAST(round((CAST(cc1 AS DOUBLE) - CAST(cc0 AS DOUBLE)
-             |    * (CAST(cn1 AS DOUBLE) / CAST(cn0 AS DOUBLE)))
-             |    * CAST(1000 AS DOUBLE)) AS BIGINT) AS qini_milli
+             |  CASE WHEN n1 > 0 AND n0 > 0 THEN
+             |    CAST(round((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |      - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             |      * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS uplift_micro,
+             |  CASE WHEN cn0 > 0 THEN
+             |    CAST(round((CAST(cc1 AS DOUBLE) - CAST(cc0 AS DOUBLE)
+             |      * (CAST(cn1 AS DOUBLE) / CAST(cn0 AS DOUBLE)))
+             |      * CAST(1000 AS DOUBLE)) AS BIGINT) END AS qini_milli
              |FROM cum ORDER BY bucket""".stripMargin)),
 
     // Delta-method SE for the revenue-per-event ratio metric by

@@ -1652,7 +1652,7 @@ object StructureQueries extends QueryPack {
       },
       Some("""WITH s AS (
              |  SELECT least(greatest(
-             |      CAST(round((embedding[1] + 1.0) / 2.0 * 1000000.0) AS BIGINT),
+             |      CAST(round((CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 * 1000000.0) AS BIGINT),
              |      0), 1000000) AS p,
              |    CAST(label % 2 AS BIGINT) AS y
              |  FROM embeddings),
