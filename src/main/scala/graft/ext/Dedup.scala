@@ -282,11 +282,17 @@ object Dedup {
       // document frequency per (block, hash); hot shingles leave BOTH
       // the index and the probe pool (symmetric drop — a capped posting
       // list that kept "the first maxDf docs" would make recall depend
-      // on partition order)
-      val dfc = posts.groupBy(bc :+ col("h"): _*)
+      // on partition order). The drop is a broadcast ANTI-join against
+      // the HOT set, not an equi-join against the kept set: the hot
+      // side is bounded by |postings| / maxDf rows (every hot shingle
+      // costs > maxDf postings), so it broadcasts where the kept set —
+      // nearly all distinct shingles — would shuffle the posting table
+      // a second time.
+      val hot = posts.groupBy(bc :+ col("h"): _*)
         .agg(count(lit(1)).as("dfc"))
-        .filter(col("dfc") <= maxDf).drop("dfc")
-      val kept = posts.join(dfc, blockCols :+ "h").persist(lvl)
+        .filter(col("dfc") > maxDf).drop("dfc")
+      val kept = posts.join(broadcast(hot), blockCols :+ "h", "left_anti")
+        .persist(lvl)
       try {
         // minwise probe sample: the `probes` smallest kept hashes per doc
         val probeSide = kept

@@ -37,9 +37,20 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # GATE_SKIP: comma-separated names whose ORACLE is infeasible at this
+    # scale (q189's k-core recursive CTE exhausts >79 GB of DuckDB temp
+    # spill at sf0.1 — the Spark side completes fine; see ROADMAP.md)
+    skip = set(x for x in
+               __import__("os").environ.get("GATE_SKIP", "").split(",") if x)
     out = {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        if name in skip:
+            out[name] = {"rows_match": None, "schema_match": None,
+                         "hash_match": None, "spark_rows": None,
+                         "oracle_rows": None,
+                         "err": "SKIPPED: oracle infeasible at this sf"}
+            continue
         rec = {"rows_match": False, "schema_match": False,
                "hash_match": False, "spark_rows": None,
                "oracle_rows": None, "err": None}
