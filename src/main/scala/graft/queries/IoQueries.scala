@@ -1094,7 +1094,7 @@ object IoQueries extends QueryPack {
     * table. Includes the OCZ mantle-length taxon and (via the TUN→TUS
     * recode upstream) the recoded tuna row.
     */
-  private def chainLwTable(s: org.apache.spark.sql.SparkSession) = {
+  private[graft] def chainLwTable(s: org.apache.spark.sql.SparkSession) = {
     import s.implicits._
     Seq(
       ("OCZ", 0.0631, 2.8, 10.0, 50.0),
@@ -1115,7 +1115,7 @@ object IoQueries extends QueryPack {
     * (flags 3–4). Returned flat with the per-line nested struct `sg`;
     * callers group to `species_groups` per submission.
     */
-  private def chainSurveyFlat(s: org.apache.spark.sql.SparkSession,
+  private[graft] def chainSurveyFlat(s: org.apache.spark.sql.SparkSession,
                               d: String) = {
     import s.implicits._
     val taxa = array(lit("OCZ"), lit("TUN"), lit("CRB"), lit("SNA"),

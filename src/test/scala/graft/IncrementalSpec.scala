@@ -160,6 +160,38 @@ class IncrementalSpec extends SparkTestBase {
       "resubmission edit changed nothing — fixture does not exercise retraction")
   }
 
+  test("two chained SURVEY cycles ≡ one full reprocess (DAG composition across versions)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = graft.core.Scratch.dir("spec_two_chain_cycles")
+    val lw = graft.queries.IoQueries.chainLwTable(spark)
+    val flat = graft.queries.IoQueries.chainSurveyFlat(spark, sfDir)
+    def nest(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"submission_id", $"district", $"month")
+        .agg(collect_list($"sg").as("species_groups"))
+    val (c1, c2) = (to_date(lit("1997-06-15")), to_date(lit("1999-06-15")))
+    graft.io.Versioned.write(
+      graft.ops.IncrementalAgg.rollupState(
+        graft.pipeline.Incremental.surveyProcess(
+          nest(flat.filter($"day" < c1)), lw),
+        Seq("district", "month"), $"catch_kg"),
+      dir, "cs", "00000001_aaa")
+    graft.io.Versioned.write(
+      nest(flat.filter($"day" >= c1 && $"day" < c2)), dir, "cr1", "00000002_bbb")
+    // cycle 1 publishes cs_next; cycle 2 consumes THAT as its state
+    graft.pipeline.Incremental.chainedSurveyCycle(spark, dir, "cs", "cr1",
+      lw, "00000002_bbb").count()
+    graft.io.Versioned.write(
+      nest(flat.filter($"day" >= c2)), dir, "cr2", "00000003_ccc")
+    val twoCycles = graft.pipeline.Incremental.chainedSurveyCycle(spark,
+      dir, "cs_next", "cr2", lw, "00000003_ccc").collect().toSet
+    val full = graft.ops.IncrementalAgg.rollupState(
+      graft.pipeline.Incremental.surveyProcess(nest(flat), lw),
+      Seq("district", "month"), $"catch_kg").collect().toSet
+    assert(twoCycles == full,
+      s"chain composition diverged: ${(twoCycles diff full).take(3)} vs ${(full diff twoCycles).take(3)}")
+  }
+
   test("two chained delta cycles ≡ one full reprocess (associativity across versions)") {
     import spark.implicits._
     val dir = graft.core.Scratch.dir("spec_two_cycles")
