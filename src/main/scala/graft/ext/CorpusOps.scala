@@ -930,4 +930,49 @@ object CorpusOps {
         round(col("n_moved").cast("double") * 1000.0
           / col("n_docs").cast("double"), 0).cast("long").as("moved_milli"))
   }
+
+  /** Deterministic per-stratum hash reservoir — the SCALE TWIN of
+    * [[stratifiedSample]] (q77): same k-lowest-hash-per-stratum
+    * semantics, two upgrades for the 100-TB regime. (1) SKEW-SAFE
+    * top-k: [[stratifiedSample]]'s whole-stratum rank window sorts each
+    * stratum in one task — a 90%-hot source serializes the cluster;
+    * here phase 1 takes a local top-k per (input partition, stratum) —
+    * input splits are balanced regardless of stratum skew — and phase 2
+    * ranks only the ≤ k·P survivors. (2) SALTED redraws: hashing
+    * `salt|id` yields fresh independent samples per salt (audit panel
+    * vs eval carve-out vs spot-check) with no RNG state — the same
+    * discipline as the q235 bootstrap's PolyHash-indexed draws.
+    *
+    * Only (strata, id, hash) columns flow through either exchange; the
+    * document text never shuffles.
+    *
+    * @return strataCols :+ idCol :+ (sample_hash, rnk), rnk ≤ k
+    */
+  def hashReservoir(df: DataFrame, strataCols: Seq[String], idCol: String,
+                    k: Int, salt: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val sc = strataCols.map(col)
+    // square-then-affine avalanche over the poly hash (the q122 /
+    // [[weightedSample]] mix): raw poly31 is near-order-preserving on
+    // short numeric keys, which would make every salt draw the same
+    // lowest-id rows instead of a fresh sample
+    val P = 1000000007L
+    val h0 = PolyHash.polyHash(
+      concat(lit(salt + "|"), col(idCol).cast("string")))
+    val withH = df
+      .withColumn("__h", pmod(pmod(h0 * h0, lit(P)) * 1103515245L + 12345L,
+        lit(P)))
+      .select(sc ++ Seq(col(idCol), col("__h")): _*)
+      .withColumn("__part", spark_partition_id())
+    val wLocal = Window.partitionBy((col("__part") +: sc): _*)
+      .orderBy(col("__h"), col(idCol))
+    val wGlob = Window.partitionBy(sc: _*)
+      .orderBy(col("__h"), col(idCol))
+    withH.withColumn("__ln", row_number().over(wLocal))
+      .filter(col("__ln") <= k)
+      .withColumn("rnk", row_number().over(wGlob).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(sc ++ Seq(col(idCol), col("__h").as("sample_hash"),
+        col("rnk")): _*)
+  }
 }

@@ -1049,4 +1049,51 @@ object Eval {
                 / col("g_eff").cast("double")), lit(0.0d))), 0)
           .cast("long").as("jk_se_milli"))
   }
+
+  /** Benjamini–Hochberg FDR step-up over a panel of test statistics —
+    * the multiple-testing control every metric panel needs before its
+    * per-cell t/z tests are read as discoveries (running k one-vs-rest
+    * tests at α each inflates the family-wise false-positive rate; BH
+    * bounds the expected FALSE-DISCOVERY fraction at α instead).
+    *
+    * Two-sided p-values come from |z| through the Abramowitz–Stegun
+    * 26.2.17 normal-CDF polynomial — a fixed-coefficient Horner form
+    * both engines replay in the identical operation order, micro-rounded
+    * before any comparison, so the step-up thresholding is an exact
+    * integer test (`p_micro·m ≤ rank·α_micro`) and the reject set is
+    * bit-deterministic cross-engine. Rejection: k* = max rank passing
+    * the line, reject ranks 1..k* (the step-up closure).
+    *
+    * The panel is a bounded tests table (groups × variants — type²
+    * cardinality), so the partition-less rank window and the two
+    * broadcast scalars are safe by construction; nothing here touches
+    * the fact table that produced the statistics.
+    *
+    * @param tests     one row per hypothesis, carrying `zMicroCol`
+    * @param zMicroCol micro-scaled z/t statistic column name
+    * @param alphaMicro FDR level in micro units (50000 = 0.05)
+    * @param idCols    hypothesis identity columns (tie-break order)
+    * @return tests' id columns + (z carried) + p_micro, rnk, reject —
+    *         ordered by nothing (callers sort)
+    */
+  def bhFdr(tests: DataFrame, zMicroCol: String, alphaMicro: Long,
+            idCols: Seq[String]): DataFrame = {
+    val z = abs(col(zMicroCol)).cast("double") / 1000000.0
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * z)
+    val pdf = exp(z * z / lit(-2.0)) / lit(2.5066282746310002)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) + t *
+      (lit(1.781477937) + t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    val base = tests.withColumn("p_micro",
+      round(least(pdf * poly * lit(2.0), lit(1.0)) * 1000000.0, 0)
+        .cast("long"))
+    val w = Window.orderBy((col("p_micro") +: idCols.map(col)): _*)
+    val ranked = base.withColumn("rnk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("m"))))
+    val kstar = ranked.agg(coalesce(max(when(
+        col("p_micro") * col("m") <= col("rnk") * lit(alphaMicro),
+        col("rnk"))), lit(0L)).as("kstar"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(idCols.map(col) ++ Seq(col(zMicroCol), col("p_micro"),
+        col("rnk"), (col("rnk") <= col("kstar")).as("reject")): _*)
+  }
 }

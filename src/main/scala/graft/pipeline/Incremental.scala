@@ -462,6 +462,75 @@ object Incremental {
       coarse, fine, dim, nProbe, m, subDim, k)
   }
 
+  /** Drift-triggered CONDITIONAL re-cluster cycle — the decision layer
+    * on top of [[ivfPqIndexCycle]]: assign-only maintenance is a
+    * certified fast path only while the frozen coarse quantizer still
+    * fits the data, and [[graft.ext.Pq.cellDrift]] is the measurement.
+    * Each cycle computes the delta's cell-share total-variation drift
+    * against the prior index and branches:
+    *
+    *  - `tv_milli ≤ tvMilli` → ASSIGN path: quantizer stays frozen,
+    *    delta vectors encode against it, the merged cells table (delta
+    *    replaces re-ingested ids by anti-join) publishes as the next
+    *    version. Cost O(|state| + |delta|); the raw prior corpus is
+    *    never read.
+    *  - `tv_milli > tvMilli` → REBUILD path: the coarse quantizer
+    *    RETRAINS on prior ∪ delta (delta authoritative on id clashes,
+    *    seeds = lowest `kCells` vec_ids, one exact-integer Lloyd step —
+    *    [[graft.ext.Pq.trainCodebooks]]), everything reassigns, and the
+    *    new quantizer + cells publish. This is the full-build cost, paid
+    *    exactly when the drift stat says the fast path would degrade
+    *    recall — the honest completion of the q376/q377 story.
+    *
+    * The branch decision is a driver-side read of ONE aggregate row
+    * (the same bounded-collect discipline as the suite's argmax seeds);
+    * both engines replay the identical integer TV statistic, so the
+    * branch taken is bit-deterministic and the q379 oracle derives it
+    * from its own replay rather than hardcoding a path.
+    *
+    * @return (path, tv_milli, cell, n_vec) — the published index's
+    *         per-cell populations, tagged with the branch taken
+    */
+  def annReclusterCycle(spark: SparkSession, dir: String,
+                        coarsePrefix: String, cellsPrefix: String,
+                        priorRawPrefix: String, rawPrefix: String,
+                        dim: Int, kCells: Int, tvMilli: Long,
+                        newTag: String): DataFrame = {
+    import graft.ext.{IvfIndex, Pq}
+    val coarse = IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, coarsePrefix))
+    val cellsPrior = Versioned.readLatest(spark, dir, cellsPrefix)
+    val delta = Versioned.readLatest(spark, dir, rawPrefix)
+    val dCells = Pq.encode(delta, coarse, m = 1, subDim = dim)
+      .select(col("vec_id"), col("cid").as("cell"))
+    // one row per cell, identical (tv_milli, rebuild) on each — read one
+    val head = Pq.cellDrift(coarse, cellsPrior, dCells, tvMilli)
+      .select(col("tv_milli"), col("rebuild")).limit(1).collect()(0)
+    val tv = head.getLong(0)
+    val path = if (head.getBoolean(1)) "rebuild" else "assign"
+    if (path == "assign") {
+      Versioned.write(coarse, dir, coarsePrefix + "_next", newTag)
+      Versioned.write(cellsPrior
+          .join(delta.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .unionByName(dCells),
+        dir, cellsPrefix + "_next", newTag)
+    } else {
+      val corpus = Versioned.readLatest(spark, dir, priorRawPrefix)
+        .join(delta.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .unionByName(delta)
+      val c2 = IvfIndex.materializeLocal(spark,
+        Pq.trainCodebooks(spark, corpus, m = 1, subDim = dim, k = kCells))
+      Versioned.write(c2, dir, coarsePrefix + "_next", newTag)
+      Versioned.write(Pq.encode(corpus, c2, m = 1, subDim = dim)
+          .select(col("vec_id"), col("cid").as("cell")),
+        dir, cellsPrefix + "_next", newTag)
+    }
+    Versioned.readLatest(spark, dir, cellsPrefix + "_next")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vec"))
+      .select(lit(path).as("path"), lit(tv).as("tv_milli"),
+        col("cell"), col("n_vec"))
+  }
+
   /** Incremental inverted-index maintenance + BM25 serving: the
     * POSTINGS table `(id, tok, tf)` is the versioned state; a delta
     * batch of new documents tokenizes only itself and APPENDS (doc

@@ -60,7 +60,9 @@ object CurationQueries extends QueryPack {
        |  SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
        |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
 
-  def all: Seq[Q] = Seq(
+  def all: Seq[Q] = mainQs ++ samplingQs
+
+  private def mainQs: Seq[Q] = Seq(
 
     // Substring-level duplicated-span COVERAGE (the ExactSubstr dedup
     // removal signal): sliding 5-gram windows hashed corpus-wide, any
@@ -1110,6 +1112,36 @@ object CurationQueries extends QueryPack {
           .orderBy($"shard")
       },
       Some(hashRingOracleSql(nShards = 8, vnodes = 4)))
+  )
+
+  /** Salted per-stratum hash reservoir: the 5 lowest
+    * PolyHash(salt|doc_id) docs per source — q77's deterministic
+    * stratified sample re-expressed through the skew-safe two-phase
+    * top-k (no whole-stratum sort window) with salted fresh redraws.
+    */
+  private def samplingQs: Seq[Q] = Seq(
+    Q("q381_stratified_sample",
+      (s, d) => {
+        import s.implicits._
+        CorpusOps.hashReservoir(Tables.documents(s, d),
+            strataCols = Seq("source"), idCol = "doc_id", k = 5,
+            salt = "smp7")
+          .orderBy($"source", $"rnk")
+      },
+      Some(s"""WITH h0 AS (
+             |  SELECT source, doc_id,
+             |    ${phSql("'smp7|' || CAST(doc_id AS VARCHAR)")} AS ph
+             |  FROM documents),
+             |h AS (
+             |  SELECT source, doc_id,
+             |    ((ph * ph) % 1000000007 * 1103515245 + 12345)
+             |      % 1000000007 AS sample_hash
+             |  FROM h0)
+             |SELECT source, doc_id, sample_hash,
+             |  CAST(row_number() OVER (PARTITION BY source
+             |    ORDER BY sample_hash, doc_id) AS BIGINT) AS rnk
+             |FROM h QUALIFY rnk <= 5
+             |ORDER BY source, rnk""".stripMargin))
   )
 
   /** DuckDB replica of [[CorpusOps.consistentHashRebalance]]:

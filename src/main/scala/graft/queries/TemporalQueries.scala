@@ -598,6 +598,79 @@ object TemporalQueries extends QueryPack {
              |  CAST(round(md * 1000000.0 / sqrt(se2)) AS BIGINT) AS t_micro
              |FROM x WHERE se2 > 0 ORDER BY grp, variant""".stripMargin)),
 
+    // Benjamini–Hochberg FDR step-up over the q234 Welch panel — the
+    // multiple-testing closure on the one-vs-rest lane: |t| → two-sided
+    // p via the Abramowitz–Stegun 26.2.17 polynomial (identical Horner
+    // order both engines, micro-rounded), then the exact integer
+    // step-up test p_micro·m ≤ rank·α_micro at α = 0.05 and the
+    // reject-ranks-1..k* closure.
+    Q("q380_bh_fdr",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select(
+          $"event_type".as("grp"),
+          ($"user_id" % 4).cast("int").as("variant"),
+          round($"value" * 100, 0).cast("long").as("cents"))
+        val panel = graft.ops.Eval.welchOneVsRest(ev, "grp", "variant", "cents")
+        graft.ops.Eval.bhFdr(panel, "t_micro", alphaMicro = 50000L,
+            idCols = Seq("grp", "variant"))
+          .orderBy($"rnk")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type AS grp, user_id % 4 AS v,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |per AS (SELECT grp, v AS variant,
+             |          CAST(count(*) AS BIGINT) AS n1,
+             |          CAST(sum(cents) AS BIGINT) AS s1,
+             |          CAST(sum(cents * cents) AS BIGINT) AS ss1
+             |        FROM ev GROUP BY 1, 2),
+             |tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS nt,
+             |          CAST(sum(cents) AS BIGINT) AS st,
+             |          CAST(sum(cents * cents) AS BIGINT) AS sst
+             |        FROM ev GROUP BY 1),
+             |j AS (SELECT per.grp, per.variant, per.n1, per.s1, per.ss1,
+             |        tot.nt - per.n1 AS n0, tot.st - per.s1 AS s0,
+             |        tot.sst - per.ss1 AS ss0
+             |      FROM per JOIN tot ON tot.grp = per.grp
+             |      WHERE tot.nt - per.n1 >= 2 AND per.n1 >= 2),
+             |x AS (SELECT grp, variant, n0, n1,
+             |        CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |          - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS md,
+             |        (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+             |           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             |          / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
+             |          / CAST(n1 AS DOUBLE)
+             |        + (CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
+             |           - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+             |          / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE))
+             |          / CAST(n0 AS DOUBLE) AS se2
+             |      FROM j),
+             |w AS (SELECT grp, CAST(variant AS BIGINT) AS variant,
+             |        CAST(round(md * 1000000.0 / sqrt(se2)) AS BIGINT) AS t_micro
+             |      FROM x WHERE se2 > 0),
+             |p AS (SELECT grp, variant, t_micro,
+             |        CAST(round(least(
+             |          exp(zz * zz / -2.0) / 2.5066282746310002
+             |          * (tt * (0.319381530 + tt * (-0.356563782 + tt *
+             |             (1.781477937 + tt * (-1.821255978 + tt * 1.330274429)))))
+             |          * 2.0, 1.0) * 1000000.0) AS BIGINT) AS p_micro
+             |      FROM (SELECT grp, variant, t_micro,
+             |              CAST(abs(t_micro) AS DOUBLE) / 1000000.0 AS zz,
+             |              1.0 / (1.0 + 0.2316419
+             |                * (CAST(abs(t_micro) AS DOUBLE) / 1000000.0)) AS tt
+             |            FROM w)),
+             |r AS (SELECT *,
+             |        CAST(row_number() OVER (ORDER BY p_micro, grp, variant)
+             |          AS BIGINT) AS rnk,
+             |        CAST(count(*) OVER () AS BIGINT) AS m
+             |      FROM p),
+             |ks AS (SELECT coalesce(max(CASE WHEN p_micro * m <= rnk * 50000
+             |         THEN rnk END), 0) AS kstar FROM r)
+             |SELECT grp, variant, t_micro, p_micro, rnk,
+             |  rnk <= kstar AS reject
+             |FROM r CROSS JOIN ks ORDER BY rnk""".stripMargin)),
+
     // MRR waterfall per calendar month: revenue movement decomposed
     // into new / expansion / contraction / churn by a self equi-join
     // on (customer, month+1) over the pre-aggregated (customer, month)

@@ -1780,6 +1780,138 @@ object VectorQueries extends QueryPack {
              |  FROM m2)
              |SELECT cell, n_prior, n_delta, prior_milli, delta_milli,
              |  drift_milli, tv_milli, tv_milli > 250 AS rebuild
-             |FROM m2 CROSS JOIN tv ORDER BY cell""".stripMargin))
+             |FROM m2 CROSS JOIN tv ORDER BY cell""".stripMargin)),
+
+    // Drift-triggered CONDITIONAL re-cluster: two cycles over the same
+    // prior index + delta, one with a lax TV threshold (frozen-quantizer
+    // assign path) and one with a strict threshold (full retrain on
+    // prior ∪ delta). Neither side hardcodes the branch — the Spark
+    // cycle reads its own integer drift stat, the oracle derives the
+    // SAME stat from its replay and gates each branch's rows on it, so
+    // green proves decision ∧ chosen path both match bit-for-bit.
+    Q("q379_ann_recluster",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val prior = emb.filter($"vec_id" % 10 =!= 0)
+        val delta = emb.filter($"vec_id" % 10 === 0)
+        def setup(tag: String): String = {
+          val dir = graft.core.Scratch.dir(s"q379_recluster_$tag")
+          Versioned.write(Pq.trainCodebooks(s, prior, m = 1, subDim = 64,
+            k = 8), dir, "rcoarse", "00000001_aaa")
+          val c0 = graft.ext.IvfIndex.materializeLocal(s,
+            Versioned.readLatest(s, dir, "rcoarse"))
+          Versioned.write(Pq.encode(prior, c0, m = 1, subDim = 64)
+            .select($"vec_id", $"cid".as("cell")),
+            dir, "rcells", "00000001_aaa")
+          Versioned.write(prior, dir, "rprior", "00000001_aaa")
+          Versioned.write(delta, dir, "rdelta", "00000002_bbb")
+          dir
+        }
+        val a = graft.pipeline.Incremental.annReclusterCycle(s, setup("a"),
+            "rcoarse", "rcells", "rprior", "rdelta", dim = 64, kCells = 8,
+            tvMilli = 900L, newTag = "00000002_bbb")
+          .withColumn("cycle", lit("a"))
+        val b = graft.pipeline.Incremental.annReclusterCycle(s, setup("b"),
+            "rcoarse", "rcells", "rprior", "rdelta", dim = 64, kCells = 8,
+            tvMilli = 1L, newTag = "00000002_bbb")
+          .withColumn("cycle", lit("b"))
+        a.unionByName(b)
+          .select($"cycle", $"path", $"tv_milli", $"cell", $"n_vec")
+          .orderBy($"cycle", $"cell")
+      },
+      Some(s"""WITH fullv AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS fv
+             |  FROM embeddings),
+             |cseeds AS (
+             |  SELECT vec_id AS cid, fv AS cent FROM fullv
+             |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+             |    WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 8)),
+             |cd0 AS (
+             |  SELECT fullv.vec_id, cseeds.cid,
+             |    ${d2Sql("fullv.fv", "cseeds.cent")} AS dd
+             |  FROM fullv CROSS JOIN cseeds WHERE fullv.vec_id % 10 <> 0),
+             |ca0 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+             |    FROM cd0) WHERE rn = 1),
+             |cfp AS (
+             |  SELECT vec_id, unnest(list_transform(fv,
+             |    (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}), recursive := true)
+             |  FROM fullv),
+             |ccbp AS (
+             |  SELECT ca0.cid, p.pos,
+             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
+             |  FROM ca0 JOIN cfp p ON p.vec_id = ca0.vec_id
+             |  GROUP BY 1, 2),
+             |ccb AS (SELECT cid, list(c ORDER BY pos) AS cent FROM ccbp GROUP BY 1),
+             |cells AS (
+             |  SELECT vec_id, cid AS cell FROM (
+             |    SELECT fullv.vec_id, ccb.cid,
+             |      ${d2Sql("fullv.fv", "ccb.cent")} AS dd,
+             |      row_number() OVER (PARTITION BY fullv.vec_id
+             |        ORDER BY ${d2Sql("fullv.fv", "ccb.cent")}, ccb.cid) AS rn
+             |    FROM fullv CROSS JOIN ccb) WHERE rn = 1),
+             |base AS (
+             |  SELECT ccb.cid AS cell,
+             |    coalesce(p.n_prior, 0) AS n_prior,
+             |    coalesce(q.n_delta, 0) AS n_delta
+             |  FROM ccb
+             |  LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n_prior
+             |    FROM cells WHERE vec_id % 10 <> 0 GROUP BY 1) p
+             |    ON p.cell = ccb.cid
+             |  LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n_delta
+             |    FROM cells WHERE vec_id % 10 = 0 GROUP BY 1) q
+             |    ON q.cell = ccb.cid),
+             |t AS (SELECT CAST(sum(n_prior) AS BIGINT) AS tp,
+             |        CAST(sum(n_delta) AS BIGINT) AS td FROM base),
+             |m2 AS (
+             |  SELECT cell,
+             |    abs(CAST(round(CAST(n_delta AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |          / CAST(td AS DOUBLE)) AS BIGINT)
+             |      - CAST(round(CAST(n_prior AS DOUBLE) * CAST(1000 AS DOUBLE)
+             |          / CAST(tp AS DOUBLE)) AS BIGINT)) AS drift_milli
+             |  FROM base CROSS JOIN t),
+             |tv AS (SELECT CAST(sum(drift_milli) AS BIGINT) // 2 AS tv_milli
+             |  FROM m2),
+             |rseeds AS (
+             |  SELECT vec_id AS cid, fv AS cent FROM fullv
+             |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+             |    ORDER BY vec_id LIMIT 8)),
+             |rd0 AS (
+             |  SELECT fullv.vec_id, rseeds.cid,
+             |    ${d2Sql("fullv.fv", "rseeds.cent")} AS dd
+             |  FROM fullv CROSS JOIN rseeds),
+             |ra0 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+             |    FROM rd0) WHERE rn = 1),
+             |rcbp AS (
+             |  SELECT ra0.cid, p.pos,
+             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
+             |  FROM ra0 JOIN cfp p ON p.vec_id = ra0.vec_id
+             |  GROUP BY 1, 2),
+             |rcb AS (SELECT cid, list(c ORDER BY pos) AS cent FROM rcbp GROUP BY 1),
+             |rcells AS (
+             |  SELECT vec_id, cid AS cell FROM (
+             |    SELECT fullv.vec_id, rcb.cid,
+             |      ${d2Sql("fullv.fv", "rcb.cent")} AS dd,
+             |      row_number() OVER (PARTITION BY fullv.vec_id
+             |        ORDER BY ${d2Sql("fullv.fv", "rcb.cent")}, rcb.cid) AS rn
+             |    FROM fullv CROSS JOIN rcb) WHERE rn = 1),
+             |apop AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vec
+             |  FROM cells GROUP BY 1),
+             |rpop AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vec
+             |  FROM rcells GROUP BY 1),
+             |sel AS (SELECT 'a' AS cycle, CAST(900 AS BIGINT) AS thr
+             |  UNION ALL SELECT 'b', CAST(1 AS BIGINT))
+             |SELECT cycle, path, tv_milli, cell, n_vec FROM (
+             |  SELECT sel.cycle, 'assign' AS path, tv.tv_milli, p.cell, p.n_vec
+             |  FROM sel CROSS JOIN tv JOIN apop p ON tv.tv_milli <= sel.thr
+             |  UNION ALL
+             |  SELECT sel.cycle, 'rebuild', tv.tv_milli, p.cell, p.n_vec
+             |  FROM sel CROSS JOIN tv JOIN rpop p ON tv.tv_milli > sel.thr)
+             |ORDER BY cycle, cell""".stripMargin))
   )
 }

@@ -276,4 +276,36 @@ class CorpusOpsSpec extends SparkTestBase {
     // band but reject both degenerate (0) and mod-N-like (>40%) shapes.
     assert(moved > 0 && moved.toDouble / n < 0.40, s"moved=$moved of $n")
   }
+
+  test("hashReservoir ≡ naive whole-stratum sort; partition-placement-independent") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 7
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("sample_hash"), r.getAs[Long]("rnk"))).toSet
+    val fast = key(CorpusOps.hashReservoir(docs, Seq("source"), "doc_id",
+      k, "sA").collect())
+    val P = 1000000007L
+    val h0 = graft.functions.PolyHash.polyHash(
+      concat(lit("sA|"), $"doc_id".cast("string")))
+    val naive = key(docs
+      .withColumn("sample_hash",
+        pmod(pmod(h0 * h0, lit(P)) * 1103515245L + 12345L, lit(P)))
+      .withColumn("rnk", row_number().over(Window.partitionBy($"source")
+        .orderBy($"sample_hash", $"doc_id")).cast("long"))
+      .filter($"rnk" <= k)
+      .select($"source", $"doc_id", $"sample_hash", $"rnk").collect())
+    assert(fast == naive, s"${(fast diff naive).take(3)}")
+    // the two-phase local top-k must not depend on where rows land
+    val reparted = key(CorpusOps.hashReservoir(docs.repartition(7),
+      Seq("source"), "doc_id", k, "sA").collect())
+    assert(reparted == fast)
+    // a different salt is a fresh independent draw: with k = 3 below
+    // the 7-doc stratum size, the selected id sets must differ (at
+    // k = 7 every stratum is swallowed whole and any salt agrees)
+    def ids(salt: String) = CorpusOps.hashReservoir(docs, Seq("source"),
+      "doc_id", 3, salt).select($"source", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ids("sA") != ids("sB"))
+  }
 }

@@ -223,6 +223,74 @@ class IncrementalSpec extends SparkTestBase {
       s"chained cycles diverge: ${(out diff fullState).take(3)}")
   }
 
+  test("re-cluster cycle: representative delta takes the frozen assign path") {
+    import spark.implicits._
+    val dir = graft.core.Scratch.dir("spec_recluster_assign")
+    def vec(axis: Int, j: Double): Array[Float] =
+      Array.tabulate(4)(i => (if (i == axis) 10f else 0f) + j.toFloat)
+    // two tight clusters on axes 0/1; prior AND delta alternate evenly,
+    // so the delta's cell-share profile matches the prior's (tv = 0)
+    val prior = (0L until 20L).map(id => (id, vec((id % 2).toInt, 0.001 * id)))
+      .toDF("vec_id", "embedding")
+    val delta = (100L until 110L).map(id => (id, vec((id % 2).toInt, 0.001 * id)))
+      .toDF("vec_id", "embedding")
+    graft.io.Versioned.write(graft.ext.Pq.trainCodebooks(spark, prior,
+      m = 1, subDim = 4, k = 2), dir, "rc", "00000001_a")
+    val c0 = graft.ext.IvfIndex.materializeLocal(spark,
+      graft.io.Versioned.readLatest(spark, dir, "rc"))
+    graft.io.Versioned.write(graft.ext.Pq.encode(prior, c0, m = 1, subDim = 4)
+      .select($"vec_id", $"cid".as("cell")), dir, "cl", "00000001_a")
+    graft.io.Versioned.write(delta, dir, "rd", "00000002_b")
+    // the prior-raw prefix deliberately DOES NOT EXIST in this store:
+    // a fast-path cycle that ever resolved it would throw — the hard
+    // form of "assign-only maintenance never reads the raw history"
+    val rows = graft.pipeline.Incremental.annReclusterCycle(spark, dir,
+      "rc", "cl", "no_such_prefix", "rd", dim = 4, kCells = 2,
+      tvMilli = 400L, newTag = "00000002_b").collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[String]("path") == "assign"),
+      s"expected assign path, got ${rows.map(_.getAs[String]("path")).toSet}")
+    assert(rows.map(_.getAs[Long]("n_vec")).sum == 30L,
+      "published index must hold prior + delta vectors")
+  }
+
+  test("re-cluster cycle: skewed delta triggers rebuild ≡ fresh full build") {
+    import spark.implicits._
+    val dir = graft.core.Scratch.dir("spec_recluster_rebuild")
+    def vec(axis: Int, j: Double): Array[Float] =
+      Array.tabulate(4)(i => (if (i == axis) 10f else 0f) + j.toFloat)
+    val prior = (0L until 20L).map(id => (id, vec((id % 2).toInt, 0.001 * id)))
+      .toDF("vec_id", "embedding")
+    // delta lands ENTIRELY in the axis-1 cluster: delta shares (0, 1000)
+    // vs prior (500, 500) → tv = 500 > 400 → rebuild fires
+    val delta = (100L until 110L).map(id => (id, vec(1, 0.001 * id)))
+      .toDF("vec_id", "embedding")
+    graft.io.Versioned.write(graft.ext.Pq.trainCodebooks(spark, prior,
+      m = 1, subDim = 4, k = 2), dir, "rc", "00000001_a")
+    val c0 = graft.ext.IvfIndex.materializeLocal(spark,
+      graft.io.Versioned.readLatest(spark, dir, "rc"))
+    graft.io.Versioned.write(graft.ext.Pq.encode(prior, c0, m = 1, subDim = 4)
+      .select($"vec_id", $"cid".as("cell")), dir, "cl", "00000001_a")
+    graft.io.Versioned.write(prior, dir, "rp", "00000001_a")
+    graft.io.Versioned.write(delta, dir, "rd", "00000002_b")
+    val rows = graft.pipeline.Incremental.annReclusterCycle(spark, dir,
+      "rc", "cl", "rp", "rd", dim = 4, kCells = 2,
+      tvMilli = 400L, newTag = "00000002_b").collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[String]("path") == "rebuild"),
+      s"expected rebuild path, got ${rows.map(_.getAs[String]("path")).toSet}")
+    // the published index must equal a from-scratch train+encode on
+    // prior ∪ delta — the rebuild is the real thing, not a patch
+    val corpus = prior.unionByName(delta)
+    val fresh = graft.ext.Pq.encode(corpus,
+        graft.ext.IvfIndex.materializeLocal(spark,
+          graft.ext.Pq.trainCodebooks(spark, corpus, m = 1, subDim = 4, k = 2)),
+        m = 1, subDim = 4)
+      .select($"vec_id", $"cid".as("cell")).collect().toSet
+    val published = graft.io.Versioned.readLatest(spark, dir, "cl_next")
+      .collect().toSet
+    assert(published == fresh,
+      s"rebuild diverged from fresh build: ${(published diff fresh).take(3)}")
+  }
+
   test("published next-version state is readable and equals the returned state") {
     val dir = graft.core.Scratch.dir("q340_incremental")
     val returned = SparkEntry.queries("q340_incremental_pipeline")(spark, sfDir)

@@ -164,4 +164,34 @@ class StatOps3Spec extends SparkTestBase {
     val z = (2.0 - 1333333.0 / 1e6) / math.sqrt(722222.0 / 1e6) * 1000.0
     assert(r.head.getAs[Long]("z_milli") == math.round(z), r.toSeq)
   }
+
+  test("BH-FDR step-up closure: a rank failing its own line is still rejected") {
+    // two-sided p ≈ (.0200, .0240, .0350, .9000) at α=.05, m=4: the
+    // step-up lines i·α/m are .0125/.025/.0375/.05 — rank 1 FAILS its
+    // own line but ranks 2 and 3 pass theirs, so k* = 3 and the closure
+    // rejects ranks 1..3 (the defining BH behavior a naive per-rank
+    // threshold gets wrong)
+    val tests = Seq(("t1", 2326000L), ("t2", 2257000L), ("t3", 2108000L),
+      ("t4", 126000L)).toDF("test_id", "z_micro")
+    val out = graft.ops.Eval.bhFdr(tests, "z_micro", 50000L, Seq("test_id"))
+      .orderBy(col("rnk")).collect()
+    assert(out.map(_.getAs[String]("test_id")).toSeq ==
+      Seq("t1", "t2", "t3", "t4"), out.toSeq)
+    assert(out.map(_.getAs[Boolean]("reject")).toSeq ==
+      Seq(true, true, true, false), out.toSeq)
+    val ps = out.map(_.getAs[Long]("p_micro")).toSeq
+    assert(ps == ps.sorted && ps.head > 15000L && ps.head < 25000L, ps)
+  }
+
+  test("BH-FDR: a panel of nulls rejects nothing; sign of z is irrelevant") {
+    val tests = Seq(("a", 100000L), ("b", -50000L), ("c", 0L))
+      .toDF("test_id", "z_micro")
+    val out = graft.ops.Eval.bhFdr(tests, "z_micro", 50000L, Seq("test_id"))
+      .collect()
+    assert(out.length == 3 && out.forall(!_.getAs[Boolean]("reject")),
+      out.toSeq)
+    // z = 0 → two-sided p = 1 (the least(·, 1) clamp)
+    assert(out.find(_.getAs[String]("test_id") == "c")
+      .get.getAs[Long]("p_micro") == 1000000L, out.toSeq)
+  }
 }
