@@ -88,12 +88,21 @@ object Bench {
     }.toMap
     runCanary()
     // canary dispersion: CV = stddev/mean over all canary runs
-    val canaryCv = {
-      val xs = canaryTimes
+    def cvOf(xs: List[Double]): Double = {
       val m = xs.sum / xs.length
       val v = xs.map(x => (x - m) * (x - m)).sum / xs.length
       if (m > 0) math.sqrt(v) / m else 0.0
     }
+    val canaryCv = cvOf(canaryTimes)
+    // drop-max companion: a SINGLE spiked canary (one GC pause / one
+    // noisy neighbor moment) inflates the mean-based CV past the quiet
+    // band even on an idle machine; sustained ambient load inflates
+    // BOTH. Read together: cv high + trim low = one transient, run is
+    // usable; both high = genuinely contaminated. The raw canary_secs
+    // list ships in the artifact so the call is auditable.
+    val canaryCvTrim =
+      if (canaryTimes.length > 2) cvOf(canaryTimes.sorted.dropRight(1))
+      else canaryCv
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v._1) }
       .mkString("{", ",", "}")
@@ -105,7 +114,7 @@ object Bench {
     // full artifact (every query, first-run + median maps) goes to the
     // file — round deltas are computed from it
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":${r3(totalMed)},"reps":$reps,"canary_cv":${r3(canaryCv)},"canary_n":${canaryTimes.length},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":${r3(totalMed)},"reps":$reps,"canary_cv":${r3(canaryCv)},"canary_cv_trim":${r3(canaryCvTrim)},"canary_secs":${canaryTimes.reverse.map(r3).mkString("[", ",", "]")},"canary_n":${canaryTimes.length},"failed":$failedJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     // stdout line: the driver keeps only a ~2000-char TAIL of stdout, and
@@ -121,7 +130,7 @@ object Bench {
     // total, "total_median" = median total) so delta tooling parsing
     // either artifact reads the same numbers
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"total_median":${r3(totalMed)},"n_queries":${results.size},"reps":$reps,"canary_cv":${r3(canaryCv)},"canary_n":${canaryTimes.length},"n_failed":${failed.size},"failed":$failedShown,"sf":"$sfDir","full":"$out"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"total_median":${r3(totalMed)},"n_queries":${results.size},"reps":$reps,"canary_cv":${r3(canaryCv)},"canary_cv_trim":${r3(canaryCvTrim)},"canary_n":${canaryTimes.length},"n_failed":${failed.size},"failed":$failedShown,"sf":"$sfDir","full":"$out"}"""
     println(line)
     // the driver keeps only a tail of each stream and may lose the
     // stdout line behind log footers — give it two more places to find

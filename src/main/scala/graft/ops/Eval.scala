@@ -1076,6 +1076,55 @@ object Eval {
     * @return tests' id columns + (z carried) + p_micro, rnk, reject —
     *         ordered by nothing (callers sort)
     */
+  /** Minimum-detectable-effect (MDE) sizing per one-vs-rest cell — the
+    * pre-experiment companion to [[welchOneVsRest]]/[[bhFdr]]: with the
+    * ARMS' realized sizes and variances, the smallest true mean shift a
+    * two-sided level-α test would detect with power 1−β is
+    * `(z_{1−α/2} + z_{1−β}) · sqrt(s1²/n1 + s0²/n0)`. Read it before
+    * trusting a null result: an observed diff far below the MDE says
+    * "underpowered", not "no effect".
+    *
+    * The z multipliers are SPEC CONSTANTS (1.959964 / 0.841621 for
+    * α = .05, power = .8), not a computed inverse CDF — both engines
+    * add the same two double literals, so the only float work is the
+    * shared sqrt over moments that are exact integer differences (same
+    * discipline as [[welchOneVsRest]]). `mde_rel_milli` scales by the
+    * rest-arm mean (NULL when that mean is 0 — no meaningful ratio).
+    *
+    * @return (grp, variant, n0, n1, se_micro, mde_micro, mde_rel_milli)
+    */
+  def mdePower(df: DataFrame, grpCol: String, variantCol: String,
+               centsCol: String, zAlpha: Double = 1.959964,
+               zBeta: Double = 0.841621): DataFrame = {
+    val x = col(centsCol).cast("long")
+    val per = df.groupBy(col(grpCol).as("grp"),
+        col(variantCol).cast("long").as("variant"))
+      .agg(count(lit(1)).as("n1"), sum(x).as("s1"), sum(x * x).as("ss1"))
+    val tot = df.groupBy(col(grpCol).as("grp"))
+      .agg(count(lit(1)).as("nt"), sum(x).as("st"), sum(x * x).as("sst"))
+    def va(n: String, s: String, ss: String) =
+      (col(n).cast("double") * col(ss).cast("double")
+        - col(s).cast("double") * col(s).cast("double")) /
+        (col(n).cast("double") * (col(n) - 1).cast("double"))
+    val j = per.join(tot, "grp")
+      .withColumn("n0", col("nt") - col("n1"))
+      .withColumn("s0", col("st") - col("s1"))
+      .withColumn("ss0", col("sst") - col("ss1"))
+      .filter(col("n0") >= 2 && col("n1") >= 2)
+    val se2 = va("n1", "s1", "ss1") / col("n1").cast("double") +
+      va("n0", "s0", "ss0") / col("n0").cast("double")
+    val z = lit(zAlpha) + lit(zBeta)
+    j.filter(se2 > 0.0)
+      .withColumn("se_micro", round(sqrt(se2) * 1000000.0, 0).cast("long"))
+      .withColumn("mde_micro", round(z * sqrt(se2) * 1000000.0, 0).cast("long"))
+      .select(col("grp"), col("variant"), col("n0"), col("n1"),
+        col("se_micro"), col("mde_micro"),
+        when(col("s0") =!= 0L,
+          round(z * sqrt(se2) * abs(col("n0").cast("double")
+            / col("s0").cast("double")) * 1000.0, 0).cast("long"))
+          .as("mde_rel_milli"))
+  }
+
   def bhFdr(tests: DataFrame, zMicroCol: String, alphaMicro: Long,
             idCols: Seq[String]): DataFrame = {
     val z = abs(col(zMicroCol)).cast("double") / 1000000.0

@@ -671,6 +671,60 @@ object TemporalQueries extends QueryPack {
              |  rnk <= kstar AS reject
              |FROM r CROSS JOIN ks ORDER BY rnk""".stripMargin)),
 
+    // MDE/power sizing per one-vs-rest cell: the smallest true shift a
+    // two-sided α=.05 test detects at power .8 given the arms' realized
+    // n and variance — spec-constant z multipliers, shared sqrt over
+    // exact integer moment differences; relative MDE vs the rest mean.
+    Q("q382_mde_power",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select(
+          $"event_type".as("grp"),
+          ($"user_id" % 4).cast("int").as("variant"),
+          round($"value" * 100, 0).cast("long").as("cents"))
+        graft.ops.Eval.mdePower(ev, "grp", "variant", "cents")
+          .orderBy($"grp", $"variant")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type AS grp, user_id % 4 AS v,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |per AS (SELECT grp, v AS variant,
+             |          CAST(count(*) AS BIGINT) AS n1,
+             |          CAST(sum(cents) AS BIGINT) AS s1,
+             |          CAST(sum(cents * cents) AS BIGINT) AS ss1
+             |        FROM ev GROUP BY 1, 2),
+             |tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS nt,
+             |          CAST(sum(cents) AS BIGINT) AS st,
+             |          CAST(sum(cents * cents) AS BIGINT) AS sst
+             |        FROM ev GROUP BY 1),
+             |j AS (SELECT per.grp, per.variant, per.n1, per.s1, per.ss1,
+             |        tot.nt - per.n1 AS n0, tot.st - per.s1 AS s0,
+             |        tot.sst - per.ss1 AS ss0
+             |      FROM per JOIN tot ON tot.grp = per.grp
+             |      WHERE tot.nt - per.n1 >= 2 AND per.n1 >= 2),
+             |x AS (SELECT grp, variant, n0, n1, s0,
+             |        (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+             |           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             |          / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
+             |          / CAST(n1 AS DOUBLE)
+             |        + (CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
+             |           - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+             |          / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE))
+             |          / CAST(n0 AS DOUBLE) AS se2
+             |      FROM j)
+             |SELECT grp, CAST(variant AS BIGINT) AS variant, n0, n1,
+             |  CAST(round(sqrt(se2) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+             |    AS se_micro,
+             |  CAST(round((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+             |    * sqrt(se2) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+             |    AS mde_micro,
+             |  CASE WHEN s0 <> 0 THEN
+             |    CAST(round((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+             |      * sqrt(se2) * abs(CAST(n0 AS DOUBLE) / CAST(s0 AS DOUBLE))
+             |      * CAST(1000 AS DOUBLE)) AS BIGINT) END AS mde_rel_milli
+             |FROM x WHERE se2 > 0 ORDER BY grp, variant""".stripMargin)),
+
     // MRR waterfall per calendar month: revenue movement decomposed
     // into new / expansion / contraction / churn by a self equi-join
     // on (customer, month+1) over the pre-aggregated (customer, month)

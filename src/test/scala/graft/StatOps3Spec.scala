@@ -165,6 +165,26 @@ class StatOps3Spec extends SparkTestBase {
     assert(r.head.getAs[Long]("z_milli") == math.round(z), r.toSeq)
   }
 
+  test("MDE sizing: hand moments on a two-arm fixture") {
+    // arms {1,3} and {2,4}: each has sample variance 2, so
+    // se² = 2/2 + 2/2 = 2 for both one-vs-rest cells
+    val df = Seq(("g", 0, 1L), ("g", 0, 3L), ("g", 1, 2L), ("g", 1, 4L))
+      .toDF("grp", "variant", "cents")
+    val r = graft.ops.Eval.mdePower(df, "grp", "variant", "cents")
+      .orderBy(col("variant")).collect()
+    assert(r.length == 2, r.toSeq)
+    val se = math.sqrt(2.0)
+    val z = 1.959964 + 0.841621
+    assert(r.forall(_.getAs[Long]("se_micro") == math.round(se * 1e6)), r.toSeq)
+    assert(r.forall(_.getAs[Long]("mde_micro") == math.round(z * se * 1e6)), r.toSeq)
+    // rest means: variant 0's rest is {2,4} (mean 3), variant 1's rest
+    // is {1,3} (mean 2) — relative MDE scales accordingly
+    assert(r(0).getAs[Long]("mde_rel_milli") ==
+      math.round(z * se * math.abs(2.0 / 6.0) * 1000.0), r.toSeq)
+    assert(r(1).getAs[Long]("mde_rel_milli") ==
+      math.round(z * se * math.abs(2.0 / 4.0) * 1000.0), r.toSeq)
+  }
+
   test("BH-FDR step-up closure: a rank failing its own line is still rejected") {
     // two-sided p ≈ (.0200, .0240, .0350, .9000) at α=.05, m=4: the
     // step-up lines i·α/m are .0125/.025/.0375/.05 — rank 1 FAILS its
