@@ -508,7 +508,10 @@ object Incremental {
       .select(col("tv_milli"), col("rebuild")).limit(1).collect()(0)
     val tv = head.getLong(0)
     val path = if (head.getBoolean(1)) "rebuild" else "assign"
-    if (path == "assign") {
+    // serve from the exact object THIS cycle wrote (Versioned.write
+    // returns its path) — re-resolving "latest _next" would race with
+    // any other cycle publishing into the same store under a later tag
+    val publishedCells = if (path == "assign") {
       Versioned.write(coarse, dir, coarsePrefix + "_next", newTag)
       Versioned.write(cellsPrior
           .join(delta.select(col("vec_id")), Seq("vec_id"), "left_anti")
@@ -525,7 +528,7 @@ object Incremental {
           .select(col("vec_id"), col("cid").as("cell")),
         dir, cellsPrefix + "_next", newTag)
     }
-    Versioned.readLatest(spark, dir, cellsPrefix + "_next")
+    spark.read.parquet(publishedCells)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vec"))
       .select(lit(path).as("path"), lit(tv).as("tv_milli"),
         col("cell"), col("n_vec"))

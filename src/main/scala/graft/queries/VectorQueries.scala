@@ -1808,13 +1808,19 @@ object VectorQueries extends QueryPack {
           Versioned.write(delta, dir, "rdelta", "00000002_bbb")
           dir
         }
-        val a = graft.pipeline.Incremental.annReclusterCycle(s, setup("a"),
+        // the two cycles SHARE one fixture dir (one coarse train + one
+        // prior encode, not two): their inputs are the same original
+        // versions — `_next` prefixes never match a `rcoarse`/`rcells`
+        // listing — and each publishes under its own ordered tag, with
+        // cycle a's output path pinned at resolve time before b writes
+        val dir0 = setup("shared")
+        val a = graft.pipeline.Incremental.annReclusterCycle(s, dir0,
             "rcoarse", "rcells", "rprior", "rdelta", dim = 64, kCells = 8,
             tvMilli = 900L, newTag = "00000002_bbb")
           .withColumn("cycle", lit("a"))
-        val b = graft.pipeline.Incremental.annReclusterCycle(s, setup("b"),
+        val b = graft.pipeline.Incremental.annReclusterCycle(s, dir0,
             "rcoarse", "rcells", "rprior", "rdelta", dim = 64, kCells = 8,
-            tvMilli = 1L, newTag = "00000002_bbb")
+            tvMilli = 1L, newTag = "00000003_ccc")
           .withColumn("cycle", lit("b"))
         a.unionByName(b)
           .select($"cycle", $"path", $"tv_milli", $"cell", $"n_vec")
