@@ -975,70 +975,4 @@ object CorpusOps {
       .select(sc ++ Seq(col(idCol), col("__h").as("sample_hash"),
         col("rnk")): _*)
   }
-
-  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
-    * for Language Models via Importance Resampling"): score every
-    * candidate document by how much its hashed-unigram profile looks
-    * like a TARGET corpus rather than the RAW pool, then keep the
-    * top-`k`. Features are `mix(polyHash(token)) mod buckets` (the
-    * square-then-affine avalanche of [[hashReservoir]] — raw poly31
-    * would lump near-identical short tokens into neighboring buckets);
-    * the bucket log-ratio table is add-1-smoothed
-    * `ln((cntT_b+1)·(totR+B) / ((cntR_b+1)·(totT+B)))` — ONE ln over a
-    * ratio of exact integer products, micro-rounded, so any engine
-    * replays it bit-for-bit — and a document's weight is the integer
-    * sum `Σ_b c_doc_b · lr_micro_b` over its own bucket counts.
-    *
-    * Scale shape: one tokenize+explode scan feeds ONE per-(doc, bucket)
-    * count; the global per-side bucket table derives from those counts
-    * (never a second scan), has exactly `buckets` rows per side, and
-    * broadcast-joins back; the final top-k is a distributed
-    * TakeOrdered, not a window. Only (id, bucket, count) ever shuffles
-    * — the text stays in its scan.
-    *
-    * @param isTarget boolean column: true = target exemplar (scored
-    *                 distribution), false = raw pool (ranked output)
-    * @return (id, weight_micro, rnk) — the k highest-weight RAW docs,
-    *         ties broken by id ascending
-    */
-  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
-                  isTarget: Column, buckets: Int, k: Int): DataFrame = {
-    require(buckets >= 2, "need at least two buckets")
-    require(k >= 1, "k must be >= 1")
-    GraftFunctions.ensureRegistered(df.sparkSession)
-    val P = 1000000007L
-    val h0 = PolyHash.polyHash(col("tok"))
-    val bucket = pmod(pmod(h0 * h0, lit(P)) * 1103515245L + 12345L, lit(P)) % buckets
-    val perDoc = df
-      .select(col(idCol).as("id"), isTarget.as("tgt"),
-        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .filter(col("tok") =!= "")
-      .withColumn("b", bucket)
-      .groupBy(col("id"), col("tgt"), col("b"))
-      .agg(count(lit(1)).as("c"))
-      .checkpointEager()
-    val bySide = perDoc.groupBy(col("tgt"), col("b")).agg(sum(col("c")).as("cnt"))
-    val tSide = bySide.filter(col("tgt")).select(col("b"), col("cnt").as("cnt_t"))
-    val rSide = bySide.filter(!col("tgt")).select(col("b"), col("cnt").as("cnt_r"))
-    val tots = bySide.groupBy(col("tgt")).agg(sum(col("cnt")).as("tot"))
-    val totT = tots.filter(col("tgt")).select(col("tot").as("tot_t"))
-    val totR = tots.filter(!col("tgt")).select(col("tot").as("tot_r"))
-    // the full B-row log-ratio table: absent buckets still smooth to 1
-    val grid = df.sparkSession.range(buckets).select(col("id").as("b"))
-    val lr = grid
-      .join(tSide, Seq("b"), "left").join(rSide, Seq("b"), "left")
-      .crossJoin(totT).crossJoin(totR)
-      .select(col("b"), round(log(
-        ((coalesce(col("cnt_t"), lit(0L)) + 1L) * (col("tot_r") + buckets))
-          .cast("double") /
-        ((coalesce(col("cnt_r"), lit(0L)) + 1L) * (col("tot_t") + buckets))
-          .cast("double")) * 1000000.0, 0).cast("long").as("lr_micro"))
-    val scored = perDoc.filter(!col("tgt"))
-      .join(broadcast(lr), "b")
-      .groupBy(col("id"))
-      .agg(sum(col("c") * col("lr_micro")).as("weight_micro"))
-    scored.orderBy(col("weight_micro").desc, col("id").asc).limit(k)
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("weight_micro").desc, col("id").asc)).cast("long"))
-  }
 }

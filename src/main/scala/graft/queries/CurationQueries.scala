@@ -1141,58 +1141,7 @@ object CurationQueries extends QueryPack {
              |  CAST(row_number() OVER (PARTITION BY source
              |    ORDER BY sample_hash, doc_id) AS BIGINT) AS rnk
              |FROM h QUALIFY rnk <= 5
-             |ORDER BY source, rnk""".stripMargin)),
-
-    // DSIR importance weights: rank the non-English pool by hashed-
-    // unigram similarity to the English target distribution (add-1
-    // smoothed bucket log-ratios, integer-exact end to end); the top-50
-    // would-be-resampled docs. Neither side hardcodes the table — both
-    // derive the 64-bucket ratio grid from their own token counts.
-    Q("q383_dsir_weights",
-      (s, d) => {
-        import s.implicits._
-        CorpusOps.dsirWeights(Tables.documents(s, d), "doc_id", "text",
-            isTarget = $"lang" === "en", buckets = 64, k = 50)
-          .orderBy($"rnk")
-      },
-      Some(s"""WITH tf AS (
-             |  SELECT doc_id, lang = 'en' AS tgt,
-             |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
-             |  FROM documents),
-             |h0 AS (
-             |  SELECT doc_id, tgt, ${phSql("tok")} AS ph
-             |  FROM tf WHERE tok <> ''),
-             |hb AS (
-             |  SELECT doc_id, tgt,
-             |    ((ph * ph) % 1000000007 * 1103515245 + 12345)
-             |      % 1000000007 % 64 AS b
-             |  FROM h0),
-             |pd AS (SELECT doc_id, tgt, b, CAST(count(*) AS BIGINT) AS c
-             |  FROM hb GROUP BY 1, 2, 3),
-             |side AS (SELECT tgt, b, CAST(sum(c) AS BIGINT) AS cnt
-             |  FROM pd GROUP BY 1, 2),
-             |tots AS (SELECT tgt, CAST(sum(cnt) AS BIGINT) AS tot
-             |  FROM side GROUP BY 1),
-             |grid AS (SELECT unnest(generate_series(0, 63)) AS b),
-             |lr AS (
-             |  SELECT g.b AS b,
-             |    CAST(round(ln(
-             |      CAST((coalesce(t.cnt, 0) + 1) * (tr.tot + 64) AS DOUBLE)
-             |      / CAST((coalesce(r.cnt, 0) + 1) * (tt.tot + 64) AS DOUBLE))
-             |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lr_micro
-             |  FROM grid g
-             |  LEFT JOIN (SELECT b, cnt FROM side WHERE tgt) t ON t.b = g.b
-             |  LEFT JOIN (SELECT b, cnt FROM side WHERE NOT tgt) r ON r.b = g.b
-             |  CROSS JOIN (SELECT tot FROM tots WHERE tgt) tt(tot)
-             |  CROSS JOIN (SELECT tot FROM tots WHERE NOT tgt) tr(tot)),
-             |sc AS (
-             |  SELECT pd.doc_id AS id,
-             |    CAST(sum(pd.c * lr.lr_micro) AS BIGINT) AS weight_micro
-             |  FROM pd JOIN lr ON lr.b = pd.b WHERE NOT pd.tgt GROUP BY 1)
-             |SELECT id, weight_micro,
-             |  CAST(row_number() OVER (ORDER BY weight_micro DESC, id)
-             |    AS BIGINT) AS rnk
-             |FROM sc QUALIFY rnk <= 50 ORDER BY rnk""".stripMargin))
+             |ORDER BY source, rnk""".stripMargin))
   )
 
   /** DuckDB replica of [[CorpusOps.consistentHashRebalance]]:

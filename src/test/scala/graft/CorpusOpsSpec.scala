@@ -308,33 +308,4 @@ class CorpusOpsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(ids("sA") != ids("sB"))
   }
-
-  test("dsirWeights: target-like raw docs outrank raw-only docs; partition-independent; k caps") {
-    // targets establish {alpha, beta} as the target profile; raw d1
-    // repeats it, d2 carries tokens seen ONLY in the raw pool, d3 mixes
-    val df = Seq(
-      (1L, "alpha beta alpha beta", "t"), (2L, "alpha beta beta", "t"),
-      (10L, "alpha beta alpha", "r"), (11L, "zulu yankee zulu xray", "r"),
-      (12L, "alpha zulu", "r")
-    ).toDF("doc_id", "text", "side")
-    val r = CorpusOps.dsirWeights(df, "doc_id", "text",
-      isTarget = $"side" === "t", buckets = 64, k = 10)
-      .collect().map(x => (x.getAs[Long]("id"),
-        x.getAs[Long]("weight_micro"), x.getAs[Long]("rnk")))
-    assert(r.length === 3, r.toSeq)
-    val byId = r.map(x => x._1 -> x._2).toMap
-    assert(byId(10L) > byId(12L) && byId(12L) > byId(11L), r.toSeq)
-    // ranks follow weights, rnk 1 = the most target-like raw doc
-    assert(r.find(_._3 == 1L).get._1 === 10L, r.toSeq)
-    // insensitive to physical layout
-    val r2 = CorpusOps.dsirWeights(df.repartition(5), "doc_id", "text",
-      isTarget = $"side" === "t", buckets = 64, k = 10)
-      .collect().map(x => (x.getAs[Long]("id"),
-        x.getAs[Long]("weight_micro"), x.getAs[Long]("rnk"))).toSet
-    assert(r2 === r.toSet)
-    // k truncates the ranking, keeping the highest weights
-    val top1 = CorpusOps.dsirWeights(df, "doc_id", "text",
-      isTarget = $"side" === "t", buckets = 64, k = 1).collect()
-    assert(top1.length === 1 && top1.head.getAs[Long]("id") === 10L)
-  }
 }
