@@ -878,6 +878,98 @@ object Eval {
             .cast("long")).as("alpha_micro"))
   }
 
+  /** Dawid–Skene latent-truth estimation (binary labels): where the
+    * kappa family MEASURES rater agreement, this ESTIMATES each rater's
+    * error profile and each item's true label jointly by EM — the
+    * label-aggregation step a crowd-labeled training set actually needs
+    * (majority vote weights a careless rater equally with a careful
+    * one; DS learns the weights from the disagreement structure).
+    *
+    * `iters` fixed EM rounds over micro-integer state, every step in
+    * the shared cross-engine shape so a SQL engine replays the whole
+    * trajectory bit-for-bit:
+    *  - posteriors `mu` live as micro longs; all M-step sums
+    *    (`Σ mu·y`, `Σ mu`, …) are EXACT integer aggregates;
+    *  - per-rater rates `pi1 = P(say 1 | true 1)`, `pi0 = P(say 1 |
+    *    true 0)` and the prior are one rounded double division each,
+    *    clamped to [1, 999999] micro (a rate of exactly 0/1 would zero
+    *    every posterior product it touches — standard DS smoothing);
+    *  - the E-step likelihood is a fold over the item's factor list
+    *    SORTED BY RATER ID — `acc · (t/10⁶)` left to right — so the
+    *    double multiplication ORDER is pinned (a plain product
+    *    aggregate would be partition-order-dependent and a log-sum
+    *    would be addition-order-dependent).
+    *
+    * Scale shape: M-steps are per-rater hash aggregates (rows = panel
+    * size); the rater table broadcast-joins back; the E-step is one
+    * groupBy(item) with a bounded (panel-sized) collect_list per item;
+    * posteriors checkpoint per round (bounded `iters`), so the lineage
+    * never deepens past one round.
+    *
+    * @param df one row per (item, rater, label); `yCol` boolean-like
+    * @return one row per rater: (rater, pi1_micro, pi0_micro) + the
+    *         shared (prior_micro, n_items, n_pos) — n_pos = items whose
+    *         final posterior ≥ 0.5
+    */
+  def dawidSkene(df: DataFrame, itemCol: String, raterCol: String,
+                 yCol: String, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "at least one EM round")
+    val labels = graft.ext.Exec.checkpointEager(
+      df.select(col(itemCol).as("item"), col(raterCol).as("rater"),
+        col(yCol).cast("boolean").cast("int").cast("long").as("y")))
+    def clampMicro(c: Column): Column =
+      least(greatest(round(c, 0).cast("long"), lit(1L)), lit(999999L))
+    // init: majority-vote posterior, micro-rounded
+    var mu = labels.groupBy(col("item"))
+      .agg(round(sum(col("y")).cast("double") * 1000000.0
+        / count(lit(1)).cast("double"), 0).cast("long").as("mu"))
+    var raters: DataFrame = null
+    var priorMicro: DataFrame = null
+    for (_ <- 1 to iters) {
+      val withMu = labels.join(mu, "item")
+      raters = withMu.groupBy(col("rater"))
+        .agg(sum(col("mu") * col("y")).as("num1"), sum(col("mu")).as("den1"),
+          sum((lit(1000000L) - col("mu")) * col("y")).as("num0"),
+          sum(lit(1000000L) - col("mu")).as("den0"))
+        .select(col("rater"),
+          when(col("den1") > 0L, clampMicro(col("num1").cast("double")
+              * 1000000.0 / col("den1").cast("double")))
+            .otherwise(500000L).as("pi1"),
+          when(col("den0") > 0L, clampMicro(col("num0").cast("double")
+              * 1000000.0 / col("den0").cast("double")))
+            .otherwise(500000L).as("pi0"))
+      priorMicro = mu.agg(clampMicro(sum(col("mu")).cast("double")
+        / count(lit(1)).cast("double")).as("p"))
+      // E-step: factor lists sorted by rater id, folded left to right
+      val facts = withMu.join(broadcast(raters), "rater")
+        .select(col("item"),
+          struct(col("rater"),
+            (col("y") * col("pi1") + (lit(1L) - col("y")) * (lit(1000000L) - col("pi1")))
+              .as("t1"),
+            (col("y") * col("pi0") + (lit(1L) - col("y")) * (lit(1000000L) - col("pi0")))
+              .as("t0")).as("f"))
+        .groupBy(col("item")).agg(sort_array(collect_list(col("f"))).as("fs"))
+      def fold(field: String): Column = aggregate(
+        transform(col("fs"), x => x.getField(field).cast("double")),
+        lit(1.0), (acc, x) => acc * (x / lit(1000000.0)))
+      mu = graft.ext.Exec.checkpointEager(facts.crossJoin(broadcast(priorMicro))
+        .select(col("item"),
+          (col("p").cast("double") / 1000000.0 * fold("t1")).as("a"),
+          ((lit(1000000L) - col("p")).cast("double") / 1000000.0 * fold("t0"))
+            .as("b"))
+        .select(col("item"),
+          when(col("a") + col("b") > 0.0,
+            round(col("a") * 1000000.0 / (col("a") + col("b")), 0).cast("long"))
+            .otherwise(500000L).as("mu")))
+    }
+    val post = mu.agg(count(lit(1)).as("n_items"),
+      sum(when(col("mu") >= 500000L, 1L).otherwise(0L)).as("n_pos"))
+    raters.crossJoin(broadcast(priorMicro)).crossJoin(broadcast(post))
+      .select(col("rater"), col("pi1").as("pi1_micro"),
+        col("pi0").as("pi0_micro"), col("p").as("prior_micro"),
+        col("n_items"), col("n_pos"))
+  }
+
   /** ROC threshold sweep: confusion counts and rates for a classifier
     * score at every threshold of an integer grid — the operating-point
     * selection table ([[aucOneVsRest]] integrates it; this emits the

@@ -388,6 +388,137 @@ object EvalQueries extends QueryPack {
              |  CASE WHEN r_len = 0 THEN 0
              |    ELSE CAST(round(CAST(m1 AS DOUBLE) * 1000000.0
              |      / CAST(r_len AS DOUBLE)) AS BIGINT) END AS rouge1_micro
-             |FROM j ORDER BY source""".stripMargin))
+             |FROM j ORDER BY source""".stripMargin)),
+
+    // Dawid–Skene latent-truth EM over a 3-rater panel: each rater is
+    // the is-English ground truth XOR a deterministic flip pattern of a
+    // different rate, so DS must recover asymmetric error profiles from
+    // disagreement alone. The oracle replays BOTH full EM rounds —
+    // integer M-step sums, clamped micro rates, rater-ordered
+    // likelihood folds — bit-for-bit.
+    Q("q383_dawid_skene",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val g = $"lang" === "en"
+        def rater(id: Long, flip: org.apache.spark.sql.Column) =
+          docs.select($"doc_id".as("item"), lit(id).as("rater"),
+            (g =!= flip).as("y"))
+        val panel = rater(1L, $"doc_id" % 7 === 0)
+          .unionByName(rater(2L, $"n_chars" % 5 === 0))
+          .unionByName(rater(3L, $"doc_id" % 3 === 0))
+        graft.ops.Eval.dawidSkene(panel, "item", "rater", "y", iters = 2)
+          .orderBy($"rater")
+      },
+      Some(s"""WITH r AS (
+             |  SELECT doc_id AS item, CAST(1 AS BIGINT) AS rater,
+             |    CAST((lang = 'en') <> (doc_id % 7 = 0) AS BIGINT) AS y
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, CAST(2 AS BIGINT),
+             |    CAST((lang = 'en') <> (n_chars % 5 = 0) AS BIGINT)
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, CAST(3 AS BIGINT),
+             |    CAST((lang = 'en') <> (doc_id % 3 = 0) AS BIGINT)
+             |  FROM documents),
+             |m0 AS (
+             |  SELECT item, CAST(round(CAST(sum(y) AS DOUBLE)
+             |    * CAST(1000000 AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             |    AS BIGINT) AS mu
+             |  FROM r GROUP BY 1),
+             |r1m AS (
+             |  SELECT rater, CAST(sum(mu * y) AS BIGINT) AS num1,
+             |    CAST(sum(mu) AS BIGINT) AS den1,
+             |    CAST(sum((1000000 - mu) * y) AS BIGINT) AS num0,
+             |    CAST(sum(1000000 - mu) AS BIGINT) AS den0
+             |  FROM r JOIN m0 USING (item) GROUP BY 1),
+             |r1c AS (
+             |  SELECT rater,
+             |    CASE WHEN den1 > 0 THEN least(greatest(CAST(round(
+             |        CAST(num1 AS DOUBLE) * CAST(1000000 AS DOUBLE)
+             |        / CAST(den1 AS DOUBLE)) AS BIGINT), 1), 999999)
+             |      ELSE 500000 END AS pi1,
+             |    CASE WHEN den0 > 0 THEN least(greatest(CAST(round(
+             |        CAST(num0 AS DOUBLE) * CAST(1000000 AS DOUBLE)
+             |        / CAST(den0 AS DOUBLE)) AS BIGINT), 1), 999999)
+             |      ELSE 500000 END AS pi0
+             |  FROM r1m),
+             |p1 AS (
+             |  SELECT least(greatest(CAST(round(CAST(sum(mu) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE)) AS BIGINT), 1), 999999) AS p
+             |  FROM m0),
+             |e1f AS (
+             |  SELECT r.item,
+             |    list_transform(list(r.y * c.pi1 + (1 - r.y) * (1000000 - c.pi1)
+             |      ORDER BY r.rater), x -> CAST(x AS DOUBLE)) AS l1,
+             |    list_transform(list(r.y * c.pi0 + (1 - r.y) * (1000000 - c.pi0)
+             |      ORDER BY r.rater), x -> CAST(x AS DOUBLE)) AS l0
+             |  FROM r JOIN r1c c USING (rater) GROUP BY r.item),
+             |e1 AS (
+             |  SELECT item,
+             |    (CAST(p AS DOUBLE) / CAST(1000000 AS DOUBLE))
+             |      * list_reduce(list_prepend(CAST(1 AS DOUBLE), l1),
+             |          (a, b) -> a * (b / CAST(1000000 AS DOUBLE))) AS a,
+             |    (CAST(1000000 - p AS DOUBLE) / CAST(1000000 AS DOUBLE))
+             |      * list_reduce(list_prepend(CAST(1 AS DOUBLE), l0),
+             |          (a, b) -> a * (b / CAST(1000000 AS DOUBLE))) AS b
+             |  FROM e1f CROSS JOIN p1),
+             |m1 AS (
+             |  SELECT item, CASE WHEN a + b > 0 THEN CAST(round(
+             |      a * CAST(1000000 AS DOUBLE) / (a + b)) AS BIGINT)
+             |    ELSE 500000 END AS mu
+             |  FROM e1),
+             |r2m AS (
+             |  SELECT rater, CAST(sum(mu * y) AS BIGINT) AS num1,
+             |    CAST(sum(mu) AS BIGINT) AS den1,
+             |    CAST(sum((1000000 - mu) * y) AS BIGINT) AS num0,
+             |    CAST(sum(1000000 - mu) AS BIGINT) AS den0
+             |  FROM r JOIN m1 USING (item) GROUP BY 1),
+             |r2c AS (
+             |  SELECT rater,
+             |    CASE WHEN den1 > 0 THEN least(greatest(CAST(round(
+             |        CAST(num1 AS DOUBLE) * CAST(1000000 AS DOUBLE)
+             |        / CAST(den1 AS DOUBLE)) AS BIGINT), 1), 999999)
+             |      ELSE 500000 END AS pi1,
+             |    CASE WHEN den0 > 0 THEN least(greatest(CAST(round(
+             |        CAST(num0 AS DOUBLE) * CAST(1000000 AS DOUBLE)
+             |        / CAST(den0 AS DOUBLE)) AS BIGINT), 1), 999999)
+             |      ELSE 500000 END AS pi0
+             |  FROM r2m),
+             |p2 AS (
+             |  SELECT least(greatest(CAST(round(CAST(sum(mu) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE)) AS BIGINT), 1), 999999) AS p
+             |  FROM m1),
+             |e2f AS (
+             |  SELECT r.item,
+             |    list_transform(list(r.y * c.pi1 + (1 - r.y) * (1000000 - c.pi1)
+             |      ORDER BY r.rater), x -> CAST(x AS DOUBLE)) AS l1,
+             |    list_transform(list(r.y * c.pi0 + (1 - r.y) * (1000000 - c.pi0)
+             |      ORDER BY r.rater), x -> CAST(x AS DOUBLE)) AS l0
+             |  FROM r JOIN r2c c USING (rater) GROUP BY r.item),
+             |e2 AS (
+             |  SELECT item,
+             |    (CAST(p AS DOUBLE) / CAST(1000000 AS DOUBLE))
+             |      * list_reduce(list_prepend(CAST(1 AS DOUBLE), l1),
+             |          (a, b) -> a * (b / CAST(1000000 AS DOUBLE))) AS a,
+             |    (CAST(1000000 - p AS DOUBLE) / CAST(1000000 AS DOUBLE))
+             |      * list_reduce(list_prepend(CAST(1 AS DOUBLE), l0),
+             |          (a, b) -> a * (b / CAST(1000000 AS DOUBLE))) AS b
+             |  FROM e2f CROSS JOIN p2),
+             |m2 AS (
+             |  SELECT item, CASE WHEN a + b > 0 THEN CAST(round(
+             |      a * CAST(1000000 AS DOUBLE) / (a + b)) AS BIGINT)
+             |    ELSE 500000 END AS mu
+             |  FROM e2),
+             |post AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+             |    CAST(sum(CASE WHEN mu >= 500000 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_pos
+             |  FROM m2)
+             |SELECT rater, pi1 AS pi1_micro, pi0 AS pi0_micro,
+             |  p AS prior_micro, n_items, n_pos
+             |FROM r2c CROSS JOIN p2 CROSS JOIN post
+             |ORDER BY rater""".stripMargin))
   )
 }

@@ -158,4 +158,30 @@ class CurationSpec extends SparkTestBase {
     assert(math.abs(a.getAs[Long]("entropy_micro") - 1098612L) <= 2L)
     assert(b.getAs[Boolean]("distinct_ok") && !b.getAs[Boolean]("entropy_ok"))
   }
+
+  test("dawidSkene recovers rater reliability ranking and the latent labels") {
+    // truth = even item; raters 1-2 always agree with truth, rater 3
+    // flips every third item — DS must (a) harden every posterior back
+    // to the truth (n_pos = the 6 even items), (b) give the clean
+    // raters a near-perfect profile, (c) rank rater 3 less informative
+    val rows = for {
+      item <- 1L to 12L
+      (rater, flip) <- Seq((1L, false), (2L, false), (3L, item % 3 == 0))
+    } yield (item, rater, (item % 2 == 0) != flip)
+    val df = rows.toDF("item", "rater", "y")
+    val r = Eval.dawidSkene(df, "item", "rater", "y", iters = 2)
+      .orderBy(col("rater")).collect()
+    assert(r.length == 3)
+    assert(r.forall(_.getAs[Long]("n_items") == 12L))
+    assert(r.forall(_.getAs[Long]("n_pos") == 6L), r.toSeq)
+    def sep(i: Int) =
+      r(i).getAs[Long]("pi1_micro") - r(i).getAs[Long]("pi0_micro")
+    // clean raters converge toward (1, 0) — two EM rounds get within
+    // ~2% (the flip items' posteriors are still hardening from the 2/3
+    // majority-vote init; more rounds push further toward the clamp)
+    assert(r(0).getAs[Long]("pi1_micro") > 950000L &&
+      r(0).getAs[Long]("pi0_micro") < 50000L, r.toSeq)
+    assert(sep(0) == sep(1), r.toSeq)
+    assert(sep(0) > sep(2) && sep(2) > 0, r.toSeq)
+  }
 }
