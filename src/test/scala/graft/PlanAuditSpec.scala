@@ -580,4 +580,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(winExecs.exists(_.partitionSpec.length >= 2),
       "occurrence-level window lost the partition-id key")
   }
+
+  test("q383 Dawid-Skene: rater/prior tables broadcast; no shuffle-side join on the panel") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rows = (1L to 200L).flatMap(i => Seq(
+      (i, 1L, i % 2 == 0), (i, 2L, i % 2 == 0), (i, 3L, (i % 2 == 0) != (i % 3 == 0))))
+    val df = spark.createDataFrame(rows).toDF("item", "rater", "y")
+      .repartition(8, col("item"))
+    val out = graft.ops.Eval.dawidSkene(df, "item", "rater", "y", iters = 1)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the per-rater and prior tables ride in as broadcasts (explicit
+    // hints in the operator) — the labels⋈posterior join is the one
+    // shuffle the algorithm owns; nothing goes cartesian
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
