@@ -291,7 +291,13 @@ object Dedup {
       val hot = posts.groupBy(bc :+ col("h"): _*)
         .agg(count(lit(1)).as("dfc"))
         .filter(col("dfc") > maxDf).drop("dfc")
-      val kept = posts.join(broadcast(hot), blockCols :+ "h", "left_anti")
+      // The |postings|/maxDf size bound only keeps the hot set
+      // driver-broadcastable when maxDf is comfortably large; a tiny
+      // cap (maxDf=2 over a billion-posting corpus) makes it hundreds
+      // of millions of rows. Below the floor, drop the hint and let
+      // the planner (AQE) pick a shuffle anti-join instead of OOMing.
+      val hotSide = if (maxDf >= 16) broadcast(hot) else hot
+      val kept = posts.join(hotSide, blockCols :+ "h", "left_anti")
         .persist(lvl)
       try {
         // minwise probe sample: the `probes` smallest kept hashes per doc

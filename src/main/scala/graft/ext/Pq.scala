@@ -244,13 +244,22 @@ object Pq {
       .na.fill(0L, Seq("n_prior", "n_delta"))
     val tot = base.agg(sum(col("n_prior")).as("tp"),
       sum(col("n_delta")).as("td"))
+    // An empty side (tp=0: fresh index; td=0: empty nightly delta) makes
+    // the share profile undefined — NOT evidence of drift. Shares
+    // coalesce to 0 and the per-cell drift is forced to 0, so tv_milli=0
+    // and the cycle takes the assign path instead of NULL-ing out and
+    // NPE-ing the caller's 1-row branch read.
     val milli = base.crossJoin(broadcast(tot))
-      .withColumn("prior_milli", round(col("n_prior").cast("double")
-        * 1000.0 / col("tp").cast("double"), 0).cast("long"))
-      .withColumn("delta_milli", round(col("n_delta").cast("double")
-        * 1000.0 / col("td").cast("double"), 0).cast("long"))
-      .withColumn("drift_milli",
-        abs(col("delta_milli") - col("prior_milli")))
+      .withColumn("prior_milli", when(col("tp") > 0L,
+        round(col("n_prior").cast("double")
+          * 1000.0 / col("tp").cast("double"), 0).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("delta_milli", when(col("td") > 0L,
+        round(col("n_delta").cast("double")
+          * 1000.0 / col("td").cast("double"), 0).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("drift_milli", when(col("tp") > 0L && col("td") > 0L,
+        abs(col("delta_milli") - col("prior_milli"))).otherwise(lit(0L)))
     val tv = milli.agg(expr("sum(drift_milli) div 2").as("tv_milli"))
     milli.crossJoin(broadcast(tv))
       .select(col("cell"), col("n_prior"), col("n_delta"),

@@ -1142,32 +1142,6 @@ object Eval {
           .cast("long").as("jk_se_milli"))
   }
 
-  /** Benjamini–Hochberg FDR step-up over a panel of test statistics —
-    * the multiple-testing control every metric panel needs before its
-    * per-cell t/z tests are read as discoveries (running k one-vs-rest
-    * tests at α each inflates the family-wise false-positive rate; BH
-    * bounds the expected FALSE-DISCOVERY fraction at α instead).
-    *
-    * Two-sided p-values come from |z| through the Abramowitz–Stegun
-    * 26.2.17 normal-CDF polynomial — a fixed-coefficient Horner form
-    * both engines replay in the identical operation order, micro-rounded
-    * before any comparison, so the step-up thresholding is an exact
-    * integer test (`p_micro·m ≤ rank·α_micro`) and the reject set is
-    * bit-deterministic cross-engine. Rejection: k* = max rank passing
-    * the line, reject ranks 1..k* (the step-up closure).
-    *
-    * The panel is a bounded tests table (groups × variants — type²
-    * cardinality), so the partition-less rank window and the two
-    * broadcast scalars are safe by construction; nothing here touches
-    * the fact table that produced the statistics.
-    *
-    * @param tests     one row per hypothesis, carrying `zMicroCol`
-    * @param zMicroCol micro-scaled z/t statistic column name
-    * @param alphaMicro FDR level in micro units (50000 = 0.05)
-    * @param idCols    hypothesis identity columns (tie-break order)
-    * @return tests' id columns + (z carried) + p_micro, rnk, reject —
-    *         ordered by nothing (callers sort)
-    */
   /** Minimum-detectable-effect (MDE) sizing per one-vs-rest cell — the
     * pre-experiment companion to [[welchOneVsRest]]/[[bhFdr]]: with the
     * ARMS' realized sizes and variances, the smallest true mean shift a
@@ -1217,6 +1191,32 @@ object Eval {
           .as("mde_rel_milli"))
   }
 
+  /** Benjamini–Hochberg FDR step-up over a panel of test statistics —
+    * the multiple-testing control every metric panel needs before its
+    * per-cell t/z tests are read as discoveries (running k one-vs-rest
+    * tests at α each inflates the family-wise false-positive rate; BH
+    * bounds the expected FALSE-DISCOVERY fraction at α instead).
+    *
+    * Two-sided p-values come from |z| through the Abramowitz–Stegun
+    * 26.2.17 normal-CDF polynomial — a fixed-coefficient Horner form
+    * both engines replay in the identical operation order, micro-rounded
+    * before any comparison, so the step-up thresholding is an exact
+    * integer test (`p_micro·m ≤ rank·α_micro`) and the reject set is
+    * bit-deterministic cross-engine. Rejection: k* = max rank passing
+    * the line, reject ranks 1..k* (the step-up closure).
+    *
+    * The panel is a bounded tests table (groups × variants — type²
+    * cardinality), so the partition-less rank window and the two
+    * broadcast scalars are safe by construction; nothing here touches
+    * the fact table that produced the statistics.
+    *
+    * @param tests     one row per hypothesis, carrying `zMicroCol`
+    * @param zMicroCol micro-scaled z/t statistic column name
+    * @param alphaMicro FDR level in micro units (50000 = 0.05)
+    * @param idCols    hypothesis identity columns (tie-break order)
+    * @return tests' id columns + (z carried) + p_micro, rnk, reject —
+    *         ordered by nothing (callers sort)
+    */
   def bhFdr(tests: DataFrame, zMicroCol: String, alphaMicro: Long,
             idCols: Seq[String]): DataFrame = {
     val z = abs(col(zMicroCol)).cast("double") / 1000000.0
