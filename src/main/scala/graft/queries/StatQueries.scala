@@ -553,18 +553,25 @@ object StatQueries extends QueryPack {
           .orderBy($"node_id")
       },
       Some {
+        // every CTE is MATERIALIZED (the q369 k-truss pattern): without
+        // it DuckDB re-inlines e{r-1} at each of its three references
+        // per round, so the plan tree grows 3^rounds copies of the
+        // quadratic pair join and spills >79 GB at sf0.1. Materialized,
+        // each round is one linear pass — feasible at every gate scale.
         val peel = (1 to 4).map { r =>
-          s"""d$r AS (SELECT id, count(*) AS c FROM (
+          s"""d$r AS MATERIALIZED (SELECT id, count(*) AS c FROM (
              |  SELECT a AS id FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
              |  GROUP BY 1),
-             |k$r AS (SELECT id FROM d$r WHERE c >= 2),
-             |e$r AS (SELECT a, b FROM e${r - 1}
-             |  WHERE a IN (SELECT id FROM k$r) AND b IN (SELECT id FROM k$r))"""
+             |k$r AS MATERIALIZED (SELECT id FROM d$r WHERE c >= 2),
+             |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+             |  JOIN k$r ka ON ka.id = e.a
+             |  JOIN k$r kb ON kb.id = e.b)"""
             .stripMargin
         }.mkString(",\n")
-        s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        s"""WITH li AS MATERIALIZED (
+           |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
            |  FROM lineitem),
-           |e0 AS (
+           |e0 AS MATERIALIZED (
            |  SELECT x.pk AS a, y.pk AS b FROM li x JOIN li y
            |  ON x.ok = y.ok AND x.pk < y.pk
            |  GROUP BY 1, 2 HAVING count(*) >= 2),

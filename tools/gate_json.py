@@ -38,8 +38,9 @@ def main():
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     # GATE_SKIP: comma-separated names whose ORACLE is infeasible at this
-    # scale (q189's k-core recursive CTE exhausts >79 GB of DuckDB temp
-    # spill at sf0.1 — the Spark side completes fine; see ROADMAP.md)
+    # scale. Currently empty at every gate SF: the one historical user
+    # (q189's k-core oracle, >79 GB DuckDB spill at sf0.1) was fixed by
+    # MATERIALIZED peel CTEs; the escape hatch stays for future oracles.
     skip = set(x for x in
                __import__("os").environ.get("GATE_SKIP", "").split(",") if x)
     out = {}
