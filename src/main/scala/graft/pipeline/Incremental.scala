@@ -410,6 +410,65 @@ object Incremental {
       .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
   }
 
+  /** Incremental gated 1:1 trip merge — the delta lane for the
+    * reference's `merge_trips()` stage (`R/merge-trips.R:44-73`), the
+    * last reference stage without an incremental twin. State = THREE
+    * versioned objects: the accumulated left rows (validated surveys),
+    * the accumulated right rows (GPS trips), and the published gated
+    * merge ([[graft.ops.GatedMerge.gatedOneToOne]] output).
+    *
+    * The gate is NOT monotone, so this cycle is retraction-shaped, not
+    * monoid-shaped: a delta row can flip a key's published result in
+    * BOTH directions —
+    *
+    *  - a (imei, landing_date) key that was 1:1 (published as one
+    *    JOINED row) becomes ambiguous when a late second row for that
+    *    device-day arrives: the published match must UN-MERGE into
+    *    independent pass-through rows;
+    *  - a key that was left-only (survey with no trip) becomes 1:1 when
+    *    its first trip row lands: two pass-through rows must FUSE.
+    *
+    * Both flips fall out of one structural rule: every key TOUCHED by
+    * either delta anti-joins its published rows OUT, and
+    * `gatedOneToOne` re-runs over just those keys' accumulated side
+    * rows (left-semi against the touched-key set). Untouched keys pass
+    * through by reference. Shuffle volume is bounded by the touched
+    * rows — O(|delta| · rows-per-key) — while the state tables are only
+    * ever SCANNED (the semi/anti joins stream); a full re-merge of the
+    * lake never happens. The side states are re-served from the exact
+    * objects this cycle writes (pinned paths, no latest-resolution
+    * race).
+    *
+    * @return the full published merge ≡ `gatedOneToOne(left ∪ lDelta,
+    *         right ∪ rDelta)` — the q384 oracle IS that full reprocess
+    */
+  def gatedMergeCycle(spark: SparkSession, dir: String, leftPrefix: String,
+                      rightPrefix: String, mergedPrefix: String,
+                      leftRawPrefix: String, rightRawPrefix: String,
+                      keys: Seq[String], newTag: String): DataFrame = {
+    val lPrior = Versioned.readLatest(spark, dir, leftPrefix)
+    val rPrior = Versioned.readLatest(spark, dir, rightPrefix)
+    val mPrior = Versioned.readLatest(spark, dir, mergedPrefix)
+    val lDelta = Versioned.readLatest(spark, dir, leftRawPrefix)
+    val rDelta = Versioned.readLatest(spark, dir, rightRawPrefix)
+    val lPath = Versioned.write(lPrior.unionByName(lDelta), dir,
+      leftPrefix + "_next", newTag)
+    val rPath = Versioned.write(rPrior.unionByName(rDelta), dir,
+      rightPrefix + "_next", newTag)
+    val lNew = spark.read.parquet(lPath)
+    val rNew = spark.read.parquet(rPath)
+    val keyCols = keys.map(col)
+    val touched = lDelta.select(keyCols: _*)
+      .unionByName(rDelta.select(keyCols: _*)).distinct()
+    val remerged = graft.ops.GatedMerge.gatedOneToOne(
+      lNew.join(touched, keys, "left_semi"),
+      rNew.join(touched, keys, "left_semi"), keys)
+    val merged = mPrior.join(touched, keys, "left_anti")
+      .unionByName(remerged.select(mPrior.columns.map(col): _*))
+    Versioned.write(merged, dir, mergedPrefix + "_next", newTag)
+    merged
+  }
+
   /** Incremental ANN (IVFPQ) index maintenance — the delta lane for the
     * vector-search index ([[graft.ext.Pq.ivfPqTopK]] proved the
     * composed build+serve shape; this adds what a nightly embedding
@@ -452,13 +511,18 @@ object Incremental {
       .select(col("vec_id"), col("cid").as("cell"))
     val dCodes = Pq.encode(delta, fine, m, subDim)
     val dIds = delta.select(col("vec_id"))
-    Versioned.write(cellsPrior.join(dIds, Seq("vec_id"), "left_anti")
-      .unionByName(dCells), dir, cellsPrefix + "_next", newTag)
-    Versioned.write(codesPrior.join(dIds, Seq("vec_id"), "left_anti")
-      .unionByName(dCodes), dir, codesPrefix + "_next", newTag)
+    // serve from the exact objects THIS cycle wrote (Versioned.write
+    // returns its path) — re-resolving "latest _next" would race with
+    // any concurrent cycle publishing a later tag into the same store
+    val cellsPath = Versioned.write(
+      cellsPrior.join(dIds, Seq("vec_id"), "left_anti")
+        .unionByName(dCells), dir, cellsPrefix + "_next", newTag)
+    val codesPath = Versioned.write(
+      codesPrior.join(dIds, Seq("vec_id"), "left_anti")
+        .unionByName(dCodes), dir, codesPrefix + "_next", newTag)
     Pq.ivfPqServe(queries,
-      Versioned.readLatest(spark, dir, cellsPrefix + "_next"),
-      Versioned.readLatest(spark, dir, codesPrefix + "_next"),
+      spark.read.parquet(cellsPath),
+      spark.read.parquet(codesPath),
       coarse, fine, dim, nProbe, m, subDim, k)
   }
 
@@ -504,8 +568,13 @@ object Incremental {
     val dCells = Pq.encode(delta, coarse, m = 1, subDim = dim)
       .select(col("vec_id"), col("cid").as("cell"))
     // one row per cell, identical (tv_milli, rebuild) on each — read one
-    val head = Pq.cellDrift(coarse, cellsPrior, dCells, tvMilli)
-      .select(col("tv_milli"), col("rebuild")).limit(1).collect()(0)
+    val driftHead = Pq.cellDrift(coarse, cellsPrior, dCells, tvMilli)
+      .select(col("tv_milli"), col("rebuild")).limit(1).collect()
+    require(driftHead.nonEmpty,
+      s"annReclusterCycle: coarse quantizer '$coarsePrefix' has no " +
+        "cells — nothing to assign against and nothing to measure " +
+        "drift on; build the index before running maintenance cycles")
+    val head = driftHead(0)
     val tv = head.getLong(0)
     val path = if (head.getBoolean(1)) "rebuild" else "assign"
     // serve from the exact object THIS cycle wrote (Versioned.write
@@ -532,6 +601,96 @@ object Incremental {
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vec"))
       .select(lit(path).as("path"), lit(tv).as("tv_milli"),
         col("cell"), col("n_vec"))
+  }
+
+  /** Tombstone DELETION lane for the dedup state — the third state
+    * mutation after append (q342) and resubmission (q378): a
+    * right-to-erasure or takedown batch must remove every trace of a
+    * document from the versioned dedup state, and every DOWNSTREAM
+    * product must forget it — without reprocessing the surviving
+    * corpus.
+    *
+    * One cycle purges BOTH dedup state objects by anti-join against the
+    * tombstone ids:
+    *
+    *  - the LSH signature state (`Dedup.signatureState` rows — the
+    *    doc's shingles and minhash signature leave the store, so no
+    *    future delta batch can ever band-collide with it again);
+    *  - the duplicate-pair LEDGER (q347's state — every pair TOUCHING a
+    *    tombstoned id leaves, both as `id_a` and as `id_b`).
+    *
+    * Components then recompute over the purged ledger alone (O(dup
+    * pairs), the q347 discipline — the corpus text is never scanned).
+    * Deletion is exact for pairwise state: a pair's existence depends
+    * only on its two endpoint docs, so "full pair set minus pairs
+    * touching deleted" ≡ "pair set over surviving docs" — the q385
+    * oracle IS that full-reprocess-minus-deleted rebuild. The published
+    * next-version objects are read back from pinned paths; a deleted id
+    * can never reappear in candidates (IncrementalSpec derives band
+    * candidates from the published state and pins the absence).
+    *
+    * @return (doc_id, canonical_id, n_group) duplicate components over
+    *         the purged ledger
+    */
+  def dedupDeleteCycle(spark: SparkSession, dir: String, sigPrefix: String,
+                       ledgerPrefix: String, tombPrefix: String,
+                       newTag: String): DataFrame = {
+    val sig = Versioned.readLatest(spark, dir, sigPrefix)
+    val ledger = Versioned.readLatest(spark, dir, ledgerPrefix)
+    val tomb = Versioned.readLatest(spark, dir, tombPrefix)
+    Versioned.write(sig.join(tomb, Seq("id"), "left_anti"), dir,
+      sigPrefix + "_next", newTag)
+    val ledgerPath = Versioned.write(ledger
+        .join(tomb.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+        .join(tomb.select(col("id").as("id_b")), Seq("id_b"), "left_anti"),
+      dir, ledgerPrefix + "_next", newTag)
+    val led = spark.read.parquet(ledgerPath)
+    val ids = led.select(col("id_a").as("doc_id"))
+      .unionAll(led.select(col("id_b").as("doc_id"))).distinct()
+    graft.ext.Dedup.duplicateGroups(led, ids, "doc_id")
+  }
+
+  /** Tombstone DELETION lane for the ANN (IVFPQ) index — the vector
+    * twin of [[dedupDeleteCycle]]: a takedown batch removes a vector's
+    * posting rows from BOTH index tables (cells and codes) by anti-join
+    * and publishes the purged tables as the next version; serving runs
+    * [[graft.ext.Pq.ivfPqServe]] against the purged RELOAD, so a
+    * deleted vector can never be a candidate (candidates are generated
+    * FROM the cells table) and never a top-k result. The quantizers
+    * stay frozen — deletion purges postings, it does not retrain; if
+    * mass deletion shifts the distribution, [[graft.ext.Pq.cellDrift]]
+    * flags the rebuild on the next ingest cycle. Work is O(|index|)
+    * scan + O(|tombstones|) shuffle; the raw corpus embeddings are
+    * never read.
+    *
+    * @return (q_id, rank, n_id, adc_d2) — `queries` served from the
+    *         purged reloaded index (the q386 oracle is the full rebuild
+    *         over the surviving vectors against the same frozen
+    *         quantizers)
+    */
+  def annDeleteCycle(spark: SparkSession, dir: String, coarsePrefix: String,
+                     finePrefix: String, cellsPrefix: String,
+                     codesPrefix: String, tombPrefix: String,
+                     queries: DataFrame, dim: Int, nProbe: Int, m: Int,
+                     subDim: Int, k: Int, newTag: String): DataFrame = {
+    import graft.ext.{IvfIndex, Pq}
+    val coarse = IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, coarsePrefix))
+    val fine = IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, finePrefix))
+    val cells = Versioned.readLatest(spark, dir, cellsPrefix)
+    val codes = Versioned.readLatest(spark, dir, codesPrefix)
+    val tomb = Versioned.readLatest(spark, dir, tombPrefix)
+    val cellsPath = Versioned.write(
+      cells.join(tomb, Seq("vec_id"), "left_anti"), dir,
+      cellsPrefix + "_next", newTag)
+    val codesPath = Versioned.write(
+      codes.join(tomb, Seq("vec_id"), "left_anti"), dir,
+      codesPrefix + "_next", newTag)
+    Pq.ivfPqServe(queries,
+      spark.read.parquet(cellsPath),
+      spark.read.parquet(codesPath),
+      coarse, fine, dim, nProbe, m, subDim, k)
   }
 
   /** Incremental inverted-index maintenance + BM25 serving: the

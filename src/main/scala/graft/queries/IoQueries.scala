@@ -664,6 +664,73 @@ object IoQueries extends QueryPack {
              |WHERE s.n_group > 1
              |ORDER BY canonical_id, doc_id""".stripMargin)),
 
+    // Tombstone DELETION lane for the dedup state (the third state
+    // mutation after append/resubmit): a takedown batch anti-joins its
+    // ids out of BOTH versioned dedup objects — the LSH signature state
+    // (no future delta can band-collide with a deleted doc) and the
+    // duplicate-pair ledger (every pair touching a deleted id leaves,
+    // both endpoints) — and components recompute over the purged ledger
+    // alone. Pairwise state deletes exactly: pairs-minus-deleted ≡
+    // pairs-over-survivors, so the oracle is the FULL simhash-components
+    // rebuild over the surviving documents. IncrementalSpec additionally
+    // pins that the published state contains no tombstoned id and that
+    // band candidates derived from it never touch one.
+    Q("q385_dedup_delete",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q385_deldedup")
+        val docs = Tables.documents(s, d)
+        Versioned.write(
+          graft.ext.Dedup.signatureState(docs, "doc_id", "text", n = 2,
+            bands = 21, rowsPerBand = 3),
+          dir, "delsig", "00000001_aaa")
+        Versioned.write(
+          graft.ext.Dedup.simHashPairsBanded(docs, "doc_id", "text",
+            maxDist = 6),
+          dir, "delledger", "00000001_aaa")
+        Versioned.write(
+          docs.filter($"doc_id" % 13 === 0).select($"doc_id".as("id")),
+          dir, "deltomb", "00000002_bbb")
+        graft.pipeline.Incremental.dedupDeleteCycle(s, dir, "delsig",
+            "delledger", "deltomb", "00000002_bbb")
+          .select($"id".as("doc_id"), $"canonical_id", $"n_group")
+          .orderBy($"canonical_id", $"doc_id")
+      },
+      Some("""WITH RECURSIVE kept AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+             |th AS (
+             |  SELECT doc_id,
+             |    list_transform(string_split_regex(trim(text),'\s+'), s ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(generate_series(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+             |      (a,b) -> (a*31 + b) % 1000000007)) AS hs
+             |  FROM kept),
+             |bits AS (
+             |  SELECT doc_id, j,
+             |    CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+             |      CASE WHEN ((h * ((1103515245 * j) % 2038074743) + ((12345 * j + 7) % 2038074743)) % 2038074743) % 2 = 1
+             |           THEN 1 ELSE -1 END)), 0) > 0
+             |         THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE 0 END AS bit
+             |  FROM th CROSS JOIN range(1, 64) t(j)),
+             |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sh FROM bits GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT doc_id AS id, doc_id AS lbl FROM kept
+             |  UNION
+             |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+             |comp AS (SELECT id, min(lbl) AS canonical_id FROM reach GROUP BY id),
+             |sized AS (SELECT canonical_id, count(*) AS n_group FROM comp GROUP BY 1)
+             |SELECT c.id AS doc_id, c.canonical_id, s.n_group
+             |FROM comp c JOIN sized s USING (canonical_id)
+             |WHERE s.n_group > 1
+             |ORDER BY canonical_id, doc_id""".stripMargin)),
+
     // Incremental EXACT quantile over a bounded-cardinality value: the
     // state is a per-(flag, quantity) counts HISTOGRAM (≤ 50 distinct
     // quantities — the state is tiny and the merge is a monoid), so
@@ -1008,7 +1075,67 @@ object IoQueries extends QueryPack {
         s"""CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-06-15'
            |      AND o_orderkey % 23 = 0
            |      THEN greatest(1, $RawBinNSql // 2) ELSE $RawBinNSql END"""
-          .stripMargin)))
+          .stripMargin))),
+
+    // Incremental GATED TRIP MERGE (merge_trips, R/merge-trips.R:44-73 —
+    // the last reference stage without a delta lane): surveys and GPS
+    // trips accumulate as versioned side states; the published merge
+    // retracts every key TOUCHED by either delta and re-runs the 1:1
+    // gate on just those keys' accumulated rows. The %5 split lands
+    // delta rows on EXISTING (user, day) keys, so late-second-row
+    // un-merges (published 1:1 → pass-throughs) and first-counterpart
+    // fuses (two pass-throughs → one joined row) both bite
+    // (IncrementalSpec pins each direction). Oracle = the FULL gated
+    // merge over all events — green proves retract-and-remerge ≡ full.
+    Q("q384_incremental_gated_merge",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q384_gated")
+        val ev = Tables.events(s, d).withColumn("day", to_date($"ts"))
+        val left = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"day", $"event_id".as("p_event"),
+            $"value".as("p_value"))
+        val right = ev.filter($"event_type" === "error")
+          .select($"user_id", $"day", $"event_id".as("e_event"),
+            $"value".as("e_value"))
+        val keys = Seq("user_id", "day")
+        Versioned.write(left.filter($"p_event" % 5 =!= 0), dir,
+          "merge_left", "00000001_aaa")
+        Versioned.write(right.filter($"e_event" % 5 =!= 0), dir,
+          "merge_right", "00000001_aaa")
+        Versioned.write(graft.ops.GatedMerge.gatedOneToOne(
+            left.filter($"p_event" % 5 =!= 0),
+            right.filter($"e_event" % 5 =!= 0), keys),
+          dir, "merge_pub", "00000001_aaa")
+        Versioned.write(left.filter($"p_event" % 5 === 0), dir,
+          "merge_lraw", "00000002_bbb")
+        Versioned.write(right.filter($"e_event" % 5 === 0), dir,
+          "merge_rraw", "00000002_bbb")
+        graft.pipeline.Incremental.gatedMergeCycle(s, dir, "merge_left",
+            "merge_right", "merge_pub", "merge_lraw", "merge_rraw", keys,
+            "00000002_bbb")
+          .orderBy($"user_id", $"day", $"p_event".asc_nulls_first,
+            $"e_event".asc_nulls_first)
+      },
+      Some("""WITH l AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day, event_id AS p_event, value AS p_value
+             |  FROM events WHERE event_type = 'purchase'),
+             |r AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day, event_id AS e_event, value AS e_value
+             |  FROM events WHERE event_type = 'error'),
+             |lc AS (SELECT *, count(*) OVER (PARTITION BY user_id, day) AS n FROM l),
+             |rc AS (SELECT *, count(*) OVER (PARTITION BY user_id, day) AS n FROM r),
+             |lu AS (SELECT user_id, day, p_event, p_value FROM lc WHERE n = 1),
+             |ld AS (SELECT user_id, day, p_event, p_value FROM lc WHERE n > 1),
+             |ru AS (SELECT user_id, day, e_event, e_value FROM rc WHERE n = 1),
+             |rd AS (SELECT user_id, day, e_event, e_value FROM rc WHERE n > 1)
+             |SELECT user_id, day, p_event, p_value, e_event, e_value
+             |FROM lu FULL JOIN ru USING (user_id, day)
+             |UNION ALL
+             |SELECT user_id, day, p_event, p_value, NULL, NULL FROM ld
+             |UNION ALL
+             |SELECT user_id, day, NULL, NULL, e_event, e_value FROM rd
+             |ORDER BY user_id, day, p_event NULLS FIRST, e_event NULLS FIRST""".stripMargin))
   )
 
   /** The q375 per-line bin-count derivation, shared with q378's edited

@@ -1702,6 +1702,137 @@ object VectorQueries extends QueryPack {
              |  n_id, adc_d2
              |FROM adc QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // Tombstone DELETION lane for the ANN index: a takedown batch
+    // anti-joins its vec_ids out of BOTH versioned index tables (cells
+    // and codes) and serving runs against the purged reload — a deleted
+    // vector can never be a candidate (candidates generate FROM the
+    // cells table) and never a top-k result. Quantizers stay frozen
+    // (deletion purges postings, it does not retrain; cellDrift flags
+    // any distribution shift on the next ingest). Oracle = the full
+    // rebuild over the surviving vectors against the same frozen
+    // quantizers — full-reprocess-minus-deleted.
+    Q("q386_ann_delete",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val dir = graft.core.Scratch.dir("q386_anndel")
+        // original full build over the complete corpus
+        Versioned.write(Pq.trainCodebooks(s, emb, m = 1, subDim = 64,
+          k = 8), dir, "adelcoarse", "00000001_aaa")
+        Versioned.write(Pq.trainCodebooks(s, emb, m = 8, subDim = 8,
+          k = 4), dir, "adelfine", "00000001_aaa")
+        val coarse0 = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "adelcoarse"))
+        val fine0 = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "adelfine"))
+        Versioned.write(Pq.encode(emb, coarse0, m = 1, subDim = 64)
+          .select($"vec_id", $"cid".as("cell")),
+          dir, "adelcells", "00000001_aaa")
+        Versioned.write(Pq.encode(emb, fine0, m = 8, subDim = 8),
+          dir, "adelcodes", "00000001_aaa")
+        Versioned.write(emb.filter($"vec_id" % 13 === 0).select($"vec_id"),
+          dir, "adeltomb", "00000002_bbb")
+        graft.pipeline.Incremental.annDeleteCycle(s, dir, "adelcoarse",
+            "adelfine", "adelcells", "adelcodes", "adeltomb",
+            emb.filter($"vec_id" % 50 === 1), dim = 64, nProbe = 2,
+            m = 8, subDim = 8, k = 5, newTag = "00000002_bbb")
+          .orderBy($"q_id", $"rank")
+      },
+      Some(s"""WITH sub AS (
+             |  SELECT vec_id, s,
+             |    list_transform(embedding[(s*8+1):(s*8+8)],
+             |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS sub
+             |  FROM embeddings CROSS JOIN range(0, 8) ss(s)),
+             |fullv AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS fv
+             |  FROM embeddings),
+             |cseeds AS (
+             |  SELECT vec_id AS cid, fv AS cent FROM fullv
+             |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+             |    ORDER BY vec_id LIMIT 8)),
+             |cd0 AS (
+             |  SELECT fullv.vec_id, cseeds.cid,
+             |    ${d2Sql("fullv.fv", "cseeds.cent")} AS dd
+             |  FROM fullv CROSS JOIN cseeds),
+             |ca0 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+             |    FROM cd0) WHERE rn = 1),
+             |cfp AS (
+             |  SELECT vec_id, unnest(list_transform(fv,
+             |    (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}), recursive := true)
+             |  FROM fullv),
+             |ccbp AS (
+             |  SELECT ca0.cid, p.pos,
+             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
+             |  FROM ca0 JOIN cfp p ON p.vec_id = ca0.vec_id
+             |  GROUP BY 1, 2),
+             |ccb AS (SELECT cid, list(c ORDER BY pos) AS cent FROM ccbp GROUP BY 1),
+             |cells AS (
+             |  SELECT vec_id, cid AS cell FROM (
+             |    SELECT fullv.vec_id, ccb.cid,
+             |      ${d2Sql("fullv.fv", "ccb.cent")} AS dd,
+             |      row_number() OVER (PARTITION BY fullv.vec_id
+             |        ORDER BY ${d2Sql("fullv.fv", "ccb.cent")}, ccb.cid) AS rn
+             |    FROM fullv CROSS JOIN ccb) WHERE rn = 1),
+             |probes AS (
+             |  SELECT q_id, cell FROM (
+             |    SELECT q.vec_id AS q_id, ccb.cid AS cell,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY ${d2Sql("q.fv", "ccb.cent")}, ccb.cid) AS pr
+             |    FROM fullv q CROSS JOIN ccb WHERE q.vec_id % 50 = 1)
+             |  WHERE pr <= 2),
+             |seeds AS (
+             |  SELECT s, vec_id AS cid, sub AS cent FROM sub
+             |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+             |    ORDER BY vec_id LIMIT 4)),
+             |d0 AS (
+             |  SELECT sub.vec_id, sub.s, seeds.cid,
+             |    ${d2Sql("sub.sub", "seeds.cent")} AS dd
+             |  FROM sub JOIN seeds ON seeds.s = sub.s),
+             |a0 AS (
+             |  SELECT vec_id, s, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
+             |    FROM d0) WHERE rn = 1),
+             |subp AS (
+             |  SELECT vec_id, s,
+             |    unnest(list_transform(sub, (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}),
+             |      recursive := true)
+             |  FROM sub),
+             |cbp AS (
+             |  SELECT a0.s, a0.cid, p.pos,
+             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
+             |  FROM a0 JOIN subp p ON p.vec_id = a0.vec_id AND p.s = a0.s
+             |  GROUP BY 1, 2, 3),
+             |cb AS (SELECT s, cid, list(c ORDER BY pos) AS cent FROM cbp GROUP BY 1, 2),
+             |d1 AS (
+             |  SELECT sub.vec_id, sub.s, cb.cid,
+             |    ${d2Sql("sub.sub", "cb.cent")} AS dd
+             |  FROM sub JOIN cb ON cb.s = sub.s),
+             |codes AS (
+             |  SELECT vec_id, s, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
+             |    FROM d1) WHERE rn = 1),
+             |qsub AS (SELECT vec_id AS q_id, s, sub FROM sub WHERE vec_id % 50 = 1),
+             |tab AS (
+             |  SELECT q_id, cb.s, cb.cid, ${d2Sql("qsub.sub", "cb.cent")} AS dt
+             |  FROM qsub JOIN cb ON cb.s = qsub.s),
+             |cand AS (
+             |  SELECT p.q_id, cells.vec_id
+             |  FROM cells JOIN probes p ON p.cell = cells.cell
+             |  WHERE p.q_id != cells.vec_id AND cells.vec_id % 13 <> 0),
+             |adc AS (
+             |  SELECT cand.q_id, cand.vec_id AS n_id,
+             |    CAST(sum(t.dt) AS BIGINT) AS adc_d2
+             |  FROM cand JOIN codes c ON c.vec_id = cand.vec_id
+             |  JOIN tab t ON t.q_id = cand.q_id AND t.s = c.s AND t.cid = c.cid
+             |  GROUP BY 1, 2)
+             |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+             |    ORDER BY adc_d2, n_id) AS BIGINT) AS rank,
+             |  n_id, adc_d2
+             |FROM adc QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
     // The frozen-quantizer honesty stat: per-cell population drift
     // between the prior index and the delta batch, with the
     // total-variation rebuild trigger — the number an incrementally

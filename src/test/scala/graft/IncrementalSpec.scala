@@ -160,6 +160,113 @@ class IncrementalSpec extends SparkTestBase {
       "resubmission edit changed nothing — fixture does not exercise retraction")
   }
 
+  test("gated merge cycle scans only versioned objects, never raw history") {
+    val df = SparkEntry.queries("q384_incremental_gated_merge")(spark, sfDir)
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l
+    }.flatMap(_.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location.rootPaths.map(_.toString)
+      case _ => Seq.empty
+    })
+    // allowed: prior published merge, the two side deltas, and the two
+    // freshly-written (pinned-path) accumulated side states
+    assert(paths.nonEmpty && paths.forall(p =>
+      p.contains("merge_pub__") || p.contains("merge_lraw__") ||
+      p.contains("merge_rraw__") || p.contains("merge_left_next__") ||
+      p.contains("merge_right_next__")),
+      s"unexpected scan set:\n${paths.mkString("\n")}")
+    assert(!paths.exists(_.contains(sfDir)),
+      s"gated merge cycle leaked a full-history scan:\n${paths.mkString("\n")}")
+  }
+
+  test("gated merge cycle: late second row UN-MERGES, first counterpart FUSES") {
+    import spark.implicits._
+    val dir = graft.core.Scratch.dir("spec_gated_cycle")
+    val keys = Seq("k")
+    // prior: key A is 1:1 (published joined), key B is left-only
+    val lPrior = Seq(("A", 1L, 10L), ("B", 2L, 20L)).toDF("k", "l_id", "l_v")
+    val rPrior = Seq(("A", 7L, 70L)).toDF("k", "r_id", "r_v")
+    graft.io.Versioned.write(lPrior, dir, "gl", "00000001_a")
+    graft.io.Versioned.write(rPrior, dir, "gr", "00000001_a")
+    graft.io.Versioned.write(
+      graft.ops.GatedMerge.gatedOneToOne(lPrior, rPrior, keys),
+      dir, "gm", "00000001_a")
+    // delta: a late SECOND left row for A (ambiguity arrives — the
+    // published 1:1 match must un-merge) and B's FIRST right row (two
+    // pass-throughs must fuse into one joined row)
+    graft.io.Versioned.write(Seq(("A", 3L, 30L)).toDF("k", "l_id", "l_v"),
+      dir, "glraw", "00000002_b")
+    graft.io.Versioned.write(Seq(("B", 8L, 80L)).toDF("k", "r_id", "r_v"),
+      dir, "grraw", "00000002_b")
+    val out = graft.pipeline.Incremental.gatedMergeCycle(spark, dir,
+        "gl", "gr", "gm", "glraw", "grraw", keys, "00000002_b")
+      .collect().map(r => (r.getAs[String]("k"),
+        Option(r.getAs[java.lang.Long]("l_id")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("r_id")).map(_.toLong))).toSet
+    // A: 2 left rows + 1 right row, ALL pass-through (nothing joined)
+    assert(out.count(_._1 == "A") == 3, s"A must un-merge into 3 rows: $out")
+    assert(!out.exists(t => t._1 == "A" && t._2.nonEmpty && t._3.nonEmpty),
+      s"A still has a joined row after ambiguity arrived: $out")
+    // B: exactly one row, joined (l_id=2, r_id=8)
+    assert(out.filter(_._1 == "B") == Set(("B", Some(2L), Some(8L))),
+      s"B must fuse into one joined row: $out")
+    // and the whole published merge equals the full reprocess
+    val full = graft.ops.GatedMerge.gatedOneToOne(
+        lPrior.unionByName(Seq(("A", 3L, 30L)).toDF("k", "l_id", "l_v")),
+        rPrior.unionByName(Seq(("B", 8L, 80L)).toDF("k", "r_id", "r_v")),
+        keys)
+      .collect().map(r => (r.getAs[String]("k"),
+        Option(r.getAs[java.lang.Long]("l_id")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("r_id")).map(_.toLong))).toSet
+    assert(out == full, s"cycle diverged from full re-merge: $out vs $full")
+  }
+
+  test("dedup deletion: tombstoned doc leaves state, candidates, and components") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q385_dedup_delete")(spark, sfDir).collect()
+    assert(out.nonEmpty, "deletion fixture produced no components — vacuous")
+    assert(!out.exists(r => r.getAs[Long]("doc_id") % 13 == 0 ||
+      r.getAs[Long]("canonical_id") % 13 == 0),
+      "a tombstoned doc survived into the published components")
+    val dir = graft.core.Scratch.dir("q385_deldedup")
+    // published signature state: no tombstoned id remains
+    val sig = graft.io.Versioned.readLatest(spark, dir, "delsig_next")
+    assert(sig.filter($"id" % 13 === 0).isEmpty,
+      "published signature state still holds a tombstoned doc")
+    // band candidates DERIVED from the published state never touch a
+    // tombstoned id — the "never reappears" guarantee future cycles
+    // rely on (candidates are generated from exactly these band rows)
+    val bandRows = graft.ext.Dedup.bandRowsFromState(sig, bands = 21,
+      rowsPerBand = 3)
+    val cands = bandRows.select($"band", $"bucket", $"id".as("id_a"))
+      .join(bandRows.select($"band", $"bucket", $"id".as("id_b")),
+        Seq("band", "bucket"))
+      .filter($"id_a" < $"id_b")
+    assert(cands.filter($"id_a" % 13 === 0 || $"id_b" % 13 === 0).isEmpty,
+      "a tombstoned doc reappeared in band candidates")
+    // published ledger: no pair touches a tombstoned endpoint
+    val led = graft.io.Versioned.readLatest(spark, dir, "delledger_next")
+    assert(led.filter($"id_a" % 13 === 0 || $"id_b" % 13 === 0).isEmpty,
+      "published pair ledger still holds a tombstoned endpoint")
+  }
+
+  test("ANN deletion: tombstoned vector leaves the index and top-k serving") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q386_ann_delete")(spark, sfDir).collect()
+    assert(out.nonEmpty, "ANN deletion fixture served nothing — vacuous")
+    assert(!out.exists(_.getAs[Long]("n_id") % 13 == 0),
+      "a tombstoned vector appeared in top-k serving")
+    val dir = graft.core.Scratch.dir("q386_anndel")
+    for (p <- Seq("adelcells_next", "adelcodes_next")) {
+      val t = graft.io.Versioned.readLatest(spark, dir, p)
+      assert(t.filter($"vec_id" % 13 === 0).isEmpty,
+        s"published $p still holds a tombstoned vector")
+      assert(t.filter($"vec_id" % 13 =!= 0).count() > 0,
+        s"published $p lost its surviving vectors")
+    }
+  }
+
   test("two chained SURVEY cycles ≡ one full reprocess (DAG composition across versions)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
