@@ -302,11 +302,20 @@ object Incremental {
     *           (catch_taxon, a_6, b_6, min_length, max_length_75)
     * @return clean long catch rows with `catch_kg`, district + month
     */
-  def surveyProcess(raw: DataFrame, lw: DataFrame): DataFrame = {
+  def surveyProcess(raw: DataFrame, lw: DataFrame): DataFrame =
+    surveyProcess(raw, lw, Seq("district", "month"))
+
+  /** [[surveyProcess]] with an explicit carry set — the full-topology
+    * cycle ([[chainedTripsCycle]]) additionally threads the merge keys
+    * (imei, landing_date) through the Generate nodes so the trip merge
+    * never joins back to re-derive them.
+    */
+  def surveyProcess(raw: DataFrame, lw: DataFrame,
+                    carry: Seq[String]): DataFrame = {
     // stage A: preprocess
     val calc = graft.pipeline.CatchCalc.calculateCatch(
       graft.pipeline.SpeciesReshape
-        .toLongCatches(raw, carry = Seq("district", "month"))
+        .toLongCatches(raw, carry = carry)
         .withColumn("catch_taxon",
           graft.pipeline.CatchCalc.recodeTaxon(col("selected_species"))),
       lw.select(col("catch_taxon"), col("a_6"), col("b_6")))
@@ -367,7 +376,15 @@ object Incremental {
     * submission.
     */
   def submissionContrib(clean: DataFrame): DataFrame =
-    clean.groupBy(col("submission_id"), col("district"), col("month"))
+    submissionContrib(clean, Seq.empty)
+
+  /** [[submissionContrib]] with extra per-submission key columns
+    * (functionally dependent on the submission — e.g. the merge keys
+    * imei + landing_date for [[chainedTripsCycle]]).
+    */
+  def submissionContrib(clean: DataFrame, extraKeys: Seq[String]): DataFrame =
+    clean.groupBy(col("submission_id") +: col("district") +: col("month") +:
+        extraKeys.map(col): _*)
       .agg(count(lit(1)).as("n"),
         graft.core.Exact.centsSum(col("catch_kg")).as("sum_cents"))
 
@@ -408,6 +425,85 @@ object Incremental {
     Versioned.write(merged, dir, statePrefix + "_next", newTag)
     merged.groupBy(col("district"), col("month"))
       .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+  }
+
+  /** The COMPLETE reference topology as one delta-only cycle:
+    * raw → preprocess → validate → merge_trips → export
+    * (R/preprocessing-surveys.R:69-74 → R/validation.R:519-524 →
+    * R/merge-trips.R:44-73 → R/export.R:506-511). This composes the
+    * resubmission-aware survey chain (q378's submission-grain
+    * retraction) with the gated trip merge ([[gatedMergeCycle]]'s
+    * retract-and-remerge), so the LAST reference stage joins the
+    * incremental DAG and the whole nightly topology touches only
+    * deltas and rolled-up state:
+    *
+    *  1. the survey delta (new + resubmitted nested submissions) runs
+    *     [[surveyProcess]] with the merge keys (imei, landing_date)
+    *     carried through the Generate nodes; per-submission
+    *     contributions RETRACT stale rows by submission-id anti-join
+    *     and fold in (an edit that now fails validation simply
+    *     disappears);
+    *  2. the trips delta appends to the trips side state;
+    *  3. the published gated merge retracts every (imei, landing_date)
+    *     key touched by new contributions, RETRACTED prior
+    *     contributions, or delta trips, and re-runs the 1:1 gate on
+    *     just those keys' accumulated rows — late trips un-merge or
+    *     fuse exactly as in [[gatedMergeCycle]];
+    *  4. the export derives from the published merge ALONE: monthly
+    *     per-district rows with survey counts, exact cents, matched-
+    *     trip counts, and matched trip time.
+    *
+    * Every stage consumes only versioned objects (IncrementalSpec pins
+    * the whole chain's relation set); the q387 oracle is the FULL
+    * four-stage reprocess, so green proves the end-to-end composition.
+    *
+    * @return (district, month, n_rows, sum_cents, n_matched, dur_sec)
+    */
+  def chainedTripsCycle(spark: SparkSession, dir: String,
+                        surveyStatePrefix: String, tripsStatePrefix: String,
+                        mergedPrefix: String, surveyRawPrefix: String,
+                        tripsRawPrefix: String, lw: DataFrame,
+                        newTag: String): DataFrame = {
+    val keys = Seq("imei", "landing_date")
+    val keyCols = keys.map(col)
+    val sState = Versioned.readLatest(spark, dir, surveyStatePrefix)
+    val tState = Versioned.readLatest(spark, dir, tripsStatePrefix)
+    val mPrior = Versioned.readLatest(spark, dir, mergedPrefix)
+    val sDelta = Versioned.readLatest(spark, dir, surveyRawPrefix)
+    val tDelta = Versioned.readLatest(spark, dir, tripsRawPrefix)
+    // stages 1+2: preprocess + validate the survey delta alone, keep
+    // contributions at submission grain (retraction = stored row)
+    val contrib = submissionContrib(
+      surveyProcess(sDelta, lw, Seq("district", "month") ++ keys), keys)
+    val deltaIds = sDelta.select(col("submission_id")).distinct()
+    val retracted = sState.join(deltaIds, Seq("submission_id"), "left_semi")
+    val sPath = Versioned.write(
+      sState.join(deltaIds, Seq("submission_id"), "left_anti")
+        .unionByName(contrib),
+      dir, surveyStatePrefix + "_next", newTag)
+    val tPath = Versioned.write(tState.unionByName(tDelta), dir,
+      tripsStatePrefix + "_next", newTag)
+    // stage 3: gated trip merge, retract-and-remerge on touched keys
+    val touched = contrib.select(keyCols: _*)
+      .unionByName(retracted.select(keyCols: _*))
+      .unionByName(tDelta.select(keyCols: _*)).distinct()
+    val remerged = graft.ops.GatedMerge.gatedOneToOne(
+      spark.read.parquet(sPath).join(touched, keys, "left_semi"),
+      spark.read.parquet(tPath).join(touched, keys, "left_semi"), keys)
+    val mPath = Versioned.write(mPrior.join(touched, keys, "left_anti")
+        .unionByName(remerged.select(mPrior.columns.map(col): _*)),
+      dir, mergedPrefix + "_next", newTag)
+    // stage 4: export from the published merge alone — survey-bearing
+    // rows only (the reference's export is survey-centric; unmatched
+    // trips stay in the published merge for the dashboard's GPS lane)
+    spark.read.parquet(mPath)
+      .filter(col("submission_id").isNotNull)
+      .groupBy(col("district"), col("month"))
+      .agg(sum(col("n")).as("n_rows"),
+        sum(col("sum_cents")).as("sum_cents"),
+        count(col("trip_id")).as("n_matched"),
+        coalesce(sum(when(col("trip_id").isNotNull, col("duration_sec"))),
+          lit(0L)).as("dur_sec"))
   }
 
   /** Incremental gated 1:1 trip merge — the delta lane for the

@@ -1071,11 +1071,7 @@ object IoQueries extends QueryPack {
           .select($"district", $"month", $"n".as("n_rows"), $"sum_cents")
           .orderBy($"district", $"month")
       },
-      Some(chainOracleSql(
-        s"""CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-06-15'
-           |      AND o_orderkey % 23 = 0
-           |      THEN greatest(1, $RawBinNSql // 2) ELSE $RawBinNSql END"""
-          .stripMargin))),
+      Some(chainOracleSql(EditedBinNSql))),
 
     // Incremental GATED TRIP MERGE (merge_trips, R/merge-trips.R:44-73 —
     // the last reference stage without a delta lane): surveys and GPS
@@ -1135,7 +1131,63 @@ object IoQueries extends QueryPack {
              |SELECT user_id, day, p_event, p_value, NULL, NULL FROM ld
              |UNION ALL
              |SELECT user_id, day, NULL, NULL, e_event, e_value FROM rd
-             |ORDER BY user_id, day, p_event NULLS FIRST, e_event NULLS FIRST""".stripMargin))
+             |ORDER BY user_id, day, p_event NULLS FIRST, e_event NULLS FIRST""".stripMargin)),
+
+    // THE COMPLETE reference topology, delta-only: raw → preprocess →
+    // validate → MERGE_TRIPS → export in one chained cycle. The survey
+    // delta carries new submissions PLUS resubmission edits (q378's
+    // validator workflow); the trips delta lands half the GPS trips
+    // late, onto device-days whose surveys are already published — so
+    // submission-grain retraction, the gated-merge un-merge/fuse flips,
+    // and the state-only export all fire in ONE run. Oracle = the FULL
+    // four-stage reprocess (preprocess+validate CTEs → per-submission
+    // contributions → window-count gated 1:1 merge → survey-centric
+    // monthly export).
+    Q("q387_chained_trips",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q387_trips")
+        val lw = chainLwTable(s)
+        val flat = chainSurveyFlat(s, d)
+        val keys = Seq("imei", "landing_date")
+        def nest(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"submission_id", $"district", $"month", $"imei",
+              $"landing_date")
+            .agg(collect_list($"sg").as("species_groups"))
+        val cutoff = to_date(lit("1998-06-15"))
+        val prior = flat.filter($"day" < cutoff)
+        val edited = prior.filter($"submission_id" % 23 === 0)
+          .withColumn("sg", $"sg".withField("length_bins",
+            transform($"sg.length_bins", b => struct(
+              b.getField("length_class").as("length_class"),
+              greatest(lit(1L), shiftright(b.getField("n"), 1)).as("n")))))
+        val trips = Tables.orders(s, d).filter($"o_orderkey" % 3 === 0)
+          .select($"o_orderkey".as("trip_id"),
+            concat(lit("IMEI"), ($"o_orderkey" % 97).cast("string"))
+              .as("imei"),
+            to_date($"o_orderdate").as("landing_date"),
+            ($"o_orderkey" % 7000 + 3600).cast("long").as("duration_sec"))
+        val sPrior = graft.pipeline.Incremental.submissionContrib(
+          graft.pipeline.Incremental.surveyProcess(nest(prior), lw,
+            Seq("district", "month") ++ keys), keys)
+        val tPrior = trips.filter($"trip_id" % 6 === 3)
+        Versioned.write(sPrior, dir, "trg_sstate", "00000001_aaa")
+        Versioned.write(tPrior, dir, "trg_tstate", "00000001_aaa")
+        Versioned.write(
+          graft.ops.GatedMerge.gatedOneToOne(sPrior, tPrior, keys),
+          dir, "trg_merged", "00000001_aaa")
+        Versioned.write(
+          nest(flat.filter($"day" >= cutoff).unionByName(edited))
+            .coalesce(4),
+          dir, "trg_sraw", "00000002_bbb")
+        Versioned.write(trips.filter($"trip_id" % 6 === 0), dir,
+          "trg_traw", "00000002_bbb")
+        graft.pipeline.Incremental.chainedTripsCycle(s, dir, "trg_sstate",
+            "trg_tstate", "trg_merged", "trg_sraw", "trg_traw", lw,
+            "00000002_bbb")
+          .orderBy($"district", $"month")
+      },
+      Some(tripsChainOracleSql))
   )
 
   /** The q375 per-line bin-count derivation, shared with q378's edited
@@ -1144,6 +1196,16 @@ object IoQueries extends QueryPack {
   private def RawBinNSql: String =
     "(CASE WHEN l_suppkey % 37 = 0 THEN 1500 ELSE l_suppkey % 9 + 1 END)"
 
+  /** The q378/q387 resubmission edit, as the effective-bin SQL the
+    * oracles plug into [[chainCleanCtes]]: prior-batch every-23rd
+    * submissions re-pull with their individual counts halved (floor 1).
+    */
+  private def EditedBinNSql: String =
+    s"""CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-06-15'
+       |      AND o_orderkey % 23 = 0
+       |      THEN greatest(1, $RawBinNSql // 2) ELSE $RawBinNSql END"""
+      .stripMargin
+
   /** Shared full-reprocess oracle for the chained incremental cycles
     * (q375/q378): the three-stage replay over lineitem ⋈ orders with
     * the per-line effective bin count plugged in (`binNSql`) — q375
@@ -1151,6 +1213,67 @@ object IoQueries extends QueryPack {
     * resubmission edit to it.
     */
   private def chainOracleSql(binNSql: String): String =
+    chainCleanCtes(binNSql) +
+      """
+        |SELECT district, month, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(catch_kg * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM clean GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Full-reprocess oracle for the COMPLETE-topology cycle (q387):
+    * [[chainCleanCtes]] with the resubmission edit, then per-submission
+    * contributions, the gated 1:1 trip merge (window-count gate — the
+    * q19 oracle shape), and the survey-centric monthly export.
+    */
+  private def tripsChainOracleSql: String =
+    chainCleanCtes(EditedBinNSql) + """,
+      |contrib AS (
+      |  SELECT submission_id, district, month, imei, landing_date,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(catch_kg * 100) AS BIGINT)) AS BIGINT)
+      |      AS sum_cents
+      |  FROM clean GROUP BY 1, 2, 3, 4, 5),
+      |trips AS (
+      |  SELECT o_orderkey AS trip_id,
+      |    'IMEI' || CAST(o_orderkey % 97 AS VARCHAR) AS imei,
+      |    CAST(o_orderdate AS DATE) AS landing_date,
+      |    CAST(o_orderkey % 7000 + 3600 AS BIGINT) AS duration_sec
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |lc AS (SELECT *, count(*) OVER (PARTITION BY imei, landing_date)
+      |         AS kn FROM contrib),
+      |rc AS (SELECT *, count(*) OVER (PARTITION BY imei, landing_date)
+      |         AS kn FROM trips),
+      |lu AS (SELECT submission_id, district, month, imei, landing_date,
+      |         n, sum_cents FROM lc WHERE kn = 1),
+      |ld AS (SELECT submission_id, district, month, imei, landing_date,
+      |         n, sum_cents FROM lc WHERE kn > 1),
+      |ru AS (SELECT trip_id, imei, landing_date, duration_sec
+      |       FROM rc WHERE kn = 1),
+      |rd AS (SELECT trip_id, imei, landing_date, duration_sec
+      |       FROM rc WHERE kn > 1),
+      |merged AS (
+      |  SELECT lu.submission_id, lu.district, lu.month, lu.n,
+      |    lu.sum_cents, ru.trip_id, ru.duration_sec
+      |  FROM lu FULL JOIN ru USING (imei, landing_date)
+      |  UNION ALL
+      |  SELECT submission_id, district, month, n, sum_cents, NULL, NULL
+      |  FROM ld
+      |  UNION ALL
+      |  SELECT NULL, NULL, NULL, NULL, NULL, trip_id, duration_sec
+      |  FROM rd)
+      |SELECT district, month, CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+      |  CAST(count(trip_id) AS BIGINT) AS n_matched,
+      |  CAST(coalesce(sum(CASE WHEN trip_id IS NOT NULL
+      |    THEN duration_sec END), 0) AS BIGINT) AS dur_sec
+      |FROM merged WHERE submission_id IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The shared preprocess+validate CTE chain (lw metadata → flat
+    * survey rows with the merge keys → length/bucket split → LW catch
+    * calc → whole-submission exclusion), ending at `clean`.
+    */
+  private def chainCleanCtes(binNSql: String): String =
     s"""WITH lw(catch_taxon, a_6, b_6, min_length, max_length_75) AS (
        |  VALUES
        |  ('OCZ', CAST(0.0631 AS DOUBLE), CAST(2.8 AS DOUBLE),
@@ -1167,6 +1290,8 @@ object IoQueries extends QueryPack {
        |  SELECT o_orderkey AS submission_id,
        |    o_orderpriority AS district,
        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       |    'IMEI' || CAST(o_orderkey % 97 AS VARCHAR) AS imei,
+       |    CAST(o_orderdate AS DATE) AS landing_date,
        |    ['OCZ','TUN','CRB','SNA','GRP'][CAST(l_partkey % 5 AS INT) + 1]
        |      AS species,
        |    l_linenumber % 3 AS mode,
@@ -1178,7 +1303,7 @@ object IoQueries extends QueryPack {
        |    CAST(l_quantity AS DOUBLE) AS wb
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |r0 AS (
-       |  SELECT submission_id, district, month,
+       |  SELECT submission_id, district, month, imei, landing_date,
        |    CASE WHEN species = 'TUN' THEN 'TUS' ELSE species END
        |      AS catch_taxon,
        |    CASE WHEN NOT incomplete AND mode <> 1 THEN length0 END
@@ -1210,11 +1335,8 @@ object IoQueries extends QueryPack {
        |    OR (individuals IS NOT NULL AND individuals > 1000)),
        |clean AS (
        |  SELECT * FROM calc
-       |  WHERE submission_id NOT IN (SELECT submission_id FROM bad))
-       |SELECT district, month, CAST(count(*) AS BIGINT) AS n_rows,
-       |  CAST(sum(CAST(round(catch_kg * 100) AS BIGINT)) AS BIGINT)
-       |    AS sum_cents
-       |FROM clean GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+       |  WHERE submission_id NOT IN (SELECT submission_id FROM bad))"""
+      .stripMargin
 
   /** Per-taxon LW + length-bound metadata for the chained incremental
     * cycle (q375): broadcast-sized, mirrored by the oracle's VALUES
@@ -1267,6 +1389,9 @@ object IoQueries extends QueryPack {
         $"l_quantity".cast("double").as("wb"))
       .select(
         $"submission_id", $"district", $"month", $"day",
+        concat(lit("IMEI"), ($"submission_id" % 97).cast("string"))
+          .as("imei"),
+        $"day".as("landing_date"),
         struct(
           $"species",
           when($"incomplete", "none").when($"mode" === 1, "bucket")
