@@ -699,6 +699,76 @@ object Incremental {
         col("cell"), col("n_vec"))
   }
 
+  /** Chained incremental cycle whose export stage derives the
+    * reference's DERIVED dashboard products from the published state —
+    * closing the last export-parity gap in incremental mode: the
+    * reference's export doesn't stop at the monthly rollup, it also
+    * ships the top-N + "Other" species composition
+    * (`R/export.R:644-667`, the [[graft.pipeline.Export
+    * .speciesComposition]] batch twin) and a nested JSON catch document
+    * (`R/export.R:417-437`, the `nestedCatchDocs` twin).
+    *
+    * The state therefore keeps TAXON grain — one (submission_id,
+    * district, month, catch_taxon, n, sum_cents) row per clean
+    * submission-taxon — the minimum grain from which a composition can
+    * re-derive without touching raw rows. The cycle retracts
+    * resubmitted ids by anti-join (q378's discipline), folds the
+    * delta's contributions in, publishes, and then derives BOTH
+    * products from the published object alone:
+    *
+    *  - composition: per (district, month) taxa rank by exact cents
+    *    (ties lexicographic), ranks > `topN` lump into "Other",
+    *    integer-milli share of the month's total;
+    *  - document: the month's composition rows as one deterministic
+    *    JSON array (taxon-sorted structs of exact integers — the q34
+    *    cross-engine to_json contract).
+    *
+    * No stage reads the raw history; the derived stage reads only the
+    * freshly published state (pinned path).
+    *
+    * @return (district, month, rnk, taxon, cents, pct_milli, doc)
+    */
+  def chainedExportCycle(spark: SparkSession, dir: String,
+                         statePrefix: String, rawPrefix: String,
+                         lw: DataFrame, topN: Int,
+                         newTag: String): DataFrame = {
+    val state = Versioned.readLatest(spark, dir, statePrefix)
+    val delta = Versioned.readLatest(spark, dir, rawPrefix)
+    val contrib = submissionContrib(surveyProcess(delta, lw),
+      Seq("catch_taxon"))
+    val statePath = Versioned.write(
+      state.join(delta.select(col("submission_id")).distinct(),
+          Seq("submission_id"), "left_anti")
+        .unionByName(contrib),
+      dir, statePrefix + "_next", newTag)
+    val st = spark.read.parquet(statePath)
+    val sums = st.groupBy(col("district"), col("month"),
+        col("catch_taxon").as("taxon0"))
+      .agg(sum(col("sum_cents")).as("cents"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("district"), col("month"))
+      .orderBy(col("cents").desc, col("taxon0").asc)
+    val lumped = sums.withColumn("rn", row_number().over(wRank))
+      .withColumn("taxon",
+        when(col("rn") <= topN, col("taxon0")).otherwise(lit("Other")))
+      .groupBy(col("district"), col("month"), col("taxon"))
+      .agg(sum(col("cents")).as("cents"))
+    val wMonth = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("district"), col("month"))
+    val comp = lumped
+      .withColumn("rnk", row_number().over(wRank
+        .orderBy(col("cents").desc, col("taxon").asc)).cast("long"))
+      .withColumn("pct_milli", round(col("cents").cast("double")
+        * 100000.0 / sum(col("cents")).over(wMonth).cast("double"), 0)
+        .cast("long"))
+    val doc = comp.groupBy(col("district"), col("month"))
+      .agg(to_json(sort_array(collect_list(
+        struct(col("taxon"), col("cents"))))).as("doc"))
+    comp.join(doc, Seq("district", "month"))
+      .select(col("district"), col("month"), col("rnk"), col("taxon"),
+        col("cents"), col("pct_milli"), col("doc"))
+  }
+
   /** Tombstone DELETION lane for the dedup state — the third state
     * mutation after append (q342) and resubmission (q378): a
     * right-to-erasure or takedown batch must remove every trace of a

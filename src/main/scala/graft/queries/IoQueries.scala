@@ -1187,7 +1187,72 @@ object IoQueries extends QueryPack {
             "00000002_bbb")
           .orderBy($"district", $"month")
       },
-      Some(tripsChainOracleSql))
+      Some(tripsChainOracleSql)),
+
+    // Derived-export stage of the chained DAG: the reference's export
+    // ships MORE than the monthly rollup — top-N + "Other" species
+    // composition (R/export.R:644-667) and a nested JSON catch doc
+    // (R/export.R:417-437). The state keeps (submission, taxon) grain;
+    // the cycle retracts resubmitted ids, publishes, and derives BOTH
+    // products from the published state alone (no raw re-scan —
+    // IncrementalSpec pins the scan set). topN=3 so the "Other" lump
+    // actually materializes over the 5-taxon fixture. Oracle = the full
+    // reprocess through the same composition walk.
+    Q("q388_chained_export",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q388_export")
+        val lw = chainLwTable(s)
+        val flat = chainSurveyFlat(s, d)
+        def nest(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"submission_id", $"district", $"month")
+            .agg(collect_list($"sg").as("species_groups"))
+        val cutoff = to_date(lit("1998-06-15"))
+        Versioned.write(
+          graft.pipeline.Incremental.submissionContrib(
+            graft.pipeline.Incremental.surveyProcess(
+              nest(flat.filter($"day" < cutoff)), lw),
+            Seq("catch_taxon")),
+          dir, "expo_state", "00000001_aaa")
+        Versioned.write(nest(flat.filter($"day" >= cutoff)).coalesce(4),
+          dir, "expo_raw", "00000002_bbb")
+        graft.pipeline.Incremental.chainedExportCycle(s, dir,
+            "expo_state", "expo_raw", lw, topN = 3, "00000002_bbb")
+          .orderBy($"district", $"month", $"rnk")
+      },
+      Some(chainCleanCtes(RawBinNSql) + """,
+        |contrib AS (
+        |  SELECT district, month, catch_taxon AS taxon0,
+        |    CAST(sum(CAST(round(catch_kg * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM clean GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY district, month
+        |      ORDER BY cents DESC, taxon0) AS rn
+        |  FROM contrib),
+        |lumped AS (
+        |  SELECT district, month,
+        |    CASE WHEN rn <= 3 THEN taxon0 ELSE 'Other' END AS taxon,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM ranked GROUP BY 1, 2, 3),
+        |tot AS (SELECT district, month, CAST(sum(cents) AS BIGINT) AS tc
+        |        FROM lumped GROUP BY 1, 2),
+        |comp AS (
+        |  SELECT l.district, l.month, l.taxon, l.cents,
+        |    CAST(row_number() OVER (PARTITION BY l.district, l.month
+        |      ORDER BY l.cents DESC, l.taxon) AS BIGINT) AS rnk,
+        |    CAST(round(CAST(l.cents AS DOUBLE) * 100000.0
+        |      / CAST(t.tc AS DOUBLE)) AS BIGINT) AS pct_milli
+        |  FROM lumped l JOIN tot t USING (district, month)),
+        |doc AS (
+        |  SELECT district, month,
+        |    CAST(to_json(list(struct_pack(taxon := taxon, cents := cents)
+        |      ORDER BY taxon)) AS VARCHAR) AS doc
+        |  FROM comp GROUP BY 1, 2)
+        |SELECT c.district, c.month, c.rnk, c.taxon, c.cents, c.pct_milli,
+        |  d.doc
+        |FROM comp c JOIN doc d USING (district, month)
+        |ORDER BY 1, 2, 3""".stripMargin))
   )
 
   /** The q375 per-line bin-count derivation, shared with q378's edited

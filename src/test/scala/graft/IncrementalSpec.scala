@@ -254,6 +254,35 @@ class IncrementalSpec extends SparkTestBase {
       "no pass-through pair fused — the merge stage saw nothing new")
   }
 
+  test("derived-export cycle: composition + JSON doc derive from published state only") {
+    val df = SparkEntry.queries("q388_chained_export")(spark, sfDir)
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l
+    }.flatMap(_.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location.rootPaths.map(_.toString)
+      case _ => Seq.empty
+    })
+    assert(paths.nonEmpty && paths.forall(p =>
+      p.contains("expo_state__") || p.contains("expo_raw__") ||
+      p.contains("expo_state_next__")),
+      s"unexpected scan set:\n${paths.mkString("\n")}")
+    assert(!paths.exists(_.contains(sfDir)),
+      s"derived export leaked a full-history scan:\n${paths.mkString("\n")}")
+    // the Other lump must materialize (topN=3 over 5 taxa) and every
+    // month's shares must close to ~100% (exact integer milli, rounding
+    // slack ≤ 2 milli per month)
+    import spark.implicits._
+    val rows = df.collect()
+    assert(rows.exists(_.getAs[String]("taxon") == "Other"),
+      "no Other lump — composition stage vacuous on this fixture")
+    val bad = rows.groupBy(r => (r.getAs[String]("district"),
+        r.getAs[java.sql.Date]("month")))
+      .map { case (k, rs) => (k, rs.map(_.getAs[Long]("pct_milli")).sum) }
+      .filter { case (_, s) => math.abs(s - 100000L) > 2L }
+    assert(bad.isEmpty, s"month shares do not close: ${bad.take(3)}")
+  }
+
   test("dedup deletion: tombstoned doc leaves state, candidates, and components") {
     import spark.implicits._
     val out = SparkEntry.queries("q385_dedup_delete")(spark, sfDir).collect()
