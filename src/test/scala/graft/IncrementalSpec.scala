@@ -222,6 +222,41 @@ class IncrementalSpec extends SparkTestBase {
     assert(out == full, s"cycle diverged from full re-merge: $out vs $full")
   }
 
+  test("two gated merge cycles ≡ one full re-merge (composition across versions)") {
+    import spark.implicits._
+    val dir = graft.core.Scratch.dir("spec_two_gated")
+    val ev = Tables.events(spark, sfDir).withColumn("day", to_date($"ts"))
+    val left = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"day", $"event_id".as("p_event"),
+        $"value".as("p_value"))
+    val right = ev.filter($"event_type" === "error")
+      .select($"user_id", $"day", $"event_id".as("e_event"),
+        $"value".as("e_value"))
+    val keys = Seq("user_id", "day")
+    def third(df: org.apache.spark.sql.DataFrame, idCol: String, r: Int) =
+      df.filter(col(idCol) % 3 === r)
+    graft.io.Versioned.write(third(left, "p_event", 0), dir, "g2l", "00000001_a")
+    graft.io.Versioned.write(third(right, "e_event", 0), dir, "g2r", "00000001_a")
+    graft.io.Versioned.write(graft.ops.GatedMerge.gatedOneToOne(
+      third(left, "p_event", 0), third(right, "e_event", 0), keys),
+      dir, "g2m", "00000001_a")
+    graft.io.Versioned.write(third(left, "p_event", 1), dir, "g2lr", "00000002_b")
+    graft.io.Versioned.write(third(right, "e_event", 1), dir, "g2rr", "00000002_b")
+    graft.pipeline.Incremental.gatedMergeCycle(spark, dir, "g2l", "g2r",
+      "g2m", "g2lr", "g2rr", keys, "00000002_b").count()
+    // cycle 2 consumes cycle 1's published next-version objects
+    graft.io.Versioned.write(third(left, "p_event", 2), dir, "g2lr2", "00000003_c")
+    graft.io.Versioned.write(third(right, "e_event", 2), dir, "g2rr2", "00000003_c")
+    val out = graft.pipeline.Incremental.gatedMergeCycle(spark, dir,
+        "g2l_next", "g2r_next", "g2m_next", "g2lr2", "g2rr2", keys,
+        "00000003_c")
+      .collect().map(_.toSeq).toSet
+    val full = graft.ops.GatedMerge.gatedOneToOne(left, right, keys)
+      .collect().map(_.toSeq).toSet
+    assert(out == full,
+      s"gated merge composition diverged: ${(out diff full).take(3)} vs ${(full diff out).take(3)}")
+  }
+
   test("complete topology (preprocess→validate→merge_trips→export) scans only versioned objects") {
     import spark.implicits._
     val df = SparkEntry.queries("q387_chained_trips")(spark, sfDir)
