@@ -472,9 +472,15 @@ object Incremental {
     val sDelta = Versioned.readLatest(spark, dir, surveyRawPrefix)
     val tDelta = Versioned.readLatest(spark, dir, tripsRawPrefix)
     // stages 1+2: preprocess + validate the survey delta alone, keep
-    // contributions at submission grain (retraction = stored row)
+    // contributions at submission grain (retraction = stored row).
+    // Persisted: contrib feeds the state write AND (twice, via the
+    // touched-key set) the re-merge write — Spark has no cross-branch
+    // CSE, so unpersisted it would re-run the whole reshape+flags chain
+    // per consumer (the q47 lesson; measured 15.0 s → fixture-bound
+    // seconds on the q387 bench entry)
     val contrib = submissionContrib(
       surveyProcess(sDelta, lw, Seq("district", "month") ++ keys), keys)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deltaIds = sDelta.select(col("submission_id")).distinct()
     val retracted = sState.join(deltaIds, Seq("submission_id"), "left_semi")
     val sPath = Versioned.write(

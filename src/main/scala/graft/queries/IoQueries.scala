@@ -1148,7 +1148,10 @@ object IoQueries extends QueryPack {
         import s.implicits._
         val dir = graft.core.Scratch.dir("q387_trips")
         val lw = chainLwTable(s)
+        // persisted: six fixture/cycle actions consume this projection;
+        // unpersisted each would re-run the lineitem ⋈ orders scan
         val flat = chainSurveyFlat(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val keys = Seq("imei", "landing_date")
         def nest(df: org.apache.spark.sql.DataFrame) =
           df.groupBy($"submission_id", $"district", $"month", $"imei",
@@ -1167,10 +1170,25 @@ object IoQueries extends QueryPack {
               .as("imei"),
             to_date($"o_orderdate").as("landing_date"),
             ($"o_orderkey" % 7000 + 3600).cast("long").as("duration_sec"))
+        // seeded late SECOND trips for existing device-days (every 51st
+        // trip re-keys as trip_id+1, same imei + landing_date): these
+        // arrive only in the delta, so a published 1:1 match for that
+        // device-day must UN-MERGE — the retraction direction a random
+        // nightly slice would hit only by luck
+        val dupTrips = trips.filter($"trip_id" % 51 === 0)
+          .select(($"trip_id" + 1).as("trip_id"), $"imei", $"landing_date",
+            (($"trip_id" + 1) % 7000 + 3600).cast("long").as("duration_sec"))
+        // persisted: the prior contribution state feeds TWO write
+        // actions (its own object + the prior published merge) — an
+        // unpersisted chain would run the full reshape+flags walk twice
         val sPrior = graft.pipeline.Incremental.submissionContrib(
           graft.pipeline.Incremental.surveyProcess(nest(prior), lw,
             Seq("district", "month") ++ keys), keys)
-        val tPrior = trips.filter($"trip_id" % 6 === 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // nightly-sized trips delta: a tenth of the trips plus the
+        // seeded duplicates — the touched-key set (and so the re-merge)
+        // stays O(delta), not O(history)
+        val tPrior = trips.filter($"trip_id" % 30 =!= 0)
         Versioned.write(sPrior, dir, "trg_sstate", "00000001_aaa")
         Versioned.write(tPrior, dir, "trg_tstate", "00000001_aaa")
         Versioned.write(
@@ -1180,7 +1198,8 @@ object IoQueries extends QueryPack {
           nest(flat.filter($"day" >= cutoff).unionByName(edited))
             .coalesce(4),
           dir, "trg_sraw", "00000002_bbb")
-        Versioned.write(trips.filter($"trip_id" % 6 === 0), dir,
+        Versioned.write(
+          trips.filter($"trip_id" % 30 === 0).unionByName(dupTrips), dir,
           "trg_traw", "00000002_bbb")
         graft.pipeline.Incremental.chainedTripsCycle(s, dir, "trg_sstate",
             "trg_tstate", "trg_merged", "trg_sraw", "trg_traw", lw,
@@ -1303,7 +1322,13 @@ object IoQueries extends QueryPack {
       |    'IMEI' || CAST(o_orderkey % 97 AS VARCHAR) AS imei,
       |    CAST(o_orderdate AS DATE) AS landing_date,
       |    CAST(o_orderkey % 7000 + 3600 AS BIGINT) AS duration_sec
-      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1,
+      |    'IMEI' || CAST(o_orderkey % 97 AS VARCHAR),
+      |    CAST(o_orderdate AS DATE),
+      |    CAST((o_orderkey + 1) % 7000 + 3600 AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 51 = 0),
       |lc AS (SELECT *, count(*) OVER (PARTITION BY imei, landing_date)
       |         AS kn FROM contrib),
       |rc AS (SELECT *, count(*) OVER (PARTITION BY imei, landing_date)
