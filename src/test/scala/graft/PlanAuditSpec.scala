@@ -596,4 +596,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("BroadcastExchange"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("round-11 incremental cycles: every join is an equi-join, nothing cartesian") {
+    // gated merge (q384), complete topology (q387), derived export
+    // (q388), and the two deletion lanes (q385/q386): the touched-key
+    // semi/anti joins and tombstone anti-joins must all plan as hash/
+    // sort-merge equi-joins — a nested-loop fallback here would scale
+    // O(state × delta) instead of O(touched)
+    for (name <- Seq("q384_incremental_gated_merge", "q387_chained_trips",
+        "q388_chained_export", "q385_dedup_delete")) {
+      val plan = finalPlan(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name went cartesian:\n${plan.take(2000)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name planned a nested loop:\n${plan.take(2000)}")
+    }
+    // the ANN deletion lane serves through ivfPqServe, whose one
+    // deliberate BroadcastNestedLoopJoin is the bounded quantizer-table
+    // attach (queries × m·k codebook rows — constants, the q376/q341
+    // posture); the purge/candidate joins must still never cartesian
+    val annPlan = finalPlan("q386_ann_delete")
+    assert(!annPlan.contains("CartesianProduct"),
+      s"q386 went cartesian:\n${annPlan.take(2000)}")
+  }
 }
