@@ -761,12 +761,17 @@ object Incremental {
       .agg(sum(col("cents")).as("cents"))
     val wMonth = org.apache.spark.sql.expressions.Window
       .partitionBy(col("district"), col("month"))
+    // persisted: comp feeds BOTH the doc aggregation and the final
+    // join (no cross-branch CSE — unpersisted, the state scan + rank
+    // windows would run twice in the one output action); the table is
+    // bounded by districts × months × (topN+1) rows
     val comp = lumped
       .withColumn("rnk", row_number().over(wRank
         .orderBy(col("cents").desc, col("taxon").asc)).cast("long"))
       .withColumn("pct_milli", round(col("cents").cast("double")
         * 100000.0 / sum(col("cents")).over(wMonth).cast("double"), 0)
         .cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val doc = comp.groupBy(col("district"), col("month"))
       .agg(to_json(sort_array(collect_list(
         struct(col("taxon"), col("cents"))))).as("doc"))

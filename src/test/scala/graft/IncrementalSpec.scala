@@ -291,24 +291,23 @@ class IncrementalSpec extends SparkTestBase {
 
   test("derived-export cycle: composition + JSON doc derive from published state only") {
     val df = SparkEntry.queries("q388_chained_export")(spark, sfDir)
-    val paths = df.queryExecution.optimizedPlan.collect {
-      case l: LogicalRelation => l
-    }.flatMap(_.relation match {
-      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-        h.location.rootPaths.map(_.toString)
-      case _ => Seq.empty
-    })
-    assert(paths.nonEmpty && paths.forall(p =>
-      p.contains("expo_state__") || p.contains("expo_raw__") ||
-      p.contains("expo_state_next__")),
-      s"unexpected scan set:\n${paths.mkString("\n")}")
-    assert(!paths.exists(_.contains(sfDir)),
-      s"derived export leaked a full-history scan:\n${paths.mkString("\n")}")
+    import spark.implicits._
+    val rows = df.collect()
+    // the cycle persists its bounded comp table, so the logical plan's
+    // relations hide under an InMemoryRelation — audit the EXECUTED
+    // plan string instead (it expands each cached fragment's plan):
+    // every parquet location must be an expo_* versioned object, and
+    // the raw history tables must appear nowhere
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    val planStr = df.queryExecution.executedPlan.toString
+    val locs = "file:[^\\]\\,\\s]*".r.findAllIn(planStr).toList
+    assert(locs.nonEmpty && locs.forall(_.contains("expo_")),
+      s"unexpected scan set:\n${locs.distinct.mkString("\n")}")
+    assert(!planStr.contains(sfDir),
+      "derived export leaked a full-history scan")
     // the Other lump must materialize (topN=3 over 5 taxa) and every
     // month's shares must close to ~100% (exact integer milli, rounding
     // slack ≤ 2 milli per month)
-    import spark.implicits._
-    val rows = df.collect()
     assert(rows.exists(_.getAs[String]("taxon") == "Other"),
       "no Other lump — composition stage vacuous on this fixture")
     val bad = rows.groupBy(r => (r.getAs[String]("district"),
@@ -349,7 +348,21 @@ class IncrementalSpec extends SparkTestBase {
 
   test("ANN deletion: tombstoned vector leaves the index and top-k serving") {
     import spark.implicits._
-    val out = SparkEntry.queries("q386_ann_delete")(spark, sfDir).collect()
+    val df = SparkEntry.queries("q386_ann_delete")(spark, sfDir)
+    // serving scan set: purged versioned objects only, plus the raw
+    // embeddings table STRICTLY for the external query panel — the
+    // corpus side must come from the published index
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l
+    }.flatMap(_.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location.rootPaths.map(_.toString)
+      case _ => Seq.empty
+    })
+    assert(paths.nonEmpty && paths.forall(p =>
+      p.contains("adel") || p.contains("embeddings")),
+      s"unexpected scan set:\n${paths.mkString("\n")}")
+    val out = df.collect()
     assert(out.nonEmpty, "ANN deletion fixture served nothing — vacuous")
     assert(!out.exists(_.getAs[Long]("n_id") % 13 == 0),
       "a tombstoned vector appeared in top-k serving")
