@@ -463,7 +463,42 @@ object Incremental {
                         surveyStatePrefix: String, tripsStatePrefix: String,
                         mergedPrefix: String, surveyRawPrefix: String,
                         tripsRawPrefix: String, lw: DataFrame,
-                        newTag: String): DataFrame = {
+                        newTag: String): DataFrame =
+    chainedTripsImpl(spark, dir, surveyStatePrefix, tripsStatePrefix,
+      mergedPrefix, surveyRawPrefix, tripsRawPrefix,
+      spark.range(0).select(col("id").as("submission_id")), lw, newTag)
+
+  /** [[chainedTripsCycle]] with a TAKEDOWN batch — the deletion lane
+    * (q385/q386's third state mutation) wired through the COMPLETE
+    * topology: tombstoned submission ids retract their contribution
+    * rows from the survey state with NOTHING re-entering, their
+    * device-day keys re-run the 1:1 gate (a deleted survey's published
+    * match un-merges into a trip-only pass-through), and the
+    * state-derived export forgets them — one cycle, no raw-history
+    * scan. Tombstones take precedence over the delta: an id in both
+    * is deleted, not re-ingested.
+    *
+    * @return (district, month, n_rows, sum_cents, n_matched, dur_sec)
+    */
+  def chainedTakedownCycle(spark: SparkSession, dir: String,
+                           surveyStatePrefix: String,
+                           tripsStatePrefix: String, mergedPrefix: String,
+                           surveyRawPrefix: String, tripsRawPrefix: String,
+                           tombPrefix: String, lw: DataFrame,
+                           newTag: String): DataFrame =
+    chainedTripsImpl(spark, dir, surveyStatePrefix, tripsStatePrefix,
+      mergedPrefix, surveyRawPrefix, tripsRawPrefix,
+      Versioned.readLatest(spark, dir, tombPrefix)
+        .select(col("submission_id")).distinct(),
+      lw, newTag)
+
+  private def chainedTripsImpl(spark: SparkSession, dir: String,
+                               surveyStatePrefix: String,
+                               tripsStatePrefix: String,
+                               mergedPrefix: String,
+                               surveyRawPrefix: String,
+                               tripsRawPrefix: String, tombIds: DataFrame,
+                               lw: DataFrame, newTag: String): DataFrame = {
     val keys = Seq("imei", "landing_date")
     val keyCols = keys.map(col)
     val sState = Versioned.readLatest(spark, dir, surveyStatePrefix)
@@ -473,18 +508,22 @@ object Incremental {
     val tDelta = Versioned.readLatest(spark, dir, tripsRawPrefix)
     // stages 1+2: preprocess + validate the survey delta alone, keep
     // contributions at submission grain (retraction = stored row).
-    // Persisted: contrib feeds the state write AND (twice, via the
-    // touched-key set) the re-merge write — Spark has no cross-branch
-    // CSE, so unpersisted it would re-run the whole reshape+flags chain
-    // per consumer (the q47 lesson; measured 15.0 s → fixture-bound
-    // seconds on the q387 bench entry)
+    // Tombstones are authoritative: a tombstoned id's fresh rows never
+    // enter. Persisted: contrib feeds the state write AND (twice, via
+    // the touched-key set) the re-merge write — Spark has no
+    // cross-branch CSE, so unpersisted it would re-run the whole
+    // reshape+flags chain per consumer (the q47 lesson; measured
+    // 15.0 s → fixture-bound seconds on the q387 bench entry)
     val contrib = submissionContrib(
       surveyProcess(sDelta, lw, Seq("district", "month") ++ keys), keys)
+      .join(tombIds, Seq("submission_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deltaIds = sDelta.select(col("submission_id")).distinct()
-    val retracted = sState.join(deltaIds, Seq("submission_id"), "left_semi")
+    // gone = re-ingested (replaced below) ∪ tombstoned (never replaced)
+    val goneIds = sDelta.select(col("submission_id")).distinct()
+      .unionByName(tombIds).distinct()
+    val retracted = sState.join(goneIds, Seq("submission_id"), "left_semi")
     val sPath = Versioned.write(
-      sState.join(deltaIds, Seq("submission_id"), "left_anti")
+      sState.join(goneIds, Seq("submission_id"), "left_anti")
         .unionByName(contrib),
       dir, surveyStatePrefix + "_next", newTag)
     val tPath = Versioned.write(tState.unionByName(tDelta), dir,

@@ -1271,7 +1271,60 @@ object IoQueries extends QueryPack {
         |SELECT c.district, c.month, c.rnk, c.taxon, c.cents, c.pct_milli,
         |  d.doc
         |FROM comp c JOIN doc d USING (district, month)
-        |ORDER BY 1, 2, 3""".stripMargin))
+        |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // TAKEDOWN through the complete topology: a tombstone batch of
+    // prior submissions retracts through preprocess-state, the gated
+    // trip merge (a deleted survey's published 1:1 match un-merges
+    // into a trip-only pass-through), and the state-derived export —
+    // one cycle, tombstones authoritative over the delta, no raw
+    // re-scan. Oracle = the full four-stage reprocess with the
+    // tombstoned submissions excluded (full-reprocess-minus-deleted).
+    Q("q389_chained_takedown",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q389_takedown")
+        val lw = chainLwTable(s)
+        val flat = chainSurveyFlat(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keys = Seq("imei", "landing_date")
+        def nest(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"submission_id", $"district", $"month", $"imei",
+              $"landing_date")
+            .agg(collect_list($"sg").as("species_groups"))
+        val cutoff = to_date(lit("1998-06-15"))
+        val prior = flat.filter($"day" < cutoff)
+        val trips = Tables.orders(s, d).filter($"o_orderkey" % 3 === 0)
+          .select($"o_orderkey".as("trip_id"),
+            concat(lit("IMEI"), ($"o_orderkey" % 97).cast("string"))
+              .as("imei"),
+            to_date($"o_orderdate").as("landing_date"),
+            ($"o_orderkey" % 7000 + 3600).cast("long").as("duration_sec"))
+        val sPrior = graft.pipeline.Incremental.submissionContrib(
+          graft.pipeline.Incremental.surveyProcess(nest(prior), lw,
+            Seq("district", "month") ++ keys), keys)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tPrior = trips.filter($"trip_id" % 30 =!= 0)
+        Versioned.write(sPrior, dir, "tkd_sstate", "00000001_aaa")
+        Versioned.write(tPrior, dir, "tkd_tstate", "00000001_aaa")
+        Versioned.write(
+          graft.ops.GatedMerge.gatedOneToOne(sPrior, tPrior, keys),
+          dir, "tkd_merged", "00000001_aaa")
+        Versioned.write(nest(flat.filter($"day" >= cutoff)).coalesce(4),
+          dir, "tkd_sraw", "00000002_bbb")
+        Versioned.write(trips.filter($"trip_id" % 30 === 0), dir,
+          "tkd_traw", "00000002_bbb")
+        // the takedown batch: every 31st PRIOR submission
+        Versioned.write(
+          prior.filter($"submission_id" % 31 === 0)
+            .select($"submission_id").distinct(),
+          dir, "tkd_tomb", "00000002_bbb")
+        graft.pipeline.Incremental.chainedTakedownCycle(s, dir,
+            "tkd_sstate", "tkd_tstate", "tkd_merged", "tkd_sraw",
+            "tkd_traw", "tkd_tomb", lw, "00000002_bbb")
+          .orderBy($"district", $"month")
+      },
+      Some(takedownOracleSql))
   )
 
   /** The q375 per-line bin-count derivation, shared with q378's edited
@@ -1310,25 +1363,42 @@ object IoQueries extends QueryPack {
     * q19 oracle shape), and the survey-centric monthly export.
     */
   private def tripsChainOracleSql: String =
-    chainCleanCtes(EditedBinNSql) + """,
-      |contrib AS (
-      |  SELECT submission_id, district, month, imei, landing_date,
-      |    CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(CAST(round(catch_kg * 100) AS BIGINT)) AS BIGINT)
-      |      AS sum_cents
-      |  FROM clean GROUP BY 1, 2, 3, 4, 5),
-      |trips AS (
-      |  SELECT o_orderkey AS trip_id,
-      |    'IMEI' || CAST(o_orderkey % 97 AS VARCHAR) AS imei,
-      |    CAST(o_orderdate AS DATE) AS landing_date,
-      |    CAST(o_orderkey % 7000 + 3600 AS BIGINT) AS duration_sec
-      |  FROM orders WHERE o_orderkey % 3 = 0
+    tripsTopologyOracleSql(EditedBinNSql, contribWhere = "",
+      includeDupTrips = true)
+
+  /** Full-reprocess-minus-deleted oracle for the takedown cycle
+    * (q389): the same four-stage walk with the tombstoned prior
+    * submissions excluded before contributions form.
+    */
+  private def takedownOracleSql: String =
+    tripsTopologyOracleSql(RawBinNSql,
+      contribWhere = "  WHERE NOT (submission_id % 31 = 0" +
+        " AND landing_date < DATE '1998-06-15')\n",
+      includeDupTrips = false)
+
+  private def tripsTopologyOracleSql(binNSql: String, contribWhere: String,
+                                     includeDupTrips: Boolean): String = {
+    val dupBranch = if (includeDupTrips) """
       |  UNION ALL
       |  SELECT o_orderkey + 1,
       |    'IMEI' || CAST(o_orderkey % 97 AS VARCHAR),
       |    CAST(o_orderdate AS DATE),
       |    CAST((o_orderkey + 1) % 7000 + 3600 AS BIGINT)
-      |  FROM orders WHERE o_orderkey % 51 = 0),
+      |  FROM orders WHERE o_orderkey % 51 = 0""".stripMargin else ""
+    chainCleanCtes(binNSql) + s""",
+      |contrib AS (
+      |  SELECT submission_id, district, month, imei, landing_date,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(catch_kg * 100) AS BIGINT)) AS BIGINT)
+      |      AS sum_cents
+      |  FROM clean
+      |$contribWhere  GROUP BY 1, 2, 3, 4, 5),
+      |trips AS (
+      |  SELECT o_orderkey AS trip_id,
+      |    'IMEI' || CAST(o_orderkey % 97 AS VARCHAR) AS imei,
+      |    CAST(o_orderdate AS DATE) AS landing_date,
+      |    CAST(o_orderkey % 7000 + 3600 AS BIGINT) AS duration_sec
+      |  FROM orders WHERE o_orderkey % 3 = 0$dupBranch),
       |lc AS (SELECT *, count(*) OVER (PARTITION BY imei, landing_date)
       |         AS kn FROM contrib),
       |rc AS (SELECT *, count(*) OVER (PARTITION BY imei, landing_date)
@@ -1358,6 +1428,7 @@ object IoQueries extends QueryPack {
       |    THEN duration_sec END), 0) AS BIGINT) AS dur_sec
       |FROM merged WHERE submission_id IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   /** The shared preprocess+validate CTE chain (lw metadata → flat
     * survey rows with the merge keys → length/bucket split → LW catch

@@ -289,6 +289,45 @@ class IncrementalSpec extends SparkTestBase {
       "no pass-through pair fused — the merge stage saw nothing new")
   }
 
+  test("takedown cycle: tombstoned submission leaves state, merge, and export") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q389_chained_takedown")(spark, sfDir)
+    df.count()
+    val dir = graft.core.Scratch.dir("q389_takedown")
+    // published survey state holds no tombstoned id
+    val st = graft.io.Versioned.readLatest(spark, dir, "tkd_sstate_next")
+    assert(st.filter($"submission_id" % 31 === 0 &&
+        $"landing_date" < to_date(lit("1998-06-15"))).isEmpty,
+      "published survey state still holds a tombstoned submission")
+    // deletion-driven UN-MERGE: at least one device-day that was a
+    // published 1:1 match whose survey is now tombstoned must appear in
+    // the new merge as a TRIP-ONLY pass-through
+    val before = graft.io.Versioned.readLatest(spark, dir, "tkd_merged")
+      .filter($"submission_id".isNotNull && $"trip_id".isNotNull &&
+        $"submission_id" % 31 === 0)
+      .select($"imei", $"landing_date", $"trip_id")
+    assert(!before.isEmpty,
+      "no tombstoned submission was 1:1-matched before — fixture vacuous")
+    val after = graft.io.Versioned.readLatest(spark, dir, "tkd_merged_next")
+    val orphaned = after.join(before, Seq("imei", "landing_date", "trip_id"),
+      "left_semi")
+    assert(!orphaned.isEmpty && orphaned.filter($"submission_id".isNotNull)
+        .isEmpty,
+      "a deleted survey's trip did not un-merge into a pass-through")
+    // scan set: versioned tkd_* objects only
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l
+    }.flatMap(_.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location.rootPaths.map(_.toString)
+      case _ => Seq.empty
+    })
+    assert(paths.nonEmpty && paths.forall(_.contains("tkd_")),
+      s"unexpected scan set:\n${paths.mkString("\n")}")
+    assert(!paths.exists(_.contains(sfDir)),
+      s"takedown cycle leaked a full-history scan:\n${paths.mkString("\n")}")
+  }
+
   test("derived-export cycle: composition + JSON doc derive from published state only") {
     val df = SparkEntry.queries("q388_chained_export")(spark, sfDir)
     import spark.implicits._

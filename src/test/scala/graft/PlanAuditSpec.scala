@@ -604,7 +604,8 @@ class PlanAuditSpec extends SparkTestBase {
     // sort-merge equi-joins — a nested-loop fallback here would scale
     // O(state × delta) instead of O(touched)
     for (name <- Seq("q384_incremental_gated_merge", "q387_chained_trips",
-        "q388_chained_export", "q385_dedup_delete")) {
+        "q388_chained_export", "q385_dedup_delete",
+        "q389_chained_takedown")) {
       val plan = finalPlan(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name went cartesian:\n${plan.take(2000)}")
