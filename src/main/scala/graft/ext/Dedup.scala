@@ -44,6 +44,13 @@ object Dedup {
     */
   private[ext] def widen(df: DataFrame): DataFrame = Exec.widen(df)
 
+  /** Smallest `maxDf` for which the stop-shingle HOT set (bounded by
+    * |postings| / maxDf rows) is treated as broadcastable in
+    * [[ngramContainmentPairsBanded]]; below it the anti-join falls back
+    * to a shuffle so a tiny cap over a huge corpus can't OOM the driver.
+    */
+  private[ext] val HotSetBroadcastMinDf = 16
+
   /** Exact duplicate groups on arbitrary key columns: groups with >1 row,
     * keeping the minimum id as the canonical representative.
     */
@@ -296,7 +303,12 @@ object Dedup {
       // cap (maxDf=2 over a billion-posting corpus) makes it hundreds
       // of millions of rows. Below the floor, drop the hint and let
       // the planner (AQE) pick a shuffle anti-join instead of OOMing.
-      val hotSide = if (maxDf >= 16) broadcast(hot) else hot
+      // The floor is a coarse proxy for hot-set ROW COUNT, not a size
+      // estimate — maxDf just above it over a vast corpus can still
+      // yield a large hot set, which is why the hint stays advisory
+      // (Spark falls back to shuffle when the build side exceeds the
+      // driver/broadcast limits) rather than a forced broadcast plan.
+      val hotSide = if (maxDf >= HotSetBroadcastMinDf) broadcast(hot) else hot
       val kept = posts.join(hotSide, blockCols :+ "h", "left_anti")
         .persist(lvl)
       try {

@@ -229,7 +229,9 @@ object Pq {
     * prior/delta populations, milli shares, and the absolute share
     * drift; globally the total-variation distance (Σ|q−p| div 2, exact
     * integer on milli shares) and a `rebuild` flag at the `tvMilli`
-    * threshold. Work is O(cells) after two count aggregates.
+    * threshold (also forced true for a COLD index — prior empty, delta
+    * non-empty — where the statistic is undefined but staleness is
+    * certain). Work is O(cells) after two count aggregates.
     *
     * @return (cell, n_prior, n_delta, prior_milli, delta_milli,
     *         drift_milli, tv_milli, rebuild) ordered by cell
@@ -244,11 +246,15 @@ object Pq {
       .na.fill(0L, Seq("n_prior", "n_delta"))
     val tot = base.agg(sum(col("n_prior")).as("tp"),
       sum(col("n_delta")).as("td"))
-    // An empty side (tp=0: fresh index; td=0: empty nightly delta) makes
-    // the share profile undefined — NOT evidence of drift. Shares
-    // coalesce to 0 and the per-cell drift is forced to 0, so tv_milli=0
-    // and the cycle takes the assign path instead of NULL-ing out and
-    // NPE-ing the caller's 1-row branch read.
+    // An empty side makes the share profile undefined, so shares
+    // coalesce to 0 and the per-cell drift is forced to 0 (tv_milli=0,
+    // never NULL — the caller's 1-row branch read must not NPE). The
+    // two empty cases then diverge at the FLAG, not the statistic:
+    // td=0 (empty nightly delta) is genuinely no evidence of drift and
+    // keeps the assign path; tp=0 with td>0 (a cold index receiving its
+    // first real batch) is the STRONGEST rebuild signal — the frozen
+    // quantizer was trained on nothing resembling the delta — so
+    // `rebuild` forces true below even though tv_milli stays 0.
     val milli = base.crossJoin(broadcast(tot))
       .withColumn("prior_milli", when(col("tp") > 0L,
         round(col("n_prior").cast("double")
@@ -264,7 +270,9 @@ object Pq {
     milli.crossJoin(broadcast(tv))
       .select(col("cell"), col("n_prior"), col("n_delta"),
         col("prior_milli"), col("delta_milli"), col("drift_milli"),
-        col("tv_milli"), (col("tv_milli") > tvMilli).as("rebuild"))
+        col("tv_milli"),
+        (col("tv_milli") > tvMilli ||
+          (col("tp") === 0L && col("td") > 0L)).as("rebuild"))
   }
 
   /** Recall-vs-probe-budget curve — the tuning table an IVF deployment

@@ -48,6 +48,150 @@ object Versioned {
     spark.read.parquet(resolveLatest(dir, prefix).getOrElse(
       throw new IllegalArgumentException(s"no versioned object for prefix '$prefix' in $dir")))
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
+  }
+
+  /** Retention GC: delete all but the newest `keepLast` versions of
+    * `prefix`. Superseded object versions otherwise accumulate forever —
+    * a nightly cycle writes a full state object per run, so a year of
+    * cycles holds ~365 copies of the state on disk. Driver-side metadata
+    * operation, O(versions) listing plus the deletes; the newest version
+    * is never eligible, so [[readLatest]] keeps resolving after any GC.
+    * On an object store the same walk runs over a bucket listing with
+    * batch deletes.
+    *
+    * Run GC only AFTER the cycle that published the newest version has
+    * completed and nothing still holds a pinned path into an older
+    * version (the cycles here read prior state before publishing, so
+    * "GC at cycle end" is always safe; a concurrent READER of an old
+    * version needs a grace period — tag-watermark retention — which
+    * `keepLast > 1` provides).
+    *
+    * @return the deleted object paths (empty when nothing was eligible)
+    */
+  def gc(dir: String, prefix: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, s"gc must keep at least one version, got $keepLast")
+    val d = new java.io.File(dir)
+    val versions = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getName)
+      .filter(n => n.startsWith(s"${prefix}__") && n.endsWith("__.parquet"))
+      .sorted(Ordering[String].reverse)
+    val doomed = versions.drop(keepLast)
+    doomed.foreach(n => deleteRecursively(new java.io.File(d, n)))
+    doomed.map(n => s"$dir/$n")
+  }
+
+  /** Conditional publish for concurrent cycles: refuse to write unless
+    * `tag` is strictly newer than the currently published version of
+    * `prefix` — the check a single-writer [[write]] skips. Two
+    * overlapping cycles publishing into the same store would otherwise
+    * interleave silently, with the stale cycle's state resurfacing as
+    * "latest". The check-then-write here is driver-side and still has a
+    * window between check and rename; a production object store closes
+    * it with a conditional put / manifest CAS — this guard is the
+    * deterministic contract (stale writers ALWAYS fail loudly) that such
+    * a CAS would enforce atomically.
+    */
+  def writeGuarded(df: DataFrame, dir: String, prefix: String,
+                   tag: String): String = {
+    resolveLatest(dir, prefix).foreach { cur =>
+      val curTag = cur.substring(cur.lastIndexOf(s"${prefix}__")
+        + prefix.length + 2).stripSuffix("__.parquet")
+      require(tag > curTag,
+        s"stale publish refused: tag '$tag' is not newer than published " +
+          s"'$curTag' for prefix '$prefix' — another cycle won the race")
+    }
+    write(df, dir, prefix, tag)
+  }
+
+  // ---- month-partitioned state lane -----------------------------------
+  // The object-versioned lane above rewrites the FULL state per publish:
+  // right for small rolled-up states and for time travel, wrong for the
+  // 100 TB design point where the accumulated state IS the lake and a
+  // nightly cycle touches a handful of partitions. This lane keeps ONE
+  // stable partitioned directory per prefix and publishes a cycle by
+  // dynamic-partition-overwrite of ONLY the touched partitions —
+  // O(touched) write I/O instead of O(|state|). The tradeoff is
+  // in-place mutation (no version history); production pairs it with a
+  // table-format manifest for snapshots, which this API deliberately
+  // does not reinvent.
+
+  /** The stable root directory of `prefix`'s partitioned state. */
+  def partitionedRoot(dir: String, prefix: String): String =
+    s"$dir/${prefix}__parts.parquet"
+
+  /** Initialize (or fully rebuild) a partitioned state root: STATIC
+    * overwrite — truncates the whole root, then lays `df` out
+    * partitioned by `partCols`. The full-rewrite cost is paid exactly
+    * when full-rewrite semantics are asked for (backfill, quantizer
+    * rebuild), never per nightly cycle.
+    */
+  def writePartitionedFull(df: DataFrame, dir: String, prefix: String,
+                           partCols: Seq[String]): String = {
+    val root = partitionedRoot(dir, prefix)
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy(partCols: _*).parquet(root)
+    root
+  }
+
+  /** Publish one incremental cycle into a partitioned state root:
+    * dynamic-partition-overwrite replaces ONLY the partitions present in
+    * `df` (untouched partition directories are neither listed for
+    * rewrite nor modified — PartitionedStateSpec pins their files
+    * byte-identical across a cycle), then any `touched` partition value
+    * with NO surviving rows has its directory removed (dynamic overwrite
+    * cannot express "this partition became empty"; a retraction that
+    * empties a month must still erase it).
+    *
+    * `df` must not be lineage-backed by a scan of this same root —
+    * callers materialize the touched rows first (checkpoint), both to
+    * satisfy Spark's self-overwrite guard and because a write that reads
+    * its own target mid-replace would be corrupt under failure anyway.
+    *
+    * @param touched every partition value the cycle may have changed
+    *                (collected driver-side by the caller — bounded by
+    *                the calendar, not the data)
+    */
+  def overwriteTouchedPartitions(df: DataFrame, dir: String, prefix: String,
+                                 partCol: String,
+                                 touched: Seq[Any]): String = {
+    val root = partitionedRoot(dir, prefix)
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(root)
+    val present = df.select(df.col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    touched.filterNot(present.contains).foreach { v =>
+      deleteRecursively(new java.io.File(root, s"$partCol=$v"))
+    }
+    root
+  }
+
+  /** Read the full partitioned state. */
+  def readPartitioned(spark: SparkSession, dir: String,
+                      prefix: String): DataFrame =
+    spark.read.parquet(partitionedRoot(dir, prefix))
+
+  /** Read ONLY the named partitions of the state — the literal `isin`
+    * filter resolves at PLAN time as a partition filter, so untouched
+    * partitions are never listed, opened, or scheduled (the
+    * PartitionPruningSpec property, applied to state maintenance).
+    * Callers pass values collected from the delta (bounded by the
+    * calendar); an empty `touched` yields an empty frame of the right
+    * schema without scanning anything.
+    */
+  def readPartitions(spark: SparkSession, dir: String, prefix: String,
+                     partCol: String, touched: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val full = readPartitioned(spark, dir, prefix)
+    if (touched.isEmpty) full.filter(lit(false))
+    else full.filter(col(partCol).isin(touched: _*))
+  }
+
   /** Snapshot diff between two versions of a keyed table — the audit a
     * versioned store runs between [[write]]s: which keys were added,
     * removed, or changed. One full-outer equi-join on the key plus

@@ -1214,9 +1214,13 @@ object IoQueries extends QueryPack {
     // (R/export.R:417-437). The state keeps (submission, taxon) grain;
     // the cycle retracts resubmitted ids, publishes, and derives BOTH
     // products from the published state alone (no raw re-scan —
-    // IncrementalSpec pins the scan set). topN=3 so the "Other" lump
-    // actually materializes over the 5-taxon fixture. Oracle = the full
-    // reprocess through the same composition walk.
+    // IncrementalSpec pins the scan set). The delta carries the q378
+    // validator edit (every 23rd PRIOR submission re-pulls with halved
+    // bin counts), so the TAXON-grain retraction anti-join is
+    // oracle-checked here too, not just vacuously present. topN=3 so
+    // the "Other" lump actually materializes over the 5-taxon fixture.
+    // Oracle = the full reprocess through the same composition walk,
+    // with the edit applied.
     Q("q388_chained_export",
       (s, d) => {
         import s.implicits._
@@ -1227,19 +1231,26 @@ object IoQueries extends QueryPack {
           df.groupBy($"submission_id", $"district", $"month")
             .agg(collect_list($"sg").as("species_groups"))
         val cutoff = to_date(lit("1998-06-15"))
+        val prior = flat.filter($"day" < cutoff)
+        val edited = prior.filter($"submission_id" % 23 === 0)
+          .withColumn("sg", $"sg".withField("length_bins",
+            transform($"sg.length_bins", b => struct(
+              b.getField("length_class").as("length_class"),
+              greatest(lit(1L), shiftright(b.getField("n"), 1)).as("n")))))
         Versioned.write(
           graft.pipeline.Incremental.submissionContrib(
-            graft.pipeline.Incremental.surveyProcess(
-              nest(flat.filter($"day" < cutoff)), lw),
+            graft.pipeline.Incremental.surveyProcess(nest(prior), lw),
             Seq("catch_taxon")),
           dir, "expo_state", "00000001_aaa")
-        Versioned.write(nest(flat.filter($"day" >= cutoff)).coalesce(4),
+        Versioned.write(
+          nest(flat.filter($"day" >= cutoff).unionByName(edited))
+            .coalesce(4),
           dir, "expo_raw", "00000002_bbb")
         graft.pipeline.Incremental.chainedExportCycle(s, dir,
             "expo_state", "expo_raw", lw, topN = 3, "00000002_bbb")
           .orderBy($"district", $"month", $"rnk")
       },
-      Some(chainCleanCtes(RawBinNSql) + """,
+      Some(chainCleanCtes(EditedBinNSql) + """,
         |contrib AS (
         |  SELECT district, month, catch_taxon AS taxon0,
         |    CAST(sum(CAST(round(catch_kg * 100) AS BIGINT)) AS BIGINT)
@@ -1324,7 +1335,79 @@ object IoQueries extends QueryPack {
             "tkd_traw", "tkd_tomb", lw, "00000002_bbb")
           .orderBy($"district", $"month")
       },
-      Some(takedownOracleSql))
+      Some(takedownOracleSql)),
+
+    // The complete topology over MONTH-PARTITIONED state — the 100 TB
+    // publish path: each state lives in ONE stable directory partitioned
+    // by month, and the cycle publishes via dynamic-partition-overwrite
+    // of only the TOUCHED months (untouched month directories are never
+    // listed, read, or rewritten — PartitionedStateSpec pins the files
+    // byte-identical and certifies the bytes-written drop vs the
+    // object-versioned twin). The fixture is a realistic nightly slice:
+    // new surveys after the cutoff, resubmission edits confined to
+    // [1998-01, cutoff), a trips delta of the 1998 landings plus seeded
+    // duplicate second trips — so retraction, the ambiguity gate, and
+    // pass-through fuses all fire inside a handful of touched months
+    // while the 1992–1997 partitions stand still. Oracle = the same
+    // FULL four-stage reprocess as q387's, with the windowed edit.
+    Q("q390_partitioned_topology",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q390_ptrips")
+        val lw = chainLwTable(s)
+        val flat = chainSurveyFlat(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keys = Seq("imei", "landing_date")
+        def nest(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"submission_id", $"district", $"month", $"imei",
+              $"landing_date")
+            .agg(collect_list($"sg").as("species_groups"))
+        val cutoff = to_date(lit("1998-06-15"))
+        val tripCut = to_date(lit("1998-01-01"))
+        val prior = flat.filter($"day" < cutoff)
+        val edited = prior
+          .filter($"submission_id" % 23 === 0 && $"day" >= tripCut)
+          .withColumn("sg", $"sg".withField("length_bins",
+            transform($"sg.length_bins", b => struct(
+              b.getField("length_class").as("length_class"),
+              greatest(lit(1L), shiftright(b.getField("n"), 1)).as("n")))))
+        val trips = Tables.orders(s, d).filter($"o_orderkey" % 3 === 0)
+          .select($"o_orderkey".as("trip_id"),
+            concat(lit("IMEI"), ($"o_orderkey" % 97).cast("string"))
+              .as("imei"),
+            to_date($"o_orderdate").as("landing_date"),
+            ($"o_orderkey" % 7000 + 3600).cast("long").as("duration_sec"))
+        val dupTrips = trips
+          .filter($"trip_id" % 51 === 0 && $"landing_date" >= tripCut)
+          .select(($"trip_id" + 1).as("trip_id"), $"imei", $"landing_date",
+            (($"trip_id" + 1) % 7000 + 3600).cast("long").as("duration_sec"))
+        val sPrior = graft.pipeline.Incremental.submissionContrib(
+          graft.pipeline.Incremental.surveyProcess(nest(prior), lw,
+            Seq("district", "month") ++ keys), keys)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tPrior = trips.filter($"landing_date" < tripCut)
+        val lm = trunc($"landing_date", "month").as("lmonth")
+        Versioned.writePartitionedFull(sPrior, dir, "ptr_sstate",
+          Seq("month"))
+        Versioned.writePartitionedFull(tPrior.withColumn("lmonth", lm),
+          dir, "ptr_tstate", Seq("lmonth"))
+        Versioned.writePartitionedFull(
+          graft.ops.GatedMerge.gatedOneToOne(sPrior, tPrior, keys)
+            .withColumn("lmonth", lm),
+          dir, "ptr_merged", Seq("lmonth"))
+        Versioned.write(
+          nest(flat.filter($"day" >= cutoff).unionByName(edited))
+            .coalesce(4),
+          dir, "ptr_sraw", "00000002_bbb")
+        Versioned.write(
+          trips.filter($"landing_date" >= tripCut).unionByName(dupTrips),
+          dir, "ptr_traw", "00000002_bbb")
+        graft.pipeline.Incremental.chainedTripsPartitionedCycle(s, dir,
+            "ptr_sstate", "ptr_tstate", "ptr_merged", "ptr_sraw",
+            "ptr_traw", lw)
+          .orderBy($"district", $"month")
+      },
+      Some(partitionedTripsOracleSql))
   )
 
   /** The q375 per-line bin-count derivation, shared with q378's edited
@@ -1366,6 +1449,28 @@ object IoQueries extends QueryPack {
     tripsTopologyOracleSql(EditedBinNSql, contribWhere = "",
       includeDupTrips = true)
 
+  /** Full-reprocess oracle for the PARTITIONED-state topology cycle
+    * (q390): identical four-stage walk to q387's; the fixture confines
+    * the resubmission edits and the duplicate late trips to the 1998
+    * window (a realistic nightly slice — most month partitions stay
+    * untouched, which is the point of the partitioned publish), so the
+    * edit and the dup branch carry the window predicates.
+    */
+  private def partitionedTripsOracleSql: String =
+    tripsTopologyOracleSql(WindowedEditedBinNSql, contribWhere = "",
+      includeDupTrips = true,
+      dupTripsAnd = " AND CAST(o_orderdate AS DATE) >= DATE '1998-01-01'")
+
+  /** The q390 resubmission edit: every 23rd submission landing in
+    * [1998-01-01, 1998-06-15) re-pulls with halved bin counts.
+    */
+  private def WindowedEditedBinNSql: String =
+    s"""CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+       |      AND CAST(o_orderdate AS DATE) < DATE '1998-06-15'
+       |      AND o_orderkey % 23 = 0
+       |      THEN greatest(1, $RawBinNSql // 2) ELSE $RawBinNSql END"""
+      .stripMargin
+
   /** Full-reprocess-minus-deleted oracle for the takedown cycle
     * (q389): the same four-stage walk with the tombstoned prior
     * submissions excluded before contributions form.
@@ -1377,14 +1482,16 @@ object IoQueries extends QueryPack {
       includeDupTrips = false)
 
   private def tripsTopologyOracleSql(binNSql: String, contribWhere: String,
-                                     includeDupTrips: Boolean): String = {
-    val dupBranch = if (includeDupTrips) """
+                                     includeDupTrips: Boolean,
+                                     dupTripsAnd: String = ""): String = {
+    val dupBranch = if (includeDupTrips) s"""
       |  UNION ALL
       |  SELECT o_orderkey + 1,
       |    'IMEI' || CAST(o_orderkey % 97 AS VARCHAR),
       |    CAST(o_orderdate AS DATE),
       |    CAST((o_orderkey + 1) % 7000 + 3600 AS BIGINT)
-      |  FROM orders WHERE o_orderkey % 51 = 0""".stripMargin else ""
+      |  FROM orders WHERE o_orderkey % 51 = 0$dupTripsAnd""".stripMargin
+    else ""
     chainCleanCtes(binNSql) + s""",
       |contrib AS (
       |  SELECT submission_id, district, month, imei, landing_date,

@@ -96,4 +96,23 @@ class IvfSpec extends SparkTestBase {
       .as[(Long, Long, Long, Double)].collect().toSeq.sorted
     assert(full === exact)
   }
+
+  test("cellDrift empty sides: cold index forces rebuild, empty delta stays assign") {
+    import graft.ext.Pq
+    val coarse = Seq((0L, Seq(1000000L)), (1L, Seq(-1000000L)))
+      .toDF("cid", "cent")
+    val cells = Seq((10L, 0L), (11L, 0L), (12L, 1L)).toDF("vec_id", "cell")
+    val empty = cells.filter($"vec_id" < 0L)
+    // tp=0, td>0 — the quantizer was trained on nothing resembling the
+    // delta: tv stays 0 (defined, no NULL/NPE) but rebuild must fire
+    val cold = Pq.cellDrift(coarse, empty, cells, tvMilli = 250L)
+      .select("tv_milli", "rebuild").distinct().collect()
+    assert(cold.length == 1 && cold.head.getLong(0) == 0L
+      && cold.head.getBoolean(1), s"cold index must flag rebuild: ${cold.toSeq}")
+    // td=0 — an empty nightly delta is NOT evidence of drift
+    val idle = Pq.cellDrift(coarse, cells, empty, tvMilli = 250L)
+      .select("tv_milli", "rebuild").distinct().collect()
+    assert(idle.length == 1 && idle.head.getLong(0) == 0L
+      && !idle.head.getBoolean(1), s"empty delta must stay assign: ${idle.toSeq}")
+  }
 }
