@@ -130,12 +130,33 @@ object Versioned {
     * rebuild), never per nightly cycle.
     */
   def writePartitionedFull(df: DataFrame, dir: String, prefix: String,
-                           partCols: Seq[String]): String = {
+                           partCols: Seq[String],
+                           filesPerPartition: Int = 1): String = {
     val root = partitionedRoot(dir, prefix)
-    df.write.mode("overwrite")
+    (if (partCols.length == 1) layout(df, partCols.head, filesPerPartition)
+     else df)
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy(partCols: _*).parquet(root)
     root
+  }
+
+  /** Cluster rows by the partition column before a partitioned write so
+    * each partition lands as `filesPerPartition` files instead of one
+    * file per (task × partition) — unclustered, a 32-task write into 8
+    * touched months sprays up to 256 footer-dominated small files and
+    * the bytes-written win evaporates (measured: the unclustered
+    * partitioned publish wrote 6× the OBJECT lane's bytes at sf0.001).
+    * `filesPerPartition > 1` salts with a row hash for months too large
+    * for one write task — pick it so partition_bytes / files fits an
+    * executor's write buffer comfortably.
+    */
+  private def layout(df: DataFrame, partCol: String,
+                     filesPerPartition: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    if (filesPerPartition <= 1) df.repartition(col(partCol))
+    else df.repartition(col(partCol),
+      pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition.toLong)))
   }
 
   /** Publish one incremental cycle into a partitioned state root:
@@ -157,10 +178,10 @@ object Versioned {
     *                the calendar, not the data)
     */
   def overwriteTouchedPartitions(df: DataFrame, dir: String, prefix: String,
-                                 partCol: String,
-                                 touched: Seq[Any]): String = {
+                                 partCol: String, touched: Seq[Any],
+                                 filesPerPartition: Int = 1): String = {
     val root = partitionedRoot(dir, prefix)
-    df.write.mode("overwrite")
+    layout(df, partCol, filesPerPartition).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(root)
     val present = df.select(df.col(partCol)).distinct()

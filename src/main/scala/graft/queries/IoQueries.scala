@@ -1344,12 +1344,12 @@ object IoQueries extends QueryPack {
     // listed, read, or rewritten — PartitionedStateSpec pins the files
     // byte-identical and certifies the bytes-written drop vs the
     // object-versioned twin). The fixture is a realistic nightly slice:
-    // new surveys after the cutoff, resubmission edits confined to
-    // [1998-01, cutoff), a trips delta of the 1998 landings plus seeded
-    // duplicate second trips — so retraction, the ambiguity gate, and
-    // pass-through fuses all fire inside a handful of touched months
-    // while the 1992–1997 partitions stand still. Oracle = the same
-    // FULL four-stage reprocess as q387's, with the windowed edit.
+    // new surveys after the 2001-06 cutoff, resubmission edits confined
+    // to [2001-01, cutoff), a trips delta of the 2001 landings plus
+    // seeded duplicate second trips — so retraction, the ambiguity
+    // gate, and pass-through fuses all fire inside a handful of touched
+    // months while the 1995–2000 partitions stand still. Oracle = the
+    // same FULL four-stage reprocess as q387's, with the windowed edit.
     Q("q390_partitioned_topology",
       (s, d) => {
         import s.implicits._
@@ -1362,8 +1362,8 @@ object IoQueries extends QueryPack {
           df.groupBy($"submission_id", $"district", $"month", $"imei",
               $"landing_date")
             .agg(collect_list($"sg").as("species_groups"))
-        val cutoff = to_date(lit("1998-06-15"))
-        val tripCut = to_date(lit("1998-01-01"))
+        val cutoff = to_date(lit("2001-06-01"))
+        val tripCut = to_date(lit("2001-01-01"))
         val prior = flat.filter($"day" < cutoff)
         val edited = prior
           .filter($"submission_id" % 23 === 0 && $"day" >= tripCut)
@@ -1459,14 +1459,14 @@ object IoQueries extends QueryPack {
   private def partitionedTripsOracleSql: String =
     tripsTopologyOracleSql(WindowedEditedBinNSql, contribWhere = "",
       includeDupTrips = true,
-      dupTripsAnd = " AND CAST(o_orderdate AS DATE) >= DATE '1998-01-01'")
+      dupTripsAnd = " AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01'")
 
   /** The q390 resubmission edit: every 23rd submission landing in
-    * [1998-01-01, 1998-06-15) re-pulls with halved bin counts.
+    * [2001-01-01, 2001-06-01) re-pulls with halved bin counts.
     */
   private def WindowedEditedBinNSql: String =
-    s"""CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
-       |      AND CAST(o_orderdate AS DATE) < DATE '1998-06-15'
+    s"""CASE WHEN CAST(o_orderdate AS DATE) >= DATE '2001-01-01'
+       |      AND CAST(o_orderdate AS DATE) < DATE '2001-06-01'
        |      AND o_orderkey % 23 = 0
        |      THEN greatest(1, $RawBinNSql // 2) ELSE $RawBinNSql END"""
       .stripMargin
