@@ -914,7 +914,20 @@ object Incremental {
           Seq("submission_id"), "left_anti")
         .unionByName(contrib),
       dir, statePrefix + "_next", newTag)
-    val st = spark.read.parquet(statePath)
+    derivedExportProducts(spark.read.parquet(statePath), topN)
+  }
+
+  /** The reference's derived export products from a published TAXON-grain
+    * state: top-`topN` + "Other" species composition by exact cents
+    * (`R/export.R:644-667`) and the taxon-sorted nested JSON catch doc
+    * (`R/export.R:417-437`, the q34 cross-engine `to_json` contract).
+    * Shared by [[chainedExportCycle]] and the complete-topology export
+    * cycles — the input is always a freshly published object read from
+    * its pinned path, never raw history.
+    *
+    * @return (district, month, rnk, taxon, cents, pct_milli, doc)
+    */
+  private def derivedExportProducts(st: DataFrame, topN: Int): DataFrame = {
     val sums = st.groupBy(col("district"), col("month"),
         col("catch_taxon").as("taxon0"))
       .agg(sum(col("sum_cents")).as("cents"))
@@ -948,6 +961,120 @@ object Incremental {
     comp.join(doc, Seq("district", "month"))
       .select(col("district"), col("month"), col("rnk"), col("taxon"),
         col("cents"), col("pct_milli"), col("doc"))
+  }
+
+  /** The COMPLETE topology with the FULL derived export — the last
+    * export-parity gap in delta mode closed: [[chainedTripsCycle]]'s
+    * four stages (submission retraction → state fold → gated trip
+    * merge → export) now also ship the reference's derived dashboard
+    * products (top-N + "Other" composition and the nested JSON doc,
+    * [[derivedExportProducts]]) from the same one delta-only run.
+    *
+    * The survey state therefore keeps TAXON grain — one (submission,
+    * district, month, imei, landing_date, catch_taxon) row — the
+    * minimum from which the composition re-derives without raw rows.
+    * The 1:1 trip gate however must count SUBMISSIONS per device-day,
+    * not taxa, so the merge stage first rolls the touched keys' taxon
+    * rows up to submission grain (O(touched), never O(state)) and
+    * re-merges those. Both export products and the monthly rollup then
+    * derive from the freshly published objects alone: composition + doc
+    * from the taxon state, the trip-enriched monthly export from the
+    * merge. Tombstones (the takedown variant) are authoritative over
+    * the delta, exactly as in [[chainedTakedownCycle]].
+    *
+    * @return (district, month, rnk, taxon, cents, pct_milli, doc,
+    *         n_rows, sum_cents, n_matched, dur_sec) — one row per
+    *         composition entry, the month's export rollup repeated on
+    *         each (the q391/q392 oracles replay the whole shape)
+    */
+  def chainedTopologyExportCycle(spark: SparkSession, dir: String,
+                                 surveyStatePrefix: String,
+                                 tripsStatePrefix: String,
+                                 mergedPrefix: String,
+                                 surveyRawPrefix: String,
+                                 tripsRawPrefix: String, lw: DataFrame,
+                                 topN: Int, newTag: String): DataFrame =
+    chainedTopologyExportImpl(spark, dir, surveyStatePrefix,
+      tripsStatePrefix, mergedPrefix, surveyRawPrefix, tripsRawPrefix,
+      spark.range(0).select(col("id").as("submission_id")), lw, topN,
+      newTag)
+
+  /** [[chainedTopologyExportCycle]] with a takedown batch: tombstoned
+    * submissions leave the taxon state, the gated merge (their 1:1
+    * matches un-merge to trip-only pass-throughs), the monthly export,
+    * the composition, AND the JSON doc — one cycle, no raw re-scan.
+    */
+  def chainedTopologyTakedownCycle(spark: SparkSession, dir: String,
+                                   surveyStatePrefix: String,
+                                   tripsStatePrefix: String,
+                                   mergedPrefix: String,
+                                   surveyRawPrefix: String,
+                                   tripsRawPrefix: String,
+                                   tombPrefix: String, lw: DataFrame,
+                                   topN: Int, newTag: String): DataFrame =
+    chainedTopologyExportImpl(spark, dir, surveyStatePrefix,
+      tripsStatePrefix, mergedPrefix, surveyRawPrefix, tripsRawPrefix,
+      Versioned.readLatest(spark, dir, tombPrefix)
+        .select(col("submission_id")).distinct(),
+      lw, topN, newTag)
+
+  private def chainedTopologyExportImpl(spark: SparkSession, dir: String,
+                                        surveyStatePrefix: String,
+                                        tripsStatePrefix: String,
+                                        mergedPrefix: String,
+                                        surveyRawPrefix: String,
+                                        tripsRawPrefix: String,
+                                        tombIds: DataFrame, lw: DataFrame,
+                                        topN: Int,
+                                        newTag: String): DataFrame = {
+    val keys = Seq("imei", "landing_date")
+    val keyCols = keys.map(col)
+    val sState = Versioned.readLatest(spark, dir, surveyStatePrefix)
+    val tState = Versioned.readLatest(spark, dir, tripsStatePrefix)
+    val mPrior = Versioned.readLatest(spark, dir, mergedPrefix)
+    val sDelta = Versioned.readLatest(spark, dir, surveyRawPrefix)
+    val tDelta = Versioned.readLatest(spark, dir, tripsRawPrefix)
+    val contrib = submissionContrib(
+      surveyProcess(sDelta, lw, Seq("district", "month") ++ keys),
+      keys :+ "catch_taxon")
+      .join(tombIds, Seq("submission_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (sPath, mPath) = try {
+      val goneIds = sDelta.select(col("submission_id")).distinct()
+        .unionByName(tombIds).distinct()
+      val retracted = sState.join(goneIds, Seq("submission_id"), "left_semi")
+      val sp = Versioned.write(
+        sState.join(goneIds, Seq("submission_id"), "left_anti")
+          .unionByName(contrib),
+        dir, surveyStatePrefix + "_next", newTag)
+      val tp = Versioned.write(tState.unionByName(tDelta), dir,
+        tripsStatePrefix + "_next", newTag)
+      val touched = contrib.select(keyCols: _*)
+        .unionByName(retracted.select(keyCols: _*))
+        .unionByName(tDelta.select(keyCols: _*)).distinct()
+      // the gate counts SUBMISSIONS per device-day: roll the touched
+      // keys' taxon rows up to submission grain before re-merging
+      val sub = spark.read.parquet(sp).join(touched, keys, "left_semi")
+        .groupBy(col("submission_id") +: col("district") +: col("month") +:
+          keyCols: _*)
+        .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+      val remerged = graft.ops.GatedMerge.gatedOneToOne(sub,
+        spark.read.parquet(tp).join(touched, keys, "left_semi"), keys)
+      val mp = Versioned.write(mPrior.join(touched, keys, "left_anti")
+          .unionByName(remerged.select(mPrior.columns.map(col): _*)),
+        dir, mergedPrefix + "_next", newTag)
+      (sp, mp)
+    } finally contrib.unpersist(blocking = false)
+    val monthly = spark.read.parquet(mPath)
+      .filter(col("submission_id").isNotNull)
+      .groupBy(col("district"), col("month"))
+      .agg(sum(col("n")).as("n_rows"),
+        sum(col("sum_cents")).as("sum_cents"),
+        count(col("trip_id")).as("n_matched"),
+        coalesce(sum(when(col("trip_id").isNotNull, col("duration_sec"))),
+          lit(0L)).as("dur_sec"))
+    derivedExportProducts(spark.read.parquet(sPath), topN)
+      .join(monthly, Seq("district", "month"))
   }
 
   /** Tombstone DELETION lane for the dedup state — the third state

@@ -1407,7 +1407,128 @@ object IoQueries extends QueryPack {
             "ptr_traw", lw)
           .orderBy($"district", $"month")
       },
-      Some(partitionedTripsOracleSql))
+      Some(partitionedTripsOracleSql)),
+
+    // The complete topology with the FULL derived export: one delta-only
+    // cycle runs retraction (q378's %23 edits), the gated trip merge
+    // with both flip directions (the %51 duplicate late trips), AND
+    // ships the reference's derived products — top-3+"Other" species
+    // composition and the nested JSON doc — alongside the trip-enriched
+    // monthly rollup. Survey state keeps TAXON grain; the merge stage
+    // rolls touched keys up to submission grain for the 1:1 gate.
+    // Oracle = the full four-stage reprocess THROUGH the composition.
+    Q("q391_topology_export",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q391_txe")
+        val lw = chainLwTable(s)
+        val flat = chainSurveyFlat(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keys = Seq("imei", "landing_date")
+        def nest(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"submission_id", $"district", $"month", $"imei",
+              $"landing_date")
+            .agg(collect_list($"sg").as("species_groups"))
+        val cutoff = to_date(lit("1998-06-15"))
+        val prior = flat.filter($"day" < cutoff)
+        val edited = prior.filter($"submission_id" % 23 === 0)
+          .withColumn("sg", $"sg".withField("length_bins",
+            transform($"sg.length_bins", b => struct(
+              b.getField("length_class").as("length_class"),
+              greatest(lit(1L), shiftright(b.getField("n"), 1)).as("n")))))
+        val trips = Tables.orders(s, d).filter($"o_orderkey" % 3 === 0)
+          .select($"o_orderkey".as("trip_id"),
+            concat(lit("IMEI"), ($"o_orderkey" % 97).cast("string"))
+              .as("imei"),
+            to_date($"o_orderdate").as("landing_date"),
+            ($"o_orderkey" % 7000 + 3600).cast("long").as("duration_sec"))
+        val dupTrips = trips.filter($"trip_id" % 51 === 0)
+          .select(($"trip_id" + 1).as("trip_id"), $"imei", $"landing_date",
+            (($"trip_id" + 1) % 7000 + 3600).cast("long").as("duration_sec"))
+        val sPrior = graft.pipeline.Incremental.submissionContrib(
+          graft.pipeline.Incremental.surveyProcess(nest(prior), lw,
+            Seq("district", "month") ++ keys), keys :+ "catch_taxon")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val subPrior = sPrior.groupBy($"submission_id", $"district",
+            $"month", $"imei", $"landing_date")
+          .agg(sum($"n").as("n"), sum($"sum_cents").as("sum_cents"))
+        val tPrior = trips.filter($"trip_id" % 30 =!= 0)
+        Versioned.write(sPrior, dir, "txe_sstate", "00000001_aaa")
+        Versioned.write(tPrior, dir, "txe_tstate", "00000001_aaa")
+        Versioned.write(
+          graft.ops.GatedMerge.gatedOneToOne(subPrior, tPrior, keys),
+          dir, "txe_merged", "00000001_aaa")
+        Versioned.write(
+          nest(flat.filter($"day" >= cutoff).unionByName(edited))
+            .coalesce(4),
+          dir, "txe_sraw", "00000002_bbb")
+        Versioned.write(
+          trips.filter($"trip_id" % 30 === 0).unionByName(dupTrips), dir,
+          "txe_traw", "00000002_bbb")
+        graft.pipeline.Incremental.chainedTopologyExportCycle(s, dir,
+            "txe_sstate", "txe_tstate", "txe_merged", "txe_sraw",
+            "txe_traw", lw, topN = 3, "00000002_bbb")
+          .orderBy($"district", $"month", $"rnk")
+      },
+      Some(topologyExportOracleSql(EditedBinNSql, contribWhere = "",
+        includeDupTrips = true))),
+
+    // Takedown through the topology WITH the derived export: tombstoned
+    // prior submissions leave the taxon state, the merge (their 1:1
+    // matches un-merge), the monthly rollup, the composition, and the
+    // JSON doc — the full forget path for every product the reference
+    // publishes. Oracle = full-reprocess-minus-deleted through the
+    // composition.
+    Q("q392_topology_export_takedown",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q392_txetkd")
+        val lw = chainLwTable(s)
+        val flat = chainSurveyFlat(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keys = Seq("imei", "landing_date")
+        def nest(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"submission_id", $"district", $"month", $"imei",
+              $"landing_date")
+            .agg(collect_list($"sg").as("species_groups"))
+        val cutoff = to_date(lit("1998-06-15"))
+        val prior = flat.filter($"day" < cutoff)
+        val trips = Tables.orders(s, d).filter($"o_orderkey" % 3 === 0)
+          .select($"o_orderkey".as("trip_id"),
+            concat(lit("IMEI"), ($"o_orderkey" % 97).cast("string"))
+              .as("imei"),
+            to_date($"o_orderdate").as("landing_date"),
+            ($"o_orderkey" % 7000 + 3600).cast("long").as("duration_sec"))
+        val sPrior = graft.pipeline.Incremental.submissionContrib(
+          graft.pipeline.Incremental.surveyProcess(nest(prior), lw,
+            Seq("district", "month") ++ keys), keys :+ "catch_taxon")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val subPrior = sPrior.groupBy($"submission_id", $"district",
+            $"month", $"imei", $"landing_date")
+          .agg(sum($"n").as("n"), sum($"sum_cents").as("sum_cents"))
+        val tPrior = trips.filter($"trip_id" % 30 =!= 0)
+        Versioned.write(sPrior, dir, "txd_sstate", "00000001_aaa")
+        Versioned.write(tPrior, dir, "txd_tstate", "00000001_aaa")
+        Versioned.write(
+          graft.ops.GatedMerge.gatedOneToOne(subPrior, tPrior, keys),
+          dir, "txd_merged", "00000001_aaa")
+        Versioned.write(nest(flat.filter($"day" >= cutoff)).coalesce(4),
+          dir, "txd_sraw", "00000002_bbb")
+        Versioned.write(trips.filter($"trip_id" % 30 === 0), dir,
+          "txd_traw", "00000002_bbb")
+        Versioned.write(
+          prior.filter($"submission_id" % 31 === 0)
+            .select($"submission_id").distinct(),
+          dir, "txd_tomb", "00000002_bbb")
+        graft.pipeline.Incremental.chainedTopologyTakedownCycle(s, dir,
+            "txd_sstate", "txd_tstate", "txd_merged", "txd_sraw",
+            "txd_traw", "txd_tomb", lw, topN = 3, "00000002_bbb")
+          .orderBy($"district", $"month", $"rnk")
+      },
+      Some(topologyExportOracleSql(RawBinNSql,
+        contribWhere = "  WHERE NOT (submission_id % 31 = 0" +
+          " AND landing_date < DATE '1998-06-15')\n",
+        includeDupTrips = false)))
   )
 
   /** The q375 per-line bin-count derivation, shared with q378's edited
@@ -1470,6 +1591,107 @@ object IoQueries extends QueryPack {
        |      AND o_orderkey % 23 = 0
        |      THEN greatest(1, $RawBinNSql // 2) ELSE $RawBinNSql END"""
       .stripMargin
+
+  /** Full-reprocess oracle for the complete topology WITH the derived
+    * export (q391/q392): the four-stage walk of
+    * [[tripsTopologyOracleSql]] at TAXON grain, ending in the
+    * trip-enriched monthly export JOINED with the top-3+"Other"
+    * composition and the taxon-sorted JSON doc (the q388 walk) — one
+    * row per composition entry carrying its month's export rollup.
+    */
+  private def topologyExportOracleSql(binNSql: String, contribWhere: String,
+                                      includeDupTrips: Boolean): String = {
+    val dupBranch = if (includeDupTrips) """
+      |  UNION ALL
+      |  SELECT o_orderkey + 1,
+      |    'IMEI' || CAST(o_orderkey % 97 AS VARCHAR),
+      |    CAST(o_orderdate AS DATE),
+      |    CAST((o_orderkey + 1) % 7000 + 3600 AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 51 = 0""".stripMargin else ""
+    chainCleanCtes(binNSql) + s""",
+      |contribT AS (
+      |  SELECT submission_id, district, month, imei, landing_date,
+      |    catch_taxon,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(catch_kg * 100) AS BIGINT)) AS BIGINT)
+      |      AS sum_cents
+      |  FROM clean
+      |$contribWhere  GROUP BY 1, 2, 3, 4, 5, 6),
+      |contrib AS (
+      |  SELECT submission_id, district, month, imei, landing_date,
+      |    CAST(sum(n) AS BIGINT) AS n,
+      |    CAST(sum(sum_cents) AS BIGINT) AS sum_cents
+      |  FROM contribT GROUP BY 1, 2, 3, 4, 5),
+      |trips AS (
+      |  SELECT o_orderkey AS trip_id,
+      |    'IMEI' || CAST(o_orderkey % 97 AS VARCHAR) AS imei,
+      |    CAST(o_orderdate AS DATE) AS landing_date,
+      |    CAST(o_orderkey % 7000 + 3600 AS BIGINT) AS duration_sec
+      |  FROM orders WHERE o_orderkey % 3 = 0$dupBranch),
+      |lc AS (SELECT *, count(*) OVER (PARTITION BY imei, landing_date)
+      |         AS kn FROM contrib),
+      |rc AS (SELECT *, count(*) OVER (PARTITION BY imei, landing_date)
+      |         AS kn FROM trips),
+      |lu AS (SELECT submission_id, district, month, imei, landing_date,
+      |         n, sum_cents FROM lc WHERE kn = 1),
+      |ld AS (SELECT submission_id, district, month, imei, landing_date,
+      |         n, sum_cents FROM lc WHERE kn > 1),
+      |ru AS (SELECT trip_id, imei, landing_date, duration_sec
+      |       FROM rc WHERE kn = 1),
+      |rd AS (SELECT trip_id, imei, landing_date, duration_sec
+      |       FROM rc WHERE kn > 1),
+      |merged AS (
+      |  SELECT lu.submission_id, lu.district, lu.month, lu.n,
+      |    lu.sum_cents, ru.trip_id, ru.duration_sec
+      |  FROM lu FULL JOIN ru USING (imei, landing_date)
+      |  UNION ALL
+      |  SELECT submission_id, district, month, n, sum_cents, NULL, NULL
+      |  FROM ld
+      |  UNION ALL
+      |  SELECT NULL, NULL, NULL, NULL, NULL, trip_id, duration_sec
+      |  FROM rd),
+      |exp AS (
+      |  SELECT district, month, CAST(sum(n) AS BIGINT) AS n_rows,
+      |    CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+      |    CAST(count(trip_id) AS BIGINT) AS n_matched,
+      |    CAST(coalesce(sum(CASE WHEN trip_id IS NOT NULL
+      |      THEN duration_sec END), 0) AS BIGINT) AS dur_sec
+      |  FROM merged WHERE submission_id IS NOT NULL
+      |  GROUP BY 1, 2),
+      |sums AS (
+      |  SELECT district, month, catch_taxon AS taxon0,
+      |    CAST(sum(sum_cents) AS BIGINT) AS cents
+      |  FROM contribT GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY district, month
+      |      ORDER BY cents DESC, taxon0) AS rn
+      |  FROM sums),
+      |lumped AS (
+      |  SELECT district, month,
+      |    CASE WHEN rn <= 3 THEN taxon0 ELSE 'Other' END AS taxon,
+      |    CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM ranked GROUP BY 1, 2, 3),
+      |tot AS (SELECT district, month, CAST(sum(cents) AS BIGINT) AS tc
+      |        FROM lumped GROUP BY 1, 2),
+      |comp AS (
+      |  SELECT l.district, l.month, l.taxon, l.cents,
+      |    CAST(row_number() OVER (PARTITION BY l.district, l.month
+      |      ORDER BY l.cents DESC, l.taxon) AS BIGINT) AS rnk,
+      |    CAST(round(CAST(l.cents AS DOUBLE) * 100000.0
+      |      / CAST(t.tc AS DOUBLE)) AS BIGINT) AS pct_milli
+      |  FROM lumped l JOIN tot t USING (district, month)),
+      |doc AS (
+      |  SELECT district, month,
+      |    CAST(to_json(list(struct_pack(taxon := taxon, cents := cents)
+      |      ORDER BY taxon)) AS VARCHAR) AS doc
+      |  FROM comp GROUP BY 1, 2)
+      |SELECT c.district, c.month, c.rnk, c.taxon, c.cents, c.pct_milli,
+      |  d.doc, e.n_rows, e.sum_cents, e.n_matched, e.dur_sec
+      |FROM comp c
+      |JOIN doc d USING (district, month)
+      |JOIN exp e USING (district, month)
+      |ORDER BY 1, 2, 3""".stripMargin
+  }
 
   /** Full-reprocess-minus-deleted oracle for the takedown cycle
     * (q389): the same four-stage walk with the tombstoned prior

@@ -356,6 +356,81 @@ class IncrementalSpec extends SparkTestBase {
     assert(bad.isEmpty, s"month shares do not close: ${bad.take(3)}")
   }
 
+  test("topology export cycle: products derive from published objects; scan set pinned") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q391_topology_export")(spark, sfDir)
+    val rows = df.collect()
+    // the derived-products helper persists its bounded comp table, so
+    // audit the EXECUTED plan string (the q388 discipline)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    val planStr = df.queryExecution.executedPlan.toString
+    val locs = "file:[^\\]\\,\\s]*".r.findAllIn(planStr).toList
+    assert(locs.nonEmpty && locs.forall(_.contains("txe_")),
+      s"unexpected scan set:\n${locs.distinct.mkString("\n")}")
+    assert(!planStr.contains(sfDir),
+      "topology export leaked a full-history scan")
+    // the Other lump, share closure, and a non-degenerate trip export
+    assert(rows.exists(_.getAs[String]("taxon") == "Other"),
+      "no Other lump — composition stage vacuous")
+    assert(rows.exists(_.getAs[Long]("n_matched") > 0L),
+      "no month matched any trip — merge stage vacuous")
+    val bad = rows.groupBy(r => (r.getAs[String]("district"),
+        r.getAs[java.sql.Date]("month")))
+      .map { case (k, rs) => (k, rs.map(_.getAs[Long]("pct_milli")).sum) }
+      .filter { case (_, s) => math.abs(s - 100000L) > 2L }
+    assert(bad.isEmpty, s"month shares do not close: ${bad.take(3)}")
+  }
+
+  test("topology export takedown: tombstoned submission leaves composition and doc") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q392_topology_export_takedown")(spark, sfDir)
+    val out = df.collect()
+    val dir = graft.core.Scratch.dir("q392_txetkd")
+    val cutoff = to_date(lit("1998-06-15"))
+    // the tombstones removed real taxon-state rows...
+    val prior = graft.io.Versioned.readLatest(spark, dir, "txd_sstate")
+    val tombed = prior.filter($"submission_id" % 31 === 0 &&
+      $"landing_date" < cutoff)
+    assert(tombed.count() > 0, "no tombstoned submission had state — vacuous")
+    // ...and none survive in the published state
+    val published = graft.io.Versioned.readLatest(spark, dir,
+      "txd_sstate_next")
+    assert(published.filter($"submission_id" % 31 === 0 &&
+      $"landing_date" < cutoff).isEmpty,
+      "published taxon state still holds a tombstoned submission")
+    // the DOC visibly forgets: for at least one (district, month) a
+    // tombstoned submission contributed to, the published doc differs
+    // from the doc the PRIOR state implies (cents moved, so the
+    // taxon-sorted JSON array cannot be identical)
+    val affected = tombed.select($"district", $"month").distinct()
+    // the same top-3 + "Other" lump walk the export runs, over the
+    // PRIOR state — comparing raw-taxon docs against lumped docs would
+    // differ trivially and prove nothing
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy($"district", $"month")
+      .orderBy($"cents".desc, $"taxon0".asc)
+    val priorDocs = prior
+      .groupBy($"district", $"month", $"catch_taxon".as("taxon0"))
+      .agg(sum($"sum_cents").as("cents"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("taxon", when($"rn" <= 3, $"taxon0").otherwise("Other"))
+      .groupBy($"district", $"month", $"taxon")
+      .agg(sum($"cents").as("cents"))
+      .groupBy($"district", $"month")
+      .agg(to_json(sort_array(collect_list(struct(
+        $"taxon", $"cents")))).as("prior_doc"))
+    val outDocs = out.map(r => ((r.getAs[String]("district"),
+      r.getAs[java.sql.Date]("month")), r.getAs[String]("doc"))).toMap
+    val changed = priorDocs.join(affected, Seq("district", "month"),
+        "left_semi").collect()
+      .count { r =>
+        val k = (r.getAs[String]("district"), r.getAs[java.sql.Date]("month"))
+        outDocs.get(k).exists(_ != r.getAs[String]("prior_doc"))
+      }
+    assert(changed > 0,
+      "no affected month's doc changed — the takedown left no trace of forgetting")
+  }
+
   test("dedup deletion: tombstoned doc leaves state, candidates, and components") {
     import spark.implicits._
     val out = SparkEntry.queries("q385_dedup_delete")(spark, sfDir).collect()

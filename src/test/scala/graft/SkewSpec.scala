@@ -131,6 +131,49 @@ class SkewSpec extends SparkTestBase {
     assert(mx < 45000L, s"hot key still funnels one task: max read $mx")
   }
 
+  test("gated merge CYCLE absorbs a 60%-hot delta device-day") {
+    // the incremental lane around GatedMerge (q384's retract-and-remerge)
+    // adds its own shuffles: touched-key distinct, semi/anti joins
+    // against the accumulated states, and the published-merge anti-join.
+    // A nightly delta where ONE device uploads 60% of the rows must not
+    // funnel any of them through one task.
+    val dir = graft.core.Scratch.dir("skew_gmcycle")
+    val keys = Seq("k")
+    val lp = spark.range(0, 20000).select(
+      concat(lit("k"), $"id").as("k"), $"id".as("lv"))
+    val rp = spark.range(0, 20000).select(
+      concat(lit("k"), $"id").as("k"), ($"id" + 1000000L).as("rv"))
+    graft.io.Versioned.write(lp, dir, "sl", "00000001_a")
+    graft.io.Versioned.write(rp, dir, "sr", "00000001_a")
+    graft.io.Versioned.write(
+      graft.ops.GatedMerge.gatedOneToOne(lp, rp, keys), dir, "sm",
+      "00000001_a")
+    // delta: 50k survey rows, 60% on ONE hot key; the rest on fresh keys
+    graft.io.Versioned.write(spark.range(0, 50000).select(
+        when($"id" % 5 < 3, "hot")
+          .otherwise(concat(lit("n"), $"id".cast("string"))).as("k"),
+        ($"id" + 2000000L).as("lv")),
+      dir, "slraw", "00000002_b")
+    graft.io.Versioned.write(spark.range(0, 10).select(
+        lit("hot").as("k"), ($"id" + 3000000L).as("rv")),
+      dir, "srraw", "00000002_b")
+    var n = 0L
+    val mx = maxTaskShuffleRead {
+      n = graft.pipeline.Incremental.gatedMergeCycle(spark, dir, "sl",
+        "sr", "sm", "slraw", "srraw", keys, "00000002_b").count()
+    }
+    // hot key: 30k left + 10 right, all ambiguous → pass-throughs;
+    // 20k fresh keys: one left-only pass-through each; 20k untouched
+    // prior keys: their published joined row carries over
+    assert(n == 30010L + 20000L + 20000L, s"cycle row count $n")
+    // the certificate: the hot stream (30k rows) must never be BUFFERED
+    // together with its counterpart or the cold bulk in one task — the
+    // count aggregations partial-combine and the join probes stream
+    // (same bound discipline as the direct GatedMerge certificate)
+    assert(mx < 25000L,
+      s"hot device-day still funnels one task: max shuffle read $mx")
+  }
+
   test("interval join streams a 4M-pair hot STRING key out of the sweep kernel") {
     // one string key holds 2000 fully-overlapping intervals per side →
     // 2000² = 4M output pairs; 2000 cold rows sit on singleton keys

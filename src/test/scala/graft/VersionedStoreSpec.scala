@@ -37,6 +37,32 @@ class VersionedStoreSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Versioned.gc(dir, "g", 0) }
   }
 
+  test("a delta cycle still serves correctly after GC removes superseded versions") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.core.Scratch.dir("spec_vgc_cycle")
+    val keys = Seq("g")
+    def rows(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (s"g${i % 7}", i.toLong)).toDF("g", "v")
+    Versioned.write(graft.ops.IncrementalAgg.rollupState(rows(0, 100),
+      keys, col("v")), dir, "gst", "00000001_a")
+    Versioned.write(rows(100, 200), dir, "graw", "00000002_b")
+    graft.pipeline.Incremental.deltaCycle(spark, dir, "gst", "graw", keys,
+      col("v"), "00000002_b").count()
+    // superseded versions GC away: the raw delta (consumed) and the
+    // next-state store keeps only its newest
+    Versioned.write(rows(200, 300), dir, "graw", "00000003_c")
+    assert(Versioned.gc(dir, "graw", keepLast = 1).length == 1)
+    Versioned.gc(dir, "gst_next", keepLast = 1)
+    val out = graft.pipeline.Incremental.deltaCycle(spark, dir, "gst_next",
+        "graw", keys, col("v"), "00000003_c")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("sum_cents"))).toMap
+    val full = graft.ops.IncrementalAgg.rollupState(rows(0, 300), keys,
+        col("v"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("sum_cents"))).toMap
+    assert(out == full,
+      s"cycle after GC diverged from full recompute: $out vs $full")
+  }
+
   test("gc scopes to its prefix: sibling prefixes survive") {
     val dir = graft.core.Scratch.dir("spec_vgc_scope")
     for (i <- 1 to 3) {
