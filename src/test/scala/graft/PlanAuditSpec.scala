@@ -620,4 +620,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!annPlan.contains("CartesianProduct"),
       s"q386 went cartesian:\n${annPlan.take(2000)}")
   }
+
+  test("round-12 incremental cycles: every join is an equi-join, nothing cartesian") {
+    // partitioned topology (q390) and the derived-export topologies
+    // (q391/q392): partition-pruned state reads, touched-key semi/anti
+    // joins, the submission-grain rollup join, and the comp/doc/export
+    // three-way join must all plan as hash/sort-merge equi-joins
+    for (name <- Seq("q390_partitioned_topology", "q391_topology_export",
+        "q392_topology_export_takedown")) {
+      val plan = finalPlan(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name went cartesian:\n${plan.take(2000)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name planned a nested loop:\n${plan.take(2000)}")
+    }
+  }
 }
