@@ -632,12 +632,19 @@ object Incremental {
           .join(goneIds, Seq("submission_id"), "left_anti")
           .unionByName(contrib)),
         dir, surveyStatePrefix, "month", sMonths)
-      // trips: pure append into the delta's own months
+      // trips: append into the delta's own months, keyed by trip_id so
+      // a re-ingested (or replayed) trip REPLACES its row — the
+      // object-versioned lane gets replay safety from its _next-prefix
+      // discipline, but an in-place partitioned publish must be
+      // idempotent under re-application itself (at-least-once delivery;
+      // PartitionedStateSpec pins a full second application changes
+      // nothing)
       val tMonths = tDelta.select(trunc(col("landing_date"), "month")
           .as("lmonth")).distinct().collect().map(_.get(0)).toSeq
       Versioned.overwriteTouchedPartitions(
         checkpointEager(Versioned.readPartitions(spark, dir,
             tripsStatePrefix, "lmonth", tMonths)
+          .join(tDelta.select(col("trip_id")), Seq("trip_id"), "left_anti")
           .unionByName(tDelta.withColumn("lmonth",
             trunc(col("landing_date"), "month")))),
         dir, tripsStatePrefix, "lmonth", tMonths)
@@ -677,6 +684,121 @@ object Incremental {
             lit(0L)).as("dur_sec"))
     } finally contrib.unpersist(blocking = false)
     export
+  }
+
+  /** The FULL COMPOSITION of the round's state lanes — the 100 TB shape
+    * of the whole pipeline: [[chainedTopologyExportCycle]]'s taxon-grain
+    * topology with derived export products AND takedown, published over
+    * [[chainedTripsPartitionedCycle]]'s month-partitioned roots with
+    * dynamic-partition-overwrite of only the touched months.
+    *
+    * One extra contract appears at the composition point: a TAKEDOWN
+    * batch must name the month its target lives in (tombstones are
+    * `(submission_id, month)` rows — a real takedown request addresses
+    * a record, and its reporting month rides along; a pipeline whose
+    * requests carry only ids resolves the month through a narrow
+    * id→month directory table first). Resubmission retraction months
+    * still come from the delta itself, as in the partitioned trips
+    * cycle. Everything else composes mechanically: touched months =
+    * delta months ∪ tombstone months; the re-merge reads only the
+    * touched keys' months (partition-pruned) and rolls taxon rows up to
+    * submission grain for the 1:1 gate; the composition + JSON doc
+    * derive from the full taxon state (export semantics — a read, not a
+    * rewrite), the monthly rollup from the published merge.
+    *
+    * @param tombPrefix versioned object of `(submission_id, month)`
+    *                   takedown rows; pass a prefix whose newest object
+    *                   is EMPTY for a plain nightly run
+    * @return (district, month, rnk, taxon, cents, pct_milli, doc,
+    *         n_rows, sum_cents, n_matched, dur_sec)
+    */
+  def chainedTopologyPartitionedCycle(spark: SparkSession, dir: String,
+                                      surveyStatePrefix: String,
+                                      tripsStatePrefix: String,
+                                      mergedPrefix: String,
+                                      surveyRawPrefix: String,
+                                      tripsRawPrefix: String,
+                                      tombPrefix: String, lw: DataFrame,
+                                      topN: Int): DataFrame = {
+    import graft.ext.Exec.checkpointEager
+    val keys = Seq("imei", "landing_date")
+    val keyCols = keys.map(col)
+    val sDelta = Versioned.readLatest(spark, dir, surveyRawPrefix)
+    val tDelta = Versioned.readLatest(spark, dir, tripsRawPrefix)
+    val tomb = Versioned.readLatest(spark, dir, tombPrefix)
+    val tombIds = tomb.select(col("submission_id")).distinct()
+    val contrib = submissionContrib(
+      surveyProcess(sDelta, lw, Seq("district", "month") ++ keys),
+      keys :+ "catch_taxon")
+      .join(tombIds, Seq("submission_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val monthly = try {
+      val goneIds = sDelta.select(col("submission_id")).distinct()
+        .unionByName(tombIds).distinct()
+      // touched survey months: the delta's own (resubmission contract)
+      // plus the months the takedown batch names
+      val sMonths = sDelta.select(col("month"))
+        .unionByName(tomb.select(col("month"))).distinct()
+        .collect().map(_.get(0)).toSeq
+      val sPriorTouched = Versioned.readPartitions(spark, dir,
+        surveyStatePrefix, "month", sMonths)
+      val retractedKeys = checkpointEager(
+        sPriorTouched.join(goneIds, Seq("submission_id"), "left_semi")
+          .select(keyCols: _*).distinct())
+      Versioned.overwriteTouchedPartitions(
+        checkpointEager(sPriorTouched
+          .join(goneIds, Seq("submission_id"), "left_anti")
+          .unionByName(contrib)),
+        dir, surveyStatePrefix, "month", sMonths)
+      // trip_id-keyed replacement: idempotent under re-application
+      // (see chainedTripsPartitionedCycle)
+      val tMonths = tDelta.select(trunc(col("landing_date"), "month")
+          .as("lmonth")).distinct().collect().map(_.get(0)).toSeq
+      Versioned.overwriteTouchedPartitions(
+        checkpointEager(Versioned.readPartitions(spark, dir,
+            tripsStatePrefix, "lmonth", tMonths)
+          .join(tDelta.select(col("trip_id")), Seq("trip_id"), "left_anti")
+          .unionByName(tDelta.withColumn("lmonth",
+            trunc(col("landing_date"), "month")))),
+        dir, tripsStatePrefix, "lmonth", tMonths)
+      val touched = checkpointEager(contrib.select(keyCols: _*)
+        .unionByName(retractedKeys)
+        .unionByName(tDelta.select(keyCols: _*)).distinct())
+      val kMonths = touched.select(trunc(col("landing_date"), "month")
+          .as("lmonth")).distinct().collect().map(_.get(0)).toSeq
+      // taxon rows roll up to submission grain for the 1:1 gate
+      val sub = Versioned.readPartitions(spark, dir, surveyStatePrefix,
+          "month", kMonths)
+        .join(touched, keys, "left_semi")
+        .groupBy(col("submission_id") +: col("district") +: col("month") +:
+          keyCols: _*)
+        .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+      val tSide = Versioned.readPartitions(spark, dir, tripsStatePrefix,
+          "lmonth", kMonths)
+        .drop("lmonth")
+        .join(touched, keys, "left_semi")
+      val remerged = graft.ops.GatedMerge.gatedOneToOne(sub, tSide, keys)
+      val mPriorTouched = Versioned.readPartitions(spark, dir, mergedPrefix,
+        "lmonth", kMonths)
+      val mCols = mPriorTouched.columns.filterNot(_ == "lmonth").toSeq
+      Versioned.overwriteTouchedPartitions(
+        checkpointEager(mPriorTouched.drop("lmonth")
+          .join(touched, keys, "left_anti")
+          .unionByName(remerged.select(mCols.map(col): _*))
+          .withColumn("lmonth", trunc(col("landing_date"), "month"))),
+        dir, mergedPrefix, "lmonth", kMonths)
+      Versioned.readPartitioned(spark, dir, mergedPrefix)
+        .filter(col("submission_id").isNotNull)
+        .groupBy(col("district"), col("month"))
+        .agg(sum(col("n")).as("n_rows"),
+          sum(col("sum_cents")).as("sum_cents"),
+          count(col("trip_id")).as("n_matched"),
+          coalesce(sum(when(col("trip_id").isNotNull, col("duration_sec"))),
+            lit(0L)).as("dur_sec"))
+    } finally contrib.unpersist(blocking = false)
+    derivedExportProducts(
+      Versioned.readPartitioned(spark, dir, surveyStatePrefix), topN)
+      .join(monthly, Seq("district", "month"))
   }
 
   /** Incremental gated 1:1 trip merge — the delta lane for the
@@ -1193,6 +1315,18 @@ object Incremental {
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
     val merged = graft.ext.Exec.checkpointEager(state.unionByName(dPost))
     Versioned.write(merged, dir, statePrefix + "_next", newTag)
+    bm25Serve(merged, qTerms, k)
+  }
+
+  /** Index-only BM25 serving over a postings table `(id, tok, tf)` —
+    * the panel is the index's own `qTerms` hottest-cf terms (ties
+    * lexicographic), scores micro-round per term before the integer
+    * sum, top-`k` docs return. Shared by [[bm25IndexCycle]] and
+    * [[bm25DeleteCycle]]; everything (df, cf, dl, avgdl) re-derives
+    * from the postings by monoid sums, so serving is correct over ANY
+    * published index version — appended or purged.
+    */
+  private def bm25Serve(merged: DataFrame, qTerms: Int, k: Int): DataFrame = {
     val stats = merged.agg(countDistinct(col("id")).as("nd"),
       sum(col("tf")).as("tot"))
     val dft = merged.groupBy(col("tok"))
@@ -1218,5 +1352,31 @@ object Incremental {
     scored.orderBy(col("score_micro").desc, col("id").asc).limit(k)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("rnk"), col("id").as("doc_id"), col("score_micro"))
+  }
+
+  /** Tombstone DELETION lane for the BM25 inverted index — the third
+    * index state to get a takedown path, after LSH signatures
+    * ([[dedupDeleteCycle]]) and IVFPQ postings ([[annDeleteCycle]]): a
+    * tombstoned document's posting rows leave the versioned index by
+    * one anti-join, the purged table publishes as the next version, and
+    * serving runs [[bm25Serve]] against the purged RELOAD — so the doc
+    * can never score, AND the collection statistics (df, cf, avgdl, N)
+    * genuinely forget it: its term occurrences no longer dilute idf or
+    * shift the length normalization, which an "exclude at query time"
+    * filter would get wrong. The corpus text is never re-tokenized;
+    * work is O(|index|) scan + O(|tombstones|) shuffle.
+    *
+    * @return (rnk, doc_id, score_micro) — top-`k` over the purged index
+    *         (the q393 oracle is the full rebuild over surviving docs)
+    */
+  def bm25DeleteCycle(spark: SparkSession, dir: String, statePrefix: String,
+                      tombPrefix: String, qTerms: Int, k: Int,
+                      newTag: String): DataFrame = {
+    val state = Versioned.readLatest(spark, dir, statePrefix)
+    val tomb = Versioned.readLatest(spark, dir, tombPrefix)
+      .select(col("id")).distinct()
+    val path = Versioned.write(state.join(tomb, Seq("id"), "left_anti"),
+      dir, statePrefix + "_next", newTag)
+    bm25Serve(spark.read.parquet(path), qTerms, k)
   }
 }

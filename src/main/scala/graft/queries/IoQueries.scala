@@ -1528,7 +1528,146 @@ object IoQueries extends QueryPack {
       Some(topologyExportOracleSql(RawBinNSql,
         contribWhere = "  WHERE NOT (submission_id % 31 = 0" +
           " AND landing_date < DATE '1998-06-15')\n",
-        includeDupTrips = false)))
+        includeDupTrips = false))),
+
+    // THE FULL COMPOSITION: the taxon-grain topology with derived
+    // export AND takedown, published over month-partitioned state with
+    // dynamic-partition-overwrite — every lane this round built, in one
+    // cycle: a 2001 nightly slice (new surveys, windowed resubmission
+    // edits, 2001 trips + seeded duplicates) plus a takedown batch of
+    // (submission_id, month) rows targeting [2000-06, cutoff) — the
+    // tombstone months are the only pre-2001 partitions the cycle may
+    // touch. Oracle = the full four-stage reprocess through the
+    // composition, minus the deleted, with the windowed edit.
+    Q("q394_partitioned_export_takedown",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q394_pxt")
+        val lw = chainLwTable(s)
+        val flat = chainSurveyFlat(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keys = Seq("imei", "landing_date")
+        def nest(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"submission_id", $"district", $"month", $"imei",
+              $"landing_date")
+            .agg(collect_list($"sg").as("species_groups"))
+        val cutoff = to_date(lit("2001-06-01"))
+        val tripCut = to_date(lit("2001-01-01"))
+        val tombCut = to_date(lit("2000-06-01"))
+        val prior = flat.filter($"day" < cutoff)
+        val edited = prior
+          .filter($"submission_id" % 23 === 0 && $"day" >= tripCut)
+          .withColumn("sg", $"sg".withField("length_bins",
+            transform($"sg.length_bins", b => struct(
+              b.getField("length_class").as("length_class"),
+              greatest(lit(1L), shiftright(b.getField("n"), 1)).as("n")))))
+        val trips = Tables.orders(s, d).filter($"o_orderkey" % 3 === 0)
+          .select($"o_orderkey".as("trip_id"),
+            concat(lit("IMEI"), ($"o_orderkey" % 97).cast("string"))
+              .as("imei"),
+            to_date($"o_orderdate").as("landing_date"),
+            ($"o_orderkey" % 7000 + 3600).cast("long").as("duration_sec"))
+        val dupTrips = trips
+          .filter($"trip_id" % 51 === 0 && $"landing_date" >= tripCut)
+          .select(($"trip_id" + 1).as("trip_id"), $"imei", $"landing_date",
+            (($"trip_id" + 1) % 7000 + 3600).cast("long").as("duration_sec"))
+        val sPrior = graft.pipeline.Incremental.submissionContrib(
+          graft.pipeline.Incremental.surveyProcess(nest(prior), lw,
+            Seq("district", "month") ++ keys), keys :+ "catch_taxon")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val subPrior = sPrior.groupBy($"submission_id", $"district",
+            $"month", $"imei", $"landing_date")
+          .agg(sum($"n").as("n"), sum($"sum_cents").as("sum_cents"))
+        val tPrior = trips.filter($"landing_date" < tripCut)
+        val lm = trunc($"landing_date", "month").as("lmonth")
+        Versioned.writePartitionedFull(sPrior, dir, "pxt_sstate",
+          Seq("month"))
+        Versioned.writePartitionedFull(tPrior.withColumn("lmonth", lm),
+          dir, "pxt_tstate", Seq("lmonth"))
+        Versioned.writePartitionedFull(
+          graft.ops.GatedMerge.gatedOneToOne(subPrior, tPrior, keys)
+            .withColumn("lmonth", lm),
+          dir, "pxt_merged", Seq("lmonth"))
+        Versioned.write(
+          nest(flat.filter($"day" >= cutoff).unionByName(edited))
+            .coalesce(4),
+          dir, "pxt_sraw", "00000002_bbb")
+        Versioned.write(
+          trips.filter($"landing_date" >= tripCut).unionByName(dupTrips),
+          dir, "pxt_traw", "00000002_bbb")
+        Versioned.write(
+          prior.filter($"submission_id" % 31 === 0 && $"day" >= tombCut)
+            .select($"submission_id", $"month").distinct(),
+          dir, "pxt_tomb", "00000002_bbb")
+        graft.pipeline.Incremental.chainedTopologyPartitionedCycle(s, dir,
+            "pxt_sstate", "pxt_tstate", "pxt_merged", "pxt_sraw",
+            "pxt_traw", "pxt_tomb", lw, topN = 3)
+          .orderBy($"district", $"month", $"rnk")
+      },
+      Some(topologyExportOracleSql(WindowedEditedBinNSql,
+        contribWhere = "  WHERE NOT (submission_id % 31 = 0" +
+          " AND landing_date >= DATE '2000-06-01'" +
+          " AND landing_date < DATE '2001-06-01')\n",
+        includeDupTrips = true,
+        dupTripsAnd = " AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01'"))),
+
+    // Tombstone DELETION for the BM25 inverted index — the third index
+    // state with a takedown lane (after LSH signatures q385 and IVFPQ
+    // postings q386): the purged postings publish as the next version
+    // and serving re-derives df/cf/avgdl/N from the PURGED reload, so a
+    // deleted doc can never score AND the collection statistics forget
+    // it (a query-time exclusion filter would keep its terms diluting
+    // idf and shifting length normalization). Oracle = the full index
+    // rebuild over surviving docs, same hottest-terms panel and BM25
+    // micro-rounding as q350.
+    Q("q393_bm25_delete",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q393_bm25del")
+        val docs = Tables.documents(s, d)
+        Versioned.write(
+          docs.select($"doc_id".as("id"),
+              explode(graft.ext.TextAnalysis.tokens($"text")).as("tok"))
+            .groupBy($"id", $"tok").agg(count(lit(1)).as("tf")),
+          dir, "bmdel_post", "00000001_aaa")
+        Versioned.write(
+          docs.filter($"doc_id" % 13 === 0).select($"doc_id".as("id")),
+          dir, "bmdel_tomb", "00000002_bbb")
+        graft.pipeline.Incremental.bm25DeleteCycle(s, dir, "bmdel_post",
+            "bmdel_tomb", qTerms = 3, k = 10, newTag = "00000002_bbb")
+          .orderBy($"rnk")
+      },
+      Some("""WITH post AS (
+             |  SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id,
+             |          unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM documents WHERE doc_id % 13 <> 0)
+             |  GROUP BY 1, 2),
+             |st AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS nd,
+             |        CAST(sum(tf) AS BIGINT) AS tot FROM post),
+             |dfts AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+             |        CAST(sum(tf) AS BIGINT) AS cf FROM post GROUP BY 1),
+             |qt AS (SELECT tok, df FROM dfts ORDER BY cf DESC, tok LIMIT 3),
+             |dls AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
+             |sc AS (
+             |  SELECT p.id, CAST(sum(CAST(round(
+             |      ln((CAST(nd AS DOUBLE) - CAST(qt.df AS DOUBLE)
+             |          + CAST(0.5 AS DOUBLE))
+             |        / (CAST(qt.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             |        + CAST(1.0 AS DOUBLE))
+             |      * (CAST(p.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+             |        / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+             |          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+             |            * CAST(dls.dl AS DOUBLE)
+             |            / (CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE)))))
+             |      * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+             |    AS score_micro
+             |  FROM post p JOIN qt USING (tok) JOIN dls USING (id)
+             |  CROSS JOIN st GROUP BY 1)
+             |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, id)
+             |    AS BIGINT) AS rnk,
+             |  id AS doc_id, score_micro
+             |FROM sc QUALIFY rnk <= 10 ORDER BY rnk""".stripMargin))
   )
 
   /** The q375 per-line bin-count derivation, shared with q378's edited
@@ -1600,14 +1739,16 @@ object IoQueries extends QueryPack {
     * row per composition entry carrying its month's export rollup.
     */
   private def topologyExportOracleSql(binNSql: String, contribWhere: String,
-                                      includeDupTrips: Boolean): String = {
-    val dupBranch = if (includeDupTrips) """
+                                      includeDupTrips: Boolean,
+                                      dupTripsAnd: String = ""): String = {
+    val dupBranch = if (includeDupTrips) s"""
       |  UNION ALL
       |  SELECT o_orderkey + 1,
       |    'IMEI' || CAST(o_orderkey % 97 AS VARCHAR),
       |    CAST(o_orderdate AS DATE),
       |    CAST((o_orderkey + 1) % 7000 + 3600 AS BIGINT)
-      |  FROM orders WHERE o_orderkey % 51 = 0""".stripMargin else ""
+      |  FROM orders WHERE o_orderkey % 51 = 0$dupTripsAnd""".stripMargin
+    else ""
     chainCleanCtes(binNSql) + s""",
       |contribT AS (
       |  SELECT submission_id, district, month, imei, landing_date,

@@ -490,6 +490,27 @@ class IncrementalSpec extends SparkTestBase {
     }
   }
 
+  test("BM25 deletion: tombstoned doc leaves the postings, the stats, and serving") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q393_bm25_delete")(spark, sfDir).collect()
+    assert(out.nonEmpty, "BM25 deletion served nothing — vacuous")
+    assert(!out.exists(_.getAs[Long]("doc_id") % 13 == 0),
+      "a tombstoned doc appeared in top-k serving")
+    val dir = graft.core.Scratch.dir("q393_bm25del")
+    val post = graft.io.Versioned.readLatest(spark, dir, "bmdel_post_next")
+    assert(post.filter($"id" % 13 === 0).isEmpty,
+      "published postings still hold a tombstoned doc")
+    assert(post.filter($"id" % 13 =!= 0).count() > 0,
+      "published postings lost the surviving docs")
+    // the stats genuinely forget (not a query-time exclusion): the
+    // purged index's doc count differs from the pre-delete index's
+    val nd = post.select($"id").distinct().count()
+    val ndFull = graft.io.Versioned.readLatest(spark, dir, "bmdel_post")
+      .select($"id").distinct().count()
+    assert(nd < ndFull,
+      s"collection stats unchanged ($nd vs $ndFull) — deletion is cosmetic")
+  }
+
   test("two chained SURVEY cycles ≡ one full reprocess (DAG composition across versions)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -256,4 +256,46 @@ class PartitionedStateSpec extends SparkTestBase {
     flat.unpersist(); sPrior.unpersist(); mPrior.unpersist()
     ()
   }
+
+  test("full composition (q394): takedown purges the partitioned taxon state; old months stand still under re-application") {
+    import graft.core.Scratch
+    // first run builds the fixture roots and applies the cycle (the
+    // q394 oracle proves cycle ≡ full-reprocess-minus-deleted)
+    val first = SparkEntry.queries("q394_partitioned_export_takedown")(
+      spark, sfDir).collect().map(_.toSeq).toSet
+    val dir = Scratch.dir("q394_pxt")
+    // published taxon state holds no tombstoned submission
+    val st = Versioned.readPartitioned(spark, dir, "pxt_sstate")
+    assert(st.filter($"submission_id" % 31 === 0 &&
+        $"month" >= to_date(lit("2000-06-01")) &&
+        $"month" < to_date(lit("2001-06-01"))).isEmpty,
+      "published partitioned taxon state still holds a tombstoned submission")
+    // snapshot the pre-takedown-window months in every root, then apply
+    // the SAME cycle again directly (no fixture re-init): re-applying a
+    // nightly batch must neither touch the old months nor change the
+    // published export (idempotent re-application — the crash-recovery
+    // property an in-place partitioned publish needs)
+    def files(prefix: String, partCol: String, month: String) =
+      Option(new java.io.File(Versioned.partitionedRoot(dir, prefix),
+          s"$partCol=$month").listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1)
+    def oldMonths = Seq(
+      files("pxt_sstate", "month", "2000-03-01"),
+      files("pxt_sstate", "month", "1999-07-01"),
+      files("pxt_tstate", "lmonth", "2000-11-01"),
+      files("pxt_merged", "lmonth", "2000-03-01"))
+    val before = oldMonths
+    assert(before.forall(_.nonEmpty), "fixture wrote no old-month partitions")
+    Thread.sleep(1100)
+    val lw = graft.queries.IoQueries.chainLwTable(spark)
+    val second = graft.pipeline.Incremental.chainedTopologyPartitionedCycle(
+        spark, dir, "pxt_sstate", "pxt_tstate", "pxt_merged", "pxt_sraw",
+        "pxt_traw", "pxt_tomb", lw, topN = 3)
+      .collect().map(_.toSeq).toSet
+    assert(oldMonths == before,
+      "re-applying the cycle touched a month outside the delta/takedown window")
+    assert(second == first,
+      "re-applying the same nightly batch changed the published export")
+  }
 }

@@ -627,12 +627,19 @@ class PlanAuditSpec extends SparkTestBase {
     // joins, the submission-grain rollup join, and the comp/doc/export
     // three-way join must all plan as hash/sort-merge equi-joins
     for (name <- Seq("q390_partitioned_topology", "q391_topology_export",
-        "q392_topology_export_takedown")) {
+        "q392_topology_export_takedown",
+        "q394_partitioned_export_takedown")) {
       val plan = finalPlan(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name went cartesian:\n${plan.take(2000)}")
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name planned a nested loop:\n${plan.take(2000)}")
     }
+    // the BM25 serve's one deliberate BroadcastNestedLoopJoin is the
+    // 1-row collection-stats attach (crossJoin(broadcast(stats)) — the
+    // q350 posture); the purge/panel joins must still never cartesian
+    val bmPlan = finalPlan("q393_bm25_delete")
+    assert(!bmPlan.contains("CartesianProduct"),
+      s"q393 went cartesian:\n${bmPlan.take(2000)}")
   }
 }
