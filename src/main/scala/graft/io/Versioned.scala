@@ -98,8 +98,10 @@ object Versioned {
   def writeGuarded(df: DataFrame, dir: String, prefix: String,
                    tag: String): String = {
     resolveLatest(dir, prefix).foreach { cur =>
-      val curTag = cur.substring(cur.lastIndexOf(s"${prefix}__")
-        + prefix.length + 2).stripSuffix("__.parquet")
+      // parse the BASENAME (a substring search could false-match a tag
+      // or a parent directory that happens to contain "prefix__")
+      val curTag = new java.io.File(cur).getName
+        .stripPrefix(s"${prefix}__").stripSuffix("__.parquet")
       require(tag > curTag,
         s"stale publish refused: tag '$tag' is not newer than published " +
           s"'$curTag' for prefix '$prefix' — another cycle won the race")
