@@ -174,6 +174,10 @@ object Versioned {
     * callers materialize the touched rows first (checkpoint), both to
     * satisfy Spark's self-overwrite guard and because a write that reads
     * its own target mid-replace would be corrupt under failure anyway.
+    * Partition values must be path-safe (dates, integers, simple
+    * strings): the emptied-partition cleanup locates directories by
+    * `value.toString`, so a value Spark would percent-escape in the
+    * directory name would not be matched for deletion.
     *
     * @param touched every partition value the cycle may have changed
     *                (collected driver-side by the caller — bounded by

@@ -123,6 +123,40 @@ class VersionedStoreSpec extends SparkTestBase {
       s"published partitioned state wrong: $out")
   }
 
+  test("filesPerPartition salts a hot partition's write across tasks") {
+    // a month holding most of a delta would otherwise funnel into ONE
+    // write task under the partition-column clustering (the layout that
+    // keeps small months at one file each) — the salt splits it. AQE's
+    // small-shuffle coalescing would re-merge this test's 40k-row salt
+    // buckets into one task (it wouldn't at a real month's size), so
+    // the certificate runs in a session with coalescing off; xxhash64
+    // is deterministic, so the observed split is stable across runs.
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    ns.conf.set("spark.sql.shuffle.partitions", "16")
+    val dir = graft.core.Scratch.dir("spec_vsalt")
+    val df = ns.range(0, 40000)
+      .selectExpr("CASE WHEN id % 20 = 0 THEN '2024-02' ELSE '2024-01' END AS m",
+        "id AS v")
+    val root = Versioned.writePartitionedFull(df, dir, "hs", Seq("m"),
+      filesPerPartition = 4)
+    def nFiles(m: String) = Option(
+      new java.io.File(root, s"m=$m").listFiles()).map(_.toSeq)
+      .getOrElse(Seq.empty).count(_.getName.endsWith(".parquet"))
+    assert(nFiles("2024-01") >= 2 && nFiles("2024-01") <= 4,
+      s"hot month wrote ${nFiles("2024-01")} files — salt did not split it")
+    // content survives the salted layout, and the dynamic-overwrite
+    // path accepts the same knob
+    assert(Versioned.readPartitioned(spark, dir, "hs").count() == 40000L)
+    Versioned.overwriteTouchedPartitions(
+      ns.range(0, 10000).selectExpr("'2024-01' AS m", "id AS v"),
+      dir, "hs", "m", Seq("2024-01"), filesPerPartition = 4)
+    assert(nFiles("2024-01") >= 2 && nFiles("2024-01") <= 4)
+    val out = Versioned.readPartitioned(spark, dir, "hs")
+    assert(out.filter($"m" === "2024-01").count() == 10000L &&
+      out.filter($"m" === "2024-02").count() == 2000L)
+  }
+
   test("readPartitions prunes at plan time: untouched partitions never scheduled") {
     val dir = graft.core.Scratch.dir("spec_vprune")
     val init = Seq(("2024-01", 1L), ("2024-02", 2L), ("2024-03", 3L))
