@@ -48,10 +48,15 @@ object Versioned {
     spark.read.parquet(resolveLatest(dir, prefix).getOrElse(
       throw new IllegalArgumentException(s"no versioned object for prefix '$prefix' in $dir")))
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  /** @return true iff `f` (and everything under it) is gone afterwards —
+    *         `File.delete` failures must not be swallowed, or [[gc]]
+    *         would report a survivor as deleted and
+    *         [[overwriteTouchedPartitions]] would report an emptied
+    *         partition erased while its directory lives on
+    */
+  private def deleteRecursively(f: java.io.File): Boolean = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-    ()
+    f.delete() || !f.exists()
   }
 
   /** Retention GC: delete all but the newest `keepLast` versions of
@@ -80,8 +85,11 @@ object Versioned {
       .filter(n => n.startsWith(s"${prefix}__") && n.endsWith("__.parquet"))
       .sorted(Ordering[String].reverse)
     val doomed = versions.drop(keepLast)
-    doomed.foreach(n => deleteRecursively(new java.io.File(d, n)))
-    doomed.map(n => s"$dir/$n")
+    // only versions that are VERIFIABLY gone enter the result — a failed
+    // delete (permissions, concurrent reader holding a handle on some
+    // filesystems) must not be reported as reclaimed
+    doomed.filter(n => deleteRecursively(new java.io.File(d, n)))
+      .map(n => s"$dir/$n")
   }
 
   /** Conditional publish for concurrent cycles: refuse to write unless
@@ -187,13 +195,21 @@ object Versioned {
                                  partCol: String, touched: Seq[Any],
                                  filesPerPartition: Int = 1): String = {
     val root = partitionedRoot(dir, prefix)
+    // the present-partition set is collected BEFORE the destructive
+    // overwrite: collected after, a caller that violated the documented
+    // checkpoint requirement would re-execute `df` over the
+    // half-replaced root and the emptied-partition cleanup would act on
+    // corrupt data — collecting first confines any such violation to the
+    // write itself (which Spark's self-overwrite guard also polices)
+    val present = df.select(df.col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
     layout(df, partCol, filesPerPartition).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(root)
-    val present = df.select(df.col(partCol)).distinct()
-      .collect().map(_.get(0)).toSet
     touched.filterNot(present.contains).foreach { v =>
-      deleteRecursively(new java.io.File(root, s"$partCol=$v"))
+      val gone = deleteRecursively(new java.io.File(root, s"$partCol=$v"))
+      require(gone, s"emptied partition $partCol=$v of '$prefix' could " +
+        "not be erased — a reader would resurrect rows the cycle retracted")
     }
     root
   }

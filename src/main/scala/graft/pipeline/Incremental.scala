@@ -598,6 +598,15 @@ object Incremental {
     * the overwrite (a dynamic overwrite must not be lineage-backed by a
     * scan of its own target).
     *
+    * CONTRACT — replays keep `landing_date` fixed: the trips append is
+    * keyed by `trip_id` so a replayed batch REPLACES instead of
+    * duplicating, but the replacement anti-join prunes to the DELTA's
+    * own `lmonth` partitions. A replayed trip whose landing_date (hence
+    * month) CHANGED would leave its stale row in the old partition and
+    * duplicate the trip_id. Same contract as resubmission retraction:
+    * edits never move a record across months; a feed where they can
+    * needs a narrow id→month directory table resolved first.
+    *
     * @return (district, month, n_rows, sum_cents, n_matched, dur_sec) —
     *         the monthly export from the published merge
     */
@@ -705,6 +714,13 @@ object Incremental {
     * submission grain for the 1:1 gate; the composition + JSON doc
     * derive from the full taxon state (export semantics — a read, not a
     * rewrite), the monthly rollup from the published merge.
+    *
+    * CONTRACT — replays keep `landing_date` fixed: the trip_id-keyed
+    * replacement that makes the in-place publish idempotent prunes to
+    * the delta's own `lmonth` partitions, so a replayed trip whose
+    * landing day changed would orphan its stale row in the old month
+    * (see [[chainedTripsPartitionedCycle]] — the same id→month
+    * directory escape hatch applies).
     *
     * @param tombPrefix versioned object of `(submission_id, month)`
     *                   takedown rows; pass a prefix whose newest object
@@ -1063,20 +1079,21 @@ object Incremental {
       .agg(sum(col("cents")).as("cents"))
     val wMonth = org.apache.spark.sql.expressions.Window
       .partitionBy(col("district"), col("month"))
-    // persisted: comp feeds BOTH the doc aggregation and the final
-    // join (no cross-branch CSE — unpersisted, the state scan + rank
-    // windows would run twice in the one output action). It must stay
-    // cached past return because the RETURNED plan references it (the
-    // deliberate contrast with chainedTripsImpl's eager-write-scoped
-    // contrib cache): the block is bounded by districts × months ×
-    // (topN+1) rows, and Bench/Verify clear the cache between queries
-    val comp = lumped
+    // eagerly checkpointed, not persisted: comp feeds BOTH the doc
+    // aggregation and the final join (no cross-branch CSE —
+    // unmaterialized, the state scan + rank windows would run twice in
+    // the one output action), and the RETURNED plan references it. A
+    // persist would pin one cached block per cycle call for the life of
+    // the driver unless an external actor cleared the cache; the eager
+    // checkpoint is self-contained (bounded by districts × months ×
+    // (topN+1) rows) and its blocks release with the plan via the
+    // context cleaner — no caller-must-clearCache contract
+    val comp = graft.ext.Exec.checkpointEager(lumped
       .withColumn("rnk", row_number().over(wRank
         .orderBy(col("cents").desc, col("taxon").asc)).cast("long"))
       .withColumn("pct_milli", round(col("cents").cast("double")
         * 100000.0 / sum(col("cents")).over(wMonth).cast("double"), 0)
-        .cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .cast("long")))
     val doc = comp.groupBy(col("district"), col("month"))
       .agg(to_json(sort_array(collect_list(
         struct(col("taxon"), col("cents"))))).as("doc"))

@@ -332,16 +332,19 @@ class IncrementalSpec extends SparkTestBase {
     val df = SparkEntry.queries("q388_chained_export")(spark, sfDir)
     import spark.implicits._
     val rows = df.collect()
-    // the cycle persists its bounded comp table, so the logical plan's
-    // relations hide under an InMemoryRelation — audit the EXECUTED
-    // plan string instead (it expands each cached fragment's plan):
-    // every parquet location must be an expo_* versioned object, and
-    // the raw history tables must appear nowhere
+    // the cycle eagerly CHECKPOINTS its bounded comp table (the state
+    // scan happens once, at materialization, against the freshly
+    // published expo_ object), so the returned plan reads checkpoint
+    // blocks — any file: location still present must be an expo_*
+    // versioned object, the checkpointed fragments surface as
+    // ExistingRDD scans, and the raw history tables appear nowhere
     spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     val planStr = df.queryExecution.executedPlan.toString
     val locs = "file:[^\\]\\,\\s]*".r.findAllIn(planStr).toList
-    assert(locs.nonEmpty && locs.forall(_.contains("expo_")),
+    assert(locs.forall(_.contains("expo_")),
       s"unexpected scan set:\n${locs.distinct.mkString("\n")}")
+    assert(planStr.contains("ExistingRDD"),
+      "comp was not served from its eager checkpoint")
     assert(!planStr.contains(sfDir),
       "derived export leaked a full-history scan")
     // the Other lump must materialize (topN=3 over 5 taxa) and every
