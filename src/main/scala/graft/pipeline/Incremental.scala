@@ -127,6 +127,152 @@ object Incremental {
     pairs
   }
 
+  /** Monotone id-range bucket for partitioned index state: `id div
+    * width`, a pure function of the id. The choice of RANGE over HASH is
+    * the whole design: document/vector ids arrive roughly in order, so a
+    * nightly ingest delta clusters in the TAIL bucket(s) and an
+    * edit/takedown batch addresses exactly its named ids' buckets —
+    * O(touched buckets) partitions rewritten per cycle. A hash bucket
+    * would spray every delta uniformly across ALL buckets (any delta
+    * with ≳`nBuckets` ids touches every partition) and re-create the
+    * O(|state|) rewrite the partitioned lane exists to kill. Pick
+    * `width` so one bucket's bytes fit a write task comfortably (the
+    * same sizing rule as [[graft.io.Versioned]]'s `filesPerPartition`).
+    * Requires integral ids; a string-keyed corpus maps through a narrow
+    * id-directory table first (the same escape hatch as month-moving
+    * edits in [[chainedTripsPartitionedCycle]]).
+    */
+  def idBucket(id: Column, width: Long): Column = {
+    require(width > 0, s"idBucket width must be positive, got $width")
+    // subtract the remainder first so the double division is exactly a
+    // representable integer (Column `/` is double division; `div` has no
+    // Column-DSL form) — exact for any |bucket| < 2^53
+    ((id.cast("long") - pmod(id.cast("long"), lit(width))) / width)
+      .cast("long")
+  }
+
+  /** [[lshDedupCycle]] over a BUCKET-PARTITIONED signature store — the
+    * 100 TB write path for the dedup state. The object-versioned cycle
+    * publishes `state ∪ delta` WHOLE each run: O(|state|) write I/O on
+    * the one state that grows with the corpus forever. Here the
+    * signature rows live in ONE stable root partitioned by
+    * [[idBucket]](id, bucketWidth), and a cycle publishes via
+    * dynamic-partition-overwrite of ONLY the buckets the delta's ids
+    * map to — new docs cluster in the tail bucket(s), re-ingested ids
+    * rewrite exactly their own buckets (the bucket is a pure function
+    * of the id, so a replaced id's stale rows provably live in a bucket
+    * the delta itself names — the same locating contract as
+    * resubmission months in [[chainedTripsPartitionedCycle]]).
+    *
+    * Candidate generation is unchanged (delta bands ⋈ FULL prior band
+    * rows — any historical doc can collide with a delta doc, so the
+    * read side is O(|state|) by problem shape; it streams through the
+    * band join, never buffers). The new-pairs result is EAGERLY
+    * checkpointed before the overwrite: its plan reads the prior root,
+    * which the publish is about to replace in place.
+    *
+    * @return (batch_id, corpus_id, jaccard) — the NEW duplicate pairs
+    *         this delta introduces, exactly [[lshDedupCycle]]'s
+    *         contract (the q395 oracle is the same full-corpus replay)
+    */
+  def lshDedupPartitionedCycle(spark: SparkSession, dir: String,
+                               statePrefix: String, rawPrefix: String,
+                               idCol: String, textCol: String, n: Int,
+                               threshold: Double, bands: Int,
+                               rowsPerBand: Int,
+                               bucketWidth: Long): DataFrame = {
+    import graft.ext.{Dedup, Exec}
+    val delta = Versioned.readLatest(spark, dir, rawPrefix)
+    val dState = Exec.checkpointEager(
+      Dedup.signatureState(delta, idCol, textCol, n, bands, rowsPerBand))
+    val dIds = dState.select(col("id"))
+    // delta-authoritative corpus side: a re-ingested id's stored rows
+    // leave both candidate generation and the published state
+    val state = Versioned.readPartitioned(spark, dir, statePrefix)
+      .drop("bucket")
+      .join(dIds, Seq("id"), "left_anti")
+    val sBand = Dedup.bandRowsFromState(state, bands, rowsPerBand)
+    val dBand = Dedup.bandRowsFromState(dState, bands, rowsPerBand)
+    val crossVer = dBand.select(col("band"), col("bucket"),
+        col("id").as("batch_id"))
+      .join(sBand.select(col("band"), col("bucket"),
+        col("id").as("corpus_id")), Seq("band", "bucket"))
+      .select(col("batch_id"), col("corpus_id"))
+    val intraBatch = dBand.select(col("band"), col("bucket"),
+        col("id").as("batch_id"))
+      .join(dBand.select(col("band"), col("bucket"),
+        col("id").as("corpus_id")), Seq("band", "bucket"))
+      .filter(col("batch_id") < col("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"))
+    val cands = crossVer.unionAll(intraBatch).distinct()
+    val allSh = state.select(col("id"), col("sh"))
+      .unionByName(dState.select(col("id"), col("sh")))
+    // materialized BEFORE the in-place publish replaces the root this
+    // plan's corpus side scans
+    val pairs = Exec.checkpointEager(cands
+      .join(dState.select(col("id").as("batch_id"), col("sh").as("sh_a")),
+        "batch_id")
+      .join(allSh.select(col("id").as("corpus_id"), col("sh").as("sh_b")),
+        "corpus_id")
+      .withColumn("inter", graft.functions.SortedIntersectSize
+        .sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard")))
+    // O(touched buckets) publish: stale rows for re-ingested ids leave,
+    // the delta's signatures land, untouched buckets are never listed
+    val touched = dState
+      .select(idBucket(col("id"), bucketWidth).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val priorTouched = Versioned.readPartitions(spark, dir, statePrefix,
+      "bucket", touched)
+    Versioned.overwriteTouchedPartitions(
+      Exec.checkpointEager(priorTouched
+        .join(dIds, Seq("id"), "left_anti")
+        .unionByName(dState
+          .withColumn("bucket", idBucket(col("id"), bucketWidth)))),
+      dir, statePrefix, "bucket", touched)
+    pairs
+  }
+
+  /** Tombstone DELETION over the bucket-partitioned signature store —
+    * [[dedupDeleteCycle]]'s 100 TB twin: the tombstoned ids' buckets
+    * derive from the ids themselves ([[idBucket]] is pure), so the
+    * purge READS and REWRITES only those buckets — O(touched) on both
+    * sides, where the object lane rewrote the full signature state.
+    * The pair LEDGER stays object-versioned deliberately: it is
+    * O(duplicate pairs), orders below the signature state, and
+    * components recompute over it whole anyway.
+    *
+    * @return (doc_id, canonical_id, n_group) duplicate components over
+    *         the purged ledger — the q396 oracle is the full rebuild
+    *         over surviving documents, exactly q385's
+    */
+  def lshDeletePartitionedCycle(spark: SparkSession, dir: String,
+                                sigPrefix: String, ledgerPrefix: String,
+                                tombPrefix: String, bucketWidth: Long,
+                                newTag: String): DataFrame = {
+    import graft.ext.Exec
+    val tomb = Versioned.readLatest(spark, dir, tombPrefix)
+    val ledger = Versioned.readLatest(spark, dir, ledgerPrefix)
+    val touched = tomb.select(idBucket(col("id"), bucketWidth).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    Versioned.overwriteTouchedPartitions(
+      Exec.checkpointEager(
+        Versioned.readPartitions(spark, dir, sigPrefix, "bucket", touched)
+          .join(tomb.select(col("id")), Seq("id"), "left_anti")),
+      dir, sigPrefix, "bucket", touched)
+    val ledgerPath = Versioned.write(ledger
+        .join(tomb.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+        .join(tomb.select(col("id").as("id_b")), Seq("id_b"), "left_anti"),
+      dir, ledgerPrefix + "_next", newTag)
+    val led = spark.read.parquet(ledgerPath)
+    val ids = led.select(col("id_a").as("doc_id"))
+      .unionAll(led.select(col("id_b").as("doc_id"))).distinct()
+    graft.ext.Dedup.duplicateGroups(led, ids, "doc_id")
+  }
+
   /** Incremental SCD2 append — extend a versioned interval table
     * ([[graft.ops.Scd2.fromChangeLog]]) with a new change-log delta
     * WITHOUT replaying the full log. Contract: the log is append-only
@@ -1395,5 +1541,83 @@ object Incremental {
     val path = Versioned.write(state.join(tomb, Seq("id"), "left_anti"),
       dir, statePrefix + "_next", newTag)
     bm25Serve(spark.read.parquet(path), qTerms, k)
+  }
+
+  /** [[bm25IndexCycle]] over a BUCKET-PARTITIONED postings store — the
+    * 100 TB write path for the inverted index. The object-versioned
+    * cycle publishes `prior ∪ delta` WHOLE per run: O(|index|) write
+    * I/O on a state that grows with the corpus. Here the postings live
+    * in ONE stable root partitioned by [[idBucket]](doc id,
+    * bucketWidth) and a cycle rewrites only the delta's buckets.
+    *
+    * Partitioning by DOC-ID RANGE rather than by token range is a
+    * deliberate measured choice: a nightly batch's token set spans the
+    * vocabulary (Zipf — every common token appears in every batch), so
+    * token-range partitions would ALL be touched by every append and
+    * the rewrite would stay O(|index|); doc-range buckets make an
+    * append touch only the tail bucket(s) and a re-ingest/takedown
+    * exactly its named ids' buckets. Token partitioning would instead
+    * buy query-side pruning, which BM25 serving cannot use anyway — the
+    * collection statistics (df, cf, dl, avgdl, N) are global, so a
+    * serve reads the full index whichever way it is laid out (an
+    * export-semantics READ; the WRITE is what had to become O(touched)).
+    *
+    * Beyond the layout, this lane also upgrades the merge contract:
+    * [[bm25IndexCycle]] requires disjoint doc sets (plain union); here a
+    * delta that RE-INGESTS a doc id replaces its postings — the stale
+    * rows provably live in buckets the delta itself names.
+    *
+    * @return (rnk, doc_id, score_micro) — top-`k` served from the
+    *         freshly published partitioned index
+    */
+  def bm25PartitionedCycle(spark: SparkSession, dir: String,
+                           statePrefix: String, rawPrefix: String,
+                           idCol: String, textCol: String, qTerms: Int,
+                           k: Int, bucketWidth: Long): DataFrame = {
+    import graft.ext.Exec
+    val delta = Versioned.readLatest(spark, dir, rawPrefix)
+    val dPost = Exec.checkpointEager(delta
+      .select(col(idCol).as("id"),
+        explode(graft.ext.TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf")))
+    val touched = dPost.select(idBucket(col("id"), bucketWidth).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    Versioned.overwriteTouchedPartitions(
+      Exec.checkpointEager(
+        Versioned.readPartitions(spark, dir, statePrefix, "bucket", touched)
+          .join(dPost.select(col("id")).distinct(), Seq("id"), "left_anti")
+          .unionByName(dPost
+            .withColumn("bucket", idBucket(col("id"), bucketWidth)))),
+      dir, statePrefix, "bucket", touched)
+    bm25Serve(Versioned.readPartitioned(spark, dir, statePrefix)
+      .drop("bucket"), qTerms, k)
+  }
+
+  /** Tombstone DELETION over the bucket-partitioned postings —
+    * [[bm25DeleteCycle]]'s 100 TB twin: a tombstoned doc's posting rows
+    * all live in ITS OWN bucket ([[idBucket]] is a pure function of the
+    * id), so the purge reads and rewrites only the tombstones' buckets
+    * — O(touched) on both sides — and serving re-derives df/cf/avgdl/N
+    * from the purged full reload so the collection statistics genuinely
+    * forget (the q393 contract, now without the O(|index|) rewrite).
+    *
+    * @return (rnk, doc_id, score_micro) — top-`k` over the purged index
+    */
+  def bm25DeletePartitionedCycle(spark: SparkSession, dir: String,
+                                 statePrefix: String, tombPrefix: String,
+                                 qTerms: Int, k: Int,
+                                 bucketWidth: Long): DataFrame = {
+    import graft.ext.Exec
+    val tomb = Versioned.readLatest(spark, dir, tombPrefix)
+      .select(col("id")).distinct()
+    val touched = tomb.select(idBucket(col("id"), bucketWidth).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    Versioned.overwriteTouchedPartitions(
+      Exec.checkpointEager(
+        Versioned.readPartitions(spark, dir, statePrefix, "bucket", touched)
+          .join(tomb, Seq("id"), "left_anti")),
+      dir, statePrefix, "bucket", touched)
+    bm25Serve(Versioned.readPartitioned(spark, dir, statePrefix)
+      .drop("bucket"), qTerms, k)
   }
 }

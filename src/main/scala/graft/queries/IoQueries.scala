@@ -462,48 +462,76 @@ object IoQueries extends QueryPack {
             graft.core.Exact.r4($"jaccard").as("jaccard"))
           .orderBy($"batch_id", $"corpus_id")
       },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, doc_id % 17 = 0 AS is_batch,
-             |    string_split_regex(trim(text), '\s+') AS l FROM documents),
-             |shg AS (
-             |  SELECT doc_id, is_batch,
-             |    list_distinct(list_filter(
-             |      list_transform(l, (x, i) ->
-             |        CASE WHEN i <= len(l) - 1 THEN x || ' ' || l[i+1] END),
-             |      v -> v IS NOT NULL)) AS sh
-             |  FROM toks),
-             |base AS (
-             |  SELECT doc_id, is_batch, sh,
-             |    list_transform(sh, s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(generate_series(1, length(s)),
-             |        i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
-             |      (a, b) -> (a*31 + b) % 1000000007)) AS hs
-             |  FROM shg),
-             |sig AS (
-             |  SELECT doc_id, is_batch, sh,
-             |    list_transform(generate_series(1, 63), j ->
-             |      coalesce(list_min(list_transform(hs, h ->
-             |        (h * ((1103515245 * j) % 2038074743)
-             |          + ((12345 * j + 7) % 2038074743)) % 2038074743)),
-             |      CAST(-1 AS BIGINT))) AS sig
-             |  FROM base),
-             |bandrows AS (
-             |  SELECT doc_id, is_batch, b,
-             |    sig[CAST(b*3+1 AS INT) : CAST(b*3+3 AS INT)] AS bucket
-             |  FROM sig CROSS JOIN range(0, 21) t(b)),
-             |cand AS (
-             |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
-             |  FROM bandrows a JOIN bandrows b
-             |    ON a.b = b.b AND a.bucket = b.bucket
-             |  WHERE a.is_batch AND (NOT b.is_batch OR a.doc_id < b.doc_id)),
-             |ver AS (
-             |  SELECT batch_id, corpus_id,
-             |    len(list_intersect(x.sh, y.sh)) * 1.0
-             |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
-             |  FROM cand JOIN shg x ON x.doc_id = batch_id
-             |  JOIN shg y ON y.doc_id = corpus_id)
-             |SELECT batch_id, corpus_id, round(jac, 4) + 0.0 AS jaccard
-             |FROM ver WHERE jac >= 0.2 ORDER BY 1, 2""".stripMargin)),
+      Some(lshCycleOracleSql("doc_id % 17 = 0"))),
+
+    // The LSH signature store over a BUCKET-PARTITIONED root — the
+    // 100 TB write path for the dedup state (the object-versioned q342
+    // twin publishes state ∪ delta whole per cycle). Buckets are
+    // monotone id ranges (id div 64): new docs cluster in tail buckets,
+    // re-ingested ids rewrite exactly their own buckets (bucket is a
+    // pure function of the id — the same locating contract as
+    // resubmission months in q390), untouched buckets are never listed
+    // (PartitionedStateSpec pins them byte-identical and certifies the
+    // bytes drop). The delta here mixes NEW docs (every 17th) with
+    // RE-INGESTS of existing docs (every 31st, text unchanged — their
+    // stale signature rows are replaced, never duplicated); the oracle
+    // is the full-corpus replay with the batch predicate covering both.
+    Q("q395_lsh_partitioned_store",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q395_plsh")
+        val docs = Tables.documents(s, d)
+        val bw = 64L
+        Versioned.writePartitionedFull(
+          graft.ext.Dedup.signatureState(docs.filter($"doc_id" % 17 =!= 0),
+              "doc_id", "text", n = 2, bands = 21, rowsPerBand = 3)
+            .withColumn("bucket",
+              graft.pipeline.Incremental.idBucket($"id", bw)),
+          dir, "plsh_state", Seq("bucket"))
+        Versioned.write(
+          docs.filter($"doc_id" % 17 === 0 || $"doc_id" % 31 === 0),
+          dir, "plsh_raw", "00000002_bbb")
+        graft.pipeline.Incremental.lshDedupPartitionedCycle(s, dir,
+            "plsh_state", "plsh_raw", "doc_id", "text", n = 2,
+            threshold = 0.2, bands = 21, rowsPerBand = 3, bucketWidth = bw)
+          .select($"batch_id", $"corpus_id",
+            graft.core.Exact.r4($"jaccard").as("jaccard"))
+          .orderBy($"batch_id", $"corpus_id")
+      },
+      Some(lshCycleOracleSql("(doc_id % 17 = 0 OR doc_id % 31 = 0)"))),
+
+    // Tombstone deletion over the bucket-partitioned signature store —
+    // q385's 100 TB twin: the tombstoned ids' buckets derive from the
+    // ids themselves, so the purge reads AND rewrites only those
+    // buckets; the O(dup-pairs) ledger stays object-versioned and
+    // components recompute over the purged ledger alone. Oracle = the
+    // full simhash-components rebuild over surviving docs (q385's).
+    Q("q396_lsh_partitioned_delete",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q396_plshdel")
+        val docs = Tables.documents(s, d)
+        val bw = 64L
+        Versioned.writePartitionedFull(
+          graft.ext.Dedup.signatureState(docs, "doc_id", "text", n = 2,
+              bands = 21, rowsPerBand = 3)
+            .withColumn("bucket",
+              graft.pipeline.Incremental.idBucket($"id", bw)),
+          dir, "pdel_sig", Seq("bucket"))
+        Versioned.write(
+          graft.ext.Dedup.simHashPairsBanded(docs, "doc_id", "text",
+            maxDist = 6),
+          dir, "pdel_ledger", "00000001_aaa")
+        Versioned.write(
+          docs.filter($"doc_id" % 13 === 0).select($"doc_id".as("id")),
+          dir, "pdel_tomb", "00000002_bbb")
+        graft.pipeline.Incremental.lshDeletePartitionedCycle(s, dir,
+            "pdel_sig", "pdel_ledger", "pdel_tomb", bucketWidth = bw,
+            newTag = "00000002_bbb")
+          .select($"id".as("doc_id"), $"canonical_id", $"n_group")
+          .orderBy($"canonical_id", $"doc_id")
+      },
+      Some(dedupDeleteOracleSql)),
 
     // Incremental SCD2 append: the prior interval table and the new
     // change-log delta land as versioned objects; the cycle re-opens
@@ -696,40 +724,7 @@ object IoQueries extends QueryPack {
           .select($"id".as("doc_id"), $"canonical_id", $"n_group")
           .orderBy($"canonical_id", $"doc_id")
       },
-      Some("""WITH RECURSIVE kept AS (
-             |  SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
-             |th AS (
-             |  SELECT doc_id,
-             |    list_transform(string_split_regex(trim(text),'\s+'), s ->
-             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |        list_transform(generate_series(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
-             |      (a,b) -> (a*31 + b) % 1000000007)) AS hs
-             |  FROM kept),
-             |bits AS (
-             |  SELECT doc_id, j,
-             |    CASE WHEN coalesce(list_sum(list_transform(hs, h ->
-             |      CASE WHEN ((h * ((1103515245 * j) % 2038074743) + ((12345 * j + 7) % 2038074743)) % 2038074743) % 2 = 1
-             |           THEN 1 ELSE -1 END)), 0) > 0
-             |         THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE 0 END AS bit
-             |  FROM th CROSS JOIN range(1, 64) t(j)),
-             |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sh FROM bits GROUP BY 1),
-             |pairs AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE bit_count(xor(a.sh, b.sh)) <= 6),
-             |edges AS (
-             |  SELECT id_a AS src, id_b AS dst FROM pairs
-             |  UNION ALL SELECT id_b, id_a FROM pairs),
-             |reach AS (
-             |  SELECT doc_id AS id, doc_id AS lbl FROM kept
-             |  UNION
-             |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-             |comp AS (SELECT id, min(lbl) AS canonical_id FROM reach GROUP BY id),
-             |sized AS (SELECT canonical_id, count(*) AS n_group FROM comp GROUP BY 1)
-             |SELECT c.id AS doc_id, c.canonical_id, s.n_group
-             |FROM comp c JOIN sized s USING (canonical_id)
-             |WHERE s.n_group > 1
-             |ORDER BY canonical_id, doc_id""".stripMargin)),
+      Some(dedupDeleteOracleSql)),
 
     // Incremental EXACT quantile over a bounded-cardinality value: the
     // state is a per-(flag, quantity) counts HISTOGRAM (≤ 50 distinct
@@ -1637,38 +1632,200 @@ object IoQueries extends QueryPack {
             "bmdel_tomb", qTerms = 3, k = 10, newTag = "00000002_bbb")
           .orderBy($"rnk")
       },
-      Some("""WITH post AS (
-             |  SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf
-             |  FROM (SELECT doc_id,
-             |          unnest(string_split_regex(trim(text), '\s+')) AS tok
-             |        FROM documents WHERE doc_id % 13 <> 0)
-             |  GROUP BY 1, 2),
-             |st AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS nd,
-             |        CAST(sum(tf) AS BIGINT) AS tot FROM post),
-             |dfts AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
-             |        CAST(sum(tf) AS BIGINT) AS cf FROM post GROUP BY 1),
-             |qt AS (SELECT tok, df FROM dfts ORDER BY cf DESC, tok LIMIT 3),
-             |dls AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
-             |sc AS (
-             |  SELECT p.id, CAST(sum(CAST(round(
-             |      ln((CAST(nd AS DOUBLE) - CAST(qt.df AS DOUBLE)
-             |          + CAST(0.5 AS DOUBLE))
-             |        / (CAST(qt.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
-             |        + CAST(1.0 AS DOUBLE))
-             |      * (CAST(p.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
-             |        / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
-             |          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
-             |            * CAST(dls.dl AS DOUBLE)
-             |            / (CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE)))))
-             |      * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT)
-             |    AS score_micro
-             |  FROM post p JOIN qt USING (tok) JOIN dls USING (id)
-             |  CROSS JOIN st GROUP BY 1)
-             |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, id)
-             |    AS BIGINT) AS rnk,
-             |  id AS doc_id, score_micro
-             |FROM sc QUALIFY rnk <= 10 ORDER BY rnk""".stripMargin))
+      Some(bm25ServeOracleSql("WHERE doc_id % 13 <> 0"))),
+
+    // BM25 postings over a BUCKET-PARTITIONED root — the 100 TB write
+    // path for the inverted index (the object-versioned q350 twin
+    // publishes prior ∪ delta whole per cycle). Buckets are monotone
+    // DOC-ID ranges, not token ranges, deliberately: a nightly batch's
+    // token set spans the vocabulary (every common token appears in
+    // every batch), so token partitions would ALL be rewritten per
+    // append, while doc-range buckets confine an append to the tail
+    // bucket(s) and a re-ingest to its named ids' buckets. Serving
+    // reads the full index either way — df/cf/avgdl/N are global. The
+    // delta mixes NEW docs (every 17th) with RE-INGESTS (every 31st,
+    // unchanged text) whose stale postings are replaced, never
+    // duplicated; oracle = the full index rebuild over all docs.
+    Q("q397_bm25_partitioned_index",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q397_pbm25")
+        val docs = Tables.documents(s, d)
+        val bw = 64L
+        Versioned.writePartitionedFull(
+          docs.filter($"doc_id" % 17 =!= 0)
+            .select($"doc_id".as("id"),
+              explode(graft.ext.TextAnalysis.tokens($"text")).as("tok"))
+            .groupBy($"id", $"tok").agg(count(lit(1)).as("tf"))
+            .withColumn("bucket",
+              graft.pipeline.Incremental.idBucket($"id", bw)),
+          dir, "pbm_post", Seq("bucket"))
+        Versioned.write(
+          docs.filter($"doc_id" % 17 === 0 || $"doc_id" % 31 === 0),
+          dir, "pbm_raw", "00000002_bbb")
+        graft.pipeline.Incremental.bm25PartitionedCycle(s, dir, "pbm_post",
+            "pbm_raw", "doc_id", "text", qTerms = 3, k = 10,
+            bucketWidth = bw)
+          .orderBy($"rnk")
+      },
+      Some(bm25ServeOracleSql(""))),
+
+    // Tombstone deletion over the bucket-partitioned postings — q393's
+    // 100 TB twin: a tombstoned doc's posting rows all live in its own
+    // id-range bucket, so the purge reads and rewrites only the
+    // tombstones' buckets, and serving re-derives the collection
+    // statistics from the purged reload (the genuine-forget contract).
+    // Oracle = the full rebuild over surviving docs (q393's).
+    Q("q398_bm25_partitioned_delete",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q398_pbm25del")
+        val docs = Tables.documents(s, d)
+        val bw = 64L
+        Versioned.writePartitionedFull(
+          docs.select($"doc_id".as("id"),
+              explode(graft.ext.TextAnalysis.tokens($"text")).as("tok"))
+            .groupBy($"id", $"tok").agg(count(lit(1)).as("tf"))
+            .withColumn("bucket",
+              graft.pipeline.Incremental.idBucket($"id", bw)),
+          dir, "pbmd_post", Seq("bucket"))
+        Versioned.write(
+          docs.filter($"doc_id" % 13 === 0).select($"doc_id".as("id")),
+          dir, "pbmd_tomb", "00000002_bbb")
+        graft.pipeline.Incremental.bm25DeletePartitionedCycle(s, dir,
+            "pbmd_post", "pbmd_tomb", qTerms = 3, k = 10, bucketWidth = bw)
+          .orderBy($"rnk")
+      },
+      Some(bm25ServeOracleSql("WHERE doc_id % 13 <> 0")))
   )
+
+  /** Full-corpus replay oracle for the incremental LSH dedup cycles
+    * (q342 object lane, q395 partitioned lane): the same shingle →
+    * polyhash → minhash → band walk as [[graft.ext.Dedup]], with the
+    * delta membership predicate plugged in — the cycle must report
+    * exactly the full replay's pairs that touch the batch.
+    */
+  private def lshCycleOracleSql(isBatchSql: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $isBatchSql AS is_batch,
+       |    string_split_regex(trim(text), '\\s+') AS l FROM documents),
+       |shg AS (
+       |  SELECT doc_id, is_batch,
+       |    list_distinct(list_filter(
+       |      list_transform(l, (x, i) ->
+       |        CASE WHEN i <= len(l) - 1 THEN x || ' ' || l[i+1] END),
+       |      v -> v IS NOT NULL)) AS sh
+       |  FROM toks),
+       |base AS (
+       |  SELECT doc_id, is_batch, sh,
+       |    list_transform(sh, s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, length(s)),
+       |        i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+       |      (a, b) -> (a*31 + b) % 1000000007)) AS hs
+       |  FROM shg),
+       |sig AS (
+       |  SELECT doc_id, is_batch, sh,
+       |    list_transform(generate_series(1, 63), j ->
+       |      coalesce(list_min(list_transform(hs, h ->
+       |        (h * ((1103515245 * j) % 2038074743)
+       |          + ((12345 * j + 7) % 2038074743)) % 2038074743)),
+       |      CAST(-1 AS BIGINT))) AS sig
+       |  FROM base),
+       |bandrows AS (
+       |  SELECT doc_id, is_batch, b,
+       |    sig[CAST(b*3+1 AS INT) : CAST(b*3+3 AS INT)] AS bucket
+       |  FROM sig CROSS JOIN range(0, 21) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+       |  FROM bandrows a JOIN bandrows b
+       |    ON a.b = b.b AND a.bucket = b.bucket
+       |  WHERE a.is_batch AND (NOT b.is_batch OR a.doc_id < b.doc_id)),
+       |ver AS (
+       |  SELECT batch_id, corpus_id,
+       |    len(list_intersect(x.sh, y.sh)) * 1.0
+       |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
+       |  FROM cand JOIN shg x ON x.doc_id = batch_id
+       |  JOIN shg y ON y.doc_id = corpus_id)
+       |SELECT batch_id, corpus_id, round(jac, 4) + 0.0 AS jaccard
+       |FROM ver WHERE jac >= 0.2 ORDER BY 1, 2""".stripMargin
+
+  /** Full-rebuild-over-survivors oracle for the dedup deletion lanes
+    * (q385 object lane, q396 partitioned lane): simhash-banded pairs +
+    * components over the documents that survive the %13 takedown.
+    */
+  private def dedupDeleteOracleSql: String =
+    """WITH RECURSIVE kept AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+      |th AS (
+      |  SELECT doc_id,
+      |    list_transform(string_split_regex(trim(text),'\s+'), s ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+      |      (a,b) -> (a*31 + b) % 1000000007)) AS hs
+      |  FROM kept),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+      |      CASE WHEN ((h * ((1103515245 * j) % 2038074743) + ((12345 * j + 7) % 2038074743)) % 2038074743) % 2 = 1
+      |           THEN 1 ELSE -1 END)), 0) > 0
+      |         THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE 0 END AS bit
+      |  FROM th CROSS JOIN range(1, 64) t(j)),
+      |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sh FROM bits GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS lbl FROM kept
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |comp AS (SELECT id, min(lbl) AS canonical_id FROM reach GROUP BY id),
+      |sized AS (SELECT canonical_id, count(*) AS n_group FROM comp GROUP BY 1)
+      |SELECT c.id AS doc_id, c.canonical_id, s.n_group
+      |FROM comp c JOIN sized s USING (canonical_id)
+      |WHERE s.n_group > 1
+      |ORDER BY canonical_id, doc_id""".stripMargin
+
+  /** Index-rebuild BM25 serving oracle shared by the inverted-index
+    * takedown/maintenance lanes (q393, q397, q398): postings over the
+    * docs selected by `whereSql` (empty = whole corpus), hottest-cf
+    * 3-term panel, per-term micro-rounding, top-10.
+    */
+  private def bm25ServeOracleSql(whereSql: String): String =
+    s"""WITH post AS (
+       |  SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |        FROM documents $whereSql)
+       |  GROUP BY 1, 2),
+       |st AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS nd,
+       |        CAST(sum(tf) AS BIGINT) AS tot FROM post),
+       |dfts AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+       |        CAST(sum(tf) AS BIGINT) AS cf FROM post GROUP BY 1),
+       |qt AS (SELECT tok, df FROM dfts ORDER BY cf DESC, tok LIMIT 3),
+       |dls AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
+       |sc AS (
+       |  SELECT p.id, CAST(sum(CAST(round(
+       |      ln((CAST(nd AS DOUBLE) - CAST(qt.df AS DOUBLE)
+       |          + CAST(0.5 AS DOUBLE))
+       |        / (CAST(qt.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |        + CAST(1.0 AS DOUBLE))
+       |      * (CAST(p.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+       |        / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+       |          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+       |            * CAST(dls.dl AS DOUBLE)
+       |            / (CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE)))))
+       |      * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+       |    AS score_micro
+       |  FROM post p JOIN qt USING (tok) JOIN dls USING (id)
+       |  CROSS JOIN st GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, id)
+       |    AS BIGINT) AS rnk,
+       |  id AS doc_id, score_micro
+       |FROM sc QUALIFY rnk <= 10 ORDER BY rnk""".stripMargin
 
   /** The q375 per-line bin-count derivation, shared with q378's edited
     * variant (a def: `all` initializes before any later vals would).
