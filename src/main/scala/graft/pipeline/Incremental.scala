@@ -963,6 +963,143 @@ object Incremental {
       .join(monthly, Seq("district", "month"))
   }
 
+  /** [[chainedTopologyPartitionedCycle]] with an O(touched) EXPORT — the
+    * last O(|state|) stage in the nightly topology removed. The
+    * partitioned cycle made every WRITE O(touched months), but its
+    * export still re-read the full published state per run to recompute
+    * a rollup and a composition whose untouched months cannot have
+    * changed: the monthly rollup is within-month by construction, and
+    * the top-N+"Other" composition ranks and shares WITHIN one
+    * (district, month) — per-month independence is exact. So the
+    * derived products become partitioned state themselves:
+    *
+    *  - `rollupPrefix` (month-partitioned): the trip-enriched monthly
+    *    export rows. A cycle re-derives ONLY the merge-touched months
+    *    (`kMonths`) from the freshly published merge — a
+    *    partition-pruned read — and dynamic-overwrites those months; a
+    *    month whose survey rows all vanished erases.
+    *  - `compPrefix` (month-partitioned): the composition + JSON doc
+    *    rows. A cycle re-derives ONLY the survey-touched months
+    *    (`sMonths` = delta months ∪ tombstone months) from the taxon
+    *    state — partition-pruned — and dynamic-overwrites those.
+    *
+    * The returned frame is the FULL export read back from the two
+    * roots (the q399 oracle is the same full-reprocess-through-
+    * composition as q394's), but the cycle's reads and writes are both
+    * O(touched): TouchedExportSpec certifies the input-bytes drop
+    * against the full-export twin on the same fixture and pins
+    * untouched months of both export roots byte-identical.
+    *
+    * Both replay contracts of the partitioned lane carry over
+    * unchanged (fixed landing_date; trip_id-keyed replacement).
+    *
+    * @return (district, month, rnk, taxon, cents, pct_milli, doc,
+    *         n_rows, sum_cents, n_matched, dur_sec)
+    */
+  def chainedTopologyTouchedExportCycle(spark: SparkSession, dir: String,
+                                        surveyStatePrefix: String,
+                                        tripsStatePrefix: String,
+                                        mergedPrefix: String,
+                                        rollupPrefix: String,
+                                        compPrefix: String,
+                                        surveyRawPrefix: String,
+                                        tripsRawPrefix: String,
+                                        tombPrefix: String, lw: DataFrame,
+                                        topN: Int): DataFrame = {
+    import graft.ext.Exec.checkpointEager
+    val keys = Seq("imei", "landing_date")
+    val keyCols = keys.map(col)
+    val sDelta = Versioned.readLatest(spark, dir, surveyRawPrefix)
+    val tDelta = Versioned.readLatest(spark, dir, tripsRawPrefix)
+    val tomb = Versioned.readLatest(spark, dir, tombPrefix)
+    val tombIds = tomb.select(col("submission_id")).distinct()
+    val contrib = submissionContrib(
+      surveyProcess(sDelta, lw, Seq("district", "month") ++ keys),
+      keys :+ "catch_taxon")
+      .join(tombIds, Seq("submission_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (sMonths, kMonths) = try {
+      val goneIds = sDelta.select(col("submission_id")).distinct()
+        .unionByName(tombIds).distinct()
+      val sM = sDelta.select(col("month"))
+        .unionByName(tomb.select(col("month"))).distinct()
+        .collect().map(_.get(0)).toSeq
+      val sPriorTouched = Versioned.readPartitions(spark, dir,
+        surveyStatePrefix, "month", sM)
+      val retractedKeys = checkpointEager(
+        sPriorTouched.join(goneIds, Seq("submission_id"), "left_semi")
+          .select(keyCols: _*).distinct())
+      Versioned.overwriteTouchedPartitions(
+        checkpointEager(sPriorTouched
+          .join(goneIds, Seq("submission_id"), "left_anti")
+          .unionByName(contrib)),
+        dir, surveyStatePrefix, "month", sM)
+      val tMonths = tDelta.select(trunc(col("landing_date"), "month")
+          .as("lmonth")).distinct().collect().map(_.get(0)).toSeq
+      Versioned.overwriteTouchedPartitions(
+        checkpointEager(Versioned.readPartitions(spark, dir,
+            tripsStatePrefix, "lmonth", tMonths)
+          .join(tDelta.select(col("trip_id")), Seq("trip_id"), "left_anti")
+          .unionByName(tDelta.withColumn("lmonth",
+            trunc(col("landing_date"), "month")))),
+        dir, tripsStatePrefix, "lmonth", tMonths)
+      val touched = checkpointEager(contrib.select(keyCols: _*)
+        .unionByName(retractedKeys)
+        .unionByName(tDelta.select(keyCols: _*)).distinct())
+      val kM = touched.select(trunc(col("landing_date"), "month")
+          .as("lmonth")).distinct().collect().map(_.get(0)).toSeq
+      val sub = Versioned.readPartitions(spark, dir, surveyStatePrefix,
+          "month", kM)
+        .join(touched, keys, "left_semi")
+        .groupBy(col("submission_id") +: col("district") +: col("month") +:
+          keyCols: _*)
+        .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+      val tSide = Versioned.readPartitions(spark, dir, tripsStatePrefix,
+          "lmonth", kM)
+        .drop("lmonth")
+        .join(touched, keys, "left_semi")
+      val remerged = graft.ops.GatedMerge.gatedOneToOne(sub, tSide, keys)
+      val mPriorTouched = Versioned.readPartitions(spark, dir, mergedPrefix,
+        "lmonth", kM)
+      val mCols = mPriorTouched.columns.filterNot(_ == "lmonth").toSeq
+      Versioned.overwriteTouchedPartitions(
+        checkpointEager(mPriorTouched.drop("lmonth")
+          .join(touched, keys, "left_anti")
+          .unionByName(remerged.select(mCols.map(col): _*))
+          .withColumn("lmonth", trunc(col("landing_date"), "month"))),
+        dir, mergedPrefix, "lmonth", kM)
+      (sM, kM)
+    } finally contrib.unpersist(blocking = false)
+    // stage 4a: monthly rollup for ONLY the merge-touched months — a
+    // partition-pruned read of the freshly published merge (survey rows'
+    // month == month(landing_date) == lmonth, the preprocess contract,
+    // so month m's rollup depends on partition lmonth=m alone)
+    Versioned.overwriteTouchedPartitions(
+      checkpointEager(Versioned.readPartitions(spark, dir, mergedPrefix,
+          "lmonth", kMonths)
+        .filter(col("submission_id").isNotNull)
+        .groupBy(col("district"), col("month"))
+        .agg(sum(col("n")).as("n_rows"),
+          sum(col("sum_cents")).as("sum_cents"),
+          count(col("trip_id")).as("n_matched"),
+          coalesce(sum(when(col("trip_id").isNotNull, col("duration_sec"))),
+            lit(0L)).as("dur_sec"))),
+      dir, rollupPrefix, "month", kMonths)
+    // stage 4b: composition + doc for ONLY the survey-touched months —
+    // rank, share, and doc are all within (district, month)
+    Versioned.overwriteTouchedPartitions(
+      checkpointEager(derivedExportProducts(
+        Versioned.readPartitions(spark, dir, surveyStatePrefix,
+          "month", sMonths), topN)),
+      dir, compPrefix, "month", sMonths)
+    Versioned.readPartitioned(spark, dir, compPrefix)
+      .join(Versioned.readPartitioned(spark, dir, rollupPrefix),
+        Seq("district", "month"))
+      .select(col("district"), col("month"), col("rnk"), col("taxon"),
+        col("cents"), col("pct_milli"), col("doc"), col("n_rows"),
+        col("sum_cents"), col("n_matched"), col("dur_sec"))
+  }
+
   /** Incremental gated 1:1 trip merge — the delta lane for the
     * reference's `merge_trips()` stage (`R/merge-trips.R:44-73`), the
     * last reference stage without an incremental twin. State = THREE
@@ -1211,7 +1348,8 @@ object Incremental {
     *
     * @return (district, month, rnk, taxon, cents, pct_milli, doc)
     */
-  private def derivedExportProducts(st: DataFrame, topN: Int): DataFrame = {
+  private[graft] def derivedExportProducts(st: DataFrame,
+                                           topN: Int): DataFrame = {
     val sums = st.groupBy(col("district"), col("month"),
         col("catch_taxon").as("taxon0"))
       .agg(sum(col("sum_cents")).as("cents"))

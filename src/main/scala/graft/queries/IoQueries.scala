@@ -1606,6 +1606,106 @@ object IoQueries extends QueryPack {
         includeDupTrips = true,
         dupTripsAnd = " AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01'"))),
 
+    // q394 with an O(TOUCHED) EXPORT — the last O(|state|) stage in the
+    // nightly topology removed: the monthly rollup and the composition
+    // + JSON doc become month-partitioned state themselves, and the
+    // cycle re-derives ONLY the touched months (partition-pruned reads
+    // of the freshly published merge / taxon state) and dynamic-
+    // overwrites those — per-month independence of rank/share/doc is
+    // exact, so untouched months' products cannot change.
+    // TouchedExportSpec certifies the input-bytes drop and byte-
+    // identical untouched export partitions; oracle = the same full
+    // four-stage reprocess through the composition as q394's.
+    Q("q399_touched_export",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q399_tex")
+        val lw = chainLwTable(s)
+        val flat = chainSurveyFlat(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keys = Seq("imei", "landing_date")
+        def nest(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"submission_id", $"district", $"month", $"imei",
+              $"landing_date")
+            .agg(collect_list($"sg").as("species_groups"))
+        val cutoff = to_date(lit("2001-06-01"))
+        val tripCut = to_date(lit("2001-01-01"))
+        val tombCut = to_date(lit("2000-06-01"))
+        val prior = flat.filter($"day" < cutoff)
+        val edited = prior
+          .filter($"submission_id" % 23 === 0 && $"day" >= tripCut)
+          .withColumn("sg", $"sg".withField("length_bins",
+            transform($"sg.length_bins", b => struct(
+              b.getField("length_class").as("length_class"),
+              greatest(lit(1L), shiftright(b.getField("n"), 1)).as("n")))))
+        val trips = Tables.orders(s, d).filter($"o_orderkey" % 3 === 0)
+          .select($"o_orderkey".as("trip_id"),
+            concat(lit("IMEI"), ($"o_orderkey" % 97).cast("string"))
+              .as("imei"),
+            to_date($"o_orderdate").as("landing_date"),
+            ($"o_orderkey" % 7000 + 3600).cast("long").as("duration_sec"))
+        val dupTrips = trips
+          .filter($"trip_id" % 51 === 0 && $"landing_date" >= tripCut)
+          .select(($"trip_id" + 1).as("trip_id"), $"imei", $"landing_date",
+            (($"trip_id" + 1) % 7000 + 3600).cast("long").as("duration_sec"))
+        val sPrior = graft.pipeline.Incremental.submissionContrib(
+          graft.pipeline.Incremental.surveyProcess(nest(prior), lw,
+            Seq("district", "month") ++ keys), keys :+ "catch_taxon")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val subPrior = sPrior.groupBy($"submission_id", $"district",
+            $"month", $"imei", $"landing_date")
+          .agg(sum($"n").as("n"), sum($"sum_cents").as("sum_cents"))
+        val tPrior = trips.filter($"landing_date" < tripCut)
+        val lm = trunc($"landing_date", "month").as("lmonth")
+        val mPrior = graft.ops.GatedMerge.gatedOneToOne(subPrior, tPrior,
+            keys)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Versioned.writePartitionedFull(sPrior, dir, "tex_sstate",
+          Seq("month"))
+        Versioned.writePartitionedFull(tPrior.withColumn("lmonth", lm),
+          dir, "tex_tstate", Seq("lmonth"))
+        Versioned.writePartitionedFull(mPrior.withColumn("lmonth", lm),
+          dir, "tex_merged", Seq("lmonth"))
+        // prior export roots: the products the O(touched) cycle merges
+        // its touched months into
+        Versioned.writePartitionedFull(
+          mPrior.filter($"submission_id".isNotNull)
+            .groupBy($"district", $"month")
+            .agg(sum($"n").as("n_rows"), sum($"sum_cents").as("sum_cents"),
+              count($"trip_id").as("n_matched"),
+              coalesce(sum(when($"trip_id".isNotNull, $"duration_sec")),
+                lit(0L)).as("dur_sec")),
+          dir, "tex_rollup", Seq("month"))
+        Versioned.writePartitionedFull(
+          graft.pipeline.Incremental.derivedExportProducts(sPrior,
+            topN = 3),
+          dir, "tex_comp", Seq("month"))
+        Versioned.write(
+          nest(flat.filter($"day" >= cutoff).unionByName(edited))
+            .coalesce(4),
+          dir, "tex_sraw", "00000002_bbb")
+        Versioned.write(
+          trips.filter($"landing_date" >= tripCut).unionByName(dupTrips),
+          dir, "tex_traw", "00000002_bbb")
+        Versioned.write(
+          prior.filter($"submission_id" % 31 === 0 && $"day" >= tombCut)
+            .select($"submission_id", $"month").distinct(),
+          dir, "tex_tomb", "00000002_bbb")
+        val out = graft.pipeline.Incremental
+          .chainedTopologyTouchedExportCycle(s, dir, "tex_sstate",
+            "tex_tstate", "tex_merged", "tex_rollup", "tex_comp",
+            "tex_sraw", "tex_traw", "tex_tomb", lw, topN = 3)
+          .orderBy($"district", $"month", $"rnk")
+        mPrior.unpersist(blocking = false)
+        out
+      },
+      Some(topologyExportOracleSql(WindowedEditedBinNSql,
+        contribWhere = "  WHERE NOT (submission_id % 31 = 0" +
+          " AND landing_date >= DATE '2000-06-01'" +
+          " AND landing_date < DATE '2001-06-01')\n",
+        includeDupTrips = true,
+        dupTripsAnd = " AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01'"))),
+
     // Tombstone DELETION for the BM25 inverted index — the third index
     // state with a takedown lane (after LSH signatures q385 and IVFPQ
     // postings q386): the purged postings publish as the next version
