@@ -235,6 +235,142 @@ object Versioned {
     else full.filter(col(partCol).isin(touched: _*))
   }
 
+  // ---- atomic multi-root commit manifest -------------------------------
+  // A topology cycle publishes SEVERAL state objects; written one after
+  // another, a crash between publishes leaves readers who resolve each
+  // prefix's "latest" independently on a MIXED snapshot (survey state at
+  // t2, merge still at t1). The manifest closes that window: a tiny JSON
+  // object naming each prefix's pinned tag, written LAST via an atomic
+  // same-directory rename, with writeGuarded's tag monotonicity enforced
+  // at commit — readers resolve every prefix THROUGH the newest manifest
+  // and therefore always see one consistent trio; a stale concurrent
+  // cycle fails loudly at commit, BEFORE any reader could see its
+  // objects; a replayed cycle (same tag, same entries) no-ops. On an
+  // object store the rename becomes a conditional put / CAS of the
+  // manifest key — the one atomic primitive this lane needs.
+
+  private def manifestFile(dir: String, prefix: String, tag: String) =
+    new java.io.File(dir, s"${prefix}__${tag}__.manifest.json")
+
+  private def latestManifestFile(dir: String,
+                                 prefix: String): Option[java.io.File] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getName)
+      .filter(n => n.startsWith(s"${prefix}__") &&
+        n.endsWith("__.manifest.json"))
+      .sorted(Ordering[String].reverse)
+      .headOption.map(new java.io.File(d, _))
+  }
+
+  private def parseManifest(f: java.io.File): Map[String, String] =
+    "\"([^\"]+)\"\\s*:\\s*\"([^\"]+)\"".r
+      .findAllMatchIn(java.nio.file.Files.readString(f.toPath))
+      .map(m => m.group(1) -> m.group(2)).toMap
+
+  /** The newest manifest's (tag, prefix → pinned version tag) map. */
+  def latestManifest(dir: String,
+                     prefix: String): Option[(String, Map[String, String])] =
+    latestManifestFile(dir, prefix).map { f =>
+      (f.getName.stripPrefix(s"${prefix}__")
+        .stripSuffix("__.manifest.json"), parseManifest(f))
+    }
+
+  /** Atomically commit a manifest generation: refuse a tag that is not
+    * strictly newer than the published manifest (the [[writeGuarded]]
+    * contract, at the one place it protects the whole trio), EXCEPT the
+    * exact replay — same tag, same entries — which no-ops, because an
+    * at-least-once driver re-running a completed cycle must succeed
+    * without effect. Same tag with DIFFERENT entries is refused loudly:
+    * that is not a replay, it is two different cycles racing one tag.
+    * The write is temp-file + same-directory rename (atomic on POSIX;
+    * a conditional put on an object store).
+    */
+  def commitManifest(dir: String, prefix: String, tag: String,
+                     entries: Map[String, String]): String = {
+    require(entries.nonEmpty, "empty manifest commit")
+    val target = manifestFile(dir, prefix, tag)
+    latestManifest(dir, prefix).foreach { case (curTag, curEntries) =>
+      if (tag == curTag) {
+        require(entries == curEntries,
+          s"manifest '$prefix' tag '$tag' already committed with " +
+            s"DIFFERENT entries: $curEntries vs $entries — two cycles " +
+            "raced one tag")
+        return target.getPath
+      }
+      require(tag > curTag,
+        s"stale manifest commit refused: tag '$tag' is not newer than " +
+          s"published '$curTag' for '$prefix' — another cycle won the race")
+    }
+    val json = entries.toSeq.sorted
+      .map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
+    val tmp = java.io.File.createTempFile(s".${prefix}__", ".tmp",
+      new java.io.File(dir))
+    java.nio.file.Files.writeString(tmp.toPath, json)
+    java.nio.file.Files.move(tmp.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    target.getPath
+  }
+
+  /** Read `objPrefix` at the version the NEWEST manifest pins — never
+    * "latest": a half-published trio is invisible until its manifest
+    * commits, so every reader sees one consistent snapshot.
+    */
+  def readAtManifest(spark: SparkSession, dir: String,
+                     manifestPrefix: String, objPrefix: String): DataFrame = {
+    val (mTag, entries) = latestManifest(dir, manifestPrefix).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifest for prefix '$manifestPrefix' in $dir"))
+    val tag = entries.getOrElse(objPrefix,
+      throw new IllegalArgumentException(
+        s"manifest '$manifestPrefix' @ '$mTag' does not pin '$objPrefix' " +
+          s"(pins: ${entries.keys.mkString(", ")})"))
+    spark.read.parquet(s"$dir/${objPrefix}__${tag}__.parquet")
+  }
+
+  /** Manifest-level retention GC: keep the newest `keepLast` manifest
+    * generations, delete older manifest files AND every object version
+    * of a manifest-managed prefix that (a) no surviving manifest pins
+    * and (b) is strictly older than the newest surviving pin for its
+    * prefix — (b) protects a concurrent cycle's just-written objects
+    * whose manifest has not committed yet. Serving keeps working after
+    * any GC because the newest manifest and everything it pins always
+    * survive.
+    */
+  def gcThroughManifest(dir: String, manifestPrefix: String,
+                        keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, s"gc must keep at least one manifest, got $keepLast")
+    val d = new java.io.File(dir)
+    val manifests = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.getName.startsWith(s"${manifestPrefix}__") &&
+        f.getName.endsWith("__.manifest.json"))
+      .sortBy(_.getName)(Ordering[String].reverse)
+    val (kept, doomed) = manifests.splitAt(keepLast)
+    val keptPins = kept.map(parseManifest)
+    val pinned: Set[(String, String)] =
+      keptPins.flatMap(_.toSeq).toSet
+    val newestPin: Map[String, String] =
+      keptPins.headOption.getOrElse(Map.empty)
+    val managed = (keptPins ++ doomed.map(parseManifest))
+      .flatMap(_.keys).toSet
+    val doomedObjects = managed.toSeq.flatMap { p =>
+      Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .filter { f =>
+          val n = f.getName
+          n.startsWith(s"${p}__") && n.endsWith("__.parquet") && {
+            val tag = n.stripPrefix(s"${p}__").stripSuffix("__.parquet")
+            !pinned.contains((p, tag)) &&
+              newestPin.get(p).exists(tag < _)
+          }
+        }
+    }
+    (doomed ++ doomedObjects)
+      .filter(deleteRecursively)
+      .map(_.getPath)
+  }
+
   /** Snapshot diff between two versions of a keyed table — the audit a
     * versioned store runs between [[write]]s: which keys were added,
     * removed, or changed. One full-outer equi-join on the key plus

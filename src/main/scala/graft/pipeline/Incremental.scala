@@ -703,6 +703,108 @@ object Incremental {
           lit(0L)).as("dur_sec"))
   }
 
+  /** [[chainedTripsCycle]] published through an ATOMIC MULTI-ROOT
+    * MANIFEST ([[graft.io.Versioned.commitManifest]]) — the crash
+    * window between the three state publishes closed with rollback
+    * semantics instead of replay-idempotence alone. The cycle:
+    *
+    *  1. resolves all three prior states THROUGH the newest manifest
+    *     (never "latest" — a half-published trio is invisible);
+    *  2. publishes the three next versions under `newTag` into the SAME
+    *     prefixes (plain versioned objects; a crash here strands
+    *     unreferenced versions that [[graft.io.Versioned
+    *     .gcThroughManifest]] later reclaims, but no reader can see
+    *     them);
+    *  3. commits one manifest naming all three `newTag` pins, LAST,
+    *     with tag monotonicity enforced — a stale concurrent cycle
+    *     fails loudly HERE, before any reader could resolve its
+    *     objects. An exact replay whose tag the manifest ALREADY pins
+    *     short-circuits at entry and serves from the committed
+    *     snapshot: recomputing would resolve its own output as prior
+    *     state (an at-least-once retry of a COMPLETED cycle must
+    *     succeed without effect, not reprocess).
+    *
+    * Readers that resolve through the manifest therefore always see one
+    * consistent snapshot: either the full prior trio or the full new
+    * trio, never a mix (ManifestSpec simulates the crash and pins
+    * both sides). This is the minimal slice of a table format the
+    * object lane needs — one CAS-able key — without reinventing one.
+    *
+    * @return (district, month, n_rows, sum_cents, n_matched, dur_sec)
+    */
+  def chainedTripsManifestCycle(spark: SparkSession, dir: String,
+                                manifestPrefix: String,
+                                surveyStatePrefix: String,
+                                tripsStatePrefix: String,
+                                mergedPrefix: String,
+                                surveyRawPrefix: String,
+                                tripsRawPrefix: String, lw: DataFrame,
+                                newTag: String): DataFrame = {
+    val keys = Seq("imei", "landing_date")
+    val keyCols = keys.map(col)
+    def exportOf(merged: DataFrame): DataFrame = merged
+      .filter(col("submission_id").isNotNull)
+      .groupBy(col("district"), col("month"))
+      .agg(sum(col("n")).as("n_rows"),
+        sum(col("sum_cents")).as("sum_cents"),
+        count(col("trip_id")).as("n_matched"),
+        coalesce(sum(when(col("trip_id").isNotNull, col("duration_sec"))),
+          lit(0L)).as("dur_sec"))
+    // exact-replay short-circuit: a cycle whose tag the manifest already
+    // pins has ALREADY committed — recomputing would resolve its own
+    // output as prior state and overwrite the very objects its plan
+    // scans. An at-least-once driver retry lands here: serve from the
+    // committed snapshot, touch nothing. (A manifest NEWER than newTag
+    // falls through and fails loudly at commit — the stale-writer path.)
+    if (Versioned.latestManifest(dir, manifestPrefix)
+        .exists(_._1 == newTag))
+      return exportOf(
+        Versioned.readAtManifest(spark, dir, manifestPrefix, mergedPrefix))
+    val sState = Versioned.readAtManifest(spark, dir, manifestPrefix,
+      surveyStatePrefix)
+    val tState = Versioned.readAtManifest(spark, dir, manifestPrefix,
+      tripsStatePrefix)
+    val mPrior = Versioned.readAtManifest(spark, dir, manifestPrefix,
+      mergedPrefix)
+    val sDelta = Versioned.readLatest(spark, dir, surveyRawPrefix)
+    val tDelta = Versioned.readLatest(spark, dir, tripsRawPrefix)
+    val contrib = submissionContrib(
+      surveyProcess(sDelta, lw, Seq("district", "month") ++ keys), keys)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mPath = try {
+      val goneIds = sDelta.select(col("submission_id")).distinct()
+      val retracted = sState.join(goneIds, Seq("submission_id"), "left_semi")
+      val sPath = Versioned.write(
+        sState.join(goneIds, Seq("submission_id"), "left_anti")
+          .unionByName(contrib),
+        dir, surveyStatePrefix, newTag)
+      // trip_id-keyed replacement (not a plain append): a delta that
+      // re-ingests a corrected trip replaces its row — and should a
+      // caller ever bypass the replay short-circuit, re-application
+      // stays idempotent (the partitioned lane's contract)
+      val tPath = Versioned.write(
+        tState.join(tDelta.select(col("trip_id")), Seq("trip_id"),
+            "left_anti")
+          .unionByName(tDelta),
+        dir, tripsStatePrefix, newTag)
+      val touched = contrib.select(keyCols: _*)
+        .unionByName(retracted.select(keyCols: _*))
+        .unionByName(tDelta.select(keyCols: _*)).distinct()
+      val remerged = graft.ops.GatedMerge.gatedOneToOne(
+        spark.read.parquet(sPath).join(touched, keys, "left_semi"),
+        spark.read.parquet(tPath).join(touched, keys, "left_semi"), keys)
+      val mp = Versioned.write(mPrior.join(touched, keys, "left_anti")
+          .unionByName(remerged.select(mPrior.columns.map(col): _*)),
+        dir, mergedPrefix, newTag)
+      // the commit point: all three roots flip for every reader at once
+      Versioned.commitManifest(dir, manifestPrefix, newTag, Map(
+        surveyStatePrefix -> newTag, tripsStatePrefix -> newTag,
+        mergedPrefix -> newTag))
+      mp
+    } finally contrib.unpersist(blocking = false)
+    exportOf(spark.read.parquet(mPath))
+  }
+
   /** The COMPLETE topology cycle over MONTH-PARTITIONED state — the
     * 100 TB publish path. [[chainedTripsCycle]] proves every stage's
     * COMPUTE is O(state + delta), but its publish rewrites each full

@@ -1203,6 +1203,74 @@ object IoQueries extends QueryPack {
       },
       Some(tripsChainOracleSql)),
 
+    // q387 published through the ATOMIC MULTI-ROOT MANIFEST: the three
+    // state objects land first, then ONE manifest naming all three pins
+    // commits last (tag-monotonic, atomic rename) — readers resolve
+    // every prefix through the manifest and can never see a mixed
+    // snapshot; a crash between publishes leaves them on the prior
+    // consistent trio (ManifestSpec simulates it), a stale cycle fails
+    // loudly at commit, an exact replay no-ops. Oracle = the same full
+    // four-stage reprocess as q387's.
+    Q("q400_manifest_topology",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q400_manifest")
+        val lw = chainLwTable(s)
+        val flat = chainSurveyFlat(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keys = Seq("imei", "landing_date")
+        def nest(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"submission_id", $"district", $"month", $"imei",
+              $"landing_date")
+            .agg(collect_list($"sg").as("species_groups"))
+        // fixture hygiene: a bench rep re-initializes this scratch dir,
+        // and the FRESH tag-1 manifest would read as stale next to the
+        // previous rep's tag-2 — drop prior manifest generations first
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(_.getName.startsWith("man_root__")).foreach(_.delete()))
+        val cutoff = to_date(lit("1998-06-15"))
+        val prior = flat.filter($"day" < cutoff)
+        val edited = prior.filter($"submission_id" % 23 === 0)
+          .withColumn("sg", $"sg".withField("length_bins",
+            transform($"sg.length_bins", b => struct(
+              b.getField("length_class").as("length_class"),
+              greatest(lit(1L), shiftright(b.getField("n"), 1)).as("n")))))
+        val trips = Tables.orders(s, d).filter($"o_orderkey" % 3 === 0)
+          .select($"o_orderkey".as("trip_id"),
+            concat(lit("IMEI"), ($"o_orderkey" % 97).cast("string"))
+              .as("imei"),
+            to_date($"o_orderdate").as("landing_date"),
+            ($"o_orderkey" % 7000 + 3600).cast("long").as("duration_sec"))
+        val dupTrips = trips.filter($"trip_id" % 51 === 0)
+          .select(($"trip_id" + 1).as("trip_id"), $"imei", $"landing_date",
+            (($"trip_id" + 1) % 7000 + 3600).cast("long").as("duration_sec"))
+        val sPrior = graft.pipeline.Incremental.submissionContrib(
+          graft.pipeline.Incremental.surveyProcess(nest(prior), lw,
+            Seq("district", "month") ++ keys), keys)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tPrior = trips.filter($"trip_id" % 30 =!= 0)
+        Versioned.write(sPrior, dir, "man_sstate", "00000001_aaa")
+        Versioned.write(tPrior, dir, "man_tstate", "00000001_aaa")
+        Versioned.write(
+          graft.ops.GatedMerge.gatedOneToOne(sPrior, tPrior, keys),
+          dir, "man_merged", "00000001_aaa")
+        Versioned.commitManifest(dir, "man_root", "00000001_aaa", Map(
+          "man_sstate" -> "00000001_aaa", "man_tstate" -> "00000001_aaa",
+          "man_merged" -> "00000001_aaa"))
+        Versioned.write(
+          nest(flat.filter($"day" >= cutoff).unionByName(edited))
+            .coalesce(4),
+          dir, "man_sraw", "00000002_bbb")
+        Versioned.write(
+          trips.filter($"trip_id" % 30 === 0).unionByName(dupTrips), dir,
+          "man_traw", "00000002_bbb")
+        graft.pipeline.Incremental.chainedTripsManifestCycle(s, dir,
+            "man_root", "man_sstate", "man_tstate", "man_merged",
+            "man_sraw", "man_traw", lw, "00000002_bbb")
+          .orderBy($"district", $"month")
+      },
+      Some(tripsChainOracleSql)),
+
     // Derived-export stage of the chained DAG: the reference's export
     // ships MORE than the monthly rollup — top-N + "Other" species
     // composition (R/export.R:644-667) and a nested JSON catch doc
