@@ -179,8 +179,8 @@ object Incremental {
                                statePrefix: String, rawPrefix: String,
                                idCol: String, textCol: String, n: Int,
                                threshold: Double, bands: Int,
-                               rowsPerBand: Int,
-                               bucketWidth: Long): DataFrame = {
+                               rowsPerBand: Int, bucketWidth: Long,
+                               filesPerPartition: Int = 1): DataFrame = {
     import graft.ext.{Dedup, Exec}
     val delta = Versioned.readLatest(spark, dir, rawPrefix)
     val dState = Exec.checkpointEager(
@@ -232,7 +232,7 @@ object Incremental {
         .join(dIds, Seq("id"), "left_anti")
         .unionByName(dState
           .withColumn("bucket", idBucket(col("id"), bucketWidth)))),
-      dir, statePrefix, "bucket", touched)
+      dir, statePrefix, "bucket", touched, filesPerPartition)
     pairs
   }
 
@@ -252,7 +252,8 @@ object Incremental {
   def lshDeletePartitionedCycle(spark: SparkSession, dir: String,
                                 sigPrefix: String, ledgerPrefix: String,
                                 tombPrefix: String, bucketWidth: Long,
-                                newTag: String): DataFrame = {
+                                newTag: String,
+                                filesPerPartition: Int = 1): DataFrame = {
     import graft.ext.Exec
     val tomb = Versioned.readLatest(spark, dir, tombPrefix)
     val ledger = Versioned.readLatest(spark, dir, ledgerPrefix)
@@ -262,7 +263,7 @@ object Incremental {
       Exec.checkpointEager(
         Versioned.readPartitions(spark, dir, sigPrefix, "bucket", touched)
           .join(tomb.select(col("id")), Seq("id"), "left_anti")),
-      dir, sigPrefix, "bucket", touched)
+      dir, sigPrefix, "bucket", touched, filesPerPartition)
     val ledgerPath = Versioned.write(ledger
         .join(tomb.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
         .join(tomb.select(col("id").as("id_b")), Seq("id_b"), "left_anti"),
@@ -1813,7 +1814,8 @@ object Incremental {
   def bm25PartitionedCycle(spark: SparkSession, dir: String,
                            statePrefix: String, rawPrefix: String,
                            idCol: String, textCol: String, qTerms: Int,
-                           k: Int, bucketWidth: Long): DataFrame = {
+                           k: Int, bucketWidth: Long,
+                           filesPerPartition: Int = 1): DataFrame = {
     import graft.ext.Exec
     val delta = Versioned.readLatest(spark, dir, rawPrefix)
     val dPost = Exec.checkpointEager(delta
@@ -1828,7 +1830,7 @@ object Incremental {
           .join(dPost.select(col("id")).distinct(), Seq("id"), "left_anti")
           .unionByName(dPost
             .withColumn("bucket", idBucket(col("id"), bucketWidth)))),
-      dir, statePrefix, "bucket", touched)
+      dir, statePrefix, "bucket", touched, filesPerPartition)
     bm25Serve(Versioned.readPartitioned(spark, dir, statePrefix)
       .drop("bucket"), qTerms, k)
   }
@@ -1845,8 +1847,8 @@ object Incremental {
     */
   def bm25DeletePartitionedCycle(spark: SparkSession, dir: String,
                                  statePrefix: String, tombPrefix: String,
-                                 qTerms: Int, k: Int,
-                                 bucketWidth: Long): DataFrame = {
+                                 qTerms: Int, k: Int, bucketWidth: Long,
+                                 filesPerPartition: Int = 1): DataFrame = {
     import graft.ext.Exec
     val tomb = Versioned.readLatest(spark, dir, tombPrefix)
       .select(col("id")).distinct()
@@ -1856,7 +1858,7 @@ object Incremental {
       Exec.checkpointEager(
         Versioned.readPartitions(spark, dir, statePrefix, "bucket", touched)
           .join(tomb, Seq("id"), "left_anti")),
-      dir, statePrefix, "bucket", touched)
+      dir, statePrefix, "bucket", touched, filesPerPartition)
     bm25Serve(Versioned.readPartitioned(spark, dir, statePrefix)
       .drop("bucket"), qTerms, k)
   }

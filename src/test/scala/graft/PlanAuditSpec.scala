@@ -641,5 +641,24 @@ class PlanAuditSpec extends SparkTestBase {
     val bmPlan = finalPlan("q393_bm25_delete")
     assert(!bmPlan.contains("CartesianProduct"),
       s"q393 went cartesian:\n${bmPlan.take(2000)}")
+    // round-13 partitioned-store and manifest lanes: the band joins,
+    // bucket-pruned purges, touched-month export derives, and the
+    // manifest topology must all stay equi-join shaped (q397/q398 keep
+    // the BM25 1-row stats BNLJ exemption)
+    for (name <- Seq("q395_lsh_partitioned_store",
+        "q396_lsh_partitioned_delete", "q399_touched_export",
+        "q400_manifest_topology")) {
+      val plan = finalPlan(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name went cartesian:\n${plan.take(2000)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name planned a nested loop:\n${plan.take(2000)}")
+    }
+    for (name <- Seq("q397_bm25_partitioned_index",
+        "q398_bm25_partitioned_delete")) {
+      val plan = finalPlan(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name went cartesian:\n${plan.take(2000)}")
+    }
   }
 }

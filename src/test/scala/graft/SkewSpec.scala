@@ -228,4 +228,56 @@ class SkewSpec extends SparkTestBase {
     assert(cnt < 2000L * 4 * 64,
       s"screen emitted $cnt pairs — the stop-shingle leaked through the cap")
   }
+
+  test("partitioned postings publish absorbs a hot tail bucket") {
+    // the id-range bucketing that makes partitioned index writes
+    // O(touched) concentrates a nightly ingest in the TAIL bucket by
+    // design — the hot partition is the normal case, not the anomaly.
+    // Certificate: a 30k-doc delta landing entirely in one bucket (a)
+    // salts its write across filesPerPartition tasks instead of
+    // funnelling one writer, and (b) never buffers the bucket's row
+    // stream in a single task. Coalescing is disabled in a child
+    // session because AQE would re-merge THIS fixture's small salt
+    // buckets (it wouldn't at a real bucket's size) — the
+    // VersionedStoreSpec salt-test discipline.
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    ns.conf.set("spark.sql.shuffle.partitions", "16")
+    val dir = graft.core.Scratch.dir("skew_pidx")
+    val bw = 100000L
+    // prior: 1k docs in bucket 0; delta: 30k NEW docs, all bucket 1
+    def docsOf(lo: Long, hi: Long) = ns.range(lo, hi).select(
+      $"id".as("doc_id"),
+      concat_ws(" ", lit("alpha"),
+        concat(lit("t"), ($"id" % 97).cast("string")),
+        concat(lit("u"), ($"id" % 31).cast("string"))).as("text"))
+    def postings(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id".as("id"),
+        explode(graft.ext.TextAnalysis.tokens($"text")).as("tok"))
+      .groupBy($"id", $"tok").agg(count(lit(1)).as("tf"))
+    graft.io.Versioned.writePartitionedFull(
+      postings(docsOf(0, 1000)).withColumn("bucket",
+        graft.pipeline.Incremental.idBucket($"id", bw)),
+      dir, "sk_post", Seq("bucket"))
+    graft.io.Versioned.write(docsOf(100000, 130000), dir, "sk_raw",
+      "00000002_b")
+    var rows = 0L
+    val mx = maxTaskShuffleRead {
+      rows = graft.pipeline.Incremental.bm25PartitionedCycle(ns, dir,
+        "sk_post", "sk_raw", "doc_id", "text", qTerms = 3, k = 10,
+        bucketWidth = bw, filesPerPartition = 4).count()
+    }
+    assert(rows == 10L, s"serve returned $rows rows")
+    val tailFiles = Option(new java.io.File(
+        graft.io.Versioned.partitionedRoot(dir, "sk_post"), "bucket=1")
+        .listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .count(_.getName.endsWith(".parquet"))
+    assert(tailFiles >= 2 && tailFiles <= 4,
+      s"hot tail bucket wrote $tailFiles files — salt did not split it")
+    // 90k posting rows land in bucket 1; salted 4 ways no task may read
+    // anywhere near the whole bucket (the groupBy partial-combines, the
+    // layout repartition spreads on (bucket, salt))
+    assert(mx < 45000L,
+      s"hot tail bucket funnelled one task: max shuffle read $mx")
+  }
 }
