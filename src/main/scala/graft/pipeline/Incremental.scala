@@ -1319,6 +1319,95 @@ object Incremental {
       coarse, fine, dim, nProbe, m, subDim, k)
   }
 
+  /** [[ivfPqIndexCycle]] over BUCKET-PARTITIONED cells/codes tables —
+    * the vector twin of the partitioned LSH/BM25 stores, completing the
+    * index-state family: the two posting tables (O(corpus) rows each)
+    * live in stable roots partitioned by [[idBucket]](vec_id,
+    * bucketWidth); a delta's assignments rewrite only the buckets its
+    * vec_ids map to (ingest → tail bucket, re-ingest → its own bucket).
+    * The quantizer objects stay object-versioned deliberately — they
+    * are KBs, and [[annReclusterCycle]]'s drift gate owns their
+    * lifecycle. Serving reads the full reloaded tables (candidate
+    * generation probes any cell), the export-semantics read; writes are
+    * what had to become O(touched).
+    *
+    * @return (q_id, rank, n_id, adc_d2) — `queries` served from the
+    *         freshly published partitioned index (the q401 oracle is
+    *         q376's: full re-encode against the same frozen quantizers)
+    */
+  def ivfPqPartitionedCycle(spark: SparkSession, dir: String,
+                            coarsePrefix: String, finePrefix: String,
+                            cellsPrefix: String, codesPrefix: String,
+                            rawPrefix: String, queries: DataFrame, dim: Int,
+                            nProbe: Int, m: Int, subDim: Int, k: Int,
+                            bucketWidth: Long,
+                            filesPerPartition: Int = 1): DataFrame = {
+    import graft.ext.{Exec, IvfIndex, Pq}
+    val coarse = IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, coarsePrefix))
+    val fine = IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, finePrefix))
+    val delta = Versioned.readLatest(spark, dir, rawPrefix)
+    val dIds = delta.select(col("vec_id"))
+    val touched = dIds.select(idBucket(col("vec_id"), bucketWidth)
+        .as("bucket")).distinct().collect().map(_.getLong(0)).toSeq
+    def publish(prefix: String, dRows: DataFrame): Unit = {
+      Versioned.overwriteTouchedPartitions(
+        Exec.checkpointEager(
+          Versioned.readPartitions(spark, dir, prefix, "bucket", touched)
+            .join(dIds, Seq("vec_id"), "left_anti")
+            .unionByName(dRows.withColumn("bucket",
+              idBucket(col("vec_id"), bucketWidth)))),
+        dir, prefix, "bucket", touched, filesPerPartition)
+      ()
+    }
+    publish(cellsPrefix, Pq.encode(delta, coarse, m = 1, subDim = dim)
+      .select(col("vec_id"), col("cid").as("cell")))
+    publish(codesPrefix, Pq.encode(delta, fine, m, subDim))
+    Pq.ivfPqServe(queries,
+      Versioned.readPartitioned(spark, dir, cellsPrefix).drop("bucket"),
+      Versioned.readPartitioned(spark, dir, codesPrefix).drop("bucket"),
+      coarse, fine, dim, nProbe, m, subDim, k)
+  }
+
+  /** Tombstone DELETION over the bucket-partitioned IVFPQ tables —
+    * [[annDeleteCycle]]'s 100 TB twin: the tombstoned vec_ids' posting
+    * rows all live in their own id-range buckets, so the purge reads
+    * and rewrites only those buckets in BOTH tables; serving runs
+    * against the purged reload, so a deleted vector can never be a
+    * candidate. Quantizers stay frozen (the q386 contract).
+    *
+    * @return (q_id, rank, n_id, adc_d2) — top-k over the purged index
+    */
+  def annDeletePartitionedCycle(spark: SparkSession, dir: String,
+                                coarsePrefix: String, finePrefix: String,
+                                cellsPrefix: String, codesPrefix: String,
+                                tombPrefix: String, queries: DataFrame,
+                                dim: Int, nProbe: Int, m: Int, subDim: Int,
+                                k: Int, bucketWidth: Long,
+                                filesPerPartition: Int = 1): DataFrame = {
+    import graft.ext.{Exec, IvfIndex, Pq}
+    val coarse = IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, coarsePrefix))
+    val fine = IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, finePrefix))
+    val tomb = Versioned.readLatest(spark, dir, tombPrefix)
+      .select(col("vec_id")).distinct()
+    val touched = tomb.select(idBucket(col("vec_id"), bucketWidth)
+        .as("bucket")).distinct().collect().map(_.getLong(0)).toSeq
+    Seq(cellsPrefix, codesPrefix).foreach { prefix =>
+      Versioned.overwriteTouchedPartitions(
+        Exec.checkpointEager(
+          Versioned.readPartitions(spark, dir, prefix, "bucket", touched)
+            .join(tomb, Seq("vec_id"), "left_anti")),
+        dir, prefix, "bucket", touched, filesPerPartition)
+    }
+    Pq.ivfPqServe(queries,
+      Versioned.readPartitioned(spark, dir, cellsPrefix).drop("bucket"),
+      Versioned.readPartitioned(spark, dir, codesPrefix).drop("bucket"),
+      coarse, fine, dim, nProbe, m, subDim, k)
+  }
+
   /** Drift-triggered CONDITIONAL re-cluster cycle — the decision layer
     * on top of [[ivfPqIndexCycle]]: assign-only maintenance is a
     * certified fast path only while the frozen coarse quantizer still

@@ -1606,101 +1606,7 @@ object VectorQueries extends QueryPack {
             m = 8, subDim = 8, k = 5, newTag = "00000002_bbb")
           .orderBy($"q_id", $"rank")
       },
-      Some(s"""WITH sub AS (
-             |  SELECT vec_id, s,
-             |    list_transform(embedding[(s*8+1):(s*8+8)],
-             |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS sub
-             |  FROM embeddings CROSS JOIN range(0, 8) ss(s)),
-             |fullv AS (
-             |  SELECT vec_id, list_transform(embedding,
-             |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS fv
-             |  FROM embeddings),
-             |cseeds AS (
-             |  SELECT vec_id AS cid, fv AS cent FROM fullv
-             |  WHERE vec_id IN (SELECT vec_id FROM embeddings
-             |    WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 8)),
-             |cd0 AS (
-             |  SELECT fullv.vec_id, cseeds.cid,
-             |    ${d2Sql("fullv.fv", "cseeds.cent")} AS dd
-             |  FROM fullv CROSS JOIN cseeds WHERE fullv.vec_id % 10 <> 0),
-             |ca0 AS (
-             |  SELECT vec_id, cid FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
-             |    FROM cd0) WHERE rn = 1),
-             |cfp AS (
-             |  SELECT vec_id, unnest(list_transform(fv,
-             |    (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}), recursive := true)
-             |  FROM fullv),
-             |ccbp AS (
-             |  SELECT ca0.cid, p.pos,
-             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
-             |  FROM ca0 JOIN cfp p ON p.vec_id = ca0.vec_id
-             |  GROUP BY 1, 2),
-             |ccb AS (SELECT cid, list(c ORDER BY pos) AS cent FROM ccbp GROUP BY 1),
-             |cells AS (
-             |  SELECT vec_id, cid AS cell FROM (
-             |    SELECT fullv.vec_id, ccb.cid,
-             |      ${d2Sql("fullv.fv", "ccb.cent")} AS dd,
-             |      row_number() OVER (PARTITION BY fullv.vec_id
-             |        ORDER BY ${d2Sql("fullv.fv", "ccb.cent")}, ccb.cid) AS rn
-             |    FROM fullv CROSS JOIN ccb) WHERE rn = 1),
-             |probes AS (
-             |  SELECT q_id, cell FROM (
-             |    SELECT q.vec_id AS q_id, ccb.cid AS cell,
-             |      row_number() OVER (PARTITION BY q.vec_id
-             |        ORDER BY ${d2Sql("q.fv", "ccb.cent")}, ccb.cid) AS pr
-             |    FROM fullv q CROSS JOIN ccb WHERE q.vec_id % 50 = 1)
-             |  WHERE pr <= 2),
-             |seeds AS (
-             |  SELECT s, vec_id AS cid, sub AS cent FROM sub
-             |  WHERE vec_id IN (SELECT vec_id FROM embeddings
-             |    WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 4)),
-             |d0 AS (
-             |  SELECT sub.vec_id, sub.s, seeds.cid,
-             |    ${d2Sql("sub.sub", "seeds.cent")} AS dd
-             |  FROM sub JOIN seeds ON seeds.s = sub.s
-             |  WHERE sub.vec_id % 10 <> 0),
-             |a0 AS (
-             |  SELECT vec_id, s, cid FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
-             |    FROM d0) WHERE rn = 1),
-             |subp AS (
-             |  SELECT vec_id, s,
-             |    unnest(list_transform(sub, (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}),
-             |      recursive := true)
-             |  FROM sub),
-             |cbp AS (
-             |  SELECT a0.s, a0.cid, p.pos,
-             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
-             |  FROM a0 JOIN subp p ON p.vec_id = a0.vec_id AND p.s = a0.s
-             |  GROUP BY 1, 2, 3),
-             |cb AS (SELECT s, cid, list(c ORDER BY pos) AS cent FROM cbp GROUP BY 1, 2),
-             |d1 AS (
-             |  SELECT sub.vec_id, sub.s, cb.cid,
-             |    ${d2Sql("sub.sub", "cb.cent")} AS dd
-             |  FROM sub JOIN cb ON cb.s = sub.s),
-             |codes AS (
-             |  SELECT vec_id, s, cid FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
-             |    FROM d1) WHERE rn = 1),
-             |qsub AS (SELECT vec_id AS q_id, s, sub FROM sub WHERE vec_id % 50 = 1),
-             |tab AS (
-             |  SELECT q_id, cb.s, cb.cid, ${d2Sql("qsub.sub", "cb.cent")} AS dt
-             |  FROM qsub JOIN cb ON cb.s = qsub.s),
-             |cand AS (
-             |  SELECT p.q_id, cells.vec_id
-             |  FROM cells JOIN probes p ON p.cell = cells.cell
-             |  WHERE p.q_id != cells.vec_id),
-             |adc AS (
-             |  SELECT cand.q_id, cand.vec_id AS n_id,
-             |    CAST(sum(t.dt) AS BIGINT) AS adc_d2
-             |  FROM cand JOIN codes c ON c.vec_id = cand.vec_id
-             |  JOIN tab t ON t.q_id = cand.q_id AND t.s = c.s AND t.cid = c.cid
-             |  GROUP BY 1, 2)
-             |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
-             |    ORDER BY adc_d2, n_id) AS BIGINT) AS rank,
-             |  n_id, adc_d2
-             |FROM adc QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+      Some(ivfPqCycleOracleSql)),
 
     // Tombstone DELETION lane for the ANN index: a takedown batch
     // anti-joins its vec_ids out of BOTH versioned index tables (cells
@@ -1738,100 +1644,89 @@ object VectorQueries extends QueryPack {
             m = 8, subDim = 8, k = 5, newTag = "00000002_bbb")
           .orderBy($"q_id", $"rank")
       },
-      Some(s"""WITH sub AS (
-             |  SELECT vec_id, s,
-             |    list_transform(embedding[(s*8+1):(s*8+8)],
-             |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS sub
-             |  FROM embeddings CROSS JOIN range(0, 8) ss(s)),
-             |fullv AS (
-             |  SELECT vec_id, list_transform(embedding,
-             |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS fv
-             |  FROM embeddings),
-             |cseeds AS (
-             |  SELECT vec_id AS cid, fv AS cent FROM fullv
-             |  WHERE vec_id IN (SELECT vec_id FROM embeddings
-             |    ORDER BY vec_id LIMIT 8)),
-             |cd0 AS (
-             |  SELECT fullv.vec_id, cseeds.cid,
-             |    ${d2Sql("fullv.fv", "cseeds.cent")} AS dd
-             |  FROM fullv CROSS JOIN cseeds),
-             |ca0 AS (
-             |  SELECT vec_id, cid FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
-             |    FROM cd0) WHERE rn = 1),
-             |cfp AS (
-             |  SELECT vec_id, unnest(list_transform(fv,
-             |    (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}), recursive := true)
-             |  FROM fullv),
-             |ccbp AS (
-             |  SELECT ca0.cid, p.pos,
-             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
-             |  FROM ca0 JOIN cfp p ON p.vec_id = ca0.vec_id
-             |  GROUP BY 1, 2),
-             |ccb AS (SELECT cid, list(c ORDER BY pos) AS cent FROM ccbp GROUP BY 1),
-             |cells AS (
-             |  SELECT vec_id, cid AS cell FROM (
-             |    SELECT fullv.vec_id, ccb.cid,
-             |      ${d2Sql("fullv.fv", "ccb.cent")} AS dd,
-             |      row_number() OVER (PARTITION BY fullv.vec_id
-             |        ORDER BY ${d2Sql("fullv.fv", "ccb.cent")}, ccb.cid) AS rn
-             |    FROM fullv CROSS JOIN ccb) WHERE rn = 1),
-             |probes AS (
-             |  SELECT q_id, cell FROM (
-             |    SELECT q.vec_id AS q_id, ccb.cid AS cell,
-             |      row_number() OVER (PARTITION BY q.vec_id
-             |        ORDER BY ${d2Sql("q.fv", "ccb.cent")}, ccb.cid) AS pr
-             |    FROM fullv q CROSS JOIN ccb WHERE q.vec_id % 50 = 1)
-             |  WHERE pr <= 2),
-             |seeds AS (
-             |  SELECT s, vec_id AS cid, sub AS cent FROM sub
-             |  WHERE vec_id IN (SELECT vec_id FROM embeddings
-             |    ORDER BY vec_id LIMIT 4)),
-             |d0 AS (
-             |  SELECT sub.vec_id, sub.s, seeds.cid,
-             |    ${d2Sql("sub.sub", "seeds.cent")} AS dd
-             |  FROM sub JOIN seeds ON seeds.s = sub.s),
-             |a0 AS (
-             |  SELECT vec_id, s, cid FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
-             |    FROM d0) WHERE rn = 1),
-             |subp AS (
-             |  SELECT vec_id, s,
-             |    unnest(list_transform(sub, (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}),
-             |      recursive := true)
-             |  FROM sub),
-             |cbp AS (
-             |  SELECT a0.s, a0.cid, p.pos,
-             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
-             |  FROM a0 JOIN subp p ON p.vec_id = a0.vec_id AND p.s = a0.s
-             |  GROUP BY 1, 2, 3),
-             |cb AS (SELECT s, cid, list(c ORDER BY pos) AS cent FROM cbp GROUP BY 1, 2),
-             |d1 AS (
-             |  SELECT sub.vec_id, sub.s, cb.cid,
-             |    ${d2Sql("sub.sub", "cb.cent")} AS dd
-             |  FROM sub JOIN cb ON cb.s = sub.s),
-             |codes AS (
-             |  SELECT vec_id, s, cid FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
-             |    FROM d1) WHERE rn = 1),
-             |qsub AS (SELECT vec_id AS q_id, s, sub FROM sub WHERE vec_id % 50 = 1),
-             |tab AS (
-             |  SELECT q_id, cb.s, cb.cid, ${d2Sql("qsub.sub", "cb.cent")} AS dt
-             |  FROM qsub JOIN cb ON cb.s = qsub.s),
-             |cand AS (
-             |  SELECT p.q_id, cells.vec_id
-             |  FROM cells JOIN probes p ON p.cell = cells.cell
-             |  WHERE p.q_id != cells.vec_id AND cells.vec_id % 13 <> 0),
-             |adc AS (
-             |  SELECT cand.q_id, cand.vec_id AS n_id,
-             |    CAST(sum(t.dt) AS BIGINT) AS adc_d2
-             |  FROM cand JOIN codes c ON c.vec_id = cand.vec_id
-             |  JOIN tab t ON t.q_id = cand.q_id AND t.s = c.s AND t.cid = c.cid
-             |  GROUP BY 1, 2)
-             |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
-             |    ORDER BY adc_d2, n_id) AS BIGINT) AS rank,
-             |  n_id, adc_d2
-             |FROM adc QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+      Some(annDeleteOracleSql)),
+
+    // IVFPQ cells/codes over BUCKET-PARTITIONED roots — the vector twin
+    // of the q395/q397 stores, completing the partitioned index-state
+    // family: a delta's assignments rewrite only the id-range buckets
+    // its vec_ids map to; the KB-sized quantizer objects stay
+    // object-versioned (annReclusterCycle's drift gate owns them).
+    // Same fixture and semantics as q376 — oracle = the full re-encode
+    // against the same frozen quantizers.
+    Q("q401_ivfpq_partitioned",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val dir = graft.core.Scratch.dir("q401_pann")
+        val bw = 64L
+        val bucketOf = graft.pipeline.Incremental.idBucket($"vec_id", bw)
+        val prior = emb.filter($"vec_id" % 10 =!= 0)
+        Versioned.write(Pq.trainCodebooks(s, prior, m = 1, subDim = 64,
+          k = 8), dir, "panncoarse", "00000001_aaa")
+        Versioned.write(Pq.trainCodebooks(s, prior, m = 8, subDim = 8,
+          k = 4), dir, "pannfine", "00000001_aaa")
+        val coarse0 = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "panncoarse"))
+        val fine0 = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "pannfine"))
+        Versioned.writePartitionedFull(
+          Pq.encode(prior, coarse0, m = 1, subDim = 64)
+            .select($"vec_id", $"cid".as("cell"))
+            .withColumn("bucket", bucketOf),
+          dir, "panncells", Seq("bucket"))
+        Versioned.writePartitionedFull(
+          Pq.encode(prior, fine0, m = 8, subDim = 8)
+            .withColumn("bucket", bucketOf),
+          dir, "panncodes", Seq("bucket"))
+        Versioned.write(emb.filter($"vec_id" % 10 === 0),
+          dir, "pannraw", "00000002_bbb")
+        graft.pipeline.Incremental.ivfPqPartitionedCycle(s, dir,
+            "panncoarse", "pannfine", "panncells", "panncodes", "pannraw",
+            emb.filter($"vec_id" % 50 === 1), dim = 64, nProbe = 2,
+            m = 8, subDim = 8, k = 5, bucketWidth = bw)
+          .orderBy($"q_id", $"rank")
+      },
+      Some(ivfPqCycleOracleSql)),
+
+    // Tombstone deletion over the bucket-partitioned IVFPQ tables —
+    // q386's 100 TB twin: the purge reads and rewrites only the
+    // tombstones' buckets in BOTH posting tables; serving runs against
+    // the purged reload (a deleted vector can never be a candidate).
+    // Oracle = the full rebuild over survivors (q386's).
+    Q("q402_ann_partitioned_delete",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val dir = graft.core.Scratch.dir("q402_panndel")
+        val bw = 64L
+        val bucketOf = graft.pipeline.Incremental.idBucket($"vec_id", bw)
+        Versioned.write(Pq.trainCodebooks(s, emb, m = 1, subDim = 64,
+          k = 8), dir, "pdelcoarse", "00000001_aaa")
+        Versioned.write(Pq.trainCodebooks(s, emb, m = 8, subDim = 8,
+          k = 4), dir, "pdelfine", "00000001_aaa")
+        val coarse0 = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "pdelcoarse"))
+        val fine0 = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "pdelfine"))
+        Versioned.writePartitionedFull(
+          Pq.encode(emb, coarse0, m = 1, subDim = 64)
+            .select($"vec_id", $"cid".as("cell"))
+            .withColumn("bucket", bucketOf),
+          dir, "pdelcells", Seq("bucket"))
+        Versioned.writePartitionedFull(
+          Pq.encode(emb, fine0, m = 8, subDim = 8)
+            .withColumn("bucket", bucketOf),
+          dir, "pdelcodes", Seq("bucket"))
+        Versioned.write(emb.filter($"vec_id" % 13 === 0).select($"vec_id"),
+          dir, "pdeltomb", "00000002_bbb")
+        graft.pipeline.Incremental.annDeletePartitionedCycle(s, dir,
+            "pdelcoarse", "pdelfine", "pdelcells", "pdelcodes", "pdeltomb",
+            emb.filter($"vec_id" % 50 === 1), dim = 64, nProbe = 2,
+            m = 8, subDim = 8, k = 5, bucketWidth = bw)
+          .orderBy($"q_id", $"rank")
+      },
+      Some(annDeleteOracleSql)),
+
 
     // The frozen-quantizer honesty stat: per-cell population drift
     // between the prior index and the delta batch, with the
@@ -2051,4 +1946,204 @@ object VectorQueries extends QueryPack {
              |  FROM sel CROSS JOIN tv JOIN rpop p ON tv.tv_milli > sel.thr)
              |ORDER BY cycle, cell""".stripMargin))
   )
+
+  /** Full-reprocess oracle for the incremental IVFPQ cycles
+    * (q376 object lane, q401 partitioned lane): train on the prior
+    * corpus, assign ALL vectors against the frozen quantizers, serve.
+    */
+  private def ivfPqCycleOracleSql: String =
+    s"""WITH sub AS (
+             |  SELECT vec_id, s,
+             |    list_transform(embedding[(s*8+1):(s*8+8)],
+             |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS sub
+             |  FROM embeddings CROSS JOIN range(0, 8) ss(s)),
+             |fullv AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS fv
+             |  FROM embeddings),
+             |cseeds AS (
+             |  SELECT vec_id AS cid, fv AS cent FROM fullv
+             |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+             |    WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 8)),
+             |cd0 AS (
+             |  SELECT fullv.vec_id, cseeds.cid,
+             |    ${d2Sql("fullv.fv", "cseeds.cent")} AS dd
+             |  FROM fullv CROSS JOIN cseeds WHERE fullv.vec_id % 10 <> 0),
+             |ca0 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+             |    FROM cd0) WHERE rn = 1),
+             |cfp AS (
+             |  SELECT vec_id, unnest(list_transform(fv,
+             |    (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}), recursive := true)
+             |  FROM fullv),
+             |ccbp AS (
+             |  SELECT ca0.cid, p.pos,
+             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
+             |  FROM ca0 JOIN cfp p ON p.vec_id = ca0.vec_id
+             |  GROUP BY 1, 2),
+             |ccb AS (SELECT cid, list(c ORDER BY pos) AS cent FROM ccbp GROUP BY 1),
+             |cells AS (
+             |  SELECT vec_id, cid AS cell FROM (
+             |    SELECT fullv.vec_id, ccb.cid,
+             |      ${d2Sql("fullv.fv", "ccb.cent")} AS dd,
+             |      row_number() OVER (PARTITION BY fullv.vec_id
+             |        ORDER BY ${d2Sql("fullv.fv", "ccb.cent")}, ccb.cid) AS rn
+             |    FROM fullv CROSS JOIN ccb) WHERE rn = 1),
+             |probes AS (
+             |  SELECT q_id, cell FROM (
+             |    SELECT q.vec_id AS q_id, ccb.cid AS cell,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY ${d2Sql("q.fv", "ccb.cent")}, ccb.cid) AS pr
+             |    FROM fullv q CROSS JOIN ccb WHERE q.vec_id % 50 = 1)
+             |  WHERE pr <= 2),
+             |seeds AS (
+             |  SELECT s, vec_id AS cid, sub AS cent FROM sub
+             |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+             |    WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 4)),
+             |d0 AS (
+             |  SELECT sub.vec_id, sub.s, seeds.cid,
+             |    ${d2Sql("sub.sub", "seeds.cent")} AS dd
+             |  FROM sub JOIN seeds ON seeds.s = sub.s
+             |  WHERE sub.vec_id % 10 <> 0),
+             |a0 AS (
+             |  SELECT vec_id, s, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
+             |    FROM d0) WHERE rn = 1),
+             |subp AS (
+             |  SELECT vec_id, s,
+             |    unnest(list_transform(sub, (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}),
+             |      recursive := true)
+             |  FROM sub),
+             |cbp AS (
+             |  SELECT a0.s, a0.cid, p.pos,
+             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
+             |  FROM a0 JOIN subp p ON p.vec_id = a0.vec_id AND p.s = a0.s
+             |  GROUP BY 1, 2, 3),
+             |cb AS (SELECT s, cid, list(c ORDER BY pos) AS cent FROM cbp GROUP BY 1, 2),
+             |d1 AS (
+             |  SELECT sub.vec_id, sub.s, cb.cid,
+             |    ${d2Sql("sub.sub", "cb.cent")} AS dd
+             |  FROM sub JOIN cb ON cb.s = sub.s),
+             |codes AS (
+             |  SELECT vec_id, s, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
+             |    FROM d1) WHERE rn = 1),
+             |qsub AS (SELECT vec_id AS q_id, s, sub FROM sub WHERE vec_id % 50 = 1),
+             |tab AS (
+             |  SELECT q_id, cb.s, cb.cid, ${d2Sql("qsub.sub", "cb.cent")} AS dt
+             |  FROM qsub JOIN cb ON cb.s = qsub.s),
+             |cand AS (
+             |  SELECT p.q_id, cells.vec_id
+             |  FROM cells JOIN probes p ON p.cell = cells.cell
+             |  WHERE p.q_id != cells.vec_id),
+             |adc AS (
+             |  SELECT cand.q_id, cand.vec_id AS n_id,
+             |    CAST(sum(t.dt) AS BIGINT) AS adc_d2
+             |  FROM cand JOIN codes c ON c.vec_id = cand.vec_id
+             |  JOIN tab t ON t.q_id = cand.q_id AND t.s = c.s AND t.cid = c.cid
+             |  GROUP BY 1, 2)
+             |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+             |    ORDER BY adc_d2, n_id) AS BIGINT) AS rank,
+             |  n_id, adc_d2
+             |FROM adc QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Full-rebuild-over-survivors oracle for the ANN deletion lanes
+    * (q386 object lane, q402 partitioned lane).
+    */
+  private def annDeleteOracleSql: String =
+    s"""WITH sub AS (
+             |  SELECT vec_id, s,
+             |    list_transform(embedding[(s*8+1):(s*8+8)],
+             |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS sub
+             |  FROM embeddings CROSS JOIN range(0, 8) ss(s)),
+             |fullv AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS fv
+             |  FROM embeddings),
+             |cseeds AS (
+             |  SELECT vec_id AS cid, fv AS cent FROM fullv
+             |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+             |    ORDER BY vec_id LIMIT 8)),
+             |cd0 AS (
+             |  SELECT fullv.vec_id, cseeds.cid,
+             |    ${d2Sql("fullv.fv", "cseeds.cent")} AS dd
+             |  FROM fullv CROSS JOIN cseeds),
+             |ca0 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+             |    FROM cd0) WHERE rn = 1),
+             |cfp AS (
+             |  SELECT vec_id, unnest(list_transform(fv,
+             |    (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}), recursive := true)
+             |  FROM fullv),
+             |ccbp AS (
+             |  SELECT ca0.cid, p.pos,
+             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
+             |  FROM ca0 JOIN cfp p ON p.vec_id = ca0.vec_id
+             |  GROUP BY 1, 2),
+             |ccb AS (SELECT cid, list(c ORDER BY pos) AS cent FROM ccbp GROUP BY 1),
+             |cells AS (
+             |  SELECT vec_id, cid AS cell FROM (
+             |    SELECT fullv.vec_id, ccb.cid,
+             |      ${d2Sql("fullv.fv", "ccb.cent")} AS dd,
+             |      row_number() OVER (PARTITION BY fullv.vec_id
+             |        ORDER BY ${d2Sql("fullv.fv", "ccb.cent")}, ccb.cid) AS rn
+             |    FROM fullv CROSS JOIN ccb) WHERE rn = 1),
+             |probes AS (
+             |  SELECT q_id, cell FROM (
+             |    SELECT q.vec_id AS q_id, ccb.cid AS cell,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY ${d2Sql("q.fv", "ccb.cent")}, ccb.cid) AS pr
+             |    FROM fullv q CROSS JOIN ccb WHERE q.vec_id % 50 = 1)
+             |  WHERE pr <= 2),
+             |seeds AS (
+             |  SELECT s, vec_id AS cid, sub AS cent FROM sub
+             |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+             |    ORDER BY vec_id LIMIT 4)),
+             |d0 AS (
+             |  SELECT sub.vec_id, sub.s, seeds.cid,
+             |    ${d2Sql("sub.sub", "seeds.cent")} AS dd
+             |  FROM sub JOIN seeds ON seeds.s = sub.s),
+             |a0 AS (
+             |  SELECT vec_id, s, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
+             |    FROM d0) WHERE rn = 1),
+             |subp AS (
+             |  SELECT vec_id, s,
+             |    unnest(list_transform(sub, (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}),
+             |      recursive := true)
+             |  FROM sub),
+             |cbp AS (
+             |  SELECT a0.s, a0.cid, p.pos,
+             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
+             |  FROM a0 JOIN subp p ON p.vec_id = a0.vec_id AND p.s = a0.s
+             |  GROUP BY 1, 2, 3),
+             |cb AS (SELECT s, cid, list(c ORDER BY pos) AS cent FROM cbp GROUP BY 1, 2),
+             |d1 AS (
+             |  SELECT sub.vec_id, sub.s, cb.cid,
+             |    ${d2Sql("sub.sub", "cb.cent")} AS dd
+             |  FROM sub JOIN cb ON cb.s = sub.s),
+             |codes AS (
+             |  SELECT vec_id, s, cid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
+             |    FROM d1) WHERE rn = 1),
+             |qsub AS (SELECT vec_id AS q_id, s, sub FROM sub WHERE vec_id % 50 = 1),
+             |tab AS (
+             |  SELECT q_id, cb.s, cb.cid, ${d2Sql("qsub.sub", "cb.cent")} AS dt
+             |  FROM qsub JOIN cb ON cb.s = qsub.s),
+             |cand AS (
+             |  SELECT p.q_id, cells.vec_id
+             |  FROM cells JOIN probes p ON p.cell = cells.cell
+             |  WHERE p.q_id != cells.vec_id AND cells.vec_id % 13 <> 0),
+             |adc AS (
+             |  SELECT cand.q_id, cand.vec_id AS n_id,
+             |    CAST(sum(t.dt) AS BIGINT) AS adc_d2
+             |  FROM cand JOIN codes c ON c.vec_id = cand.vec_id
+             |  JOIN tab t ON t.q_id = cand.q_id AND t.s = c.s AND t.cid = c.cid
+             |  GROUP BY 1, 2)
+             |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+             |    ORDER BY adc_d2, n_id) AS BIGINT) AS rank,
+             |  n_id, adc_d2
+             |FROM adc QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin
 }

@@ -193,4 +193,71 @@ class PartitionedIndexSpec extends SparkTestBase {
       "purged serve diverged from the rebuild over survivors — " +
         "collection stats did not forget")
   }
+
+  test("IVFPQ store: append touches only delta buckets; delete purges only tombstone buckets") {
+    import graft.ext.{IvfIndex, Pq}
+    val dir = graft.core.Scratch.dir("spec_pidx_ann")
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val prior = emb.filter($"vec_id" < 448)
+    val delta = emb.filter(($"vec_id" >= 448 && $"vec_id" < 480) ||
+      $"vec_id" === 5)
+    val bucketOf = Incremental.idBucket($"vec_id", Bw)
+    graft.io.Versioned.write(Pq.trainCodebooks(spark, prior, m = 1,
+      subDim = 64, k = 8), dir, "pia_coarse", "00000001_a")
+    graft.io.Versioned.write(Pq.trainCodebooks(spark, prior, m = 8,
+      subDim = 8, k = 4), dir, "pia_fine", "00000001_a")
+    val coarse0 = IvfIndex.materializeLocal(spark,
+      graft.io.Versioned.readLatest(spark, dir, "pia_coarse"))
+    val fine0 = IvfIndex.materializeLocal(spark,
+      graft.io.Versioned.readLatest(spark, dir, "pia_fine"))
+    graft.io.Versioned.writePartitionedFull(
+      Pq.encode(prior, coarse0, m = 1, subDim = 64)
+        .select($"vec_id", $"cid".as("cell")).withColumn("bucket", bucketOf),
+      dir, "pia_cells", Seq("bucket"))
+    graft.io.Versioned.writePartitionedFull(
+      Pq.encode(prior, fine0, m = 8, subDim = 8)
+        .withColumn("bucket", bucketOf),
+      dir, "pia_codes", Seq("bucket"))
+    graft.io.Versioned.write(delta, dir, "pia_raw", "00000002_b")
+    val untouched = (1L to 6L).flatMap(b => Seq(
+      bucketFiles(dir, "pia_cells", b), bucketFiles(dir, "pia_codes", b)))
+    assert(untouched.forall(_.nonEmpty))
+    Thread.sleep(1100)
+    val served = Incremental.ivfPqPartitionedCycle(spark, dir,
+        "pia_coarse", "pia_fine", "pia_cells", "pia_codes", "pia_raw",
+        emb.filter($"vec_id" % 50 === 1), dim = 64, nProbe = 2, m = 8,
+        subDim = 8, k = 5, bucketWidth = Bw)
+      .collect()
+    assert(served.nonEmpty)
+    assert(untouched == (1L to 6L).flatMap(b => Seq(
+      bucketFiles(dir, "pia_cells", b), bucketFiles(dir, "pia_codes", b))),
+      "append rewrote a bucket outside the delta's vec_ids")
+    val cells = graft.io.Versioned.readPartitioned(spark, dir, "pia_cells")
+    assert(cells.count() == 448L + 32L &&
+      cells.filter($"vec_id" === 5).count() == 1L,
+      "re-ingested vector duplicated in the cells table")
+    assert(graft.io.Versioned.readPartitioned(spark, dir, "pia_codes")
+      .count() == (448L + 32L) * 8L, "codes cardinality drifted")
+    // deletion confined to the tombstones' buckets, both tables
+    graft.io.Versioned.write(
+      emb.filter($"vec_id".isin(5L, 448L, 449L)).select($"vec_id"),
+      dir, "pia_tomb", "00000003_c")
+    val mid = (1L to 6L).flatMap(b => Seq(
+      bucketFiles(dir, "pia_cells", b), bucketFiles(dir, "pia_codes", b)))
+    Thread.sleep(1100)
+    Incremental.annDeletePartitionedCycle(spark, dir, "pia_coarse",
+        "pia_fine", "pia_cells", "pia_codes", "pia_tomb",
+        emb.filter($"vec_id" % 50 === 1), dim = 64, nProbe = 2, m = 8,
+        subDim = 8, k = 5, bucketWidth = Bw)
+      .collect()
+    assert(mid == (1L to 6L).flatMap(b => Seq(
+      bucketFiles(dir, "pia_cells", b), bucketFiles(dir, "pia_codes", b))),
+      "delete rewrote a bucket no tombstone maps to")
+    val after = graft.io.Versioned.readPartitioned(spark, dir, "pia_cells")
+    assert(after.filter($"vec_id".isin(5L, 448L, 449L)).isEmpty,
+      "a tombstoned vector survived the cells purge")
+    assert(graft.io.Versioned.readPartitioned(spark, dir, "pia_codes")
+      .filter($"vec_id".isin(5L, 448L, 449L)).isEmpty,
+      "a tombstoned vector survived the codes purge")
+  }
 }
