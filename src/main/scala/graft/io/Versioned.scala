@@ -371,6 +371,166 @@ object Versioned {
       .map(_.getPath)
   }
 
+  // ---- generation-pinned snapshot lane (partitioned + atomic) ---------
+  // The in-place partitioned lane above trades away read isolation: a
+  // crash between the topology's three root publishes leaves the roots
+  // mixed until the batch is re-applied (covered by spec-pinned replay
+  // idempotence, not rollback). This lane restores all-or-nothing READS
+  // while keeping O(touched) WRITES: a cycle writes its touched
+  // partitions into NEW `__gen=<tag>` SUBDIRECTORIES (prior generations'
+  // files are never modified), then ONE manifest pins (root, partition)
+  // → generation for every root at a single atomic commit point
+  // ([[commitManifest]]). Readers resolve through the manifest: either
+  // the full prior trio or the full new trio, never a mix — and a
+  // crashed publish's half-written generation dirs are invisible until
+  // their manifest commits. This is the minimal per-partition slice of
+  // a snapshot table format; at thousands of partitions a reader would
+  // assemble per-path reads from the pins instead of the literal
+  // disjunction filter used here (documented, not built — the point
+  // where adopting a real table format becomes the honest answer).
+  //
+  // CONVENTION: a cycle's generation string IS its manifest tag — GC
+  // uses that to protect in-flight generations newer than the last
+  // committed manifest.
+
+  /** The stable root of `prefix`'s generation-pinned state. */
+  def snapshotRoot(dir: String, prefix: String): String =
+    s"$dir/${prefix}__snap.parquet"
+
+  /** Write `df`'s partitions into their `gen` subdirectories —
+    * dynamic overwrite touches ONLY the (partition, gen) leaves present
+    * in `df`; every prior generation's files stay byte-identical, so a
+    * replayed batch rewrites its own half-written generation and
+    * nothing else (no self-overwrite hazard: the plan reads prior-gen
+    * directories, the write targets this gen's).
+    *
+    * @return the partition values present in `df` (driver-side,
+    *         bounded by the calendar/buckets) — the caller folds them
+    *         into the manifest pins; a touched partition NOT in the
+    *         returned set became empty and must be dropped from pins
+    */
+  def writeSnapshotPartitions(df: DataFrame, dir: String, prefix: String,
+                              partCol: String, gen: String,
+                              filesPerPartition: Int = 1): Set[Any] = {
+    val root = snapshotRoot(dir, prefix)
+    val present = df.select(df.col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    layout(df, partCol, filesPerPartition)
+      .withColumn("__gen", org.apache.spark.sql.functions.lit(gen))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol, "__gen").parquet(root)
+    present
+  }
+
+  /** Initialize a snapshot root: full static layout under one
+    * generation. Returns the present partition values for the initial
+    * manifest pins.
+    */
+  def writeSnapshotFull(df: DataFrame, dir: String, prefix: String,
+                        partCol: String, gen: String,
+                        filesPerPartition: Int = 1): Set[Any] = {
+    val root = snapshotRoot(dir, prefix)
+    val present = df.select(df.col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    layout(df, partCol, filesPerPartition)
+      .withColumn("__gen", org.apache.spark.sql.functions.lit(gen))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy(partCol, "__gen").parquet(root)
+    present
+  }
+
+  /** The manifest key pinning `prefix`'s partition `value`. */
+  def snapshotPinKey(prefix: String, value: Any): String =
+    s"$prefix/$value"
+
+  /** `prefix`'s (partition-value-string → generation) pins from the
+    * NEWEST manifest.
+    */
+  def snapshotPins(dir: String, manifestPrefix: String,
+                   prefix: String): Map[String, String] =
+    latestManifest(dir, manifestPrefix).map(_._2).getOrElse(Map.empty)
+      .collect { case (k, g) if k.startsWith(s"$prefix/") =>
+        k.stripPrefix(s"$prefix/") -> g
+      }
+
+  /** Read `prefix` at the snapshot the newest manifest pins,
+    * restricted to `touched` partition values (None = all pinned). The
+    * (partition, generation) disjunction is literal, so it resolves at
+    * plan time as a partition filter — unpinned generations (crashed or
+    * superseded publishes) are never listed, opened, or scheduled.
+    */
+  def readSnapshotPartitions(spark: SparkSession, dir: String,
+                             manifestPrefix: String, prefix: String,
+                             partCol: String,
+                             touched: Option[Seq[Any]]): DataFrame =
+    readSnapshotAt(spark, dir, prefix, partCol,
+      snapshotPins(dir, manifestPrefix, prefix), touched)
+
+  /** [[readSnapshotPartitions]] against an EXPLICIT pin map — the
+    * mid-cycle read: a publishing cycle sees its own just-written
+    * generations for the partitions it touched and the prior pins for
+    * everything else, BEFORE any of it is visible to manifest readers.
+    */
+  def readSnapshotAt(spark: SparkSession, dir: String, prefix: String,
+                     partCol: String, pins: Map[String, String],
+                     touched: Option[Seq[Any]]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val sel = touched match {
+      case Some(vs) =>
+        val want = vs.map(_.toString).toSet
+        pins.filter { case (v, _) => want.contains(v) }
+      case None => pins
+    }
+    val full = spark.read.parquet(snapshotRoot(dir, prefix))
+    val pred = sel.toSeq.sortBy(_._1).map { case (v, g) =>
+      col(partCol) === lit(v) && col("__gen") === lit(g)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    full.filter(pred).drop("__gen")
+  }
+
+  /** Generation GC for a snapshot root: a (partition, gen) directory is
+    * reclaimable iff no KEPT manifest pins it AND its gen is strictly
+    * older than the newest kept manifest's tag — the second condition
+    * protects an in-flight cycle's just-written generation (its gen ==
+    * its future manifest tag, which is newer by the [[commitManifest]]
+    * monotonicity contract). Call per root after [[gcThroughManifest]]
+    * decides which manifests survive; serving keeps working because the
+    * newest manifest's pins always survive.
+    */
+  def gcSnapshotGenerations(dir: String, manifestPrefix: String,
+                            prefix: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, s"gc must keep at least one manifest, got $keepLast")
+    val d = new java.io.File(dir)
+    val manifests = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.getName.startsWith(s"${manifestPrefix}__") &&
+        f.getName.endsWith("__.manifest.json"))
+      .sortBy(_.getName)(Ordering[String].reverse)
+      .take(keepLast)
+    if (manifests.isEmpty) return Seq.empty
+    val newestTag = manifests.head.getName
+      .stripPrefix(s"${manifestPrefix}__").stripSuffix("__.manifest.json")
+    val live: Set[(String, String)] = manifests.flatMap(parseManifest)
+      .collect { case (k, g) if k.startsWith(s"$prefix/") =>
+        (k.stripPrefix(s"$prefix/"), g)
+      }.toSet
+    val root = new java.io.File(snapshotRoot(dir, prefix))
+    Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+      .flatMap { pDir =>
+        val v = pDir.getName.substring(pDir.getName.indexOf('=') + 1)
+        Option(pDir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(g => g.isDirectory && g.getName.startsWith("__gen="))
+          .filter { g =>
+            val gen = g.getName.stripPrefix("__gen=")
+            !live.contains((v, gen)) && gen < newestTag
+          }
+      }
+      .filter(deleteRecursively)
+      .map(_.getPath)
+  }
+
   /** Snapshot diff between two versions of a keyed table — the audit a
     * versioned store runs between [[write]]s: which keys were added,
     * removed, or changed. One full-outer equi-join on the key plus

@@ -944,6 +944,149 @@ object Incremental {
     export
   }
 
+  /** [[chainedTripsPartitionedCycle]] over the GENERATION-PINNED
+    * snapshot lane — the partitioned topology with the ATOMICITY the
+    * in-place lane trades away. The in-place lane's crash window
+    * between its three root publishes is covered by replay-idempotence
+    * (re-apply the batch), not rollback: a reader DURING the window
+    * sees a mixed trio. Here every touched partition writes into a NEW
+    * `__gen=<gen>` subdirectory ([[graft.io.Versioned
+    * .writeSnapshotPartitions]] — prior generations' files are never
+    * modified, so there is no self-overwrite hazard and no
+    * checkpoint-before-overwrite requirement), and ONE manifest pins
+    * (root, month) → generation for ALL THREE roots at a single atomic
+    * commit ([[graft.io.Versioned.commitManifest]], tag = gen):
+    *
+    *  - readers resolve through the manifest and see either the full
+    *    prior trio or the full new trio — a crashed publish's
+    *    half-written generation dirs are invisible (SnapshotLaneSpec
+    *    simulates the crash);
+    *  - an exact replay (manifest already at `gen`) short-circuits and
+    *    serves from the committed snapshot; a replay of a CRASHED
+    *    publish recomputes from the intact prior pins and rewrites its
+    *    own (month, gen) dirs idempotently;
+    *  - a month the cycle EMPTIES simply leaves the pin map — no
+    *    emptied-directory erase protocol (the in-place lane's
+    *    deleteRecursively contract disappears);
+    *  - writes stay O(touched months); reads stay partition-pruned
+    *    (the (month, gen) disjunction is literal);
+    *  - superseded generations reclaim via [[graft.io.Versioned
+    *    .gcSnapshotGenerations]] under keep-last-N manifest retention,
+    *    which also gives the partitioned lane TIME TRAVEL within the
+    *    retention window — the capability the in-place lane gave up.
+    *
+    * Replay contracts (fixed landing_date; trip_id-keyed replacement)
+    * carry over from [[chainedTripsPartitionedCycle]] unchanged.
+    *
+    * @param gen this cycle's generation == its manifest tag (strictly
+    *            newer than the published manifest, or the commit fails)
+    * @return (district, month, n_rows, sum_cents, n_matched, dur_sec)
+    */
+  def chainedTripsSnapshotCycle(spark: SparkSession, dir: String,
+                                manifestPrefix: String,
+                                surveyStatePrefix: String,
+                                tripsStatePrefix: String,
+                                mergedPrefix: String,
+                                surveyRawPrefix: String,
+                                tripsRawPrefix: String, lw: DataFrame,
+                                gen: String): DataFrame = {
+    import graft.ext.Exec.checkpointEager
+    val keys = Seq("imei", "landing_date")
+    val keyCols = keys.map(col)
+    def exportOf(merged: DataFrame): DataFrame = merged
+      .filter(col("submission_id").isNotNull)
+      .groupBy(col("district"), col("month"))
+      .agg(sum(col("n")).as("n_rows"),
+        sum(col("sum_cents")).as("sum_cents"),
+        count(col("trip_id")).as("n_matched"),
+        coalesce(sum(when(col("trip_id").isNotNull, col("duration_sec"))),
+          lit(0L)).as("dur_sec"))
+    // exact-replay short-circuit (the manifest-cycle contract)
+    if (Versioned.latestManifest(dir, manifestPrefix).exists(_._1 == gen))
+      return exportOf(Versioned.readSnapshotPartitions(spark, dir,
+        manifestPrefix, mergedPrefix, "lmonth", None).drop("lmonth"))
+    val sDelta = Versioned.readLatest(spark, dir, surveyRawPrefix)
+    val tDelta = Versioned.readLatest(spark, dir, tripsRawPrefix)
+    val contrib = submissionContrib(
+      surveyProcess(sDelta, lw, Seq("district", "month") ++ keys), keys)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pins = try {
+      val goneIds = sDelta.select(col("submission_id")).distinct()
+      val sMonths = sDelta.select(col("month")).distinct()
+        .collect().map(_.get(0)).toSeq
+      val sPins0 = Versioned.snapshotPins(dir, manifestPrefix,
+        surveyStatePrefix)
+      val tPins0 = Versioned.snapshotPins(dir, manifestPrefix,
+        tripsStatePrefix)
+      val mPins0 = Versioned.snapshotPins(dir, manifestPrefix,
+        mergedPrefix)
+      val sPriorTouched = Versioned.readSnapshotAt(spark, dir,
+        surveyStatePrefix, "month", sPins0, Some(sMonths))
+      val retractedKeys = checkpointEager(
+        sPriorTouched.join(goneIds, Seq("submission_id"), "left_semi")
+          .select(keyCols: _*).distinct())
+      // new generations write into fresh (month, gen) leaves — the
+      // checkpoints here only avoid recomputing each frame for its
+      // present-set collect + write pair, not a self-overwrite guard
+      val sPresent = Versioned.writeSnapshotPartitions(
+        checkpointEager(sPriorTouched
+          .join(goneIds, Seq("submission_id"), "left_anti")
+          .unionByName(contrib)),
+        dir, surveyStatePrefix, "month", gen)
+      val sPins = sPins0 -- sMonths.map(_.toString) ++
+        sPresent.map(v => v.toString -> gen)
+      val tMonths = tDelta.select(trunc(col("landing_date"), "month")
+          .as("lmonth")).distinct().collect().map(_.get(0)).toSeq
+      val tPresent = Versioned.writeSnapshotPartitions(
+        checkpointEager(Versioned.readSnapshotAt(spark, dir,
+            tripsStatePrefix, "lmonth", tPins0, Some(tMonths))
+          .join(tDelta.select(col("trip_id")), Seq("trip_id"), "left_anti")
+          .unionByName(tDelta.withColumn("lmonth",
+            trunc(col("landing_date"), "month")))),
+        dir, tripsStatePrefix, "lmonth", gen)
+      val tPins = tPins0 -- tMonths.map(_.toString) ++
+        tPresent.map(v => v.toString -> gen)
+      val touched = checkpointEager(contrib.select(keyCols: _*)
+        .unionByName(retractedKeys)
+        .unionByName(tDelta.select(keyCols: _*)).distinct())
+      val kMonths = touched.select(trunc(col("landing_date"), "month")
+          .as("lmonth")).distinct().collect().map(_.get(0)).toSeq
+      // stage 3 reads the MIXED view: this cycle's own generations for
+      // the months it touched, the prior pins for the rest — none of
+      // it visible to manifest readers yet
+      val sSide = Versioned.readSnapshotAt(spark, dir, surveyStatePrefix,
+          "month", sPins, Some(kMonths))
+        .join(touched, keys, "left_semi")
+      val tSide = Versioned.readSnapshotAt(spark, dir, tripsStatePrefix,
+          "lmonth", tPins, Some(kMonths))
+        .drop("lmonth")
+        .join(touched, keys, "left_semi")
+      val remerged = graft.ops.GatedMerge.gatedOneToOne(sSide, tSide, keys)
+      val mPriorTouched = Versioned.readSnapshotAt(spark, dir,
+        mergedPrefix, "lmonth", mPins0, Some(kMonths))
+      val mCols = mPriorTouched.columns.filterNot(_ == "lmonth").toSeq
+      val mPresent = Versioned.writeSnapshotPartitions(
+        checkpointEager(mPriorTouched.drop("lmonth")
+          .join(touched, keys, "left_anti")
+          .unionByName(remerged.select(mCols.map(col): _*))
+          .withColumn("lmonth", trunc(col("landing_date"), "month"))),
+        dir, mergedPrefix, "lmonth", gen)
+      val mPins = mPins0 -- kMonths.map(_.toString) ++
+        mPresent.map(v => v.toString -> gen)
+      sPins.map { case (v, g) =>
+        Versioned.snapshotPinKey(surveyStatePrefix, v) -> g } ++
+        tPins.map { case (v, g) =>
+          Versioned.snapshotPinKey(tripsStatePrefix, v) -> g } ++
+        mPins.map { case (v, g) =>
+          Versioned.snapshotPinKey(mergedPrefix, v) -> g }
+    } finally contrib.unpersist(blocking = false)
+    // the commit point: all three roots' pins flip atomically
+    Versioned.commitManifest(dir, manifestPrefix, gen, pins)
+    exportOf(Versioned.readSnapshotPartitions(spark, dir, manifestPrefix,
+      mergedPrefix, "lmonth", None)
+      .drop("lmonth"))
+  }
+
   /** The FULL COMPOSITION of the round's state lanes — the 100 TB shape
     * of the whole pipeline: [[chainedTopologyExportCycle]]'s taxon-grain
     * topology with derived export products AND takedown, published over

@@ -1674,6 +1674,85 @@ object IoQueries extends QueryPack {
         includeDupTrips = true,
         dupTripsAnd = " AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01'"))),
 
+    // The partitioned topology over the GENERATION-PINNED snapshot lane
+    // — q390's semantics with the atomicity the in-place lane trades
+    // away: touched months write into NEW __gen subdirectories (prior
+    // generations never modified), and ONE manifest pins (root, month)
+    // -> generation for all three roots at a single atomic commit, so a
+    // reader can never see a mixed trio and a crashed publish's
+    // half-written generations stay invisible (SnapshotLaneSpec
+    // simulates the crash; superseded generations GC under keep-last-N
+    // retention, which also gives the lane time travel). Oracle = the
+    // same full four-stage reprocess as q390's.
+    Q("q403_snapshot_topology",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q403_snap")
+        val lw = chainLwTable(s)
+        val flat = chainSurveyFlat(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keys = Seq("imei", "landing_date")
+        def nest(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"submission_id", $"district", $"month", $"imei",
+              $"landing_date")
+            .agg(collect_list($"sg").as("species_groups"))
+        // fixture hygiene: drop prior reps' manifest generations (the
+        // fresh tag-1 commit would otherwise read as stale)
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(_.getName.startsWith("snp_root__")).foreach(_.delete()))
+        val cutoff = to_date(lit("2001-06-01"))
+        val tripCut = to_date(lit("2001-01-01"))
+        val prior = flat.filter($"day" < cutoff)
+        val edited = prior
+          .filter($"submission_id" % 23 === 0 && $"day" >= tripCut)
+          .withColumn("sg", $"sg".withField("length_bins",
+            transform($"sg.length_bins", b => struct(
+              b.getField("length_class").as("length_class"),
+              greatest(lit(1L), shiftright(b.getField("n"), 1)).as("n")))))
+        val trips = Tables.orders(s, d).filter($"o_orderkey" % 3 === 0)
+          .select($"o_orderkey".as("trip_id"),
+            concat(lit("IMEI"), ($"o_orderkey" % 97).cast("string"))
+              .as("imei"),
+            to_date($"o_orderdate").as("landing_date"),
+            ($"o_orderkey" % 7000 + 3600).cast("long").as("duration_sec"))
+        val dupTrips = trips
+          .filter($"trip_id" % 51 === 0 && $"landing_date" >= tripCut)
+          .select(($"trip_id" + 1).as("trip_id"), $"imei", $"landing_date",
+            (($"trip_id" + 1) % 7000 + 3600).cast("long").as("duration_sec"))
+        val sPrior = graft.pipeline.Incremental.submissionContrib(
+          graft.pipeline.Incremental.surveyProcess(nest(prior), lw,
+            Seq("district", "month") ++ keys), keys)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tPrior = trips.filter($"landing_date" < tripCut)
+        val lm = trunc($"landing_date", "month").as("lmonth")
+        val g1 = "00000001_aaa"
+        val sP = Versioned.writeSnapshotFull(sPrior, dir, "snp_sstate",
+          "month", g1)
+        val tP = Versioned.writeSnapshotFull(tPrior.withColumn("lmonth", lm),
+          dir, "snp_tstate", "lmonth", g1)
+        val mP = Versioned.writeSnapshotFull(
+          graft.ops.GatedMerge.gatedOneToOne(sPrior, tPrior, keys)
+            .withColumn("lmonth", lm),
+          dir, "snp_merged", "lmonth", g1)
+        Versioned.commitManifest(dir, "snp_root", g1,
+          sP.map(v => Versioned.snapshotPinKey("snp_sstate", v) -> g1)
+            .toMap ++
+          tP.map(v => Versioned.snapshotPinKey("snp_tstate", v) -> g1) ++
+          mP.map(v => Versioned.snapshotPinKey("snp_merged", v) -> g1))
+        Versioned.write(
+          nest(flat.filter($"day" >= cutoff).unionByName(edited))
+            .coalesce(4),
+          dir, "snp_sraw", "00000002_bbb")
+        Versioned.write(
+          trips.filter($"landing_date" >= tripCut).unionByName(dupTrips),
+          dir, "snp_traw", "00000002_bbb")
+        graft.pipeline.Incremental.chainedTripsSnapshotCycle(s, dir,
+            "snp_root", "snp_sstate", "snp_tstate", "snp_merged",
+            "snp_sraw", "snp_traw", lw, gen = "00000002_bbb")
+          .orderBy($"district", $"month")
+      },
+      Some(partitionedTripsOracleSql)),
+
     // q394 with an O(TOUCHED) EXPORT — the last O(|state|) stage in the
     // nightly topology removed: the monthly rollup and the composition
     // + JSON doc become month-partitioned state themselves, and the

@@ -647,7 +647,7 @@ class PlanAuditSpec extends SparkTestBase {
     // the BM25 1-row stats BNLJ exemption)
     for (name <- Seq("q395_lsh_partitioned_store",
         "q396_lsh_partitioned_delete", "q399_touched_export",
-        "q400_manifest_topology")) {
+        "q400_manifest_topology", "q403_snapshot_topology")) {
       val plan = finalPlan(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name went cartesian:\n${plan.take(2000)}")

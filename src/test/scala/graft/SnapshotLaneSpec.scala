@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Versioned
+
+/** The generation-pinned snapshot lane
+  * ([[graft.pipeline.Incremental.chainedTripsSnapshotCycle]], q403):
+  * the partitioned topology with all-or-nothing reads. These pins
+  * certify what the q403 oracle can't see: a crashed publish's
+  * half-written generations are INVISIBLE to manifest readers (the
+  * in-place lane's mixed-trio window is gone), prior generations' files
+  * are never modified, reads prune to the pinned (month, gen) leaves at
+  * numFiles level, and generation GC under manifest retention reclaims
+  * superseded dirs while untouched months' ORIGINAL generations — still
+  * pinned by the newest manifest — survive any keep-last-1 sweep.
+  */
+class SnapshotLaneSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def genDirs(dir: String, prefix: String, partCol: String,
+                      month: String) =
+    Option(new java.io.File(Versioned.snapshotRoot(dir, prefix),
+        s"$partCol=$month").listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isDirectory).map(_.getName).sorted
+
+  private def genFiles(dir: String, prefix: String, partCol: String,
+                       month: String, gen: String) =
+    Option(new java.io.File(Versioned.snapshotRoot(dir, prefix),
+        s"$partCol=$month/__gen=$gen").listFiles()).map(_.toSeq)
+      .getOrElse(Seq.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1)
+
+  test("crash invisible; replay completes; old generations immutable; pruned reads; GC keeps pinned") {
+    val lw = graft.queries.IoQueries.chainLwTable(spark)
+    // fixture + committed gen-2 cycle (oracle-checked shape)
+    val first = SparkEntry.queries("q403_snapshot_topology")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val dir = graft.core.Scratch.dir("q403_snap")
+    assert(Versioned.latestManifest(dir, "snp_root")
+      .exists(_._1 == "00000002_bbb"))
+    def servedCounts = Seq(("snp_sstate", "month"), ("snp_tstate", "lmonth"),
+      ("snp_merged", "lmonth")).map { case (p, c) =>
+      Versioned.readSnapshotPartitions(spark, dir, "snp_root", p, c, None)
+        .count()
+    }
+    val countsAtG2 = servedCounts
+    // an untouched 1999 month's ORIGINAL generation, in every root
+    val oldGens = Seq(
+      genFiles(dir, "snp_sstate", "month", "1999-07-01", "00000001_aaa"),
+      genFiles(dir, "snp_tstate", "lmonth", "1999-07-01", "00000001_aaa"),
+      genFiles(dir, "snp_merged", "lmonth", "1999-07-01", "00000001_aaa"))
+    assert(oldGens.forall(_.nonEmpty), "fixture wrote no 1999 gen-1 dirs")
+    // pruned read: one pinned month resolves to exactly its gen dir's
+    // files — unpinned/superseded generations never scheduled
+    spark.catalog.clearCache()
+    val one = Versioned.readSnapshotPartitions(spark, dir, "snp_root",
+      "snp_sstate", "month", Some(Seq("1999-07-01")))
+    one.collect()
+    val scan = one.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metrics("numFiles").value == oldGens.head.size,
+      s"pruned read scheduled ${scan.metrics("numFiles").value} files, " +
+        s"expected the ${oldGens.head.size} in 1999-07's pinned gen")
+    // ---- the CRASH: a gen-3 cycle publishes survey+trips generations
+    // and dies before the merge write and the manifest commit
+    Thread.sleep(1100)
+    val sDelta = Versioned.readLatest(spark, dir, "snp_sraw")
+    // a month the delta EDITS was touched by the initial load, the
+    // gen-2 cycle, and the gen-3 replay — three generations side by
+    // side. At sf0.001 the %23 edit set in the window is EMPTY (sparse
+    // orderkeys), so the three-generation pin is conditional; the
+    // always-present new-survey month 2001-06 carries the crash/GC pins
+    val em = sDelta.filter($"month" < to_date(lit("2001-06-01")))
+      .select($"month").distinct().orderBy($"month")
+      .collect().headOption.map(_.get(0).toString)
+    val nm = "2001-06-01"
+    Versioned.writeSnapshotPartitions(
+      graft.pipeline.Incremental.submissionContrib(
+        graft.pipeline.Incremental.surveyProcess(sDelta, lw,
+          Seq("district", "month", "imei", "landing_date")),
+        Seq("imei", "landing_date")),
+      dir, "snp_sstate", "month", "00000003_ccc")
+    // half-written generation dirs EXIST on disk...
+    assert(genDirs(dir, "snp_sstate", "month", nm)
+      .contains("__gen=00000003_ccc"))
+    // ...but manifest readers still serve the full gen-2 trio
+    assert(servedCounts == countsAtG2,
+      "a reader saw a crashed publish's half-written generation")
+    // ---- the replayed cycle completes from the intact prior pins
+    val second = graft.pipeline.Incremental.chainedTripsSnapshotCycle(
+        spark, dir, "snp_root", "snp_sstate", "snp_tstate", "snp_merged",
+        "snp_sraw", "snp_traw", lw, gen = "00000003_ccc")
+      .collect().map(_.toSeq).toSet
+    assert(second == first,
+      "re-applying the same batch at the next generation changed the export")
+    assert(Versioned.latestManifest(dir, "snp_root")
+      .exists(_._1 == "00000003_ccc"))
+    // prior generations' files were never modified through any of it
+    assert(oldGens == Seq(
+      genFiles(dir, "snp_sstate", "month", "1999-07-01", "00000001_aaa"),
+      genFiles(dir, "snp_tstate", "lmonth", "1999-07-01", "00000001_aaa"),
+      genFiles(dir, "snp_merged", "lmonth", "1999-07-01", "00000001_aaa")),
+      "a prior generation's files changed — the lane is not append-only")
+    em.foreach { m =>
+      val touchedGens = genDirs(dir, "snp_sstate", "month", m)
+      assert(touchedGens.size == 3,
+        s"expected 3 generations at edited month $m: $touchedGens")
+    }
+    assert(genDirs(dir, "snp_sstate", "month", nm).size == 2,
+      s"expected gen-2 + gen-3 at new-survey month $nm")
+    // the MERGED root's trip-delta months re-merge every cycle while
+    // their survey pass-throughs existed from the initial load — three
+    // generations side by side at every SF (the survey-root triple
+    // above needs the edit lane, vacuous at sf0.001)
+    val mGens = genDirs(dir, "snp_merged", "lmonth", "2001-03-01")
+    assert(mGens.size == 3,
+      s"expected 3 generations at merged 2001-03: $mGens")
+    // ---- GC at keep-last-1: superseded generations of touched months
+    // reclaim; untouched months' gen-1 dirs survive because the newest
+    // manifest still PINS them (pins carry forward); serving unchanged
+    val before = servedCounts
+    Versioned.gcThroughManifest(dir, "snp_root", keepLast = 1)
+    Seq("snp_sstate", "snp_tstate", "snp_merged").foreach { p =>
+      Versioned.gcSnapshotGenerations(dir, "snp_root", p, keepLast = 1)
+    }
+    assert(genDirs(dir, "snp_sstate", "month", nm)
+      == Seq("__gen=00000003_ccc"),
+      "superseded generations of a touched month survived GC")
+    assert(genFiles(dir, "snp_sstate", "month", "1999-07-01",
+      "00000001_aaa").nonEmpty,
+      "GC ate an untouched month's still-pinned original generation")
+    assert(servedCounts == before, "serving changed after GC")
+  }
+}
