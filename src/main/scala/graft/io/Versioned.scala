@@ -468,6 +468,16 @@ object Versioned {
     readSnapshotAt(spark, dir, prefix, partCol,
       snapshotPins(dir, manifestPrefix, prefix), touched)
 
+  /** Above this many pins a snapshot read assembles the pinned leaf
+    * PATHS directly instead of filtering the whole root through a
+    * literal (partition, gen) disjunction: the predicate tree and the
+    * full-root file listing both grow with the pin count, while a
+    * path-assembled read lists exactly the pinned directories — the
+    * thousands-of-partitions posture. Below it the disjunction wins
+    * (one listing, plan-time pruning, no per-path driver RPCs).
+    */
+  val SnapshotPathReadThreshold = 64
+
   /** [[readSnapshotPartitions]] against an EXPLICIT pin map — the
     * mid-cycle read: a publishing cycle sees its own just-written
     * generations for the partitions it touched and the prior pins for
@@ -483,11 +493,21 @@ object Versioned {
         pins.filter { case (v, _) => want.contains(v) }
       case None => pins
     }
-    val full = spark.read.parquet(snapshotRoot(dir, prefix))
-    val pred = sel.toSeq.sortBy(_._1).map { case (v, g) =>
-      col(partCol) === lit(v) && col("__gen") === lit(g)
-    }.reduceOption(_ || _).getOrElse(lit(false))
-    full.filter(pred).drop("__gen")
+    val root = snapshotRoot(dir, prefix)
+    if (sel.size > SnapshotPathReadThreshold) {
+      // pins always name directories their manifest's commit proved
+      // written (emptied partitions leave the pin map), so every path
+      // exists; basePath keeps the partition columns in the schema
+      val paths = sel.toSeq.sortBy(_._1).map { case (v, g) =>
+        s"$root/$partCol=$v/__gen=$g"
+      }
+      spark.read.option("basePath", root).parquet(paths: _*).drop("__gen")
+    } else {
+      val pred = sel.toSeq.sortBy(_._1).map { case (v, g) =>
+        col(partCol) === lit(v) && col("__gen") === lit(g)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      spark.read.parquet(root).filter(pred).drop("__gen")
+    }
   }
 
   /** Generation GC for a snapshot root: a (partition, gen) directory is
