@@ -1,0 +1,191 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone maps (data skipping) for partitioned parquet roots.
+  *
+  * Partition pruning eliminates whole directories, but a selective
+  * predicate on a NON-partition column still schedules every file of the
+  * surviving partitions — at the 100 TB design point that is the
+  * difference between reading a month and reading a month's worth of
+  * footers plus row groups that a min/max check would have excluded
+  * before any task launched. Parquet's own row-group statistics prune
+  * only AFTER a task has opened the footer; a file-level sidecar prunes
+  * at PLAN time on the driver, the way a table format's `add.stats`
+  * entries do (Delta data skipping, Iceberg manifests), without
+  * adopting a table format.
+  *
+  * The sidecar holds one row per (partition value, file): row count,
+  * null count, and min/max of ONE stat column, and is ITSELF a
+  * partitioned root (mirroring the data root's partition values), so
+  * maintenance after an incremental publish is O(touched) via the same
+  * [[Versioned.overwriteTouchedPartitions]] protocol as the data — a
+  * replayed cycle rewrites the same sidecar partitions to the same
+  * content (at-least-once safe), and an emptied data partition empties
+  * its sidecar partition through the same `touched` list.
+  *
+  * Skipping is CONSERVATIVE by construction: a file is excluded only
+  * when its recorded [min, max] interval provably cannot intersect the
+  * queried interval (or when every row is null on the stat column, and
+  * a range predicate can never match null). The residual predicate is
+  * still applied to the surviving files, so a skipping read is
+  * row-for-row equal to a full scan + filter regardless of how the
+  * values are laid out — clustering (see [[writeZoneClustered]]) only
+  * changes how MUCH is skipped, never what is returned.
+  *
+  * Contract: the sidecar must be maintained by the same cycle that
+  * publishes the data root (build full once, then
+  * [[maintainSidecar]] with the cycle's touched set). A file the
+  * sidecar does not know about is invisible to [[readSkipping]] — that
+  * is the same authority a table-format manifest has over its data
+  * files, and the reason the maintenance call sits next to the data
+  * publish rather than being best-effort.
+  */
+object FileStats {
+
+  /** Sidecar prefix convention for `dataPrefix`'s zone maps. */
+  def sidecarPrefix(dataPrefix: String): String = s"${dataPrefix}_zmap"
+
+  /** Per-(partition, file) statistics of `statCol` over (optionally a
+    * pruned subset of) the data root. `input_file_name()` keys the
+    * aggregation, so the pass is one partial-agg scan of exactly the
+    * partitions asked for — the read-back after an incremental publish
+    * is O(touched), not O(root).
+    *
+    * Output: `part` (string form of the partition value — it becomes
+    * the sidecar's own partition column), `file`, `n_rows`, `n_nulls`,
+    * `min_v`, `max_v` (typed as `statCol` itself; both null for an
+    * all-null file).
+    */
+  def collect(spark: SparkSession, dir: String, dataPrefix: String,
+              partCol: String, statCol: String,
+              parts: Option[Seq[Any]]): DataFrame = {
+    val src = parts match {
+      case Some(vs) => Versioned.readPartitions(spark, dir, dataPrefix,
+        partCol, vs)
+      case None => Versioned.readPartitioned(spark, dir, dataPrefix)
+    }
+    src.groupBy(col(partCol).cast("string").as("part"),
+        input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(statCol))).as("n_nulls"),
+        min(col(statCol)).as("min_v"),
+        max(col(statCol)).as("max_v"))
+  }
+
+  /** Full sidecar build (backfill / first publish): one scan of the data
+    * root, laid out as a partitioned root keyed by `part`.
+    */
+  def buildSidecar(spark: SparkSession, dir: String, dataPrefix: String,
+                   partCol: String, statCol: String): String =
+    Versioned.writePartitionedFull(
+      collect(spark, dir, dataPrefix, partCol, statCol, None),
+      dir, sidecarPrefix(dataPrefix), Seq("part"))
+
+  /** O(touched) sidecar maintenance after an incremental data publish:
+    * re-derive statistics for ONLY the cycle's touched partitions
+    * (partition-pruned read-back of the just-published data) and
+    * dynamic-overwrite those sidecar partitions. The stats frame scans
+    * the DATA root, never the sidecar root, so the
+    * [[Versioned.overwriteTouchedPartitions]] self-overwrite hazard
+    * does not arise and no checkpoint is needed. A touched partition
+    * the publish emptied yields no stats rows and is erased from the
+    * sidecar through the same `touched` list that erased its data.
+    */
+  def maintainSidecar(spark: SparkSession, dir: String, dataPrefix: String,
+                      partCol: String, statCol: String,
+                      touched: Seq[Any]): String =
+    Versioned.overwriteTouchedPartitions(
+      collect(spark, dir, dataPrefix, partCol, statCol, Some(touched)),
+      dir, sidecarPrefix(dataPrefix), "part", touched.map(_.toString))
+
+  /** The files whose recorded [min_v, max_v] MAY intersect [lo, hi]
+    * (either bound optional; equality = lo == hi). All-null files are
+    * excluded — a range predicate never matches null. The collect is
+    * O(sidecar rows) = O(files), the same driver-side planning work a
+    * table format's manifest scan does; restrict `parts` first when the
+    * query also carries a partition predicate so the sidecar read is
+    * itself partition-pruned.
+    */
+  def candidateFiles(spark: SparkSession, dir: String, dataPrefix: String,
+                     lo: Option[Any], hi: Option[Any],
+                     parts: Option[Seq[Any]] = None): Seq[String] = {
+    val side = parts match {
+      case Some(vs) => Versioned.readPartitions(spark, dir,
+        sidecarPrefix(dataPrefix), "part", vs.map(_.toString))
+      case None => Versioned.readPartitioned(spark, dir,
+        sidecarPrefix(dataPrefix))
+    }
+    val overlap = Seq(
+      lo.map(v => col("max_v") >= lit(v)),
+      hi.map(v => col("min_v") <= lit(v))
+    ).flatten.reduceOption(_ && _).getOrElse(lit(true))
+    side.filter(col("n_rows") > col("n_nulls") && overlap)
+      .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Plan-time data-skipping read: scan ONLY the candidate files and
+    * apply the residual interval predicate. Row-for-row equal to
+    * `readPartitioned(...).filter(statCol between lo and hi)` because
+    * skipping is conservative; the win is that excluded files are never
+    * listed, opened, or scheduled (FileStatsSpec pins the scan's
+    * `numFiles` to the candidate count). An empty candidate set returns
+    * an empty frame of the root's schema without touching data files.
+    */
+  def readSkipping(spark: SparkSession, dir: String, dataPrefix: String,
+                   partCol: String, statCol: String,
+                   lo: Option[Any], hi: Option[Any],
+                   parts: Option[Seq[Any]] = None): DataFrame = {
+    val root = Versioned.partitionedRoot(dir, dataPrefix)
+    val residual: Column = Seq(
+      lo.map(v => col(statCol) >= lit(v)),
+      hi.map(v => col(statCol) <= lit(v))
+    ).flatten.reduceOption(_ && _).getOrElse(lit(true))
+    val files = candidateFiles(spark, dir, dataPrefix, lo, hi, parts)
+    if (files.isEmpty)
+      spark.read.parquet(root).filter(lit(false))
+    else
+      spark.read.option("basePath", root).parquet(files: _*)
+        .filter(residual)
+  }
+
+  /** Zone-clustered full layout: range-partition by (partCol, statCol)
+    * so each write task holds a CONTIGUOUS slice of the stat column
+    * within its partition values — every file's [min_v, max_v] interval
+    * is narrow and files barely overlap, which is what makes the
+    * sidecar's pruning bite (an unclustered layout gives every file the
+    * full value range and zone maps prune nothing; same lesson as
+    * [[Versioned]]'s clustered partitioned writes, applied to the
+    * second dimension). This is the 1-D case of Z-order layout; `tasks`
+    * plays the `filesPerPartition` role across the whole root.
+    */
+  def writeZoneClustered(df: DataFrame, dir: String, prefix: String,
+                         partCol: String, statCol: String,
+                         tasks: Int): String = {
+    val root = Versioned.partitionedRoot(dir, prefix)
+    df.repartitionByRange(tasks, col(partCol), col(statCol))
+      .sortWithinPartitions(col(partCol), col(statCol))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy(partCol).parquet(root)
+    root
+  }
+
+  /** Metadata-only aggregates: per-partition row count, null count and
+    * min/max of the stat column answered from the SIDECAR alone — zero
+    * data files are listed, opened, or scheduled. This is the
+    * `count(*) / min / max` fast path a table format serves from its
+    * manifest statistics; exactness holds because the sidecar is
+    * maintained transactionally with the data (see class doc). min/max
+    * ignore all-null files through min/max's own null semantics.
+    */
+  def statsOnlyAgg(spark: SparkSession, dir: String,
+                   dataPrefix: String): DataFrame =
+    Versioned.readPartitioned(spark, dir, sidecarPrefix(dataPrefix))
+      .groupBy(col("part"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_nulls")).as("n_nulls"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+}

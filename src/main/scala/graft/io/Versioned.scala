@@ -510,6 +510,92 @@ object Versioned {
     }
   }
 
+  /** Parquet data files of one pinned (partition, generation) leaf. */
+  private def leafDataFiles(dir: String, prefix: String, partCol: String,
+                            v: String, gen: String): Seq[java.io.File] =
+    Option(new java.io.File(snapshotRoot(dir, prefix),
+        s"$partCol=$v/__gen=$gen").listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.getName.endsWith(".parquet"))
+
+  /** Read-optimization COMPACTION for snapshot roots — the
+    * write-optimized → read-optimized transition (a table format's
+    * OPTIMIZE): a hot partition published under a `filesPerPartition`
+    * salt (so the write could parallelize) accumulates small files
+    * that cost a task launch and a footer read each; compaction
+    * rewrites every pinned leaf holding more than `maxFiles` data
+    * files into a fresh `tag` generation at `targetFiles` files and
+    * re-pins ALL affected roots in ONE atomic manifest commit.
+    *
+    * Properties inherited from the snapshot lane, by construction:
+    *  - readers are never disturbed — prior generations' files are
+    *    not modified, and the re-pin is the same all-or-nothing
+    *    [[commitManifest]] the publish cycles use (a crash mid-
+    *    compaction leaves every reader on the prior pins; the
+    *    half-written `tag` generations are invisible and a replay
+    *    rewrites them idempotently);
+    *  - content is row-for-row preserved — compaction reads exactly
+    *    the pinned leaves and writes exactly their union back
+    *    (CompactionSpec pins read-after ≡ read-before on every root);
+    *  - thin leaves and untouched roots keep their pins AND their
+    *    files byte-identical; a replay after commit finds every leaf
+    *    thin and no-ops through [[commitManifest]]'s same-tag/
+    *    same-entries path;
+    *  - superseded fat generations reclaim via
+    *    [[gcSnapshotGenerations]] under the usual retention.
+    *
+    * Scheduling is the caller's policy (nightly, or when a leaf's
+    * file count crosses `maxFiles`); the scan here is driver-side
+    * listing of pinned leaves only — O(partitions), the same
+    * metadata walk the GC does.
+    *
+    * @param roots (prefix, partitionColumn) of every root this
+    *              manifest manages that should be considered
+    * @return per prefix, the partition values whose leaves were
+    *         compacted (empty = nothing exceeded `maxFiles`)
+    */
+  def compactSnapshotLeaves(spark: SparkSession, dir: String,
+                            manifestPrefix: String,
+                            roots: Seq[(String, String)], tag: String,
+                            maxFiles: Int,
+                            targetFiles: Int = 1): Map[String, Set[String]] = {
+    require(maxFiles >= targetFiles && targetFiles >= 1,
+      s"need maxFiles >= targetFiles >= 1, got $maxFiles/$targetFiles")
+    val entries0 = latestManifest(dir, manifestPrefix).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no manifest for prefix '$manifestPrefix' in $dir"))
+    var entries = entries0
+    val report = roots.map { case (prefix, partCol) =>
+      val pins = snapshotPins(dir, manifestPrefix, prefix)
+      val fat = pins.filter { case (v, g) =>
+        leafDataFiles(dir, prefix, partCol, v, g).size > maxFiles
+      }
+      if (fat.nonEmpty) {
+        // checkpoint cuts lineage to the prior-gen leaves so the
+        // present-set collect and the write don't re-list them twice
+        val df = graft.ext.Exec.checkpointEager(
+          readSnapshotAt(spark, dir, prefix, partCol, fat, None))
+        val present = writeSnapshotPartitions(df, dir, prefix, partCol,
+          tag, targetFiles)
+        require(present.map(_.toString) == fat.keySet,
+          s"compaction of '$prefix' changed the partition set: pinned " +
+            s"${fat.keySet} vs rewritten ${present.map(_.toString)} — a " +
+            "pinned leaf must never be empty")
+        entries = entries ++
+          fat.keys.map(v => snapshotPinKey(prefix, v) -> tag)
+      }
+      prefix -> fat.keySet
+    }.toMap
+    // all roots' re-pins flip atomically; when nothing was fat this is
+    // the same-entries replay path only if tag matches the published
+    // manifest — otherwise it commits a (harmless) new generation whose
+    // pins equal the prior one's, keeping tag monotonicity simple
+    if (entries != entries0 ||
+        !latestManifest(dir, manifestPrefix).exists(_._1 == tag))
+      commitManifest(dir, manifestPrefix, tag, entries)
+    report
+  }
+
   /** Generation GC for a snapshot root: a (partition, gen) directory is
     * reclaimable iff no KEPT manifest pins it AND its gen is strictly
     * older than the newest kept manifest's tag — the second condition

@@ -1943,7 +1943,174 @@ object IoQueries extends QueryPack {
             "pbmd_post", "pbmd_tomb", qTerms = 3, k = 10, bucketWidth = bw)
           .orderBy($"rnk")
       },
-      Some(bm25ServeOracleSql("WHERE doc_id % 13 <> 0")))
+      Some(bm25ServeOracleSql("WHERE doc_id % 13 <> 0"))),
+
+    // File-level ZONE MAPS (data skipping): partition pruning removes
+    // whole months, but a selective predicate on a NON-partition column
+    // still schedules every file of the surviving months. The sidecar
+    // (one row per (partition, file): n_rows/n_nulls/min/max of the
+    // stat column) prunes files at PLAN time on the driver, the way a
+    // table format's manifest statistics do — the zone-clustered
+    // layout (range-partition by (month, cents)) is what makes the
+    // pruning bite. Skipping is conservative (residual predicate
+    // re-applied), so the result is row-for-row the full scan + filter
+    // — FileStatsSpec pins the scan's numFiles to the candidate count.
+    Q("q404_zonemap_skipping",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q404_zmap")
+        val li = Tables.lineitem(s, d).select(
+          date_format($"l_shipdate", "yyyy-MM").as("smonth"),
+          round($"l_extendedprice" * 100, 0).cast("long").as("cents"),
+          $"l_orderkey", $"l_linenumber")
+        graft.io.FileStats.writeZoneClustered(li, dir, "zm_li",
+          "smonth", "cents", tasks = 64)
+        graft.io.FileStats.buildSidecar(s, dir, "zm_li", "smonth", "cents")
+        graft.io.FileStats.readSkipping(s, dir, "zm_li", "smonth",
+            "cents", Some(2000000L), Some(2500000L))
+          .groupBy($"smonth")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+          .orderBy($"smonth")
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS smonth,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS cents_sum
+             |FROM lineitem
+             |WHERE CAST(round(l_extendedprice*100, 0) AS BIGINT)
+             |  BETWEEN 2000000 AND 2500000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Metadata-only aggregates off the zone-map sidecar: per-partition
+    // count(*), null count and min/max answered WITHOUT listing,
+    // opening, or scheduling a single data file (FileStatsSpec asserts
+    // the executed plan scans only the sidecar root) — the manifest
+    // fast path of a table format. Exact because the sidecar is
+    // maintained by the same protocol that publishes the data; null
+    // accounting rides n_nulls and min/max's own null semantics.
+    Q("q405_stats_only_agg",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q405_zmeta")
+        val o = Tables.orders(s, d).select(
+          date_format($"o_orderdate", "yyyy-MM").as("omonth"),
+          when($"o_orderkey" % 101 === 0, lit(null).cast("long"))
+            .otherwise(round($"o_totalprice" * 100, 0).cast("long"))
+            .as("cents"))
+        Versioned.writePartitionedFull(o, dir, "zm_ord", Seq("omonth"),
+          filesPerPartition = 2)
+        graft.io.FileStats.buildSidecar(s, dir, "zm_ord", "omonth",
+          "cents")
+        graft.io.FileStats.statsOnlyAgg(s, dir, "zm_ord")
+          .orderBy($"part")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS part,
+             |  count(*) AS n_rows,
+             |  count(*) - count(v) AS n_nulls,
+             |  min(v) AS min_v, max(v) AS max_v
+             |FROM (SELECT o_orderdate,
+             |    CASE WHEN o_orderkey % 101 = 0 THEN NULL
+             |         ELSE CAST(round(o_totalprice*100, 0) AS BIGINT)
+             |    END AS v
+             |  FROM orders)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Zone maps MAINTAINED through an incremental publish: the state
+    // root starts at months < cutoff; the cycle dynamic-overwrites the
+    // delta's months (straddling months rewritten whole: prior ∪
+    // delta) and re-derives the sidecar for ONLY those months via the
+    // same overwriteTouchedPartitions protocol (O(touched), replay-
+    // idempotent, emptied months erased — FileStatsSpec pins untouched
+    // sidecar partitions byte-identical). The skipping range read over
+    // the final root must equal a plain filter over ALL of lineitem —
+    // stale zone maps would silently drop the delta's files here.
+    Q("q406_zonemap_incremental",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q406_zminc")
+        val li = Tables.lineitem(s, d).select(
+          date_format($"l_shipdate", "yyyy-MM").as("smonth"),
+          round($"l_extendedprice" * 100, 0).cast("long").as("cents"),
+          $"l_orderkey", $"l_linenumber")
+        // the delta straddles 1997-01: that month's prior rows must be
+        // carried through the touched-month rewrite (prior ∪ delta)
+        val straddle = "1997-01"
+        val isDelta = $"smonth" > straddle ||
+          ($"smonth" === straddle && $"l_orderkey" % 5 === 0)
+        Versioned.writePartitionedFull(li.filter(!isDelta),
+          dir, "zm_inc", Seq("smonth"))
+        graft.io.FileStats.buildSidecar(s, dir, "zm_inc", "smonth",
+          "cents")
+        val delta = li.filter(isDelta)
+        val touched = delta.select($"smonth").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        val prior = Versioned.readPartitions(s, dir, "zm_inc", "smonth",
+          touched)
+        Versioned.overwriteTouchedPartitions(
+          prior.unionByName(delta).localCheckpoint(true),
+          dir, "zm_inc", "smonth", touched)
+        graft.io.FileStats.maintainSidecar(s, dir, "zm_inc", "smonth",
+          "cents", touched)
+        graft.io.FileStats.readSkipping(s, dir, "zm_inc", "smonth",
+            "cents", Some(1000000L), Some(1300000L))
+          .groupBy($"smonth")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+          .orderBy($"smonth")
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS smonth,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS cents_sum
+             |FROM lineitem
+             |WHERE CAST(round(l_extendedprice*100, 0) AS BIGINT)
+             |  BETWEEN 1000000 AND 1300000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Snapshot-lane COMPACTION (a table format's OPTIMIZE): a hot
+    // month published under a filesPerPartition salt accumulates small
+    // files that cost a task launch + footer read each; the compactor
+    // rewrites every pinned leaf over the file threshold into a fresh
+    // single-file generation and re-pins them in ONE atomic manifest
+    // commit — readers are never disturbed (prior generations'
+    // files untouched; a crash mid-compaction leaves every reader on
+    // the prior pins), rows are preserved exactly, and the superseded
+    // fat generations reclaim under GC (CompactionSpec pins all of
+    // it). The fixture writes through a child session with AQE
+    // partition-coalescing off so the salt genuinely fans out at
+    // every SF; the served aggregate after compact + GC is the
+    // oracle-checked result.
+    Q("q407_snapshot_compaction",
+      (s0, d) => {
+        val s = s0.newSession()
+        s.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+          "false")
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q407_cmp")
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(_.getName.startsWith("cq_root__")).foreach(_.delete()))
+        val li = Tables.lineitem(s, d).select(
+          date_format($"l_shipdate", "yyyy-MM").as("smonth"),
+          round($"l_extendedprice" * 100, 0).cast("long").as("cents"),
+          $"l_orderkey", $"l_linenumber")
+        val g1 = "00000001_aaa"
+        val p1 = Versioned.writeSnapshotFull(li, dir, "cq_li", "smonth",
+          g1, filesPerPartition = 16)
+        Versioned.commitManifest(dir, "cq_root", g1,
+          p1.map(v => Versioned.snapshotPinKey("cq_li", v) -> g1).toMap)
+        Versioned.compactSnapshotLeaves(s, dir, "cq_root",
+          Seq("cq_li" -> "smonth"), "00000002_bbb", maxFiles = 1)
+        Versioned.gcThroughManifest(dir, "cq_root", keepLast = 1)
+        Versioned.gcSnapshotGenerations(dir, "cq_root", "cq_li",
+          keepLast = 1)
+        Versioned.readSnapshotPartitions(s, dir, "cq_root", "cq_li",
+            "smonth", None)
+          .groupBy($"smonth")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+          .orderBy($"smonth")
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS smonth,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS cents_sum
+             |FROM lineitem
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Full-corpus replay oracle for the incremental LSH dedup cycles

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.{FileStats, Versioned}
+
+/** File-level zone maps: conservative skipping ≡ full scan, plan-level
+  * numFiles pins, all-null exclusion, O(touched) sidecar maintenance
+  * through the partitioned-publish protocol (untouched sidecar
+  * partitions byte-identical, emptied partitions leave the sidecar),
+  * and the metadata-only aggregate fast path.
+  */
+class FileStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkData(n: Int) = spark.range(n.toLong).select(
+    $"id",
+    concat(lit("m"), format_string("%02d", ($"id" % 8).cast("int")))
+      .as("part"),
+    // v correlates with id so range clustering gives narrow file zones
+    ($"id" * 3 + 7).as("v"),
+    when($"id" % 997 === 0, lit(null).cast("long"))
+      .otherwise($"id").as("w"))
+
+  private def leafFiles(root: String): Seq[java.io.File] =
+    Option(new java.io.File(root).listFiles()).map(_.toSeq)
+      .getOrElse(Seq.empty)
+      .filter(_.isDirectory)
+      .flatMap(d => Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty))
+      .filter(_.getName.endsWith(".parquet"))
+
+  private def scanNumFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.metrics("numFiles").value).sum
+  }
+
+  test("skipping read ≡ full filter, with real file-level pruning") {
+    val dir = graft.core.Scratch.dir("fstats_base")
+    FileStats.writeZoneClustered(mkData(8000), dir, "fs_data",
+      "part", "v", tasks = 32)
+    FileStats.buildSidecar(spark, dir, "fs_data", "part", "v")
+
+    val side = Versioned.readPartitioned(spark, dir,
+      FileStats.sidecarPrefix("fs_data"))
+    val total = leafFiles(Versioned.partitionedRoot(dir, "fs_data")).size
+    assert(side.count() == total.toLong,
+      "sidecar must hold exactly one row per data file")
+    assert(side.agg(sum($"n_rows")).first.getLong(0) == 8000L)
+
+    val (lo, hi) = (3000L, 5000L)
+    val skip = FileStats.readSkipping(spark, dir, "fs_data", "part", "v",
+      Some(lo), Some(hi))
+    val full = Versioned.readPartitioned(spark, dir, "fs_data")
+      .filter($"v" >= lo && $"v" <= hi)
+    assert(skip.orderBy($"id").collect().toSeq ==
+      full.orderBy($"id").collect().toSeq)
+
+    val cand = FileStats.candidateFiles(spark, dir, "fs_data",
+      Some(lo), Some(hi))
+    assert(cand.nonEmpty && cand.size < total,
+      s"zone-clustered layout must actually prune: ${cand.size} of $total")
+    assert(scanNumFiles(skip) == cand.size.toLong,
+      "the skipping scan must schedule exactly the candidate files")
+
+    // an interval outside every zone reads zero files
+    val none = FileStats.readSkipping(spark, dir, "fs_data", "part", "v",
+      Some(1000000L), None)
+    assert(none.isEmpty)
+    assert(FileStats.candidateFiles(spark, dir, "fs_data",
+      Some(1000000L), None).isEmpty)
+  }
+
+  test("conservative under an unclustered layout: equal rows, no pruning win") {
+    val dir = graft.core.Scratch.dir("fstats_unclustered")
+    // hash layout: every file spans the whole v range — zone maps must
+    // still return EXACTLY the right rows, they just can't skip
+    Versioned.writePartitionedFull(mkData(4000), dir, "fs_flat",
+      Seq("part"), filesPerPartition = 4)
+    FileStats.buildSidecar(spark, dir, "fs_flat", "part", "v")
+    val skip = FileStats.readSkipping(spark, dir, "fs_flat", "part", "v",
+      Some(2000L), Some(2600L))
+    val full = Versioned.readPartitioned(spark, dir, "fs_flat")
+      .filter($"v" >= 2000L && $"v" <= 2600L)
+    assert(skip.orderBy($"id").collect().toSeq ==
+      full.orderBy($"id").collect().toSeq)
+  }
+
+  test("all-null files are excluded; null rows never match a range") {
+    val dir = graft.core.Scratch.dir("fstats_nulls")
+    // partition m1 entirely null on v
+    val df = spark.range(200).select($"id",
+      concat(lit("m"), ($"id" % 2).cast("string")).as("part"),
+      when($"id" % 2 === 1, lit(null).cast("long")).otherwise($"id")
+        .as("v"))
+    Versioned.writePartitionedFull(df, dir, "fs_null", Seq("part"))
+    FileStats.buildSidecar(spark, dir, "fs_null", "part", "v")
+    val side = Versioned.readPartitioned(spark, dir,
+      FileStats.sidecarPrefix("fs_null"))
+    assert(side.filter($"part" === "m1").select($"n_nulls" === $"n_rows")
+      .collect().forall(_.getBoolean(0)))
+    val cand = FileStats.candidateFiles(spark, dir, "fs_null",
+      Some(0L), Some(500L))
+    assert(cand.forall(_.contains("part=m0")),
+      "an all-null file can never satisfy a range predicate")
+    val skip = FileStats.readSkipping(spark, dir, "fs_null", "part", "v",
+      Some(0L), Some(500L))
+    assert(skip.count() == 100L)
+  }
+
+  test("O(touched) maintenance: untouched sidecar partitions byte-identical; emptied partition leaves the sidecar") {
+    val dir = graft.core.Scratch.dir("fstats_maint")
+    val df = mkData(4000)
+    Versioned.writePartitionedFull(df, dir, "fs_inc", Seq("part"))
+    FileStats.buildSidecar(spark, dir, "fs_inc", "part", "v")
+    val sideRoot = Versioned.partitionedRoot(dir,
+      FileStats.sidecarPrefix("fs_inc"))
+
+    def fingerprint(part: String): Seq[(String, Long)] =
+      Option(new java.io.File(sideRoot, s"part=$part").listFiles())
+        .map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).sortBy(_._1)
+    val before = (0 until 8).map(i => fingerprint(f"m$i%02d"))
+
+    // cycle: rewrite m02 with doubled v, empty m05 entirely
+    val touched = Seq("m02", "m05")
+    val newRows = df.filter($"part" === "m02")
+      .select($"id", $"part", ($"v" * 2).as("v"), $"w")
+      .localCheckpoint(true)
+    Versioned.overwriteTouchedPartitions(newRows, dir, "fs_inc",
+      "part", touched)
+    FileStats.maintainSidecar(spark, dir, "fs_inc", "part", "v", touched)
+
+    val after = (0 until 8).map(i => fingerprint(f"m$i%02d"))
+    for (i <- 0 until 8 if i != 2 && i != 5)
+      assert(before(i) == after(i),
+        s"untouched sidecar partition m$i was rewritten")
+    assert(after(5).isEmpty, "emptied partition must leave the sidecar")
+
+    // skipping over the maintained sidecar ≡ full scan of the new data
+    val skip = FileStats.readSkipping(spark, dir, "fs_inc", "part", "v",
+      Some(4000L), Some(9000L))
+    val full = Versioned.readPartitioned(spark, dir, "fs_inc")
+      .filter($"v" >= 4000L && $"v" <= 9000L)
+    assert(skip.orderBy($"id").collect().toSeq ==
+      full.orderBy($"id").collect().toSeq)
+    // m05's files are gone from the candidate universe
+    assert(FileStats.candidateFiles(spark, dir, "fs_inc", None, None)
+      .forall(!_.contains("part=m05")))
+
+    // replay of the same maintenance is a no-op in content
+    FileStats.maintainSidecar(spark, dir, "fs_inc", "part", "v", touched)
+    val replay = FileStats.statsOnlyAgg(spark, dir, "fs_inc")
+      .orderBy($"part").collect().toSeq
+    val expect = Versioned.readPartitioned(spark, dir, "fs_inc")
+      .groupBy($"part".cast("string").as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count($"v")).as("n_nulls"),
+        min($"v").as("min_v"), max($"v").as("max_v"))
+      .orderBy($"part").collect().toSeq
+    assert(replay == expect)
+  }
+
+  test("metadata-only aggregate: answered from the sidecar, zero data files scanned") {
+    val dir = graft.core.Scratch.dir("fstats_meta")
+    FileStats.writeZoneClustered(mkData(2000), dir, "fs_meta",
+      "part", "w", tasks = 8)
+    FileStats.buildSidecar(spark, dir, "fs_meta", "part", "w")
+    val agg = FileStats.statsOnlyAgg(spark, dir, "fs_meta")
+    val planned = agg.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(planned.forall(
+      _.relation.location.rootPaths.forall(_.toString.contains("_zmap"))),
+      "stats-only aggregate must scan only the sidecar root")
+    val got = agg.orderBy($"part").collect().toSeq
+    val expect = Versioned.readPartitioned(spark, dir, "fs_meta")
+      .groupBy($"part".cast("string").as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count($"w")).as("n_nulls"),
+        min($"w").as("min_v"), max($"w").as("max_v"))
+      .orderBy($"part").collect().toSeq
+    assert(got == expect,
+      "sidecar-served counts/min/max must equal the data-derived truth " +
+        "including null accounting")
+  }
+}
