@@ -172,6 +172,103 @@ object FileStats {
     root
   }
 
+  // ---- manifest-pinned zone maps (snapshot lane) -----------------------
+  // The in-place lane above maintains the sidecar BESIDE the data: two
+  // separate publishes, consistent only because the same cycle does
+  // both (a crash between them leaves stale stats until replay). The
+  // snapshot lane can do better: the sidecar becomes a generation-
+  // pinned root of its own, its (part → gen) pins ride the SAME
+  // manifest commit as the data pins — stats and data flip atomically,
+  // the way a table format carries per-file statistics inside the very
+  // manifest that makes the files visible. A reader can never see new
+  // data with old stats (files silently un-prunable) or old data with
+  // new stats (files wrongly pruned — the correctness hazard).
+
+  /** Per-(partition, file) statistics of the data read AT `dataPins` —
+    * the mid-cycle view: the publishing cycle passes its own
+    * just-written generations for the touched partitions, so the stats
+    * describe exactly the files the manifest is about to pin.
+    */
+  def collectSnapshotStats(spark: SparkSession, dir: String,
+                           dataPrefix: String, partCol: String,
+                           statCol: String,
+                           dataPins: Map[String, String],
+                           touched: Option[Seq[Any]]): DataFrame =
+    Versioned.readSnapshotAt(spark, dir, dataPrefix, partCol, dataPins,
+        touched)
+      .groupBy(col(partCol).cast("string").as("part"),
+        input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(statCol))).as("n_nulls"),
+        min(col(statCol)).as("min_v"),
+        max(col(statCol)).as("max_v"))
+
+  /** Write the `touched` partitions' statistics into their `gen`
+    * sidecar leaves. Returns the present partition set — the caller
+    * folds `present → gen` into the SAME manifest entries as the data
+    * pins (under [[sidecarPrefix]]'s pin keys) so one
+    * [[Versioned.commitManifest]] flips both; an emptied data
+    * partition drops out of `present` and leaves the sidecar pins the
+    * same way it leaves the data pins.
+    */
+  def writeSnapshotSidecar(spark: SparkSession, dir: String,
+                           dataPrefix: String, partCol: String,
+                           statCol: String,
+                           dataPins: Map[String, String],
+                           touched: Seq[Any], gen: String): Set[Any] =
+    Versioned.writeSnapshotPartitions(
+      collectSnapshotStats(spark, dir, dataPrefix, partCol, statCol,
+        dataPins, Some(touched)),
+      dir, sidecarPrefix(dataPrefix), "part", gen)
+
+  /** [[candidateFiles]] resolved through the newest manifest's sidecar
+    * pins: the stats consulted are exactly the generation the manifest
+    * published with the data, so a half-committed publish can neither
+    * hide a pinned file nor prune through unpinned stats.
+    */
+  def candidateFilesSnapshot(spark: SparkSession, dir: String,
+                             manifestPrefix: String, dataPrefix: String,
+                             lo: Option[Any], hi: Option[Any],
+                             parts: Option[Seq[Any]] = None): Seq[String] = {
+    val side = Versioned.readSnapshotPartitions(spark, dir,
+      manifestPrefix, sidecarPrefix(dataPrefix), "part",
+      parts.map(_.map(_.toString)))
+    val overlap = Seq(
+      lo.map(v => col("max_v") >= lit(v)),
+      hi.map(v => col("min_v") <= lit(v))
+    ).flatten.reduceOption(_ && _).getOrElse(lit(true))
+    side.filter(col("n_rows") > col("n_nulls") && overlap)
+      .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Data-skipping read over a snapshot root, planned entirely from
+    * the manifest: sidecar pins name the stats generation, the stats
+    * name the candidate files (which live in pinned data generations
+    * by the atomic-commit construction), and only those files are
+    * listed, opened, or scheduled. Row-for-row equal to the pinned
+    * full read + filter — SnapshotZoneSpec pins equality, the numFiles
+    * metric, and the crash-window atomicity.
+    */
+  def readSkippingSnapshot(spark: SparkSession, dir: String,
+                           manifestPrefix: String, dataPrefix: String,
+                           partCol: String, statCol: String,
+                           lo: Option[Any], hi: Option[Any],
+                           parts: Option[Seq[Any]] = None): DataFrame = {
+    val root = Versioned.snapshotRoot(dir, dataPrefix)
+    val residual: Column = Seq(
+      lo.map(v => col(statCol) >= lit(v)),
+      hi.map(v => col(statCol) <= lit(v))
+    ).flatten.reduceOption(_ && _).getOrElse(lit(true))
+    val files = candidateFilesSnapshot(spark, dir, manifestPrefix,
+      dataPrefix, lo, hi, parts)
+    if (files.isEmpty)
+      Versioned.readSnapshotPartitions(spark, dir, manifestPrefix,
+        dataPrefix, partCol, None).filter(lit(false))
+    else
+      spark.read.option("basePath", root).parquet(files: _*)
+        .drop("__gen").filter(residual)
+  }
+
   /** Metadata-only aggregates: per-partition row count, null count and
     * min/max of the stat column answered from the SIDECAR alone — zero
     * data files are listed, opened, or scheduled. This is the

@@ -2110,6 +2110,76 @@ object IoQueries extends QueryPack {
              |  count(*) AS n,
              |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS cents_sum
              |FROM lineitem
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // MANIFEST-PINNED zone maps — the snapshot-lane upgrade of q406:
+    // the stats sidecar is a generation-pinned root whose (part → gen)
+    // pins ride the SAME atomic manifest commit as the data pins, so
+    // stats and data flip together (a reader can never pair new data
+    // with old stats — files silently un-prunable — or old data with
+    // new stats — files wrongly pruned, the correctness hazard; the
+    // crash window is SnapshotZoneSpec-pinned). An incremental publish
+    // writes the delta months' data generations, derives their stats
+    // from its own just-written pins, and commits once; the skipping
+    // range read planned entirely through the manifest must equal a
+    // plain filter over ALL of lineitem.
+    Q("q408_zonemap_manifest",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q408_zsnap")
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(_.getName.startsWith("szq_root__")).foreach(_.delete()))
+        val zmap = graft.io.FileStats.sidecarPrefix("szq_li")
+        def keyed(prefix: String, pins: Map[String, String]) =
+          pins.map { case (v, g) =>
+            Versioned.snapshotPinKey(prefix, v) -> g }
+        val li = Tables.lineitem(s, d).select(
+          date_format($"l_shipdate", "yyyy-MM").as("smonth"),
+          round($"l_extendedprice" * 100, 0).cast("long").as("cents"),
+          $"l_orderkey", $"l_linenumber")
+        val straddle = "1997-01"
+        val isDelta = $"smonth" > straddle ||
+          ($"smonth" === straddle && $"l_orderkey" % 5 === 0)
+        val g1 = "00000001_aaa"
+        val dP1 = Versioned.writeSnapshotFull(li.filter(!isDelta), dir,
+          "szq_li", "smonth", g1)
+        val dPins1 = dP1.map(_.toString -> g1).toMap
+        val zP1 = graft.io.FileStats.writeSnapshotSidecar(s, dir,
+          "szq_li", "smonth", "cents", dPins1, dP1.toSeq, g1)
+        Versioned.commitManifest(dir, "szq_root", g1,
+          keyed("szq_li", dPins1) ++
+            keyed(zmap, zP1.map(_.toString -> g1).toMap))
+        // incremental publish: delta months rewritten whole (prior ∪
+        // delta — 1997-01 straddles), stats derived at the cycle's own
+        // pins, ONE commit flips the pair
+        val g2 = "00000002_bbb"
+        val delta = li.filter(isDelta)
+        val touched = delta.select($"smonth").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        val merged = Versioned.readSnapshotAt(s, dir, "szq_li", "smonth",
+            dPins1, Some(touched))
+          .unionByName(delta).localCheckpoint(true)
+        val dP2 = Versioned.writeSnapshotPartitions(merged, dir,
+          "szq_li", "smonth", g2)
+        val dPins2 = dPins1 ++ dP2.map(_.toString -> g2)
+        val zP2 = graft.io.FileStats.writeSnapshotSidecar(s, dir,
+          "szq_li", "smonth", "cents", dPins2, dP2.toSeq, g2)
+        Versioned.commitManifest(dir, "szq_root", g2,
+          keyed("szq_li", dPins2) ++
+            keyed(zmap, zP1.map(_.toString -> g1).toMap ++
+              zP2.map(_.toString -> g2)))
+        graft.io.FileStats.readSkippingSnapshot(s, dir, "szq_root",
+            "szq_li", "smonth", "cents", Some(1500000L), Some(1800000L))
+          .groupBy($"smonth")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+          .orderBy($"smonth")
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS smonth,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS cents_sum
+             |FROM lineitem
+             |WHERE CAST(round(l_extendedprice*100, 0) AS BIGINT)
+             |  BETWEEN 1500000 AND 1800000
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.{FileStats, Versioned}
+
+/** Manifest-pinned zone maps: the stats sidecar is a generation-pinned
+  * snapshot root whose pins ride the same atomic manifest commit as the
+  * data pins — a reader can never pair new data with old stats (files
+  * silently un-prunable) or old data with new stats (files wrongly
+  * pruned). Pins: skipping ≡ pinned filter, plan-level numFiles, the
+  * crash-window atomicity of the PAIR, candidate containment in pinned
+  * generations, and byte-identical untouched sidecar leaves.
+  */
+class SnapshotZoneSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // v correlates with m so each month's file covers a narrow zone
+  private def mk(lo: Long, hi: Long, shift: Long = 0L) =
+    spark.range(lo, hi).select($"id",
+      ($"id" / 1000L).cast("long").as("m"), ($"id" + shift).as("v"))
+
+  private def scanNumFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.metrics("numFiles").value).sum
+  }
+
+  private def pinKeys(prefix: String, present: Set[Any], gen: String) =
+    present.map(v => Versioned.snapshotPinKey(prefix, v) -> gen).toMap
+
+  test("atomic data+stats flip, skipping ≡ pinned filter, pruned numFiles, candidates stay inside pinned generations") {
+    val dir = graft.core.Scratch.dir("szone")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("sz_root__")).foreach(_.delete()))
+    val zmap = FileStats.sidecarPrefix("sz_data")
+    val g1 = "00000001_a"
+    val dP = Versioned.writeSnapshotFull(mk(0, 8000), dir, "sz_data",
+      "m", g1)
+    val dPins1 = dP.map(v => v.toString -> g1).toMap
+    val zP = FileStats.writeSnapshotSidecar(spark, dir, "sz_data", "m",
+      "v", dPins1, dP.toSeq, g1)
+    Versioned.commitManifest(dir, "sz_root", g1,
+      pinKeys("sz_data", dP, g1) ++ pinKeys(zmap, zP, g1))
+
+    def skipRead(lo: Long, hi: Long) = FileStats.readSkippingSnapshot(
+      spark, dir, "sz_root", "sz_data", "m", "v", Some(lo), Some(hi))
+    def fullRead() = Versioned.readSnapshotPartitions(spark, dir,
+      "sz_root", "sz_data", "m", None)
+
+    val skip1 = skipRead(2500L, 4200L)
+    val want1 = fullRead().filter($"v" >= 2500L && $"v" <= 4200L)
+      .orderBy($"id").collect().toSeq
+    assert(skip1.orderBy($"id").collect().toSeq == want1)
+    val cand1 = FileStats.candidateFilesSnapshot(spark, dir, "sz_root",
+      "sz_data", Some(2500L), Some(4200L))
+    assert(cand1.size < 8 && cand1.nonEmpty,
+      s"correlated zones must prune: ${cand1.size} of 8 files")
+    assert(scanNumFiles(skipRead(2500L, 4200L)) == cand1.size.toLong)
+
+    // --- incremental publish of months 2 and 5 with SHIFTED values:
+    // new generations + new stats written, NOTHING committed yet
+    val g2 = "00000002_b"
+    val delta = mk(2000, 3000, shift = 100000L)
+      .unionByName(mk(5000, 6000, shift = 100000L))
+      .localCheckpoint(true)
+    val dP2 = Versioned.writeSnapshotPartitions(delta, dir, "sz_data",
+      "m", g2)
+    val dPins2 = dPins1 ++ dP2.map(v => v.toString -> g2)
+    val zP2 = FileStats.writeSnapshotSidecar(spark, dir, "sz_data", "m",
+      "v", dPins2, dP2.toSeq, g2)
+
+    // CRASH WINDOW: readers still see the OLD pair — both the data and
+    // the stats that prune it
+    assert(skipRead(2500L, 4200L).orderBy($"id").collect().toSeq == want1,
+      "uncommitted data or stats leaked into the skipping read")
+    val candOld = FileStats.candidateFilesSnapshot(spark, dir, "sz_root",
+      "sz_data", Some(102000L), Some(102500L))
+    assert(candOld.isEmpty,
+      "stats for an uncommitted generation must be invisible")
+
+    // the one commit flips the PAIR
+    val zPins2 = zP.map(_.toString -> g1).toMap ++
+      zP2.map(_.toString -> g2)
+    Versioned.commitManifest(dir, "sz_root", g2,
+      dPins2.map { case (v, g) =>
+        Versioned.snapshotPinKey("sz_data", v) -> g } ++
+        zPins2.map { case (v, g) =>
+          Versioned.snapshotPinKey(zmap, v) -> g })
+    val wantNew = fullRead().filter($"v" >= 102000L && $"v" <= 102500L)
+      .orderBy($"id").collect().toSeq
+    assert(wantNew.nonEmpty)
+    assert(skipRead(102000L, 102500L).orderBy($"id").collect().toSeq ==
+      wantNew, "post-commit skipping must serve the new pair")
+    // the replaced months' OLD zones [2000,3000)/[5000,6000) are gone:
+    // a query there now matches nothing
+    assert(skipRead(2200L, 2300L).isEmpty)
+
+    // candidates always point into PINNED generations
+    val pins = Versioned.snapshotPins(dir, "sz_root", "sz_data")
+    val candAll = FileStats.candidateFilesSnapshot(spark, dir, "sz_root",
+      "sz_data", None, None)
+    assert(candAll.nonEmpty && candAll.forall { f =>
+      pins.exists { case (v, g) => f.contains(s"m=$v/__gen=$g") }
+    }, "a candidate file escaped the pinned generations")
+
+    // untouched months' sidecar leaves stayed byte-identical: their g1
+    // stats files were never rewritten
+    val zRoot = Versioned.snapshotRoot(dir, zmap)
+    Seq("0", "1", "3", "4", "6", "7").foreach { v =>
+      val leaf = new java.io.File(zRoot, s"part=$v/__gen=$g1")
+      assert(leaf.isDirectory && Option(leaf.listFiles()).exists(
+        _.exists(_.getName.endsWith(".parquet"))),
+        s"untouched sidecar leaf part=$v lost its g1 generation")
+      val g2leaf = new java.io.File(zRoot, s"part=$v/__gen=$g2")
+      assert(!g2leaf.exists(),
+        s"untouched sidecar partition part=$v was rewritten at g2")
+    }
+  }
+}
