@@ -2180,6 +2180,71 @@ object IoQueries extends QueryPack {
              |FROM lineitem
              |WHERE CAST(round(l_extendedprice*100, 0) AS BIGINT)
              |  BETWEEN 1500000 AND 1800000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Snapshot-lane TIME TRAVEL: keep-last-N retention makes every
+    // committed manifest tag a readable consistent snapshot
+    // (readSnapshotPartitionsAt) — the audit/debug/rollback read the
+    // in-place partitioned lane gave up. A retraction cycle rewrites
+    // the touched months (dropping every o_orderkey%3=0 row from
+    // months >= 1997-01); the query then joins the CURRENT snapshot
+    // against the time-traveled PRIOR one to report exactly what the
+    // cycle changed per month — before/after row counts from two
+    // different manifest generations of the same root, in one plan.
+    // SnapshotLaneSpec pins per-tag reads and GC eviction semantics.
+    Q("q409_snapshot_time_travel",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q409_tt")
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(_.getName.startsWith("ttq_root__")).foreach(_.delete()))
+        val o = Tables.orders(s, d).select(
+          date_format($"o_orderdate", "yyyy-MM").as("omonth"),
+          $"o_orderkey",
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        val g1 = "00000001_aaa"
+        val p1 = Versioned.writeSnapshotFull(o, dir, "ttq_ord", "omonth",
+          g1)
+        val pins1 = p1.map(_.toString -> g1).toMap
+        Versioned.commitManifest(dir, "ttq_root", g1, pins1.map {
+          case (v, g) => Versioned.snapshotPinKey("ttq_ord", v) -> g })
+        val cutoff = "1997-01"
+        val touched = o.filter($"omonth" >= cutoff).select($"omonth")
+          .distinct().collect().map(_.getString(0)).toSeq.sorted
+        val g2 = "00000002_bbb"
+        val survivors = Versioned.readSnapshotAt(s, dir, "ttq_ord",
+            "omonth", pins1, Some(touched))
+          .filter($"o_orderkey" % 3 =!= 0).localCheckpoint(true)
+        val p2 = Versioned.writeSnapshotPartitions(survivors, dir,
+          "ttq_ord", "omonth", g2)
+        Versioned.commitManifest(dir, "ttq_root", g2,
+          (pins1 -- touched ++ p2.map(_.toString -> g2)).map {
+            case (v, g) => Versioned.snapshotPinKey("ttq_ord", v) -> g })
+        val before = Versioned.readSnapshotPartitionsAt(s, dir,
+            "ttq_root", g1, "ttq_ord", "omonth", None)
+          .groupBy($"omonth").agg(count(lit(1)).as("n_before"),
+            sum($"cents").as("cents_before"))
+        val after = Versioned.readSnapshotPartitions(s, dir, "ttq_root",
+            "ttq_ord", "omonth", None)
+          .groupBy($"omonth").agg(count(lit(1)).as("n_after"),
+            sum($"cents").as("cents_after"))
+        before.join(after, Seq("omonth"))
+          .select($"omonth", $"n_before", $"n_after",
+            $"cents_before", $"cents_after")
+          .orderBy($"omonth")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS omonth,
+             |  count(*) AS n_before,
+             |  count(*) FILTER (WHERE NOT (o_orderkey % 3 = 0
+             |    AND strftime(o_orderdate, '%Y-%m') >= '1997-01'))
+             |    AS n_after,
+             |  CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+             |    AS cents_before,
+             |  CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT))
+             |    FILTER (WHERE NOT (o_orderkey % 3 = 0
+             |      AND strftime(o_orderdate, '%Y-%m') >= '1997-01'))
+             |    AS BIGINT) AS cents_after
+             |FROM orders
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 

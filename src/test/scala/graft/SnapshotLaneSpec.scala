@@ -133,4 +133,58 @@ class SnapshotLaneSpec extends SparkTestBase {
       "GC ate an untouched month's still-pinned original generation")
     assert(servedCounts == before, "serving changed after GC")
   }
+
+  test("time travel: every manifest tag in the retention window reads its own consistent snapshot; GC evicts the oldest") {
+    val dir = graft.core.Scratch.dir("snap_tt")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("tt_root__")).foreach(_.delete()))
+    def mk(shift: Long) = spark.range(4000L).select($"id",
+      ($"id" % 4).cast("long").as("m"), ($"id" * 3 + shift).as("v"))
+    def commitGen(gen: String, df: org.apache.spark.sql.DataFrame,
+                  priorPins: Map[String, String]): Map[String, String] = {
+      val p = Versioned.writeSnapshotPartitions(df.localCheckpoint(true),
+        dir, "tt_data", "m", gen)
+      val pins = priorPins ++ p.map(_.toString -> gen)
+      Versioned.commitManifest(dir, "tt_root", gen, pins.map {
+        case (v, g) => Versioned.snapshotPinKey("tt_data", v) -> g })
+      pins
+    }
+    val g1 = "00000001_a"
+    val p1 = Versioned.writeSnapshotFull(mk(0), dir, "tt_data", "m", g1)
+    val pins1 = p1.map(_.toString -> g1).toMap
+    Versioned.commitManifest(dir, "tt_root", g1, pins1.map {
+      case (v, g) => Versioned.snapshotPinKey("tt_data", v) -> g })
+    val snap1 = Versioned.readSnapshotPartitions(spark, dir, "tt_root",
+      "tt_data", "m", None).orderBy($"id").collect().toSeq
+    // gen 2 rewrites month 1, gen 3 rewrites month 3
+    val pins2 = commitGen("00000002_b",
+      mk(100000L).filter($"m" === 1L), pins1)
+    val snap2 = Versioned.readSnapshotPartitions(spark, dir, "tt_root",
+      "tt_data", "m", None).orderBy($"id").collect().toSeq
+    commitGen("00000003_c", mk(200000L).filter($"m" === 3L), pins2)
+    val snap3 = Versioned.readSnapshotPartitions(spark, dir, "tt_root",
+      "tt_data", "m", None).orderBy($"id").collect().toSeq
+    assert(snap1 != snap2 && snap2 != snap3)
+
+    assert(Versioned.manifestTags(dir, "tt_root") ==
+      Seq("00000003_c", "00000002_b", "00000001_a"))
+    def at(tag: String) = Versioned.readSnapshotPartitionsAt(spark, dir,
+        "tt_root", tag, "tt_data", "m", None)
+      .orderBy($"id").collect().toSeq
+    assert(at("00000001_a") == snap1,
+      "time-travel read of the first snapshot diverged")
+    assert(at("00000002_b") == snap2)
+    assert(at("00000003_c") == snap3)
+
+    // keep-last-2 retention: g1 leaves the window (its manifest AND its
+    // superseded month-1 generation reclaim); g2/g3 stay readable
+    Versioned.gcThroughManifest(dir, "tt_root", keepLast = 2)
+    Versioned.gcSnapshotGenerations(dir, "tt_root", "tt_data",
+      keepLast = 2)
+    assert(Versioned.manifestAt(dir, "tt_root", "00000001_a").isEmpty)
+    intercept[IllegalArgumentException](at("00000001_a"))
+    assert(at("00000002_b") == snap2,
+      "a retained snapshot broke after GC")
+    assert(at("00000003_c") == snap3)
+  }
 }
