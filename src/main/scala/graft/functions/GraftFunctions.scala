@@ -61,6 +61,21 @@ object GraftFunctions {
             if (exprs.length > 4) asDouble(exprs(4)) else 0.005)
         }, "built-in")
     }
+    if (!reg.functionExists(FunctionIdentifier("graft_bloom_agg"))) {
+      // Spark's own runtime-filter bloom aggregate
+      // (catalyst.expressions.aggregate.BloomFilterAggregate), exposed
+      // by name: the optimizer injects it for runtime join pruning but
+      // never registered it as a callable function. The engine uses it
+      // to build PER-FILE bloom sidecars ([[graft.io.FileStats]]) whose
+      // serialized form round-trips through
+      // org.apache.spark.util.sketch.BloomFilter.readFrom for
+      // driver-side planning probes. Args: (xxhash64'd LONG column,
+      // estimated items literal, num bits literal).
+      reg.createOrReplaceTempFunction("graft_bloom_agg",
+        exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs.head, exprs(1), exprs(2)),
+        "built-in")
+    }
     if (!reg.functionExists(FunctionIdentifier("loc_scale_b_sketch"))) {
       // k must be a foldable literal (evaluated at resolution time)
       reg.createOrReplaceTempFunction("loc_scale_b_sketch",

@@ -150,6 +150,125 @@ object FileStats {
         .filter(residual)
   }
 
+  // ---- per-file bloom sidecars (point-lookup skipping) -----------------
+  // Zone maps prune RANGE predicates and only bite when the layout
+  // clusters the stat column. A point lookup on a high-cardinality,
+  // UNCLUSTERED column (find one document by id in the lake) gets
+  // nothing from min/max — every file's interval covers the probe. A
+  // per-file Bloom filter prunes exactly that case: false positives
+  // only, so skipping stays conservative; false negatives impossible,
+  // so no file that holds the key is ever dropped. The sidecar reuses
+  // the same partitioned-root maintenance protocol as the stats
+  // sidecar; planning is a driver-side probe of the (pruned) sidecar's
+  // serialized filters — the bloom-index walk a table format does.
+
+  /** Bloom sidecar prefix convention for `dataPrefix`. */
+  def bloomPrefix(dataPrefix: String): String = s"${dataPrefix}_bmap"
+
+  /** The probe-side hash — MUST match the build side: the aggregate
+    * inserts `xxhash64(keyCol)` (seed 42), so the driver probe hashes
+    * the literal through the same Catalyst expression. The probe value
+    * must carry the key column's exact type (xxhash64 of 1L and "1"
+    * differ).
+    */
+  def bloomHash(value: Any): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(value)), 42L)
+      .eval(null).asInstanceOf[Long]
+
+  /** Per-(partition, file) bloom rows over (optionally pruned) data.
+    * `itemsPerFile`/`numBits` size every file's filter identically —
+    * pick itemsPerFile ≥ the largest file's distinct keys and numBits ≈
+    * 8–10× items for ~1–2% false positives (a fp only costs reading one
+    * extra file).
+    */
+  def collectBloom(spark: SparkSession, dir: String, dataPrefix: String,
+                   partCol: String, keyCol: String,
+                   parts: Option[Seq[Any]],
+                   itemsPerFile: Long, numBits: Long): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val src = parts match {
+      case Some(vs) => Versioned.readPartitions(spark, dir, dataPrefix,
+        partCol, vs)
+      case None => Versioned.readPartitioned(spark, dir, dataPrefix)
+    }
+    src.groupBy(col(partCol).cast("string").as("part"),
+        input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        call_function("graft_bloom_agg", xxhash64(col(keyCol)),
+          lit(itemsPerFile), lit(numBits)).as("bloom"))
+  }
+
+  /** Full bloom-sidecar build; maintenance after an incremental publish
+    * is [[maintainBloomSidecar]] — the identical O(touched)
+    * [[Versioned.overwriteTouchedPartitions]] protocol as the stats
+    * sidecar, and the same publish-coupling contract.
+    */
+  def buildBloomSidecar(spark: SparkSession, dir: String,
+                        dataPrefix: String, partCol: String,
+                        keyCol: String, itemsPerFile: Long = 1 << 20,
+                        numBits: Long = 1L << 23): String =
+    Versioned.writePartitionedFull(
+      collectBloom(spark, dir, dataPrefix, partCol, keyCol, None,
+        itemsPerFile, numBits),
+      dir, bloomPrefix(dataPrefix), Seq("part"))
+
+  /** O(touched) bloom maintenance after an incremental data publish. */
+  def maintainBloomSidecar(spark: SparkSession, dir: String,
+                           dataPrefix: String, partCol: String,
+                           keyCol: String, touched: Seq[Any],
+                           itemsPerFile: Long = 1 << 20,
+                           numBits: Long = 1L << 23): String =
+    Versioned.overwriteTouchedPartitions(
+      collectBloom(spark, dir, dataPrefix, partCol, keyCol,
+        Some(touched), itemsPerFile, numBits),
+      dir, bloomPrefix(dataPrefix), "part", touched.map(_.toString))
+
+  /** The files whose bloom filter MAY contain `value` — false
+    * positives possible (read one extra file), false negatives
+    * impossible (never drop a holder). The collect + deserialize walk
+    * is O(files in the queried slice) driver work at numBits/8 bytes
+    * each — restrict `parts` when the lookup also carries a partition
+    * predicate.
+    */
+  def bloomCandidateFiles(spark: SparkSession, dir: String,
+                          dataPrefix: String, value: Any,
+                          parts: Option[Seq[Any]] = None): Seq[String] = {
+    val side = parts match {
+      case Some(vs) => Versioned.readPartitions(spark, dir,
+        bloomPrefix(dataPrefix), "part", vs.map(_.toString))
+      case None => Versioned.readPartitioned(spark, dir,
+        bloomPrefix(dataPrefix))
+    }
+    val h = bloomHash(value)
+    side.select(col("file"), col("bloom")).collect().toSeq
+      .filter { r =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+          .mightContainLong(h)
+      }
+      .map(_.getString(0)).sorted
+  }
+
+  /** Point-lookup read planned through the bloom sidecar: scan ONLY
+    * the candidate files, then apply the exact equality residual.
+    * Row-for-row equal to a full scan + filter because bloom skipping
+    * is one-sided; FileStatsSpec pins equality, the numFiles metric,
+    * and the unclustered-layout case zone maps cannot prune.
+    */
+  def readBloomSkipping(spark: SparkSession, dir: String,
+                        dataPrefix: String, partCol: String,
+                        keyCol: String, value: Any,
+                        parts: Option[Seq[Any]] = None): DataFrame = {
+    val root = Versioned.partitionedRoot(dir, dataPrefix)
+    val files = bloomCandidateFiles(spark, dir, dataPrefix, value, parts)
+    if (files.isEmpty)
+      spark.read.parquet(root).filter(lit(false))
+    else
+      spark.read.option("basePath", root).parquet(files: _*)
+        .filter(col(keyCol) === lit(value))
+  }
+
   /** Zone-clustered full layout: range-partition by (partCol, statCol)
     * so each write task holds a CONTIGUOUS slice of the stat column
     * within its partition values — every file's [min_v, max_v] interval

@@ -2245,7 +2245,42 @@ object IoQueries extends QueryPack {
              |      AND strftime(o_orderdate, '%Y-%m') >= '1997-01'))
              |    AS BIGINT) AS cents_after
              |FROM orders
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // PER-FILE BLOOM sidecar — point-lookup skipping where zone maps
+    // are blind: l_orderkey is uncorrelated with the month layout, so
+    // every file's [min,max] covers any probe and min/max prunes
+    // nothing; the bloom prunes to (nearly) the one file holding the
+    // key. One-sided by construction — false positives cost one extra
+    // file read, false negatives are impossible — so the equality
+    // residual makes the lookup exact (FileStatsSpec pins the
+    // zone-blind contrast, numFiles, and O(touched) maintenance).
+    // Spark's own runtime-filter BloomFilterAggregate builds the
+    // sidecar (registered by name via GraftFunctions); the driver
+    // probe round-trips the serialized sketch.
+    Q("q410_bloom_point_lookup",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q410_bloom")
+        val li = Tables.lineitem(s, d).select(
+          date_format($"l_shipdate", "yyyy-MM").as("smonth"),
+          $"l_orderkey", $"l_linenumber",
+          round($"l_extendedprice" * 100, 0).cast("long").as("cents"))
+        Versioned.writePartitionedFull(li, dir, "bl_li", Seq("smonth"))
+        graft.io.FileStats.buildBloomSidecar(s, dir, "bl_li", "smonth",
+          "l_orderkey", itemsPerFile = 100000L, numBits = 800000L)
+        val probe = li.agg(min($"l_orderkey")).first.getLong(0)
+        graft.io.FileStats.readBloomSkipping(s, dir, "bl_li", "smonth",
+            "l_orderkey", probe)
+          .select($"smonth", $"l_linenumber", $"cents")
+          .orderBy($"smonth", $"l_linenumber", $"cents")
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS smonth,
+             |  l_linenumber,
+             |  CAST(round(l_extendedprice*100, 0) AS BIGINT) AS cents
+             |FROM lineitem
+             |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+             |ORDER BY 1, 2, 3""".stripMargin))
   )
 
   /** Full-corpus replay oracle for the incremental LSH dedup cycles

@@ -162,6 +162,58 @@ class FileStatsSpec extends SparkTestBase {
     assert(replay == expect)
   }
 
+  test("bloom sidecar: point lookup prunes where zone maps cannot; one-sided errors; O(touched) maintenance") {
+    val dir = graft.core.Scratch.dir("fstats_bloom")
+    // unclustered on id: part = id % 8, so every file's [min,max] id
+    // interval spans nearly the whole range — min/max prunes NOTHING
+    val df = mkData(8000)
+    Versioned.writePartitionedFull(df, dir, "fs_bl", Seq("part"))
+    FileStats.buildSidecar(spark, dir, "fs_bl", "part", "id")
+    FileStats.buildBloomSidecar(spark, dir, "fs_bl", "part", "id",
+      itemsPerFile = 10000L, numBits = 100000L)
+    val total = leafFiles(Versioned.partitionedRoot(dir, "fs_bl")).size
+
+    // zone maps see every file as a candidate for a point probe...
+    val zoneCand = FileStats.candidateFiles(spark, dir, "fs_bl",
+      Some(4242L), Some(4242L))
+    assert(zoneCand.size == total,
+      "fixture broken: min/max was supposed to be useless here")
+    // ...the bloom sidecar prunes to (nearly) the one holder
+    val bloomCand = FileStats.bloomCandidateFiles(spark, dir, "fs_bl",
+      4242L)
+    assert(bloomCand.nonEmpty && bloomCand.size < total,
+      s"bloom must prune the unclustered point lookup: " +
+        s"${bloomCand.size} of $total")
+    val hit = FileStats.readBloomSkipping(spark, dir, "fs_bl", "part",
+      "id", 4242L)
+    assert(hit.orderBy($"id").collect().toSeq ==
+      Versioned.readPartitioned(spark, dir, "fs_bl")
+        .filter($"id" === 4242L).orderBy($"id").collect().toSeq)
+    assert(scanNumFiles(FileStats.readBloomSkipping(spark, dir, "fs_bl",
+      "part", "id", 4242L)) == bloomCand.size.toLong)
+    // absent key: candidates may fp, the residual never does
+    assert(FileStats.readBloomSkipping(spark, dir, "fs_bl", "part",
+      "id", 999999L).isEmpty)
+
+    // maintenance: partition m02's ids move +100000; the bloom for the
+    // touched partition re-derives, others byte-stable via the shared
+    // overwriteTouchedPartitions protocol (pinned in the stats test)
+    val newRows = df.filter($"part" === "m02")
+      .select(($"id" + 100000L).as("id"), $"part", $"v", $"w")
+      .localCheckpoint(true)
+    Versioned.overwriteTouchedPartitions(newRows, dir, "fs_bl", "part",
+      Seq("m02"))
+    FileStats.maintainBloomSidecar(spark, dir, "fs_bl", "part", "id",
+      Seq("m02"), itemsPerFile = 10000L, numBits = 100000L)
+    // a key that only lived in m02 is gone end-to-end...
+    assert(FileStats.readBloomSkipping(spark, dir, "fs_bl", "part",
+      "id", 4002L).isEmpty, "stale bloom served a replaced key")
+    // ...and its replacement is findable
+    val moved = FileStats.readBloomSkipping(spark, dir, "fs_bl", "part",
+      "id", 104002L)
+    assert(moved.count() == 1L, "maintained bloom missed a new key")
+  }
+
   test("metadata-only aggregate: answered from the sidecar, zero data files scanned") {
     val dir = graft.core.Scratch.dir("fstats_meta")
     FileStats.writeZoneClustered(mkData(2000), dir, "fs_meta",
