@@ -150,6 +150,110 @@ object FileStats {
         .filter(residual)
   }
 
+  // ---- multi-column zone maps ------------------------------------------
+  // One sidecar row carrying (n_nulls, min, max) PER STAT COLUMN — the
+  // table-format shape (Delta's stats JSON, Iceberg's per-column
+  // bounds). A conjunctive predicate prunes on every constrained
+  // column at once; combined with a Z-ORDER layout
+  // ([[graft.ops.Layout.zKey]] as the clustering key) each file covers
+  // a small rectangle of the value space and BOTH dimensions bite —
+  // the 1-D zone-clustered layout can only ever prune one.
+
+  /** Multi-column sidecar prefix convention for `dataPrefix`. */
+  def sidecarMultiPrefix(dataPrefix: String): String =
+    s"${dataPrefix}_zmapm"
+
+  /** Per-(partition, file) statistics of EVERY `statCols` column:
+    * `n_rows`, then `n_nulls_<c>`, `min_<c>`, `max_<c>` per column.
+    */
+  def collectMulti(spark: SparkSession, dir: String, dataPrefix: String,
+                   partCol: String, statCols: Seq[String],
+                   parts: Option[Seq[Any]]): DataFrame = {
+    require(statCols.nonEmpty, "need at least one stat column")
+    val src = parts match {
+      case Some(vs) => Versioned.readPartitions(spark, dir, dataPrefix,
+        partCol, vs)
+      case None => Versioned.readPartitioned(spark, dir, dataPrefix)
+    }
+    val aggs = count(lit(1)).as("n_rows") +: statCols.flatMap(c => Seq(
+      (count(lit(1)) - count(col(c))).as(s"n_nulls_$c"),
+      min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c")))
+    src.groupBy(col(partCol).cast("string").as("part"),
+        input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Full multi-column sidecar build (partitioned root, like
+    * [[buildSidecar]]).
+    */
+  def buildSidecarMulti(spark: SparkSession, dir: String,
+                        dataPrefix: String, partCol: String,
+                        statCols: Seq[String]): String =
+    Versioned.writePartitionedFull(
+      collectMulti(spark, dir, dataPrefix, partCol, statCols, None),
+      dir, sidecarMultiPrefix(dataPrefix), Seq("part"))
+
+  /** O(touched) multi-column maintenance — the [[maintainSidecar]]
+    * protocol, same publish-coupling contract.
+    */
+  def maintainSidecarMulti(spark: SparkSession, dir: String,
+                           dataPrefix: String, partCol: String,
+                           statCols: Seq[String],
+                           touched: Seq[Any]): String =
+    Versioned.overwriteTouchedPartitions(
+      collectMulti(spark, dir, dataPrefix, partCol, statCols,
+        Some(touched)),
+      dir, sidecarMultiPrefix(dataPrefix), "part",
+      touched.map(_.toString))
+
+  /** One interval predicate per constrained column: (column, lo, hi),
+    * either bound optional. A file survives only if EVERY constrained
+    * column's [min, max] may intersect its interval and the column is
+    * not all-null in the file — conjunctive pruning.
+    */
+  def candidateFilesMulti(spark: SparkSession, dir: String,
+                          dataPrefix: String,
+                          preds: Seq[(String, Option[Any], Option[Any])],
+                          parts: Option[Seq[Any]] = None): Seq[String] = {
+    require(preds.nonEmpty, "need at least one column predicate")
+    val side = parts match {
+      case Some(vs) => Versioned.readPartitions(spark, dir,
+        sidecarMultiPrefix(dataPrefix), "part", vs.map(_.toString))
+      case None => Versioned.readPartitioned(spark, dir,
+        sidecarMultiPrefix(dataPrefix))
+    }
+    val keep = preds.map { case (c, lo, hi) =>
+      (Seq(
+        lo.map(v => col(s"max_$c") >= lit(v)),
+        hi.map(v => col(s"min_$c") <= lit(v))
+      ).flatten :+ (col("n_rows") > col(s"n_nulls_$c")))
+        .reduce(_ && _)
+    }.reduce(_ && _)
+    side.filter(keep).select(col("file"))
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Conjunctive data-skipping read: scan only the files surviving
+    * every column's interval check, then apply the full residual.
+    * Row-for-row equal to the full scan + conjunctive filter.
+    */
+  def readSkippingMulti(spark: SparkSession, dir: String,
+                        dataPrefix: String, partCol: String,
+                        preds: Seq[(String, Option[Any], Option[Any])],
+                        parts: Option[Seq[Any]] = None): DataFrame = {
+    val root = Versioned.partitionedRoot(dir, dataPrefix)
+    val residual = preds.flatMap { case (c, lo, hi) =>
+      lo.map(v => col(c) >= lit(v)) ++ hi.map(v => col(c) <= lit(v))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val files = candidateFilesMulti(spark, dir, dataPrefix, preds, parts)
+    if (files.isEmpty)
+      spark.read.parquet(root).filter(lit(false))
+    else
+      spark.read.option("basePath", root).parquet(files: _*)
+        .filter(residual)
+  }
+
   // ---- per-file bloom sidecars (point-lookup skipping) -----------------
   // Zone maps prune RANGE predicates and only bite when the layout
   // clusters the stat column. A point lookup on a high-cardinality,

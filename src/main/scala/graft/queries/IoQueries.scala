@@ -2280,7 +2280,46 @@ object IoQueries extends QueryPack {
              |  CAST(round(l_extendedprice*100, 0) AS BIGINT) AS cents
              |FROM lineitem
              |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
-             |ORDER BY 1, 2, 3""".stripMargin))
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // MULTI-COLUMN zone maps over a Z-ORDERED layout: the sidecar
+    // carries (n_nulls, min, max) per stat column (the table-format
+    // stats shape) and a conjunctive predicate prunes on every
+    // constrained column at once; clustering by the Morton key
+    // (Layout.zKey over price-cents × quantity) makes each file a
+    // small rectangle of the 2-D value space so BOTH dimensions bite —
+    // a 1-D zone-clustered layout can only ever prune one
+    // (FileStatsSpec pins conjunction-beats-either-alone and the
+    // numFiles metric on a uniform grid).
+    Q("q411_zonemap_zorder",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q411_zord")
+        val li = Tables.lineitem(s, d).select(
+          date_format($"l_shipdate", "yyyy-MM").as("smonth"),
+          round($"l_extendedprice" * 100, 0).cast("long").as("cents"),
+          $"l_quantity".cast("long").as("qty"))
+        val zli = li.withColumn("zk",
+          graft.ops.Layout.zKey($"cents", $"qty", 24))
+        graft.io.FileStats.writeZoneClustered(zli, dir, "zo_li",
+          "smonth", "zk", tasks = 64)
+        graft.io.FileStats.buildSidecarMulti(s, dir, "zo_li", "smonth",
+          Seq("cents", "qty"))
+        graft.io.FileStats.readSkippingMulti(s, dir, "zo_li", "smonth",
+            Seq(("cents", Some(2000000L), Some(6000000L)),
+              ("qty", Some(10L), Some(20L))))
+          .groupBy($"smonth")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+          .orderBy($"smonth")
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS smonth,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS cents_sum
+             |FROM lineitem
+             |WHERE CAST(round(l_extendedprice*100, 0) AS BIGINT)
+             |    BETWEEN 2000000 AND 6000000
+             |  AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Full-corpus replay oracle for the incremental LSH dedup cycles

@@ -162,6 +162,46 @@ class FileStatsSpec extends SparkTestBase {
     assert(replay == expect)
   }
 
+  test("multi-column zone maps over a Z-ordered layout: both dimensions prune, conjunction beats either alone") {
+    val dir = graft.core.Scratch.dir("fstats_zorder")
+    // uniform 256x256 grid; Morton key as the clustering column makes
+    // every file a small 2-D rectangle of the value space
+    val grid = spark.range(65536L).select(
+      lit("p0").as("part"),
+      ($"id" % 256).as("x"),
+      expr("id div 256").as("y"))
+      .withColumn("zk", graft.ops.Layout.zKey($"x", $"y", 8))
+    FileStats.writeZoneClustered(grid, dir, "fs_z", "part", "zk",
+      tasks = 16)
+    FileStats.buildSidecarMulti(spark, dir, "fs_z", "part",
+      Seq("x", "y"))
+    val total = leafFiles(Versioned.partitionedRoot(dir, "fs_z")).size
+    assert(total >= 8, s"fixture needs real fan-out, got $total files")
+
+    val boxX = ("x", Some(10L: Any), Some(50L: Any))
+    val boxY = ("y", Some(10L: Any), Some(50L: Any))
+    val cand2 = FileStats.candidateFilesMulti(spark, dir, "fs_z",
+      Seq(boxX, boxY))
+    val candX = FileStats.candidateFilesMulti(spark, dir, "fs_z",
+      Seq(boxX))
+    val candY = FileStats.candidateFilesMulti(spark, dir, "fs_z",
+      Seq(boxY))
+    assert(cand2.nonEmpty && cand2.size < total)
+    assert(cand2.size <= candX.size && cand2.size <= candY.size &&
+      (cand2.size < candX.size || cand2.size < candY.size),
+      s"conjunction must beat a single dimension: 2d=${cand2.size} " +
+        s"x=${candX.size} y=${candY.size} of $total")
+
+    val skip = FileStats.readSkippingMulti(spark, dir, "fs_z", "part",
+      Seq(boxX, boxY))
+    val full = Versioned.readPartitioned(spark, dir, "fs_z")
+      .filter($"x" >= 10L && $"x" <= 50L && $"y" >= 10L && $"y" <= 50L)
+    assert(skip.orderBy($"zk").collect().toSeq ==
+      full.orderBy($"zk").collect().toSeq)
+    assert(scanNumFiles(FileStats.readSkippingMulti(spark, dir, "fs_z",
+      "part", Seq(boxX, boxY))) == cand2.size.toLong)
+  }
+
   test("bloom sidecar: point lookup prunes where zone maps cannot; one-sided errors; O(touched) maintenance") {
     val dir = graft.core.Scratch.dir("fstats_bloom")
     // unclustered on id: part = id % 8, so every file's [min,max] id
