@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.io.Versioned
+import graft.streaming.StreamLakeSink
+
+/** Streaming publish into the generation-pinned snapshot lane:
+  * micro-batches converge to the batch keyed-replacement state, a
+  * replayed batch no-ops, a crashed publish is invisible and its replay
+  * completes, and every committed epoch stays readable as a
+  * time-travel snapshot until GC'd.
+  */
+class StreamLakeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def served(dir: String) =
+    Versioned.readSnapshotPartitions(spark, dir, "slk_root", "slk_data",
+        "m", None)
+      .select($"k", $"m", $"v").as[(Long, Long, Long)].collect().toSet
+
+  test("micro-batches commit exactly-once; keyed replacement; crash replay; per-epoch time travel") {
+    implicit val sc = spark.sqlContext
+    val dir = graft.core.Scratch.dir("stream_lake")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("slk_root__")).foreach(_.delete()))
+    val in = MemoryStream[(Long, Long, Long)]
+    val stream = in.toDF().toDF("k", "m", "v")
+
+    val q = StreamLakeSink.run(stream, dir, "slk_root", "slk_data",
+      "m", "k")
+    // batch 0: keys 1-4 across months 0/1
+    in.addData((1L, 0L, 10L), (2L, 0L, 20L), (3L, 1L, 30L), (4L, 1L, 40L))
+    q.processAllAvailable()
+    val epoch0 = served(dir)
+    assert(epoch0 == Set((1L, 0L, 10L), (2L, 0L, 20L), (3L, 1L, 30L),
+      (4L, 1L, 40L)))
+    // batch 1: k2 re-emitted with a new value (replacement, month 0
+    // rewritten), k5 lands in a new month 2; month 1 untouched
+    in.addData((2L, 0L, 21L), (5L, 2L, 50L))
+    q.processAllAvailable()
+    q.stop()
+    val epoch1 = served(dir)
+    assert(epoch1 == Set((1L, 0L, 10L), (2L, 0L, 21L), (3L, 1L, 30L),
+      (4L, 1L, 40L), (5L, 2L, 50L)),
+      "keyed replacement must replace, not duplicate")
+    val tags = Versioned.manifestTags(dir, "slk_root")
+    assert(tags.size == 2)
+
+    // per-epoch TIME TRAVEL: batch 0's snapshot is still readable
+    val t0 = Versioned.readSnapshotPartitionsAt(spark, dir, "slk_root",
+        StreamLakeSink.batchTag(0L), "slk_data", "m", None)
+      .select($"k", $"m", $"v").as[(Long, Long, Long)].collect().toSet
+    assert(t0 == epoch0, "epoch-0 time travel diverged")
+
+    // REPLAY of a committed batch (recovery re-runs the last batch):
+    // short-circuits, nothing changes
+    val batch1 = Seq((2L, 0L, 21L), (5L, 2L, 50L)).toDF("k", "m", "v")
+    assert(!StreamLakeSink.commitBatch(spark, dir, "slk_root",
+      "slk_data", "m", "k", batch1, 1L))
+    assert(served(dir) == epoch1)
+    assert(Versioned.manifestTags(dir, "slk_root").size == 2)
+
+    // CRASH: batch 2's generations written, manifest never committed —
+    // readers stay on epoch 1; the replayed commitBatch completes
+    val batch2 = Seq((3L, 1L, 31L), (6L, 0L, 60L)).toDF("k", "m", "v")
+    val pins1 = Versioned.snapshotPins(dir, "slk_root", "slk_data")
+    Versioned.writeSnapshotPartitions(
+      Versioned.readSnapshotAt(spark, dir, "slk_data", "m", pins1,
+          Some(Seq(0L, 1L)))
+        .join(batch2.select($"k").distinct(), Seq("k"), "left_anti")
+        .unionByName(batch2).localCheckpoint(true),
+      dir, "slk_data", "m", StreamLakeSink.batchTag(2L))
+    assert(served(dir) == epoch1,
+      "a crashed batch publish leaked before its manifest commit")
+    assert(StreamLakeSink.commitBatch(spark, dir, "slk_root", "slk_data",
+      "m", "k", batch2, 2L))
+    assert(served(dir) == Set((1L, 0L, 10L), (2L, 0L, 21L), (3L, 1L, 31L),
+      (4L, 1L, 40L), (5L, 2L, 50L), (6L, 0L, 60L)))
+
+    // GC to keep-last-2: epoch 0 leaves the catalog, 1 and 2 survive
+    Versioned.gcThroughManifest(dir, "slk_root", keepLast = 2)
+    Versioned.gcSnapshotGenerations(dir, "slk_root", "slk_data",
+      keepLast = 2)
+    intercept[IllegalArgumentException] {
+      Versioned.readSnapshotPartitionsAt(spark, dir, "slk_root",
+        StreamLakeSink.batchTag(0L), "slk_data", "m", None)
+    }
+    val t1 = Versioned.readSnapshotPartitionsAt(spark, dir, "slk_root",
+        StreamLakeSink.batchTag(1L), "slk_data", "m", None)
+      .select($"k", $"m", $"v").as[(Long, Long, Long)].collect().toSet
+    assert(t1 == epoch1, "a retained epoch broke after GC")
+  }
+}
