@@ -2319,7 +2319,39 @@ object IoQueries extends QueryPack {
              |WHERE CAST(round(l_extendedprice*100, 0) AS BIGINT)
              |    BETWEEN 2000000 AND 6000000
              |  AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // CONTENT-ADDRESSED lookup over the id-bucketed document lane —
+    // the ingest-side dedup serving question: "have we already stored
+    // these exact bytes, and under which ids?" The store is bucketed
+    // by doc_id (the write-optimized layout of the index lanes), so
+    // id zone maps can't help a CONTENT probe; the bloom sidecar keyed
+    // on the text column prunes to (nearly) the files holding the
+    // fingerprint, and the exact text-equality residual returns every
+    // copy (the corpus plants duplicate clusters by design). One-sided
+    // bloom error keeps it exact; the probe is the min-id doc's text.
+    Q("q412_content_lookup",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q412_calu")
+        val docs = Tables.documents(s, d).select($"doc_id",
+          graft.pipeline.Incremental.idBucket($"doc_id", 64L)
+            .as("bucket"),
+          $"text")
+        Versioned.writePartitionedFull(docs, dir, "ca_docs",
+          Seq("bucket"))
+        graft.io.FileStats.buildBloomSidecar(s, dir, "ca_docs",
+          "bucket", "text", itemsPerFile = 10000L, numBits = 200000L)
+        val probeText = docs.orderBy($"doc_id").select($"text")
+          .first.getString(0)
+        graft.io.FileStats.readBloomSkipping(s, dir, "ca_docs",
+            "bucket", "text", probeText)
+          .select($"doc_id").orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE text = (SELECT text FROM documents
+             |  WHERE doc_id = (SELECT min(doc_id) FROM documents))
+             |ORDER BY 1""".stripMargin))
   )
 
   /** Full-corpus replay oracle for the incremental LSH dedup cycles
