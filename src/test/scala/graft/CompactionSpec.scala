@@ -106,6 +106,30 @@ class CompactionSpec extends SparkTestBase {
     assert(served(dir, "cp_thin") == beforeThin)
   }
 
+  test("a compaction that lost the race to a newer publish is refused loudly at its commit") {
+    val dir = graft.core.Scratch.dir("cmp_race")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("cmr_root__")).foreach(_.delete()))
+    val g1 = "00000001_a"
+    val p = withFatLayout(Versioned.writeSnapshotFull(mk(2000), dir,
+      "cr_data", "m", g1, filesPerPartition = 16))
+    Versioned.commitManifest(dir, "cmr_root", g1,
+      p.map(v => Versioned.snapshotPinKey("cr_data", v) -> g1).toMap)
+    // a publish cycle commits g3 while our compaction (tagged g2) is
+    // still writing: the compactor's commit must fail, not clobber
+    Versioned.commitManifest(dir, "cmr_root", "00000003_c",
+      p.map(v => Versioned.snapshotPinKey("cr_data", v) -> g1).toMap)
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.compactSnapshotLeaves(spark, dir, "cmr_root",
+        Seq("cr_data" -> "m"), "00000002_b", maxFiles = 2)
+    }
+    assert(ex.getMessage.contains("stale"),
+      s"expected the stale-commit refusal, got: ${ex.getMessage}")
+    // readers were never disturbed: still the g1 pins
+    assert(Versioned.snapshotPins(dir, "cmr_root", "cr_data")
+      .values.toSet == Set(g1))
+  }
+
   test("selective compaction: only the leaves over the threshold re-pin; others keep generation AND bytes") {
     val dir = graft.core.Scratch.dir("cmp_sel")
     Option(new java.io.File(dir).listFiles()).foreach(_.toSeq

@@ -62,6 +62,19 @@ class FileStatsSpec extends SparkTestBase {
       s"zone-clustered layout must actually prune: ${cand.size} of $total")
     assert(scanNumFiles(skip) == cand.size.toLong,
       "the skipping scan must schedule exactly the candidate files")
+    // measured certificate: bytes the pruned scan schedules vs the root
+    val allFiles = leafFiles(Versioned.partitionedRoot(dir, "fs_data"))
+    val candSet = cand.map(p => new java.io.File(
+      new java.net.URI(p).getPath).getName).toSet
+    val candBytes = allFiles.filter(f => candSet(f.getName))
+      .map(_.length).sum
+    val totalBytes = allFiles.map(_.length).sum
+    info(f"zone-map certificate: ${cand.size}/$total files, " +
+      f"$candBytes/$totalBytes bytes " +
+      f"(${100.0 * candBytes / totalBytes}%.1f%%) scheduled for a " +
+      "25% value-range query")
+    assert(candBytes * 2 < totalBytes,
+      "the pruned scan should schedule well under half the root's bytes")
 
     // an interval outside every zone reads zero files
     val none = FileStats.readSkipping(spark, dir, "fs_data", "part", "v",
