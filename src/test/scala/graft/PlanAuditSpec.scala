@@ -661,4 +661,18 @@ class PlanAuditSpec extends SparkTestBase {
         s"$name went cartesian:\n${plan.take(2000)}")
     }
   }
+
+  test("round-13 continuation lanes: skipping reads, compaction, time travel and lookups plan as scans and equi-joins") {
+    for (name <- Seq("q404_zonemap_skipping", "q405_stats_only_agg",
+        "q406_zonemap_incremental", "q407_snapshot_compaction",
+        "q408_zonemap_manifest", "q409_snapshot_time_travel",
+        "q410_bloom_point_lookup", "q411_zonemap_zorder",
+        "q412_content_lookup")) {
+      val plan = finalPlan(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name went cartesian:\n${plan.take(2000)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name planned a nested loop:\n${plan.take(2000)}")
+    }
+  }
 }
