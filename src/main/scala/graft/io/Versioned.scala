@@ -235,6 +235,103 @@ object Versioned {
     else full.filter(col(partCol).isin(touched: _*))
   }
 
+  // ---- merge-on-read deletes (deletion vectors) -------------------------
+  // The partitioned lane's retraction protocol rewrites every touched
+  // partition whole — right when retractions cluster in a few months,
+  // wrong for scattered row-level deletes (GDPR erasure across years:
+  // each delete rewrites its whole month for one row). Deletion
+  // vectors split the cost: a delete APPENDS its keys to a tiny DV
+  // sidecar (O(deletes) write, ZERO data files touched); reads
+  // anti-join the sidecar (merge-on-read); a periodic PURGE folds the
+  // vectors into a real rewrite of only the partitions that still
+  // carry deletes and empties the sidecar (merge-on-write, amortized).
+  // This is the Delta/Iceberg deletion-vector design expressed with
+  // the lane's own primitives — key-addressed rather than
+  // row-position-addressed, because keys survive compaction and
+  // re-clustering while file positions do not.
+
+  /** DV sidecar prefix convention for `dataPrefix`. */
+  def dvPrefix(dataPrefix: String): String = s"${dataPrefix}_dv"
+
+  /** A purge can erase EVERY vector partition, leaving the root an
+    * empty directory parquet cannot infer a schema from — "no data"
+    * and "no root" mean the same thing to every DV path.
+    */
+  private def dvHasData(dir: String, dataPrefix: String): Boolean = {
+    val root = new java.io.File(partitionedRoot(dir, dvPrefix(dataPrefix)))
+    root.isDirectory && Option(root.listFiles()).exists(_.exists(d =>
+      d.isDirectory && Option(d.listFiles()).exists(
+        _.exists(_.getName.endsWith(".parquet")))))
+  }
+
+  /** Record row-level deletes WITHOUT touching a data file: union the
+    * new keys into the touched partitions' delete vectors (distinct —
+    * re-deleting a key, or replaying the whole batch, is a no-op in
+    * content). `deletes` carries (partCol, keyCol); the partition
+    * column is the same "the delta names the partition" contract as
+    * every other lane.
+    */
+  def appendDeleteVectors(spark: SparkSession, dir: String,
+                          dataPrefix: String, partCol: String,
+                          keyCol: String, deletes: DataFrame): String = {
+    import org.apache.spark.sql.functions.col
+    val dvp = dvPrefix(dataPrefix)
+    val touched = deletes.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val prior =
+      if (dvHasData(dir, dataPrefix))
+        readPartitions(spark, dir, dvp, partCol, touched)
+      else deletes.filter(org.apache.spark.sql.functions.lit(false))
+    val merged = graft.ext.Exec.checkpointEager(
+      prior.select(col(partCol), col(keyCol))
+        .unionByName(deletes.select(col(partCol), col(keyCol)))
+        .distinct())
+    overwriteTouchedPartitions(merged, dir, dvp, partCol, touched)
+  }
+
+  /** Merge-on-read: the data root minus its delete vectors — one
+    * anti-join on (partition, key); Spark broadcasts the DV side while
+    * it is small, which is the whole point of deferring the rewrite.
+    * Serves exactly what a purge-then-read would.
+    */
+  def readMergeOnRead(spark: SparkSession, dir: String,
+                      dataPrefix: String, partCol: String,
+                      keyCol: String): DataFrame = {
+    val data = readPartitioned(spark, dir, dataPrefix)
+    if (!dvHasData(dir, dataPrefix)) return data
+    val dv = readPartitioned(spark, dir, dvPrefix(dataPrefix))
+    data.join(dv, Seq(partCol, keyCol), "left_anti")
+  }
+
+  /** Fold the delete vectors in: rewrite ONLY the partitions that
+    * still carry deletes (minus-deleted content, the standard
+    * overwrite protocol, emptied partitions erased) and clear their
+    * vectors. Reads before, during (merge-on-read), and after serve
+    * identical rows; afterwards the anti-join cost is gone. @return
+    * the purged partition values.
+    */
+  def purgeDeleteVectors(spark: SparkSession, dir: String,
+                         dataPrefix: String, partCol: String,
+                         keyCol: String): Seq[Any] = {
+    import org.apache.spark.sql.functions.col
+    val dvp = dvPrefix(dataPrefix)
+    if (!dvHasData(dir, dataPrefix)) return Seq.empty
+    val dv = readPartitioned(spark, dir, dvp)
+    val touched = dv.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return Seq.empty
+    val survivors = graft.ext.Exec.checkpointEager(
+      readPartitions(spark, dir, dataPrefix, partCol, touched)
+        .join(dv, Seq(partCol, keyCol), "left_anti"))
+    overwriteTouchedPartitions(survivors, dir, dataPrefix, partCol,
+      touched)
+    // clearing = overwriting the touched DV partitions with nothing
+    overwriteTouchedPartitions(
+      dv.filter(org.apache.spark.sql.functions.lit(false)),
+      dir, dvp, partCol, touched)
+    touched
+  }
+
   // ---- atomic multi-root commit manifest -------------------------------
   // A topology cycle publishes SEVERAL state objects; written one after
   // another, a crash between publishes leaves readers who resolve each
@@ -510,9 +607,10 @@ object Versioned {
   def readSnapshotPartitions(spark: SparkSession, dir: String,
                              manifestPrefix: String, prefix: String,
                              partCol: String,
-                             touched: Option[Seq[Any]]): DataFrame =
+                             touched: Option[Seq[Any]],
+                             mergeSchema: Boolean = false): DataFrame =
     readSnapshotAt(spark, dir, prefix, partCol,
-      snapshotPins(dir, manifestPrefix, prefix), touched)
+      snapshotPins(dir, manifestPrefix, prefix), touched, mergeSchema)
 
   /** Snapshot-lane TIME TRAVEL: read `prefix` as of a SPECIFIC
     * committed manifest `tag`. Keep-last-N retention
@@ -554,7 +652,8 @@ object Versioned {
     */
   def readSnapshotAt(spark: SparkSession, dir: String, prefix: String,
                      partCol: String, pins: Map[String, String],
-                     touched: Option[Seq[Any]]): DataFrame = {
+                     touched: Option[Seq[Any]],
+                     mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val sel = touched match {
       case Some(vs) =>
@@ -563,6 +662,13 @@ object Versioned {
       case None => pins
     }
     val root = snapshotRoot(dir, prefix)
+    // mergeSchema = SCHEMA EVOLUTION across generations: a later
+    // publish may add columns; merged reads present the union schema
+    // with nulls for generations written before the column existed
+    // (the standard additive-evolution contract — renames/drops are a
+    // rewrite, not an evolution). Off by default: schema merging pays
+    // a footer read per file at planning.
+    val reader = spark.read.option("mergeSchema", mergeSchema)
     if (sel.size > SnapshotPathReadThreshold) {
       // pins always name directories their manifest's commit proved
       // written (emptied partitions leave the pin map), so every path
@@ -570,12 +676,12 @@ object Versioned {
       val paths = sel.toSeq.sortBy(_._1).map { case (v, g) =>
         s"$root/$partCol=$v/__gen=$g"
       }
-      spark.read.option("basePath", root).parquet(paths: _*).drop("__gen")
+      reader.option("basePath", root).parquet(paths: _*).drop("__gen")
     } else {
       val pred = sel.toSeq.sortBy(_._1).map { case (v, g) =>
         col(partCol) === lit(v) && col("__gen") === lit(g)
       }.reduceOption(_ || _).getOrElse(lit(false))
-      spark.read.parquet(root).filter(pred).drop("__gen")
+      reader.parquet(root).filter(pred).drop("__gen")
     }
   }
 

@@ -2351,7 +2351,106 @@ object IoQueries extends QueryPack {
       Some("""SELECT doc_id FROM documents
              |WHERE text = (SELECT text FROM documents
              |  WHERE doc_id = (SELECT min(doc_id) FROM documents))
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // SCHEMA EVOLUTION through the snapshot lane (q125's object-lane
+    // twin): a later generation publishes its months WITH an added
+    // column; merged reads (mergeSchema) present the union schema and
+    // null-fill the generations written before the column existed —
+    // the additive-evolution contract (renames/drops are a rewrite,
+    // not an evolution). Old manifest tags still time-travel to the
+    // pre-evolution schema (SnapshotLaneSpec pins both directions).
+    Q("q413_snapshot_schema_evolution",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q413_evo")
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(_.getName.startsWith("evq_root__")).foreach(_.delete()))
+        val o = Tables.orders(s, d).select(
+          date_format($"o_orderdate", "yyyy-MM").as("omonth"),
+          $"o_orderkey",
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        val cutoff = "1997-01"
+        val g1 = "00000001_aaa"
+        val p1 = Versioned.writeSnapshotFull(o, dir, "evq_ord", "omonth",
+          g1)
+        val pins1 = p1.map(_.toString -> g1).toMap
+        Versioned.commitManifest(dir, "evq_root", g1, pins1.map {
+          case (v, g) => Versioned.snapshotPinKey("evq_ord", v) -> g })
+        // evolution: months >= cutoff republished with the new column
+        val g2 = "00000002_bbb"
+        val evolved = Tables.orders(s, d).select(
+            date_format($"o_orderdate", "yyyy-MM").as("omonth"),
+            $"o_orderkey",
+            round($"o_totalprice" * 100, 0).cast("long").as("cents"),
+            $"o_orderpriority".as("prio"))
+          .filter($"omonth" >= cutoff).localCheckpoint(true)
+        val p2 = Versioned.writeSnapshotPartitions(evolved, dir,
+          "evq_ord", "omonth", g2)
+        Versioned.commitManifest(dir, "evq_root", g2,
+          (pins1 ++ p2.map(_.toString -> g2)).map {
+            case (v, g) => Versioned.snapshotPinKey("evq_ord", v) -> g })
+        Versioned.readSnapshotPartitions(s, dir, "evq_root", "evq_ord",
+            "omonth", None, mergeSchema = true)
+          .groupBy($"omonth")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"),
+            count($"prio").as("n_prio"), min($"prio").as("min_prio"))
+          .orderBy($"omonth")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS omonth,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+             |    AS cents_sum,
+             |  count(CASE WHEN strftime(o_orderdate, '%Y-%m') >= '1997-01'
+             |    THEN o_orderpriority END) AS n_prio,
+             |  min(CASE WHEN strftime(o_orderdate, '%Y-%m') >= '1997-01'
+             |    THEN o_orderpriority END) AS min_prio
+             |FROM orders
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // MERGE-ON-READ deletion vectors: scattered row-level deletes
+    // (GDPR erasure across years) append their keys to a tiny DV
+    // sidecar — O(deletes) write, ZERO data files touched (the
+    // partitioned lane's whole-month rewrite would pay a month per
+    // row) — and reads anti-join the vectors. Two delete batches
+    // accumulate; re-deleting is a content no-op; a later purge folds
+    // the vectors into a rewrite of only the delete-carrying months
+    // (DeleteVectorSpec pins byte-identical data files through the
+    // deletes, purge equivalence, and sidecar clearing). The oracle
+    // is the minus-deleted aggregate.
+    Q("q414_merge_on_read_delete",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q414_dv")
+        val o = Tables.orders(s, d).select(
+          date_format($"o_orderdate", "yyyy-MM").as("omonth"),
+          $"o_orderkey",
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        Versioned.writePartitionedFull(o, dir, "dvq_ord", Seq("omonth"))
+        Versioned.appendDeleteVectors(s, dir, "dvq_ord", "omonth",
+          "o_orderkey",
+          o.filter($"o_orderkey" % 7 === 0 && $"omonth" >= "1997-01")
+            .select($"omonth", $"o_orderkey").localCheckpoint(true))
+        Versioned.appendDeleteVectors(s, dir, "dvq_ord", "omonth",
+          "o_orderkey",
+          o.filter($"o_orderkey" % 11 === 0 && $"omonth" >= "1995-01")
+            .select($"omonth", $"o_orderkey").localCheckpoint(true))
+        Versioned.readMergeOnRead(s, dir, "dvq_ord", "omonth",
+            "o_orderkey")
+          .groupBy($"omonth")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+          .orderBy($"omonth")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS omonth,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+             |    AS cents_sum
+             |FROM orders
+             |WHERE NOT (o_orderkey % 7 = 0
+             |    AND strftime(o_orderdate, '%Y-%m') >= '1997-01')
+             |  AND NOT (o_orderkey % 11 = 0
+             |    AND strftime(o_orderdate, '%Y-%m') >= '1995-01')
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Full-corpus replay oracle for the incremental LSH dedup cycles

@@ -667,7 +667,8 @@ class PlanAuditSpec extends SparkTestBase {
         "q406_zonemap_incremental", "q407_snapshot_compaction",
         "q408_zonemap_manifest", "q409_snapshot_time_travel",
         "q410_bloom_point_lookup", "q411_zonemap_zorder",
-        "q412_content_lookup")) {
+        "q412_content_lookup", "q413_snapshot_schema_evolution",
+        "q414_merge_on_read_delete")) {
       val plan = finalPlan(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name went cartesian:\n${plan.take(2000)}")

@@ -187,4 +187,40 @@ class SnapshotLaneSpec extends SparkTestBase {
       "a retained snapshot broke after GC")
     assert(at("00000003_c") == snap3)
   }
+
+  test("schema evolution: a later generation adds a column; merged reads null-fill the old generations") {
+    val dir = graft.core.Scratch.dir("snap_evo")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("evo_root__")).foreach(_.delete()))
+    val g1 = "00000001_a"
+    val base = spark.range(3000L).select($"id",
+      ($"id" % 3).cast("long").as("m"), ($"id" * 2).as("v"))
+    val p1 = Versioned.writeSnapshotFull(base, dir, "evo_data", "m", g1)
+    Versioned.commitManifest(dir, "evo_root", g1,
+      p1.map(v => Versioned.snapshotPinKey("evo_data", v) -> g1).toMap)
+    // month 1 republished with an ADDED column w
+    val g2 = "00000002_b"
+    val withW = base.filter($"m" === 1L).withColumn("w", $"id" + 7L)
+      .localCheckpoint(true)
+    val p2 = Versioned.writeSnapshotPartitions(withW, dir, "evo_data",
+      "m", g2)
+    Versioned.commitManifest(dir, "evo_root", g2,
+      (p1.map(_.toString -> g1).toMap ++ p2.map(_.toString -> g2)).map {
+        case (v, g) => Versioned.snapshotPinKey("evo_data", v) -> g })
+    val merged = Versioned.readSnapshotPartitions(spark, dir, "evo_root",
+      "evo_data", "m", None, mergeSchema = true)
+    assert(merged.columns.contains("w"))
+    val perMonth = merged.groupBy($"m")
+      .agg(count(lit(1)).as("n"), count($"w").as("n_w"))
+      .orderBy($"m").as[(Long, Long, Long)].collect().toSeq
+    assert(perMonth == Seq((0L, 1000L, 0L), (1L, 1000L, 1000L),
+      (2L, 1000L, 0L)),
+      s"old generations must null-fill the new column: $perMonth")
+    // homogeneous time-travel read of the pre-evolution snapshot needs
+    // no merge and carries no w
+    val old = Versioned.readSnapshotPartitionsAt(spark, dir, "evo_root",
+      g1, "evo_data", "m", None)
+    assert(!old.columns.contains("w"))
+    assert(old.count() == 3000L)
+  }
 }
