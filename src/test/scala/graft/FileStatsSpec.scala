@@ -267,6 +267,54 @@ class FileStatsSpec extends SparkTestBase {
     assert(moved.count() == 1L, "maintained bloom missed a new key")
   }
 
+  test("multi-column sidecar maintenance and partition-restricted bloom probes") {
+    val dir = graft.core.Scratch.dir("fstats_multi_maint")
+    val df = mkData(4000)
+    Versioned.writePartitionedFull(df, dir, "fs_mm", Seq("part"))
+    FileStats.buildSidecarMulti(spark, dir, "fs_mm", "part",
+      Seq("v", "w"))
+    FileStats.buildBloomSidecar(spark, dir, "fs_mm", "part", "id",
+      itemsPerFile = 10000L, numBits = 100000L)
+
+    // cycle rewrites m03 with shifted v; the multi sidecar maintains
+    // only that partition and conjunctive skipping stays exact
+    val newRows = df.filter($"part" === "m03")
+      .select($"id", $"part", ($"v" + 50000L).as("v"), $"w")
+      .localCheckpoint(true)
+    Versioned.overwriteTouchedPartitions(newRows, dir, "fs_mm", "part",
+      Seq("m03"))
+    FileStats.maintainSidecarMulti(spark, dir, "fs_mm", "part",
+      Seq("v", "w"), Seq("m03"))
+    // EVERY sidecar over a root maintains with the publish — a stale
+    // bloom here would hand the reader a deleted file path
+    FileStats.maintainBloomSidecar(spark, dir, "fs_mm", "part", "id",
+      Seq("m03"), itemsPerFile = 10000L, numBits = 100000L)
+    val preds = Seq(("v", Some(52000L: Any), Some(55000L: Any)),
+      ("w", Some(0L: Any), None))
+    val skip = FileStats.readSkippingMulti(spark, dir, "fs_mm", "part",
+      preds)
+    val full = Versioned.readPartitioned(spark, dir, "fs_mm")
+      .filter($"v" >= 52000L && $"v" <= 55000L && $"w" >= 0L)
+    assert(skip.orderBy($"id").collect().toSeq ==
+      full.orderBy($"id").collect().toSeq)
+    assert(skip.count() > 0)
+    // stale-map hazard check: the maintained range exists ONLY in the
+    // rewritten partition, so candidates must come from m03 alone
+    assert(FileStats.candidateFilesMulti(spark, dir, "fs_mm", preds)
+      .forall(_.contains("part=m03")))
+
+    // a parts-restricted bloom probe prunes the sidecar read AND the
+    // candidate set to the named partitions
+    val hit = FileStats.readBloomSkipping(spark, dir, "fs_mm", "part",
+      "id", 1003L, parts = Some(Seq("m03")))
+    assert(hit.count() == 1L)
+    assert(FileStats.bloomCandidateFiles(spark, dir, "fs_mm", 1003L,
+      parts = Some(Seq("m00"))).isEmpty ||
+      FileStats.readBloomSkipping(spark, dir, "fs_mm", "part", "id",
+        1003L, parts = Some(Seq("m00"))).isEmpty,
+      "a probe restricted to the wrong partition must return nothing")
+  }
+
   test("metadata-only aggregate: answered from the sidecar, zero data files scanned") {
     val dir = graft.core.Scratch.dir("fstats_meta")
     FileStats.writeZoneClustered(mkData(2000), dir, "fs_meta",
