@@ -90,5 +90,16 @@ class StreamLakeSpec extends SparkTestBase {
         StreamLakeSink.batchTag(1L), "slk_data", "m", None)
       .select($"k", $"m", $"v").as[(Long, Long, Long)].collect().toSet
     assert(t1 == epoch1, "a retained epoch broke after GC")
+
+    // an ANCIENT batch replayed long after its successors committed
+    // (a zombie recovery) must short-circuit on the monotone-tag rule
+    // — not clobber the lake with stale data
+    val current = served(dir)
+    val zombie = Seq((1L, 0L, 10L), (2L, 0L, 20L)).toDF("k", "m", "v")
+    assert(!StreamLakeSink.commitBatch(spark, dir, "slk_root",
+      "slk_data", "m", "k", zombie, 0L),
+      "a zombie batch replay must not publish")
+    assert(served(dir) == current,
+      "a zombie batch replay changed the served state")
   }
 }
