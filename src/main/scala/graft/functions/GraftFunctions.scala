@@ -76,6 +76,14 @@ object GraftFunctions {
           .BloomFilterAggregate(exprs.head, exprs(1), exprs(2)),
         "built-in")
     }
+    if (!reg.functionExists(FunctionIdentifier("graft_bloom_might_contain"))) {
+      // per-ROW bloom membership (the sidecar planning probe): Spark's
+      // own might_contain insists on a foldable/scalar-subquery filter
+      // side, this one probes a binary COLUMN of serialized filters so
+      // the test runs on executors and only matches reach the driver
+      reg.createOrReplaceTempFunction("graft_bloom_might_contain",
+        exprs => BloomMightContain(exprs.head, exprs(1)), "built-in")
+    }
     if (!reg.functionExists(FunctionIdentifier("loc_scale_b_sketch"))) {
       // k must be a foldable literal (evaluated at resolution time)
       reg.createOrReplaceTempFunction("loc_scale_b_sketch",

@@ -117,13 +117,41 @@ object FileStats {
       case None => Versioned.readPartitioned(spark, dir,
         sidecarPrefix(dataPrefix))
     }
+    zoneCandidates(side, lo, hi)
+  }
+
+  /** The shared zone-map filter-and-collect: the filter runs where the
+    * sidecar rows are; only file names reach the driver.
+    */
+  private def zoneCandidates(side: DataFrame, lo: Option[Any],
+                             hi: Option[Any]): Seq[String] = {
     val overlap = Seq(
       lo.map(v => col("max_v") >= lit(v)),
       hi.map(v => col("min_v") <= lit(v))
     ).flatten.reduceOption(_ && _).getOrElse(lit(true))
-    side.filter(col("n_rows") > col("n_nulls") && overlap)
+    // the all-null exclusion is sound ONLY under a real bound: a range
+    // predicate never matches null, but an UNBOUNDED probe (lo and hi
+    // both None) means "every file" — including all-null ones, whose
+    // rows a full scan with no residual still serves
+    val nullSafe = if (lo.isDefined || hi.isDefined)
+      col("n_rows") > col("n_nulls") else lit(true)
+    side.filter(nullSafe && overlap)
       .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
   }
+
+  /** Refuse a skipping/metadata path on a root with OUTSTANDING delete
+    * vectors: the sidecar knows nothing of soft deletes, so the path
+    * would resurrect rows [[Versioned.readMergeOnRead]] excludes.
+    * Callers with pending deletes use the `...MergeOnRead` composition
+    * (skip, then anti-join) or [[Versioned.purgeDeleteVectors]] first.
+    */
+  private def requireNoDeleteVectors(dir: String, dataPrefix: String,
+                                     what: String): Unit =
+    require(!Versioned.dvHasData(dir, dataPrefix),
+      s"$what on '$dataPrefix' refused: the root has outstanding delete " +
+        "vectors and a sidecar-planned read would resurrect soft-deleted " +
+        "rows — use the MergeOnRead composition, or purgeDeleteVectors " +
+        "first")
 
   /** Plan-time data-skipping read: scan ONLY the candidate files and
     * apply the residual interval predicate. Row-for-row equal to
@@ -132,11 +160,22 @@ object FileStats {
     * listed, opened, or scheduled (FileStatsSpec pins the scan's
     * `numFiles` to the candidate count). An empty candidate set returns
     * an empty frame of the root's schema without touching data files.
+    * Refuses roots with outstanding delete vectors — see
+    * [[readSkippingMergeOnRead]].
     */
   def readSkipping(spark: SparkSession, dir: String, dataPrefix: String,
                    partCol: String, statCol: String,
                    lo: Option[Any], hi: Option[Any],
                    parts: Option[Seq[Any]] = None): DataFrame = {
+    requireNoDeleteVectors(dir, dataPrefix, "readSkipping")
+    readSkipping0(spark, dir, dataPrefix, partCol, statCol, lo, hi, parts)
+  }
+
+  private def readSkipping0(spark: SparkSession, dir: String,
+                            dataPrefix: String, partCol: String,
+                            statCol: String, lo: Option[Any],
+                            hi: Option[Any],
+                            parts: Option[Seq[Any]]): DataFrame = {
     val root = Versioned.partitionedRoot(dir, dataPrefix)
     val residual: Column = Seq(
       lo.map(v => col(statCol) >= lit(v)),
@@ -148,6 +187,27 @@ object FileStats {
     else
       spark.read.option("basePath", root).parquet(files: _*)
         .filter(residual)
+  }
+
+  /** [[readSkipping]] composed with the merge-on-read deletion lane:
+    * candidate files → pruned scan → residual → DV anti-join, so a
+    * root carrying pending deletes still gets file-level pruning
+    * WITHOUT resurrecting deleted rows. Row-for-row equal to
+    * `readMergeOnRead(...).filter(statCol between lo and hi)`
+    * (DeleteVectorSpec pins it); on a clean root it degrades to plain
+    * [[readSkipping]].
+    */
+  def readSkippingMergeOnRead(spark: SparkSession, dir: String,
+                              dataPrefix: String, partCol: String,
+                              keyCol: String, statCol: String,
+                              lo: Option[Any], hi: Option[Any],
+                              parts: Option[Seq[Any]] = None): DataFrame = {
+    val data = readSkipping0(spark, dir, dataPrefix, partCol, statCol,
+      lo, hi, parts)
+    if (!Versioned.dvHasData(dir, dataPrefix)) data
+    else data.join(
+      Versioned.readPartitioned(spark, dir, Versioned.dvPrefix(dataPrefix)),
+      Seq(partCol, keyCol), "left_anti")
   }
 
   // ---- multi-column zone maps ------------------------------------------
@@ -224,11 +284,13 @@ object FileStats {
         sidecarMultiPrefix(dataPrefix))
     }
     val keep = preds.map { case (c, lo, hi) =>
-      (Seq(
+      // unbounded column → no constraint at all (see candidateFiles:
+      // the all-null exclusion is only sound under a real bound)
+      val bounds = Seq(
         lo.map(v => col(s"max_$c") >= lit(v)),
-        hi.map(v => col(s"min_$c") <= lit(v))
-      ).flatten :+ (col("n_rows") > col(s"n_nulls_$c")))
-        .reduce(_ && _)
+        hi.map(v => col(s"min_$c") <= lit(v))).flatten
+      if (bounds.isEmpty) lit(true)
+      else (bounds :+ (col("n_rows") > col(s"n_nulls_$c"))).reduce(_ && _)
     }.reduce(_ && _)
     side.filter(keep).select(col("file"))
       .collect().map(_.getString(0)).toSeq.sorted
@@ -242,6 +304,7 @@ object FileStats {
                         dataPrefix: String, partCol: String,
                         preds: Seq[(String, Option[Any], Option[Any])],
                         parts: Option[Seq[Any]] = None): DataFrame = {
+    requireNoDeleteVectors(dir, dataPrefix, "readSkippingMulti")
     val root = Versioned.partitionedRoot(dir, dataPrefix)
     val residual = preds.flatMap { case (c, lo, hi) =>
       lo.map(v => col(c) >= lit(v)) ++ hi.map(v => col(c) <= lit(v))
@@ -328,31 +391,43 @@ object FileStats {
         Some(touched), itemsPerFile, numBits),
       dir, bloomPrefix(dataPrefix), "part", touched.map(_.toString))
 
-  /** The files whose bloom filter MAY contain `value` — false
-    * positives possible (read one extra file), false negatives
-    * impossible (never drop a holder). The collect + deserialize walk
-    * is O(files in the queried slice) driver work at numBits/8 bytes
-    * each — restrict `parts` when the lookup also carries a partition
-    * predicate.
+  /** The candidate-file FRAME of a bloom probe: the (pruned) sidecar
+    * filtered to rows whose filter MAY contain `value`, projected to
+    * the file-name column ONLY. Membership is evaluated in EXECUTORS
+    * ([[graft.functions.BloomMightContain]] on the binary column —
+    * Spark's own might_contain insists on a foldable filter side, so
+    * it cannot probe a per-file column), which keeps the driver's
+    * share at O(candidates)·name bytes. A collect-then-probe walk
+    * would ship O(files)·numBits/8 bytes — at the default 2²³ bits
+    * that is 1 MiB per file, driver-OOM territory at 10⁵–10⁶ files.
+    * FileStatsSpec pins that the collected schema carries no filter
+    * bytes.
     */
-  def bloomCandidateFiles(spark: SparkSession, dir: String,
+  def bloomCandidateFrame(spark: SparkSession, dir: String,
                           dataPrefix: String, value: Any,
-                          parts: Option[Seq[Any]] = None): Seq[String] = {
+                          parts: Option[Seq[Any]] = None): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val side = parts match {
       case Some(vs) => Versioned.readPartitions(spark, dir,
         bloomPrefix(dataPrefix), "part", vs.map(_.toString))
       case None => Versioned.readPartitioned(spark, dir,
         bloomPrefix(dataPrefix))
     }
-    val h = bloomHash(value)
-    side.select(col("file"), col("bloom")).collect().toSeq
-      .filter { r =>
-        org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-          .mightContainLong(h)
-      }
-      .map(_.getString(0)).sorted
+    side.filter(call_function("graft_bloom_might_contain",
+        col("bloom"), lit(bloomHash(value))))
+      .select(col("file"))
   }
+
+  /** The files whose bloom filter MAY contain `value` — false
+    * positives possible (read one extra file), false negatives
+    * impossible (never drop a holder). Distributed probe: see
+    * [[bloomCandidateFrame]]; only file names reach the driver.
+    */
+  def bloomCandidateFiles(spark: SparkSession, dir: String,
+                          dataPrefix: String, value: Any,
+                          parts: Option[Seq[Any]] = None): Seq[String] =
+    bloomCandidateFrame(spark, dir, dataPrefix, value, parts)
+      .collect().map(_.getString(0)).toSeq.sorted
 
   /** Point-lookup read planned through the bloom sidecar: scan ONLY
     * the candidate files, then apply the exact equality residual.
@@ -364,6 +439,14 @@ object FileStats {
                         dataPrefix: String, partCol: String,
                         keyCol: String, value: Any,
                         parts: Option[Seq[Any]] = None): DataFrame = {
+    requireNoDeleteVectors(dir, dataPrefix, "readBloomSkipping")
+    readBloomSkipping0(spark, dir, dataPrefix, keyCol, value, parts)
+  }
+
+  private def readBloomSkipping0(spark: SparkSession, dir: String,
+                                 dataPrefix: String, keyCol: String,
+                                 value: Any,
+                                 parts: Option[Seq[Any]]): DataFrame = {
     val root = Versioned.partitionedRoot(dir, dataPrefix)
     val files = bloomCandidateFiles(spark, dir, dataPrefix, value, parts)
     if (files.isEmpty)
@@ -371,6 +454,26 @@ object FileStats {
     else
       spark.read.option("basePath", root).parquet(files: _*)
         .filter(col(keyCol) === lit(value))
+  }
+
+  /** [[readBloomSkipping]] composed with the merge-on-read deletion
+    * lane: bloom-pruned scan → equality residual → DV anti-join, so a
+    * point lookup on a root with pending deletes returns exactly the
+    * minus-deleted holders instead of resurrecting them (the q416
+    * oracle and DeleteVectorSpec pin it). `dvKeyCol` is the DV lane's
+    * key column — usually but not necessarily the probed `keyCol`.
+    */
+  def readBloomSkippingMergeOnRead(spark: SparkSession, dir: String,
+                                   dataPrefix: String, partCol: String,
+                                   keyCol: String, value: Any,
+                                   dvKeyCol: String,
+                                   parts: Option[Seq[Any]] = None): DataFrame = {
+    val data = readBloomSkipping0(spark, dir, dataPrefix, keyCol, value,
+      parts)
+    if (!Versioned.dvHasData(dir, dataPrefix)) data
+    else data.join(
+      Versioned.readPartitioned(spark, dir, Versioned.dvPrefix(dataPrefix)),
+      Seq(partCol, dvKeyCol), "left_anti")
   }
 
   /** Zone-clustered full layout: range-partition by (partCol, statCol)
@@ -452,17 +555,23 @@ object FileStats {
   def candidateFilesSnapshot(spark: SparkSession, dir: String,
                              manifestPrefix: String, dataPrefix: String,
                              lo: Option[Any], hi: Option[Any],
-                             parts: Option[Seq[Any]] = None): Seq[String] = {
-    val side = Versioned.readSnapshotPartitions(spark, dir,
-      manifestPrefix, sidecarPrefix(dataPrefix), "part",
-      parts.map(_.map(_.toString)))
-    val overlap = Seq(
-      lo.map(v => col("max_v") >= lit(v)),
-      hi.map(v => col("min_v") <= lit(v))
-    ).flatten.reduceOption(_ && _).getOrElse(lit(true))
-    side.filter(col("n_rows") > col("n_nulls") && overlap)
-      .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
-  }
+                             parts: Option[Seq[Any]] = None): Seq[String] =
+    candidateFilesAt(spark, dir, dataPrefix,
+      Versioned.snapshotPins(dir, manifestPrefix, sidecarPrefix(dataPrefix)),
+      lo, hi, parts)
+
+  /** [[candidateFilesSnapshot]] against an EXPLICIT sidecar pin map —
+    * the time-travel / mid-cycle resolve (the facade's as-of path).
+    */
+  def candidateFilesAt(spark: SparkSession, dir: String,
+                       dataPrefix: String,
+                       sidecarPins: Map[String, String],
+                       lo: Option[Any], hi: Option[Any],
+                       parts: Option[Seq[Any]] = None): Seq[String] =
+    zoneCandidates(
+      Versioned.readSnapshotAt(spark, dir, sidecarPrefix(dataPrefix),
+        "part", sidecarPins, parts.map(_.map(_.toString))),
+      lo, hi)
 
   /** Data-skipping read over a snapshot root, planned entirely from
     * the manifest: sidecar pins name the stats generation, the stats
@@ -499,13 +608,127 @@ object FileStats {
     * manifest statistics; exactness holds because the sidecar is
     * maintained transactionally with the data (see class doc). min/max
     * ignore all-null files through min/max's own null semantics.
+    * Refuses roots with outstanding delete vectors — sidecar stats
+    * include soft-deleted rows a merge-on-read read would exclude, so
+    * the "exact" claim only holds on a clean root (purge first).
     */
   def statsOnlyAgg(spark: SparkSession, dir: String,
-                   dataPrefix: String): DataFrame =
+                   dataPrefix: String): DataFrame = {
+    requireNoDeleteVectors(dir, dataPrefix, "statsOnlyAgg")
     Versioned.readPartitioned(spark, dir, sidecarPrefix(dataPrefix))
       .groupBy(col("part"))
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("n_nulls")).as("n_nulls"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
+  }
+
+  /** [[statsOnlyAgg]] for the snapshot lane: the sidecar generations
+    * consulted are the ones the NEWEST manifest pins, so the
+    * metadata-only answer is exact for precisely the snapshot a pinned
+    * data read would serve — including mid-crash (uncommitted stats
+    * generations are invisible).
+    */
+  def statsOnlyAggSnapshot(spark: SparkSession, dir: String,
+                           manifestPrefix: String,
+                           dataPrefix: String): DataFrame =
+    Versioned.readSnapshotPartitions(spark, dir, manifestPrefix,
+        sidecarPrefix(dataPrefix), "part", None)
+      .groupBy(col("part"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_nulls")).as("n_nulls"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+
+  // ---- manifest-pinned bloom sidecars (snapshot lane) ------------------
+  // The bloom twin of the manifest-pinned zone maps: per-file filters
+  // become a generation-pinned root whose pins ride the same atomic
+  // commit as the data pins. Point lookups plan through the manifest —
+  // a half-committed publish can neither hide a pinned file from the
+  // probe nor route it through an unpinned filter generation.
+
+  /** Per-(partition, file) bloom rows of the data read AT `dataPins` —
+    * the mid-cycle view, like [[collectSnapshotStats]].
+    */
+  def collectSnapshotBloom(spark: SparkSession, dir: String,
+                           dataPrefix: String, partCol: String,
+                           keyCol: String,
+                           dataPins: Map[String, String],
+                           touched: Option[Seq[Any]],
+                           itemsPerFile: Long, numBits: Long): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Versioned.readSnapshotAt(spark, dir, dataPrefix, partCol, dataPins,
+        touched)
+      .groupBy(col(partCol).cast("string").as("part"),
+        input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        call_function("graft_bloom_agg", xxhash64(col(keyCol)),
+          lit(itemsPerFile), lit(numBits)).as("bloom"))
+  }
+
+  /** Write the `touched` partitions' bloom rows into their `gen`
+    * sidecar leaves; the caller folds the returned present set into
+    * the SAME manifest entries as the data pins (under
+    * [[bloomPrefix]]'s pin keys) — one commit flips data and filters
+    * together.
+    */
+  def writeSnapshotBloomSidecar(spark: SparkSession, dir: String,
+                                dataPrefix: String, partCol: String,
+                                keyCol: String,
+                                dataPins: Map[String, String],
+                                touched: Seq[Any], gen: String,
+                                itemsPerFile: Long = 1 << 20,
+                                numBits: Long = 1L << 23): Set[Any] =
+    Versioned.writeSnapshotPartitions(
+      collectSnapshotBloom(spark, dir, dataPrefix, partCol, keyCol,
+        dataPins, Some(touched), itemsPerFile, numBits),
+      dir, bloomPrefix(dataPrefix), "part", gen)
+
+  /** [[bloomCandidateFiles]] resolved through the newest manifest's
+    * bloom-sidecar pins. Distributed probe — executors evaluate
+    * membership, only file names reach the driver.
+    */
+  def bloomCandidateFilesSnapshot(spark: SparkSession, dir: String,
+                                  manifestPrefix: String,
+                                  dataPrefix: String, value: Any,
+                                  parts: Option[Seq[Any]] = None): Seq[String] =
+    bloomCandidateFilesAt(spark, dir, dataPrefix,
+      Versioned.snapshotPins(dir, manifestPrefix, bloomPrefix(dataPrefix)),
+      value, parts)
+
+  /** [[bloomCandidateFilesSnapshot]] against an EXPLICIT bloom-sidecar
+    * pin map — the time-travel / mid-cycle resolve.
+    */
+  def bloomCandidateFilesAt(spark: SparkSession, dir: String,
+                            dataPrefix: String,
+                            bloomPins: Map[String, String], value: Any,
+                            parts: Option[Seq[Any]] = None): Seq[String] = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Versioned.readSnapshotAt(spark, dir, bloomPrefix(dataPrefix), "part",
+        bloomPins, parts.map(_.map(_.toString)))
+      .filter(call_function("graft_bloom_might_contain",
+        col("bloom"), lit(bloomHash(value))))
+      .select(col("file"))
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Point-lookup read over a snapshot root, planned entirely from the
+    * manifest-pinned bloom sidecar; row-for-row equal to the pinned
+    * full read + equality filter (one-sided bloom error).
+    */
+  def readBloomSkippingSnapshot(spark: SparkSession, dir: String,
+                                manifestPrefix: String,
+                                dataPrefix: String, partCol: String,
+                                keyCol: String, value: Any,
+                                parts: Option[Seq[Any]] = None): DataFrame = {
+    val root = Versioned.snapshotRoot(dir, dataPrefix)
+    val files = bloomCandidateFilesSnapshot(spark, dir, manifestPrefix,
+      dataPrefix, value, parts)
+    if (files.isEmpty)
+      Versioned.readSnapshotPartitions(spark, dir, manifestPrefix,
+        dataPrefix, partCol, None).filter(lit(false))
+    else
+      spark.read.option("basePath", root).parquet(files: _*)
+        .drop("__gen").filter(col(keyCol) === lit(value))
+  }
 }

@@ -1,0 +1,200 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ONE audited read path over the lakehouse lanes.
+  *
+  * The store grew six reader APIs a caller must compose correctly —
+  * `readPartitioned`/`readPartitions` (in-place lane), `readAtManifest`
+  * (object lane), `readSnapshotPartitions[At]` (snapshot lane),
+  * `readSkipping*` (zone maps), `readBloomSkipping` (point lookups),
+  * `readMergeOnRead` (deletion vectors) — and every pairwise
+  * composition is a correctness hazard when hand-rolled: skipping over
+  * a root with pending deletes resurrects rows, time travel without
+  * pinned stats prunes through the wrong generation, evolution without
+  * mergeSchema drops columns. [[readTable]] resolves the whole stack
+  * in one place, in the only sound order:
+  *
+  *   manifest (as-of or latest) → partition restriction → zone-map /
+  *   bloom file skipping (intersected when both prune) → residual
+  *   predicates → deletion-vector anti-join → mergeSchema.
+  *
+  * Laws (LakeTableSpec pins each cell of the matrix
+  * {latest, as-of} × {zone, bloom, both, none} × {DV, clean} ×
+  * {evolved, flat}):
+  *  - the result is row-for-row the hand-composed twin: pinned/plain
+  *    read + filters, minus outstanding deletes;
+  *  - skipping never changes WHAT is returned, only how many files
+  *    are listed, opened, or scheduled;
+  *  - a sidecar that does not exist (or is not pinned at the resolved
+  *    manifest) degrades to a residual-only read — never a wrong one;
+  *  - deletion vectors apply to EVERY read, including as-of time
+  *    travel: erasure (the lane's GDPR use case) must reach history,
+  *    so a deleted key is gone from all snapshots, not just the
+  *    newest pins.
+  *
+  * Caller-asserted column contracts (inherited from the sidecar
+  * lanes, which don't record their build column): a single-column
+  * zone range must name the column the sidecar was built on, and a
+  * `point` probe the bloom sidecar's key column — same contract as
+  * `readSkipping(statCol)` / `readBloomSkipping(keyCol)`. The
+  * multi-column sidecar fails loudly on an unknown column (its
+  * per-column stat fields are named).
+  */
+object LakeTable {
+
+  /** Read `prefix` with every applicable lane resolved. See class doc.
+    *
+    * @param manifestPrefix snapshot lane when set (pins resolve
+    *                       through the manifest); in-place partitioned
+    *                       lane when None
+    * @param asOfTag        time travel to a committed manifest tag
+    *                       (requires `manifestPrefix`)
+    * @param parts          partition-value restriction (plan-time
+    *                       pruning)
+    * @param ranges         interval predicates (column, lo, hi) —
+    *                       skipped through the multi-column sidecar
+    *                       when present (in-place lane), else the
+    *                       single-column sidecar for a lone range,
+    *                       else applied as residuals only
+    * @param point          equality probe (column, value) — skipped
+    *                       through the bloom sidecar when present
+    * @param mergeSchema    additive schema evolution across
+    *                       generations (union schema, null-filled)
+    */
+  def readTable(spark: SparkSession,
+                dir: String,
+                prefix: String,
+                partCol: String,
+                manifestPrefix: Option[String] = None,
+                asOfTag: Option[String] = None,
+                parts: Option[Seq[Any]] = None,
+                ranges: Seq[(String, Option[Any], Option[Any])] = Nil,
+                point: Option[(String, Any)] = None,
+                mergeSchema: Boolean = false): DataFrame = {
+    require(asOfTag.isEmpty || manifestPrefix.isDefined,
+      "asOfTag requires manifestPrefix — time travel is a manifest-lane " +
+        "feature (the in-place lane mutates and keeps no history)")
+    val snapshot = manifestPrefix.isDefined
+
+    // resolve (prefix → pins) through the manifest, as-of or latest —
+    // the ONE point where the time-travel tag is honored, so data and
+    // sidecar generations can never mix across manifest generations
+    def pinsOf(p: String): Map[String, String] = (manifestPrefix, asOfTag) match {
+      case (Some(mp), None) => Versioned.snapshotPins(dir, mp, p)
+      case (Some(mp), Some(t)) =>
+        Versioned.manifestAt(dir, mp, t).getOrElse(
+          throw new IllegalArgumentException(
+            s"no manifest '$mp' @ '$t' in $dir — never committed, or " +
+              "outside the GC retention window"))
+          .collect { case (k, g) if k.startsWith(s"$p/") =>
+            k.stripPrefix(s"$p/") -> g }
+      case _ => Map.empty
+    }
+
+    def inPlaceHas(p: String): Boolean = {
+      val root = new java.io.File(Versioned.partitionedRoot(dir, p))
+      root.isDirectory && Option(root.listFiles()).exists(_.exists(d =>
+        d.isDirectory && Option(d.listFiles()).exists(
+          _.exists(_.getName.endsWith(".parquet")))))
+    }
+
+    // ---- file skipping: each Some(files) is a conservative superset
+    // of the rows' holders; two independent prunings intersect
+    val zoneCand: Option[Seq[String]] =
+      if (ranges.isEmpty ||
+          ranges.forall { case (_, lo, hi) => lo.isEmpty && hi.isEmpty })
+        None
+      else if (snapshot) {
+        val zPins = pinsOf(FileStats.sidecarPrefix(prefix))
+        if (zPins.isEmpty || ranges.size != 1) None
+        else ranges.head match { case (_, lo, hi) =>
+          Some(FileStats.candidateFilesAt(spark, dir, prefix, zPins,
+            lo, hi, parts))
+        }
+      } else if (inPlaceHas(FileStats.sidecarMultiPrefix(prefix)))
+        Some(FileStats.candidateFilesMulti(spark, dir, prefix, ranges,
+          parts))
+      else if (ranges.size == 1 &&
+          inPlaceHas(FileStats.sidecarPrefix(prefix)))
+        ranges.head match { case (_, lo, hi) =>
+          Some(FileStats.candidateFiles(spark, dir, prefix, lo, hi, parts))
+        }
+      else None
+
+    val bloomCand: Option[Seq[String]] = point.flatMap { case (_, v) =>
+      if (snapshot) {
+        val bPins = pinsOf(FileStats.bloomPrefix(prefix))
+        if (bPins.isEmpty) None
+        else Some(FileStats.bloomCandidateFilesAt(spark, dir, prefix,
+          bPins, v, parts))
+      } else if (inPlaceHas(FileStats.bloomPrefix(prefix)))
+        Some(FileStats.bloomCandidateFiles(spark, dir, prefix, v, parts))
+      else None
+    }
+
+    val cand: Option[Seq[String]] = (zoneCand, bloomCand) match {
+      case (Some(z), Some(b)) => Some(z.intersect(b))
+      case (z, b) => z.orElse(b)
+    }
+
+    // ---- base read
+    val dataPins = if (snapshot) pinsOf(prefix) else Map.empty[String, String]
+    val base: DataFrame = cand match {
+      case Some(files) if files.isEmpty =>
+        if (snapshot)
+          Versioned.readSnapshotAt(spark, dir, prefix, partCol, dataPins,
+            None, mergeSchema).filter(lit(false))
+        else
+          spark.read.option("mergeSchema", mergeSchema)
+            .parquet(Versioned.partitionedRoot(dir, prefix))
+            .filter(lit(false))
+      case Some(files) =>
+        val root = if (snapshot) Versioned.snapshotRoot(dir, prefix)
+                   else Versioned.partitionedRoot(dir, prefix)
+        val df = spark.read.option("mergeSchema", mergeSchema)
+          .option("basePath", root).parquet(files: _*)
+        if (snapshot) df.drop("__gen") else df
+      case None =>
+        if (snapshot)
+          Versioned.readSnapshotAt(spark, dir, prefix, partCol, dataPins,
+            parts, mergeSchema)
+        else {
+          val full = spark.read.option("mergeSchema", mergeSchema)
+            .parquet(Versioned.partitionedRoot(dir, prefix))
+          parts match {
+            // literal isin resolves at plan time as a partition filter
+            case Some(vs) => full.filter(col(partCol).isin(vs: _*))
+            case None => full
+          }
+        }
+    }
+
+    // ---- residuals: exactness never depends on which prunings fired
+    val withParts = parts match {
+      case Some(vs) if cand.isDefined => base.filter(col(partCol).isin(vs: _*))
+      case _ => base
+    }
+    val rangeResid = ranges.flatMap { case (c, lo, hi) =>
+      lo.map(v => col(c) >= lit(v)) ++ hi.map(v => col(c) <= lit(v))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val pointResid = point.map { case (c, v) => col(c) === lit(v) }
+      .getOrElse(lit(true))
+    val filtered = withParts.filter(rangeResid && pointResid)
+
+    // ---- deletion vectors: the DV key column is read off the sidecar
+    // itself (its schema is exactly (partCol, key)), so a caller can
+    // never forget the anti-join and resurrect deleted rows
+    if (!Versioned.dvHasData(dir, prefix)) filtered
+    else {
+      val dv = Versioned.readPartitioned(spark, dir,
+        Versioned.dvPrefix(prefix))
+      val keyCols = dv.columns.filterNot(_ == partCol)
+      require(keyCols.length == 1,
+        s"DV sidecar of '$prefix' must carry exactly ($partCol, key), " +
+          s"got (${dv.columns.mkString(", ")})")
+      filtered.join(dv, Seq(partCol, keyCols.head), "left_anti")
+    }
+  }
+}

@@ -249,6 +249,16 @@ object Versioned {
   // the lane's own primitives — key-addressed rather than
   // row-position-addressed, because keys survive compaction and
   // re-clustering while file positions do not.
+  //
+  // SINGLE-WRITER CONTRACT: appendDeleteVectors and purgeDeleteVectors
+  // are read-merge-write on the DV sidecar, like every publish in the
+  // in-place partitioned lane — one mutator at a time per data root
+  // (the nightly-cycle posture). Two concurrent delete batches, or a
+  // delete racing a purge, can lose keys silently (last writer wins);
+  // with GDPR erasure as the motivating case, a lost delete is a
+  // compliance failure, so concurrent mutators must serialize through
+  // an external lock or route through the manifest lane's guarded
+  // commit. Reads (readMergeOnRead) are safe concurrent with anything.
 
   /** DV sidecar prefix convention for `dataPrefix`. */
   def dvPrefix(dataPrefix: String): String = s"${dataPrefix}_dv"
@@ -257,7 +267,7 @@ object Versioned {
     * empty directory parquet cannot infer a schema from — "no data"
     * and "no root" mean the same thing to every DV path.
     */
-  private def dvHasData(dir: String, dataPrefix: String): Boolean = {
+  private[io] def dvHasData(dir: String, dataPrefix: String): Boolean = {
     val root = new java.io.File(partitionedRoot(dir, dvPrefix(dataPrefix)))
     root.isDirectory && Option(root.listFiles()).exists(_.exists(d =>
       d.isDirectory && Option(d.listFiles()).exists(
@@ -269,7 +279,8 @@ object Versioned {
     * re-deleting a key, or replaying the whole batch, is a no-op in
     * content). `deletes` carries (partCol, keyCol); the partition
     * column is the same "the delta names the partition" contract as
-    * every other lane.
+    * every other lane. Read-merge-write: one mutator at a time per
+    * root (the lane's single-writer contract above).
     */
   def appendDeleteVectors(spark: SparkSession, dir: String,
                           dataPrefix: String, partCol: String,
@@ -724,6 +735,22 @@ object Versioned {
     * listing of pinned leaves only — O(partitions), the same
     * metadata walk the GC does.
     *
+    * MANIFEST-PINNED SIDECARS must move with the data they describe:
+    * a compacted leaf's old stats/bloom rows name the SUPERSEDED
+    * generation's files — row-correct only until
+    * [[gcSnapshotGenerations]] reclaims them, then a read-path crash.
+    * So compaction re-derives the sidecar rows for every compacted
+    * (root, partition) from the just-written generation and folds the
+    * sidecar re-pins into the SAME atomic [[commitManifest]] flip
+    * (the stats-flip-with-data invariant the sidecar lane documents).
+    * The sidecar kind and parameters are not recoverable from the
+    * manifest, so callers pass them: `zoneSidecars` maps a data
+    * prefix to its stat column, `bloomSidecars` to its
+    * (key column, itemsPerFile, numBits). Compacting a root whose
+    * sidecar IS pinned without passing its spec is REFUSED — silently
+    * stranding pinned stats is exactly the latent crash this closes
+    * (SnapshotZoneSpec pins compact → GC → skipping read ≡ full scan).
+    *
     * @param roots (prefix, partitionColumn) of every root this
     *              manifest manages that should be considered
     * @return per prefix, the partition values whose leaves were
@@ -733,7 +760,10 @@ object Versioned {
                             manifestPrefix: String,
                             roots: Seq[(String, String)], tag: String,
                             maxFiles: Int,
-                            targetFiles: Int = 1): Map[String, Set[String]] = {
+                            targetFiles: Int = 1,
+                            zoneSidecars: Map[String, String] = Map.empty,
+                            bloomSidecars: Map[String, (String, Long, Long)] =
+                              Map.empty): Map[String, Set[String]] = {
     require(maxFiles >= targetFiles && targetFiles >= 1,
       s"need maxFiles >= targetFiles >= 1, got $maxFiles/$targetFiles")
     val entries0 = latestManifest(dir, manifestPrefix).map(_._2)
@@ -746,6 +776,20 @@ object Versioned {
         leafDataFiles(dir, prefix, partCol, v, g).size > maxFiles
       }
       if (fat.nonEmpty) {
+        def pinned(sidePrefix: String) =
+          entries0.keys.exists(_.startsWith(s"$sidePrefix/"))
+        require(!pinned(FileStats.sidecarPrefix(prefix)) ||
+            zoneSidecars.contains(prefix),
+          s"compaction of '$prefix' refused: the manifest pins a " +
+            s"zone-map sidecar (${FileStats.sidecarPrefix(prefix)}) but " +
+            "no zoneSidecars spec was passed — compacting would strand " +
+            "stats naming superseded files (a crash after GC)")
+        require(!pinned(FileStats.bloomPrefix(prefix)) ||
+            bloomSidecars.contains(prefix),
+          s"compaction of '$prefix' refused: the manifest pins a bloom " +
+            s"sidecar (${FileStats.bloomPrefix(prefix)}) but no " +
+            "bloomSidecars spec was passed — compacting would strand " +
+            "filters naming superseded files (a crash after GC)")
         // checkpoint cuts lineage to the prior-gen leaves so the
         // present-set collect and the write don't re-list them twice
         val df = graft.ext.Exec.checkpointEager(
@@ -758,6 +802,23 @@ object Versioned {
             "pinned leaf must never be empty")
         entries = entries ++
           fat.keys.map(v => snapshotPinKey(prefix, v) -> tag)
+        // sidecar rows re-derived from the JUST-WRITTEN generation; the
+        // re-pins join the same entries map, so one commit flips data
+        // and stats together
+        val dataPins2 = pins ++ fat.keys.map(_ -> tag)
+        zoneSidecars.get(prefix).foreach { statCol =>
+          val zp = FileStats.writeSnapshotSidecar(spark, dir, prefix,
+            partCol, statCol, dataPins2, fat.keys.toSeq, tag)
+          entries = entries ++ zp.map(v =>
+            snapshotPinKey(FileStats.sidecarPrefix(prefix), v) -> tag)
+        }
+        bloomSidecars.get(prefix).foreach { case (keyCol, items, bits) =>
+          val bp = FileStats.writeSnapshotBloomSidecar(spark, dir,
+            prefix, partCol, keyCol, dataPins2, fat.keys.toSeq, tag,
+            items, bits)
+          entries = entries ++ bp.map(v =>
+            snapshotPinKey(FileStats.bloomPrefix(prefix), v) -> tag)
+        }
       }
       prefix -> fat.keySet
     }.toMap

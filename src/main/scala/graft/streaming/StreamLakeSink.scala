@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.io.Versioned
+import graft.io.{FileStats, Versioned}
 
 /** Streaming sink into the generation-pinned snapshot lane — the
   * "stream into a lakehouse table" pattern: every micro-batch publishes
@@ -14,9 +14,11 @@ import graft.io.Versioned
   * at-least-once batch replay:
   *
   *  - a recovered/replayed batch whose manifest already committed
-  *    SHORT-CIRCUITS (its tag is ≤ the published one — batch ids are
-  *    monotone, so a later committed tag proves this batch committed
-  *    too);
+  *    SHORT-CIRCUITS (a committed BATCH tag ≥ its own — batch ids are
+  *    monotone, so a later committed batch tag proves this batch
+  *    committed too; non-batch tags such as a compaction's are ignored
+  *    here, because a maintenance commit proves nothing about which
+  *    batches landed);
   *  - a replayed batch whose publish CRASHED before the manifest
   *    commit recomputes from the prior pins (which never flipped) and
   *    rewrites its own generation directories idempotently — readers
@@ -30,6 +32,23 @@ import graft.io.Versioned
   *    ([[graft.io.Versioned.readSnapshotPartitionsAt]]), and GC
   *    retention bounds it.
   *
+  * SKIPPING SIDECARS ride the epoch: when `zoneStat` / `bloomKey` are
+  * set, each batch re-derives the zone-map / bloom rows for its
+  * touched partitions from the just-written generation and folds the
+  * sidecar re-pins into the SAME manifest commit — after every epoch,
+  * `readSkippingSnapshot` ≡ full scan and `statsOnlyAggSnapshot` is
+  * exact (StreamLakeSpec pins both). Without this, the first streamed
+  * epoch leaves any sidecar on the root stale and the skipping read
+  * path silently loses pruning — or crashes after GC.
+  *
+  * MAINTENANCE COMMITS on the same manifest (e.g.
+  * [[graft.io.Versioned.compactSnapshotLeaves]]) must use tags WITHOUT
+  * the `_strm` suffix that sort between the last and next batch tag
+  * (a compaction after batch 7 tags itself `%020d_cmp`.format(7), say)
+  * — a maintenance tag sorting above future batch tags would make
+  * those batches' manifest commits fail loudly (the monotonicity
+  * guard), never drop data silently.
+  *
   * The stream itself keeps no state (no watermark aggregation): the
   * manifest IS the state, which is what makes recovery trivially
   * correct. Per batch the cost is O(touched partitions), the same
@@ -40,28 +59,45 @@ object StreamLakeSink {
 
   /** The manifest tag of `batchId` — zero-padded so lexicographic
     * order equals batch order (the [[Versioned.commitManifest]]
-    * monotonicity contract).
+    * monotonicity contract). The `_strm` suffix marks BATCH commits;
+    * the replay short-circuit compares only against tags carrying it.
     */
   def batchTag(batchId: Long): String = f"$batchId%020d_strm"
 
+  private val BatchTagSuffix = "_strm"
+
   /** Publish one micro-batch: merge its rows into the touched
     * partitions (keyed replacement), write them as generation `batchTag
-    * (batchId)`, commit the manifest. @return false when the batch had
-    * already committed (replay short-circuit), true when this call
-    * published it.
+    * (batchId)`, re-derive any configured sidecars for the touched
+    * partitions, commit the manifest once. @return false when the
+    * batch had already committed (replay short-circuit), true when
+    * this call published it.
     */
   def commitBatch(spark: SparkSession, dir: String, manifestPrefix: String,
                   prefix: String, partCol: String, keyCol: String,
-                  batch: DataFrame, batchId: Long): Boolean = {
+                  batch: DataFrame, batchId: Long,
+                  zoneStat: Option[String] = None,
+                  bloomKey: Option[(String, Long, Long)] = None): Boolean = {
     val gen = batchTag(batchId)
-    // monotone batch ids: a published tag ≥ gen proves this batch's
-    // manifest committed (it, or a successor that could only have run
-    // after it committed)
-    if (Versioned.latestManifest(dir, manifestPrefix).exists(_._1 >= gen))
+    // monotone batch ids: a committed BATCH tag ≥ gen proves this
+    // batch's manifest committed (it, or a successor that could only
+    // have run after it committed). Restricted to batch-format tags:
+    // a maintenance commit (compaction, manual pin) proves nothing
+    // about which batches landed, and comparing against it would drop
+    // batches silently. manifestTags is newest-first, so the first
+    // batch tag is the max.
+    if (Versioned.manifestTags(dir, manifestPrefix)
+        .find(_.endsWith(BatchTagSuffix)).exists(_ >= gen))
       return false
     val pins0 = Versioned.snapshotPins(dir, manifestPrefix, prefix)
     val touched = batch.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
+    // an EMPTY micro-batch (no-data trigger, empty source slice) is a
+    // publish-nothing no-op: there is nothing to pin, and on a fresh
+    // root the data/sidecar writes would not even create it — a replay
+    // re-runs the same no-op; the NEXT non-empty batch's manifest
+    // subsumes this epoch in the monotone-tag order
+    if (touched.isEmpty) return true
     val merged =
       if (pins0.isEmpty) batch
       else graft.ext.Exec.checkpointEager(
@@ -74,19 +110,47 @@ object StreamLakeSink {
       partCol, gen)
     val pins = pins0 -- touched.map(_.toString) ++
       present.map(_.toString -> gen)
-    Versioned.commitManifest(dir, manifestPrefix, gen, pins.map {
-      case (v, g) => Versioned.snapshotPinKey(prefix, v) -> g })
+    var entries: Map[String, String] = pins.map {
+      case (v, g) => Versioned.snapshotPinKey(prefix, v) -> g }
+    // sidecar rows re-derived from the just-written generation; their
+    // re-pins ride the same commit (stats flip with data)
+    val dataPins2 = pins0 ++ present.map(_.toString -> gen)
+    zoneStat.foreach { statCol =>
+      val prior = Versioned.snapshotPins(dir, manifestPrefix,
+        FileStats.sidecarPrefix(prefix))
+      val zp = FileStats.writeSnapshotSidecar(spark, dir, prefix,
+        partCol, statCol, dataPins2, touched, gen)
+      entries = entries ++
+        (prior -- touched.map(_.toString) ++ zp.map(_.toString -> gen))
+          .map { case (v, g) =>
+            Versioned.snapshotPinKey(FileStats.sidecarPrefix(prefix), v) -> g }
+    }
+    bloomKey.foreach { case (bkCol, items, bits) =>
+      val prior = Versioned.snapshotPins(dir, manifestPrefix,
+        FileStats.bloomPrefix(prefix))
+      val bp = FileStats.writeSnapshotBloomSidecar(spark, dir, prefix,
+        partCol, bkCol, dataPins2, touched, gen, items, bits)
+      entries = entries ++
+        (prior -- touched.map(_.toString) ++ bp.map(_.toString -> gen))
+          .map { case (v, g) =>
+            Versioned.snapshotPinKey(FileStats.bloomPrefix(prefix), v) -> g }
+    }
+    Versioned.commitManifest(dir, manifestPrefix, gen, entries)
     true
   }
 
-  /** Start the continuous lake publish. */
+  /** Start the continuous lake publish; `zoneStat` / `bloomKey` opt
+    * the root's skipping sidecars into per-epoch maintenance.
+    */
   def run(stream: DataFrame, dir: String, manifestPrefix: String,
-          prefix: String, partCol: String, keyCol: String): StreamingQuery =
+          prefix: String, partCol: String, keyCol: String,
+          zoneStat: Option[String] = None,
+          bloomKey: Option[(String, Long, Long)] = None): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitBatch(batch.sparkSession, dir, manifestPrefix, prefix,
-          partCol, keyCol, batch, batchId): Unit
+          partCol, keyCol, batch, batchId, zoneStat, bloomKey): Unit
       }
       .start()
 }

@@ -315,6 +315,130 @@ class FileStatsSpec extends SparkTestBase {
       "a probe restricted to the wrong partition must return nothing")
   }
 
+  test("bloom probe is distributed: executors evaluate membership, the driver collects file NAMES only") {
+    val dir = graft.core.Scratch.dir("fstats_bloom_dist")
+    val df = mkData(4000)
+    Versioned.writePartitionedFull(df, dir, "fs_bd", Seq("part"))
+    FileStats.buildBloomSidecar(spark, dir, "fs_bd", "part", "id",
+      itemsPerFile = 10000L, numBits = 100000L)
+
+    // the collected frame must carry NO filter bytes — its schema is
+    // the one file-name column (the driver's share is O(candidates)·
+    // name bytes, never O(files)·numBits/8)
+    val frame = FileStats.bloomCandidateFrame(spark, dir, "fs_bd", 1234L)
+    assert(frame.schema.fieldNames.toSeq == Seq("file"),
+      s"driver-bound schema leaked filter bytes: " +
+        s"${frame.schema.fieldNames.mkString(",")}")
+    // and the membership filter sits UNDER the projection in the plan —
+    // no bloom column survives past the executor-side filter
+    assert(!frame.queryExecution.executedPlan.output
+      .exists(_.name == "bloom"),
+      "the executed plan still outputs the bloom column to the driver")
+
+    // distributed verdicts ≡ a driver-side deserialize walk (the old
+    // implementation, kept here as the spec's ground truth)
+    val h = FileStats.bloomHash(1234L)
+    val expected = Versioned.readPartitioned(spark, dir,
+        FileStats.bloomPrefix("fs_bd"))
+      .select($"file", $"bloom").collect().toSeq
+      .filter { r =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+          .mightContainLong(h)
+      }.map(_.getString(0)).sorted
+    assert(FileStats.bloomCandidateFiles(spark, dir, "fs_bd", 1234L) ==
+      expected)
+  }
+
+  test("unbounded probes keep all-null files: no bound means no exclusion") {
+    val dir = graft.core.Scratch.dir("fstats_null_unbounded")
+    // partition m1 entirely null on v
+    val df = spark.range(200).select($"id",
+      concat(lit("m"), ($"id" % 2).cast("string")).as("part"),
+      when($"id" % 2 === 1, lit(null).cast("long")).otherwise($"id")
+        .as("v"))
+    Versioned.writePartitionedFull(df, dir, "fs_nu", Seq("part"))
+    FileStats.buildSidecar(spark, dir, "fs_nu", "part", "v")
+    // an UNBOUNDED candidate probe means "every file" — the all-null
+    // exclusion only applies under a real bound (a range never matches
+    // null, but no range keeps everything)
+    val candAll = FileStats.candidateFiles(spark, dir, "fs_nu", None, None)
+    assert(candAll.exists(_.contains("part=m1")),
+      "unbounded probe dropped the all-null file")
+    val skipAll = FileStats.readSkipping(spark, dir, "fs_nu", "part", "v",
+      None, None)
+    assert(skipAll.count() == 200L,
+      "unbounded skipping read must equal the full scan, null rows included")
+    // multi-column: a column constrained only by ANOTHER column's
+    // bound keeps its all-null files too
+    FileStats.buildSidecarMulti(spark, dir, "fs_nu", "part",
+      Seq("id", "v"))
+    val skipMixed = FileStats.readSkippingMulti(spark, dir, "fs_nu",
+      "part", Seq(("id", Some(0L: Any), None), ("v", None, None)))
+    assert(skipMixed.count() == 200L,
+      "an unbounded column must not exclude its all-null files")
+  }
+
+  test("skipping and metadata paths refuse roots with outstanding delete vectors; MergeOnRead compositions serve minus-deleted") {
+    val dir = graft.core.Scratch.dir("fstats_dv_guard")
+    val df = mkData(4000)
+    Versioned.writePartitionedFull(df, dir, "fs_dv", Seq("part"))
+    FileStats.buildSidecar(spark, dir, "fs_dv", "part", "v")
+    FileStats.buildSidecarMulti(spark, dir, "fs_dv", "part", Seq("v"))
+    FileStats.buildBloomSidecar(spark, dir, "fs_dv", "part", "id",
+      itemsPerFile = 10000L, numBits = 100000L)
+    // pre-delete: paths work
+    assert(FileStats.readSkipping(spark, dir, "fs_dv", "part", "v",
+      Some(0L), Some(1000L)).count() > 0)
+
+    val dead = df.filter($"id" % 5 === 0).select($"part", $"id")
+      .localCheckpoint(true)
+    Versioned.appendDeleteVectors(spark, dir, "fs_dv", "part", "id", dead)
+
+    // every sidecar-planned path refuses — serving through the sidecar
+    // would resurrect the deleted rows
+    intercept[IllegalArgumentException] {
+      FileStats.readSkipping(spark, dir, "fs_dv", "part", "v",
+        Some(0L), Some(1000L))
+    }
+    intercept[IllegalArgumentException] {
+      FileStats.readSkippingMulti(spark, dir, "fs_dv", "part",
+        Seq(("v", Some(0L: Any), Some(1000L: Any))))
+    }
+    intercept[IllegalArgumentException] {
+      FileStats.readBloomSkipping(spark, dir, "fs_dv", "part", "id", 100L)
+    }
+    intercept[IllegalArgumentException] {
+      FileStats.statsOnlyAgg(spark, dir, "fs_dv")
+    }
+
+    // the compositions stay exact: ≡ merge-on-read + filter
+    val skipMor = FileStats.readSkippingMergeOnRead(spark, dir, "fs_dv",
+      "part", "id", "v", Some(0L), Some(3000L))
+    val wantMor = Versioned.readMergeOnRead(spark, dir, "fs_dv", "part",
+      "id").filter($"v" >= 0L && $"v" <= 3000L)
+    assert(skipMor.orderBy($"id").collect().toSeq ==
+      wantMor.orderBy($"id").collect().toSeq)
+    assert(skipMor.filter($"id" % 5 === 0).isEmpty,
+      "skipping composition resurrected a deleted row")
+    // a deleted key's point lookup: bloom still names its file (one-
+    // sided error), the DV anti-join erases the row
+    assert(FileStats.readBloomSkippingMergeOnRead(spark, dir, "fs_dv",
+      "part", "id", 100L, "id").isEmpty,
+      "point lookup resurrected a deleted key")
+    val alive = FileStats.readBloomSkippingMergeOnRead(spark, dir,
+      "fs_dv", "part", "id", 101L, "id")
+    assert(alive.count() == 1L)
+
+    // purge restores the fast paths
+    Versioned.purgeDeleteVectors(spark, dir, "fs_dv", "part", "id")
+    FileStats.maintainSidecar(spark, dir, "fs_dv", "part", "v",
+      (0 until 8).map(i => f"m$i%02d"))
+    assert(FileStats.statsOnlyAgg(spark, dir, "fs_dv")
+      .agg(sum($"n_rows")).first.getLong(0) ==
+      df.filter($"id" % 5 =!= 0).count())
+  }
+
   test("metadata-only aggregate: answered from the sidecar, zero data files scanned") {
     val dir = graft.core.Scratch.dir("fstats_meta")
     FileStats.writeZoneClustered(mkData(2000), dir, "fs_meta",

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.{FileStats, LakeTable, Versioned}
+
+/** The one-facade read path: every cell of the composition matrix
+  * {in-place, snapshot-latest, snapshot-as-of} × {zone range, bloom
+  * point, both, none} × {DV, clean} × {evolved, flat} must equal its
+  * hand-composed twin — and skipping must only change HOW MANY files
+  * are scheduled, never what is returned.
+  */
+class LakeTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkData(n: Int) = spark.range(n.toLong).select(
+    $"id",
+    concat(lit("m"), format_string("%02d", ($"id" % 8).cast("int")))
+      .as("part"),
+    ($"id" * 3 + 7).as("v"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select($"id", $"part", $"v").orderBy($"id").collect().toSeq
+
+  test("in-place lane: plain, range, point, both, parts, DV — each ≡ the hand-composed twin") {
+    val dir = graft.core.Scratch.dir("laketab_inplace")
+    val df = mkData(4000)
+    FileStats.writeZoneClustered(df, dir, "lt_data", "part", "v",
+      tasks = 16)
+    FileStats.buildSidecar(spark, dir, "lt_data", "part", "v")
+    FileStats.buildBloomSidecar(spark, dir, "lt_data", "part", "id",
+      itemsPerFile = 10000L, numBits = 100000L)
+    def read(parts: Option[Seq[Any]] = None,
+             ranges: Seq[(String, Option[Any], Option[Any])] = Nil,
+             point: Option[(String, Any)] = None) =
+      LakeTable.readTable(spark, dir, "lt_data", "part", parts = parts,
+        ranges = ranges, point = point)
+    val full = Versioned.readPartitioned(spark, dir, "lt_data")
+
+    assert(rows(read()) == rows(full))
+    assert(rows(read(ranges = Seq(("v", Some(3000L), Some(6000L))))) ==
+      rows(full.filter($"v" >= 3000L && $"v" <= 6000L)))
+    assert(rows(read(point = Some(("id", 1234L)))) ==
+      rows(full.filter($"id" === 1234L)))
+    // both prunings: candidate INTERSECTION stays exact
+    assert(rows(read(ranges = Seq(("v", Some(3000L), Some(6000L))),
+      point = Some(("id", 1234L)))) ==
+      rows(full.filter($"v" >= 3000L && $"v" <= 6000L &&
+        $"id" === 1234L)))
+    // an impossible conjunction (the point's v=3709 sits outside the
+    // range) → empty, right schema
+    val none = read(ranges = Seq(("v", Some(0L), Some(100L))),
+      point = Some(("id", 1234L)))
+    assert(none.isEmpty && none.columns.contains("v"))
+    assert(rows(read(parts = Some(Seq("m02", "m05")),
+      ranges = Seq(("v", Some(0L), Some(9000L))))) ==
+      rows(full.filter($"part".isin("m02", "m05") && $"v" <= 9000L)))
+
+    // deletion vectors: the facade detects the DV key itself and every
+    // shape above serves minus-deleted
+    Versioned.appendDeleteVectors(spark, dir, "lt_data", "part", "id",
+      df.filter($"id" % 5 === 0).select($"part", $"id")
+        .localCheckpoint(true))
+    val alive = full.join(
+      Versioned.readPartitioned(spark, dir, Versioned.dvPrefix("lt_data")),
+      Seq("part", "id"), "left_anti")
+    assert(rows(read()) == rows(alive))
+    assert(rows(read(ranges = Seq(("v", Some(3000L), Some(6000L))))) ==
+      rows(alive.filter($"v" >= 3000L && $"v" <= 6000L)))
+    assert(read(point = Some(("id", 1236L))).count() == 1L)
+    assert(read(point = Some(("id", 1230L))).isEmpty,
+      "the facade resurrected a deleted key")
+  }
+
+  test("no sidecars at all: the facade degrades to residual-only reads, never a wrong answer") {
+    val dir = graft.core.Scratch.dir("laketab_bare")
+    val df = mkData(1000)
+    Versioned.writePartitionedFull(df, dir, "lt_bare", Seq("part"))
+    val got = LakeTable.readTable(spark, dir, "lt_bare", "part",
+      ranges = Seq(("v", Some(100L), Some(900L))),
+      point = Some(("id", 200L)))
+    assert(rows(got) == rows(Versioned.readPartitioned(spark, dir,
+      "lt_bare").filter($"v" >= 100L && $"v" <= 900L && $"id" === 200L)))
+  }
+
+  test("snapshot lane: latest and as-of, skipped and bloomed, evolved schema, DV-through-history") {
+    val dir = graft.core.Scratch.dir("laketab_snap")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("lts_root__")).foreach(_.delete()))
+    val zmap = FileStats.sidecarPrefix("lts_data")
+    val bmap = FileStats.bloomPrefix("lts_data")
+    def keyed(prefix: String, pins: Map[String, String]) =
+      pins.map { case (v, g) => Versioned.snapshotPinKey(prefix, v) -> g }
+    // g1: months 0..7, v correlates with id (narrow zones per month)
+    val base = spark.range(8000).select($"id",
+      ($"id" / 1000L).cast("long").as("m"), ($"id" + 5L).as("v"))
+    val g1 = "00000001_a"
+    val dP1 = Versioned.writeSnapshotFull(base, dir, "lts_data", "m", g1)
+    val dPins1 = dP1.map(_.toString -> g1).toMap
+    val zP1 = FileStats.writeSnapshotSidecar(spark, dir, "lts_data", "m",
+      "v", dPins1, dP1.toSeq, g1)
+    val bP1 = FileStats.writeSnapshotBloomSidecar(spark, dir, "lts_data",
+      "m", "id", dPins1, dP1.toSeq, g1, 10000L, 100000L)
+    Versioned.commitManifest(dir, "lts_root", g1,
+      keyed("lts_data", dPins1) ++
+        keyed(zmap, zP1.map(_.toString -> g1).toMap) ++
+        keyed(bmap, bP1.map(_.toString -> g1).toMap))
+    // g2: months 2 and 5 republished with SHIFTED v and an ADDED column
+    val g2 = "00000002_b"
+    val delta = base.filter($"m".isin(2L, 5L))
+      .select($"id", $"m", ($"v" + 100000L).as("v"),
+        ($"id" % 3).as("flag"))
+      .localCheckpoint(true)
+    val dP2 = Versioned.writeSnapshotPartitions(delta, dir, "lts_data",
+      "m", g2)
+    val dPins2 = dPins1 ++ dP2.map(_.toString -> g2)
+    val zP2 = FileStats.writeSnapshotSidecar(spark, dir, "lts_data", "m",
+      "v", dPins2, dP2.toSeq, g2)
+    val bP2 = FileStats.writeSnapshotBloomSidecar(spark, dir, "lts_data",
+      "m", "id", dPins2, dP2.toSeq, g2, 10000L, 100000L)
+    Versioned.commitManifest(dir, "lts_root", g2,
+      keyed("lts_data", dPins2) ++
+        keyed(zmap, zP1.map(_.toString -> g1).toMap ++
+          zP2.map(_.toString -> g2)) ++
+        keyed(bmap, bP1.map(_.toString -> g1).toMap ++
+          bP2.map(_.toString -> g2)))
+
+    def facade(asOf: Option[String] = None,
+               ranges: Seq[(String, Option[Any], Option[Any])] = Nil,
+               point: Option[(String, Any)] = None,
+               mergeSchema: Boolean = false) =
+      LakeTable.readTable(spark, dir, "lts_data", "m",
+        manifestPrefix = Some("lts_root"), asOfTag = asOf,
+        ranges = ranges, point = point, mergeSchema = mergeSchema)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"m", $"v").orderBy($"id").collect().toSeq
+    val latestFull = Versioned.readSnapshotPartitions(spark, dir,
+      "lts_root", "lts_data", "m", None, mergeSchema = true)
+    val g1Full = Versioned.readSnapshotPartitionsAt(spark, dir,
+      "lts_root", g1, "lts_data", "m", None)
+
+    // latest + range: the shifted months' rows come from g2 zones
+    assert(snap(facade(ranges = Seq(("v", Some(102000L), Some(102500L))),
+      mergeSchema = true)) ==
+      snap(latestFull.filter($"v" >= 102000L && $"v" <= 102500L)))
+    // as-of g1 + the SAME range finds nothing (pre-shift values)...
+    assert(facade(asOf = Some(g1),
+      ranges = Seq(("v", Some(102000L), Some(102500L)))).isEmpty)
+    // ...and g1's own zones serve the pre-shift range the latest lacks
+    // ([2100,2400] sits inside month 2 alone: month 1's v tops out at
+    // 2004, month 3's starts at 3005)
+    assert(snap(facade(asOf = Some(g1),
+      ranges = Seq(("v", Some(2100L), Some(2500L))))) ==
+      snap(g1Full.filter($"v" >= 2100L && $"v" <= 2500L)))
+    assert(facade(ranges = Seq(("v", Some(2100L), Some(2400L)))).isEmpty,
+      "latest read served a superseded generation's zone")
+
+    // bloom point lookups at both manifests
+    assert(snap(facade(point = Some(("id", 2100L)), mergeSchema = true)) ==
+      snap(latestFull.filter($"id" === 2100L)))
+    assert(snap(facade(asOf = Some(g1), point = Some(("id", 2100L)))) ==
+      snap(g1Full.filter($"id" === 2100L)))
+
+    // evolved schema: the union view null-fills pre-evolution months
+    val ev = facade(mergeSchema = true)
+    assert(ev.columns.contains("flag"))
+    assert(ev.filter($"m" === 2L && $"flag".isNull).isEmpty &&
+      ev.filter($"m" === 1L).count() ==
+        ev.filter($"m" === 1L && $"flag".isNull).count())
+
+    // deletion vectors reach HISTORY: erasure applies as-of too
+    Versioned.appendDeleteVectors(spark, dir, "lts_data", "m", "id",
+      base.filter($"id" % 100 === 0).select($"m", $"id")
+        .localCheckpoint(true))
+    assert(facade(point = Some(("id", 2100L))).isEmpty,
+      "latest read resurrected an erased key")
+    assert(facade(asOf = Some(g1), point = Some(("id", 2100L))).isEmpty,
+      "time travel resurrected an erased key — erasure must reach history")
+    assert(snap(facade(asOf = Some(g1),
+      ranges = Seq(("v", Some(2100L), Some(2500L))))) ==
+      snap(g1Full.filter($"v" >= 2100L && $"v" <= 2500L &&
+        $"id" % 100 =!= 0)))
+
+    // a facade read at a GC'd tag fails loudly, as-of contract intact
+    Versioned.gcThroughManifest(dir, "lts_root", keepLast = 1)
+    intercept[IllegalArgumentException] {
+      facade(asOf = Some(g1), ranges = Seq(("v", Some(0L), Some(10L))))
+        .collect()
+    }
+  }
+}

@@ -117,4 +117,88 @@ class SnapshotZoneSpec extends SparkTestBase {
         s"untouched sidecar partition part=$v was rewritten at g2")
     }
   }
+
+  test("compaction re-pins the sidecars it compacts under: compact → GC → skipping read ≡ full scan (and refuses a spec-less compact)") {
+    val dir = graft.core.Scratch.dir("szone_cmp")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("szc_root__")).foreach(_.delete()))
+    val zmap = FileStats.sidecarPrefix("szc_data")
+    val bmap = FileStats.bloomPrefix("szc_data")
+    val g1 = "00000001_a"
+    // fat leaves: the salt must genuinely fan out (AQE coalescing
+    // folds tiny shuffles into one file per leaf — right at real
+    // sizes, wrong for this fixture)
+    val coalKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prior = spark.conf.get(coalKey)
+    spark.conf.set(coalKey, "false")
+    val dP = try Versioned.writeSnapshotFull(mk(0, 8000), dir,
+      "szc_data", "m", g1, filesPerPartition = 8)
+    finally spark.conf.set(coalKey, prior)
+    val dPins1 = dP.map(v => v.toString -> g1).toMap
+    val zP = FileStats.writeSnapshotSidecar(spark, dir, "szc_data", "m",
+      "v", dPins1, dP.toSeq, g1)
+    val bP = FileStats.writeSnapshotBloomSidecar(spark, dir, "szc_data",
+      "m", "id", dPins1, dP.toSeq, g1, itemsPerFile = 10000L,
+      numBits = 100000L)
+    Versioned.commitManifest(dir, "szc_root", g1,
+      pinKeys("szc_data", dP, g1) ++ pinKeys(zmap, zP, g1) ++
+        pinKeys(bmap, bP, g1))
+    val wantRange = fullRead(dir).filter($"v" >= 2500L && $"v" <= 4200L)
+      .orderBy($"id").collect().toSeq
+    val wantStats = FileStats.statsOnlyAggSnapshot(spark, dir,
+      "szc_root", "szc_data").orderBy($"part").collect().toSeq
+
+    // a compaction that would strand the pinned sidecars is REFUSED
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.compactSnapshotLeaves(spark, dir, "szc_root",
+        Seq("szc_data" -> "m"), "00000002_b", maxFiles = 2)
+    }
+    assert(ex.getMessage.contains("strand"),
+      s"expected the stranded-sidecar refusal, got: ${ex.getMessage}")
+    assert(Versioned.snapshotPins(dir, "szc_root", "szc_data")
+      .values.toSet == Set(g1), "a refused compaction moved pins")
+
+    // with the specs, data AND both sidecars re-pin in ONE commit
+    val g2 = "00000002_b"
+    val report = Versioned.compactSnapshotLeaves(spark, dir, "szc_root",
+      Seq("szc_data" -> "m"), g2, maxFiles = 2,
+      zoneSidecars = Map("szc_data" -> "v"),
+      bloomSidecars = Map("szc_data" -> (("id", 10000L, 100000L))))
+    assert(report("szc_data").nonEmpty)
+    val zPins = Versioned.snapshotPins(dir, "szc_root", zmap)
+    val bPins = Versioned.snapshotPins(dir, "szc_root", bmap)
+    report("szc_data").foreach { v =>
+      assert(zPins(v) == g2, s"zone sidecar pin for $v not re-pinned")
+      assert(bPins(v) == g2, s"bloom sidecar pin for $v not re-pinned")
+    }
+
+    // GC reclaims the superseded fat generations of data AND sidecars;
+    // the skipping read path must keep serving — before the fix this
+    // sequence threw FILE_NOT_EXIST on the stale sidecar's file names
+    Versioned.gcThroughManifest(dir, "szc_root", keepLast = 1)
+    Versioned.gcSnapshotGenerations(dir, "szc_root", "szc_data", 1)
+    Versioned.gcSnapshotGenerations(dir, "szc_root", zmap, 1)
+    Versioned.gcSnapshotGenerations(dir, "szc_root", bmap, 1)
+
+    val skip = FileStats.readSkippingSnapshot(spark, dir, "szc_root",
+      "szc_data", "m", "v", Some(2500L), Some(4200L))
+    assert(skip.orderBy($"id").collect().toSeq == wantRange,
+      "post-compaction+GC skipping read diverged from the full scan")
+    // candidates name ONLY the compacted generation's files now
+    val cand = FileStats.candidateFilesSnapshot(spark, dir, "szc_root",
+      "szc_data", Some(2500L), Some(4200L))
+    assert(cand.nonEmpty && cand.forall(_.contains(s"__gen=$g2")),
+      "a candidate still points into the reclaimed generation")
+    // bloom point lookup and the metadata-only aggregate survive too
+    val hit = FileStats.readBloomSkippingSnapshot(spark, dir, "szc_root",
+      "szc_data", "m", "id", 4242L)
+    assert(hit.select($"id").collect().map(_.getLong(0)).toSeq ==
+      Seq(4242L))
+    assert(FileStats.statsOnlyAggSnapshot(spark, dir, "szc_root",
+      "szc_data").orderBy($"part").collect().toSeq == wantStats,
+      "compaction changed the metadata-only aggregate")
+  }
+
+  private def fullRead(dir: String) = Versioned.readSnapshotPartitions(
+    spark, dir, "szc_root", "szc_data", "m", None)
 }

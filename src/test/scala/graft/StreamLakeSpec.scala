@@ -102,4 +102,86 @@ class StreamLakeSpec extends SparkTestBase {
     assert(served(dir) == current,
       "a zombie batch replay changed the served state")
   }
+
+  test("epochs maintain the skipping sidecars in the same commit; a maintenance tag on the manifest never drops a batch") {
+    import graft.io.FileStats
+    implicit val sc = spark.sqlContext
+    val dir = graft.core.Scratch.dir("stream_lake_side")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("sls_root__")).foreach(_.delete()))
+    val in = MemoryStream[(Long, Long, Long)]
+    val stream = in.toDF().toDF("k", "m", "v")
+
+    def fullFiltered(lo: Long, hi: Long) =
+      Versioned.readSnapshotPartitions(spark, dir, "sls_root",
+          "sls_data", "m", None)
+        .filter($"v" >= lo && $"v" <= hi)
+        .select($"k", $"m", $"v").as[(Long, Long, Long)].collect().toSet
+    def skipFiltered(lo: Long, hi: Long) =
+      FileStats.readSkippingSnapshot(spark, dir, "sls_root", "sls_data",
+          "m", "v", Some(lo), Some(hi))
+        .select($"k", $"m", $"v").as[(Long, Long, Long)].collect().toSet
+    def statsExact(): Unit = {
+      // the sidecar's part directory values ("0", "1") re-infer as int
+      // on read-back; normalize to string for the twin compare
+      val got = FileStats.statsOnlyAggSnapshot(spark, dir, "sls_root",
+          "sls_data")
+        .withColumn("part", $"part".cast("string"))
+        .orderBy($"part").collect().toSeq
+      val want = Versioned.readSnapshotPartitions(spark, dir, "sls_root",
+          "sls_data", "m", None)
+        .groupBy($"m".cast("string").as("part"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count($"v")).as("n_nulls"),
+          min($"v").as("min_v"), max($"v").as("max_v"))
+        .orderBy($"part").collect().toSeq
+      assert(got == want, "stats-only aggregate drifted from the data")
+    }
+
+    val q = StreamLakeSink.run(stream, dir, "sls_root", "sls_data",
+      "m", "k", zoneStat = Some("v"),
+      bloomKey = Some(("k", 1000L, 10000L)))
+    in.addData((1L, 0L, 10L), (2L, 0L, 20L), (3L, 1L, 30L))
+    q.processAllAvailable()
+    assert(skipFiltered(15L, 35L) == fullFiltered(15L, 35L))
+    assert(skipFiltered(15L, 35L) == Set((2L, 0L, 20L), (3L, 1L, 30L)))
+    statsExact()
+
+    // epoch 2 replaces k2 and opens month 2: the touched months'
+    // sidecar generations ride the same commit — a stale sidecar here
+    // would prune through month 0's OLD v=20 zone and lose the v=21 row
+    in.addData((2L, 0L, 21L), (5L, 2L, 50L))
+    q.processAllAvailable()
+    q.stop()
+    assert(skipFiltered(15L, 35L) == fullFiltered(15L, 35L))
+    assert(skipFiltered(15L, 35L) == Set((2L, 0L, 21L), (3L, 1L, 30L)))
+    statsExact()
+    // point lookup through the pinned bloom sidecar
+    val hit = FileStats.readBloomSkippingSnapshot(spark, dir, "sls_root",
+        "sls_data", "m", "k", 2L)
+      .select($"k", $"m", $"v").as[(Long, Long, Long)].collect().toSet
+    assert(hit == Set((2L, 0L, 21L)),
+      "bloom lookup served a stale or duplicated key")
+
+    // MAINTENANCE commit between batches (compaction's no-op re-commit
+    // at a non-batch tag sorting ABOVE the last batch tag): the next
+    // batch must still publish — comparing against non-batch tags was
+    // the silent-drop hazard
+    val maintTag = StreamLakeSink.batchTag(1L).stripSuffix("_strm") + "_zmaint"
+    Versioned.commitManifest(dir, "sls_root", maintTag,
+      Versioned.latestManifest(dir, "sls_root").get._2)
+    assert(maintTag > StreamLakeSink.batchTag(1L) &&
+      maintTag < StreamLakeSink.batchTag(2L), "fixture tag ordering broke")
+    val batch2 = Seq((6L, 1L, 60L)).toDF("k", "m", "v")
+    assert(StreamLakeSink.commitBatch(spark, dir, "sls_root", "sls_data",
+      "m", "k", batch2, 2L, zoneStat = Some("v"),
+      bloomKey = Some(("k", 1000L, 10000L))),
+      "a maintenance tag on the manifest silently dropped a batch")
+    assert(skipFiltered(55L, 65L) == Set((6L, 1L, 60L)))
+    statsExact()
+    // and a genuine replay of batch 2 still short-circuits
+    assert(!StreamLakeSink.commitBatch(spark, dir, "sls_root", "sls_data",
+      "m", "k", batch2, 2L, zoneStat = Some("v"),
+      bloomKey = Some(("k", 1000L, 10000L))))
+  }
 }
