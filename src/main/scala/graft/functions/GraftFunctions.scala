@@ -84,6 +84,11 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_bloom_might_contain",
         exprs => BloomMightContain(exprs.head, exprs(1)), "built-in")
     }
+    if (!reg.functionExists(FunctionIdentifier("graft_bloom_might_contain_any"))) {
+      // batched twin: one sidecar pass answers a whole key batch
+      reg.createOrReplaceTempFunction("graft_bloom_might_contain_any",
+        exprs => BloomMightContainAny(exprs.head, exprs(1)), "built-in")
+    }
     if (!reg.functionExists(FunctionIdentifier("loc_scale_b_sketch"))) {
       // k must be a foldable literal (evaluated at resolution time)
       reg.createOrReplaceTempFunction("loc_scale_b_sketch",

@@ -456,6 +456,61 @@ object FileStats {
         .filter(col(keyCol) === lit(value))
   }
 
+  /** Batched-lookup cap: the key batch rides the plan as a literal
+    * array, so it must stay bounded — a key set past this size is a
+    * JOIN workload (broadcast the keys against the root), not a
+    * planning probe.
+    */
+  val MaxBatchedLookupKeys = 10000
+
+  /** The files whose bloom filter MAY contain ANY of `values` — the
+    * batched point lookup ("fetch these N rows by key") planned in ONE
+    * sidecar pass: each file's filter deserializes once in an executor
+    * and the keys short-circuit on the first hit, where N single
+    * probes would cost N full sidecar passes. Same one-sided error and
+    * names-only driver contract as [[bloomCandidateFiles]].
+    */
+  def bloomCandidateFilesForKeys(spark: SparkSession, dir: String,
+                                 dataPrefix: String, values: Seq[Any],
+                                 parts: Option[Seq[Any]] = None): Seq[String] = {
+    require(values.nonEmpty, "empty key batch")
+    require(values.size <= MaxBatchedLookupKeys,
+      s"${values.size} keys exceed the batched-lookup cap " +
+        s"($MaxBatchedLookupKeys): that is a broadcast-join workload, " +
+        "not a planning probe")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val side = parts match {
+      case Some(vs) => Versioned.readPartitions(spark, dir,
+        bloomPrefix(dataPrefix), "part", vs.map(_.toString))
+      case None => Versioned.readPartitioned(spark, dir,
+        bloomPrefix(dataPrefix))
+    }
+    side.filter(call_function("graft_bloom_might_contain_any",
+        col("bloom"), lit(values.map(bloomHash).toArray)))
+      .select(col("file"))
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Batched point-lookup read: scan only the files whose filter may
+    * hold ANY of the batch's keys, then the exact `isin` residual.
+    * Row-for-row equal to a full scan + `keyCol isin values`; refuses
+    * roots with outstanding delete vectors like every skipping path.
+    */
+  def readBloomSkippingKeys(spark: SparkSession, dir: String,
+                            dataPrefix: String, partCol: String,
+                            keyCol: String, values: Seq[Any],
+                            parts: Option[Seq[Any]] = None): DataFrame = {
+    requireNoDeleteVectors(dir, dataPrefix, "readBloomSkippingKeys")
+    val root = Versioned.partitionedRoot(dir, dataPrefix)
+    val files = bloomCandidateFilesForKeys(spark, dir, dataPrefix,
+      values, parts)
+    if (files.isEmpty)
+      spark.read.parquet(root).filter(lit(false))
+    else
+      spark.read.option("basePath", root).parquet(files: _*)
+        .filter(col(keyCol).isin(values: _*))
+  }
+
   /** [[readBloomSkipping]] composed with the merge-on-read deletion
     * lane: bloom-pruned scan → equality residual → DV anti-join, so a
     * point lookup on a root with pending deletes returns exactly the

@@ -29,10 +29,11 @@ import org.apache.spark.sql.functions._
   *    are listed, opened, or scheduled;
   *  - a sidecar that does not exist (or is not pinned at the resolved
   *    manifest) degrades to a residual-only read — never a wrong one;
-  *  - deletion vectors apply to EVERY read, including as-of time
-  *    travel: erasure (the lane's GDPR use case) must reach history,
-  *    so a deleted key is gone from all snapshots, not just the
-  *    newest pins.
+  *  - deletion vectors apply in BOTH postures: the in-place DV lane is
+  *    ERASURE — it reaches every read including as-of time travel (a
+  *    GDPR erasure must reach history); the manifest-pinned DV lane is
+  *    TRANSACTIONAL — the resolved manifest's pinned vectors apply, so
+  *    an as-of read shows the delete state as of that tag.
   *
   * Caller-asserted column contracts (inherited from the sidecar
   * lanes, which don't record their build column): a single-column
@@ -183,18 +184,40 @@ object LakeTable {
       .getOrElse(lit(true))
     val filtered = withParts.filter(rangeResid && pointResid)
 
-    // ---- deletion vectors: the DV key column is read off the sidecar
-    // itself (its schema is exactly (partCol, key)), so a caller can
-    // never forget the anti-join and resurrect deleted rows
-    if (!Versioned.dvHasData(dir, prefix)) filtered
-    else {
-      val dv = Versioned.readPartitioned(spark, dir,
-        Versioned.dvPrefix(prefix))
-      val keyCols = dv.columns.filterNot(_ == partCol)
+    // ---- deletion vectors, both postures; the DV key column is read
+    // off the sidecar itself (its schema is exactly (partCol, key)), so
+    // a caller can never forget the anti-join and resurrect deleted
+    // rows.
+    def dvKey(cols: Seq[String]): String = {
+      val keyCols = cols.filterNot(_ == partCol)
       require(keyCols.length == 1,
         s"DV sidecar of '$prefix' must carry exactly ($partCol, key), " +
-          s"got (${dv.columns.mkString(", ")})")
-      filtered.join(dv, Seq(partCol, keyCols.head), "left_anti")
+          s"got (${cols.mkString(", ")})")
+      keyCols.head
+    }
+    // in-place lane = ERASURE: applies to every read including as-of
+    // time travel (a GDPR erasure must reach history)
+    val erased =
+      if (!Versioned.dvHasData(dir, prefix)) filtered
+      else {
+        val dv = Versioned.readPartitioned(spark, dir,
+          Versioned.dvPrefix(prefix))
+        filtered.join(dv, Seq(partCol, dvKey(dv.columns.toSeq)),
+          "left_anti")
+      }
+    // manifest-pinned lane = TRANSACTIONAL: the vectors the RESOLVED
+    // manifest pins — an as-of read shows the delete state as of that
+    // tag, not today's (isolation, the audit/rollback posture)
+    if (!snapshot) erased
+    else {
+      val dvPins = pinsOf(Versioned.dvPrefix(prefix))
+      if (dvPins.isEmpty) erased
+      else {
+        val dv = Versioned.readSnapshotAt(spark, dir,
+          Versioned.dvPrefix(prefix), partCol, dvPins, None)
+        erased.join(dv, Seq(partCol, dvKey(dv.columns.toSeq)),
+          "left_anti")
+      }
     }
   }
 }

@@ -832,6 +832,135 @@ object Versioned {
     report
   }
 
+  // ---- manifest-pinned deletion vectors (snapshot lane) ----------------
+  // The in-place DV lane above has ERASURE semantics: vectors apply at
+  // read time to every snapshot, including time travel (a GDPR erasure
+  // must reach history), and the sidecar mutates in place under a
+  // single-writer contract. This lane is the TRANSACTIONAL twin: a
+  // delete batch publishes the touched partitions' vectors as a NEW
+  // generation of a DV snapshot root and commits ONE manifest — so
+  // deletes are atomic with everything else the manifest pins, readers
+  // see a delete batch all-or-nothing, a time-traveled read shows the
+  // delete STATE AS OF that tag (audit/rollback isolation, not
+  // erasure), and concurrent delete batches serialize through
+  // commitManifest's tag monotonicity instead of an external lock.
+  // Both lanes share [[dvPrefix]] naming but different roots (in-place
+  // `__parts` vs snapshot `__snap`), so a table can carry both: pinned
+  // vectors for transactional retraction, the in-place lane for
+  // erasure that must also rewrite history.
+
+  /** Publish one delete batch as a manifest generation: union the new
+    * keys into the touched partitions' PINNED vectors (distinct — a
+    * replayed batch is a content no-op and commitManifest's same-tag/
+    * same-entries path makes the replay a full no-op), write them as
+    * generation `tag`, and commit the manifest with every other pin
+    * carried unchanged. Zero data files are touched — the delete is
+    * O(deletes) write plus the manifest flip.
+    */
+  def commitSnapshotDeleteVectors(spark: SparkSession, dir: String,
+                                  manifestPrefix: String,
+                                  dataPrefix: String, partCol: String,
+                                  keyCol: String, deletes: DataFrame,
+                                  tag: String): String = {
+    import org.apache.spark.sql.functions.col
+    val dvp = dvPrefix(dataPrefix)
+    val (curTag, entries0) = latestManifest(dir, manifestPrefix).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifest for prefix '$manifestPrefix' in $dir — the DV " +
+          "lane pins vectors onto an EXISTING committed snapshot"))
+    // refuse a ZOMBIE replay (tag older than the published manifest)
+    // BEFORE any write: its generation rewrite would touch directories
+    // later commits may still pin — commitManifest would refuse anyway,
+    // but only after the damage
+    require(tag >= curTag,
+      s"stale delete batch refused: tag '$tag' is older than published " +
+        s"'$curTag' for '$manifestPrefix' — already committed, or a " +
+        "zombie replay")
+    val dvPins0 = snapshotPins(dir, manifestPrefix, dvp)
+    val touched = deletes.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val prior =
+      if (dvPins0.isEmpty) deletes.filter(org.apache.spark.sql.functions.lit(false))
+      else readSnapshotAt(spark, dir, dvp, partCol, dvPins0, Some(touched))
+    val merged = graft.ext.Exec.checkpointEager(
+      prior.select(col(partCol), col(keyCol))
+        .unionByName(deletes.select(col(partCol), col(keyCol)))
+        .distinct())
+    val present = writeSnapshotPartitions(merged, dir, dvp, partCol, tag)
+    val entries = entries0 ++
+      present.map(v => snapshotPinKey(dvp, v) -> tag)
+    commitManifest(dir, manifestPrefix, tag, entries)
+  }
+
+  /** Merge-on-read at the pins of a SPECIFIC manifest resolve: data
+    * minus the delete vectors THAT MANIFEST pins — the transactional
+    * read. Pass the pins from [[snapshotPins]] (latest) or a
+    * [[manifestAt]] tag (time travel: the delete state as of that
+    * generation, NOT today's — the isolation posture; erasure that
+    * must reach history is the in-place lane's job).
+    */
+  def readSnapshotMergeOnRead(spark: SparkSession, dir: String,
+                              manifestPrefix: String, dataPrefix: String,
+                              partCol: String, keyCol: String,
+                              asOfTag: Option[String] = None): DataFrame = {
+    val dvp = dvPrefix(dataPrefix)
+    def pinsOf(p: String): Map[String, String] = asOfTag match {
+      case None => snapshotPins(dir, manifestPrefix, p)
+      case Some(t) => manifestAt(dir, manifestPrefix, t).getOrElse(
+          throw new IllegalArgumentException(
+            s"no manifest '$manifestPrefix' @ '$t' in $dir"))
+        .collect { case (k, g) if k.startsWith(s"$p/") =>
+          k.stripPrefix(s"$p/") -> g }
+    }
+    val data = readSnapshotAt(spark, dir, dataPrefix, partCol,
+      pinsOf(dataPrefix), None)
+    val dvPins = pinsOf(dvp)
+    if (dvPins.isEmpty) data
+    else data.join(
+      readSnapshotAt(spark, dir, dvp, partCol, dvPins, None),
+      Seq(partCol, keyCol), "left_anti")
+  }
+
+  /** Fold the pinned vectors in: rewrite ONLY the delete-carrying
+    * partitions' data minus-deleted as generation `tag`, DROP those
+    * partitions' DV pins, and commit once — reads before, during and
+    * after serve identical rows, and afterwards the anti-join cost is
+    * gone. The superseded data and DV generations reclaim under
+    * [[gcSnapshotGenerations]] like any other. @return the purged
+    * partition values (empty = no pinned vectors).
+    */
+  def purgeSnapshotDeleteVectors(spark: SparkSession, dir: String,
+                                 manifestPrefix: String,
+                                 dataPrefix: String, partCol: String,
+                                 keyCol: String, tag: String): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val dvp = dvPrefix(dataPrefix)
+    val (curTag, entries0) = latestManifest(dir, manifestPrefix).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifest for prefix '$manifestPrefix' in $dir"))
+    require(tag >= curTag,
+      s"stale purge refused: tag '$tag' is older than published " +
+        s"'$curTag' for '$manifestPrefix'")
+    val dvPins = snapshotPins(dir, manifestPrefix, dvp)
+    if (dvPins.isEmpty) return Seq.empty
+    val dataPins = snapshotPins(dir, manifestPrefix, dataPrefix)
+    val touched = dvPins.keys.toSeq.sorted
+    val dv = readSnapshotAt(spark, dir, dvp, partCol, dvPins, None)
+    val survivors = graft.ext.Exec.checkpointEager(
+      readSnapshotAt(spark, dir, dataPrefix, partCol, dataPins,
+          Some(touched))
+        .join(dv, Seq(partCol, keyCol), "left_anti"))
+    val present = writeSnapshotPartitions(survivors, dir, dataPrefix,
+      partCol, tag)
+    // a partition whose every row was deleted leaves the DATA pins too
+    val entries = (entries0 --
+      touched.map(v => snapshotPinKey(dataPrefix, v)) --
+      touched.map(v => snapshotPinKey(dvp, v))) ++
+      present.map(v => snapshotPinKey(dataPrefix, v) -> tag)
+    commitManifest(dir, manifestPrefix, tag, entries)
+    touched
+  }
+
   /** Generation GC for a snapshot root: a (partition, gen) directory is
     * reclaimable iff no KEPT manifest pins it AND its gen is strictly
     * older than the newest kept manifest's tag — the second condition

@@ -2710,7 +2710,117 @@ object IoQueries extends QueryPack {
              |FROM orders
              |WHERE CAST(round(o_totalprice*100, 0) AS BIGINT)
              |  BETWEEN 15000000 AND 18000000
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // MANIFEST-PINNED DELETION VECTORS — the transactional twin of
+    // q414's in-place (erasure) lane: each delete batch publishes its
+    // vectors as a new generation and commits ONE manifest, so deletes
+    // are atomic with everything else the manifest pins and a
+    // time-traveled read shows the delete STATE AS OF that tag — the
+    // audit/rollback isolation q409 gives data, extended to deletes
+    // (erasure that must rewrite history stays the in-place lane's
+    // job). Two batches accumulate (g2, g3), a purge folds the pinned
+    // vectors into a minus-deleted rewrite of only the delete-carrying
+    // months and drops the pins (g4); all three lanes read through the
+    // ONE facade: latest (post-purge), as-of g2 (batch 1 only), as-of
+    // g1 (nothing deleted). SnapshotDvSpec pins zero-data-file
+    // deletes, zombie refusal, replay no-op, pin-drop and GC.
+    Q("q419_snapshot_delete_vectors",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q419_sdv")
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(_.getName.startsWith("sdq_root__")).foreach(_.delete()))
+        val o = Tables.orders(s, d).select(
+          date_format($"o_orderdate", "yyyy-MM").as("omonth"),
+          $"o_orderkey",
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        val g1 = "00000001_aaa"
+        val p1 = Versioned.writeSnapshotFull(o, dir, "sdq_ord",
+          "omonth", g1)
+        Versioned.commitManifest(dir, "sdq_root", g1,
+          p1.map(v => Versioned.snapshotPinKey("sdq_ord", v) -> g1).toMap)
+        Versioned.commitSnapshotDeleteVectors(s, dir, "sdq_root",
+          "sdq_ord", "omonth", "o_orderkey",
+          o.filter($"o_orderkey" % 7 === 0 && $"omonth" >= "1997-01")
+            .select($"omonth", $"o_orderkey").localCheckpoint(true),
+          "00000002_bbb")
+        Versioned.commitSnapshotDeleteVectors(s, dir, "sdq_root",
+          "sdq_ord", "omonth", "o_orderkey",
+          o.filter($"o_orderkey" % 11 === 0)
+            .select($"omonth", $"o_orderkey").localCheckpoint(true),
+          "00000003_ccc")
+        Versioned.purgeSnapshotDeleteVectors(s, dir, "sdq_root",
+          "sdq_ord", "omonth", "o_orderkey", "00000004_ddd")
+        def lane(asOf: Option[String], name: String) =
+          graft.io.LakeTable.readTable(s, dir, "sdq_ord", "omonth",
+              manifestPrefix = Some("sdq_root"), asOfTag = asOf)
+            .groupBy($"omonth")
+            .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+            .withColumn("lane", lit(name))
+        lane(None, "latest")
+          .unionByName(lane(Some("00000002_bbb"), "asof_g2"))
+          .unionByName(lane(Some(g1), "asof_g1"))
+          .select($"lane", $"omonth", $"n", $"cents_sum")
+          .orderBy($"lane", $"omonth")
+      },
+      Some("""WITH o AS (
+             |  SELECT strftime(o_orderdate, '%Y-%m') AS omonth,
+             |    o_orderkey,
+             |    CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT 'latest' AS lane, omonth, count(*) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS cents_sum
+             |FROM o
+             |WHERE NOT (o_orderkey % 7 = 0 AND omonth >= '1997-01')
+             |  AND o_orderkey % 11 <> 0
+             |GROUP BY omonth
+             |UNION ALL
+             |SELECT 'asof_g2' AS lane, omonth, count(*) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS cents_sum
+             |FROM o
+             |WHERE NOT (o_orderkey % 7 = 0 AND omonth >= '1997-01')
+             |GROUP BY omonth
+             |UNION ALL
+             |SELECT 'asof_g1' AS lane, omonth, count(*) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS cents_sum
+             |FROM o
+             |GROUP BY omonth
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // BATCHED point lookup ("fetch these N rows by key" — the serving
+    // shape of a feature store / document fetch): the whole key batch
+    // plans in ONE sidecar pass — each file's bloom deserializes once
+    // in an executor and the keys short-circuit on first hit, where N
+    // single probes would pay N sidecar passes and N driver
+    // round-trips. One-sided error + the exact isin residual keeps it
+    // row-for-row; batches past the documented cap are refused (that
+    // is a broadcast-join workload, not a planning probe).
+    Q("q420_batched_point_lookup",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q420_bk")
+        val o = Tables.orders(s, d).select(
+          date_format($"o_orderdate", "yyyy-MM").as("omonth"),
+          $"o_orderkey",
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        Versioned.writePartitionedFull(o, dir, "bk_ord", Seq("omonth"))
+        graft.io.FileStats.buildBloomSidecar(s, dir, "bk_ord", "omonth",
+          "o_orderkey", itemsPerFile = 100000L, numBits = 800000L)
+        val keys = o.orderBy($"o_orderkey").limit(12)
+          .select($"o_orderkey").collect().map(_.getLong(0)).toSeq
+        graft.io.FileStats.readBloomSkippingKeys(s, dir, "bk_ord",
+            "omonth", "o_orderkey", keys)
+          .select($"omonth", $"o_orderkey", $"cents")
+          .orderBy($"omonth", $"o_orderkey")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS omonth,
+             |  o_orderkey,
+             |  CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents
+             |FROM orders
+             |WHERE o_orderkey IN (SELECT o_orderkey FROM orders
+             |  ORDER BY o_orderkey LIMIT 12)
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   /** Full-corpus replay oracle for the incremental LSH dedup cycles

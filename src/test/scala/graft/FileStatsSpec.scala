@@ -439,6 +439,43 @@ class FileStatsSpec extends SparkTestBase {
       df.filter($"id" % 5 =!= 0).count())
   }
 
+  test("batched multi-key bloom lookup: one sidecar pass ≡ the union of single probes, isin residual exact, bounded batch") {
+    val dir = graft.core.Scratch.dir("fstats_batch")
+    val df = mkData(8000)
+    Versioned.writePartitionedFull(df, dir, "fs_bk", Seq("part"))
+    FileStats.buildBloomSidecar(spark, dir, "fs_bk", "part", "id",
+      itemsPerFile = 10000L, numBits = 100000L)
+    val keys = Seq(11L, 2042L, 4242L, 7777L)
+
+    // the any-match candidate set IS the union of the per-key sets —
+    // one sidecar pass instead of |batch| passes
+    val batched = FileStats.bloomCandidateFilesForKeys(spark, dir,
+      "fs_bk", keys)
+    val union = keys.flatMap(k =>
+      FileStats.bloomCandidateFiles(spark, dir, "fs_bk", k))
+      .distinct.sorted
+    assert(batched == union)
+    val total = leafFiles(Versioned.partitionedRoot(dir, "fs_bk")).size
+    assert(batched.nonEmpty && batched.size < total,
+      s"batched lookup must still prune: ${batched.size} of $total")
+
+    // exactness: pruned scan + isin residual ≡ full scan + isin,
+    // absent keys contribute nothing (one-sided error)
+    val got = FileStats.readBloomSkippingKeys(spark, dir, "fs_bk",
+      "part", "id", keys :+ 999999L)
+    val want = Versioned.readPartitioned(spark, dir, "fs_bk")
+      .filter($"id".isin(keys :+ 999999L: _*))
+    assert(got.orderBy($"id").collect().toSeq ==
+      want.orderBy($"id").collect().toSeq)
+    assert(got.count() == keys.length.toLong)
+
+    // an oversized batch is a join workload, not a probe — refused
+    intercept[IllegalArgumentException] {
+      FileStats.bloomCandidateFilesForKeys(spark, dir, "fs_bk",
+        (0 until FileStats.MaxBatchedLookupKeys + 1).map(_.toLong))
+    }
+  }
+
   test("metadata-only aggregate: answered from the sidecar, zero data files scanned") {
     val dir = graft.core.Scratch.dir("fstats_meta")
     FileStats.writeZoneClustered(mkData(2000), dir, "fs_meta",

@@ -21,6 +21,13 @@ class LakeTableSpec extends SparkTestBase {
   private def rows(df: org.apache.spark.sql.DataFrame) =
     df.select($"id", $"part", $"v").orderBy($"id").collect().toSeq
 
+  private def scanNumFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.metrics("numFiles").value).sum
+  }
+
   test("in-place lane: plain, range, point, both, parts, DV — each ≡ the hand-composed twin") {
     val dir = graft.core.Scratch.dir("laketab_inplace")
     val df = mkData(4000)
@@ -39,6 +46,15 @@ class LakeTableSpec extends SparkTestBase {
     assert(rows(read()) == rows(full))
     assert(rows(read(ranges = Seq(("v", Some(3000L), Some(6000L))))) ==
       rows(full.filter($"v" >= 3000L && $"v" <= 6000L)))
+    // the facade PRUNES, not just filters: the data scan schedules
+    // exactly the zone candidates, a strict subset of the root
+    val cand = FileStats.candidateFiles(spark, dir, "lt_data",
+      Some(3000L), Some(6000L))
+    val totalFiles = FileStats.candidateFiles(spark, dir, "lt_data",
+      None, None).size
+    assert(cand.nonEmpty && cand.size < totalFiles)
+    assert(scanNumFiles(read(
+      ranges = Seq(("v", Some(3000L), Some(6000L))))) == cand.size.toLong)
     assert(rows(read(point = Some(("id", 1234L)))) ==
       rows(full.filter($"id" === 1234L)))
     // both prunings: candidate INTERSECTION stays exact
