@@ -283,18 +283,25 @@ object FileStats {
       case None => Versioned.readPartitioned(spark, dir,
         sidecarMultiPrefix(dataPrefix))
     }
-    val keep = preds.map { case (c, lo, hi) =>
-      // unbounded column → no constraint at all (see candidateFiles:
-      // the all-null exclusion is only sound under a real bound)
+    side.filter(multiKeep(preds)).select(col("file"))
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** The conjunctive multi-column survival predicate over a sidecar
+    * frame: every constrained column's [min, max] may intersect its
+    * interval and is not all-null in the file; an unbounded column is
+    * no constraint at all (see [[candidateFiles]]: the all-null
+    * exclusion is only sound under a real bound).
+    */
+  private def multiKeep(
+      preds: Seq[(String, Option[Any], Option[Any])]): Column =
+    preds.map { case (c, lo, hi) =>
       val bounds = Seq(
         lo.map(v => col(s"max_$c") >= lit(v)),
         hi.map(v => col(s"min_$c") <= lit(v))).flatten
       if (bounds.isEmpty) lit(true)
       else (bounds :+ (col("n_rows") > col(s"n_nulls_$c"))).reduce(_ && _)
     }.reduce(_ && _)
-    side.filter(keep).select(col("file"))
-      .collect().map(_.getString(0)).toSeq.sorted
-  }
 
   /** Conjunctive data-skipping read: scan only the files surviving
     * every column's interval check, then apply the full residual.
@@ -694,6 +701,154 @@ object FileStats {
         sum(col("n_nulls")).as("n_nulls"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
+
+  // ---- manifest-pinned MULTI-COLUMN zone maps (snapshot lane) ----------
+  // The per-column stats shape (q411's zmapm) lifted onto the snapshot
+  // lane: the multi sidecar becomes a generation-pinned root whose
+  // pins ride the data's atomic manifest commit, and a Z-order-
+  // clustered snapshot write makes every (partition, gen) leaf a small
+  // rectangle of the value space so conjunctive pruning bites on every
+  // constrained column.
+
+  /** Per-(partition, file) multi-column statistics of the data read AT
+    * `dataPins` — the mid-cycle view, like [[collectSnapshotStats]].
+    */
+  def collectSnapshotStatsMulti(spark: SparkSession, dir: String,
+                                dataPrefix: String, partCol: String,
+                                statCols: Seq[String],
+                                dataPins: Map[String, String],
+                                touched: Option[Seq[Any]]): DataFrame = {
+    require(statCols.nonEmpty, "need at least one stat column")
+    val aggs = count(lit(1)).as("n_rows") +: statCols.flatMap(c => Seq(
+      (count(lit(1)) - count(col(c))).as(s"n_nulls_$c"),
+      min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c")))
+    Versioned.readSnapshotAt(spark, dir, dataPrefix, partCol, dataPins,
+        touched)
+      .groupBy(col(partCol).cast("string").as("part"),
+        input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Write the `touched` partitions' multi-column statistics into
+    * their `gen` sidecar leaves (root: [[sidecarMultiPrefix]]); the
+    * caller folds the returned present set into the SAME manifest
+    * entries as the data pins.
+    */
+  def writeSnapshotSidecarMulti(spark: SparkSession, dir: String,
+                                dataPrefix: String, partCol: String,
+                                statCols: Seq[String],
+                                dataPins: Map[String, String],
+                                touched: Seq[Any], gen: String): Set[Any] =
+    Versioned.writeSnapshotPartitions(
+      collectSnapshotStatsMulti(spark, dir, dataPrefix, partCol,
+        statCols, dataPins, Some(touched)),
+      dir, sidecarMultiPrefix(dataPrefix), "part", gen)
+
+  /** [[candidateFilesMulti]] against an EXPLICIT sidecar pin map. */
+  def candidateFilesMultiAt(spark: SparkSession, dir: String,
+                            dataPrefix: String,
+                            sidecarPins: Map[String, String],
+                            preds: Seq[(String, Option[Any], Option[Any])],
+                            parts: Option[Seq[Any]] = None): Seq[String] = {
+    require(preds.nonEmpty, "need at least one column predicate")
+    Versioned.readSnapshotAt(spark, dir, sidecarMultiPrefix(dataPrefix),
+        "part", sidecarPins, parts.map(_.map(_.toString)))
+      .filter(multiKeep(preds)).select(col("file"))
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Conjunctive data-skipping read over a snapshot root, planned
+    * through the newest manifest's multi-sidecar pins.
+    */
+  def readSkippingMultiSnapshot(spark: SparkSession, dir: String,
+                                manifestPrefix: String,
+                                dataPrefix: String, partCol: String,
+                                preds: Seq[(String, Option[Any], Option[Any])],
+                                parts: Option[Seq[Any]] = None): DataFrame = {
+    val root = Versioned.snapshotRoot(dir, dataPrefix)
+    val residual = preds.flatMap { case (c, lo, hi) =>
+      lo.map(v => col(c) >= lit(v)) ++ hi.map(v => col(c) <= lit(v))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val files = candidateFilesMultiAt(spark, dir, dataPrefix,
+      Versioned.snapshotPins(dir, manifestPrefix,
+        sidecarMultiPrefix(dataPrefix)),
+      preds, parts)
+    if (files.isEmpty)
+      Versioned.readSnapshotPartitions(spark, dir, manifestPrefix,
+        dataPrefix, partCol, None).filter(lit(false))
+    else
+      spark.read.option("basePath", root).parquet(files: _*)
+        .drop("__gen").filter(residual)
+  }
+
+  /** Zone-clustered SNAPSHOT write: the [[writeZoneClustered]] layout
+    * (range-partition by (partCol, clusterCol), sort within) targeting
+    * a `gen` generation of a snapshot root — each (partition, gen)
+    * leaf's files cover narrow value slices, which is what makes the
+    * pinned sidecars prune. Dynamic overwrite touches only the
+    * partitions present in `df`; returns the present set for the
+    * manifest pins.
+    */
+  def writeSnapshotZoneClustered(df: DataFrame, dir: String,
+                                 prefix: String, partCol: String,
+                                 clusterCol: String, gen: String,
+                                 tasks: Int): Set[Any] = {
+    val root = Versioned.snapshotRoot(dir, prefix)
+    val present = df.select(df.col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    df.repartitionByRange(tasks, col(partCol), col(clusterCol))
+      .sortWithinPartitions(col(partCol), col(clusterCol))
+      .withColumn("__gen", lit(gen))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol, "__gen").parquet(root)
+    present
+  }
+
+  // ---- sidecar spec registry (manifest-pinned) -------------------------
+  // The sidecar roots don't record WHAT they index (the zone sidecar's
+  // stat column, the bloom sidecar's key column and sizing) — that
+  // knowledge lived only in the calling cycle, which is why compaction
+  // and the stream sink take spec arguments and REFUSE when a pinned
+  // sidecar arrives without one. These entries pin the spec IN the
+  // manifest, beside the pins it describes: maintenance (compaction,
+  // stream restarts) derives the spec from the manifest itself and the
+  // refusal path only remains for sidecars created before their spec
+  // was pinned. The key namespace (`__sidecar_spec/<sidecar prefix>`)
+  // cannot collide with partition pins (`<prefix>/<value>`).
+
+  /** The manifest key pinning `sidePrefix`'s spec. */
+  def sidecarSpecKey(sidePrefix: String): String =
+    s"__sidecar_spec/$sidePrefix"
+
+  /** Manifest entry declaring the zone sidecar's stat column. */
+  def zoneSpecEntry(dataPrefix: String, statCol: String): (String, String) =
+    sidecarSpecKey(sidecarPrefix(dataPrefix)) -> statCol
+
+  /** Manifest entry declaring the bloom sidecar's key column and
+    * sizing (the probe side needs neither, but re-collection does).
+    */
+  def bloomSpecEntry(dataPrefix: String, keyCol: String,
+                     itemsPerFile: Long, numBits: Long): (String, String) =
+    sidecarSpecKey(bloomPrefix(dataPrefix)) ->
+      s"$keyCol:$itemsPerFile:$numBits"
+
+  /** The zone spec (stat column) pinned for `dataPrefix`, if any. */
+  def pinnedZoneSpec(entries: Map[String, String],
+                     dataPrefix: String): Option[String] =
+    entries.get(sidecarSpecKey(sidecarPrefix(dataPrefix)))
+
+  /** The bloom spec pinned for `dataPrefix`, if any. */
+  def pinnedBloomSpec(entries: Map[String, String],
+                      dataPrefix: String): Option[(String, Long, Long)] =
+    entries.get(sidecarSpecKey(bloomPrefix(dataPrefix))).map { s =>
+      s.split(':') match {
+        case Array(k, items, bits) => (k, items.toLong, bits.toLong)
+        case _ => throw new IllegalStateException(
+          s"malformed bloom sidecar spec '$s' for '$dataPrefix'")
+      }
+    }
 
   // ---- manifest-pinned bloom sidecars (snapshot lane) ------------------
   // The bloom twin of the manifest-pinned zone maps: per-file filters

@@ -56,7 +56,7 @@ object LakeTable {
     *                       pruning)
     * @param ranges         interval predicates (column, lo, hi) —
     *                       skipped through the multi-column sidecar
-    *                       when present (in-place lane), else the
+    *                       when present (either lane), else the
     *                       single-column sidecar for a lone range,
     *                       else applied as residuals only
     * @param point          equality probe (column, value) — skipped
@@ -108,12 +108,17 @@ object LakeTable {
           ranges.forall { case (_, lo, hi) => lo.isEmpty && hi.isEmpty })
         None
       else if (snapshot) {
+        val zmPins = pinsOf(FileStats.sidecarMultiPrefix(prefix))
         val zPins = pinsOf(FileStats.sidecarPrefix(prefix))
-        if (zPins.isEmpty || ranges.size != 1) None
-        else ranges.head match { case (_, lo, hi) =>
-          Some(FileStats.candidateFilesAt(spark, dir, prefix, zPins,
-            lo, hi, parts))
-        }
+        if (zmPins.nonEmpty)
+          Some(FileStats.candidateFilesMultiAt(spark, dir, prefix,
+            zmPins, ranges, parts))
+        else if (zPins.nonEmpty && ranges.size == 1)
+          ranges.head match { case (_, lo, hi) =>
+            Some(FileStats.candidateFilesAt(spark, dir, prefix, zPins,
+              lo, hi, parts))
+          }
+        else None
       } else if (inPlaceHas(FileStats.sidecarMultiPrefix(prefix)))
         Some(FileStats.candidateFilesMulti(spark, dir, prefix, ranges,
           parts))

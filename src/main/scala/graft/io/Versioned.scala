@@ -778,17 +778,25 @@ object Versioned {
       if (fat.nonEmpty) {
         def pinned(sidePrefix: String) =
           entries0.keys.exists(_.startsWith(s"$sidePrefix/"))
+        // spec resolution order: explicit argument, else the spec the
+        // manifest itself pins ([[FileStats.zoneSpecEntry]] /
+        // [[FileStats.bloomSpecEntry]]) — the refusal only remains for
+        // sidecars created before their spec was pinned anywhere
+        val zoneSpec = zoneSidecars.get(prefix)
+          .orElse(FileStats.pinnedZoneSpec(entries0, prefix))
+        val bloomSpec = bloomSidecars.get(prefix)
+          .orElse(FileStats.pinnedBloomSpec(entries0, prefix))
         require(!pinned(FileStats.sidecarPrefix(prefix)) ||
-            zoneSidecars.contains(prefix),
+            zoneSpec.isDefined,
           s"compaction of '$prefix' refused: the manifest pins a " +
             s"zone-map sidecar (${FileStats.sidecarPrefix(prefix)}) but " +
-            "no zoneSidecars spec was passed — compacting would strand " +
-            "stats naming superseded files (a crash after GC)")
+            "no spec was passed or manifest-pinned — compacting would " +
+            "strand stats naming superseded files (a crash after GC)")
         require(!pinned(FileStats.bloomPrefix(prefix)) ||
-            bloomSidecars.contains(prefix),
+            bloomSpec.isDefined,
           s"compaction of '$prefix' refused: the manifest pins a bloom " +
-            s"sidecar (${FileStats.bloomPrefix(prefix)}) but no " +
-            "bloomSidecars spec was passed — compacting would strand " +
+            s"sidecar (${FileStats.bloomPrefix(prefix)}) but no spec " +
+            "was passed or manifest-pinned — compacting would strand " +
             "filters naming superseded files (a crash after GC)")
         // checkpoint cuts lineage to the prior-gen leaves so the
         // present-set collect and the write don't re-list them twice
@@ -806,19 +814,21 @@ object Versioned {
         // re-pins join the same entries map, so one commit flips data
         // and stats together
         val dataPins2 = pins ++ fat.keys.map(_ -> tag)
-        zoneSidecars.get(prefix).foreach { statCol =>
-          val zp = FileStats.writeSnapshotSidecar(spark, dir, prefix,
-            partCol, statCol, dataPins2, fat.keys.toSeq, tag)
-          entries = entries ++ zp.map(v =>
-            snapshotPinKey(FileStats.sidecarPrefix(prefix), v) -> tag)
-        }
-        bloomSidecars.get(prefix).foreach { case (keyCol, items, bits) =>
-          val bp = FileStats.writeSnapshotBloomSidecar(spark, dir,
-            prefix, partCol, keyCol, dataPins2, fat.keys.toSeq, tag,
-            items, bits)
-          entries = entries ++ bp.map(v =>
-            snapshotPinKey(FileStats.bloomPrefix(prefix), v) -> tag)
-        }
+        zoneSpec.filter(_ => pinned(FileStats.sidecarPrefix(prefix)))
+          .foreach { statCol =>
+            val zp = FileStats.writeSnapshotSidecar(spark, dir, prefix,
+              partCol, statCol, dataPins2, fat.keys.toSeq, tag)
+            entries = entries ++ zp.map(v =>
+              snapshotPinKey(FileStats.sidecarPrefix(prefix), v) -> tag)
+          }
+        bloomSpec.filter(_ => pinned(FileStats.bloomPrefix(prefix)))
+          .foreach { case (keyCol, items, bits) =>
+            val bp = FileStats.writeSnapshotBloomSidecar(spark, dir,
+              prefix, partCol, keyCol, dataPins2, fat.keys.toSeq, tag,
+              items, bits)
+            entries = entries ++ bp.map(v =>
+              snapshotPinKey(FileStats.bloomPrefix(prefix), v) -> tag)
+          }
       }
       prefix -> fat.keySet
     }.toMap

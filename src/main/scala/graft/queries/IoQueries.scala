@@ -2820,7 +2820,55 @@ object IoQueries extends QueryPack {
              |FROM orders
              |WHERE o_orderkey IN (SELECT o_orderkey FROM orders
              |  ORDER BY o_orderkey LIMIT 12)
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // MULTI-COLUMN zone maps on the SNAPSHOT lane — q411's
+    // manifest-pinned twin: the per-column stats sidecar becomes a
+    // generation-pinned root whose pins ride the data's atomic commit,
+    // the Z-order-clustered snapshot write makes every (month, gen)
+    // leaf a small rectangle of the (price, quantity) space, and the
+    // conjunctive skipping read plans entirely through the manifest
+    // (SnapshotZoneSpec pins conjunction-beats-one-dimension, the
+    // numFiles metric, and that the facade routes multi-range
+    // predicates through the pinned multi sidecar).
+    Q("q421_zonemap_multi_snapshot",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q421_zms")
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(_.getName.startsWith("zms_root__")).foreach(_.delete()))
+        val zmapm = graft.io.FileStats.sidecarMultiPrefix("zms_li")
+        val li = Tables.lineitem(s, d).select(
+          date_format($"l_shipdate", "yyyy-MM").as("smonth"),
+          round($"l_extendedprice" * 100, 0).cast("long").as("cents"),
+          $"l_quantity".cast("long").as("qty"))
+        val zli = li.withColumn("zk",
+          graft.ops.Layout.zKey($"cents", $"qty", 24))
+        val g1 = "00000001_aaa"
+        val dP = graft.io.FileStats.writeSnapshotZoneClustered(zli, dir,
+          "zms_li", "smonth", "zk", g1, tasks = 64)
+        val pins = dP.map(_.toString -> g1).toMap
+        val zP = graft.io.FileStats.writeSnapshotSidecarMulti(s, dir,
+          "zms_li", "smonth", Seq("cents", "qty"), pins, dP.toSeq, g1)
+        Versioned.commitManifest(dir, "zms_root", g1,
+          dP.map(v => Versioned.snapshotPinKey("zms_li", v) -> g1).toMap ++
+            zP.map(v => Versioned.snapshotPinKey(zmapm, v) -> g1))
+        graft.io.FileStats.readSkippingMultiSnapshot(s, dir, "zms_root",
+            "zms_li", "smonth",
+            Seq(("cents", Some(2000000L), Some(6000000L)),
+              ("qty", Some(10L), Some(20L))))
+          .groupBy($"smonth")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+          .orderBy($"smonth")
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS smonth,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS cents_sum
+             |FROM lineitem
+             |WHERE CAST(round(l_extendedprice*100, 0) AS BIGINT)
+             |    BETWEEN 2000000 AND 6000000
+             |  AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Full-corpus replay oracle for the incremental LSH dedup cycles

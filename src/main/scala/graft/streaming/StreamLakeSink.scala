@@ -113,28 +113,39 @@ object StreamLakeSink {
     var entries: Map[String, String] = pins.map {
       case (v, g) => Versioned.snapshotPinKey(prefix, v) -> g }
     // sidecar rows re-derived from the just-written generation; their
-    // re-pins ride the same commit (stats flip with data)
+    // re-pins ride the same commit (stats flip with data). Specs
+    // resolve explicit-arg-first, then the spec the manifest pins
+    // (FileStats.zoneSpecEntry/bloomSpecEntry, committed with every
+    // epoch) — a RESTARTED stream that forgets its sidecar args picks
+    // them up from the manifest instead of silently stranding the
+    // sidecars.
+    val entries0 = Versioned.latestManifest(dir, manifestPrefix)
+      .map(_._2).getOrElse(Map.empty)
     val dataPins2 = pins0 ++ present.map(_.toString -> gen)
-    zoneStat.foreach { statCol =>
-      val prior = Versioned.snapshotPins(dir, manifestPrefix,
-        FileStats.sidecarPrefix(prefix))
-      val zp = FileStats.writeSnapshotSidecar(spark, dir, prefix,
-        partCol, statCol, dataPins2, touched, gen)
-      entries = entries ++
-        (prior -- touched.map(_.toString) ++ zp.map(_.toString -> gen))
-          .map { case (v, g) =>
-            Versioned.snapshotPinKey(FileStats.sidecarPrefix(prefix), v) -> g }
-    }
-    bloomKey.foreach { case (bkCol, items, bits) =>
-      val prior = Versioned.snapshotPins(dir, manifestPrefix,
-        FileStats.bloomPrefix(prefix))
-      val bp = FileStats.writeSnapshotBloomSidecar(spark, dir, prefix,
-        partCol, bkCol, dataPins2, touched, gen, items, bits)
-      entries = entries ++
-        (prior -- touched.map(_.toString) ++ bp.map(_.toString -> gen))
-          .map { case (v, g) =>
-            Versioned.snapshotPinKey(FileStats.bloomPrefix(prefix), v) -> g }
-    }
+    zoneStat.orElse(FileStats.pinnedZoneSpec(entries0, prefix))
+      .foreach { statCol =>
+        val prior = Versioned.snapshotPins(dir, manifestPrefix,
+          FileStats.sidecarPrefix(prefix))
+        val zp = FileStats.writeSnapshotSidecar(spark, dir, prefix,
+          partCol, statCol, dataPins2, touched, gen)
+        entries = entries ++
+          (prior -- touched.map(_.toString) ++ zp.map(_.toString -> gen))
+            .map { case (v, g) =>
+              Versioned.snapshotPinKey(FileStats.sidecarPrefix(prefix), v) -> g } +
+          FileStats.zoneSpecEntry(prefix, statCol)
+      }
+    bloomKey.orElse(FileStats.pinnedBloomSpec(entries0, prefix))
+      .foreach { case (bkCol, items, bits) =>
+        val prior = Versioned.snapshotPins(dir, manifestPrefix,
+          FileStats.bloomPrefix(prefix))
+        val bp = FileStats.writeSnapshotBloomSidecar(spark, dir, prefix,
+          partCol, bkCol, dataPins2, touched, gen, items, bits)
+        entries = entries ++
+          (prior -- touched.map(_.toString) ++ bp.map(_.toString -> gen))
+            .map { case (v, g) =>
+              Versioned.snapshotPinKey(FileStats.bloomPrefix(prefix), v) -> g } +
+          FileStats.bloomSpecEntry(prefix, bkCol, items, bits)
+      }
     Versioned.commitManifest(dir, manifestPrefix, gen, entries)
     true
   }

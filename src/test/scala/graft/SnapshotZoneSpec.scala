@@ -201,4 +201,108 @@ class SnapshotZoneSpec extends SparkTestBase {
 
   private def fullRead(dir: String) = Versioned.readSnapshotPartitions(
     spark, dir, "szc_root", "szc_data", "m", None)
+
+  test("manifest-pinned sidecar SPECS: compaction derives the zone/bloom columns from the manifest, no arguments needed") {
+    val dir = graft.core.Scratch.dir("szone_spec")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("szs_root__")).foreach(_.delete()))
+    val zmap = FileStats.sidecarPrefix("szs_data")
+    val g1 = "00000001_a"
+    val coalKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prior = spark.conf.get(coalKey)
+    spark.conf.set(coalKey, "false")
+    val dP = try Versioned.writeSnapshotFull(mk(0, 6000), dir,
+      "szs_data", "m", g1, filesPerPartition = 8)
+    finally spark.conf.set(coalKey, prior)
+    val dPins1 = dP.map(v => v.toString -> g1).toMap
+    val zP = FileStats.writeSnapshotSidecar(spark, dir, "szs_data", "m",
+      "v", dPins1, dP.toSeq, g1)
+    // the spec entry rides the same commit as the pins it describes
+    Versioned.commitManifest(dir, "szs_root", g1,
+      pinKeys("szs_data", dP, g1) ++ pinKeys(zmap, zP, g1) +
+        FileStats.zoneSpecEntry("szs_data", "v"))
+    val want = Versioned.readSnapshotPartitions(spark, dir, "szs_root",
+        "szs_data", "m", None)
+      .filter($"v" >= 1500L && $"v" <= 3200L).orderBy($"id")
+      .collect().toSeq
+
+    // NO sidecar arguments: the spec comes from the manifest
+    val g2 = "00000002_b"
+    val report = Versioned.compactSnapshotLeaves(spark, dir, "szs_root",
+      Seq("szs_data" -> "m"), g2, maxFiles = 2)
+    assert(report("szs_data").nonEmpty)
+    report("szs_data").foreach { v =>
+      assert(Versioned.snapshotPins(dir, "szs_root", zmap)(v) == g2,
+        s"spec-derived compaction did not re-pin the sidecar for $v")
+    }
+    Versioned.gcThroughManifest(dir, "szs_root", keepLast = 1)
+    Versioned.gcSnapshotGenerations(dir, "szs_root", "szs_data", 1)
+    Versioned.gcSnapshotGenerations(dir, "szs_root", zmap, 1)
+    assert(FileStats.readSkippingSnapshot(spark, dir, "szs_root",
+        "szs_data", "m", "v", Some(1500L), Some(3200L))
+      .orderBy($"id").collect().toSeq == want,
+      "spec-derived compaction + GC broke the skipping read")
+    // the spec entry survives the compaction commit (carried forward)
+    assert(Versioned.latestManifest(dir, "szs_root").exists(
+      _._2.get(FileStats.sidecarSpecKey(zmap)).contains("v")),
+      "the compaction commit dropped the sidecar spec entry")
+  }
+
+  test("multi-column zone maps on the snapshot lane: Z-order leaves, conjunctive pruning through the manifest, facade parity") {
+    val dir = graft.core.Scratch.dir("szone_multi")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("szm_root__")).foreach(_.delete()))
+    val zmapm = FileStats.sidecarMultiPrefix("szm_data")
+    // uniform 256x256 grid, one partition; the Morton key clusters
+    // each file into a small 2-D rectangle
+    val grid = spark.range(65536L).select(
+      lit(0L).as("m"),
+      ($"id" % 256).as("x"),
+      org.apache.spark.sql.functions.expr("id div 256").as("y"))
+      .withColumn("zk", graft.ops.Layout.zKey($"x", $"y", 8))
+    val g1 = "00000001_a"
+    val dP = FileStats.writeSnapshotZoneClustered(grid, dir, "szm_data",
+      "m", "zk", g1, tasks = 16)
+    val dPins = dP.map(v => v.toString -> g1).toMap
+    val zP = FileStats.writeSnapshotSidecarMulti(spark, dir, "szm_data",
+      "m", Seq("x", "y"), dPins, dP.toSeq, g1)
+    Versioned.commitManifest(dir, "szm_root", g1,
+      pinKeys("szm_data", dP, g1) ++ pinKeys(zmapm, zP, g1))
+
+    val box = Seq(("x", Some(10L: Any), Some(50L: Any)),
+      ("y", Some(10L: Any), Some(50L: Any)))
+    val zmPins = Versioned.snapshotPins(dir, "szm_root", zmapm)
+    val cand2 = FileStats.candidateFilesMultiAt(spark, dir, "szm_data",
+      zmPins, box)
+    val candX = FileStats.candidateFilesMultiAt(spark, dir, "szm_data",
+      zmPins, box.take(1))
+    val total = FileStats.candidateFilesMultiAt(spark, dir, "szm_data",
+      zmPins, Seq(("x", Some(0L: Any), Some(255L: Any))))
+    assert(cand2.nonEmpty && cand2.size < candX.size &&
+      candX.size <= total.size,
+      s"conjunction must out-prune one dimension: 2d=${cand2.size} " +
+        s"x=${candX.size} all=${total.size}")
+
+    val skip = FileStats.readSkippingMultiSnapshot(spark, dir,
+      "szm_root", "szm_data", "m", box)
+    val want = Versioned.readSnapshotPartitions(spark, dir, "szm_root",
+        "szm_data", "m", None)
+      .filter($"x" >= 10L && $"x" <= 50L && $"y" >= 10L && $"y" <= 50L)
+    assert(skip.orderBy($"zk").collect().toSeq ==
+      want.orderBy($"zk").collect().toSeq)
+    assert(scanNumFiles(FileStats.readSkippingMultiSnapshot(spark, dir,
+      "szm_root", "szm_data", "m", box)) == cand2.size.toLong)
+
+    // the facade routes snapshot multi-range predicates through the
+    // pinned multi sidecar: same rows, same pruned scan
+    val viaFacade = graft.io.LakeTable.readTable(spark, dir, "szm_data",
+      "m", manifestPrefix = Some("szm_root"),
+      ranges = box)
+    assert(viaFacade.orderBy($"zk").collect().toSeq ==
+      want.orderBy($"zk").collect().toSeq)
+    assert(scanNumFiles(graft.io.LakeTable.readTable(spark, dir,
+      "szm_data", "m", manifestPrefix = Some("szm_root"),
+      ranges = box)) == cand2.size.toLong,
+      "the facade did not plan through the pinned multi sidecar")
+  }
 }

@@ -183,5 +183,19 @@ class StreamLakeSpec extends SparkTestBase {
     assert(!StreamLakeSink.commitBatch(spark, dir, "sls_root", "sls_data",
       "m", "k", batch2, 2L, zoneStat = Some("v"),
       bloomKey = Some(("k", 1000L, 10000L))))
+
+    // RESTART AMNESIA: batch 3 commits with NO sidecar arguments — the
+    // specs pinned in the manifest keep the sidecars maintained, so a
+    // restarted stream cannot silently strand them
+    val batch3 = Seq((7L, 2L, 70L)).toDF("k", "m", "v")
+    assert(StreamLakeSink.commitBatch(spark, dir, "sls_root", "sls_data",
+      "m", "k", batch3, 3L))
+    assert(skipFiltered(65L, 75L) == Set((7L, 2L, 70L)),
+      "a spec-less restart stranded the zone sidecar")
+    statsExact()
+    assert(FileStats.readBloomSkippingSnapshot(spark, dir, "sls_root",
+        "sls_data", "m", "k", 7L)
+      .select($"k", $"m", $"v").as[(Long, Long, Long)].collect().toSet ==
+      Set((7L, 2L, 70L)), "a spec-less restart stranded the bloom sidecar")
   }
 }
