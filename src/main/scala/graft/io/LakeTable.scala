@@ -45,6 +45,90 @@ import org.apache.spark.sql.functions._
   */
 object LakeTable {
 
+  /** One root's publish payload for [[commitSnapshot]]: `df` carries
+    * the FULL new content of every partition the cycle touched (the
+    * lane's standard contract). Emptying a partition is not
+    * expressible here — that retraction shape needs the raw
+    * `writeSnapshotPartitions` + pin-drop composition.
+    */
+  final case class RootPublish(prefix: String, partCol: String,
+                               df: DataFrame, filesPerPartition: Int = 1)
+
+  /** The WRITE-side facade: publish every root's touched partitions as
+    * generation `tag`, re-derive each root's sidecars (specs resolved
+    * explicit-argument-first, then the [[FileStats.zoneSpecEntry]] /
+    * [[FileStats.bloomSpecEntry]] entries the manifest pins), and flip
+    * ONE atomic manifest — the packaged form of the publish
+    * composition every cycle otherwise hand-rolls, with the
+    * stats-flip-with-data invariant unforgettable by construction.
+    *
+    * Replay/crash contract (inherited from the lane): an exact replay
+    * (tag already published) short-circuits to an empty report; a
+    * ZOMBIE (tag older than published) is refused before any write; a
+    * crashed publish's half-written generations are invisible until
+    * the manifest commits, and its replay rewrites them idempotently.
+    * The first commit on a fresh `manifestPrefix` is the
+    * initialization — pass the sidecar specs explicitly there (no
+    * manifest exists to resolve them from); they pin with the commit
+    * and later cycles omit them.
+    *
+    * Multi-STAGE cycles whose later stages read their own fresh pins
+    * (the chained topologies) still compose the raw API — this facade
+    * covers the single-stage shape (ingest appends, corrections,
+    * sink-style epochs).
+    *
+    * @return per prefix, the partition values published (empty when
+    *         the tag had already committed)
+    */
+  def commitSnapshot(spark: SparkSession, dir: String,
+                     manifestPrefix: String, tag: String,
+                     roots: Seq[RootPublish],
+                     zoneSpecs: Map[String, String] = Map.empty,
+                     bloomSpecs: Map[String, (String, Long, Long)] =
+                       Map.empty): Map[String, Set[Any]] = {
+    require(roots.nonEmpty, "empty publish")
+    val cur = Versioned.latestManifest(dir, manifestPrefix)
+    cur.foreach { case (curTag, _) =>
+      require(tag >= curTag,
+        s"stale publish refused: tag '$tag' is older than published " +
+          s"'$curTag' for '$manifestPrefix' — already committed, or a " +
+          "zombie replay")
+      if (curTag == tag) return roots.map(_.prefix -> Set.empty[Any]).toMap
+    }
+    val entries0 = cur.map(_._2).getOrElse(Map.empty)
+    var entries = entries0
+    val report = roots.map { r =>
+      val pins0 = Versioned.snapshotPins(dir, manifestPrefix, r.prefix)
+      val present = Versioned.writeSnapshotPartitions(r.df, dir,
+        r.prefix, r.partCol, tag, r.filesPerPartition)
+      val pins = pins0 ++ present.map(_.toString -> tag)
+      entries = entries ++ present.map(v =>
+        Versioned.snapshotPinKey(r.prefix, v) -> tag)
+      zoneSpecs.get(r.prefix)
+        .orElse(FileStats.pinnedZoneSpec(entries0, r.prefix))
+        .foreach { statCol =>
+          val zp = FileStats.writeSnapshotSidecar(spark, dir, r.prefix,
+            r.partCol, statCol, pins, present.toSeq, tag)
+          entries = entries ++ zp.map(v => Versioned.snapshotPinKey(
+              FileStats.sidecarPrefix(r.prefix), v) -> tag) +
+            FileStats.zoneSpecEntry(r.prefix, statCol)
+        }
+      bloomSpecs.get(r.prefix)
+        .orElse(FileStats.pinnedBloomSpec(entries0, r.prefix))
+        .foreach { case (keyCol, items, bits) =>
+          val bp = FileStats.writeSnapshotBloomSidecar(spark, dir,
+            r.prefix, r.partCol, keyCol, pins, present.toSeq, tag,
+            items, bits)
+          entries = entries ++ bp.map(v => Versioned.snapshotPinKey(
+              FileStats.bloomPrefix(r.prefix), v) -> tag) +
+            FileStats.bloomSpecEntry(r.prefix, keyCol, items, bits)
+        }
+      r.prefix -> present
+    }.toMap
+    Versioned.commitManifest(dir, manifestPrefix, tag, entries)
+    report
+  }
+
   /** Read `prefix` with every applicable lane resolved. See class doc.
     *
     * @param manifestPrefix snapshot lane when set (pins resolve

@@ -2868,7 +2868,78 @@ object IoQueries extends QueryPack {
              |WHERE CAST(round(l_extendedprice*100, 0) AS BIGINT)
              |    BETWEEN 2000000 AND 6000000
              |  AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // WRITE-SIDE FACADE: LakeTable.commitSnapshot publishes a DETAIL
+    // root and its monthly ROLLUP root in ONE atomic manifest commit,
+    // with the detail root's zone sidecar auto-maintained from the
+    // manifest-pinned spec (passed once at init, never again) — the
+    // packaged form of the publish composition every cycle otherwise
+    // hand-rolls. A correction cycle re-publishes the affected months'
+    // detail AND rollup together; the query then reads BOTH roots
+    // through the read facade and reports them side by side — the
+    // rollup columns and the detail-derived columns can only agree if
+    // the two roots flipped atomically, and the hot-range columns ride
+    // the maintained sidecar (LakeTableSpec pins replay short-circuit,
+    // zombie refusal, and the sidecar-follow at plan level).
+    Q("q422_commit_facade",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q422_wf")
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(_.getName.startsWith("wf_root__")).foreach(_.delete()))
+        val o = Tables.orders(s, d).select(
+          date_format($"o_orderdate", "yyyy-MM").as("omonth"),
+          $"o_orderkey",
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        def rollOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"omonth")
+            .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+        graft.io.LakeTable.commitSnapshot(s, dir, "wf_root",
+          "00000001_aaa",
+          Seq(graft.io.LakeTable.RootPublish("wf_det", "omonth", o),
+            graft.io.LakeTable.RootPublish("wf_roll", "omonth",
+              rollOf(o).localCheckpoint(true))),
+          zoneSpecs = Map("wf_det" -> "cents"))
+        // correction cycle: months >= 1997-01 re-priced +100 cents per
+        // row — detail and rollup re-publish TOGETHER, specs from the
+        // manifest
+        val cutoff = "1997-01"
+        val corrected = o.filter($"omonth" >= cutoff)
+          .select($"omonth", $"o_orderkey", ($"cents" + 100L).as("cents"))
+          .localCheckpoint(true)
+        graft.io.LakeTable.commitSnapshot(s, dir, "wf_root",
+          "00000002_bbb",
+          Seq(graft.io.LakeTable.RootPublish("wf_det", "omonth",
+              corrected),
+            graft.io.LakeTable.RootPublish("wf_roll", "omonth",
+              rollOf(corrected).localCheckpoint(true))))
+        val roll = graft.io.LakeTable.readTable(s, dir, "wf_roll",
+          "omonth", manifestPrefix = Some("wf_root"))
+        val hot = graft.io.LakeTable.readTable(s, dir, "wf_det",
+            "omonth", manifestPrefix = Some("wf_root"),
+            ranges = Seq(("cents", Some(15000000L), Some(18000000L))))
+          .groupBy($"omonth")
+          .agg(count(lit(1)).as("n_hot"), sum($"cents").as("cents_hot"))
+        roll.join(hot, Seq("omonth"), "left")
+          .select($"omonth", $"n", $"cents_sum",
+            coalesce($"n_hot", lit(0L)).as("n_hot"),
+            coalesce($"cents_hot", lit(0L)).as("cents_hot"))
+          .orderBy($"omonth")
+      },
+      Some("""WITH o AS (
+             |  SELECT strftime(o_orderdate, '%Y-%m') AS omonth,
+             |    CAST(round(o_totalprice*100, 0) AS BIGINT) +
+             |      CASE WHEN strftime(o_orderdate, '%Y-%m') >= '1997-01'
+             |        THEN 100 ELSE 0 END AS cents
+             |  FROM orders)
+             |SELECT omonth, count(*) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+             |  count(*) FILTER (WHERE cents BETWEEN 15000000 AND 18000000)
+             |    AS n_hot,
+             |  CAST(coalesce(sum(cents) FILTER (WHERE cents BETWEEN
+             |    15000000 AND 18000000), 0) AS BIGINT) AS cents_hot
+             |FROM o GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Full-corpus replay oracle for the incremental LSH dedup cycles

@@ -98,6 +98,68 @@ class LakeTableSpec extends SparkTestBase {
       "lt_bare").filter($"v" >= 100L && $"v" <= 900L && $"id" === 200L)))
   }
 
+  test("write facade: multi-root atomic publish with spec-driven sidecars, replay short-circuit, zombie refusal") {
+    val dir = graft.core.Scratch.dir("laketab_commit")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("ltc_root__")).foreach(_.delete()))
+    val a = spark.range(8000).select($"id",
+      ($"id" / 1000L).cast("long").as("m"), ($"id" + 5L).as("v"))
+    val b = a.groupBy($"m").agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+
+    // init: two roots, one commit; specs passed once, pinned forever
+    val g1 = "00000001_a"
+    val rep1 = LakeTable.commitSnapshot(spark, dir, "ltc_root", g1,
+      Seq(LakeTable.RootPublish("ltc_a", "m", a),
+        LakeTable.RootPublish("ltc_b", "m", b.localCheckpoint(true))),
+      zoneSpecs = Map("ltc_a" -> "v"),
+      bloomSpecs = Map("ltc_a" -> (("id", 10000L, 100000L))))
+    assert(rep1("ltc_a").size == 8 && rep1("ltc_b").size == 8)
+    val skip1 = FileStats.readSkippingSnapshot(spark, dir, "ltc_root",
+      "ltc_a", "m", "v", Some(2100L), Some(2500L))
+    assert(skip1.count() ==
+      a.filter($"v" >= 2100L && $"v" <= 2500L).count())
+
+    // incremental cycle: month 2 rewritten with shifted v, NO specs —
+    // the manifest-pinned specs keep both sidecars maintained
+    val g2 = "00000002_b"
+    val delta = a.filter($"m" === 2L)
+      .select(($"id" + 100000L).as("id"), $"m",
+        ($"v" + 100000L).as("v")).localCheckpoint(true)
+    val deltaRoll = delta.groupBy($"m")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv")).localCheckpoint(true)
+    val rep2 = LakeTable.commitSnapshot(spark, dir, "ltc_root", g2,
+      Seq(LakeTable.RootPublish("ltc_a", "m", delta),
+        LakeTable.RootPublish("ltc_b", "m", deltaRoll)))
+    assert(rep2("ltc_a") == Set(2L) && rep2("ltc_b") == Set(2L))
+    // zone sidecar followed: the shifted range serves, the old is gone
+    assert(FileStats.readSkippingSnapshot(spark, dir, "ltc_root",
+      "ltc_a", "m", "v", Some(102100L), Some(102500L)).count() == 401L)
+    assert(FileStats.readSkippingSnapshot(spark, dir, "ltc_root",
+      "ltc_a", "m", "v", Some(2100L), Some(2500L)).isEmpty)
+    // bloom sidecar followed: replaced key gone, new key found
+    assert(FileStats.readBloomSkippingSnapshot(spark, dir, "ltc_root",
+      "ltc_a", "m", "id", 2042L).isEmpty)
+    assert(FileStats.readBloomSkippingSnapshot(spark, dir, "ltc_root",
+      "ltc_a", "m", "id", 102042L).count() == 1L)
+    // BOTH roots flipped in the one commit: rollup matches detail
+    val roll = Versioned.readSnapshotPartitions(spark, dir, "ltc_root",
+      "ltc_b", "m", Some(Seq(2L))).select($"n", $"sv").first
+    assert(roll.getLong(0) == 1000L &&
+      roll.getLong(1) == delta.agg(sum($"v")).first.getLong(0))
+
+    // exact replay short-circuits to an empty report, state unchanged
+    val rep2b = LakeTable.commitSnapshot(spark, dir, "ltc_root", g2,
+      Seq(LakeTable.RootPublish("ltc_a", "m", delta),
+        LakeTable.RootPublish("ltc_b", "m", deltaRoll)))
+    assert(rep2b.values.forall(_.isEmpty))
+    // a zombie publish is refused before any write
+    val ex = intercept[IllegalArgumentException] {
+      LakeTable.commitSnapshot(spark, dir, "ltc_root", g1,
+        Seq(LakeTable.RootPublish("ltc_a", "m", delta)))
+    }
+    assert(ex.getMessage.contains("stale"))
+  }
+
   test("snapshot lane: latest and as-of, skipped and bloomed, evolved schema, DV-through-history") {
     val dir = graft.core.Scratch.dir("laketab_snap")
     Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
