@@ -834,10 +834,35 @@ object FileStats {
     sidecarSpecKey(bloomPrefix(dataPrefix)) ->
       s"$keyCol:$itemsPerFile:$numBits"
 
+  /** Manifest entry declaring the MULTI-column zone sidecar's stat
+    * columns (comma-joined — column names in this engine's schemas
+    * never carry commas, and [[pinnedZoneMultiSpec]] fails loudly on
+    * an empty segment rather than silently re-deriving a narrower
+    * sidecar).
+    */
+  def zoneMultiSpecEntry(dataPrefix: String,
+                         statCols: Seq[String]): (String, String) = {
+    require(statCols.nonEmpty && statCols.forall(c =>
+        c.nonEmpty && !c.contains(',')),
+      s"multi-zone spec columns must be non-empty and comma-free: " +
+        statCols.mkString("[", ",", "]"))
+    sidecarSpecKey(sidecarMultiPrefix(dataPrefix)) -> statCols.mkString(",")
+  }
+
   /** The zone spec (stat column) pinned for `dataPrefix`, if any. */
   def pinnedZoneSpec(entries: Map[String, String],
                      dataPrefix: String): Option[String] =
     entries.get(sidecarSpecKey(sidecarPrefix(dataPrefix)))
+
+  /** The multi-zone spec (stat columns) pinned for `dataPrefix`. */
+  def pinnedZoneMultiSpec(entries: Map[String, String],
+                          dataPrefix: String): Option[Seq[String]] =
+    entries.get(sidecarSpecKey(sidecarMultiPrefix(dataPrefix))).map { s =>
+      val cols = s.split(',').toSeq
+      require(cols.nonEmpty && cols.forall(_.nonEmpty),
+        s"malformed multi-zone sidecar spec '$s' for '$dataPrefix'")
+      cols
+    }
 
   /** The bloom spec pinned for `dataPrefix`, if any. */
   def pinnedBloomSpec(entries: Map[String, String],

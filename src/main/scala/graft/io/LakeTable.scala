@@ -57,7 +57,8 @@ object LakeTable {
   /** The WRITE-side facade: publish every root's touched partitions as
     * generation `tag`, re-derive each root's sidecars (specs resolved
     * explicit-argument-first, then the [[FileStats.zoneSpecEntry]] /
-    * [[FileStats.bloomSpecEntry]] entries the manifest pins), and flip
+    * [[FileStats.bloomSpecEntry]] / [[FileStats.zoneMultiSpecEntry]]
+    * entries the manifest pins), and flip
     * ONE atomic manifest — the packaged form of the publish
     * composition every cycle otherwise hand-rolls, with the
     * stats-flip-with-data invariant unforgettable by construction.
@@ -85,6 +86,8 @@ object LakeTable {
                      roots: Seq[RootPublish],
                      zoneSpecs: Map[String, String] = Map.empty,
                      bloomSpecs: Map[String, (String, Long, Long)] =
+                       Map.empty,
+                     multiSpecs: Map[String, Seq[String]] =
                        Map.empty): Map[String, Set[Any]] = {
     require(roots.nonEmpty, "empty publish")
     val cur = Versioned.latestManifest(dir, manifestPrefix)
@@ -122,6 +125,15 @@ object LakeTable {
           entries = entries ++ bp.map(v => Versioned.snapshotPinKey(
               FileStats.bloomPrefix(r.prefix), v) -> tag) +
             FileStats.bloomSpecEntry(r.prefix, keyCol, items, bits)
+        }
+      multiSpecs.get(r.prefix)
+        .orElse(FileStats.pinnedZoneMultiSpec(entries0, r.prefix))
+        .foreach { statCols =>
+          val mp = FileStats.writeSnapshotSidecarMulti(spark, dir,
+            r.prefix, r.partCol, statCols, pins, present.toSeq, tag)
+          entries = entries ++ mp.map(v => Versioned.snapshotPinKey(
+              FileStats.sidecarMultiPrefix(r.prefix), v) -> tag) +
+            FileStats.zoneMultiSpecEntry(r.prefix, statCols)
         }
       r.prefix -> present
     }.toMap

@@ -743,13 +743,15 @@ object Versioned {
     * (root, partition) from the just-written generation and folds the
     * sidecar re-pins into the SAME atomic [[commitManifest]] flip
     * (the stats-flip-with-data invariant the sidecar lane documents).
-    * The sidecar kind and parameters are not recoverable from the
-    * manifest, so callers pass them: `zoneSidecars` maps a data
-    * prefix to its stat column, `bloomSidecars` to its
-    * (key column, itemsPerFile, numBits). Compacting a root whose
-    * sidecar IS pinned without passing its spec is REFUSED — silently
+    * The sidecar kind and parameters are resolved explicit-argument-
+    * first, then from the manifest's own spec entries: `zoneSidecars`
+    * maps a data prefix to its stat column, `bloomSidecars` to its
+    * (key column, itemsPerFile, numBits), `multiSidecars` to its
+    * multi-column stat list. Compacting a root whose
+    * sidecar IS pinned without a resolvable spec is REFUSED — silently
     * stranding pinned stats is exactly the latent crash this closes
-    * (SnapshotZoneSpec pins compact → GC → skipping read ≡ full scan).
+    * (SnapshotZoneSpec pins compact → GC → skipping read ≡ full scan
+    * for the single-column, bloom AND multi-column lanes).
     *
     * @param roots (prefix, partitionColumn) of every root this
     *              manifest manages that should be considered
@@ -763,6 +765,8 @@ object Versioned {
                             targetFiles: Int = 1,
                             zoneSidecars: Map[String, String] = Map.empty,
                             bloomSidecars: Map[String, (String, Long, Long)] =
+                              Map.empty,
+                            multiSidecars: Map[String, Seq[String]] =
                               Map.empty): Map[String, Set[String]] = {
     require(maxFiles >= targetFiles && targetFiles >= 1,
       s"need maxFiles >= targetFiles >= 1, got $maxFiles/$targetFiles")
@@ -786,6 +790,8 @@ object Versioned {
           .orElse(FileStats.pinnedZoneSpec(entries0, prefix))
         val bloomSpec = bloomSidecars.get(prefix)
           .orElse(FileStats.pinnedBloomSpec(entries0, prefix))
+        val multiSpec = multiSidecars.get(prefix)
+          .orElse(FileStats.pinnedZoneMultiSpec(entries0, prefix))
         require(!pinned(FileStats.sidecarPrefix(prefix)) ||
             zoneSpec.isDefined,
           s"compaction of '$prefix' refused: the manifest pins a " +
@@ -798,6 +804,13 @@ object Versioned {
             s"sidecar (${FileStats.bloomPrefix(prefix)}) but no spec " +
             "was passed or manifest-pinned — compacting would strand " +
             "filters naming superseded files (a crash after GC)")
+        require(!pinned(FileStats.sidecarMultiPrefix(prefix)) ||
+            multiSpec.isDefined,
+          s"compaction of '$prefix' refused: the manifest pins a " +
+            "multi-column zone sidecar " +
+            s"(${FileStats.sidecarMultiPrefix(prefix)}) but no spec " +
+            "was passed or manifest-pinned — compacting would strand " +
+            "stats naming superseded files (a crash after GC)")
         // checkpoint cuts lineage to the prior-gen leaves so the
         // present-set collect and the write don't re-list them twice
         val df = graft.ext.Exec.checkpointEager(
@@ -828,6 +841,13 @@ object Versioned {
               items, bits)
             entries = entries ++ bp.map(v =>
               snapshotPinKey(FileStats.bloomPrefix(prefix), v) -> tag)
+          }
+        multiSpec.filter(_ => pinned(FileStats.sidecarMultiPrefix(prefix)))
+          .foreach { statCols =>
+            val mp = FileStats.writeSnapshotSidecarMulti(spark, dir,
+              prefix, partCol, statCols, dataPins2, fat.keys.toSeq, tag)
+            entries = entries ++ mp.map(v =>
+              snapshotPinKey(FileStats.sidecarMultiPrefix(prefix), v) -> tag)
           }
       }
       prefix -> fat.keySet
@@ -936,13 +956,33 @@ object Versioned {
     * partitions' DV pins, and commit once — reads before, during and
     * after serve identical rows, and afterwards the anti-join cost is
     * gone. The superseded data and DV generations reclaim under
-    * [[gcSnapshotGenerations]] like any other. @return the purged
-    * partition values (empty = no pinned vectors).
+    * [[gcSnapshotGenerations]] like any other.
+    *
+    * MANIFEST-PINNED SIDECARS move with the rewritten data (the
+    * [[compactSnapshotLeaves]] invariant): after a purge the old
+    * sidecar rows name the superseded generation's files — and with
+    * the DV pins now dropped, a skipping read planned through the
+    * stale pins would serve PRE-PURGE rows, i.e. the purged deletes
+    * RESURRECT (then crash outright once [[gcSnapshotGenerations]]
+    * reclaims the superseded files). So every pinned sidecar of the
+    * touched partitions is re-derived from the just-written survivors
+    * and its re-pins ride the SAME commit; specs resolve explicit-
+    * argument-first, then the manifest's own spec entries, and a
+    * sidecar pinned with NO resolvable spec refuses the purge before
+    * any write (SnapshotDvSpec pins purge → GC → skipping ≡ full scan
+    * and the refusal).
+    *
+    * @return the purged partition values (empty = no pinned vectors).
     */
   def purgeSnapshotDeleteVectors(spark: SparkSession, dir: String,
                                  manifestPrefix: String,
                                  dataPrefix: String, partCol: String,
-                                 keyCol: String, tag: String): Seq[String] = {
+                                 keyCol: String, tag: String,
+                                 zoneSpec: Option[String] = None,
+                                 bloomSpec: Option[(String, Long, Long)] =
+                                   None,
+                                 multiSpec: Option[Seq[String]] =
+                                   None): Seq[String] = {
     import org.apache.spark.sql.functions.col
     val dvp = dvPrefix(dataPrefix)
     val (curTag, entries0) = latestManifest(dir, manifestPrefix).getOrElse(
@@ -953,6 +993,25 @@ object Versioned {
         s"'$curTag' for '$manifestPrefix'")
     val dvPins = snapshotPins(dir, manifestPrefix, dvp)
     if (dvPins.isEmpty) return Seq.empty
+    def pinnedSide(sidePrefix: String) =
+      entries0.keys.exists(_.startsWith(s"$sidePrefix/"))
+    val zSpec = zoneSpec
+      .orElse(FileStats.pinnedZoneSpec(entries0, dataPrefix))
+    val bSpec = bloomSpec
+      .orElse(FileStats.pinnedBloomSpec(entries0, dataPrefix))
+    val mSpec = multiSpec
+      .orElse(FileStats.pinnedZoneMultiSpec(entries0, dataPrefix))
+    def refuse(sidePrefix: String, what: String, spec: Option[Any]): Unit =
+      require(!pinnedSide(sidePrefix) || spec.isDefined,
+        s"purge of '$dataPrefix' refused: the manifest pins a $what " +
+          s"sidecar ($sidePrefix) but no spec was passed or " +
+          "manifest-pinned — purging would strand stats naming " +
+          "superseded files, resurrecting the purged deletes (a crash " +
+          "after GC)")
+    refuse(FileStats.sidecarPrefix(dataPrefix), "zone-map", zSpec)
+    refuse(FileStats.bloomPrefix(dataPrefix), "bloom", bSpec)
+    refuse(FileStats.sidecarMultiPrefix(dataPrefix), "multi-column zone",
+      mSpec)
     val dataPins = snapshotPins(dir, manifestPrefix, dataPrefix)
     val touched = dvPins.keys.toSeq.sorted
     val dv = readSnapshotAt(spark, dir, dvp, partCol, dvPins, None)
@@ -963,10 +1022,37 @@ object Versioned {
     val present = writeSnapshotPartitions(survivors, dir, dataPrefix,
       partCol, tag)
     // a partition whose every row was deleted leaves the DATA pins too
-    val entries = (entries0 --
+    var entries = (entries0 --
       touched.map(v => snapshotPinKey(dataPrefix, v)) --
       touched.map(v => snapshotPinKey(dvp, v))) ++
       present.map(v => snapshotPinKey(dataPrefix, v) -> tag)
+    // sidecars re-derived from the just-written survivors; an emptied
+    // partition yields no sidecar rows and its pin drops with the data
+    // pin. All re-pins join the same entries map — one commit flips
+    // data, dropped vectors and stats together.
+    val dataPins2 = dataPins -- touched ++ present.map(_.toString -> tag)
+    def repin(sidePrefix: String, newPins: Set[Any]): Unit =
+      entries = entries --
+        touched.map(v => snapshotPinKey(sidePrefix, v)) ++
+        newPins.map(v => snapshotPinKey(sidePrefix, v) -> tag)
+    zSpec.filter(_ => pinnedSide(FileStats.sidecarPrefix(dataPrefix)))
+      .foreach { statCol =>
+        repin(FileStats.sidecarPrefix(dataPrefix),
+          FileStats.writeSnapshotSidecar(spark, dir, dataPrefix, partCol,
+            statCol, dataPins2, touched, tag))
+      }
+    bSpec.filter(_ => pinnedSide(FileStats.bloomPrefix(dataPrefix)))
+      .foreach { case (kc, items, bits) =>
+        repin(FileStats.bloomPrefix(dataPrefix),
+          FileStats.writeSnapshotBloomSidecar(spark, dir, dataPrefix,
+            partCol, kc, dataPins2, touched, tag, items, bits))
+      }
+    mSpec.filter(_ => pinnedSide(FileStats.sidecarMultiPrefix(dataPrefix)))
+      .foreach { statCols =>
+        repin(FileStats.sidecarMultiPrefix(dataPrefix),
+          FileStats.writeSnapshotSidecarMulti(spark, dir, dataPrefix,
+            partCol, statCols, dataPins2, touched, tag))
+      }
     commitManifest(dir, manifestPrefix, tag, entries)
     touched
   }

@@ -77,7 +77,8 @@ object StreamLakeSink {
                   prefix: String, partCol: String, keyCol: String,
                   batch: DataFrame, batchId: Long,
                   zoneStat: Option[String] = None,
-                  bloomKey: Option[(String, Long, Long)] = None): Boolean = {
+                  bloomKey: Option[(String, Long, Long)] = None,
+                  zoneMultiCols: Option[Seq[String]] = None): Boolean = {
     val gen = batchTag(batchId)
     // monotone batch ids: a committed BATCH tag ≥ gen proves this
     // batch's manifest committed (it, or a successor that could only
@@ -108,43 +109,53 @@ object StreamLakeSink {
           .unionByName(batch))
     val present = Versioned.writeSnapshotPartitions(merged, dir, prefix,
       partCol, gen)
-    val pins = pins0 -- touched.map(_.toString) ++
-      present.map(_.toString -> gen)
-    var entries: Map[String, String] = pins.map {
-      case (v, g) => Versioned.snapshotPinKey(prefix, v) -> g }
+    // CARRY-FORWARD: start from the latest manifest's FULL entries and
+    // replace only this sink's stale keys for the touched partitions —
+    // on a SHARED manifest (maintenance commits, pinned delete batches
+    // from commitSnapshotDeleteVectors, other roots' pins, sidecars
+    // this sink does not manage) a rebuilt-from-scratch entry map
+    // would silently erase them at the next batch commit, and erased
+    // DV pins mean deleted rows RESURRECT. Same pattern as
+    // compactSnapshotLeaves / LakeTable.commitSnapshot.
+    val entries0 = Versioned.latestManifest(dir, manifestPrefix)
+      .map(_._2).getOrElse(Map.empty)
+    def replaceTouched(entries: Map[String, String], p: String,
+                       newPins: Set[Any]): Map[String, String] =
+      entries --
+        touched.map(v => Versioned.snapshotPinKey(p, v)) ++
+        newPins.map(v => Versioned.snapshotPinKey(p, v) -> gen)
+    var entries = replaceTouched(entries0, prefix, present)
     // sidecar rows re-derived from the just-written generation; their
     // re-pins ride the same commit (stats flip with data). Specs
     // resolve explicit-arg-first, then the spec the manifest pins
-    // (FileStats.zoneSpecEntry/bloomSpecEntry, committed with every
-    // epoch) — a RESTARTED stream that forgets its sidecar args picks
-    // them up from the manifest instead of silently stranding the
-    // sidecars.
-    val entries0 = Versioned.latestManifest(dir, manifestPrefix)
-      .map(_._2).getOrElse(Map.empty)
+    // (FileStats.zoneSpecEntry/bloomSpecEntry/zoneMultiSpecEntry,
+    // committed with every epoch) — a RESTARTED stream that forgets
+    // its sidecar args picks them up from the manifest instead of
+    // silently stranding the sidecars.
     val dataPins2 = pins0 ++ present.map(_.toString -> gen)
     zoneStat.orElse(FileStats.pinnedZoneSpec(entries0, prefix))
       .foreach { statCol =>
-        val prior = Versioned.snapshotPins(dir, manifestPrefix,
-          FileStats.sidecarPrefix(prefix))
         val zp = FileStats.writeSnapshotSidecar(spark, dir, prefix,
           partCol, statCol, dataPins2, touched, gen)
-        entries = entries ++
-          (prior -- touched.map(_.toString) ++ zp.map(_.toString -> gen))
-            .map { case (v, g) =>
-              Versioned.snapshotPinKey(FileStats.sidecarPrefix(prefix), v) -> g } +
+        entries = replaceTouched(entries,
+          FileStats.sidecarPrefix(prefix), zp) +
           FileStats.zoneSpecEntry(prefix, statCol)
       }
     bloomKey.orElse(FileStats.pinnedBloomSpec(entries0, prefix))
       .foreach { case (bkCol, items, bits) =>
-        val prior = Versioned.snapshotPins(dir, manifestPrefix,
-          FileStats.bloomPrefix(prefix))
         val bp = FileStats.writeSnapshotBloomSidecar(spark, dir, prefix,
           partCol, bkCol, dataPins2, touched, gen, items, bits)
-        entries = entries ++
-          (prior -- touched.map(_.toString) ++ bp.map(_.toString -> gen))
-            .map { case (v, g) =>
-              Versioned.snapshotPinKey(FileStats.bloomPrefix(prefix), v) -> g } +
+        entries = replaceTouched(entries,
+          FileStats.bloomPrefix(prefix), bp) +
           FileStats.bloomSpecEntry(prefix, bkCol, items, bits)
+      }
+    zoneMultiCols.orElse(FileStats.pinnedZoneMultiSpec(entries0, prefix))
+      .foreach { statCols =>
+        val mp = FileStats.writeSnapshotSidecarMulti(spark, dir, prefix,
+          partCol, statCols, dataPins2, touched, gen)
+        entries = replaceTouched(entries,
+          FileStats.sidecarMultiPrefix(prefix), mp) +
+          FileStats.zoneMultiSpecEntry(prefix, statCols)
       }
     Versioned.commitManifest(dir, manifestPrefix, gen, entries)
     true
@@ -156,12 +167,14 @@ object StreamLakeSink {
   def run(stream: DataFrame, dir: String, manifestPrefix: String,
           prefix: String, partCol: String, keyCol: String,
           zoneStat: Option[String] = None,
-          bloomKey: Option[(String, Long, Long)] = None): StreamingQuery =
+          bloomKey: Option[(String, Long, Long)] = None,
+          zoneMultiCols: Option[Seq[String]] = None): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitBatch(batch.sparkSession, dir, manifestPrefix, prefix,
-          partCol, keyCol, batch, batchId, zoneStat, bloomKey): Unit
+          partCol, keyCol, batch, batchId, zoneStat, bloomKey,
+          zoneMultiCols): Unit
       }
       .start()
 }

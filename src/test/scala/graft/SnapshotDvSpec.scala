@@ -121,4 +121,114 @@ class SnapshotDvSpec extends SparkTestBase {
     assert(served(None) == expect(p7 || p11))
     assert(facade(None) == expect(p7 || p11))
   }
+
+  test("purge re-derives every pinned sidecar in the same commit: refusal without a spec, purge → GC → skipping ≡ survivors") {
+    import graft.io.FileStats
+    val dir = graft.core.Scratch.dir("snap_dv_side")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("sds_root__")).foreach(_.delete()))
+    val zmap = FileStats.sidecarPrefix("sds_data")
+    val bmap = FileStats.bloomPrefix("sds_data")
+    val zmapm = FileStats.sidecarMultiPrefix("sds_data")
+    val df = mk(8000)
+    val g1 = "00000001_a"
+    val dP = Versioned.writeSnapshotFull(df, dir, "sds_data", "m", g1)
+    val dPins = dP.map(_.toString -> g1).toMap
+    val zP = FileStats.writeSnapshotSidecar(spark, dir, "sds_data", "m",
+      "v", dPins, dP.toSeq, g1)
+    val bP = FileStats.writeSnapshotBloomSidecar(spark, dir, "sds_data",
+      "m", "id", dPins, dP.toSeq, g1, itemsPerFile = 10000L,
+      numBits = 100000L)
+    val mP = FileStats.writeSnapshotSidecarMulti(spark, dir, "sds_data",
+      "m", Seq("v", "id"), dPins, dP.toSeq, g1)
+    def pinKeys(p: String, vs: Set[Any]) =
+      vs.map(v => Versioned.snapshotPinKey(p, v) -> g1).toMap
+    // the zone and multi SPECS ride the manifest; the bloom spec does
+    // NOT — the purge must resolve the former and refuse on the latter
+    Versioned.commitManifest(dir, "sds_root", g1,
+      pinKeys("sds_data", dP) ++ pinKeys(zmap, zP) ++
+        pinKeys(bmap, bP) ++ pinKeys(zmapm, mP) +
+        FileStats.zoneSpecEntry("sds_data", "v") +
+        FileStats.zoneMultiSpecEntry("sds_data", Seq("v", "id")))
+
+    val dead = $"id" % 7 === 0 && ($"m" === 1L || $"m" === 4L)
+    val g2 = "00000002_b"
+    Versioned.commitSnapshotDeleteVectors(spark, dir, "sds_root",
+      "sds_data", "m", "id",
+      df.filter(dead).select($"m", $"id").localCheckpoint(true), g2)
+
+    // bloom sidecar pinned, spec neither passed nor manifest-pinned:
+    // the purge refuses BEFORE any write
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.purgeSnapshotDeleteVectors(spark, dir, "sds_root",
+        "sds_data", "m", "id", "00000003_c")
+    }
+    assert(ex.getMessage.contains("strand"),
+      s"expected the stranded-sidecar refusal, got: ${ex.getMessage}")
+    assert(Versioned.snapshotPins(dir, "sds_root",
+      Versioned.dvPrefix("sds_data")).nonEmpty,
+      "a refused purge dropped the DV pins")
+
+    // with the bloom spec passed (zone + multi resolve from the
+    // manifest) the purge re-pins all three sidecars for the touched
+    // months in the SAME commit
+    val g3 = "00000003_c"
+    val purged = Versioned.purgeSnapshotDeleteVectors(spark, dir,
+      "sds_root", "sds_data", "m", "id", g3,
+      bloomSpec = Some(("id", 10000L, 100000L)))
+    assert(purged.toSet == Set("1", "4"))
+    Seq(zmap, bmap, zmapm).foreach { p =>
+      val pins = Versioned.snapshotPins(dir, "sds_root", p)
+      assert(pins("1") == g3 && pins("4") == g3,
+        s"purge did not re-pin sidecar $p for the touched months")
+      assert(pins("0") == g1, s"purge re-pinned an untouched month of $p")
+    }
+
+    // GC reclaims the superseded generations of data AND sidecars;
+    // before the fix every skipping path below either served PRE-PURGE
+    // rows (resurrected deletes) or crashed on the reclaimed files
+    Versioned.gcThroughManifest(dir, "sds_root", keepLast = 1)
+    Seq("sds_data", Versioned.dvPrefix("sds_data"), zmap, bmap, zmapm)
+      .foreach(p => Versioned.gcSnapshotGenerations(dir, "sds_root", p, 1))
+
+    val want = df.filter(!dead)
+    // zone range covering deleted rows: they must stay deleted
+    val skipRange = FileStats.readSkippingSnapshot(spark, dir,
+      "sds_root", "sds_data", "m", "v", Some(3000L), Some(13000L))
+    assert(skipRange.select($"id", $"m", $"v").orderBy($"id")
+      .collect().toSeq ==
+      want.filter($"v" >= 3000L && $"v" <= 13000L)
+        .select($"id", $"m", $"v").orderBy($"id").collect().toSeq,
+      "post-purge+GC zone skipping diverged from the survivors")
+    // bloom point lookups: a purged key stays gone, a live key serves
+    val deadKey = 7 * 150L // id=1050, m=1, deleted
+    assert(FileStats.readBloomSkippingSnapshot(spark, dir, "sds_root",
+      "sds_data", "m", "id", deadKey).isEmpty,
+      "a purged key resurrected through the bloom path")
+    assert(FileStats.readBloomSkippingSnapshot(spark, dir, "sds_root",
+        "sds_data", "m", "id", 1051L)
+      .select($"id").collect().map(_.getLong(0)).toSeq == Seq(1051L))
+    // conjunctive multi skipping over the purged months
+    val skipMulti = FileStats.readSkippingMultiSnapshot(spark, dir,
+      "sds_root", "sds_data", "m",
+      Seq(("v", Some(3000L), Some(13000L)), ("id", Some(1000L), Some(4300L))))
+    assert(skipMulti.select($"id", $"m", $"v").orderBy($"id")
+      .collect().toSeq ==
+      want.filter($"v" >= 3000L && $"v" <= 13000L &&
+          $"id" >= 1000L && $"id" <= 4300L)
+        .select($"id", $"m", $"v").orderBy($"id").collect().toSeq,
+      "post-purge+GC multi skipping diverged from the survivors")
+    // metadata-only aggregate is exact for the survivors
+    val stats = FileStats.statsOnlyAggSnapshot(spark, dir, "sds_root",
+        "sds_data")
+      .withColumn("part", $"part".cast("string"))
+      .orderBy($"part").collect().toSeq
+    val wantStats = want.groupBy($"m".cast("string").as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count($"v")).as("n_nulls"),
+        min($"v").as("min_v"), max($"v").as("max_v"))
+      .orderBy($"part").collect().toSeq
+    assert(stats == wantStats,
+      "post-purge metadata-only aggregate diverged from the survivors")
+  }
 }

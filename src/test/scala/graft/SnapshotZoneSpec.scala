@@ -305,4 +305,116 @@ class SnapshotZoneSpec extends SparkTestBase {
       ranges = box)) == cand2.size.toLong,
       "the facade did not plan through the pinned multi sidecar")
   }
+
+  test("multi-column sidecar survives compaction: spec-less refusal, re-pin in one commit, compact → GC → readTable(ranges) ≡ full scan") {
+    val dir = graft.core.Scratch.dir("szone_mcmp")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("szq_root__")).foreach(_.delete()))
+    val zmapm = FileStats.sidecarMultiPrefix("szq_data")
+    val g1 = "00000001_a"
+    // fat leaves so compaction has work; a 2-D value space so the
+    // multi sidecar is the one doing the pruning
+    val df = mk(0, 8000).withColumn("w", $"id" % 97L)
+    val coalKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prior = spark.conf.get(coalKey)
+    spark.conf.set(coalKey, "false")
+    val dP = try Versioned.writeSnapshotFull(df, dir, "szq_data", "m",
+      g1, filesPerPartition = 8)
+    finally spark.conf.set(coalKey, prior)
+    val dPins = dP.map(_.toString -> g1).toMap
+    val mP = FileStats.writeSnapshotSidecarMulti(spark, dir, "szq_data",
+      "m", Seq("v", "w"), dPins, dP.toSeq, g1)
+    // FIRST commit pins the multi sidecar WITHOUT its spec entry: the
+    // exact round-14 shape whose compaction silently stranded it
+    Versioned.commitManifest(dir, "szq_root", g1,
+      pinKeys("szq_data", dP, g1) ++ pinKeys(zmapm, mP, g1))
+    val box = Seq(("v", Some(2500L: Any), Some(4200L: Any)),
+      ("w", Some(10L: Any), Some(60L: Any)))
+    val want = Versioned.readSnapshotPartitions(spark, dir, "szq_root",
+        "szq_data", "m", None)
+      .filter($"v" >= 2500L && $"v" <= 4200L &&
+        $"w" >= 10L && $"w" <= 60L)
+      .orderBy($"id").collect().toSeq
+
+    // spec-less compact is REFUSED (before the fix it proceeded and
+    // stranded the multi pins at g1 — a crash after GC)
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.compactSnapshotLeaves(spark, dir, "szq_root",
+        Seq("szq_data" -> "m"), "00000002_b", maxFiles = 2)
+    }
+    assert(ex.getMessage.contains("multi-column"),
+      s"expected the multi-sidecar refusal, got: ${ex.getMessage}")
+    assert(Versioned.snapshotPins(dir, "szq_root", "szq_data")
+      .values.toSet == Set(g1), "a refused compaction moved pins")
+
+    // with the spec (explicit arg), compaction re-derives + re-pins
+    // the multi sidecar in the SAME commit, and pins the spec entry is
+    // NOT this call's job — pass it next time via the manifest instead
+    val g2 = "00000002_b"
+    val report = Versioned.compactSnapshotLeaves(spark, dir, "szq_root",
+      Seq("szq_data" -> "m"), g2, maxFiles = 2,
+      multiSidecars = Map("szq_data" -> Seq("v", "w")))
+    assert(report("szq_data").nonEmpty)
+    val mPins = Versioned.snapshotPins(dir, "szq_root", zmapm)
+    report("szq_data").foreach { v =>
+      assert(mPins(v) == g2, s"multi sidecar pin for $v not re-pinned")
+    }
+
+    Versioned.gcThroughManifest(dir, "szq_root", keepLast = 1)
+    Versioned.gcSnapshotGenerations(dir, "szq_root", "szq_data", 1)
+    Versioned.gcSnapshotGenerations(dir, "szq_root", zmapm, 1)
+
+    // the facade's multi-skipped read (readTable PREFERS the pinned
+    // multi sidecar) keeps serving after GC — the round-14 crash path
+    val got = graft.io.LakeTable.readTable(spark, dir, "szq_data", "m",
+      manifestPrefix = Some("szq_root"), ranges = box)
+    assert(got.orderBy($"id").collect().toSeq == want,
+      "post-compaction+GC facade multi read diverged from the full scan")
+    val cand = FileStats.candidateFilesMultiAt(spark, dir, "szq_data",
+      Versioned.snapshotPins(dir, "szq_root", zmapm), box)
+    assert(cand.nonEmpty && cand.forall(_.contains(s"__gen=$g2")),
+      "a multi candidate still points into the reclaimed generation")
+
+    // manifest-pinned spec path: commit the spec entry, compact again
+    // (everything is thin now — force fat by a fresh fat publish)
+    val g3 = "00000003_c"
+    val delta = mk(2000, 3000, shift = 500000L)
+      .withColumn("w", $"id" % 97L).localCheckpoint(true)
+    val dP3 = try {
+      spark.conf.set(coalKey, "false")
+      Versioned.writeSnapshotPartitions(delta, dir, "szq_data", "m", g3,
+        filesPerPartition = 8)
+    } finally spark.conf.set(coalKey, prior)
+    val dPins3 = Versioned.snapshotPins(dir, "szq_root", "szq_data") ++
+      dP3.map(_.toString -> g3)
+    val mP3 = FileStats.writeSnapshotSidecarMulti(spark, dir, "szq_data",
+      "m", Seq("v", "w"), dPins3, dP3.toSeq, g3)
+    Versioned.commitManifest(dir, "szq_root", g3,
+      Versioned.latestManifest(dir, "szq_root").map(_._2).get ++
+        dP3.map(v => Versioned.snapshotPinKey("szq_data", v) -> g3) ++
+        mP3.map(v => Versioned.snapshotPinKey(zmapm, v) -> g3) +
+        FileStats.zoneMultiSpecEntry("szq_data", Seq("v", "w")))
+    // NO arguments: the spec resolves from the manifest
+    val g4 = "00000004_d"
+    val report2 = Versioned.compactSnapshotLeaves(spark, dir, "szq_root",
+      Seq("szq_data" -> "m"), g4, maxFiles = 2)
+    assert(report2("szq_data") == Set("2"),
+      s"expected only the fresh fat month to compact, got ${report2("szq_data")}")
+    assert(Versioned.snapshotPins(dir, "szq_root", zmapm)("2") == g4,
+      "spec-derived compaction did not re-pin the multi sidecar")
+    Versioned.gcThroughManifest(dir, "szq_root", keepLast = 1)
+    Versioned.gcSnapshotGenerations(dir, "szq_root", "szq_data", 1)
+    Versioned.gcSnapshotGenerations(dir, "szq_root", zmapm, 1)
+    val want2 = Versioned.readSnapshotPartitions(spark, dir, "szq_root",
+        "szq_data", "m", None)
+      .filter($"v" >= 501000L && $"v" <= 502500L && $"w" >= 0L)
+      .orderBy($"id").collect().toSeq
+    assert(want2.nonEmpty)
+    assert(graft.io.LakeTable.readTable(spark, dir, "szq_data", "m",
+        manifestPrefix = Some("szq_root"),
+        ranges = Seq(("v", Some(501000L), Some(502500L)),
+          ("w", Some(0L), None)))
+      .orderBy($"id").collect().toSeq == want2,
+      "spec-derived multi compaction + GC broke the facade read")
+  }
 }

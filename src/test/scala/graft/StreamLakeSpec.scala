@@ -198,4 +198,66 @@ class StreamLakeSpec extends SparkTestBase {
       .select($"k", $"m", $"v").as[(Long, Long, Long)].collect().toSet ==
       Set((7L, 2L, 70L)), "a spec-less restart stranded the bloom sidecar")
   }
+
+  test("a batch commit carries the WHOLE shared manifest forward: other roots' pins, pinned delete batches, multi sidecars") {
+    import graft.io.FileStats
+    val dir = graft.core.Scratch.dir("stream_lake_share")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("slh_root__")).foreach(_.delete()))
+
+    // batch 0 establishes the sink's root on the manifest, WITH a
+    // multi-column sidecar (spec pins with the epoch)
+    val batch0 = Seq((1L, 0L, 10L, 100L), (2L, 0L, 20L, 200L),
+      (3L, 1L, 30L, 300L)).toDF("k", "m", "v", "w")
+    assert(StreamLakeSink.commitBatch(spark, dir, "slh_root", "slh_data",
+      "m", "k", batch0, 0L, zoneMultiCols = Some(Seq("v", "w"))))
+    val boxRead = () => FileStats.readSkippingMultiSnapshot(spark, dir,
+        "slh_root", "slh_data", "m",
+        Seq(("v", Some(15L), Some(35L)), ("w", Some(150L), Some(250L))))
+      .select($"k", $"m", $"v", $"w")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(boxRead() == Set((2L, 0L, 20L, 200L)))
+
+    // a SECOND root and a PINNED DELETE BATCH land on the same
+    // manifest between epochs (maintenance tags sort between batch 0
+    // and batch 1)
+    val otherTag = StreamLakeSink.batchTag(0L).stripSuffix("_strm") + "_zother"
+    val oP = Versioned.writeSnapshotFull(
+      Seq((100L, 0L), (200L, 1L)).toDF("x", "m"), dir, "slh_other", "m",
+      otherTag)
+    Versioned.commitManifest(dir, "slh_root", otherTag,
+      Versioned.latestManifest(dir, "slh_root").get._2 ++
+        oP.map(v => Versioned.snapshotPinKey("slh_other", v) -> otherTag))
+    val dvTag = StreamLakeSink.batchTag(0L).stripSuffix("_strm") + "_zzdel"
+    Versioned.commitSnapshotDeleteVectors(spark, dir, "slh_root",
+      "slh_data", "m", "k", Seq((0L, 1L)).toDF("m", "k"), dvTag)
+    def servedMinusDeleted() =
+      Versioned.readSnapshotMergeOnRead(spark, dir, "slh_root",
+          "slh_data", "m", "k")
+        .select($"k", $"m", $"v", $"w")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(servedMinusDeleted() ==
+      Set((2L, 0L, 20L, 200L), (3L, 1L, 30L, 300L)))
+
+    // batch 1 touches month 1 only: before the carry-forward fix this
+    // commit REBUILT the entry map from the sink's own keys — erasing
+    // slh_other's pins and the DV pins (deleted k=1 resurrected)
+    val batch1 = Seq((4L, 1L, 40L, 400L)).toDF("k", "m", "v", "w")
+    assert(StreamLakeSink.commitBatch(spark, dir, "slh_root", "slh_data",
+      "m", "k", batch1, 1L))
+    assert(Versioned.snapshotPins(dir, "slh_root", "slh_other")
+      .values.toSet == Set(otherTag),
+      "a batch commit dropped another root's pins from the shared manifest")
+    assert(servedMinusDeleted() ==
+      Set((2L, 0L, 20L, 200L), (3L, 1L, 30L, 300L), (4L, 1L, 40L, 400L)),
+      "a batch commit dropped the pinned delete batch — deleted rows resurrected")
+    // the multi sidecar stayed maintained through the spec-less epoch
+    // (restart amnesia) and the untouched month kept its pins
+    assert(boxRead() == Set((2L, 0L, 20L, 200L)))
+    assert(FileStats.readSkippingMultiSnapshot(spark, dir, "slh_root",
+        "slh_data", "m",
+        Seq(("v", Some(35L), Some(45L)), ("w", Some(350L), Some(450L))))
+      .select($"k").as[Long].collect().toSet == Set(4L),
+      "the multi sidecar went stale through a streamed epoch")
+  }
 }
