@@ -508,6 +508,13 @@ object FileStats {
                             keyCol: String, values: Seq[Any],
                             parts: Option[Seq[Any]] = None): DataFrame = {
     requireNoDeleteVectors(dir, dataPrefix, "readBloomSkippingKeys")
+    readBloomSkippingKeys0(spark, dir, dataPrefix, keyCol, values, parts)
+  }
+
+  private def readBloomSkippingKeys0(spark: SparkSession, dir: String,
+                                     dataPrefix: String, keyCol: String,
+                                     values: Seq[Any],
+                                     parts: Option[Seq[Any]]): DataFrame = {
     val root = Versioned.partitionedRoot(dir, dataPrefix)
     val files = bloomCandidateFilesForKeys(spark, dir, dataPrefix,
       values, parts)
@@ -516,6 +523,25 @@ object FileStats {
     else
       spark.read.option("basePath", root).parquet(files: _*)
         .filter(col(keyCol).isin(values: _*))
+  }
+
+  /** [[readBloomSkippingKeys]] composed with the merge-on-read deletion
+    * lane — the batched twin of [[readBloomSkippingMergeOnRead]]: one
+    * sidecar pass plans the whole key batch, the exact `isin` residual
+    * applies, and the DV anti-join keeps erased keys erased. On a
+    * clean root it degrades to the plain batched read.
+    */
+  def readBloomSkippingKeysMergeOnRead(spark: SparkSession, dir: String,
+                                       dataPrefix: String, partCol: String,
+                                       keyCol: String, values: Seq[Any],
+                                       dvKeyCol: String,
+                                       parts: Option[Seq[Any]] = None): DataFrame = {
+    val data = readBloomSkippingKeys0(spark, dir, dataPrefix, keyCol,
+      values, parts)
+    if (!Versioned.dvHasData(dir, dataPrefix)) data
+    else data.join(
+      Versioned.readPartitioned(spark, dir, Versioned.dvPrefix(dataPrefix)),
+      Seq(partCol, dvKeyCol), "left_anti")
   }
 
   /** [[readBloomSkipping]] composed with the merge-on-read deletion
@@ -689,11 +715,21 @@ object FileStats {
     * consulted are the ones the NEWEST manifest pins, so the
     * metadata-only answer is exact for precisely the snapshot a pinned
     * data read would serve — including mid-crash (uncommitted stats
-    * generations are invisible).
+    * generations are invisible). Refuses when the manifest pins
+    * OUTSTANDING delete vectors, for the same reason [[statsOnlyAgg]]
+    * refuses the in-place DV lane: sidecar stats count soft-deleted
+    * rows a merge-on-read read excludes, so "exact" only holds after
+    * [[Versioned.purgeSnapshotDeleteVectors]].
     */
   def statsOnlyAggSnapshot(spark: SparkSession, dir: String,
                            manifestPrefix: String,
-                           dataPrefix: String): DataFrame =
+                           dataPrefix: String): DataFrame = {
+    require(!Versioned.dvHasData(dir, dataPrefix) &&
+        Versioned.snapshotPins(dir, manifestPrefix,
+          Versioned.dvPrefix(dataPrefix)).isEmpty,
+      s"statsOnlyAggSnapshot on '$dataPrefix' refused: the root has " +
+        "outstanding delete vectors (in-place or manifest-pinned) and " +
+        "sidecar stats count soft-deleted rows — purge first")
     Versioned.readSnapshotPartitions(spark, dir, manifestPrefix,
         sidecarPrefix(dataPrefix), "part", None)
       .groupBy(col("part"))
@@ -701,6 +737,7 @@ object FileStats {
         sum(col("n_nulls")).as("n_nulls"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
+  }
 
   // ---- manifest-pinned MULTI-COLUMN zone maps (snapshot lane) ----------
   // The per-column stats shape (q411's zmapm) lifted onto the snapshot
@@ -943,6 +980,30 @@ object FileStats {
         bloomPins, parts.map(_.map(_.toString)))
       .filter(call_function("graft_bloom_might_contain",
         col("bloom"), lit(bloomHash(value))))
+      .select(col("file"))
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** [[bloomCandidateFilesForKeys]] against an EXPLICIT bloom-sidecar
+    * pin map — the batched probe on the snapshot lane (one sidecar
+    * pass for the whole key batch; same cap, same names-only driver
+    * contract).
+    */
+  def bloomCandidateFilesForKeysAt(spark: SparkSession, dir: String,
+                                   dataPrefix: String,
+                                   bloomPins: Map[String, String],
+                                   values: Seq[Any],
+                                   parts: Option[Seq[Any]] = None): Seq[String] = {
+    require(values.nonEmpty, "empty key batch")
+    require(values.size <= MaxBatchedLookupKeys,
+      s"${values.size} keys exceed the batched-lookup cap " +
+        s"($MaxBatchedLookupKeys): that is a broadcast-join workload, " +
+        "not a planning probe")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Versioned.readSnapshotAt(spark, dir, bloomPrefix(dataPrefix), "part",
+        bloomPins, parts.map(_.map(_.toString)))
+      .filter(call_function("graft_bloom_might_contain_any",
+        col("bloom"), lit(values.map(bloomHash).toArray)))
       .select(col("file"))
       .collect().map(_.getString(0)).toSeq.sorted
   }

@@ -91,12 +91,27 @@ object LakeTable {
                        Map.empty): Map[String, Set[Any]] = {
     require(roots.nonEmpty, "empty publish")
     val cur = Versioned.latestManifest(dir, manifestPrefix)
-    cur.foreach { case (curTag, _) =>
+    cur.foreach { case (curTag, entries) =>
       require(tag >= curTag,
         s"stale publish refused: tag '$tag' is older than published " +
           s"'$curTag' for '$manifestPrefix' — already committed, or a " +
           "zombie replay")
-      if (curTag == tag) return roots.map(_.prefix -> Set.empty[Any]).toMap
+      if (curTag == tag) {
+        // replay detection is TAG-level (one tag = one logical publish
+        // is the commitManifest tag-discipline contract); content
+        // equality is not re-derivable here without re-running the
+        // writes, so this check is WEAKER than commitManifest's
+        // same-entries refusal. What IS verifiable cheaply: the replay
+        // must name the same roots — two different cycles racing one
+        // tag fail loudly instead of the loser silently no-op'ing.
+        roots.foreach { r =>
+          require(entries.keys.exists(_.startsWith(s"${r.prefix}/")),
+            s"replay of tag '$tag' names root '${r.prefix}' that the " +
+              s"committed manifest does not pin — two different " +
+              "publishes raced one tag")
+        }
+        return roots.map(_.prefix -> Set.empty[Any]).toMap
+      }
     }
     val entries0 = cur.map(_._2).getOrElse(Map.empty)
     var entries = entries0
@@ -157,6 +172,13 @@ object LakeTable {
     *                       else applied as residuals only
     * @param point          equality probe (column, value) — skipped
     *                       through the bloom sidecar when present
+    * @param pointKeys      batched equality probe (column, values) —
+    *                       the "fetch these N rows by key" shape: ONE
+    *                       sidecar pass plans the whole batch (capped
+    *                       at [[FileStats.MaxBatchedLookupKeys]] — a
+    *                       bigger set is a broadcast-join workload);
+    *                       exact `isin` residual, and the DV lanes
+    *                       apply like every other read
     * @param mergeSchema    additive schema evolution across
     *                       generations (union schema, null-filled)
     */
@@ -169,10 +191,14 @@ object LakeTable {
                 parts: Option[Seq[Any]] = None,
                 ranges: Seq[(String, Option[Any], Option[Any])] = Nil,
                 point: Option[(String, Any)] = None,
+                pointKeys: Option[(String, Seq[Any])] = None,
                 mergeSchema: Boolean = false): DataFrame = {
     require(asOfTag.isEmpty || manifestPrefix.isDefined,
       "asOfTag requires manifestPrefix — time travel is a manifest-lane " +
         "feature (the in-place lane mutates and keeps no history)")
+    require(pointKeys.forall(_._2.nonEmpty),
+      "pointKeys with an empty key batch — an empty fetch is a caller " +
+        "bug, not an empty result")
     val snapshot = manifestPrefix.isDefined
 
     // resolve (prefix → pins) through the manifest, as-of or latest —
@@ -236,10 +262,23 @@ object LakeTable {
       else None
     }
 
-    val cand: Option[Seq[String]] = (zoneCand, bloomCand) match {
-      case (Some(z), Some(b)) => Some(z.intersect(b))
-      case (z, b) => z.orElse(b)
+    // batched key probe: one sidecar pass for the whole batch, where N
+    // single probes would cost N passes
+    val keysCand: Option[Seq[String]] = pointKeys.flatMap { case (_, vs) =>
+      if (snapshot) {
+        val bPins = pinsOf(FileStats.bloomPrefix(prefix))
+        if (bPins.isEmpty) None
+        else Some(FileStats.bloomCandidateFilesForKeysAt(spark, dir,
+          prefix, bPins, vs, parts))
+      } else if (inPlaceHas(FileStats.bloomPrefix(prefix)))
+        Some(FileStats.bloomCandidateFilesForKeys(spark, dir, prefix,
+          vs, parts))
+      else None
     }
+
+    val cand: Option[Seq[String]] =
+      Seq(zoneCand, bloomCand, keysCand).flatten
+        .reduceOption(_ intersect _)
 
     // ---- base read
     val dataPins = if (snapshot) pinsOf(prefix) else Map.empty[String, String]
@@ -255,9 +294,30 @@ object LakeTable {
       case Some(files) =>
         val root = if (snapshot) Versioned.snapshotRoot(dir, prefix)
                    else Versioned.partitionedRoot(dir, prefix)
-        val df = spark.read.option("mergeSchema", mergeSchema)
+        val df0 = spark.read.option("mergeSchema", mergeSchema)
           .option("basePath", root).parquet(files: _*)
-        if (snapshot) df.drop("__gen") else df
+        val df = if (snapshot) df0.drop("__gen") else df0
+        if (!mergeSchema) df
+        else {
+          // skipping never changes WHAT is returned — including the
+          // SCHEMA: a pruned candidate set may miss every file that
+          // carries an evolved column, so the union schema is derived
+          // from the UNPRUNED read and the pruned frame is aligned to
+          // it (missing columns null-filled). Costs the full footer
+          // walk at planning, only when mergeSchema is asked for.
+          val fullSchema =
+            (if (snapshot)
+              Versioned.readSnapshotAt(spark, dir, prefix, partCol,
+                dataPins, None, mergeSchema = true)
+            else
+              spark.read.option("mergeSchema", true).parquet(root)).schema
+          val have = df.columns.toSet
+          val aligned = fullSchema.fields.foldLeft(df) { (d, f) =>
+            if (have(f.name)) d
+            else d.withColumn(f.name, lit(null).cast(f.dataType))
+          }
+          aligned.select(fullSchema.fieldNames.map(col): _*)
+        }
       case None =>
         if (snapshot)
           Versioned.readSnapshotAt(spark, dir, prefix, partCol, dataPins,
@@ -283,7 +343,9 @@ object LakeTable {
     }.reduceOption(_ && _).getOrElse(lit(true))
     val pointResid = point.map { case (c, v) => col(c) === lit(v) }
       .getOrElse(lit(true))
-    val filtered = withParts.filter(rangeResid && pointResid)
+    val keysResid = pointKeys.map { case (c, vs) => col(c).isin(vs: _*) }
+      .getOrElse(lit(true))
+    val filtered = withParts.filter(rangeResid && pointResid && keysResid)
 
     // ---- deletion vectors, both postures; the DV key column is read
     // off the sidecar itself (its schema is exactly (partCol, key)), so
@@ -321,4 +383,22 @@ object LakeTable {
       }
     }
   }
+
+  /** Metadata-only aggregates through the facade — the last reader API
+    * folded under the audit: per-partition row count, null count and
+    * min/max of the zone sidecar's stat column, answered from the
+    * SIDECAR alone (zero data files listed, opened, or scheduled).
+    * Snapshot lane when `manifestPrefix` is set (the generations the
+    * newest manifest pins), in-place lane otherwise. Both lanes REFUSE
+    * roots with outstanding delete vectors — sidecar stats count
+    * soft-deleted rows, so the exact claim only holds on a clean root
+    * (purge first); refusal beats a silently-wrong count.
+    */
+  def statsTable(spark: SparkSession, dir: String, prefix: String,
+                 manifestPrefix: Option[String] = None): DataFrame =
+    manifestPrefix match {
+      case Some(mp) => FileStats.statsOnlyAggSnapshot(spark, dir, mp,
+        prefix)
+      case None => FileStats.statsOnlyAgg(spark, dir, prefix)
+    }
 }

@@ -2939,7 +2939,53 @@ object IoQueries extends QueryPack {
              |    AS n_hot,
              |  CAST(coalesce(sum(cents) FILTER (WHERE cents BETWEEN
              |    15000000 AND 18000000), 0) AS BIGINT) AS cents_hot
-             |FROM o GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM o GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // BATCHED FETCH × DELETION VECTORS through the READ FACADE: the
+    // "fetch these N rows by key" serving shape (q420) composed with
+    // scattered GDPR erasures — one bloom-sidecar pass plans the whole
+    // batch, the exact isin residual applies, and the facade's erasure
+    // anti-join keeps every erased key erased (before this landed, the
+    // batched path REFUSED DV roots and the facade took one key only,
+    // so this exact workload had to bypass both). The batch straddles
+    // live and erased keys; the oracle is keys-minus-deleted.
+    Q("q423_batched_fetch_dv",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q423_bfd")
+        val o = Tables.orders(s, d).select(
+          date_format($"o_orderdate", "yyyy-MM").as("omonth"),
+          $"o_orderkey",
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        Versioned.writePartitionedFull(o, dir, "bfd_ord", Seq("omonth"))
+        graft.io.FileStats.buildBloomSidecar(s, dir, "bfd_ord", "omonth",
+          "o_orderkey", itemsPerFile = 100000L, numBits = 800000L)
+        Versioned.appendDeleteVectors(s, dir, "bfd_ord", "omonth",
+          "o_orderkey",
+          o.filter($"o_orderkey" % 7 === 0 && $"omonth" >= "1997-01")
+            .select($"omonth", $"o_orderkey").localCheckpoint(true))
+        Versioned.appendDeleteVectors(s, dir, "bfd_ord", "omonth",
+          "o_orderkey",
+          o.filter($"o_orderkey" % 11 === 0)
+            .select($"omonth", $"o_orderkey").localCheckpoint(true))
+        // a key batch that provably straddles live and erased rows
+        val keys = o.orderBy($"o_orderkey").limit(40)
+          .select($"o_orderkey").collect().map(_.getLong(0)).toSeq
+        graft.io.LakeTable.readTable(s, dir, "bfd_ord", "omonth",
+            pointKeys = Some(("o_orderkey", keys)))
+          .select($"omonth", $"o_orderkey", $"cents")
+          .orderBy($"omonth", $"o_orderkey")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS omonth,
+             |  o_orderkey,
+             |  CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents
+             |FROM orders
+             |WHERE o_orderkey IN (SELECT o_orderkey FROM orders
+             |    ORDER BY o_orderkey LIMIT 40)
+             |  AND NOT (o_orderkey % 7 = 0
+             |    AND strftime(o_orderdate, '%Y-%m') >= '1997-01')
+             |  AND NOT (o_orderkey % 11 = 0)
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   /** Full-corpus replay oracle for the incremental LSH dedup cycles

@@ -152,12 +152,37 @@ class LakeTableSpec extends SparkTestBase {
       Seq(LakeTable.RootPublish("ltc_a", "m", delta),
         LakeTable.RootPublish("ltc_b", "m", deltaRoll)))
     assert(rep2b.values.forall(_.isEmpty))
+    // ...but a DIFFERENT publish racing the same tag fails loudly
+    // instead of silently no-op'ing (tag-level replay detection +
+    // root-set verification; content equality is commitManifest's job)
+    val exRace = intercept[IllegalArgumentException] {
+      LakeTable.commitSnapshot(spark, dir, "ltc_root", g2,
+        Seq(LakeTable.RootPublish("ltc_other", "m", delta)))
+    }
+    assert(exRace.getMessage.contains("raced"),
+      s"expected the racing-publish refusal, got: ${exRace.getMessage}")
     // a zombie publish is refused before any write
     val ex = intercept[IllegalArgumentException] {
       LakeTable.commitSnapshot(spark, dir, "ltc_root", g1,
         Seq(LakeTable.RootPublish("ltc_a", "m", delta)))
     }
     assert(ex.getMessage.contains("stale"))
+
+    // metadata-only aggregates through the facade: answered from the
+    // pinned sidecar alone, exact vs the data twin
+    val stats = LakeTable.statsTable(spark, dir, "ltc_a",
+        manifestPrefix = Some("ltc_root"))
+      .withColumn("part", $"part".cast("string"))
+      .orderBy($"part").collect().toSeq
+    val latest = Versioned.readSnapshotPartitions(spark, dir, "ltc_root",
+      "ltc_a", "m", None)
+    val wantStats = latest.groupBy($"m".cast("string").as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count($"v")).as("n_nulls"),
+        min($"v").as("min_v"), max($"v").as("max_v"))
+      .orderBy($"part").collect().toSeq
+    assert(stats == wantStats,
+      "facade stats aggregate diverged from the data twin")
   }
 
   test("snapshot lane: latest and as-of, skipped and bloomed, evolved schema, DV-through-history") {
@@ -244,6 +269,18 @@ class LakeTableSpec extends SparkTestBase {
     assert(ev.filter($"m" === 2L && $"flag".isNull).isEmpty &&
       ev.filter($"m" === 1L).count() ==
         ev.filter($"m" === 1L && $"flag".isNull).count())
+    // evolved × SKIPPED: a pruned read whose candidates all predate the
+    // evolution still exposes the union schema (null-filled) — skipping
+    // never changes what is returned, including the schema. [1100,1400]
+    // sits inside month 1, which only g1 (pre-flag) files serve.
+    val evSkip = facade(ranges = Seq(("v", Some(1100L), Some(1400L))),
+      mergeSchema = true)
+    assert(evSkip.columns.toSeq == ev.columns.toSeq,
+      s"skipping changed the evolved schema: ${evSkip.columns.toSeq} " +
+        s"vs ${ev.columns.toSeq}")
+    assert(evSkip.count() > 0 &&
+      evSkip.filter($"flag".isNotNull).isEmpty,
+      "pre-evolution candidates must null-fill the evolved column")
 
     // deletion vectors reach HISTORY: erasure applies as-of too
     Versioned.appendDeleteVectors(spark, dir, "lts_data", "m", "id",
@@ -263,6 +300,102 @@ class LakeTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       facade(asOf = Some(g1), ranges = Seq(("v", Some(0L), Some(10L))))
         .collect()
+    }
+  }
+
+  test("batched key fetch: one sidecar pass, DV composition on both lanes, intersects with ranges, refuses an empty batch") {
+    val dir = graft.core.Scratch.dir("laketab_keys")
+    val df = mkData(4000)
+    FileStats.writeZoneClustered(df, dir, "ltk_data", "part", "v",
+      tasks = 16)
+    FileStats.buildSidecar(spark, dir, "ltk_data", "part", "v")
+    FileStats.buildBloomSidecar(spark, dir, "ltk_data", "part", "id",
+      itemsPerFile = 10000L, numBits = 100000L)
+    val keys: Seq[Any] = Seq(3L, 77L, 1234L, 2500L, 3999L)
+    val full = Versioned.readPartitioned(spark, dir, "ltk_data")
+    def read(pointKeys: Option[(String, Seq[Any])],
+             ranges: Seq[(String, Option[Any], Option[Any])] = Nil) =
+      LakeTable.readTable(spark, dir, "ltk_data", "part",
+        pointKeys = pointKeys, ranges = ranges)
+
+    // clean root: the facade's batched fetch ≡ full scan + isin, and
+    // the scan schedules exactly the batched-probe candidates
+    assert(rows(read(Some(("id", keys)))) ==
+      rows(full.filter($"id".isin(keys: _*))))
+    val cand = FileStats.bloomCandidateFilesForKeys(spark, dir,
+      "ltk_data", keys)
+    assert(cand.nonEmpty && cand.size < 16)
+    assert(scanNumFiles(read(Some(("id", keys)))) == cand.size.toLong)
+    // a batch of all-absent keys → empty, right schema
+    val none = read(Some(("id", Seq(900001L, 900002L))))
+    assert(none.isEmpty && none.columns.contains("v"))
+    // batched keys intersect with a zone range (both prunings fire)
+    assert(rows(read(Some(("id", keys)),
+      ranges = Seq(("v", Some(3000L), Some(9000L))))) ==
+      rows(full.filter($"id".isin(keys: _*) &&
+        $"v" >= 3000L && $"v" <= 9000L)))
+    // empty batch = caller bug, refused loudly
+    intercept[IllegalArgumentException] {
+      read(Some(("id", Seq.empty[Any])))
+    }
+
+    // ERASURE lane: scattered deletes; the batched fetch returns
+    // exactly minus-deleted (1234 stays, 2500 is erased), both through
+    // the facade and the raw MergeOnRead composition
+    Versioned.appendDeleteVectors(spark, dir, "ltk_data", "part", "id",
+      df.filter($"id" % 5 === 0).select($"part", $"id")
+        .localCheckpoint(true))
+    val alive = full.join(
+      Versioned.readPartitioned(spark, dir, Versioned.dvPrefix("ltk_data")),
+      Seq("part", "id"), "left_anti")
+    assert(rows(read(Some(("id", keys)))) ==
+      rows(alive.filter($"id".isin(keys: _*))))
+    assert(read(Some(("id", Seq(2500L)))).isEmpty,
+      "the facade's batched fetch resurrected an erased key")
+    assert(rows(FileStats.readBloomSkippingKeysMergeOnRead(spark, dir,
+      "ltk_data", "part", "id", keys, "id")) ==
+      rows(alive.filter($"id".isin(keys: _*))))
+    // the BARE batched read still refuses a DV root (resurrection)
+    intercept[IllegalArgumentException] {
+      FileStats.readBloomSkippingKeys(spark, dir, "ltk_data", "part",
+        "id", keys)
+    }
+
+    // SNAPSHOT lane with manifest-pinned DVs: the batched fetch honors
+    // the transactional posture — as-of the pre-delete tag shows all
+    // batch keys, latest shows minus-deleted
+    val sroot = graft.core.Scratch.dir("laketab_keys_snap")
+    Option(new java.io.File(sroot).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("ltk_root__")).foreach(_.delete()))
+    val g1 = "00000001_a"
+    LakeTable.commitSnapshot(spark, sroot, "ltk_root", g1,
+      Seq(LakeTable.RootPublish("ltk_s", "part", df)),
+      bloomSpecs = Map("ltk_s" -> (("id", 10000L, 100000L))))
+    val g2 = "00000002_b"
+    Versioned.commitSnapshotDeleteVectors(spark, sroot, "ltk_root",
+      "ltk_s", "part", "id",
+      df.filter($"id" % 5 === 0).select($"part", $"id")
+        .localCheckpoint(true), g2)
+    def sread(asOf: Option[String]) =
+      LakeTable.readTable(spark, sroot, "ltk_s", "part",
+        manifestPrefix = Some("ltk_root"), asOfTag = asOf,
+        pointKeys = Some(("id", keys)))
+    assert(rows(sread(None)) ==
+      rows(df.filter($"id".isin(keys: _*) && $"id" % 5 =!= 0)))
+    assert(rows(sread(Some(g1))) ==
+      rows(df.filter($"id".isin(keys: _*))),
+      "as-of the pre-delete tag must show the whole batch")
+
+    // the metadata-only facade refuses BOTH dirty postures: pinned DVs
+    // on the snapshot lane, appended vectors on the in-place lane
+    val exSnap = intercept[IllegalArgumentException] {
+      LakeTable.statsTable(spark, sroot, "ltk_s",
+        manifestPrefix = Some("ltk_root"))
+    }
+    assert(exSnap.getMessage.contains("purge"),
+      s"expected the dirty-stats refusal, got: ${exSnap.getMessage}")
+    intercept[IllegalArgumentException] {
+      LakeTable.statsTable(spark, dir, "ltk_data")
     }
   }
 }
