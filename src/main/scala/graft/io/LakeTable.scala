@@ -156,6 +156,126 @@ object LakeTable {
     report
   }
 
+  /** Two-phase write facade for MULTI-STAGE cycles — the staging twin
+    * of [[commitSnapshot]]: each stage publishes its root's touched
+    * partitions as generation `tag` and later stages read the MIXED
+    * view (their own just-written pins for the partitions they touched,
+    * the committed pins for everything else) through [[SnapshotStage.
+    * read]], while manifest readers see nothing until the ONE deferred
+    * [[SnapshotStage.commit]] flips every staged root atomically. The
+    * chained topologies (stage N's input is stage N-1's output)
+    * otherwise hand-roll exactly this pin bookkeeping per root.
+    *
+    * Contracts inherited from the lane: a ZOMBIE tag refuses at
+    * construction; an exact replay is the CALLER's short-circuit
+    * ([[SnapshotStage.alreadyCommitted]]) — publishes refuse in that
+    * state; a crashed cycle's half-written generations are invisible
+    * (no commit happened) and the replay rewrites them idempotently;
+    * a `touched` partition the publish did not re-fill DROPS its pin
+    * (the retraction shape [[commitSnapshot]] cannot express). Pinned
+    * sidecars whose specs ride the manifest are re-derived per publish
+    * and their re-pins join the same deferred commit.
+    */
+  final class SnapshotStage private[io] (spark: SparkSession, dir: String,
+                                         manifestPrefix: String,
+                                         tag: String) {
+    private val cur = Versioned.latestManifest(dir, manifestPrefix)
+    cur.foreach { case (curTag, _) =>
+      require(tag >= curTag,
+        s"stale stage refused: tag '$tag' is older than published " +
+          s"'$curTag' for '$manifestPrefix' — already committed, or a " +
+          "zombie replay")
+    }
+
+    /** True when `tag` already committed — the caller's replay
+      * short-circuit; [[publish]]/[[commit]] refuse in that state.
+      */
+    val alreadyCommitted: Boolean = cur.exists(_._1 == tag)
+    private val entries0 = cur.map(_._2).getOrElse(Map.empty[String, String])
+    private var entries = entries0
+    private var committed = false
+
+    /** `prefix`'s pins in the MIXED view: staged publishes overlay the
+      * committed pins; before any publish this IS the committed view.
+      */
+    def pins(prefix: String): Map[String, String] =
+      entries.collect { case (k, g) if k.startsWith(s"$prefix/") =>
+        k.stripPrefix(s"$prefix/") -> g }
+
+    /** The spec pinned in the COMMITTED manifest for `prefix`'s bloom
+      * sidecar, if any — stages consult it to route reads through the
+      * sidecar (e.g. the retraction probe).
+      */
+    def pinnedBloomSpec(prefix: String): Option[(String, Long, Long)] =
+      FileStats.pinnedBloomSpec(entries0, prefix)
+
+    /** Read `prefix` at the mixed view, optionally restricted. */
+    def read(prefix: String, partCol: String,
+             touched: Option[Seq[Any]] = None): DataFrame =
+      Versioned.readSnapshotAt(spark, dir, prefix, partCol, pins(prefix),
+        touched)
+
+    /** Stage one root: write `df`'s partitions as generation `tag`,
+      * drop the `touched` partitions' pins the write did not re-fill,
+      * overlay the present set, and re-derive any spec-pinned sidecars
+      * for the touched partitions. Nothing is visible to manifest
+      * readers until [[commit]]. @return the present partition values.
+      */
+    def publish(prefix: String, partCol: String,
+                df: DataFrame, touched: Seq[Any] = Nil,
+                filesPerPartition: Int = 1): Set[Any] = {
+      require(!committed, s"stage '$tag' already committed")
+      require(!alreadyCommitted,
+        s"publish into already-committed tag '$tag' — the caller must " +
+          "short-circuit the replay (alreadyCommitted)")
+      val present = Versioned.writeSnapshotPartitions(df, dir, prefix,
+        partCol, tag, filesPerPartition)
+      entries = entries --
+        touched.map(v => Versioned.snapshotPinKey(prefix, v)) ++
+        present.map(v => Versioned.snapshotPinKey(prefix, v) -> tag)
+      // spec-pinned sidecars move with the data they describe; their
+      // re-pins join the same deferred commit (stats flip with data)
+      val touchedAll = (touched ++ present).distinct
+      val dataPins2 = pins(prefix)
+      def repinSide(sidePrefix: String, newPins: Set[Any]): Unit =
+        entries = entries --
+          touchedAll.map(v => Versioned.snapshotPinKey(sidePrefix, v)) ++
+          newPins.map(v => Versioned.snapshotPinKey(sidePrefix, v) -> tag)
+      FileStats.pinnedZoneSpec(entries0, prefix).foreach { statCol =>
+        repinSide(FileStats.sidecarPrefix(prefix),
+          FileStats.writeSnapshotSidecar(spark, dir, prefix, partCol,
+            statCol, dataPins2, touchedAll, tag))
+      }
+      FileStats.pinnedBloomSpec(entries0, prefix).foreach {
+        case (keyCol, items, bits) =>
+          repinSide(FileStats.bloomPrefix(prefix),
+            FileStats.writeSnapshotBloomSidecar(spark, dir, prefix,
+              partCol, keyCol, dataPins2, touchedAll, tag, items, bits))
+      }
+      FileStats.pinnedZoneMultiSpec(entries0, prefix).foreach { statCols =>
+        repinSide(FileStats.sidecarMultiPrefix(prefix),
+          FileStats.writeSnapshotSidecarMulti(spark, dir, prefix,
+            partCol, statCols, dataPins2, touchedAll, tag))
+      }
+      present
+    }
+
+    /** The one commit point: every staged root's pins (and their
+      * sidecars') flip atomically.
+      */
+    def commit(): String = {
+      require(!committed && !alreadyCommitted,
+        s"stage '$tag' already committed")
+      committed = true
+      Versioned.commitManifest(dir, manifestPrefix, tag, entries)
+    }
+  }
+
+  /** Open a staged multi-root publish at `tag`. See [[SnapshotStage]]. */
+  def stage(spark: SparkSession, dir: String, manifestPrefix: String,
+            tag: String): SnapshotStage =
+    new SnapshotStage(spark, dir, manifestPrefix, tag)
+
   /** Read `prefix` with every applicable lane resolved. See class doc.
     *
     * @param manifestPrefix snapshot lane when set (pins resolve

@@ -978,6 +978,22 @@ object Incremental {
     * Replay contracts (fixed landing_date; trip_id-keyed replacement)
     * carry over from [[chainedTripsPartitionedCycle]] unchanged.
     *
+    * Ported onto [[graft.io.LakeTable.SnapshotStage]]: each stage
+    * publishes through the facade (which drops emptied months' pins
+    * and maintains any spec-pinned sidecars), later stages read the
+    * mixed view through `stage.read`, and `stage.commit()` is the one
+    * atomic flip — the hand-rolled per-root pin algebra is gone while
+    * SnapshotLaneSpec's crash-window pins hold unchanged.
+    *
+    * RETRACTION PROBE: when the manifest pins a `submission_id` bloom
+    * sidecar for the survey state (q424's fixture; maintained per
+    * publish by the stage), the resubmission prior-row lookup reads
+    * only the files whose filter may hold a delta id instead of every
+    * file of the touched months — the batched point-lookup path
+    * (one sidecar pass) applied to maintenance. Falls back to the
+    * full touched-month read when no sidecar is pinned or the delta's
+    * id batch exceeds the planning cap.
+    *
     * @param gen this cycle's generation == its manifest tag (strictly
     *            newer than the published manifest, or the commit fails)
     * @return (district, month, n_rows, sum_cents, n_matched, dur_sec)
@@ -1005,47 +1021,40 @@ object Incremental {
     if (Versioned.latestManifest(dir, manifestPrefix).exists(_._1 == gen))
       return exportOf(Versioned.readSnapshotPartitions(spark, dir,
         manifestPrefix, mergedPrefix, "lmonth", None).drop("lmonth"))
+    val stage = graft.io.LakeTable.stage(spark, dir, manifestPrefix, gen)
     val sDelta = Versioned.readLatest(spark, dir, surveyRawPrefix)
     val tDelta = Versioned.readLatest(spark, dir, tripsRawPrefix)
     val contrib = submissionContrib(
       surveyProcess(sDelta, lw, Seq("district", "month") ++ keys), keys)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pins = try {
+    try {
       val goneIds = sDelta.select(col("submission_id")).distinct()
       val sMonths = sDelta.select(col("month")).distinct()
         .collect().map(_.get(0)).toSeq
-      val sPins0 = Versioned.snapshotPins(dir, manifestPrefix,
-        surveyStatePrefix)
-      val tPins0 = Versioned.snapshotPins(dir, manifestPrefix,
-        tripsStatePrefix)
-      val mPins0 = Versioned.snapshotPins(dir, manifestPrefix,
-        mergedPrefix)
-      val sPriorTouched = Versioned.readSnapshotAt(spark, dir,
-        surveyStatePrefix, "month", sPins0, Some(sMonths))
+      val sPriorTouched = stage.read(surveyStatePrefix, "month",
+        Some(sMonths))
       val retractedKeys = checkpointEager(
-        sPriorTouched.join(goneIds, Seq("submission_id"), "left_semi")
+        retractionPriorRows(spark, dir, stage, surveyStatePrefix,
+            sMonths, goneIds, sPriorTouched)
+          .join(goneIds, Seq("submission_id"), "left_semi")
           .select(keyCols: _*).distinct())
       // new generations write into fresh (month, gen) leaves — the
       // checkpoints here only avoid recomputing each frame for its
       // present-set collect + write pair, not a self-overwrite guard
-      val sPresent = Versioned.writeSnapshotPartitions(
+      stage.publish(surveyStatePrefix, "month",
         checkpointEager(sPriorTouched
           .join(goneIds, Seq("submission_id"), "left_anti")
           .unionByName(contrib)),
-        dir, surveyStatePrefix, "month", gen)
-      val sPins = sPins0 -- sMonths.map(_.toString) ++
-        sPresent.map(v => v.toString -> gen)
+        touched = sMonths)
       val tMonths = tDelta.select(trunc(col("landing_date"), "month")
           .as("lmonth")).distinct().collect().map(_.get(0)).toSeq
-      val tPresent = Versioned.writeSnapshotPartitions(
-        checkpointEager(Versioned.readSnapshotAt(spark, dir,
-            tripsStatePrefix, "lmonth", tPins0, Some(tMonths))
+      stage.publish(tripsStatePrefix, "lmonth",
+        checkpointEager(stage.read(tripsStatePrefix, "lmonth",
+            Some(tMonths))
           .join(tDelta.select(col("trip_id")), Seq("trip_id"), "left_anti")
           .unionByName(tDelta.withColumn("lmonth",
             trunc(col("landing_date"), "month")))),
-        dir, tripsStatePrefix, "lmonth", gen)
-      val tPins = tPins0 -- tMonths.map(_.toString) ++
-        tPresent.map(v => v.toString -> gen)
+        touched = tMonths)
       val touched = checkpointEager(contrib.select(keyCols: _*)
         .unionByName(retractedKeys)
         .unionByName(tDelta.select(keyCols: _*)).distinct())
@@ -1054,38 +1063,64 @@ object Incremental {
       // stage 3 reads the MIXED view: this cycle's own generations for
       // the months it touched, the prior pins for the rest — none of
       // it visible to manifest readers yet
-      val sSide = Versioned.readSnapshotAt(spark, dir, surveyStatePrefix,
-          "month", sPins, Some(kMonths))
+      val sSide = stage.read(surveyStatePrefix, "month", Some(kMonths))
         .join(touched, keys, "left_semi")
-      val tSide = Versioned.readSnapshotAt(spark, dir, tripsStatePrefix,
-          "lmonth", tPins, Some(kMonths))
+      val tSide = stage.read(tripsStatePrefix, "lmonth", Some(kMonths))
         .drop("lmonth")
         .join(touched, keys, "left_semi")
       val remerged = graft.ops.GatedMerge.gatedOneToOne(sSide, tSide, keys)
-      val mPriorTouched = Versioned.readSnapshotAt(spark, dir,
-        mergedPrefix, "lmonth", mPins0, Some(kMonths))
+      // the merged root is not staged yet, so this IS the prior view
+      val mPriorTouched = stage.read(mergedPrefix, "lmonth", Some(kMonths))
       val mCols = mPriorTouched.columns.filterNot(_ == "lmonth").toSeq
-      val mPresent = Versioned.writeSnapshotPartitions(
+      stage.publish(mergedPrefix, "lmonth",
         checkpointEager(mPriorTouched.drop("lmonth")
           .join(touched, keys, "left_anti")
           .unionByName(remerged.select(mCols.map(col): _*))
           .withColumn("lmonth", trunc(col("landing_date"), "month"))),
-        dir, mergedPrefix, "lmonth", gen)
-      val mPins = mPins0 -- kMonths.map(_.toString) ++
-        mPresent.map(v => v.toString -> gen)
-      sPins.map { case (v, g) =>
-        Versioned.snapshotPinKey(surveyStatePrefix, v) -> g } ++
-        tPins.map { case (v, g) =>
-          Versioned.snapshotPinKey(tripsStatePrefix, v) -> g } ++
-        mPins.map { case (v, g) =>
-          Versioned.snapshotPinKey(mergedPrefix, v) -> g }
+        touched = kMonths)
     } finally contrib.unpersist(blocking = false)
     // the commit point: all three roots' pins flip atomically
-    Versioned.commitManifest(dir, manifestPrefix, gen, pins)
+    stage.commit()
     exportOf(Versioned.readSnapshotPartitions(spark, dir, manifestPrefix,
       mergedPrefix, "lmonth", None)
       .drop("lmonth"))
   }
+
+  /** The prior-row lookup of a resubmission batch — the retraction
+    * read: survey-state rows (restricted to the delta's months) whose
+    * `submission_id` the delta re-submits. When the manifest pins a
+    * `submission_id` bloom sidecar for the state root and the delta's
+    * id set fits the planning cap, only the HOLDER files are read (one
+    * sidecar pass for the whole batch, [[graft.io.FileStats
+    * .bloomCandidateFilesForKeysAt]]); otherwise the full touched-month
+    * frame `full` is returned unchanged. Conservative either way: the
+    * bloom path may read an extra file (false positive), never miss a
+    * holder — SnapshotLaneSpec certifies the bytes drop and row
+    * equality on a multi-file fixture.
+    */
+  private[graft] def retractionPriorRows(spark: SparkSession, dir: String,
+                                         stage: graft.io.LakeTable.SnapshotStage,
+                                         statePrefix: String,
+                                         months: Seq[Any],
+                                         goneIds: DataFrame,
+                                         full: DataFrame): DataFrame =
+    stage.pinnedBloomSpec(statePrefix) match {
+      case Some((keyCol, _, _)) if keyCol == "submission_id" =>
+        val cap = graft.io.FileStats.MaxBatchedLookupKeys
+        val batch = goneIds.limit(cap + 1).collect().map(_.get(0)).toSeq
+        if (batch.isEmpty || batch.size > cap) full
+        else {
+          val bloomPins = stage.pins(
+            graft.io.FileStats.bloomPrefix(statePrefix))
+          val files = graft.io.FileStats.bloomCandidateFilesForKeysAt(
+            spark, dir, statePrefix, bloomPins, batch, Some(months))
+          if (files.isEmpty) full.filter(lit(false))
+          else spark.read.option("basePath",
+              Versioned.snapshotRoot(dir, statePrefix))
+            .parquet(files: _*).drop("__gen")
+        }
+      case _ => full
+    }
 
   /** The FULL COMPOSITION of the round's state lanes — the 100 TB shape
     * of the whole pipeline: [[chainedTopologyExportCycle]]'s taxon-grain

@@ -2985,7 +2985,98 @@ object IoQueries extends QueryPack {
              |  AND NOT (o_orderkey % 7 = 0
              |    AND strftime(o_orderdate, '%Y-%m') >= '1997-01')
              |  AND NOT (o_orderkey % 11 = 0)
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // q403's snapshot topology with a BLOOM-PROBED RETRACTION PATH and
+    // the whole cycle through the STAGED write facade
+    // (LakeTable.SnapshotStage): the survey state publishes multi-file
+    // months (fan-out salt) with a manifest-pinned submission_id bloom
+    // sidecar + spec, so the resubmission prior-row lookup reads only
+    // the HOLDER files (one batched sidecar pass) instead of every
+    // file of the touched months, and the stage maintains the sidecar
+    // through each cycle's publish. Same oracle as q403 — the probe is
+    // conservative (bloom one-sided error + exact semi-join residual),
+    // so the export is bit-identical; SnapshotLaneSpec certifies the
+    // retraction bytes drop.
+    Q("q424_bloom_retraction_topology",
+      (s0, d) => {
+        val s = s0.newSession()
+        s.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+          "false")
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q424_brt")
+        val lw = chainLwTable(s)
+        val flat = chainSurveyFlat(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keys = Seq("imei", "landing_date")
+        def nest(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"submission_id", $"district", $"month", $"imei",
+              $"landing_date")
+            .agg(collect_list($"sg").as("species_groups"))
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(_.getName.startsWith("brt_root__")).foreach(_.delete()))
+        val cutoff = to_date(lit("2001-06-01"))
+        val tripCut = to_date(lit("2001-01-01"))
+        val prior = flat.filter($"day" < cutoff)
+        val edited = prior
+          .filter($"submission_id" % 23 === 0 && $"day" >= tripCut)
+          .withColumn("sg", $"sg".withField("length_bins",
+            transform($"sg.length_bins", b => struct(
+              b.getField("length_class").as("length_class"),
+              greatest(lit(1L), shiftright(b.getField("n"), 1)).as("n")))))
+        val trips = Tables.orders(s, d).filter($"o_orderkey" % 3 === 0)
+          .select($"o_orderkey".as("trip_id"),
+            concat(lit("IMEI"), ($"o_orderkey" % 97).cast("string"))
+              .as("imei"),
+            to_date($"o_orderdate").as("landing_date"),
+            ($"o_orderkey" % 7000 + 3600).cast("long").as("duration_sec"))
+        val dupTrips = trips
+          .filter($"trip_id" % 51 === 0 && $"landing_date" >= tripCut)
+          .select(($"trip_id" + 1).as("trip_id"), $"imei", $"landing_date",
+            (($"trip_id" + 1) % 7000 + 3600).cast("long").as("duration_sec"))
+        val sPrior = graft.pipeline.Incremental.submissionContrib(
+          graft.pipeline.Incremental.surveyProcess(nest(prior), lw,
+            Seq("district", "month") ++ keys), keys)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tPrior = trips.filter($"landing_date" < tripCut)
+        val lm = trunc($"landing_date", "month").as("lmonth")
+        val g1 = "00000001_aaa"
+        // FAT survey months (the posture where the probe matters) with
+        // the bloom sidecar + spec pinned at the initial commit
+        val sP = Versioned.writeSnapshotFull(sPrior, dir, "brt_sstate",
+          "month", g1, filesPerPartition = 8)
+        val sPins1 = sP.map(_.toString -> g1).toMap
+        val bP = graft.io.FileStats.writeSnapshotBloomSidecar(s, dir,
+          "brt_sstate", "month", "submission_id", sPins1, sP.toSeq, g1,
+          itemsPerFile = 100000L, numBits = 200000L)
+        val tP = Versioned.writeSnapshotFull(tPrior.withColumn("lmonth", lm),
+          dir, "brt_tstate", "lmonth", g1)
+        val mP = Versioned.writeSnapshotFull(
+          graft.ops.GatedMerge.gatedOneToOne(sPrior, tPrior, keys)
+            .withColumn("lmonth", lm),
+          dir, "brt_merged", "lmonth", g1)
+        Versioned.commitManifest(dir, "brt_root", g1,
+          sP.map(v => Versioned.snapshotPinKey("brt_sstate", v) -> g1)
+            .toMap ++
+          bP.map(v => Versioned.snapshotPinKey(
+            graft.io.FileStats.bloomPrefix("brt_sstate"), v) -> g1) ++
+          tP.map(v => Versioned.snapshotPinKey("brt_tstate", v) -> g1) ++
+          mP.map(v => Versioned.snapshotPinKey("brt_merged", v) -> g1) +
+          graft.io.FileStats.bloomSpecEntry("brt_sstate",
+            "submission_id", 100000L, 200000L))
+        Versioned.write(
+          nest(flat.filter($"day" >= cutoff).unionByName(edited))
+            .coalesce(4),
+          dir, "brt_sraw", "00000002_bbb")
+        Versioned.write(
+          trips.filter($"landing_date" >= tripCut).unionByName(dupTrips),
+          dir, "brt_traw", "00000002_bbb")
+        graft.pipeline.Incremental.chainedTripsSnapshotCycle(s, dir,
+            "brt_root", "brt_sstate", "brt_tstate", "brt_merged",
+            "brt_sraw", "brt_traw", lw, gen = "00000002_bbb")
+          .orderBy($"district", $"month")
+      },
+      Some(partitionedTripsOracleSql))
   )
 
   /** Full-corpus replay oracle for the incremental LSH dedup cycles

@@ -223,4 +223,90 @@ class SnapshotLaneSpec extends SparkTestBase {
     assert(!old.columns.contains("w"))
     assert(old.count() == 3000L)
   }
+
+  private class ReadTap extends org.apache.spark.scheduler.SparkListener {
+    val recs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) recs.add(m.inputMetrics.bytesRead)
+    }
+  }
+
+  private def bytesRead(action: => Unit): Long = {
+    val tap = new ReadTap
+    spark.sparkContext.addSparkListener(tap)
+    try {
+      action
+      var prev = -1; var stable = 0
+      while (stable < 3) {
+        val n = tap.recs.size
+        if (n == prev) stable += 1 else { stable = 0; prev = n }
+        Thread.sleep(150)
+      }
+      import scala.jdk.CollectionConverters._
+      tap.recs.asScala.map(_.longValue).sum
+    } finally spark.sparkContext.removeSparkListener(tap)
+  }
+
+  test("bloom-probed retraction read: holder files only — bytes drop vs the full touched-month read, rows identical; the stage maintains the sidecar") {
+    import graft.io.{FileStats, LakeTable}
+    // q424's fixture: fat survey months + manifest-pinned submission_id
+    // bloom sidecar + spec; the cycle at gen-2 ran the staged facade.
+    // sf0.01 so the month DATA dominates the sidecar's filter bytes in
+    // the certificate (the TouchedExportSpec bytes-test discipline).
+    val bytesSf = "/root/testdata/sf0.01"
+    val first = SparkEntry.queries("q424_bloom_retraction_topology")(
+      spark, bytesSf).collect().map(_.toSeq).toSet
+    val dir = graft.core.Scratch.dir("q424_brt")
+    val bmap = FileStats.bloomPrefix("brt_sstate")
+    assert(Versioned.latestManifest(dir, "brt_root")
+      .exists(_._1 == "00000002_bbb"))
+    // the STAGE maintained the bloom sidecar: every month the cycle
+    // touched has its bloom pin at gen-2, untouched months stay at gen-1
+    val sPins = Versioned.snapshotPins(dir, "brt_root", "brt_sstate")
+    val bPins = Versioned.snapshotPins(dir, "brt_root", bmap)
+    assert(sPins.nonEmpty && sPins.keySet == bPins.keySet &&
+      sPins.forall { case (v, g) => bPins(v) == g },
+      "the staged publish did not keep the bloom sidecar pin-for-pin " +
+        "with the data")
+    assert(bPins.values.toSet.contains("00000002_bbb"),
+      "no bloom pin moved to the cycle's generation")
+
+    // the RETRACTION READ certificate: a small resubmission batch over
+    // fat months — the bloom-planned prior-row lookup reads a fraction
+    // of the full touched-month bytes and returns the same rows
+    val stage = LakeTable.stage(spark, dir, "brt_root", "00000003_ccc")
+    val months = sPins.keys.toSeq.sorted.take(3)
+      .map(java.sql.Date.valueOf): Seq[Any]
+    val fullMonths = stage.read("brt_sstate", "month", Some(months))
+    val ids = fullMonths.select($"submission_id").distinct()
+      .orderBy($"submission_id").limit(5)
+      .localCheckpoint(true)
+    def keysOf(src: org.apache.spark.sql.DataFrame) = src
+      .join(ids, Seq("submission_id"), "left_semi")
+      .select($"imei", $"landing_date")
+      .distinct().collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    var fullKeys: Set[Seq[Any]] = null
+    val fullBytes = bytesRead { fullKeys = keysOf(fullMonths) }
+    val probed = graft.pipeline.Incremental.retractionPriorRows(spark,
+      dir, stage, "brt_sstate", months, ids, fullMonths)
+    var probedKeys: Set[Seq[Any]] = null
+    val probedBytes = bytesRead { probedKeys = keysOf(probed) }
+    assert(probedKeys == fullKeys && fullKeys.nonEmpty,
+      "the bloom-probed retraction read changed the retracted key set")
+    assert(probedBytes * 2 < fullBytes,
+      s"expected the probed read to cost well under half the full " +
+        s"touched-month read, got $probedBytes vs $fullBytes bytes")
+
+    // replaying the cycle at the committed tag is unchanged (oracle
+    // posture: the probe is read-path only)
+    val lw = graft.queries.IoQueries.chainLwTable(spark)
+    val replay = graft.pipeline.Incremental.chainedTripsSnapshotCycle(
+        spark, dir, "brt_root", "brt_sstate", "brt_tstate", "brt_merged",
+        "brt_sraw", "brt_traw", lw, gen = "00000002_bbb")
+      .collect().map(_.toSeq).toSet
+    assert(replay == first, "replay at the committed tag drifted")
+  }
 }
