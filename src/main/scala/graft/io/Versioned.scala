@@ -951,6 +951,111 @@ object Versioned {
       Seq(partCol, keyCol), "left_anti")
   }
 
+  /** Partitions of `prefix` whose pins DIFFER between two committed
+    * manifest tags — pure metadata (two manifest reads, zero data
+    * I/O). The snapshot-lane write protocol only ever changes a
+    * partition's content by pinning a NEW generation (prior
+    * generations' files are immutable), so an unmoved pin PROVES the
+    * partition's rows are byte-identical between the tags: these are
+    * exactly the partitions a changefeed must read. Includes
+    * partitions present on one side only (new / emptied).
+    */
+  def changedPartitions(dir: String, manifestPrefix: String,
+                        prefix: String, fromTag: String,
+                        toTag: String): Seq[String] = {
+    def pinsAt(tag: String): Map[String, String] =
+      manifestAt(dir, manifestPrefix, tag).getOrElse(
+        throw new IllegalArgumentException(
+          s"no manifest '$manifestPrefix' @ '$tag' in $dir — never " +
+            "committed, or outside the GC retention window"))
+        .collect { case (k, g) if k.startsWith(s"$prefix/") =>
+          k.stripPrefix(s"$prefix/") -> g }
+    val a = pinsAt(fromTag)
+    val b = pinsAt(toTag)
+    (a.keySet ++ b.keySet).filter(v => a.get(v) != b.get(v)).toSeq.sorted
+  }
+
+  /** CHANGEFEED between two committed tags — incremental consumption
+    * (a table format's change data feed): row-level `added / removed /
+    * changed` between the snapshots the two tags SERVED, computed only
+    * over the partitions whose data or DV pins moved
+    * ([[changedPartitions]]) — O(churned partitions), zero reads or
+    * task scheduling against unmoved partitions (ChangefeedSpec pins
+    * it at numFiles level, and equality with the full-diff twin).
+    *
+    * Semantics per side = that tag's served view:
+    *  - manifest-pinned delete vectors apply AS OF each tag, so a
+    *    pinned delete batch between the tags surfaces as `removed`;
+    *  - the in-place erasure lane applies to BOTH sides equally — an
+    *    erased row is absent from both and never surfaces (erasure
+    *    rewrites history by design);
+    *  - additive schema evolution between the tags is aligned to the
+    *    union schema (null-filled), so a row whose only change is a
+    *    newly-added column's value reads as `changed`; a column TYPE
+    *    change fails loudly (parquet's own merge failure when both
+    *    types meet inside one side's read, or the union-type refusal
+    *    below when they only meet across sides) — never a silent
+    *    coercion.
+    *
+    * `keyCols` must identify rows across the whole root (include
+    * `partCol` when keys repeat across partitions — a row whose
+    * PARTITION changed then surfaces as one `removed` + one `added`,
+    * the honest statement of a partition move). Output:
+    * `keyCols :+ change`, change ∈ {added, removed, changed};
+    * unchanged rows are filtered out, so the result is O(churn).
+    */
+  def snapshotChangefeed(spark: SparkSession, dir: String,
+                         manifestPrefix: String, dataPrefix: String,
+                         partCol: String, keyCols: Seq[String],
+                         fromTag: String, toTag: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dvp = dvPrefix(dataPrefix)
+    val churned = (
+      changedPartitions(dir, manifestPrefix, dataPrefix, fromTag, toTag) ++
+        changedPartitions(dir, manifestPrefix, dvp, fromTag, toTag)
+      ).distinct.sorted
+    def side(tag: String): DataFrame = {
+      val entries = manifestAt(dir, manifestPrefix, tag).get
+      def pinsOf(p: String) = entries.collect {
+        case (k, g) if k.startsWith(s"$p/") => k.stripPrefix(s"$p/") -> g }
+      val data = readSnapshotAt(spark, dir, dataPrefix, partCol,
+        pinsOf(dataPrefix), Some(churned), mergeSchema = true)
+      val dvPins = pinsOf(dvp)
+      val pinned =
+        if (dvPins.isEmpty) data
+        else {
+          val dv = readSnapshotAt(spark, dir, dvp, partCol, dvPins,
+            Some(churned))
+          data.join(dv, dv.columns.toSeq, "left_anti")
+        }
+      // the in-place erasure lane reaches every read, including both
+      // sides of a changefeed — an erased row never surfaces
+      if (!dvHasData(dir, dataPrefix)) pinned
+      else {
+        val dv = readPartitioned(spark, dir, dvp)
+        pinned.join(dv, dv.columns.toSeq, "left_anti")
+      }
+    }
+    val oldSide = side(fromTag)
+    val newSide = side(toTag)
+    // align both sides to the union schema: additive evolution between
+    // the tags must read as changed values, not a schema error
+    val union = (oldSide.schema.fields ++ newSide.schema.fields)
+      .map(f => f.name -> f.dataType).distinct
+    require(union.map(_._1).distinct.size == union.size,
+      s"changefeed of '$dataPrefix' refused: a column changed TYPE " +
+        s"between '$fromTag' and '$toTag' — that is a rewrite, not an " +
+        "additive evolution")
+    def aligned(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      val filled = union.foldLeft(df) { case (d, (n, t)) =>
+        if (have(n)) d else d.withColumn(n, lit(null).cast(t))
+      }
+      filled.select(union.map { case (n, _) => col(n) }: _*)
+    }
+    snapshotDiff(aligned(oldSide), aligned(newSide), keyCols)
+  }
+
   /** Fold the pinned vectors in: rewrite ONLY the delete-carrying
     * partitions' data minus-deleted as generation `tag`, DROP those
     * partitions' DV pins, and commit once — reads before, during and

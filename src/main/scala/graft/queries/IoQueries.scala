@@ -3076,7 +3076,74 @@ object IoQueries extends QueryPack {
             "brt_sraw", "brt_traw", lw, gen = "00000002_bbb")
           .orderBy($"district", $"month")
       },
-      Some(partitionedTripsOracleSql))
+      Some(partitionedTripsOracleSql)),
+
+    // CHANGEFEED between manifest tags — incremental consumption (a
+    // table format's change data feed): row-level added/removed/changed
+    // between the snapshots two committed tags SERVED, computed ONLY
+    // over the partitions whose data or DV pins moved between the tags
+    // (pin immutability proves everything else byte-identical — a pure
+    // metadata decision, zero reads of unmoved months; ChangefeedSpec
+    // pins it at numFiles level). Three commits: full publish, a
+    // correction+append cycle on the hot months, a pinned delete batch
+    // on the cold months — the feed g1→g3 must surface the corrections
+    // as `changed`, the appends as `added`, and the pinned deletes as
+    // `removed`, and nothing else. Oracle = the same three change sets
+    // derived from the raw table.
+    Q("q425_changefeed",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q425_cf")
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(_.getName.startsWith("cf_root__")).foreach(_.delete()))
+        val o = Tables.orders(s, d).select(
+          date_format($"o_orderdate", "yyyy-MM").as("omonth"),
+          $"o_orderkey",
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        val g1 = "00000001_aaa"
+        graft.io.LakeTable.commitSnapshot(s, dir, "cf_root", g1,
+          Seq(graft.io.LakeTable.RootPublish("cf_ord", "omonth", o)))
+        // correction cycle: hot months re-priced (+100) AND appended
+        // (every %10 key gains a shifted twin) in one commit
+        val hot = o.filter($"omonth" >= "1997-01")
+        val corrected = hot
+          .select($"omonth", $"o_orderkey", ($"cents" + 100L).as("cents"))
+          .unionByName(hot.filter($"o_orderkey" % 10 === 0)
+            .select($"omonth", ($"o_orderkey" + 30000000L).as("o_orderkey"),
+              $"cents"))
+          .localCheckpoint(true)
+        graft.io.LakeTable.commitSnapshot(s, dir, "cf_root",
+          "00000002_bbb",
+          Seq(graft.io.LakeTable.RootPublish("cf_ord", "omonth",
+            corrected)))
+        // pinned delete batch on the cold months
+        Versioned.commitSnapshotDeleteVectors(s, dir, "cf_root",
+          "cf_ord", "omonth", "o_orderkey",
+          o.filter($"o_orderkey" % 13 === 0 && $"omonth" < "1995-01")
+            .select($"omonth", $"o_orderkey").localCheckpoint(true),
+          "00000003_ccc")
+        Versioned.snapshotChangefeed(s, dir, "cf_root", "cf_ord",
+            "omonth", Seq("omonth", "o_orderkey"), g1, "00000003_ccc")
+          .groupBy($"omonth", $"change")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"omonth", $"change")
+      },
+      Some("""WITH o AS (
+             |  SELECT strftime(o_orderdate, '%Y-%m') AS omonth,
+             |    o_orderkey,
+             |    CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents
+             |  FROM orders),
+             |feed AS (
+             |  SELECT omonth, 'changed' AS change FROM o
+             |  WHERE omonth >= '1997-01'
+             |  UNION ALL
+             |  SELECT omonth, 'added' FROM o
+             |  WHERE omonth >= '1997-01' AND o_orderkey % 10 = 0
+             |  UNION ALL
+             |  SELECT omonth, 'removed' FROM o
+             |  WHERE omonth < '1995-01' AND o_orderkey % 13 = 0)
+             |SELECT omonth, change, count(*) AS n
+             |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** Full-corpus replay oracle for the incremental LSH dedup cycles
