@@ -153,6 +153,26 @@ object FileStats {
         "rows — use the MergeOnRead composition, or purgeDeleteVectors " +
         "first")
 
+  /** The snapshot-lane twin of [[requireNoDeleteVectors]]: refuse when
+    * the in-place erasure lane has vectors OR the newest manifest pins
+    * a DV generation for the root — a raw snapshot skipping read would
+    * resurrect the pinned delete batches the facade's anti-join
+    * excludes ([[LakeTable.readTable]] composes both lanes; these raw
+    * paths refuse instead, same posture as the in-place lane).
+    */
+  private def requireNoDeleteVectorsSnapshot(dir: String,
+                                             manifestPrefix: String,
+                                             dataPrefix: String,
+                                             what: String): Unit = {
+    requireNoDeleteVectors(dir, dataPrefix, what)
+    require(Versioned.snapshotPins(dir, manifestPrefix,
+        Versioned.dvPrefix(dataPrefix)).isEmpty,
+      s"$what on '$dataPrefix' refused: the manifest pins outstanding " +
+        "delete vectors and a sidecar-planned read would resurrect " +
+        "pinned-deleted rows — read through LakeTable.readTable, or " +
+        "purgeSnapshotDeleteVectors first")
+  }
+
   /** Plan-time data-skipping read: scan ONLY the candidate files and
     * apply the residual interval predicate. Row-for-row equal to
     * `readPartitioned(...).filter(statCol between lo and hi)` because
@@ -674,6 +694,8 @@ object FileStats {
                            partCol: String, statCol: String,
                            lo: Option[Any], hi: Option[Any],
                            parts: Option[Seq[Any]] = None): DataFrame = {
+    requireNoDeleteVectorsSnapshot(dir, manifestPrefix, dataPrefix,
+      "readSkippingSnapshot")
     val root = Versioned.snapshotRoot(dir, dataPrefix)
     val residual: Column = Seq(
       lo.map(v => col(statCol) >= lit(v)),
@@ -803,6 +825,8 @@ object FileStats {
                                 dataPrefix: String, partCol: String,
                                 preds: Seq[(String, Option[Any], Option[Any])],
                                 parts: Option[Seq[Any]] = None): DataFrame = {
+    requireNoDeleteVectorsSnapshot(dir, manifestPrefix, dataPrefix,
+      "readSkippingMultiSnapshot")
     val root = Versioned.snapshotRoot(dir, dataPrefix)
     val residual = preds.flatMap { case (c, lo, hi) =>
       lo.map(v => col(c) >= lit(v)) ++ hi.map(v => col(c) <= lit(v))
@@ -1017,6 +1041,8 @@ object FileStats {
                                 dataPrefix: String, partCol: String,
                                 keyCol: String, value: Any,
                                 parts: Option[Seq[Any]] = None): DataFrame = {
+    requireNoDeleteVectorsSnapshot(dir, manifestPrefix, dataPrefix,
+      "readBloomSkippingSnapshot")
     val root = Versioned.snapshotRoot(dir, dataPrefix)
     val files = bloomCandidateFilesSnapshot(spark, dir, manifestPrefix,
       dataPrefix, value, parts)

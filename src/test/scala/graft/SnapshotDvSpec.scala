@@ -157,6 +157,29 @@ class SnapshotDvSpec extends SparkTestBase {
       "sds_data", "m", "id",
       df.filter(dead).select($"m", $"id").localCheckpoint(true), g2)
 
+    // with DV pins outstanding, the RAW snapshot skipping paths refuse
+    // (they would resurrect the pinned deletes — readTable is the
+    // sanctioned composition, same posture as the in-place lane)
+    Seq(
+      () => FileStats.readSkippingSnapshot(spark, dir, "sds_root",
+        "sds_data", "m", "v", Some(0L), Some(100L)),
+      () => FileStats.readSkippingMultiSnapshot(spark, dir, "sds_root",
+        "sds_data", "m", Seq(("v", Some(0L), Some(100L)))),
+      () => FileStats.readBloomSkippingSnapshot(spark, dir, "sds_root",
+        "sds_data", "m", "id", 7L)
+    ).foreach { f =>
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("pinned-deleted"),
+        s"expected the pinned-DV refusal, got: ${e.getMessage}")
+    }
+    // ...while the facade composes the pinned vectors correctly
+    assert(graft.io.LakeTable.readTable(spark, dir, "sds_data", "m",
+        manifestPrefix = Some("sds_root"),
+        ranges = Seq(("v", Some(3000L), Some(4000L))))
+      .select($"id", $"m", $"v").orderBy($"id").collect().toSeq ==
+      df.filter(!dead && $"v" >= 3000L && $"v" <= 4000L)
+        .select($"id", $"m", $"v").orderBy($"id").collect().toSeq)
+
     // bloom sidecar pinned, spec neither passed nor manifest-pinned:
     // the purge refuses BEFORE any write
     val ex = intercept[IllegalArgumentException] {

@@ -211,9 +211,13 @@ class StreamLakeSpec extends SparkTestBase {
       (3L, 1L, 30L, 300L)).toDF("k", "m", "v", "w")
     assert(StreamLakeSink.commitBatch(spark, dir, "slh_root", "slh_data",
       "m", "k", batch0, 0L, zoneMultiCols = Some(Seq("v", "w"))))
-    val boxRead = () => FileStats.readSkippingMultiSnapshot(spark, dir,
-        "slh_root", "slh_data", "m",
-        Seq(("v", Some(15L), Some(35L)), ("w", Some(150L), Some(250L))))
+    // through the FACADE (after the pinned delete batch below lands,
+    // the raw readSkippingMultiSnapshot rightly refuses DV-dirty roots;
+    // readTable composes the multi sidecar with the DV anti-join)
+    val boxRead = () => graft.io.LakeTable.readTable(spark, dir,
+        "slh_data", "m", manifestPrefix = Some("slh_root"),
+        ranges = Seq(("v", Some(15L), Some(35L)),
+          ("w", Some(150L), Some(250L))))
       .select($"k", $"m", $"v", $"w")
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(boxRead() == Set((2L, 0L, 20L, 200L)))
@@ -254,9 +258,10 @@ class StreamLakeSpec extends SparkTestBase {
     // the multi sidecar stayed maintained through the spec-less epoch
     // (restart amnesia) and the untouched month kept its pins
     assert(boxRead() == Set((2L, 0L, 20L, 200L)))
-    assert(FileStats.readSkippingMultiSnapshot(spark, dir, "slh_root",
-        "slh_data", "m",
-        Seq(("v", Some(35L), Some(45L)), ("w", Some(350L), Some(450L))))
+    assert(graft.io.LakeTable.readTable(spark, dir, "slh_data", "m",
+        manifestPrefix = Some("slh_root"),
+        ranges = Seq(("v", Some(35L), Some(45L)),
+          ("w", Some(350L), Some(450L))))
       .select($"k").as[Long].collect().toSet == Set(4L),
       "the multi sidecar went stale through a streamed epoch")
   }
