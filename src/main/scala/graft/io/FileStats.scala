@@ -761,6 +761,53 @@ object FileStats {
         max(col("max_v")).as("max_v"))
   }
 
+  /** [[statsOnlyAgg]] for the MULTI-column sidecar: per-partition row
+    * count plus nulls/min/max of EVERY indexed column, answered from
+    * the sidecar alone. The column list is read off the sidecar's own
+    * schema (`n_nulls_<c>` / `min_<c>` / `max_<c>`), so no spec is
+    * needed. Same exactness contract and DV refusal as the
+    * single-column path.
+    */
+  def statsOnlyAggMulti(spark: SparkSession, dir: String,
+                        dataPrefix: String): DataFrame = {
+    requireNoDeleteVectors(dir, dataPrefix, "statsOnlyAggMulti")
+    multiStatsAgg(Versioned.readPartitioned(spark, dir,
+      sidecarMultiPrefix(dataPrefix)))
+  }
+
+  /** [[statsOnlyAggMulti]] for the snapshot lane — the generations the
+    * newest manifest pins; refuses both dirty-DV postures like
+    * [[statsOnlyAggSnapshot]].
+    */
+  def statsOnlyAggMultiSnapshot(spark: SparkSession, dir: String,
+                                manifestPrefix: String,
+                                dataPrefix: String): DataFrame = {
+    require(!Versioned.dvHasData(dir, dataPrefix) &&
+        Versioned.snapshotPins(dir, manifestPrefix,
+          Versioned.dvPrefix(dataPrefix)).isEmpty,
+      s"statsOnlyAggMultiSnapshot on '$dataPrefix' refused: the root " +
+        "has outstanding delete vectors (in-place or manifest-pinned) " +
+        "and sidecar stats count soft-deleted rows — purge first")
+    multiStatsAgg(Versioned.readSnapshotPartitions(spark, dir,
+      manifestPrefix, sidecarMultiPrefix(dataPrefix), "part", None))
+  }
+
+  /** The per-column rollup of a multi sidecar frame, column list from
+    * the frame's own schema.
+    */
+  private def multiStatsAgg(side: DataFrame): DataFrame = {
+    val statCols = side.columns.filter(_.startsWith("min_"))
+      .map(_.stripPrefix("min_")).toSeq
+    require(statCols.nonEmpty,
+      "not a multi-column sidecar: no min_<col> fields in " +
+        side.columns.mkString(", "))
+    val aggs = sum(col("n_rows")).as("n_rows") +: statCols.flatMap(c =>
+      Seq(sum(col(s"n_nulls_$c")).as(s"n_nulls_$c"),
+        min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c")))
+    side.groupBy(col("part")).agg(aggs.head, aggs.tail: _*)
+  }
+
   // ---- manifest-pinned MULTI-COLUMN zone maps (snapshot lane) ----------
   // The per-column stats shape (q411's zmapm) lifted onto the snapshot
   // lane: the multi sidecar becomes a generation-pinned root whose

@@ -521,4 +521,16 @@ object LakeTable {
         prefix)
       case None => FileStats.statsOnlyAgg(spark, dir, prefix)
     }
+
+  /** [[statsTable]] for the MULTI-column sidecar: per-partition row
+    * count plus nulls/min/max of every indexed column (column list
+    * read off the sidecar schema), both lanes, same dirty-DV refusal.
+    */
+  def statsTableMulti(spark: SparkSession, dir: String, prefix: String,
+                      manifestPrefix: Option[String] = None): DataFrame =
+    manifestPrefix match {
+      case Some(mp) => FileStats.statsOnlyAggMultiSnapshot(spark, dir,
+        mp, prefix)
+      case None => FileStats.statsOnlyAggMulti(spark, dir, prefix)
+    }
 }

@@ -3143,7 +3143,52 @@ object IoQueries extends QueryPack {
              |  SELECT omonth, 'removed' FROM o
              |  WHERE omonth < '1995-01' AND o_orderkey % 13 = 0)
              |SELECT omonth, change, count(*) AS n
-             |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // METADATA-ONLY aggregates over the MULTI-COLUMN pinned sidecar:
+    // per-month row count plus nulls/min/max of EVERY indexed column,
+    // answered from the sidecar generations the manifest pins — zero
+    // data files listed, opened, or scheduled (the q405 fast path,
+    // completed for the per-column stats shape; the column list is
+    // read off the sidecar's own schema, no spec needed). The facade
+    // entry is LakeTable.statsTableMulti; exactness holds because the
+    // sidecar pins flipped with the data pins.
+    Q("q426_stats_multi_snapshot",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q426_smm")
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(_.getName.startsWith("smm_root__")).foreach(_.delete()))
+        val zmapm = graft.io.FileStats.sidecarMultiPrefix("smm_li")
+        val li = Tables.lineitem(s, d).select(
+          date_format($"l_shipdate", "yyyy-MM").as("smonth"),
+          round($"l_extendedprice" * 100, 0).cast("long").as("cents"),
+          $"l_quantity".cast("long").as("qty"))
+        val zli = li.withColumn("zk",
+          graft.ops.Layout.zKey($"cents", $"qty", 24))
+        val g1 = "00000001_aaa"
+        val dP = graft.io.FileStats.writeSnapshotZoneClustered(zli, dir,
+          "smm_li", "smonth", "zk", g1, tasks = 64)
+        val pins = dP.map(_.toString -> g1).toMap
+        val zP = graft.io.FileStats.writeSnapshotSidecarMulti(s, dir,
+          "smm_li", "smonth", Seq("cents", "qty"), pins, dP.toSeq, g1)
+        Versioned.commitManifest(dir, "smm_root", g1,
+          dP.map(v => Versioned.snapshotPinKey("smm_li", v) -> g1).toMap ++
+            zP.map(v => Versioned.snapshotPinKey(zmapm, v) -> g1))
+        graft.io.LakeTable.statsTableMulti(s, dir, "smm_li",
+            manifestPrefix = Some("smm_root"))
+          .orderBy($"part")
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS part,
+             |  count(*) AS n_rows,
+             |  count(*) - count(CAST(round(l_extendedprice*100, 0) AS BIGINT))
+             |    AS n_nulls_cents,
+             |  min(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS min_cents,
+             |  max(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS max_cents,
+             |  count(*) - count(CAST(l_quantity AS BIGINT)) AS n_nulls_qty,
+             |  min(CAST(l_quantity AS BIGINT)) AS min_qty,
+             |  max(CAST(l_quantity AS BIGINT)) AS max_qty
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Full-corpus replay oracle for the incremental LSH dedup cycles

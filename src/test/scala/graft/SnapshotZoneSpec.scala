@@ -304,6 +304,33 @@ class SnapshotZoneSpec extends SparkTestBase {
       "szm_data", "m", manifestPrefix = Some("szm_root"),
       ranges = box)) == cand2.size.toLong,
       "the facade did not plan through the pinned multi sidecar")
+
+    // metadata-only multi aggregate: per-column rollup from the pinned
+    // sidecar alone ≡ the data twin, and zero DATA files scheduled
+    spark.catalog.clearCache()
+    val mstats = graft.io.LakeTable.statsTableMulti(spark, dir,
+      "szm_data", manifestPrefix = Some("szm_root"))
+    val gotStats = mstats
+      .withColumn("part", $"part".cast("string"))
+      .orderBy($"part").collect().toSeq
+    val wantStats = Versioned.readSnapshotPartitions(spark, dir,
+        "szm_root", "szm_data", "m", None)
+      .groupBy($"m".cast("string").as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count($"x")).as("n_nulls_x"),
+        min($"x").as("min_x"), max($"x").as("max_x"),
+        (count(lit(1)) - count($"y")).as("n_nulls_y"),
+        min($"y").as("min_y"), max($"y").as("max_y"))
+      .orderBy($"part").collect().toSeq
+    assert(gotStats == wantStats,
+      "multi metadata-only aggregate diverged from the data twin")
+    mstats.collect()
+    val scannedRoots = mstats.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scannedRoots.forall(_.contains("_zmapm")),
+      s"the multi stats path scanned a data root: $scannedRoots")
   }
 
   test("multi-column sidecar survives compaction: spec-less refusal, re-pin in one commit, compact → GC → readTable(ranges) ≡ full scan") {
