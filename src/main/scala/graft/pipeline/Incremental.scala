@@ -236,6 +236,117 @@ object Incremental {
     pairs
   }
 
+  /** CHANGEFEED-DRIVEN dedup index maintenance — the full lake × LLM
+    * composition: the document corpus lives in a generation-pinned
+    * snapshot root (appends via [[graft.io.LakeTable.commitSnapshot]],
+    * retractions via
+    * [[graft.io.Versioned.commitSnapshotDeleteVectors]]), and the
+    * bucket-partitioned LSH signature store follows it by CONSUMING
+    * [[graft.io.Versioned.snapshotChangefeed]] between the last
+    * consumed tag and the target tag:
+    *
+    *  - `removed`/`changed` ids PURGE their stale signature rows;
+    *  - `added`/`changed` ids re-read from the target snapshot
+    *    (partition-restricted to the feed's churned partitions) and
+    *    re-sign — a row whose content did not change never appears in
+    *    the feed, so a no-op re-publish costs no signature work;
+    *  - both lands rewrite ONLY the touched id-range buckets
+    *    ([[idBucket]] is pure — the q395/q396 locating contract);
+    *  - the reported pairs are the q395 screen for the upserted batch
+    *    against the surviving corpus (cross-version + intra-batch),
+    *    so the oracle stays the full-corpus replay over survivors.
+    *
+    * Work: O(feed) + O(touched buckets) + the banded candidate join —
+    * never O(corpus). The feed itself reads only partitions whose pins
+    * moved (pin immutability), so at 100 TB the nightly consumer's
+    * input is the day's churn, not the lake.
+    *
+    * @return (batch_id, corpus_id, jaccard) duplicate pairs touching
+    *         the upserted batch, at `threshold`
+    */
+  def lshDedupChangefeedCycle(spark: SparkSession, dir: String,
+                              manifestPrefix: String, docPrefix: String,
+                              partCol: String, idCol: String,
+                              textCol: String, fromTag: String,
+                              toTag: String, sigStatePrefix: String,
+                              n: Int, threshold: Double, bands: Int,
+                              rowsPerBand: Int, bucketWidth: Long,
+                              filesPerPartition: Int = 1): DataFrame = {
+    import graft.ext.{Dedup, Exec}
+    val feed = Exec.checkpointEager(Versioned.snapshotChangefeed(spark,
+      dir, manifestPrefix, docPrefix, partCol, Seq(idCol), fromTag,
+      toTag))
+    val goneIds = feed.filter(col("change").isin("removed", "changed"))
+      .select(col(idCol).as("id"))
+    val upsertIds = feed.filter(col("change").isin("added", "changed"))
+      .select(col(idCol))
+    // the upserted docs re-read from the TARGET snapshot, restricted to
+    // the feed's churned partitions (everything else provably unmoved)
+    val churned = (
+      Versioned.changedPartitions(dir, manifestPrefix, docPrefix,
+        fromTag, toTag) ++
+      Versioned.changedPartitions(dir, manifestPrefix,
+        Versioned.dvPrefix(docPrefix), fromTag, toTag)).distinct
+    val toPins = Versioned.manifestAt(dir, manifestPrefix, toTag).get
+      .collect { case (k, g) if k.startsWith(s"$docPrefix/") =>
+        k.stripPrefix(s"$docPrefix/") -> g }
+    val upsertDocs = Versioned.readSnapshotAt(spark, dir, docPrefix,
+        partCol, toPins, Some(churned))
+      .join(upsertIds, Seq(idCol), "left_semi")
+    val dState = Exec.checkpointEager(
+      Dedup.signatureState(upsertDocs, idCol, textCol, n, bands,
+        rowsPerBand))
+    // candidate screen against the surviving prior corpus (state minus
+    // every feed-touched id), q395's shape — materialized BEFORE the
+    // in-place publish replaces buckets this plan's corpus side scans
+    val touchedIds = Exec.checkpointEager(
+      goneIds.unionByName(dState.select(col("id"))).distinct())
+    val corpus = Versioned.readPartitioned(spark, dir, sigStatePrefix)
+      .drop("bucket")
+      .join(touchedIds, Seq("id"), "left_anti")
+    val sBand = Dedup.bandRowsFromState(corpus, bands, rowsPerBand)
+    val dBand = Dedup.bandRowsFromState(dState, bands, rowsPerBand)
+    val crossVer = dBand.select(col("band"), col("bucket"),
+        col("id").as("batch_id"))
+      .join(sBand.select(col("band"), col("bucket"),
+        col("id").as("corpus_id")), Seq("band", "bucket"))
+      .select(col("batch_id"), col("corpus_id"))
+    val intraBatch = dBand.select(col("band"), col("bucket"),
+        col("id").as("batch_id"))
+      .join(dBand.select(col("band"), col("bucket"),
+        col("id").as("corpus_id")), Seq("band", "bucket"))
+      .filter(col("batch_id") < col("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"))
+    val cands = crossVer.unionAll(intraBatch).distinct()
+    val allSh = corpus.select(col("id"), col("sh"))
+      .unionByName(dState.select(col("id"), col("sh")))
+    val pairs = Exec.checkpointEager(cands
+      .join(dState.select(col("id").as("batch_id"), col("sh").as("sh_a")),
+        "batch_id")
+      .join(allSh.select(col("id").as("corpus_id"), col("sh").as("sh_b")),
+        "corpus_id")
+      .withColumn("inter", graft.functions.SortedIntersectSize
+        .sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard")))
+    // O(touched buckets) maintenance: purge gone ids, land the batch
+    val touched = touchedIds
+      .select(idBucket(col("id"), bucketWidth).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (touched.nonEmpty)
+      Versioned.overwriteTouchedPartitions(
+        Exec.checkpointEager(
+          Versioned.readPartitions(spark, dir, sigStatePrefix, "bucket",
+              touched)
+            .join(touchedIds, Seq("id"), "left_anti")
+            .unionByName(dState
+              .withColumn("bucket", idBucket(col("id"), bucketWidth)))),
+        dir, sigStatePrefix, "bucket", touched, filesPerPartition)
+    pairs
+  }
+
   /** Tombstone DELETION over the bucket-partitioned signature store —
     * [[dedupDeleteCycle]]'s 100 TB twin: the tombstoned ids' buckets
     * derive from the ids themselves ([[idBucket]] is pure), so the

@@ -3188,7 +3188,68 @@ object IoQueries extends QueryPack {
              |  count(*) - count(CAST(l_quantity AS BIGINT)) AS n_nulls_qty,
              |  min(CAST(l_quantity AS BIGINT)) AS min_qty,
              |  max(CAST(l_quantity AS BIGINT)) AS max_qty
-             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // CHANGEFEED-DRIVEN DEDUP MAINTENANCE — the full lake × LLM
+    // composition: the corpus is a generation-pinned lake root
+    // (appends through the write facade, a %13 takedown as a pinned
+    // delete batch), and the bucket-partitioned LSH signature store
+    // FOLLOWS it by consuming the changefeed g1→g3 — added docs
+    // re-sign from the target snapshot (churned partitions only),
+    // removed docs purge their signature rows, unchanged re-published
+    // rows never reach the feed so they cost no signature work, and
+    // only the touched id-range buckets rewrite. The reported pairs
+    // are the q395 screen (cross-version + intra-batch) for the
+    // feed's upserted batch against the surviving corpus; the oracle
+    // is the full-corpus replay over survivors. ChangefeedSpec pins
+    // that the post-cycle state equals the full rebuild.
+    Q("q427_lsh_changefeed",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q427_lcf")
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(_.getName.startsWith("lcf_root__")).foreach(_.delete()))
+        val docs = Tables.documents(s, d)
+        val bw = 64L
+        val bdocs = docs.withColumn("bucket",
+          graft.pipeline.Incremental.idBucket($"doc_id", bw))
+        val g1 = "00000001_aaa"
+        graft.io.LakeTable.commitSnapshot(s, dir, "lcf_root", g1,
+          Seq(graft.io.LakeTable.RootPublish("lcf_docs", "bucket",
+            bdocs.filter($"doc_id" % 17 =!= 0).localCheckpoint(true))))
+        Versioned.writePartitionedFull(
+          graft.ext.Dedup.signatureState(docs.filter($"doc_id" % 17 =!= 0),
+              "doc_id", "text", n = 2, bands = 21, rowsPerBand = 3)
+            .withColumn("bucket",
+              graft.pipeline.Incremental.idBucket($"id", bw)),
+          dir, "lcf_state", Seq("bucket"))
+        // g2: the %17 appends land through the write facade — touched
+        // buckets republish their FULL content (old rows ride along
+        // unchanged and never reach the feed)
+        val tb = bdocs.filter($"doc_id" % 17 === 0)
+          .select($"bucket").distinct()
+        graft.io.LakeTable.commitSnapshot(s, dir, "lcf_root",
+          "00000002_bbb",
+          Seq(graft.io.LakeTable.RootPublish("lcf_docs", "bucket",
+            bdocs.join(tb, Seq("bucket"), "left_semi")
+              .localCheckpoint(true))))
+        // g3: the takedown — %13 docs of the ORIGINAL corpus leave as
+        // a pinned delete batch (zero data files touched)
+        Versioned.commitSnapshotDeleteVectors(s, dir, "lcf_root",
+          "lcf_docs", "bucket", "doc_id",
+          bdocs.filter($"doc_id" % 13 === 0 && $"doc_id" % 17 =!= 0)
+            .select($"bucket", $"doc_id").localCheckpoint(true),
+          "00000003_ccc")
+        graft.pipeline.Incremental.lshDedupChangefeedCycle(s, dir,
+            "lcf_root", "lcf_docs", "bucket", "doc_id", "text",
+            g1, "00000003_ccc", "lcf_state", n = 2, threshold = 0.2,
+            bands = 21, rowsPerBand = 3, bucketWidth = bw)
+          .select($"batch_id", $"corpus_id",
+            graft.core.Exact.r4($"jaccard").as("jaccard"))
+          .orderBy($"batch_id", $"corpus_id")
+      },
+      Some(lshCycleOracleSql("doc_id % 17 = 0",
+        corpusWhere = "NOT (doc_id % 13 = 0 AND doc_id % 17 <> 0)")))
   )
 
   /** Full-corpus replay oracle for the incremental LSH dedup cycles
@@ -3197,10 +3258,12 @@ object IoQueries extends QueryPack {
     * delta membership predicate plugged in — the cycle must report
     * exactly the full replay's pairs that touch the batch.
     */
-  private def lshCycleOracleSql(isBatchSql: String): String =
+  private def lshCycleOracleSql(isBatchSql: String,
+                                corpusWhere: String = "TRUE"): String =
     s"""WITH toks AS (
        |  SELECT doc_id, $isBatchSql AS is_batch,
-       |    string_split_regex(trim(text), '\\s+') AS l FROM documents),
+       |    string_split_regex(trim(text), '\\s+') AS l FROM documents
+       |  WHERE $corpusWhere),
        |shg AS (
        |  SELECT doc_id, is_batch,
        |    list_distinct(list_filter(

@@ -136,4 +136,30 @@ class ChangefeedSpec extends SparkTestBase {
     assert(msg.contains("type") || msg.contains("merg"),
       s"expected a loud type-conflict failure, got: ${ex.getMessage}")
   }
+
+  test("changefeed-driven LSH maintenance: post-cycle signature state ≡ full rebuild over the target snapshot") {
+    // q427's fixture: corpus appends through the write facade, a %13
+    // takedown as a pinned delete batch, the bucketed signature store
+    // maintained purely from the feed — after the cycle the published
+    // state must equal signatureState() rebuilt over exactly the docs
+    // the target snapshot serves
+    SparkEntry.queries("q427_lsh_changefeed")(spark, sfDir).collect()
+    val dir = graft.core.Scratch.dir("q427_lcf")
+    val got = Versioned.readPartitioned(spark, dir, "lcf_state")
+      .select($"id", $"sig").as[(Long, Seq[Long])]
+      .collect().toSeq.sortBy(_._1)
+    val survivors = graft.core.Tables.documents(spark, sfDir)
+      .filter(!($"doc_id" % 13 === 0 && $"doc_id" % 17 =!= 0))
+    val want = graft.ext.Dedup.signatureState(survivors, "doc_id",
+        "text", n = 2, bands = 21, rowsPerBand = 3)
+      .select($"id", $"sig").as[(Long, Seq[Long])]
+      .collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == want.map(_._1),
+      "the feed-maintained state's id set drifted from the snapshot")
+    assert(got == want,
+      "the feed-maintained state's signatures drifted from the rebuild")
+    // and the state genuinely FORGOT the takedown: no %13-only id left
+    assert(!got.exists { case (id, _) => id % 13 == 0 && id % 17 != 0 },
+      "a taken-down id survived in the signature state")
+  }
 }
