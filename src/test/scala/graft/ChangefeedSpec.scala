@@ -137,6 +137,45 @@ class ChangefeedSpec extends SparkTestBase {
       s"expected a loud type-conflict failure, got: ${ex.getMessage}")
   }
 
+  test("changefeed over STREAMED epochs: the feed between two batch tags is the keyed diff of what the sink published") {
+    import graft.streaming.StreamLakeSink
+    val dir = graft.core.Scratch.dir("changefeed_stream")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("cfm_root__")).foreach(_.delete()))
+    val b0 = Seq((1L, 0L, 10L), (2L, 0L, 20L), (3L, 1L, 30L))
+      .toDF("k", "m", "v")
+    val b1 = Seq((2L, 0L, 21L), (5L, 2L, 50L)).toDF("k", "m", "v")
+    val b2 = Seq((3L, 1L, 31L), (6L, 2L, 60L)).toDF("k", "m", "v")
+    assert(StreamLakeSink.commitBatch(spark, dir, "cfm_root", "cfm_data",
+      "m", "k", b0, 0L))
+    assert(StreamLakeSink.commitBatch(spark, dir, "cfm_root", "cfm_data",
+      "m", "k", b1, 1L))
+    assert(StreamLakeSink.commitBatch(spark, dir, "cfm_root", "cfm_data",
+      "m", "k", b2, 2L))
+    // epoch tags ARE manifest tags: the feed 0→2 is exactly the keyed
+    // replacement diff (k2 changed in epoch 1, k3 changed in epoch 2,
+    // k5/k6 added; k1/k4 untouched) — the incremental-consumer read of
+    // a streamed lake table
+    val feed = Versioned.snapshotChangefeed(spark, dir, "cfm_root",
+        "cfm_data", "m", Seq("k"),
+        StreamLakeSink.batchTag(0L), StreamLakeSink.batchTag(2L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((2L, "changed"), (3L, "changed"),
+      (5L, "added"), (6L, "added")),
+      s"streamed-epoch changefeed diverged: $feed")
+    // consecutive epochs compose: feed(0→1) then feed(1→2)
+    val f01 = Versioned.snapshotChangefeed(spark, dir, "cfm_root",
+        "cfm_data", "m", Seq("k"),
+        StreamLakeSink.batchTag(0L), StreamLakeSink.batchTag(1L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val f12 = Versioned.snapshotChangefeed(spark, dir, "cfm_root",
+        "cfm_data", "m", Seq("k"),
+        StreamLakeSink.batchTag(1L), StreamLakeSink.batchTag(2L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(f01 == Set((2L, "changed"), (5L, "added")))
+    assert(f12 == Set((3L, "changed"), (6L, "added")))
+  }
+
   test("changefeed-driven LSH maintenance: post-cycle signature state ≡ full rebuild over the target snapshot") {
     // q427's fixture: corpus appends through the write facade, a %13
     // takedown as a pinned delete batch, the bucketed signature store
