@@ -2213,6 +2213,70 @@ object Incremental {
       .drop("bucket"), qTerms, k)
   }
 
+  /** CHANGEFEED-DRIVEN BM25 maintenance —
+    * [[lshDedupChangefeedCycle]]'s retrieval twin: the corpus is a
+    * generation-pinned lake root and the bucket-partitioned postings
+    * store follows it by consuming
+    * [[graft.io.Versioned.snapshotChangefeed]] between two tags —
+    * `removed`/`changed` ids purge their posting rows, `added`/
+    * `changed` ids re-tokenize from the target snapshot (churned
+    * partitions only; an unchanged re-publish never reaches the feed),
+    * and only the touched id-range buckets rewrite. Serving re-derives
+    * the global collection statistics (df/cf/dl/avgdl/N) from the full
+    * reload, so a takedown genuinely leaves the scores (the q393
+    * contract). Work: O(feed) + O(touched buckets) + the serve read.
+    *
+    * @return (rnk, doc_id, score_micro) — top-`k` over the maintained
+    *         index
+    */
+  def bm25ChangefeedCycle(spark: SparkSession, dir: String,
+                          manifestPrefix: String, docPrefix: String,
+                          partCol: String, idCol: String,
+                          textCol: String, fromTag: String,
+                          toTag: String, statePrefix: String,
+                          qTerms: Int, k: Int, bucketWidth: Long,
+                          filesPerPartition: Int = 1): DataFrame = {
+    import graft.ext.Exec
+    val feed = Exec.checkpointEager(Versioned.snapshotChangefeed(spark,
+      dir, manifestPrefix, docPrefix, partCol, Seq(idCol), fromTag,
+      toTag))
+    val goneIds = feed.filter(col("change").isin("removed", "changed"))
+      .select(col(idCol).as("id"))
+    val upsertIds = feed.filter(col("change").isin("added", "changed"))
+      .select(col(idCol))
+    val churned = (
+      Versioned.changedPartitions(dir, manifestPrefix, docPrefix,
+        fromTag, toTag) ++
+      Versioned.changedPartitions(dir, manifestPrefix,
+        Versioned.dvPrefix(docPrefix), fromTag, toTag)).distinct
+    val toPins = Versioned.manifestAt(dir, manifestPrefix, toTag).get
+      .collect { case (kk, g) if kk.startsWith(s"$docPrefix/") =>
+        kk.stripPrefix(s"$docPrefix/") -> g }
+    val upsertDocs = Versioned.readSnapshotAt(spark, dir, docPrefix,
+        partCol, toPins, Some(churned))
+      .join(upsertIds, Seq(idCol), "left_semi")
+    val dPost = Exec.checkpointEager(upsertDocs
+      .select(col(idCol).as("id"),
+        explode(graft.ext.TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf")))
+    val touchedIds = Exec.checkpointEager(
+      goneIds.unionByName(dPost.select(col("id"))).distinct())
+    val touched = touchedIds
+      .select(idBucket(col("id"), bucketWidth).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (touched.nonEmpty)
+      Versioned.overwriteTouchedPartitions(
+        Exec.checkpointEager(
+          Versioned.readPartitions(spark, dir, statePrefix, "bucket",
+              touched)
+            .join(touchedIds, Seq("id"), "left_anti")
+            .unionByName(dPost
+              .withColumn("bucket", idBucket(col("id"), bucketWidth)))),
+        dir, statePrefix, "bucket", touched, filesPerPartition)
+    bm25Serve(Versioned.readPartitioned(spark, dir, statePrefix)
+      .drop("bucket"), qTerms, k)
+  }
+
   /** Tombstone DELETION over the bucket-partitioned postings —
     * [[bm25DeleteCycle]]'s 100 TB twin: a tombstoned doc's posting rows
     * all live in ITS OWN bucket ([[idBucket]] is a pure function of the

@@ -3249,7 +3249,59 @@ object IoQueries extends QueryPack {
           .orderBy($"batch_id", $"corpus_id")
       },
       Some(lshCycleOracleSql("doc_id % 17 = 0",
-        corpusWhere = "NOT (doc_id % 13 = 0 AND doc_id % 17 <> 0)")))
+        corpusWhere = "NOT (doc_id % 13 = 0 AND doc_id % 17 <> 0)"))),
+
+    // CHANGEFEED-DRIVEN BM25 MAINTENANCE — q427's retrieval twin: the
+    // same lake fixture (facade appends at g2, a pinned-DV takedown at
+    // g3) with the bucket-partitioned postings store following the
+    // feed — upserts re-tokenize from the target snapshot, removals
+    // purge their posting rows, only touched id-range buckets rewrite,
+    // and serving re-derives the GLOBAL collection statistics
+    // (df/cf/dl/avgdl/N) from the maintained index so the takedown
+    // genuinely leaves the scores. Oracle = the full BM25 rebuild +
+    // serve over exactly the survivors.
+    Q("q428_bm25_changefeed",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q428_bcf")
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(_.getName.startsWith("bcf_root__")).foreach(_.delete()))
+        val docs = Tables.documents(s, d)
+        val bw = 64L
+        val bdocs = docs.withColumn("bucket",
+          graft.pipeline.Incremental.idBucket($"doc_id", bw))
+        val g1 = "00000001_aaa"
+        graft.io.LakeTable.commitSnapshot(s, dir, "bcf_root", g1,
+          Seq(graft.io.LakeTable.RootPublish("bcf_docs", "bucket",
+            bdocs.filter($"doc_id" % 17 =!= 0).localCheckpoint(true))))
+        Versioned.writePartitionedFull(
+          docs.filter($"doc_id" % 17 =!= 0)
+            .select($"doc_id".as("id"),
+              explode(graft.ext.TextAnalysis.tokens($"text")).as("tok"))
+            .groupBy($"id", $"tok").agg(count(lit(1)).as("tf"))
+            .withColumn("bucket",
+              graft.pipeline.Incremental.idBucket($"id", bw)),
+          dir, "bcf_post", Seq("bucket"))
+        val tb = bdocs.filter($"doc_id" % 17 === 0)
+          .select($"bucket").distinct()
+        graft.io.LakeTable.commitSnapshot(s, dir, "bcf_root",
+          "00000002_bbb",
+          Seq(graft.io.LakeTable.RootPublish("bcf_docs", "bucket",
+            bdocs.join(tb, Seq("bucket"), "left_semi")
+              .localCheckpoint(true))))
+        Versioned.commitSnapshotDeleteVectors(s, dir, "bcf_root",
+          "bcf_docs", "bucket", "doc_id",
+          bdocs.filter($"doc_id" % 13 === 0 && $"doc_id" % 17 =!= 0)
+            .select($"bucket", $"doc_id").localCheckpoint(true),
+          "00000003_ccc")
+        graft.pipeline.Incremental.bm25ChangefeedCycle(s, dir,
+            "bcf_root", "bcf_docs", "bucket", "doc_id", "text",
+            g1, "00000003_ccc", "bcf_post", qTerms = 3, k = 10,
+            bucketWidth = bw)
+          .orderBy($"rnk")
+      },
+      Some(bm25ServeOracleSql(
+        "WHERE NOT (doc_id % 13 = 0 AND doc_id % 17 <> 0)")))
   )
 
   /** Full-corpus replay oracle for the incremental LSH dedup cycles
