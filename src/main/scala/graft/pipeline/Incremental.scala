@@ -1659,6 +1659,81 @@ object Incremental {
       coarse, fine, dim, nProbe, m, subDim, k)
   }
 
+  /** CHANGEFEED-DRIVEN IVFPQ maintenance — the ANN member of the
+    * corpus-follows-the-lake family ([[lshDedupChangefeedCycle]],
+    * [[bm25ChangefeedCycle]]): the embedding corpus is a
+    * generation-pinned lake root; the bucket-partitioned cells/codes
+    * tables follow it by consuming the changefeed — upserted vec_ids
+    * re-encode from the target snapshot against the FROZEN quantizers
+    * (the [[annReclusterCycle]] drift gate owns their lifecycle),
+    * removed vec_ids purge from BOTH posting tables, and only the
+    * touched id-range buckets rewrite. Serving runs against the
+    * maintained reload, so a taken-down vector can never be a
+    * candidate. Work: O(feed) + O(touched buckets) + the serve read.
+    *
+    * @return (q_id, rank, n_id, adc_d2) — `queries` served from the
+    *         maintained index
+    */
+  def ivfPqChangefeedCycle(spark: SparkSession, dir: String,
+                           manifestPrefix: String, embPrefix: String,
+                           partCol: String, coarsePrefix: String,
+                           finePrefix: String, cellsPrefix: String,
+                           codesPrefix: String, fromTag: String,
+                           toTag: String, queries: DataFrame, dim: Int,
+                           nProbe: Int, m: Int, subDim: Int, k: Int,
+                           bucketWidth: Long,
+                           filesPerPartition: Int = 1): DataFrame = {
+    import graft.ext.{Exec, IvfIndex, Pq}
+    val coarse = IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, coarsePrefix))
+    val fine = IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, finePrefix))
+    val feed = Exec.checkpointEager(Versioned.snapshotChangefeed(spark,
+      dir, manifestPrefix, embPrefix, partCol, Seq("vec_id"), fromTag,
+      toTag))
+    val goneIds = feed.filter(col("change").isin("removed", "changed"))
+      .select(col("vec_id"))
+    val upsertIds = feed.filter(col("change").isin("added", "changed"))
+      .select(col("vec_id"))
+    val churned = (
+      Versioned.changedPartitions(dir, manifestPrefix, embPrefix,
+        fromTag, toTag) ++
+      Versioned.changedPartitions(dir, manifestPrefix,
+        Versioned.dvPrefix(embPrefix), fromTag, toTag)).distinct
+    val toPins = Versioned.manifestAt(dir, manifestPrefix, toTag).get
+      .collect { case (kk, g) if kk.startsWith(s"$embPrefix/") =>
+        kk.stripPrefix(s"$embPrefix/") -> g }
+    val upsert = Exec.checkpointEager(
+      Versioned.readSnapshotAt(spark, dir, embPrefix, partCol, toPins,
+          Some(churned))
+        .join(upsertIds, Seq("vec_id"), "left_semi")
+        .drop(partCol))
+    val touchedIds = Exec.checkpointEager(
+      goneIds.unionByName(upsertIds).distinct())
+    val touched = touchedIds
+      .select(idBucket(col("vec_id"), bucketWidth).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    def publish(prefix: String, dRows: DataFrame): Unit = {
+      if (touched.nonEmpty)
+        Versioned.overwriteTouchedPartitions(
+          Exec.checkpointEager(
+            Versioned.readPartitions(spark, dir, prefix, "bucket",
+                touched)
+              .join(touchedIds, Seq("vec_id"), "left_anti")
+              .unionByName(dRows.withColumn("bucket",
+                idBucket(col("vec_id"), bucketWidth)))),
+          dir, prefix, "bucket", touched, filesPerPartition)
+      ()
+    }
+    publish(cellsPrefix, Pq.encode(upsert, coarse, m = 1, subDim = dim)
+      .select(col("vec_id"), col("cid").as("cell")))
+    publish(codesPrefix, Pq.encode(upsert, fine, m, subDim))
+    Pq.ivfPqServe(queries,
+      Versioned.readPartitioned(spark, dir, cellsPrefix).drop("bucket"),
+      Versioned.readPartitioned(spark, dir, codesPrefix).drop("bucket"),
+      coarse, fine, dim, nProbe, m, subDim, k)
+  }
+
   /** Tombstone DELETION over the bucket-partitioned IVFPQ tables —
     * [[annDeleteCycle]]'s 100 TB twin: the tombstoned vec_ids' posting
     * rows all live in their own id-range buckets, so the purge reads

@@ -1606,7 +1606,7 @@ object VectorQueries extends QueryPack {
             m = 8, subDim = 8, k = 5, newTag = "00000002_bbb")
           .orderBy($"q_id", $"rank")
       },
-      Some(ivfPqCycleOracleSql)),
+      Some(ivfPqCycleOracleSql())),
 
     // Tombstone DELETION lane for the ANN index: a takedown batch
     // anti-joins its vec_ids out of BOTH versioned index tables (cells
@@ -1686,7 +1686,7 @@ object VectorQueries extends QueryPack {
             m = 8, subDim = 8, k = 5, bucketWidth = bw)
           .orderBy($"q_id", $"rank")
       },
-      Some(ivfPqCycleOracleSql)),
+      Some(ivfPqCycleOracleSql())),
 
     // Tombstone deletion over the bucket-partitioned IVFPQ tables —
     // q386's 100 TB twin: the purge reads and rewrites only the
@@ -1726,6 +1726,74 @@ object VectorQueries extends QueryPack {
           .orderBy($"q_id", $"rank")
       },
       Some(annDeleteOracleSql)),
+
+    // CHANGEFEED-DRIVEN IVFPQ MAINTENANCE — the ANN member of the
+    // corpus-follows-the-lake family (q427 dedup, q428 retrieval): the
+    // embedding corpus is a generation-pinned lake root (facade
+    // appends at g2, a pinned-DV takedown at g3) and the
+    // bucket-partitioned cells/codes tables follow the changefeed —
+    // upserts re-encode from the target snapshot against the FROZEN
+    // quantizers, removals purge from BOTH posting tables, only
+    // touched id-range buckets rewrite, and a taken-down vector can
+    // never be a candidate. Oracle = the full re-encode + ADC serve
+    // with the indexed corpus restricted to exactly the survivors.
+    Q("q429_ivfpq_changefeed",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val dir = graft.core.Scratch.dir("q429_acf")
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(_.getName.startsWith("acf_root__")).foreach(_.delete()))
+        val bw = 64L
+        val bucketOf = graft.pipeline.Incremental.idBucket($"vec_id", bw)
+        val bemb = emb.withColumn("bucket", bucketOf)
+        val prior = emb.filter($"vec_id" % 10 =!= 0)
+        val g1 = "00000001_aaa"
+        graft.io.LakeTable.commitSnapshot(s, dir, "acf_root", g1,
+          Seq(graft.io.LakeTable.RootPublish("acf_emb", "bucket",
+            bemb.filter($"vec_id" % 10 =!= 0).localCheckpoint(true))))
+        Versioned.write(Pq.trainCodebooks(s, prior, m = 1, subDim = 64,
+          k = 8), dir, "acfcoarse", g1)
+        Versioned.write(Pq.trainCodebooks(s, prior, m = 8, subDim = 8,
+          k = 4), dir, "acffine", g1)
+        val coarse0 = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "acfcoarse"))
+        val fine0 = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "acffine"))
+        Versioned.writePartitionedFull(
+          Pq.encode(prior, coarse0, m = 1, subDim = 64)
+            .select($"vec_id", $"cid".as("cell"))
+            .withColumn("bucket", bucketOf),
+          dir, "acfcells", Seq("bucket"))
+        Versioned.writePartitionedFull(
+          Pq.encode(prior, fine0, m = 8, subDim = 8)
+            .withColumn("bucket", bucketOf),
+          dir, "acfcodes", Seq("bucket"))
+        // g2: the %10 vectors land through the write facade (touched
+        // buckets republished whole — unchanged rows never feed)
+        val tb = bemb.filter($"vec_id" % 10 === 0)
+          .select($"bucket").distinct()
+        graft.io.LakeTable.commitSnapshot(s, dir, "acf_root",
+          "00000002_bbb",
+          Seq(graft.io.LakeTable.RootPublish("acf_emb", "bucket",
+            bemb.join(tb, Seq("bucket"), "left_semi")
+              .localCheckpoint(true))))
+        // g3: the %13 takedown of ORIGINAL vectors as a pinned delete
+        // batch (zero data files touched)
+        Versioned.commitSnapshotDeleteVectors(s, dir, "acf_root",
+          "acf_emb", "bucket", "vec_id",
+          bemb.filter($"vec_id" % 13 === 0 && $"vec_id" % 10 =!= 0)
+            .select($"bucket", $"vec_id").localCheckpoint(true),
+          "00000003_ccc")
+        graft.pipeline.Incremental.ivfPqChangefeedCycle(s, dir,
+            "acf_root", "acf_emb", "bucket", "acfcoarse", "acffine",
+            "acfcells", "acfcodes", g1, "00000003_ccc",
+            emb.filter($"vec_id" % 50 === 1), dim = 64, nProbe = 2,
+            m = 8, subDim = 8, k = 5, bucketWidth = bw)
+          .orderBy($"q_id", $"rank")
+      },
+      Some(ivfPqCycleOracleSql(id =>
+        s"NOT ($id % 13 = 0 AND $id % 10 <> 0)"))),
 
 
     // The frozen-quantizer honesty stat: per-cell population drift
@@ -1951,7 +2019,8 @@ object VectorQueries extends QueryPack {
     * (q376 object lane, q401 partitioned lane): train on the prior
     * corpus, assign ALL vectors against the frozen quantizers, serve.
     */
-  private def ivfPqCycleOracleSql: String =
+  private def ivfPqCycleOracleSql(
+      corpusPred: String => String = _ => "TRUE"): String =
     s"""WITH sub AS (
              |  SELECT vec_id, s,
              |    list_transform(embedding[(s*8+1):(s*8+8)],
@@ -1989,7 +2058,8 @@ object VectorQueries extends QueryPack {
              |      ${d2Sql("fullv.fv", "ccb.cent")} AS dd,
              |      row_number() OVER (PARTITION BY fullv.vec_id
              |        ORDER BY ${d2Sql("fullv.fv", "ccb.cent")}, ccb.cid) AS rn
-             |    FROM fullv CROSS JOIN ccb) WHERE rn = 1),
+             |    FROM fullv CROSS JOIN ccb
+             |    WHERE ${corpusPred("fullv.vec_id")}) WHERE rn = 1),
              |probes AS (
              |  SELECT q_id, cell FROM (
              |    SELECT q.vec_id AS q_id, ccb.cid AS cell,
@@ -2024,7 +2094,8 @@ object VectorQueries extends QueryPack {
              |d1 AS (
              |  SELECT sub.vec_id, sub.s, cb.cid,
              |    ${d2Sql("sub.sub", "cb.cent")} AS dd
-             |  FROM sub JOIN cb ON cb.s = sub.s),
+             |  FROM sub JOIN cb ON cb.s = sub.s
+             |  WHERE ${corpusPred("sub.vec_id")}),
              |codes AS (
              |  SELECT vec_id, s, cid FROM (
              |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
