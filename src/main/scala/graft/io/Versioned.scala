@@ -1056,6 +1056,37 @@ object Versioned {
     snapshotDiff(aligned(oldSide), aligned(newSide), keyCols)
   }
 
+  /** The catch-up loop of a changefeed CONSUMER: walk every committed
+    * manifest tag after `fromTag` (oldest first) and invoke
+    * `consume(prevTag, tag)` once per consecutive window — the
+    * maintenance cycles ([[graft.pipeline.Incremental
+    * .lshDedupChangefeedCycle]] and its BM25/IVFPQ twins) are the
+    * natural callbacks, [[snapshotChangefeed]] the natural read inside
+    * one. Returns the last tag consumed; the caller persists it as its
+    * cursor and passes it back next time (consume-once-per-window when
+    * the callback is idempotent per window, which the cycles are by
+    * their replay contracts). `fromTag` is the cursor itself — already
+    * consumed, not re-consumed — and must still be inside the GC
+    * retention window: a cursor older than retention cannot prove
+    * which windows it missed, so it REFUSES rather than silently
+    * skipping (re-bootstrap the consumer from a full read instead).
+    */
+  def followManifest(dir: String, manifestPrefix: String, fromTag: String)
+                    (consume: (String, String) => Unit): String = {
+    val tags = manifestTags(dir, manifestPrefix).reverse // oldest first
+    require(tags.contains(fromTag),
+      s"consumer cursor '$fromTag' is not a committed manifest tag of " +
+        s"'$manifestPrefix' (never committed, or outside the GC " +
+        "retention window) — the missed windows are unknowable; " +
+        "re-bootstrap from a full read")
+    val window = tags.dropWhile(_ != fromTag)
+    window.sliding(2).foreach {
+      case Seq(a, b) => consume(a, b)
+      case _ => // a single element: nothing new to consume
+    }
+    window.last
+  }
+
   /** Fold the pinned vectors in: rewrite ONLY the delete-carrying
     * partitions' data minus-deleted as generation `tag`, DROP those
     * partitions' DV pins, and commit once — reads before, during and

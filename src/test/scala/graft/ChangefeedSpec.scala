@@ -174,6 +174,29 @@ class ChangefeedSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(f01 == Set((2L, "changed"), (5L, "added")))
     assert(f12 == Set((3L, "changed"), (6L, "added")))
+
+    // the CONSUMER loop: followManifest walks every window after the
+    // cursor exactly once (oldest first), returns the new cursor, and
+    // a caught-up cursor consumes nothing
+    var seen = List.empty[(String, String)]
+    val cursor = Versioned.followManifest(dir, "cfm_root",
+      StreamLakeSink.batchTag(0L)) { (a, b) => seen :+= (a, b) }
+    assert(seen == List(
+      (StreamLakeSink.batchTag(0L), StreamLakeSink.batchTag(1L)),
+      (StreamLakeSink.batchTag(1L), StreamLakeSink.batchTag(2L))),
+      s"consumer walked the wrong windows: $seen")
+    assert(cursor == StreamLakeSink.batchTag(2L))
+    var n2 = 0
+    assert(Versioned.followManifest(dir, "cfm_root", cursor) {
+      (_, _) => n2 += 1 } == cursor && n2 == 0,
+      "a caught-up consumer must consume nothing")
+    // a cursor outside retention refuses — the missed windows are
+    // unknowable (re-bootstrap, don't silently skip)
+    intercept[IllegalArgumentException] {
+      Versioned.followManifest(dir, "cfm_root", "00000000000000000000_gone") {
+        (_, _) => ()
+      }
+    }
   }
 
   test("changefeed-driven LSH maintenance: post-cycle signature state ≡ full rebuild over the target snapshot") {
