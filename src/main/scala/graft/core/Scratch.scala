@@ -18,7 +18,12 @@ object Scratch {
     p
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  /** Depth-first delete — also the rerun-hygiene tool for fixtures
+    * whose cycle PUBLISHES new object versions (a later rep's
+    * `readLatest` would resolve the prior rep's output as fixture
+    * state; wiping the prefix restores a deterministic start).
+    */
+  def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()
     ()

@@ -1683,11 +1683,197 @@ object Incremental {
                            nProbe: Int, m: Int, subDim: Int, k: Int,
                            bucketWidth: Long,
                            filesPerPartition: Int = 1): DataFrame = {
+    import graft.ext.{IvfIndex, Pq}
+    val coarse = IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, coarsePrefix))
+    val fine = IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, finePrefix))
+    val delta = ivfPqFeedDelta(spark, dir, manifestPrefix, embPrefix,
+      partCol, fromTag, toTag, bucketWidth)
+    ivfPqMaintainServe(spark, dir, coarse, fine, cellsPrefix, codesPrefix,
+      delta, queries, dim, nProbe, m, subDim, k, bucketWidth,
+      filesPerPartition)
+  }
+
+  /** DRIFT-GATED changefeed IVFPQ maintenance — [[ivfPqChangefeedCycle]]
+    * composed with the [[annReclusterCycle]] honesty stat: incremental
+    * assign-only maintenance against FROZEN quantizers is a certified
+    * fast path only while the quantizer still fits the data, so before
+    * touching any state this cycle measures the feed window's upsert
+    * batch against the prior index with [[graft.ext.Pq.cellDrift]] and
+    * REFUSES the window when the total-variation drift trips `tvMilli`
+    * — maintaining through a distribution break would silently degrade
+    * recall for every later query, and refusal-then-rebuild (retrain
+    * from the target snapshot, the [[annReclusterCycle]] rebuild arm)
+    * beats a quietly rotting index. Three gate postures fall out of
+    * [[graft.ext.Pq.cellDrift]]'s empty-side contract:
+    *
+    *  - a pure-takedown window (no upserts, td=0) carries NO drift
+    *    evidence → never refused; removals purge as usual;
+    *  - a COLD index (tp=0, td>0) always refuses — the frozen quantizer
+    *    was trained on nothing resembling this corpus; bootstrap with a
+    *    full build instead of "maintaining" emptiness;
+    *  - otherwise tv_milli ≤ tvMilli admits the window and the
+    *    maintenance is exactly [[ivfPqChangefeedCycle]]'s.
+    *
+    * The branch read is ONE driver-side aggregate row (the suite's
+    * bounded-collect discipline); the statistic is exact-integer, so
+    * admit/refuse is bit-deterministic and oracle-replayable (q430
+    * carries `tv_milli` in its output for exactly that reason).
+    *
+    * @return the [[graft.ext.Pq.ivfPqServe]] rows over the maintained
+    *         index, each tagged with the window's `tv_milli`
+    */
+  def ivfPqChangefeedGatedCycle(spark: SparkSession, dir: String,
+                                manifestPrefix: String, embPrefix: String,
+                                partCol: String, coarsePrefix: String,
+                                finePrefix: String, cellsPrefix: String,
+                                codesPrefix: String, fromTag: String,
+                                toTag: String, queries: DataFrame,
+                                dim: Int, nProbe: Int, m: Int,
+                                subDim: Int, k: Int, bucketWidth: Long,
+                                tvMilli: Long,
+                                filesPerPartition: Int = 1): DataFrame = {
+    import graft.ext.{IvfIndex, Pq}
+    val coarse = IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, coarsePrefix))
+    val fine = IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, finePrefix))
+    val delta = ivfPqFeedDelta(spark, dir, manifestPrefix, embPrefix,
+      partCol, fromTag, toTag, bucketWidth)
+    val priorCells = Versioned.readPartitioned(spark, dir, cellsPrefix)
+      .drop("bucket")
+    val upsertCells = Pq.encode(delta.upsert, coarse, m = 1, subDim = dim)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val head = Pq.cellDrift(coarse, priorCells, upsertCells, tvMilli)
+      .select(col("tv_milli"), col("rebuild")).limit(1).collect()
+    require(head.nonEmpty,
+      s"ivfPqChangefeedGatedCycle: coarse quantizer '$coarsePrefix' has " +
+        "no cells — nothing to measure drift against; bootstrap the " +
+        "index with a full build before following the feed")
+    val tv = head(0).getLong(0)
+    require(!head(0).getBoolean(1),
+      s"gated changefeed maintenance of '$cellsPrefix' REFUSED: the " +
+        s"window '$fromTag' -> '$toTag' drifts tv_milli=$tv past the " +
+        s"$tvMilli threshold (or the index is cold) — assign-only " +
+        "maintenance against the frozen quantizer would degrade recall; " +
+        "retrain from the target snapshot (the annReclusterCycle " +
+        "rebuild arm), republish, then resume following the feed")
+    ivfPqMaintainServe(spark, dir, coarse, fine, cellsPrefix, codesPrefix,
+      delta, queries, dim, nProbe, m, subDim, k, bucketWidth,
+      filesPerPartition)
+      .withColumn("tv_milli", lit(tv))
+  }
+
+  /** SELF-HEALING changefeed IVFPQ maintenance —
+    * [[ivfPqChangefeedGatedCycle]] with the [[annReclusterCycle]]
+    * rebuild arm lifted onto the LAKE lane, so the consumer loop never
+    * has to stop: the feed window's upsert drift is measured exactly as
+    * the gated cycle does, and the branch EXECUTES instead of refusing:
+    *
+    *  - tv_milli ≤ tvMilli → ASSIGN: [[ivfPqChangefeedCycle]]'s
+    *    maintenance, O(feed) + O(touched buckets), quantizers frozen;
+    *  - tv_milli > tvMilli (or a cold index) → REBUILD: both quantizers
+    *    RETRAIN on the target snapshot's served corpus
+    *    ([[graft.io.Versioned.readSnapshotMergeOnRead]] at `toTag` —
+    *    pinned deletes excluded, so a taken-down vector cannot leak
+    *    into the new codebooks), publish as version `newTag` of the
+    *    quantizer object stores, and BOTH posting tables rewrite whole
+    *    ([[graft.io.Versioned.writePartitionedFull]]). This is the full
+    *    build cost, paid exactly when the statistic says the fast path
+    *    would degrade recall — the q379 contract, with the training
+    *    corpus now the lake's merge-on-read view instead of a raw
+    *    object.
+    *
+    * Both branches serve from the state they just published; the output
+    * carries (tv_milli, path) so the decision is auditable and
+    * oracle-replayable (q432 derives the SAME branch from its own
+    * replay — neither side hardcodes it).
+    *
+    * @return [[graft.ext.Pq.ivfPqServe]] rows + (tv_milli, path)
+    */
+  def ivfPqChangefeedAutoCycle(spark: SparkSession, dir: String,
+                               manifestPrefix: String, embPrefix: String,
+                               partCol: String, coarsePrefix: String,
+                               finePrefix: String, cellsPrefix: String,
+                               codesPrefix: String, fromTag: String,
+                               toTag: String, queries: DataFrame,
+                               dim: Int, nProbe: Int, m: Int,
+                               subDim: Int, k: Int, kCells: Int,
+                               kSub: Int, bucketWidth: Long,
+                               tvMilli: Long, newTag: String,
+                               filesPerPartition: Int = 1): DataFrame = {
     import graft.ext.{Exec, IvfIndex, Pq}
     val coarse = IvfIndex.materializeLocal(spark,
       Versioned.readLatest(spark, dir, coarsePrefix))
     val fine = IvfIndex.materializeLocal(spark,
       Versioned.readLatest(spark, dir, finePrefix))
+    val delta = ivfPqFeedDelta(spark, dir, manifestPrefix, embPrefix,
+      partCol, fromTag, toTag, bucketWidth)
+    val priorCells = Versioned.readPartitioned(spark, dir, cellsPrefix)
+      .drop("bucket")
+    val upsertCells = Pq.encode(delta.upsert, coarse, m = 1, subDim = dim)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val head = Pq.cellDrift(coarse, priorCells, upsertCells, tvMilli)
+      .select(col("tv_milli"), col("rebuild")).limit(1).collect()
+    require(head.nonEmpty,
+      s"ivfPqChangefeedAutoCycle: coarse quantizer '$coarsePrefix' has " +
+        "no cells — bootstrap the index with a full build first")
+    val tv = head(0).getLong(0)
+    val doRebuild = head(0).getBoolean(1)
+    val serve =
+      if (!doRebuild)
+        ivfPqMaintainServe(spark, dir, coarse, fine, cellsPrefix,
+          codesPrefix, delta, queries, dim, nProbe, m, subDim, k,
+          bucketWidth, filesPerPartition)
+      else {
+        val corpus = Exec.checkpointEager(
+          Versioned.readSnapshotMergeOnRead(spark, dir, manifestPrefix,
+            embPrefix, partCol, "vec_id", asOfTag = Some(toTag))
+            .drop(partCol))
+        val coarse2raw = Pq.trainCodebooks(spark, corpus, m = 1,
+          subDim = dim, k = kCells)
+        val fine2raw = Pq.trainCodebooks(spark, corpus, m, subDim,
+          k = kSub)
+        Versioned.write(coarse2raw, dir, coarsePrefix, newTag)
+        Versioned.write(fine2raw, dir, finePrefix, newTag)
+        val coarse2 = IvfIndex.materializeLocal(spark, coarse2raw)
+        val fine2 = IvfIndex.materializeLocal(spark, fine2raw)
+        Versioned.writePartitionedFull(
+          Pq.encode(corpus, coarse2, m = 1, subDim = dim)
+            .select(col("vec_id"), col("cid").as("cell"))
+            .withColumn("bucket", idBucket(col("vec_id"), bucketWidth)),
+          dir, cellsPrefix, Seq("bucket"), filesPerPartition)
+        Versioned.writePartitionedFull(
+          Pq.encode(corpus, fine2, m, subDim)
+            .withColumn("bucket", idBucket(col("vec_id"), bucketWidth)),
+          dir, codesPrefix, Seq("bucket"), filesPerPartition)
+        Pq.ivfPqServe(queries,
+          Versioned.readPartitioned(spark, dir, cellsPrefix)
+            .drop("bucket"),
+          Versioned.readPartitioned(spark, dir, codesPrefix)
+            .drop("bucket"),
+          coarse2, fine2, dim, nProbe, m, subDim, k)
+      }
+    serve.withColumn("tv_milli", lit(tv))
+      .withColumn("path", lit(if (doRebuild) "rebuild" else "assign"))
+  }
+
+  /** A feed window resolved to the IVFPQ maintenance inputs: the
+    * upserted vectors re-read from the TARGET snapshot (churned
+    * partitions only), the full touched id set (upserts ∪ removals),
+    * and the id-range buckets those ids rewrite.
+    */
+  private case class IvfFeedDelta(upsert: DataFrame,
+                                  touchedIds: DataFrame,
+                                  touched: Seq[Long])
+
+  private def ivfPqFeedDelta(spark: SparkSession, dir: String,
+                             manifestPrefix: String, embPrefix: String,
+                             partCol: String, fromTag: String,
+                             toTag: String,
+                             bucketWidth: Long): IvfFeedDelta = {
+    import graft.ext.Exec
     val feed = Exec.checkpointEager(Versioned.snapshotChangefeed(spark,
       dir, manifestPrefix, embPrefix, partCol, Seq("vec_id"), fromTag,
       toTag))
@@ -1713,21 +1899,33 @@ object Incremental {
     val touched = touchedIds
       .select(idBucket(col("vec_id"), bucketWidth).as("bucket"))
       .distinct().collect().map(_.getLong(0)).toSeq
+    IvfFeedDelta(upsert, touchedIds, touched)
+  }
+
+  private def ivfPqMaintainServe(spark: SparkSession, dir: String,
+                                 coarse: DataFrame, fine: DataFrame,
+                                 cellsPrefix: String, codesPrefix: String,
+                                 delta: IvfFeedDelta, queries: DataFrame,
+                                 dim: Int, nProbe: Int, m: Int,
+                                 subDim: Int, k: Int, bucketWidth: Long,
+                                 filesPerPartition: Int): DataFrame = {
+    import graft.ext.{Exec, Pq}
     def publish(prefix: String, dRows: DataFrame): Unit = {
-      if (touched.nonEmpty)
+      if (delta.touched.nonEmpty)
         Versioned.overwriteTouchedPartitions(
           Exec.checkpointEager(
             Versioned.readPartitions(spark, dir, prefix, "bucket",
-                touched)
-              .join(touchedIds, Seq("vec_id"), "left_anti")
+                delta.touched)
+              .join(delta.touchedIds, Seq("vec_id"), "left_anti")
               .unionByName(dRows.withColumn("bucket",
                 idBucket(col("vec_id"), bucketWidth)))),
-          dir, prefix, "bucket", touched, filesPerPartition)
+          dir, prefix, "bucket", delta.touched, filesPerPartition)
       ()
     }
-    publish(cellsPrefix, Pq.encode(upsert, coarse, m = 1, subDim = dim)
-      .select(col("vec_id"), col("cid").as("cell")))
-    publish(codesPrefix, Pq.encode(upsert, fine, m, subDim))
+    publish(cellsPrefix,
+      Pq.encode(delta.upsert, coarse, m = 1, subDim = dim)
+        .select(col("vec_id"), col("cid").as("cell")))
+    publish(codesPrefix, Pq.encode(delta.upsert, fine, m, subDim))
     Pq.ivfPqServe(queries,
       Versioned.readPartitioned(spark, dir, cellsPrefix).drop("bucket"),
       Versioned.readPartitioned(spark, dir, codesPrefix).drop("bucket"),

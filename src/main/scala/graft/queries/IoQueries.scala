@@ -3301,7 +3301,87 @@ object IoQueries extends QueryPack {
           .orderBy($"rnk")
       },
       Some(bm25ServeOracleSql(
-        "WHERE NOT (doc_id % 13 = 0 AND doc_id % 17 <> 0)")))
+        "WHERE NOT (doc_id % 13 = 0 AND doc_id % 17 <> 0)"))),
+
+    // CONTINUOUS maintenance through the consumer loop — followManifest
+    // walks every committed window after the cursor (oldest first) and
+    // the BM25 index follows window by window: g1→g2 an append batch,
+    // g2→g3 an EDIT batch (republished buckets where only the %19 docs'
+    // text changed — the feed surfaces exactly those as `changed`, the
+    // ride-along rows never feed, and the cycle purges + re-tokenizes
+    // just the edits), g3→g4 a pinned-DV takedown. Each window's
+    // maintenance consumes the state the previous window published —
+    // the composition a single-window gate (q428) cannot exercise —
+    // and the loop returns the caught-up cursor. Oracle = the full
+    // BM25 rebuild + serve over exactly the final corpus (survivors,
+    // with the %19 edits applied).
+    Q("q431_bm25_follow",
+      (s, d) => {
+        import s.implicits._
+        val dir = graft.core.Scratch.dir("q431_bfl")
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(_.getName.startsWith("bfl_root__")).foreach(_.delete()))
+        val docs = Tables.documents(s, d)
+        val bw = 64L
+        val bucketOf = graft.pipeline.Incremental.idBucket($"doc_id", bw)
+        val bdocs = docs.withColumn("bucket", bucketOf)
+        val g1 = "00000001_aaa"
+        graft.io.LakeTable.commitSnapshot(s, dir, "bfl_root", g1,
+          Seq(graft.io.LakeTable.RootPublish("bfl_docs", "bucket",
+            bdocs.filter($"doc_id" % 17 =!= 0).localCheckpoint(true))))
+        Versioned.writePartitionedFull(
+          docs.filter($"doc_id" % 17 =!= 0)
+            .select($"doc_id".as("id"),
+              explode(graft.ext.TextAnalysis.tokens($"text")).as("tok"))
+            .groupBy($"id", $"tok").agg(count(lit(1)).as("tf"))
+            .withColumn("bucket",
+              graft.pipeline.Incremental.idBucket($"id", bw)),
+          dir, "bfl_post", Seq("bucket"))
+        // g2: the %17 appends (touched buckets republished whole)
+        val tb2 = bdocs.filter($"doc_id" % 17 === 0)
+          .select($"bucket").distinct()
+        graft.io.LakeTable.commitSnapshot(s, dir, "bfl_root",
+          "00000002_bbb",
+          Seq(graft.io.LakeTable.RootPublish("bfl_docs", "bucket",
+            bdocs.join(tb2, Seq("bucket"), "left_semi")
+              .localCheckpoint(true))))
+        // g3: the %19 docs' text is EDITED in place — their buckets
+        // republish whole, unchanged ride-along rows never feed
+        val edited = bdocs.withColumn("text",
+          when($"doc_id" % 19 === 0, concat($"text", lit(" melon melon")))
+            .otherwise($"text"))
+        val tb3 = bdocs.filter($"doc_id" % 19 === 0)
+          .select($"bucket").distinct()
+        graft.io.LakeTable.commitSnapshot(s, dir, "bfl_root",
+          "00000003_ccc",
+          Seq(graft.io.LakeTable.RootPublish("bfl_docs", "bucket",
+            edited.join(tb3, Seq("bucket"), "left_semi")
+              .localCheckpoint(true))))
+        // g4: the %13 takedown of ORIGINAL docs as a pinned delete batch
+        Versioned.commitSnapshotDeleteVectors(s, dir, "bfl_root",
+          "bfl_docs", "bucket", "doc_id",
+          bdocs.filter($"doc_id" % 13 === 0 && $"doc_id" % 17 =!= 0)
+            .select($"bucket", $"doc_id").localCheckpoint(true),
+          "00000004_ddd")
+        // the consumer loop: one maintenance cycle per committed window
+        var serve: org.apache.spark.sql.DataFrame = null
+        val cursor = Versioned.followManifest(dir, "bfl_root", g1) {
+          (a, b) =>
+            serve = graft.pipeline.Incremental.bm25ChangefeedCycle(s, dir,
+              "bfl_root", "bfl_docs", "bucket", "doc_id", "text", a, b,
+              "bfl_post", qTerms = 3, k = 10, bucketWidth = bw)
+        }
+        require(cursor == "00000004_ddd",
+          s"consumer did not catch up: cursor '$cursor'")
+        serve.orderBy($"rnk")
+      },
+      Some(bm25ServeOracleSql(
+        "WHERE NOT (doc_id % 13 = 0 AND doc_id % 17 <> 0)",
+        corpus = """(SELECT doc_id,
+                    |    CASE WHEN doc_id % 19 = 0
+                    |         THEN text || ' melon melon' ELSE text END
+                    |      AS text
+                    |  FROM documents)""".stripMargin)))
   )
 
   /** Full-corpus replay oracle for the incremental LSH dedup cycles
@@ -3401,12 +3481,13 @@ object IoQueries extends QueryPack {
     * docs selected by `whereSql` (empty = whole corpus), hottest-cf
     * 3-term panel, per-term micro-rounding, top-10.
     */
-  private def bm25ServeOracleSql(whereSql: String): String =
+  private def bm25ServeOracleSql(whereSql: String,
+                                 corpus: String = "documents"): String =
     s"""WITH post AS (
        |  SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf
        |  FROM (SELECT doc_id,
        |          unnest(string_split_regex(trim(text), '\\s+')) AS tok
-       |        FROM documents $whereSql)
+       |        FROM $corpus $whereSql)
        |  GROUP BY 1, 2),
        |st AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS nd,
        |        CAST(sum(tf) AS BIGINT) AS tot FROM post),

@@ -1792,8 +1792,164 @@ object VectorQueries extends QueryPack {
             m = 8, subDim = 8, k = 5, bucketWidth = bw)
           .orderBy($"q_id", $"rank")
       },
-      Some(ivfPqCycleOracleSql(id =>
-        s"NOT ($id % 13 = 0 AND $id % 10 <> 0)"))),
+      Some(ivfPqCycleOracleSql(
+        "NOT (vec_id % 13 = 0 AND vec_id % 10 <> 0)"))),
+
+    // DRIFT-GATED changefeed IVFPQ maintenance — q429 composed with the
+    // q377/q379 honesty stat: before the feed window touches any index
+    // state, the upsert batch's cell-share drift against the prior
+    // index is measured (Pq.cellDrift, exact integer TV) and a window
+    // past the threshold REFUSES incremental maintenance (assign-only
+    // against frozen quantizers would silently degrade recall — the
+    // refusal routes the caller to the annReclusterCycle rebuild arm;
+    // ChangefeedSpec pins the refusal and the no-state-touched
+    // guarantee). Here the window admits, and the output carries the
+    // window's tv_milli so the oracle proves decision ∧ serve together:
+    // the DuckDB side replays the same TV statistic over the same two
+    // slices, and green means the gate read the same number.
+    Q("q430_ivfpq_changefeed_gated",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val dir = graft.core.Scratch.dir("q430_agf")
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(_.getName.startsWith("agf_root__")).foreach(_.delete()))
+        val bw = 64L
+        val bucketOf = graft.pipeline.Incremental.idBucket($"vec_id", bw)
+        val bemb = emb.withColumn("bucket", bucketOf)
+        val prior = emb.filter($"vec_id" % 10 =!= 0)
+        val g1 = "00000001_aaa"
+        graft.io.LakeTable.commitSnapshot(s, dir, "agf_root", g1,
+          Seq(graft.io.LakeTable.RootPublish("agf_emb", "bucket",
+            bemb.filter($"vec_id" % 10 =!= 0).localCheckpoint(true))))
+        Versioned.write(Pq.trainCodebooks(s, prior, m = 1, subDim = 64,
+          k = 8), dir, "agfcoarse", g1)
+        Versioned.write(Pq.trainCodebooks(s, prior, m = 8, subDim = 8,
+          k = 4), dir, "agffine", g1)
+        val coarse0 = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "agfcoarse"))
+        val fine0 = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "agffine"))
+        Versioned.writePartitionedFull(
+          Pq.encode(prior, coarse0, m = 1, subDim = 64)
+            .select($"vec_id", $"cid".as("cell"))
+            .withColumn("bucket", bucketOf),
+          dir, "agfcells", Seq("bucket"))
+        Versioned.writePartitionedFull(
+          Pq.encode(prior, fine0, m = 8, subDim = 8)
+            .withColumn("bucket", bucketOf),
+          dir, "agfcodes", Seq("bucket"))
+        val tb = bemb.filter($"vec_id" % 10 === 0)
+          .select($"bucket").distinct()
+        graft.io.LakeTable.commitSnapshot(s, dir, "agf_root",
+          "00000002_bbb",
+          Seq(graft.io.LakeTable.RootPublish("agf_emb", "bucket",
+            bemb.join(tb, Seq("bucket"), "left_semi")
+              .localCheckpoint(true))))
+        Versioned.commitSnapshotDeleteVectors(s, dir, "agf_root",
+          "agf_emb", "bucket", "vec_id",
+          bemb.filter($"vec_id" % 13 === 0 && $"vec_id" % 10 =!= 0)
+            .select($"bucket", $"vec_id").localCheckpoint(true),
+          "00000003_ccc")
+        graft.pipeline.Incremental.ivfPqChangefeedGatedCycle(s, dir,
+            "agf_root", "agf_emb", "bucket", "agfcoarse", "agffine",
+            "agfcells", "agfcodes", g1, "00000003_ccc",
+            emb.filter($"vec_id" % 50 === 1), dim = 64, nProbe = 2,
+            m = 8, subDim = 8, k = 5, bucketWidth = bw, tvMilli = 999L)
+          .orderBy($"q_id", $"rank")
+      },
+      Some(ivfPqCycleOracleSql(
+        "NOT (vec_id % 13 = 0 AND vec_id % 10 <> 0)",
+        tvPreds = Some(("vec_id % 10 <> 0", "vec_id % 10 = 0"))))),
+
+    // SELF-HEALING changefeed IVFPQ maintenance — q430's gate with the
+    // q379 rebuild arm lifted onto the LAKE lane, so the consumer loop
+    // never stops: the prior index is trained on everything BELOW the
+    // first component's upper tail (micro-int <= 250000) and the feed
+    // window lands exactly that tail — a genuine distribution break
+    // whose cell-share drift the gate measures. tv past the threshold makes
+    // the cycle RETRAIN both quantizers on the target snapshot's
+    // merge-on-read corpus (pinned takedowns excluded from the new
+    // codebooks), republish them as the next quantizer version, and
+    // rewrite both posting tables whole; below the threshold it is
+    // q429's O(feed) maintenance. Neither engine hardcodes the branch:
+    // the output carries (tv_milli, path) and the oracle replays BOTH
+    // complete chains plus the same TV statistic, gating each branch's
+    // rows on it — green proves decision ∧ chosen path together.
+    Q("q432_ivfpq_changefeed_auto",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val dir = graft.core.Scratch.dir("q432_aau")
+        // rerun hygiene: wipe the manifests AND the quantizer object
+        // versions (a prior rep's rebuild published a newer version
+        // that readLatest would otherwise resolve as fixture state)
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(f => f.getName.startsWith("aau_root__") ||
+            f.getName.startsWith("aaucoarse__") ||
+            f.getName.startsWith("aaufine__"))
+          .foreach(graft.core.Scratch.deleteRecursively))
+        val bw = 64L
+        val bucketOf = graft.pipeline.Incremental.idBucket($"vec_id", bw)
+        // the distribution break, in micro-int space on BOTH engines:
+        // the prior index never saw the first component's upper tail,
+        // and the feed window lands exactly that tail — a small batch
+        // concentrated in the few nearest cells, the strongest
+        // cell-share drift a real ingest produces
+        val hs = round(element_at($"embedding", 1).cast("double")
+          * 1000000, 0).cast("long") > 250000L
+        val bemb = emb.withColumn("bucket", bucketOf)
+        val prior = emb.filter(!hs)
+        val g1 = "00000001_aaa"
+        graft.io.LakeTable.commitSnapshot(s, dir, "aau_root", g1,
+          Seq(graft.io.LakeTable.RootPublish("aau_emb", "bucket",
+            bemb.filter(!hs).localCheckpoint(true))))
+        Versioned.write(Pq.trainCodebooks(s, prior, m = 1, subDim = 64,
+          k = 8), dir, "aaucoarse", g1)
+        Versioned.write(Pq.trainCodebooks(s, prior, m = 8, subDim = 8,
+          k = 4), dir, "aaufine", g1)
+        val coarse0 = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "aaucoarse"))
+        val fine0 = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "aaufine"))
+        Versioned.writePartitionedFull(
+          Pq.encode(prior, coarse0, m = 1, subDim = 64)
+            .select($"vec_id", $"cid".as("cell"))
+            .withColumn("bucket", bucketOf),
+          dir, "aaucells", Seq("bucket"))
+        Versioned.writePartitionedFull(
+          Pq.encode(prior, fine0, m = 8, subDim = 8)
+            .withColumn("bucket", bucketOf),
+          dir, "aaucodes", Seq("bucket"))
+        // g2: the other half-space lands (touched buckets whole)
+        val tb = bemb.filter(hs).select($"bucket").distinct()
+        graft.io.LakeTable.commitSnapshot(s, dir, "aau_root",
+          "00000002_bbb",
+          Seq(graft.io.LakeTable.RootPublish("aau_emb", "bucket",
+            bemb.join(tb, Seq("bucket"), "left_semi")
+              .localCheckpoint(true))))
+        // g3: the %13 takedown of ORIGINAL vectors as a pinned batch
+        Versioned.commitSnapshotDeleteVectors(s, dir, "aau_root",
+          "aau_emb", "bucket", "vec_id",
+          bemb.filter($"vec_id" % 13 === 0 && !hs)
+            .select($"bucket", $"vec_id").localCheckpoint(true),
+          "00000003_ccc")
+        graft.pipeline.Incremental.ivfPqChangefeedAutoCycle(s, dir,
+            "aau_root", "aau_emb", "bucket", "aaucoarse", "aaufine",
+            "aaucells", "aaucodes", g1, "00000003_ccc",
+            emb.filter($"vec_id" % 50 === 1), dim = 64, nProbe = 2,
+            m = 8, subDim = 8, k = 5, kCells = 8, kSub = 4,
+            bucketWidth = bw, tvMilli = 250L, newTag = "00000004_idx")
+          .orderBy($"q_id", $"rank")
+      },
+      Some({
+        val hsSql = "CAST(round(CAST(embedding[1] AS DOUBLE)*1000000) " +
+          "AS BIGINT) > 250000"
+        ivfPqAutoOracleSql(250L,
+          trainPriorWhere = s"NOT ($hsSql)",
+          upsertWhere = hsSql,
+          survivorsWhere = s"NOT (vec_id % 13 = 0 AND NOT ($hsSql))")
+      })),
 
 
     // The frozen-quantizer honesty stat: per-cell population drift
@@ -2015,109 +2171,228 @@ object VectorQueries extends QueryPack {
              |ORDER BY cycle, cell""".stripMargin))
   )
 
+  /** CTEs shared by every IVFPQ oracle chain: micro-int subvectors and
+    * full vectors, their positional explosions (Lloyd-step inputs), and
+    * the `%50 = 1` query panel.
+    */
+  private def ivfPqSharedCtes: String =
+    """sub AS (
+      |  SELECT vec_id, s,
+      |    list_transform(embedding[(s*8+1):(s*8+8)],
+      |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS sub
+      |  FROM embeddings CROSS JOIN range(0, 8) ss(s)),
+      |fullv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS fv
+      |  FROM embeddings),
+      |cfp AS (
+      |  SELECT vec_id, unnest(list_transform(fv,
+      |    (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}), recursive := true)
+      |  FROM fullv),
+      |subp AS (
+      |  SELECT vec_id, s,
+      |    unnest(list_transform(sub, (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}),
+      |      recursive := true)
+      |  FROM sub),
+      |qsub AS (SELECT vec_id AS q_id, s, sub FROM sub WHERE vec_id % 50 = 1)"""
+      .stripMargin
+
+  /** One full IVFPQ train → assign → ADC chain, suffix-namespaced so
+    * two chains with DIFFERENT training corpora can coexist in a single
+    * oracle (the q432 branched replay): coarse (k=8) and fine (m=8,
+    * k=4) codebooks train on `trainWhere`'s rows (seeds = lowest
+    * vec_ids, one exact-integer Lloyd step — [[graft.ext.Pq
+    * .trainCodebooks]]), `corpusWhere`'s rows index, the shared `qsub`
+    * panel probes 2 lists. Emits CTEs ending in `adc$sfx`; expects
+    * [[ivfPqSharedCtes]] in scope. Both predicates are SQL over the
+    * raw `embeddings` table (vec_id, embedding).
+    */
+  private def ivfPqServeCtes(sfx: String, trainWhere: String,
+                             corpusWhere: String): String =
+    s"""trainv$sfx AS (SELECT vec_id FROM embeddings WHERE $trainWhere),
+       |corpv$sfx AS (SELECT vec_id FROM embeddings WHERE $corpusWhere),
+       |cseeds$sfx AS (
+       |  SELECT vec_id AS cid, fv AS cent FROM fullv
+       |  WHERE vec_id IN (SELECT vec_id FROM trainv$sfx
+       |    ORDER BY vec_id LIMIT 8)),
+       |cd0$sfx AS (
+       |  SELECT fullv.vec_id, cseeds$sfx.cid,
+       |    ${d2Sql("fullv.fv", s"cseeds$sfx.cent")} AS dd
+       |  FROM fullv CROSS JOIN cseeds$sfx
+       |  WHERE fullv.vec_id IN (SELECT vec_id FROM trainv$sfx)),
+       |ca0$sfx AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+       |    FROM cd0$sfx) WHERE rn = 1),
+       |ccbp$sfx AS (
+       |  SELECT ca0$sfx.cid, p.pos,
+       |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
+       |  FROM ca0$sfx JOIN cfp p ON p.vec_id = ca0$sfx.vec_id
+       |  GROUP BY 1, 2),
+       |ccb$sfx AS (SELECT cid, list(c ORDER BY pos) AS cent FROM ccbp$sfx GROUP BY 1),
+       |cells$sfx AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT fullv.vec_id, ccb$sfx.cid,
+       |      ${d2Sql("fullv.fv", s"ccb$sfx.cent")} AS dd,
+       |      row_number() OVER (PARTITION BY fullv.vec_id
+       |        ORDER BY ${d2Sql("fullv.fv", s"ccb$sfx.cent")}, ccb$sfx.cid) AS rn
+       |    FROM fullv CROSS JOIN ccb$sfx
+       |    WHERE fullv.vec_id IN (SELECT vec_id FROM corpv$sfx)) WHERE rn = 1),
+       |probes$sfx AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.vec_id AS q_id, ccb$sfx.cid AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${d2Sql("q.fv", s"ccb$sfx.cent")}, ccb$sfx.cid) AS pr
+       |    FROM fullv q CROSS JOIN ccb$sfx WHERE q.vec_id % 50 = 1)
+       |  WHERE pr <= 2),
+       |seeds$sfx AS (
+       |  SELECT s, vec_id AS cid, sub AS cent FROM sub
+       |  WHERE vec_id IN (SELECT vec_id FROM trainv$sfx
+       |    ORDER BY vec_id LIMIT 4)),
+       |d0$sfx AS (
+       |  SELECT sub.vec_id, sub.s, seeds$sfx.cid,
+       |    ${d2Sql("sub.sub", s"seeds$sfx.cent")} AS dd
+       |  FROM sub JOIN seeds$sfx ON seeds$sfx.s = sub.s
+       |  WHERE sub.vec_id IN (SELECT vec_id FROM trainv$sfx)),
+       |a0$sfx AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
+       |    FROM d0$sfx) WHERE rn = 1),
+       |cbp$sfx AS (
+       |  SELECT a0$sfx.s, a0$sfx.cid, p.pos,
+       |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
+       |  FROM a0$sfx JOIN subp p ON p.vec_id = a0$sfx.vec_id AND p.s = a0$sfx.s
+       |  GROUP BY 1, 2, 3),
+       |cb$sfx AS (SELECT s, cid, list(c ORDER BY pos) AS cent FROM cbp$sfx GROUP BY 1, 2),
+       |d1$sfx AS (
+       |  SELECT sub.vec_id, sub.s, cb$sfx.cid,
+       |    ${d2Sql("sub.sub", s"cb$sfx.cent")} AS dd
+       |  FROM sub JOIN cb$sfx ON cb$sfx.s = sub.s
+       |  WHERE sub.vec_id IN (SELECT vec_id FROM corpv$sfx)),
+       |codes$sfx AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
+       |    FROM d1$sfx) WHERE rn = 1),
+       |tab$sfx AS (
+       |  SELECT q_id, cb$sfx.s, cb$sfx.cid, ${d2Sql("qsub.sub", s"cb$sfx.cent")} AS dt
+       |  FROM qsub JOIN cb$sfx ON cb$sfx.s = qsub.s),
+       |cand$sfx AS (
+       |  SELECT p.q_id, cells$sfx.vec_id
+       |  FROM cells$sfx JOIN probes$sfx p ON p.cell = cells$sfx.cell
+       |  WHERE p.q_id != cells$sfx.vec_id),
+       |adc$sfx AS (
+       |  SELECT cand$sfx.q_id, cand$sfx.vec_id AS n_id,
+       |    CAST(sum(t.dt) AS BIGINT) AS adc_d2
+       |  FROM cand$sfx JOIN codes$sfx c ON c.vec_id = cand$sfx.vec_id
+       |  JOIN tab$sfx t ON t.q_id = cand$sfx.q_id AND t.s = c.s AND t.cid = c.cid
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The [[graft.ext.Pq.cellDrift]] total-variation replay: per-cell
+    * populations of the `priorWhere` and `deltaWhere` slices (both SQL
+    * over `embeddings`), assigned against the `ccb$sfx` quantizer,
+    * milli shares, integer TV. Emits a one-row `tv(tv_milli)` CTE.
+    */
+  private def ivfPqDriftCtes(sfx: String, priorWhere: String,
+                             deltaWhere: String): String =
+    s"""cellsAll AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT fullv.vec_id, ccb$sfx.cid,
+       |      row_number() OVER (PARTITION BY fullv.vec_id
+       |        ORDER BY ${d2Sql("fullv.fv", s"ccb$sfx.cent")}, ccb$sfx.cid) AS rn
+       |    FROM fullv CROSS JOIN ccb$sfx) WHERE rn = 1),
+       |dbase AS (
+       |  SELECT ccb$sfx.cid AS cell,
+       |    coalesce(p.n_prior, 0) AS n_prior,
+       |    coalesce(q.n_delta, 0) AS n_delta
+       |  FROM ccb$sfx
+       |  LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n_prior
+       |    FROM cellsAll WHERE vec_id IN
+       |      (SELECT vec_id FROM embeddings WHERE $priorWhere)
+       |    GROUP BY 1) p ON p.cell = ccb$sfx.cid
+       |  LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n_delta
+       |    FROM cellsAll WHERE vec_id IN
+       |      (SELECT vec_id FROM embeddings WHERE $deltaWhere)
+       |    GROUP BY 1) q ON q.cell = ccb$sfx.cid),
+       |dtot AS (SELECT CAST(sum(n_prior) AS BIGINT) AS tp,
+       |  CAST(sum(n_delta) AS BIGINT) AS td FROM dbase),
+       |dm AS (
+       |  SELECT abs(
+       |    CAST(round(CAST(n_delta AS DOUBLE) * CAST(1000 AS DOUBLE)
+       |      / CAST(td AS DOUBLE)) AS BIGINT)
+       |    - CAST(round(CAST(n_prior AS DOUBLE) * CAST(1000 AS DOUBLE)
+       |      / CAST(tp AS DOUBLE)) AS BIGINT)) AS dr
+       |  FROM dbase CROSS JOIN dtot),
+       |tv AS (SELECT CAST(sum(dr) AS BIGINT) // 2 AS tv_milli FROM dm)"""
+      .stripMargin
+
   /** Full-reprocess oracle for the incremental IVFPQ cycles
     * (q376 object lane, q401 partitioned lane): train on the prior
-    * corpus, assign ALL vectors against the frozen quantizers, serve.
+    * (`vec_id % 10 <> 0`) corpus, assign `corpusWhere`'s vectors
+    * against the frozen quantizers, serve. With `tvPreds =
+    * Some((priorWhere, deltaWhere))` the oracle ALSO replays the
+    * [[graft.ext.Pq.cellDrift]] total-variation statistic between
+    * those two slices' cell populations and carries `tv_milli` on
+    * every row — the q430 gate proves decision ∧ serve together.
     */
   private def ivfPqCycleOracleSql(
-      corpusPred: String => String = _ => "TRUE"): String =
-    s"""WITH sub AS (
-             |  SELECT vec_id, s,
-             |    list_transform(embedding[(s*8+1):(s*8+8)],
-             |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS sub
-             |  FROM embeddings CROSS JOIN range(0, 8) ss(s)),
-             |fullv AS (
-             |  SELECT vec_id, list_transform(embedding,
-             |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS fv
-             |  FROM embeddings),
-             |cseeds AS (
-             |  SELECT vec_id AS cid, fv AS cent FROM fullv
-             |  WHERE vec_id IN (SELECT vec_id FROM embeddings
-             |    WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 8)),
-             |cd0 AS (
-             |  SELECT fullv.vec_id, cseeds.cid,
-             |    ${d2Sql("fullv.fv", "cseeds.cent")} AS dd
-             |  FROM fullv CROSS JOIN cseeds WHERE fullv.vec_id % 10 <> 0),
-             |ca0 AS (
-             |  SELECT vec_id, cid FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
-             |    FROM cd0) WHERE rn = 1),
-             |cfp AS (
-             |  SELECT vec_id, unnest(list_transform(fv,
-             |    (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}), recursive := true)
-             |  FROM fullv),
-             |ccbp AS (
-             |  SELECT ca0.cid, p.pos,
-             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
-             |  FROM ca0 JOIN cfp p ON p.vec_id = ca0.vec_id
-             |  GROUP BY 1, 2),
-             |ccb AS (SELECT cid, list(c ORDER BY pos) AS cent FROM ccbp GROUP BY 1),
-             |cells AS (
-             |  SELECT vec_id, cid AS cell FROM (
-             |    SELECT fullv.vec_id, ccb.cid,
-             |      ${d2Sql("fullv.fv", "ccb.cent")} AS dd,
-             |      row_number() OVER (PARTITION BY fullv.vec_id
-             |        ORDER BY ${d2Sql("fullv.fv", "ccb.cent")}, ccb.cid) AS rn
-             |    FROM fullv CROSS JOIN ccb
-             |    WHERE ${corpusPred("fullv.vec_id")}) WHERE rn = 1),
-             |probes AS (
-             |  SELECT q_id, cell FROM (
-             |    SELECT q.vec_id AS q_id, ccb.cid AS cell,
-             |      row_number() OVER (PARTITION BY q.vec_id
-             |        ORDER BY ${d2Sql("q.fv", "ccb.cent")}, ccb.cid) AS pr
-             |    FROM fullv q CROSS JOIN ccb WHERE q.vec_id % 50 = 1)
-             |  WHERE pr <= 2),
-             |seeds AS (
-             |  SELECT s, vec_id AS cid, sub AS cent FROM sub
-             |  WHERE vec_id IN (SELECT vec_id FROM embeddings
-             |    WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 4)),
-             |d0 AS (
-             |  SELECT sub.vec_id, sub.s, seeds.cid,
-             |    ${d2Sql("sub.sub", "seeds.cent")} AS dd
-             |  FROM sub JOIN seeds ON seeds.s = sub.s
-             |  WHERE sub.vec_id % 10 <> 0),
-             |a0 AS (
-             |  SELECT vec_id, s, cid FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
-             |    FROM d0) WHERE rn = 1),
-             |subp AS (
-             |  SELECT vec_id, s,
-             |    unnest(list_transform(sub, (x,i) -> {'pos': CAST(i AS BIGINT), 'xm': x}),
-             |      recursive := true)
-             |  FROM sub),
-             |cbp AS (
-             |  SELECT a0.s, a0.cid, p.pos,
-             |    CAST(round(CAST(sum(p.xm) AS DOUBLE)/count(*)) AS BIGINT) AS c
-             |  FROM a0 JOIN subp p ON p.vec_id = a0.vec_id AND p.s = a0.s
-             |  GROUP BY 1, 2, 3),
-             |cb AS (SELECT s, cid, list(c ORDER BY pos) AS cent FROM cbp GROUP BY 1, 2),
-             |d1 AS (
-             |  SELECT sub.vec_id, sub.s, cb.cid,
-             |    ${d2Sql("sub.sub", "cb.cent")} AS dd
-             |  FROM sub JOIN cb ON cb.s = sub.s
-             |  WHERE ${corpusPred("sub.vec_id")}),
-             |codes AS (
-             |  SELECT vec_id, s, cid FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
-             |    FROM d1) WHERE rn = 1),
-             |qsub AS (SELECT vec_id AS q_id, s, sub FROM sub WHERE vec_id % 50 = 1),
-             |tab AS (
-             |  SELECT q_id, cb.s, cb.cid, ${d2Sql("qsub.sub", "cb.cent")} AS dt
-             |  FROM qsub JOIN cb ON cb.s = qsub.s),
-             |cand AS (
-             |  SELECT p.q_id, cells.vec_id
-             |  FROM cells JOIN probes p ON p.cell = cells.cell
-             |  WHERE p.q_id != cells.vec_id),
-             |adc AS (
-             |  SELECT cand.q_id, cand.vec_id AS n_id,
-             |    CAST(sum(t.dt) AS BIGINT) AS adc_d2
-             |  FROM cand JOIN codes c ON c.vec_id = cand.vec_id
-             |  JOIN tab t ON t.q_id = cand.q_id AND t.s = c.s AND t.cid = c.cid
-             |  GROUP BY 1, 2)
-             |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
-             |    ORDER BY adc_d2, n_id) AS BIGINT) AS rank,
-             |  n_id, adc_d2
-             |FROM adc QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin
+      corpusWhere: String = "TRUE",
+      tvPreds: Option[(String, String)] = None): String = {
+    val driftCtes = tvPreds.map { case (priorW, deltaW) =>
+      ",\n" + ivfPqDriftCtes("", priorW, deltaW)
+    }.getOrElse("")
+    val finalSelect =
+      if (tvPreds.isDefined)
+        """SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+          |    ORDER BY adc_d2, n_id) AS BIGINT) AS rank,
+          |  n_id, adc_d2, tv.tv_milli
+          |FROM adc CROSS JOIN tv QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin
+      else
+        """SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+          |    ORDER BY adc_d2, n_id) AS BIGINT) AS rank,
+          |  n_id, adc_d2
+          |FROM adc QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin
+    s"""WITH $ivfPqSharedCtes,
+       |${ivfPqServeCtes("", "vec_id % 10 <> 0", corpusWhere)}$driftCtes
+       |$finalSelect""".stripMargin
+  }
+
+  /** Branched oracle for the SELF-HEALING changefeed cycle (q432): two
+    * complete IVFPQ chains — the ASSIGN twin (quantizers trained on the
+    * prior corpus) and the REBUILD twin (retrained on the survivors) —
+    * plus the drift replay against the PRIOR quantizer; each branch's
+    * rows are gated on the replayed tv vs `thr`, so neither engine
+    * hardcodes the branch and green proves decision ∧ chosen path
+    * together (the q379 pattern, lifted onto the lake lane).
+    *
+    * The replay gates on tv ALONE — it assumes a warm prior index
+    * (q432's fixture trains on a non-empty corpus). The cycle's
+    * cold-index force (tp=0, td>0 → rebuild at tv=0) rides
+    * [[graft.ext.Pq.cellDrift]]'s flag, whose empty-side cases IvfSpec
+    * pins.
+    */
+  private def ivfPqAutoOracleSql(thr: Long, trainPriorWhere: String,
+                                 upsertWhere: String,
+                                 survivorsWhere: String): String =
+    s"""WITH $ivfPqSharedCtes,
+       |${ivfPqServeCtes("_a", trainPriorWhere, survivorsWhere)},
+       |${ivfPqServeCtes("_r", survivorsWhere, survivorsWhere)},
+       |${ivfPqDriftCtes("_a", trainPriorWhere, upsertWhere)},
+       |srv_a AS (
+       |  SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc_d2, n_id) AS BIGINT) AS rank, n_id, adc_d2
+       |  FROM adc_a QUALIFY rank <= 5),
+       |srv_r AS (
+       |  SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc_d2, n_id) AS BIGINT) AS rank, n_id, adc_d2
+       |  FROM adc_r QUALIFY rank <= 5)
+       |SELECT q_id, rank, n_id, adc_d2, tv.tv_milli,
+       |  'assign' AS path
+       |FROM srv_a CROSS JOIN tv WHERE tv.tv_milli <= $thr
+       |UNION ALL
+       |SELECT q_id, rank, n_id, adc_d2, tv.tv_milli,
+       |  'rebuild' AS path
+       |FROM srv_r CROSS JOIN tv WHERE tv.tv_milli > $thr
+       |ORDER BY q_id, rank""".stripMargin
 
   /** Full-rebuild-over-survivors oracle for the ANN deletion lanes
     * (q386 object lane, q402 partitioned lane).

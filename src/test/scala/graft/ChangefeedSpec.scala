@@ -199,6 +199,279 @@ class ChangefeedSpec extends SparkTestBase {
     }
   }
 
+  test("drift gate: a distribution-breaking window refuses and touches no state; a lax gate admits with the same tv; a pure-takedown window never refuses") {
+    import graft.ext.Pq
+    import graft.pipeline.Incremental
+    val dir = graft.core.Scratch.dir("changefeed_gate")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("gat_root__")).foreach(_.delete()))
+    val bw = 64L
+    // two well-separated clusters, dim 4; seeds (lowest two vec_ids)
+    // land one per cluster, so the trained coarse quantizer splits
+    // them: evens -> cell 0's centroid, odds -> cell 1's
+    def vecs(ids: Seq[Long], base: Array[Float]) =
+      ids.map(i => (i,
+        base.map(x => x + (i % 5) * 0.001f).toSeq)).toDF("vec_id",
+        "embedding")
+    val a = vecs(0L until 40L by 2, Array(1f, 0f, 0f, 0f))
+    val b = vecs(1L until 40L by 2, Array(0f, 1f, 0f, 0f))
+    val prior = a.unionByName(b)
+    val bucketOf = Incremental.idBucket($"vec_id", bw)
+    val g1 = "00000001_a"
+    LakeTable.commitSnapshot(spark, dir, "gat_root", g1,
+      Seq(LakeTable.RootPublish("gat_emb", "bucket",
+        prior.withColumn("bucket", bucketOf).localCheckpoint(true))))
+    Versioned.write(Pq.trainCodebooks(spark, prior, m = 1, subDim = 4,
+      k = 2), dir, "gatcoarse", g1)
+    Versioned.write(Pq.trainCodebooks(spark, prior, m = 2, subDim = 2,
+      k = 2), dir, "gatfine", g1)
+    val coarse0 = graft.ext.IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, "gatcoarse"))
+    val fine0 = graft.ext.IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, "gatfine"))
+    Versioned.writePartitionedFull(
+      Pq.encode(prior, coarse0, m = 1, subDim = 4)
+        .select($"vec_id", $"cid".as("cell"))
+        .withColumn("bucket", bucketOf),
+      dir, "gatcells", Seq("bucket"))
+    Versioned.writePartitionedFull(
+      Pq.encode(prior, fine0, m = 2, subDim = 2)
+        .withColumn("bucket", bucketOf),
+      dir, "gatcodes", Seq("bucket"))
+    // g2: twenty upserts ALL in cluster A — prior shares 500/500,
+    // upsert shares 1000/0, tv = (|1000-500| + |0-500|) div 2 = 500
+    val up = vecs(100L until 120L, Array(1f, 0f, 0f, 0f))
+    val g2 = "00000002_b"
+    LakeTable.commitSnapshot(spark, dir, "gat_root", g2,
+      Seq(LakeTable.RootPublish("gat_emb", "bucket",
+        up.withColumn("bucket", bucketOf).localCheckpoint(true))))
+    val queries = vecs(Seq(200L), Array(1f, 0f, 0f, 0f))
+    def gated(from: String, to: String, tv: Long) =
+      Incremental.ivfPqChangefeedGatedCycle(spark, dir, "gat_root",
+        "gat_emb", "bucket", "gatcoarse", "gatfine", "gatcells",
+        "gatcodes", from, to, queries, dim = 4, nProbe = 1, m = 2,
+        subDim = 2, k = 3, bucketWidth = bw, tvMilli = tv)
+    def cellIds() = Versioned.readPartitioned(spark, dir, "gatcells")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+
+    // strict gate: tv=500 > 250 refuses, and the refusal lands BEFORE
+    // any state write — the cells table still holds exactly the prior
+    val before = cellIds()
+    val ex = intercept[IllegalArgumentException] { gated(g1, g2, 250L) }
+    assert(ex.getMessage.contains("REFUSED") &&
+      ex.getMessage.contains("tv_milli=500"),
+      s"wrong refusal: ${ex.getMessage}")
+    assert(cellIds() == before,
+      "a refused window touched the index state")
+
+    // lax gate: the same window admits, carries the same tv, and the
+    // maintenance lands the upserts
+    val served = gated(g1, g2, 600L)
+    assert(served.select($"tv_milli").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(500L))
+    assert(cellIds() == before ++ (100L until 120L),
+      "the admitted window did not land the upserts")
+
+    // pure-takedown window: no upserts -> no drift evidence -> never
+    // refused even at the strictest gate; the removals purge
+    val g3 = "00000003_c"
+    Versioned.commitSnapshotDeleteVectors(spark, dir, "gat_root",
+      "gat_emb", "bucket", "vec_id",
+      Seq((0L, 1L), (0L, 3L), (0L, 5L)).toDF("bucket", "vec_id")
+        .localCheckpoint(true), g3)
+    val served3 = gated(g2, g3, 1L)
+    assert(served3.select($"tv_milli").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(0L))
+    assert(cellIds() == before ++ (100L until 120L) -- Set(1L, 3L, 5L),
+      "the takedown window did not purge the removed ids")
+  }
+
+  test("auto cycle: a tripped window RETRAINS on the target snapshot and rewrites the index; the next takedown window goes back to assign") {
+    import graft.ext.Pq
+    import graft.pipeline.Incremental
+    val dir = graft.core.Scratch.dir("changefeed_auto")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(f => f.getName.startsWith("aut_root__") ||
+        f.getName.startsWith("autcoarse__") ||
+        f.getName.startsWith("autfine__"))
+      .foreach(graft.core.Scratch.deleteRecursively))
+    val bw = 64L
+    def vecs(ids: Seq[Long], base: Array[Float]) =
+      ids.map(i => (i,
+        base.map(x => x + (i % 5) * 0.001f).toSeq)).toDF("vec_id",
+        "embedding")
+    val a = vecs(0L until 40L by 2, Array(1f, 0f, 0f, 0f))
+    val b = vecs(1L until 40L by 2, Array(0f, 1f, 0f, 0f))
+    val prior = a.unionByName(b)
+    val bucketOf = Incremental.idBucket($"vec_id", bw)
+    val g1 = "00000001_a"
+    LakeTable.commitSnapshot(spark, dir, "aut_root", g1,
+      Seq(LakeTable.RootPublish("aut_emb", "bucket",
+        prior.withColumn("bucket", bucketOf).localCheckpoint(true))))
+    Versioned.write(Pq.trainCodebooks(spark, prior, m = 1, subDim = 4,
+      k = 2), dir, "autcoarse", g1)
+    Versioned.write(Pq.trainCodebooks(spark, prior, m = 2, subDim = 2,
+      k = 2), dir, "autfine", g1)
+    val coarse0 = graft.ext.IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, "autcoarse"))
+    val fine0 = graft.ext.IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, "autfine"))
+    Versioned.writePartitionedFull(
+      Pq.encode(prior, coarse0, m = 1, subDim = 4)
+        .select($"vec_id", $"cid".as("cell"))
+        .withColumn("bucket", bucketOf),
+      dir, "autcells", Seq("bucket"))
+    Versioned.writePartitionedFull(
+      Pq.encode(prior, fine0, m = 2, subDim = 2)
+        .withColumn("bucket", bucketOf),
+      dir, "autcodes", Seq("bucket"))
+    // g2: twenty upserts all in cluster A — tv = 500 trips a 250 gate
+    val up = vecs(100L until 120L, Array(1f, 0f, 0f, 0f))
+    val g2 = "00000002_b"
+    LakeTable.commitSnapshot(spark, dir, "aut_root", g2,
+      Seq(LakeTable.RootPublish("aut_emb", "bucket",
+        up.withColumn("bucket", bucketOf).localCheckpoint(true))))
+    val queries = vecs(Seq(200L), Array(1f, 0f, 0f, 0f))
+    def auto(from: String, to: String, newTag: String) =
+      Incremental.ivfPqChangefeedAutoCycle(spark, dir, "aut_root",
+        "aut_emb", "bucket", "autcoarse", "autfine", "autcells",
+        "autcodes", from, to, queries, dim = 4, nProbe = 1, m = 2,
+        subDim = 2, k = 3, kCells = 2, kSub = 2, bucketWidth = bw,
+        tvMilli = 250L, newTag = newTag)
+
+    val served = auto(g1, g2, "00000003_idx")
+    val tags = served.select($"tv_milli", $"path").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(tags == Seq((500L, "rebuild")), s"wrong branch: $tags")
+    // the quantizer store ADVANCED to the rebuild version...
+    assert(Versioned.resolveLatest(dir, "autcoarse").get
+      .contains("00000003_idx"), "rebuild did not publish the quantizer")
+    // ...and the index is the full re-encode of the target snapshot's
+    // corpus (prior ∪ upserts) against the RETRAINED coarse quantizer
+    val coarse2 = graft.ext.IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, "autcoarse"))
+    val corpus = prior.unionByName(up)
+    val wantCells = Pq.encode(corpus, coarse2, m = 1, subDim = 4)
+      .select($"vec_id", $"cid".as("cell")).as[(Long, Long)]
+      .collect().toSet
+    val gotCells = Versioned.readPartitioned(spark, dir, "autcells")
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toSet
+    assert(gotCells == wantCells,
+      "rebuilt cells are not the full re-encode against the new quantizer")
+
+    // a pure-takedown window after the rebuild: no upserts, no drift
+    // evidence — back to the ASSIGN path; quantizers stay at the
+    // rebuild version and the removals purge
+    val g3 = "00000003_c"
+    Versioned.commitSnapshotDeleteVectors(spark, dir, "aut_root",
+      "aut_emb", "bucket", "vec_id",
+      Seq((0L, 2L), (0L, 4L)).toDF("bucket", "vec_id")
+        .localCheckpoint(true), g3)
+    val served3 = auto(g2, g3, "00000004_zzz")
+    val tags3 = served3.select($"tv_milli", $"path").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(tags3 == Seq((0L, "assign")), s"wrong branch: $tags3")
+    assert(Versioned.resolveLatest(dir, "autcoarse").get
+      .contains("00000003_idx"),
+      "an assign window must not republish the quantizer")
+    val after = Versioned.readPartitioned(spark, dir, "autcells")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(after == wantCells.map(_._1) -- Set(2L, 4L),
+      "the takedown window did not purge the removed ids")
+  }
+
+  test("a compaction-only window: pins move but the feed is EMPTY and index maintenance no-ops through it") {
+    import graft.pipeline.Incremental
+    val dir = graft.core.Scratch.dir("changefeed_compact")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("cfc_root__")).foreach(_.delete()))
+    val bw = 64L
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (65L, "epsilon zeta eta theta"), (66L, "iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+      .withColumn("bucket", Incremental.idBucket($"doc_id", bw))
+    val g1 = "00000001_a"
+    // fat publish (the salt must actually fan out — AQE's coalescing
+    // folds tiny shuffles to one file, correctly, at real sizes)
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val priorConf = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      LakeTable.commitSnapshot(spark, dir, "cfc_root", g1,
+        Seq(LakeTable.RootPublish("cfc_docs", "bucket",
+          docs.localCheckpoint(true), filesPerPartition = 4)))
+    } finally spark.conf.set(key, priorConf)
+    Versioned.writePartitionedFull(
+      graft.ext.Dedup.signatureState(docs, "doc_id", "text", n = 2,
+          bands = 4, rowsPerBand = 2)
+        .withColumn("bucket", Incremental.idBucket($"id", bw)),
+      dir, "cfc_state", Seq("bucket"))
+    def stateFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).map(_.toSeq)
+          .getOrElse(Seq.empty).flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir, "cfc_state"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.length(), f.lastModified())).sortBy(_._1)
+    }
+    val filesBefore = stateFiles()
+
+    // the compaction-only commit: every fat leaf re-pins to a fresh
+    // generation — pure pin movement, zero row change
+    val g2 = "00000002_b"
+    val compacted = Versioned.compactSnapshotLeaves(spark, dir,
+      "cfc_root", Seq("cfc_docs" -> "bucket"), g2, maxFiles = 1)
+    assert(compacted("cfc_docs").nonEmpty, "fixture: nothing compacted")
+    assert(Versioned.changedPartitions(dir, "cfc_root", "cfc_docs",
+      g1, g2).nonEmpty, "fixture: compaction moved no pins")
+
+    // the feed between the tags is EMPTY — pin movement without row
+    // change is invisible to consumers (semantic, not vacuous: the
+    // pins DID move, so the feed had to read and diff those leaves)
+    assert(Versioned.snapshotChangefeed(spark, dir, "cfc_root",
+      "cfc_docs", "bucket", Seq("doc_id"), g1, g2).count() == 0L,
+      "a compaction-only window produced a non-empty changefeed")
+
+    // and maintenance through the window is a genuine no-op: no pairs
+    // reported, no state bucket rewritten (files byte-identical)
+    val pairs = Incremental.lshDedupChangefeedCycle(spark, dir,
+      "cfc_root", "cfc_docs", "bucket", "doc_id", "text", g1, g2,
+      "cfc_state", n = 2, threshold = 0.2, bands = 4, rowsPerBand = 2,
+      bucketWidth = bw)
+    assert(pairs.count() == 0L,
+      "maintenance through a compaction-only window reported pairs")
+    assert(stateFiles() == filesBefore,
+      "maintenance through a compaction-only window rewrote state files")
+  }
+
+  test("continuous consumer maintenance: after the followManifest loop the postings state ≡ full rebuild over the final corpus, and a caught-up re-follow consumes nothing") {
+    // q431's loop: append window, edit window, takedown window
+    SparkEntry.queries("q431_bm25_follow")(spark, sfDir).collect()
+    val dir = graft.core.Scratch.dir("q431_bfl")
+    val got = Versioned.readPartitioned(spark, dir, "bfl_post")
+      .select($"id", $"tok", $"tf").as[(Long, String, Long)]
+      .collect().toSeq.sorted
+    val finalCorpus = graft.core.Tables.documents(spark, sfDir)
+      .filter(!($"doc_id" % 13 === 0 && $"doc_id" % 17 =!= 0))
+      .withColumn("text",
+        when($"doc_id" % 19 === 0, concat($"text", lit(" melon melon")))
+          .otherwise($"text"))
+    val want = finalCorpus
+      .select($"doc_id".as("id"),
+        explode(graft.ext.TextAnalysis.tokens($"text")).as("tok"))
+      .groupBy($"id", $"tok").agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(got == want,
+      "the loop-maintained postings drifted from the full rebuild")
+    // the cursor the loop returned is caught up: nothing to consume
+    var n = 0
+    Versioned.followManifest(dir, "bfl_root", "00000004_ddd") {
+      (_, _) => n += 1 }
+    assert(n == 0, "a caught-up consumer re-consumed a window")
+  }
+
   test("changefeed-driven LSH maintenance: post-cycle signature state ≡ full rebuild over the target snapshot") {
     // q427's fixture: corpus appends through the write facade, a %13
     // takedown as a pinned delete batch, the bucketed signature store
