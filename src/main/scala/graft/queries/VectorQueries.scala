@@ -1951,6 +1951,98 @@ object VectorQueries extends QueryPack {
           survivorsWhere = s"NOT (vec_id % 13 = 0 AND NOT ($hsSql))")
       })),
 
+    // The AUTONOMOUS consumer — followManifest × the self-healing auto
+    // cycle, window by window: the tail-batch window may TRIP the gate
+    // and rebuild mid-loop (publishing the retrained quantizer as the
+    // next version), and the following takedown window then maintains
+    // INCREMENTALLY against whatever quantizer the previous window left
+    // behind — the composition a single-window gate cannot exercise.
+    // The final serve's ADC distances are a function of WHICH quantizer
+    // won window 1, so the branched oracle (assign twin trained on the
+    // prior corpus, rebuild twin retrained on the g2 snapshot = the
+    // full table, both indexing the g3 survivors, rows gated on the
+    // replayed window-1 tv) verifies the whole trail from the output
+    // alone.
+    Q("q433_ivfpq_follow_auto",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val dir = graft.core.Scratch.dir("q433_afl")
+        Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+          .filter(f => f.getName.startsWith("afl_root__") ||
+            f.getName.startsWith("aflcoarse__") ||
+            f.getName.startsWith("aflfine__"))
+          .foreach(graft.core.Scratch.deleteRecursively))
+        val bw = 64L
+        val bucketOf = graft.pipeline.Incremental.idBucket($"vec_id", bw)
+        val hs = round(element_at($"embedding", 1).cast("double")
+          * 1000000, 0).cast("long") > 250000L
+        val bemb = emb.withColumn("bucket", bucketOf)
+        val prior = emb.filter(!hs)
+        val g1 = "00000001_aaa"
+        graft.io.LakeTable.commitSnapshot(s, dir, "afl_root", g1,
+          Seq(graft.io.LakeTable.RootPublish("afl_emb", "bucket",
+            bemb.filter(!hs).localCheckpoint(true))))
+        Versioned.write(Pq.trainCodebooks(s, prior, m = 1, subDim = 64,
+          k = 8), dir, "aflcoarse", g1)
+        Versioned.write(Pq.trainCodebooks(s, prior, m = 8, subDim = 8,
+          k = 4), dir, "aflfine", g1)
+        val coarse0 = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "aflcoarse"))
+        val fine0 = graft.ext.IvfIndex.materializeLocal(s,
+          Versioned.readLatest(s, dir, "aflfine"))
+        Versioned.writePartitionedFull(
+          Pq.encode(prior, coarse0, m = 1, subDim = 64)
+            .select($"vec_id", $"cid".as("cell"))
+            .withColumn("bucket", bucketOf),
+          dir, "aflcells", Seq("bucket"))
+        Versioned.writePartitionedFull(
+          Pq.encode(prior, fine0, m = 8, subDim = 8)
+            .withColumn("bucket", bucketOf),
+          dir, "aflcodes", Seq("bucket"))
+        // g2: the tail batch; g3: the %13 takedown of ORIGINAL vectors
+        val tb = bemb.filter(hs).select($"bucket").distinct()
+        graft.io.LakeTable.commitSnapshot(s, dir, "afl_root",
+          "00000002_bbb",
+          Seq(graft.io.LakeTable.RootPublish("afl_emb", "bucket",
+            bemb.join(tb, Seq("bucket"), "left_semi")
+              .localCheckpoint(true))))
+        Versioned.commitSnapshotDeleteVectors(s, dir, "afl_root",
+          "afl_emb", "bucket", "vec_id",
+          bemb.filter($"vec_id" % 13 === 0 && !hs)
+            .select($"bucket", $"vec_id").localCheckpoint(true),
+          "00000003_ccc")
+        // the consumer loop: one AUTO window per committed tag window;
+        // a rebuild publishes its quantizer at "<toTag>_idx" (sorts
+        // after the batch tag, before the next one)
+        var serve: org.apache.spark.sql.DataFrame = null
+        val cursor = Versioned.followManifest(dir, "afl_root", g1) {
+          (a, b) =>
+            serve = graft.pipeline.Incremental.ivfPqChangefeedAutoCycle(
+              s, dir, "afl_root", "afl_emb", "bucket", "aflcoarse",
+              "aflfine", "aflcells", "aflcodes", a, b,
+              emb.filter($"vec_id" % 50 === 1), dim = 64, nProbe = 2,
+              m = 8, subDim = 8, k = 5, kCells = 8, kSub = 4,
+              bucketWidth = bw, tvMilli = 250L, newTag = s"${b}_idx")
+        }
+        require(cursor == "00000003_ccc",
+          s"consumer did not catch up: cursor '$cursor'")
+        // the per-window (tv, path) trail describes the LAST window; the
+        // window-1 decision is visible through the ADC values themselves
+        serve.select($"q_id", $"rank", $"n_id", $"adc_d2")
+          .orderBy($"q_id", $"rank")
+      },
+      Some({
+        val hsSql = "CAST(round(CAST(embedding[1] AS DOUBLE)*1000000) " +
+          "AS BIGINT) > 250000"
+        ivfPqAutoOracleSql(250L,
+          trainPriorWhere = s"NOT ($hsSql)",
+          upsertWhere = hsSql,
+          survivorsWhere = s"NOT (vec_id % 13 = 0 AND NOT ($hsSql))",
+          trainRebuildWhere = Some("TRUE"),
+          carryTv = false)
+      })),
+
 
     // The frozen-quantizer honesty stat: per-cell population drift
     // between the prior index and the delta batch, with the
@@ -2372,10 +2464,16 @@ object VectorQueries extends QueryPack {
     */
   private def ivfPqAutoOracleSql(thr: Long, trainPriorWhere: String,
                                  upsertWhere: String,
-                                 survivorsWhere: String): String =
+                                 survivorsWhere: String,
+                                 trainRebuildWhere: Option[String] = None,
+                                 carryTv: Boolean = true): String = {
+    val tvCols = if (carryTv) ", tv.tv_milli" else ""
+    val pathA = if (carryTv) ", 'assign' AS path" else ""
+    val pathR = if (carryTv) ", 'rebuild' AS path" else ""
     s"""WITH $ivfPqSharedCtes,
        |${ivfPqServeCtes("_a", trainPriorWhere, survivorsWhere)},
-       |${ivfPqServeCtes("_r", survivorsWhere, survivorsWhere)},
+       |${ivfPqServeCtes("_r",
+          trainRebuildWhere.getOrElse(survivorsWhere), survivorsWhere)},
        |${ivfPqDriftCtes("_a", trainPriorWhere, upsertWhere)},
        |srv_a AS (
        |  SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
@@ -2385,14 +2483,13 @@ object VectorQueries extends QueryPack {
        |  SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY adc_d2, n_id) AS BIGINT) AS rank, n_id, adc_d2
        |  FROM adc_r QUALIFY rank <= 5)
-       |SELECT q_id, rank, n_id, adc_d2, tv.tv_milli,
-       |  'assign' AS path
+       |SELECT q_id, rank, n_id, adc_d2$tvCols$pathA
        |FROM srv_a CROSS JOIN tv WHERE tv.tv_milli <= $thr
        |UNION ALL
-       |SELECT q_id, rank, n_id, adc_d2, tv.tv_milli,
-       |  'rebuild' AS path
+       |SELECT q_id, rank, n_id, adc_d2$tvCols$pathR
        |FROM srv_r CROSS JOIN tv WHERE tv.tv_milli > $thr
        |ORDER BY q_id, rank""".stripMargin
+  }
 
   /** Full-rebuild-over-survivors oracle for the ANN deletion lanes
     * (q386 object lane, q402 partitioned lane).

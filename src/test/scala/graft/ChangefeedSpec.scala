@@ -472,6 +472,34 @@ class ChangefeedSpec extends SparkTestBase {
     assert(n == 0, "a caught-up consumer re-consumed a window")
   }
 
+  test("autonomous consumer: after the followManifest × auto-cycle loop the index ≡ re-encode of the survivors against the published quantizer") {
+    import graft.ext.Pq
+    import org.apache.spark.sql.functions.{element_at, round => rnd}
+    // q433's loop: tail-batch window (may rebuild mid-loop), takedown
+    // window (assign) — whatever branch won, the published state must
+    // be exactly the survivors encoded against the LATEST quantizer,
+    // and a taken-down vector must be gone
+    SparkEntry.queries("q433_ivfpq_follow_auto")(spark, sfDir).collect()
+    val dir = graft.core.Scratch.dir("q433_afl")
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val hs = rnd(element_at($"embedding", 1).cast("double") * 1000000, 0)
+      .cast("long") > 250000L
+    val survivors = emb.filter(!($"vec_id" % 13 === 0 && !hs))
+    val coarse = graft.ext.IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, "aflcoarse"))
+    val want = Pq.encode(survivors, coarse, m = 1, subDim = 64)
+      .select($"vec_id", $"cid".as("cell")).as[(Long, Long)]
+      .collect().toSet
+    val got = Versioned.readPartitioned(spark, dir, "aflcells")
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toSet
+    assert(got == want,
+      "the loop-maintained cells drifted from the survivor re-encode")
+    val gone = emb.filter($"vec_id" % 13 === 0 && !hs)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(gone.nonEmpty && got.map(_._1).intersect(gone).isEmpty,
+      "a taken-down vector survived in the maintained index")
+  }
+
   test("changefeed-driven LSH maintenance: post-cycle signature state ≡ full rebuild over the target snapshot") {
     // q427's fixture: corpus appends through the write facade, a %13
     // takedown as a pinned delete batch, the bucketed signature store
