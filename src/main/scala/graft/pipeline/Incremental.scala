@@ -1785,10 +1785,28 @@ object Incremental {
     *    corpus now the lake's merge-on-read view instead of a raw
     *    object.
     *
+    * CRASH CONTRACT of the rebuild arm. The quantizer publishes and the
+    * two posting rewrites are separate in-place writes (the index lanes'
+    * standing posture — no manifest spans them), so a crash mid-rebuild
+    * leaves a MIXED index: cells/codes encoded against one quantizer,
+    * `readLatest` resolving another. The hazard is not the torn state
+    * itself (the single-writer contract already owns that) but the
+    * NAIVE REPLAY: re-running the window re-measures drift against the
+    * half-rebuilt state and can flip to the ASSIGN branch — freezing
+    * the mix in permanently. So the rebuild writes a tiny INTENT object
+    * (`<cellsPrefix>_rbintent`, tagged `newTag`) BEFORE touching
+    * anything and deletes it as its LAST step: a replay that finds its
+    * own window's intent skips the gate and COMPLETES the rebuild
+    * (idempotent — everything re-derives from the lake window), and
+    * any cycle that finds a FOREIGN window's intent refuses loudly
+    * (an interrupted rebuild must be completed or cleaned first, not
+    * maintained over). ChangefeedSpec pins both.
+    *
     * Both branches serve from the state they just published; the output
     * carries (tv_milli, path) so the decision is auditable and
     * oracle-replayable (q432 derives the SAME branch from its own
-    * replay — neither side hardcodes it).
+    * replay — neither side hardcodes it; a resumed rebuild reports
+    * path = "rebuild" with the re-measured tv, whatever it reads).
     *
     * @return [[graft.ext.Pq.ivfPqServe]] rows + (tv_milli, path)
     */
@@ -1820,13 +1838,38 @@ object Incremental {
       s"ivfPqChangefeedAutoCycle: coarse quantizer '$coarsePrefix' has " +
         "no cells — bootstrap the index with a full build first")
     val tv = head(0).getLong(0)
-    val doRebuild = head(0).getBoolean(1)
+    // an interrupted rebuild's intent FORCES completion of that window
+    // (the gate re-measured against half-rebuilt state could flip to
+    // assign and freeze the mixed index in); a foreign window's intent
+    // refuses — maintaining over someone else's torn rebuild compounds it
+    val intentPrefix = cellsPrefix + "_rbintent"
+    val pendingIntent = Versioned.resolveLatest(dir, intentPrefix)
+    pendingIntent.foreach { p =>
+      require(p.contains(s"__${newTag}__"),
+        s"ivfPqChangefeedAutoCycle refused: an interrupted rebuild " +
+          s"intent exists at '$p' for a DIFFERENT window than " +
+          s"'$newTag' — re-run that window to complete its rebuild " +
+          "(or clean the intent after manual repair) before " +
+          "maintaining this one")
+    }
+    val doRebuild = head(0).getBoolean(1) || pendingIntent.isDefined
     val serve =
       if (!doRebuild)
         ivfPqMaintainServe(spark, dir, coarse, fine, cellsPrefix,
           codesPrefix, delta, queries, dim, nProbe, m, subDim, k,
           bucketWidth, filesPerPartition)
       else {
+        // write-ahead intent FIRST: any crash from here on leaves a
+        // breadcrumb that forces the replay back onto this branch
+        Versioned.write(
+          spark.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(fromTag, toTag)),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("from_tag",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("to_tag",
+                org.apache.spark.sql.types.StringType)))),
+          dir, intentPrefix, newTag)
         val corpus = Exec.checkpointEager(
           Versioned.readSnapshotMergeOnRead(spark, dir, manifestPrefix,
             embPrefix, partCol, "vec_id", asOfTag = Some(toTag))
@@ -1848,6 +1891,10 @@ object Incremental {
           Pq.encode(corpus, fine2, m, subDim)
             .withColumn("bucket", idBucket(col("vec_id"), bucketWidth)),
           dir, codesPrefix, Seq("bucket"), filesPerPartition)
+        // rebuild complete: clear the intent LAST (its absence is the
+        // durable statement that quantizers and postings agree)
+        Versioned.resolveLatest(dir, intentPrefix).foreach(p =>
+          graft.core.Scratch.deleteRecursively(new java.io.File(p)))
         Pq.ivfPqServe(queries,
           Versioned.readPartitioned(spark, dir, cellsPrefix)
             .drop("bucket"),

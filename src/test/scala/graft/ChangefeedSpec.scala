@@ -380,6 +380,96 @@ class ChangefeedSpec extends SparkTestBase {
       "the takedown window did not purge the removed ids")
   }
 
+  test("rebuild intent: a crashed rebuild's replay completes the rebuild even when the re-measured gate would assign; a foreign intent refuses") {
+    import graft.ext.Pq
+    import graft.pipeline.Incremental
+    val dir = graft.core.Scratch.dir("changefeed_intent")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(f => f.getName.startsWith("itt_root__") ||
+        f.getName.startsWith("ittcoarse__") ||
+        f.getName.startsWith("ittfine__") ||
+        f.getName.startsWith("ittcells_rbintent__"))
+      .foreach(graft.core.Scratch.deleteRecursively))
+    val bw = 64L
+    def vecs(ids: Seq[Long], base: Array[Float]) =
+      ids.map(i => (i,
+        base.map(x => x + (i % 5) * 0.001f).toSeq)).toDF("vec_id",
+        "embedding")
+    val a = vecs(0L until 40L by 2, Array(1f, 0f, 0f, 0f))
+    val b = vecs(1L until 40L by 2, Array(0f, 1f, 0f, 0f))
+    val prior = a.unionByName(b)
+    val bucketOf = Incremental.idBucket($"vec_id", bw)
+    val g1 = "00000001_a"
+    LakeTable.commitSnapshot(spark, dir, "itt_root", g1,
+      Seq(LakeTable.RootPublish("itt_emb", "bucket",
+        prior.withColumn("bucket", bucketOf).localCheckpoint(true))))
+    Versioned.write(Pq.trainCodebooks(spark, prior, m = 1, subDim = 4,
+      k = 2), dir, "ittcoarse", g1)
+    Versioned.write(Pq.trainCodebooks(spark, prior, m = 2, subDim = 2,
+      k = 2), dir, "ittfine", g1)
+    val coarse0 = graft.ext.IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, "ittcoarse"))
+    val fine0 = graft.ext.IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, "ittfine"))
+    Versioned.writePartitionedFull(
+      Pq.encode(prior, coarse0, m = 1, subDim = 4)
+        .select($"vec_id", $"cid".as("cell"))
+        .withColumn("bucket", bucketOf),
+      dir, "ittcells", Seq("bucket"))
+    Versioned.writePartitionedFull(
+      Pq.encode(prior, fine0, m = 2, subDim = 2)
+        .withColumn("bucket", bucketOf),
+      dir, "ittcodes", Seq("bucket"))
+    val up = vecs(100L until 120L, Array(1f, 0f, 0f, 0f))
+    val g2 = "00000002_b"
+    LakeTable.commitSnapshot(spark, dir, "itt_root", g2,
+      Seq(LakeTable.RootPublish("itt_emb", "bucket",
+        up.withColumn("bucket", bucketOf).localCheckpoint(true))))
+    val queries = vecs(Seq(200L), Array(1f, 0f, 0f, 0f))
+    def auto(tv: Long, newTag: String) =
+      Incremental.ivfPqChangefeedAutoCycle(spark, dir, "itt_root",
+        "itt_emb", "bucket", "ittcoarse", "ittfine", "ittcells",
+        "ittcodes", g1, g2, queries, dim = 4, nProbe = 1, m = 2,
+        subDim = 2, k = 3, kCells = 2, kSub = 2, bucketWidth = bw,
+        tvMilli = tv, newTag = newTag)
+    def intent(tag: String): Unit = Versioned.write(
+      Seq((g1, g2)).toDF("from_tag", "to_tag"),
+      dir, "ittcells_rbintent", tag)
+
+    // a FOREIGN window's intent refuses before any state is touched
+    intent("00000000_stale")
+    val ex = intercept[IllegalArgumentException] {
+      auto(999L, "00000003_idx") }
+    assert(ex.getMessage.contains("interrupted rebuild"),
+      s"wrong refusal: ${ex.getMessage}")
+    Versioned.resolveLatest(dir, "ittcells_rbintent").foreach(p =>
+      graft.core.Scratch.deleteRecursively(new java.io.File(p)))
+
+    // THIS window's intent (the crashed-replay breadcrumb) forces the
+    // rebuild branch even though tv=500 <= 999 would assign — the
+    // re-measured gate must never freeze a half-rebuilt index in
+    intent("00000003_idx")
+    val served = auto(999L, "00000003_idx")
+    val tags = served.select($"tv_milli", $"path").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(tags == Seq((500L, "rebuild")),
+      s"a pending intent did not force the rebuild: $tags")
+    // the completed rebuild cleared its intent and published coherently
+    assert(Versioned.resolveLatest(dir, "ittcells_rbintent").isEmpty,
+      "a completed rebuild left its intent behind")
+    val coarse2 = graft.ext.IvfIndex.materializeLocal(spark,
+      Versioned.readLatest(spark, dir, "ittcoarse"))
+    assert(Versioned.resolveLatest(dir, "ittcoarse").get
+      .contains("00000003_idx"))
+    val want = Pq.encode(prior.unionByName(up), coarse2, m = 1,
+        subDim = 4)
+      .select($"vec_id", $"cid".as("cell")).as[(Long, Long)]
+      .collect().toSet
+    val got = Versioned.readPartitioned(spark, dir, "ittcells")
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toSet
+    assert(got == want, "the resumed rebuild left an incoherent index")
+  }
+
   test("a compaction-only window: pins move but the feed is EMPTY and index maintenance no-ops through it") {
     import graft.pipeline.Incremental
     val dir = graft.core.Scratch.dir("changefeed_compact")
