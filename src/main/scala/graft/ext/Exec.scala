@@ -39,13 +39,15 @@ object Exec {
     */
   def checkpointEager(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    spark.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
-      case Some(dir) =>
-        val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
-      case None =>
-        df.localCheckpoint(eager = true)
+    graft.core.Jobs.describe(spark, "exec.checkpointEager") {
+      spark.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
+        case Some(dir) =>
+          val sc = spark.sparkContext
+          if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+          df.checkpoint(eager = true)
+        case None =>
+          df.localCheckpoint(eager = true)
+      }
     }
   }
 

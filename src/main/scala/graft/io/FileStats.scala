@@ -96,8 +96,12 @@ object FileStats {
   def maintainSidecar(spark: SparkSession, dir: String, dataPrefix: String,
                       partCol: String, statCol: String,
                       touched: Seq[Any]): String =
+    // checkpointed: overwriteTouchedPartitions consumes its input twice
+    // (present-detection collect + the write), which would re-run the
+    // touched-file aggregation scan; the stats frame is O(files) tiny
     Versioned.overwriteTouchedPartitions(
-      collect(spark, dir, dataPrefix, partCol, statCol, Some(touched)),
+      graft.ext.Exec.checkpointEager(
+        collect(spark, dir, dataPrefix, partCol, statCol, Some(touched))),
       dir, sidecarPrefix(dataPrefix), "part", touched.map(_.toString))
 
   /** The files whose recorded [min_v, max_v] MAY intersect [lo, hi]
@@ -281,9 +285,11 @@ object FileStats {
                            dataPrefix: String, partCol: String,
                            statCols: Seq[String],
                            touched: Seq[Any]): String =
+    // checkpointed for the same single-scan reason as [[maintainSidecar]]
     Versioned.overwriteTouchedPartitions(
-      collectMulti(spark, dir, dataPrefix, partCol, statCols,
-        Some(touched)),
+      graft.ext.Exec.checkpointEager(
+        collectMulti(spark, dir, dataPrefix, partCol, statCols,
+          Some(touched))),
       dir, sidecarMultiPrefix(dataPrefix), "part",
       touched.map(_.toString))
 
@@ -413,9 +419,11 @@ object FileStats {
                            keyCol: String, touched: Seq[Any],
                            itemsPerFile: Long = 1 << 20,
                            numBits: Long = 1L << 23): String =
+    // checkpointed for the same single-scan reason as [[maintainSidecar]]
     Versioned.overwriteTouchedPartitions(
-      collectBloom(spark, dir, dataPrefix, partCol, keyCol,
-        Some(touched), itemsPerFile, numBits),
+      graft.ext.Exec.checkpointEager(
+        collectBloom(spark, dir, dataPrefix, partCol, keyCol,
+          Some(touched), itemsPerFile, numBits)),
       dir, bloomPrefix(dataPrefix), "part", touched.map(_.toString))
 
   /** The candidate-file FRAME of a bloom probe: the (pruned) sidecar
@@ -650,10 +658,34 @@ object FileStats {
                            statCol: String,
                            dataPins: Map[String, String],
                            touched: Seq[Any], gen: String): Set[Any] =
-    Versioned.writeSnapshotPartitions(
+    writeSidecarKnown(dir,
       collectSnapshotStats(spark, dir, dataPrefix, partCol, statCol,
         dataPins, Some(touched)),
-      dir, sidecarPrefix(dataPrefix), "part", gen)
+      sidecarPrefix(dataPrefix), dataPins, touched, gen)
+
+  /** Shared single-pass sidecar publish: the stats frame's partitions
+    * are KNOWN without running it — exactly the touched values that
+    * hold a data pin (pinned leaves are never empty, the lane invariant
+    * [[Versioned.compactSnapshotLeaves]] enforces), so the
+    * present-detection scan [[Versioned.writeSnapshotPartitions]] would
+    * spend re-running the stats aggregation is skipped and the data
+    * files are read exactly ONCE, by the write itself (previously the
+    * derivation scanned every touched file twice — probe-measured ~2×
+    * the sidecar publish cost on a 1344-file root).
+    */
+  private def writeSidecarKnown(dir: String, stats: DataFrame,
+                                sidePrefix: String,
+                                dataPins: Map[String, String],
+                                touched: Seq[Any], gen: String): Set[Any] = {
+    val present: Set[Any] =
+      touched.filter(v => dataPins.contains(v.toString)).toSet
+    Versioned.writeSnapshotKnown(stats, dir, sidePrefix, "part", gen,
+      filesPerPartition = 1)
+    // the sidecar's own partition column is the STRING form of the
+    // partition value (`part`), so pins must be string-keyed like the
+    // previous present-detection returned them
+    present.map(_.toString)
+  }
 
   /** [[candidateFiles]] resolved through the newest manifest's sidecar
     * pins: the stats consulted are exactly the generation the manifest
@@ -846,10 +878,10 @@ object FileStats {
                                 statCols: Seq[String],
                                 dataPins: Map[String, String],
                                 touched: Seq[Any], gen: String): Set[Any] =
-    Versioned.writeSnapshotPartitions(
+    writeSidecarKnown(dir,
       collectSnapshotStatsMulti(spark, dir, dataPrefix, partCol,
         statCols, dataPins, Some(touched)),
-      dir, sidecarMultiPrefix(dataPrefix), "part", gen)
+      sidecarMultiPrefix(dataPrefix), dataPins, touched, gen)
 
   /** [[candidateFilesMulti]] against an EXPLICIT sidecar pin map. */
   def candidateFilesMultiAt(spark: SparkSession, dir: String,
@@ -1022,10 +1054,10 @@ object FileStats {
                                 touched: Seq[Any], gen: String,
                                 itemsPerFile: Long = 1 << 20,
                                 numBits: Long = 1L << 23): Set[Any] =
-    Versioned.writeSnapshotPartitions(
+    writeSidecarKnown(dir,
       collectSnapshotBloom(spark, dir, dataPrefix, partCol, keyCol,
         dataPins, Some(touched), itemsPerFile, numBits),
-      dir, bloomPrefix(dataPrefix), "part", gen)
+      bloomPrefix(dataPrefix), dataPins, touched, gen)
 
   /** [[bloomCandidateFiles]] resolved through the newest manifest's
     * bloom-sidecar pins. Distributed probe — executors evaluate

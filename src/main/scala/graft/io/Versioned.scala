@@ -21,7 +21,9 @@ object Versioned {
 
   def write(df: DataFrame, dir: String, prefix: String, tag: String): String = {
     val path = s"$dir/${prefix}__${tag}__.parquet"
-    df.write.mode("overwrite").parquet(path)
+    graft.core.Jobs.describe(df.sparkSession, s"versioned.write $prefix@$tag") {
+      df.write.mode("overwrite").parquet(path)
+    }
     path
   }
 
@@ -143,11 +145,14 @@ object Versioned {
                            partCols: Seq[String],
                            filesPerPartition: Int = 1): String = {
     val root = partitionedRoot(dir, prefix)
-    (if (partCols.length == 1) layout(df, partCols.head, filesPerPartition)
-     else df)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "static")
-      .partitionBy(partCols: _*).parquet(root)
+    graft.core.Jobs.describe(df.sparkSession,
+      s"versioned.writePartitionedFull $prefix") {
+      (if (partCols.length == 1) layout(df, partCols.head, filesPerPartition)
+       else df)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy(partCols: _*).parquet(root)
+    }
     root
   }
 
@@ -201,11 +206,15 @@ object Versioned {
     // half-replaced root and the emptied-partition cleanup would act on
     // corrupt data — collecting first confines any such violation to the
     // write itself (which Spark's self-overwrite guard also polices)
-    val present = df.select(df.col(partCol)).distinct()
-      .collect().map(_.get(0)).toSet
-    layout(df, partCol, filesPerPartition).write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol).parquet(root)
+    val (present, _) = graft.core.Jobs.describe(df.sparkSession,
+      s"versioned.overwriteTouched $prefix") {
+      val p = df.select(df.col(partCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      layout(df, partCol, filesPerPartition).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(root)
+      (p, ())
+    }
     touched.filterNot(present.contains).foreach { v =>
       val gone = deleteRecursively(new java.io.File(root, s"$partCol=$v"))
       require(gone, s"emptied partition $partCol=$v of '$prefix' could " +
@@ -286,18 +295,20 @@ object Versioned {
                           dataPrefix: String, partCol: String,
                           keyCol: String, deletes: DataFrame): String = {
     import org.apache.spark.sql.functions.col
-    val dvp = dvPrefix(dataPrefix)
-    val touched = deletes.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSeq
-    val prior =
-      if (dvHasData(dir, dataPrefix))
-        readPartitions(spark, dir, dvp, partCol, touched)
-      else deletes.filter(org.apache.spark.sql.functions.lit(false))
-    val merged = graft.ext.Exec.checkpointEager(
-      prior.select(col(partCol), col(keyCol))
-        .unionByName(deletes.select(col(partCol), col(keyCol)))
-        .distinct())
-    overwriteTouchedPartitions(merged, dir, dvp, partCol, touched)
+    graft.core.Jobs.describe(spark, s"versioned.appendDV $dataPrefix") {
+      val dvp = dvPrefix(dataPrefix)
+      val touched = deletes.select(col(partCol)).distinct()
+        .collect().map(_.get(0)).toSeq
+      val prior =
+        if (dvHasData(dir, dataPrefix))
+          readPartitions(spark, dir, dvp, partCol, touched)
+        else deletes.filter(org.apache.spark.sql.functions.lit(false))
+      val merged = graft.ext.Exec.checkpointEager(
+        prior.select(col(partCol), col(keyCol))
+          .unionByName(deletes.select(col(partCol), col(keyCol)))
+          .distinct())
+      overwriteTouchedPartitions(merged, dir, dvp, partCol, touched)
+    }
   }
 
   /** Merge-on-read: the data root minus its delete vectors — one
@@ -565,17 +576,33 @@ object Versioned {
     */
   def writeSnapshotPartitions(df: DataFrame, dir: String, prefix: String,
                               partCol: String, gen: String,
-                              filesPerPartition: Int = 1): Set[Any] = {
-    val root = snapshotRoot(dir, prefix)
-    val present = df.select(df.col(partCol)).distinct()
-      .collect().map(_.get(0)).toSet
-    layout(df, partCol, filesPerPartition)
-      .withColumn("__gen", org.apache.spark.sql.functions.lit(gen))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol, "__gen").parquet(root)
-    present
-  }
+                              filesPerPartition: Int = 1): Set[Any] =
+    graft.core.Jobs.describe(df.sparkSession,
+      s"versioned.writeSnapshotPartitions $prefix@$gen") {
+      val present = df.select(df.col(partCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      writeSnapshotKnown(df, dir, prefix, partCol, gen, filesPerPartition)
+      present
+    }
+
+  /** [[writeSnapshotPartitions]] when the caller ALREADY knows the
+    * present partition set (e.g. the sidecar writers, whose stats
+    * frame's partitions are exactly the touched data pins): skips the
+    * present-detection pass, so `df` — whose lineage may be a full
+    * aggregation scan — is computed exactly once, by the write.
+    */
+  private[io] def writeSnapshotKnown(df: DataFrame, dir: String,
+                                     prefix: String, partCol: String,
+                                     gen: String,
+                                     filesPerPartition: Int): Unit =
+    graft.core.Jobs.describe(df.sparkSession,
+      s"versioned.writeSnapshotPartitions $prefix@$gen") {
+      layout(df, partCol, filesPerPartition)
+        .withColumn("__gen", org.apache.spark.sql.functions.lit(gen))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol, "__gen").parquet(snapshotRoot(dir, prefix))
+    }
 
   /** Initialize a snapshot root: full static layout under one
     * generation. Returns the present partition values for the initial
@@ -583,17 +610,36 @@ object Versioned {
     */
   def writeSnapshotFull(df: DataFrame, dir: String, prefix: String,
                         partCol: String, gen: String,
-                        filesPerPartition: Int = 1): Set[Any] = {
-    val root = snapshotRoot(dir, prefix)
-    val present = df.select(df.col(partCol)).distinct()
-      .collect().map(_.get(0)).toSet
-    layout(df, partCol, filesPerPartition)
-      .withColumn("__gen", org.apache.spark.sql.functions.lit(gen))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "static")
-      .partitionBy(partCol, "__gen").parquet(root)
-    present
-  }
+                        filesPerPartition: Int = 1): Set[Any] =
+    graft.core.Jobs.describe(df.sparkSession,
+      s"versioned.writeSnapshotFull $prefix@$gen") {
+      val root = snapshotRoot(dir, prefix)
+      layout(df, partCol, filesPerPartition)
+        .withColumn("__gen", org.apache.spark.sql.functions.lit(gen))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy(partCol, "__gen").parquet(root)
+      // STATIC overwrite wiped the root before writing, so the
+      // first-level `partCol=` directories ARE exactly df's present
+      // partitions — a driver-side listing, not a second evaluation of
+      // `df` (the previous present-detection `distinct().collect()`
+      // re-ran the whole input subtree before the write ran it again:
+      // probe-measured as HALF the cost of a fixture whose input is an
+      // expensive lazy merge). Values come back as the directory-name
+      // strings; every consumer normalizes partition values through
+      // `toString` (pin keys, touched-set resolution), and the lane
+      // already requires path-safe partition values — same contract as
+      // [[overwriteTouchedPartitions]]'s emptied-partition cleanup.
+      // (The DYNAMIC twin [[writeSnapshotPartitions]] must keep its
+      // pre-write detection: a crashed earlier attempt of the same gen
+      // can leave leaves for partitions this df no longer carries, and
+      // listing would resurrect them into the pins.)
+      Option(new java.io.File(root).listFiles()).map(_.toSeq)
+        .getOrElse(Seq.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
+        .map(_.getName.stripPrefix(s"$partCol="): Any)
+        .toSet
+    }
 
   /** The manifest key pinning `prefix`'s partition `value`. */
   def snapshotPinKey(prefix: String, value: Any): String =

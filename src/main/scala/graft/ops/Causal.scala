@@ -255,7 +255,15 @@ object Causal {
       (col("n") * 1000000L).as("w"))
     val rt = broadcast(rowTargets.select(col("r"), col("target_micro").as("rt")))
     val ct = broadcast(colTargets.select(col("c"), col("target_micro").as("ct")))
-    val raked = (1 to iters).foldLeft(init) { (cur, _) =>
+    // checkpoint per iteration: each half-iteration references `cur`
+    // TWICE (the marginal-sum aggregate and the join back), so an
+    // unchecked fold re-evaluates the base subtree 2^(2·iters) times —
+    // at iters=3 that is 64 plans over the upstream count aggregation
+    // (probe-measured as the whole cost of q360). The weight table is
+    // O(strata²) tiny, so cutting lineage per iteration costs one
+    // trivial job each and keeps every iteration's plan O(1).
+    val raked = (1 to iters).foldLeft(init) { (cur0, _) =>
+      val cur = graft.ext.Exec.checkpointEager(cur0)
       val rSums = cur.groupBy(col("r")).agg(sum(col("w")).as("rs"))
       val afterR = cur.join(broadcast(rSums), "r").join(rt, "r")
         .withColumn("w", round(col("w").cast("double")

@@ -2429,14 +2429,17 @@ object Incremental {
     * published index version — appended or purged.
     */
   private def bm25Serve(merged: DataFrame, qTerms: Int, k: Int): DataFrame = {
-    val stats = merged.agg(countDistinct(col("id")).as("nd"),
-      sum(col("tf")).as("tot"))
+    val dl = merged.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    // collection stats derive from dl (nd = one row per id, tot = the
+    // same tf total) instead of a FOURTH full scan of the postings; the
+    // dl aggregate's exchange is an identical subtree under both
+    // references, so Spark reuses it
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
     val dft = merged.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
     // the panel: the index's own hottest terms — distributed TakeOrdered
     val qt = dft.orderBy(col("cf").desc, col("tok").asc).limit(qTerms)
       .select(col("tok"), col("df"))
-    val dl = merged.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
     val scored = merged.join(broadcast(qt), "tok")
       .join(dl, "id")
       .crossJoin(broadcast(stats))
