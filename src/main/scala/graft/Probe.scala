@@ -72,7 +72,9 @@ object Probe {
           .sortBy(-_._2._2).take(40)
           .foreach { case (d, (cnt, s)) => println(f"  $s%7.2f s  x$cnt%-3d $d") }
         sys.env.get("SPARK_GRAFT_PLAN_SUFFIX").foreach { suf =>
-          val p = java.nio.file.Paths.get(s"plans/r15/${name}_$suf.txt")
+          val p = java.nio.file.Paths.get(
+            sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r16"),
+            s"${name}_$suf.txt")
           java.nio.file.Files.createDirectories(p.getParent)
           java.nio.file.Files.writeString(p, df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))

@@ -50,6 +50,20 @@ object Sessions {
       // memory (measured: late-suite queries 4-5x their standalone
       // medians). One periodic GC per minute bounds that drift.
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // Partition discovery: above this many paths Spark launches a
+      // DISTRIBUTED listing job (~100 ms scheduling floor) instead of
+      // listing on the driver. The engine's snapshot/bucket roots
+      // routinely assemble 80–200 pinned leaf paths per read, and on a
+      // local (or any low-latency) filesystem the driver lists those in
+      // microseconds per path — probe-measured 5–16 listing JOBS per
+      // lake query, 0.7–2.1 s each query, pure scheduling overhead
+      // (guide §6 "file listing"). Parameterized: object-store
+      // deployments whose per-path LIST RPC is tens of ms should set
+      // SPARK_GRAFT_LIST_JOB_THRESHOLD back down (e.g. 32–64) so
+      // thousands-of-partitions reads fan the RPCs out to executors;
+      // the default keeps O(100)-path reads on the driver.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_JOB_THRESHOLD", "512"))
       .config("spark.ui.enabled", "false")
 
   /** Silence two benign but PROLIFIC warning sources that flood stderr

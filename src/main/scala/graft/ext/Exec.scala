@@ -39,7 +39,14 @@ object Exec {
     */
   def checkpointEager(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    graft.core.Jobs.describe(spark, "exec.checkpointEager") {
+    // label carries the first non-Exec graft call site so a probe/UI
+    // job listing attributes each checkpoint to its operator
+    val site = Thread.currentThread.getStackTrace.iterator
+      .map(_.toString)
+      .find(s => s.startsWith("graft.") && !s.contains(".Exec") &&
+        !s.contains("core.Jobs"))
+      .map(_.takeWhile(_ != '(')).getOrElse("?")
+    graft.core.Jobs.describe(spark, s"exec.checkpointEager $site") {
       spark.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
         case Some(dir) =>
           val sc = spark.sparkContext

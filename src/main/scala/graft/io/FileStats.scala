@@ -681,6 +681,21 @@ object FileStats {
       touched.filter(v => dataPins.contains(v.toString)).toSet
     Versioned.writeSnapshotKnown(stats, dir, sidePrefix, "part", gen,
       filesPerPartition = 1)
+    // cheap invariant guard: the predicted present set assumed every
+    // pinned touched leaf produced stats rows (pinned-leaves-never-
+    // empty). If that is ever violated (crashed compaction, hand-
+    // rolled leaf), the pin would name a nonexistent part=/gen= leaf
+    // and every later readSnapshotAt would fail at planning with an
+    // undiagnosable path error — so verify the leaf directories exist
+    // NOW, while the violated invariant is still attributable.
+    val sideRoot = new java.io.File(Versioned.snapshotRoot(dir, sidePrefix))
+    val missing = present.map(_.toString).filterNot(v =>
+      new java.io.File(sideRoot, s"part=$v/__gen=$gen").isDirectory)
+    require(missing.isEmpty,
+      s"sidecar '$sidePrefix'@$gen: no stats rows written for pinned " +
+        s"touched partition(s) ${missing.toSeq.sorted.mkString(", ")} — " +
+        "a pinned data leaf produced no rows, violating the " +
+        "pinned-leaves-never-empty invariant")
     // the sidecar's own partition column is the STRING form of the
     // partition value (`part`), so pins must be string-keyed like the
     // previous present-detection returned them

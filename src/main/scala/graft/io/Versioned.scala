@@ -637,7 +637,22 @@ object Versioned {
       Option(new java.io.File(root).listFiles()).map(_.toSeq)
         .getOrElse(Seq.empty)
         .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
-        .map(_.getName.stripPrefix(s"$partCol="): Any)
+        .map { f =>
+          val raw = f.getName.stripPrefix(s"$partCol=")
+          // enforce the path-safe invariant LOUDLY: a Hive-escaped
+          // character (':', '#', '%', …) or a null partition value
+          // would round-trip through the directory name as an escaped/
+          // sentinel string no reader's toString-normalized touched set
+          // ever matches — a silently unresolvable pin. Fail the write
+          // instead.
+          val un = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(raw)
+          require(un == raw && raw != "__HIVE_DEFAULT_PARTITION__",
+            s"snapshot root '$prefix': partition value '$un' of " +
+              s"'$partCol' is not path-safe (escaped directory name " +
+              s"'$raw') — snapshot pins require path-safe values")
+          raw: Any
+        }
         .toSet
     }
 
@@ -725,7 +740,35 @@ object Versioned {
     // (the standard additive-evolution contract — renames/drops are a
     // rewrite, not an evolution). Off by default: schema merging pays
     // a footer read per file at planning.
-    val reader = spark.read.option("mergeSchema", mergeSchema)
+    //
+    // One GENERATION is one write is ONE schema (every publish writes a
+    // single frame), so whether merging is NEEDED is decidable from one
+    // footer per distinct selected generation — a driver-side metadata
+    // probe, instead of the per-file footer-merge job Spark runs for
+    // mergeSchema=true (probe-measured ~0.1 s per read on 160-leaf
+    // roots, ×10+ reads per changefeed consumer query). Divergent (or
+    // unlistable, e.g. non-local-store) generations fall back to the
+    // full footer merge; identical generations read plain — same union
+    // schema either way, since the union of identical schemas is the
+    // schema itself. (This also makes the merged read's schema
+    // consistently the union of the SELECTED generations in both read
+    // modes below; the disjunction mode's whole-root footer merge could
+    // previously surface a column only a superseded, unpinned
+    // generation carried.)
+    val effMerge = mergeSchema && {
+      val oneLeafPerGen = sel.groupBy(_._2).map { case (g, vs) =>
+        g -> vs.keys.head }
+      oneLeafPerGen.size > 1 && {
+        val schemas = oneLeafPerGen.map { case (g, v) =>
+          val leaf = new java.io.File(s"$root/$partCol=$v/__gen=$g")
+          Option(leaf.listFiles()).toSeq.flatten
+            .find(_.getName.endsWith(".parquet"))
+            .map(f => spark.read.parquet(f.getPath).schema)
+        }
+        schemas.exists(_.isEmpty) || schemas.flatten.toSet.size > 1
+      }
+    }
+    val reader = spark.read.option("mergeSchema", effMerge)
     if (sel.size > SnapshotPathReadThreshold) {
       // pins always name directories their manifest's commit proved
       // written (emptied partitions leave the pin map), so every path

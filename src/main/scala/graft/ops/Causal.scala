@@ -262,6 +262,13 @@ object Causal {
     // (probe-measured as the whole cost of q360). The weight table is
     // O(strata²) tiny, so cutting lineage per iteration costs one
     // trivial job each and keeps every iteration's plan O(1).
+    // NOTE for the reliable-checkpoint deployment (Exec.CheckpointDirKey
+    // set): each iteration leaves one checkpoint directory behind, and
+    // the ContextCleaner only reclaims them after the iteration frame is
+    // GC'd AND spark.cleaner.referenceTracking.cleanCheckpoints=true
+    // (default false). Long-running sessions raking many tables should
+    // enable that conf; the local default (localCheckpoint blocks, freed
+    // by the Bench/periodic-GC unpersist sweep) needs nothing.
     val raked = (1 to iters).foldLeft(init) { (cur0, _) =>
       val cur = graft.ext.Exec.checkpointEager(cur0)
       val rSums = cur.groupBy(col("r")).agg(sum(col("w")).as("rs"))

@@ -2429,7 +2429,15 @@ object Incremental {
     * published index version — appended or purged.
     */
   private def bm25Serve(merged: DataFrame, qTerms: Int, k: Int): DataFrame = {
-    val dl = merged.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    // null-id guard: `nd` counts the dl aggregate's rows, which —
+    // unlike the previous countDistinct(id) — would include a null-id
+    // group. Postings ids are non-null by construction in every cycle
+    // (they come from a groupBy over document ids), but filter
+    // explicitly so nd keeps countDistinct semantics even on a
+    // hand-fed postings frame (null-id postings never scored anyway:
+    // the dl join below can't match them).
+    val posts = merged.filter(col("id").isNotNull)
+    val dl = posts.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
     // collection stats derive from dl (nd = one row per id, tot = the
     // same tf total) instead of a FOURTH full scan of the postings; the
     // dl aggregate's exchange is an identical subtree under both
