@@ -791,10 +791,18 @@ object Incremental {
         dir, surveyStatePrefix + "_next", newTag)
       val tPath = Versioned.write(tState.unionByName(tDelta), dir,
         tripsStatePrefix + "_next", newTag)
-      // stage 3: gated trip merge, retract-and-remerge on touched keys
-      val touched = contrib.select(keyCols: _*)
-        .unionByName(retracted.select(keyCols: _*))
-        .unionByName(tDelta.select(keyCols: _*)).distinct()
+      // stage 3: gated trip merge, retract-and-remerge on touched keys.
+      // touched is CHECKPOINTED (the partitioned twin's discipline):
+      // the merged write references it five times (twice per merge side
+      // through the count-attach self-join, once in the prior anti-
+      // join), and each reference would re-evaluate the full sState
+      // scan + semi-join + distinct under it — probe-measured as the
+      // dominant slice of the merged publish. The frame is O(delta
+      // keys) tiny.
+      val touched = graft.ext.Exec.checkpointEager(
+        contrib.select(keyCols: _*)
+          .unionByName(retracted.select(keyCols: _*))
+          .unionByName(tDelta.select(keyCols: _*)).distinct())
       val remerged = graft.ops.GatedMerge.gatedOneToOne(
         spark.read.parquet(sPath).join(touched, keys, "left_semi"),
         spark.read.parquet(tPath).join(touched, keys, "left_semi"), keys)
@@ -899,9 +907,13 @@ object Incremental {
             "left_anti")
           .unionByName(tDelta),
         dir, tripsStatePrefix, newTag)
-      val touched = contrib.select(keyCols: _*)
-        .unionByName(retracted.select(keyCols: _*))
-        .unionByName(tDelta.select(keyCols: _*)).distinct()
+      // touched checkpointed for the same reason as [[chainedTripsImpl]]:
+      // five references in the merged-write plan, each re-running the
+      // sState semi-join + distinct otherwise; O(delta keys) tiny
+      val touched = graft.ext.Exec.checkpointEager(
+        contrib.select(keyCols: _*)
+          .unionByName(retracted.select(keyCols: _*))
+          .unionByName(tDelta.select(keyCols: _*)).distinct())
       val remerged = graft.ops.GatedMerge.gatedOneToOne(
         spark.read.parquet(sPath).join(touched, keys, "left_semi"),
         spark.read.parquet(tPath).join(touched, keys, "left_semi"), keys)
@@ -1540,8 +1552,12 @@ object Incremental {
     val lNew = spark.read.parquet(lPath)
     val rNew = spark.read.parquet(rPath)
     val keyCols = keys.map(col)
-    val touched = lDelta.select(keyCols: _*)
-      .unionByName(rDelta.select(keyCols: _*)).distinct()
+    // checkpointed: five references in the merged-write plan (twice per
+    // merge side through the count-attach self-join, once in the prior
+    // anti-join) would re-run the distinct each time; O(delta keys)
+    val touched = graft.ext.Exec.checkpointEager(
+      lDelta.select(keyCols: _*)
+        .unionByName(rDelta.select(keyCols: _*)).distinct())
     val remerged = graft.ops.GatedMerge.gatedOneToOne(
       lNew.join(touched, keys, "left_semi"),
       rNew.join(touched, keys, "left_semi"), keys)
@@ -2273,9 +2289,13 @@ object Incremental {
         dir, surveyStatePrefix + "_next", newTag)
       val tp = Versioned.write(tState.unionByName(tDelta), dir,
         tripsStatePrefix + "_next", newTag)
-      val touched = contrib.select(keyCols: _*)
-        .unionByName(retracted.select(keyCols: _*))
-        .unionByName(tDelta.select(keyCols: _*)).distinct()
+      // checkpointed like [[chainedTripsImpl]]'s: the merged-write plan
+      // references it five times (and two of those through the taxon→
+      // submission rollup below, multiplying that groupBy as well)
+      val touched = graft.ext.Exec.checkpointEager(
+        contrib.select(keyCols: _*)
+          .unionByName(retracted.select(keyCols: _*))
+          .unionByName(tDelta.select(keyCols: _*)).distinct())
       // the gate counts SUBMISSIONS per device-day: roll the touched
       // keys' taxon rows up to submission grain before re-merging
       val sub = spark.read.parquet(sp).join(touched, keys, "left_semi")

@@ -224,6 +224,41 @@ class SnapshotLaneSpec extends SparkTestBase {
     assert(old.count() == 3000L)
   }
 
+  test("mergeSchema fast path: identical generations skip the footer merge but read identically") {
+    val dir = graft.core.Scratch.dir("snap_evo_fast")
+    Option(new java.io.File(dir).listFiles()).foreach(_.toSeq
+      .filter(_.getName.startsWith("evf_root__")).foreach(_.delete()))
+    val g1 = "00000001_a"
+    val base = spark.range(3000L).select($"id",
+      ($"id" % 3).cast("long").as("m"), ($"id" * 2).as("v"))
+    val p1 = Versioned.writeSnapshotFull(base, dir, "evf_data", "m", g1)
+    Versioned.commitManifest(dir, "evf_root", g1,
+      p1.map(v => Versioned.snapshotPinKey("evf_data", v) -> g1).toMap)
+    // month 1 republished with the SAME schema (changed values only)
+    val g2 = "00000002_b"
+    val edited = base.filter($"m" === 1L).withColumn("v", $"v" + 1L)
+      .localCheckpoint(true)
+    val p2 = Versioned.writeSnapshotPartitions(edited, dir, "evf_data",
+      "m", g2)
+    Versioned.commitManifest(dir, "evf_root", g2,
+      (p1.map(_.toString -> g1).toMap ++ p2.map(_.toString -> g2)).map {
+        case (v, g) => Versioned.snapshotPinKey("evf_data", v) -> g })
+    // two distinct generations, zero schema divergence: the read must
+    // behave exactly like a merged read (same schema, same rows) while
+    // the per-generation probe skips Spark's per-file footer merge
+    val merged = Versioned.readSnapshotPartitions(spark, dir, "evf_root",
+      "evf_data", "m", None, mergeSchema = true)
+    assert(merged.columns.toSeq == Seq("id", "v", "m"))
+    val perMonth = merged.groupBy($"m")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      .orderBy($"m").as[(Long, Long, Long)].collect().toSeq
+    val expect = base.filter($"m" =!= 1L).unionByName(edited)
+      .groupBy($"m").agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      .orderBy($"m").as[(Long, Long, Long)].collect().toSeq
+    assert(perMonth == expect,
+      s"fast-path merged read diverged from the logical snapshot: $perMonth vs $expect")
+  }
+
   private class ReadTap extends org.apache.spark.scheduler.SparkListener {
     val recs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
     override def onTaskEnd(
